@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (SURVEY.md §7.5).
+
+Two tiers:
+- brute_force_topk — exact cosine top-k; the baseline and the oracle.
+- lsh_topk — random-hyperplane (sign) LSH bucketing; the scale path.
+  Candidates come from bucket equi-joins; only candidates are scored.
+
+All math is JVM-native higher-order functions over double arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _as_double, dot_expr, norm_expr
+
+__all__ = ["brute_force_topk", "lsh_topk", "hyperplane_signature_expr"]
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("e")
+    ).withColumn("nrm", norm_expr(F.col("e")))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: (query_id, neighbor_id, rank, cosine). The query side is
+    broadcast (queries ≪ corpus); ranking ties break on neighbor_id so
+    the result is deterministic.
+    """
+    q = _prep(queries, id_col, vec_col)
+    c = _prep(corpus, id_col, vec_col)
+    cos = dot_expr(F.col("q.e"), F.col("c.e")) / (F.col("q.nrm") * F.col("c.nrm"))
+    scored = (
+        F.broadcast(q.alias("q"))
+        .join(c.alias("c"), F.col("q.id") != F.col("c.id"))
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            cos.alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos_raw", 4).alias("cosine"),
+        )
+    )
+
+
+def hyperplane_signature_expr(vec: Column, *, planes: int = 16, dims: int = 64) -> Column:
+    """Sign signature under `planes` pseudo-random hyperplanes.
+
+    Plane weights are deterministic ±1 derived from xxhash64(plane, dim)
+    parity — reproducible across runs and cluster layouts with no
+    driver-side randomness to broadcast.
+    """
+    def sig_bit(p: Column) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dims - 1)),
+                    lambda d: (F.pmod(F.xxhash64(p, d), F.lit(2)) * 2 - 1).cast("double"),
+                ),
+                lambda x, wgt: x * wgt,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(planes - 1)), sig_bit)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    tables: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: `tables` independent sign-LSH bucketings; a
+    query only scores corpus vectors sharing a bucket in ≥1 table.
+
+    Shuffle cost ∝ n·tables instead of n·m pairs. Recall rises with
+    `tables`; per-bucket fan-in falls with `planes`. Defaults (4 planes
+    × 8 tables) target ~0.7-0.85 recall for neighbors at cosine ≥ 0.5:
+    per-table collision (1−θ/π)^planes, overall 1−(1−p)^tables. Output
+    schema matches brute_force_topk (ranks among candidates).
+    """
+    def with_buckets(df: DataFrame) -> DataFrame:
+        # One signature of planes*tables bits, sliced into per-table
+        # bucket keys — each table sees an independent plane subspace.
+        out = _prep(df, id_col, vec_col).withColumn(
+            "sig", hyperplane_signature_expr(F.col("e"), planes=planes * tables, dims=dims)
+        )
+        buckets = F.array(
+            *[
+                F.xxhash64(F.lit(t), F.slice("sig", t * planes + 1, planes))
+                for t in range(tables)
+            ]
+        )
+        return (
+            out.select("id", "e", "nrm", F.explode(buckets).alias("bucket"))
+            .dropDuplicates(["id", "bucket"])
+        )
+
+    q = with_buckets(queries)
+    c = with_buckets(corpus)
+    cos = dot_expr(F.col("q.e"), F.col("c.e")) / (F.col("q.nrm") * F.col("c.nrm"))
+    candidates = (
+        q.alias("q")
+        .join(c.alias("c"), (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.id") != F.col("c.id")))
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            cos.alias("cos_raw"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos_raw", 4).alias("cosine"),
+        )
+    )

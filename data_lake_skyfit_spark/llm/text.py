@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All expressions are JVM-native (split/regexp/higher-order functions) —
+no Python in the hot path, so they run inside whole-stage codegen and
+scale linearly with executors. Greenfield relative to the reference
+(SURVEY.md §7.5); the string-function surface generalizes the
+reference's §2.10 scalar family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_expr",
+    "shingles_expr",
+    "token_count",
+    "bpe_ish_token_count",
+    "quality_metrics",
+    "language_scores",
+    "doc_fingerprint",
+    "STOPWORDS",
+]
+
+# Small per-language stopword lists for the n-gram/stopword heuristic
+# language-ID. Deterministic and SQL-portable (used verbatim in oracles).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "que", "en", "los", "se"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "das", "und", "ist", "von", "den", "ein"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"),
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace tokens, empties removed."""
+    return F.filter(F.split(_c(text), r"\s+"), lambda t: t != "")
+
+
+def shingles_expr(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram (word shingle) set — the dedup unit for MinHash /
+    Jaccard. Built entirely from higher-order functions."""
+    w = tokens_expr(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    parts = lambda i: [F.element_at(w, i + j) for j in range(n)]  # noqa: E731
+    grams = F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", *parts(i))))
+    # sequence(1, stop<1) yields a DESCENDING sequence, not empty — guard
+    # short documents explicitly.
+    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish subword count: alpha runs, digit runs, and isolated
+    symbols each count as one token (regex identical in Java and RE2)."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality scores: length, token stats, type-token
+    ratio, stopword ratio, punctuation density. Ratios are exact-integer
+    divisions rounded to 4 — deterministic across engines."""
+    t = _c(text_col)
+    w = tokens_expr(text_col)
+    en = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    n_tokens = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(en, x)))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("int").alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("int").alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(w)) / n_tokens, 4).alias("type_token_ratio"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        n_punct.cast("int").alias("n_punct"),
+        F.round(
+            (F.length(t) / n_tokens), 4
+        ).alias("avg_token_span"),
+    )
+
+
+def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID. Emits per-language hit counts and the
+    argmax prediction (ties broken by language code order, making the
+    result deterministic)."""
+    w = tokens_expr(text_col)
+    cols = [F.col(id_col)]
+    hit_cols: list[tuple[str, Column]] = []
+    for lang in sorted(STOPWORDS):
+        arr = F.array([F.lit(s) for s in STOPWORDS[lang]])
+        hits = F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+        hit_cols.append((lang, hits))
+        cols.append(hits.cast("int").alias(f"hits_{lang}"))
+    best = F.greatest(*[h for _, h in hit_cols])
+    pred = F.lit("und")
+    # First language (in sorted order) achieving the max wins: build the
+    # CASE from last to first so earlier langs take precedence.
+    for lang, hits in reversed(hit_cols):
+        pred = F.when(hits == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    cols.append(pred.alias("predicted_lang"))
+    return df.select(*cols)
+
+
+def doc_fingerprint(text: Column | str, prefix_tokens: int = 8) -> Column:
+    """Content fingerprint: md5 of the normalized text prefix — the
+    cheap first-pass grouping key for exact/near dedup at scale."""
+    w = tokens_expr(F.lower(F.trim(_c(text))))
+    head = F.slice(w, 1, prefix_tokens)
+    return F.md5(F.concat_ws(" ", head))

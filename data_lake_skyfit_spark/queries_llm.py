@@ -1,1 +1,357 @@
-"""Placeholder module — LLM-pipeline queries register here (filled in below)."""
+"""LLM-training-data pipeline queries (SURVEY.md §7.5 north star):
+dedup, similarity search, text analysis, multimodal plumbing.
+
+Registered into the same registry as the relational battery. Oracle
+notes: token/shingle/hash constructions are chosen to be expressible
+identically in DuckDB (md5 + string ops, integer arithmetic) so even
+the "fuzzy" operators get exact oracles where the algorithm is
+deterministic. Only candidate-driven approximate ops (LSH ANN) and
+mapInPandas media kernels use the rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import register, _t
+from .llm import dedup, multimodal, similarity, text as text_ops
+from .streaming import windowed
+
+
+@register(
+    "streaming_hourly_counts",
+    """
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("2.9-streaming", "I2", "A4"),
+    doc="Structured Streaming: AvailableNow file-source stream → "
+    "event-time tumbling windows + watermark → memory sink "
+    "(streaming.windowed.hourly_event_counts). Batch-equivalent result, "
+    "so the oracle is the batch aggregation.",
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed.hourly_event_counts(spark, sf_dir)
+
+# Shared DuckDB fragments ----------------------------------------------------
+
+_DUCK_TOKENS = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
+_DUCK_SHINGLES = (
+    "CASE WHEN len({w}) >= 3 THEN "
+    "list_distinct([{w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2] for i in range(1, len({w})-1)]) "
+    "ELSE [] END"
+)
+
+_JACCARD_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES.format(w='w')} AS s FROM t
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT MD5(text) AS content_md5, MIN(doc_id) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY MD5(text)
+    """,
+    tags=("llm-dedup", "A5"),
+    doc="Exact dedup via content-hash groupBy; only the hash shuffles. "
+    "(The engine-internal fingerprint is xxhash64 — llm.dedup.exact_dedup; "
+    "md5 here for cross-engine oracle parity.)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _JACCARD_ORACLE,
+    tags=("llm-dedup",),
+    doc="All-pairs 3-gram-shingle Jaccard ≥ 0.8 (brute force — the "
+    "verification tier; llm.dedup.jaccard_pairs_bruteforce).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs_bruteforce(d, threshold=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    _JACCARD_ORACLE,
+    tags=("llm-dedup", "scale-path"),
+    doc="MinHash(128)+LSH(32 bands) candidate pairs verified at Jaccard "
+    "≥ 0.8 (llm.dedup.minhash_lsh_pairs). Shares the brute-force oracle: "
+    "at j ≥ 0.97 (this corpus's near-dup band) banding recall is "
+    "1 − (1−j⁴)³² ≈ 1-1e-30, so candidate∩verify ≡ exact pairs.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.8)
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH t AS (
+      SELECT doc_id, """ + _DUCK_TOKENS.format(col="text") + """ AS w FROM documents
+    ), tok AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS wgt
+      FROM (SELECT doc_id, UNNEST(w) AS tok FROM t) GROUP BY doc_id, tok
+    ), bits AS (
+      SELECT doc_id, pos,
+             CASE WHEN SUM(wgt * (2 * ((strpos('0123456789abcdef',
+                       substr(md5(tok) || md5(tok || '#'), CAST(pos AS INT), 1)) - 1) % 2) - 1)) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM tok CROSS JOIN (SELECT UNNEST(range(1, 65)) AS pos) p
+      GROUP BY doc_id, pos
+    )
+    SELECT doc_id, STRING_AGG(bit, '' ORDER BY pos) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("llm-dedup",),
+    doc="64-bit SimHash signatures (llm.dedup.simhash_bits): bit source "
+    "is md5 hex-digit parity so the construction is engine-portable.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_bits(d)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.45
+    """,
+    tags=("llm-dedup",),
+    doc="Embedding-cosine near-dup pairs ≥ 0.45 "
+    "(llm.dedup.embedding_cosine_pairs; norms precomputed per vector).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(e, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk_cosine",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.e, c.e) AS cos_raw
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, ROUND(cos_raw, 4) AS cosine
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm-similarity",),
+    doc="Brute-force cosine top-5 for 10 query vectors "
+    "(llm.similarity.brute_force_topk — query side broadcast).",
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(q, e)
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # approximate candidate set — rows-only check by design
+    tags=("llm-similarity", "scale-path"),
+    doc="Sign-LSH bucketed approximate top-k (llm.similarity.lsh_topk): "
+    "4 tables × 8 hyperplanes; candidates only from shared buckets. "
+    "The scale path — shuffle ∝ n·tables, never n².",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(q, e)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_DUCK_W = _DUCK_TOKENS.format(col="text")
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_W} AS w FROM documents)
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INT) AS n_chars,
+           CAST(len(w) AS INT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS INT) AS n_distinct_tokens,
+           ROUND(len(list_distinct(w)) / len(w), 4) AS type_token_ratio,
+           ROUND(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) / len(w), 4) AS stopword_ratio,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS n_punct,
+           ROUND(LENGTH(text) / len(w), 4) AS avg_token_span
+    FROM t
+    """,
+    tags=("llm-text",),
+    doc="Per-document quality metrics (llm.text.quality_metrics): "
+    "length/token/TTR/stopword/punctuation scores, all codegen'd.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.quality_metrics(d)
+
+
+def _lang_list(lang: str) -> str:
+    return "[" + ",".join(f"'{s}'" for s in text_ops.STOPWORDS[lang]) + "]"
+
+
+@register(
+    "text_language_id",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_W} AS w FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(len(list_filter(w, x -> list_contains({_lang_list('de')}, x))) AS INT) AS hits_de,
+             CAST(len(list_filter(w, x -> list_contains({_lang_list('en')}, x))) AS INT) AS hits_en,
+             CAST(len(list_filter(w, x -> list_contains({_lang_list('es')}, x))) AS INT) AS hits_es,
+             CAST(len(list_filter(w, x -> list_contains({_lang_list('fr')}, x))) AS INT) AS hits_fr,
+             CAST(len(list_filter(w, x -> list_contains({_lang_list('zh')}, x))) AS INT) AS hits_zh
+      FROM t
+    )
+    SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, hits_zh,
+           CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) <= 0 THEN 'und'
+                WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'de'
+                WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'en'
+                WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'es'
+                WHEN hits_fr = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'fr'
+                ELSE 'zh' END AS predicted_lang
+    FROM h
+    """,
+    tags=("llm-text",),
+    doc="Stopword-hit language ID (llm.text.language_scores); argmax with "
+    "deterministic code-order tie-break.",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.language_scores(d)
+
+
+@register(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_W}) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS bpe_ish_tokens,
+           CAST(LENGTH(text) AS INT) AS n_chars
+    FROM documents
+    """,
+    tags=("llm-text",),
+    doc="Token counting: whitespace + BPE-ish regex segmentation "
+    "(llm.text.bpe_ish_token_count).",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_ops.token_count("text").cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0))
+        .cast("int")
+        .alias("bpe_ish_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS.format(col="lower(trim(text))")} AS w FROM documents)
+    SELECT doc_id, MD5(array_to_string(w[1:8], ' ')) AS fingerprint FROM t
+    """,
+    tags=("llm-text",),
+    doc="Document fingerprinting: md5 of the 8-token normalized prefix "
+    "(llm.text.doc_fingerprint) — cheap near-dup pregrouping key.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_ops.doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_manifest",
+    """
+    SELECT doc_id, MD5(text) AS content_md5,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           'text/plain' AS mime
+    FROM documents
+    """,
+    tags=("llm-multimodal",),
+    doc="Media manifest over a binary payload column "
+    "(llm.multimodal.attach_binary_payload + media_manifest).",
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d, "text", mime="text/plain")
+    return multimodal.media_manifest(media, "doc_id")
+
+
+@register(
+    "multimodal_decode_images",
+    None,  # mapInPandas kernel with stubbed codec — rows-only check
+    tags=("llm-multimodal",),
+    doc="Arrow-batched image decode plumbing (llm.multimodal.decode_images): "
+    "payload → (width, height, channels); codec stubbed deterministically.",
+)
+def multimodal_decode_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d, "text")
+    return multimodal.decode_images(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    None,  # mapInPandas 1→N kernel with stubbed codec — rows-only check
+    tags=("llm-multimodal",),
+    doc="Video frame sampling plumbing (llm.multimodal.sample_video_frames): "
+    "1 payload → N frame rows via mapInPandas.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = multimodal.attach_binary_payload(d, "text")
+    return multimodal.sample_video_frames(media)
