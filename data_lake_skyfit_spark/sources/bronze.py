@@ -1,0 +1,113 @@
+"""Bronze layer: immutable partitioned JSONL(.gz) with lineage.
+
+Reproduces the reference's bronze contract — raw records landed as
+gzipped JSONL parts under Hive-style prefixes
+`bronze/{source}/[scope={scope}/]entity={e}/ingestion_date={d}/run_id={r}/part-NNNNN.jsonl.gz`
+(reference: src/extractors/pipedrive_bronze.py:145-146,
+src/evo/extractors/evo_members_bronze_parallel.py:146) — but Spark-native:
+
+- S1 (JSONL.GZ read): `spark.read.json` decodes .gz transparently; an
+  explicit schema keeps the scan single-pass (no inference job).
+- S2 (partition-pruned listing): Hive partition discovery — predicates
+  on entity/ingestion_date/run_id prune directories before any I/O.
+- S3 (latest-run discovery): max(run_id) over partition values only.
+- lineage: `_source_file` via input_file_name(), `run_id`/
+  `ingestion_date` come free as partition columns (the reference regex
+  path parsing, load_evo_members_stg_fast_v2.py:208-213, disappears).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["bronze_path", "write_bronze", "read_bronze", "latest_run_id"]
+
+
+def bronze_path(root: str, source: str) -> str:
+    return os.path.join(root, "bronze", source)
+
+
+def write_bronze(
+    df: DataFrame,
+    root: str,
+    source: str,
+    *,
+    compress: bool = True,
+) -> None:
+    """Land records as partitioned JSONL parts. Expects the partition
+    columns (entity, ingestion_date, run_id [, scope]) on the frame.
+
+    Small-file control: the reference buffers N records per part
+    (pipedrive_bronze.py:204-210); here `maxRecordsPerFile` bounds part
+    size without a shuffle.
+    """
+    parts = [c for c in ("scope", "entity", "ingestion_date", "run_id") if c in df.columns]
+    w = (
+        df.write.mode("append")
+        .option("maxRecordsPerFile", 100_000)
+        .partitionBy(*parts)
+    )
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(bronze_path(root, source))
+
+
+def read_bronze(
+    spark: SparkSession,
+    root: str,
+    source: str,
+    *,
+    entity: str | None = None,
+    run_id: str | None = None,
+    ingestion_date: str | None = None,
+    scope: str | None = None,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Partition-pruned bronze scan with lineage columns.
+
+    Every filter lands on a partition column, so pruning happens at
+    file-listing time — the Spark equivalent of the reference's prefix
+    listing (src/common/lake.py:143-169).
+    """
+    reader = spark.read
+    if schema is not None:
+        part_fields = [
+            f for f in (
+                T.StructField("scope", T.StringType()),
+                T.StructField("entity", T.StringType()),
+                T.StructField("ingestion_date", T.StringType()),
+                T.StructField("run_id", T.StringType()),
+            )
+        ]
+        full = T.StructType(list(schema.fields) + [f for f in part_fields if f.name not in schema.names])
+        reader = reader.schema(full)
+    df = reader.json(bronze_path(root, source))
+    for col, val in (
+        ("entity", entity),
+        ("run_id", run_id),
+        ("ingestion_date", ingestion_date),
+        ("scope", scope),
+    ):
+        if val is not None and col in df.columns:
+            df = df.filter(F.col(col) == val)
+    return df.withColumn("_source_file", F.input_file_name()).withColumn(
+        "_loaded_at", F.current_timestamp()
+    )
+
+
+def latest_run_id(spark: SparkSession, root: str, source: str, entity: str) -> str | None:
+    """max(run_id) from partition metadata only — no data files read."""
+    df = spark.read.json(bronze_path(root, source))
+    if "run_id" not in df.columns:
+        return None
+    row = (
+        df.filter(F.col("entity") == entity)
+        .select("run_id")
+        .agg(F.max("run_id").alias("r"))
+        .collect()[0]
+    )
+    return row["r"]
