@@ -79,20 +79,38 @@ def jaccard_pairs_bruteforce(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """All-pairs n-gram-set Jaccard ≥ threshold. O(n²) — use only at
-    test scale or as the verification join; the scale path is
-    minhash_lsh_pairs."""
-    s = _with_shingles(df, text_col, id_col, n)
-    a = s.alias("a")
-    b = s.alias("b")
-    j = _jaccard(F.col("a.sh"), F.col("b.sh"))
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
+    """ALL pairs with n-gram-set Jaccard ≥ threshold — exact, but NOT a
+    cross join. Inverted-index plan: explode shingles, equi-join docs on
+    shingle, count shared shingles = |A∩B|, then
+    J = inter / (|A| + |B| − inter).
+
+    Pairs sharing zero shingles never materialize (their J = 0 <
+    threshold), so the result is identical to the O(n²) definition while
+    the shuffle is ∝ corpus shingle count and the pair work ∝ actually-
+    overlapping pairs. A size-ratio guard (J ≤ min/max) prunes pairs
+    that cannot reach the threshold before the expensive count.
+    """
+    s = _with_shingles(df, text_col, id_col, n).withColumn("sz", F.size("sh"))
+    ex = s.filter(F.col("sz") > 0).select(
+        "id", "sz", F.explode("sh").alias("g")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    guard = F.least(F.col("a.sz"), F.col("b.sz")) >= (
+        F.greatest(F.col("a.sz"), F.col("b.sz")) * (threshold * 0.999)
+    )
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")) & guard)
+        .groupBy(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
-            F.round(j, 4).alias("jaccard"),
+            F.col("a.sz").alias("a_sz"),
+            F.col("b.sz").alias("b_sz"),
         )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = F.col("inter") / (F.col("a_sz") + F.col("b_sz") - F.col("inter"))
+    return (
+        inter.select("a_id", "b_id", F.round(j, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -104,11 +122,37 @@ def jaccard_pairs_bruteforce(
 
 def minhash_signature_expr(shingles: Column, num_perm: int = 128) -> Column:
     """num_perm-wide MinHash signature: sig[i] = min over shingles of
-    xxhash64(i, shingle). Deterministic, JVM-native, no Python."""
+    xxhash64(i, shingle). Deterministic, JVM-native, no Python.
+
+    NOTE: interpreted higher-order evaluation — fine for ad-hoc use on
+    modest rows; the pipeline path (minhash_signatures) computes the
+    same signature through a codegen'd explode + 128-column min agg.
+    """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
         lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))),
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 128,
+) -> DataFrame:
+    """(id, sh, sig): MinHash signatures via explode + one aggregation
+    with num_perm min() columns — whole-stage codegen end to end, with
+    map-side partial aggregation (one row per doc crosses the shuffle).
+    Produces bit-identical signatures to minhash_signature_expr."""
+    s = _with_shingles(df, text_col, id_col, n).filter(F.size("sh") > 0)
+    ex = s.select("id", F.explode("sh").alias("g"))
+    mins = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), "g")).alias(f"m{i}") for i in range(num_perm)]
+    )
+    sig = mins.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+    return s.join(sig, "id")
 
 
 def minhash_lsh_pairs(
@@ -131,12 +175,15 @@ def minhash_lsh_pairs(
     fraction at scale — pay the exact-verification cost.
     """
     rows = num_perm // bands
-    s = _with_shingles(df, text_col, id_col, n).filter(F.size("sh") > 0)
-    sig = s.select("id", "sh", minhash_signature_expr(F.col("sh"), num_perm).alias("sig"))
+    sig = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm
+    )
 
+    # Band entries are (id, band, bucket) only — the shingle arrays do
+    # NOT ride through the bands× explode and the bucket shuffle; they
+    # are re-joined just for the (few) surviving candidate pairs.
     band_entries = sig.select(
         "id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -146,7 +193,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -157,18 +204,18 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.sh").alias("a_sh"),
-            F.col("b.sh").alias("b_sh"),
-        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
 
+    shs = sig.select("id", "sh")
+    verified = (
+        candidates.join(shs.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
+        .join(shs.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
+    )
     j = _jaccard(F.col("a_sh"), F.col("b_sh"))
     return (
-        candidates.select("a_id", "b_id", F.round(j, 4).alias("jaccard"))
+        verified.select("a_id", "b_id", F.round(j, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -195,32 +242,23 @@ def simhash_bits(
         .agg(F.count(F.lit(1)).alias("w"))
     )
     h = F.concat(F.md5(F.col("tok")), F.md5(F.concat(F.col("tok"), F.lit("#"))))
-    per_pos = toks.select(
-        "id",
-        "w",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(nbits)),
-                lambda j: (F.instr(F.lit("0123456789abcdef"), F.substring(h, j, 1)) - 1) % 2,
-            )
-        ).alias("pos", "parity"),
+    toks = toks.withColumn("h", h)
+    # One aggregation with nbits sum columns — no nbits× row explosion;
+    # partial (map-side) aggregation keeps the shuffle at one row per doc.
+    parity = lambda j: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), j, 1)) - 1
+    ) % 2
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(F.col("w") * (parity(j) * 2 - 1)).alias(f"s{j}")
+            for j in range(1, nbits + 1)
+        ]
     )
-    sums = per_pos.groupBy("id", "pos").agg(
-        F.sum(F.col("w") * (F.col("parity") * 2 - 1)).alias("s")
+    bit = lambda j: F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))  # noqa: E731
+    return sums.select(
+        F.col("id").alias(id_col),
+        F.concat(*[bit(j) for j in range(1, nbits + 1)]).alias("simhash"),
     )
-    bits = sums.select(
-        "id",
-        "pos",
-        F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
-    )
-    return bits.groupBy("id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "bit"))), lambda x: x.getField("bit")
-            ),
-        ).alias("simhash")
-    ).withColumnRenamed("id", id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -248,22 +286,75 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold over an embedding column. Norms are
-    precomputed once per vector; the pairing is a cross join — suitable
-    for verification scale. The ANN path (similarity.lsh_topk) is the
-    scale variant."""
+    """All-pairs cosine ≥ threshold over an embedding column — exact,
+    via distributed block matrix multiply, not a row-pair cross join.
+
+    Vectors hash into `num_blocks` blocks; each unordered block pair
+    (i ≤ j) becomes one applyInPandas group that BLAS-multiplies the two
+    L2-normalized sub-matrices and emits only the surviving pairs.
+    Shuffle is n·num_blocks vector rows (each vector is shipped once per
+    partner block) — never n² pairs — and the O(n²) arithmetic runs
+    vectorized in numpy. num_blocks scales the per-task memory bound:
+    pick it so two blocks of vectors fit an executor. The approximate
+    scale path for huge corpora is similarity.lsh_topk.
+    """
+    import pandas as pd
+
     v = df.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("e")
-    ).withColumn("nrm", norm_expr(F.col("e")))
-    a, b = v.alias("a"), v.alias("b")
-    cos = dot_expr(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+        F.col(id_col).cast("long").alias("id"), _as_double(vec_col).alias("e")
+    ).withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(num_blocks)))
+    # Each vector joins every partner block exactly once: group key is
+    # the unordered pair (lo, hi) of (own block, partner block).
+    ex = v.select(
+        "id",
+        "e",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1))).alias("other"),
+    ).select(
+        "id",
+        "e",
+        "blk",
+        F.least("blk", "other").alias("lo"),
+        F.greatest("blk", "other").alias("hi"),
+    ).dropDuplicates(["id", "lo", "hi"])
+
+    def block_pairs(key, pdf: pd.DataFrame):
+        import numpy as np
+
+        lo, hi = key
+        mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        ids = pdf["id"].to_numpy()
+        in_lo = pdf["blk"].to_numpy() == lo
+        if lo == hi:
+            sims = mat @ mat.T
+            ai, bi = np.triu_indices(len(ids), k=1)
+        else:
+            a_idx = np.where(in_lo)[0]
+            b_idx = np.where(~in_lo)[0]
+            sims_blk = mat[a_idx] @ mat[b_idx].T
+            ai_rel, bi_rel = np.nonzero(sims_blk >= threshold - 1e-7)
+            ai, bi = a_idx[ai_rel], b_idx[bi_rel]
+            sims = None
+        if sims is not None:
+            keep = sims[ai, bi] >= threshold - 1e-7
+            ai, bi = ai[keep], bi[keep]
+            vals = sims[ai, bi]
+        else:
+            vals = (mat[ai] * mat[bi]).sum(axis=1)
+        a_ids, b_ids = ids[ai], ids[bi]
+        lo_ids = np.minimum(a_ids, b_ids)
+        hi_ids = np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"a_id": lo_ids, "b_id": hi_ids, "cos_raw": vals})
+
+    pairs = ex.groupBy("lo", "hi").applyInPandas(
+        block_pairs, "a_id long, b_id long, cos_raw double"
+    )
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.round(cos, 4).alias("cosine"),
-        )
+        pairs.select("a_id", "b_id", F.round("cos_raw", 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tokens_expr",
+    "let_expr",
     "shingles_expr",
     "token_count",
     "bpe_ish_token_count",
@@ -45,16 +46,32 @@ def tokens_expr(text: Column | str) -> Column:
     return F.filter(F.split(_c(text), r"\s+"), lambda t: t != "")
 
 
+def let_expr(value: Column, body) -> Column:
+    """Bind `value` once and evaluate `body(var)` against the bound
+    variable — a `let` for expression trees.
+
+    Higher-order lambdas are interpreted (no codegen/CSE), so a subtree
+    referenced k times inside a transform() is re-evaluated k times per
+    row; binding it as a lambda variable evaluates it exactly once.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def shingles_expr(text: Column | str, n: int = 3) -> Column:
     """Distinct n-gram (word shingle) set — the dedup unit for MinHash /
-    Jaccard. Built entirely from higher-order functions."""
-    w = tokens_expr(text)
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    parts = lambda i: [F.element_at(w, i + j) for j in range(n)]  # noqa: E731
-    grams = F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", *parts(i))))
-    # sequence(1, stop<1) yields a DESCENDING sequence, not empty — guard
-    # short documents explicitly.
-    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+    Jaccard. Built entirely from higher-order functions. The token array
+    is let-bound so the split happens once per row, not once per
+    element_at."""
+
+    def body(w: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+        parts = lambda i: [F.element_at(w, i + j) for j in range(n)]  # noqa: E731
+        grams = F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", *parts(i))))
+        # sequence(1, stop<1) yields a DESCENDING sequence, not empty —
+        # guard short documents explicitly.
+        return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return let_expr(tokens_expr(text), body)
 
 
 def token_count(text: Column | str) -> Column:
@@ -72,12 +89,20 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     ratio, stopword ratio, punctuation density. Ratios are exact-integer
     divisions rounded to 4 — deterministic across engines."""
     t = _c(text_col)
-    w = tokens_expr(text_col)
     en = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    # Stage the token array as a real column: every metric reads the
+    # attribute instead of re-splitting the text (CollapseProject keeps
+    # multi-referenced non-cheap projections separate).
+    staged = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        tokens_expr(text_col).alias("__w"),
+    )
+    t, w = F.col("__t"), F.col("__w")
     n_tokens = F.size(w)
     n_stop = F.size(F.filter(w, lambda x: F.array_contains(en, x)))
     n_punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.length(t).cast("int").alias("n_chars"),
         n_tokens.cast("int").alias("n_tokens"),
@@ -95,14 +120,20 @@ def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """Stopword-hit language ID. Emits per-language hit counts and the
     argmax prediction (ties broken by language code order, making the
     result deterministic)."""
-    w = tokens_expr(text_col)
-    cols = [F.col(id_col)]
-    hit_cols: list[tuple[str, Column]] = []
-    for lang in sorted(STOPWORDS):
+    # Stage tokens, then hit counts, as materialized columns — the CASE
+    # chain references each hit count ~3×; attribute refs make that free.
+    staged = df.select(F.col(id_col), tokens_expr(text_col).alias("__w"))
+    langs = sorted(STOPWORDS)
+    hit_exprs = []
+    for lang in langs:
         arr = F.array([F.lit(s) for s in STOPWORDS[lang]])
-        hits = F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
-        hit_cols.append((lang, hits))
-        cols.append(hits.cast("int").alias(f"hits_{lang}"))
+        hit_exprs.append(
+            F.size(F.filter(F.col("__w"), lambda x: F.array_contains(arr, x)))
+            .cast("int")
+            .alias(f"hits_{lang}")
+        )
+    hits_df = staged.select(F.col(id_col), *hit_exprs)
+    hit_cols = [(lang, F.col(f"hits_{lang}")) for lang in langs]
     best = F.greatest(*[h for _, h in hit_cols])
     pred = F.lit("und")
     # First language (in sorted order) achieving the max wins: build the
@@ -110,8 +141,11 @@ def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     for lang, hits in reversed(hit_cols):
         pred = F.when(hits == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    cols.append(pred.alias("predicted_lang"))
-    return df.select(*cols)
+    return hits_df.select(
+        F.col(id_col),
+        *[F.col(f"hits_{lang}") for lang in langs],
+        pred.alias("predicted_lang"),
+    )
 
 
 def doc_fingerprint(text: Column | str, prefix_tokens: int = 8) -> Column:

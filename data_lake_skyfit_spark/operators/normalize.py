@@ -19,7 +19,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..sources import bronze
 from ..specs.base import ChildSpec, EntitySpec
@@ -73,9 +72,6 @@ class Lakehouse:
         reference's STG conflict key (K4). Null-key records are dropped
         (P7) exactly as the loaders do.
         """
-        raw_schema = T.StructType(
-            [T.StructField("value", T.StringType())]
-        )
         df = bronze.read_bronze(
             self.spark,
             self.root,
@@ -85,7 +81,9 @@ class Lakehouse:
         )
         if scopes and "scope" in df.columns:
             df = df.filter(F.col("scope").isin(*scopes))  # P5
+        return self._load_stg_frame(spec, df)
 
+    def _load_stg_frame(self, spec: EntitySpec, df: DataFrame) -> ParquetTable:
         payload_cols = [c for c in df.columns if c not in _LINEAGE + ("scope", "entity")]
         raw_json = F.to_json(F.struct(*payload_cols))
         df = df.withColumn("raw_data", raw_json).withColumn(
@@ -198,3 +196,42 @@ class Lakehouse:
         sequence collapsed into one driver call)."""
         self.load_stg(spec, run_id=run_id)
         self.normalize_core(spec, full_refresh=full_refresh)
+
+    def run_incremental(
+        self,
+        spec: EntitySpec,
+        store,
+        *,
+        ts_field: str | None = None,
+        now=None,
+    ) -> None:
+        """I1+I3: watermark-windowed bronze→STG→CORE with post-success
+        watermark advance (pipedrive_bronze.py:203-274 contract).
+
+        Bronze rows whose `ts_field` (default: the spec's dedupe-order
+        column) falls in (watermark − overlap, now] are loaded; the keyed
+        MERGEs downstream absorb the overlap duplicates, so re-runs are
+        idempotent. The watermark commits only after both layers land.
+        """
+        from ..sources.watermarks import incremental_filter
+
+        field = ts_field or spec.dedupe_order
+        since, until = store.window(spec.source, spec.entity, now=now)
+        df = bronze.read_bronze(self.spark, self.root, spec.source, entity=spec.entity)
+        payload_cols = [c for c in df.columns if c not in _LINEAGE + ("scope", "entity")]
+        if field in payload_cols:
+            ts = F.to_timestamp(F.col(field))
+            df = incremental_filter(df.withColumn("__ts", ts), F.col("__ts"), since, until).drop("__ts")
+        self._load_stg_frame(spec, df)
+        self.normalize_core(spec)
+        store.advance(spec.source, spec.entity, until)
+
+    def register_views(self, spec: EntitySpec, scopes: tuple[str, ...] = ()) -> None:
+        """P5 per-scope views (sql/schemas/05_scope_views.sql:9-41):
+        `core_{name}` plus `core_{name}_{scope}` filtered temp views."""
+        core = self.core_table(spec).read(self.spark)
+        core.createOrReplaceTempView(f"core_{spec.name}")
+        for s in scopes:
+            core.filter(F.col("scope") == s).createOrReplaceTempView(
+                f"core_{spec.name}_{s}"
+            )
