@@ -163,7 +163,8 @@ def test_audit_detects_injected_duplicate(audited_lake, spark):
     """The duplicate-key check must actually fire on bad data."""
     spec = get_spec("evo_members")
     core = audited_lake.core_table(spec)
-    df = core.read(spark)
+    # Detach from the underlying files — the overwrite below replaces them.
+    df = core.read(spark).localCheckpoint()
     core.overwrite(df.unionByName(df.limit(1)))  # inject one duplicate
     try:
         report = audit.check_core_duplicate_keys(audited_lake, spec).collect()[0]
