@@ -36,6 +36,94 @@ from .streaming import windowed
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed.hourly_event_counts(spark, sf_dir)
 
+@register(
+    "streaming_sliding_counts",
+    """
+    WITH starts AS (
+      SELECT event_type,
+             UNNEST([
+               TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * (CAST(FLOOR(epoch(ts)/1800) AS BIGINT)*1800),
+               TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * (CAST(FLOOR(epoch(ts)/1800) AS BIGINT)*1800 - 1800)
+             ]) AS win_start
+      FROM events
+    )
+    SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM starts GROUP BY 1, 2
+    """,
+    tags=("2.9-streaming",),
+    doc="Sliding 1h/30min event-time windows (streaming.windowed."
+    "sliding_event_counts) — every event in two overlapping windows.",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed.sliding_event_counts(spark, sf_dir)
+
+
+@register(
+    "session_window_stats",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, seq
+    """,
+    tags=("2.9-streaming",),
+    doc="Native F.session_window 30-min-gap sessions "
+    "(streaming.windowed.session_window_stats). Session merging uses "
+    "half-open windows, so a gap of exactly 30min splits (>= in oracle).",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed.session_window_stats(spark, sf_dir)
+
+
+@register(
+    "streaming_stateful_dedup",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("2.9-streaming", "I3"),
+    doc="Streaming stateful dedup: dropDuplicates state across "
+    "micro-batches, then per-type distinct-user counts "
+    "(streaming.windowed.streaming_distinct_users).",
+)
+def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed.streaming_distinct_users(spark, sf_dir)
+
+
+@register(
+    "stateful_user_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    tags=("2.9-streaming", "custom-stateful"),
+    doc="Arbitrary stateful operator via applyInPandasWithState: "
+    "per-user session counting with 30-min inactivity gap, state "
+    "carried across batches (streaming.windowed.stateful_user_sessions).",
+)
+def stateful_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed.stateful_user_sessions(spark, sf_dir)
+
+
 # Shared DuckDB fragments ----------------------------------------------------
 
 _DUCK_TOKENS = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"

@@ -19,7 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["events_stream", "hourly_event_counts", "run_stream_to_table"]
+__all__ = [
+    "events_stream",
+    "hourly_event_counts",
+    "sliding_event_counts",
+    "session_window_stats",
+    "streaming_distinct_users",
+    "stateful_user_sessions",
+    "run_stream_to_table",
+]
 
 EVENTS_RAW_SCHEMA = T.StructType(
     [
@@ -61,6 +69,116 @@ def run_stream_to_table(stream_df: DataFrame, *, output_mode: str = "complete") 
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes per event_type — each
+    event lands in two overlapping windows. Streaming with watermark;
+    the window explode happens JVM-side inside the stateful agg."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_stream_to_table(agg)
+    return out.select(
+        F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n",
+    )
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min inactivity gap) per user —
+    `F.session_window`, the operator the reference's batch DATE_TRUNC
+    analytics lack entirely. Batch mode here; the same expression drops
+    into a withWatermark streaming groupBy unchanged."""
+    from ..tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicates on (user_id, event_type)
+    keeps exactly-once state across micro-batches (the streaming form of
+    the reference's idempotent upsert, I3), then counts distinct users
+    per type."""
+    deduped = events_stream(spark, sf_dir).dropDuplicates(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    return run_stream_to_table(agg)
+
+
+_SESSION_STATE_SCHEMA = "n_sessions long, n_events long, last_ts long"
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def stateful_user_sessions(
+    spark: SparkSession, sf_dir: str, *, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    session counting with an inactivity gap, state carried across
+    micro-batches (the arbitrary-state API the reference has no analog
+    for — its sessionization would be a Postgres window query).
+
+    Deterministic: within each batch rows are sorted by event time
+    before folding into state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n_sessions, n_events, last_ts = (
+            state.get if state.exists else (0, 0, None)
+        )
+        ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+        if getattr(ts.dt, "tz", None) is not None:
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+        for t in ts.astype("int64") // 1000:  # epoch microseconds
+            if last_ts is None or t - last_ts > gap_us:
+                n_sessions += 1
+            n_events += 1
+            last_ts = int(t)
+        state.update((n_sessions, n_events, last_ts))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    stream = events_stream(spark, sf_dir).select("user_id", "ts")
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = run_stream_to_table(out, output_mode="update")
+    # update-mode emits one row per key per batch; keep the final state.
+    return res.groupBy("user_id").agg(
+        F.max("n_sessions").alias("n_sessions"), F.max("n_events").alias("n_events")
+    )
 
 
 def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
