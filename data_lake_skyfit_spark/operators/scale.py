@@ -1,0 +1,106 @@
+"""Scale operators: skew mitigation and co-located (bucketed) joins.
+
+These are the knobs that keep the engine's plans healthy at 100 TB
+(SURVEY.md §7.4 risk 7). AQE skew-join splitting is on by default
+(session.py); the helpers here cover the cases AQE cannot fix by
+itself:
+
+- salted_join: a join where one side's key distribution is pathological
+  (a handful of hot keys holding most rows — e.g. a default/null
+  member_id in entries). The hot side gets a uniform salt 0..B-1, the
+  other side is replicated B× with every salt value, and the join key
+  becomes (key, salt): each hot key now spreads over B tasks.
+- salted_count_distinct: COUNT(DISTINCT x) GROUP BY k with hot k —
+  two-stage: shuffle once on (k, x) to dedupe (spreading hot k across
+  the x dimension), then count per k with map-side partial aggregation.
+- write_bucketed / bucketed_table: persist both sides of a recurring
+  equi-join bucketed by the join key so every future join is
+  shuffle-free (the Spark analog of the reference's co-located Postgres
+  tables + indexes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join", "salted_count_distinct", "write_bucketed"]
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    *,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to key skew on the `skewed` side.
+
+    The skewed side gets salt = uniform(0..buckets-1) per row (derived
+    from a per-row hash — deterministic, no rand()); `other` is
+    replicated buckets× via a posexplode of the salt domain. Join keys
+    become on + [salt]. Result is identical to skewed.join(other, on,
+    how); only the physical distribution changes — each hot key's rows
+    split across `buckets` tasks instead of one straggler.
+    """
+    on = list(on)
+    salt_domain = F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    # Per-row deterministic salt: hash every column (ties rows of one hot
+    # key to different buckets while identical re-runs salt identically).
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(buckets))
+
+    left = skewed.withColumn("__salt", salt.cast("int"))
+    right = other.select("*", salt_domain.alias("__salt")).withColumn(
+        "__salt", F.col("__salt").cast("int")
+    )
+    out = left.join(right, on + ["__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    distinct_col: str,
+    *,
+    alias: str = "n_distinct",
+) -> DataFrame:
+    """COUNT(DISTINCT col) GROUP BY keys without a single hot-key
+    reducer: stage 1 dedupes on (keys, col) — the shuffle spreads a hot
+    key across the value dimension; stage 2 counts per key with partial
+    (map-side) combine, so the final shuffle carries one row per
+    (key, partition)."""
+    keys = list(group_keys)
+    deduped = df.select(*keys, distinct_col).distinct()
+    return deduped.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_keys: Sequence[str],
+    *,
+    buckets: int = 32,
+    path: str | None = None,
+    sort_keys: Sequence[str] | None = None,
+) -> None:
+    """Persist `df` bucketed (and optionally sorted) by the join key.
+
+    Two tables bucketed identically join with NO exchange on either
+    side — the 100 TB answer for recurring fact⋈fact joins where
+    broadcasting is impossible and re-shuffling 100 TB per query is
+    unacceptable (e.g. evo_entries ⋈ evo_members on member_id).
+    """
+    w = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w = w.bucketBy(buckets, *bucket_keys)
+    if sort_keys:
+        w = w.sortBy(*sort_keys)
+    w.saveAsTable(name)
+
+
+def bucketed_table(spark: SparkSession, name: str) -> DataFrame:
+    return spark.table(name)

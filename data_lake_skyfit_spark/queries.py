@@ -351,6 +351,75 @@ def multiway_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+    tags=("J4-outer", "A1"),
+    doc="Order-count distribution (TPC-H Q13 shape): LEFT OUTER join "
+    "keeps order-less customers, count(o_orderkey) ignores the NULLs, "
+    "double aggregation. The outer join shuffles on custkey once; both "
+    "aggs partial-combine map-side.",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH lc AS (
+      SELECT l_partkey, l_suppkey, CAST(l_extendedprice AS DECIMAL(15,2)) AS price
+      FROM lineitem
+    ), mc AS (
+      SELECT l_partkey, MIN(price) AS min_price FROM lc GROUP BY l_partkey
+    )
+    SELECT DISTINCT lc.l_partkey AS partkey, s.s_name, lc.price AS min_price
+    FROM lc
+    JOIN mc ON lc.l_partkey = mc.l_partkey AND lc.price = mc.min_price
+    JOIN supplier s ON lc.l_suppkey = s.s_suppkey
+    """,
+    tags=("J2-decorrelated", "A3"),
+    doc="Cheapest supplier per part (TPC-H Q2 shape): the correlated "
+    "MIN subquery decorrelated into a groupBy + re-join — the rewrite "
+    "Catalyst itself applies to correlated scalar subqueries.",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    lc = l.select(
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(15,2)").alias("price"),
+    )
+    mc = lc.groupBy("l_partkey").agg(F.min("price").alias("min_price"))
+    return (
+        lc.join(mc, (lc.l_partkey == mc.l_partkey) & (lc.price == mc.min_price))
+        .drop(mc.l_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "s_name",
+            F.col("price").alias("min_price"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (SURVEY §2.6) + sorts/top-k (§2.7)
 # ---------------------------------------------------------------------------
