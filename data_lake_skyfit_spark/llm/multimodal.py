@@ -31,6 +31,8 @@ __all__ = [
     "attach_binary_payload",
     "media_manifest",
     "decode_images",
+    "decode_audio",
+    "resize_images",
     "extract_embeddings",
     "sample_video_frames",
 ]
@@ -133,6 +135,76 @@ def extract_embeddings(df: DataFrame, *, id_col: str = "doc_id", dims: int = 8) 
                 lambda b: [x / 255.0 for x in hashlib.md5(bytes(b)).digest()[:dims]]
             )
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema)
+
+
+def decode_audio(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """payload → (id, sample_rate, n_samples, duration_ms, rms) via
+    Arrow-batched mapInPandas. Fake path: stats derived deterministically
+    from the content hash; real path: librosa/soundfile (stubbed)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _require_codec("soundfile")
+        rates = (8000, 16000, 22050, 44100, 48000)
+        for pdf in batches:
+            digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).digest())
+            sr = digests.map(lambda d: rates[d[3] % len(rates)]).astype("int32")
+            n = pdf["payload"].map(lambda b: len(bytes(b)) * 32).astype("int64")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": sr,
+                    "n_samples": n,
+                    "duration_ms": (n * 1000 // sr).astype("int64"),
+                    "rms": digests.map(lambda d: d[4] / 255.0).astype("float64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema)
+
+
+def resize_images(
+    df: DataFrame, *, id_col: str = "doc_id", width: int = 224, height: int = 224
+) -> DataFrame:
+    """payload → resized payload + updated metadata (the normalize step
+    before a vision encoder). Fake path: deterministic synthetic bytes
+    of width·height length; real path: PIL resize (stubbed). Payload in,
+    payload out — the 1→1 binary-transform mapInPandas shape."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _require_codec("PIL")
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: (hashlib.md5(bytes(b)).digest() * (width * height // 16 + 1))[
+                    : width * height
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
 
     return df.select(id_col, "payload").mapInPandas(kernel, schema)
 

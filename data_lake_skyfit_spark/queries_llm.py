@@ -433,6 +433,33 @@ def multimodal_decode_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_audio",
+    None,  # mapInPandas kernel with stubbed codec — rows-only check
+    tags=("llm-multimodal",),
+    doc="Arrow-batched audio decode plumbing (llm.multimodal.decode_audio): "
+    "payload → (sample_rate, n_samples, duration_ms, rms); codec stubbed.",
+)
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d, "text", mime="audio/wav")
+    return multimodal.decode_audio(media)
+
+
+@register(
+    "multimodal_resize_images",
+    None,  # binary 1→1 transform with stubbed codec — rows-only check
+    tags=("llm-multimodal",),
+    doc="Image resize plumbing (llm.multimodal.resize_images): payload → "
+    "resized payload + dims; the normalize step before a vision encoder.",
+)
+def multimodal_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.attach_binary_payload(d, "text", mime="image/png")
+    resized = multimodal.resize_images(media, width=64, height=64)
+    return resized.select("doc_id", "width", "height", F.md5("payload").alias("payload_md5"))
+
+
+@register(
     "multimodal_frame_sample",
     None,  # mapInPandas 1→N kernel with stubbed codec — rows-only check
     tags=("llm-multimodal",),
