@@ -146,7 +146,15 @@ def minhash_signatures(
     with num_perm min() columns — whole-stage codegen end to end, with
     map-side partial aggregation (one row per doc crosses the shuffle).
     Produces bit-identical signatures to minhash_signature_expr."""
-    s = _with_shingles(df, text_col, id_col, n).filter(F.size("sh") > 0)
+    # Shingling is the expensive leaf and every downstream consumer
+    # (signature agg, band explode, candidate verification) re-reads it —
+    # lazily checkpoint so it computes once per run. In a persistent
+    # pipeline this frame would be a materialized signatures table.
+    s = (
+        _with_shingles(df, text_col, id_col, n)
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
     ex = s.select("id", F.explode("sh").alias("g"))
     mins = ex.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(i), "g")).alias(f"m{i}") for i in range(num_perm)]
@@ -175,9 +183,11 @@ def minhash_lsh_pairs(
     fraction at scale — pay the exact-verification cost.
     """
     rows = num_perm // bands
+    # sig feeds three consumers (band entries + both verification joins);
+    # checkpoint so signatures compute once.
     sig = minhash_signatures(
         df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm
-    )
+    ).localCheckpoint(eager=False)
 
     # Band entries are (id, band, bucket) only — the shingle arrays do
     # NOT ride through the bands× explode and the bucket shuffle; they

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from .dedup import _as_double, dot_expr, norm_expr
 
-__all__ = ["brute_force_topk", "lsh_topk", "hyperplane_signature_expr"]
+__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "hyperplane_signature_expr"]
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -86,6 +86,97 @@ def hyperplane_signature_expr(vec: Column, *, planes: int = 16, dims: int = 64) 
         return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
 
     return F.transform(F.sequence(F.lit(0), F.lit(planes - 1)), sig_bit)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 6,
+    kmeans_iters: int = 1,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    every corpus vector to its nearest centroid list; a query scores
+    only vectors in its `n_probe` nearest lists.
+
+    Centroid training is deterministic and fully distributed: seed
+    centroids are the lowest-hash n_lists corpus vectors, refined by
+    `kmeans_iters` Lloyd steps (assign → per-list mean — one broadcast
+    map + one aggregation each). Centroids are always broadcast, so
+    index build shuffles only list ids, never vectors-by-pair.
+    Scale: shuffle ∝ n, per-query compute ∝ n·n_probe/n_lists.
+    """
+    c = _prep(corpus, id_col, vec_col).localCheckpoint(eager=False)
+    # Deterministic seed centroids: lowest xxhash64(id) sample.
+    cent = (
+        c.withColumn("__h", F.xxhash64("id"))
+        .orderBy("__h")
+        .limit(n_lists)
+        .select(F.col("id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cnrm"))
+    )
+    sim = dot_expr(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+
+    def assign(df: DataFrame, n_best: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            "id", "e", "nrm", "cid", sim.alias("csim")
+        )
+        w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_best)
+            .drop("__r", "csim")
+        )
+
+    dims = len(c.select("e").first()["e"])
+    for _ in range(kmeans_iters):
+        # Lloyd step: element-wise mean per list via dims avg() columns
+        # (codegen'd, map-side partial agg), renormalized.
+        assigned = assign(c, 1)
+        cent = (
+            assigned.select(
+                "cid", *[F.col("e")[i].alias(f"d{i}") for i in range(dims)]
+            )
+            .groupBy("cid")
+            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dims)])
+            .select(
+                "cid", F.array(*[f"d{i}" for i in range(dims)]).alias("ce")
+            )
+            .withColumn("cnrm", norm_expr(F.col("ce")))
+            .localCheckpoint(eager=False)
+        )
+
+    c_assigned = assign(c, 1)  # each corpus vector in exactly one list
+    q_assigned = assign(_prep(queries, id_col, vec_col), n_probe)
+
+    cos = dot_expr(F.col("q.e"), F.col("c.e")) / (F.col("q.nrm") * F.col("c.nrm"))
+    candidates = (
+        q_assigned.alias("q")
+        .join(
+            c_assigned.alias("c"),
+            (F.col("q.cid") == F.col("c.cid")) & (F.col("q.id") != F.col("c.id")),
+        )
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            cos.alias("cos_raw"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos_raw", 4).alias("cosine"),
+        )
+    )
 
 
 def lsh_topk(

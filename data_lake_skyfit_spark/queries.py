@@ -352,6 +352,24 @@ def multiway_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_sketch_stats",
+    None,  # sketch outputs are engine-specific — rows-only check
+    tags=("A2-approx", "sketch"),
+    doc="Sketch tier of A2: HyperLogLog++ distinct counts and KLL-style "
+    "approximate quantiles per event_type — the forms that replace exact "
+    "COUNT(DISTINCT)/percentiles at 100 TB (bounded memory, one pass, "
+    "mergeable partial sketches).",
+)
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "customer_order_distribution",
     """
     WITH per_cust AS (

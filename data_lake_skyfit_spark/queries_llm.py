@@ -278,6 +278,20 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    None,  # approximate candidate set — rows-only check by design
+    tags=("llm-similarity", "scale-path"),
+    doc="IVF bucketed approximate top-k (llm.similarity.ivf_topk): "
+    "16 coarse lists, 4 probed per query; index build is one broadcast "
+    "map over the corpus, probing shuffles bucket ids only.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(q, e)
+
+
+@register(
     "ann_lsh_topk",
     None,  # approximate candidate set — rows-only check by design
     tags=("llm-similarity", "scale-path"),

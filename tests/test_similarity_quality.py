@@ -1,0 +1,49 @@
+"""ANN quality: the approximate paths (LSH, IVF) must actually find
+most of the true neighbors — a correctness property the rows-only
+driver check can't see, pinned here as recall@k against brute force.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_skyfit_spark.llm import similarity
+from data_lake_skyfit_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    return e, e.filter(F.col("vec_id") < 20)
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_lsh_recall(spark, vecs):
+    corpus, queries = vecs
+    truth = _pairs(similarity.brute_force_topk(queries, corpus, k=5))
+    approx = _pairs(similarity.lsh_topk(queries, corpus, k=5))
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"LSH recall@5 too low: {recall:.2f}"
+
+
+def test_ivf_recall(spark, vecs):
+    corpus, queries = vecs
+    truth = _pairs(similarity.brute_force_topk(queries, corpus, k=5))
+    approx = _pairs(similarity.ivf_topk(queries, corpus, k=5))
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
+
+
+def test_ivf_probes_fraction_of_corpus(spark, vecs):
+    """The point of IVF: each query scores ~n_probe/n_lists of the
+    corpus, not all of it."""
+    corpus, queries = vecs
+    c = similarity._prep(corpus, "vec_id", "embedding")
+    n = c.count()
+    got = similarity.ivf_topk(queries.limit(1), corpus, k=n, n_lists=16, n_probe=4)
+    scored = got.count()
+    assert scored < 0.6 * n  # 4/16 of the corpus ± imbalance
