@@ -118,18 +118,45 @@ def ivf_topk(
         .limit(n_lists)
         .select(F.col("id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cnrm"))
     )
-    sim = dot_expr(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
-
     def assign(df: DataFrame, n_best: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).select(
-            "id", "e", "nrm", "cid", sim.alias("csim")
-        )
-        w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid").asc())
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= n_best)
-            .drop("__r", "csim")
-        )
+        """Nearest-centroid assignment, vectorized: the centroid matrix
+        (n_lists×dims — kilobytes) ships to workers inside the Arrow
+        kernel; each batch is one BLAS matmul + argpartition instead of
+        n_lists interpreted dot folds per row."""
+        import numpy as np
+        import pandas as pd
+
+        cent_rows = cent.select("cid", "ce").collect()
+        cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+        cmat = np.array([r["ce"] for r in cent_rows], dtype=np.float64)
+        cnorm = np.linalg.norm(cmat, axis=1)
+        cnorm[cnorm == 0] = 1.0
+        cmat = cmat / cnorm[:, None]
+        k_best = min(n_best, len(cids))
+
+        def kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+                nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+                nrm[nrm == 0] = 1.0
+                sims = (mat / nrm[:, None]) @ cmat.T
+                # top-k lists per row, ties broken by cid ascending:
+                order = np.lexsort((cids[None, :].repeat(len(mat), 0), -sims), axis=1)
+                top = order[:, :k_best]
+                n = len(mat)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy().repeat(k_best),
+                        "e": [e for e in pdf["e"] for _ in range(k_best)],
+                        "nrm": pdf["nrm"].to_numpy().repeat(k_best),
+                        "cid": cids[top].reshape(n * k_best),
+                    }
+                )
+
+        out_schema = "id long, e array<double>, nrm double, cid long"
+        return df.select("id", "e", "nrm").mapInPandas(kernel, out_schema)
 
     dims = len(c.select("e").first()["e"])
     for _ in range(kmeans_iters):
