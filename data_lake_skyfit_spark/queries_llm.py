@@ -435,10 +435,17 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_images",
-    None,  # mapInPandas kernel with stubbed codec — rows-only check
+    """
+    SELECT doc_id,
+           64 + (('0x'||substr(md5(text),1,2))::INT % 192) AS width,
+           64 + (('0x'||substr(md5(text),3,2))::INT % 192) AS height,
+           1 + (('0x'||substr(md5(text),5,2))::INT % 3) AS n_channels
+    FROM documents
+    """,
     tags=("llm-multimodal",),
     doc="Arrow-batched image decode plumbing (llm.multimodal.decode_images): "
-    "payload → (width, height, channels); codec stubbed deterministically.",
+    "payload → (width, height, channels). The stub codec derives dims from "
+    "the content md5, so even the fake path is exactly oracle-checkable.",
 )
 def multimodal_decode_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -448,10 +455,22 @@ def multimodal_decode_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_audio",
-    None,  # mapInPandas kernel with stubbed codec — rows-only check
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_value(8000,16000,22050,44100,48000)[1 + ('0x'||substr(md5(text),7,2))::INT % 5] AS sample_rate,
+             CAST(octet_length(encode(text)) * 32 AS BIGINT) AS n_samples,
+             ('0x'||substr(md5(text),9,2))::INT / 255.0 AS rms
+      FROM documents
+    )
+    SELECT doc_id, sample_rate, n_samples,
+           CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms, rms
+    FROM t
+    """,
     tags=("llm-multimodal",),
     doc="Arrow-batched audio decode plumbing (llm.multimodal.decode_audio): "
-    "payload → (sample_rate, n_samples, duration_ms, rms); codec stubbed.",
+    "payload → (sample_rate, n_samples, duration_ms, rms). Stub stats are "
+    "md5-derived, so the fake path is exactly oracle-checkable.",
 )
 def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
