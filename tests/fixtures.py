@@ -332,3 +332,97 @@ def gen_tickets(root: str, *, n: int = 40, seed: int = 31) -> dict:
     _write_part(root, "zendesk", "tickets", "20260801T000000", run1)
     _write_part(root, "zendesk", "tickets", "20260802T000000", run2)
     return {"n": n}
+
+
+# ---------------------------------------------------------------------------
+# Dimension fixtures (Pipedrive + Zendesk) — minimal but spec-complete
+# ---------------------------------------------------------------------------
+
+
+def gen_pd_dims(root: str) -> None:
+    """pipelines, stages, users, organizations — both scopes (ADR-003)."""
+    for scope in ("comercial", "expansao"):
+        pipelines = [
+            {"id": p, "name": f"Pipeline {p}", "order_nr": p, "active": True,
+             "deal_probability": p % 2 == 0,
+             "add_time": "2025-01-01T00:00:00Z", "update_time": "2026-01-01T00:00:00Z"}
+            for p in range(1, 4)
+        ]
+        stages = [
+            {"id": s, "name": f"Stage {s}", "pipeline_id": 1 + s % 3,
+             "order_nr": s, "active_flag": True, "deal_probability": s * 10,
+             "rotten_flag": s % 2 == 0, "rotten_days": 30,
+             "add_time": "2025-01-01T00:00:00Z", "update_time": "2026-01-01T00:00:00Z"}
+            for s in range(1, 7)
+        ]
+        users = [
+            {"id": u, "name": f"User {u}", "email": f"u{u}@x.com",
+             "active_flag": u % 5 != 0, "is_admin": 1 if u == 1 else 0,
+             "role_id": 1, "timezone_name": "America/Sao_Paulo",
+             "created": "2025-01-01T00:00:00Z", "modified": "2026-01-01T00:00:00Z"}
+            for u in range(1, 6)
+        ]
+        orgs = [
+            {"id": o, "name": f"Org {o}", "owner_id": 1 + o % 5,
+             "address": f"Rua {o}", "address_locality": "SP",
+             "cc_email": f"org{o}@x.com", "active_flag": True,
+             "people_count": o % 7, "open_deals_count": o % 3,
+             "closed_deals_count": o % 4, "won_deals_count": o % 2,
+             "lost_deals_count": o % 2,
+             "add_time": "2025-01-01T00:00:00Z", "update_time": "2026-01-01T00:00:00Z",
+             **({"xyz_custom_field": f"org-custom-{o}"} if o % 2 == 0 else {})}
+            for o in range(10)
+        ]
+        for entity, recs in (
+            ("pipelines", pipelines), ("stages", stages),
+            ("users", users), ("organizations", orgs),
+        ):
+            _write_part(root, "pipedrive", entity, "20260801T000000", recs, scope=scope)
+
+
+def gen_zd_dims(root: str) -> None:
+    """organizations, users, groups, ticket_fields, ticket_forms."""
+    orgs = [
+        {"id": o, "name": f"ZOrg {o}", "domain_names": [f"z{o}.com"],
+         "group_id": 1 + o % 3, "shared_tickets": False, "shared_comments": True,
+         "external_id": f"ext-{o}", "tags": ["b2b", f"t{o}"],
+         "organization_fields": {"segment": "fitness"},
+         "created_at": "2025-01-01T00:00:00Z", "updated_at": "2026-01-01T00:00:00Z"}
+        for o in range(8)
+    ]
+    users = [
+        {"id": u, "name": f"ZUser {u}", "email": f"z{u}@x.com", "phone": None,
+         "role": ["end-user", "agent", "admin"][u % 3], "organization_id": u % 8,
+         "time_zone": "UTC", "locale": "pt-BR", "active": True,
+         "verified": u % 2 == 0, "suspended": False, "tags": [],
+         "user_fields": {}, "external_id": None, "alias": None,
+         "notes": None, "details": None, "default_group_id": 1 + u % 3,
+         "created_at": "2025-01-01T00:00:00Z", "updated_at": "2026-01-01T00:00:00Z",
+         "last_login_at": "2026-06-01T00:00:00Z"}
+        for u in range(12)
+    ]
+    groups = [
+        {"id": g, "name": f"Group {g}", "description": "support",
+         "default": g == 1, "deleted": False,
+         "created_at": "2025-01-01T00:00:00Z", "updated_at": "2026-01-01T00:00:00Z"}
+        for g in range(1, 4)
+    ]
+    fields = [
+        {"id": f, "type": ["text", "tagger", "integer"][f % 3], "title": f"Field {f}",
+         "description": "", "position": f, "active": True, "required": f % 2 == 0,
+         "removable": True,
+         "created_at": "2025-01-01T00:00:00Z", "updated_at": "2026-01-01T00:00:00Z"}
+        for f in range(1, 5)
+    ]
+    forms = [
+        {"id": f, "name": f"Form {f}", "display_name": f"Form {f}", "position": f,
+         "active": True, "default": f == 1, "end_user_visible": True,
+         "ticket_field_ids": [1, 2, 3],
+         "created_at": "2025-01-01T00:00:00Z", "updated_at": "2026-01-01T00:00:00Z"}
+        for f in range(1, 3)
+    ]
+    for entity, recs in (
+        ("organizations", orgs), ("users", users), ("groups", groups),
+        ("ticket_fields", fields), ("ticket_forms", forms),
+    ):
+        _write_part(root, "zendesk", entity, "20260801T000000", recs)
