@@ -26,6 +26,7 @@ __all__ = [
     "session_window_stats",
     "streaming_distinct_users",
     "stateful_user_sessions",
+    "stream_merge_sink",
     "run_stream_to_table",
 ]
 
@@ -179,6 +180,38 @@ def stateful_user_sessions(
     return res.groupBy("user_id").agg(
         F.max("n_sessions").alias("n_sessions"), F.max("n_events").alias("n_events")
     )
+
+
+def stream_merge_sink(
+    stream_df: DataFrame,
+    table,
+    *,
+    checkpoint_dir: str,
+    source_order: tuple[str, ...] = (),
+) -> None:
+    """Streaming → lakehouse bridge: drain the stream with AvailableNow
+    and MERGE each micro-batch into a keyed table via foreachBatch.
+
+    This is the reference's whole incremental story fused into one
+    operator (I2 offsets ≙ the streaming checkpoint, I3 idempotency ≙
+    the keyed MERGE): re-running the stream re-reads nothing already
+    committed, and replayed/overlapping batches upsert into the same
+    keys. The exactly-once contract of the reference's
+    watermark+ON CONFLICT pipeline, with Spark holding the cursor.
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge(batch_df, source_order=list(source_order))
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
