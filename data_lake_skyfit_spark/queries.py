@@ -352,6 +352,190 @@ def multiway_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "filtered_revenue_delta",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(15,2))) AS DECIMAL(18,4)) AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND CAST(l_discount AS DECIMAL(15,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("P6", "A4", "tpch-q6"),
+    doc="TPC-H Q6 shape: pure scan-filter-aggregate — every predicate "
+    "must reach the parquet scan; zero shuffles beyond the final agg.",
+)
+def filtered_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(15,2)")  # noqa: E731
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & dec("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("decimal(18,4)")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_ratio",
+    """
+    SELECT CAST(ROUND(100.0 *
+             SUM(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))
+                      ELSE 0 END)
+             / SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))), 4) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    tags=("A7", "J4", "tpch-q14"),
+    doc="TPC-H Q14 shape: conditional-sum ratio over a broadcast "
+    "dim join (CASE inside SUM — A7 bucketing as an aggregate).",
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(15,2)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)
+            .cast("double")
+            .alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "priority_order_counts",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1994-07-01'
+      AND o_orderdate < TIMESTAMP '1994-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("J5-semi", "P6", "tpch-q4"),
+    doc="TPC-H Q4 shape: date-windowed EXISTS → left-semi join, then "
+    "priority counts. The EXISTS decorrelates to a semi join on "
+    "orderkey with the ship-after-order predicate in the join condition.",
+)
+def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    windowed = o.filter(
+        (F.col("o_orderdate") >= "1994-07-01") & (F.col("o_orderdate") < "1994-10-01")
+    )
+    has_late = windowed.join(
+        l,
+        (windowed.o_orderkey == l.l_orderkey) & (l.l_shipdate > windowed.o_orderdate),
+        "left_semi",
+    )
+    return has_late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "pivot_event_matrix",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+    tags=("A7-pivot",),
+    doc="Pivot: event-type columns per user bucket — groupBy().pivot() "
+    "with explicit values (no extra distinct pass; one shuffle).",
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .count()
+        .na.fill(0, ["click", "purchase", "view"])
+    )
+
+
+@register(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("A-cube",),
+    doc="CUBE over (status, priority): all 4 grouping sets in one pass — "
+    "the grouping-sets expansion happens before the single shuffle.",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+        .cast("decimal(18,2)")
+        .alias("total"),
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS viewed,
+           CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS clicked_after_view,
+           CAST(COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS BIGINT) AS purchased_after_click
+    FROM seq
+    """,
+    tags=("2.9-funnel", "A7"),
+    doc="Funnel analysis: first-touch timestamps per stage via "
+    "conditional MIN, ordered-progression counts — one shuffle on "
+    "user_id, no self-joins.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    seq = e.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("clicked_after_view"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("purchased_after_click"),
+    )
+
+
+@register(
     "approx_sketch_stats",
     None,  # sketch outputs are engine-specific — rows-only check
     tags=("A2-approx", "sketch"),

@@ -124,6 +124,42 @@ def stateful_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed.stateful_user_sessions(spark, sf_dir)
 
 
+@register(
+    "udtf_tokenize_positions",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, CAST(x.i - 1 AS INT) AS pos, x.tok AS token
+    FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(w))) AS i, UNNEST(w) AS tok) x
+    """,
+    tags=("2.11-udtf",),
+    doc="Python UDTF (Spark 4 @udtf): 1→N positional tokenizer consumed "
+    "via SQL LATERAL — the custom table-function API. Row-based Python "
+    "is the slow path by design here; the production tokenizers in "
+    "llm/text.py stay JVM-side. Capped to 100 docs.",
+)
+def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split()):
+                yield i, tok
+
+    spark.udtf.register("tokenize_positions", Tokenize)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM __docs_udtf d, LATERAL tokenize_positions(d.text) t
+        WHERE d.doc_id < 100
+        """
+    )
+
+
 # Shared DuckDB fragments ----------------------------------------------------
 
 _DUCK_TOKENS = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
