@@ -512,7 +512,10 @@ register_spec(
 
 PROSPECTS_SCHEMA = _struct(
     _f("idProspect", T.LongType()),
-    _f("idBranch", T.LongType()),
+    # String-typed on purpose (P11): the API sometimes sends "2" for 2 —
+    # from_json with LongType would NULL it, while ->>::BIGINT in the
+    # reference coerces. String + try_cast matches the reference.
+    _f("idBranch"),
     _f("branchName"),
     _f("firstName"),
     _f("lastName"),
@@ -559,7 +562,7 @@ def _prospects_columns() -> dict[str, Column]:
     first_fr = R("financiallyResponsibles")[0]  # J3 positional (:150-152)
     return {
         "prospect_id": R("idProspect"),
-        "branch_id": R("idBranch"),
+        "branch_id": R("idBranch").try_cast("long"),
         "branch_name": R("branchName"),
         "first_name": R("firstName"),
         "last_name": R("lastName"),
