@@ -118,6 +118,42 @@ class ParquetTable:
             else:
                 os.rename(tmp, self.path)
 
+    def compact(self, spark: SparkSession, *, target_file_mb: int = 128) -> None:
+        """Small-file compaction — the OPTIMIZE analog of the reference's
+        storage maintenance (sql/schemas/evo/optimize_storage.py:191-269,
+        which fights index bloat; parquet's equivalent disease is
+        thousands of tiny files from incremental merges). Rewrites the
+        table into ≈target-sized files, preserving partitioning."""
+        df = self.read(spark)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(self.path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
+        if self.partition_by:
+            df = df.repartition(int(n_files), *self.partition_by)
+        else:
+            df = df.repartition(int(n_files))
+        self._swap_write(df)
+
+    def stats(self, spark: SparkSession) -> dict:
+        """File-level health report (scripts/health_check.ps1 storage
+        section): row count, file count, bytes — the inputs to a
+        compaction decision."""
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(self.path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        return {
+            "n_rows": self.read(spark).count(),
+            "n_files": len(files),
+            "total_bytes": sum(os.path.getsize(f) for f in files),
+        }
+
     def replace_where(self, df: DataFrame, condition: str) -> None:
         """Partition-scoped overwrite — the reference's partition
         TRUNCATE (normalize_evo_entries_v2.py:112-117 per-year refresh)."""

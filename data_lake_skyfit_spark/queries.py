@@ -536,6 +536,36 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_join_revenue",
+    """
+    SELECT s.s_name, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+    tags=("skew", "J4"),
+    doc="Skew-robust salted join (operators/scale.salted_join): the fact "
+    "side gets deterministic per-row salts, the dim side replicates "
+    "across the salt domain — result identical to the plain join, hot "
+    "keys spread over `buckets` tasks. Oracle is the plain join.",
+)
+def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scale import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(l, s, ["l_suppkey"], buckets=8)
+    return joined.groupBy("s_name").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(15,2)"))
+        .cast("decimal(18,2)")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
     "approx_sketch_stats",
     None,  # sketch outputs are engine-specific — rows-only check
     tags=("A2-approx", "sketch"),
