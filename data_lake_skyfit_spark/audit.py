@@ -35,6 +35,7 @@ __all__ = [
     "check_null_business_keys",
     "check_stg_duplicate_lineage",
     "check_freshness",
+    "check_date_anomalies",
     "check_orphans",
     "check_per_scope_counts",
     "run_audit",
@@ -133,6 +134,21 @@ def check_orphans(
     orphans = f_df.join(d_df, reduce(lambda a, b: a & b, join_keys), "left_anti")
     agg = orphans.agg(F.count("*").alias("value"))
     return _report(agg, f"orphan_fk_{fk}", fact.name, F.col("value") == 0)
+
+
+def check_date_anomalies(
+    lake: Lakehouse,
+    spec: EntitySpec,
+    created_col: str,
+    updated_col: str,
+) -> DataFrame:
+    """audit_stg.sql:180-198 — rows where created > updated (impossible
+    orderings betray extraction or timezone bugs). Expect 0."""
+    core = lake.core_table(spec).read(lake.spark)
+    agg = core.filter(F.col(created_col) > F.col(updated_col)).agg(
+        F.count("*").alias("value")
+    )
+    return _report(agg, "date_anomaly_created_gt_updated", spec.name, F.col("value") == 0)
 
 
 def check_per_scope_counts(lake: Lakehouse, spec: EntitySpec) -> DataFrame:

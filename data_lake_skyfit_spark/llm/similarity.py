@@ -110,31 +110,41 @@ def ivf_topk(
     index build shuffles only list ids, never vectors-by-pair.
     Scale: shuffle ∝ n, per-query compute ∝ n·n_probe/n_lists.
     """
+    import numpy as np
+
     c = _prep(corpus, id_col, vec_col).localCheckpoint(eager=False)
-    # Deterministic seed centroids: lowest xxhash64(id) sample.
-    cent = (
+    # Deterministic seed centroids: lowest xxhash64(id) sample. Each
+    # centroid generation is collected to the driver exactly ONCE
+    # (n_lists rows — kilobytes) and reused by every assignment.
+    seed = (
         c.withColumn("__h", F.xxhash64("id"))
         .orderBy("__h")
         .limit(n_lists)
-        .select(F.col("id").alias("cid"), F.col("e").alias("ce"), F.col("nrm").alias("cnrm"))
+        .select(F.col("id").alias("cid"), F.col("e").alias("ce"))
     )
-    def assign(df: DataFrame, n_best: int) -> DataFrame:
-        """Nearest-centroid assignment, vectorized: the centroid matrix
-        (n_lists×dims — kilobytes) ships to workers inside the Arrow
-        kernel; each batch is one BLAS matmul + argpartition instead of
-        n_lists interpreted dot folds per row."""
-        import numpy as np
-        import pandas as pd
 
-        cent_rows = cent.select("cid", "ce").collect()
-        cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-        cmat = np.array([r["ce"] for r in cent_rows], dtype=np.float64)
+    def normalize_cent(rows):
+        cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+        cmat = np.array([r["ce"] for r in rows], dtype=np.float64)
         cnorm = np.linalg.norm(cmat, axis=1)
         cnorm[cnorm == 0] = 1.0
-        cmat = cmat / cnorm[:, None]
+        return cids, cmat / cnorm[:, None]
+
+    cids, cmat = normalize_cent(seed.collect())
+    dims = cmat.shape[1]
+
+    def assign(df: DataFrame, n_best: int, cids, cmat) -> DataFrame:
+        """Nearest-centroid assignment, vectorized: the centroid matrix
+        ships to workers inside the Arrow kernel; each batch is one BLAS
+        matmul + arg-sort instead of n_lists interpreted dot folds per
+        row."""
+        import pandas as pd
+
         k_best = min(n_best, len(cids))
 
         def kernel(batches):
+            import numpy as np
+
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -158,26 +168,22 @@ def ivf_topk(
         out_schema = "id long, e array<double>, nrm double, cid long"
         return df.select("id", "e", "nrm").mapInPandas(kernel, out_schema)
 
-    dims = len(c.select("e").first()["e"])
     for _ in range(kmeans_iters):
         # Lloyd step: element-wise mean per list via dims avg() columns
-        # (codegen'd, map-side partial agg), renormalized.
-        assigned = assign(c, 1)
-        cent = (
+        # (codegen'd, map-side partial agg), renormalized driver-side.
+        assigned = assign(c, 1, cids, cmat)
+        refined = (
             assigned.select(
                 "cid", *[F.col("e")[i].alias(f"d{i}") for i in range(dims)]
             )
             .groupBy("cid")
             .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dims)])
-            .select(
-                "cid", F.array(*[f"d{i}" for i in range(dims)]).alias("ce")
-            )
-            .withColumn("cnrm", norm_expr(F.col("ce")))
-            .localCheckpoint(eager=False)
+            .select("cid", F.array(*[f"d{i}" for i in range(dims)]).alias("ce"))
         )
+        cids, cmat = normalize_cent(refined.collect())
 
-    c_assigned = assign(c, 1)  # each corpus vector in exactly one list
-    q_assigned = assign(_prep(queries, id_col, vec_col), n_probe)
+    c_assigned = assign(c, 1, cids, cmat)  # each corpus vector in one list
+    q_assigned = assign(_prep(queries, id_col, vec_col), n_probe, cids, cmat)
 
     cos = dot_expr(F.col("q.e"), F.col("c.e")) / (F.col("q.nrm") * F.col("c.nrm"))
     candidates = (

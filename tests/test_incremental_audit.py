@@ -173,6 +173,14 @@ def test_audit_detects_injected_duplicate(audited_lake, spark):
         core.overwrite(df.dropDuplicates(["member_id"]))
 
 
+def test_audit_date_anomalies(audited_lake):
+    spec = get_spec("evo_members")
+    rep = audit.check_date_anomalies(
+        audited_lake, spec, "register_date", "update_date"
+    ).collect()[0]
+    assert rep["value"] == 0 and rep["ok"] is True
+
+
 def test_scope_views(audited_lake, spark):
     audited_lake.register_views(get_spec("pd_deals"), scopes=("comercial", "expansao"))
     total = spark.sql("SELECT COUNT(*) AS n FROM core_pd_deals").collect()[0]["n"]
