@@ -446,6 +446,76 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text_ops.doc_fingerprint("text").alias("fingerprint"))
 
 
+@register(
+    "dataset_split_assignment",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             ('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM t
+    """,
+    tags=("llm-split",),
+    doc="Deterministic 90/5/5 dataset split via content-independent id "
+    "hash (md5 % 100) — reproducible across runs, engines, and cluster "
+    "layouts; no sampling state, no shuffle, pure map.",
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS pack_id
+    FROM c
+    """,
+    tags=("llm-packing",),
+    doc="Greedy sequential packing of documents into 2048-token context "
+    "windows: running token total → pack id (the batch-construction "
+    "step of an LLM training pipeline). Single ordered window; at "
+    "scale the ordering key is a partition-local (file, offset) pair.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", text_ops.token_count("text").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor((cum - F.col("n_tokens")) / 2048).alias("pack_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
