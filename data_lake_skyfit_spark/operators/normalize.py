@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..sources import bronze
 from ..specs.base import ChildSpec, EntitySpec
 from .dedupe import latest_wins
-from .merge import MergeMode, ParquetTable
+from .merge import ParquetTable
 
 __all__ = ["Lakehouse"]
 

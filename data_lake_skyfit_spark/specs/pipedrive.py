@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.safe import safe_bool
-from .base import ChildSpec, EntitySpec, register_spec
+from .base import EntitySpec, register_spec
 
 R = lambda f: F.col(f"raw.{f}")  # noqa: E731
 
