@@ -1,0 +1,148 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+bucketed range join.
+
+The reference delegates all joins to Postgres equi-joins (SURVEY.md
+§2.4) and has neither; they are core operators for time-series /
+training-data pipelines, so the engine provides them as compositions of
+built-in DataFrame ops (no UDFs, no cross joins):
+
+- asof_join: each left row picks the latest right row with
+  right_ts <= left_ts per key. One union + one window over (key, ts) —
+  single shuffle, linear state, no per-row subqueries. This is the
+  classic "sort-merge as-of" expressed declaratively.
+- bucketed_range_join: point-in-interval join without a key. Intervals
+  explode into coarse time buckets, points join on their bucket
+  (equi-join → hash shuffle, never a nested-loop cross product), then
+  the exact containment predicate filters. Bucket width trades
+  replication (intervals spanning many buckets) against join fan-in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "bucketed_range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For every left row, attach the most recent right row at-or-before
+    its timestamp (per join key). Ties on equal timestamps take the
+    right row (<= semantics, matching DuckDB/pandas ASOF).
+
+    Plan: tag both sides, unionByName, window `last(value, ignorenulls)`
+    ordered by (ts, side) per key, keep left rows. One exchange on the
+    key, sorted within partitions — the same physical shape a native
+    as-of join operator would pick.
+    """
+    on = list(on)
+    value_cols = list(
+        value_cols
+        if value_cols is not None
+        else [c for c in right.columns if c not in on and c != right_ts]
+    )
+
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        *[F.col(c) for c in left.columns if c not in on and c != left_ts],
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in on and c != left_ts
+        ],
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    # Right rows sort BEFORE left rows at equal ts (__is_left asc), so a
+    # same-timestamp right row is visible to the left row (<= semantics).
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+        F.last(F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__m_ts"),
+    )
+    out = filled.filter(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        within = (
+            F.col("__m_ts").isNotNull()
+            & (F.unix_timestamp("__ts") - F.unix_timestamp("__m_ts") <= tolerance_seconds)
+        )
+        out = out.select(
+            "*",
+            *[
+                F.when(within, F.col(f"__m_{c}")).alias(f"__t_{c}")
+                for c in value_cols
+            ],
+        )
+        keep_prefix = "__t_"
+    else:
+        keep_prefix = "__m_"
+
+    return out.select(
+        *on,
+        F.col("__ts").alias(left_ts),
+        *[c for c in left.columns if c not in on and c != left_ts],
+        *[F.col(f"{keep_prefix}{c}").alias(c) for c in value_cols],
+    )
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 86_400,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (start <= ts < end) via bucket equi-join.
+
+    Each interval lands in every bucket it overlaps; points join their
+    single bucket, then the exact range predicate filters. The physical
+    join is a hash equi-join on the bucket id — shuffle ∝ rows ·
+    avg-buckets-per-interval, never |points| × |intervals|.
+    """
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / bucket_seconds)  # noqa: E731
+    ivl = intervals.select(
+        "*",
+        F.explode(
+            F.sequence(bucket(F.col(start_col)), bucket(F.col(end_col)))
+        ).alias("__bucket"),
+    )
+    pts = points.withColumn("__bucket", bucket(F.col(point_ts)))
+    cond = (
+        (pts["__bucket"] == ivl["__bucket"])
+        & (ivl[start_col] <= pts[point_ts])
+        & (pts[point_ts] < ivl[end_col])
+    )
+    return pts.join(ivl, cond, how).drop("__bucket")

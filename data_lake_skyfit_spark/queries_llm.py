@@ -447,6 +447,73 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_last_purchase",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.ts, c.event_id, p.value AS last_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    tags=("temporal-asof",),
+    doc="As-of join (operators/temporal.asof_join): every click gets the "
+    "user's most recent at-or-before purchase value. Spark lacks a "
+    "native ASOF; the engine composes it as union + per-key ordered "
+    "window forward-fill — one shuffle, no per-row subqueries. Oracle "
+    "is DuckDB's native ASOF LEFT JOIN.",
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import asof_join
+    from .tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, ["user_id"], value_cols=["value"])
+    return out.select(
+        "user_id", "ts", "event_id", F.col("value").alias("last_purchase_value")
+    )
+
+
+@register(
+    "range_join_maintenance_windows",
+    """
+    WITH w AS (
+      SELECT CAST(i + 1 AS BIGINT) AS window_id,
+             TIMESTAMP '2024-01-01 02:00:00' + INTERVAL 1 DAY * i AS w_start,
+             TIMESTAMP '2024-01-01 06:00:00' + INTERVAL 1 DAY * i AS w_end
+      FROM (SELECT UNNEST(range(0, 30)) AS i)
+    )
+    SELECT w.window_id, CAST(COUNT(e.event_id) AS BIGINT) AS n_events
+    FROM w LEFT JOIN events e ON w.w_start <= e.ts AND e.ts < w.w_end
+    GROUP BY w.window_id
+    """,
+    tags=("temporal-range",),
+    doc="Range (point-in-interval) join (operators/temporal."
+    "bucketed_range_join): events within daily maintenance windows. "
+    "Intervals explode into time buckets and the join is a hash "
+    "equi-join on bucket id — never a nested-loop over points×intervals.",
+)
+def range_join_maintenance_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import bucketed_range_join
+    from .tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    w = spark.range(30).select(
+        (F.col("id") + 1).alias("window_id"),
+        (F.to_timestamp(F.lit("2024-01-01 02:00:00")) + F.make_dt_interval(days=F.col("id"))).alias("w_start"),
+        (F.to_timestamp(F.lit("2024-01-01 06:00:00")) + F.make_dt_interval(days=F.col("id"))).alias("w_end"),
+    )
+    joined = bucketed_range_join(
+        e, w, point_ts="ts", start_col="w_start", end_col="w_end", how="right"
+    )
+    return joined.groupBy("window_id").agg(F.count("event_id").alias("n_events"))
+
+
+@register(
     "dataset_split_assignment",
     """
     WITH t AS (
