@@ -447,6 +447,57 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "continuous_aggregate_hourly",
+    """
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS __bucket_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("temporal-rollup", "I3"),
+    doc="Hypertable-style continuous aggregate (operators/rollup."
+    "ContinuousAggregate): hourly rollup built over all but the last "
+    "day of events, then incrementally refreshed with that day — only "
+    "touched buckets recompute. Final table must equal the one-shot "
+    "batch aggregation (the oracle).",
+)
+def continuous_aggregate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.rollup import ContinuousAggregate
+    from .tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+
+    def agg_fn(df, bucket_col):
+        return df.groupBy(bucket_col, "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(15,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+
+    split = "2024-01-28"
+    historical = e.filter(F.col("ts") < split)
+    late = e.filter(F.col("ts") >= split)
+    agg = ContinuousAggregate(
+        tempfile.mkdtemp(prefix="skyfit_rollup_"),
+        ts_col="ts",
+        bucket="1 hour",
+        agg_fn=agg_fn,
+    )
+    agg.build(historical)
+    agg.refresh(e, late)  # incremental: only post-split buckets recompute
+    out = agg.read(spark)
+    return out.select(
+        F.col("__bucket_start").cast("timestamp_ntz").alias("__bucket_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@register(
     "asof_join_last_purchase",
     """
     WITH clicks AS (
