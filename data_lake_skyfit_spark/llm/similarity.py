@@ -15,7 +15,14 @@ from pyspark.sql import functions as F
 
 from .dedup import _as_double, dot_expr, norm_expr
 
-__all__ = ["brute_force_topk", "lsh_topk", "ivf_topk", "hyperplane_signature_expr"]
+__all__ = [
+    "brute_force_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "hyperplane_signature_expr",
+    "quantize_embeddings",
+    "dequantize_expr",
+]
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -61,6 +68,37 @@ def brute_force_topk(
             F.round("cos_raw", 4).alias("cosine"),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector int quantization: q[i] = round(e[i]/scale·L)
+    with L = 2^(bits−1) − 1 and scale = max|e|. 4× smaller than float32
+    (16× vs float64) — the difference between an embedding table that
+    fits executor memory for ANN probing and one that doesn't. Pure
+    expressions, codegen-friendly, exact-oracle reproducible."""
+    levels = (1 << (bits - 1)) - 1
+    e = _as_double(vec_col)
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    q = F.transform(e, lambda x: F.round(x / scale * levels).cast("int"))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.when(scale > 0, q)
+        .otherwise(F.transform(e, lambda x: F.lit(0)))
+        .alias("qvec"),
+    )
+
+
+def dequantize_expr(qvec: Column, scale: Column, *, bits: int = 8) -> Column:
+    """Inverse map back to doubles (lossy by ≤ scale/2L per dim)."""
+    levels = (1 << (bits - 1)) - 1
+    return F.transform(qvec, lambda q: q.cast("double") * scale / levels)
 
 
 def hyperplane_signature_expr(vec: Column, *, planes: int = 16, dims: int = 64) -> Column:

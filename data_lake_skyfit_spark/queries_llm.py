@@ -447,6 +447,30 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v
+    )
+    SELECT vec_id, ROUND(scale, 9) AS scale,
+           CASE WHEN scale > 0
+                THEN list_transform(e, x -> CAST(ROUND(x / scale * 127) AS INT))
+                ELSE list_transform(e, x -> 0) END AS qvec
+    FROM s
+    """,
+    tags=("llm-similarity", "storage"),
+    doc="Symmetric int8 embedding quantization (llm.similarity."
+    "quantize_embeddings): per-vector scale + rounded codes — 4-16x "
+    "smaller embedding tables for ANN probing at 100TB. Exact oracle.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(e)
+
+
+@register(
     "continuous_aggregate_hourly",
     """
     SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS __bucket_start, event_type,

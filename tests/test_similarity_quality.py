@@ -38,6 +38,46 @@ def test_ivf_recall(spark, vecs):
     assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
 
 
+def test_quantization_roundtrip_error_and_topk(spark, vecs):
+    """int8 round-trip error ≤ scale/254 per dim, and ANN over
+    dequantized vectors finds (almost) the same neighbors."""
+    corpus, queries = vecs
+    q8 = similarity.quantize_embeddings(corpus)
+    deq = q8.select(
+        "vec_id",
+        similarity.dequantize_expr(F.col("qvec"), F.col("scale")).alias("embedding"),
+    )
+    # per-dim error bound: |e - deq| <= scale/(2*127) + rounding of scale
+    joined = corpus.select("vec_id", "embedding").join(
+        deq.withColumnRenamed("embedding", "deq"), "vec_id"
+    )
+    max_err = joined.select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("deq"),
+                    lambda a, b: F.abs(a - b),
+                )
+            )
+        ).alias("m")
+    ).collect()[0]["m"]
+    scale_bound = q8.agg(F.max("scale")).collect()[0][0] / 254 + 1e-6
+    assert max_err <= scale_bound
+
+    q_ids = queries.limit(5).select("vec_id")
+    truth = _pairs(
+        similarity.brute_force_topk(
+            corpus.join(q_ids, "vec_id", "left_semi"), corpus, k=5
+        )
+    )
+    approx = _pairs(
+        similarity.brute_force_topk(deq.join(q_ids, "vec_id", "left_semi"), deq, k=5)
+    )
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"quantized recall@5: {recall}"
+
+
 def test_ivf_probes_fraction_of_corpus(spark, vecs):
     """The point of IVF: each query scores ~n_probe/n_lists of the
     corpus, not all of it."""
