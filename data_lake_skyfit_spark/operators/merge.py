@@ -21,8 +21,9 @@ are built from joins + a partition-aware rewrite:
 - writes go to a temp dir then swap, so a failed job never corrupts the
   table (the transactional-commit property Postgres gave the reference).
 
-If delta-spark is importable, `merge_upsert` transparently uses native
-MERGE instead (gated behind import-try, untested in this image).
+`_delta_available()` detects delta-spark for future native-MERGE
+dispatch; this image has no Delta jars, so the parquet-native path is
+the only one implemented (and the only one tested).
 """
 
 from __future__ import annotations
