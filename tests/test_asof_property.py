@@ -11,6 +11,8 @@ from hypothesis import strategies as st
 
 from data_lake_skyfit_spark.operators.temporal import asof_join
 
+from data_lake_skyfit_spark.operators.temporal import bucketed_range_join  # noqa: E402
+
 KEY = st.integers(min_value=0, max_value=3)
 TS = st.integers(min_value=0, max_value=50)  # epoch-second grid
 
@@ -58,4 +60,47 @@ def test_asof_matches_pandas_merge_asof(spark, left, right):
     else:
         want = {(int(k), int(t)): None for k, t in left_rows}
 
+    assert got == want
+
+
+INTERVALS = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(1, 30)), min_size=1, max_size=8
+)
+POINTS = st.lists(st.integers(0, 80), min_size=1, max_size=20)
+
+
+@given(points=POINTS, intervals=INTERVALS)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_range_join_matches_naive_cross_join(spark, points, intervals):
+    """bucketed_range_join ≡ cross join + range predicate, for any
+    point/interval sets and a bucket width smaller than most
+    intervals (forces multi-bucket replication paths)."""
+    pts = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(points)], "pid long, ts_s long"
+    ).selectExpr("pid", "timestamp_seconds(ts_s) AS ts")
+    ivl = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(intervals)],
+        "wid long, s_s long, e_s long",
+    ).selectExpr(
+        "wid",
+        "timestamp_seconds(s_s) AS start",
+        "timestamp_seconds(e_s) AS end",
+    )
+    got = {
+        (r["pid"], r["wid"])
+        for r in bucketed_range_join(
+            pts, ivl, bucket_seconds=7
+        ).select("pid", "wid").collect()
+    }
+    want = {
+        (r["pid"], r["wid"])
+        for r in pts.crossJoin(ivl)
+        .filter("start <= ts AND ts < end")
+        .select("pid", "wid")
+        .collect()
+    }
     assert got == want
