@@ -25,6 +25,7 @@ __all__ = [
     "jaccard_pairs_bruteforce",
     "minhash_signature_expr",
     "minhash_lsh_pairs",
+    "connected_components",
     "simhash_bits",
     "embedding_cosine_pairs",
 ]
@@ -228,6 +229,62 @@ def minhash_lsh_pairs(
         verified.select("a_id", "b_id", F.round(j, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve duplicate-pair edges into clusters: (id, cluster_id) with
+    cluster_id = min node id of the connected component — the step that
+    turns "these documents match" into "keep this one, drop those".
+
+    Min-label propagation: each round every node takes the smallest
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds (near-dup clusters are shallow — pairs/stars — so
+    typically 2-3). Each round is one join + one min-aggregation; the
+    frontier is checkpointed so round k doesn't replay rounds 1..k-1.
+    A driver-side convergence check per round is a scalar agg, not a
+    data collect.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("s"), F.col(b_col).alias("t")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("s").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=False)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["t"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["s"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -280,6 +280,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_cosine_pairs(e, threshold=0.45)
 
 
+@register(
+    "dedup_cluster_resolution",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    e AS (
+      SELECT a_id AS s, b_id AS t FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs
+    ),
+    walk(id, label) AS (
+      SELECT DISTINCT s, s FROM e
+      UNION
+      SELECT e.s, w.label FROM e JOIN walk w ON e.t = w.id
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id
+    """,
+    tags=("llm-dedup", "iterative"),
+    doc="Near-dup cluster resolution (llm.dedup.connected_components): "
+    "MinHash-LSH pairs → connected components via min-label propagation "
+    "(checkpointed frontier, one join+agg per round, converges in "
+    "component-diameter rounds). cluster_id = canonical (min) doc id. "
+    "Oracle: recursive-CTE transitive closure over the exact pairs.",
+)
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.8)
+    return dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
