@@ -22,7 +22,7 @@ RIGHT = st.lists(st.tuples(KEY, TS, st.integers(0, 999)), min_size=0, max_size=1
 
 @given(left=LEFT, right=RIGHT)
 @settings(
-    max_examples=15,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -71,7 +71,7 @@ POINTS = st.lists(st.integers(0, 80), min_size=1, max_size=20)
 
 @given(points=POINTS, intervals=INTERVALS)
 @settings(
-    max_examples=15,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

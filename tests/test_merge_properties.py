@@ -18,7 +18,7 @@ BATCH = st.lists(ROW, min_size=1, max_size=6)
 BATCHES = st.lists(BATCH, min_size=1, max_size=4)
 
 _SETTINGS = settings(
-    max_examples=12,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
