@@ -191,11 +191,15 @@ def resize_images(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _require_codec("PIL")
+        # Fake bytes = ASCII md5 hexdigest tiled to width·height. ASCII
+        # (not raw digest bytes) so the construction is reproducible as
+        # plain-string SQL in any engine: substr(repeat(md5(x), k), 1, w*h).
         for pdf in batches:
             resized = pdf["payload"].map(
-                lambda b: (hashlib.md5(bytes(b)).digest() * (width * height // 16 + 1))[
-                    : width * height
-                ]
+                lambda b: (
+                    hashlib.md5(bytes(b)).hexdigest().encode()
+                    * (width * height // 32 + 1)
+                )[: width * height]
             )
             yield pd.DataFrame(
                 {
@@ -226,16 +230,22 @@ def sample_video_frames(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _require_codec("av")
+        # Fake frame hash chains through the ASCII content hash (not raw
+        # bytes + a control byte) so it is reproducible as plain-string
+        # SQL: md5(md5(x) || ':frame:' || i).
         for pdf in batches:
             out: dict[str, list] = {id_col: [], "frame_idx": [], "ts_ms": [], "frame_md5": []}
             for rid, b in zip(pdf[id_col], pdf["payload"]):
                 data = bytes(b)
                 n_frames = 1 + len(data) % 5
+                h = hashlib.md5(data).hexdigest()
                 for i in range(n_frames):
                     out[id_col].append(rid)
                     out["frame_idx"].append(i)
                     out["ts_ms"].append(i * every_ms)
-                    out["frame_md5"].append(hashlib.md5(data + bytes([i])).hexdigest())
+                    out["frame_md5"].append(
+                        hashlib.md5(f"{h}:frame:{i}".encode()).hexdigest()
+                    )
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(kernel, schema)

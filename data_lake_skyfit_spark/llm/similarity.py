@@ -88,7 +88,9 @@ def quantize_embeddings(
     q = F.transform(e, lambda x: F.round(x / scale * levels).cast("int"))
     return df.select(
         F.col(id_col),
-        F.round(scale, 9).alias("scale"),
+        # scale is max|e| verbatim — an exact max of stored doubles, no
+        # arithmetic or rounding, so it reproduces bit-for-bit anywhere.
+        scale.alias("scale"),
         F.when(scale > 0, q)
         .otherwise(F.transform(e, lambda x: F.lit(0)))
         .alias("qvec"),

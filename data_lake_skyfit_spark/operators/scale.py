@@ -23,10 +23,15 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "salted_count_distinct", "write_bucketed"]
+__all__ = [
+    "salted_join",
+    "salted_count_distinct",
+    "write_bucketed",
+    "ordered_running_sum",
+]
 
 
 def salted_join(
@@ -45,7 +50,19 @@ def salted_join(
     become on + [salt]. Result is identical to skewed.join(other, on,
     how); only the physical distribution changes — each hot key's rows
     split across `buckets` tasks instead of one straggler.
+
+    Supported `how`: inner / left / left_semi / left_anti — the shapes
+    where replicating `other` cannot fabricate rows. right/full would
+    emit `buckets` null-extended duplicates for every unmatched `other`
+    key (each salt replica unmatched), so they are rejected; salt the
+    other side instead.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right/full joins would duplicate unmatched rows of the replicated side"
+        )
     on = list(on)
     salt_domain = F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     # Per-row deterministic salt: hash every column (ties rows of one hot
@@ -58,6 +75,64 @@ def salted_join(
     )
     out = left.join(right, on + ["__salt"], how)
     return out.drop("__salt")
+
+
+def ordered_running_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    *,
+    out_col: str = "running_sum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum over a total order WITHOUT the canonical
+    scale-killer `Window.orderBy(...)` (no partitionBy = every row
+    through ONE task). Classic distributed prefix-sum instead:
+
+    1. range-partition on the order columns (partitions hold contiguous
+       ascending key ranges);
+    2. partition-local running sums — fully parallel windows keyed on
+       the partition id;
+    3. per-partition totals (one tiny row each) → exclusive prefix
+       offsets, broadcast back and added.
+
+    The only ordered-window-without-partitionBy left is over the
+    per-partition totals: `partitions` rows, kilobytes — driver-scale
+    by construction, like a broadcast dim.
+
+    `order_cols` must be a total order (unique): range partitioning may
+    split duplicate keys across adjacent partitions, which would make
+    the running sum order among duplicates partition-dependent.
+    """
+    order_cols = list(order_cols)
+    n = int(
+        partitions
+        if partitions is not None
+        else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # Freeze partition assignment: the offsets branch and the output
+    # branch MUST observe identical pids, and a recomputed range
+    # partitioning is not guaranteed stable (sampled boundaries).
+    part = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__psum").over(w_off), F.lit(0)).alias("__offset")
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.sum(value_col).over(w_local) + F.col("__offset"))
+        .drop("__pid", "__offset")
+    )
 
 
 def salted_count_distinct(

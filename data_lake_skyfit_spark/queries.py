@@ -7,8 +7,15 @@ coverage is auditable line-by-line.
 
 Determinism rules (both sides):
 - money/quantity sums go through DECIMAL so arithmetic is exact and
-  associative (double sums are order-dependent across engines);
-- computed doubles are rounded;
+  associative (double sums are order-dependent across engines) — but
+  every FINAL output column is CAST to DOUBLE: the driver's hash
+  canonicalization stringifies Spark Decimals ('198336.90') and DuckDB
+  floats ('198336.9') differently, so a decimal-typed output column is
+  a guaranteed hash mismatch even when values are bit-identical
+  (round-1 VERDICT.md root cause). Decimal→double casts are exact and
+  correctly rounded on both engines, so determinism survives the cast;
+- averages are built as exact-decimal-sum ÷ count (both sides), never
+  engine AVG over doubles (order-dependent partial sums);
 - every LIMIT/top-k is totally ordered with an explicit tie-breaker.
 """
 
@@ -65,11 +72,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 2) AS avg_qty,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -86,13 +93,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # exact decimal sum ÷ count, NOT avg() over doubles: the
+            # partial-sum order of a double avg differs across engines.
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -102,7 +111,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_month",
     """
     SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS sale_month,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS unique_customers,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders
@@ -117,7 +126,7 @@ def revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy(F.trunc("o_orderdate", "month").alias("sale_month"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(15,2)")).cast("decimal(18,2)").alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)")).cast("double").alias("revenue"),
             F.countDistinct("o_custkey").alias("unique_customers"),
             F.count(F.lit(1)).alias("n_orders"),
         )
@@ -183,7 +192,7 @@ def watermark_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN event_type IN ('purchase','signup') THEN 'conversion'
                 ELSE 'other' END AS channel,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1
     """,
     tags=("A7", "P4"),
@@ -201,7 +210,7 @@ def channel_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(channel.alias("channel"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(15,2)")).cast("decimal(18,2)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(15,2)")).cast("double").alias("total_value"),
         )
     )
 
@@ -243,7 +252,7 @@ def union_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers_by_revenue",
     """
     SELECT c.c_custkey, c.c_name, c.c_mktsegment,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
@@ -261,7 +270,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(15,2)")).cast("decimal(18,2)").alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -319,7 +328,7 @@ def semi_join_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multiway_star_join",
     """
     SELECT r.r_name AS region, n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l.l_discount AS DECIMAL(15,2)))) AS DECIMAL(18,4)) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l.l_discount AS DECIMAL(15,2)))) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -344,7 +353,7 @@ def multiway_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -354,7 +363,7 @@ def multiway_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "filtered_revenue_delta",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(15,2))) AS DECIMAL(18,4)) AS revenue_delta,
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(15,2))) AS DOUBLE) AS revenue_delta,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -378,7 +387,7 @@ def filtered_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(dec("l_extendedprice") * dec("l_discount"))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue_delta"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -474,7 +483,7 @@ def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -487,7 +496,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("total"),
     )
 
@@ -538,7 +547,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "skew_salted_join_revenue",
     """
-    SELECT s.s_name, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS revenue,
+    SELECT s.s_name, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_name
@@ -559,26 +568,54 @@ def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(l, s, ["l_suppkey"], buckets=8)
     return joined.groupBy("s_name").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(15,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
-@register(
-    "approx_sketch_stats",
-    None,  # sketch outputs are engine-specific — rows-only check
-    tags=("A2-approx", "sketch"),
-    doc="Sketch tier of A2: HyperLogLog++ distinct counts and KLL-style "
-    "approximate quantiles per event_type — the forms that replace exact "
-    "COUNT(DISTINCT)/percentiles at 100 TB (bounded memory, one pass, "
-    "mergeable partial sketches).",
-)
-def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The true sketch tier of A2 (NOT a battery entry — sketch outputs
+    are engine-specific, so the driver can't hash-compare them):
+    HyperLogLog++ distinct counts and KLL-style approximate quantiles —
+    the forms that replace exact COUNT(DISTINCT)/percentiles at 100 TB
+    (bounded memory, one pass, mergeable partial sketches). Accuracy is
+    pinned against the exact battery query in
+    tests/test_analytics.py::test_sketch_stats_error_bounds."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "approx_sketch_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("A2-approx", "sketch"),
+    doc="Distinct counts + exact interpolated percentiles per event_type. "
+    "The driver-checked face of the sketch tier: scalar columns, exact "
+    "semantics (the driver has no rows-only mode and its canonicalizer "
+    "can't hash approximate or array outputs — VERDICT r1). The real "
+    "sketches (HLL++/KLL, `sketch_stats` above) share this shape and are "
+    "error-bound-tested against this exact query in pytest.",
+)
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -620,7 +657,7 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), mc AS (
       SELECT l_partkey, MIN(price) AS min_price FROM lc GROUP BY l_partkey
     )
-    SELECT DISTINCT lc.l_partkey AS partkey, s.s_name, lc.price AS min_price
+    SELECT DISTINCT lc.l_partkey AS partkey, s.s_name, CAST(lc.price AS DOUBLE) AS min_price
     FROM lc
     JOIN mc ON lc.l_partkey = mc.l_partkey AND lc.price = mc.min_price
     JOIN supplier s ON lc.l_suppkey = s.s_suppkey
@@ -646,7 +683,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_partkey").alias("partkey"),
             "s_name",
-            F.col("price").alias("min_price"),
+            F.col("price").cast("double").alias("min_price"),
         )
         .distinct()
     )
@@ -756,7 +793,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
            CAST(MONTH(o_orderdate) AS INT) AS order_month,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders
     GROUP BY ROLLUP(CAST(YEAR(o_orderdate) AS INT), CAST(MONTH(o_orderdate) AS INT))
@@ -774,7 +811,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .rollup("order_year", "order_month")
         .agg(
-            F.sum("price").cast("decimal(18,2)").alias("revenue"),
+            F.sum("price").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -790,7 +827,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1
     """,
@@ -808,7 +845,7 @@ def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_val")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("v").cast("decimal(18,2)").alias("total_value"),
+            F.sum("v").cast("double").alias("total_value"),
         )
     )
 
@@ -823,7 +860,7 @@ def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(LENGTH(c_name) AS INT) AS name_len,
            (c_mktsegment LIKE '%AUTO%') AS is_auto,
            COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS segment_nz,
-           ROUND(CAST(c_acctbal AS DECIMAL(15,2)) * 2, 2) AS doubled_bal
+           CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 2 AS DOUBLE) AS doubled_bal
     FROM customer
     """,
     tags=("P3", "2.10-string", "2.10-math"),
@@ -840,7 +877,7 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").cast("int").alias("name_len"),
         F.col("c_mktsegment").like("%AUTO%").alias("is_auto"),
         F.coalesce(F.nullif("c_mktsegment", F.lit("")), F.lit("UNKNOWN")).alias("segment_nz"),
-        F.round(F.col("c_acctbal").cast("decimal(15,2)") * 2, 2).alias("doubled_bal"),
+        (F.col("c_acctbal").cast("decimal(15,2)") * 2).cast("double").alias("doubled_bal"),
     )
 
 
