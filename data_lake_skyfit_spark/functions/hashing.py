@@ -41,6 +41,16 @@ def surrogate_key_expr(cols: Sequence[Column | str], *, sep: str = "|") -> Colum
     return (F.conv(hex15, 16, 10).cast("long") % F.lit(10**15)).cast("long")
 
 
+def _falsy_zero_as_empty(col: Column | str) -> Column:
+    """Numeric id fields in the reference pass through
+    `str(rec.get("idMember") or "")` — Python's `or` maps 0 (not just
+    NULL) to ''. Mirror that for byte-for-byte entry_id parity: a record
+    with idMember == 0 must hash identically to one with idMember NULL
+    (ADVICE r1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNull() | (c == 0), F.lit("")).otherwise(c.cast("string"))
+
+
 def entry_id_expr(
     date_col: Column | str = "date",
     member_col: Column | str = "idMember",
@@ -50,9 +60,21 @@ def entry_id_expr(
     device_col: Column | str = "device",
     action_col: Column | str = "entryAction",
 ) -> Column:
-    """The canonical 7-field entry_id: date|idMember|idProspect|idEmployee|idBranch|device|entryAction."""
+    """The canonical 7-field entry_id: date|idMember|idProspect|idEmployee|idBranch|device|entryAction.
+
+    The four numeric id fields get the reference's falsy handling
+    (0 → '' as well as NULL → ''); the string fields only coalesce NULL
+    (a literal "0" device/action is truthy in Python and stays "0")."""
     return surrogate_key_expr(
-        [date_col, member_col, prospect_col, employee_col, branch_col, device_col, action_col]
+        [
+            date_col,
+            _falsy_zero_as_empty(member_col),
+            _falsy_zero_as_empty(prospect_col),
+            _falsy_zero_as_empty(employee_col),
+            _falsy_zero_as_empty(branch_col),
+            device_col,
+            action_col,
+        ]
     )
 
 

@@ -13,7 +13,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import fingerprint64
@@ -90,28 +90,58 @@ def jaccard_pairs_bruteforce(
     the shuffle is ∝ corpus shingle count and the pair work ∝ actually-
     overlapping pairs. A size-ratio guard (J ≤ min/max) prunes pairs
     that cannot reach the threshold before the expensive count.
+
+    Skew control — PREFIX FILTERING (SSJoin/AllPairs): a handful of hot
+    boilerplate shingles ("terms of service", markdown headers) would
+    otherwise dominate the inverted-index join (one bucket holding a
+    large fraction of the corpus → one straggler task doing ~n² work).
+    Under a global frequency order (rarest first), a pair with
+    J ≥ t MUST share a shingle inside each side's first
+    ⌊(1−t)·|d|⌋ + 1 rarest shingles, so candidate generation indexes
+    ONLY those prefixes — hot shingles sort last and drop out of the
+    index entirely — and verification computes exact Jaccard on the
+    full shingle sets. Lossless by construction, and the hottest
+    bucket's fan-in is bounded by how many docs share a RARE shingle.
     """
-    s = _with_shingles(df, text_col, id_col, n).withColumn("sz", F.size("sh"))
-    ex = s.filter(F.col("sz") > 0).select(
-        "id", "sz", F.explode("sh").alias("g")
+    s = (
+        _with_shingles(df, text_col, id_col, n)
+        .withColumn("sz", F.size("sh"))
+        .filter(F.col("sz") > 0)
+        .localCheckpoint(eager=False)  # feeds index build + verification
     )
-    a, b = ex.alias("a"), ex.alias("b")
+    ex = s.select("id", "sz", F.explode("sh").alias("g"))
+    # Global shingle document-frequency (one small agg) → per-doc rank
+    # by (freq asc, shingle asc) → keep the prefix.
+    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
+    prefix = (
+        ex.join(freq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.floor(F.col("sz") * (1 - threshold)) + 1)
+        .select("id", "sz", "g")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
     guard = F.least(F.col("a.sz"), F.col("b.sz")) >= (
         F.greatest(F.col("a.sz"), F.col("b.sz")) * (threshold * 0.999)
     )
-    inter = (
+    candidates = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")) & guard)
-        .groupBy(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.sz").alias("a_sz"),
-            F.col("b.sz").alias("b_sz"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
     )
-    j = F.col("inter") / (F.col("a_sz") + F.col("b_sz") - F.col("inter"))
+    # Exact verification on FULL shingle sets (prefix only gated
+    # candidate generation, never the similarity itself).
+    shs = s.select("id", "sh")
+    verified = (
+        candidates.join(
+            shs.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id"
+        ).join(
+            shs.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id"
+        )
+    )
+    j = _jaccard(F.col("a_sh"), F.col("b_sh"))
     return (
-        inter.select("a_id", "b_id", F.round(j, 4).alias("jaccard"))
+        verified.select("a_id", "b_id", F.round(j, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -249,6 +279,11 @@ def connected_components(
     frontier is checkpointed so round k doesn't replay rounds 1..k-1.
     A driver-side convergence check per round is a scalar agg, not a
     data collect.
+
+    Raises RuntimeError if `max_iter` rounds pass without convergence
+    (a component with diameter > max_iter — e.g. a long chain of
+    templated near-dup pairs): silently returning partial labels would
+    split one true cluster into several, corrupting dedupe decisions.
     """
     edges = pairs.select(
         F.col(a_col).alias("s"), F.col(b_col).alias("t")
@@ -260,6 +295,7 @@ def connected_components(
         sym.select(F.col("s").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=False)
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["t"] == labels["id"])
@@ -283,7 +319,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — a component's diameter exceeds the budget; raise max_iter "
+            "(rounds cost one join+agg each) rather than trusting split clusters"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

@@ -89,7 +89,33 @@ class ParquetTable:
         bulk path."""
         self._swap_write(df)
 
-    def _swap_write(self, df: DataFrame, *, merge_partitions: Sequence[dict] | None = None) -> None:
+    def _partition_dirs(self, root: str) -> list[str]:
+        """Relative paths of every partition leaf dir under `root`, at
+        exactly len(partition_by) levels. Discovered from disk, NOT
+        derived from Python values: Spark encodes NULL partition values
+        as __HIVE_DEFAULT_PARTITION__ and %XX-escapes special
+        characters, so a reconstructed f"{k}={v}" name can silently
+        miss dirs (ADVICE r1 — dropped rows on swap)."""
+        depth = len(self.partition_by)
+        found: list[str] = []
+
+        def walk(rel: str, lvl: int) -> None:
+            base = os.path.join(root, rel) if rel else root
+            for name in os.listdir(base):
+                if name.startswith(("_", ".")):
+                    continue
+                sub = os.path.join(rel, name) if rel else name
+                if not os.path.isdir(os.path.join(root, sub)):
+                    continue
+                if lvl + 1 == depth:
+                    found.append(sub)
+                else:
+                    walk(sub, lvl + 1)
+
+        walk("", 0)
+        return found
+
+    def _swap_write(self, df: DataFrame, *, partition_scoped: bool = False) -> None:
         """Materialize to a temp dir, then atomically swap into place.
 
         Reading and overwriting the same parquet path in one lazy plan
@@ -98,17 +124,18 @@ class ParquetTable:
         """
         tmp = f"{self.path.rstrip('/')}__tmp_{uuid.uuid4().hex[:8]}"
         self._write(df, tmp)
-        if merge_partitions is not None and os.path.isdir(self.path):
-            # Partition-scoped commit: move only rewritten partitions.
-            for part in merge_partitions:
-                rel = "/".join(f"{k}={v}" for k, v in part.items())
+        if partition_scoped and self.partition_by and os.path.isdir(self.path):
+            # Partition-scoped commit: move only rewritten partitions —
+            # every partition dir present in tmp IS a rewritten one (the
+            # merge plan filtered the target to touched partitions), so
+            # the on-disk listing is the authoritative move list.
+            for rel in self._partition_dirs(tmp):
                 dst = os.path.join(self.path, rel)
                 src = os.path.join(tmp, rel)
                 if os.path.isdir(dst):
                     shutil.rmtree(dst)
-                if os.path.isdir(src):
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    shutil.move(src, dst)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
             shutil.rmtree(tmp, ignore_errors=True)
         else:
             if os.path.isdir(self.path):
@@ -214,23 +241,25 @@ class ParquetTable:
         source = source.select(*cols)
         target = target.select(*cols)
 
-        partition_filter = None
-        merge_partitions: list[dict] | None = None
+        partition_scoped = False
         if self.partition_by:
             # Prune the rewrite to partitions the source actually touches.
+            # eqNullSafe, not == : a NULL partition value (dirty input
+            # rows land under __HIVE_DEFAULT_PARTITION__) must select its
+            # target partition too — plain == is never true for NULL and
+            # would silently drop those target rows on the swap.
             parts = [
                 r.asDict()
                 for r in source.select(*self.partition_by).distinct().collect()
             ]
             if parts:
-                merge_partitions = parts
+                partition_scoped = True
                 cond = None
                 for p in parts:
                     c = F.lit(True)
                     for k, v in p.items():
-                        c = c & (F.col(k) == F.lit(v))
+                        c = c & F.col(k).eqNullSafe(F.lit(v))
                     cond = c if cond is None else (cond | c)
-                partition_filter = cond
                 target = target.filter(cond)
 
         t, s = target.alias("t"), source.alias("s")
@@ -256,4 +285,4 @@ class ParquetTable:
             matched = s.join(t, on, "left_semi")
 
         merged = unmatched_target.unionByName(matched).unionByName(inserts)
-        self._swap_write(merged, merge_partitions=merge_partitions)
+        self._swap_write(merged, partition_scoped=partition_scoped)

@@ -41,10 +41,17 @@ def asof_join(
     its timestamp (per join key). Ties on equal timestamps take the
     right row (<= semantics, matching DuckDB/pandas ASOF).
 
-    Plan: tag both sides, unionByName, window `last(value, ignorenulls)`
-    ordered by (ts, side) per key, keep left rows. One exchange on the
-    key, sorted within partitions — the same physical shape a native
-    as-of join operator would pick.
+    Plan: tag both sides, unionByName, window `last(row_struct,
+    ignorenulls)` ordered by (ts, side) per key, keep left rows. One
+    exchange on the key, sorted within partitions — the same physical
+    shape a native as-of join operator would pick.
+
+    The forward-fill carries ONE struct holding the matched right row's
+    timestamp and every value column, so the whole row travels
+    atomically: a NULL inside the matched row propagates to the output
+    (merge_asof/DuckDB ASOF semantics), and all value columns always
+    come from the SAME right row — per-column last(ignorenulls) would
+    back-fill each column from a different older row.
     """
     on = list(on)
     value_cols = list(
@@ -53,18 +60,32 @@ def asof_join(
         else [c for c in right.columns if c not in on and c != right_ts]
     )
 
+    row_struct = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
     l_tag = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(
+            "struct<__rts:"
+            + right.schema[right_ts].dataType.simpleString()
+            + ","
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+            )
+            + ">"
+        )
+        .alias("__r"),
         *[F.col(c) for c in left.columns if c not in on and c != left_ts],
     )
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        row_struct.alias("__r"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
@@ -80,38 +101,22 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in value_cols
-        ],
-        F.last(F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True)
-        .over(w)
-        .alias("__m_ts"),
-    )
+    # last(ignorenulls) skips only left rows (their __r is NULL); a right
+    # row's struct is never NULL even when its value fields all are.
+    filled = unioned.select("*", F.last("__r", ignorenulls=True).over(w).alias("__m"))
     out = filled.filter(F.col("__is_left") == 1)
     if tolerance_seconds is not None:
-        within = (
-            F.col("__m_ts").isNotNull()
-            & (F.unix_timestamp("__ts") - F.unix_timestamp("__m_ts") <= tolerance_seconds)
+        within = F.col("__m").isNotNull() & (
+            F.unix_timestamp("__ts") - F.unix_timestamp(F.col("__m.__rts"))
+            <= tolerance_seconds
         )
-        out = out.select(
-            "*",
-            *[
-                F.when(within, F.col(f"__m_{c}")).alias(f"__t_{c}")
-                for c in value_cols
-            ],
-        )
-        keep_prefix = "__t_"
-    else:
-        keep_prefix = "__m_"
+        out = out.withColumn("__m", F.when(within, F.col("__m")))
 
     return out.select(
         *on,
         F.col("__ts").alias(left_ts),
         *[c for c in left.columns if c not in on and c != left_ts],
-        *[F.col(f"{keep_prefix}{c}").alias(c) for c in value_cols],
+        *[F.col(f"__m.{c}").alias(c) for c in value_cols],
     )
 
 

@@ -16,8 +16,17 @@ from data_lake_skyfit_spark.operators.temporal import bucketed_range_join  # noq
 KEY = st.integers(min_value=0, max_value=3)
 TS = st.integers(min_value=0, max_value=50)  # epoch-second grid
 
+# Values are NULLABLE: a matched right row carrying NULL must propagate
+# that NULL (merge_asof semantics) — per-column ignorenulls forward-fill
+# would wrongly back-fill from an OLDER right row (ADVICE r1). Two value
+# columns catch the companion bug: columns sourced from DIFFERENT rows.
+VAL = st.one_of(st.none(), st.integers(0, 999))
 LEFT = st.lists(st.tuples(KEY, TS), min_size=1, max_size=15)
-RIGHT = st.lists(st.tuples(KEY, TS, st.integers(0, 999)), min_size=0, max_size=15)
+RIGHT = st.lists(st.tuples(KEY, TS, VAL, VAL), min_size=0, max_size=15)
+
+
+def _rank(x: int | None) -> tuple[bool, int]:
+    return (x is not None, x if x is not None else -1)
 
 
 @given(left=LEFT, right=RIGHT)
@@ -28,37 +37,44 @@ RIGHT = st.lists(st.tuples(KEY, TS, st.integers(0, 999)), min_size=0, max_size=1
 )
 def test_asof_matches_pandas_merge_asof(spark, left, right):
     # de-dup (k, ts) on the right — equal keys+timestamps make the match
-    # ambiguous in both engines; keep the max value deterministically.
-    rmap: dict[tuple[int, int], int] = {}
-    for k, t, v in right:
-        rmap[(k, t)] = max(v, rmap.get((k, t), -1))
-    right_rows = [(k, t, v) for (k, t), v in rmap.items()]
+    # ambiguous in both engines; keep the max row deterministically.
+    rmap: dict[tuple[int, int], tuple[int | None, int | None]] = {}
+    for k, t, v, w in right:
+        old = rmap.get((k, t))
+        if old is None or (_rank(v), _rank(w)) > (_rank(old[0]), _rank(old[1])):
+            rmap[(k, t)] = (v, w)
+    right_rows = [(k, t, v, w) for (k, t), (v, w) in rmap.items()]
     left_rows = sorted(set(left))
 
     ldf = spark.createDataFrame(
         [(k, t) for k, t in left_rows], "k long, ts_s long"
     ).selectExpr("k", "timestamp_seconds(ts_s) AS ts")
     rdf = spark.createDataFrame(
-        right_rows or [(None, None, None)], "k long, ts_s long, v long"
-    ).filter("k IS NOT NULL").selectExpr("k", "timestamp_seconds(ts_s) AS ts", "v")
+        right_rows or [(None, None, None, None)], "k long, ts_s long, v long, w long"
+    ).filter("k IS NOT NULL").selectExpr(
+        "k", "timestamp_seconds(ts_s) AS ts", "v", "w"
+    )
 
     got = {
-        (r["k"], int(r["ts"].timestamp())): r["v"]
+        (r["k"], int(r["ts"].timestamp())): (r["v"], r["w"])
         for r in asof_join(ldf, rdf, ["k"]).collect()
     }
 
     lpd = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts")
-    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "v", "w"]).sort_values("ts")
     if len(rpd):
         merged = pd.merge_asof(
             lpd, rpd, on="ts", by="k", direction="backward", allow_exact_matches=True
         )
         want = {
-            (int(r.k), int(r.ts)): (None if pd.isna(r.v) else int(r.v))
+            (int(r.k), int(r.ts)): (
+                None if pd.isna(r.v) else int(r.v),
+                None if pd.isna(r.w) else int(r.w),
+            )
             for r in merged.itertuples()
         }
     else:
-        want = {(int(k), int(t)): None for k, t in left_rows}
+        want = {(int(k), int(t)): (None, None) for k, t in left_rows}
 
     assert got == want
 

@@ -1,0 +1,219 @@
+"""Contract regressions for the round-1 ADVICE/VERDICT findings:
+
+- entry_id falsy parity: idMember == 0 hashes like NULL (the reference's
+  `str(rec.get("idMember") or "")`), pinned against a Python mirror.
+- salted_join rejects right/full joins (replicated side would fabricate
+  null-extended duplicates for unmatched keys).
+- connected_components raises instead of silently returning split
+  clusters when a component's diameter exceeds max_iter.
+- Partition-scoped MERGE commit survives NULL and special-character
+  partition values (__HIVE_DEFAULT_PARTITION__ / %XX escaping) without
+  losing rows.
+- latest_run_id reads NO data files: a corrupt gzip part in the newest
+  partition must not break run discovery.
+- Prefix-filtered Jaccard equals the naive cross-join definition on a
+  hot-shingle (boilerplate-heavy) corpus.
+- ordered_running_sum equals a global cumulative sum while keeping the
+  data-sized window partitioned (the plan carries the __pid key).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_skyfit_spark.functions.hashing import entry_id_expr
+from data_lake_skyfit_spark.llm.dedup import connected_components, jaccard_pairs_bruteforce
+from data_lake_skyfit_spark.operators.merge import ParquetTable
+from data_lake_skyfit_spark.operators.scale import ordered_running_sum, salted_join
+from data_lake_skyfit_spark.sources import bronze
+
+
+def _ref_entry_id(date, member, prospect, employee, branch, device, action) -> int:
+    """Python mirror of the reference's generate_entry_id
+    (load_evo_entries_stg_fast_v2.py:210-223): pipe-join with falsy→'',
+    md5, first 15 hex digits as int, mod 10^15."""
+    fields = [
+        str(date) if date is not None else "",
+        str(member or ""),
+        str(prospect or ""),
+        str(employee or ""),
+        str(branch or ""),
+        str(device) if device is not None else "",
+        str(action) if action is not None else "",
+    ]
+    h = hashlib.md5("|".join(fields).encode()).hexdigest()
+    return int(h[:15], 16) % 10**15
+
+
+def test_entry_id_zero_id_matches_reference_falsy_handling(spark):
+    rows = [
+        ("2024-01-01", 7, None, None, 3, "turnstile", "entry"),
+        ("2024-01-01", 0, None, None, 3, "turnstile", "entry"),  # falsy 0
+        ("2024-01-01", None, None, None, 3, "turnstile", "entry"),
+        ("2024-01-02", 0, 0, 0, 0, "app", "exit"),
+        ("2024-01-03", 12, 5, None, 0, "0", "entry"),  # device "0" is truthy
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "date string, idMember long, idProspect long, idEmployee long, "
+        "idBranch long, device string, entryAction string",
+    )
+    got = [
+        r["eid"]
+        for r in df.select(entry_id_expr().alias("eid")).collect()
+    ]
+    want = [_ref_entry_id(*r) for r in rows]
+    assert got == want
+    # 0 and NULL must collide (both falsy → ''):
+    assert got[1] == got[2]
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    df = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(df, df, ["k"], how=how)
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    # A 30-node chain has diameter 29 — min-label propagation cannot
+    # finish in 3 rounds; silence here would split one cluster.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    # With budget it resolves to a single min-labeled cluster.
+    labels = connected_components(chain, max_iter=40).collect()
+    assert {r["cluster_id"] for r in labels} == {0}
+
+
+def test_partition_merge_null_and_special_values(spark, tmp_path):
+    """MERGE on a table partitioned by a column containing NULLs and
+    path-hostile strings: no rows may be lost or duplicated (round-1
+    ADVICE: f'{k}={v}' dir reconstruction missed
+    __HIVE_DEFAULT_PARTITION__ and %XX-escaped dirs)."""
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [
+            (1, None, 10.0),
+            (2, "a/b", 20.0),   # '/' escapes to %2F on disk
+            (3, "a=b", 30.0),   # '=' escapes too
+            (4, "plain", 40.0),
+        ],
+        "id long, part string, v double",
+    )
+    t = ParquetTable(path, ["id"], partition_by=["part"])
+    t.overwrite(base)
+
+    # Source touches every pathological partition: update 1 and 2,
+    # insert a new row into the NULL partition.
+    delta = spark.createDataFrame(
+        [(1, None, 11.0), (2, "a/b", 22.0), (5, None, 50.0)],
+        "id long, part string, v double",
+    )
+    t.merge(delta)
+    got = {(r["id"], r["part"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {
+        (1, None, 11.0),
+        (2, "a/b", 22.0),
+        (3, "a=b", 30.0),
+        (4, "plain", 40.0),
+        (5, None, 50.0),
+    }
+
+
+def test_latest_run_id_opens_no_data_files(spark, tmp_path):
+    """Run discovery must come from the directory listing alone: a
+    corrupt gzip part in the newest run would crash any code path that
+    actually reads data (e.g. schema inference)."""
+    root = str(tmp_path)
+    e = spark.createDataFrame([(1, "x")], "id long, payload string")
+    for run in ("20240101120000", "20240102120000"):
+        bronze.write_bronze(
+            e.withColumn("entity", F.lit("members"))
+            .withColumn("ingestion_date", F.lit(run[:8]))
+            .withColumn("run_id", F.lit(run)),
+            root,
+            "evo",
+        )
+    # Plant a newer partition whose only part is NOT valid gzip/JSON.
+    bad = os.path.join(
+        bronze.bronze_path(root, "evo"),
+        "entity=members",
+        "ingestion_date=20240103",
+        "run_id=20240103120000",
+    )
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-00000.jsonl.gz"), "wb") as f:
+        f.write(b"\x00NOT-GZIP\xff" * 16)
+
+    assert bronze.latest_run_id(spark, root, "evo", "members") == "20240103120000"
+    # Sanity: actually reading that run DOES fail, proving the corrupt
+    # fixture would have caught a data-reading implementation.
+    with pytest.raises(Exception):
+        spark.read.json(os.path.join(bad, "part-00000.jsonl.gz")).collect()
+
+
+def test_prefix_filtered_jaccard_on_hot_shingle_corpus(spark):
+    """Boilerplate-heavy corpus: every doc shares the same hot prefix
+    (the skew case where an unfiltered inverted index degenerates to
+    ~n² candidate pairs). Prefix filtering must keep the result equal
+    to the naive cross-join definition."""
+    boiler = "terms of service apply to all users of this site"
+    docs = []
+    for i in range(40):
+        docs.append((i, f"{boiler} unique tail {i} alpha beta gamma delta"))
+    # Two true near-dup pairs (differ in one trailing token):
+    docs.append((100, f"{boiler} unique tail 1 alpha beta gamma epsilon"))
+    docs.append((101, f"{boiler} unique tail 2 alpha beta gamma zeta"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in jaccard_pairs_bruteforce(df, threshold=0.5).collect()
+    }
+
+    from data_lake_skyfit_spark.llm.text import shingles_expr
+
+    sh = df.select(F.col("doc_id").alias("id"), shingles_expr("text", 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    j = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
+        F.array_union(F.col("a.sh"), F.col("b.sh"))
+    )
+    naive = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.round(j, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == naive
+    assert len(got) > 0  # the corpus does contain true near-dups
+
+
+def test_ordered_running_sum_matches_global_cumsum(spark):
+    rows = [(i * 37 % 200, (i % 13) + 1) for i in range(200)]  # unique keys (gcd(37,200)=1)
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = ordered_running_sum(df, ["k"], "v", out_col="cum", partitions=8)
+    got = {(r["k"], r["cum"]) for r in out.collect()}
+
+    acc, want = 0, set()
+    for k, v in sorted(rows):
+        acc += v
+        want.add((k, acc))
+    assert got == want
+    # The data-sized window must be keyed on the frozen partition id —
+    # a bare Window.orderBy would show an empty partition spec.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__pid" in plan
