@@ -61,3 +61,42 @@ def test_entry_channels(alake):
     entries = alake.read("core", "evo_entries")
     assert sum(r["n_entries"] for r in out) == entries.count()
     assert {r["channel"] for r in out} <= {"Gympass", "Totalpass", "Direct"}
+
+
+def test_sketch_stats_error_bounds(spark):
+    """The true sketch tier (HLL++ distinct counts, KLL-style quantiles,
+    queries.sketch_stats) must track the exact battery query
+    (approx_sketch_stats) within its configured error bounds — the
+    accuracy contract that justifies swapping sketches in at 100 TB."""
+    import os
+
+    from data_lake_skyfit_spark.queries import approx_sketch_stats, sketch_stats
+
+    sf_dir = os.environ.get("SKYFIT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    from data_lake_skyfit_spark.tables import load_table
+
+    exact = {r["event_type"]: r for r in approx_sketch_stats(spark, sf_dir).collect()}
+    approx = {r["event_type"]: r for r in sketch_stats(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+
+    values = {
+        r["event_type"]: sorted(r["vals"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.collect_list("value").alias("vals"))
+        .collect()
+    }
+    for etype, ex in exact.items():
+        ap = approx[etype]
+        # HLL++ at rsd=0.02: allow generous sigma plus integer slack on
+        # tiny groups.
+        assert abs(ap["approx_users"] - ex["n_users"]) <= max(0.1 * ex["n_users"], 5)
+        assert ap["n"] == ex["n"]  # exact count unaffected by sketching
+        # KLL-style quantiles guarantee bounded RANK error (a tail value
+        # one rank off can be far away in VALUE — that is expected):
+        # the returned quantile's empirical rank must sit within
+        # p·n ± (0.01·n + 2).
+        vals, n = values[etype], ex["n"]
+        for p, q in zip((0.5, 0.95, 0.99), ap["value_quantiles"]):
+            rank = sum(1 for v in vals if v <= q)
+            assert abs(rank - p * n) <= 0.01 * n + 2, (etype, p, q, rank)
