@@ -78,7 +78,6 @@ _PRIORITY = [
     "rollup_revenue",
     "json_props_extraction",
     "scalar_function_suite",
-    "explode_doc_tokens",
     "array_first_match",
     # medallion pipeline (bronze→STG→CORE, upserts, nested explode)
     "medallion_bronze_to_stg",
@@ -106,6 +105,7 @@ _PRIORITY = [
     "text_language_id",
     "text_token_counts",
     "text_fingerprint",
+    "text_decontamination",
     # temporal operators
     "continuous_aggregate_hourly",
     "asof_join_last_purchase",

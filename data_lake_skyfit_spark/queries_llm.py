@@ -490,6 +490,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_decontamination",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN
+               list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+                              for i in range(1, len(w)-3)])
+             ELSE [] END AS s
+      FROM t
+    ), tr AS (
+      SELECT doc_id AS train_id, UNNEST(s) AS g FROM sh WHERE doc_id < 450 AND len(s) > 0
+    ), ev AS (
+      SELECT doc_id AS eval_id, UNNEST(s) AS g FROM sh WHERE doc_id >= 450 AND len(s) > 0
+    ), hits AS (
+      SELECT train_id, eval_id, COUNT(*) AS shared
+      FROM tr JOIN ev USING (g) GROUP BY train_id, eval_id
+    ), per_train AS (
+      SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+             CAST(MAX(shared) AS BIGINT) AS max_shared
+      FROM hits GROUP BY train_id
+    )
+    SELECT d.doc_id AS train_id,
+           COALESCE(p.n_eval_hits, 0) AS n_eval_hits,
+           COALESCE(p.max_shared, 0) AS max_shared,
+           (COALESCE(p.max_shared, 0) >= 2) AS contaminated
+    FROM (SELECT doc_id FROM sh WHERE doc_id < 450) d
+    LEFT JOIN per_train p ON d.doc_id = p.train_id
+    """,
+    tags=("llm-decontamination",),
+    doc="Eval-set decontamination (llm.decontaminate.contamination_report): "
+    "train docs (doc_id < 450) checked for shared 5-gram shingles against "
+    "an eval corpus (doc_id >= 450) — the GPT-3/Pile overlap check before "
+    "a data release. The eval shingle index is BROADCAST, so the train "
+    "side (the 100 TB side) joins map-side and never shuffles for "
+    "candidate generation.",
+)
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.decontaminate import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") < 450)
+    evalset = d.filter(F.col("doc_id") >= 450)
+    return contamination_report(train, evalset, n=5, min_shared=2)
+
+
+@register(
     "embedding_quantize_int8",
     """
     WITH v AS (

@@ -217,3 +217,26 @@ def test_ordered_running_sum_matches_global_cumsum(spark):
     # a bare Window.orderBy would show an empty partition spec.
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__pid" in plan
+
+
+def test_contamination_report_flags_planted_overlap(spark):
+    from data_lake_skyfit_spark.llm.decontaminate import contamination_report
+
+    secret = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words here {secret} and a closing remark"),  # planted
+            (2, "completely unrelated content about database engines and joins"),
+            (3, "short"),  # < n tokens → no shingles → excluded row set keeps it with 0? filtered pre-explode
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, f"benchmark question: {secret} answer below")],
+        "doc_id long, text string",
+    )
+    out = {r["train_id"]: r for r in contamination_report(train, evalset, n=5).collect()}
+    assert out[1]["contaminated"] and out[1]["max_shared"] >= 2
+    assert not out[2]["contaminated"] and out[2]["n_eval_hits"] == 0
+    # shingle-less docs still get a (zero-hit, clean) row:
+    assert not out[3]["contaminated"] and out[3]["n_eval_hits"] == 0
