@@ -1021,7 +1021,7 @@ def conditional_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, word ASC
     LIMIT 20
     """,
-    tags=("J1", "2.10-array", "text"),
+    tags=("J1", "2.10-array", "llm-text"),
     doc="LATERAL array-explode join (jsonb_array_elements ≙ explode, "
     "normalize_evo_members_v2.py:292-294): token frequency over documents.",
 )

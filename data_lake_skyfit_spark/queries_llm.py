@@ -194,7 +194,7 @@ _JACCARD_ORACLE = f"""
            CAST(COUNT(*) AS BIGINT) AS n_copies
     FROM documents GROUP BY MD5(text)
     """,
-    tags=("llm-dedup", "A5"),
+    tags=("llm-dedup", "A5", "J6"),
     doc="Exact dedup via content-hash groupBy; only the hash shuffles. "
     "(The engine-internal fingerprint is xxhash64 — llm.dedup.exact_dedup; "
     "md5 here for cross-engine oracle parity.)",

@@ -240,3 +240,41 @@ def test_contamination_report_flags_planted_overlap(spark):
     assert not out[2]["contaminated"] and out[2]["n_eval_hits"] == 0
     # shingle-less docs still get a (zero-hit, clean) row:
     assert not out[3]["contaminated"] and out[3]["n_eval_hits"] == 0
+
+
+def test_registry_contract():
+    """The external driver grades exactly the FIRST 50 registry entries:
+    every entry must have a real oracle (no rows-only mode exists), the
+    first 50 must match the explicit priority order, and any entry past
+    the cutoff may only carry tags already covered inside it (so no
+    operator family ever falls out of the graded window)."""
+    from data_lake_skyfit_spark.queries import _PRIORITY, registry
+
+    r = registry()
+    names = list(r)
+    assert len(names) >= 50
+    assert names[:50] == _PRIORITY
+    assert all(q.oracle is not None for q in r.values()), [
+        n for n, q in r.items() if q.oracle is None
+    ]
+    front_tags = {t for n in names[:50] for t in r[n].tags}
+    for n in names[50:]:
+        # tpch-* tags are shape annotations, not operator families.
+        uncovered = {
+            t for t in r[n].tags if not t.startswith("tpch-")
+        } - front_tags
+        assert not uncovered, f"{n} carries tags not graded in first 50: {uncovered}"
+
+
+def test_decontamination_broadcasts_eval_index(spark):
+    """The train side must join map-side: the eval shingle index is the
+    broadcast build side (the 100 TB contract of the operator)."""
+    from data_lake_skyfit_spark.llm.decontaminate import contamination_report
+
+    d = spark.createDataFrame(
+        [(i, f"some words number {i} padded out to five tokens minimum here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = contamination_report(d.filter("doc_id < 15"), d.filter("doc_id >= 15"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
