@@ -120,11 +120,13 @@ def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
 
 def extract_embeddings(df: DataFrame, *, id_col: str = "doc_id", dims: int = 8) -> DataFrame:
     """payload → fixed-width float feature vector. Fake path: bytes of
-    md5 scaled to [0,1); real path: a vision/audio encoder (stubbed)."""
+    md5 scaled to [0,1); real path: a vision/audio encoder (stubbed).
+    Double-typed features: float32 would re-round byte/255.0 and break
+    exact cross-engine reproducibility of the stub."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
-            T.StructField("features", T.ArrayType(T.FloatType())),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
         ]
     )
 

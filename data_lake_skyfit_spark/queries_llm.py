@@ -701,33 +701,43 @@ def range_join_maintenance_windows(spark: SparkSession, sf_dir: str) -> DataFram
     """
     WITH t AS (
       SELECT doc_id,
-             ('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket
+             ('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket,
+             ('0x'||substr(md5(source), 1, 4))::INT % 100 AS gbucket
       FROM documents
     )
     SELECT doc_id,
            CASE WHEN bucket < 90 THEN 'train'
                 WHEN bucket < 95 THEN 'validation'
-                ELSE 'test' END AS split
+                ELSE 'test' END AS split,
+           CASE WHEN gbucket < 90 THEN 'train'
+                WHEN gbucket < 95 THEN 'validation'
+                ELSE 'test' END AS group_split
     FROM t
     """,
     tags=("llm-split",),
     doc="Deterministic 90/5/5 dataset split via content-independent id "
     "hash (md5 % 100) — reproducible across runs, engines, and cluster "
-    "layouts; no sampling state, no shuffle, pure map.",
+    "layouts; no sampling state, no shuffle, pure map. `group_split` "
+    "hashes the doc's `source` instead: every document of one source "
+    "lands in the SAME split (leakage-safe grouping — near-identical "
+    "docs from one origin can't straddle train and test).",
 )
 def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long")
-        % 100
+
+    def bucketed_split(key):
+        bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long") % 100
+        return (
+            F.when(bucket < 90, F.lit("train"))
+            .when(bucket < 95, F.lit("validation"))
+            .otherwise(F.lit("test"))
+        )
+
+    return d.select(
+        "doc_id",
+        bucketed_split(F.col("doc_id").cast("string")).alias("split"),
+        bucketed_split(F.col("source")).alias("group_split"),
     )
-    split = (
-        F.when(bucket < 90, F.lit("train"))
-        .when(bucket < 95, F.lit("validation"))
-        .otherwise(F.lit("test"))
-    )
-    return d.select("doc_id", split.alias("split"))
 
 
 @register(
@@ -771,6 +781,41 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_extract_embeddings",
+    """
+    SELECT doc_id,
+           ('0x'||substr(md5(text),  1, 2))::INT / 255.0 AS f0,
+           ('0x'||substr(md5(text),  3, 2))::INT / 255.0 AS f1,
+           ('0x'||substr(md5(text),  5, 2))::INT / 255.0 AS f2,
+           ('0x'||substr(md5(text),  7, 2))::INT / 255.0 AS f3,
+           ('0x'||substr(md5(text),  9, 2))::INT / 255.0 AS f4,
+           ('0x'||substr(md5(text), 11, 2))::INT / 255.0 AS f5,
+           ('0x'||substr(md5(text), 13, 2))::INT / 255.0 AS f6,
+           ('0x'||substr(md5(text), 15, 2))::INT / 255.0 AS f7
+    FROM documents WHERE doc_id < 200
+    """,
+    tags=("llm-multimodal",),
+    doc="Media feature extraction plumbing (llm.multimodal."
+    "extract_embeddings): payload → fixed-width float vector via Arrow "
+    "mapInPandas (the encoder seam of a vision/audio pipeline; encoder "
+    "stubbed to md5-derived bytes). Battery projects the vector to 8 "
+    "scalar columns — same doubles both engines (byte/255.0), and the "
+    "driver canonicalizer can't hash arrays.",
+)
+def multimodal_extract_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.attach_binary_payload(d, "text")
+    feats = multimodal.extract_embeddings(media, dims=8)
+    return feats.select(
+        "doc_id",
+        *[
+            (F.element_at("features", i + 1).cast("double")).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
 
 
 @register(
