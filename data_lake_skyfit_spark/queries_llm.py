@@ -102,6 +102,30 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stream_stream_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts <= c.ts
+     AND p.ts > c.ts - INTERVAL 60 MINUTE
+    """,
+    tags=("2.9-streaming", "J4"),
+    doc="Stream-stream inner join (streaming.windowed."
+    "stream_stream_click_purchase_join): clicks joined to the same "
+    "user's purchases in the preceding hour, BOTH sides streaming with "
+    "watermarks bounding the join state — the Structured Streaming "
+    "operator a batch-only reference has no analog for. AvailableNow "
+    "drain makes the result batch-equivalent, so the oracle is the "
+    "batch interval join.",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed.stream_stream_click_purchase_join(spark, sf_dir)
+
+
+@register(
     "stateful_user_sessions",
     """
     WITH flagged AS (

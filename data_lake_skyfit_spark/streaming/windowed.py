@@ -26,6 +26,7 @@ __all__ = [
     "session_window_stats",
     "streaming_distinct_users",
     "stateful_user_sessions",
+    "stream_stream_click_purchase_join",
     "stream_merge_sink",
     "run_stream_to_table",
 ]
@@ -212,6 +213,61 @@ def stream_merge_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_click_purchase_join(
+    spark: SparkSession, sf_dir: str, *, window_minutes: int = 60
+) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's
+    purchases in the preceding `window_minutes` — the Structured
+    Streaming operator where BOTH sides buffer state, bounded by the
+    event-time range condition + watermarks (without them a
+    stream-stream join's state grows forever). AvailableNow batch
+    drain; the same query runs unchanged against unbounded sources.
+    """
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") > F.col("click_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")),
+    )
+    # A stream-stream join allocates FOUR state stores per shuffle
+    # partition; at local test scale the per-store setup dominates, so
+    # drain under a small fixed partition count (a cluster deployment
+    # sizes this to executor count instead). Restored after the drain.
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions", "200")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_stream_to_table(joined.select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            "purchase_value",
+        ), output_mode="append")
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
+    return out
 
 
 def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
