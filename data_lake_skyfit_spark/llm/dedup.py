@@ -25,6 +25,7 @@ __all__ = [
     "jaccard_pairs_bruteforce",
     "minhash_signature_expr",
     "minhash_lsh_pairs",
+    "MinHashIndex",
     "connected_components",
     "simhash_bits",
     "embedding_cosine_pairs",
@@ -194,6 +195,39 @@ def minhash_signatures(
     return s.join(sig, "id")
 
 
+def _band_entries(sig: DataFrame, *, bands: int, rows: int) -> DataFrame:
+    """(id, band, bucket) LSH entries from a signatures frame — the
+    shingle arrays do NOT ride through the bands× explode and the
+    bucket shuffle; they are re-joined just for surviving candidates."""
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(b, F.slice("sig", b * rows + 1, rows)).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _verify_pairs(candidates: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a_id, b_id) pairs
+    against full shingle sets."""
+    shs = shingles.select("id", "sh")
+    verified = (
+        candidates.join(shs.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
+        .join(shs.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
+    )
+    j = _jaccard(F.col("a_sh"), F.col("b_sh"))
+    return (
+        verified.select("a_id", "b_id", F.round(j, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -220,22 +254,7 @@ def minhash_lsh_pairs(
         df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm
     ).localCheckpoint(eager=False)
 
-    # Band entries are (id, band, bucket) only — the shingle arrays do
-    # NOT ride through the bands× explode and the bucket shuffle; they
-    # are re-joined just for the (few) surviving candidate pairs.
-    band_entries = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(b, F.slice("sig", b * rows + 1, rows)).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
+    band_entries = _band_entries(sig, bands=bands, rows=rows)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     candidates = (
@@ -248,17 +267,86 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    return _verify_pairs(candidates, sig, threshold)
 
-    shs = sig.select("id", "sh")
-    verified = (
-        candidates.join(shs.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
-        .join(shs.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
-    )
-    j = _jaccard(F.col("a_sh"), F.col("b_sh"))
-    return (
-        verified.select("a_id", "b_id", F.round(j, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+
+class MinHashIndex:
+    """Persisted, incrementally-maintained MinHash-LSH dedup index —
+    the 100 TB operating mode: a production corpus is not re-LSH'd per
+    batch; new documents compute THEIR signatures (cost ∝ batch), probe
+    the standing band-bucket index for collisions with the existing
+    corpus (shuffle ∝ batch·bands + matching buckets), and merge into
+    the index idempotently (keyed MERGE, so replays converge).
+
+    Storage: a signatures table (id, sh, sig) and a band-entries table
+    (id, band, bucket) — both ParquetTable-backed keyed upserts, i.e.
+    exactly the materialized tables the one-shot minhash_lsh_pairs
+    docstring promises. `add()` returns the verified near-dup pairs
+    that involve at least one new document (batch-internal pairs
+    included), so a full build replayed batch-by-batch yields exactly
+    the one-shot pair set.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        *,
+        n: int = 3,
+        num_perm: int = 128,
+        bands: int = 32,
+        threshold: float = 0.8,
+    ):
+        from ..operators.merge import ParquetTable
+
+        self.n, self.num_perm, self.bands = n, num_perm, bands
+        self.rows = num_perm // bands
+        self.threshold = threshold
+        self.sig_table = ParquetTable(f"{root}/signatures", ["id"])
+        self.band_table = ParquetTable(f"{root}/bands", ["id", "band"])
+
+    def add(self, docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        spark = docs.sparkSession
+        sig = minhash_signatures(
+            docs, text_col=text_col, id_col=id_col, n=self.n, num_perm=self.num_perm
+        ).localCheckpoint(eager=False)
+        new_bands = _band_entries(sig, bands=self.bands, rows=self.rows).localCheckpoint(
+            eager=False
+        )
+
+        if self.band_table.exists():
+            existing = self.band_table.read(spark)
+            old_sigs = self.sig_table.read(spark)
+            probe = existing.unionByName(new_bands)
+            all_shingles = old_sigs.select("id", "sh").unionByName(sig.select("id", "sh"))
+        else:
+            probe = new_bands
+            all_shingles = sig.select("id", "sh")
+
+        # New entries probe (existing ∪ new); ordering the pair as
+        # (min, max) dedupes the two directions and batch-internal hits.
+        a = new_bands.alias("a")
+        b = probe.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("a_id"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("b_id"),
+            )
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        pairs = _verify_pairs(candidates, all_shingles, self.threshold)
+        # Materialize results BEFORE mutating the index: pairs' lineage
+        # reads the pre-add tables.
+        pairs = pairs.localCheckpoint(eager=True)
+
+        self.sig_table.merge(sig)           # idempotent replays (I3)
+        self.band_table.merge(new_bands)
+        return pairs
 
 
 def connected_components(

@@ -259,6 +259,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_incremental",
+    _JACCARD_ORACLE,
+    tags=("llm-dedup", "scale-path", "I3", "no-bench"),
+    doc="Incrementally-maintained MinHash-LSH index (llm.dedup."
+    "MinHashIndex): the corpus is ingested in TWO batches (doc_id < 350, "
+    "then the rest); each batch computes only its own signatures, probes "
+    "the persisted band-bucket index for collisions with the standing "
+    "corpus, and MERGEs in idempotently — the 100 TB operating mode "
+    "where a daily batch never re-LSHes the corpus. The union of "
+    "per-batch pair outputs must equal the one-shot pair set (the exact "
+    "Jaccard oracle). no-bench: deliberately persists parquet index "
+    "tables twice over the full corpus — a pipeline-maintenance cost, "
+    "not query latency; correctness stays gated by drive.py and "
+    "test_minhash_index_incremental_equals_oneshot.",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .llm.dedup import MinHashIndex
+
+    d = _t(spark, sf_dir, "documents")
+    idx = MinHashIndex(tempfile.mkdtemp(prefix="skyfit_mhidx_"), threshold=0.8)
+    first = idx.add(d.filter(F.col("doc_id") < 350))
+    second = idx.add(d.filter(F.col("doc_id") >= 350))
+    return first.unionByName(second)
+
+
+@register(
     "dedup_simhash",
     """
     WITH t AS (

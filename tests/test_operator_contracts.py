@@ -278,3 +278,34 @@ def test_decontamination_broadcasts_eval_index(spark):
     out = contamination_report(d.filter("doc_id < 15"), d.filter("doc_id >= 15"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_minhash_index_incremental_equals_oneshot(spark, tmp_path):
+    """Batch-by-batch ingestion through the persisted MinHash index must
+    recover exactly the one-shot pair set, and re-adding a batch must
+    leave the index state unchanged (idempotent MERGEs)."""
+    from data_lake_skyfit_spark.llm.dedup import MinHashIndex, minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [(i, f"{base} doc {i} " + " ".join(f"w{i}_{j}" for j in range(6))) for i in range(30)]
+    docs += [(100, f"{base} doc 5 " + " ".join(f"w5_{j}" for j in range(6)) + " x")]
+    docs += [(101, f"{base} doc 17 " + " ".join(f"w17_{j}" for j in range(6)) + " y")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    oneshot = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+
+    idx = MinHashIndex(str(tmp_path / "idx"), threshold=0.5)
+    got = set()
+    for batch in (df.filter("doc_id < 15"), df.filter("doc_id >= 15")):
+        got |= {
+            (r["a_id"], r["b_id"], r["jaccard"]) for r in idx.add(batch).collect()
+        }
+    assert got == oneshot and len(oneshot) > 0
+
+    sig_before = {tuple(r) for r in idx.sig_table.read(spark).select("id").collect()}
+    idx.add(df.filter("doc_id >= 15"))  # replay
+    sig_after = {tuple(r) for r in idx.sig_table.read(spark).select("id").collect()}
+    assert sig_before == sig_after
