@@ -259,9 +259,10 @@ def test_registry_contract():
     ]
     front_tags = {t for n in names[:50] for t in r[n].tags}
     for n in names[50:]:
-        # tpch-* tags are shape annotations, not operator families.
+        # tpch-* are shape annotations and no-bench is a bench
+        # directive — neither names an operator family.
         uncovered = {
-            t for t in r[n].tags if not t.startswith("tpch-")
+            t for t in r[n].tags if not t.startswith("tpch-") and t != "no-bench"
         } - front_tags
         assert not uncovered, f"{n} carries tags not graded in first 50: {uncovered}"
 
