@@ -1,0 +1,175 @@
+"""Corpus-curation operators for training-data pipelines: repetition
+quality filters, PII scan/redaction, and corpus-vocabulary / OOV stats.
+
+Greenfield relative to the reference (SURVEY.md §7.5 scope): these are
+the Gopher/C4-style filters that sit between raw ingestion and dedup in
+a web-scale text pipeline. Everything is JVM-native (regexp, explode,
+hash aggregation) — no Python in the hot path — and every construction
+is expressible identically in DuckDB so the battery gets exact oracles.
+
+Scale notes:
+- `top_ngram_stats`: explode → partial-combining count → per-doc top-1
+  window. Shuffle volume ∝ token count; the window partitions by doc_id
+  (high cardinality) so no task sees more than one doc's grams.
+- `pii_scan`: pure map (regexp_extract_all / regexp_replace), codegen'd,
+  zero shuffle.
+- `oov_stats`: two-pass — a tiny top-K vocab aggregate (broadcast), then
+  a map-side membership check. The corpus-sized side never shuffles on
+  the token.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import let_expr, tokens_expr
+
+__all__ = [
+    "EMAIL_RE",
+    "PHONE_RE",
+    "ngrams_expr",
+    "top_ngram_stats",
+    "pii_scan",
+    "oov_stats",
+]
+
+# Kept to syntax with identical semantics in Java regex and RE2 (DuckDB),
+# so oracles can reuse the literal pattern text.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def ngrams_expr(text: Column | str, n: int) -> Column:
+    """Non-distinct word n-gram array (order preserved, duplicates
+    kept — this is the repetition-counting unit, unlike the distinct
+    shingle set used for dedup). Token array is let-bound so the split
+    runs once per row."""
+    if n == 1:
+        return tokens_expr(text)
+
+    def body(w: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+        parts = lambda i: [F.element_at(w, i + j) for j in range(n)]  # noqa: E731
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+        # sequence(1, stop<1) yields a DESCENDING sequence, not empty.
+        return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return let_expr(tokens_expr(text), body)
+
+
+def top_ngram_stats(
+    df: DataFrame,
+    *,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix: str | None = None,
+) -> DataFrame:
+    """Per-document most-frequent n-gram and the fraction of grams it
+    accounts for — the Gopher-style repetition signal (a doc whose top
+    2-gram covers a large share of its text is boilerplate/spam).
+
+    Output: (id, top_{p}gram, {p}gram_count, {p}gram_frac) with frac
+    rounded to 4 places; ties broken by lexicographically smallest gram
+    so the argmax is deterministic across engines. Docs with fewer than
+    n tokens get ('', 0, 0.0).
+    """
+    p = prefix if prefix is not None else f"{n}"
+    grams = df.select(F.col(id_col), ngrams_expr(text_col, n).alias("__g"))
+    totals = grams.select(F.col(id_col), F.size("__g").alias("__n"))
+    counts = (
+        grams.select(F.col(id_col), F.explode("__g").alias("__gram"))
+        .groupBy(id_col, "__gram")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cnt"), F.asc("__gram"))
+    top = counts.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return (
+        totals.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__gram"), F.lit("")).alias(f"top_{p}gram"),
+            F.coalesce(F.col("__cnt"), F.lit(0)).cast("int").alias(f"{p}gram_count"),
+            F.when(F.col("__n") > 0, F.round(F.coalesce(F.col("__cnt"), F.lit(0)) / F.col("__n"), 4))
+            .otherwise(F.lit(0.0))
+            .alias(f"{p}gram_frac"),
+        )
+    )
+
+
+def pii_scan(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    email_token: str = "[EMAIL]",
+    phone_token: str = "[PHONE]",
+) -> DataFrame:
+    """Detect and redact PII-shaped substrings (emails, NANP-ish phone
+    numbers). Emits per-document match counts plus the redacted text —
+    the standard pre-training scrub pass. Pure codegen'd map: at 100 TB
+    this runs at scan speed with zero shuffle."""
+    t = _c(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, email_token), PHONE_RE, phone_token
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).cast("int").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def oov_stats(
+    df: DataFrame,
+    *,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency vocabulary coverage: build the top-`vocab_size`
+    token vocabulary over the whole corpus (count desc, token asc — a
+    total order, so the K boundary is deterministic), then score each
+    document's out-of-vocabulary token fraction. High OOV → likely
+    non-linguistic / junk content.
+
+    Two-pass plan: pass 1 is a token-count aggregate reduced to K rows
+    (broadcast); pass 2 joins exploded tokens against the broadcast
+    vocab — the corpus-sized side is never shuffled by token.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("__tok"))
+    vocab = (
+        toks.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .orderBy(F.desc("__freq"), F.asc("__tok"))
+        .limit(vocab_size)
+        .select("__tok", F.lit(1).alias("__in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "__tok", "left")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast("int").alias("n_oov"),
+    )
+    # Docs whose token array is empty never reach the explode — restore
+    # them with zero counts.
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+            F.when(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                F.round(F.col("n_oov") / F.col("n_tokens"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("oov_frac"),
+        )
+    )

@@ -355,23 +355,30 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 20,
+    jump_from: int = 3,
 ) -> DataFrame:
     """Resolve duplicate-pair edges into clusters: (id, cluster_id) with
     cluster_id = min node id of the connected component — the step that
     turns "these documents match" into "keep this one, drop those".
 
-    Min-label propagation: each round every node takes the smallest
-    label among itself and its neighbors; converges in O(component
-    diameter) rounds (near-dup clusters are shallow — pairs/stars — so
-    typically 2-3). Each round is one join + one min-aggregation; the
-    frontier is checkpointed so round k doesn't replay rounds 1..k-1.
-    A driver-side convergence check per round is a scalar agg, not a
-    data collect.
+    Min-label propagation with adaptive pointer jumping: each round
+    every node takes the smallest label among itself and its neighbors
+    (one join + one min-aggregation); from round `jump_from` onward the
+    round also compresses via l(v) <- min(l(v), l(l(v))) (one self-join
+    on the label table). The jump halves the remaining label-chain
+    length per round, so convergence is O(log diameter) instead of
+    O(diameter) — a 10^6-doc chain of templated near-dup pairs resolves
+    in ~25 rounds, not 10^6. Near-dup clusters are usually shallow
+    (pairs/stars: done in 2-3 rounds), so the jump join is deferred
+    until `jump_from`: the common case never pays for it, and only
+    pathological chain-shaped corpora engage the logarithmic path.
+    Each frontier is checkpointed so round k doesn't replay rounds
+    1..k-1; the driver-side convergence check per round is a scalar
+    agg, not a data collect.
 
-    Raises RuntimeError if `max_iter` rounds pass without convergence
-    (a component with diameter > max_iter — e.g. a long chain of
-    templated near-dup pairs): silently returning partial labels would
-    split one true cluster into several, corrupting dedupe decisions.
+    Raises RuntimeError if `max_iter` rounds pass without convergence:
+    silently returning partial labels would split one true cluster into
+    several, corrupting dedupe decisions.
     """
     edges = pairs.select(
         F.col(a_col).alias("s"), F.col(b_col).alias("t")
@@ -384,7 +391,7 @@ def connected_components(
     ).localCheckpoint(eager=False)
 
     converged = False
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
         neighbor_min = (
             sym.join(labels, sym["t"] == labels["id"])
             .groupBy("s")
@@ -398,6 +405,24 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
+        if round_no >= jump_from:
+            # Pointer jump: follow the label one hop (l(v) <- l(l(v))).
+            # Labels always point inside the component (min semantics),
+            # so the jump is safe and halves remaining chain length.
+            propagated = new_labels
+            parents = propagated.select(
+                F.col("id").alias("pid"), F.col("label").alias("plabel")
+            )
+            new_labels = (
+                propagated.join(parents, propagated["label"] == parents["pid"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=False)
+            )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

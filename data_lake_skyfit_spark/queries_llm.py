@@ -591,6 +591,196 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_metrics",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    uc AS (
+      SELECT doc_id, g, COUNT(*) AS cnt
+      FROM (SELECT doc_id, UNNEST(w) AS g FROM t) GROUP BY 1, 2
+    ),
+    ur AS (
+      SELECT doc_id, g, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+      FROM uc
+    ),
+    bg AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2
+                  THEN [w[i]||' '||w[i+1] for i in range(1, len(w))]
+                  ELSE [] END AS g2
+      FROM t
+    ),
+    bc AS (
+      SELECT doc_id, g, COUNT(*) AS cnt
+      FROM (SELECT doc_id, UNNEST(g2) AS g FROM bg) GROUP BY 1, 2
+    ),
+    br AS (
+      SELECT doc_id, g, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+      FROM bc
+    ),
+    tot AS (SELECT doc_id, len(w) AS n1, GREATEST(len(w) - 1, 0) AS n2 FROM t),
+    j AS (
+      SELECT tot.doc_id,
+             COALESCE(u.g, '') AS top_unigram,
+             CAST(COALESCE(u.cnt, 0) AS INT) AS unigram_count,
+             CASE WHEN n1 > 0 THEN ROUND(COALESCE(u.cnt, 0) / n1, 4) ELSE 0.0 END AS unigram_frac,
+             COALESCE(b.g, '') AS top_bigram,
+             CAST(COALESCE(b.cnt, 0) AS INT) AS bigram_count,
+             CASE WHEN n2 > 0 THEN ROUND(COALESCE(b.cnt, 0) / n2, 4) ELSE 0.0 END AS bigram_frac
+      FROM tot
+      LEFT JOIN (SELECT * FROM ur WHERE rn = 1) u USING (doc_id)
+      LEFT JOIN (SELECT * FROM br WHERE rn = 1) b USING (doc_id)
+    )
+    SELECT *, (unigram_frac >= 0.12 OR bigram_frac >= 0.06) AS is_repetitive FROM j
+    """,
+    tags=("llm-text",),
+    doc="Gopher-style repetition quality filter (llm.curation."
+    "top_ngram_stats): per-doc most-frequent unigram/bigram and the "
+    "fraction of the text they cover; high fractions flag boilerplate. "
+    "Explode -> partial-combining count -> per-doc top-1 window "
+    "(partitioned by doc_id, never global); shuffle volume is bounded "
+    "by token count.",
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.curation import top_ngram_stats
+
+    d = _t(spark, sf_dir, "documents")
+    uni = top_ngram_stats(d, n=1, prefix="uni")
+    bi = top_ngram_stats(d, n=2, prefix="bi")
+    return uni.join(bi, "doc_id").select(
+        "*",
+        ((F.col("unigram_frac") >= 0.12) | (F.col("bigram_frac") >= 0.06)).alias(
+            "is_repetitive"
+        ),
+    )
+
+
+@register(
+    "pii_scan_redaction",
+    """
+    WITH corpus AS (
+      SELECT c_custkey,
+             c_name
+             || CASE WHEN c_custkey % 3 <> 0
+                     THEN ' <c' || CAST(c_custkey AS VARCHAR) || '@customer.example.com>'
+                     ELSE '' END
+             || CASE WHEN c_custkey % 2 = 0
+                     THEN ' call ' || lpad(CAST(c_nationkey % 100 AS VARCHAR), 2, '0')
+                          || '-555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                          || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || ' segment ' || c_mktsegment AS text
+      FROM customer
+    ),
+    scanned AS (
+      SELECT c_custkey,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+      FROM corpus
+    )
+    SELECT c_custkey, n_emails, n_phones,
+           md5(redacted) AS redacted_md5,
+           CAST(LENGTH(redacted) AS INT) AS n_chars_redacted
+    FROM scanned
+    """,
+    tags=("llm-text",),
+    doc="PII scan + redaction (llm.curation.pii_scan): email/phone "
+    "regexp counts and tokenized redaction — the pre-training scrub "
+    "pass. Pure codegen'd map, zero shuffle, scan-speed at 100 TB. The "
+    "battery builds a deterministic contact-card corpus from `customer` "
+    "(the synthetic documents table contains no PII-shaped strings) "
+    "identically on both engines, and md5s the redacted text so the "
+    "checked value pins every replaced byte.",
+)
+def pii_scan_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.curation import pii_scan
+
+    c = _t(spark, sf_dir, "customer")
+    corpus = c.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.when(
+                F.col("c_custkey") % 3 != 0,
+                F.concat(
+                    F.lit(" <c"),
+                    F.col("c_custkey").cast("string"),
+                    F.lit("@customer.example.com>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("c_custkey") % 2 == 0,
+                F.concat(
+                    F.lit(" call "),
+                    F.lpad((F.col("c_nationkey") % 100).cast("string"), 2, "0"),
+                    F.lit("-555-"),
+                    F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(" segment "),
+            F.col("c_mktsegment"),
+        ).alias("text"),
+    )
+    scanned = pii_scan(corpus, text_col="text", id_col="c_custkey")
+    return scanned.select(
+        "c_custkey",
+        "n_emails",
+        "n_phones",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+        F.length("redacted").cast("int").alias("n_chars_redacted"),
+    )
+
+
+@register(
+    "text_vocab_oov",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, UNNEST(w) AS tk FROM t),
+    v AS (
+      SELECT tk FROM (
+        SELECT tk, COUNT(*) AS freq FROM tok GROUP BY tk
+        ORDER BY freq DESC, tk ASC LIMIT 16
+      )
+    ),
+    pd AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok LEFT JOIN v ON tok.tk = v.tk GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_tokens, 0) AS INT) AS n_tokens,
+           CAST(COALESCE(n_oov, 0) AS INT) AS n_oov,
+           CASE WHEN COALESCE(n_tokens, 0) > 0 THEN ROUND(n_oov / n_tokens, 4) ELSE 0.0 END AS oov_frac
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+    """,
+    tags=("llm-text",),
+    doc="Corpus-vocabulary coverage (llm.curation.oov_stats): top-16 "
+    "corpus-frequency vocab (count desc, token asc — deterministic K "
+    "boundary), then per-doc out-of-vocabulary fraction. Two-pass "
+    "plan: the vocab aggregate reduces to K rows and is BROADCAST; the "
+    "corpus-sized token stream joins map-side and never shuffles by "
+    "token.",
+)
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.curation import oov_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return oov_stats(d, vocab_size=16)
+
+
+@register(
     "embedding_quantize_int8",
     """
     WITH v AS (

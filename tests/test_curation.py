@@ -1,0 +1,95 @@
+"""Corpus-curation operators (llm/curation.py): repetition metrics,
+PII scan/redaction, vocabulary/OOV coverage — plus the pointer-jumping
+convergence bound of connected_components on chain-shaped components.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_skyfit_spark.llm.curation import oov_stats, pii_scan, top_ngram_stats
+from data_lake_skyfit_spark.llm.dedup import connected_components
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_top_ngram_stats_basic_and_tiebreak(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a a a b c"),          # top unigram 'a' 3/5
+            (2, "x y x y x y"),        # top bigram 'x y' 3/5
+            (3, "b a b a"),            # unigram tie a==b -> 'a' (lexicographic)
+            (4, "solo"),               # too short for bigrams
+            (5, ""),                   # empty
+        ],
+    )
+    uni = {r["doc_id"]: r for r in top_ngram_stats(df, n=1, prefix="uni").collect()}
+    assert (uni[1]["top_unigram"], uni[1]["unigram_count"], uni[1]["unigram_frac"]) == ("a", 3, 0.6)
+    assert uni[3]["top_unigram"] == "a" and uni[3]["unigram_count"] == 2
+    assert (uni[5]["top_unigram"], uni[5]["unigram_count"], uni[5]["unigram_frac"]) == ("", 0, 0.0)
+
+    bi = {r["doc_id"]: r for r in top_ngram_stats(df, n=2, prefix="bi").collect()}
+    assert (bi[2]["top_bigram"], bi[2]["bigram_count"], bi[2]["bigram_frac"]) == ("x y", 3, 0.6)
+    assert (bi[4]["top_bigram"], bi[4]["bigram_count"], bi[4]["bigram_frac"]) == ("", 0, 0.0)
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail bob@example.com and carol.smith+x@sub.domain.org now"),
+            (2, "call 12-345-678-9012 or 99-888-777-6666"),
+            (3, "clean text with no contact info"),
+            (4, "mixed a@b.co 11-222-333-4444 tail"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (2, 0)
+    assert got[1]["redacted"] == "mail [EMAIL] and [EMAIL] now"
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (0, 2)
+    assert got[2]["redacted"] == "call [PHONE] or [PHONE]"
+    assert (got[3]["n_emails"], got[3]["n_phones"]) == (0, 0)
+    assert got[3]["redacted"] == got[3]["redacted"] == "clean text with no contact info"
+    assert got[4]["redacted"] == "mixed [EMAIL] [PHONE] tail"
+
+
+def test_oov_stats_against_manual_vocab(spark):
+    # Corpus frequency: a:4, b:3, c:2, d:1 -> vocab_size=2 keeps {a, b}.
+    df = _docs(
+        spark,
+        [
+            (1, "a a b c"),
+            (2, "a b b d"),
+            (3, "a c"),
+            (4, ""),
+        ],
+    )
+    got = {r["doc_id"]: r for r in oov_stats(df, vocab_size=2).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_oov"], got[1]["oov_frac"]) == (4, 1, 0.25)
+    assert (got[2]["n_tokens"], got[2]["n_oov"], got[2]["oov_frac"]) == (4, 1, 0.25)
+    assert (got[3]["n_tokens"], got[3]["n_oov"], got[3]["oov_frac"]) == (2, 1, 0.5)
+    assert (got[4]["n_tokens"], got[4]["n_oov"], got[4]["oov_frac"]) == (0, 0, 0.0)
+
+
+def test_oov_vocab_tiebreak_is_deterministic(spark):
+    # b and c tie at the K boundary; token-asc tie-break keeps 'b'.
+    df = _docs(spark, [(1, "a a b c"), (2, "a b c")])
+    got = {r["doc_id"]: r for r in oov_stats(df, vocab_size=2).collect()}
+    # vocab = {a (3), b (2)}; c is OOV.
+    assert got[1]["n_oov"] == 1 and got[2]["n_oov"] == 1
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """A 200-node chain (diameter 199) must resolve well inside 12
+    rounds: pointer jumping doubles covered distance per round, where
+    plain min-label propagation would need 199 rounds."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a_id long, b_id long"
+    )
+    labels = connected_components(chain, max_iter=12).collect()
+    assert len(labels) == 201
+    assert {r["cluster_id"] for r in labels} == {0}
