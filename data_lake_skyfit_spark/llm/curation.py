@@ -32,6 +32,8 @@ __all__ = [
     "top_ngram_stats",
     "pii_scan",
     "oov_stats",
+    "temperature_sample",
+    "chunk_documents",
 ]
 
 # Kept to syntax with identical semantics in Java regex and RE2 (DuckDB),
@@ -172,4 +174,95 @@ def oov_stats(
             .otherwise(F.lit(0.0))
             .alias("oov_frac"),
         )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str = "doc_id",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based mixture downsampling (alpha = 0.5): group g is
+    kept at rate sqrt(n_min / n_g), so over-represented sources are
+    thinned toward the multilingual-LLM sampling distribution
+    p_g ∝ n_g^0.5 while the smallest source keeps every row.
+
+    Determinism across engines: the keep decision is an integer compare
+    of an md5-derived bucket against floor(denom * sqrt(n_min / n_g)).
+    Division and sqrt are both correctly-rounded IEEE ops, so Spark and
+    any SQL engine build the identical double, hence identical
+    threshold — no RNG, no engine-dependent rounding.
+
+    Plan: pass 1 aggregates group counts (K rows, broadcast); pass 2 is
+    a map-side join + filter — the corpus never shuffles.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        F.col(group_col),
+        F.floor(denom * F.sqrt(F.col("__n_min") / F.col("__n")))
+        .cast("long")
+        .alias("keep_threshold"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10).cast("long")
+        % denom
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(bucket < F.col("keep_threshold"))
+        .select(F.col(id_col), F.col(group_col), F.col("keep_threshold"))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks with optional
+    overlap — the long-document → training-sequence step. Emits one row
+    per chunk: (id, chunk_id, n_chunk_tokens, chunk_text).
+
+    Chunk starts advance by stride = chunk_tokens - overlap; the final
+    chunk is the remainder (shorter than chunk_tokens). Empty docs
+    produce a single empty chunk so no document silently disappears.
+    Pure map + explode: no shuffle, output rows ∝ tokens / stride.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("chunk_documents requires 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def body(w: Column) -> Column:
+        n = F.size(w)
+        # Integer ceil((n - chunk) / stride): the double division is
+        # exact for any realistic token count (< 2^52), so floor is an
+        # engine-stable integer.
+        n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+            F.lit(1)
+            + F.floor((n - chunk_tokens + stride - 1) / F.lit(stride)).cast("int")
+        )
+        idx = F.sequence(F.lit(0), n_chunks - 1)
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.slice(w, i * stride + 1, chunk_tokens).alias("chunk"),
+            ),
+        )
+
+    chunks = df.select(
+        F.col(id_col),
+        F.explode(let_expr(tokens_expr(text_col), body)).alias("__c"),
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.size("__c.chunk").cast("int").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("__c.chunk")).alias("chunk_text"),
     )

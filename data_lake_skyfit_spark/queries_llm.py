@@ -781,6 +781,82 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mixture_sample",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS n_min FROM c),
+    r AS (
+      SELECT lang, CAST(FLOOR(1000000 * SQRT(n_min / n)) AS BIGINT) AS keep_threshold
+      FROM c, m
+    )
+    SELECT d.doc_id, d.lang, r.keep_threshold
+    FROM documents d JOIN r USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000
+          < r.keep_threshold
+    """,
+    tags=("llm-split",),
+    doc="Temperature-based mixture downsampling (llm.curation."
+    "temperature_sample, alpha=0.5): language g kept at rate "
+    "sqrt(n_min/n_g), thinning over-represented languages toward the "
+    "multilingual p_g ∝ n_g^0.5 sampling distribution. Keep decision "
+    "is an integer md5-bucket-vs-threshold compare; division and sqrt "
+    "are correctly-rounded IEEE ops so both engines build the identical "
+    "threshold. Group counts reduce to K rows and broadcast — the "
+    "corpus filters map-side, zero shuffle.",
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.curation import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_sample(d, group_col="lang")
+
+
+@register(
+    "document_chunking",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w, len(w) AS n,
+             CASE WHEN len(w) <= 64 THEN 1 ELSE 1 + (len(w) - 64 + 55) // 56 END AS n_chunks
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id,
+             UNNEST([i for i in range(0, n_chunks)]) AS chunk_id,
+             UNNEST([least(64, n - i*56) for i in range(0, n_chunks)]) AS n_chunk_tokens,
+             UNNEST([array_to_string(w[i*56+1 : least(i*56+64, n)], ' ')
+                     for i in range(0, n_chunks)]) AS chunk_text
+      FROM s
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(n_chunk_tokens AS INT) AS n_chunk_tokens,
+           md5(chunk_text) AS chunk_md5
+    FROM c
+    """,
+    tags=("llm-packing",),
+    doc="Long-document chunking (llm.curation.chunk_documents): 64-token "
+    "chunks with 8-token overlap (stride 56), final remainder chunk kept "
+    "— the doc → training-sequence step that feeds sequence packing. "
+    "Pure map + explode, no shuffle; output rows ∝ tokens/stride. The "
+    "battery md5s each chunk's text so every token boundary is pinned.",
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.curation import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, chunk_tokens=64, overlap=8)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+@register(
     "embedding_quantize_int8",
     """
     WITH v AS (

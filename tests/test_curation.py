@@ -83,6 +83,64 @@ def test_oov_vocab_tiebreak_is_deterministic(spark):
     assert got[1]["n_oov"] == 1 and got[2]["n_oov"] == 1
 
 
+def test_chunk_documents_boundaries(spark):
+    # 10 tokens, chunk=4, overlap=1 -> stride 3, ceil((10-4)/3)+1 = 3
+    # chunks: [t1..t4],[t4..t7],[t7..t10] — coverage stops exactly at
+    # the last token.
+    text = " ".join(f"t{i}" for i in range(1, 11))
+    df = _docs(spark, [(1, text), (2, "a b"), (3, "")])
+    from data_lake_skyfit_spark.llm.curation import chunk_documents
+
+    got = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        )
+    assert sorted(by_doc[1]) == [
+        (0, 4, "t1 t2 t3 t4"),
+        (1, 4, "t4 t5 t6 t7"),
+        (2, 4, "t7 t8 t9 t10"),
+    ]
+    assert by_doc[2] == [(0, 2, "a b")]
+    assert by_doc[3] == [(0, 0, "")]  # empty doc keeps one empty chunk
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = _docs(spark, [(1, "a b c")])
+    from data_lake_skyfit_spark.llm.curation import chunk_documents
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_temperature_sample_matches_python_mirror(spark):
+    import hashlib
+    import math
+
+    rows = [(i, "big" if i < 80 else "small", "x") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    from data_lake_skyfit_spark.llm.curation import temperature_sample
+
+    got = {
+        (r["doc_id"], r["src"], r["keep_threshold"])
+        for r in temperature_sample(df, group_col="src").collect()
+    }
+    # Mirror: n_min=20; big rate sqrt(20/80)=0.5 -> threshold 500000;
+    # small rate 1.0 -> threshold 1000000 (keeps everything).
+    want = set()
+    for i, src, _ in rows:
+        n = 80 if src == "big" else 20
+        thr = math.floor(1_000_000 * math.sqrt(20 / n))
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 1_000_000
+        if bucket < thr:
+            want.add((i, src, thr))
+    assert got == want
+    # The small group is fully kept; the big group is strictly thinned.
+    assert sum(1 for _, s, _ in got if s == "small") == 20
+    assert 0 < sum(1 for _, s, _ in got if s == "big") < 80
+
+
 def test_connected_components_chain_converges_in_log_rounds(spark):
     """A 200-node chain (diameter 199) must resolve well inside 12
     rounds: pointer jumping doubles covered distance per round, where
