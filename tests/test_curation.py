@@ -151,3 +151,52 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     labels = connected_components(chain, max_iter=12).collect()
     assert len(labels) == 201
     assert {r["cluster_id"] for r in labels} == {0}
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+WORD = st.sampled_from(["aa", "bb", "cc", "dd"])
+DOC = st.lists(WORD, min_size=0, max_size=40)
+CHUNK = st.integers(min_value=2, max_value=8)
+OVERLAP = st.integers(min_value=0, max_value=3)
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=4), chunk=CHUNK, overlap=OVERLAP)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunking_coverage_and_reconstruction_property(spark, docs, chunk, overlap):
+    """Invariants for arbitrary docs/chunk/overlap:
+    1. every token position is covered by at least one chunk;
+    2. dropping each chunk's first `overlap` tokens (except chunk 0)
+       and concatenating reconstructs the document exactly;
+    3. every chunk except the last has exactly `chunk` tokens."""
+    from data_lake_skyfit_spark.llm.curation import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, d in enumerate(docs):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        rebuilt: list[str] = []
+        for c in chunks:
+            toks = c["chunk_text"].split(" ") if c["chunk_text"] else []
+            assert c["n_chunk_tokens"] == len(toks)
+            start = c["chunk_id"] * stride
+            assert toks == d[start : start + chunk]  # coverage + content
+            rebuilt.extend(toks if c["chunk_id"] == 0 else toks[overlap:])
+        # Overlap-trimmed concatenation reconstructs the doc (tail chunks
+        # shorter than overlap contribute nothing new).
+        assert rebuilt[: len(d)] == d and len(rebuilt) == len(d)
+        for c in chunks[:-1]:
+            assert c["n_chunk_tokens"] == chunk

@@ -78,3 +78,48 @@ def test_exact_dedup_shuffles_hash_not_text(spark, sf_dir, qreg):
     plan = _physical(df)
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert ex and all("text" not in ln for ln in ex)
+
+
+def test_pii_scan_is_shuffle_free_map(spark, sf_dir, qreg):
+    """PII redaction must run at scan speed: a single codegen'd map
+    stage with zero exchanges."""
+    df = qreg["pii_scan_redaction"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "Exchange" not in plan
+    assert "*(1)" in plan  # whole-stage codegen covers the regexp map
+
+
+def test_oov_vocab_broadcasts_not_corpus(spark, sf_dir, qreg):
+    """OOV scoring joins the exploded corpus against the K-row vocab:
+    the vocab side must broadcast; the corpus must never shuffle by
+    token for the join (its only exchanges are the vocab aggregation
+    and the per-doc count)."""
+    df = qreg["text_vocab_oov"].fn(spark, sf_dir)
+    plan = _physical(df)
+    # Both the vocab lookup and the per-doc result join broadcast.
+    assert plan.count("BroadcastHashJoin") == 2
+    # The one exchange keyed by token is the vocab aggregation, and it
+    # must be fed by a partial (map-side combined) aggregate — i.e. only
+    # distinct tokens per partition cross the wire, never raw corpus.
+    lines = plan.splitlines()
+    tok_ex = [i for i, ln in enumerate(lines) if "Exchange hashpartitioning(__tok" in ln]
+    assert tok_ex and all("partial_count" in lines[i + 1] for i in tok_ex)
+
+
+def test_mixture_sample_filters_map_side(spark, sf_dir, qreg):
+    """Temperature sampling must broadcast the per-group thresholds and
+    filter the corpus map-side — the corpus never shuffles."""
+    df = qreg["corpus_mixture_sample"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    # The only exchanges aggregate the K-row group counts, never the
+    # corpus: no exchange may partition by doc_id.
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert all("doc_id" not in ln for ln in ex)
+
+
+def test_document_chunking_is_shuffle_free(spark, sf_dir, qreg):
+    """Chunking is map + explode only — no exchange anywhere."""
+    df = qreg["document_chunking"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "Exchange" not in plan
