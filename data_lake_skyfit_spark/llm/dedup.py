@@ -391,6 +391,7 @@ def connected_components(
     ).localCheckpoint(eager=False)
 
     converged = False
+    prev_sum = None
     for round_no in range(1, max_iter + 1):
         neighbor_min = (
             sym.join(labels, sym["t"] == labels["id"])
@@ -423,17 +424,18 @@ def connected_components(
                 )
                 .localCheckpoint(eager=False)
             )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # Convergence certificate: labels only ever DECREASE (min
+        # semantics), so sum(label) is strictly monotone — unchanged sum
+        # iff no label moved. One cheap aggregate replaces the old
+        # old-vs-new join; decimal(38) keeps 10^6-scale ids overflow-free.
+        label_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             converged = True
             break
+        prev_sum = label_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
