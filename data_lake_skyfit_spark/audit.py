@@ -39,6 +39,7 @@ __all__ = [
     "check_orphans",
     "check_per_scope_counts",
     "run_audit",
+    "observed_write",
 ]
 
 
@@ -184,3 +185,50 @@ def run_audit(
     for fact, dim, fk in orphan_edges or []:
         frames.append(check_orphans(lake, fact, dim, fk))
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def observed_write(
+    df: DataFrame,
+    table,
+    *,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Write a frame AND collect its audit counters in the SAME job via
+    `df.observe` — zero extra scans. The reference audits by re-querying
+    the table after load (audit_stg.sql, health_check.ps1); at 100 TB
+    that second full scan costs as much as the load. Spark's observed
+    metrics piggyback aggregates onto the write job itself:
+
+        n_rows, n_null_keys (any key column null), approx_n_keys
+        (HLL++ distinct of the key tuple), max_ts/min_ts freshness.
+
+    Returns the collected metric dict. `table` is a ParquetTable (or
+    anything exposing overwrite/merge); mode 'overwrite' or 'merge'.
+    The null-key and distinct counters use the same definitions as
+    check_null_business_keys / check_core_duplicate_keys, so a follow-up
+    full audit agrees with the inline numbers.
+    """
+    from pyspark.sql import Observation
+
+    null_any = reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in key_cols]
+    )
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(null_any, 1).otherwise(0)).alias("n_null_keys"),
+        F.approx_count_distinct(F.concat_ws("\x1f", *key_cols)).alias("approx_n_keys"),
+    ]
+    if ts_col is not None:
+        metrics.append(F.max(ts_col).alias("max_ts"))
+        metrics.append(F.min(ts_col).alias("min_ts"))
+    obs = Observation()
+    observed = df.observe(obs, *metrics)
+    if mode == "overwrite":
+        table.overwrite(observed)
+    elif mode == "merge":
+        table.merge(observed)
+    else:
+        raise ValueError(f"observed_write mode must be overwrite|merge, got {mode!r}")
+    return dict(obs.get)

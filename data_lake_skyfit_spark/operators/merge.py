@@ -146,21 +146,42 @@ class ParquetTable:
             else:
                 os.rename(tmp, self.path)
 
-    def compact(self, spark: SparkSession, *, target_file_mb: int = 128) -> None:
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        target_file_mb: int = 128,
+        cluster_by: list[str] | None = None,
+        n_files: int | None = None,
+    ) -> None:
         """Small-file compaction — the OPTIMIZE analog of the reference's
         storage maintenance (sql/schemas/evo/optimize_storage.py:191-269,
         which fights index bloat; parquet's equivalent disease is
         thousands of tiny files from incremental merges). Rewrites the
-        table into ≈target-sized files, preserving partitioning."""
+        table into ≈target-sized files, preserving partitioning.
+
+        `cluster_by` additionally range-partitions and sorts the rewrite
+        by the given columns (OPTIMIZE ... ZORDER's one-dimensional
+        analog): each output file then covers a narrow, near-disjoint
+        value range, so parquet min/max footer stats let later scans
+        with predicates on those columns skip whole files — the
+        data-skipping lever that matters at 100 TB, where compaction
+        without clustering leaves every file containing every key
+        range."""
         df = self.read(spark)
-        total_bytes = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(self.path)
-            for f in fs
-            if f.endswith(".parquet")
-        )
-        n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
-        if self.partition_by:
+        if n_files is None:
+            total_bytes = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(self.path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
+        if cluster_by:
+            df = df.repartitionByRange(int(n_files), *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        elif self.partition_by:
             df = df.repartition(int(n_files), *self.partition_by)
         else:
             df = df.repartition(int(n_files))

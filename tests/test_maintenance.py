@@ -43,3 +43,74 @@ def test_media_embeddings_feed_ann(spark):
     assert len(rows) == 9  # 3 queries × top-3
     assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in rows)
     assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+def test_observed_write_collects_metrics_inline(spark, tmp_path):
+    """observed_write returns the audit counters collected during the
+    write job itself — values must match a post-hoc recomputation."""
+    from data_lake_skyfit_spark.audit import observed_write
+    from data_lake_skyfit_spark.operators.merge import ParquetTable
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 10:00:00"),
+            (2, None, "2024-01-03 10:00:00"),
+            (2, "b", "2024-01-02 10:00:00"),
+            (None, "c", None),
+        ],
+        "k long, s string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    t = ParquetTable(str(tmp_path / "obs"), ["k"])
+    got = observed_write(df, t, key_cols=["k", "s"], ts_col="ts")
+    assert got["n_rows"] == 4
+    assert got["n_null_keys"] == 2  # (2, None) and (None, 'c')
+    assert got["approx_n_keys"] >= 3  # HLL++ estimate over 4 distinct tuples
+    assert str(got["max_ts"]).startswith("2024-01-03")
+    assert str(got["min_ts"]).startswith("2024-01-01")
+    # The write really happened:
+    assert t.read(spark).count() == 4
+
+
+def test_clustered_compaction_enables_file_skipping(spark, tmp_path):
+    """compact(cluster_by=...) must produce near-disjoint per-file
+    min/max ranges on the cluster column (parquet footer stats), where
+    plain compaction leaves every file spanning the full range — the
+    data-skipping property that lets predicate scans drop whole files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_lake_skyfit_spark.operators.merge import ParquetTable
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 977).alias("v")
+    )
+    path = str(tmp_path / "clustered")
+    t = ParquetTable(path, ["k"])
+    # Interleaved writes -> every file covers the whole v range.
+    t.overwrite(df.repartition(8))
+    t.compact(spark, cluster_by=["v"], n_files=4)
+
+    ranges = []
+    for dp, _, fs in os.walk(path):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dp, f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "v"
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    # Adjacent files may touch at the range boundary but must not
+    # substantially overlap: each file covers a narrow slice.
+    span = max(mx for _, mx in ranges) - min(mn for mn, _ in ranges)
+    for mn, mx in ranges:
+        assert (mx - mn) < span / 2  # no file spans the whole value range
