@@ -146,6 +146,33 @@ class ParquetTable:
             else:
                 os.rename(tmp, self.path)
 
+    def vacuum(self) -> list[str]:
+        """Remove stale `__tmp_*` / `__old_*` siblings left by swaps
+        that crashed mid-commit (the swap itself is atomic — the
+        crash-injection test proves no data loss — but an interrupted
+        run can leave orphaned scratch dirs that cost storage and
+        confuse listings; the reference's VACUUM-ish maintenance is
+        optimize_storage.py's cleanup section). Returns removed paths.
+        Never touches the live table dir."""
+        base = self.path.rstrip("/")
+        parent, name = os.path.dirname(base), os.path.basename(base)
+        removed: list[str] = []
+        if not os.path.isdir(parent):
+            return removed
+        for entry in os.listdir(parent):
+            full = os.path.join(parent, entry)
+            if (
+                os.path.isdir(full)
+                and full != base
+                and (
+                    entry.startswith(f"{name}__tmp_")
+                    or entry.startswith(f"{name}__old_")
+                )
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        return removed
+
     def compact(
         self,
         spark: SparkSession,

@@ -114,3 +114,23 @@ def test_clustered_compaction_enables_file_skipping(spark, tmp_path):
     span = max(mx for _, mx in ranges) - min(mn for mn, _ in ranges)
     for mn, mx in ranges:
         assert (mx - mn) < span / 2  # no file spans the whole value range
+
+
+def test_vacuum_removes_only_stale_scratch_dirs(spark, tmp_path):
+    import os
+
+    from data_lake_skyfit_spark.operators.merge import ParquetTable
+
+    t = ParquetTable(str(tmp_path / "t"), ["id"])
+    t.overwrite(spark.range(10).select(F.col("id"), F.lit(1).alias("v")))
+    # Simulate crashed-swap leftovers plus an unrelated sibling table.
+    stale1 = str(tmp_path / "t__tmp_deadbeef")
+    stale2 = str(tmp_path / "t__old_cafebabe")
+    other = str(tmp_path / "t2")
+    for d in (stale1, stale2, other):
+        os.makedirs(d)
+    removed = t.vacuum()
+    assert sorted(removed) == sorted([stale1, stale2])
+    assert not os.path.isdir(stale1) and not os.path.isdir(stale2)
+    assert os.path.isdir(other)  # unrelated dirs untouched
+    assert t.read(spark).count() == 10  # live data untouched
