@@ -82,7 +82,11 @@ def top_ngram_stats(
     n tokens get ('', 0, 0.0).
     """
     p = prefix if prefix is not None else f"{n}"
-    grams = df.select(F.col(id_col), ngrams_expr(text_col, n).alias("__g"))
+    # Two consumers (totals + counts) — checkpoint so the n-gram
+    # construction over the corpus runs once, not per consumer.
+    grams = df.select(
+        F.col(id_col), ngrams_expr(text_col, n).alias("__g")
+    ).localCheckpoint(eager=False)
     totals = grams.select(F.col(id_col), F.size("__g").alias("__n"))
     counts = (
         grams.select(F.col(id_col), F.explode("__g").alias("__gram"))
@@ -145,7 +149,11 @@ def oov_stats(
     (broadcast); pass 2 joins exploded tokens against the broadcast
     vocab — the corpus-sized side is never shuffled by token.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("__tok"))
+    # Two consumers (vocab aggregate + scored join) — checkpoint so the
+    # corpus tokenize/explode runs once.
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("__tok")
+    ).localCheckpoint(eager=False)
     vocab = (
         toks.groupBy("__tok")
         .agg(F.count(F.lit(1)).alias("__freq"))

@@ -115,10 +115,16 @@ def jaccard_pairs_bruteforce(
     # by (freq asc, shingle asc) → keep the prefix.
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
+    # Prefix length ⌊(1−t)·sz⌋ + 1 with an epsilon nudge: (1−t)·sz in
+    # floats lands just BELOW the exact integer whenever t·sz is whole
+    # (e.g. 5·(1−0.8) = 0.99999…), and flooring that would shorten the
+    # prefix by one — turning the lossless filter into one that drops
+    # true J ≥ t pairs. The +1e-9 can only lengthen a prefix (safe),
+    # never shorten it.
     prefix = (
         ex.join(freq, "g")
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.floor(F.col("sz") * (1 - threshold)) + 1)
+        .filter(F.col("rn") <= F.floor(F.col("sz") * (1 - threshold) + 1e-9) + 1)
         .select("id", "sz", "g")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -132,19 +138,7 @@ def jaccard_pairs_bruteforce(
     )
     # Exact verification on FULL shingle sets (prefix only gated
     # candidate generation, never the similarity itself).
-    shs = s.select("id", "sh")
-    verified = (
-        candidates.join(
-            shs.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id"
-        ).join(
-            shs.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id"
-        )
-    )
-    j = _jaccard(F.col("a_sh"), F.col("b_sh"))
-    return (
-        verified.select("a_id", "b_id", F.round(j, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_pairs(candidates, s.select("id", "sh"), threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -317,7 +311,15 @@ class MinHashIndex:
             existing = self.band_table.read(spark)
             old_sigs = self.sig_table.read(spark)
             probe = existing.unionByName(new_bands)
-            all_shingles = old_sigs.select("id", "sh").unionByName(sig.select("id", "sh"))
+            # A replayed/updated doc id exists on BOTH sides; keep only
+            # the new batch's shingles for it, or the verification joins
+            # fan out into duplicated pair rows (and a stale shingle set
+            # could win). anti-join = new-signature-wins.
+            all_shingles = (
+                old_sigs.select("id", "sh")
+                .join(sig.select("id"), "id", "left_anti")
+                .unionByName(sig.select("id", "sh"))
+            )
         else:
             probe = new_bands
             all_shingles = sig.select("id", "sh")
@@ -390,6 +392,12 @@ def connected_components(
         sym.select(F.col("s").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=False)
 
+    from pyspark.sql import types as T
+
+    integral_ids = isinstance(
+        labels.schema["label"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
     converged = False
     prev_sum = None
     for round_no in range(1, max_iter + 1):
@@ -424,18 +432,31 @@ def connected_components(
                 )
                 .localCheckpoint(eager=False)
             )
-        # Convergence certificate: labels only ever DECREASE (min
-        # semantics), so sum(label) is strictly monotone — unchanged sum
-        # iff no label moved. One cheap aggregate replaces the old
-        # old-vs-new join; decimal(38) keeps 10^6-scale ids overflow-free.
-        label_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        # Convergence certificate. For integral ids: labels only ever
+        # DECREASE (min semantics), so sum(label) is strictly monotone —
+        # unchanged sum iff no label moved; one cheap aggregate replaces
+        # an old-vs-new join (decimal(38) keeps 10^6-scale ids
+        # overflow-free). Non-numeric ids (string doc keys) would cast
+        # to NULL and fake instant convergence, so they use the join.
+        if integral_ids:
+            label_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            unchanged = label_sum == prev_sum and round_no > 1
+            prev_sum = label_sum
+        else:
+            unchanged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels = new_labels
-        if label_sum == prev_sum:
+        if unchanged:
             converged = True
             break
-        prev_sum = label_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "

@@ -146,19 +146,24 @@ class ParquetTable:
             else:
                 os.rename(tmp, self.path)
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, *, min_age_s: int = 3600) -> list[str]:
         """Remove stale `__tmp_*` / `__old_*` siblings left by swaps
         that crashed mid-commit (the swap itself is atomic — the
         crash-injection test proves no data loss — but an interrupted
         run can leave orphaned scratch dirs that cost storage and
         confuse listings; the reference's VACUUM-ish maintenance is
         optimize_storage.py's cleanup section). Returns removed paths.
-        Never touches the live table dir."""
+        Never touches the live table dir, and skips scratch dirs
+        modified within `min_age_s` seconds — a concurrent writer's
+        in-flight tmp dir must not be destroyed mid-commit."""
+        import time
+
         base = self.path.rstrip("/")
         parent, name = os.path.dirname(base), os.path.basename(base)
         removed: list[str] = []
         if not os.path.isdir(parent):
             return removed
+        cutoff = time.time() - min_age_s
         for entry in os.listdir(parent):
             full = os.path.join(parent, entry)
             if (
@@ -169,6 +174,16 @@ class ParquetTable:
                     or entry.startswith(f"{name}__old_")
                 )
             ):
+                newest = max(
+                    (
+                        os.path.getmtime(os.path.join(dp, f))
+                        for dp, _, fs in os.walk(full)
+                        for f in fs
+                    ),
+                    default=os.path.getmtime(full),
+                )
+                if newest > cutoff:
+                    continue  # possibly a live writer's scratch dir
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(full)
         return removed
@@ -300,7 +315,32 @@ class ParquetTable:
                 r.asDict()
                 for r in source.select(*self.partition_by).distinct().collect()
             ]
-            if parts:
+            scoped_ok = bool(parts)
+            if scoped_ok and not set(self.partition_by) <= set(keys):
+                # A key whose partition value CHANGES in this batch has
+                # its old row OUTSIDE the pruned scope — the pruned swap
+                # would leave it as a stale duplicate. Detect migration
+                # with a key+partition-column-only scan (column-pruned,
+                # far cheaper than the full rewrite it avoids); any hit
+                # falls back to the whole-table merge, which rewrites
+                # the old partition too.
+                tk = target.select(*keys, *self.partition_by).alias("tk")
+                sk = source.select(
+                    *keys,
+                    *[F.col(c).alias(f"__s_{c}") for c in self.partition_by],
+                ).alias("sk")
+                on_k = None
+                for k in keys:
+                    e = F.col(f"tk.{k}").eqNullSafe(F.col(f"sk.{k}"))
+                    on_k = e if on_k is None else (on_k & e)
+                moved = None
+                for c in self.partition_by:
+                    e = ~F.col(f"tk.{c}").eqNullSafe(F.col(f"sk.__s_{c}"))
+                    moved = e if moved is None else (moved | e)
+                migrated = tk.join(sk, on_k).filter(moved).limit(1).count()
+                if migrated:
+                    scoped_ok = False
+            if scoped_ok:
                 partition_scoped = True
                 cond = None
                 for p in parts:

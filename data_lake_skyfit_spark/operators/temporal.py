@@ -70,11 +70,13 @@ def asof_join(
         F.lit(1).alias("__is_left"),
         F.lit(None)
         .cast(
-            "struct<__rts:"
-            + right.schema[right_ts].dataType.simpleString()
-            + ","
+            "struct<"
             + ",".join(
-                f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+                [f"__rts:{right.schema[right_ts].dataType.simpleString()}"]
+                + [
+                    f"{c}:{right.schema[c].dataType.simpleString()}"
+                    for c in value_cols
+                ]
             )
             + ">"
         )

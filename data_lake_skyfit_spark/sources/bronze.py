@@ -116,7 +116,7 @@ def latest_run_id(spark: SparkSession, root: str, source: str, entity: str) -> s
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return None
-    best: str | None = None
+    values: set[str] = set()
     # Layout: [scope=*/]entity={e}/ingestion_date=*/run_id=* — glob both
     # scoped and unscoped shapes; only directory names come back.
     for pattern in (
@@ -128,6 +128,15 @@ def latest_run_id(spark: SparkSession, root: str, source: str, entity: str) -> s
                 continue
             name = status.getPath().getName()  # "run_id=<escaped value>"
             value = unquote(name.split("=", 1)[1])
-            if value != "__HIVE_DEFAULT_PARTITION__" and (best is None or value > best):
-                best = value
-    return best
+            if value != "__HIVE_DEFAULT_PARTITION__":
+                values.add(value)
+    if not values:
+        return None
+    # All-digit run ids compare NUMERICALLY ('10' > '9') — partition
+    # inference typed them as ints, and a lexicographic max would return
+    # '9' over '10' and re-point incremental loads at a stale run.
+    # Timestamp-shaped ids ('2024-01-02T03...') stay lexicographic,
+    # which is chronological for ISO forms.
+    if all(v.isdigit() for v in values):
+        return max(values, key=int)
+    return max(values)

@@ -75,13 +75,29 @@ def extraction_gaps(
          "missing": [date strings], "resume_from": date string | None}
 
     `resume_from` is the earliest missing date if any, else the day
-    after the last extracted period.
+    after the last extracted period. Partition dirs whose value is not
+    an ISO date (a NULL ingestion_date lands as
+    `__HIVE_DEFAULT_PARTITION__`, dirty writers can produce anything)
+    are reported under `non_date_periods` instead of crashing the gap
+    scan — a dirty period is exactly what this report exists to surface.
     """
-    seen = sorted(
-        {d for d, _, _, _ in _run_dirs(spark, root, source, entity) or []}
-    )
+    raw = {d for d, _, _, _ in _run_dirs(spark, root, source, entity) or []}
+    seen, non_date = [], []
+    for d in sorted(raw):
+        try:
+            date.fromisoformat(d)
+            seen.append(d)
+        except ValueError:
+            non_date.append(d)
     if not seen:
-        return {"first": None, "last": None, "n_periods": 0, "missing": [], "resume_from": None}
+        return {
+            "first": None,
+            "last": None,
+            "n_periods": 0,
+            "missing": [],
+            "resume_from": None,
+            "non_date_periods": non_date,
+        }
     first, last = date.fromisoformat(seen[0]), date.fromisoformat(seen[-1])
     have = set(seen)
     missing = []
@@ -97,4 +113,5 @@ def extraction_gaps(
         "n_periods": len(seen),
         "missing": missing,
         "resume_from": resume,
+        "non_date_periods": non_date,
     }

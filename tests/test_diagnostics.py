@@ -63,3 +63,16 @@ def test_extraction_report_empty_root(spark, tmp_path):
     assert extraction_report(spark, str(tmp_path), "evo", "members").count() == 0
     got = extraction_gaps(spark, str(tmp_path), "evo", "members")
     assert got["n_periods"] == 0 and got["resume_from"] is None
+
+
+def test_extraction_gaps_tolerates_non_date_partitions(spark, tmp_path):
+    """A NULL ingestion_date lands as __HIVE_DEFAULT_PARTITION__; the
+    gap report must surface it, not crash on date parsing."""
+    root = str(tmp_path)
+    part = {"part-00000.jsonl.gz": gzip.compress(b'{"id": 1}\n')}
+    for day in ("2024-01-01", "2024-01-02", "__HIVE_DEFAULT_PARTITION__"):
+        _land(root, "members", day, "r1", part)
+    got = extraction_gaps(spark, root, "evo", "members")
+    assert got["first"] == "2024-01-01" and got["last"] == "2024-01-02"
+    assert got["missing"] == []
+    assert got["non_date_periods"] == ["__HIVE_DEFAULT_PARTITION__"]

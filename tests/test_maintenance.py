@@ -129,7 +129,10 @@ def test_vacuum_removes_only_stale_scratch_dirs(spark, tmp_path):
     other = str(tmp_path / "t2")
     for d in (stale1, stale2, other):
         os.makedirs(d)
-    removed = t.vacuum()
+    # Default min_age protects a concurrent writer's fresh scratch dir:
+    assert t.vacuum() == []
+    assert os.path.isdir(stale1)
+    removed = t.vacuum(min_age_s=0)
     assert sorted(removed) == sorted([stale1, stale2])
     assert not os.path.isdir(stale1) and not os.path.isdir(stale2)
     assert os.path.isdir(other)  # unrelated dirs untouched

@@ -310,3 +310,70 @@ def test_minhash_index_incremental_equals_oneshot(spark, tmp_path):
     idx.add(df.filter("doc_id >= 15"))  # replay
     sig_after = {tuple(r) for r in idx.sig_table.read(spark).select("id").collect()}
     assert sig_before == sig_after
+
+
+def test_prefix_filter_exact_boundary_pair(spark):
+    """Float regression: at threshold 0.8 a 5-shingle doc's prefix is
+    ⌊5·0.2⌋+1 = 2, but 5*(1-0.8) in IEEE floats is 0.9999…, flooring to
+    a 1-element prefix that misses true J = 0.8 pairs. doc A's 5-gram
+    set ⊃ doc B's 4-gram set with J exactly 4/5 = threshold — the pair
+    MUST surface."""
+    # 3-token shingles: 7 tokens -> 5 shingles; dropping the last token
+    # of A gives B with 4 of A's 5 shingles.
+    a_text = "w1 w2 w3 w4 w5 w6 w7"
+    b_text = "w1 w2 w3 w4 w5 w6"
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string"
+    )
+    got = jaccard_pairs_bruteforce(df, n=3, threshold=0.8).collect()
+    assert [(r["a_id"], r["b_id"], r["jaccard"]) for r in got] == [(1, 2, 0.8)]
+
+
+def test_connected_components_string_ids(spark):
+    """Non-numeric ids cannot use the sum(label) certificate (cast →
+    NULL would fake instant convergence); the join fallback must still
+    resolve the full chain."""
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "a_id string, b_id string"
+    )
+    labels = connected_components(chain, max_iter=10).collect()
+    assert {r["id"]: r["cluster_id"] for r in labels} == {
+        "a": "a", "b": "a", "c": "a", "d": "a"
+    }
+
+
+def test_latest_run_id_numeric_ordering(spark, tmp_path):
+    """All-digit run ids compare numerically: run 10 beats run 9."""
+    root = str(tmp_path)
+    for rid in ("1", "9", "10"):
+        d = os.path.join(root, "bronze", "evo", "entity=members",
+                         "ingestion_date=2024-01-01", f"run_id={rid}")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-00000.jsonl.gz"), "wb") as f:
+            f.write(gzip.compress(b'{"id": 1}\n'))
+    assert bronze.latest_run_id(spark, root, "evo", "members") == "10"
+
+
+def test_minhash_index_replayed_batch_no_duplicate_pairs(spark, tmp_path):
+    """Crash-recovery replay: re-adding the same batch must return the
+    same pair set exactly once — a re-added id exists in both the stored
+    signatures and the new batch, and without new-signature-wins dedup
+    the verification joins fan out into duplicated rows."""
+    from data_lake_skyfit_spark.llm.dedup import MinHashIndex
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = MinHashIndex(str(tmp_path / "idx"), n=3, bands=32, threshold=0.5)
+    first = sorted(
+        (r["a_id"], r["b_id"]) for r in idx.add(docs).collect()
+    )
+    replay = idx.add(docs)  # same batch again (crash-recovery replay)
+    rows = [(r["a_id"], r["b_id"]) for r in replay.collect()]
+    assert sorted(rows) == first  # same pairs...
+    assert len(rows) == len(set(rows))  # ...and no duplicated rows

@@ -135,3 +135,27 @@ def test_swap_write_crash_never_loses_rows(spark, tmp_path, monkeypatch):
         pass
     monkeypatch.setattr(merge_mod.shutil, "rmtree", real_rmtree)
     assert read_set(t2) == merged_rows  # fully committed new state
+
+
+def test_merge_key_migrating_partitions_leaves_no_stale_duplicate(spark, tmp_path):
+    """A source row that moves a key to a DIFFERENT partition value must
+    not leave the old row behind: the pruned rewrite scope excludes the
+    old partition, so the merge must detect the migration and fall back
+    to a full rewrite."""
+    from data_lake_skyfit_spark.operators.merge import ParquetTable
+
+    t = ParquetTable(str(tmp_path / "mig"), ["id"], partition_by=["year"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 2023, 10.0), (2, 2023, 20.0), (3, 2024, 30.0)],
+            "id long, year int, v double",
+        )
+    )
+    # id=1 migrates 2023 -> 2024; id=3 updates in place.
+    t.merge(
+        spark.createDataFrame(
+            [(1, 2024, 11.0), (3, 2024, 33.0)], "id long, year int, v double"
+        )
+    )
+    got = {(r["id"], r["year"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, 2024, 11.0), (2, 2023, 20.0), (3, 2024, 33.0)}

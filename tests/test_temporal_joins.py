@@ -87,3 +87,19 @@ def test_range_join_interval_spanning_buckets(spark):
     )
     out = bucketed_range_join(pts, ivl, bucket_seconds=3600).collect()
     assert sorted(r["pid"] for r in out) == [1, 2]  # exactly once each
+
+
+def test_asof_join_with_no_value_columns(spark):
+    """value_cols may be empty (right side carries only key+timestamp);
+    the struct cast must not emit a trailing comma and the join still
+    attaches the matched timestamp."""
+    from data_lake_skyfit_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00")], "k long, rts string"
+    ).withColumn("rts", F.to_timestamp("rts"))
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").collect()
+    assert len(out) == 1 and out[0]["k"] == 1
