@@ -781,6 +781,44 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_profile",
+    """
+    SELECT 'doc_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT)
+    FROM documents
+    """,
+    tags=("A1", "A2", "A5"),
+    doc="Generic table profiling (functions.profile.profile_table): one "
+    "aggregation pass computes every column's row/null/distinct counts, "
+    "then a cheap unpivot emits one row per column — the operator form "
+    "of the reference's ad-hoc audit SQL (audit_stg.sql counts/null/"
+    "distinct blocks). Exact mode for the oracle; approx=True (HLL++, "
+    "single pass, no expand) is the 100 TB default.",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.profile import profile_table
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_table(d, ["doc_id", "lang", "source", "n_chars"])
+
+
+@register(
     "corpus_mixture_sample",
     """
     WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),

@@ -137,3 +137,19 @@ def test_vacuum_removes_only_stale_scratch_dirs(spark, tmp_path):
     assert not os.path.isdir(stale1) and not os.path.isdir(stale2)
     assert os.path.isdir(other)  # unrelated dirs untouched
     assert t.read(spark).count() == 10  # live data untouched
+
+
+def test_profile_table_exact_and_approx(spark):
+    from data_lake_skyfit_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")], "k long, s string"
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["k"]["n_rows"] == 4 and got["s"]["n_rows"] == 4
+    assert (got["k"]["n_nulls"], got["k"]["n_distinct"]) == (1, 3)
+    assert (got["s"]["n_nulls"], got["s"]["n_distinct"]) == (1, 2)
+    # Approx mode: same shape, HLL++ estimates close at this scale.
+    approx = {r["column"]: r for r in profile_table(df, approx=True).collect()}
+    assert approx["k"]["n_nulls"] == 1
+    assert abs(approx["k"]["n_distinct"] - 3) <= 1
