@@ -174,14 +174,19 @@ class ParquetTable:
                     or entry.startswith(f"{name}__old_")
                 )
             ):
-                newest = max(
-                    (
-                        os.path.getmtime(os.path.join(dp, f))
-                        for dp, _, fs in os.walk(full)
-                        for f in fs
-                    ),
-                    default=os.path.getmtime(full),
-                )
+                try:
+                    newest = max(
+                        (
+                            os.path.getmtime(os.path.join(dp, f))
+                            for dp, _, fs in os.walk(full)
+                            for f in fs
+                        ),
+                        default=os.path.getmtime(full),
+                    )
+                except OSError:
+                    # The dir vanished mid-scan — a concurrent writer
+                    # just committed or cleaned it. Leave it alone.
+                    continue
                 if newest > cutoff:
                     continue  # possibly a live writer's scratch dir
                 shutil.rmtree(full, ignore_errors=True)
@@ -317,13 +322,16 @@ class ParquetTable:
             ]
             scoped_ok = bool(parts)
             if scoped_ok and not set(self.partition_by) <= set(keys):
-                # A key whose partition value CHANGES in this batch has
-                # its old row OUTSIDE the pruned scope — the pruned swap
-                # would leave it as a stale duplicate. Detect migration
-                # with a key+partition-column-only scan (column-pruned,
-                # far cheaper than the full rewrite it avoids); any hit
-                # falls back to the whole-table merge, which rewrites
-                # the old partition too.
+                # A key whose partition value CHANGES in this batch
+                # breaks the scoped swap two ways: an old row OUTSIDE
+                # the pruned scope survives as a stale duplicate, and
+                # even an in-scope old row is unsafe when the migration
+                # EMPTIES its partition (no dir lands in tmp, so the
+                # stale dir is never replaced on disk). Any migration
+                # therefore falls back to the whole-table merge. The
+                # detector is a key+partition-column-only scan —
+                # column-pruned, far cheaper than the full rewrite it
+                # usually avoids.
                 tk = target.select(*keys, *self.partition_by).alias("tk")
                 sk = source.select(
                     *keys,

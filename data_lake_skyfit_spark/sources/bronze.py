@@ -137,6 +137,8 @@ def latest_run_id(spark: SparkSession, root: str, source: str, entity: str) -> s
     # '9' over '10' and re-point incremental loads at a stale run.
     # Timestamp-shaped ids ('2024-01-02T03...') stay lexicographic,
     # which is chronological for ISO forms.
-    if all(v.isdigit() for v in values):
+    # isdecimal, not isdigit: isdigit accepts characters int() rejects
+    # (superscripts, circled digits) and would crash the conversion.
+    if all(v.isdecimal() for v in values):
         return max(values, key=int)
     return max(values)

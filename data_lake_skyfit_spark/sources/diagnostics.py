@@ -12,6 +12,7 @@ so driver-side assembly is not a scale concern.
 
 from __future__ import annotations
 
+import re
 from datetime import date, timedelta
 from urllib.parse import unquote
 
@@ -20,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from .bronze import bronze_path
 
 __all__ = ["extraction_report", "extraction_gaps"]
+
+_ISO_DAY = re.compile(r"\d{4}-\d{2}-\d{2}")
 
 
 def _run_dirs(spark: SparkSession, root: str, source: str, entity: str):
@@ -84,11 +87,17 @@ def extraction_gaps(
     raw = {d for d, _, _, _ in _run_dirs(spark, root, source, entity) or []}
     seen, non_date = [], []
     for d in sorted(raw):
-        try:
-            date.fromisoformat(d)
-            seen.append(d)
-        except ValueError:
-            non_date.append(d)
+        # Strictly dashed YYYY-MM-DD only: fromisoformat alone would
+        # also accept compact forms like '20240102' (Python 3.11+),
+        # which then corrupt the string-keyed range/membership math.
+        ok = False
+        if _ISO_DAY.fullmatch(d):
+            try:
+                date.fromisoformat(d)
+                ok = True
+            except ValueError:
+                pass  # shape matched but not a real date ('2024-13-99')
+        (seen if ok else non_date).append(d)
     if not seen:
         return {
             "first": None,

