@@ -123,3 +123,14 @@ def test_document_chunking_is_shuffle_free(spark, sf_dir, qreg):
     df = qreg["document_chunking"].fn(spark, sf_dir)
     plan = _physical(df)
     assert "Exchange" not in plan
+
+
+def test_table_profile_is_single_scan(spark, sf_dir, qreg):
+    """The profiler's claim is ONE aggregation pass for all columns: the
+    physical plan must contain exactly one file scan (Spark's Expand
+    handles the multi-distinct, never a per-column job or union of
+    scans), with partial aggregation before the shuffle."""
+    df = qreg["table_profile"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan and "partial" in plan
