@@ -31,30 +31,40 @@ __all__ = [
     "run_stream_to_table",
 ]
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_unit: str | None) -> T.StructType:
+    # nanos files must be read as long (legacy conf) and converted;
+    # micros files read natively as TIMESTAMP_NTZ.
+    ts_type = T.LongType() if ts_unit == "ns" else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with event-time restored to a
-    proper timestamp (see tables.load_table for the nanos rationale)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    proper timestamp (see tables.events_ts_unit for the encoding sniff)."""
+    from ..tables import events_ts_unit
+
+    unit = events_ts_unit(sf_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file-stream source requires a directory: stream the sf dir with
     # a glob pinned to the events table.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(unit))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "ns":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_stream_to_table(stream_df: DataFrame, *, output_mode: str = "complete") -> DataFrame:

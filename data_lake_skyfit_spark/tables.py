@@ -29,22 +29,39 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def events_ts_unit(sf_dir: str) -> str | None:
+    """Physical unit of events.ts in this sf_dir's parquet footer.
+
+    The driver has shipped the events table with two encodings across
+    rounds: INT64 TIMESTAMP(NANOS) (arrow timestamp[ns]; Spark 4 refuses
+    it without the nanosAsLong legacy conf) and plain TIMESTAMP(MICROS)
+    (arrow timestamp[us]; reads natively as TIMESTAMP_NTZ). Sniff the
+    footer so both load identically — one metadata read, no data scan.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    return getattr(t, "unit", None)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a test table, normalizing physical quirks.
 
-    The events table stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-    Spark 4 rejects by default. We read nanos as long (runtime-settable
-    legacy conf) and convert to TIMESTAMP_NTZ at microsecond precision
-    with *integer* division — epoch-nanos exceed double precision, so a
-    float path would corrupt microseconds.
+    events.ts is normalized to TIMESTAMP_NTZ at microsecond precision
+    regardless of the file's physical encoding (see events_ts_unit).
+    The nanos path converts with *integer* division — epoch-nanos exceed
+    double precision, so a float path would corrupt microseconds.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if events_ts_unit(sf_dir) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            return df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
