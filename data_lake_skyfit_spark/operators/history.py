@@ -1,0 +1,156 @@
+"""Change-history operators: SCD type-2 build and snapshot CDC diff.
+
+The reference maintains only latest-state tables — every loader is an
+upsert that overwrites prior versions (src/common/db.py:120-227 ON
+CONFLICT DO UPDATE; SURVEY.md §2.3 K2/K3) — so history questions
+("what was this deal's stage last month?") and change feeds between
+extraction runs are unanswerable there. A lakehouse keeps versions
+cheaply; these operators provide the two standard constructions:
+
+- scd2_history: turn an ordered change stream into slowly-changing-
+  dimension type-2 rows (valid_from / valid_to / version / is_current),
+  compressing consecutive no-op updates. One window shuffle on the
+  entity key; both window passes (change detection via lag, interval
+  close via lead) share the same partitioning+ordering, so Catalyst
+  plans a single exchange and a single sort.
+- snapshot_diff: CDC between two snapshots of a keyed table — classify
+  every key as insert / delete / update via one full-outer hash join
+  with null-safe attribute comparison. At scale both snapshots of the
+  same table share layout; bucketing them on `keys` makes this a
+  co-located join with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_history", "snapshot_diff"]
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    *,
+    tie_breakers: Sequence[str] = (),
+    compress: bool = True,
+) -> DataFrame:
+    """Build SCD2 validity intervals from a change stream.
+
+    Each input row is an observed state of entity `keys` at `ts_col`.
+    Output keeps one row per *state change* with:
+
+    - valid_from: the change's timestamp
+    - valid_to:   next change's timestamp (NULL for the open interval)
+    - version:    1-based change ordinal per entity
+    - is_current: valid_to IS NULL
+
+    With `compress=True` (the SCD2 norm) consecutive rows whose
+    `attr_cols` are unchanged are dropped before intervals are cut, so
+    re-observations of the same state don't fragment the history.
+    NULL-to-NULL counts as unchanged (null-safe comparison).
+
+    Ordering within an entity is (`ts_col`, *tie_breakers); pass a
+    unique tie-breaker when timestamps can collide, or version numbers
+    would be nondeterministic.
+    """
+    if not attr_cols:
+        raise ValueError("scd2_history needs at least one attribute column")
+    keys = list(keys)
+    ordering = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tie_breakers]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+
+    out = df
+    if compress:
+        changed = reduce(
+            lambda a, b: a | b,
+            [
+                ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+                for c in attr_cols
+            ],
+        )
+        # First row per entity: lag is NULL, eqNullSafe(NULL) is false
+        # only for NULL attrs — make the first observation always a
+        # change explicitly.
+        first = F.lag(F.col(ts_col)).over(w).isNull()
+        out = out.withColumn("__chg", first | changed).filter(F.col("__chg")).drop("__chg")
+
+    # Same partitioning+ordering as the lag pass → exchange and sort
+    # are reused, not repeated.
+    return (
+        out.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(F.col(ts_col)).over(w))
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    *,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """CDC diff of two snapshots of a keyed table.
+
+    Returns one row per key present in either snapshot with
+    `change_type` ∈ {'insert', 'delete', 'update', 'unchanged'}
+    ('unchanged' rows are dropped unless `include_unchanged`), plus
+    `old_<c>` / `new_<c>` for every compare column. Attribute equality
+    is null-safe: NULL == NULL is unchanged, NULL vs value is update.
+
+    Plan: one full-outer hash join on `keys` — no window, no driver
+    state. Snapshots bucketed on `keys` (ParquetTable layouts) join
+    co-located without any exchange.
+    """
+    if not compare_cols:
+        raise ValueError("snapshot_diff needs at least one compare column")
+    keys = list(keys)
+    # Explicit presence markers: null-witnessing on key/attr columns
+    # misclassifies all-NULL rows after the outer join.
+    o = old.select(
+        keys + [F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("__old_present", F.lit(True))
+    n = new.select(
+        keys + [F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("__new_present", F.lit(True))
+    # Join on null-safe key equality so NULL keys (dirty rows) pair up
+    # instead of exploding into spurious insert+delete pairs.
+    joined = o.alias("o").join(
+        n.alias("n"),
+        on=[F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys],
+        how="full_outer",
+    )
+    old_present = F.col("__old_present").isNotNull()
+    new_present = F.col("__new_present").isNotNull()
+    differs = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")) for c in compare_cols],
+    )
+    change = (
+        F.when(~old_present, F.lit("insert"))
+        .when(~new_present, F.lit("delete"))
+        .when(differs, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(
+        *[
+            F.when(old_present, F.col(f"o.{k}"))
+            .otherwise(F.col(f"n.{k}"))
+            .alias(k)
+            for k in keys
+        ],
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+        change.alias("change_type"),
+    )
+    if include_unchanged:
+        return out
+    return out.filter(F.col("change_type") != "unchanged")

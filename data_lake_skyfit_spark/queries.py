@@ -1064,4 +1064,113 @@ def array_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Change history: SCD2 build + snapshot CDC diff (operators/history.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_id, ts, event_type FROM ordered
+      WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS INT) AS version,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("W1", "K2", "I1"),
+    doc="SCD type-2 history build (operators/history.py:scd2_history): "
+    "the latest-state-only upsert loop the reference runs "
+    "(src/common/db.py:120-227) extended to versioned validity "
+    "intervals — per-user event_type change stream compressed to "
+    "transitions, valid_from/valid_to cut by lead(). One window "
+    "shuffle; both window passes share the exchange.",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.history import scd2_history
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    h = scd2_history(
+        e, ["user_id"], "ts", ["event_type"], tie_breakers=["event_id"]
+    )
+    return h.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("version").cast("int").alias("version"),
+        "is_current",
+    )
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100 ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           o.o_totalprice AS old_price,
+           n.o_totalprice AS new_price,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
+    tags=("J4", "I2", "K2"),
+    doc="Snapshot CDC diff (operators/history.py:snapshot_diff): the "
+    "change feed between two extraction runs the reference never "
+    "materializes (its ON CONFLICT upsert destroys the old state). Two "
+    "deterministic snapshots derived from orders (mod-5 deletes, mod-7 "
+    "inserts, mod-3 price updates), classified via one full-outer hash "
+    "join with null-safe attribute comparison. Doubles: +100 is a "
+    "single correctly-rounded IEEE op, identical on both engines.",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.history import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 5 != 0)
+    new = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 100
+        ).otherwise(F.col("o_totalprice")),
+    )
+    d = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return d.select(
+        "o_orderkey",
+        F.col("old_o_totalprice").alias("old_price"),
+        F.col("new_o_totalprice").alias("new_price"),
+        "change_type",
+    )
+
+
 QUERIES = registry
