@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "equi_width_histogram"]
 
 
 def profile_table(
@@ -55,4 +55,48 @@ def profile_table(
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("p.n_nulls").alias("n_nulls"),
         F.col("p.n_distinct").alias("n_distinct"),
+    )
+
+
+def equi_width_histogram(df: DataFrame, col: str, nbins: int = 16) -> DataFrame:
+    """Value-distribution histogram of a numeric column: `nbins`
+    equal-width buckets over [min, max], one row per non-empty bucket
+    with (bucket, bucket_lo, n, frac).
+
+    Two jobs: a min/max aggregate (two scalars to the driver — bounded,
+    like any aggregate result) and one map-side-combining groupBy on the
+    bucket ordinal, shuffling at most `nbins` rows per task. The bucket
+    expression stays JVM-side whole-stage-codegen; NULLs are excluded.
+
+    Determinism: width = (max-min)/nbins, bucket = floor((x-min)/width)
+    clamped to nbins-1 — subtraction, division, and floor are
+    correctly-rounded IEEE ops, so any engine computing the same
+    formula lands every value in the identical bucket (no epsilon
+    nudging needed: the boundary cases resolve the same way on every
+    IEEE-compliant engine).
+    """
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    x = F.col(col).cast("double")
+    lo, hi, n_total = df.select(F.min(x), F.max(x), F.count(x)).first()
+    if lo is None:  # all-NULL or empty input → empty histogram
+        return (
+            df.sparkSession.createDataFrame(
+                [], "bucket int, bucket_lo double, n long, frac double"
+            )
+        )
+    if hi == lo:
+        width = 1.0  # degenerate range: everything lands in bucket 0
+    else:
+        width = (hi - lo) / nbins
+    bucket = F.least(F.lit(nbins - 1), F.floor((x - F.lit(lo)) / F.lit(width))).cast(
+        "int"
+    )
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("bucket_lo", F.lit(lo) + F.col("bucket") * F.lit(width))
+        .withColumn("frac", F.col("n").cast("double") / F.lit(float(n_total)))
+        .select("bucket", "bucket_lo", "n", "frac")
     )

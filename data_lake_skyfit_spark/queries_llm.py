@@ -5,8 +5,8 @@ Registered into the same registry as the relational battery. Oracle
 notes: token/shingle/hash constructions are chosen to be expressible
 identically in DuckDB (md5 + string ops, integer arithmetic) so even
 the "fuzzy" operators get exact oracles where the algorithm is
-deterministic. Only candidate-driven approximate ops (LSH ANN) and
-mapInPandas media kernels use the rows-only check.
+deterministic — every entry here has a real oracle (the driver has no
+rows-only mode; see VERDICT round 1).
 """
 
 from __future__ import annotations
@@ -816,6 +816,49 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return profile_table(d, ["doc_id", "lang", "source", "n_chars"])
+
+
+@register(
+    "value_histogram",
+    """
+    WITH b AS (
+      SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+             MAX(CAST(l_extendedprice AS DOUBLE)) AS hi,
+             COUNT(l_extendedprice) AS n_total
+      FROM lineitem
+    ),
+    w AS (
+      SELECT lo, hi, n_total,
+             CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 16 END AS width
+      FROM b
+    ),
+    h AS (
+      SELECT CAST(LEAST(15, FLOOR((CAST(l_extendedprice AS DOUBLE) - lo) / width)) AS INT) AS bucket,
+             COUNT(*) AS n
+      FROM lineitem, w
+      WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT h.bucket,
+           w.lo + h.bucket * w.width AS bucket_lo,
+           CAST(h.n AS BIGINT) AS n,
+           CAST(h.n AS DOUBLE) / w.n_total AS frac
+    FROM h, w
+    """,
+    tags=("A1", "A3", "2.10-math"),
+    doc="Equi-width value histogram (functions.profile."
+    "equi_width_histogram): min/max aggregate (two scalars to the "
+    "driver) then ONE map-side-combining groupBy on the bucket ordinal "
+    "— ≤ nbins rows cross the shuffle per task. Bucket math is "
+    "subtraction/division/floor, all correctly-rounded IEEE ops, so "
+    "both engines bucket every value identically with no epsilon "
+    "nudging.",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.profile import equi_width_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return equi_width_histogram(li, "l_extendedprice", 16)
 
 
 @register(

@@ -153,3 +153,28 @@ def test_profile_table_exact_and_approx(spark):
     approx = {r["column"]: r for r in profile_table(df, approx=True).collect()}
     assert approx["k"]["n_nulls"] == 1
     assert abs(approx["k"]["n_distinct"] - 3) <= 1
+
+
+def test_equi_width_histogram(spark):
+    from data_lake_skyfit_spark.functions.profile import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (2.5,), (9.9,), (10.0,), (None,)], "x double"
+    )
+    h = {r["bucket"]: r for r in equi_width_histogram(df, "x", 4).collect()}
+    # range [0,10], width 2.5: 0,1 → b0; 2.5 → b1; 9.9,10 → b3 (max clamps)
+    assert h[0]["n"] == 2 and h[1]["n"] == 1 and h[3]["n"] == 2
+    assert 2 not in h  # empty buckets are omitted
+    assert h[0]["bucket_lo"] == 0.0 and h[3]["bucket_lo"] == 7.5
+    assert abs(sum(r["frac"] for r in h.values()) - 1.0) < 1e-12
+
+    # degenerate range: single value lands in bucket 0
+    one = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    rows = equi_width_histogram(one, "x", 4).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["n"] == 2
+
+    # all-NULL input → empty histogram with stable schema
+    nulls = spark.createDataFrame([(None,), (None,)], "x double")
+    empty = equi_width_histogram(nulls, "x", 4)
+    assert empty.count() == 0
+    assert empty.columns == ["bucket", "bucket_lo", "n", "frac"]
