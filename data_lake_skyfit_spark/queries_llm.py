@@ -893,6 +893,79 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_budget_select",
+    f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, CAST(len({_DUCK_W}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 8000
+    """,
+    tags=("llm-split", "O1"),
+    doc="Token-budget corpus selection (llm.curation.budget_select): "
+    "take documents best-first (longest here; any quality key works) "
+    "until the cumulative whitespace-token count hits the budget. The "
+    "running sum is the distributed prefix-sum "
+    "(operators.scale.ordered_running_sum) — range partition, "
+    "partition-local windows, broadcast offsets — never a global "
+    "single-task Window.orderBy.",
+)
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.curation import budget_select
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (-F.col("n_chars")).alias("__neg_chars"),
+        text_ops.token_count("text").cast("long").alias("n_tokens"),
+    )
+    sel = budget_select(
+        d,
+        cost_col="n_tokens",
+        order_cols=["__neg_chars", "doc_id"],
+        budget=8000,
+        out_col="cum_tokens",
+    )
+    return sel.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+@register(
+    "corpus_cap_per_group",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rk <= 10
+    """,
+    tags=("llm-split", "W1"),
+    doc="Per-source document cap (llm.curation.cap_per_group): at most "
+    "k=10 docs per source, chosen by md5(doc_id) order — a seedless, "
+    "engine-reproducible uniform draw, so no source dominates the mix "
+    "and the kept set is unbiased w.r.t. ingestion order. One window "
+    "shuffle on the group key.",
+)
+def corpus_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.curation import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(d, group_col="source", k=10)
+
+
+@register(
     "document_chunking",
     """
     WITH t AS (

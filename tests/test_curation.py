@@ -200,3 +200,55 @@ def test_chunking_coverage_and_reconstruction_property(spark, docs, chunk, overl
         assert rebuilt[: len(d)] == d and len(rebuilt) == len(d)
         for c in chunks[:-1]:
             assert c["n_chunk_tokens"] == chunk
+
+
+def test_budget_select_greedy_cutoff(spark):
+    from data_lake_skyfit_spark.llm.curation import budget_select
+
+    df = spark.createDataFrame(
+        [(i, i, 10) for i in range(1, 11)], "doc_id long, rank long, cost long"
+    )
+    out = budget_select(
+        df, cost_col="cost", order_cols=["rank", "doc_id"], budget=35
+    ).collect()
+    # 10+10+10 = 30 fits; the 4th row would reach 40 > 35.
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
+    assert {r["doc_id"]: r["cum_cost"] for r in out} == {1: 10, 2: 20, 3: 30}
+
+
+def test_budget_select_no_global_single_task_window(spark):
+    from data_lake_skyfit_spark.llm.curation import budget_select
+
+    df = spark.createDataFrame(
+        [(i, i, 1) for i in range(100)], "doc_id long, rank long, cost long"
+    )
+    out = budget_select(df, cost_col="cost", order_cols=["rank", "doc_id"], budget=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The corpus-sized running sum must window per partition id (the
+    # range partitioning itself is hidden behind the localCheckpoint's
+    # ExistingRDD scan); the only SinglePartition exchange allowed is
+    # the one over per-partition totals (`partitions` tiny rows).
+    assert "windowspecdefinition(__pid" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_cap_per_group_deterministic_uniform(spark):
+    from data_lake_skyfit_spark.llm.curation import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 40 else "b") for i in range(50)],
+        "doc_id long, source string",
+    )
+    out = cap_per_group(df, group_col="source", k=5)
+    rows = out.collect()
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["a"]) == 5
+    assert len(by_src["b"]) == 5  # group smaller than... 10 rows, capped at 5
+    # Deterministic: same input → identical kept set.
+    again = cap_per_group(df, group_col="source", k=5).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in rows)
+    # The md5 draw is not "first k by id": at least one kept id in the
+    # big group is outside the first five ids.
+    assert any(d >= 5 for d in by_src["a"])
