@@ -125,3 +125,87 @@ def test_snapshot_diff_plan_is_hash_join(spark):
     d = snapshot_diff(old, new, ["k"], ["price", "status"])
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Property tests: SCD2 point-in-time reconstruction, diff patch roundtrip
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_EVENT = st.tuples(
+    st.integers(min_value=0, max_value=3),    # entity
+    st.integers(min_value=0, max_value=20),   # epoch-second offset (ties likely)
+    st.sampled_from(["A", "B", "C", None]),   # state
+)
+_STREAM = st.lists(_EVENT, min_size=1, max_size=25)
+
+
+@given(stream=_STREAM, probe=st.integers(min_value=-1, max_value=22))
+@_SETTINGS
+def test_scd2_point_in_time_matches_latest_event(spark, stream, probe):
+    rows = [
+        (k, seq, datetime.fromtimestamp(86400 + off, tz=None), state)
+        for seq, (k, off, state) in enumerate(stream)
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, ts timestamp, state string")
+    h = scd2_history(df, ["k"], "ts", ["state"], tie_breakers=["seq"]).collect()
+    t = datetime.fromtimestamp(86400 + probe, tz=None)
+    for k in {r[0] for r in rows}:
+        # expected: state of the latest event at-or-before t (ties: max seq)
+        past = [(ts, seq, s) for (kk, seq, ts, s) in rows if kk == k and ts <= t]
+        want = max(past)[2] if past else None
+        have = [
+            r["state"]
+            for r in h
+            if r["k"] == k
+            and r["valid_from"] <= t
+            and (r["valid_to"] is None or t < r["valid_to"])
+        ]
+        if past:
+            assert len(have) == 1 and have[0] == want, (k, t, have, want)
+        else:
+            assert have == []
+        # interval chain invariant: versions tile [first_ts, ∞) gaplessly
+        ivs = sorted(
+            [r for r in h if r["k"] == k], key=lambda r: r["version"]
+        )
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        if ivs:
+            assert ivs[-1]["valid_to"] is None
+
+
+_SNAP_ROW = st.tuples(
+    st.integers(min_value=0, max_value=8),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+)
+
+
+def _dedup(rows):
+    return list({k: (k, v) for k, v in rows}.values())
+
+
+@given(old=st.lists(_SNAP_ROW, max_size=10), new=st.lists(_SNAP_ROW, max_size=10))
+@_SETTINGS
+def test_snapshot_diff_patch_roundtrip(spark, old, new):
+    old, new = _dedup(old), _dedup(new)
+    o = spark.createDataFrame(old, "k long, v long") if old else spark.createDataFrame([], "k long, v long")
+    n = spark.createDataFrame(new, "k long, v long") if new else spark.createDataFrame([], "k long, v long")
+    diff = snapshot_diff(o, n, ["k"], ["v"]).collect()
+    # apply the diff to old → must reconstruct new exactly
+    state = {k: v for k, v in old}
+    for r in diff:
+        if r["change_type"] == "delete":
+            del state[r["k"]]
+        else:
+            assert r["change_type"] in ("insert", "update")
+            state[r["k"]] = r["new_v"]
+    assert state == {k: v for k, v in new}
