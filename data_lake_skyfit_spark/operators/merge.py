@@ -39,13 +39,138 @@ from pyspark.sql import functions as F
 
 from .dedupe import latest_wins
 
-__all__ = ["ParquetTable", "MergeMode"]
+__all__ = ["ParquetTable", "MergeMode", "align_schemas", "merge_rows", "leaf_dirs"]
 
 
 class MergeMode:
     UPDATE_ALL = "update_all"
     UPDATE_SUBSET = "update_subset"
     DO_NOTHING = "do_nothing"  # insert-only: ON CONFLICT DO NOTHING
+
+
+def leaf_dirs(root: str, depth: int) -> list[str]:
+    """Partition leaf dirs under `root` at exactly `depth` levels,
+    discovered from disk, NOT derived from Python values: Spark encodes
+    NULL partition values as __HIVE_DEFAULT_PARTITION__ and %XX-escapes
+    special characters, so a reconstructed f"{k}={v}" name can silently
+    miss dirs (ADVICE r1 — dropped rows on swap)."""
+    found: list[str] = []
+
+    def walk(rel: str, lvl: int) -> None:
+        base = os.path.join(root, rel) if rel else root
+        for name in os.listdir(base):
+            if name.startswith(("_", ".")):
+                continue
+            sub = os.path.join(rel, name) if rel else name
+            if not os.path.isdir(os.path.join(root, sub)):
+                continue
+            if lvl + 1 == depth:
+                found.append(sub)
+            else:
+                walk(sub, lvl + 1)
+
+    walk("", 0)
+    return found
+
+
+def align_schemas(target: DataFrame, source: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Additive schema evolution: missing source cols → NULL of the
+    target's type; extra source cols are appended to target. Both frames
+    come back with identical column order."""
+    for c, t in target.dtypes:
+        if c not in source.columns:
+            source = source.withColumn(c, F.lit(None).cast(t))
+    for c, t in source.dtypes:
+        if c not in target.columns:
+            target = target.withColumn(c, F.lit(None).cast(t))
+    cols = target.columns
+    return target.select(*cols), source.select(*cols)
+
+
+def merge_rows(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    mode: str = MergeMode.UPDATE_ALL,
+    update_subset: Sequence[str] = (),
+) -> DataFrame:
+    """The MERGE row set: target ⟷ source matched on null-safe key
+    equality, combined per `mode` (see ParquetTable.merge). Pure frame
+    construction — callers own deduplication, schema alignment, and
+    writing. Both frames must already share one schema."""
+    keys = list(keys)
+    cols = target.columns
+    t, s = target.alias("t"), source.alias("s")
+    match = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    on = match[0]
+    for m in match[1:]:
+        on = on & m
+
+    unmatched_target = t.join(s, on, "left_anti")
+    inserts = s.join(t, on, "left_anti")
+
+    if mode == MergeMode.DO_NOTHING:
+        matched = t.join(s, on, "left_semi")
+    elif mode == MergeMode.UPDATE_SUBSET:
+        subset = set(update_subset)
+        matched = t.join(s, on, "inner").select(
+            *[
+                (F.col(f"s.{c}") if c in subset else F.col(f"t.{c}")).alias(c)
+                for c in cols
+            ]
+        )
+    else:  # UPDATE_ALL
+        matched = s.join(t, on, "left_semi")
+
+    return unmatched_target.unionByName(matched).unionByName(inserts)
+
+
+def partition_scope(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+):
+    """Decide whether a merge can rewrite only source-touched partitions.
+
+    Returns (scoped_ok, cond): `cond` filters the target to the touched
+    partitions (null-safe — NULL partition values land under
+    __HIVE_DEFAULT_PARTITION__ and must still be selected). Scoping is
+    refused when a key's partition value changes in this batch (the
+    migration leaves a stale duplicate outside the scope and can empty
+    a partition without replacing its dir — ADVICE r1); the detector is
+    a key+partition-column scan, column-pruned and far cheaper than the
+    full rewrite it usually avoids.
+    """
+    keys = list(keys)
+    partition_by = list(partition_by)
+    parts = [
+        r.asDict() for r in source.select(*partition_by).distinct().collect()
+    ]
+    if not parts:
+        return False, None
+    if not set(partition_by) <= set(keys):
+        tk = target.select(*keys, *partition_by).alias("tk")
+        sk = source.select(
+            *keys, *[F.col(c).alias(f"__s_{c}") for c in partition_by]
+        ).alias("sk")
+        on_k = None
+        for k in keys:
+            e = F.col(f"tk.{k}").eqNullSafe(F.col(f"sk.{k}"))
+            on_k = e if on_k is None else (on_k & e)
+        moved = None
+        for c in partition_by:
+            e = ~F.col(f"tk.{c}").eqNullSafe(F.col(f"sk.__s_{c}"))
+            moved = e if moved is None else (moved | e)
+        if tk.join(sk, on_k).filter(moved).limit(1).count():
+            return False, None
+    cond = None
+    for p in parts:
+        c = F.lit(True)
+        for k, v in p.items():
+            c = c & F.col(k).eqNullSafe(F.lit(v))
+        cond = c if cond is None else (cond | c)
+    return True, cond
 
 
 def _delta_available() -> bool:
@@ -90,30 +215,7 @@ class ParquetTable:
         self._swap_write(df)
 
     def _partition_dirs(self, root: str) -> list[str]:
-        """Relative paths of every partition leaf dir under `root`, at
-        exactly len(partition_by) levels. Discovered from disk, NOT
-        derived from Python values: Spark encodes NULL partition values
-        as __HIVE_DEFAULT_PARTITION__ and %XX-escapes special
-        characters, so a reconstructed f"{k}={v}" name can silently
-        miss dirs (ADVICE r1 — dropped rows on swap)."""
-        depth = len(self.partition_by)
-        found: list[str] = []
-
-        def walk(rel: str, lvl: int) -> None:
-            base = os.path.join(root, rel) if rel else root
-            for name in os.listdir(base):
-                if name.startswith(("_", ".")):
-                    continue
-                sub = os.path.join(rel, name) if rel else name
-                if not os.path.isdir(os.path.join(root, sub)):
-                    continue
-                if lvl + 1 == depth:
-                    found.append(sub)
-                else:
-                    walk(sub, lvl + 1)
-
-        walk("", 0)
-        return found
+        return leaf_dirs(root, len(self.partition_by))
 
     def _swap_write(self, df: DataFrame, *, partition_scoped: bool = False) -> None:
         """Materialize to a temp dir, then atomically swap into place.
@@ -297,88 +399,17 @@ class ParquetTable:
             return
 
         target = self.read(spark)
-        # Align source to target schema (additive evolution: missing
-        # source cols → NULL; extra source cols are appended to target).
-        for c, t in target.dtypes:
-            if c not in source.columns:
-                source = source.withColumn(c, F.lit(None).cast(t))
-        for c, t in source.dtypes:
-            if c not in target.columns:
-                target = target.withColumn(c, F.lit(None).cast(t))
-        cols = target.columns
-        source = source.select(*cols)
-        target = target.select(*cols)
+        target, source = align_schemas(target, source)
 
+        # Prune the rewrite to partitions the source actually touches
+        # (see partition_scope for the NULL and key-migration rules).
         partition_scoped = False
         if self.partition_by:
-            # Prune the rewrite to partitions the source actually touches.
-            # eqNullSafe, not == : a NULL partition value (dirty input
-            # rows land under __HIVE_DEFAULT_PARTITION__) must select its
-            # target partition too — plain == is never true for NULL and
-            # would silently drop those target rows on the swap.
-            parts = [
-                r.asDict()
-                for r in source.select(*self.partition_by).distinct().collect()
-            ]
-            scoped_ok = bool(parts)
-            if scoped_ok and not set(self.partition_by) <= set(keys):
-                # A key whose partition value CHANGES in this batch
-                # breaks the scoped swap two ways: an old row OUTSIDE
-                # the pruned scope survives as a stale duplicate, and
-                # even an in-scope old row is unsafe when the migration
-                # EMPTIES its partition (no dir lands in tmp, so the
-                # stale dir is never replaced on disk). Any migration
-                # therefore falls back to the whole-table merge. The
-                # detector is a key+partition-column-only scan —
-                # column-pruned, far cheaper than the full rewrite it
-                # usually avoids.
-                tk = target.select(*keys, *self.partition_by).alias("tk")
-                sk = source.select(
-                    *keys,
-                    *[F.col(c).alias(f"__s_{c}") for c in self.partition_by],
-                ).alias("sk")
-                on_k = None
-                for k in keys:
-                    e = F.col(f"tk.{k}").eqNullSafe(F.col(f"sk.{k}"))
-                    on_k = e if on_k is None else (on_k & e)
-                moved = None
-                for c in self.partition_by:
-                    e = ~F.col(f"tk.{c}").eqNullSafe(F.col(f"sk.__s_{c}"))
-                    moved = e if moved is None else (moved | e)
-                migrated = tk.join(sk, on_k).filter(moved).limit(1).count()
-                if migrated:
-                    scoped_ok = False
-            if scoped_ok:
-                partition_scoped = True
-                cond = None
-                for p in parts:
-                    c = F.lit(True)
-                    for k, v in p.items():
-                        c = c & F.col(k).eqNullSafe(F.lit(v))
-                    cond = c if cond is None else (cond | c)
+            partition_scoped, cond = partition_scope(
+                target, source, keys, self.partition_by
+            )
+            if partition_scoped:
                 target = target.filter(cond)
 
-        t, s = target.alias("t"), source.alias("s")
-        match = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
-        on = match[0]
-        for m in match[1:]:
-            on = on & m
-
-        unmatched_target = t.join(s, on, "left_anti")
-        inserts = s.join(t, on, "left_anti")
-
-        if mode == MergeMode.DO_NOTHING:
-            matched = t.join(s, on, "left_semi")
-        elif mode == MergeMode.UPDATE_SUBSET:
-            subset = set(update_subset)
-            matched = t.join(s, on, "inner").select(
-                *[
-                    (F.col(f"s.{c}") if c in subset else F.col(f"t.{c}")).alias(c)
-                    for c in cols
-                ]
-            )
-        else:  # UPDATE_ALL
-            matched = s.join(t, on, "left_semi")
-
-        merged = unmatched_target.unionByName(matched).unionByName(inserts)
+        merged = merge_rows(target, source, keys, mode, update_subset)
         self._swap_write(merged, partition_scoped=partition_scoped)

@@ -1,0 +1,143 @@
+"""VersionedParquetTable: manifest-committed writes, time travel,
+copy-on-write partition merges, CDC diff between versions, vacuum
+retention, and crash tolerance of the commit protocol."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from data_lake_skyfit_spark.operators.merge import MergeMode
+from data_lake_skyfit_spark.operators.versioned import VersionedParquetTable
+
+
+def _rows(t, spark, version=None):
+    return {
+        r["id"]: (r["val"], r["year"]) for r in t.read(spark, version).collect()
+    }
+
+
+def _mk(tmp_path, partitioned=True):
+    return VersionedParquetTable(
+        str(tmp_path / "t"),
+        ["id"],
+        ["year"] if partitioned else (),
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, val string, year int")
+
+
+def test_versions_accumulate_and_time_travel(spark, tmp_path):
+    t = _mk(tmp_path)
+    v1 = t.merge(_df(spark, [(1, "a", 2023), (2, "b", 2024)]))
+    v2 = t.merge(_df(spark, [(2, "B", 2024), (3, "c", 2024)]))
+    assert (v1, v2) == (1, 2)
+    assert _rows(t, spark, v1) == {1: ("a", 2023), 2: ("b", 2024)}
+    assert _rows(t, spark, v2) == {1: ("a", 2023), 2: ("B", 2024), 3: ("c", 2024)}
+    # latest == v2
+    assert _rows(t, spark) == _rows(t, spark, v2)
+
+
+def test_copy_on_write_partition_merge_shares_untouched_generations(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.merge(_df(spark, [(1, "a", 2023), (2, "b", 2024)]))
+    m1 = t._manifest(1)["partitions"]
+    t.merge(_df(spark, [(2, "B", 2024)]))  # touches only year=2024
+    m2 = t._manifest(2)["partitions"]
+    assert m2["year=2023"] == m1["year=2023"]  # untouched: same generation
+    assert m2["year=2024"] != m1["year=2024"]  # touched: rewritten
+    # and the old version still reads the pre-merge state
+    assert _rows(t, spark, 1)[2] == ("b", 2024)
+
+
+def test_merge_modes_match_contract(spark, tmp_path):
+    t = _mk(tmp_path, partitioned=False)
+    t.merge(_df(spark, [(1, "a", 2023), (2, "b", 2023)]))
+    t.merge(_df(spark, [(2, "X", 2023), (3, "c", 2023)]), mode=MergeMode.DO_NOTHING)
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # matched row untouched
+    t.merge(
+        spark.createDataFrame([(1, "Z", 2099)], "id long, val string, year int"),
+        mode=MergeMode.UPDATE_SUBSET,
+        update_subset=("val",),
+    )
+    r1 = {r["id"]: (r["val"], r["year"]) for r in t.read(spark).collect()}[1]
+    assert r1 == ("Z", 2023)  # subset col updated, year kept
+
+
+def test_diff_between_versions(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.merge(_df(spark, [(1, "a", 2023), (2, "b", 2024)]))
+    t.merge(_df(spark, [(2, "B", 2024), (3, "c", 2024)]))
+    d = {r["id"]: r["change_type"] for r in t.diff(spark, 1, 2).collect()}
+    assert d == {2: "update", 3: "insert"}
+    # reverse direction flips insert → delete
+    rd = {r["id"]: r["change_type"] for r in t.diff(spark, 2, 1).collect()}
+    assert rd == {2: "update", 3: "delete"}
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
+    t = _mk(tmp_path)
+    for i in range(4):
+        t.merge(_df(spark, [(i, f"v{i}", 2020 + i)]))
+    removed = t.vacuum(retain_last=2)
+    assert t.versions() == [3, 4]
+    assert removed  # old manifests went away
+    # retained versions fully readable (every referenced gen kept)
+    assert len(_rows(t, spark, 3)) == 3
+    assert len(_rows(t, spark, 4)) == 4
+    # all remaining generation dirs are referenced by kept manifests
+    refd = set()
+    for v in (3, 4):
+        refd.update(t._manifest(v)["partitions"].values())
+    on_disk = set(os.listdir(t._data_dir))
+    assert on_disk <= refd
+
+
+def test_crashed_commit_leaves_previous_version_intact(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.merge(_df(spark, [(1, "a", 2023)]))
+    before = _rows(t, spark)
+    # Simulate a crash AFTER data write but BEFORE the manifest commit:
+    # an orphan generation dir appears, no manifest references it.
+    gen, _parts = t._write_generation(_df(spark, [(9, "zzz", 2030)]))
+    assert t.latest_version() == 1
+    assert _rows(t, spark) == before  # readers unaffected
+    # vacuum reclaims the orphan generation
+    t.vacuum(retain_last=5)
+    assert not os.path.isdir(t._gen_dir(gen))
+
+
+def test_manifest_pointer_fallback(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.merge(_df(spark, [(1, "a", 2023)]))
+    t.merge(_df(spark, [(2, "b", 2023)]))
+    # Crash between manifest write and pointer swap: pointer one behind.
+    os.remove(os.path.join(t.path, "_LATEST"))
+    assert t.latest_version() == 2  # falls back to highest manifest
+    assert len(_rows(t, spark)) == 2
+
+
+def test_compact_collapses_to_one_generation(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.merge(_df(spark, [(1, "a", 2023)]))
+    t.merge(_df(spark, [(2, "b", 2024)]))
+    v = t.compact(spark)
+    mapping = t._manifest(v)["partitions"]
+    assert len(set(mapping.values())) == 1
+    assert _rows(t, spark) == {1: ("a", 2023), 2: ("b", 2024)}
+
+
+def test_schema_evolution_across_versions(spark, tmp_path):
+    t = _mk(tmp_path, partitioned=False)
+    t.merge(_df(spark, [(1, "a", 2023)]))
+    wider = spark.createDataFrame(
+        [(2, "b", 2024, 9.5)], "id long, val string, year int, score double"
+    )
+    t.merge(wider)
+    rows = {r["id"]: r for r in t.read(spark).collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
