@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import let_expr, tokens_expr
+from .text import let_expr, shingles_expr, tokens_expr
 
 __all__ = [
     "EMAIL_RE",
@@ -36,6 +36,7 @@ __all__ = [
     "chunk_documents",
     "budget_select",
     "cap_per_group",
+    "cross_doc_duplication",
 ]
 
 # Kept to syntax with identical semantics in Java regex and RE2 (DuckDB),
@@ -331,4 +332,57 @@ def cap_per_group(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
+    )
+
+
+def cross_doc_duplication(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-corpus duplication score: the fraction of a
+    document's distinct n-gram shingles that also occur in at least one
+    OTHER document. Boilerplate (headers, license blocks, templated
+    spam) scores near 1.0 while original prose scores near 0 — the
+    corpus-level complement of the intra-document repetition metrics
+    (top_ngram_stats), used as a C4/Gopher-style filter signal.
+
+    Plan: explode distinct shingles → count containing docs per shingle
+    (partial-combining agg) → join back → per-doc ratio. Shuffle is
+    ∝ total shingles — the same class as the inverted-index Jaccard
+    tier, with no pairwise term. The exploded frame feeds two consumers
+    (counts + scoring join), so it is checkpointed to evaluate once.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("__sh")
+    ).localCheckpoint(eager=False)
+    counts = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__ndocs"))
+    per_doc = (
+        sh.join(counts, "__sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(F.when(F.col("__ndocs") > 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_shared"),
+        )
+    )
+    # Docs below n tokens have no shingles and never reach the explode —
+    # restore them with zero counts.
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            F.when(
+                F.coalesce(F.col("n_shingles"), F.lit(0)) > 0,
+                F.round(F.col("n_shared") / F.col("n_shingles"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
     )

@@ -909,7 +909,7 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM c WHERE cum_tokens <= 8000
     """,
-    tags=("llm-split", "O1"),
+    tags=("llm-split",),
     doc="Token-budget corpus selection (llm.curation.budget_select): "
     "take documents best-first (longest here; any quality key works) "
     "until the cumulative whitespace-token count hits the budget. The "
@@ -938,6 +938,48 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+@register(
+    "cross_doc_duplication",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES.format(w='w')} AS s FROM t
+    ),
+    e AS (
+      SELECT doc_id, UNNEST(s) AS g FROM sh
+    ),
+    c AS (
+      SELECT g, COUNT(*) AS ndocs FROM e GROUP BY g
+    ),
+    p AS (
+      SELECT e.doc_id, COUNT(*) AS n_shingles,
+             SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS n_shared
+      FROM e JOIN c USING (g) GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_shingles, 0) AS INT) AS n_shingles,
+           CAST(COALESCE(p.n_shared, 0) AS INT) AS n_shared,
+           CASE WHEN COALESCE(p.n_shingles, 0) > 0
+                THEN ROUND(CAST(p.n_shared AS DOUBLE) / p.n_shingles, 4)
+                ELSE 0.0 END AS shared_frac
+    FROM documents d LEFT JOIN p USING (doc_id)
+    """,
+    tags=("llm-dedup", "llm-text"),
+    doc="Cross-corpus duplication score (llm.curation."
+    "cross_doc_duplication): fraction of each doc's distinct 3-gram "
+    "shingles occurring in ≥1 other doc — the boilerplate/template "
+    "filter signal complementing intra-doc repetition metrics. "
+    "Inverted-index construction: shuffle ∝ shingles, no pairwise term.",
+)
+def cross_doc_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.curation import cross_doc_duplication as _cdd
+
+    d = _t(spark, sf_dir, "documents")
+    return _cdd(d, n=3)
 
 
 @register(

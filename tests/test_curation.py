@@ -252,3 +252,24 @@ def test_cap_per_group_deterministic_uniform(spark):
     # The md5 draw is not "first k by id": at least one kept id in the
     # big group is outside the first five ids.
     assert any(d >= 5 for d in by_src["a"])
+
+
+def test_cross_doc_duplication_scores(spark):
+    from data_lake_skyfit_spark.llm.curation import cross_doc_duplication
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e"),        # shares all shingles with doc 2
+            (2, "a b c d e"),        # exact copy
+            (3, "p q r s t"),        # fully original
+            (4, "a b c x y z"),      # one shared shingle ('a b c') of 4
+            (5, "xx yy"),            # too short for 3-shingles
+        ],
+    )
+    got = {r["doc_id"]: r for r in cross_doc_duplication(df, n=3).collect()}
+    assert got[1]["shared_frac"] == 1.0 and got[2]["shared_frac"] == 1.0
+    assert got[3]["shared_frac"] == 0.0 and got[3]["n_shingles"] == 3
+    assert got[4]["n_shingles"] == 4 and got[4]["n_shared"] == 1
+    assert got[4]["shared_frac"] == 0.25
+    assert got[5]["n_shingles"] == 0 and got[5]["shared_frac"] == 0.0
