@@ -27,6 +27,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "MinHashIndex",
     "connected_components",
+    "apply_near_dup_removal",
     "simhash_bits",
     "embedding_cosine_pairs",
 ]
@@ -604,3 +605,28 @@ def embedding_cosine_pairs(
         pairs.select("a_id", "b_id", F.round("cos_raw", 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def apply_near_dup_removal(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The last step of the near-dup pipeline: given the corpus and its
+    duplicate pairs (any tier — Jaccard, MinHash-LSH, SimHash, cosine),
+    resolve clusters and keep ONE canonical survivor per cluster (the
+    min id, the convention every cluster_id here already encodes) plus
+    every unclustered document.
+
+    Plan: connected_components over the pairs (frontier-checkpointed
+    label propagation), then the corpus LEFT ANTI joins the
+    non-canonical members — the removal list is cluster-sized (tiny
+    next to the corpus), so Spark broadcasts it and the corpus never
+    shuffles.
+    """
+    labels = connected_components(pairs)
+    removed = labels.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(F.broadcast(removed), id_col, "left_anti")

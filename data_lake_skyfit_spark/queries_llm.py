@@ -362,6 +362,41 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_apply_removal",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    e AS (
+      SELECT a_id AS s, b_id AS t FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs
+    ),
+    walk(id, label) AS (
+      SELECT DISTINCT s, s FROM e
+      UNION
+      SELECT e.s, w.label FROM e JOIN walk w ON e.t = w.id
+    ),
+    clusters AS (
+      SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+    """,
+    tags=("llm-dedup", "iterative", "J5", "no-bench"),
+    doc="End-to-end near-dup removal (llm.dedup.apply_near_dup_removal): "
+    "MinHash-LSH pairs → connected components → corpus LEFT ANTI the "
+    "non-canonical members (each cluster keeps its min-id survivor). "
+    "The removal list is cluster-sized, so it broadcasts and the "
+    "corpus never shuffles.",
+)
+def dedup_apply_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.8)
+    return dedup.apply_near_dup_removal(
+        d.select("doc_id", "lang", "source"), pairs
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
