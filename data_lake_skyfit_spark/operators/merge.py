@@ -301,6 +301,7 @@ class ParquetTable:
         *,
         target_file_mb: int = 128,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
         n_files: int | None = None,
     ) -> None:
         """Small-file compaction — the OPTIMIZE analog of the reference's
@@ -310,13 +311,15 @@ class ParquetTable:
         table into ≈target-sized files, preserving partitioning.
 
         `cluster_by` additionally range-partitions and sorts the rewrite
-        by the given columns (OPTIMIZE ... ZORDER's one-dimensional
-        analog): each output file then covers a narrow, near-disjoint
-        value range, so parquet min/max footer stats let later scans
-        with predicates on those columns skip whole files — the
-        data-skipping lever that matters at 100 TB, where compaction
-        without clustering leaves every file containing every key
-        range."""
+        by the given columns (lexicographic — skips files on the LEADING
+        column only); `zorder_by` clusters on a Morton-interleaved key
+        (operators.scale.with_zorder) so every output file covers a
+        narrow range in EVERY listed column simultaneously — the real
+        OPTIMIZE ZORDER, the data-skipping lever that matters at 100 TB,
+        where compaction without clustering leaves every file containing
+        every key range."""
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by or zorder_by, not both")
         df = self.read(spark)
         if n_files is None:
             total_bytes = sum(
@@ -326,7 +329,16 @@ class ParquetTable:
                 if f.endswith(".parquet")
             )
             n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
-        if cluster_by:
+        if zorder_by:
+            from .scale import with_zorder
+
+            df = (
+                with_zorder(df, zorder_by)
+                .repartitionByRange(int(n_files), "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif cluster_by:
             df = df.repartitionByRange(int(n_files), *cluster_by).sortWithinPartitions(
                 *cluster_by
             )

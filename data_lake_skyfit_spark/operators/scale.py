@@ -31,6 +31,7 @@ __all__ = [
     "salted_count_distinct",
     "write_bucketed",
     "ordered_running_sum",
+    "with_zorder",
 ]
 
 
@@ -179,3 +180,57 @@ def write_bucketed(
 
 def bucketed_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
+
+
+def with_zorder(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    bits: int = 12,
+    out_col: str = "__z",
+) -> DataFrame:
+    """Add a Z-order (Morton) key interleaving the given numeric
+    columns — the real multi-dimensional version of OPTIMIZE ZORDER,
+    where `compact(cluster_by=...)`'s lexicographic sort is only its
+    one-dimensional analog.
+
+    Each column is scaled to a `bits`-bit integer via equi-width
+    bucketing over its [min, max] (one tiny aggregate for the bounds —
+    k·2 scalars to the driver), then the buckets' bits interleave:
+    bit j of column c lands at position j·k + c. Sorting by the key
+    gives every output file a narrow range in EVERY clustered column
+    simultaneously, so parquet min/max footer stats skip files for
+    predicates on any of them — a lexicographic sort only skips on the
+    leading column. Pure codegen'd integer expressions; NULLs map to
+    bucket 0 (they sort with the lowest values, same as a sort key).
+    """
+    cols = list(cols)
+    k = len(cols)
+    if k == 0:
+        raise ValueError("with_zorder needs at least one column")
+    if bits * k > 62:
+        raise ValueError(f"bits*len(cols) must fit a long: {bits}*{k} > 62")
+    n = 1 << bits
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
+    ).first()
+    buckets = []
+    for c in cols:
+        lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
+        if lo is None or hi == lo:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        width = (hi - lo) / n
+        b = F.least(
+            F.lit(n - 1),
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(width)),
+        ).cast("long")
+        buckets.append(F.coalesce(b, F.lit(0)))
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for ci, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, j).bitwiseAND(F.lit(1)), j * k + ci
+            )
+    return df.withColumn(out_col, z)

@@ -178,3 +178,60 @@ def test_equi_width_histogram(spark):
     empty = equi_width_histogram(nulls, "x", 4)
     assert empty.count() == 0
     assert empty.columns == ["bucket", "bucket_lo", "n", "frac"]
+
+
+def test_zorder_compaction_skips_on_every_dimension(spark, tmp_path):
+    """compact(zorder_by=[a, b]) must give every file a narrow min/max
+    range in BOTH columns (parquet footer stats), where lexicographic
+    cluster_by=[a] leaves b spanning the full range in every file —
+    the multi-dimensional data-skipping property of a Morton key."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_lake_skyfit_spark.operators.merge import ParquetTable
+
+    # 2D uniform grid: a and b are independent.
+    df = spark.range(0, 16384).select(
+        (F.col("id") % 128).alias("a"), (F.col("id") / 128).cast("long").alias("b")
+    )
+
+    def file_ranges(path, col_name):
+        out = []
+        for dp, _, fs in os.walk(path):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(dp, f)).metadata
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    col = next(
+                        md.row_group(rg).column(i)
+                        for i in range(md.num_columns)
+                        if md.row_group(rg).column(i).path_in_schema == col_name
+                    )
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+                out.append((min(mins), max(maxs)))
+        return out
+
+    lex = ParquetTable(str(tmp_path / "lex"), ["a"])
+    lex.overwrite(df.repartition(8))
+    lex.compact(spark, cluster_by=["a"], n_files=4)
+    # Lexicographic on a: b is unconstrained — every file spans ~all of b.
+    assert all(mx - mn > 0.9 * 127 for mn, mx in file_ranges(lex.path, "b"))
+
+    zt = ParquetTable(str(tmp_path / "zt"), ["a"])
+    zt.overwrite(df.repartition(8))
+    zt.compact(spark, zorder_by=["a", "b"], n_files=4)
+    ra, rb = file_ranges(zt.path, "a"), file_ranges(zt.path, "b")
+    assert len(ra) >= 2
+    # Four files over a 2D grid ≈ quadrants. Range-partition boundaries
+    # are sampled, so a single file may straddle a quadrant cut — assert
+    # on the mean: files cover roughly half of each dimension on
+    # average, instead of all of both the way unclustered files do.
+    mean = lambda rs: sum(mx - mn for mn, mx in rs) / len(rs)  # noqa: E731
+    assert mean(ra) <= 0.75 * 127, ra
+    assert mean(rb) <= 0.75 * 127, rb
+    # No rows lost by the rewrite.
+    assert zt.read(spark).count() == 16384
