@@ -243,10 +243,16 @@ class VersionedParquetTable:
             old, new, list(self.key), cols, include_unchanged=include_unchanged
         )
 
-    def vacuum(self, *, retain_last: int = 2) -> list[str]:
+    def vacuum(self, *, retain_last: int = 2, min_age_s: int = 3600) -> list[str]:
         """Drop manifests beyond the retention window and delete
         generation dirs no kept manifest references. Returns removed
-        paths. The live version is always kept."""
+        paths. The live version is always kept. `min_age_s` protects a
+        crashed-or-in-flight writer's freshly written (not yet
+        committed) generation from being reclaimed mid-commit — pass 0
+        only when no writer can be running (mirrors
+        ParquetTable.vacuum's guard)."""
+        import time
+
         vs = self.versions()
         if not vs:
             return []
@@ -263,12 +269,27 @@ class VersionedParquetTable:
                 p = os.path.join(self._manifest_dir, f"v{v:08d}.json")
                 os.remove(p)
                 removed.append(p)
+        cutoff = time.time() - min_age_s
         if os.path.isdir(self._data_dir):
             for gen in os.listdir(self._data_dir):
-                if gen not in referenced:
-                    full = self._gen_dir(gen)
-                    shutil.rmtree(full, ignore_errors=True)
-                    removed.append(full)
+                if gen in referenced:
+                    continue
+                full = self._gen_dir(gen)
+                try:
+                    newest = max(
+                        (
+                            os.path.getmtime(os.path.join(dp, f))
+                            for dp, _, fs in os.walk(full)
+                            for f in fs
+                        ),
+                        default=os.path.getmtime(full),
+                    )
+                except OSError:
+                    continue  # vanished mid-scan — a writer just committed
+                if newest > cutoff:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
         return removed
 
 

@@ -84,7 +84,7 @@ def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
     t = _mk(tmp_path)
     for i in range(4):
         t.merge(_df(spark, [(i, f"v{i}", 2020 + i)]))
-    removed = t.vacuum(retain_last=2)
+    removed = t.vacuum(retain_last=2, min_age_s=0)
     assert t.versions() == [3, 4]
     assert removed  # old manifests went away
     # retained versions fully readable (every referenced gen kept)
@@ -107,8 +107,11 @@ def test_crashed_commit_leaves_previous_version_intact(spark, tmp_path):
     gen, _parts = t._write_generation(_df(spark, [(9, "zzz", 2030)]))
     assert t.latest_version() == 1
     assert _rows(t, spark) == before  # readers unaffected
-    # vacuum reclaims the orphan generation
+    # The default min-age guard protects a possibly-in-flight writer's
+    # scratch generation; with the guard waived, vacuum reclaims it.
     t.vacuum(retain_last=5)
+    assert os.path.isdir(t._gen_dir(gen))
+    t.vacuum(retain_last=5, min_age_s=0)
     assert not os.path.isdir(t._gen_dir(gen))
 
 
