@@ -184,3 +184,50 @@ def test_stream_merge_sink_into_versioned_table(spark, tmp_path):
     assert {r["id"]: r["val"] for r in t.read(spark, 2).collect()} == {1: "A", 2: "b"}
     d = {r["id"]: r["change_type"] for r in t.diff(spark, 1, 2).collect()}
     assert d == {1: "update", 2: "insert"}
+
+
+# ---------------------------------------------------------------------------
+# Property: every historical version equals the dict-fold prefix
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ROW = st.tuples(
+    st.integers(min_value=0, max_value=5),   # id
+    st.integers(min_value=0, max_value=99),  # val
+    st.integers(min_value=0, max_value=2),   # partition (year bucket)
+)
+_BATCHES = st.lists(st.lists(_ROW, min_size=1, max_size=5), min_size=1, max_size=4)
+
+
+@given(batches=_BATCHES)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_every_version_equals_fold_prefix(spark, tmp_path_factory, batches):
+    """After N merges, version v must equal the dict-fold of batches
+    1..v for EVERY v — time travel returns exactly the states that were
+    committed, including across copy-on-write partition splices."""
+    tmp = tmp_path_factory.mktemp("vt")
+    t = VersionedParquetTable(str(tmp / "t"), ["id"], ["year"])
+    states = []
+    state: dict[int, tuple[int, int]] = {}
+    for batch in batches:
+        df = spark.createDataFrame(
+            [(i, v, 2020 + y, pos) for pos, (i, v, y) in enumerate(batch)],
+            "id long, val long, year int, pos long",
+        )
+        t.merge(df, source_order=["pos"])
+        for i, v, y in batch:  # last occurrence per id wins (source_order)
+            state[i] = (v, 2020 + y)
+        states.append(dict(state))
+    assert t.latest_version() == len(batches)
+    for v, want in enumerate(states, start=1):
+        got = {
+            r["id"]: (r["val"], r["year"])
+            for r in t.read(spark, v).drop("pos").collect()
+        }
+        assert got == want, (v, got, want)
