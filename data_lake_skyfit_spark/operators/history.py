@@ -28,7 +28,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_history", "snapshot_diff"]
+__all__ = ["scd2_history", "snapshot_diff", "point_in_time_join"]
 
 
 def scd2_history(
@@ -154,3 +154,50 @@ def snapshot_diff(
     if include_unchanged:
         return out
     return out.filter(F.col("change_type") != "unchanged")
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    *,
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    state_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Join each fact row to the dimension state that was valid AT its
+    timestamp — the feature-store "point-in-time correct" join that
+    prevents future leakage into training examples (a fact must never
+    see attribute values committed after it happened).
+
+    `history` is an SCD2 frame (scd2_history output): disjoint
+    [valid_from, valid_to) intervals per key, so every fact matches at
+    most one state row; facts before the first recorded change keep
+    NULL state. Plan: one equi-join on `keys` with the interval
+    predicate as a residual filter — per-key interval counts are small
+    (state changes, not events), so this is an ordinary key-partitioned
+    hash join, never an interval cross product.
+    """
+    keys = list(keys)
+    if state_cols is None:
+        reserved = set(keys) | {valid_from, valid_to, "version", "is_current"}
+        state_cols = [c for c in history.columns if c not in reserved]
+    h = history.select(
+        *[F.col(k).alias(f"__hk_{k}") for k in keys],
+        F.col(valid_from).alias("__vf"),
+        F.col(valid_to).alias("__vt"),
+        *state_cols,
+    )
+    on = None
+    for k in keys:
+        e = F.col(k).eqNullSafe(F.col(f"__hk_{k}"))
+        on = e if on is None else (on & e)
+    on = (
+        on
+        & (F.col("__vf") <= F.col(fact_ts))
+        & (F.col("__vt").isNull() | (F.col(fact_ts) < F.col("__vt")))
+    )
+    return facts.join(h, on, "left").drop(
+        *[f"__hk_{k}" for k in keys], "__vf", "__vt"
+    )

@@ -1173,4 +1173,64 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "point_in_time_user_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_id, ts, event_type FROM ordered
+      WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
+    ),
+    h AS (
+      SELECT user_id, event_type,
+             ts AS valid_from,
+             LEAD(ts) OVER w AS valid_to
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    probes AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 13 = 0
+    )
+    SELECT p.event_id, p.user_id, p.ts, h.event_type AS state_at_ts
+    FROM probes p
+    LEFT JOIN h ON h.user_id = p.user_id
+      AND h.valid_from <= p.ts
+      AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+    tags=("J4", "W1", "I1"),
+    doc="Point-in-time correct dimension join (operators/history.py:"
+    "point_in_time_join): each probe event resolves the SCD2 state "
+    "valid AT its timestamp — the feature-store join that keeps future "
+    "attribute values out of training examples. Equi-join on the "
+    "entity key with the interval predicate as a residual filter; "
+    "intervals are disjoint so each fact matches at most one state.",
+)
+def point_in_time_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.history import point_in_time_join, scd2_history
+
+    e = _t(spark, sf_dir, "events")
+    history = scd2_history(
+        e.select("user_id", "event_id", "ts", "event_type"),
+        ["user_id"],
+        "ts",
+        ["event_type"],
+        tie_breakers=["event_id"],
+    ).select("user_id", "event_type", "valid_from", "valid_to")
+    probes = e.filter(F.col("event_id") % 13 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    out = point_in_time_join(
+        probes, history, ["user_id"], state_cols=["event_type"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("event_type").alias("state_at_ts")
+    )
+
+
 QUERIES = registry

@@ -209,3 +209,35 @@ def test_snapshot_diff_patch_roundtrip(spark, old, new):
             assert r["change_type"] in ("insert", "update")
             state[r["k"]] = r["new_v"]
     assert state == {k: v for k, v in new}
+
+
+def test_point_in_time_join_no_future_leakage(spark):
+    from data_lake_skyfit_spark.operators.history import (
+        point_in_time_join,
+        scd2_history,
+    )
+
+    stream = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01T10:00:00"), "A"),
+            (1, 2, _ts("2024-01-01T12:00:00"), "B"),
+        ],
+        "k long, seq long, ts timestamp, state string",
+    )
+    h = scd2_history(stream, ["k"], "ts", ["state"], tie_breakers=["seq"]).select(
+        "k", "state", "valid_from", "valid_to"
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _ts("2024-01-01T09:00:00")),  # before first change → NULL
+            (101, 1, _ts("2024-01-01T10:00:00")),  # boundary: inclusive from
+            (102, 1, _ts("2024-01-01T11:59:59")),  # still A
+            (103, 1, _ts("2024-01-01T12:00:00")),  # boundary: B from 12:00
+            (104, 2, _ts("2024-01-01T12:00:00")),  # unknown key → NULL
+        ],
+        "fact_id long, k long, ts timestamp",
+    )
+    out = point_in_time_join(facts, h, ["k"], state_cols=["state"])
+    got = {r["fact_id"]: r["state"] for r in out.collect()}
+    assert got == {100: None, 101: "A", 102: "A", 103: "B", 104: None}
+    assert out.count() == 5  # disjoint intervals: no fact row duplicated
