@@ -67,9 +67,6 @@ _PRIORITY = [
     "top_customers_by_revenue",
     "orphan_check_anti_join",
     "priority_order_counts",
-    "pivot_event_matrix",
-    "cube_order_stats",
-    "funnel_view_click_purchase",
     "skew_salted_join_revenue",
     "approx_sketch_stats",
     "customer_order_distribution",
@@ -83,6 +80,10 @@ _PRIORITY = [
     "medallion_bronze_to_stg",
     "medallion_upsert_roundtrip",
     "medallion_nested_explode",
+    # change history (SCD2 / CDC / point-in-time correctness)
+    "scd2_user_state",
+    "snapshot_diff_orders",
+    "point_in_time_user_state",
     # streaming + custom-stateful + UDTF
     "streaming_hourly_counts",
     "session_window_stats",
