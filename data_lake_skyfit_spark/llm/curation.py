@@ -37,6 +37,7 @@ __all__ = [
     "budget_select",
     "cap_per_group",
     "cross_doc_duplication",
+    "negative_sample_pairs",
 ]
 
 # Kept to syntax with identical semantics in Java regex and RE2 (DuckDB),
@@ -385,4 +386,61 @@ def cross_doc_duplication(
             .otherwise(F.lit(0.0))
             .alias("shared_frac"),
         )
+    )
+
+
+def negative_sample_pairs(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "doc_id",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Contrastive-pair construction: for every document, draw `k`
+    pseudo-random negatives from the corpus — the (anchor, negative)
+    pairs a contrastive or reranker training set needs next to its
+    (anchor, positive) pairs.
+
+    Draws are seedless and engine-reproducible: negative slot j of
+    anchor q targets corpus position md5(q‖j) mod n, where positions
+    come from operators.scale.dense_index (distributed prefix-sum, no
+    single-task window). Self-pairs are dropped, so an anchor can yield
+    k-1 pairs when a draw lands on itself; collisions across slots are
+    kept (sampling WITH replacement, the contrastive-training norm).
+
+    Plan: the anchor side explodes to n·k slot rows carrying only
+    (id, slot, target_idx); the join to the indexed corpus is a plain
+    equi-join on the dense position. Shuffle ∝ n·k ids — document
+    payloads join in only if the caller selects them afterwards.
+    """
+    from ..operators.scale import dense_index
+
+    indexed = dense_index(df.select(F.col(id_col)), [id_col]).localCheckpoint(
+        eager=False
+    )
+    n_total = indexed.count()
+    slots = df.select(F.col(id_col).alias("anchor_id")).select(
+        "anchor_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+    )
+    target = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("anchor_id"), F.col("slot"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % denom
+    ) % F.lit(n_total)
+    pairs = slots.withColumn("target_idx", target)
+    out = pairs.join(
+        indexed.select(
+            F.col("idx").alias("target_idx"), F.col(id_col).alias("negative_id")
+        ),
+        "target_idx",
+    )
+    return (
+        out.filter(F.col("anchor_id") != F.col("negative_id"))
+        .select("anchor_id", F.col("slot").cast("int").alias("slot"), "negative_id")
     )

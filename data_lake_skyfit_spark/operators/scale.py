@@ -31,6 +31,7 @@ __all__ = [
     "salted_count_distinct",
     "write_bucketed",
     "ordered_running_sum",
+    "dense_index",
     "with_zorder",
 ]
 
@@ -234,3 +235,19 @@ def with_zorder(
                 F.shiftright(b, j).bitwiseAND(F.lit(1)), j * k + ci
             )
     return df.withColumn(out_col, z)
+
+
+def dense_index(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    *,
+    out_col: str = "idx",
+) -> DataFrame:
+    """Assign a dense 0..n-1 index in `order_cols` order — the
+    DataFrame-native zipWithIndex. Rides the distributed prefix-sum
+    (ordered_running_sum of 1s), so there is no global
+    Window.orderBy single-task funnel and no RDD round-trip.
+    `order_cols` must be a total order."""
+    tagged = df.withColumn("__one", F.lit(1))
+    out = ordered_running_sum(tagged, order_cols, "__one", out_col=out_col)
+    return out.withColumn(out_col, (F.col(out_col) - 1).cast("long")).drop("__one")

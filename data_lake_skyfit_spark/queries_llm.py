@@ -1043,6 +1043,42 @@ def corpus_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contrastive_negative_pairs",
+    """
+    WITH idx AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM documents),
+    slots AS (
+      SELECT d.doc_id AS anchor_id, s.slot
+      FROM documents d CROSS JOIN (SELECT UNNEST(range(0, 4)) AS slot) s
+    ),
+    t AS (
+      SELECT anchor_id, slot,
+             (('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '|' || CAST(slot AS VARCHAR)), 1, 6))::BIGINT
+              % 1000000) % (SELECT n_total FROM n) AS target_idx
+      FROM slots
+    )
+    SELECT t.anchor_id, CAST(t.slot AS INT) AS slot, i.doc_id AS negative_id
+    FROM t JOIN idx i ON i.pos = t.target_idx
+    WHERE t.anchor_id <> i.doc_id
+    """,
+    tags=("llm-split", "llm-packing"),
+    doc="Contrastive-pair construction (llm.curation."
+    "negative_sample_pairs): k=4 seedless md5-derived negatives per "
+    "anchor, drawn by dense corpus position "
+    "(operators.scale.dense_index — distributed prefix-sum, no "
+    "single-task window; the same primitive is the DataFrame-native "
+    "zipWithIndex). Self-pairs dropped; draws are with replacement.",
+)
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.curation import negative_sample_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return negative_sample_pairs(d, k=4)
+
+
+@register(
     "document_chunking",
     """
     WITH t AS (

@@ -273,3 +273,32 @@ def test_cross_doc_duplication_scores(spark):
     assert got[4]["n_shingles"] == 4 and got[4]["n_shared"] == 1
     assert got[4]["shared_frac"] == 0.25
     assert got[5]["n_shingles"] == 0 and got[5]["shared_frac"] == 0.0
+
+
+def test_negative_sample_pairs_determinism_and_shape(spark):
+    from data_lake_skyfit_spark.llm.curation import negative_sample_pairs
+
+    df = _docs(spark, [(i, f"doc {i}") for i in range(20)])
+    out = negative_sample_pairs(df, k=3).collect()
+    # ≤ k pairs per anchor (self-draws dropped), negatives from corpus
+    by_anchor: dict[int, list] = {}
+    for r in out:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+        assert 0 <= r["negative_id"] < 20
+        assert r["negative_id"] != r["anchor_id"]
+    assert set(by_anchor) <= set(range(20))
+    assert all(1 <= len(v) <= 3 for v in by_anchor.values())
+    # deterministic across runs
+    again = negative_sample_pairs(df, k=3).collect()
+    key = lambda r: (r["anchor_id"], r["slot"], r["negative_id"])  # noqa: E731
+    assert sorted(map(key, again)) == sorted(map(key, out))
+
+
+def test_dense_index_is_gapless_and_ordered(spark):
+    from data_lake_skyfit_spark.operators.scale import dense_index
+
+    df = spark.createDataFrame([(i * 7 % 100, ) for i in range(100)], "v long")
+    got = dense_index(df, ["v"]).collect()
+    ordered = sorted(got, key=lambda r: r["idx"])
+    assert [r["idx"] for r in ordered] == list(range(100))
+    assert [r["v"] for r in ordered] == sorted(r["v"] for r in got)
