@@ -6,18 +6,31 @@ pattern (reference: src/common/lake.py:59-71 blob handling) lifted into
 columns. Decode/feature-extract/resize/frame-sample are Arrow-batched
 `mapInPandas` operators so media bytes never round-trip per row.
 
-The actual codecs (PIL/librosa/av) are NOT in this image, so the decode
-kernels are stubbed: with SKYFIT_FAKE_DECODE=1 (default in tests) they
-produce deterministic fake outputs with the real schema and batch
+Codec strategy: formats the Python stdlib can parse are decoded FOR
+REAL — PCM WAV via `wave`/`struct` and 24-bpp BMP via `struct` — with
+the kernels sniffing each payload's magic bytes (RIFF/WAVE, 'BM') and
+running actual byte-level header + sample/pixel decoding. Formats that
+would need PIL/librosa/av (JPEG, MP3, MP4...) are NOT decodable in
+this image: with SKYFIT_FAKE_DECODE=1 (default in tests) unrecognized
+payloads take a deterministic fake path with the real schema and batch
 shape; otherwise they raise NotImplementedError naming the missing
 dependency. The Spark-side plumbing — schemas, partitioning, UDF
-signatures, batch iteration — is real and tested.
+signatures, batch iteration — is identical for both paths.
+
+`synthesize_wav_payloads` / `synthesize_bmp_payloads` build real
+encoded media from an id column with documented closed-form content,
+so battery fixtures can encode → decode and a SQL oracle can compute
+the expected decoded values arithmetically (see queries_llm.py).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import math
 import os
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,6 +48,10 @@ __all__ = [
     "resize_images",
     "extract_embeddings",
     "sample_video_frames",
+    "encode_wav_pcm16",
+    "encode_bmp24",
+    "synthesize_wav_payloads",
+    "synthesize_bmp_payloads",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -89,29 +106,185 @@ def _require_codec(lib: str) -> None:
         )
 
 
+# ---------------------------------------------------------------------------
+# Real stdlib codecs: PCM WAV (wave/struct) and 24-bpp BMP (struct)
+# ---------------------------------------------------------------------------
+
+#: Sample rates the audio fixtures draw from (also used by the fake path).
+WAV_RATES = (8000, 16000, 22050, 44100, 48000)
+
+
+def encode_wav_pcm16(sample_rate: int, samples: list[int]) -> bytes:
+    """Encode signed 16-bit mono PCM into a real RIFF/WAVE container."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _decode_wav(data: bytes) -> tuple[int, int, int, int, float]:
+    """Parse a RIFF/WAVE payload: header fields + every PCM sample.
+
+    Returns (sample_rate, n_samples, duration_ms, sample_sum, rms).
+    rms = sqrt(sum(s²)/n) — exact int accumulation, then one IEEE
+    divide + sqrt, both correctly rounded, so it is reproducible
+    bit-for-bit in any engine that does the same arithmetic.
+    """
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr = w.getframerate()
+        n_frames = w.getnframes()
+        n_ch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise ValueError(f"only 16-bit PCM supported, got width {w.getsampwidth()}")
+        raw = w.readframes(n_frames)
+    samples = struct.unpack(f"<{n_frames * n_ch}h", raw)
+    ssum = 0
+    ssq = 0
+    for s in samples:
+        ssum += s
+        ssq += s * s
+    n = len(samples)
+    rms = math.sqrt(ssq / n) if n else 0.0
+    return sr, n, n * 1000 // sr, ssum, rms
+
+
+def encode_bmp24(width: int, height: int, pixel) -> bytes:
+    """Encode a real 24-bpp bottom-up BMP (BITMAPINFOHEADER).
+
+    `pixel(x, y, c)` returns the byte for channel c (0=B, 1=G, 2=R) at
+    (x, y) with y=0 the TOP row. Row padding bytes are written as 0xFF
+    deliberately — a decoder that naively sums the whole pixel array
+    instead of skipping padding produces a wrong pixel_sum.
+    """
+    row_size = (width * 3 + 3) & ~3
+    pad = row_size - width * 3
+    img_size = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            for c in range(3):
+                row.append(pixel(x, y, c))
+        row.extend(b"\xff" * pad)
+        rows.append(bytes(row))
+    return header + info + b"".join(rows)
+
+
+def _decode_bmp(data: bytes) -> tuple[int, int, int, int]:
+    """Parse a BMP payload: header dims + per-pixel channel bytes.
+
+    Returns (width, height, n_channels, pixel_sum). Handles top-down
+    (negative height) and bottom-up storage and skips row padding.
+    """
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", data, 10)
+    _hdr_size, width, height, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+    n_ch = bpp // 8
+    h = abs(height)
+    row_size = (width * n_ch + 3) & ~3
+    psum = 0
+    for r in range(h):
+        off = data_offset + r * row_size
+        psum += sum(data[off : off + width * n_ch])
+    return width, h, n_ch, psum
+
+
+def synthesize_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL encoded WAV payload column, deterministic closed form.
+
+    Per id: sample_rate = WAV_RATES[id % 5], n = 64 + id % 97,
+    sample[i] = ((id·7919 + i·104729) mod 65536) − 32768. A SQL oracle
+    reproduces the decoded stats from the same formulas (no bytes).
+    """
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav_pcm16(
+                    WAV_RATES[rid % 5],
+                    [
+                        ((rid * 7919 + i * 104729) % 65536) - 32768
+                        for i in range(64 + rid % 97)
+                    ],
+                )
+                for rid in (int(v) for v in pdf[id_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def synthesize_bmp_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL encoded 24-bpp BMP payload, deterministic closed form.
+
+    Per id: width = 4 + id % 13, height = 4 + id % 11,
+    pixel(x, y, c) = (id + 3x + 7y + c) mod 256.
+    """
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_bmp24(
+                    4 + rid % 13,
+                    4 + rid % 11,
+                    lambda x, y, c, rid=rid: (rid + 3 * x + 7 * y + c) % 256,
+                )
+                for rid in (int(v) for v in pdf[id_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
-    """payload → (id, width, height, n_channels) via Arrow-batched
-    mapInPandas. Fake path: dimensions derived deterministically from
-    the content hash; real path: PIL (stubbed)."""
+    """payload → (id, width, height, n_channels, pixel_sum) via
+    Arrow-batched mapInPandas. BMP payloads ('BM' magic) are decoded
+    FOR REAL — header parse + per-pixel channel sum with row padding
+    skipped. Other formats would need PIL: fake path derives dims from
+    the content hash with pixel_sum null (or raises without
+    SKYFIT_FAKE_DECODE)."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
             T.StructField("n_channels", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
         ]
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _require_codec("PIL")
+        def one(b) -> tuple[int, int, int, int | None]:
+            data = bytes(b)
+            if data[:2] == b"BM":
+                return _decode_bmp(data)
+            _require_codec("PIL")
+            d = hashlib.md5(data).digest()
+            return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 3, None
+
         for pdf in batches:
-            digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).digest())
+            decoded = [one(b) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "width": digests.map(lambda d: 64 + d[0] % 192).astype("int32"),
-                    "height": digests.map(lambda d: 64 + d[1] % 192).astype("int32"),
-                    "n_channels": digests.map(lambda d: 1 + d[2] % 3).astype("int32"),
+                    "width": pd.array([d[0] for d in decoded], dtype="int32"),
+                    "height": pd.array([d[1] for d in decoded], dtype="int32"),
+                    "n_channels": pd.array([d[2] for d in decoded], dtype="int32"),
+                    "pixel_sum": pd.array([d[3] for d in decoded], dtype="Int64"),
                 }
             )
 
@@ -142,33 +315,44 @@ def extract_embeddings(df: DataFrame, *, id_col: str = "doc_id", dims: int = 8) 
 
 
 def decode_audio(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
-    """payload → (id, sample_rate, n_samples, duration_ms, rms) via
-    Arrow-batched mapInPandas. Fake path: stats derived deterministically
-    from the content hash; real path: librosa/soundfile (stubbed)."""
+    """payload → (id, sample_rate, n_samples, duration_ms, sample_sum,
+    rms) via Arrow-batched mapInPandas. RIFF/WAVE payloads are decoded
+    FOR REAL — `wave` header parse + struct-unpacked PCM samples, exact
+    integer sum/sum-of-squares, rms = sqrt(ssq/n). Other formats would
+    need librosa/soundfile: fake path derives stats from the content
+    hash with sample_sum null (or raises without SKYFIT_FAKE_DECODE)."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
             T.StructField("sample_rate", T.IntegerType()),
             T.StructField("n_samples", T.LongType()),
             T.StructField("duration_ms", T.LongType()),
+            T.StructField("sample_sum", T.LongType()),
             T.StructField("rms", T.DoubleType()),
         ]
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _require_codec("soundfile")
-        rates = (8000, 16000, 22050, 44100, 48000)
+        def one(b) -> tuple[int, int, int, int | None, float]:
+            data = bytes(b)
+            if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                return _decode_wav(data)
+            _require_codec("soundfile")
+            d = hashlib.md5(data).digest()
+            sr = WAV_RATES[d[3] % len(WAV_RATES)]
+            n = len(data) * 32
+            return sr, n, n * 1000 // sr, None, d[4] / 255.0
+
         for pdf in batches:
-            digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).digest())
-            sr = digests.map(lambda d: rates[d[3] % len(rates)]).astype("int32")
-            n = pdf["payload"].map(lambda b: len(bytes(b)) * 32).astype("int64")
+            decoded = [one(b) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "sample_rate": sr,
-                    "n_samples": n,
-                    "duration_ms": (n * 1000 // sr).astype("int64"),
-                    "rms": digests.map(lambda d: d[4] / 255.0).astype("float64"),
+                    "sample_rate": pd.array([d[0] for d in decoded], dtype="int32"),
+                    "n_samples": pd.array([d[1] for d in decoded], dtype="int64"),
+                    "duration_ms": pd.array([d[2] for d in decoded], dtype="int64"),
+                    "sample_sum": pd.array([d[3] for d in decoded], dtype="Int64"),
+                    "rms": pd.array([d[4] for d in decoded], dtype="float64"),
                 }
             )
 

@@ -1424,45 +1424,70 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_images",
     """
-    SELECT doc_id,
-           64 + (('0x'||substr(md5(text),1,2))::INT % 192) AS width,
-           64 + (('0x'||substr(md5(text),3,2))::INT % 192) AS height,
-           1 + (('0x'||substr(md5(text),5,2))::INT % 3) AS n_channels
-    FROM documents
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+      FROM documents WHERE doc_id < 300
+    ), s AS (
+      SELECT p.doc_id, p.w, p.h,
+             SUM((p.doc_id + 3*x.i + 7*y.i + c.i) % 256) AS psum
+      FROM p,
+           LATERAL (SELECT UNNEST(range(0, p.w)) AS i) x,
+           LATERAL (SELECT UNNEST(range(0, p.h)) AS i) y,
+           LATERAL (SELECT UNNEST(range(0, 3)) AS i) c
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels, CAST(psum AS BIGINT) AS pixel_sum
+    FROM s
     """,
     tags=("llm-multimodal",),
-    doc="Arrow-batched image decode plumbing (llm.multimodal.decode_images): "
-    "payload → (width, height, channels). The stub codec derives dims from "
-    "the content md5, so even the fake path is exactly oracle-checkable.",
+    doc="REAL image decode (llm.multimodal): synthesize_bmp_payloads encodes "
+    "an actual 24-bpp BMP per doc (deterministic pixels, 0xFF row padding), "
+    "then decode_images parses the BITMAPINFOHEADER and sums every pixel "
+    "channel byte, skipping padding. The oracle recomputes width/height/"
+    "pixel_sum arithmetically from the same closed-form pixel function — "
+    "a byte-level codec round-trip graded exactly.",
 )
 def multimodal_decode_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    media = multimodal.attach_binary_payload(d, "text")
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.synthesize_bmp_payloads(d, id_col="doc_id")
     return multimodal.decode_images(media)
 
 
 @register(
     "multimodal_decode_audio",
     """
-    WITH t AS (
+    WITH p AS (
       SELECT doc_id,
-             list_value(8000,16000,22050,44100,48000)[1 + ('0x'||substr(md5(text),7,2))::INT % 5] AS sample_rate,
-             CAST(octet_length(encode(text)) * 32 AS BIGINT) AS n_samples,
-             ('0x'||substr(md5(text),9,2))::INT / 255.0 AS rms
-      FROM documents
+             list_value(8000,16000,22050,44100,48000)[1 + doc_id % 5] AS sr,
+             64 + doc_id % 97 AS n
+      FROM documents WHERE doc_id < 300
+    ), s AS (
+      SELECT p.doc_id, p.sr, p.n,
+             SUM(((p.doc_id * 7919 + i.i * 104729) % 65536) - 32768) AS ssum,
+             SUM((((p.doc_id * 7919 + i.i * 104729) % 65536) - 32768)
+               * (((p.doc_id * 7919 + i.i * 104729) % 65536) - 32768)) AS ssq
+      FROM p, LATERAL (SELECT UNNEST(range(0, p.n)) AS i) i
+      GROUP BY 1, 2, 3
     )
-    SELECT doc_id, sample_rate, n_samples,
-           CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms, rms
-    FROM t
+    SELECT doc_id, CAST(sr AS INT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(ssum AS BIGINT) AS sample_sum,
+           sqrt(CAST(ssq AS DOUBLE) / n) AS rms
+    FROM s
     """,
     tags=("llm-multimodal",),
-    doc="Arrow-batched audio decode plumbing (llm.multimodal.decode_audio): "
-    "payload → (sample_rate, n_samples, duration_ms, rms). Stub stats are "
-    "md5-derived, so the fake path is exactly oracle-checkable.",
+    doc="REAL audio decode (llm.multimodal): synthesize_wav_payloads encodes "
+    "an actual 16-bit PCM RIFF/WAVE file per doc (deterministic samples), "
+    "then decode_audio parses it with the stdlib `wave` reader + struct "
+    "sample unpack, computing exact integer sample_sum and rms = "
+    "sqrt(ssq/n). The oracle recomputes all stats arithmetically from the "
+    "same closed-form sample generator (sqrt and / are correctly-rounded "
+    "IEEE ops, so rms hash-compares exactly).",
 )
 def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    media = multimodal.attach_binary_payload(d, "text", mime="audio/wav")
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.synthesize_wav_payloads(d, id_col="doc_id")
     return multimodal.decode_audio(media)
 
 

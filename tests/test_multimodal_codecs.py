@@ -1,0 +1,114 @@
+"""Real stdlib media codecs: PCM WAV (`wave`/struct) and 24-bpp BMP.
+
+Pins that decode_images / decode_audio perform actual byte-level
+decoding when payloads carry real container magic (RIFF/WAVE, 'BM'),
+while unrecognized formats still take the deterministic fake path
+(schema-identical, null checksum columns). Reference analog: raw blob
+handling at src/common/lake.py:59-71 — the reference stores media as
+opaque bytes; this engine additionally decodes stdlib formats.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from pyspark.sql import functions as F
+
+from data_lake_skyfit_spark.llm import multimodal
+from data_lake_skyfit_spark.llm.multimodal import (
+    WAV_RATES,
+    _decode_bmp,
+    _decode_wav,
+    encode_bmp24,
+    encode_wav_pcm16,
+)
+
+
+def test_wav_roundtrip_exact():
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    data = encode_wav_pcm16(22050, samples)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    sr, n, dur, ssum, rms = _decode_wav(data)
+    assert (sr, n) == (22050, len(samples))
+    assert dur == len(samples) * 1000 // 22050
+    assert ssum == sum(samples)
+    assert rms == math.sqrt(sum(s * s for s in samples) / len(samples))
+
+
+def test_bmp_roundtrip_skips_padding():
+    # width 5 → 15 data bytes/row, row stride 16: one 0xFF pad byte per
+    # row that a naive whole-array sum would wrongly include.
+    w, h = 5, 3
+    data = encode_bmp24(w, h, lambda x, y, c: (x + 10 * y + 100 * c) % 256)
+    assert data[:2] == b"BM"
+    row_stride = (w * 3 + 3) & ~3
+    assert row_stride == 16 and row_stride > w * 3
+    width, height, n_ch, psum = _decode_bmp(data)
+    assert (width, height, n_ch) == (w, h, 3)
+    expected = sum(
+        (x + 10 * y + 100 * c) % 256
+        for x in range(w)
+        for y in range(h)
+        for c in range(3)
+    )
+    assert psum == expected
+    # whole-pixel-array sum (incl. padding) would differ:
+    (data_offset,) = struct.unpack_from("<I", data, 10)
+    assert sum(data[data_offset:]) == expected + h * 0xFF
+
+
+def test_bmp_top_down_variant_decodes():
+    # Negative height = top-down row order; decoder must abs() it.
+    w, h = 4, 2
+    bottom_up = encode_bmp24(w, h, lambda x, y, c: (x + y + c) % 256)
+    hacked = bytearray(bottom_up)
+    struct.pack_into("<i", hacked, 22, -h)
+    width, height, n_ch, psum = _decode_bmp(bytes(hacked))
+    assert (width, height, n_ch) == (w, h, 3)
+    assert psum == _decode_bmp(bottom_up)[3]  # sum is row-order invariant
+
+
+def test_decode_audio_real_path_on_spark(spark):
+    df = spark.range(20).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_wav_payloads(df, id_col="doc_id")
+    out = {r["doc_id"]: r for r in multimodal.decode_audio(media).collect()}
+    assert len(out) == 20
+    for rid in (0, 7, 19):
+        sr = WAV_RATES[rid % 5]
+        n = 64 + rid % 97
+        samples = [((rid * 7919 + i * 104729) % 65536) - 32768 for i in range(n)]
+        r = out[rid]
+        assert r["sample_rate"] == sr
+        assert r["n_samples"] == n
+        assert r["duration_ms"] == n * 1000 // sr
+        assert r["sample_sum"] == sum(samples)  # real decode → non-null
+        assert r["rms"] == math.sqrt(sum(s * s for s in samples) / n)
+
+
+def test_decode_images_real_path_on_spark(spark):
+    df = spark.range(20).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_bmp_payloads(df, id_col="doc_id")
+    out = {r["doc_id"]: r for r in multimodal.decode_images(media).collect()}
+    for rid in (0, 5, 19):
+        w, h = 4 + rid % 13, 4 + rid % 11
+        r = out[rid]
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
+        assert r["pixel_sum"] == sum(
+            (rid + 3 * x + 7 * y + c) % 256
+            for x in range(w)
+            for y in range(h)
+            for c in range(3)
+        )
+
+
+def test_decode_fake_path_yields_null_checksums(spark):
+    """Non-WAV/BMP payloads (plain text) fall back to the md5 fake path:
+    same schema, null sample_sum/pixel_sum — the honest 'not decoded'
+    marker."""
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    media = multimodal.attach_binary_payload(df, "text")
+    arow = multimodal.decode_audio(media).collect()[0]
+    assert arow["sample_sum"] is None and arow["sample_rate"] in WAV_RATES
+    irow = multimodal.decode_images(media).collect()[0]
+    assert irow["pixel_sum"] is None and 64 <= irow["width"] < 256
