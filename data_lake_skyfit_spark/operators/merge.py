@@ -173,6 +173,73 @@ def partition_scope(
     return True, cond
 
 
+#: Leading-key stat types we trust for file pruning. Anything else
+#: (bytes from un-annotated BINARY, Decimal, nested) falls back to the
+#: full rewrite rather than risking a wrong comparison.
+_PRUNABLE_STAT_TYPES = (bool, int, float, str)
+
+
+def file_key_ranges(root: str, key: str):
+    """Per-data-file (path, min, max, may_have_nulls) for `key`, read
+    from parquet FOOTERS only — no data pages touched. Returns None if
+    any file lacks usable stats (caller falls back to a full rewrite).
+
+    This is the same file-skipping metadata a Delta/Iceberg manifest
+    records at write time; reading it from footers keeps plain parquet
+    dirs self-describing. At cluster scale the listing+footer sweep
+    would be carried by the table's committed manifest instead
+    (operators/versioned.py keeps one per generation).
+    """
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for dp, _, fs in os.walk(root):
+        for f in sorted(fs):
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(dp, f)
+            try:
+                md = pq.ParquetFile(full).metadata
+            except Exception:
+                return None
+            if md.num_rows == 0:
+                continue  # no rows → nothing to touch, file can stay
+            fmin = fmax = None
+            may_have_nulls = False
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                col = None
+                for i in range(rgm.num_columns):
+                    c = rgm.column(i)
+                    if c.path_in_schema == key:
+                        col = c
+                        break
+                if col is None:
+                    return None  # key column absent — schema drift
+                st = col.statistics
+                if st is None:
+                    return None
+                if st.null_count is None or st.null_count > 0:
+                    may_have_nulls = True
+                if not st.has_min_max:
+                    if st.null_count == rgm.num_rows:
+                        continue  # all-null row group: range is empty
+                    return None
+                lo, hi = st.min, st.max
+                if isinstance(lo, (_dt.date, _dt.datetime)):
+                    pass  # comparable, Spark-representable
+                elif not isinstance(lo, _PRUNABLE_STAT_TYPES) or isinstance(
+                    lo, bool
+                ) != isinstance(hi, bool):
+                    return None
+                fmin = lo if fmin is None or lo < fmin else fmin
+                fmax = hi if fmax is None or hi > fmax else fmax
+            out.append((full, fmin, fmax, may_have_nulls))
+    return out
+
+
 def _delta_available() -> bool:
     try:
         import delta  # noqa: F401
@@ -376,6 +443,59 @@ class ParquetTable:
 
     # -- MERGE --------------------------------------------------------------
 
+    def _touched_files(self, source: DataFrame):
+        """File-level prune for unpartitioned merges: which data files
+        can contain a source key? Footer min/max ranges (broadcast —
+        one small row per file) are range-joined against the source's
+        distinct leading-key values; shuffle is ∝ |source keys|, never
+        ∝ table size. Returns (touched, untouched) path lists, or None
+        when stats are unusable and the caller must rewrite fully."""
+        key = self.key[0]
+        ranges = file_key_ranges(self.path, key)
+        if ranges is None or not ranges:
+            return None
+        spark = source.sparkSession
+        rows = [
+            {"file": f, "kmin": lo, "kmax": hi, "has_nulls": nulls}
+            for f, lo, hi, nulls in ranges
+        ]
+        try:
+            rdf = spark.createDataFrame(rows)
+        except Exception:
+            return None  # un-inferable stat types
+        skeys = source.select(F.col(key).alias("__k")).distinct()
+        cond = (
+            (F.col("__k") >= F.col("kmin")) & (F.col("__k") <= F.col("kmax"))
+        ) | (F.col("__k").isNull() & F.col("has_nulls"))
+        touched = {
+            r["file"]
+            for r in skeys.join(F.broadcast(rdf), cond)
+            .select("file")
+            .distinct()
+            .collect()
+        }
+        untouched = [f for f, *_ in ranges if f not in touched]
+        return sorted(touched), untouched
+
+    def _commit_file_pruned(self, tmp: str, untouched: list[str]) -> None:
+        """Atomic commit of a file-pruned merge: build the next table
+        dir from hardlinks to every untouched data file (same inode —
+        zero copy, mtimes preserved) plus the freshly written files
+        from `tmp`, then swap dirs exactly like a full rewrite."""
+        commit = f"{self.path.rstrip('/')}__tmp_{uuid.uuid4().hex[:8]}"
+        os.makedirs(commit)
+        for f in untouched:
+            os.link(f, os.path.join(commit, os.path.basename(f)))
+        for name in os.listdir(tmp):
+            src = os.path.join(tmp, name)
+            if os.path.isfile(src) and not name.startswith("."):
+                shutil.move(src, os.path.join(commit, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        back = f"{self.path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, back)
+        os.rename(commit, self.path)
+        shutil.rmtree(back, ignore_errors=True)
+
     def merge(
         self,
         source: DataFrame,
@@ -409,6 +529,38 @@ class ParquetTable:
         if not self.exists():
             self._write(source, self.path)
             return
+
+        # Unpartitioned tables: file-level pruned rewrite. Only files
+        # whose footer key range intersects the source batch are read
+        # and rewritten; the rest are carried into the commit as
+        # hardlinks. A merge touching 1% of keys rewrites ~1% of files
+        # instead of the whole table — the ON CONFLICT analog of the
+        # partition-scoped path below. Source columns must be a subset
+        # of the target's (adding columns forces a full rewrite so
+        # every on-disk file keeps one schema).
+        if not self.partition_by:
+            on_disk_cols = {c for c, _ in self.read(spark).dtypes}
+            if set(source.columns) <= on_disk_cols:
+                pr = self._touched_files(source)
+                if pr is not None:
+                    touched, untouched = pr
+                    if not touched:
+                        # Pure-insert batch: no existing file can hold a
+                        # matching key — append without reading the table.
+                        tmp = f"{self.path.rstrip('/')}__tmp_{uuid.uuid4().hex[:8]}"
+                        _, src = align_schemas(self.read(spark).limit(0), source)
+                        self._write(src, tmp)
+                        self._commit_file_pruned(tmp, untouched)
+                        return
+                    if untouched:
+                        tsub = spark.read.parquet(*touched)
+                        tsub, src = align_schemas(tsub, source)
+                        merged = merge_rows(tsub, src, keys, mode, update_subset)
+                        tmp = f"{self.path.rstrip('/')}__tmp_{uuid.uuid4().hex[:8]}"
+                        self._write(merged, tmp)
+                        self._commit_file_pruned(tmp, untouched)
+                        return
+                    # touched == every file: fall through to full rewrite
 
         target = self.read(spark)
         target, source = align_schemas(target, source)
