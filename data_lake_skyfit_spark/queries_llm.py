@@ -471,6 +471,48 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(q, e, planes=2, tables=24)
 
 
+@register(
+    "ann_sharded_probe_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,6))::BIGINT % 16 AS shard
+      FROM embeddings
+    ), probes AS (
+      SELECT q.vec_id AS query_id,
+             ('0x'||substr(md5(CAST(q.vec_id AS VARCHAR) || ':probe:' || CAST(j.i AS VARCHAR)),1,6))::BIGINT % 16 AS shard
+      FROM v q, LATERAL (SELECT UNNEST(range(0, 4)) AS i) j
+      WHERE q.vec_id < 10
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.e, c.e) AS cos_raw
+      FROM probes p
+      JOIN v q ON q.vec_id = p.query_id
+      JOIN v c ON c.shard = p.shard AND c.vec_id <> p.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, ROUND(cos_raw, 4) AS cosine
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm-similarity", "scale-path"),
+    doc="SUB-EXHAUSTIVE probe-limited ANN (llm.similarity.sharded_topk): "
+    "4 of 16 shards probed per query — unlike ann_ivf_topk/ann_lsh_topk "
+    "(total-recall settings), the candidate set here is a strict subset "
+    "of the corpus, and the md5-derived shard + probe functions are "
+    "engine-reproducible, so the DuckDB oracle rebuilds the SAME "
+    "candidate set and the driver grades the approximate path itself "
+    "(exact top-k over the probed subset).",
+)
+def ann_sharded_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.sharded_topk(q, e, n_shards=16, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -87,3 +87,18 @@ def test_ivf_probes_fraction_of_corpus(spark, vecs):
     got = similarity.ivf_topk(queries.limit(1), corpus, k=n, n_lists=16, n_probe=4)
     scored = got.count()
     assert scored < 0.6 * n  # 4/16 of the corpus ± imbalance
+
+
+def test_sharded_probe_is_genuinely_sub_exhaustive(spark, vecs):
+    """ann_sharded_probe_topk's regime (4 of 16 md5 shards) must NOT
+    collapse to brute force — the whole point of the driver-graded
+    sub-exhaustive contract (VERDICT r2 #3) is that the candidate set
+    is a strict corpus subset. Expected recall ≈ probed/16; assert it
+    lands well below 1 while staying exact over the probed subset
+    (the battery oracle checks exactness; here we pin partiality)."""
+    corpus, queries = vecs
+    truth = _pairs(similarity.brute_force_topk(queries, corpus, k=5))
+    approx = _pairs(similarity.sharded_topk(queries, corpus, k=5, n_shards=16, n_probe=4))
+    recall = len(truth & approx) / len(truth)
+    assert recall < 0.9, f"probe-limited search unexpectedly exhaustive: {recall:.2f}"
+    assert recall > 0.05, f"shard probe produced near-empty overlap: {recall:.2f}"
