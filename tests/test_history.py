@@ -241,3 +241,41 @@ def test_point_in_time_join_no_future_leakage(spark):
     got = {r["fact_id"]: r["state"] for r in out.collect()}
     assert got == {100: None, 101: "A", 102: "A", 103: "B", 104: None}
     assert out.count() == 5  # disjoint intervals: no fact row duplicated
+
+
+def test_scd2_colliding_timestamps_deterministic_without_tie_breaker(spark):
+    """VERDICT r2 #4: with no tie_breakers, colliding timestamps must
+    still yield deterministic versions (content-hash default ordering).
+    Same rows in shuffled input orders → identical histories."""
+    from data_lake_skyfit_spark.operators.history import scd2_history
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 00:00:00", "b"),  # collides with 'a'
+        (1, "2024-01-01 00:00:00", "c"),  # and with both
+        (1, "2024-01-02 00:00:00", "d"),
+        (2, "2024-01-01 00:00:00", "x"),
+        (2, "2024-01-01 00:00:00", "y"),
+    ]
+    schema = "id long, ts string, state string"
+
+    def build(order):
+        df = spark.createDataFrame([rows[i] for i in order], schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = scd2_history(df, ["id"], "ts", ["state"])
+        return sorted(
+            (r["id"], r["state"], r["version"], str(r["valid_from"]), str(r["valid_to"]))
+            for r in out.collect()
+        )
+
+    a = build(range(6))
+    b = build([5, 3, 1, 4, 0, 2])
+    c = build([2, 0, 4, 1, 3, 5])
+    assert a == b == c
+    # versions within an entity are a contiguous 1..n ranking
+    per_entity = {}
+    for rid, _, v, _, _ in a:
+        per_entity.setdefault(rid, []).append(v)
+    assert sorted(per_entity[1]) == [1, 2, 3, 4]
+    assert sorted(per_entity[2]) == [1, 2]
