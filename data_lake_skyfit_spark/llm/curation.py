@@ -394,7 +394,6 @@ def negative_sample_pairs(
     *,
     k: int = 4,
     id_col: str = "doc_id",
-    denom: int = 1_000_000,
 ) -> DataFrame:
     """Contrastive-pair construction: for every document, draw `k`
     pseudo-random negatives from the corpus — the (anchor, negative)
@@ -404,9 +403,13 @@ def negative_sample_pairs(
     Draws are seedless and engine-reproducible: negative slot j of
     anchor q targets corpus position md5(q‖j) mod n, where positions
     come from operators.scale.dense_index (distributed prefix-sum, no
-    single-task window). Self-pairs are dropped, so an anchor can yield
-    k-1 pairs when a draw lands on itself; collisions across slots are
-    kept (sampling WITH replacement, the contrastive-training norm).
+    single-task window). The draw uses 15 hex chars of the md5 (60
+    bits — fits a signed long), so every corpus position is reachable
+    up to n ≈ 1.15e18 with bias ≤ n/2^60 (ADVICE r2: a 6-hex draw
+    capped the reachable prefix at ~16.7M positions). Self-pairs are
+    dropped, so an anchor can yield k-1 pairs when a draw lands on
+    itself; collisions across slots are kept (sampling WITH
+    replacement, the contrastive-training norm).
 
     Plan: the anchor side explodes to n·k slot rows carrying only
     (id, slot, target_idx); the join to the indexed corpus is a plain
@@ -423,16 +426,13 @@ def negative_sample_pairs(
         "anchor_id",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
     )
-    target = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col("anchor_id"), F.col("slot"))), 1, 6
-            ),
-            16,
-            10,
-        ).cast("long")
-        % denom
-    ) % F.lit(n_total)
+    target = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("anchor_id"), F.col("slot"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long") % F.lit(n_total)
     pairs = slots.withColumn("target_idx", target)
     out = pairs.join(
         indexed.select(

@@ -94,13 +94,20 @@ class VersionedParquetTable:
         with open(os.path.join(self._manifest_dir, f"v{version:08d}.json")) as f:
             return json.load(f)
 
-    def _commit(self, mapping: dict[str, str], op: str) -> int:
+    def _commit(self, mapping: dict[str, str], op: str, schema_json: str) -> int:
         """Write manifest v<N+1> then swap the _LATEST pointer. Both
         writes are tmp+rename: a crash at any point leaves the previous
-        version fully intact and readable."""
+        version fully intact and readable. The committed schema rides
+        in the manifest so an EMPTY commit (no data files at all) stays
+        readable as a zero-row frame (ADVICE r2)."""
         os.makedirs(self._manifest_dir, exist_ok=True)
         version = (self.latest_version() or 0) + 1
-        doc = {"version": version, "op": op, "partitions": mapping}
+        doc = {
+            "version": version,
+            "op": op,
+            "partitions": mapping,
+            "schema": json.loads(schema_json),
+        }
         mpath = os.path.join(self._manifest_dir, f"v{version:08d}.json")
         tmp = f"{mpath}.tmp{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
@@ -124,6 +131,15 @@ class VersionedParquetTable:
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(out)
+        # An empty frame writes no readable data (partitioned: no leaf
+        # dirs; unpartitioned: _SUCCESS only) — commit an empty mapping
+        # and let read() rebuild the frame from the manifest schema.
+        has_data = any(
+            f.endswith(".parquet") for _, _, fs in os.walk(out) for f in fs
+        )
+        if not has_data:
+            shutil.rmtree(out, ignore_errors=True)
+            return gen, []
         if not self.partition_by:
             return gen, [_ROOT]
         return gen, leaf_dirs(out, len(self.partition_by))
@@ -140,7 +156,18 @@ class VersionedParquetTable:
         v = version if version is not None else self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
-        mapping = self._manifest(v)["partitions"]
+        manifest = self._manifest(v)
+        mapping = manifest["partitions"]
+        if not mapping:
+            from pyspark.sql import types as T
+
+            schema = manifest.get("schema")
+            if schema is None:
+                raise ValueError(
+                    f"version {v} at {self.path} is empty and predates "
+                    "schema-carrying manifests — cannot reconstruct"
+                )
+            return spark.createDataFrame([], T.StructType.fromJson(schema))
         if not self.partition_by:
             return spark.read.parquet(self._gen_dir(mapping[_ROOT]))
         by_gen: dict[str, list[str]] = {}
@@ -162,7 +189,7 @@ class VersionedParquetTable:
         """Full refresh (K5) as a new version; prior versions stay
         readable until vacuumed."""
         gen, parts = self._write_generation(df)
-        return self._commit({p: gen for p in parts}, op="overwrite")
+        return self._commit({p: gen for p in parts}, "overwrite", df.schema.json())
 
     def merge(
         self,
@@ -190,7 +217,7 @@ class VersionedParquetTable:
         spark = source.sparkSession
         if not self.exists():
             gen, parts = self._write_generation(source)
-            return self._commit({p: gen for p in parts}, op="merge")
+            return self._commit({p: gen for p in parts}, "merge", source.schema.json())
 
         parent = self._manifest(self.latest_version())["partitions"]
         target = self.read(spark)
@@ -209,13 +236,14 @@ class VersionedParquetTable:
             mapping.update({p: gen for p in parts})
         else:
             mapping = {p: gen for p in parts}
-        return self._commit(mapping, op="merge")
+        return self._commit(mapping, "merge", merged.schema.json())
 
     def compact(self, spark: SparkSession) -> int:
         """Rewrite the latest version into a single generation (one
         read per future query) as a new commit."""
-        gen, parts = self._write_generation(self.read(spark))
-        return self._commit({p: gen for p in parts}, op="compact")
+        df = self.read(spark)
+        gen, parts = self._write_generation(df)
+        return self._commit({p: gen for p in parts}, "compact", df.schema.json())
 
     # -- history ------------------------------------------------------------
 

@@ -1097,8 +1097,8 @@ def corpus_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (
       SELECT anchor_id, slot,
-             (('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '|' || CAST(slot AS VARCHAR)), 1, 6))::BIGINT
-              % 1000000) % (SELECT n_total FROM n) AS target_idx
+             ('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '|' || CAST(slot AS VARCHAR)), 1, 15))::BIGINT
+              % (SELECT n_total FROM n) AS target_idx
       FROM slots
     )
     SELECT t.anchor_id, CAST(t.slot AS INT) AS slot, i.doc_id AS negative_id

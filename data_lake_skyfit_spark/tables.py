@@ -41,7 +41,18 @@ def events_ts_unit(sf_dir: str) -> str | None:
     import pyarrow.parquet as pq
 
     t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    return getattr(t, "unit", None)
+    unit = getattr(t, "unit", None)
+    if unit is None:
+        # ADVICE r2: a future round shipping ts as un-annotated INT64
+        # (or anything non-timestamp) must fail loudly at round start,
+        # not silently cast epoch-nanos as epoch-seconds downstream.
+        raise TypeError(
+            f"events.ts has non-timestamp physical type {t!r} in {sf_dir}; "
+            "teach events_ts_unit/load_table the new encoding"
+        )
+    if unit not in ("s", "ms", "us", "ns"):
+        raise TypeError(f"events.ts has unexpected timestamp unit {unit!r} in {sf_dir}")
+    return unit
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

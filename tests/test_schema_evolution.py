@@ -34,3 +34,26 @@ def test_merge_tolerates_missing_source_column(spark, tmp_path):
     rows = {r["id"]: r for r in t.read(spark).collect()}
     assert rows[1]["name"] == "a1" and rows[1]["score"] is None
     assert rows[4]["score"] is None
+
+
+def test_events_ts_unit_rejects_non_timestamp_encoding(tmp_path):
+    """ADVICE r2: an un-annotated INT64 ts must fail loudly at sniff
+    time, not silently cast epoch-nanos as epoch-seconds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from data_lake_skyfit_spark.tables import events_ts_unit
+
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2], type=pa.int64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    with pytest.raises(TypeError, match="non-timestamp"):
+        events_ts_unit(str(tmp_path))
+
+
+def test_events_ts_unit_current_testdata():
+    from data_lake_skyfit_spark.tables import events_ts_unit
+
+    assert events_ts_unit("/root/testdata/sf0.01") in ("s", "ms", "us", "ns")

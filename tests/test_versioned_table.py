@@ -231,3 +231,27 @@ def test_every_version_equals_fold_prefix(spark, tmp_path_factory, batches):
             for r in t.read(spark, v).drop("pos").collect()
         }
         assert got == want, (v, got, want)
+
+
+def test_empty_overwrite_commits_and_reads_back(spark, tmp_path):
+    """ADVICE r2: an empty commit must stay readable — partitioned
+    empty overwrite used to crash read() (reduce over no frames), and
+    an unpartitioned one left a schema-less generation dir. The schema
+    rides in the manifest now."""
+    from data_lake_skyfit_spark.operators.versioned import VersionedParquetTable
+
+    for part in ([], ["year"]):
+        t = VersionedParquetTable(
+            str(tmp_path / ("p" if part else "u")), ["id"], partition_by=part
+        )
+        full = spark.createDataFrame([(1, 2024, "a")], "id long, year int, v string")
+        t.overwrite(full)
+        t.overwrite(full.limit(0))
+        out = t.read(spark)
+        assert out.count() == 0
+        assert set(out.columns) == {"id", "year", "v"}
+        # time travel to the non-empty parent still works
+        assert t.read(spark, version=1).count() == 1
+        # and a subsequent merge onto the empty table recovers
+        t.merge(spark.createDataFrame([(2, 2025, "b")], "id long, year int, v string"))
+        assert t.read(spark).count() == 1
