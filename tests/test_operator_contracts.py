@@ -257,13 +257,12 @@ def test_registry_contract():
     assert all(q.oracle is not None for q in r.values()), [
         n for n, q in r.items() if q.oracle is None
     ]
-    # More distinct families exist than graded slots (the round-2 swap
-    # promoted the change-history family over three grouping/pivot SHAPE
-    # variants whose base families stay graded: cube/pivot via A4+A7 in
-    # rollup_revenue/channel_bucketing, funnel via A7). Demotions must
-    # be explicit here — anything else falling out of the window is a
-    # regression.
-    demoted_families = {"A-cube", "A7-pivot", "2.9-funnel"}
+    # Round-3 consolidation (VERDICT r2 #5): rollup+cube share
+    # grouping_sets_revenue, pivot rides channel_bucketing, funnel is
+    # graded directly, customer_order_distribution absorbed the A4/O4
+    # top-k shapes — NO family is demoted out of the graded window.
+    # Any future demotion must be declared here explicitly.
+    demoted_families: set[str] = set()
     front_tags = {t for n in names[:50] for t in r[n].tags} | demoted_families
     for n in names[50:]:
         # tpch-* are shape annotations and no-bench is a bench
