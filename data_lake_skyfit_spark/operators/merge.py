@@ -257,6 +257,12 @@ class ParquetTable:
     path: str
     key: Sequence[str]
     partition_by: Sequence[str] = field(default_factory=tuple)
+    #: Unpartitioned merges only prune at file level when the table
+    #: holds at least this many data bytes: below it, one full-rewrite
+    #: job is cheaper than the footer sweep + key-range probe the prune
+    #: needs (measured: the prune's fixed cost is ~2 small Spark jobs).
+    #: Tables at real scale are always far past this floor.
+    prune_min_bytes: int = 64 * 1024 * 1024
 
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.path, "_SUCCESS")) or any(
@@ -443,6 +449,14 @@ class ParquetTable:
 
     # -- MERGE --------------------------------------------------------------
 
+    def _data_bytes(self) -> int:
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(self.path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
     def _touched_files(self, source: DataFrame):
         """File-level prune for unpartitioned merges: which data files
         can contain a source key? Footer min/max ranges (broadcast —
@@ -538,7 +552,7 @@ class ParquetTable:
         # partition-scoped path below. Source columns must be a subset
         # of the target's (adding columns forces a full rewrite so
         # every on-disk file keeps one schema).
-        if not self.partition_by:
+        if not self.partition_by and self._data_bytes() >= self.prune_min_bytes:
             on_disk_cols = {c for c, _ in self.read(spark).dtypes}
             if set(source.columns) <= on_disk_cols:
                 pr = self._touched_files(source)

@@ -200,7 +200,7 @@ def test_unpartitioned_merge_rewrites_only_key_range_files(spark, tmp_path):
     files whose footer min/max intersect it — verified on file mtimes,
     like the partition-scoped test above."""
     root = str(tmp_path / "flat")
-    t = ParquetTable(root, ["id"])
+    t = ParquetTable(root, ["id"], prune_min_bytes=0)
     base = spark.range(100_000).select(
         F.col("id"), (F.col("id") % 7).alias("v")
     )
@@ -230,7 +230,7 @@ def test_unpartitioned_merge_pure_insert_appends_without_rewrite(spark, tmp_path
     """A batch entirely outside every file's key range appends new
     files and rewrites nothing."""
     root = str(tmp_path / "flat2")
-    t = ParquetTable(root, ["id"])
+    t = ParquetTable(root, ["id"], prune_min_bytes=0)
     t.overwrite(
         spark.range(10_000)
         .select(F.col("id"), F.lit("x").alias("v"))
@@ -250,7 +250,7 @@ def test_unpartitioned_merge_null_keys_and_subset_mode(spark, tmp_path):
     """Null merge keys route to the files whose footers report nulls;
     update_subset semantics hold on the pruned path."""
     root = str(tmp_path / "flat3")
-    t = ParquetTable(root, ["id"])
+    t = ParquetTable(root, ["id"], prune_min_bytes=0)
     base = spark.createDataFrame(
         [(None, "a", 1), (1, "b", 2), (2, "c", 3), (100, "d", 4)],
         "id long, name string, score int",
