@@ -359,13 +359,38 @@ def decode_audio(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(kernel, schema)
 
 
+def _resize_bmp(data: bytes, dw: int, dh: int) -> bytes:
+    """REAL nearest-neighbor resample of a 24-bpp BMP payload: decode
+    the pixel array (row order + padding handled), sample src pixel
+    (x·sw)//dw, (y·sh)//dh per dst pixel — integer math only, so a SQL
+    oracle reproduces every output byte — and re-encode as BMP."""
+    (data_offset,) = struct.unpack_from("<I", data, 10)
+    _hdr, sw, sh_raw, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+    n_ch = bpp // 8
+    if n_ch != 3:
+        raise ValueError(f"only 24-bpp BMP resize supported, got {bpp}-bpp")
+    top_down = sh_raw < 0
+    sh = abs(sh_raw)
+    row_size = (sw * n_ch + 3) & ~3
+
+    def src_px(x: int, y: int, c: int) -> int:
+        r = y if top_down else sh - 1 - y
+        return data[data_offset + r * row_size + x * n_ch + c]
+
+    return encode_bmp24(
+        dw, dh, lambda x, y, c: src_px(x * sw // dw, y * sh // dh, c)
+    )
+
+
 def resize_images(
     df: DataFrame, *, id_col: str = "doc_id", width: int = 224, height: int = 224
 ) -> DataFrame:
     """payload → resized payload + updated metadata (the normalize step
-    before a vision encoder). Fake path: deterministic synthetic bytes
-    of width·height length; real path: PIL resize (stubbed). Payload in,
-    payload out — the 1→1 binary-transform mapInPandas shape."""
+    before a vision encoder). BMP payloads are resampled FOR REAL
+    (nearest-neighbor over the decoded pixel array, re-encoded as BMP —
+    see _resize_bmp). Other formats would need PIL: the fake path tiles
+    the ASCII content hash to width·height deterministic bytes. Payload
+    in, payload out — the 1→1 binary-transform mapInPandas shape."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -376,21 +401,23 @@ def resize_images(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _require_codec("PIL")
-        # Fake bytes = ASCII md5 hexdigest tiled to width·height. ASCII
-        # (not raw digest bytes) so the construction is reproducible as
-        # plain-string SQL in any engine: substr(repeat(md5(x), k), 1, w*h).
+        def one(b) -> bytes:
+            data = bytes(b)
+            if data[:2] == b"BM":
+                return _resize_bmp(data, width, height)
+            _require_codec("PIL")
+            # Fake bytes = ASCII md5 hexdigest tiled to width·height —
+            # reproducible as plain-string SQL in any engine:
+            # substr(repeat(md5(x), k), 1, w*h).
+            return (
+                hashlib.md5(data).hexdigest().encode() * (width * height // 32 + 1)
+            )[: width * height]
+
         for pdf in batches:
-            resized = pdf["payload"].map(
-                lambda b: (
-                    hashlib.md5(bytes(b)).hexdigest().encode()
-                    * (width * height // 32 + 1)
-                )[: width * height]
-            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "payload": resized,
+                    "payload": [one(b) for b in pdf["payload"]],
                     "width": width,
                     "height": height,
                 }

@@ -122,7 +122,7 @@ _PRIORITY = [
     # multimodal plumbing
     "multimodal_decode_images",
     "multimodal_decode_audio",
-    "multimodal_resize_images",
+    "multimodal_resize_decode",
     "multimodal_frame_sample",
 ]
 

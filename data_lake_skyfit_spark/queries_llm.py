@@ -1554,6 +1554,41 @@ def multimodal_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_decode",
+    """
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 13 AS sw, 4 + doc_id % 11 AS sh
+      FROM documents WHERE doc_id < 200
+    ), s AS (
+      SELECT p.doc_id,
+             SUM((p.doc_id + 3 * ((x.i * p.sw) // 16) + 7 * ((y.i * p.sh) // 12) + c.i) % 256) AS psum
+      FROM p,
+           LATERAL (SELECT UNNEST(range(0, 16)) AS i) x,
+           LATERAL (SELECT UNNEST(range(0, 12)) AS i) y,
+           LATERAL (SELECT UNNEST(range(0, 3)) AS i) c
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels, CAST(psum AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL image resize roundtrip (llm.multimodal): synthesize real "
+    "24-bpp BMPs, nearest-neighbor resample to 16x12 over the decoded "
+    "pixel array (integer source sampling (x*sw)//16, re-encoded as "
+    "BMP), then decode_images parses the result and sums every channel "
+    "byte. The oracle recomputes the resampled pixel_sum arithmetically "
+    "from the closed-form source pixel function — every byte of the "
+    "resized image is graded.",
+)
+def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_bmp_payloads(d, id_col="doc_id")
+    resized = multimodal.resize_images(media, width=16, height=12)
+    return multimodal.decode_images(resized)
+
+
+@register(
     "multimodal_frame_sample",
     """
     WITH t AS (

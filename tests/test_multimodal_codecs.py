@@ -112,3 +112,27 @@ def test_decode_fake_path_yields_null_checksums(spark):
     assert arow["sample_sum"] is None and arow["sample_rate"] in WAV_RATES
     irow = multimodal.decode_images(media).collect()[0]
     assert irow["pixel_sum"] is None and 64 <= irow["width"] < 256
+
+
+def test_bmp_resize_real_nearest_neighbor():
+    from data_lake_skyfit_spark.llm.multimodal import _resize_bmp
+
+    sw, sh, dw, dh = 7, 5, 3, 9  # down in x, up in y
+    src = encode_bmp24(sw, sh, lambda x, y, c: (x * 11 + y * 17 + c) % 256)
+    out = _resize_bmp(src, dw, dh)
+    w, h, n_ch, psum = _decode_bmp(out)
+    assert (w, h, n_ch) == (dw, dh, 3)
+    expected = sum(
+        ((x * sw // dw) * 11 + (y * sh // dh) * 17 + c) % 256
+        for x in range(dw)
+        for y in range(dh)
+        for c in range(3)
+    )
+    assert psum == expected
+
+
+def test_bmp_resize_identity_preserves_pixels():
+    from data_lake_skyfit_spark.llm.multimodal import _resize_bmp
+
+    src = encode_bmp24(6, 4, lambda x, y, c: (x + 10 * y + 100 * c) % 256)
+    assert _decode_bmp(_resize_bmp(src, 6, 4))[3] == _decode_bmp(src)[3]
