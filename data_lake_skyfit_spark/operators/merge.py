@@ -240,6 +240,36 @@ def file_key_ranges(root: str, key: str):
     return out
 
 
+def touched_by_key_ranges(source: DataFrame, key: str, ranges) -> set | None:
+    """Which range-annotated files can contain a source key?
+
+    `ranges` is [(file_id, kmin, kmax, may_have_nulls)]; kmin/kmax None
+    means "no usable stats" (an all-null or stat-less file — matched
+    only by null source keys, or always matched when nulls is True).
+    The ranges (one small row per file) broadcast against the source's
+    DISTINCT key values: shuffle ∝ |source keys|, never ∝ table size.
+    Returns the touched file_id set, or None when the ranges cannot be
+    represented in a Spark frame (caller falls back to a full rewrite).
+    """
+    spark = source.sparkSession
+    rows = [
+        {"file": f, "kmin": lo, "kmax": hi, "has_nulls": nulls}
+        for f, lo, hi, nulls in ranges
+    ]
+    try:
+        rdf = spark.createDataFrame(rows)
+    except Exception:
+        return None  # un-inferable stat types
+    skeys = source.select(F.col(key).alias("__k")).distinct()
+    cond = (
+        (F.col("__k") >= F.col("kmin")) & (F.col("__k") <= F.col("kmax"))
+    ) | (F.col("__k").isNull() & F.col("has_nulls"))
+    return {
+        r["file"]
+        for r in skeys.join(F.broadcast(rdf), cond).select("file").distinct().collect()
+    }
+
+
 def _delta_available() -> bool:
     try:
         import delta  # noqa: F401
@@ -468,26 +498,9 @@ class ParquetTable:
         ranges = file_key_ranges(self.path, key)
         if ranges is None or not ranges:
             return None
-        spark = source.sparkSession
-        rows = [
-            {"file": f, "kmin": lo, "kmax": hi, "has_nulls": nulls}
-            for f, lo, hi, nulls in ranges
-        ]
-        try:
-            rdf = spark.createDataFrame(rows)
-        except Exception:
-            return None  # un-inferable stat types
-        skeys = source.select(F.col(key).alias("__k")).distinct()
-        cond = (
-            (F.col("__k") >= F.col("kmin")) & (F.col("__k") <= F.col("kmax"))
-        ) | (F.col("__k").isNull() & F.col("has_nulls"))
-        touched = {
-            r["file"]
-            for r in skeys.join(F.broadcast(rdf), cond)
-            .select("file")
-            .distinct()
-            .collect()
-        }
+        touched = touched_by_key_ranges(source, key, ranges)
+        if touched is None:
+            return None
         untouched = [f for f, *_ in ranges if f not in touched]
         return sorted(touched), untouched
 

@@ -13,12 +13,15 @@ immutable-data + manifest-pointer design:
   v<N>.json`; a `_LATEST` pointer file is swapped last via atomic
   rename. Readers resolve a manifest and only ever see fully committed
   states — there is no window where a reader observes a partial write.
-- merges are copy-on-write at partition granularity: only the
-  generations of source-touched partitions are rewritten; untouched
-  partitions keep pointing at their existing generation directories.
-  At 100 TB a daily merge commits kilobytes of manifest plus the
-  touched partitions' files — the same write volume as
-  ParquetTable's partition-scoped swap, but old versions stay
+- merges are copy-on-write at partition granularity — and at FILE
+  granularity for unpartitioned tables: every commit records each data
+  file's merge-key footer min/max in the manifest, and later merges
+  range-join those stats (kilobytes, broadcast) against the source's
+  distinct keys to rewrite only files that can contain a match,
+  carrying every other entry over verbatim. The manifest is the
+  file-skipping index — no footer is ever re-read. At 100 TB a daily
+  merge commits kilobytes of manifest plus the touched files — the
+  same economics as ParquetTable's pruned swap, but old versions stay
   readable.
 - `read(version=N)` is time travel; `diff(v0, v1)` composes with
   operators.history.snapshot_diff into an exact CDC feed between any
@@ -44,11 +47,54 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 
 from .dedupe import latest_wins
-from .merge import MergeMode, align_schemas, leaf_dirs, merge_rows, partition_scope
+from .merge import (
+    MergeMode,
+    align_schemas,
+    file_key_ranges,
+    leaf_dirs,
+    merge_rows,
+    partition_scope,
+    touched_by_key_ranges,
+)
 
 __all__ = ["VersionedParquetTable"]
 
 _ROOT = "__root__"  # manifest key for an unpartitioned table's data
+
+
+def _stat_encode(v):
+    """JSON-safe encoding for a footer min/max value, type-tagged so
+    decode restores the exact Python type the prune join needs."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return {"t": "bool", "v": v}
+    if isinstance(v, int):
+        return {"t": "int", "v": v}
+    if isinstance(v, float):
+        return {"t": "float", "v": v}
+    if isinstance(v, str):
+        return {"t": "str", "v": v}
+    if isinstance(v, _dt.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"t": "date", "v": v.isoformat()}
+    raise TypeError(f"unencodable stat type {type(v)!r}")
+
+
+def _stat_decode(d):
+    import datetime as _dt
+
+    if d is None:
+        return None
+    t, v = d["t"], d["v"]
+    if t == "ts":
+        return _dt.datetime.fromisoformat(v)
+    if t == "date":
+        return _dt.date.fromisoformat(v)
+    return v
 
 
 @dataclass
@@ -94,12 +140,21 @@ class VersionedParquetTable:
         with open(os.path.join(self._manifest_dir, f"v{version:08d}.json")) as f:
             return json.load(f)
 
-    def _commit(self, mapping: dict[str, str], op: str, schema_json: str) -> int:
+    def _commit(
+        self,
+        mapping: dict[str, str],
+        op: str,
+        schema_json: str,
+        files: list[dict] | None = None,
+    ) -> int:
         """Write manifest v<N+1> then swap the _LATEST pointer. Both
         writes are tmp+rename: a crash at any point leaves the previous
         version fully intact and readable. The committed schema rides
         in the manifest so an EMPTY commit (no data files at all) stays
-        readable as a zero-row frame (ADVICE r2)."""
+        readable as a zero-row frame (ADVICE r2). For unpartitioned
+        tables `files` carries one entry per data file with the merge
+        key's footer min/max — the manifest IS the file-skipping index,
+        so later merges prune without ever re-reading footers."""
         os.makedirs(self._manifest_dir, exist_ok=True)
         version = (self.latest_version() or 0) + 1
         doc = {
@@ -108,6 +163,8 @@ class VersionedParquetTable:
             "partitions": mapping,
             "schema": json.loads(schema_json),
         }
+        if files is not None:
+            doc["files"] = files
         mpath = os.path.join(self._manifest_dir, f"v{version:08d}.json")
         tmp = f"{mpath}.tmp{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
@@ -144,6 +201,60 @@ class VersionedParquetTable:
             return gen, [_ROOT]
         return gen, leaf_dirs(out, len(self.partition_by))
 
+    def _collect_file_entries(self, gen: str) -> list[dict]:
+        """Footer-scan a FRESHLY WRITTEN generation once and record per-
+        file merge-key min/max into manifest entries. Files whose stats
+        are unusable (exotic key type, truncated/absent stats) get
+        `nostats` entries — always treated as touched by future merges,
+        never wrongly skipped."""
+        out_dir = self._gen_dir(gen)
+        if not os.path.isdir(out_dir):
+            return []
+        ranges = file_key_ranges(out_dir, self.key[0])
+        entries: list[dict] = []
+        if ranges is not None:
+            try:
+                return [
+                    {
+                        "gen": gen,
+                        "name": os.path.relpath(p, out_dir),
+                        "min": _stat_encode(lo),
+                        "max": _stat_encode(hi),
+                        "nulls": nulls,
+                    }
+                    for p, lo, hi, nulls in ranges
+                ]
+            except TypeError:
+                entries = []
+        for dp, _, fs in os.walk(out_dir):
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    entries.append(
+                        {
+                            "gen": gen,
+                            "name": os.path.relpath(os.path.join(dp, f), out_dir),
+                            "min": None,
+                            "max": None,
+                            "nulls": True,
+                            "nostats": True,
+                        }
+                    )
+        return entries
+
+    def _entry_path(self, e: dict) -> str:
+        return os.path.join(self._gen_dir(e["gen"]), e["name"])
+
+    def _unpartitioned_entries(self, manifest: dict) -> list[dict]:
+        """File entries of an unpartitioned version; old manifests that
+        predate file tracking are migrated by footer-scanning their one
+        generation dir."""
+        if "files" in manifest:
+            return manifest["files"]
+        mapping = manifest["partitions"]
+        if _ROOT in mapping:
+            return self._collect_file_entries(mapping[_ROOT])
+        return []
+
     def exists(self) -> bool:
         return self.latest_version() is not None
 
@@ -158,7 +269,8 @@ class VersionedParquetTable:
             raise FileNotFoundError(f"no committed version at {self.path}")
         manifest = self._manifest(v)
         mapping = manifest["partitions"]
-        if not mapping:
+
+        def empty_frame():
             from pyspark.sql import types as T
 
             schema = manifest.get("schema")
@@ -168,8 +280,16 @@ class VersionedParquetTable:
                     "schema-carrying manifests — cannot reconstruct"
                 )
             return spark.createDataFrame([], T.StructType.fromJson(schema))
+
         if not self.partition_by:
-            return spark.read.parquet(self._gen_dir(mapping[_ROOT]))
+            entries = manifest.get("files")
+            if entries is None and _ROOT in mapping:
+                return spark.read.parquet(self._gen_dir(mapping[_ROOT]))
+            if entries:
+                return spark.read.parquet(*[self._entry_path(e) for e in entries])
+            return empty_frame()
+        if not mapping:
+            return empty_frame()
         by_gen: dict[str, list[str]] = {}
         for part, gen in mapping.items():
             by_gen.setdefault(gen, []).append(part)
@@ -189,7 +309,10 @@ class VersionedParquetTable:
         """Full refresh (K5) as a new version; prior versions stay
         readable until vacuumed."""
         gen, parts = self._write_generation(df)
-        return self._commit({p: gen for p in parts}, "overwrite", df.schema.json())
+        files = self._collect_file_entries(gen) if not self.partition_by else None
+        return self._commit(
+            {p: gen for p in parts}, "overwrite", df.schema.json(), files=files
+        )
 
     def merge(
         self,
@@ -217,9 +340,20 @@ class VersionedParquetTable:
         spark = source.sparkSession
         if not self.exists():
             gen, parts = self._write_generation(source)
-            return self._commit({p: gen for p in parts}, "merge", source.schema.json())
+            files = (
+                self._collect_file_entries(gen) if not self.partition_by else None
+            )
+            return self._commit(
+                {p: gen for p in parts}, "merge", source.schema.json(), files=files
+            )
 
-        parent = self._manifest(self.latest_version())["partitions"]
+        parent_manifest = self._manifest(self.latest_version())
+        if not self.partition_by:
+            return self._merge_unpartitioned(
+                spark, parent_manifest, source, keys, mode, update_subset
+            )
+
+        parent = parent_manifest["partitions"]
         target = self.read(spark)
         target, source = align_schemas(target, source)
 
@@ -238,12 +372,86 @@ class VersionedParquetTable:
             mapping = {p: gen for p in parts}
         return self._commit(mapping, "merge", merged.schema.json())
 
+    def _merge_unpartitioned(
+        self,
+        spark: SparkSession,
+        parent_manifest: dict,
+        source: DataFrame,
+        keys: list[str],
+        mode: str,
+        update_subset: Sequence[str],
+    ) -> int:
+        """File-level copy-on-write MERGE: the parent manifest's per-file
+        key ranges (recorded at write time — no footer re-reads) are
+        range-joined against the source's distinct keys; only files that
+        can contain a match are read and rewritten into the new
+        generation, every other file entry is carried over verbatim, so
+        the commit cost is ∝ touched data + kilobytes of manifest. The
+        parent version stays readable (time travel) because carried
+        entries keep pointing at their original generations — the same
+        economics as the partition-scoped path, at file granularity."""
+        entries = self._unpartitioned_entries(parent_manifest)
+        target_all = self.read(spark)
+
+        def full_rewrite() -> int:
+            target, src = align_schemas(target_all, source)
+            merged = merge_rows(target, src, keys, mode, update_subset)
+            gen, _parts = self._write_generation(merged)
+            return self._commit(
+                {}, "merge", merged.schema.json(),
+                files=self._collect_file_entries(gen),
+            )
+
+        # Adding source columns forces a rewrite so every live file
+        # keeps one schema (mirrors ParquetTable.merge).
+        if not set(source.columns) <= set(target_all.columns):
+            return full_rewrite()
+
+        always = [e for e in entries if e.get("nostats")]
+        ranged = [e for e in entries if not e.get("nostats")]
+        ranges = [
+            (
+                f'{e["gen"]}/{e["name"]}',
+                _stat_decode(e["min"]),
+                _stat_decode(e["max"]),
+                e["nulls"],
+            )
+            for e in ranged
+        ]
+        touched_ids: set | None = set()
+        if ranges:
+            touched_ids = touched_by_key_ranges(source, keys[0], ranges)
+            if touched_ids is None:
+                return full_rewrite()
+        touched = always + [
+            e for e in ranged if f'{e["gen"]}/{e["name"]}' in touched_ids
+        ]
+        untouched = [
+            e for e in ranged if f'{e["gen"]}/{e["name"]}' not in touched_ids
+        ]
+
+        if touched:
+            tsub = spark.read.parquet(*[self._entry_path(e) for e in touched])
+            tsub, src = align_schemas(tsub, source)
+            merged = merge_rows(tsub, src, keys, mode, update_subset)
+        else:
+            # Pure-insert batch: no existing file can hold a match.
+            _t0, merged = align_schemas(target_all.limit(0), source)
+        gen, _parts = self._write_generation(merged)
+        return self._commit(
+            {}, "merge", merged.schema.json(),
+            files=untouched + self._collect_file_entries(gen),
+        )
+
     def compact(self, spark: SparkSession) -> int:
         """Rewrite the latest version into a single generation (one
         read per future query) as a new commit."""
         df = self.read(spark)
         gen, parts = self._write_generation(df)
-        return self._commit({p: gen for p in parts}, "compact", df.schema.json())
+        files = self._collect_file_entries(gen) if not self.partition_by else None
+        return self._commit(
+            {p: gen for p in parts}, "compact", df.schema.json(), files=files
+        )
 
     # -- history ------------------------------------------------------------
 
@@ -290,7 +498,9 @@ class VersionedParquetTable:
             keep.add(live)
         referenced: set[str] = set()
         for v in keep:
-            referenced.update(self._manifest(v)["partitions"].values())
+            m = self._manifest(v)
+            referenced.update(m["partitions"].values())
+            referenced.update(e["gen"] for e in m.get("files", ()))
         removed: list[str] = []
         for v in vs:
             if v not in keep:

@@ -255,3 +255,80 @@ def test_empty_overwrite_commits_and_reads_back(spark, tmp_path):
         # and a subsequent merge onto the empty table recovers
         t.merge(spark.createDataFrame([(2, 2025, "b")], "id long, year int, v string"))
         assert t.read(spark).count() == 1
+
+
+def test_unpartitioned_merge_is_file_level_cow(spark, tmp_path):
+    """File-level copy-on-write (VERDICT r2 #2, versioned form): the
+    manifest records per-file merge-key min/max at write time; a merge
+    touching a narrow key range rewrites only intersecting files, the
+    rest are carried over as entries pointing at their ORIGINAL
+    generation — untouched bytes never move, parent stays readable."""
+    import os
+
+    from data_lake_skyfit_spark.operators.versioned import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "fcow"), ["id"])
+    base = spark.range(50_000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    t.overwrite(base.repartitionByRange(20, "id").sortWithinPartitions("id"))
+    m1 = t._manifest(1)
+    assert len(m1["files"]) == 20
+    paths_before = {t._entry_path(e): os.path.getmtime(t._entry_path(e)) for e in m1["files"]}
+
+    t.merge(spark.range(1000, 2000).select(F.col("id"), F.lit(-1).alias("v")))
+    m2 = t._manifest(2)
+    carried = [e for e in m2["files"] if e["gen"] == m1["files"][0]["gen"]]
+    fresh = [e for e in m2["files"] if e["gen"] != m1["files"][0]["gen"]]
+    # ≥ 90% of entries carried over verbatim; original bytes untouched
+    assert len(carried) >= 18 and fresh
+    for e in carried:
+        p = t._entry_path(e)
+        assert paths_before[p] == os.path.getmtime(p)
+
+    out = t.read(spark)
+    assert out.count() == 50_000
+    assert out.filter("v = -1").count() == 1000
+    # dedupe correctness: no key appears twice across carried+fresh files
+    assert out.select("id").distinct().count() == 50_000
+    # time travel: parent version pre-merge
+    assert t.read(spark, version=1).filter("v = -1").count() == 0
+
+    # pure-insert batch outside every range: all entries carried
+    t.merge(spark.range(90_000, 90_010).select(F.col("id"), F.lit(9).alias("v")))
+    m3 = t._manifest(3)
+    assert {(e["gen"], e["name"]) for e in m2["files"]} <= {
+        (e["gen"], e["name"]) for e in m3["files"]
+    }
+    assert t.read(spark).count() == 50_010
+
+    # vacuum keeps every generation still referenced by carried entries
+    removed = t.vacuum(retain_last=1, min_age_s=0)
+    assert t.read(spark).count() == 50_010
+    gens_live = {e["gen"] for e in m3["files"]}
+    for r in removed:
+        assert os.path.basename(r) not in gens_live
+
+
+def test_versioned_migration_from_rootmap_manifest(spark, tmp_path):
+    """A pre-file-tracking manifest (partitions={_ROOT: gen}, no files
+    key) still merges: entries are synthesized by a one-time footer
+    scan of the generation dir."""
+    import json as _json
+    import os
+
+    from data_lake_skyfit_spark.operators.versioned import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "mig"), ["id"])
+    t.overwrite(
+        spark.range(1000)
+        .select(F.col("id"), F.lit("x").alias("v"))
+        .repartitionByRange(4, "id")
+    )
+    mpath = os.path.join(t._manifest_dir, "v00000001.json")
+    doc = _json.load(open(mpath))
+    del doc["files"]  # simulate an old manifest
+    _json.dump(doc, open(mpath, "w"))
+
+    t.merge(spark.createDataFrame([(5, "y")], "id long, v string"))
+    out = t.read(spark)
+    assert out.count() == 1000
+    assert out.filter("id = 5").collect()[0]["v"] == "y"
