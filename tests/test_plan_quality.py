@@ -134,3 +134,55 @@ def test_table_profile_is_single_scan(spark, sf_dir, qreg):
     plan = _physical(df)
     assert plan.count("FileScan") == 1
     assert "Expand" in plan and "partial" in plan
+
+
+def test_sharded_probe_broadcasts_query_side(spark, sf_dir, qreg):
+    """Sub-exhaustive ANN: the exploded query×probe side must broadcast
+    into the shard equi-join — the corpus shuffles by shard at most
+    once, never pairwise."""
+    df = qreg["ann_sharded_probe_topk"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_decode_stays_arrow_batched(spark, sf_dir, qreg):
+    """Real-codec queries must run the payload through ONE Arrow
+    mapInPandas stage each for encode and decode — no row-at-a-time
+    Python UDF (BatchEvalPython) anywhere in the plan."""
+    for name in ("multimodal_decode_images", "multimodal_decode_audio"):
+        plan = _physical(qreg[name].fn(spark, sf_dir))
+        assert "MapInPandas" in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_file_pruned_merge_probe_broadcasts_ranges(spark, tmp_path):
+    """The merge's touched-file probe must broadcast the per-file range
+    frame (one small row per file) against the source's distinct keys —
+    shuffle ∝ source keys, never ∝ table size."""
+    from data_lake_skyfit_spark.operators.merge import (
+        ParquetTable,
+        file_key_ranges,
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    t = ParquetTable(str(tmp_path / "probe"), ["id"], prune_min_bytes=0)
+    t.overwrite(
+        spark.range(10_000)
+        .select(F.col("id"), F.lit(1).alias("v"))
+        .repartitionByRange(8, "id")
+    )
+    ranges = file_key_ranges(t.path, "id")
+    rows = [
+        {"file": f, "kmin": lo, "kmax": hi, "has_nulls": nulls}
+        for f, lo, hi, nulls in ranges
+    ]
+    rdf = spark.createDataFrame(rows)
+    skeys = spark.range(100, 200).select(F.col("id").alias("__k")).distinct()
+    cond = (
+        (F.col("__k") >= F.col("kmin")) & (F.col("__k") <= F.col("kmax"))
+    ) | (F.col("__k").isNull() & F.col("has_nulls"))
+    probe = skeys.join(F.broadcast(rdf), cond).select("file").distinct()
+    plan = _physical(probe)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
