@@ -45,6 +45,7 @@ from dataclasses import dataclass, field
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .dedupe import latest_wins
 from .merge import (
@@ -60,6 +61,60 @@ from .merge import (
 __all__ = ["VersionedParquetTable"]
 
 _ROOT = "__root__"  # manifest key for an unpartitioned table's data
+
+
+#: Per-file bloom sizing: 2^15 bits = 4 KiB per file (≈5.5 KiB base64
+#: in the manifest). FPR ≈ (1 − e^(−k·n/m))^k with k=4 hashes: ~0.2% at
+#: n=2k keys/file, ~2.4% at n=4k, degrading gracefully toward 1 (never
+#: a wrong skip — a saturated bloom just stops helping) for huge files.
+_BLOOM_K = 4
+
+
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer over uint64 — the bloom's hash.
+    Pure integer mixing, identical on every worker and across runs."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(vals, m: int):
+    """k bit positions per value via double hashing h1 + i·h2 (mod m)."""
+    import numpy as np
+
+    v = vals.astype(np.uint64)
+    h1 = _splitmix64(v)
+    h2 = _splitmix64(v ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        return [
+            ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            for i in range(_BLOOM_K)
+        ]
+
+
+def _bloom_build(vals, m: int) -> bytes:
+    import numpy as np
+
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for pos in _bloom_positions(vals, m):
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits.tobytes()
+
+
+def _bloom_any_member(vals, bits_arr, m: int) -> bool:
+    """True iff ANY value tests positive (all k bits set) in the bloom."""
+    import numpy as np
+
+    member = np.ones(len(vals), dtype=bool)
+    for pos in _bloom_positions(vals, m):
+        member &= (bits_arr[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        if not member.any():
+            return False
+    return bool(member.any())
 
 
 def _stat_encode(v):
@@ -102,6 +157,15 @@ class VersionedParquetTable:
     path: str
     key: Sequence[str]
     partition_by: Sequence[str] = field(default_factory=tuple)
+    #: Bits per per-file key bloom recorded in the manifest (0 disables).
+    #: Min/max ranges only prune KEY-CLUSTERED layouts — on a
+    #: hash-distributed table every file's range spans the whole key
+    #: space and range pruning degenerates to "touch everything". The
+    #: bloom keeps file skipping effective there: a merge probes each
+    #: candidate file's bloom with the source keys and skips files with
+    #: no possible match. False positives only cost an extra rewrite;
+    #: false negatives are impossible (every stored key sets its bits).
+    bloom_bits: int = 1 << 15
 
     # -- log layout ---------------------------------------------------------
 
@@ -214,16 +278,41 @@ class VersionedParquetTable:
         entries: list[dict] = []
         if ranges is not None:
             try:
-                return [
-                    {
+                out = []
+                for p, lo, hi, nulls in ranges:
+                    e = {
                         "gen": gen,
                         "name": os.path.relpath(p, out_dir),
                         "min": _stat_encode(lo),
                         "max": _stat_encode(hi),
                         "nulls": nulls,
                     }
-                    for p, lo, hi, nulls in ranges
-                ]
+                    # Integer keys additionally get a bloom over the
+                    # file's actual key values — read once, at write
+                    # time, while the file is hot.
+                    if (
+                        self.bloom_bits
+                        and isinstance(lo, int)
+                        and not isinstance(lo, bool)
+                    ):
+                        import base64
+
+                        import numpy as np
+                        import pyarrow.parquet as pq
+
+                        col = pq.read_table(p, columns=[self.key[0]]).column(0)
+                        vals = (
+                            col.combine_chunks()
+                            .drop_null()
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)
+                        )
+                        e["bloom"] = base64.b64encode(
+                            _bloom_build(vals, self.bloom_bits)
+                        ).decode()
+                        e["bloom_m"] = self.bloom_bits
+                    out.append(e)
+                return out
             except TypeError:
                 entries = []
         for dp, _, fs in os.walk(out_dir):
@@ -243,6 +332,53 @@ class VersionedParquetTable:
 
     def _entry_path(self, e: dict) -> str:
         return os.path.join(self._gen_dir(e["gen"]), e["name"])
+
+    def _bloom_hits(self, source: DataFrame, key: str, cands: list[dict]):
+        """Distributed bloom probe: which candidate files does ANY
+        distinct source key hit? The blooms (4 KiB × |cands|) ship in
+        the kernel closure — the task-side analog of a broadcast dim —
+        and each partition of distinct keys emits only the file ids it
+        hit plus a null-seen marker: shuffle ∝ hits, not keys.
+        Returns (hit_id_set, source_has_null_keys)."""
+        import base64
+
+        import numpy as np
+
+        blooms = [
+            (
+                f'{e["gen"]}/{e["name"]}',
+                np.frombuffer(base64.b64decode(e["bloom"]), dtype=np.uint8),
+                int(e["bloom_m"]),
+            )
+            for e in cands
+        ]
+        NULL_MARK = "\x00null"
+
+        def kernel(batches):
+            import pandas as pd
+
+            hits: set[str] = set()
+            saw_null = False
+            for pdf in batches:
+                col = pdf["__k"]
+                if col.isna().any():
+                    saw_null = True
+                vals = col.dropna().to_numpy(dtype=np.int64)
+                if len(vals):
+                    for fid, bits, m in blooms:
+                        if fid not in hits and _bloom_any_member(vals, bits, m):
+                            hits.add(fid)
+            out = sorted(hits) + ([NULL_MARK] if saw_null else [])
+            yield pd.DataFrame({"fid": pd.Series(out, dtype="object")})
+
+        got = {
+            r["fid"]
+            for r in source.select(F.col(key).alias("__k"))
+            .distinct()
+            .mapInPandas(kernel, "fid string")
+            .collect()
+        }
+        return {g for g in got if g != NULL_MARK}, NULL_MARK in got
 
     def _unpartitioned_entries(self, manifest: dict) -> list[dict]:
         """File entries of an unpartitioned version; old manifests that
@@ -423,12 +559,28 @@ class VersionedParquetTable:
             touched_ids = touched_by_key_ranges(source, keys[0], ranges)
             if touched_ids is None:
                 return full_rewrite()
-        touched = always + [
-            e for e in ranged if f'{e["gen"]}/{e["name"]}' in touched_ids
-        ]
-        untouched = [
-            e for e in ranged if f'{e["gen"]}/{e["name"]}' not in touched_ids
-        ]
+        def fid(e: dict) -> str:
+            return f'{e["gen"]}/{e["name"]}'
+
+        touched = always + [e for e in ranged if fid(e) in touched_ids]
+
+        # Bloom refinement: on key-unclustered layouts the range probe
+        # touches almost everything; the per-file blooms cut candidates
+        # down to files that actually contain a source key (plus a
+        # bounded false-positive tail).
+        bloomable = [e for e in touched if e.get("bloom")]
+        if bloomable:
+            hits, src_has_null = self._bloom_hits(source, keys[0], bloomable)
+            touched = [
+                e
+                for e in touched
+                if not e.get("bloom")
+                or fid(e) in hits
+                or (src_has_null and e.get("nulls"))
+            ]
+
+        touched_fids = {fid(e) for e in touched}
+        untouched = [e for e in entries if fid(e) not in touched_fids]
 
         if touched:
             tsub = spark.read.parquet(*[self._entry_path(e) for e in touched])

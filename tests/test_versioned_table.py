@@ -332,3 +332,60 @@ def test_versioned_migration_from_rootmap_manifest(spark, tmp_path):
     out = t.read(spark)
     assert out.count() == 1000
     assert out.filter("id = 5").collect()[0]["v"] == "y"
+
+
+def test_bloom_skips_files_on_unclustered_layout(spark, tmp_path):
+    """Range pruning is useless on a hash-distributed table (every
+    file's min/max spans the whole key space); the manifest blooms must
+    still skip almost every file for a narrow merge."""
+    import os
+
+    from data_lake_skyfit_spark.operators.versioned import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "bloomy"), ["id"])
+    base = spark.range(40_000).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    # hash-repartition => every file covers ~the full key range
+    t.overwrite(base.repartition(20, "id"))
+    m1 = t._manifest(1)
+    assert all(e.get("bloom") for e in m1["files"])
+    # ranges are useless by construction:
+    from data_lake_skyfit_spark.operators.versioned import _stat_decode
+
+    spans = [
+        _stat_decode(e["max"]) - _stat_decode(e["min"]) for e in m1["files"]
+    ]
+    assert min(spans) > 30_000
+
+    paths_before = {
+        t._entry_path(e): os.path.getmtime(t._entry_path(e)) for e in m1["files"]
+    }
+    # merge 3 keys: blooms should localize to the 1-3 files holding them
+    t.merge(
+        spark.createDataFrame([(17, -1), (23_456, -1), (39_999, -1)], "id long, v long")
+    )
+    m2 = t._manifest(2)
+    carried = [e for e in m2["files"] if t._entry_path(e) in paths_before]
+    assert len(carried) >= 15, f"bloom skipped too few: {len(carried)}/20"
+    for e in carried:
+        assert paths_before[t._entry_path(e)] == os.path.getmtime(t._entry_path(e))
+
+    out = t.read(spark)
+    assert out.count() == 40_000
+    assert out.filter("v = -1").count() == 3
+    assert out.select("id").distinct().count() == 40_000
+
+
+def test_bloom_null_keys_still_merge(spark, tmp_path):
+    """A null source key must not be bloom-skipped: files whose footer
+    reports nulls stay touched when the source carries nulls."""
+    from data_lake_skyfit_spark.operators.versioned import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "bnull"), ["id"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(None, "a"), (1, "b"), (2, "c")], "id long, v string"
+        ).repartition(2, "id")
+    )
+    t.merge(spark.createDataFrame([(None, "A")], "id long, v string"))
+    rows = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert rows[None] == "A" and len(rows) == 3
