@@ -11,6 +11,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from data_lake_skyfit_spark.operators.merge import MergeMode, ParquetTable
+from data_lake_skyfit_spark.operators.versioned import VersionedParquetTable
 
 KEYS = st.integers(min_value=0, max_value=6)
 ROW = st.tuples(KEYS, st.integers(min_value=0, max_value=99))
@@ -24,8 +25,20 @@ _SETTINGS = settings(
 )
 
 
-def _run(spark, tmp, batches, mode):
-    t = ParquetTable(str(tmp), ["id"])
+def _make_table(kind, tmp):
+    """Three write paths share one contract: the plain swap table, the
+    same table with file-level pruning forced on (prune_min_bytes=0),
+    and the versioned table whose merges run the manifest range+bloom
+    COW path."""
+    if kind == "plain":
+        return ParquetTable(str(tmp), ["id"])
+    if kind == "pruned":
+        return ParquetTable(str(tmp), ["id"], prune_min_bytes=0)
+    return VersionedParquetTable(str(tmp), ["id"])
+
+
+def _run(spark, tmp, batches, mode, kind="plain"):
+    t = _make_table(kind, tmp)
     state: dict[int, int] = {}
     for batch in batches:
         df = spark.createDataFrame(
@@ -44,19 +57,21 @@ def _run(spark, tmp, batches, mode):
     return got, state
 
 
+@pytest.mark.parametrize("kind", ["plain", "pruned", "versioned"])
 @given(batches=BATCHES)
 @_SETTINGS
-def test_update_all_equals_dict_fold(spark, tmp_path_factory, batches):
+def test_update_all_equals_dict_fold(spark, tmp_path_factory, kind, batches):
     tmp = tmp_path_factory.mktemp("m")
-    got, want = _run(spark, tmp, batches, MergeMode.UPDATE_ALL)
+    got, want = _run(spark, tmp, batches, MergeMode.UPDATE_ALL, kind)
     assert got == want
 
 
+@pytest.mark.parametrize("kind", ["plain", "pruned", "versioned"])
 @given(batches=BATCHES)
 @_SETTINGS
-def test_insert_only_keeps_first(spark, tmp_path_factory, batches):
+def test_insert_only_keeps_first(spark, tmp_path_factory, kind, batches):
     tmp = tmp_path_factory.mktemp("m")
-    got, want = _run(spark, tmp, batches, MergeMode.DO_NOTHING)
+    got, want = _run(spark, tmp, batches, MergeMode.DO_NOTHING, kind)
     assert got == want
 
 
