@@ -46,6 +46,7 @@ __all__ = [
     "decode_images",
     "decode_audio",
     "resize_images",
+    "resample_audio",
     "extract_embeddings",
     "sample_video_frames",
     "encode_wav_pcm16",
@@ -420,6 +421,65 @@ def resize_images(
                     "payload": [one(b) for b in pdf["payload"]],
                     "width": width,
                     "height": height,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema)
+
+
+def _decimate_wav(data: bytes, factor: int) -> bytes:
+    """REAL audio downsample by integer decimation: keep every
+    `factor`-th PCM sample, divide the rate. Integer sample selection
+    only (no interpolation), so a SQL oracle reproduces every output
+    sample; the WAV container is re-encoded for real."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("only 16-bit mono PCM decimation supported")
+        raw = w.readframes(n)
+    samples = struct.unpack(f"<{n}h", raw)
+    return encode_wav_pcm16(sr // factor, list(samples[::factor]))
+
+
+def resample_audio(
+    df: DataFrame, *, id_col: str = "doc_id", factor: int = 4
+) -> DataFrame:
+    """payload → decimated payload + updated rate/length (the normalize
+    step before an audio encoder — the audio analog of resize_images).
+    RIFF/WAVE payloads are decimated FOR REAL (_decimate_wav); other
+    formats would need librosa: fake path keeps every 4th byte of the
+    md5-tiled fake stream. 1→1 binary transform via mapInPandas."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b) -> tuple[bytes, int, int]:
+            data = bytes(b)
+            if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                out = _decimate_wav(data, factor)
+                sr, n, _dur, _ssum, _rms = _decode_wav(out)
+                return out, sr, n
+            _require_codec("soundfile")
+            d = hashlib.md5(data).digest()
+            sr = WAV_RATES[d[3] % len(WAV_RATES)] // factor
+            fake = (hashlib.md5(data).hexdigest().encode() * 64)[::factor]
+            return fake, sr, len(fake)
+
+        for pdf in batches:
+            decoded = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [d[0] for d in decoded],
+                    "sample_rate": pd.array([d[1] for d in decoded], dtype="int32"),
+                    "n_samples": pd.array([d[2] for d in decoded], dtype="int64"),
                 }
             )
 

@@ -1589,6 +1589,46 @@ def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_resample",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             list_value(8000,16000,22050,44100,48000)[1 + doc_id % 5] // 4 AS sr,
+             64 + doc_id % 97 AS n0
+      FROM documents WHERE doc_id < 200
+    ), q AS (
+      SELECT doc_id, sr, (n0 + 3) // 4 AS n FROM p
+    ), s AS (
+      SELECT q.doc_id, q.sr, q.n,
+             SUM(((q.doc_id * 7919 + (4*i.i) * 104729) % 65536) - 32768) AS ssum,
+             SUM((((q.doc_id * 7919 + (4*i.i) * 104729) % 65536) - 32768)
+               * (((q.doc_id * 7919 + (4*i.i) * 104729) % 65536) - 32768)) AS ssq
+      FROM q, LATERAL (SELECT UNNEST(range(0, q.n)) AS i) i
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(sr AS INT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(ssum AS BIGINT) AS sample_sum,
+           sqrt(CAST(ssq AS DOUBLE) / n) AS rms
+    FROM s
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL audio downsample roundtrip (llm.multimodal.resample_audio): "
+    "synthesize real PCM WAVs, decimate by 4 (keep every 4th sample, "
+    "rate/4, re-encoded container), then decode_audio re-parses the "
+    "result. The oracle recomputes the decimated sample set "
+    "arithmetically (sample index i → source index 4i), so every "
+    "surviving sample is graded — the audio analog of "
+    "multimodal_resize_decode.",
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_wav_payloads(d, id_col="doc_id")
+    resampled = multimodal.resample_audio(media, factor=4).select("doc_id", "payload")
+    return multimodal.decode_audio(resampled)
+
+
+@register(
     "multimodal_frame_sample",
     """
     WITH t AS (

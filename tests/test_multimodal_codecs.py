@@ -136,3 +136,29 @@ def test_bmp_resize_identity_preserves_pixels():
 
     src = encode_bmp24(6, 4, lambda x, y, c: (x + 10 * y + 100 * c) % 256)
     assert _decode_bmp(_resize_bmp(src, 6, 4))[3] == _decode_bmp(src)[3]
+
+
+def test_wav_decimation_real():
+    from data_lake_skyfit_spark.llm.multimodal import _decimate_wav
+
+    samples = [((i * 104729) % 65536) - 32768 for i in range(101)]
+    src = encode_wav_pcm16(44100, samples)
+    out = _decimate_wav(src, 4)
+    sr, n, dur, ssum, rms = _decode_wav(out)
+    kept = samples[::4]
+    assert sr == 11025
+    assert n == len(kept) == 26
+    assert ssum == sum(kept)
+    assert rms == math.sqrt(sum(s * s for s in kept) / len(kept))
+
+
+def test_resample_audio_real_path_on_spark(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_wav_payloads(df, id_col="doc_id")
+    out = {r["doc_id"]: r for r in multimodal.resample_audio(media, factor=4).collect()}
+    for rid in (0, 7, 9):
+        n0 = 64 + rid % 97
+        assert out[rid]["sample_rate"] == WAV_RATES[rid % 5] // 4
+        assert out[rid]["n_samples"] == (n0 + 3) // 4
+        # and the payload is a REAL re-encoded WAV
+        assert bytes(out[rid]["payload"])[:4] == b"RIFF"
