@@ -210,6 +210,7 @@ class VersionedParquetTable:
         op: str,
         schema_json: str,
         files: list[dict] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Write manifest v<N+1> then swap the _LATEST pointer. Both
         writes are tmp+rename: a crash at any point leaves the previous
@@ -220,13 +221,22 @@ class VersionedParquetTable:
         key's footer min/max — the manifest IS the file-skipping index,
         so later merges prune without ever re-reading footers."""
         os.makedirs(self._manifest_dir, exist_ok=True)
-        version = (self.latest_version() or 0) + 1
+        prev = self.latest_version()
+        version = (prev or 0) + 1
+        # Writer-transaction watermarks (Delta txn appId/version pattern)
+        # carry forward through EVERY commit so idempotence survives
+        # interleaved overwrites/compactions.
+        txns = dict(self._manifest(prev).get("txns", {})) if prev else {}
+        if txn is not None:
+            txns[txn[0]] = txn[1]
         doc = {
             "version": version,
             "op": op,
             "partitions": mapping,
             "schema": json.loads(schema_json),
         }
+        if txns:
+            doc["txns"] = txns
         if files is not None:
             doc["files"] = files
         mpath = os.path.join(self._manifest_dir, f"v{version:08d}.json")
@@ -457,8 +467,17 @@ class VersionedParquetTable:
         mode: str = MergeMode.UPDATE_ALL,
         update_subset: Sequence[str] = (),
         source_order: Sequence[str] = (),
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """MERGE INTO … USING source ON key, committed as a new version.
+
+        `txn=(app_id, txn_version)` makes the merge IDEMPOTENT per
+        writer (the Delta transaction pattern): the manifest remembers
+        each app's highest applied txn_version, and a merge at or below
+        that watermark is a no-op returning the current table version —
+        the exactly-once hook for streaming foreachBatch replays, where
+        a crash between sink commit and checkpoint advance redelivers a
+        batch.
 
         Same row semantics as ParquetTable.merge (shared merge_rows /
         partition_scope helpers); the difference is the commit: touched
@@ -480,13 +499,22 @@ class VersionedParquetTable:
                 self._collect_file_entries(gen) if not self.partition_by else None
             )
             return self._commit(
-                {p: gen for p in parts}, "merge", source.schema.json(), files=files
+                {p: gen for p in parts},
+                "merge",
+                source.schema.json(),
+                files=files,
+                txn=txn,
             )
 
         parent_manifest = self._manifest(self.latest_version())
+        if txn is not None:
+            applied = parent_manifest.get("txns", {}).get(txn[0])
+            if applied is not None and applied >= txn[1]:
+                return parent_manifest["version"]  # replayed batch: no-op
+
         if not self.partition_by:
             return self._merge_unpartitioned(
-                spark, parent_manifest, source, keys, mode, update_subset
+                spark, parent_manifest, source, keys, mode, update_subset, txn
             )
 
         parent = parent_manifest["partitions"]
@@ -506,7 +534,7 @@ class VersionedParquetTable:
             mapping.update({p: gen for p in parts})
         else:
             mapping = {p: gen for p in parts}
-        return self._commit(mapping, "merge", merged.schema.json())
+        return self._commit(mapping, "merge", merged.schema.json(), txn=txn)
 
     def _merge_unpartitioned(
         self,
@@ -516,6 +544,7 @@ class VersionedParquetTable:
         keys: list[str],
         mode: str,
         update_subset: Sequence[str],
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """File-level copy-on-write MERGE: the parent manifest's per-file
         key ranges (recorded at write time — no footer re-reads) are
@@ -535,7 +564,7 @@ class VersionedParquetTable:
             gen, _parts = self._write_generation(merged)
             return self._commit(
                 {}, "merge", merged.schema.json(),
-                files=self._collect_file_entries(gen),
+                files=self._collect_file_entries(gen), txn=txn,
             )
 
         # Adding source columns forces a rewrite so every live file
@@ -592,7 +621,7 @@ class VersionedParquetTable:
         gen, _parts = self._write_generation(merged)
         return self._commit(
             {}, "merge", merged.schema.json(),
-            files=untouched + self._collect_file_entries(gen),
+            files=untouched + self._collect_file_entries(gen), txn=txn,
         )
 
     def compact(self, spark: SparkSession) -> int:

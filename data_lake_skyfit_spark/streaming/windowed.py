@@ -209,12 +209,27 @@ def stream_merge_sink(
     committed, and replayed/overlapping batches upsert into the same
     keys. The exactly-once contract of the reference's
     watermark+ON CONFLICT pipeline, with Spark holding the cursor.
+
+    Tables whose merge accepts `txn` (VersionedParquetTable) get a
+    (checkpoint-derived app id, batch_id) transaction per batch: a
+    batch redelivered after a crash between sink commit and checkpoint
+    advance is a manifest-level no-op instead of a redundant version —
+    keyed-MERGE idempotency already made replays SAFE; the txn makes
+    them FREE and keeps version history 1:1 with real batches.
     """
+    import inspect
+    import os as _os
+
+    accepts_txn = "txn" in inspect.signature(table.merge).parameters
+    app_id = f"stream:{_os.path.abspath(checkpoint_dir)}"
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        table.merge(batch_df, source_order=list(source_order))
+        kwargs: dict = {"source_order": list(source_order)}
+        if accepts_txn:
+            kwargs["txn"] = (app_id, int(batch_id))
+        table.merge(batch_df, **kwargs)
 
     q = (
         stream_df.writeStream.foreachBatch(merge_batch)

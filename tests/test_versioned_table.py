@@ -389,3 +389,70 @@ def test_bloom_null_keys_still_merge(spark, tmp_path):
     t.merge(spark.createDataFrame([(None, "A")], "id long, v string"))
     rows = {r["id"]: r["v"] for r in t.read(spark).collect()}
     assert rows[None] == "A" and len(rows) == 3
+
+
+def test_txn_merge_is_idempotent_per_writer(spark, tmp_path):
+    """Delta-style writer transactions: a merge at or below an app's
+    recorded txn watermark is a manifest-level no-op; other apps and
+    higher versions proceed; watermarks survive compaction."""
+    from data_lake_skyfit_spark.operators.versioned import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "txn"), ["id"])
+    t.merge(spark.createDataFrame([(1, "a")], "id long, v string"), txn=("app1", 0))
+    v1 = t.latest_version()
+    # replay of batch 0 → no new version, no data change
+    assert t.merge(
+        spark.createDataFrame([(1, "REPLAYED")], "id long, v string"), txn=("app1", 0)
+    ) == v1
+    assert t.read(spark).collect()[0]["v"] == "a"
+    # next batch applies
+    t.merge(spark.createDataFrame([(2, "b")], "id long, v string"), txn=("app1", 1))
+    assert t.read(spark).count() == 2
+    # a different writer app with the same numbers is independent
+    t.merge(spark.createDataFrame([(3, "c")], "id long, v string"), txn=("app2", 0))
+    assert t.read(spark).count() == 3
+    # watermarks carry through a compaction commit
+    t.compact(spark)
+    assert t.merge(
+        spark.createDataFrame([(9, "x")], "id long, v string"), txn=("app1", 1)
+    ) == t.latest_version()
+    assert t.read(spark).count() == 3
+
+
+def test_stream_sink_into_versioned_table(spark, tmp_path):
+    """stream_merge_sink drives a VersionedParquetTable with per-batch
+    transactions: draining the same landing dir twice adds no rows AND
+    no versions (checkpoint holds the cursor; txns absorb replays)."""
+    import json as _json
+    import os
+
+    from data_lake_skyfit_spark.operators.versioned import VersionedParquetTable
+    from data_lake_skyfit_spark.streaming.windowed import stream_merge_sink
+
+    land = tmp_path / "land"
+    land.mkdir()
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, v string, seq long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(land / "batch0"))
+
+    t = VersionedParquetTable(str(tmp_path / "vt"), ["id"])
+    stream = (
+        spark.readStream.schema("id long, v string, seq long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(land / "batch0"))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stream_merge_sink(stream, t, checkpoint_dir=ckpt, source_order=("seq",))
+    assert t.read(spark).count() == 2
+    v_after = t.latest_version()
+    applied = t._manifest(v_after).get("txns", {})
+    assert applied, "sink did not record writer transactions"
+
+    # drain again: nothing new to read, nothing committed
+    stream2 = (
+        spark.readStream.schema("id long, v string, seq long")
+        .parquet(str(land / "batch0"))
+    )
+    stream_merge_sink(stream2, t, checkpoint_dir=ckpt, source_order=("seq",))
+    assert t.latest_version() == v_after
+    assert t.read(spark).count() == 2
