@@ -19,6 +19,7 @@ __all__ = [
     "brute_force_topk",
     "lsh_topk",
     "ivf_topk",
+    "IVFIndex",
     "sharded_topk",
     "hyperplane_signature_expr",
     "quantize_embeddings",
@@ -129,6 +130,112 @@ def hyperplane_signature_expr(vec: Column, *, planes: int = 16, dims: int = 64) 
     return F.transform(F.sequence(F.lit(0), F.lit(planes - 1)), sig_bit)
 
 
+def _normalize_centroids(rows):
+    """(cid, ce) rows → (cids array, row-normalized centroid matrix)."""
+    import numpy as np
+
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["ce"] for r in rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    return cids, cmat / cnorm[:, None]
+
+
+def _assign_to_centroids(df: DataFrame, n_best: int, cids, cmat) -> DataFrame:
+    """Nearest-centroid assignment, vectorized: the centroid matrix
+    ships to workers inside the Arrow kernel; each batch is one BLAS
+    matmul + arg-sort instead of n_lists interpreted dot folds per
+    row. Input/output carry (id, e, nrm[, cid])."""
+    import pandas as pd
+
+    k_best = min(n_best, len(cids))
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            nrm[nrm == 0] = 1.0
+            sims = (mat / nrm[:, None]) @ cmat.T
+            # top-k lists per row, ties broken by cid ascending:
+            order = np.lexsort((cids[None, :].repeat(len(mat), 0), -sims), axis=1)
+            top = order[:, :k_best]
+            n = len(mat)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy().repeat(k_best),
+                    "e": [e for e in pdf["e"] for _ in range(k_best)],
+                    "nrm": pdf["nrm"].to_numpy().repeat(k_best),
+                    "cid": cids[top].reshape(n * k_best),
+                }
+            )
+
+    out_schema = "id long, e array<double>, nrm double, cid long"
+    return df.select("id", "e", "nrm").mapInPandas(kernel, out_schema)
+
+
+def _train_centroids(c: DataFrame, n_lists: int, kmeans_iters: int):
+    """Deterministic distributed k-means: seed = lowest-xxhash64 ids,
+    refined by Lloyd steps (assign → per-list mean; one broadcast map +
+    one codegen'd aggregation each). Each centroid generation is
+    collected to the driver exactly ONCE (n_lists rows — kilobytes)."""
+    seed = (
+        c.withColumn("__h", F.xxhash64("id"))
+        .orderBy("__h")
+        .limit(n_lists)
+        .select(F.col("id").alias("cid"), F.col("e").alias("ce"))
+    )
+    cids, cmat = _normalize_centroids(seed.collect())
+    dims = cmat.shape[1]
+    for _ in range(kmeans_iters):
+        assigned = _assign_to_centroids(c, 1, cids, cmat)
+        refined = (
+            assigned.select(
+                "cid", *[F.col("e")[i].alias(f"d{i}") for i in range(dims)]
+            )
+            .groupBy("cid")
+            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dims)])
+            .select("cid", F.array(*[f"d{i}" for i in range(dims)]).alias("ce"))
+        )
+        cids, cmat = _normalize_centroids(refined.collect())
+    return cids, cmat
+
+
+def _rank_candidates(q_assigned: DataFrame, c_assigned: DataFrame, k: int) -> DataFrame:
+    """Shared probe tail: bucket equi-join → cosine → per-query top-k
+    (ties on neighbor_id; rounding matches brute_force_topk)."""
+    cos = dot_expr(F.col("q.e"), F.col("c.e")) / (F.col("q.nrm") * F.col("c.nrm"))
+    candidates = (
+        q_assigned.alias("q")
+        .join(
+            c_assigned.alias("c"),
+            (F.col("q.cid") == F.col("c.cid")) & (F.col("q.id") != F.col("c.id")),
+        )
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            cos.alias("cos_raw"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos_raw", 4).alias("cosine"),
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -144,113 +251,18 @@ def ivf_topk(
     every corpus vector to its nearest centroid list; a query scores
     only vectors in its `n_probe` nearest lists.
 
-    Centroid training is deterministic and fully distributed: seed
-    centroids are the lowest-hash n_lists corpus vectors, refined by
-    `kmeans_iters` Lloyd steps (assign → per-list mean — one broadcast
-    map + one aggregation each). Centroids are always broadcast, so
-    index build shuffles only list ids, never vectors-by-pair.
+    Centroid training is deterministic and fully distributed (see
+    _train_centroids). Centroids are always broadcast, so index build
+    shuffles only list ids, never vectors-by-pair.
     Scale: shuffle ∝ n, per-query compute ∝ n·n_probe/n_lists.
     """
-    import numpy as np
-
     c = _prep(corpus, id_col, vec_col).localCheckpoint(eager=False)
-    # Deterministic seed centroids: lowest xxhash64(id) sample. Each
-    # centroid generation is collected to the driver exactly ONCE
-    # (n_lists rows — kilobytes) and reused by every assignment.
-    seed = (
-        c.withColumn("__h", F.xxhash64("id"))
-        .orderBy("__h")
-        .limit(n_lists)
-        .select(F.col("id").alias("cid"), F.col("e").alias("ce"))
+    cids, cmat = _train_centroids(c, n_lists, kmeans_iters)
+    c_assigned = _assign_to_centroids(c, 1, cids, cmat)
+    q_assigned = _assign_to_centroids(
+        _prep(queries, id_col, vec_col), n_probe, cids, cmat
     )
-
-    def normalize_cent(rows):
-        cids = np.array([r["cid"] for r in rows], dtype=np.int64)
-        cmat = np.array([r["ce"] for r in rows], dtype=np.float64)
-        cnorm = np.linalg.norm(cmat, axis=1)
-        cnorm[cnorm == 0] = 1.0
-        return cids, cmat / cnorm[:, None]
-
-    cids, cmat = normalize_cent(seed.collect())
-    dims = cmat.shape[1]
-
-    def assign(df: DataFrame, n_best: int, cids, cmat) -> DataFrame:
-        """Nearest-centroid assignment, vectorized: the centroid matrix
-        ships to workers inside the Arrow kernel; each batch is one BLAS
-        matmul + arg-sort instead of n_lists interpreted dot folds per
-        row."""
-        import pandas as pd
-
-        k_best = min(n_best, len(cids))
-
-        def kernel(batches):
-            import numpy as np
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                mat = np.array(pdf["e"].tolist(), dtype=np.float64)
-                nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-                nrm[nrm == 0] = 1.0
-                sims = (mat / nrm[:, None]) @ cmat.T
-                # top-k lists per row, ties broken by cid ascending:
-                order = np.lexsort((cids[None, :].repeat(len(mat), 0), -sims), axis=1)
-                top = order[:, :k_best]
-                n = len(mat)
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"].to_numpy().repeat(k_best),
-                        "e": [e for e in pdf["e"] for _ in range(k_best)],
-                        "nrm": pdf["nrm"].to_numpy().repeat(k_best),
-                        "cid": cids[top].reshape(n * k_best),
-                    }
-                )
-
-        out_schema = "id long, e array<double>, nrm double, cid long"
-        return df.select("id", "e", "nrm").mapInPandas(kernel, out_schema)
-
-    for _ in range(kmeans_iters):
-        # Lloyd step: element-wise mean per list via dims avg() columns
-        # (codegen'd, map-side partial agg), renormalized driver-side.
-        assigned = assign(c, 1, cids, cmat)
-        refined = (
-            assigned.select(
-                "cid", *[F.col("e")[i].alias(f"d{i}") for i in range(dims)]
-            )
-            .groupBy("cid")
-            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dims)])
-            .select("cid", F.array(*[f"d{i}" for i in range(dims)]).alias("ce"))
-        )
-        cids, cmat = normalize_cent(refined.collect())
-
-    c_assigned = assign(c, 1, cids, cmat)  # each corpus vector in one list
-    q_assigned = assign(_prep(queries, id_col, vec_col), n_probe, cids, cmat)
-
-    cos = dot_expr(F.col("q.e"), F.col("c.e")) / (F.col("q.nrm") * F.col("c.nrm"))
-    candidates = (
-        q_assigned.alias("q")
-        .join(
-            c_assigned.alias("c"),
-            (F.col("q.cid") == F.col("c.cid")) & (F.col("q.id") != F.col("c.id")),
-        )
-        .select(
-            F.col("q.id").alias("query_id"),
-            F.col("c.id").alias("neighbor_id"),
-            cos.alias("cos_raw"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
-    return (
-        candidates.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("int").alias("rank"),
-            F.round("cos_raw", 4).alias("cosine"),
-        )
-    )
+    return _rank_candidates(q_assigned, c_assigned, k)
 
 
 def sharded_topk(
@@ -338,6 +350,90 @@ def sharded_topk(
             F.round("cos_raw", 4).alias("cosine"),
         )
     )
+
+
+class IVFIndex:
+    """Persisted, incrementally-maintained IVF ANN index — the 100 TB
+    serving mode (the ANN analog of dedup.MinHashIndex): a production
+    corpus is not re-trained and re-assigned per probe; centroids are
+    trained ONCE (`build`), new vectors assign to the standing centroid
+    set at cost ∝ batch (`add`, keyed MERGE so replays converge), and
+    probes join the persisted assignment table on list id (`probe`,
+    shuffle ∝ queries·n_probe + matching lists).
+
+    Freezing centroids at build time is the deliberate trade: adds stay
+    cheap and incremental probing is exactly equal to a one-shot
+    assignment under the same centroids (pinned), while drift after
+    heavy adds is handled by rebuilding — the FAISS/IVF operational
+    norm. Storage: a centroids table (cid, ce — n_lists rows) and an
+    assignments table (id, e, nrm, cid) keyed on id.
+    """
+
+    def __init__(self, root: str, *, n_lists: int = 16, kmeans_iters: int = 1):
+        from ..operators.merge import ParquetTable
+
+        self.n_lists = n_lists
+        self.kmeans_iters = kmeans_iters
+        self.centroid_table = ParquetTable(f"{root}/centroids", ["cid"])
+        self.assign_table = ParquetTable(f"{root}/assignments", ["id"])
+
+    def build(
+        self,
+        train: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Train centroids on `train` and reset the assignment table.
+        Vectors themselves are added via `add` (pass the same frame to
+        index it immediately)."""
+        spark = train.sparkSession
+        c = _prep(train, id_col, vec_col).localCheckpoint(eager=False)
+        cids, cmat = _train_centroids(c, self.n_lists, self.kmeans_iters)
+        self.centroid_table.overwrite(
+            spark.createDataFrame(
+                [(int(cid), [float(x) for x in vec]) for cid, vec in zip(cids, cmat)],
+                "cid long, ce array<double>",
+            )
+        )
+        empty = c.limit(0).withColumn("cid", F.lit(0).cast("long"))
+        self.assign_table.overwrite(empty.select("id", "e", "nrm", "cid"))
+
+    def _centroids(self, spark):
+        return _normalize_centroids(
+            self.centroid_table.read(spark).select("cid", "ce").collect()
+        )
+
+    def add(
+        self,
+        batch: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Assign a batch to the standing centroids and MERGE it in —
+        cost ∝ batch, idempotent per id (re-adding converges)."""
+        cids, cmat = self._centroids(batch.sparkSession)
+        assigned = _assign_to_centroids(_prep(batch, id_col, vec_col), 1, cids, cmat)
+        self.assign_table.merge(assigned)
+
+    def probe(
+        self,
+        queries: DataFrame,
+        *,
+        k: int = 5,
+        n_probe: int = 6,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Top-k cosine over the vectors in each query's n_probe nearest
+        lists, read from the standing index."""
+        spark = queries.sparkSession
+        cids, cmat = self._centroids(spark)
+        q_assigned = _assign_to_centroids(
+            _prep(queries, id_col, vec_col), n_probe, cids, cmat
+        )
+        return _rank_candidates(q_assigned, self.assign_table.read(spark), k)
 
 
 def lsh_topk(

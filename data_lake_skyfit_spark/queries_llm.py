@@ -472,6 +472,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_index_probe",
+    _ANN_EXACT_TOPK_ORACLE,
+    tags=("llm-similarity", "scale-path", "I3", "no-bench"),
+    doc="Persisted incremental IVF index (llm.similarity.IVFIndex — the "
+    "ANN analog of MinHashIndex): centroids train once, the corpus is "
+    "ingested in TWO batches under the frozen centroid set (cost ∝ "
+    "batch, keyed MERGE so replays converge), then probing at "
+    "n_probe=n_lists makes candidate recall total, so the exact "
+    "brute-force SQL is the oracle. no-bench: deliberately persists "
+    "index tables over the full corpus — pipeline-maintenance cost, not "
+    "query latency; the sub-exhaustive regime and incremental==one-shot "
+    "contracts are pinned in tests/test_similarity_quality.py.",
+)
+def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = similarity.IVFIndex(tempfile.mkdtemp(prefix="skyfit_ivfidx_"))
+    idx.build(e.filter(F.col("vec_id") % 2 == 0))
+    idx.add(e.filter(F.col("vec_id") % 2 == 0))
+    idx.add(e.filter(F.col("vec_id") % 2 == 1))
+    return idx.probe(e.filter(F.col("vec_id") < 10), k=5, n_probe=16)
+
+
+@register(
     "ann_sharded_probe_topk",
     """
     WITH v AS (

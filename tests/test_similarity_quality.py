@@ -102,3 +102,42 @@ def test_sharded_probe_is_genuinely_sub_exhaustive(spark, vecs):
     recall = len(truth & approx) / len(truth)
     assert recall < 0.9, f"probe-limited search unexpectedly exhaustive: {recall:.2f}"
     assert recall > 0.05, f"shard probe produced near-empty overlap: {recall:.2f}"
+
+
+def test_ivf_index_incremental_equals_oneshot(spark, tmp_path, vecs):
+    """Persisted IVF index (serving mode): batch-by-batch adds under
+    frozen centroids must probe exactly like a one-shot assignment of
+    the full corpus, and re-adding a batch must not change results
+    (keyed-MERGE idempotency)."""
+    corpus, queries = vecs
+    half1 = corpus.filter(F.col("vec_id") % 2 == 0)
+    half2 = corpus.filter(F.col("vec_id") % 2 == 1)
+
+    one = similarity.IVFIndex(str(tmp_path / "one"))
+    one.build(half1)
+    one.add(corpus)
+
+    inc = similarity.IVFIndex(str(tmp_path / "inc"))
+    inc.build(half1)  # same training set → identical centroids
+    inc.add(half1)
+    inc.add(half2)
+
+    def res(ix):
+        return {
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in ix.probe(queries, k=5, n_probe=6).collect()
+        }
+
+    r_one, r_inc = res(one), res(inc)
+    assert r_one == r_inc and len(r_one) > 0
+
+    inc.add(half2)  # replay
+    assert res(inc) == r_inc
+
+    # exhaustive probing over the index equals brute force on its data
+    truth = _pairs(similarity.brute_force_topk(queries, corpus, k=5))
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in inc.probe(queries, k=5, n_probe=16).collect()
+    }
+    assert full == truth
