@@ -7,10 +7,12 @@ columns. Decode/feature-extract/resize/frame-sample are Arrow-batched
 `mapInPandas` operators so media bytes never round-trip per row.
 
 Codec strategy: formats the Python stdlib can parse are decoded FOR
-REAL — PCM WAV via `wave`/`struct` and 24-bpp BMP via `struct` — with
-the kernels sniffing each payload's magic bytes (RIFF/WAVE, 'BM') and
-running actual byte-level header + sample/pixel decoding. Formats that
-would need PIL/librosa/av (JPEG, MP3, MP4...) are NOT decodable in
+REAL — PCM WAV via `wave`/`struct`, 24-bpp BMP via `struct`, and
+RIFF/AVI video (uncompressed DIB frames) via chunk walking — with the
+kernels sniffing each payload's magic bytes (RIFF/WAVE, 'BM',
+RIFF/'AVI ') and running actual byte-level header + sample/pixel/frame
+decoding. Formats that would need PIL/librosa/av (JPEG, MP3, MP4...)
+are NOT decodable in
 this image: with SKYFIT_FAKE_DECODE=1 (default in tests) unrecognized
 payloads take a deterministic fake path with the real schema and batch
 shape; otherwise they raise NotImplementedError naming the missing
@@ -51,8 +53,10 @@ __all__ = [
     "sample_video_frames",
     "encode_wav_pcm16",
     "encode_bmp24",
+    "encode_avi_dib",
     "synthesize_wav_payloads",
     "synthesize_bmp_payloads",
+    "synthesize_avi_payloads",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -486,12 +490,126 @@ def resample_audio(
     return df.select(id_col, "payload").mapInPandas(kernel, schema)
 
 
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def encode_avi_dib(
+    width: int, height: int, us_per_frame: int, frames: list[bytes]
+) -> bytes:
+    """Encode a REAL minimal AVI: RIFF('AVI ') with an hdrl header
+    (avih + vids/DIB stream) and a movi LIST of uncompressed '00db'
+    frame chunks. Parseable by any AVI reader that handles raw DIB."""
+    n = len(frames)
+    avih = struct.pack(
+        "<14I", us_per_frame, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0,
+            us_per_frame, 1_000_000,  # scale, rate: fps = rate/scale
+            0, n, 0, 0xFFFFFFFF, 0,
+            0, 0, width, height,
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, width * height * 3,
+        2835, 2835, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00db", f) for f in frames))
+    body = hdrl + movi
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def _decode_avi_frames(data: bytes, every_ms: int):
+    """Walk a RIFF/AVI container for real: read us_per_frame from the
+    avih header, pull every '00db'/'00dc' frame out of the movi LIST,
+    sample one frame per `every_ms` of stream time. Returns
+    [(frame_idx, ts_ms, frame_md5)]."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    us_per_frame = None
+    frames: list[bytes] = []
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"LIST":
+            ltype, p2 = body[:4], 4
+            while p2 + 8 <= len(body):
+                fc = body[p2 : p2 + 4]
+                (sz,) = struct.unpack_from("<I", body, p2 + 4)
+                if ltype == b"hdrl" and fc == b"avih":
+                    (us_per_frame,) = struct.unpack_from("<I", body, p2 + 8)
+                elif ltype == b"movi" and fc in (b"00db", b"00dc"):
+                    frames.append(body[p2 + 8 : p2 + 8 + sz])
+                p2 += 8 + sz + (sz & 1)
+        pos += 8 + size + (size & 1)
+    if us_per_frame is None:
+        raise ValueError("AVI missing avih header")
+    step = max(1, every_ms * 1000 // us_per_frame)
+    return [
+        (i, i * us_per_frame // 1000, hashlib.md5(frames[i]).hexdigest())
+        for i in range(0, len(frames), step)
+    ]
+
+
+def synthesize_avi_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL encoded AVI payload, deterministic closed form.
+
+    Per id: width = 4·(1 + id % 3) (multiple of 4 ⇒ unpadded DIB rows),
+    height = 3 + id % 4, 2 fps (us_per_frame = 500_000), n_frames =
+    3 + id % 6; frame i's bytes are the ASCII tile of 'doc{id}f{i}x'
+    cut to width·height·3 — reproducible as plain-string SQL, so a SQL
+    oracle can md5 the exact frame payloads."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(rid: int) -> bytes:
+            w, h = 4 * (1 + rid % 3), 3 + rid % 4
+            nbytes = w * h * 3
+            frames = [
+                (f"doc{rid}f{i}x".encode() * nbytes)[:nbytes]
+                for i in range(3 + rid % 6)
+            ]
+            return encode_avi_dib(w, h, 500_000, frames)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [one(int(v)) for v in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def sample_video_frames(
     df: DataFrame, *, id_col: str = "doc_id", every_ms: int = 1000
 ) -> DataFrame:
     """payload → one row per sampled frame (id, frame_idx, ts_ms,
-    frame_md5). Fake path: frame count derived from byte length; real
-    path: pyav (stubbed). Demonstrates the 1→N mapInPandas shape."""
+    frame_md5) — the 1→N mapInPandas shape. RIFF/AVI payloads are
+    parsed FOR REAL (_decode_avi_frames: avih header for frame timing,
+    movi chunk walk for the frames, one sampled frame per `every_ms`
+    of stream time, md5 over actual frame bytes). Other containers
+    would need pyav: fake path derives frames from the content hash."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -502,23 +620,27 @@ def sample_video_frames(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _require_codec("av")
-        # Fake frame hash chains through the ASCII content hash (not raw
-        # bytes + a control byte) so it is reproducible as plain-string
-        # SQL: md5(md5(x) || ':frame:' || i).
+        def rows(data: bytes):
+            if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                return _decode_avi_frames(data, every_ms)
+            _require_codec("av")
+            # Fake frame hash chains through the ASCII content hash so
+            # it stays reproducible as plain-string SQL:
+            # md5(md5(x) || ':frame:' || i).
+            h = hashlib.md5(data).hexdigest()
+            return [
+                (i, i * every_ms, hashlib.md5(f"{h}:frame:{i}".encode()).hexdigest())
+                for i in range(1 + len(data) % 5)
+            ]
+
         for pdf in batches:
             out: dict[str, list] = {id_col: [], "frame_idx": [], "ts_ms": [], "frame_md5": []}
             for rid, b in zip(pdf[id_col], pdf["payload"]):
-                data = bytes(b)
-                n_frames = 1 + len(data) % 5
-                h = hashlib.md5(data).hexdigest()
-                for i in range(n_frames):
+                for i, ts, dig in rows(bytes(b)):
                     out[id_col].append(rid)
                     out["frame_idx"].append(i)
-                    out["ts_ms"].append(i * every_ms)
-                    out["frame_md5"].append(
-                        hashlib.md5(f"{h}:frame:{i}".encode()).hexdigest()
-                    )
+                    out["ts_ms"].append(ts)
+                    out["frame_md5"].append(dig)
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(kernel, schema)

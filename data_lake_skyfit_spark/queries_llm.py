@@ -1656,21 +1656,32 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_frame_sample",
     """
-    WITH t AS (
-      SELECT doc_id, octet_length(encode(text)) AS blen, md5(text) AS h
-      FROM documents WHERE doc_id < 100
+    WITH p AS (
+      SELECT doc_id, 4 * (1 + doc_id % 3) AS w, 3 + doc_id % 4 AS h,
+             3 + doc_id % 6 AS nf
+      FROM documents WHERE doc_id < 200
+    ), f AS (
+      SELECT doc_id, w, h, i.i AS frame_idx
+      FROM p, LATERAL (SELECT UNNEST(range(0, nf)) AS i) i
+      WHERE i.i % 2 = 0
     )
-    SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS BIGINT) AS ts_ms,
-           md5(h || ':frame:' || CAST(i AS VARCHAR)) AS frame_md5
-    FROM t, LATERAL (SELECT UNNEST(range(0, 1 + blen % 5)) AS i) x
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 500 AS BIGINT) AS ts_ms,
+           md5(substr(repeat('doc' || CAST(doc_id AS VARCHAR) || 'f'
+                 || CAST(frame_idx AS VARCHAR) || 'x', w*h*3), 1, w*h*3)) AS frame_md5
+    FROM f
     """,
     tags=("llm-multimodal",),
-    doc="Video frame sampling plumbing (llm.multimodal.sample_video_frames): "
-    "1 payload → N frame rows via mapInPandas. Stub frame hashes chain "
-    "through the ASCII content hash (md5(md5(x) || ':frame:' || i)), so "
-    "the 1→N fake path has an exact cross-engine oracle.",
+    doc="REAL video frame sampling (llm.multimodal): synthesize_avi_payloads "
+    "encodes an actual RIFF/AVI container per doc (hdrl header with 2 fps "
+    "timing + movi LIST of uncompressed '00db' DIB frames whose bytes are "
+    "a closed-form ASCII tile), then sample_video_frames walks the chunks "
+    "for real — frame timing from the avih header, one frame per second of "
+    "stream time (every 2nd frame at 2 fps), md5 over the actual frame "
+    "bytes. The oracle rebuilds each sampled frame's payload as a SQL "
+    "string and md5s it — the 1→N container round-trip graded exactly.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = multimodal.attach_binary_payload(d, "text")
-    return multimodal.sample_video_frames(media)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_avi_payloads(d, id_col="doc_id")
+    return multimodal.sample_video_frames(media, every_ms=1000)

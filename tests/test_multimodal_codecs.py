@@ -162,3 +162,42 @@ def test_resample_audio_real_path_on_spark(spark):
         assert out[rid]["n_samples"] == (n0 + 3) // 4
         # and the payload is a REAL re-encoded WAV
         assert bytes(out[rid]["payload"])[:4] == b"RIFF"
+
+
+def test_avi_roundtrip_real():
+    import hashlib
+
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _decode_avi_frames,
+        encode_avi_dib,
+    )
+
+    frames = [f"frame-{i}-".encode() * 10 for i in range(7)]
+    data = encode_avi_dib(8, 4, 250_000, frames)  # 4 fps
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    got = _decode_avi_frames(data, 1000)  # 1 frame per second → every 4th
+    assert got == [
+        (i, i * 250, hashlib.md5(frames[i]).hexdigest()) for i in (0, 4)
+    ]
+    # every_ms below frame period samples every frame
+    assert len(_decode_avi_frames(data, 1)) == 7
+
+
+def test_sample_video_frames_real_path_on_spark(spark):
+    import hashlib
+
+    df = spark.range(12).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_avi_payloads(df, id_col="doc_id")
+    out = multimodal.sample_video_frames(media, every_ms=1000).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rid in (0, 5, 11):
+        w, h, nf = 4 * (1 + rid % 3), 3 + rid % 4, 3 + rid % 6
+        nbytes = w * h * 3
+        rows = sorted(by_doc[rid], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == list(range(0, nf, 2))
+        for r in rows:
+            frame = (f"doc{rid}f{r['frame_idx']}x".encode() * nbytes)[:nbytes]
+            assert r["frame_md5"] == hashlib.md5(frame).hexdigest()
+            assert r["ts_ms"] == r["frame_idx"] * 500
