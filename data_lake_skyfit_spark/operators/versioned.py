@@ -624,10 +624,45 @@ class VersionedParquetTable:
             files=untouched + self._collect_file_entries(gen), txn=txn,
         )
 
-    def compact(self, spark: SparkSession) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        cluster_by: Sequence[str] | None = None,
+        zorder_by: Sequence[str] | None = None,
+        n_files: int | None = None,
+    ) -> int:
         """Rewrite the latest version into a single generation (one
-        read per future query) as a new commit."""
+        read per future query) as a new commit.
+
+        Incremental merges slowly destroy clustering — fresh generations
+        hold whatever key mix their batches carried, so range pruning
+        degrades toward bloom-only skipping. `cluster_by` range-
+        partitions + sorts the rewrite on the given columns (typically
+        the merge key), restoring tight per-file min/max in the new
+        manifest; `zorder_by` clusters on the Morton-interleaved key
+        (operators.scale.with_zorder) for multi-column skipping. The
+        OPTIMIZE cadence at scale: merges stay cheap between compactions,
+        compactions restore the range-prunable layout.
+        """
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by or zorder_by, not both")
         df = self.read(spark)
+        if n_files is None:
+            n_files = max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+        if zorder_by:
+            from .scale import with_zorder
+
+            df = (
+                with_zorder(df, list(zorder_by))
+                .repartitionByRange(int(n_files), "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif cluster_by:
+            df = df.repartitionByRange(int(n_files), *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
         gen, parts = self._write_generation(df)
         files = self._collect_file_entries(gen) if not self.partition_by else None
         return self._commit(

@@ -456,3 +456,44 @@ def test_stream_sink_into_versioned_table(spark, tmp_path):
     stream_merge_sink(stream2, t, checkpoint_dir=ckpt, source_order=("seq",))
     assert t.latest_version() == v_after
     assert t.read(spark).count() == 2
+
+
+def test_clustered_compaction_restores_range_pruning(spark, tmp_path):
+    """Merges degrade clustering (fresh generations hold arbitrary key
+    mixes → ranges widen → range pruning decays toward bloom-only).
+    compact(cluster_by=key) must restore tight disjoint per-file ranges
+    in the new manifest."""
+    from data_lake_skyfit_spark.operators.versioned import (
+        VersionedParquetTable,
+        _stat_decode,
+    )
+
+    t = VersionedParquetTable(str(tmp_path / "cc"), ["id"])
+    t.overwrite(
+        spark.range(20_000).select(F.col("id"), F.lit(0).alias("v")).repartition(8, "id")
+    )
+    # hash layout: every file spans ~the full key space
+    spans = [
+        _stat_decode(e["max"]) - _stat_decode(e["min"])
+        for e in t._manifest(t.latest_version())["files"]
+    ]
+    assert min(spans) > 15_000
+
+    t.compact(spark, cluster_by=["id"], n_files=8)
+    entries = t._manifest(t.latest_version())["files"]
+    ranges = sorted(
+        (_stat_decode(e["min"]), _stat_decode(e["max"])) for e in entries
+    )
+    assert len(entries) == 8
+    # tight: each file covers ~1/8 of the space; disjoint and ordered
+    assert all(hi - lo < 6_000 for lo, hi in ranges)
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+    assert t.read(spark).count() == 20_000
+    # a narrow merge after compaction touches few files again
+    import os
+
+    before = {t._entry_path(e): os.path.getmtime(t._entry_path(e)) for e in entries}
+    t.merge(spark.range(100, 200).select(F.col("id"), F.lit(1).alias("v")))
+    after_entries = t._manifest(t.latest_version())["files"]
+    carried = [e for e in after_entries if t._entry_path(e) in before]
+    assert len(carried) >= 7
