@@ -36,9 +36,12 @@ def main() -> None:
         n for n, q in sorted(queries.items()) if "no-bench" not in q.tags
     ]
 
-    # Warm the JVM/IO path once so per-query times measure the queries,
-    # not classloading.
+    # Warm the JVM/IO path AND the Arrow Python-worker path once, so
+    # per-query times measure the queries — not classloading and not
+    # the first mapInPandas call's worker spawn (alphabetical order put
+    # that cost on ann_* for two rounds).
     queries["union_audit_counts"].fn(spark, sf_dir).collect()
+    spark.range(32).mapInPandas(lambda it: it, "id long").collect()
 
     times: dict[str, float] = {}
     for name in names:
@@ -65,18 +68,21 @@ def main() -> None:
     except OSError:
         pass
 
-    # …while the stdout line must survive the driver's tail capture,
-    # which keeps only the LAST 2000 bytes of output (round-2 lesson:
-    # the full 83-query dict is ~2.7 KB, so the line's head — metric/
-    # value — was truncated away and the driver recorded parsed=null).
-    # Emit one compact JSON line ≤ ~1900 bytes: 2-decimal times, and if
-    # the dict still doesn't fit, drop the FASTEST queries first (the
-    # slow ones carry the perf signal) and count the omissions.
-    budget = 1900
+    print(compact_line(doc, budget=1900))
+
+
+def compact_line(doc: dict, *, budget: int = 1900) -> str:
+    """One JSON line that survives the driver's tail capture, which
+    keeps only the LAST 2000 bytes of stdout (round-2 lesson: the full
+    83-query dict is ~2.7 KB, so the line's head — metric/value — was
+    truncated away and the driver recorded parsed=null). 2-decimal
+    times; if the dict still doesn't fit, the FASTEST queries drop
+    first (the slow ones carry the perf signal) with an explicit
+    queries_omitted count."""
+    times = doc["queries"]
     compact = dict(doc)
-    compact["value"] = round(total, 2)
-    by_cost = sorted(times.items(), key=lambda kv: -kv[1])
-    kept = {k: round(v, 2) for k, v in by_cost}
+    compact["value"] = round(doc["value"], 2)
+    kept = {k: round(v, 2) for k, v in times.items()}
     while True:
         compact["queries"] = dict(sorted(kept.items()))
         omitted = len(times) - len(kept)
@@ -85,9 +91,8 @@ def main() -> None:
             compact["detail"] = "BENCH_DETAIL.json"
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= budget or len(kept) <= 1:
-            break
+            return line
         kept.pop(min(kept, key=kept.get))
-    print(line)
 
 
 if __name__ == "__main__":

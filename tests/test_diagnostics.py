@@ -90,3 +90,32 @@ def test_extraction_gaps_rejects_compact_iso_forms(spark, tmp_path):
     assert got["first"] == "2024-01-01" and got["last"] == "2024-01-03"
     assert got["missing"] == ["2024-01-02"]
     assert got["non_date_periods"] == ["2024-13-99", "20240102"]
+
+
+def test_bench_compact_line_fits_tail_budget():
+    """The driver records only the last 2000 bytes of bench stdout —
+    the emitted line must parse at any registry size, dropping fastest
+    queries first."""
+    import json
+
+    import bench
+
+    doc = {
+        "metric": "skyfit_spark_query_battery_total",
+        "value": 123.4567,
+        "unit": "sec",
+        "queries": {f"some_rather_long_query_name_{i:03d}": i / 10 for i in range(200)},
+        "sf": 0.1,
+    }
+    line = bench.compact_line(doc, budget=1900)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["metric"] == doc["metric"] and parsed["value"] == 123.46
+    # slowest queries survive the cut
+    kept = parsed["queries"]
+    assert "some_rather_long_query_name_199" in kept
+    assert parsed["queries_omitted"] == 200 - len(kept)
+    # tiny registries emit everything, no omission marker
+    small = dict(doc, queries={"a": 1.0, "b": 2.0})
+    p2 = json.loads(bench.compact_line(small))
+    assert "queries_omitted" not in p2 and len(p2["queries"]) == 2
