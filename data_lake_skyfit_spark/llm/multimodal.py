@@ -119,6 +119,33 @@ def _require_codec(lib: str) -> None:
 WAV_RATES = (8000, 16000, 22050, 44100, 48000)
 
 
+def _looks_like_bmp(data: bytes) -> bool:
+    """Structural sniff, not just magic: arbitrary text can start with
+    'BM' (code-review r3), so require a coherent 24-bpp header — sane
+    dims, pixel offset inside the file, declared pixel array present —
+    before routing to the real decoder; anything else takes the fake
+    path instead of crashing the kernel."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return False
+    (data_offset,) = struct.unpack_from("<I", data, 10)
+    hdr_size, width, height, planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+    if hdr_size < 40 or planes != 1 or bpp != 24:
+        return False
+    h = abs(height)
+    if not (0 < width <= 1 << 20 and 0 < h <= 1 << 20):
+        return False
+    row_size = (width * 3 + 3) & ~3
+    return 54 <= data_offset <= len(data) and data_offset + row_size * h <= len(data)
+
+
+def _looks_like_wav(data: bytes) -> bool:
+    return len(data) >= 44 and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+def _looks_like_avi(data: bytes) -> bool:
+    return len(data) >= 24 and data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
 def encode_wav_pcm16(sample_rate: int, samples: list[int]) -> bytes:
     """Encode signed 16-bit mono PCM into a real RIFF/WAVE container."""
     buf = io.BytesIO()
@@ -153,7 +180,9 @@ def _decode_wav(data: bytes) -> tuple[int, int, int, int, float]:
         ssq += s * s
     n = len(samples)
     rms = math.sqrt(ssq / n) if n else 0.0
-    return sr, n, n * 1000 // sr, ssum, rms
+    # duration comes from FRAMES: a stereo second is 1000 ms even though
+    # it holds 2·sr samples (n_samples deliberately counts all channels).
+    return sr, n, n_frames * 1000 // sr, ssum, rms
 
 
 def encode_bmp24(width: int, height: int, pixel) -> bytes:
@@ -275,8 +304,11 @@ def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b) -> tuple[int, int, int, int | None]:
             data = bytes(b)
-            if data[:2] == b"BM":
-                return _decode_bmp(data)
+            if _looks_like_bmp(data):
+                try:
+                    return _decode_bmp(data)
+                except (ValueError, struct.error):
+                    pass  # 'BM'-prefixed non-BMP bytes: fake path below
             _require_codec("PIL")
             d = hashlib.md5(data).digest()
             return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 3, None
@@ -340,8 +372,11 @@ def decode_audio(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b) -> tuple[int, int, int, int | None, float]:
             data = bytes(b)
-            if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-                return _decode_wav(data)
+            if _looks_like_wav(data):
+                try:
+                    return _decode_wav(data)
+                except (ValueError, struct.error, wave.Error, EOFError):
+                    pass  # RIFF-prefixed non-WAV bytes: fake path below
             _require_codec("soundfile")
             d = hashlib.md5(data).digest()
             sr = WAV_RATES[d[3] % len(WAV_RATES)]
@@ -408,8 +443,11 @@ def resize_images(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b) -> bytes:
             data = bytes(b)
-            if data[:2] == b"BM":
-                return _resize_bmp(data, width, height)
+            if _looks_like_bmp(data):
+                try:
+                    return _resize_bmp(data, width, height)
+                except (ValueError, struct.error):
+                    pass  # 'BM'-prefixed non-BMP bytes: fake path below
             _require_codec("PIL")
             # Fake bytes = ASCII md5 hexdigest tiled to width·height —
             # reproducible as plain-string SQL in any engine:
@@ -466,10 +504,13 @@ def resample_audio(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(b) -> tuple[bytes, int, int]:
             data = bytes(b)
-            if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-                out = _decimate_wav(data, factor)
-                sr, n, _dur, _ssum, _rms = _decode_wav(out)
-                return out, sr, n
+            if _looks_like_wav(data):
+                try:
+                    out = _decimate_wav(data, factor)
+                    sr, n, _dur, _ssum, _rms = _decode_wav(out)
+                    return out, sr, n
+                except (ValueError, struct.error, wave.Error, EOFError):
+                    pass  # RIFF-prefixed non-WAV bytes: fake path below
             _require_codec("soundfile")
             d = hashlib.md5(data).digest()
             sr = WAV_RATES[d[3] % len(WAV_RATES)] // factor
@@ -621,8 +662,11 @@ def sample_video_frames(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def rows(data: bytes):
-            if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
-                return _decode_avi_frames(data, every_ms)
+            if _looks_like_avi(data):
+                try:
+                    return _decode_avi_frames(data, every_ms)
+                except (ValueError, struct.error, IndexError):
+                    pass  # RIFF-prefixed non-AVI bytes: fake path below
             _require_codec("av")
             # Fake frame hash chains through the ASCII content hash so
             # it stays reproducible as plain-string SQL:

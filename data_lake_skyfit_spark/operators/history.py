@@ -70,7 +70,12 @@ def scd2_history(
     if tie_breakers:
         tie_cols = [F.col(c).asc() for c in tie_breakers]
     else:
-        tie_cols = [F.xxhash64(F.struct(*df.columns)).asc()]
+        # Spark prohibits hash expressions over MapType (SPARK-27619),
+        # so the content hash covers only hashable columns; a frame
+        # whose every column is map-typed falls back to ts-only
+        # ordering (the pre-round-3 behavior).
+        hashable = [c for c, t in df.dtypes if "map<" not in t]
+        tie_cols = [F.xxhash64(F.struct(*hashable)).asc()] if hashable else []
     ordering = [F.col(ts_col).asc()] + tie_cols
     w = Window.partitionBy(*keys).orderBy(*ordering)
 

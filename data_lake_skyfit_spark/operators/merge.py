@@ -175,8 +175,13 @@ def partition_scope(
 
 #: Leading-key stat types we trust for file pruning. Anything else
 #: (bytes from un-annotated BINARY, Decimal, nested) falls back to the
-#: full rewrite rather than risking a wrong comparison.
-_PRUNABLE_STAT_TYPES = (bool, int, float, str)
+#: full rewrite rather than risking a wrong comparison. float is
+#: deliberately EXCLUDED (code-review r3): a double key can be NaN,
+#: which footer min/max never cover and range predicates never match,
+#: so a NaN-key update would be misclassified as a pure insert while
+#: merge_rows' eqNullSafe would have matched it — a duplicate-key
+#: corruption. Float merge keys take the full-rewrite path.
+_PRUNABLE_STAT_TYPES = (bool, int, str)
 
 
 def file_key_ranges(root: str, key: str):
@@ -238,6 +243,35 @@ def file_key_ranges(root: str, key: str):
                 fmax = hi if fmax is None or hi > fmax else fmax
             out.append((full, fmin, fmax, may_have_nulls))
     return out
+
+
+def clustered_rewrite(
+    df: DataFrame,
+    *,
+    cluster_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
+    n_files: int,
+) -> DataFrame:
+    """Shared OPTIMIZE rewrite shape (code-review r3: one copy, two
+    callers — ParquetTable.compact and VersionedParquetTable.compact):
+    range-partition + sort on `cluster_by`, or on the Morton-interleaved
+    `zorder_by` key; pass neither for a plain repartition by caller."""
+    if cluster_by and zorder_by:
+        raise ValueError("pass cluster_by or zorder_by, not both")
+    if zorder_by:
+        from .scale import with_zorder
+
+        return (
+            with_zorder(df, list(zorder_by))
+            .repartitionByRange(int(n_files), "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    if cluster_by:
+        return df.repartitionByRange(int(n_files), *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    return df
 
 
 def touched_by_key_ranges(source: DataFrame, key: str, ranges) -> set | None:
@@ -421,29 +455,13 @@ class ParquetTable:
         OPTIMIZE ZORDER, the data-skipping lever that matters at 100 TB,
         where compaction without clustering leaves every file containing
         every key range."""
-        if cluster_by and zorder_by:
-            raise ValueError("pass cluster_by or zorder_by, not both")
         df = self.read(spark)
         if n_files is None:
-            total_bytes = sum(
-                os.path.getsize(os.path.join(dp, f))
-                for dp, _, fs in os.walk(self.path)
-                for f in fs
-                if f.endswith(".parquet")
-            )
+            total_bytes = self._data_bytes()
             n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
-        if zorder_by:
-            from .scale import with_zorder
-
-            df = (
-                with_zorder(df, zorder_by)
-                .repartitionByRange(int(n_files), "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
-        elif cluster_by:
-            df = df.repartitionByRange(int(n_files), *cluster_by).sortWithinPartitions(
-                *cluster_by
+        if cluster_by or zorder_by:
+            df = clustered_rewrite(
+                df, cluster_by=cluster_by, zorder_by=zorder_by, n_files=n_files
             )
         elif self.partition_by:
             df = df.repartition(int(n_files), *self.partition_by)
@@ -508,9 +526,20 @@ class ParquetTable:
         """Atomic commit of a file-pruned merge: build the next table
         dir from hardlinks to every untouched data file (same inode —
         zero copy, mtimes preserved) plus the freshly written files
-        from `tmp`, then swap dirs exactly like a full rewrite."""
+        from `tmp`, then swap dirs exactly like a full rewrite.
+
+        Hardlinks carry the ORIGINAL files' old mtimes (code-review
+        r3), which would defeat vacuum()'s newest-mtime recency guard
+        for in-flight scratch dirs — so a fresh `_inflight` marker file
+        is written FIRST into the commit dir, and into the live dir
+        just before the rename pair (its `__old_` incarnation inherits
+        the marker). Hadoop-style readers ignore underscore-prefixed
+        files, and the marker is removed once the swap lands.
+        """
         commit = f"{self.path.rstrip('/')}__tmp_{uuid.uuid4().hex[:8]}"
         os.makedirs(commit)
+        with open(os.path.join(commit, "_inflight"), "w") as fh:
+            fh.write("file-pruned merge commit in progress\n")
         for f in untouched:
             os.link(f, os.path.join(commit, os.path.basename(f)))
         for name in os.listdir(tmp):
@@ -519,8 +548,15 @@ class ParquetTable:
                 shutil.move(src, os.path.join(commit, name))
         shutil.rmtree(tmp, ignore_errors=True)
         back = f"{self.path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+        with open(os.path.join(self.path, "_inflight"), "w") as fh:
+            fh.write("swap in progress\n")
         os.rename(self.path, back)
         os.rename(commit, self.path)
+        for leftover in ("_inflight",):
+            try:
+                os.remove(os.path.join(self.path, leftover))
+            except OSError:
+                pass
         shutil.rmtree(back, ignore_errors=True)
 
     def merge(

@@ -51,6 +51,7 @@ from .dedupe import latest_wins
 from .merge import (
     MergeMode,
     align_schemas,
+    clustered_rewrite,
     file_key_ranges,
     leaf_dirs,
     merge_rows,
@@ -363,6 +364,20 @@ class VersionedParquetTable:
             for e in cands
         ]
         NULL_MARK = "\x00null"
+        # A null in an int64 Arrow batch coerces the pandas column to
+        # float64, silently rounding keys above 2^53 before the probe
+        # (code-review r3: a rounded key misses its bloom → a real file
+        # is skipped → duplicate-key corruption). Nulls are therefore
+        # folded into a sentinel + flag IN SPARK so the key column
+        # reaching pandas is null-free and stays exact int64.
+        probe = (
+            source.select(F.col(key).alias("__k0"))
+            .distinct()
+            .select(
+                F.coalesce(F.col("__k0"), F.lit(-(1 << 63))).alias("__k"),
+                F.col("__k0").isNull().alias("__isnull"),
+            )
+        )
 
         def kernel(batches):
             import pandas as pd
@@ -370,10 +385,9 @@ class VersionedParquetTable:
             hits: set[str] = set()
             saw_null = False
             for pdf in batches:
-                col = pdf["__k"]
-                if col.isna().any():
+                if pdf["__isnull"].any():
                     saw_null = True
-                vals = col.dropna().to_numpy(dtype=np.int64)
+                vals = pdf.loc[~pdf["__isnull"], "__k"].to_numpy(dtype=np.int64)
                 if len(vals):
                     for fid, bits, m in blooms:
                         if fid not in hits and _bloom_any_member(vals, bits, m):
@@ -381,13 +395,7 @@ class VersionedParquetTable:
             out = sorted(hits) + ([NULL_MARK] if saw_null else [])
             yield pd.DataFrame({"fid": pd.Series(out, dtype="object")})
 
-        got = {
-            r["fid"]
-            for r in source.select(F.col(key).alias("__k"))
-            .distinct()
-            .mapInPandas(kernel, "fid string")
-            .collect()
-        }
+        got = {r["fid"] for r in probe.mapInPandas(kernel, "fid string").collect()}
         return {g for g in got if g != NULL_MARK}, NULL_MARK in got
 
     def _unpartitioned_entries(self, manifest: dict) -> list[dict]:
@@ -645,23 +653,12 @@ class VersionedParquetTable:
         OPTIMIZE cadence at scale: merges stay cheap between compactions,
         compactions restore the range-prunable layout.
         """
-        if cluster_by and zorder_by:
-            raise ValueError("pass cluster_by or zorder_by, not both")
         df = self.read(spark)
         if n_files is None:
             n_files = max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
-        if zorder_by:
-            from .scale import with_zorder
-
-            df = (
-                with_zorder(df, list(zorder_by))
-                .repartitionByRange(int(n_files), "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
-        elif cluster_by:
-            df = df.repartitionByRange(int(n_files), *cluster_by).sortWithinPartitions(
-                *cluster_by
+        if cluster_by or zorder_by:
+            df = clustered_rewrite(
+                df, cluster_by=cluster_by, zorder_by=zorder_by, n_files=n_files
             )
         gen, parts = self._write_generation(df)
         files = self._collect_file_entries(gen) if not self.partition_by else None

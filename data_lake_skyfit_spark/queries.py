@@ -293,19 +293,31 @@ def channel_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type").isin("purchase", "signup"), F.lit("conversion"))
         .otherwise(F.lit("other"))
     )
-    base = e.withColumn("channel", channel)
-    totals = base.groupBy("channel").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(15,2)")).cast("double").alias("total_value"),
+    # ONE scan + one map-side-combined shuffle builds the tiny
+    # (channel, event_type) pre-aggregate; it is checkpointed because
+    # two consumers (totals + pivot) would otherwise re-run the scan
+    # (CLAUDE.md multiple-consumer lineage rule — code-review r3). The
+    # pivot then runs over ≤ |channels|·|types| rows.
+    pre = (
+        e.groupBy(channel.alias("channel"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(15,2)")).alias("val"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = pre.groupBy("channel").agg(
+        F.sum("cnt").alias("n"),
+        F.sum("val").cast("double").alias("total_value"),
     )
     pivoted = (
-        base.groupBy("channel")
+        pre.groupBy("channel")
         .pivot("event_type", ["click", "view", "purchase", "signup"])
-        .agg(F.count(F.lit(1)))
+        .agg(F.sum("cnt"))
     )
     return totals.join(pivoted, "channel").select(
         "channel",
-        "n",
+        F.col("n").cast("long").alias("n"),
         "total_value",
         *[
             F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")

@@ -279,3 +279,17 @@ def test_scd2_colliding_timestamps_deterministic_without_tie_breaker(spark):
         per_entity.setdefault(rid, []).append(v)
     assert sorted(per_entity[1]) == [1, 2, 3, 4]
     assert sorted(per_entity[2]) == [1, 2]
+
+
+def test_scd2_default_tiebreaker_tolerates_map_columns(spark):
+    """code-review r3: xxhash64 can't hash MapType; the default
+    tie-breaker must skip map columns instead of failing analysis."""
+    from data_lake_skyfit_spark.operators.history import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a", {"k": "v"}),
+         (1, "2024-01-02 00:00:00", "b", {"k": "w"})],
+        "id long, ts string, state string, props map<string,string>",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = scd2_history(df, ["id"], "ts", ["state"]).collect()
+    assert sorted(r["version"] for r in out) == [1, 2]

@@ -201,3 +201,25 @@ def test_sample_video_frames_real_path_on_spark(spark):
             frame = (f"doc{rid}f{r['frame_idx']}x".encode() * nbytes)[:nbytes]
             assert r["frame_md5"] == hashlib.md5(frame).hexdigest()
             assert r["ts_ms"] == r["frame_idx"] * 500
+
+
+def test_magic_prefixed_garbage_takes_fake_path(spark):
+    """code-review r3: payloads that merely START with container magic
+    ('BM...', 'RIFF..WAVE', 'RIFF..AVI ') but aren't valid media must
+    fall back to the fake path, not crash the kernel — regenerated
+    testdata text can legally begin with any bytes."""
+    rows = [
+        (1, "BMI readings for the cohort were stable this quarter...."),
+        (2, "RIFFxxxxWAVEgarbage-that-is-not-a-real-wave-file-at-all!"),
+        (3, "RIFFxxxxAVI garbage-that-is-not-a-real-avi-container...!!"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    media = multimodal.attach_binary_payload(df, "text")
+    imgs = {r["doc_id"]: r for r in multimodal.decode_images(media).collect()}
+    assert imgs[1]["pixel_sum"] is None  # fake path marker
+    auds = {r["doc_id"]: r for r in multimodal.decode_audio(media).collect()}
+    assert auds[2]["sample_sum"] is None
+    frames = multimodal.sample_video_frames(media).collect()
+    assert len(frames) > 0
+    resized = multimodal.resize_images(media, width=8, height=8).collect()
+    assert all(len(bytes(r["payload"])) == 64 for r in resized)  # fake tiling
