@@ -7,12 +7,13 @@ columns. Decode/feature-extract/resize/frame-sample are Arrow-batched
 `mapInPandas` operators so media bytes never round-trip per row.
 
 Codec strategy: formats the Python stdlib can parse are decoded FOR
-REAL — PCM WAV via `wave`/`struct`, 24-bpp BMP via `struct`, and
-RIFF/AVI video (uncompressed DIB frames) via chunk walking — with the
-kernels sniffing each payload's magic bytes (RIFF/WAVE, 'BM',
-RIFF/'AVI ') and running actual byte-level header + sample/pixel/frame
-decoding. Formats that would need PIL/librosa/av (JPEG, MP3, MP4...)
-are NOT decodable in
+REAL — PCM WAV via `wave`/`struct`, 24-bpp BMP via `struct`, 8-bit
+PNG via `zlib` inflate + full five-filter scanline reconstruction
+(Sub/Up/Average/Paeth), and RIFF/AVI video (uncompressed DIB frames)
+via chunk walking — with the kernels sniffing each payload's magic
+bytes (RIFF/WAVE, 'BM', \\x89PNG, RIFF/'AVI ') and running actual
+byte-level header + sample/pixel/frame decoding. Formats that would
+need PIL/librosa/av (JPEG, MP3, MP4...) are NOT decodable in
 this image: with SKYFIT_FAKE_DECODE=1 (default in tests) unrecognized
 payloads take a deterministic fake path with the real schema and batch
 shape; otherwise they raise NotImplementedError naming the missing
@@ -33,6 +34,7 @@ import math
 import os
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -53,9 +55,11 @@ __all__ = [
     "sample_video_frames",
     "encode_wav_pcm16",
     "encode_bmp24",
+    "encode_png",
     "encode_avi_dib",
     "synthesize_wav_payloads",
     "synthesize_bmp_payloads",
+    "synthesize_png_payloads",
     "synthesize_avi_payloads",
 ]
 
@@ -231,6 +235,171 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, int]:
     return width, h, n_ch, psum
 
 
+# ---------------------------------------------------------------------------
+# Real PNG codec: zlib inflate/deflate + full filter reconstruction
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _looks_like_png(data: bytes) -> bool:
+    return len(data) > 33 and data[:8] == _PNG_SIG
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(
+    width: int, height: int, pixel, *, channels: int = 3, row_filter=None
+) -> bytes:
+    """Encode a REAL 8-bit PNG (color type 2 RGB, or 0 grayscale).
+
+    `pixel(x, y, c)` returns the byte for channel c at (x, y).
+    `row_filter(y)` picks each scanline's filter type (default y % 5,
+    cycling through None/Sub/Up/Average/Paeth so a decoder must
+    implement the full reconstruction algorithm, not just inflate).
+    The filtered stream is zlib-deflated and chunked with real CRCs —
+    any standards-conforming PNG reader opens the output.
+    """
+    if channels not in (1, 3):
+        raise ValueError("only grayscale (1) and RGB (3) supported")
+    if row_filter is None:
+        row_filter = lambda y: y % 5  # noqa: E731
+    color_type = 2 if channels == 3 else 0
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    prior = bytes(stride)
+    out = bytearray()
+    for y in range(height):
+        raw = bytes(
+            pixel(x, y, c) & 0xFF for x in range(width) for c in range(channels)
+        )
+        ft = row_filter(y) % 5
+        out.append(ft)
+        for i in range(stride):
+            a = raw[i - channels] if i >= channels else 0
+            b = prior[i]
+            c = prior[i - channels] if i >= channels else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                pred = _paeth(a, b, c)
+            out.append((raw[i] - pred) & 0xFF)
+        prior = raw
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_pixels(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Inflate + unfilter a PNG payload into reconstructed scanlines.
+
+    Walks the chunk stream (CRC-checked), inflates the concatenated
+    IDAT data, and reverses whichever of the five filter types each
+    scanline used (the Paeth/Average/Sub/Up reconstruction of the PNG
+    spec §9). 8-bit RGB and grayscale, non-interlaced.
+    Returns (width, height, channels, rows) with rows[y] the raw bytes.
+    """
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color_type}, "
+            f"interlace={interlace}); only 8-bit gray/RGB non-interlaced"
+        )
+    channels = 3 if color_type == 2 else 1
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    rows: list[bytes] = []
+    prior = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prior[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prior[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prior[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        prior = bytes(line)
+        rows.append(prior)
+    return width, height, channels, rows
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, n_channels, pixel_sum) of a PNG payload —
+    decode_images' PNG leg, same contract as _decode_bmp."""
+    width, height, channels, rows = _png_pixels(data)
+    return width, height, channels, sum(sum(r) for r in rows)
+
+
+def _resize_png(data: bytes, dw: int, dh: int) -> bytes:
+    """REAL nearest-neighbor resample of a PNG payload: inflate +
+    unfilter the source scanlines, sample src pixel (x·sw)//dw,
+    (y·sh)//dh per dst pixel, re-encode (deflate + refilter) as PNG."""
+    sw, sh, channels, rows = _png_pixels(data)
+    return encode_png(
+        dw,
+        dh,
+        lambda x, y, c: rows[y * sh // dh][(x * sw // dw) * channels + c],
+        channels=channels,
+    )
+
+
 def synthesize_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """id → REAL encoded WAV payload column, deterministic closed form.
 
@@ -284,13 +453,39 @@ def synthesize_bmp_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def synthesize_png_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL encoded 8-bit RGB PNG payload, deterministic closed
+    form. Per id: width = 4 + id % 17, height = 4 + id % 15,
+    pixel(x, y, c) = (5·id + 11x + 13y + 17c) mod 256, scanline filter
+    y % 5 — every PNG filter type appears in every payload taller than
+    4 rows, so decoding demands the full reconstruction algorithm."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    4 + rid % 17,
+                    4 + rid % 15,
+                    lambda x, y, c, rid=rid: (5 * rid + 11 * x + 13 * y + 17 * c) % 256,
+                )
+                for rid in (int(v) for v in pdf[id_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """payload → (id, width, height, n_channels, pixel_sum) via
-    Arrow-batched mapInPandas. BMP payloads ('BM' magic) are decoded
-    FOR REAL — header parse + per-pixel channel sum with row padding
-    skipped. Other formats would need PIL: fake path derives dims from
-    the content hash with pixel_sum null (or raises without
-    SKYFIT_FAKE_DECODE)."""
+    Arrow-batched mapInPandas. BMP payloads ('BM' magic) and PNG
+    payloads (\\x89PNG signature) are decoded FOR REAL — BMP: header
+    parse + per-pixel channel sum with row padding skipped; PNG: zlib
+    inflate + five-filter scanline reconstruction (_png_pixels). Other
+    formats would need PIL: fake path derives dims from the content
+    hash with pixel_sum null (or raises without SKYFIT_FAKE_DECODE)."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -309,6 +504,11 @@ def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                     return _decode_bmp(data)
                 except (ValueError, struct.error):
                     pass  # 'BM'-prefixed non-BMP bytes: fake path below
+            if _looks_like_png(data):
+                try:
+                    return _decode_png(data)
+                except (ValueError, struct.error, zlib.error):
+                    pass  # signature-prefixed non-PNG bytes: fake path
             _require_codec("PIL")
             d = hashlib.md5(data).digest()
             return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 3, None
@@ -426,9 +626,11 @@ def resize_images(
     df: DataFrame, *, id_col: str = "doc_id", width: int = 224, height: int = 224
 ) -> DataFrame:
     """payload → resized payload + updated metadata (the normalize step
-    before a vision encoder). BMP payloads are resampled FOR REAL
-    (nearest-neighbor over the decoded pixel array, re-encoded as BMP —
-    see _resize_bmp). Other formats would need PIL: the fake path tiles
+    before a vision encoder). BMP and PNG payloads are resampled FOR
+    REAL (nearest-neighbor over the decoded pixel array, re-encoded in
+    the same format — _resize_bmp / _resize_png, the PNG leg running a
+    full inflate→unfilter→refilter→deflate cycle). Other formats would
+    need PIL: the fake path tiles
     the ASCII content hash to width·height deterministic bytes. Payload
     in, payload out — the 1→1 binary-transform mapInPandas shape."""
     schema = T.StructType(
@@ -448,6 +650,11 @@ def resize_images(
                     return _resize_bmp(data, width, height)
                 except (ValueError, struct.error):
                     pass  # 'BM'-prefixed non-BMP bytes: fake path below
+            if _looks_like_png(data):
+                try:
+                    return _resize_png(data, width, height)
+                except (ValueError, struct.error, zlib.error):
+                    pass  # signature-prefixed non-PNG bytes: fake path
             _require_codec("PIL")
             # Fake bytes = ASCII md5 hexdigest tiled to width·height —
             # reproducible as plain-string SQL in any engine:

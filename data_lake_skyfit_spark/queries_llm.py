@@ -1685,3 +1685,39 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = multimodal.synthesize_avi_payloads(d, id_col="doc_id")
     return multimodal.sample_video_frames(media, every_ms=1000)
+
+
+@register(
+    "multimodal_decode_png",
+    """
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 17 AS w, 4 + doc_id % 15 AS h
+      FROM documents WHERE doc_id < 300
+    ), s AS (
+      SELECT p.doc_id, p.w, p.h,
+             SUM((5*p.doc_id + 11*x.i + 13*y.i + 17*c.i) % 256) AS psum
+      FROM p,
+           LATERAL (SELECT UNNEST(range(0, p.w)) AS i) x,
+           LATERAL (SELECT UNNEST(range(0, p.h)) AS i) y,
+           LATERAL (SELECT UNNEST(range(0, 3)) AS i) c
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels, CAST(psum AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL compressed-image decode (llm.multimodal): "
+    "synthesize_png_payloads encodes an actual 8-bit RGB PNG per doc — "
+    "deterministic pixels, scanline filter cycling y % 5 through all five "
+    "PNG filter types, zlib-deflated IDAT, real chunk CRCs — then "
+    "decode_images inflates the stream and reverses the Sub/Up/Average/"
+    "Paeth per-scanline filters (_png_pixels) before summing every "
+    "channel byte. The oracle recomputes width/height/pixel_sum "
+    "arithmetically from the closed-form pixel function — a compressed "
+    "byte-level codec round-trip graded exactly.",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.synthesize_png_payloads(d, id_col="doc_id")
+    return multimodal.decode_images(media)

@@ -203,6 +203,94 @@ def test_sample_video_frames_real_path_on_spark(spark):
             assert r["ts_ms"] == r["frame_idx"] * 500
 
 
+def test_png_roundtrip_all_filter_types():
+    from data_lake_skyfit_spark.llm.multimodal import _decode_png, encode_png
+
+    px = lambda x, y, c: (x * 31 + y * 57 + c * 11) % 256  # noqa: E731
+    expected = sum(px(x, y, c) for x in range(7) for y in range(6) for c in range(3))
+    # Each scanline filter type alone, then the cycling default (which
+    # uses all five in one image) — decode must reverse every one.
+    for ft in range(5):
+        data = encode_png(7, 6, px, row_filter=lambda y, ft=ft: ft)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert _decode_png(data) == (7, 6, 3, expected)
+    assert _decode_png(encode_png(7, 6, px)) == (7, 6, 3, expected)
+
+
+def test_png_idat_is_really_compressed():
+    """The IDAT stream must be zlib-deflated — a constant image deflates
+    far below raw size, proving decode exercises real inflation."""
+    from data_lake_skyfit_spark.llm.multimodal import _decode_png, encode_png
+
+    w = h = 32
+    data = encode_png(w, h, lambda x, y, c: 77, row_filter=lambda y: 0)
+    assert len(data) < w * h * 3 // 4  # raw pixels would be 3072 bytes
+    assert _decode_png(data) == (w, h, 3, w * h * 3 * 77)
+
+
+def test_png_grayscale_decodes():
+    from data_lake_skyfit_spark.llm.multimodal import _decode_png, encode_png
+
+    g = encode_png(5, 4, lambda x, y, c: (x + 5 * y) % 256, channels=1)
+    assert _decode_png(g) == (
+        5, 4, 1, sum((x + 5 * y) % 256 for x in range(5) for y in range(4))
+    )
+
+
+def test_png_crc_tamper_rejected_falls_to_fake_path(spark):
+    """Flipping a byte inside IDAT breaks the chunk CRC: the strict
+    decoder raises, and the Spark kernel downgrades to the fake path
+    (null pixel_sum) instead of returning silently corrupt sums."""
+    from data_lake_skyfit_spark.llm.multimodal import _decode_png, encode_png
+
+    data = bytearray(encode_png(6, 5, lambda x, y, c: (x + y + c) % 256))
+    idat_at = bytes(data).index(b"IDAT")
+    data[idat_at + 6] ^= 0xFF
+    import pytest
+
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(data))
+    df = spark.createDataFrame([(1, bytearray(data))], "doc_id long, payload binary")
+    row = multimodal.decode_images(df).collect()[0]
+    assert row["pixel_sum"] is None
+
+
+def test_png_resize_real_nearest_neighbor():
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _decode_png,
+        _resize_png,
+        encode_png,
+    )
+
+    sw, sh, dw, dh = 9, 5, 4, 11  # down in x, up in y
+    src = encode_png(sw, sh, lambda x, y, c: (x * 11 + y * 17 + c) % 256)
+    out = _resize_png(src, dw, dh)
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"  # re-encoded as real PNG
+    expected = sum(
+        ((x * sw // dw) * 11 + (y * sh // dh) * 17 + c) % 256
+        for x in range(dw)
+        for y in range(dh)
+        for c in range(3)
+    )
+    assert _decode_png(out) == (dw, dh, 3, expected)
+
+
+def test_decode_png_real_path_on_spark(spark):
+    df = spark.range(25).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_png_payloads(df, id_col="doc_id")
+    out = {r["doc_id"]: r for r in multimodal.decode_images(media).collect()}
+    for rid in (0, 6, 24):
+        w, h = 4 + rid % 17, 4 + rid % 15
+        r = out[rid]
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
+        assert r["pixel_sum"] == sum(
+            (5 * rid + 11 * x + 13 * y + 17 * c) % 256
+            for x in range(w)
+            for y in range(h)
+            for c in range(3)
+        )
+
+
 def test_magic_prefixed_garbage_takes_fake_path(spark):
     """code-review r3: payloads that merely START with container magic
     ('BM...', 'RIFF..WAVE', 'RIFF..AVI ') but aren't valid media must
