@@ -25,9 +25,12 @@ immutable-data + manifest-pointer design:
   readable.
 - `read(version=N)` is time travel; `diff(v0, v1)` composes with
   operators.history.snapshot_diff into an exact CDC feed between any
-  two commits; `vacuum(retain_last=K)` drops manifests older than the
-  retention window and deletes generation dirs no kept manifest
-  references.
+  two commits; `changes(v0, v1)` is the same feed computed FILE-PRUNED
+  (only files whose manifest entries differ are read — cost ∝ churn,
+  not table size) and `poll_changes(cursor)` wraps it into the
+  incremental-consumer loop; `vacuum(retain_last=K)` drops manifests
+  older than the retention window and deletes generation dirs no kept
+  manifest references.
 
 Single-writer, like the reference's scheduled pipeline (and like the
 non-versioned ParquetTable): commits are not designed for concurrent
@@ -412,6 +415,46 @@ class VersionedParquetTable:
     def exists(self) -> bool:
         return self.latest_version() is not None
 
+    def _empty_frame(self, spark: SparkSession, manifest: dict) -> DataFrame:
+        from pyspark.sql import types as T
+
+        schema = manifest.get("schema")
+        if schema is None:
+            raise ValueError(
+                f"version {manifest.get('version')} at {self.path} is empty "
+                "and predates schema-carrying manifests — cannot reconstruct"
+            )
+        return spark.createDataFrame([], T.StructType.fromJson(schema))
+
+    def _read_entries(
+        self, spark: SparkSession, manifest: dict, entries: list[dict]
+    ) -> DataFrame:
+        """Frame over a SUBSET of an unpartitioned version's file
+        entries (empty subset → schema-true empty frame)."""
+        if not entries:
+            return self._empty_frame(spark, manifest)
+        return spark.read.parquet(*[self._entry_path(e) for e in entries])
+
+    def _read_parts(
+        self, spark: SparkSession, manifest: dict, part_to_gen: dict[str, str]
+    ) -> DataFrame:
+        """Frame over a SUBSET of a partitioned version's partition →
+        generation mapping (basePath keeps partition columns)."""
+        if not part_to_gen:
+            return self._empty_frame(spark, manifest)
+        by_gen: dict[str, list[str]] = {}
+        for part, gen in part_to_gen.items():
+            by_gen.setdefault(gen, []).append(part)
+        frames = [
+            spark.read.option("basePath", self._gen_dir(gen)).parquet(
+                *[os.path.join(self._gen_dir(gen), p) for p in parts]
+            )
+            for gen, parts in sorted(by_gen.items())
+        ]
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """The table as of `version` (default: latest). Resolves the
         manifest's partition→generation mapping and unions one read per
@@ -424,38 +467,12 @@ class VersionedParquetTable:
         manifest = self._manifest(v)
         mapping = manifest["partitions"]
 
-        def empty_frame():
-            from pyspark.sql import types as T
-
-            schema = manifest.get("schema")
-            if schema is None:
-                raise ValueError(
-                    f"version {v} at {self.path} is empty and predates "
-                    "schema-carrying manifests — cannot reconstruct"
-                )
-            return spark.createDataFrame([], T.StructType.fromJson(schema))
-
         if not self.partition_by:
             entries = manifest.get("files")
             if entries is None and _ROOT in mapping:
                 return spark.read.parquet(self._gen_dir(mapping[_ROOT]))
-            if entries:
-                return spark.read.parquet(*[self._entry_path(e) for e in entries])
-            return empty_frame()
-        if not mapping:
-            return empty_frame()
-        by_gen: dict[str, list[str]] = {}
-        for part, gen in mapping.items():
-            by_gen.setdefault(gen, []).append(part)
-        frames = [
-            spark.read.option("basePath", self._gen_dir(gen)).parquet(
-                *[os.path.join(self._gen_dir(gen), p) for p in parts]
-            )
-            for gen, parts in sorted(by_gen.items())
-        ]
-        return reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
-        )
+            return self._read_entries(spark, manifest, entries or [])
+        return self._read_parts(spark, manifest, mapping)
 
     # -- commits ------------------------------------------------------------
 
@@ -691,6 +708,107 @@ class VersionedParquetTable:
         return snapshot_diff(
             old, new, list(self.key), cols, include_unchanged=include_unchanged
         )
+
+    def changes(
+        self,
+        spark: SparkSession,
+        v_old: int,
+        v_new: int,
+        *,
+        compare_cols: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """File-pruned CDC feed between two committed versions.
+
+        Same insert/delete/update rows as `diff(v_old, v_new)`, but
+        computed by comparing the two MANIFESTS first: files (or, for
+        partitioned tables, partition→generation entries) present in
+        both versions are carried data that cannot contain a change and
+        are never read. Only removed entries (old side) and added
+        entries (new side) are scanned and fed to snapshot_diff — rows
+        a copy-on-write rewrite carried over unmodified fall out as
+        'unchanged' there. Cost ∝ churned data + one keyed join over
+        it, independent of table size: a daily merge touching 1% of a
+        100 TB table yields a change feed that reads ~2% (old + new
+        copies of the churn), where diff() would read 200 TB.
+
+        No `include_unchanged` option, deliberately: unchanged rows in
+        carried files are exactly the rows this method never sees, so
+        an 'unchanged' feed here would be silently partial — use
+        diff(include_unchanged=True) when you really need one.
+        """
+        m_old, m_new = self._manifest(v_old), self._manifest(v_new)
+        if self.partition_by:
+            po, pn = m_old["partitions"], m_new["partitions"]
+            old_df = self._read_parts(
+                spark, m_old, {p: g for p, g in po.items() if pn.get(p) != g}
+            )
+            new_df = self._read_parts(
+                spark, m_new, {p: g for p, g in pn.items() if po.get(p) != g}
+            )
+        else:
+            def fid(e: dict) -> str:
+                return f'{e["gen"]}/{e["name"]}'
+
+            eo = {fid(e): e for e in self._unpartitioned_entries(m_old)}
+            en = {fid(e): e for e in self._unpartitioned_entries(m_new)}
+            old_df = self._read_entries(
+                spark, m_old, [e for f, e in eo.items() if f not in en]
+            )
+            new_df = self._read_entries(
+                spark, m_new, [e for f, e in en.items() if f not in eo]
+            )
+        from .history import snapshot_diff
+
+        old_df, new_df = align_schemas(old_df, new_df)
+        cols = list(
+            compare_cols
+            if compare_cols is not None
+            else [c for c in old_df.columns if c not in self.key]
+        )
+        return snapshot_diff(old_df, new_df, list(self.key), cols)
+
+    def poll_changes(
+        self,
+        spark: SparkSession,
+        cursor: int | None,
+        *,
+        compare_cols: Sequence[str] | None = None,
+    ) -> tuple[DataFrame, int]:
+        """Incremental-consumer loop step: (change feed since `cursor`,
+        new cursor). `cursor=None` is initial sync — the whole current
+        version as 'insert' rows in the same feed schema. A cursor
+        already at the latest version yields an empty feed and the same
+        cursor back; persist the returned cursor (it is just the
+        version number) next to the consumer's own output, and the loop
+        is exactly-once under replays — the foreachBatch-style pull
+        analog of a streaming CDC source.
+
+        Versions older than the vacuum retention window cannot be
+        polled from — re-sync with `cursor=None` if a consumer lags
+        past `vacuum(retain_last=...)`.
+        """
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        if cursor is not None and cursor >= latest:
+            feed = self.changes(
+                spark, latest, latest, compare_cols=compare_cols
+            ).limit(0)
+            return feed, latest
+        if cursor is None:
+            from .history import snapshot_diff
+
+            m = self._manifest(latest)
+            new_df = self.read(spark, latest)
+            old_df = self._empty_frame(spark, m)
+            old_df, new_df = align_schemas(old_df, new_df)
+            cols = list(
+                compare_cols
+                if compare_cols is not None
+                else [c for c in new_df.columns if c not in self.key]
+            )
+            return snapshot_diff(old_df, new_df, list(self.key), cols), latest
+        return self.changes(spark, cursor, latest, compare_cols=compare_cols), latest
 
     def vacuum(self, *, retain_last: int = 2, min_age_s: int = 3600) -> list[str]:
         """Drop manifests beyond the retention window and delete

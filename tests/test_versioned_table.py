@@ -497,3 +497,104 @@ def test_clustered_compaction_restores_range_pruning(spark, tmp_path):
     after_entries = t._manifest(t.latest_version())["files"]
     carried = [e for e in after_entries if t._entry_path(e) in before]
     assert len(carried) >= 7
+
+
+def _feed_set(df):
+    """Canonicalize a change feed for comparison: (key, type, old, new)."""
+    return {
+        (r["id"], r["change_type"], r["old_val"], r["new_val"])
+        for r in df.collect()
+    }
+
+
+def test_changes_matches_full_diff_partitioned(spark, tmp_path):
+    """The file-pruned feed returns exactly diff()'s rows across merges
+    and an overwrite (insert/update/delete all represented), including
+    a version-skipping window."""
+    t = _mk(tmp_path)
+    t.merge(_df(spark, [(1, "a", 2023), (2, "b", 2024), (3, "c", 2024)]))
+    t.merge(_df(spark, [(2, "B", 2024), (4, "d", 2025)]))
+    t.overwrite(_df(spark, [(1, "a", 2023), (2, "B", 2024), (5, "e", 2025)]))
+    for v0, v1 in [(1, 2), (2, 3), (1, 3)]:
+        pruned = _feed_set(t.changes(spark, v0, v1, compare_cols=["val"]))
+        full = _feed_set(t.diff(spark, v0, v1, compare_cols=["val"]))
+        assert pruned == full, (v0, v1)
+    got = _feed_set(t.changes(spark, 2, 3, compare_cols=["val"]))
+    assert (3, "delete", "c", None) in got and (5, "insert", None, "e") in got
+
+
+def test_changes_matches_full_diff_unpartitioned(spark, tmp_path):
+    """Same equivalence on the file-level COW path, where rewritten
+    files carry unchanged neighbor rows that must fall out of the feed."""
+    t = VersionedParquetTable(str(tmp_path / "cdc"), ["id"])
+    base = spark.range(5_000).select(F.col("id"), (F.col("id") % 7).cast("string").alias("v"))
+    t.overwrite(base.repartitionByRange(10, "id").sortWithinPartitions("id"))
+    t.merge(spark.range(900, 1100).select(F.col("id"), F.lit("X").alias("v")))
+    pruned = {
+        (r["id"], r["change_type"], r["old_v"], r["new_v"])
+        for r in t.changes(spark, 1, 2, compare_cols=["v"]).collect()
+    }
+    full = {
+        (r["id"], r["change_type"], r["old_v"], r["new_v"])
+        for r in t.diff(spark, 1, 2, compare_cols=["v"]).collect()
+    }
+    assert pruned == full
+    # only genuinely updated keys appear — carried rows in rewritten
+    # files (e.g. id 0..899 sharing a file with 900+) are absent
+    assert len(pruned) == 200
+    assert all(ct == "update" for _, ct, _, _ in pruned)
+
+
+def test_changes_never_reads_carried_files(spark, tmp_path):
+    """Scale pin: carried (untouched) files are not merely unscanned —
+    they can be unreadable garbage and the pruned feed still computes.
+    diff() by contrast must read both full snapshots."""
+    t = VersionedParquetTable(str(tmp_path / "cdcpin"), ["id"])
+    base = spark.range(5_000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    t.overwrite(base.repartitionByRange(10, "id").sortWithinPartitions("id"))
+    m1 = t._manifest(1)
+    t.merge(spark.range(0, 300).select(F.col("id"), F.lit(-1).alias("v")))
+    m2 = t._manifest(2)
+    fids2 = {f'{e["gen"]}/{e["name"]}' for e in m2["files"]}
+    carried = [e for e in m1["files"] if f'{e["gen"]}/{e["name"]}' in fids2]
+    assert carried  # the merge left most files untouched
+    saved = {}
+    try:
+        for e in carried:
+            p = t._entry_path(e)
+            with open(p, "rb") as f:
+                saved[p] = f.read()
+            with open(p, "wb") as f:
+                f.write(b"GARBAGE-NOT-PARQUET")
+        feed = t.changes(spark, 1, 2, compare_cols=["v"]).collect()
+        assert {r["id"] for r in feed} == set(range(300))
+    finally:
+        for p, blob in saved.items():
+            with open(p, "wb") as f:
+                f.write(blob)
+
+
+def test_poll_changes_cursor_loop(spark, tmp_path):
+    """The incremental-consumer loop: initial sync is all-inserts, each
+    poll advances the cursor to the version it saw, and a caught-up
+    cursor yields an empty feed with the same cursor back."""
+    t = _mk(tmp_path)
+    t.merge(_df(spark, [(1, "a", 2023), (2, "b", 2024)]))
+    feed, cur = t.poll_changes(spark, None, compare_cols=["val"])
+    assert cur == 1
+    assert _feed_set(feed) == {
+        (1, "insert", None, "a"),
+        (2, "insert", None, "b"),
+    }
+    t.merge(_df(spark, [(2, "B", 2024), (3, "c", 2025)]))
+    feed, cur = t.poll_changes(spark, cur, compare_cols=["val"])
+    assert cur == 2
+    assert _feed_set(feed) == {
+        (2, "update", "b", "B"),
+        (3, "insert", None, "c"),
+    }
+    feed, cur2 = t.poll_changes(spark, cur, compare_cols=["val"])
+    assert cur2 == cur and feed.count() == 0
+    assert [f.name for f in feed.schema.fields] == [
+        "id", "old_val", "new_val", "change_type",
+    ]
