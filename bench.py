@@ -48,6 +48,13 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name].fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 4)
+        # Operators that fan one frame into several consumers hold
+        # localCheckpoint blocks; across ~90 queries those accumulate
+        # into executor-memory pressure that surfaces as a multi-second
+        # GC spike on some unlucky later query. Freeing them after each
+        # query keeps every measurement at steady-state memory.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     total = round(sum(times.values()), 4)
     doc = {

@@ -38,6 +38,7 @@ __all__ = [
     "cap_per_group",
     "cross_doc_duplication",
     "negative_sample_pairs",
+    "gopher_rules",
 ]
 
 # Kept to syntax with identical semantics in Java regex and RE2 (DuckDB),
@@ -387,6 +388,102 @@ def cross_doc_duplication(
             .alias("shared_frac"),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "it"),
+) -> DataFrame:
+    """Gopher-style document-level quality rules (Rae et al. 2021 §A1.1):
+    word-count bounds, mean-word-length band, symbol-to-word ratio ('#'
+    and '...'), fraction of words containing an alphabetic character, and
+    a minimum stopword-hit count. Emits every metric, a 0/1 flag per rule,
+    and the conjunction `keep` — the standard pre-dedup corpus gate.
+
+    Plan: pure map — ONE whitespace split materialized as a column feeds
+    all token metrics (interpreted higher-order lambdas re-evaluate
+    argument subtrees, so the split is staged, not inlined), everything
+    else is codegen'd string/array expressions. Zero shuffle at any scale.
+    Ratio rules compare ROUND(x,4) doubles; / is correctly-rounded IEEE so
+    flags are engine-identical. Reference analog: none (beyond-reference
+    §7.5 curation tier).
+    """
+    flag = lambda cond: F.when(cond, 1).otherwise(0)  # noqa: E731
+
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        tokens_expr(text_col).alias("__w"),
+    )
+    w = F.col("__w")
+    m = base.select(
+        F.col(id_col),
+        F.size(w).cast("int").alias("n_words"),
+        F.aggregate(
+            F.transform(w, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+        ).alias("__sum_len"),
+        F.size(F.filter(w, lambda t: t.rlike("[A-Za-z]"))).alias("__n_alpha"),
+        F.size(F.filter(w, lambda t: t.isin(*stopwords))).cast("int").alias(
+            "stopword_hits"
+        ),
+        (
+            F.length("__text")
+            - F.length(F.replace(F.col("__text"), F.lit("#"), F.lit("")))
+            + F.regexp_count("__text", F.lit(r"\.\.\."))
+        ).cast("int").alias("n_symbols"),
+    )
+    nz = F.col("n_words") > 0
+    m = m.select(
+        F.col(id_col),
+        "n_words",
+        F.when(nz, F.round(F.col("__sum_len") / F.col("n_words"), 4)).alias(
+            "mean_word_len"
+        ),
+        F.when(nz, F.round(F.col("__n_alpha") / F.col("n_words"), 4)).alias(
+            "alpha_word_frac"
+        ),
+        F.when(nz, F.round(F.col("n_symbols") / F.col("n_words"), 4)).alias(
+            "symbol_ratio"
+        ),
+        "stopword_hits",
+        "n_symbols",
+    )
+    rules = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_word_len": (F.col("mean_word_len") >= min_mean_len)
+        & (F.col("mean_word_len") <= max_mean_len),
+        "r_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "r_alpha_words": F.col("alpha_word_frac") >= min_alpha_frac,
+        "r_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
+    out = m.select(
+        F.col(id_col),
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "symbol_ratio",
+        "stopword_hits",
+        *[flag(cond).alias(name) for name, cond in rules.items()],
+    )
+    keep = flag(
+        (F.col("r_word_count") == 1)
+        & (F.col("r_mean_word_len") == 1)
+        & (F.col("r_symbol_ratio") == 1)
+        & (F.col("r_alpha_words") == 1)
+        & (F.col("r_stopwords") == 1)
+    )
+    return out.withColumn("keep", keep)
 
 
 def negative_sample_pairs(

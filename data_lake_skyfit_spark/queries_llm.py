@@ -1721,3 +1721,82 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     media = multimodal.synthesize_png_payloads(d, id_col="doc_id")
     return multimodal.decode_images(media)
+
+
+@register(
+    "dedup_semantic_sharded",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,6))::BIGINT % 16 AS shard
+      FROM embeddings
+    ), d AS (
+      SELECT b.vec_id AS id, MIN(a.vec_id) AS dup_of
+      FROM v a JOIN v b ON a.shard = b.shard AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.25
+      GROUP BY b.vec_id
+    )
+    SELECT v.vec_id AS id, CAST(v.shard AS INT) AS shard,
+           CAST(d.dup_of IS NOT NULL AS INT) AS is_dup, d.dup_of
+    FROM v LEFT JOIN d ON d.id = v.vec_id
+    """,
+    tags=("llm-dedup", "scale-path"),
+    doc="SemDeDup-style semantic dedup (llm.dedup.semantic_dedup): "
+    "cluster the embedding space (md5 shard here — engine-reproducible, "
+    "same convention as ann_sharded_probe_topk; k-means cluster ids in "
+    "production), BLAS Gram matrix per shard, mark vectors with a "
+    "lower-id cluster-mate at ROUND(cos,4) >= 0.25 as duplicates of the "
+    "smallest such id. Work is sum(|cluster|^2), never n^2 — the oracle "
+    "rebuilds the identical intra-shard pair set.",
+)
+def dedup_semantic_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(e, n_shards=16, threshold=0.25)
+
+
+@register(
+    "quality_filter_gopher",
+    """
+    WITH t AS (SELECT doc_id, text,
+                      list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+               FROM documents),
+    m AS (
+      SELECT doc_id, len(w) AS n_words,
+             list_sum(list_transform(w, x -> LENGTH(x))) AS sum_len,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS stopword_hits,
+             LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+               + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols
+      FROM t
+    ), r AS (
+      SELECT doc_id, CAST(n_words AS INT) AS n_words,
+             CASE WHEN n_words > 0 THEN ROUND(sum_len / n_words, 4) END AS mean_word_len,
+             CASE WHEN n_words > 0 THEN ROUND(n_alpha / n_words, 4) END AS alpha_word_frac,
+             CASE WHEN n_words > 0 THEN ROUND(n_symbols / n_words, 4) END AS symbol_ratio,
+             CAST(stopword_hits AS INT) AS stopword_hits
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio, stopword_hits,
+           CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1 ELSE 0 END AS r_word_count,
+           CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1 ELSE 0 END AS r_mean_word_len,
+           CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS r_symbol_ratio,
+           CASE WHEN alpha_word_frac >= 0.8 THEN 1 ELSE 0 END AS r_alpha_words,
+           CASE WHEN stopword_hits >= 2 THEN 1 ELSE 0 END AS r_stopwords,
+           CASE WHEN n_words >= 10 AND n_words <= 100000
+                 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                 AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+                 AND stopword_hits >= 2 THEN 1 ELSE 0 END AS keep
+    FROM r
+    """,
+    tags=("llm-text",),
+    doc="Gopher document-level quality gate (llm.curation.gopher_rules): "
+    "word-count bounds, mean-word-length band, symbol-to-word ratio, "
+    "alphabetic-word fraction, stopword-hit minimum — per-rule 0/1 flags "
+    "plus the conjunction. Pure codegen'd map, one staged tokenization, "
+    "zero shuffle; ROUND(,4) ratio boundaries are engine-identical.",
+)
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.curation import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_rules(d)

@@ -302,3 +302,86 @@ def test_dense_index_is_gapless_and_ordered(spark):
     ordered = sorted(got, key=lambda r: r["idx"])
     assert [r["idx"] for r in ordered] == list(range(100))
     assert [r["v"] for r in ordered] == sorted(r["v"] for r in got)
+
+
+def test_gopher_rules_flags_and_metrics(spark):
+    """Each rule trips on its designed violation; metrics match a hand
+    computation; empty docs get null ratios and keep=0."""
+    from data_lake_skyfit_spark.llm.curation import gopher_rules
+
+    rows = [
+        # passes everything: 12 alphabetic words incl. 2 stopwords
+        (0, "the quick brown fox jumps over a lazy dog near river bank"),
+        # too few words
+        (1, "the a short one"),
+        # mean word length too high (3 words of 20+ chars), also stopword fail
+        (2, "aaaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbbbbbb cccccccccccccccccccccccc"),
+        # symbol-heavy: many '#' and ellipses
+        (3, "the a b c d e f g h i j k ### ... ### ... ####"),
+        # numeric soup: alpha fraction low
+        (4, "the a 111 222 333 444 555 666 777 888 999 000"),
+        (5, ""),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(
+            _docs(spark, rows), min_words=10, min_stopword_hits=2
+        ).collect()
+    }
+    assert out[0]["keep"] == 1 and out[0]["n_words"] == 12
+    assert out[0]["alpha_word_frac"] == 1.0 and out[0]["r_stopwords"] == 1
+    assert out[1]["r_word_count"] == 0 and out[1]["keep"] == 0
+    w2 = rows[2][1].split()
+    assert out[2]["r_mean_word_len"] == 0
+    assert out[2]["mean_word_len"] == round(sum(map(len, w2)) / len(w2), 4)
+    assert out[3]["r_symbol_ratio"] == 0  # 10 '#' + 2 '...' over 17 words
+    assert out[4]["r_alpha_words"] == 0 and out[4]["alpha_word_frac"] == round(2 / 12, 4)
+    assert out[5]["n_words"] == 0 and out[5]["mean_word_len"] is None
+    assert out[5]["keep"] == 0
+
+
+def test_semantic_dedup_marks_lower_id_clustermates(spark):
+    """Within a shard, every vector with a lower-id near-identical mate
+    is marked dup_of the smallest such id; cross-shard near-dups are NOT
+    compared (the SemDeDup contract); survivors keep is_dup=0."""
+    import math
+
+    from data_lake_skyfit_spark.llm.dedup import semantic_dedup
+
+    # Two orthogonal directions; ids interleaved. shard_col pins shards
+    # explicitly so the test controls the partition.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (2, [1.0, 1e-6], 0),   # ~same direction as 0, same shard -> dup of 0
+        (4, [0.0, 1.0], 0),    # orthogonal -> survivor
+        (1, [1.0, 0.0], 1),    # same direction as 0 but other shard -> survivor
+        (3, [1.0, 2e-6], 1),   # dup of 1 within shard 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, grp int")
+    out = {
+        r["id"]: (r["is_dup"], r["dup_of"], r["shard"])
+        for r in semantic_dedup(df, threshold=0.99, shard_col="grp").collect()
+    }
+    assert out[0] == (0, None, 0)
+    assert out[2] == (1, 0, 0)
+    assert out[4] == (0, None, 0)
+    assert out[1] == (0, None, 1)
+    assert out[3] == (1, 1, 1)
+    assert math.isclose(sum(1 for v in out.values() if v[0]), 2)
+
+
+def test_semantic_dedup_md5_shard_matches_python_mirror(spark):
+    """The default md5 shard assignment is the engine-reproducible
+    conv(md5(id)[:6],16,10) % n_shards — pinned against hashlib."""
+    import hashlib
+
+    from data_lake_skyfit_spark.llm.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(df, n_shards=16, threshold=0.999999).collect()
+    for r in out:
+        expect = int(hashlib.md5(str(r["id"]).encode()).hexdigest()[:6], 16) % 16
+        assert r["shard"] == expect
