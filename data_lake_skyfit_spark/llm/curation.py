@@ -39,6 +39,7 @@ __all__ = [
     "cross_doc_duplication",
     "negative_sample_pairs",
     "gopher_rules",
+    "curate_corpus",
 ]
 
 # Kept to syntax with identical semantics in Java regex and RE2 (DuckDB),
@@ -484,6 +485,100 @@ def gopher_rules(
         & (F.col("r_stopwords") == 1)
     )
     return out.withColumn("keep", keep)
+
+
+def curate_corpus(
+    train: DataFrame,
+    eval_df: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    decontam_ngram: int = 5,
+    decontam_min_shared: int = 2,
+    **quality_kwargs,
+) -> DataFrame:
+    """The end-to-end pre-training curation pipeline in one call — the
+    standard stage order of a web-scale text corpus build:
+
+      1. quality gate   (gopher_rules conjunction)
+      2. exact dedup    (content-hash groupBy, min-id canonical survives)
+      3. near dedup     (MinHash-LSH pairs → connected components,
+                         cluster-canonical min id survives)
+      4. decontamination (n-gram overlap vs the eval corpus, when given)
+
+    Returns one DISPOSITION row per input document: (id, drop_reason,
+    kept) where drop_reason is the FIRST stage that dropped it
+    ('quality' | 'exact_dup' | 'near_dup' | 'contaminated' | 'kept') —
+    the audit artifact a data release ships alongside the corpus.
+    Survivors are `train.join(out.filter("kept=1"), id) ` or an anti-join
+    on the drop rows.
+
+    Scale: each stage sees only the previous stage's survivors. Quality
+    is a zero-shuffle map; exact dedup shuffles a 16-byte hash; LSH
+    shuffles band buckets of survivors only; the eval index broadcasts
+    (train never shuffles for candidate generation). Corpus-sized drop
+    markers (quality/exact) attach via hash joins on the id; only the
+    sparse near-dup/contamination lists broadcast. Multi-consumer frames
+    are localCheckpointed (CLAUDE.md lineage rule).
+    """
+    from .decontaminate import contamination_report
+    from .dedup import connected_components, minhash_lsh_pairs
+
+    train = train.localCheckpoint(eager=False)
+    q = (
+        gopher_rules(train, text_col=text_col, id_col=id_col, **quality_kwargs)
+        .select(F.col(id_col), F.col("keep").alias("__q_keep"))
+        .localCheckpoint(eager=False)
+    )
+    p1 = train.join(q.filter(F.col("__q_keep") == 1).drop("__q_keep"), id_col)
+    h = p1.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    canon = h.groupBy("__h").agg(F.min(id_col).alias("__canon"))
+    exact_drop = (
+        h.join(canon, "__h")
+        .filter(F.col(id_col) != F.col("__canon"))
+        .select(id_col)
+        .localCheckpoint(eager=False)
+    )
+    p2 = p1.join(exact_drop, id_col, "left_anti").localCheckpoint(eager=False)
+    pairs = minhash_lsh_pairs(
+        p2, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
+    )
+    near_drop = (
+        connected_components(pairs)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias(id_col))
+        .localCheckpoint(eager=False)
+    )
+    p3 = p2.join(F.broadcast(near_drop), id_col, "left_anti")
+    if eval_df is not None:
+        contam = (
+            contamination_report(
+                p3, eval_df, n=decontam_ngram, min_shared=decontam_min_shared
+            )
+            .filter(F.col("contaminated"))
+            .select(F.col("train_id").alias(id_col))
+        )
+    else:
+        contam = train.select(id_col).limit(0)
+    mark = lambda d, c: d.withColumn(c, F.lit(1))  # noqa: E731
+    return (
+        train.select(F.col(id_col))
+        .join(q, id_col, "left")
+        .join(mark(exact_drop, "__x"), id_col, "left")
+        .join(mark(near_drop, "__n"), id_col, "left")
+        .join(mark(contam, "__c"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__q_keep") == 0, F.lit("quality"))
+            .when(F.col("__x") == 1, F.lit("exact_dup"))
+            .when(F.col("__n") == 1, F.lit("near_dup"))
+            .when(F.col("__c") == 1, F.lit("contaminated"))
+            .otherwise(F.lit("kept"))
+            .alias("drop_reason"),
+        )
+        .withColumn("kept", (F.col("drop_reason") == "kept").cast("int"))
+    )
 
 
 def negative_sample_pairs(

@@ -1800,3 +1800,101 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return gopher_rules(d)
+
+
+@register(
+    "curation_pipeline",
+    """
+WITH RECURSIVE
+tall AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+         FROM documents),
+t AS (SELECT * FROM tall WHERE doc_id < 450),
+m AS (
+  SELECT doc_id, len(w) AS n_words,
+         list_sum(list_transform(w, x -> LENGTH(x))) AS sum_len,
+         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS stop_hits,
+         LENGTH(text) - LENGTH(REPLACE(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+         CASE WHEN n_words >= 10 AND n_words <= 100000
+               AND (CASE WHEN n_words > 0 THEN ROUND(sum_len / n_words, 4) END) >= 2.0
+               AND (CASE WHEN n_words > 0 THEN ROUND(sum_len / n_words, 4) END) <= 12.0
+               AND (CASE WHEN n_words > 0 THEN ROUND(n_symbols / n_words, 4) END) <= 0.1
+               AND (CASE WHEN n_words > 0 THEN ROUND(n_alpha / n_words, 4) END) >= 0.8
+               AND stop_hits >= 2 THEN 1 ELSE 0 END AS q_keep
+  FROM m
+),
+p1 AS (SELECT t.* FROM t JOIN q USING (doc_id) WHERE q_keep = 1),
+ex AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY MD5(text)) AS canon FROM p1),
+exdrop AS (SELECT doc_id FROM ex WHERE doc_id <> canon),
+p2 AS (SELECT * FROM p1 WHERE doc_id NOT IN (SELECT doc_id FROM exdrop)),
+sh AS (SELECT doc_id,
+              CASE WHEN len(w) >= 3 THEN
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])
+              ELSE [] END AS s
+       FROM p2),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 4) >= 0.8
+),
+e AS (SELECT a_id AS s, b_id AS t FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+walk(id, label) AS (
+  SELECT DISTINCT s, s FROM e
+  UNION
+  SELECT e.s, w2.label FROM e JOIN walk w2 ON e.t = w2.id
+),
+labels AS (SELECT id, MIN(label) AS cluster FROM walk GROUP BY id),
+ndrop AS (SELECT id AS doc_id FROM labels WHERE id <> cluster),
+p3 AS (SELECT * FROM p2 WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+sh5t AS (SELECT doc_id,
+                CASE WHEN len(w) >= 5 THEN
+                  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+                                 for i in range(1, len(w)-3)])
+                ELSE [] END AS s
+         FROM p3),
+sh5e AS (SELECT doc_id,
+                CASE WHEN len(w) >= 5 THEN
+                  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+                                 for i in range(1, len(w)-3)])
+                ELSE [] END AS s
+         FROM tall WHERE doc_id >= 450),
+tr AS (SELECT doc_id AS train_id, UNNEST(s) AS g FROM sh5t WHERE len(s) > 0),
+ev AS (SELECT doc_id AS eval_id, UNNEST(s) AS g FROM sh5e WHERE len(s) > 0),
+hits AS (SELECT train_id, eval_id, COUNT(*) AS shared FROM tr JOIN ev USING (g) GROUP BY 1, 2),
+contam AS (SELECT train_id AS doc_id FROM hits GROUP BY train_id HAVING MAX(shared) >= 2),
+disp AS (
+  SELECT t.doc_id,
+         CASE WHEN q.q_keep = 0 THEN 'quality'
+              WHEN t.doc_id IN (SELECT doc_id FROM exdrop) THEN 'exact_dup'
+              WHEN t.doc_id IN (SELECT doc_id FROM ndrop) THEN 'near_dup'
+              WHEN t.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+              ELSE 'kept' END AS drop_reason
+  FROM t JOIN q USING (doc_id)
+)
+SELECT doc_id, drop_reason, CAST(drop_reason = 'kept' AS INT) AS kept FROM disp
+""",
+    tags=("llm-text", "llm-dedup", "llm-decontamination", "iterative"),
+    doc="END-TO-END corpus curation (llm.curation.curate_corpus): the "
+    "full pre-training gate in one call — Gopher quality rules, then "
+    "exact content-hash dedup (min-id canonical), then MinHash-LSH "
+    "near-dup removal via connected components, then n-gram "
+    "decontamination against the eval corpus (doc_id >= 450), each stage "
+    "over the previous stage's survivors. Output is the per-document "
+    "disposition audit (first dropping stage wins). The oracle replays "
+    "all four stages in SQL, including the recursive-CTE transitive "
+    "closure for clusters; the near-dup stage relies on the pinned "
+    "property that LSH at these settings has no false negatives on this "
+    "corpus (dedup_minhash_lsh), which restriction to a survivor subset "
+    "preserves (banding is per-pair).",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.curation import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        d.filter(F.col("doc_id") < 450), d.filter(F.col("doc_id") >= 450)
+    )

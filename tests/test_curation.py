@@ -385,3 +385,40 @@ def test_semantic_dedup_md5_shard_matches_python_mirror(spark):
     for r in out:
         expect = int(hashlib.md5(str(r["id"]).encode()).hexdigest()[:6], 16) % 16
         assert r["shard"] == expect
+
+
+def test_curate_corpus_stage_order_and_dispositions(spark):
+    """All four stages drop something; the FIRST dropping stage wins the
+    disposition; survivors are exactly the non-dropped ids."""
+    from data_lake_skyfit_spark.llm.curation import curate_corpus
+
+    base = " ".join(f"tok{i}" for i in range(30)) + " the a of and"
+    rows = [
+        (0, base + " zero marker words here"),          # kept
+        (1, "too short the a"),                          # quality (n_words < 10)
+        (2, base + " zero marker words here"),           # exact dup of 0
+        (3, base + " zero marker words here extra"),     # near dup of 0 (high Jaccard)
+        (4, base + " four distinct tail " + " ".join(f"x{i}" for i in range(10))),  # kept
+    ]
+    # eval doc sharing a >=5-token run ONLY with doc 4's distinctive
+    # tail -> contaminates 4 alone (doc 0 shares no 5-gram with it)
+    ev = [(100, "unrelated eval prefix words tail x0 x1 x2 x3 x4 x5")]
+    train = _docs(spark, rows)
+    evalset = _docs(spark, ev)
+    out = {
+        r["doc_id"]: r["drop_reason"]
+        for r in curate_corpus(train, evalset, jaccard_threshold=0.7).collect()
+    }
+    assert out[1] == "quality"
+    assert out[2] == "exact_dup"
+    assert out[3] == "near_dup"
+    assert out[4] == "contaminated"
+    assert out[0] == "kept"
+
+
+def test_curate_corpus_no_eval_set_skips_decontamination(spark):
+    from data_lake_skyfit_spark.llm.curation import curate_corpus
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(20)) + " the a is it") for i in range(5)]
+    out = curate_corpus(_docs(spark, rows)).collect()
+    assert all(r["drop_reason"] == "kept" and r["kept"] == 1 for r in out)
