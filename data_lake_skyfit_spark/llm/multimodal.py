@@ -57,6 +57,8 @@ __all__ = [
     "encode_bmp24",
     "encode_png",
     "encode_avi_dib",
+    "encode_gif",
+    "synthesize_gif_payloads",
     "synthesize_wav_payloads",
     "synthesize_bmp_payloads",
     "synthesize_png_payloads",
@@ -244,6 +246,174 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def _looks_like_png(data: bytes) -> bool:
     return len(data) > 33 and data[:8] == _PNG_SIG
+
+
+def _looks_like_gif(data: bytes) -> bool:
+    return len(data) > 13 and data[:6] in (b"GIF87a", b"GIF89a")
+
+
+def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """REAL GIF-variant LZW compression (LSB-first variable-width codes,
+    9→12 bits, clear/EOI codes, dictionary reset at 4096)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    acc = n_bits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of _lzw_encode — the full GIF LZW decode: variable code
+    width grows at next_code == 2^width − 1 (the decoder registers one
+    entry behind the encoder), KwKwK self-reference case, clear resets."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    acc = n_bits = pos = 0
+
+    def read(width: int) -> int | None:
+        nonlocal acc, n_bits, pos
+        while n_bits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        return code
+
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        code = read(width)
+        if code is None or code == end:
+            break
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW: first code after clear out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"LZW: code {code} beyond table {len(table)}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, pixel) -> bytes:
+    """Encode a REAL GIF87a: 256-entry grayscale global color table,
+    image data LZW-compressed (_lzw_encode) into ≤255-byte sub-blocks.
+    `pixel(x, y)` returns the palette index (= gray level) at (x, y).
+    Any standards-conforming GIF reader opens the output."""
+    hdr = b"GIF87a" + struct.pack("<HH", width, height) + bytes([0xF7, 0, 0])
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    desc = b"\x2C" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    idx = bytes(pixel(x, y) & 0xFF for y in range(height) for x in range(width))
+    lzw = _lzw_encode(idx)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return hdr + gct + desc + bytes(blocks) + b"\x3B"
+
+
+def _gif_pixels(data: bytes) -> tuple[int, int, list[tuple[int, int, int]], bytes]:
+    """Parse a GIF87a/89a payload: (width, height, palette, indices).
+    Walks the screen descriptor, global color table, optional GIF89a
+    extension blocks, and the first image descriptor; concatenates the
+    data sub-blocks and LZW-decodes them. Uninterlaced, no local table."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while pos < len(data) and data[pos] == 0x21:  # GIF89a extensions
+        pos += 2
+        while data[pos] != 0:
+            pos += 1 + data[pos]
+        pos += 1
+    if pos >= len(data) or data[pos] != 0x2C:
+        raise ValueError("GIF image descriptor not found")
+    _l, _t, w, h = struct.unpack_from("<HHHH", data, pos + 1)
+    ipacked = data[pos + 9]
+    if ipacked & 0xC0:
+        raise ValueError("GIF local color table / interlace unsupported")
+    pos += 10
+    min_code = data[pos]
+    pos += 1
+    stream = bytearray()
+    while data[pos] != 0:
+        ln = data[pos]
+        stream += data[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    idx = _lzw_decode(bytes(stream), min_code)
+    if len(idx) < w * h:
+        raise ValueError("GIF pixel data short")
+    return w, h, palette, idx[: w * h]
+
+
+def _decode_gif(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, n_channels, pixel_sum) — decode_images' GIF leg:
+    pixel_sum sums the palette-RESOLVED r+g+b per pixel (3 channels),
+    so a wrong LZW decode or palette walk cannot go unnoticed."""
+    w, h, palette, idx = _gif_pixels(data)
+    return w, h, 3, sum(sum(palette[i]) for i in idx)
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
@@ -478,14 +648,40 @@ def synthesize_png_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def synthesize_gif_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL encoded GIF87a payload, deterministic closed form.
+    Per id: width = 4 + id % 14, height = 4 + id % 12,
+    palette index(x, y) = (3·id + 5x + 7y) mod 256 over a grayscale
+    global color table — so pixel_sum = 3·Σ index, reproducible in SQL."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_gif(
+                    4 + rid % 14,
+                    4 + rid % 12,
+                    lambda x, y, rid=rid: (3 * rid + 5 * x + 7 * y) % 256,
+                )
+                for rid in (int(v) for v in pdf[id_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """payload → (id, width, height, n_channels, pixel_sum) via
-    Arrow-batched mapInPandas. BMP payloads ('BM' magic) and PNG
-    payloads (\\x89PNG signature) are decoded FOR REAL — BMP: header
-    parse + per-pixel channel sum with row padding skipped; PNG: zlib
-    inflate + five-filter scanline reconstruction (_png_pixels). Other
-    formats would need PIL: fake path derives dims from the content
-    hash with pixel_sum null (or raises without SKYFIT_FAKE_DECODE)."""
+    Arrow-batched mapInPandas. BMP payloads ('BM' magic), PNG payloads
+    (\\x89PNG signature) and GIF payloads (GIF87a/89a) are decoded FOR
+    REAL — BMP: header parse + per-pixel channel sum with row padding
+    skipped; PNG: zlib inflate + five-filter scanline reconstruction
+    (_png_pixels); GIF: variable-width LZW decompression + palette
+    resolution (_gif_pixels). Other formats would need PIL: fake path
+    derives dims from the content hash with pixel_sum null (or raises
+    without SKYFIT_FAKE_DECODE)."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -509,6 +705,11 @@ def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                     return _decode_png(data)
                 except (ValueError, struct.error, zlib.error):
                     pass  # signature-prefixed non-PNG bytes: fake path
+            if _looks_like_gif(data):
+                try:
+                    return _decode_gif(data)
+                except (ValueError, struct.error, IndexError):
+                    pass  # signature-prefixed non-GIF bytes: fake path
             _require_codec("PIL")
             d = hashlib.md5(data).digest()
             return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 3, None

@@ -1898,3 +1898,40 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(
         d.filter(F.col("doc_id") < 450), d.filter(F.col("doc_id") >= 450)
     )
+
+
+@register(
+    "multimodal_decode_gif",
+    """
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 14 AS w, 4 + doc_id % 12 AS h
+      FROM documents WHERE doc_id < 300
+    ), s AS (
+      SELECT p.doc_id, p.w, p.h,
+             SUM((3*p.doc_id + 5*x.i + 7*y.i) % 256) AS isum
+      FROM p,
+           LATERAL (SELECT UNNEST(range(0, p.w)) AS i) x,
+           LATERAL (SELECT UNNEST(range(0, p.h)) AS i) y
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels, CAST(3 * isum AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL palette-image decode (llm.multimodal): "
+    "synthesize_gif_payloads encodes an actual GIF87a per doc — 256-entry "
+    "grayscale global color table, image data compressed with a real "
+    "variable-width LZW encoder (9-12 bit codes, clear/EOI, dictionary "
+    "reset at 4096) split into sub-blocks — then decode_images walks the "
+    "container, LZW-decompresses the index stream (_lzw_decode handles "
+    "width growth one entry behind the encoder and the KwKwK case) and "
+    "resolves every index through the palette before summing r+g+b. The "
+    "oracle recomputes width/height/pixel_sum arithmetically from the "
+    "closed-form index function — a compressed codec round-trip graded "
+    "exactly.",
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.synthesize_gif_payloads(d, id_col="doc_id")
+    return multimodal.decode_images(media)

@@ -311,3 +311,60 @@ def test_magic_prefixed_garbage_takes_fake_path(spark):
     assert len(frames) > 0
     resized = multimodal.resize_images(media, width=8, height=8).collect()
     assert all(len(bytes(r["payload"])) == 64 for r in resized)  # fake tiling
+
+
+def test_lzw_roundtrip_growth_reset_and_kwkwk():
+    """The GIF LZW pair must survive code-width growth (9->12 bits),
+    a dictionary reset at 4096, and the KwKwK self-reference pattern."""
+    import random
+
+    from data_lake_skyfit_spark.llm.multimodal import _lzw_decode, _lzw_encode
+
+    rng = random.Random(11)
+    cases = [
+        b"",
+        b"\x00",
+        b"aaaaaaaaaaaaaaaa",            # immediate KwKwK chains
+        bytes([1, 2] * 8000),            # compressible, spans a reset
+        bytes(rng.randrange(256) for _ in range(12000)),  # incompressible, spans resets
+    ]
+    for payload in cases:
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+
+
+def test_gif_decode_matches_closed_form(spark):
+    from data_lake_skyfit_spark.llm import multimodal
+
+    d = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = multimodal.synthesize_gif_payloads(d)
+    out = {r["doc_id"]: r for r in multimodal.decode_images(media).collect()}
+    for rid in range(40):
+        w, h = 4 + rid % 14, 4 + rid % 12
+        r = out[rid]
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
+        assert r["pixel_sum"] == 3 * sum(
+            (3 * rid + 5 * x + 7 * y) % 256 for x in range(w) for y in range(h)
+        )
+
+
+def test_gif_large_image_spans_lzw_reset():
+    """A 90x70 image produces >4096 dictionary entries, forcing the
+    encoder's mid-stream clear; the decoder must resync."""
+    from data_lake_skyfit_spark.llm.multimodal import _decode_gif, encode_gif
+
+    px = lambda x, y: (x * x + 3 * y) % 256  # noqa: E731
+    w, h, ch, s = _decode_gif(encode_gif(90, 70, px))
+    assert (w, h, ch) == (90, 70, 3)
+    assert s == 3 * sum(px(x, y) for x in range(90) for y in range(70))
+
+
+def test_gif_prefixed_garbage_takes_fake_path(spark):
+    from data_lake_skyfit_spark.llm import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "GIF87a but this is actually just text, not an image....")],
+        ["doc_id", "text"],
+    )
+    media = multimodal.attach_binary_payload(df, "text")
+    out = multimodal.decode_images(media).collect()[0]
+    assert out["pixel_sum"] is None
