@@ -823,14 +823,27 @@ def _resize_bmp(data: bytes, dw: int, dh: int) -> bytes:
     )
 
 
+def _resize_gif(data: bytes, dw: int, dh: int) -> bytes:
+    """REAL nearest-neighbor resample of a GIF payload: LZW-decode the
+    index stream, sample src index (x·sw)//dw, (y·sh)//dh per dst pixel,
+    re-encode (LZW + sub-blocks) against the same grayscale palette —
+    palette indices pass through untouched, so the decode→resize→decode
+    round-trip is integer-exact."""
+    sw, sh, _palette, idx = _gif_pixels(data)
+    return encode_gif(
+        dw, dh, lambda x, y: idx[(y * sh // dh) * sw + (x * sw // dw)]
+    )
+
+
 def resize_images(
     df: DataFrame, *, id_col: str = "doc_id", width: int = 224, height: int = 224
 ) -> DataFrame:
     """payload → resized payload + updated metadata (the normalize step
-    before a vision encoder). BMP and PNG payloads are resampled FOR
-    REAL (nearest-neighbor over the decoded pixel array, re-encoded in
-    the same format — _resize_bmp / _resize_png, the PNG leg running a
-    full inflate→unfilter→refilter→deflate cycle). Other formats would
+    before a vision encoder). BMP, PNG and GIF payloads are resampled
+    FOR REAL (nearest-neighbor over the decoded pixel array, re-encoded
+    in the same format — _resize_bmp / _resize_png / _resize_gif; the
+    PNG leg runs a full inflate→unfilter→refilter→deflate cycle, the
+    GIF leg a full LZW decode→re-encode). Other formats would
     need PIL: the fake path tiles
     the ASCII content hash to width·height deterministic bytes. Payload
     in, payload out — the 1→1 binary-transform mapInPandas shape."""
@@ -856,6 +869,11 @@ def resize_images(
                     return _resize_png(data, width, height)
                 except (ValueError, struct.error, zlib.error):
                     pass  # signature-prefixed non-PNG bytes: fake path
+            if _looks_like_gif(data):
+                try:
+                    return _resize_gif(data, width, height)
+                except (ValueError, struct.error, IndexError):
+                    pass  # signature-prefixed non-GIF bytes: fake path
             _require_codec("PIL")
             # Fake bytes = ASCII md5 hexdigest tiled to width·height —
             # reproducible as plain-string SQL in any engine:

@@ -368,3 +368,23 @@ def test_gif_prefixed_garbage_takes_fake_path(spark):
     media = multimodal.attach_binary_payload(df, "text")
     out = multimodal.decode_images(media).collect()[0]
     assert out["pixel_sum"] is None
+
+
+def test_gif_resize_roundtrip_integer_exact(spark):
+    """resize_images routes GIF through the real LZW decode→re-encode
+    path; decoding the resized payload must equal the closed-form
+    nearest-neighbor sample of the source indices."""
+    from data_lake_skyfit_spark.llm import multimodal
+    from data_lake_skyfit_spark.llm.multimodal import _gif_pixels, encode_gif
+
+    rid = 7
+    sw, sh = 4 + rid % 14, 4 + rid % 12
+    d = spark.createDataFrame([(rid,)], ["doc_id"])
+    media = multimodal.synthesize_gif_payloads(d)
+    out = multimodal.resize_images(media, width=6, height=5).collect()[0]
+    w, h, _pal, idx = _gif_pixels(bytes(out["payload"]))
+    assert (w, h) == (6, 5)
+    src = lambda x, y: (3 * rid + 5 * x + 7 * y) % 256  # noqa: E731
+    for y in range(5):
+        for x in range(6):
+            assert idx[y * 6 + x] == src(x * sw // 6, y * sh // 5)
