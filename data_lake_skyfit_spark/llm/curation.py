@@ -531,7 +531,9 @@ def curate_corpus(
         .select(F.col(id_col), F.col("keep").alias("__q_keep"))
         .localCheckpoint(eager=False)
     )
-    p1 = train.join(q.filter(F.col("__q_keep") == 1).drop("__q_keep"), id_col)
+    p1 = train.join(
+        q.filter(F.col("__q_keep") == 1).drop("__q_keep"), id_col
+    ).localCheckpoint(eager=False)  # feeds the hash frame AND p2
     h = p1.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
     canon = h.groupBy("__h").agg(F.min(id_col).alias("__canon"))
     exact_drop = (

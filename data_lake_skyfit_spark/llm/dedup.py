@@ -585,11 +585,11 @@ def embedding_cosine_pairs(
             a_idx = np.where(in_lo)[0]
             b_idx = np.where(~in_lo)[0]
             sims_blk = mat[a_idx] @ mat[b_idx].T
-            ai_rel, bi_rel = np.nonzero(sims_blk >= threshold - 1e-7)
+            ai_rel, bi_rel = np.nonzero(sims_blk >= threshold - 1e-4)
             ai, bi = a_idx[ai_rel], b_idx[bi_rel]
             sims = None
         if sims is not None:
-            keep = sims[ai, bi] >= threshold - 1e-7
+            keep = sims[ai, bi] >= threshold - 1e-4
             ai, bi = ai[keep], bi[keep]
             vals = sims[ai, bi]
         else:
@@ -699,7 +699,9 @@ def semantic_dedup(
         sims = mat @ mat.T
         # Strictly-lower-id pairs near/above threshold; the EXACT decision
         # is F.round in Spark (JVM BigDecimal), margin only pre-filters.
-        bi, ai = np.nonzero(np.tril(sims >= threshold - 1e-7, k=-1))
+        # Margin must exceed the ROUND(,4) half-step (5e-5): round-up can
+        # accept cos as low as threshold - 5e-5 (code-review r3).
+        bi, ai = np.nonzero(np.tril(sims >= threshold - 1e-4, k=-1))
         return pd.DataFrame(
             {"b_id": ids[bi], "a_id": ids[ai], "cos_raw": sims[bi, ai]}
         )

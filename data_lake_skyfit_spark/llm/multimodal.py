@@ -282,7 +282,7 @@ def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
         emit(table[w], width)
         table[wk] = next_code
         next_code += 1
-        if next_code == (1 << width) and width < 12:
+        if next_code == (1 << width) + 1 and width < 12:
             width += 1
         elif next_code == 4096:
             emit(clear, width)
@@ -297,9 +297,11 @@ def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
 
 
 def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
-    """Inverse of _lzw_encode — the full GIF LZW decode: variable code
-    width grows at next_code == 2^width − 1 (the decoder registers one
-    entry behind the encoder), KwKwK self-reference case, clear resets."""
+    """Inverse of _lzw_encode — the full GIF LZW decode, standard
+    convention (verified against real-world GIF87a/89a files): code
+    width grows when the table fills the current width (len == 2^width;
+    the decoder registers one entry behind the encoder, whose bump is
+    at next_code == 2^width + 1), KwKwK self-reference, clear resets."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     acc = n_bits = pos = 0
 
@@ -343,19 +345,28 @@ def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
         out += entry
         if prev is not None and len(table) < 4096:
             table.append(prev + entry[:1])
-        if len(table) == (1 << width) - 1 and width < 12:
+        if len(table) == (1 << width) and width < 12:
             width += 1
         prev = entry
     return bytes(out)
 
 
-def encode_gif(width: int, height: int, pixel) -> bytes:
-    """Encode a REAL GIF87a: 256-entry grayscale global color table,
-    image data LZW-compressed (_lzw_encode) into ≤255-byte sub-blocks.
-    `pixel(x, y)` returns the palette index (= gray level) at (x, y).
+def encode_gif(width: int, height: int, pixel, *, palette=None) -> bytes:
+    """Encode a REAL GIF87a: 256-entry global color table (grayscale
+    i→(i,i,i) by default, or a caller-supplied palette of (r,g,b)
+    triples, zero-padded to 256 — how _resize_gif preserves source
+    colors), image data LZW-compressed (_lzw_encode) into ≤255-byte
+    sub-blocks. `pixel(x, y)` returns the palette index at (x, y).
     Any standards-conforming GIF reader opens the output."""
     hdr = b"GIF87a" + struct.pack("<HH", width, height) + bytes([0xF7, 0, 0])
-    gct = bytes(v for i in range(256) for v in (i, i, i))
+    if palette is None:
+        gct = bytes(v for i in range(256) for v in (i, i, i))
+    else:
+        if len(palette) > 256:
+            raise ValueError("GIF palette larger than 256 entries")
+        gct = bytes(v for rgb in palette for v in rgb) + bytes(
+            3 * (256 - len(palette))
+        )
     desc = b"\x2C" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
     idx = bytes(pixel(x, y) & 0xFF for y in range(height) for x in range(width))
     lzw = _lzw_encode(idx)
@@ -385,10 +396,10 @@ def _gif_pixels(data: bytes) -> tuple[int, int, list[tuple[int, int, int]], byte
         pos += 3 * n
     while pos < len(data) and data[pos] == 0x21:  # GIF89a extensions
         pos += 2
-        while data[pos] != 0:
+        while pos < len(data) and data[pos] != 0:
             pos += 1 + data[pos]
         pos += 1
-    if pos >= len(data) or data[pos] != 0x2C:
+    if pos + 10 > len(data) or data[pos] != 0x2C:
         raise ValueError("GIF image descriptor not found")
     _l, _t, w, h = struct.unpack_from("<HHHH", data, pos + 1)
     ipacked = data[pos + 9]
@@ -398,8 +409,10 @@ def _gif_pixels(data: bytes) -> tuple[int, int, list[tuple[int, int, int]], byte
     min_code = data[pos]
     pos += 1
     stream = bytearray()
-    while data[pos] != 0:
+    while pos < len(data) and data[pos] != 0:
         ln = data[pos]
+        if pos + 1 + ln > len(data):
+            raise ValueError("GIF data sub-block truncated")
         stream += data[pos + 1 : pos + 1 + ln]
         pos += 1 + ln
     idx = _lzw_decode(bytes(stream), min_code)
@@ -826,12 +839,17 @@ def _resize_bmp(data: bytes, dw: int, dh: int) -> bytes:
 def _resize_gif(data: bytes, dw: int, dh: int) -> bytes:
     """REAL nearest-neighbor resample of a GIF payload: LZW-decode the
     index stream, sample src index (x·sw)//dw, (y·sh)//dh per dst pixel,
-    re-encode (LZW + sub-blocks) against the same grayscale palette —
-    palette indices pass through untouched, so the decode→resize→decode
-    round-trip is integer-exact."""
-    sw, sh, _palette, idx = _gif_pixels(data)
+    re-encode (LZW + sub-blocks) carrying the SOURCE palette across —
+    indices and colors pass through untouched, so the
+    decode→resize→decode round-trip is integer-exact for any input
+    palette (code-review r3: the grayscale default would have corrupted
+    colors of non-grayscale GIFs)."""
+    sw, sh, palette, idx = _gif_pixels(data)
     return encode_gif(
-        dw, dh, lambda x, y: idx[(y * sh // dh) * sw + (x * sw // dw)]
+        dw,
+        dh,
+        lambda x, y: idx[(y * sh // dh) * sw + (x * sw // dw)],
+        palette=palette,
     )
 
 

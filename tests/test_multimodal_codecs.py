@@ -388,3 +388,55 @@ def test_gif_resize_roundtrip_integer_exact(spark):
     for y in range(5):
         for x in range(6):
             assert idx[y * 6 + x] == src(x * sw // 6, y * sh // 5)
+
+
+def test_gif_lzw_standard_convention_golden():
+    """Pins the exact LZW bitstream convention (code-review r3): the
+    encoder bumps code width at next_code == 2^w + 1 and the decoder at
+    table length == 2^w — the GIF-standard pairing, verified against 32
+    real-world GIF87a/89a files (tk/idle icon sets) at fix time. A
+    self-consistent-but-off-by-one codec round-trips fine, so only a
+    byte-level golden catches a convention regression."""
+    import hashlib
+
+    from data_lake_skyfit_spark.llm.multimodal import _lzw_encode, encode_gif
+
+    payload = bytes((i * 37 + (i >> 3)) % 256 for i in range(4000))
+    assert hashlib.md5(_lzw_encode(payload)).hexdigest() == (
+        "66d255f2e0edf2c344288bfef6490271"
+    )
+    g = encode_gif(40, 30, lambda x, y: (x * 7 + y * 11) % 256)
+    assert hashlib.md5(g).hexdigest() == "ba1c26e8dfc2559c7704007ab3d92b1b"
+
+
+def test_gif_truncated_payload_rejected_cleanly():
+    """A GIF cut mid-sub-block must raise ValueError (-> fake-path
+    fallback in decode_images), never IndexError."""
+    import pytest
+
+    from data_lake_skyfit_spark.llm.multimodal import _gif_pixels, encode_gif
+
+    g = encode_gif(20, 20, lambda x, y: (x + y) % 256)
+    with pytest.raises(ValueError):
+        _gif_pixels(g[: len(g) - len(g) // 3])
+
+
+def test_gif_resize_preserves_color_palette():
+    """code-review r3: a non-grayscale GIF resized must keep its colors
+    — the source global color table is carried into the re-encode."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _decode_gif,
+        _gif_pixels,
+        _resize_gif,
+        encode_gif,
+    )
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    src = encode_gif(8, 6, lambda x, y: (x + y) % 4, palette=pal)
+    out = _resize_gif(src, 4, 3)
+    w, h, out_pal, idx = _gif_pixels(out)
+    assert (w, h) == (4, 3)
+    assert out_pal[:4] == pal
+    # pixel_sum uses resolved colors, not raw indices
+    _, _, _, s = _decode_gif(out)
+    assert s == sum(sum(pal[i]) for i in idx)
