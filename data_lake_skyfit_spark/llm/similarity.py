@@ -17,6 +17,7 @@ from .dedup import _as_double, dot_expr, norm_expr
 
 __all__ = [
     "brute_force_topk",
+    "knn_join",
     "lsh_topk",
     "ivf_topk",
     "IVFIndex",
@@ -28,9 +29,13 @@ __all__ = [
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    # Zero vectors get nrm 1 (cosine 0 to everything) — the same
+    # convention as the numpy kernels' norms[norms == 0] = 1, and it
+    # keeps ANSI mode from raising DIVIDE_BY_ZERO in the cosine.
+    nrm = norm_expr(F.col("e"))
     return df.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("e")
-    ).withColumn("nrm", norm_expr(F.col("e")))
+    ).withColumn("nrm", F.when(nrm == 0, F.lit(1.0)).otherwise(nrm))
 
 
 def brute_force_topk(
@@ -60,6 +65,122 @@ def brute_force_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos_raw", 4).alias("cosine"),
+        )
+    )
+
+
+def knn_join(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 8,
+) -> DataFrame:
+    """EXACT k-nearest-neighbor self-join: the top-k cosine neighbors of
+    EVERY corpus vector (not just a small query set — the workhorse
+    behind SemDeDup representative picking, kNN-LM datastores and
+    embedding-curation reports). Output (query_id, neighbor_id, rank,
+    cosine), schema-compatible with brute_force_topk.
+
+    Plan — never an n² row join:
+    1. candidate generation: vectors hash into `num_blocks` blocks; each
+       unordered block pair is one applyInPandas group whose BLAS Gram
+       matrix emits each member's LOCAL top-k ids (plus any candidate
+       within 1e-9 of the k-th score — BLAS pairwise summation can
+       differ from sequential fold by ulps, the slack keeps the true
+       top-k in the candidate set). Shuffle ∝ n·num_blocks vector rows;
+       candidates ∝ n·num_blocks·k ids.
+    2. exact rescoring: candidates re-join both endpoint vectors and the
+       cosine is computed with the JVM sequential fold (dot_expr), so
+       the final window ranking is bit-identical to a brute-force SQL
+       oracle — numpy only ever proposes, never decides.
+    Per-task memory is two blocks of vectors (pick num_blocks so they
+    fit an executor); at 100 TB layer an ANN tier (ivf/lsh) in front and
+    keep this as the exact verifier on the reduced candidate set.
+    """
+    import pandas as pd
+
+    v = (
+        _prep(df, id_col, vec_col)
+        .withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(num_blocks)))
+        .localCheckpoint(eager=False)  # feeds candidate gen + 2 rescoring joins
+    )
+    ex = (
+        v.select(
+            "id",
+            "e",
+            "blk",
+            F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1))).alias("other"),
+        )
+        .select(
+            "id",
+            "e",
+            "blk",
+            F.least("blk", "other").alias("lo"),
+            F.greatest("blk", "other").alias("hi"),
+        )
+        .dropDuplicates(["id", "lo", "hi"])
+    )
+
+    def block_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        lo, hi = key
+        ids = pdf["id"].to_numpy()
+        mat = np.array(pdf["e"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        in_lo = pdf["blk"].to_numpy() == lo
+        out_q, out_n = [], []
+
+        def emit(q_idx, n_idx, sims):
+            # sims: rows = queries, cols = neighbors
+            for r, qi in enumerate(q_idx):
+                row = sims[r]
+                if len(row) == 0:
+                    continue
+                kth = np.partition(row, -min(k, len(row)))[-min(k, len(row))]
+                keep = np.nonzero(row >= kth - 1e-9)[0]
+                out_q.extend([ids[qi]] * len(keep))
+                out_n.extend(ids[n_idx[keep]])
+
+        if lo == hi:
+            sims = mat @ mat.T
+            np.fill_diagonal(sims, -np.inf)
+            allidx = np.arange(len(ids))
+            emit(allidx, allidx, sims)
+        else:
+            a_idx, b_idx = np.where(in_lo)[0], np.where(~in_lo)[0]
+            sims = mat[a_idx] @ mat[b_idx].T
+            emit(a_idx, b_idx, sims)
+            emit(b_idx, a_idx, sims.T)
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cand = (
+        ex.groupBy("lo", "hi")
+        .applyInPandas(block_topk, "query_id long, neighbor_id long")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    q, c = v.select("id", "e", "nrm"), v.select("id", "e", "nrm")
+    cos = dot_expr(F.col("q.e"), F.col("c.e")) / (F.col("q.nrm") * F.col("c.nrm"))
+    scored = (
+        cand.join(q.alias("q"), cand["query_id"] == F.col("q.id"))
+        .join(c.alias("c"), cand["neighbor_id"] == F.col("c.id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

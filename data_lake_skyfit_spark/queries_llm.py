@@ -1935,3 +1935,33 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     media = multimodal.synthesize_gif_payloads(d, id_col="doc_id")
     return multimodal.decode_images(media)
+
+
+@register(
+    "ann_knn_join",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(a.e, b.e) AS cos_raw
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, ROUND(cos_raw, 4) AS cosine
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("llm-similarity", "scale-path"),
+    doc="EXACT k-NN self-join (llm.similarity.knn_join): top-3 cosine "
+    "neighbors of EVERY corpus vector via block-matmul candidate "
+    "generation (shuffle n·num_blocks rows, per-group BLAS local top-k "
+    "with a 1e-9 ulp slack) + JVM-sequential exact rescoring, so the "
+    "final ranking is bit-identical to the brute-force SQL oracle — "
+    "numpy proposes, the JVM decides. The all-vectors analog of "
+    "ann_topk_cosine (whose query side is 10 vectors).",
+)
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_join(e, k=3)

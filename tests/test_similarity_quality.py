@@ -141,3 +141,27 @@ def test_ivf_index_incremental_equals_oneshot(spark, tmp_path, vecs):
         for r in inc.probe(queries, k=5, n_probe=16).collect()
     }
     assert full == truth
+
+
+def test_knn_join_equals_bruteforce_all_vectors(spark):
+    """knn_join (block-matmul candidates + JVM rescoring) must equal
+    brute_force_topk with the whole corpus as the query set — exact
+    top-k for EVERY vector, ties and ranks included."""
+    import random
+
+    from data_lake_skyfit_spark.llm.similarity import brute_force_topk, knn_join
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ] + [(200, [0.0] * 16)]  # zero vector: norm guard
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in knn_join(df, k=4, num_blocks=4).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk(df, df, k=4).collect()
+    }
+    assert got == want
