@@ -403,9 +403,14 @@ def _gif_pixels(data: bytes) -> tuple[int, int, list[tuple[int, int, int]], byte
         raise ValueError("GIF image descriptor not found")
     _l, _t, w, h = struct.unpack_from("<HHHH", data, pos + 1)
     ipacked = data[pos + 9]
-    if ipacked & 0xC0:
-        raise ValueError("GIF local color table / interlace unsupported")
     pos += 10
+    if ipacked & 0x80:  # local color table overrides the global one
+        n = 2 << (ipacked & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("GIF local color table truncated")
+        palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    interlaced = bool(ipacked & 0x40)
     min_code = data[pos]
     pos += 1
     stream = bytearray()
@@ -418,7 +423,21 @@ def _gif_pixels(data: bytes) -> tuple[int, int, list[tuple[int, int, int]], byte
     idx = _lzw_decode(bytes(stream), min_code)
     if len(idx) < w * h:
         raise ValueError("GIF pixel data short")
-    return w, h, palette, idx[: w * h]
+    idx = idx[: w * h]
+    if interlaced:
+        # Stored row order is the four GIF interlace passes (rows
+        # 0,8,16…, then 4,12…, then 2,6,10…, then 1,3,5…) — undo it.
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        rows = [b""] * h
+        for stored, y in enumerate(order):
+            rows[y] = idx[stored * w : (stored + 1) * w]
+        idx = b"".join(rows)
+    return w, h, palette, idx
 
 
 def _decode_gif(data: bytes) -> tuple[int, int, int, int]:

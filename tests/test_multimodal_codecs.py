@@ -440,3 +440,49 @@ def test_gif_resize_preserves_color_palette():
     # pixel_sum uses resolved colors, not raw indices
     _, _, _, s = _decode_gif(out)
     assert s == sum(sum(pal[i]) for i in idx)
+
+
+def test_gif_interlaced_and_local_palette():
+    """Interlaced GIFs (rows stored in the four-pass order) and local
+    color tables must decode: pixels land on their true rows and the
+    local palette overrides the global one."""
+    import struct
+
+    from data_lake_skyfit_spark.llm.multimodal import _gif_pixels, _lzw_encode
+
+    w, h = 13, 19
+    px = lambda x, y: (x * 3 + y * 5) % 256  # noqa: E731
+
+    def encode_interlaced(local_pal=None):
+        hdr = b"GIF87a" + struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])
+        gct = bytes(v for i in range(256) for v in (i, i, i))
+        ipacked = 0x40 | (0x80 | 0x07 if local_pal else 0)
+        desc = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
+        lct = (
+            bytes(v for i in range(256) for v in ((i * 2) % 256, i, 255 - i))
+            if local_pal
+            else b""
+        )
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        idx = bytes(px(x, y) & 0xFF for y in order for x in range(w))
+        lzw = _lzw_encode(idx)
+        blocks = bytearray([8])
+        for i in range(0, len(lzw), 255):
+            c = lzw[i : i + 255]
+            blocks.append(len(c))
+            blocks += c
+        blocks.append(0)
+        return hdr + gct + desc + lct + bytes(blocks) + b"\x3B"
+
+    W, H, pal, idx = _gif_pixels(encode_interlaced())
+    assert (W, H) == (w, h)
+    assert all(idx[y * w + x] == px(x, y) for x in range(w) for y in range(h))
+
+    _, _, pal2, idx2 = _gif_pixels(encode_interlaced(local_pal=True))
+    assert pal2[10] == (20, 10, 245)  # local table won
+    assert idx2 == idx
