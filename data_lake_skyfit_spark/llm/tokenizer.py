@@ -1,0 +1,157 @@
+"""Byte-pair-encoding tokenizer: distributed training + Arrow-batched
+application — the real version of the battery's regex "BPE-ish" token
+count (SURVEY.md §7.5 text-analysis tier; no reference analog).
+
+Scale design:
+- `train_bpe` reduces the corpus to a (word, frequency) table with ONE
+  shuffle (groupBy word) — the classical BPE trick: merge statistics
+  over 100 TB of text equal merge statistics over its distinct-word
+  frequency table, which is bounded by vocabulary growth (~millions of
+  rows), not corpus size. The top-`max_words` table is collected (a
+  bounded driver structure, like IVF centroids) and the merge loop runs
+  in pure Python over aggregated pair counts — each iteration touches
+  only words containing the merged pair.
+- `apply_bpe` broadcasts the merge ranks and tokenizes via mapInPandas
+  (Arrow batches); per-word results are memoized per batch, so cost is
+  ∝ distinct words per batch, not tokens.
+- Determinism: ties in pair frequency break on the lexicographically
+  smallest pair, so the merge table is a pure function of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import tokens_expr
+
+__all__ = ["train_bpe", "apply_bpe", "bpe_encode_word"]
+
+
+def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
+    counts: dict[tuple[str, str], int] = {}
+    for word, freq in vocab.items():
+        for a, b in zip(word, word[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + freq
+    return counts
+
+
+def _merge_word(word: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out: list[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        if i + 1 < n and word[i] == pair[0] and word[i + 1] == pair[1]:
+            out.append(word[i] + word[i + 1])
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(
+    df: DataFrame,
+    *,
+    num_merges: int = 100,
+    text_col: str = "text",
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn `num_merges` BPE merge rules from the corpus.
+
+    The distributed part is one word-frequency aggregation; the merge
+    loop runs on the driver over the collected top-`max_words` table
+    (cap it so the driver structure stays bounded — rare tail words
+    barely influence merge statistics). Returns merges in rank order.
+    """
+    rows = (
+        df.select(F.explode(tokens_expr(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    vocab = {tuple(r["w"]): int(r["n"]) for r in rows if r["w"]}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        top = max(counts.values())
+        # Deterministic: highest count, ties -> lexicographically smallest
+        pair = min(p for p, c in counts.items() if c == top)
+        merges.append(pair)
+        rebuilt: dict[tuple[str, ...], int] = {}
+        for w, f in vocab.items():
+            m = _merge_word(w, pair)
+            rebuilt[m] = rebuilt.get(m, 0) + f
+        vocab = rebuilt
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merge rules to one word, GPT-2 style: repeatedly merge the
+    lowest-rank pair present until none applies."""
+    tokens = list(word)
+    while len(tokens) > 1:
+        pairs = {(a, b) for a, b in zip(tokens, tokens[1:])}
+        ranked = [(ranks[p], p) for p in pairs if p in ranks]
+        if not ranked:
+            break
+        _, pair = min(ranked)
+        tokens = list(_merge_word(tuple(tokens), pair))
+    return tokens
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize each document with the learned merges. Output:
+    (id, n_words, n_bpe_tokens, compression) — compression is
+    chars/tokens rounded to 4. Per-batch word memoization keeps the
+    Python cost ∝ distinct words, not total tokens."""
+    import pandas as pd
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_words", T.IntegerType()),
+            T.StructField("n_bpe_tokens", T.IntegerType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches):
+        memo: dict[str, int] = {}
+
+        def count(word: str) -> int:
+            if word not in memo:
+                memo[word] = len(bpe_encode_word(word, ranks))
+            return memo[word]
+
+        for pdf in batches:
+            words_per_doc = [str(t).split() for t in pdf[text_col].fillna("")]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": pd.array(
+                        [len(ws) for ws in words_per_doc], dtype="int32"
+                    ),
+                    "n_bpe_tokens": pd.array(
+                        [sum(count(w) for w in ws) for ws in words_per_doc],
+                        dtype="int32",
+                    ),
+                    "n_chars": pd.array(
+                        [sum(len(w) for w in ws) for ws in words_per_doc],
+                        dtype="int32",
+                    ),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)

@@ -422,3 +422,59 @@ def test_curate_corpus_no_eval_set_skips_decontamination(spark):
     rows = [(i, " ".join(f"w{i}_{j}" for j in range(20)) + " the a is it") for i in range(5)]
     out = curate_corpus(_docs(spark, rows)).collect()
     assert all(r["drop_reason"] == "kept" and r["kept"] == 1 for r in out)
+
+
+def test_train_bpe_learns_expected_merges(spark):
+    """Hand-checkable corpus: 'low' x5, 'lower' x2, 'newest' x6,
+    'widest' x3 (the classic BPE example). Highest-frequency adjacent
+    pair merges first; ties break lexicographically."""
+    from data_lake_skyfit_spark.llm.tokenizer import train_bpe
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    merges = train_bpe(df, num_merges=4)
+    # pair counts round 1: (e,s)=9, (s,t)=9, (l,o)=7, (o,w)=7, ...
+    # tie (e,s) vs (s,t) -> ('e','s'); then ('es','t')=9; then (l,o)=7
+    # vs (o,w)=7 -> ('l','o'); then ('lo','w')=7.
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+
+
+def test_apply_bpe_matches_python_mirror(spark):
+    """apply_bpe (Arrow kernel + memoization) must agree with a direct
+    per-word GPT-2-style merge loop on every document."""
+    import random
+
+    from data_lake_skyfit_spark.llm.tokenizer import (
+        apply_bpe,
+        bpe_encode_word,
+        train_bpe,
+    )
+
+    rng = random.Random(5)
+    alphabet = "abcd"
+    docs = [
+        (i, " ".join("".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+                      for _ in range(rng.randint(0, 12))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = train_bpe(df, num_merges=12)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {r["doc_id"]: r for r in apply_bpe(df, merges).collect()}
+    for i, text in docs:
+        words = text.split()
+        want = sum(len(bpe_encode_word(w, ranks)) for w in words)
+        assert (got[i]["n_words"], got[i]["n_bpe_tokens"]) == (len(words), want)
+        assert got[i]["n_chars"] == sum(len(w) for w in words)
+    # merges actually compress: some doc has fewer tokens than chars
+    assert any(r["n_bpe_tokens"] < r["n_chars"] for r in got.values())
+
+
+def test_bpe_encode_word_rank_order_not_greedy_length():
+    """GPT-2 semantics: the LOWEST-RANK pair present merges first, even
+    when a longer later merge exists."""
+    from data_lake_skyfit_spark.llm.tokenizer import bpe_encode_word
+
+    ranks = {("a", "b"): 0, ("c", "d"): 1, ("b", "c"): 2}
+    # 'abcd': rank0 (a,b) -> [ab, c, d]; rank1 (c,d) -> [ab, cd]
+    assert bpe_encode_word("abcd", ranks) == ["ab", "cd"]
