@@ -641,6 +641,7 @@ def semantic_dedup(
     n_shards: int = 16,
     threshold: float = 0.92,
     shard_col: str | None = None,
+    num_blocks: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
     the embedding space into clusters, compare pairs only WITHIN a cluster,
@@ -661,10 +662,12 @@ def semantic_dedup(
 
     Plan: one shuffle of (id, vector) on the shard key, then per-shard BLAS
     Gram matrix in applyInPandas (float64, ROUND(,4) decision boundary both
-    engines). Memory is bounded by the largest cluster — size n_shards so a
-    cluster fits an executor; at 100 TB the k-means path keeps clusters
-    ~n/n_lists and giant clusters can recurse through this same routine with
-    a secondary md5 shard.
+    engines). Memory is bounded by the largest cluster — and when a k-means
+    cluster outgrows an executor, `num_blocks > 1` decomposes EVERY cluster's
+    Gram matrix into unordered block pairs (each vector ships once per
+    partner block WITHIN its cluster, the embedding_cosine_pairs scheme), so
+    per-task memory drops to two blocks while within-cluster pair coverage
+    stays exact — result identical to num_blocks=1 (pinned in test_curation).
 
     Returns (id, shard, is_dup [0/1 int], dup_of [nullable long]): dup_of is
     the MIN qualifying lower id, null for survivors. Reference analog: none
@@ -687,28 +690,100 @@ def semantic_dedup(
 
     v = v.localCheckpoint(eager=False)  # feeds the Gram pass AND the restore join
 
-    def shard_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def emit_pairs(ids, mat, mask=None):
+        """Lower-id (b > a) near-threshold pairs of one Gram product.
+        The EXACT decision is F.round in Spark (JVM BigDecimal); the
+        margin only pre-filters and must exceed the ROUND(,4) half-step
+        5e-5 — round-up accepts cos down to threshold - 5e-5
+        (code-review r3)."""
+        import numpy as np
+        import pandas as pd
+
+        sims = mat @ mat.T if mask is None else mat
+        if mask is None:
+            bi, ai = np.nonzero(np.tril(sims >= threshold - 1e-4, k=-1))
+            return pd.DataFrame(
+                {"b_id": ids[0][bi], "a_id": ids[0][ai], "cos_raw": sims[bi, ai]}
+            )
+        ri, ci = np.nonzero(sims >= threshold - 1e-4)
+        a = ids[0][ri]
+        b = ids[1][ci]
+        keep = a != b
+        a, b, vals = a[keep], b[keep], sims[ri, ci][keep]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pd.DataFrame({"b_id": hi, "a_id": lo, "cos_raw": vals})
+
+    def normalized(pdf: pd.DataFrame, sel=None):
         import numpy as np
 
-        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
-        ids = pdf["id"].to_numpy()[order]
-        mat = np.array(pdf["e"].tolist(), dtype=np.float64)[order]
+        rows = pdf["e"] if sel is None else pdf["e"][sel]
+        mat = np.array(rows.tolist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
-        mat = mat / norms[:, None]
-        sims = mat @ mat.T
-        # Strictly-lower-id pairs near/above threshold; the EXACT decision
-        # is F.round in Spark (JVM BigDecimal), margin only pre-filters.
-        # Margin must exceed the ROUND(,4) half-step (5e-5): round-up can
-        # accept cos as low as threshold - 5e-5 (code-review r3).
-        bi, ai = np.nonzero(np.tril(sims >= threshold - 1e-4, k=-1))
-        return pd.DataFrame(
-            {"b_id": ids[bi], "a_id": ids[ai], "cos_raw": sims[bi, ai]}
+        return mat / norms[:, None]
+
+    if num_blocks <= 1:
+
+        def shard_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+            pdf = pdf.iloc[order]
+            ids = pdf["id"].to_numpy()
+            return emit_pairs((ids,), normalized(pdf))
+
+        pairs = v.groupBy("shard").applyInPandas(
+            shard_pairs, "b_id long, a_id long, cos_raw double"
+        )
+    else:
+        # Giant-cluster mode: within every shard, decompose the Gram
+        # matrix into unordered block pairs (each vector ships once per
+        # partner block inside its own shard) — per-task memory is two
+        # blocks, within-cluster coverage stays exact.
+        ex = (
+            v.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(num_blocks)))
+            .select(
+                "id",
+                "e",
+                "shard",
+                "blk",
+                F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1))).alias("o"),
+            )
+            .select(
+                "id",
+                "e",
+                "shard",
+                "blk",
+                F.least("blk", "o").alias("lo"),
+                F.greatest("blk", "o").alias("hi"),
+            )
+            .dropDuplicates(["id", "lo", "hi"])
         )
 
-    pairs = v.groupBy("shard").applyInPandas(
-        shard_pairs, "b_id long, a_id long, cos_raw double"
-    )
+        def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+            import pandas as pd
+
+            _shard, lo, hi = key
+            if lo == hi:
+                order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+                pdf = pdf.iloc[order]
+                ids = pdf["id"].to_numpy()
+                return emit_pairs((ids,), normalized(pdf))
+            in_lo = (pdf["blk"] == lo).to_numpy()
+            a_ids = pdf["id"].to_numpy()[in_lo]
+            b_ids = pdf["id"].to_numpy()[~in_lo]
+            if len(a_ids) == 0 or len(b_ids) == 0:
+                return pd.DataFrame({"b_id": [], "a_id": [], "cos_raw": []}).astype(
+                    {"b_id": "int64", "a_id": "int64", "cos_raw": "float64"}
+                )
+            sims = normalized(pdf, in_lo) @ normalized(pdf, ~in_lo).T
+            return emit_pairs((a_ids, b_ids), sims, mask=True)
+
+        pairs = ex.groupBy("shard", "lo", "hi").applyInPandas(
+            block_pairs, "b_id long, a_id long, cos_raw double"
+        )
     dups = (
         pairs.filter(F.round("cos_raw", 4) >= threshold)
         .groupBy("b_id")

@@ -478,3 +478,30 @@ def test_bpe_encode_word_rank_order_not_greedy_length():
     ranks = {("a", "b"): 0, ("c", "d"): 1, ("b", "c"): 2}
     # 'abcd': rank0 (a,b) -> [ab, c, d]; rank1 (c,d) -> [ab, cd]
     assert bpe_encode_word("abcd", ranks) == ["ab", "cd"]
+
+
+def test_semantic_dedup_blocked_equals_monolithic(spark):
+    """Giant-cluster mode (num_blocks>1: per-shard Gram decomposed into
+    block pairs) must produce EXACTLY the monolithic result — same
+    dup_of, same survivors — on a corpus with many near-dup pairs."""
+    import random
+
+    from data_lake_skyfit_spark.llm.dedup import semantic_dedup
+
+    rng = random.Random(13)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(6)]
+    rows = []
+    for i in range(90):
+        b = base[i % 6]
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in b]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mono = {
+        r["id"]: (r["shard"], r["is_dup"], r["dup_of"])
+        for r in semantic_dedup(df, n_shards=4, threshold=0.9).collect()
+    }
+    blocked = {
+        r["id"]: (r["shard"], r["is_dup"], r["dup_of"])
+        for r in semantic_dedup(df, n_shards=4, threshold=0.9, num_blocks=3).collect()
+    }
+    assert mono == blocked
+    assert sum(1 for v in mono.values() if v[1]) > 10  # real dup mass
