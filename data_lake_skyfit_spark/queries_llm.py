@@ -1964,4 +1964,4 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.knn_join(e, k=3)
+    return similarity.knn_join(e, k=3, num_blocks=4)
