@@ -505,3 +505,58 @@ def test_semantic_dedup_blocked_equals_monolithic(spark):
     }
     assert mono == blocked
     assert sum(1 for v in mono.values() if v[1]) > 10  # real dup mass
+
+
+def test_semantic_dedup_with_kmeans_clusters(spark):
+    """The production SemDeDup path: cluster ids from the IVF k-means
+    quantizer feed shard_col. Near-identical vectors land in the same
+    centroid list, so they dedup; the result must agree with a direct
+    per-cluster check."""
+    import random
+
+    from data_lake_skyfit_spark.llm import similarity as S
+    from data_lake_skyfit_spark.llm.dedup import semantic_dedup
+    from pyspark.sql import functions as F
+
+    rng = random.Random(21)
+    centers = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+    rows = [
+        (i, [x + rng.uniform(-0.01, 0.01) for x in centers[i % 4]])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c = S._prep(df, "vec_id", "embedding").localCheckpoint(eager=False)
+    cids, cmat = S._train_centroids(c, 4, 1)
+    assigned = S._assign_to_centroids(c, 1, cids, cmat).select(
+        F.col("id").alias("vec_id"), F.col("cid").alias("cluster")
+    )
+    clustered = df.join(assigned, "vec_id")
+    out = semantic_dedup(
+        clustered, threshold=0.999, shard_col="cluster"
+    ).collect()
+    assert len(out) == 60
+    # Mirror: within each k-means list, a vector is a dup iff a lower-id
+    # list-mate has round(cos,4) >= threshold; dup_of is the min such id.
+    import numpy as np
+
+    vecs = {i: np.array(v) for i, v in rows}
+    shard_of = {r["id"]: r["shard"] for r in out}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for r in out:
+        mates = [
+            j
+            for j in vecs
+            if j < r["id"]
+            and shard_of[j] == r["shard"]
+            and round(cos(vecs[j], vecs[r["id"]]), 4) >= 0.999
+        ]
+        if mates:
+            assert (r["is_dup"], r["dup_of"]) == (1, min(mates))
+        else:
+            assert (r["is_dup"], r["dup_of"]) == (0, None)
+    # the clustering actually dedups: most of the 60 near-identical
+    # family members collapse
+    assert sum(r["is_dup"] for r in out) >= 40
