@@ -62,7 +62,12 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str
 # rollup+cube share grouping_sets_revenue, pivot rides
 # channel_bucketing, funnel is graded directly, and
 # customer_order_distribution absorbed top_customers_by_revenue's
-# A4/O4 shapes) that drive.py and bench.py still exercise.
+# A4/O4 shapes) that drive.py and bench.py still exercise. Round-3
+# upgrades within the same families: ann_knn_join (every vector's exact
+# top-k via block matmul + JVM rescore) replaced ann_topk_cosine
+# (10-query broadcast variant, now past-cutoff), and
+# multimodal_decode_gif (compressed LZW codec round-trip) replaced
+# multimodal_decode_images (uncompressed BMP, now past-cutoff).
 _PRIORITY = [
     # relational core — one per family
     "pricing_summary",
@@ -102,7 +107,7 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_cluster_resolution",
     # similarity / storage
-    "ann_topk_cosine",
+    "ann_knn_join",
     "ann_ivf_topk",
     "ann_sharded_probe_topk",
     "embedding_quantize_int8",
@@ -120,7 +125,7 @@ _PRIORITY = [
     "dataset_split_assignment",
     "sequence_packing",
     # multimodal plumbing
-    "multimodal_decode_images",
+    "multimodal_decode_gif",
     "multimodal_decode_audio",
     "multimodal_resize_decode",
     "multimodal_frame_sample",
