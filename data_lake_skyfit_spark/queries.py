@@ -67,7 +67,11 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str
 # top-k via block matmul + JVM rescore) replaced ann_topk_cosine
 # (10-query broadcast variant, now past-cutoff), and
 # multimodal_decode_gif (compressed LZW codec round-trip) replaced
-# multimodal_decode_images (uncompressed BMP, now past-cutoff).
+# multimodal_decode_images (uncompressed BMP, now past-cutoff), and
+# window_analytics (lag/lead, rowsBetween frames, ntile, percent_rank)
+# replaced latest_event_per_user — whose W1 rn=1 pattern stays graded
+# through both medallion entries, while the frame/analytic family
+# (absent from the reference, noted in SURVEY §2.6) gains a graded row.
 _PRIORITY = [
     # relational core — one per family
     "pricing_summary",
@@ -81,7 +85,7 @@ _PRIORITY = [
     "approx_sketch_stats",
     "customer_order_distribution",
     "min_cost_supplier",
-    "latest_event_per_user",
+    "window_analytics",
     "grouping_sets_revenue",
     "json_props_extraction",
     "scalar_function_suite",
@@ -870,6 +874,49 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select("event_type", "event_id", "user_id", "value", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "window_analytics",
+    """
+    SELECT event_id, user_id,
+           CAST(date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS secs_since_prev,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           CAST(SUM(CAST(value AS DECIMAL(15,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+           CAST(SUM(CAST(value AS DECIMAL(15,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
+           CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile,
+           PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pct_rank
+    FROM events
+    """,
+    tags=("W1", "W-frames", "2.10-datetime"),
+    doc="Analytic window surface beyond the reference's row_number-only "
+    "usage (SURVEY notes 'no frames, no lag/lead'): per-user event-time "
+    "lag deltas, lead lookahead, 3-row moving DECIMAL sum/avg "
+    "(rowsBetween frame; exact-decimal sum DOUBLE-cast, avg = sum/count "
+    "per the representation policy), NTILE quartiles and PERCENT_RANK — "
+    "all over one (user_id, ts, event_id) exchange+sort, deterministic "
+    "via the unique event_id tie-break.",
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-2, 0)
+    dec = F.col("value").cast("decimal(15,2)")
+    msum = F.sum(dec).over(frame).cast("double")
+    return e.select(
+        "event_id",
+        "user_id",
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+        ).alias("secs_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+        msum.alias("moving_sum3"),
+        (msum / F.count(F.lit(1)).over(frame)).alias("moving_avg3"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
     )
 
 

@@ -85,7 +85,7 @@ def _land(df: DataFrame, root: str, *, entity: str, date: str, run: str) -> None
              CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), event_type)), 1, 15) AS entry_key
     FROM events
     """,
-    tags=("S1", "S2", "K1", "S8", "W1", "P7", "P11", "2.10-hash", "K4"),
+    tags=("S1", "S2", "K1", "S8", "W1", "W2", "P7", "P11", "2.10-hash", "K4"),
     doc="The reference's bronze→STG loop end-to-end on a deterministic "
     "fixture: land TWO gzipped-JSONL ingestion runs (run 2 re-sends "
     "even-keyed events with updated values) plus null-key dirty rows, "
