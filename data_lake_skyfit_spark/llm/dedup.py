@@ -519,6 +519,31 @@ def _as_double(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def block_pair_explode(df: DataFrame, num_blocks: int, *, carry: tuple[str, ...] = ()) -> DataFrame:
+    """The shared blocking scheme of every distributed Gram-matrix
+    operator here (embedding_cosine_pairs, semantic_dedup giant-cluster
+    mode, similarity.knn_join): assign blk = pmod(xxhash64(id),
+    num_blocks) and emit each row once per unordered partner-block pair
+    (lo, hi), so one applyInPandas group holds exactly two blocks.
+    Expects columns (id, e [, carry…]); adds (blk, lo, hi)."""
+    cols = ["id", "e", *carry]
+    return (
+        df.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(num_blocks)))
+        .select(
+            *cols,
+            "blk",
+            F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1))).alias("__o"),
+        )
+        .select(
+            *cols,
+            "blk",
+            F.least("blk", F.col("__o")).alias("lo"),
+            F.greatest("blk", F.col("__o")).alias("hi"),
+        )
+        .dropDuplicates(["id", "lo", "hi"])
+    )
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Sequential-fold dot product over double arrays (JVM-side)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -552,21 +577,10 @@ def embedding_cosine_pairs(
 
     v = df.select(
         F.col(id_col).cast("long").alias("id"), _as_double(vec_col).alias("e")
-    ).withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(num_blocks)))
+    )
     # Each vector joins every partner block exactly once: group key is
     # the unordered pair (lo, hi) of (own block, partner block).
-    ex = v.select(
-        "id",
-        "e",
-        "blk",
-        F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1))).alias("other"),
-    ).select(
-        "id",
-        "e",
-        "blk",
-        F.least("blk", "other").alias("lo"),
-        F.greatest("blk", "other").alias("hi"),
-    ).dropDuplicates(["id", "lo", "hi"])
+    ex = block_pair_explode(v, num_blocks)
 
     def block_pairs(key, pdf: pd.DataFrame):
         import numpy as np
@@ -741,25 +755,7 @@ def semantic_dedup(
         # matrix into unordered block pairs (each vector ships once per
         # partner block inside its own shard) — per-task memory is two
         # blocks, within-cluster coverage stays exact.
-        ex = (
-            v.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(num_blocks)))
-            .select(
-                "id",
-                "e",
-                "shard",
-                "blk",
-                F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1))).alias("o"),
-            )
-            .select(
-                "id",
-                "e",
-                "shard",
-                "blk",
-                F.least("blk", "o").alias("lo"),
-                F.greatest("blk", "o").alias("hi"),
-            )
-            .dropDuplicates(["id", "lo", "hi"])
-        )
+        ex = block_pair_explode(v, num_blocks, carry=("shard",))
 
         def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np

@@ -382,8 +382,10 @@ def encode_gif(width: int, height: int, pixel, *, palette=None) -> bytes:
 def _gif_pixels(data: bytes) -> tuple[int, int, list[tuple[int, int, int]], bytes]:
     """Parse a GIF87a/89a payload: (width, height, palette, indices).
     Walks the screen descriptor, global color table, optional GIF89a
-    extension blocks, and the first image descriptor; concatenates the
-    data sub-blocks and LZW-decodes them. Uninterlaced, no local table."""
+    extension blocks, and the first image descriptor (honoring a local
+    color table when present); concatenates the data sub-blocks,
+    LZW-decodes them, and undoes the four-pass interlace row order for
+    interlaced images."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh = struct.unpack_from("<HH", data, 6)

@@ -30,8 +30,9 @@ __all__ = [
 
 def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     # Zero vectors get nrm 1 (cosine 0 to everything) — the same
-    # convention as the numpy kernels' norms[norms == 0] = 1, and it
-    # keeps ANSI mode from raising DIVIDE_BY_ZERO in the cosine.
+    # convention as the numpy kernels' norms[norms == 0] = 1. Without
+    # it 0/0 yields NaN cosines, and NaN sorts ABOVE every real value
+    # in a desc ordering, corrupting top-k ranks.
     nrm = norm_expr(F.col("e"))
     return df.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("e")
@@ -109,27 +110,12 @@ def knn_join(
     """
     import pandas as pd
 
-    v = (
-        _prep(df, id_col, vec_col)
-        .withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(num_blocks)))
-        .localCheckpoint(eager=False)  # feeds candidate gen + 2 rescoring joins
-    )
-    ex = (
-        v.select(
-            "id",
-            "e",
-            "blk",
-            F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1))).alias("other"),
-        )
-        .select(
-            "id",
-            "e",
-            "blk",
-            F.least("blk", "other").alias("lo"),
-            F.greatest("blk", "other").alias("hi"),
-        )
-        .dropDuplicates(["id", "lo", "hi"])
-    )
+    from .dedup import block_pair_explode
+
+    v = _prep(df, id_col, vec_col).localCheckpoint(
+        eager=False
+    )  # feeds candidate gen + 2 rescoring joins
+    ex = block_pair_explode(v, num_blocks)
 
     def block_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -166,9 +152,15 @@ def knn_join(
             emit(b_idx, a_idx, sims.T)
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
 
+    # The self-pair guard is load-bearing, not belt-and-braces: in a
+    # block with <= k members the local k-th score is the -inf diagonal,
+    # so the slack keep-filter admits EVERYTHING including (id, id) —
+    # rescored at cos 1.0 rank 1, evicting a true neighbor
+    # (code-review r3; regression-pinned on a tiny corpus).
     cand = (
         ex.groupBy("lo", "hi")
         .applyInPandas(block_topk, "query_id long, neighbor_id long")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     q, c = v.select("id", "e", "nrm"), v.select("id", "e", "nrm")

@@ -9,8 +9,9 @@ Scale design:
   frequency table, which is bounded by vocabulary growth (~millions of
   rows), not corpus size. The top-`max_words` table is collected (a
   bounded driver structure, like IVF centroids) and the merge loop runs
-  in pure Python over aggregated pair counts — each iteration touches
-  only words containing the merged pair.
+  in pure Python over aggregated pair counts — each iteration rescans
+  the bounded vocab table (O(num_merges · max_words · word_len), seconds
+  at the default caps) and rewrites only words containing the pair.
 - `apply_bpe` broadcasts the merge ranks and tokenizes via mapInPandas
   (Arrow batches); per-word results are memoized per batch, so cost is
   ∝ distinct words per batch, not tokens.
@@ -84,7 +85,8 @@ def train_bpe(
         merges.append(pair)
         rebuilt: dict[tuple[str, ...], int] = {}
         for w, f in vocab.items():
-            m = _merge_word(w, pair)
+            # only words containing the pair are rewritten
+            m = _merge_word(w, pair) if pair in zip(w, w[1:]) else w
             rebuilt[m] = rebuilt.get(m, 0) + f
         vocab = rebuilt
     return merges
@@ -112,9 +114,8 @@ def apply_bpe(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Tokenize each document with the learned merges. Output:
-    (id, n_words, n_bpe_tokens, compression) — compression is
-    chars/tokens rounded to 4. Per-batch word memoization keeps the
-    Python cost ∝ distinct words, not total tokens."""
+    (id, n_words, n_bpe_tokens, n_chars). Per-batch word memoization
+    keeps the Python cost ∝ distinct words, not total tokens."""
     import pandas as pd
 
     ranks = {p: i for i, p in enumerate(merges)}

@@ -165,3 +165,26 @@ def test_knn_join_equals_bruteforce_all_vectors(spark):
         for r in brute_force_topk(df, df, k=4).collect()
     }
     assert got == want
+
+
+def test_knn_join_no_self_pairs_in_tiny_blocks(spark):
+    """code-review r3 regression: with <= k members per hash block the
+    local k-th score is the -inf diagonal, so the slack filter admits
+    the self-pair; rescoring would then put (id, id) at rank 1 with
+    cosine 1.0. 10 vectors, k=5, num_blocks=8 forces tiny blocks."""
+    import random
+
+    from data_lake_skyfit_spark.llm.similarity import brute_force_topk, knn_join
+
+    rng = random.Random(9)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    got = knn_join(df, k=5, num_blocks=8).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in got)
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk(df, df, k=5).collect()
+    }
+    assert {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"]) for r in got} == want
