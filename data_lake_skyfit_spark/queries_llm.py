@@ -1965,3 +1965,55 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return similarity.knn_join(e, k=3, num_blocks=4)
+
+
+@register(
+    "multimodal_image_features",
+    """
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 14 AS w, 4 + doc_id % 12 AS h
+      FROM documents WHERE doc_id < 250
+    ), s AS (
+      SELECT p.doc_id, p.w, p.h,
+             SUM((3*p.doc_id + 5*x.i + 7*y.i) % 256) AS vsum,
+             SUM(((3*p.doc_id + 5*x.i + 7*y.i) % 256) * ((3*p.doc_id + 5*x.i + 7*y.i) % 256)) AS vsq,
+             SUM(CASE WHEN (3*p.doc_id + 5*x.i + 7*y.i) % 256 > 127 THEN 1 ELSE 0 END) AS nhigh,
+             MIN((3*p.doc_id + 5*x.i + 7*y.i) % 256) AS vmin,
+             MAX((3*p.doc_id + 5*x.i + 7*y.i) % 256) AS vmax
+      FROM p,
+           LATERAL (SELECT UNNEST(range(0, p.w)) AS i) x,
+           LATERAL (SELECT UNNEST(range(0, p.h)) AS i) y
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(w AS DOUBLE) AS f_width, CAST(h AS DOUBLE) AS f_height,
+           CAST(3 AS DOUBLE) AS f_channels,
+           CAST(vsum AS DOUBLE) / (w*h) AS f_mean,
+           SQRT(CAST(vsq AS DOUBLE) / (w*h)) AS f_rms,
+           CAST(nhigh AS DOUBLE) / (w*h) AS f_frac_high,
+           CAST(vmin AS DOUBLE) AS f_min, CAST(vmax AS DOUBLE) AS f_max
+    FROM s
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL image feature extraction (llm.multimodal.extract_embeddings "
+    "real path): GIF payloads are LZW-decoded and palette-resolved, then "
+    "8 classical content features are computed from the ACTUAL channel "
+    "bytes — dims, byte mean, rms, frac>127, min, max. Exact integer "
+    "accumulation + one IEEE divide (and sqrt, correctly rounded both "
+    "engines), so the oracle recomputes every feature arithmetically "
+    "from the closed-form pixel function. For a grayscale palette the "
+    "per-channel stats equal the per-index stats (each index appears "
+    "3x), which the oracle exploits: mean = 3*sum_v/(3*w*h) = sum_v/(w*h).",
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    media = multimodal.synthesize_gif_payloads(d, id_col="doc_id")
+    feats = multimodal.extract_embeddings(media, dims=8)
+    names = [
+        "f_width", "f_height", "f_channels", "f_mean",
+        "f_rms", "f_frac_high", "f_min", "f_max",
+    ]
+    return feats.select(
+        "doc_id",
+        *[F.element_at("features", i + 1).alias(n) for i, n in enumerate(names)],
+    )

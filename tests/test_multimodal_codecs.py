@@ -486,3 +486,38 @@ def test_gif_interlaced_and_local_palette():
     _, _, pal2, idx2 = _gif_pixels(encode_interlaced(local_pal=True))
     assert pal2[10] == (20, 10, 245)  # local table won
     assert idx2 == idx
+
+
+def test_extract_embeddings_real_features_from_decoded_bytes(spark):
+    """Decodable payloads get REAL content-derived features (computed
+    from the decoded channel bytes), not md5 bytes: pinned against a
+    hand computation for a BMP, and the md5 fake path still serves
+    undecodable payloads."""
+    import hashlib
+    import math
+
+    from data_lake_skyfit_spark.llm import multimodal
+
+    d = spark.createDataFrame([(3,)], ["doc_id"])
+    media = multimodal.synthesize_bmp_payloads(d)
+    feats = multimodal.extract_embeddings(media).collect()[0]["features"]
+    w, h = 4 + 3 % 13, 4 + 3 % 11
+    vals = [
+        (3 + 3 * x + 7 * y + c) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    ]
+    n = len(vals)
+    assert feats[0:3] == [float(w), float(h), 3.0]
+    assert feats[3] == sum(vals) / n
+    assert feats[4] == math.sqrt(sum(v * v for v in vals) / n)
+    assert feats[5] == sum(1 for v in vals if v > 127) / n
+    assert feats[6] == float(min(vals)) and feats[7] == float(max(vals))
+
+    txt = spark.createDataFrame([(9, "just some text payload")], ["doc_id", "text"])
+    fb = multimodal.extract_embeddings(
+        multimodal.attach_binary_payload(txt, "text")
+    ).collect()[0]["features"]
+    want = [x / 255.0 for x in hashlib.md5(b"just some text payload").digest()[:8]]
+    assert fb == want
