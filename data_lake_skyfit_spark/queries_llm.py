@@ -2017,3 +2017,49 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[F.element_at("features", i + 1).alias(n) for i, n in enumerate(names)],
     )
+
+
+@register(
+    "grouped_exact_percentiles",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN rn = (n+1)//2 THEN value END) AS DOUBLE) AS p50,
+           CAST(MAX(CASE WHEN rn = (9*n+9)//10 THEN value END) AS DOUBLE) AS p90,
+           CAST(MAX(CASE WHEN rn = (99*n+99)//100 THEN value END) AS DOUBLE) AS p99
+    FROM r GROUP BY event_type
+    """,
+    tags=("A2", "W1", "2.10-math"),
+    doc="EXACT per-group discrete percentiles (percentile_disc "
+    "semantics): rank ceil(q*n) picked with INTEGER arithmetic — "
+    "(q_num*n + q_num) // q_den — because float q*n lands just below "
+    "whole numbers when q*n is integral and floor/ceil then selects the "
+    "wrong rank (CLAUDE float-boundary rule). One exchange+sort per "
+    "group; complements the scalar exact percentiles of "
+    "approx_sketch_stats and the pytest-bounded sketch tier.",
+)
+def grouped_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    pick = lambda num, den: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(f"div({num}*n + {num}, {den})"), F.col("value"))
+    ).cast("double")
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        pick(1, 2).alias("p50"),
+        pick(9, 10).alias("p90"),
+        pick(99, 100).alias("p99"),
+    )
