@@ -2039,7 +2039,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantics): rank ceil(q*n) picked with INTEGER arithmetic — "
     "(q_num*n + q_num) // q_den — because float q*n lands just below "
     "whole numbers when q*n is integral and floor/ceil then selects the "
-    "wrong rank (CLAUDE float-boundary rule). One exchange+sort per "
+    "wrong rank (IEEE float-boundary trap). One exchange+sort per "
     "group; complements the scalar exact percentiles of "
     "approx_sketch_stats and the pytest-bounded sketch tier.",
 )
