@@ -799,13 +799,16 @@ def _image_channel_bytes(data: bytes) -> tuple[int, int, int, bytes] | None:
 def extract_embeddings(df: DataFrame, *, id_col: str = "doc_id", dims: int = 8) -> DataFrame:
     """payload → fixed-width float feature vector.
 
-    REAL path (decodable images — BMP/PNG/GIF): 8 classical
+    REAL paths: decodable images (BMP/PNG/GIF) get 8 classical
     content-derived features over the ACTUAL decoded channel bytes —
     [width, height, channels, byte_mean, byte_rms, frac_bytes>127,
-    byte_min, byte_max] — exact integer accumulation, then one IEEE
-    divide (+ sqrt for rms), so every value is reproducible
-    arithmetically from the pixel function (graded battery
-    multimodal_image_features). A LEARNED encoder (CLIP-style) would
+    byte_min, byte_max] — and PCM WAV payloads get the audio analog
+    over the ACTUAL decoded samples — [sample_rate, n_samples,
+    duration_ms, mean, rms, zero_crossing_rate, min, max]. Exact
+    integer accumulation, then one IEEE divide (+ sqrt for rms), so
+    every value is reproducible arithmetically from the payload's
+    closed form (graded batteries multimodal_image_features /
+    multimodal_audio_features). A LEARNED encoder (CLIP-style) would
     need torch and stays out of scope; undecodable payloads keep the
     md5 fake path (or raise without SKYFIT_FAKE_DECODE).
     Double-typed features: float32 would re-round and break exact
@@ -819,6 +822,33 @@ def extract_embeddings(df: DataFrame, *, id_col: str = "doc_id", dims: int = 8) 
 
     def features_of(b) -> list[float]:
         data = bytes(b)
+        if dims == 8 and _looks_like_wav(data):
+            try:
+                import numpy as np
+
+                with wave.open(io.BytesIO(data), "rb") as wv:
+                    sr = wv.getframerate()
+                    nf = wv.getnframes()
+                    nch = wv.getnchannels()
+                    if wv.getsampwidth() == 2:
+                        raw = wv.readframes(nf)
+                        s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                        if len(s):
+                            ssum, ssq = int(s.sum()), int((s * s).sum())
+                            # strict sign changes between adjacent samples
+                            zc = int((s[:-1] * s[1:] < 0).sum())
+                            return [
+                                float(sr),
+                                float(len(s)),
+                                float(nf * 1000 // sr),
+                                ssum / len(s),
+                                math.sqrt(ssq / len(s)),
+                                (zc / (len(s) - 1)) if len(s) > 1 else 0.0,
+                                float(s.min()),
+                                float(s.max()),
+                            ]
+            except (ValueError, struct.error, wave.Error, EOFError):
+                pass  # RIFF-prefixed non-WAV bytes: fall through
         decoded = _image_channel_bytes(data)
         if decoded is not None and dims == 8:
             w, h, ch, raw = decoded

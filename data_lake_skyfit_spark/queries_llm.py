@@ -2063,3 +2063,57 @@ def grouped_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(9, 10).alias("p90"),
         pick(99, 100).alias("p99"),
     )
+
+
+@register(
+    "multimodal_audio_features",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS sr,
+             64 + doc_id % 97 AS n
+      FROM documents WHERE doc_id < 250
+    ), s AS (
+      SELECT p.doc_id, p.sr, p.n,
+             SUM(t.v) AS vsum, SUM(t.v * t.v) AS vsq,
+             MIN(t.v) AS vmin, MAX(t.v) AS vmax,
+             SUM(CASE WHEN t.i < p.n - 1 AND t.v * t.vnext < 0 THEN 1 ELSE 0 END) AS zc
+      FROM p, LATERAL (
+        SELECT i.i AS i,
+               ((p.doc_id*7919 + i.i*104729) % 65536) - 32768 AS v,
+               ((p.doc_id*7919 + (i.i+1)*104729) % 65536) - 32768 AS vnext
+        FROM (SELECT UNNEST(range(0, p.n)) AS i) i
+      ) t
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(sr AS DOUBLE) AS f_rate, CAST(n AS DOUBLE) AS f_nsamples,
+           CAST((n*1000)//sr AS DOUBLE) AS f_duration_ms,
+           CAST(vsum AS DOUBLE) / n AS f_mean,
+           SQRT(CAST(vsq AS DOUBLE) / n) AS f_rms,
+           CAST(zc AS DOUBLE) / (n-1) AS f_zcr,
+           CAST(vmin AS DOUBLE) AS f_min, CAST(vmax AS DOUBLE) AS f_max
+    FROM s
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL audio feature extraction (llm.multimodal.extract_embeddings "
+    "WAV path): payloads are real RIFF/WAVE containers whose PCM samples "
+    "are struct-unpacked, then 8 classical features computed from the "
+    "ACTUAL samples — rate/count/duration, mean, rms, strict "
+    "zero-crossing rate (s_i*s_{i+1} < 0), min, max. Exact integer "
+    "accumulation + one IEEE divide (and sqrt), so the oracle recomputes "
+    "every feature arithmetically from the closed-form sample function.",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    media = multimodal.synthesize_wav_payloads(d, id_col="doc_id")
+    feats = multimodal.extract_embeddings(media, dims=8)
+    names = [
+        "f_rate", "f_nsamples", "f_duration_ms", "f_mean",
+        "f_rms", "f_zcr", "f_min", "f_max",
+    ]
+    return feats.select(
+        "doc_id",
+        *[F.element_at("features", i + 1).alias(n) for i, n in enumerate(names)],
+    )

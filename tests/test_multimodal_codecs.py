@@ -521,3 +521,24 @@ def test_extract_embeddings_real_features_from_decoded_bytes(spark):
     ).collect()[0]["features"]
     want = [x / 255.0 for x in hashlib.md5(b"just some text payload").digest()[:8]]
     assert fb == want
+
+
+def test_extract_embeddings_real_audio_features(spark):
+    """WAV payloads get features computed from the actual PCM samples."""
+    import math
+
+    from data_lake_skyfit_spark.llm import multimodal
+
+    rid = 7
+    d = spark.createDataFrame([(rid,)], ["doc_id"])
+    media = multimodal.synthesize_wav_payloads(d)
+    f = multimodal.extract_embeddings(media).collect()[0]["features"]
+    sr = multimodal.WAV_RATES[rid % 5]
+    n = 64 + rid % 97
+    s = [((rid * 7919 + i * 104729) % 65536) - 32768 for i in range(n)]
+    zc = sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+    assert f[0:3] == [float(sr), float(n), float(n * 1000 // sr)]
+    assert f[3] == sum(s) / n
+    assert f[4] == math.sqrt(sum(v * v for v in s) / n)
+    assert f[5] == zc / (n - 1)
+    assert (f[6], f[7]) == (float(min(s)), float(max(s)))
