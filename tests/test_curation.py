@@ -560,3 +560,36 @@ def test_semantic_dedup_with_kmeans_clusters(spark):
     # the clustering actually dedups: most of the 60 near-identical
     # family members collapse
     assert sum(r["is_dup"] for r in out) >= 40
+
+
+WORDS = st.lists(
+    st.sampled_from(["the", "a", "fox", "zebra", "q", "###", "12345", "aaaaaaaaaaaaaaaaaaaaaaaaa"]),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(docs=st.lists(WORDS, min_size=1, max_size=5))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gopher_rules_flags_consistent_with_metrics_property(spark, docs):
+    """For arbitrary word soups: every flag equals the rule recomputed
+    from the emitted metrics, and keep is exactly their conjunction."""
+    from data_lake_skyfit_spark.llm.curation import gopher_rules
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    out = gopher_rules(_docs(spark, rows), min_words=3).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        flags = {
+            "r_word_count": 3 <= r["n_words"] <= 100_000,
+            "r_mean_word_len": r["mean_word_len"] is not None
+            and 2.0 <= r["mean_word_len"] <= 12.0,
+            "r_symbol_ratio": r["symbol_ratio"] is not None
+            and r["symbol_ratio"] <= 0.1,
+            "r_alpha_words": r["alpha_word_frac"] is not None
+            and r["alpha_word_frac"] >= 0.8,
+            "r_stopwords": r["stopword_hits"] >= 2,
+        }
+        for name, want in flags.items():
+            assert r[name] == int(want), (r, name)
+        assert r["keep"] == int(all(flags.values()))
