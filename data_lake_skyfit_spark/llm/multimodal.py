@@ -802,9 +802,11 @@ def extract_embeddings(df: DataFrame, *, id_col: str = "doc_id", dims: int = 8) 
     REAL paths: decodable images (BMP/PNG/GIF) get 8 classical
     content-derived features over the ACTUAL decoded channel bytes —
     [width, height, channels, byte_mean, byte_rms, frac_bytes>127,
-    byte_min, byte_max] — and PCM WAV payloads get the audio analog
+    byte_min, byte_max] — PCM WAV payloads get the audio analog
     over the ACTUAL decoded samples — [sample_rate, n_samples,
-    duration_ms, mean, rms, zero_crossing_rate, min, max]. Exact
+    duration_ms, mean, rms, zero_crossing_rate, min, max] — and AVI
+    payloads the video analog over the ACTUAL movi frame bytes —
+    [n_frames, fps, duration_ms, byte mean/rms/frac>127/min/max]. Exact
     integer accumulation, then one IEEE divide (+ sqrt for rms), so
     every value is reproducible arithmetically from the payload's
     closed form (graded batteries multimodal_image_features /
@@ -849,6 +851,27 @@ def extract_embeddings(df: DataFrame, *, id_col: str = "doc_id", dims: int = 8) 
                             ]
             except (ValueError, struct.error, wave.Error, EOFError):
                 pass  # RIFF-prefixed non-WAV bytes: fall through
+        if dims == 8 and _looks_like_avi(data):
+            try:
+                import numpy as np
+
+                upf, frames = _avi_frames(data)
+                raw = b"".join(frames)
+                if raw:
+                    arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                    n = len(arr)
+                    return [
+                        float(len(frames)),
+                        1_000_000 / upf,  # fps
+                        float(len(frames) * upf // 1000),
+                        int(arr.sum()) / n,
+                        math.sqrt(int((arr * arr).sum()) / n),
+                        int((arr > 127).sum()) / n,
+                        float(arr.min()),
+                        float(arr.max()),
+                    ]
+            except (ValueError, struct.error):
+                pass  # RIFF-prefixed non-AVI bytes: fall through
         decoded = _image_channel_bytes(data)
         if decoded is not None and dims == 8:
             w, h, ch, raw = decoded
@@ -1135,11 +1158,10 @@ def encode_avi_dib(
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
 
 
-def _decode_avi_frames(data: bytes, every_ms: int):
+def _avi_frames(data: bytes) -> tuple[int, list[bytes]]:
     """Walk a RIFF/AVI container for real: read us_per_frame from the
-    avih header, pull every '00db'/'00dc' frame out of the movi LIST,
-    sample one frame per `every_ms` of stream time. Returns
-    [(frame_idx, ts_ms, frame_md5)]."""
+    avih header and pull every '00db'/'00dc' frame's raw bytes out of
+    the movi LIST. Returns (us_per_frame, frames)."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     us_per_frame = None
@@ -1162,6 +1184,13 @@ def _decode_avi_frames(data: bytes, every_ms: int):
         pos += 8 + size + (size & 1)
     if us_per_frame is None:
         raise ValueError("AVI missing avih header")
+    return us_per_frame, frames
+
+
+def _decode_avi_frames(data: bytes, every_ms: int):
+    """Sample one frame per `every_ms` of stream time from a real AVI
+    walk (_avi_frames). Returns [(frame_idx, ts_ms, frame_md5)]."""
+    us_per_frame, frames = _avi_frames(data)
     step = max(1, every_ms * 1000 // us_per_frame)
     return [
         (i, i * us_per_frame // 1000, hashlib.md5(frames[i]).hexdigest())

@@ -542,3 +542,30 @@ def test_extract_embeddings_real_audio_features(spark):
     assert f[4] == math.sqrt(sum(v * v for v in s) / n)
     assert f[5] == zc / (n - 1)
     assert (f[6], f[7]) == (float(min(s)), float(max(s)))
+
+
+def test_extract_embeddings_real_video_features(spark):
+    """AVI payloads get features computed from the actual frame bytes."""
+    import math
+
+    import numpy as np
+
+    from data_lake_skyfit_spark.llm import multimodal
+
+    rid = 3
+    d = spark.createDataFrame([(rid,)], ["doc_id"])
+    media = multimodal.synthesize_avi_payloads(d)
+    f = multimodal.extract_embeddings(media).collect()[0]["features"]
+    w, h, nf = 4 * (1 + rid % 3), 3 + rid % 4, 3 + rid % 6
+    npx = w * h * 3
+    raw = b"".join(
+        (f"doc{rid}f{i}x".encode() * (npx // len(f"doc{rid}f{i}x") + 1))[:npx]
+        for i in range(nf)
+    )
+    arr = np.frombuffer(raw, np.uint8).astype(np.int64)
+    n = len(arr)
+    assert f[0:3] == [float(nf), 2.0, float(nf * 500)]
+    assert f[3] == int(arr.sum()) / n
+    assert f[4] == math.sqrt(int((arr * arr).sum()) / n)
+    assert f[5] == 0.0
+    assert (f[6], f[7]) == (float(arr.min()), float(arr.max()))
