@@ -2024,7 +2024,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH r AS (
       SELECT event_type, value,
-             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value NULLS LAST, event_id) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events
     )
@@ -2047,7 +2047,12 @@ def grouped_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # Spark defaults to NULLS FIRST on asc, DuckDB to NULLS LAST — pin
+    # NULLS LAST on both sides so a regenerated testdata with NULL values
+    # cannot shift ranks between engines (code-review r3).
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     r = e.select(
         "event_type",
         "value",

@@ -569,3 +569,43 @@ def test_extract_embeddings_real_video_features(spark):
     assert f[4] == math.sqrt(int((arr * arr).sum()) / n)
     assert f[5] == 0.0
     assert (f[6], f[7]) == (float(arr.min()), float(arr.max()))
+
+
+def test_corrupt_timing_headers_take_fake_path(spark):
+    """code-review r3: a WAV declaring sample_rate=0 or an AVI declaring
+    dwMicroSecPerFrame=0 must fall to the fake feature path (and raise
+    ValueError from the low-level walkers), never ZeroDivisionError."""
+    import hashlib
+    import struct as st
+
+    import pytest
+
+    from data_lake_skyfit_spark.llm import multimodal
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _avi_frames,
+        _wav_samples,
+        encode_avi_dib,
+        encode_wav_pcm16,
+    )
+
+    wav = bytearray(encode_wav_pcm16(8000, [1, -2, 3]))
+    # fmt chunk sample rate lives at offset 24 in this minimal layout
+    assert st.unpack_from("<I", wav, 24)[0] == 8000
+    st.pack_into("<I", wav, 24, 0)
+    with pytest.raises(ValueError):
+        _wav_samples(bytes(wav))
+
+    avi = bytearray(encode_avi_dib(4, 3, 500_000, [b"x" * 36]))
+    pos = avi.find(b"avih") + 8
+    assert st.unpack_from("<I", avi, pos)[0] > 0
+    st.pack_into("<I", avi, pos, 0)
+    with pytest.raises(ValueError):
+        _avi_frames(bytes(avi))
+
+    rows = [(1, bytes(wav)), (2, bytes(avi))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["features"] for r in
+           multimodal.extract_embeddings(df).collect()}
+    for i, payload in rows:
+        want = [x / 255.0 for x in hashlib.md5(payload).digest()[:8]]
+        assert out[i] == want
