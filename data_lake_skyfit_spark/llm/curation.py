@@ -518,9 +518,10 @@ def curate_corpus(
     is a zero-shuffle map; exact dedup shuffles a 16-byte hash; LSH
     shuffles band buckets of survivors only; the eval index broadcasts
     (train never shuffles for candidate generation). Corpus-sized drop
-    markers (quality/exact) attach via hash joins on the id; only the
-    sparse near-dup/contamination lists broadcast. Multi-consumer frames
-    are localCheckpointed (CLAUDE.md lineage rule).
+    markers (quality/exact/near-dup) attach via id-only hash joins with
+    the strategy left to AQE — a near-dup-heavy corpus makes the drop
+    list O(corpus) rows, so nothing data-sized is ever force-broadcast.
+    Multi-consumer frames are localCheckpointed (CLAUDE.md lineage rule).
     """
     from .decontaminate import contamination_report
     from .dedup import connected_components, minhash_lsh_pairs
@@ -552,7 +553,10 @@ def curate_corpus(
         .select(F.col("id").alias(id_col))
         .localCheckpoint(eager=False)
     )
-    p3 = p2.join(F.broadcast(near_drop), id_col, "left_anti")
+    # No forced broadcast (ADVICE r3): on a near-dup-heavy corpus — the
+    # very case the pipeline targets — the drop list is O(corpus) rows;
+    # let AQE pick the strategy for the id-only anti-join.
+    p3 = p2.join(near_drop, id_col, "left_anti")
     if eval_df is not None:
         contam = (
             contamination_report(

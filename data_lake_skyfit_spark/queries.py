@@ -94,20 +94,22 @@ _PRIORITY = [
     "medallion_bronze_to_stg",
     "medallion_upsert_roundtrip",
     "medallion_nested_explode",
-    # change history (SCD2 / CDC / point-in-time correctness)
+    # change history (SCD2 / CDC / point-in-time correctness) + storage
     "scd2_user_state",
     "snapshot_diff_orders",
     "point_in_time_user_state",
+    "versioned_time_travel",
     # streaming + custom-stateful + UDTF
     "streaming_hourly_counts",
     "session_window_stats",
     "stateful_user_sessions",
     "udtf_tokenize_positions",
     # LLM dedup tier
+    # (dedup_simhash demoted past the cutoff in r4 for versioned_time_travel;
+    # its only family tag llm-dedup keeps 5 graded carriers)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_cluster_resolution",
     # similarity / storage
@@ -881,14 +883,16 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_analytics",
     """
     SELECT event_id, user_id,
-           CAST(date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS secs_since_prev,
-           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
-           CAST(SUM(CAST(value AS DECIMAL(15,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
-           CAST(SUM(CAST(value AS DECIMAL(15,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
-           CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile,
-           PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pct_rank
+           CAST(date_diff('second', LAG(ts) OVER w, ts) AS BIGINT) AS secs_since_prev,
+           LEAD(event_type) OVER w AS next_type,
+           CAST(SUM(CAST(value AS DECIMAL(15,2))) OVER f AS DOUBLE) AS moving_sum3,
+           CAST(SUM(CAST(value AS DECIMAL(15,2))) OVER f AS DOUBLE)
+             / COUNT(*) OVER f AS moving_avg3,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id),
+           f AS (PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     tags=("W1", "W-frames", "2.10-datetime"),
     doc="Analytic window surface beyond the reference's row_number-only "
@@ -897,11 +901,16 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(rowsBetween frame; exact-decimal sum DOUBLE-cast, avg = sum/count "
     "per the representation policy), NTILE quartiles and PERCENT_RANK — "
     "all over one (user_id, ts, event_id) exchange+sort, deterministic "
-    "via the unique event_id tie-break.",
+    "via the unique event_id tie-break. NULLS pinning (ADVICE r3): Spark "
+    "asc defaults NULLS FIRST, DuckDB NULLS LAST — both sides pin "
+    "asc_nulls_last so a regenerated table with NULL ts cannot shift "
+    "lag/lead/ntile/frame results between engines.",
 )
 def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     frame = w.rowsBetween(-2, 0)
     dec = F.col("value").cast("decimal(15,2)")
     msum = F.sum(dec).over(frame).cast("double")
@@ -928,10 +937,10 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id)
     ), sessions AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM flagged
     )
@@ -945,7 +954,8 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    order = (F.col("ts").asc_nulls_last(), F.col("event_id"))
+    w = Window.partitionBy("user_id").orderBy(*order)
     # NTZ → epoch seconds via an LTZ hop (session tz pinned to UTC).
     epoch = F.col("ts").cast("timestamp").cast("long")
     gap = epoch - F.lag(epoch).over(w)
@@ -955,7 +965,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)).alias("new_session"),
     )
-    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+    running = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sessions = flagged.select(

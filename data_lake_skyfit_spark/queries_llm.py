@@ -319,9 +319,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine
+           ROUND(CASE WHEN list_inner_product(a.e, a.e) = 0 OR list_inner_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END, 4) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.45
+    WHERE ROUND(CASE WHEN list_inner_product(a.e, a.e) = 0 OR list_inner_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END, 4) >= 0.45
     """,
     tags=("llm-dedup",),
     doc="Embedding-cosine near-dup pairs ≥ 0.45 "
@@ -407,7 +407,7 @@ _ANN_EXACT_TOPK_ORACLE = """
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ), scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_cosine_similarity(q.e, c.e) AS cos_raw
+             CASE WHEN list_inner_product(q.e, q.e) = 0 OR list_inner_product(c.e, c.e) = 0 THEN 0.0 ELSE list_cosine_similarity(q.e, c.e) END AS cos_raw
       FROM v q JOIN v c ON q.vec_id <> c.vec_id
       WHERE q.vec_id < 10
     ), ranked AS (
@@ -511,7 +511,7 @@ def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ), scored AS (
       SELECT p.query_id, c.vec_id AS neighbor_id,
-             list_cosine_similarity(q.e, c.e) AS cos_raw
+             CASE WHEN list_inner_product(q.e, q.e) = 0 OR list_inner_product(c.e, c.e) = 0 THEN 0.0 ELSE list_cosine_similarity(q.e, c.e) END AS cos_raw
       FROM probes p
       JOIN v q ON q.vec_id = p.query_id
       JOIN v c ON c.shard = p.shard AND c.vec_id <> p.query_id
@@ -1733,7 +1733,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), d AS (
       SELECT b.vec_id AS id, MIN(a.vec_id) AS dup_of
       FROM v a JOIN v b ON a.shard = b.shard AND a.vec_id < b.vec_id
-      WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.25
+      WHERE ROUND(CASE WHEN list_inner_product(a.e, a.e) = 0 OR list_inner_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END, 4) >= 0.25
       GROUP BY b.vec_id
     )
     SELECT v.vec_id AS id, CAST(v.shard AS INT) AS shard,
@@ -1943,7 +1943,7 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     scored AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             list_cosine_similarity(a.e, b.e) AS cos_raw
+             CASE WHEN list_inner_product(a.e, a.e) = 0 OR list_inner_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS cos_raw
       FROM v a JOIN v b ON a.vec_id <> b.vec_id
     ), ranked AS (
       SELECT query_id, neighbor_id, cos_raw,

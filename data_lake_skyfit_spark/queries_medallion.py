@@ -222,3 +222,103 @@ def medallion_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.event_type").alias("event_type"),
         F.col("x.value").alias("value"),
     )
+
+
+@register(
+    "versioned_time_travel",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+      FROM events
+    ),
+    v0 AS (SELECT * FROM base WHERE event_id % 7 <> 0),
+    src AS (
+      SELECT event_id, user_id, event_type, value * 2 AS value
+      FROM base WHERE event_id % 3 = 0
+    ),
+    v1 AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT * FROM v0 WHERE event_id % 3 <> 0
+    ),
+    d AS (
+      SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+             CASE WHEN o.event_id IS NULL THEN 'insert'
+                  WHEN n.event_id IS NULL THEN 'delete'
+                  WHEN o.value IS DISTINCT FROM n.value THEN 'update'
+                  ELSE 'unchanged' END AS change_type,
+             o.value AS value_old, n.value AS value_new
+      FROM v0 o FULL OUTER JOIN v1 n ON o.event_id = n.event_id
+    )
+    SELECT 'v0_read' AS leg, event_id, user_id, event_type,
+           CAST(NULL AS VARCHAR) AS change_type,
+           value AS value_old, CAST(NULL AS DOUBLE) AS value_new
+    FROM v0
+    UNION ALL
+    SELECT 'v1_read', event_id, user_id, event_type, NULL, NULL, value FROM v1
+    UNION ALL
+    SELECT 'diff', event_id, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           change_type, value_old, value_new
+    FROM d WHERE change_type <> 'unchanged'
+    """,
+    tags=("versioned", "time-travel"),
+    doc="Versioned-table manifest machinery under the driver hash check "
+    "(VERDICT r3 'What's missing' #3): build a VersionedParquetTable "
+    "from a pure function of `events` — overwrite v1 (event_id % 7 <> "
+    "0), MERGE v2 (event_id % 3 = 0 at doubled value: copy-on-write "
+    "inserts + updates), then TIME-TRAVEL read(v1) AFTER the merge "
+    "committed, read(v2), and diff(v1, v2) — per-row output of all "
+    "three legs, so the manifest resolution, COW generation splice and "
+    "CDC feed are each hash-graded, not pytest-asserted. Oracle is "
+    "plain SQL replaying the same overwrite/upsert algebra. Doubling a "
+    "DOUBLE is an exponent bump (exact both engines); NULL values stay "
+    "'unchanged' under null-safe compare on both sides.",
+)
+def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.versioned import VersionedParquetTable
+
+    root = tempfile.mkdtemp(prefix="skyfit_versioned_tt_")
+    t = VersionedParquetTable(path=root + "/events_versioned", key=("event_id",))
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+    v0 = t.overwrite(base.filter(F.col("event_id") % 7 != 0))
+    v1 = t.merge(
+        base.filter(F.col("event_id") % 3 == 0).withColumn(
+            "value", F.col("value") * 2
+        )
+    )
+    old_read = t.read(spark, v0)  # time travel: v0 resolved AFTER v1 committed
+    new_read = t.read(spark, v1)
+    d = t.diff(spark, v0, v1, compare_cols=("value",))
+
+    null_str = F.lit(None).cast("string")
+    null_dbl = F.lit(None).cast("double")
+    leg_old = old_read.select(
+        F.lit("v0_read").alias("leg"),
+        "event_id",
+        "user_id",
+        "event_type",
+        null_str.alias("change_type"),
+        F.col("value").alias("value_old"),
+        null_dbl.alias("value_new"),
+    )
+    leg_new = new_read.select(
+        F.lit("v1_read").alias("leg"),
+        "event_id",
+        "user_id",
+        "event_type",
+        null_str.alias("change_type"),
+        null_dbl.alias("value_old"),
+        F.col("value").alias("value_new"),
+    )
+    leg_diff = d.select(
+        F.lit("diff").alias("leg"),
+        "event_id",
+        F.lit(None).cast("long").alias("user_id"),
+        null_str.alias("event_type"),
+        "change_type",
+        F.col("old_value").alias("value_old"),
+        F.col("new_value").alias("value_new"),
+    )
+    return leg_old.unionByName(leg_new).unionByName(leg_diff)
