@@ -130,10 +130,11 @@ _PRIORITY = [
     # training-data construction
     "dataset_split_assignment",
     "sequence_packing",
-    # multimodal plumbing
+    # multimodal plumbing (resize_decode demoted past the cutoff in r4 for
+    # the jpeg entry; family llm-multimodal keeps 4 graded carriers)
+    "multimodal_decode_jpeg",
     "multimodal_decode_gif",
     "multimodal_decode_audio",
-    "multimodal_resize_decode",
     "multimodal_frame_sample",
 ]
 

@@ -609,3 +609,217 @@ def test_corrupt_timing_headers_take_fake_path(spark):
     for i, payload in rows:
         want = [x / 255.0 for x in hashlib.md5(payload).digest()[:8]]
         assert out[i] == want
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_block_y(rid):
+    return lambda x, y: (3 * rid + 5 * (x // 8) + 7 * (y // 8)) % 256
+
+
+def test_jpeg_tables_wellformed():
+    """Wire-table invariants: zigzag is a permutation of 0..63; the
+    Annex K specs carry 12 DC / 162 AC symbols; the decoder's DHT
+    builder exactly inverts the encoder's canonical code assignment."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _JPEG_AC_CHROMA, _JPEG_AC_LUMA, _JPEG_DC_CHROMA, _JPEG_DC_LUMA,
+        _JPEG_ZIGZAG, _jpeg_huff_decode_table, _jpeg_huff_encode_codes,
+    )
+
+    assert sorted(_JPEG_ZIGZAG) == list(range(64))
+    for spec, n in (
+        (_JPEG_DC_LUMA, 12), (_JPEG_DC_CHROMA, 12),
+        (_JPEG_AC_LUMA, 162), (_JPEG_AC_CHROMA, 162),
+    ):
+        bits, vals = spec
+        assert sum(bits) == len(vals) == n
+        assert len(set(vals)) == n
+        enc = _jpeg_huff_encode_codes(spec)
+        dec = _jpeg_huff_decode_table(list(bits), list(vals))
+        assert {(ln, code): sym for sym, (code, ln) in enc.items()} == dec
+
+
+def test_jpeg_roundtrip_block_constant_exact():
+    """All three fixture variants decode EXACTLY (DC step 8 divides the
+    constant-block DC coefficient): gray, 4:4:4 neutral chroma, 4:2:0
+    non-trivial chroma through the real entropy-coded pipeline."""
+    from data_lake_skyfit_spark.llm.multimodal import _decode_jpeg, encode_jpeg
+
+    for rid in (0, 7, 123):  # gray
+        w, h = 8 * (1 + rid % 5), 8 * (1 + rid % 4)
+        got = _decode_jpeg(encode_jpeg(w, h, _jpeg_block_y(rid)))
+        exp = sum(
+            64 * ((3 * rid + 5 * bx + 7 * by) % 256)
+            for bx in range(w // 8) for by in range(h // 8)
+        )
+        assert got == (w, h, 1, exp)
+    for rid in (1, 10):  # 4:4:4, chroma 128 -> RGB = (y, y, y)
+        w, h = 8 * (1 + rid % 5), 8 * (1 + rid % 4)
+        got = _decode_jpeg(encode_jpeg(w, h, _jpeg_block_y(rid), color=True))
+        exp = 3 * sum(
+            64 * ((3 * rid + 5 * bx + 7 * by) % 256)
+            for bx in range(w // 8) for by in range(h // 8)
+        )
+        assert got == (w, h, 3, exp)
+    for rid in (2, 47):  # 4:2:0 with real chroma offsets
+        w, h = 16 * (1 + (rid % 5) % 2), 16 * (1 + (rid % 7) % 2)
+        cb, cr = 126 + rid % 5, 125 + rid % 7
+        got = _decode_jpeg(
+            encode_jpeg(w, h, _jpeg_block_y(rid), color=True, subsample=True,
+                        cb=cb, cr=cr)
+        )
+        exp = 0
+        for bx in range(w // 8):
+            for by in range(h // 8):
+                yv = (3 * rid + 5 * bx + 7 * by) % 256
+                r = min(255, max(0, math.floor(yv + 1.402 * (cr - 128) + 0.5)))
+                g = min(255, max(0, math.floor(
+                    yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+                b = min(255, max(0, math.floor(yv + 1.772 * (cb - 128) + 0.5)))
+                exp += 64 * (r + g + b)
+        assert got == (w, h, 3, exp)
+
+
+def test_jpeg_handbuilt_bitstream_golden():
+    """Decoder validated against a stream assembled BYTE-BY-BYTE from
+    the T.81 spec in this test — no encoder involved, so a private
+    encoder/decoder convention cannot self-validate (the GIF-LZW
+    lesson). 8x8 gray, uniform quant 1, custom 1-entry Huffman tables:
+    DC table {cat 6: code '0'}, AC table {EOB: code '0'}; entropy bits
+    '0' + '100101' (DC=37) + '0' (EOB) = 0x4A. Dequantized DC 37 ->
+    constant plane 37/8 + 128 = 132.625 -> floor(+0.5) = 133."""
+    from data_lake_skyfit_spark.llm.multimodal import _jpeg_pixels
+
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    sof = b"\xff\xc0" + (11).to_bytes(2, "big") + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    dht_dc = b"\xff\xc4" + (20).to_bytes(2, "big") + bytes(
+        [0x00, 1] + [0] * 15 + [6]
+    )
+    dht_ac = b"\xff\xc4" + (20).to_bytes(2, "big") + bytes(
+        [0x10, 1] + [0] * 15 + [0x00]
+    )
+    sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+    data = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes([0x4A])
+        + b"\xff\xd9"
+    )
+    w, h, ch, raw = _jpeg_pixels(data)
+    assert (w, h, ch) == (8, 8, 1)
+    assert set(raw) == {133} and len(raw) == 64
+
+
+def test_jpeg_ac_entropy_matches_independent_quant_model():
+    """General (non-block-constant) content: the decoder must equal an
+    INDEPENDENTLY coded quantization model round(IDCT(Q*round(DCT/Q)))
+    built here with explicit loops — exercises nonzero-AC run-length
+    coding, and the checkerboard block forces zigzag runs > 15 (ZRL)."""
+    import numpy as np
+
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _JPEG_QT_LUMA, _jpeg_pixels, encode_jpeg,
+    )
+
+    def pix(x, y):
+        if x < 8 and y < 8:  # checkerboard: only high-frequency ACs
+            return 60 if (x + y) % 2 else 200
+        return (x * 37 + y * 11) % 256
+
+    data = encode_jpeg(16, 16, pix)
+    w, h, ch, raw = _jpeg_pixels(data)
+    assert (w, h, ch) == (16, 16, 1)
+
+    # independent model (loop-built DCT basis, not the module's matrix)
+    m = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            c = (1 / math.sqrt(2)) if u == 0 else 1.0
+            m[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    q = np.array(_JPEG_QT_LUMA, dtype=float).reshape(8, 8)
+    img = np.array([[pix(x, y) for x in range(16)] for y in range(16)], float)
+    exp = np.zeros((16, 16))
+    for by in range(2):
+        for bx in range(2):
+            blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+            coef = np.floor((m @ blk @ m.T) / q + 0.5) * q
+            exp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.floor(m.T @ coef @ m + 128.0 + 0.5), 0, 255
+            )
+    got = np.frombuffer(raw, dtype=np.uint8).reshape(16, 16)
+    assert (got == exp.astype(np.uint8)).all()
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn wire path: encoder emits restart markers, decoder
+    resyncs (byte-align + DC predictor reset) and still decodes
+    exactly; the markers really are on the wire."""
+    from data_lake_skyfit_spark.llm.multimodal import _decode_jpeg, encode_jpeg
+
+    data = encode_jpeg(32, 24, _jpeg_block_y(9), restart_interval=1)
+    assert b"\xff\xdd" in data
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+    w, h, ch, s = _decode_jpeg(data)
+    exp = sum(
+        64 * ((27 + 5 * bx + 7 * by) % 256) for bx in range(4) for by in range(3)
+    )
+    assert (w, h, ch, s) == (32, 24, 1, exp)
+
+
+def test_jpeg_progressive_rejected_falls_to_fake_path(spark):
+    """A progressive (SOF2) stream must not silently half-decode: the
+    decoder raises and decode_images serves the documented fake path
+    (null pixel_sum) for that payload."""
+    from data_lake_skyfit_spark.llm.multimodal import decode_images, encode_jpeg
+
+    good = encode_jpeg(8, 8, lambda x, y: 99)
+    bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in decode_images(df).collect()}
+    assert rows[1]["pixel_sum"] == 64 * 99 and rows[1]["n_channels"] == 1
+    assert rows[2]["pixel_sum"] is None
+
+
+def test_jpeg_extract_embeddings_real_features(spark):
+    """Image features must come from the ACTUAL decoded JPEG bytes:
+    pinned against a hand computation for one grayscale payload."""
+    from data_lake_skyfit_spark.llm.multimodal import encode_jpeg, extract_embeddings
+
+    rid = 6  # gray variant: w=16, h=24, blocks 2x3
+    w, h = 8 * (1 + rid % 5), 8 * (1 + rid % 4)
+    payload = encode_jpeg(w, h, _jpeg_block_y(rid))
+    df = spark.createDataFrame([(rid, bytearray(payload))], "doc_id long, payload binary")
+    feats = extract_embeddings(df).collect()[0]["features"]
+    vals = [
+        (3 * rid + 5 * bx + 7 * by) % 256
+        for bx in range(w // 8) for by in range(h // 8)
+    ]
+    n = w * h
+    ssum = 64 * sum(vals)
+    ssq = 64 * sum(v * v for v in vals)
+    assert feats[0] == float(w) and feats[1] == float(h) and feats[2] == 1.0
+    assert feats[3] == ssum / n
+    assert feats[4] == math.sqrt(ssq / n)
+    assert feats[5] == 64 * sum(1 for v in vals if v > 127) / n
+    assert feats[6] == float(min(vals)) and feats[7] == float(max(vals))
+
+
+def test_jpeg_encoder_byte_golden():
+    """Byte-level regression pin of the encoder's wire output (marker
+    layout, table emission order, entropy bits, stuffing) — catches any
+    silent convention drift on either side of the codec."""
+    import hashlib
+
+    from data_lake_skyfit_spark.llm.multimodal import encode_jpeg
+
+    gray = encode_jpeg(16, 8, lambda x, y: (x * 7 + y * 13) % 256)
+    color = encode_jpeg(
+        16, 16, _jpeg_block_y(5), color=True, subsample=True, cb=130, cr=120
+    )
+    assert hashlib.md5(gray).hexdigest() == "d40d1e31d98ddb0586b2ebee3f8cbaaf"
+    assert hashlib.md5(color).hexdigest() == "c23869ea7e24bc6eabfc379d32993f8e"
