@@ -9,6 +9,9 @@ reference's §2.10 scalar family.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -20,8 +23,10 @@ __all__ = [
     "bpe_ish_token_count",
     "quality_metrics",
     "language_scores",
+    "language_scores_trigram",
     "doc_fingerprint",
     "STOPWORDS",
+    "TRIGRAM_PROFILES",
 ]
 
 # Small per-language stopword lists for the n-gram/stopword heuristic
@@ -35,6 +40,25 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 PUNCT_CLASS = "[.,!?;:]"
+
+#: Characteristic char trigrams per language (Cavnar–Trenkle-style
+#: profile, '_' = space shown here as a real space): high-frequency
+#: function-word boundaries and affixes. ASCII-only BY CONSTRUCTION —
+#: the scorer normalizes text to [a-z ] first, so profile entries
+#: containing anything else could never match. zh follows the pinyin
+#: convention of STOPWORDS (tone digits are stripped by normalization).
+TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", "ing", "ng ",
+           " of", "of ", "ion", " to", "to ", "ed ", " in", "in "),
+    "es": (" de", "de ", " la", "la ", "os ", " el", "el ", "que",
+           " qu", "ue ", "as ", " en", "en ", " se", "ent", "es "),
+    "fr": (" le", "le ", " de", "de ", "es ", " la", "la ", "et ",
+           " et", "ent", "nt ", " un", "un ", "ion", " pa", "re "),
+    "de": (" de", "der", "er ", "ie ", " di", "die", "und", " un",
+           "nd ", "ich", "ch ", "ein", " ei", "sch", "en ", "ist"),
+    "zh": ("shi", " sh", "zai", " za", "you", " yo", " wo", "wo ",
+           " ta", "ta ", " le", "le ", " he", "he ", " de", "de "),
+}
 
 
 def _c(col: Column | str) -> Column:
@@ -144,6 +168,73 @@ def language_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return hits_df.select(
         F.col(id_col),
         *[F.col(f"hits_{lang}") for lang in langs],
+        pred.alias("predicted_lang"),
+    )
+
+
+def language_scores_trigram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Char-trigram profile language ID (Cavnar & Trenkle 1994 shape) —
+    the VERDICT-r3 #7 upgrade over `language_scores`: robust on short or
+    stopword-free text, since affix/boundary trigrams ('ing', ' th',
+    'sch') fire on CONTENT words, not only function words.
+
+    Engine-deterministic by construction, so the battery oracle is
+    exact: text normalizes to lowercase [a-z ] (ASCII regex, identical
+    semantics both engines) with a space sentinel on each end; each
+    profile trigram is counted with the replace-based occurrence count
+    (LENGTH(t) − LENGTH(REPLACE(t, g, ''))) / 3 — leftmost
+    NON-OVERLAPPING occurrences, the convention Spark `replace` and
+    DuckDB REPLACE share; per language the score is the cosine between
+    the doc's integer count vector over that language's 16 profile
+    coordinates and the binary profile vector: Σc / (√Σc² · √16) — one
+    correctly-rounded sqrt/division chain that both engines reproduce
+    bit-for-bit (no ROUND of doubles anywhere). Zero shuffle: the whole
+    operator is a codegen'd scalar map, scan-speed at 100 TB.
+
+    Output: (id, score_<lang>... DOUBLE, predicted_lang) — argmax with
+    language-code tie-break, 'und' when no profile trigram fires."""
+    langs = sorted(TRIGRAM_PROFILES)
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.coalesce(_c(text_col), F.lit(""))), "[^a-z ]", " "),
+        F.lit(" "),
+    )
+    grams = sorted({g for p in TRIGRAM_PROFILES.values() for g in p})
+    gcol = {g: f"__g{i}" for i, g in enumerate(grams)}
+    staged = df.select(F.col(id_col), norm.alias("__t"))
+    counts = staged.select(
+        F.col(id_col),
+        *[
+            (
+                (F.length("__t") - F.length(F.replace(F.col("__t"), F.lit(g))))
+                / F.lit(3)
+            )
+            .cast("long")
+            .alias(gcol[g])
+            for g in grams
+        ],
+    )
+    score_exprs = []
+    for lang in langs:
+        prof = TRIGRAM_PROFILES[lang]
+        dot = reduce(add, [F.col(gcol[g]) for g in prof])
+        ssq = reduce(add, [F.col(gcol[g]) * F.col(gcol[g]) for g in prof])
+        score = F.when(dot == 0, F.lit(0.0)).otherwise(
+            dot / (F.sqrt(ssq) * F.sqrt(F.lit(len(prof))))
+        )
+        score_exprs.append(score.alias(f"score_{lang}"))
+    scored = counts.select(F.col(id_col), *score_exprs)
+    score_cols = [(lang, F.col(f"score_{lang}")) for lang in langs]
+    best = F.greatest(*[s for _, s in score_cols])
+    pred = F.lit("und")
+    for lang, s in reversed(score_cols):
+        pred = F.when(s == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.select(
+        F.col(id_col),
+        *[F.col(f"score_{lang}") for lang in langs],
         pred.alias("predicted_lang"),
     )
 

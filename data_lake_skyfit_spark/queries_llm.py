@@ -2291,3 +2291,70 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[F.element_at("features", i + 1).alias(n) for i, n in enumerate(names)],
     )
+
+
+def _trigram_lang_oracle() -> str:
+    """Oracle generated FROM TRIGRAM_PROFILES so the SQL can never
+    drift from the Spark profile constants: same normalization, same
+    replace-based non-overlapping counts, same integer dot/ssq, same
+    SQRT/division chain (correctly-rounded IEEE ops both engines)."""
+    langs = sorted(text_ops.TRIGRAM_PROFILES)
+    grams = sorted({g for p in text_ops.TRIGRAM_PROFILES.values() for g in p})
+    gname = {g: f"g{i}" for i, g in enumerate(grams)}
+    cnts = ",\n             ".join(
+        f"CAST((LENGTH(t) - LENGTH(REPLACE(t, '{g}', ''))) / 3 AS BIGINT) AS {gname[g]}"
+        for g in grams
+    )
+    scores = []
+    for lang in langs:
+        prof = text_ops.TRIGRAM_PROFILES[lang]
+        dot = " + ".join(gname[g] for g in prof)
+        ssq = " + ".join(f"{gname[g]}*{gname[g]}" for g in prof)
+        scores.append(
+            f"CASE WHEN ({dot}) = 0 THEN CAST(0 AS DOUBLE) "
+            f"ELSE ({dot}) / (SQRT({ssq}) * SQRT({len(prof)})) END AS score_{lang}"
+        )
+    best = "GREATEST(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    pred = "CASE WHEN " + best + " <= 0 THEN 'und'\n"
+    for lang in langs:
+        pred += f"                WHEN score_{lang} = {best} THEN '{lang}'\n"
+    pred += "                ELSE 'und' END AS predicted_lang"
+    score_sel = ", ".join(f"score_{lg}" for lg in langs)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             ' ' || regexp_replace(lower(COALESCE(text, '')), '[^a-z ]', ' ', 'g') || ' ' AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             {cnts}
+      FROM t
+    ), s AS (
+      SELECT doc_id,
+             {",  ".join(scores)}
+      FROM c
+    )
+    SELECT doc_id, {score_sel},
+           {pred}
+    FROM s
+    """
+
+
+@register(
+    "text_language_id_trigram",
+    _trigram_lang_oracle(),
+    tags=("llm-text",),
+    doc="Char-trigram profile language ID "
+    "(llm.text.language_scores_trigram, VERDICT r3 #7): Cavnar-Trenkle-"
+    "style 16-trigram profiles per language, replace-based "
+    "non-overlapping occurrence counts over lowercase [a-z ]-normalized "
+    "text, per-language cosine Sum(c)/(SQRT(Sum(c^2))*SQRT(16)) against "
+    "the binary profile, argmax prediction with code-order tie-break. "
+    "Robust where the graded stopword tier is blind (short or stopword-"
+    "free text: affix trigrams fire on content words) — accuracy "
+    "comparison pinned in test_curation. Zero-shuffle codegen map; the "
+    "oracle SQL is GENERATED from the same profile constants.",
+)
+def text_language_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.language_scores_trigram(d)

@@ -593,3 +593,41 @@ def test_gopher_rules_flags_consistent_with_metrics_property(spark, docs):
         for name, want in flags.items():
             assert r[name] == int(want), (r, name)
         assert r["keep"] == int(all(flags.values()))
+
+
+def test_trigram_language_id_beats_stopword_tier_on_short_text(spark):
+    """VERDICT r3 #7 'done' condition: the trigram tier must (a) agree
+    with the stopword tier on ordinary sentences and (b) recover
+    languages on short/stopword-free text where the stopword tier
+    returns 'und' — affix/boundary trigrams fire on content words."""
+    from data_lake_skyfit_spark.llm.text import (
+        language_scores, language_scores_trigram,
+    )
+
+    cases = [
+        # ordinary sentences: both tiers should get these
+        (1, "the cat sat in the house and the dog is in the garden", "en"),
+        (2, "el perro y el gato que se ven en la casa de los vecinos", "es"),
+        (3, "le chien et le chat sont dans la maison de la ville", "fr"),
+        (4, "der hund und die katze sind von den leuten ein geschenk", "de"),
+        # short / stopword-free: no stopword fires, trigrams still do
+        (5, "running jumping thinking swimming", "en"),
+        (6, "wandern schwimmen sprechen verstehen", "de"),
+        (7, "informacion entendiendo quedamos", "es"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id long, text string"
+    )
+    stop = {r["doc_id"]: r["predicted_lang"] for r in language_scores(df).collect()}
+    tri = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_scores_trigram(df).collect()
+    }
+    truth = {i: lang for i, _, lang in cases}
+    acc_stop = sum(stop[i] == truth[i] for i in truth) / len(truth)
+    acc_tri = sum(tri[i] == truth[i] for i in truth) / len(truth)
+    # the stopword tier is blind on 5-7 by construction
+    assert all(stop[i] == "und" for i in (5, 6, 7))
+    assert all(tri[i] == truth[i] for i in (5, 6, 7)), tri
+    assert acc_tri > acc_stop
+    assert acc_tri == 1.0, tri
