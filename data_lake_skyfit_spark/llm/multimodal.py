@@ -14,15 +14,19 @@ a full marker parse + Huffman entropy decode + dequant + float64
 matrix IDCT + chroma upsample + JFIF YCbCr→RGB (r4), and RIFF/AVI
 video (uncompressed DIB frames) via chunk walking — with the kernels
 sniffing each payload's magic bytes (RIFF/WAVE, 'BM', \\x89PNG,
-GIF8xa, \\xff\\xd8\\xff, RIFF/'AVI ') and running actual byte-level
-header + sample/pixel/frame decoding. Formats that would still need
-PIL/librosa/av (progressive/arithmetic JPEG, MP3, MP4...) are NOT
-decodable in this image: with SKYFIT_FAKE_DECODE=1 (default in tests)
-unrecognized payloads take a deterministic fake path with the real
-schema and batch shape; otherwise they raise NotImplementedError
-naming the missing dependency. The Spark-side plumbing — schemas,
-partitioning, UDF signatures, batch iteration — is identical for both
-paths.
+GIF8xa, \\xff\\xd8\\xff, RIFF/'AVI ', ftyp, MP3 sync/ID3) and running
+actual byte-level header + sample/pixel/frame decoding. MP4 (ISO
+BMFF) and MP3 are handled at the CONTAINER/FRAME layer for real —
+box-tree + stts/stsc/stsz/stco sample resolution, MPEG-1 Layer III
+header walk with exact timing — while the codec payload inside
+(H.264, Layer III audio) stays opaque. Codec layers that would still
+need PIL/librosa/av (progressive/arithmetic JPEG, MP3 PCM, H.264...)
+are NOT decodable in this image: with SKYFIT_FAKE_DECODE=1 (default
+in tests) unrecognized payloads take a deterministic fake path with
+the real schema and batch shape; otherwise they raise
+NotImplementedError naming the missing dependency. The Spark-side
+plumbing — schemas, partitioning, UDF signatures, batch iteration —
+is identical for both paths.
 
 `synthesize_wav_payloads` / `synthesize_bmp_payloads` build real
 encoded media from an id column with documented closed-form content,
@@ -63,7 +67,9 @@ __all__ = [
     "encode_avi_dib",
     "encode_gif",
     "encode_jpeg",
+    "encode_mp4_frames",
     "synthesize_jpeg_payloads",
+    "synthesize_mp4_payloads",
     "synthesize_gif_payloads",
     "synthesize_wav_payloads",
     "synthesize_bmp_payloads",
@@ -1580,6 +1586,119 @@ def extract_embeddings(df: DataFrame, *, id_col: str = "doc_id", dims: int = 8) 
     return df.select(id_col, "payload").mapInPandas(kernel, schema)
 
 
+# ---------------------------------------------------------------------------
+# Real MPEG-1 Layer III (MP3) frame-header walk (r4)
+#
+# The FRAME layer is parsed for real — optional ID3v2 skip (syncsafe
+# size), per-frame 4-byte header validation (sync/version/layer),
+# bitrate + samplerate table lookup, padding-aware frame-size stepping —
+# which yields exact sample counts and duration (what ffprobe reports
+# without decoding). The audio PAYLOAD inside each frame stays opaque:
+# actual PCM needs the Layer III Huffman + IMDCT chain (librosa/mad by
+# definition), so sample_sum/rms are null for MP3 rows.
+# ---------------------------------------------------------------------------
+
+#: MPEG-1 Layer III bitrate table (kbps), index 1..14.
+MP3_BITRATES = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+#: MPEG-1 samplerate table, index 0..2.
+MP3_RATES = (44100, 48000, 32000)
+MP3_SAMPLES_PER_FRAME = 1152
+
+
+def _looks_like_mp3(data: bytes) -> bool:
+    if data[:3] == b"ID3":
+        return True
+    return len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+
+
+def encode_mp3_frames(frame_specs: list[tuple[int, int, int]]) -> bytes:
+    """REAL MPEG-1 Layer III frame sequence (VBR-capable): one
+    (bitrate_index, samplerate_index, padding) spec per frame; payload
+    bytes are a deterministic ramp. frame_size = 144000·kbps//sr +
+    padding per the spec formula."""
+    out = bytearray()
+    for bi, si, pad in frame_specs:
+        if not (1 <= bi <= 14) or not (0 <= si <= 2) or pad not in (0, 1):
+            raise ValueError("mp3: bad frame spec")
+        hdr = bytes(
+            [0xFF, 0xFB, (bi << 4) | (si << 2) | (pad << 1), 0b11000100]
+        )
+        size = 144000 * MP3_BITRATES[bi] // MP3_RATES[si] + pad
+        body = bytes((7 * i) % 256 for i in range(size - 4))
+        out += hdr + body
+    return bytes(out)
+
+
+def _mp3_frames(data: bytes) -> tuple[int, list[int]]:
+    """(samplerate, per-frame bitrates kbps) from a real header walk.
+    Rejects non-MPEG1-LayerIII streams and mid-stream rate changes
+    (a real file has one samplerate; VBR bitrate is fine)."""
+    pos = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise ValueError("mp3: truncated ID3v2 header")
+        ss = data[6:10]
+        if any(b & 0x80 for b in ss):
+            raise ValueError("mp3: bad syncsafe size")
+        pos = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    sr = None
+    bitrates: list[int] = []
+    while pos + 4 <= len(data):
+        b0, b1, b2, _b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError("mp3: lost frame sync")
+        if (b1 >> 3) & 3 != 3 or (b1 >> 1) & 3 != 1:
+            raise ValueError("mp3: only MPEG-1 Layer III supported")
+        bi, si, pad = b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1
+        if bi in (0, 15) or si == 3:
+            raise ValueError("mp3: free-format/bad bitrate or samplerate")
+        rate = MP3_RATES[si]
+        if sr is None:
+            sr = rate
+        elif sr != rate:
+            raise ValueError("mp3: samplerate change mid-stream")
+        bitrates.append(MP3_BITRATES[bi])
+        pos += 144000 * MP3_BITRATES[bi] // rate + pad
+    if pos != len(data) or sr is None or not bitrates:
+        raise ValueError("mp3: truncated final frame")
+    return sr, bitrates
+
+
+def _decode_mp3(data: bytes) -> tuple[int, int, int, None, None]:
+    """decode_audio's MP3 leg: exact (sample_rate, n_samples,
+    duration_ms) from the frame walk; sample_sum/rms are null (the
+    payload needs a Layer III decoder)."""
+    sr, bitrates = _mp3_frames(data)
+    n = len(bitrates) * MP3_SAMPLES_PER_FRAME
+    return sr, n, n * 1000 // sr, None, None
+
+
+def synthesize_mp3_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL MPEG-1 Layer III frame sequence, deterministic closed
+    form. Per id: samplerate index id % 3, nf = 4 + id % 9 frames,
+    frame i at bitrate index 1 + (id + i) % 14 with padding (id + i) % 2
+    — a VBR stream whose frame-size stepping the walker must get
+    exactly right to land on every sync word."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_mp3_frames(
+                    [
+                        (1 + (rid + i) % 14, rid % 3, (rid + i) % 2)
+                        for i in range(4 + rid % 9)
+                    ]
+                )
+                for rid in (int(v) for v in pdf[id_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def decode_audio(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """payload → (id, sample_rate, n_samples, duration_ms, sample_sum,
     rms) via Arrow-batched mapInPandas. RIFF/WAVE payloads are decoded
@@ -1599,13 +1718,18 @@ def decode_audio(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def one(b) -> tuple[int, int, int, int | None, float]:
+        def one(b) -> tuple[int, int, int, int | None, float | None]:
             data = bytes(b)
             if _looks_like_wav(data):
                 try:
                     return _decode_wav(data)
                 except (ValueError, struct.error, wave.Error, EOFError):
                     pass  # RIFF-prefixed non-WAV bytes: fake path below
+            if _looks_like_mp3(data):
+                try:
+                    return _decode_mp3(data)
+                except (ValueError, struct.error, IndexError):
+                    pass  # sync-prefixed non-MP3 bytes: fake path below
             _require_codec("soundfile")
             d = hashlib.md5(data).digest()
             sr = WAV_RATES[d[3] % len(WAV_RATES)]
@@ -1621,7 +1745,9 @@ def decode_audio(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                     "n_samples": pd.array([d[1] for d in decoded], dtype="int64"),
                     "duration_ms": pd.array([d[2] for d in decoded], dtype="int64"),
                     "sample_sum": pd.array([d[3] for d in decoded], dtype="Int64"),
-                    "rms": pd.array([d[4] for d in decoded], dtype="float64"),
+                    # nullable Float64: MP3 rows carry NULL rms (header
+                    # walk yields timing, not samples), never NaN
+                    "rms": pd.array([d[4] for d in decoded], dtype="Float64"),
                 }
             )
 
@@ -1909,6 +2035,265 @@ def synthesize_avi_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Real ISO BMFF (MP4) container: box writer + sample-table walker (r4)
+#
+# The CONTAINER layer is parsed for real — nested box walk, mdhd
+# timescale, stts decode deltas, stsc chunk-run resolution, stsz sample
+# sizes, stco/co64 chunk offsets, samples sliced out of mdat by absolute
+# file offset (exactly what ffprobe does to enumerate samples). The
+# codec payload INSIDE each sample stays opaque (decoding H.264 et al
+# needs pyav by definition); fixtures carry deterministic ASCII sample
+# bytes so oracles md5 the same strings in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _looks_like_mp4(data: bytes) -> bool:
+    return len(data) >= 12 and data[4:8] == b"ftyp"
+
+
+def _mp4_box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _mp4_full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _mp4_box(fourcc, struct.pack(">B", version) + flags.to_bytes(3, "big") + payload)
+
+
+def encode_mp4_frames(
+    frames: list[bytes], *, frame_duration_ms: int = 500, timescale: int = 1000
+) -> bytes:
+    """REAL minimal ISO BMFF writer: ftyp + mdat + moov with one video
+    trak whose sample tables index the mdat payload — samples grouped
+    TWO PER CHUNK so stsc/stco resolution is non-trivial, per-sample
+    sizes in stsz (sample_size=0 ⇒ the table is authoritative), one
+    stts run. mdat precedes moov (real muxer layout: stco offsets are
+    absolute file offsets into mdat). The sample-entry fourcc is
+    'skyf' — a real container around an opaque codec, documented."""
+    n = len(frames)
+    if n == 0:
+        raise ValueError("mp4: need at least one frame")
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _mp4_box(b"mdat", b"".join(frames))
+    first_sample_off = len(ftyp) + 8
+    delta = frame_duration_ms * timescale // 1000
+    dur = n * delta
+
+    chunk_offsets = []
+    off = first_sample_off
+    for i in range(0, n, 2):
+        chunk_offsets.append(off)
+        off += sum(len(f) for f in frames[i : i + 2])
+
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, dur) + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 16 << 16, 16 << 16),
+    )
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, dur) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _mp4_full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"skyfit\x00")
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _mp4_full(b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b""))
+    dinf = _mp4_box(b"dinf", dref)
+    entry = _mp4_box(b"skyf", b"\x00" * 6 + struct.pack(">H", 1))
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc_entries = [(1, 2, 1)]
+    if n % 2 == 1:
+        stsc_entries.append((len(chunk_offsets), 1, 1))
+    stsc = _mp4_full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stsz = _mp4_full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _mp4_full(
+        b"stco", 0, 0,
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_walk(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for the box sequence
+    in data[start:end], handling 64-bit largesize and size-0 (to-end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        fourcc = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("mp4: bad box size")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _mp4_child(data: bytes, start: int, end: int, fourcc: bytes):
+    for fc, b, e in _mp4_walk(data, start, end):
+        if fc == fourcc:
+            return b, e
+    return None
+
+
+def _mp4_samples(data: bytes) -> tuple[int, list[int], list[tuple[int, int]]]:
+    """(timescale, per-sample decode deltas, [(abs_offset, size)]) from
+    the first video trak's sample tables — a REAL stts/stsc/stsz/stco
+    resolution, not a fixed-stride shortcut."""
+    if not _looks_like_mp4(data):
+        raise ValueError("mp4: no ftyp")
+    moov = _mp4_child(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("mp4: missing moov")
+    for fc, tb, te in _mp4_walk(data, *moov):
+        if fc != b"trak":
+            continue
+        mdia = _mp4_child(data, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(data, *mdia, b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _mp4_child(data, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("mp4: missing mdhd")
+        version = data[mdhd[0]]
+        timescale = struct.unpack_from(
+            ">I", data, mdhd[0] + (20 if version == 1 else 12)
+        )[0]
+        minf = _mp4_child(data, *mdia, b"minf")
+        stbl = _mp4_child(data, *minf, b"stbl") if minf else None
+        if stbl is None:
+            raise ValueError("mp4: missing stbl")
+        tables: dict[bytes, tuple[int, int]] = {}
+        for fc2, b2, e2 in _mp4_walk(data, *stbl):
+            tables[fc2] = (b2, e2)
+        for req in (b"stts", b"stsc", b"stsz"):
+            if req not in tables:
+                raise ValueError(f"mp4: missing {req.decode()}")
+        if b"stco" not in tables and b"co64" not in tables:
+            raise ValueError("mp4: missing stco/co64")
+
+        p = tables[b"stts"][0] + 4
+        (n_runs,) = struct.unpack_from(">I", data, p)
+        deltas: list[int] = []
+        for i in range(n_runs):
+            cnt, dl = struct.unpack_from(">II", data, p + 4 + 8 * i)
+            deltas.extend([dl] * cnt)
+
+        p = tables[b"stsz"][0] + 4
+        fixed, n = struct.unpack_from(">II", data, p)
+        sizes = (
+            [fixed] * n
+            if fixed
+            else list(struct.unpack_from(f">{n}I", data, p + 8))
+        )
+
+        if b"stco" in tables:
+            p = tables[b"stco"][0] + 4
+            (nc,) = struct.unpack_from(">I", data, p)
+            offsets = list(struct.unpack_from(f">{nc}I", data, p + 4))
+        else:
+            p = tables[b"co64"][0] + 4
+            (nc,) = struct.unpack_from(">I", data, p)
+            offsets = list(struct.unpack_from(f">{nc}Q", data, p + 4))
+
+        p = tables[b"stsc"][0] + 4
+        (ne,) = struct.unpack_from(">I", data, p)
+        runs = [struct.unpack_from(">III", data, p + 4 + 12 * i) for i in range(ne)]
+
+        samples: list[tuple[int, int]] = []
+        si = 0
+        for ri, (first_chunk, per_chunk, _desc) in enumerate(runs):
+            last_chunk = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else nc
+            for ci in range(first_chunk - 1, last_chunk):
+                off = offsets[ci]
+                for _ in range(per_chunk):
+                    if si >= n:
+                        break
+                    samples.append((off, sizes[si]))
+                    off += sizes[si]
+                    si += 1
+        if si != n:
+            raise ValueError("mp4: stsc/stsz sample count mismatch")
+        return timescale, deltas[:n], samples
+    raise ValueError("mp4: no video trak")
+
+
+def _decode_mp4_frames(data: bytes, every_ms: int):
+    """Sample one frame per `every_ms` of stream time from a real box
+    walk (_mp4_samples). Returns [(frame_idx, ts_ms, frame_md5)] —
+    the sample bytes are sliced from mdat by stco/stsz offsets."""
+    timescale, deltas, samples = _mp4_samples(data)
+    if not timescale:
+        raise ValueError("mp4: zero timescale")
+    out = []
+    t = 0
+    next_emit = 0
+    for i, ((off, size), delta) in enumerate(zip(samples, deltas)):
+        ts_ms = t * 1000 // timescale
+        if ts_ms >= next_emit:
+            out.append((i, ts_ms, hashlib.md5(data[off : off + size]).hexdigest()))
+            next_emit += every_ms
+        t += delta
+    return out
+
+
+def synthesize_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL ISO BMFF payload, deterministic closed form. Per id:
+    nf = 3 + id % 6 frames at 2 fps (500 ms deltas, timescale 1000);
+    frame i carries size_i = 24 + 8·(i % 3) bytes of the ASCII pattern
+    'doc<id>f<i>x' repeated/truncated — so a SQL oracle rebuilds every
+    sampled frame's md5, while the bytes live behind a real
+    stts/stsc/stsz/stco resolution with varying per-sample sizes and
+    two-sample chunks."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def frame_bytes(rid: int, i: int) -> bytes:
+        size = 24 + 8 * (i % 3)
+        pat = f"doc{rid}f{i}x".encode()
+        return (pat * (size // len(pat) + 1))[:size]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_mp4_frames(
+                    [frame_bytes(rid, i) for i in range(3 + rid % 6)]
+                )
+                for rid in (int(v) for v in pdf[id_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def sample_video_frames(
     df: DataFrame, *, id_col: str = "doc_id", every_ms: int = 1000
 ) -> DataFrame:
@@ -1934,6 +2319,11 @@ def sample_video_frames(
                     return _decode_avi_frames(data, every_ms)
                 except (ValueError, struct.error, IndexError):
                     pass  # RIFF-prefixed non-AVI bytes: fake path below
+            if _looks_like_mp4(data):
+                try:
+                    return _decode_mp4_frames(data, every_ms)
+                except (ValueError, struct.error, IndexError):
+                    pass  # ftyp-prefixed non-BMFF bytes: fake path below
             _require_codec("av")
             # Fake frame hash chains through the ASCII content hash so
             # it stays reproducible as plain-string SQL:

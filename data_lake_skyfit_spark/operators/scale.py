@@ -22,6 +22,7 @@ itself:
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -33,7 +34,70 @@ __all__ = [
     "ordered_running_sum",
     "dense_index",
     "with_zorder",
+    "inflate_documents",
+    "inflate_embeddings",
 ]
+
+_ID_STRIDE = 1 << 40  # copy i shifts ids by i·stride: disjoint, order-safe
+
+
+def inflate_documents(
+    df, factor: int, *, id_col: str = "doc_id", text_col: str = "text"
+):
+    """×`factor` corpus inflation for scale-curve measurement (VERDICT
+    r3 #3): copy i shifts ids by i·2^40 and CAESAR-ROTATES the text's
+    letters by i, so copies share (essentially) no shingles — each copy
+    reproduces the ORIGINAL corpus's internal near-dup structure under a
+    disjoint token alphabet instead of multiplying it. Wall-time curves
+    over the inflated corpus therefore measure how an operator scales
+    with CORPUS SIZE at constant dup density, which is the 100 TB
+    question; injecting verbatim copies would instead grow the pair
+    output quadratically in `factor` and measure output size. Rotation
+    alone has period 26 (copies i and i+26 would be verbatim twins —
+    the first ×64 run measured exactly that explosion), so copies 26-51
+    additionally REVERSE the text and copies 52-77 reverse AND swap
+    case: 78 mutually shingle-disjoint transforms. Pure codegen map
+    (translate/reverse), no shuffle."""
+    if factor > 78:
+        raise ValueError("inflate_documents supports factors up to 78")
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    copies = []
+    for i in range(factor):
+        rl = lower[i % 26:] + lower[: i % 26]
+        ru = upper[i % 26:] + upper[: i % 26]
+        tier = i // 26
+        dst = ru + rl if tier == 2 else rl + ru  # tier 2: case swap too
+        text = F.translate(F.col(text_col), lower + upper, dst)
+        if tier >= 1:
+            text = F.reverse(text)
+        copies.append(
+            df.select(
+                (F.col(id_col) + F.lit(i * _ID_STRIDE)).alias(id_col),
+                text.alias(text_col),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), copies)
+
+
+def inflate_embeddings(
+    df, factor: int, *, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """×`factor` embedding-corpus inflation: copy i shifts ids by
+    i·2^40 and offsets every component by 0.0017·i — distinct vectors
+    with the original corpus's neighborhood structure repeated, not
+    128k exact duplicates collapsing into degenerate top-k ties."""
+    copies = []
+    for i in range(factor):
+        copies.append(
+            df.select(
+                (F.col(id_col) + F.lit(i * _ID_STRIDE)).alias(id_col),
+                F.transform(
+                    F.col(vec_col), lambda x, i=i: x + F.lit(0.0017 * i)
+                ).alias(vec_col),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), copies)
 
 
 def salted_join(

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Scale-curve harness (VERDICT r3 next #3): measure how the heavy
+LLM-pipeline operators scale with corpus size, past the fixed per-query
+job overhead that dominates sf0.1 battery timings.
+
+Method: inflate documents/embeddings ×1/×8/×64 with
+operators.scale.inflate_documents / inflate_embeddings (copy i
+Caesar-rotates text / offsets vectors, so the inflation multiplies
+CORPUS SIZE at constant near-dup density rather than multiplying the
+pair output), MATERIALIZE each inflated corpus to parquet first (the
+op timing excludes inflation and scans real files), then wall-time:
+
+- dedup_minhash_lsh      minhash_lsh_pairs(...).count()
+- dedup_cluster_resolution  connected_components(pairs).count()
+- curation_pipeline      curate_corpus(train, eval).count()
+- ann_knn_join           knn_join(...).count()  (num_blocks sized so a
+                         block pair fits a task — the documented knob)
+
+Usage: python scale_curve.py [--factors 1,8,64] [--ops lsh,cc,cur,knn]
+Writes one JSON line per (op, factor) and a final markdown table for
+SCALING.md. Run it alone (it owns the 32 cores, like bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+WORK = os.environ.get("SKYFIT_SCALE_DIR", "/tmp/skyfit_scale_curve")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,8,64")
+    ap.add_argument("--ops", default="lsh,cc,cur,knn")
+    args = ap.parse_args()
+    factors = [int(f) for f in args.factors.split(",")]
+    ops = args.ops.split(",")
+
+    from pyspark.sql import SparkSession
+
+    from data_lake_skyfit_spark.llm.curation import curate_corpus
+    from data_lake_skyfit_spark.llm.dedup import (
+        connected_components, minhash_lsh_pairs,
+    )
+    from data_lake_skyfit_spark.llm.similarity import knn_join
+    from data_lake_skyfit_spark.operators.scale import (
+        inflate_documents, inflate_embeddings,
+    )
+    from data_lake_skyfit_spark.tables import load_table
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    embs = load_table(spark, SF_DIR, "embeddings")
+
+    def materialize(df, name: str, factor: int) -> str:
+        path = os.path.join(WORK, f"{name}_x{factor}.parquet")
+        if not os.path.isdir(path):
+            df.write.mode("overwrite").parquet(path)
+        return path
+
+    # num_blocks sized so one block pair (2·n/nb vectors) stays a sane
+    # task: ~2k vectors/block at every factor — the production knob the
+    # operator documents (per-task memory is two blocks).
+    def knn_blocks(n: int) -> int:
+        return max(2, -(-n // 2000))
+
+    results = []
+    rows = {}
+    # Untimed warmup at the smallest factor: whole-stage-codegen compile
+    # and scan/JVM warmup otherwise land entirely on the ×1 point and
+    # flatten the curve's low end.
+    wf = factors[0]
+    wd = spark.read.parquet(materialize(inflate_documents(docs, wf), "documents", wf))
+    we = spark.read.parquet(materialize(inflate_embeddings(embs, wf), "embeddings", wf))
+    if "lsh" in ops or "cc" in ops:
+        minhash_lsh_pairs(wd, threshold=0.8).count()
+    if "cur" in ops:
+        curate_corpus(
+            wd, eval_df=wd.filter("doc_id % 101 = 7").selectExpr(
+                "doc_id + 900000000000000 AS doc_id", "text"
+            )
+        ).count()
+    if "knn" in ops:
+        knn_join(we, k=3, num_blocks=knn_blocks(we.count())).count()
+
+    for factor in factors:
+        dpath = materialize(inflate_documents(docs, factor), "documents", factor)
+        epath = materialize(inflate_embeddings(embs, factor), "embeddings", factor)
+        d = spark.read.parquet(dpath)
+        e = spark.read.parquet(epath)
+        n_docs, n_vecs = d.count(), e.count()
+        rows[factor] = (n_docs, n_vecs)
+
+        def timed(op: str, thunk) -> None:
+            t0 = time.time()
+            out_n = thunk()
+            dt = round(time.time() - t0, 2)
+            rec = {
+                "op": op, "factor": factor, "rows_in": n_docs,
+                "vecs_in": n_vecs, "out_rows": out_n, "sec": dt,
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+
+        if "lsh" in ops:
+            timed("dedup_minhash_lsh", lambda: minhash_lsh_pairs(d, threshold=0.8).count())
+        if "cc" in ops:
+            timed(
+                "dedup_cluster_resolution",
+                lambda: connected_components(
+                    minhash_lsh_pairs(d, threshold=0.8)
+                ).count(),
+            )
+        if "cur" in ops:
+            ev = d.filter("doc_id % 101 = 7").selectExpr(
+                "doc_id + 900000000000000 AS doc_id", "text"
+            )
+            timed("curation_pipeline", lambda: curate_corpus(d, eval_df=ev).count())
+        if "knn" in ops:
+            timed(
+                "ann_knn_join",
+                lambda: knn_join(e, k=3, num_blocks=knn_blocks(n_vecs)).count(),
+            )
+        spark.catalog.clearCache()
+
+    print("\n| op | " + " | ".join(f"×{f} ({rows[f][0]} docs / {rows[f][1]} vecs)" for f in factors) + " |")
+    print("|---|" + "---|" * len(factors))
+    for op in dict.fromkeys(r["op"] for r in results):
+        cells = []
+        base = None
+        for f in factors:
+            rec = next((r for r in results if r["op"] == op and r["factor"] == f), None)
+            if rec is None:
+                cells.append("—")
+                continue
+            if base is None:
+                base = rec["sec"]
+                cells.append(f"{rec['sec']} s")
+            else:
+                cells.append(f"{rec['sec']} s ({rec['sec'] / base:.1f}×)")
+        print(f"| {op} | " + " | ".join(cells) + " |")
+
+
+if __name__ == "__main__":
+    if "--clean" in sys.argv:
+        shutil.rmtree(WORK, ignore_errors=True)
+        sys.argv.remove("--clean")
+    main()

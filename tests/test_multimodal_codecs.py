@@ -823,3 +823,91 @@ def test_jpeg_encoder_byte_golden():
     )
     assert hashlib.md5(gray).hexdigest() == "d40d1e31d98ddb0586b2ebee3f8cbaaf"
     assert hashlib.md5(color).hexdigest() == "c23869ea7e24bc6eabfc379d32993f8e"
+
+
+# ---------------------------------------------------------------------------
+# ISO BMFF (MP4) container walk + MPEG-1 Layer III header walk (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_sample_tables_roundtrip_varying_sizes():
+    """The walker must resolve stts/stsc/stsz/stco for real: varying
+    per-sample sizes, two-sample chunks with a one-sample tail, sample
+    bytes sliced from mdat by absolute offset."""
+    from data_lake_skyfit_spark.llm.multimodal import _mp4_samples, encode_mp4_frames
+
+    frames = [bytes([i]) * (10 + 7 * i) for i in range(5)]  # odd count
+    data = encode_mp4_frames(frames, frame_duration_ms=250, timescale=90000)
+    ts, deltas, samples = _mp4_samples(data)
+    assert ts == 90000 and deltas == [250 * 90000 // 1000] * 5
+    assert [s for _, s in samples] == [len(f) for f in frames]
+    assert [data[o : o + s] for o, s in samples] == frames
+
+
+def test_mp4_frame_sampling_matches_avi_contract(spark):
+    """sample_video_frames over MP4 must emit the same (frame_idx,
+    ts_ms, md5-of-actual-bytes) contract as the AVI leg, and
+    ftyp-prefixed garbage must fall to the fake path."""
+    import hashlib
+
+    from data_lake_skyfit_spark.llm.multimodal import (
+        encode_mp4_frames, sample_video_frames,
+    )
+
+    frames = [f"frame{i}".encode() * 3 for i in range(4)]
+    good = encode_mp4_frames(frames)  # 500 ms deltas
+    garbage = b"\x00\x00\x00\x14ftyp" + b"junk" * 10
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(garbage))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_video_frames(df, every_ms=1000).collect()
+    got = {(r["doc_id"], r["frame_idx"]): (r["ts_ms"], r["frame_md5"]) for r in rows}
+    assert got[(1, 0)] == (0, hashlib.md5(frames[0]).hexdigest())
+    assert got[(1, 2)] == (1000, hashlib.md5(frames[2]).hexdigest())
+    assert (1, 1) not in got and (1, 3) not in got
+    assert any(k[0] == 2 for k in got)  # fake path produced rows
+
+
+def test_mp3_vbr_walk_and_id3_skip():
+    """Frame stepping must land on every sync word across varying
+    bitrate/padding (VBR), skip ID3v2 via the syncsafe size, and reject
+    truncation and mid-stream samplerate changes."""
+    import pytest as _pytest
+
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _mp3_frames, encode_mp3_frames,
+    )
+
+    specs = [(1 + (i * 5) % 14, 2, i % 2) for i in range(7)]
+    data = encode_mp3_frames(specs)
+    sr, brs = _mp3_frames(data)
+    assert sr == 32000 and len(brs) == 7
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 1, 3]) + bytes(131)
+    sr2, brs2 = _mp3_frames(id3 + data)
+    assert (sr2, brs2) == (sr, brs)
+    with _pytest.raises(ValueError):
+        _mp3_frames(data[:-1])
+    mixed = encode_mp3_frames([(5, 0, 0)]) + encode_mp3_frames([(5, 1, 0)])
+    with _pytest.raises(ValueError):
+        _mp3_frames(mixed)
+
+
+def test_mp3_decode_audio_null_samples_real_timing(spark):
+    """decode_audio MP3 rows: exact header-derived timing, NULL (not
+    NaN) sample_sum/rms; WAV rows in the same batch keep real stats."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        decode_audio, encode_mp3_frames, encode_wav_pcm16,
+    )
+
+    mp3 = encode_mp3_frames([(9, 1, 0)] * 3)  # 48 kHz, 3 frames
+    wav = encode_wav_pcm16(8000, [100, -100, 100, -100])
+    df = spark.createDataFrame(
+        [(1, bytearray(mp3)), (2, bytearray(wav))], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in decode_audio(df).collect()}
+    assert rows[1]["sample_rate"] == 48000
+    assert rows[1]["n_samples"] == 3 * 1152
+    assert rows[1]["duration_ms"] == 3 * 1152 * 1000 // 48000
+    assert rows[1]["sample_sum"] is None and rows[1]["rms"] is None
+    assert rows[2]["sample_sum"] == 0 and rows[2]["rms"] == 100.0

@@ -186,3 +186,35 @@ def test_file_pruned_merge_probe_broadcasts_ranges(spark, tmp_path):
     plan = _physical(probe)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_trigram_language_id_is_shuffle_free_map(spark, sf_dir, qreg):
+    """The trigram scorer must stay a pure codegen scalar map: no
+    Exchange anywhere — per-doc replace-counts, cosine and argmax all
+    compute in one scan pipeline (scan-speed at 100 TB)."""
+    plan = _physical(qreg["text_language_id_trigram"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_versioned_diff_is_single_outer_join(spark, sf_dir, tmp_path):
+    """VersionedParquetTable.diff must be ONE full-outer hash join on
+    the key — never a window or an interval product; the manifest reads
+    feed it directly."""
+    from pyspark.sql import functions as F
+
+    from data_lake_skyfit_spark.operators.versioned import VersionedParquetTable
+    from data_lake_skyfit_spark.tables import load_table
+
+    t = VersionedParquetTable(path=str(tmp_path / "vt"), key=("event_id",))
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("value").cast("double").alias("value")
+    ).filter(F.col("event_id") < 2000)
+    v0 = t.overwrite(base)
+    v1 = t.merge(base.withColumn("value", F.col("value") * 2).filter(
+        F.col("event_id") % 3 == 0
+    ))
+    plan = _physical(t.diff(spark, v0, v1, compare_cols=("value",)))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "FullOuter" in plan
+    assert "Window" not in plan and "Cartesian" not in plan

@@ -147,3 +147,50 @@ def test_salted_join_zipf_stress_splits_straggler(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_inflate_documents_preserves_dup_density(spark):
+    """inflate_documents multiplies corpus SIZE, not near-dup structure:
+    the LSH pair count scales exactly ×factor (each Caesar-rotated copy
+    reproduces the original corpus's internal pairs under a disjoint
+    shingle alphabet, no cross-copy pairs)."""
+    from data_lake_skyfit_spark.llm.dedup import minhash_lsh_pairs
+    from data_lake_skyfit_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    base = minhash_lsh_pairs(docs, threshold=0.8).count()
+    x4 = minhash_lsh_pairs(
+        scale.inflate_documents(docs, 4), threshold=0.8
+    ).count()
+    assert base > 0
+    assert x4 == 4 * base
+
+
+def test_lsh_scale_curve_x8_is_subquadratic(spark):
+    """VERDICT r3 #3 'done' condition: the ×8 wall-time point of the
+    MinHash-LSH path must stay well under 12× the ×1 point (quadratic
+    scaling would be ≥64×). Both points timed after an untimed warmup
+    so codegen compile doesn't inflate ×1; generous bound — this pins
+    the complexity class, not the scheduler's mood."""
+    import time
+
+    from data_lake_skyfit_spark.llm.dedup import minhash_lsh_pairs
+    from data_lake_skyfit_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    d1 = docs.localCheckpoint()  # materialized: timing excludes the scan
+    d8 = scale.inflate_documents(docs, 8).localCheckpoint()
+    minhash_lsh_pairs(d1, threshold=0.8).count()  # warmup (compile)
+
+    t0 = time.time()
+    n1 = minhash_lsh_pairs(d1, threshold=0.8).count()
+    t1 = time.time() - t0
+    t0 = time.time()
+    n8 = minhash_lsh_pairs(d8, threshold=0.8).count()
+    t8 = time.time() - t0
+    assert n8 == 8 * n1
+    assert t8 < 12 * max(t1, 0.5), f"x8 {t8:.2f}s vs x1 {t1:.2f}s"
