@@ -164,11 +164,16 @@ def _looks_like_avi(data: bytes) -> bool:
     return len(data) >= 24 and data[:4] == b"RIFF" and data[8:12] == b"AVI "
 
 
-def encode_wav_pcm16(sample_rate: int, samples: list[int]) -> bytes:
-    """Encode signed 16-bit mono PCM into a real RIFF/WAVE container."""
+def encode_wav_pcm16(
+    sample_rate: int, samples: list[int], *, n_channels: int = 1
+) -> bytes:
+    """Encode signed 16-bit PCM into a real RIFF/WAVE container; for
+    n_channels > 1 `samples` is frame-major interleaved (L0 R0 L1 R1…)."""
+    if n_channels < 1 or len(samples) % n_channels:
+        raise ValueError("wav: samples must be a whole number of frames")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
+        w.setnchannels(n_channels)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
         w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
@@ -1511,23 +1516,24 @@ def extract_embeddings(df: DataFrame, *, id_col: str = "doc_id", dims: int = 8) 
                 import numpy as np
 
                 sr, nf, nch, samples = _wav_samples(data)
-                # Mono only: on interleaved multichannel PCM the
-                # adjacent-sample zero-crossing count would compare
-                # ACROSS channels (L[i] vs R[i]) and be meaningless
-                # (code-review r3) — stereo falls through to the fake
-                # path until a per-channel de-interleave is warranted.
-                if nch == 1 and len(samples):
+                # Interleaved multichannel PCM is DE-INTERLEAVED first
+                # (closes the code-review-r3 gap that sent stereo to the
+                # fake path): sum/rms/min/max are channel-order-free, and
+                # zero crossings count per channel then pool — never
+                # comparing L[i] against R[i].
+                if nch >= 1 and len(samples):
                     s = np.asarray(samples, dtype=np.int64)
                     ssum, ssq = int(s.sum()), int((s * s).sum())
-                    # strict sign changes between adjacent samples
-                    zc = int((s[:-1] * s[1:] < 0).sum())
+                    ch = s.reshape(-1, nch)  # frame-major → per-channel cols
+                    zc = int(((ch[:-1] * ch[1:]) < 0).sum())
+                    n_adj = (len(ch) - 1) * nch
                     return [
                         float(sr),
                         float(len(s)),
                         float(nf * 1000 // sr),
                         ssum / len(s),
                         math.sqrt(ssq / len(s)),
-                        (zc / (len(s) - 1)) if len(s) > 1 else 0.0,
+                        (zc / n_adj) if n_adj > 0 else 0.0,
                         float(s.min()),
                         float(s.max()),
                     ]

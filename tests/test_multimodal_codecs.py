@@ -911,3 +911,24 @@ def test_mp3_decode_audio_null_samples_real_timing(spark):
     assert rows[1]["duration_ms"] == 3 * 1152 * 1000 // 48000
     assert rows[1]["sample_sum"] is None and rows[1]["rms"] is None
     assert rows[2]["sample_sum"] == 0 and rows[2]["rms"] == 100.0
+
+
+def test_extract_embeddings_stereo_deinterleaves(spark):
+    """Stereo PCM features (r4, closes the code-review-r3 gap): zero
+    crossings count PER CHANNEL after de-interleave — L = +1/-1
+    alternating (3 crossings over 4 frames), R = constant +5 (0
+    crossings) → rate 3/6; interleaved adjacent compare would see sign
+    flips at every L→R boundary instead."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        encode_wav_pcm16, extract_embeddings,
+    )
+
+    frames = [1, 5, -1, 5, 1, 5, -1, 5]  # L0 R0 L1 R1 L2 R2 L3 R3
+    payload = encode_wav_pcm16(8000, frames, n_channels=2)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    f = extract_embeddings(df).collect()[0]["features"]
+    assert f[0] == 8000.0 and f[1] == 8.0  # rate, total samples
+    assert f[3] == sum(frames) / 8
+    assert f[4] == math.sqrt(sum(x * x for x in frames) / 8)
+    assert f[5] == 3 / 6  # per-channel crossings / per-channel adjacents
+    assert (f[6], f[7]) == (-1.0, 5.0)
