@@ -15,12 +15,14 @@ matrix IDCT + chroma upsample + JFIF YCbCr→RGB (r4), and RIFF/AVI
 video (uncompressed DIB frames) via chunk walking — with the kernels
 sniffing each payload's magic bytes (RIFF/WAVE, 'BM', \\x89PNG,
 GIF8xa, \\xff\\xd8\\xff, RIFF/'AVI ', ftyp, MP3 sync/ID3) and running
-actual byte-level header + sample/pixel/frame decoding. MP4 (ISO
-BMFF) and MP3 are handled at the CONTAINER/FRAME layer for real —
-box-tree + stts/stsc/stsz/stco sample resolution, MPEG-1 Layer III
-header walk with exact timing — while the codec payload inside
-(H.264, Layer III audio) stays opaque. Codec layers that would still
-need PIL/librosa/av (progressive/arithmetic JPEG, MP3 PCM, H.264...)
+actual byte-level header + sample/pixel/frame decoding. JPEG covers
+BOTH baseline and progressive (SOF2 spectral selection + successive
+approximation with EOBRUN/correction bits). MP4 (ISO BMFF) and MP3
+are handled at the CONTAINER/FRAME layer for real — box-tree +
+stts/stsc/stsz/stco sample resolution, MPEG-1 Layer III header walk
+with exact timing — while the codec payload inside (H.264, Layer III
+audio) stays opaque. Codec layers that would still need
+PIL/librosa/av (arithmetic/lossless JPEG, MP3 PCM, H.264...)
 are NOT decodable in this image: with SKYFIT_FAKE_DECODE=1 (default
 in tests) unrecognized payloads take a deterministic fake path with
 the real schema and batch shape; otherwise they raise
@@ -67,6 +69,7 @@ __all__ = [
     "encode_avi_dib",
     "encode_gif",
     "encode_jpeg",
+    "encode_jpeg_progressive",
     "encode_mp4_frames",
     "synthesize_jpeg_payloads",
     "synthesize_mp4_payloads",
@@ -758,6 +761,17 @@ _JPEG_AC_CHROMA = (
     ),
 )
 
+#: AC table for PROGRESSIVE scans: Annex K AC tables carry no EOBn
+#: symbols (EOB1..EOB14 exist only in progressive streams — libjpeg
+#: forces per-file optimized tables there). This fixed, spec-valid
+#: canonical table covers ALL 256 (run,size) symbols — 254 codes of
+#: length 8 + 2 of length 9 (Kraft 0.996 < 1) — and rides in the DHT
+#: like any other table, so the decoder stays table-agnostic.
+_JPEG_AC_PROG = (
+    (0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(256)),
+)
+
 _JPEG_COS = None
 
 
@@ -1055,11 +1069,426 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _jpeg_quantized_components(
+    width: int,
+    height: int,
+    y_pixel,
+    *,
+    color: bool,
+    subsample: bool,
+    cb: int,
+    cr: int,
+):
+    """Quantized coefficient arrays for every component — the shared
+    front half of both encoders: level shift → float64 forward DCT →
+    floor(x/q + 0.5). Returns [(bh, bw, 64) int64 natural-order]."""
+    import numpy as np
+
+    m = _jpeg_cos()
+    qt_l = np.array(_JPEG_QT_LUMA, dtype=np.float64).reshape(8, 8)
+    qt_c = np.array(_JPEG_QT_CHROMA, dtype=np.float64).reshape(8, 8)
+
+    def quantized(block_f64, qt):
+        coef = m @ (block_f64 - 128.0) @ m.T
+        return np.floor(coef / qt + 0.5).astype(np.int64).reshape(64)
+
+    y_plane = np.array(
+        [[y_pixel(x, y) for x in range(width)] for y in range(height)],
+        dtype=np.float64,
+    )
+    bw_y, bh_y = width // 8, height // 8
+    y_blocks = np.zeros((bh_y, bw_y, 64), dtype=np.int64)
+    for by in range(bh_y):
+        for bx in range(bw_y):
+            y_blocks[by, bx] = quantized(
+                y_plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qt_l
+            )
+    if not color:
+        return [y_blocks]
+    cw = width // 2 if subsample else width
+    chh = height // 2 if subsample else height
+    cb_q = quantized(np.full((8, 8), float(cb)), qt_c)
+    cr_q = quantized(np.full((8, 8), float(cr)), qt_c)
+    cb_blocks = np.tile(cb_q, (chh // 8, cw // 8, 1))
+    cr_blocks = np.tile(cr_q, (chh // 8, cw // 8, 1))
+    return [y_blocks, cb_blocks, cr_blocks]
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    y_pixel,
+    *,
+    color: bool = False,
+    subsample: bool = False,
+    cb: int = 128,
+    cr: int = 128,
+    scans: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
+) -> bytes:
+    """REAL progressive JFIF encoder (SOF2): the same quantized
+    coefficients as `encode_jpeg`, delivered across a scan script of
+    spectral-selection + successive-approximation scans — interleaved
+    DC first at Al=1, raw-bit DC refinement, per-component AC first
+    scans with cross-block EOBRUN folding, and per-component AC
+    refinement scans emitting newly-significant (r,1) symbols with
+    buffered correction bits (the T.81 G encode discipline, libjpeg's
+    encode_mcu_AC_refine shape). A progressive decode therefore
+    reconstructs the EXACT same coefficients as the baseline encoding
+    of the same image — pinned by the equivalence property test.
+
+    `scans` entries are (component_indices, Ss, Se, Ah, Al); the
+    default script is DC(0,0,0,1) all comps → DC(0,0,1,0) refine →
+    AC(1,63,0,1) per comp → AC(1,63,1,0) refine per comp."""
+    mcu = 16 if (color and subsample) else 8
+    if width <= 0 or height <= 0 or width % mcu or height % mcu:
+        raise ValueError(f"jpeg: dims must be positive multiples of {mcu}")
+    comps_blocks = _jpeg_quantized_components(
+        width, height, y_pixel, color=color, subsample=subsample, cb=cb, cr=cr
+    )
+    ncomp = len(comps_blocks)
+    all_c = tuple(range(ncomp))
+    if scans is None:
+        scans = [(all_c, 0, 0, 0, 1), (all_c, 0, 0, 1, 0)]
+        scans += [((ci,), 1, 63, 0, 1) for ci in range(ncomp)]
+        scans += [((ci,), 1, 63, 1, 0) for ci in range(ncomp)]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in ((0, _JPEG_QT_LUMA),) + (((1, _JPEG_QT_CHROMA),) if color else ()):
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tid])
+        out += bytes(qt[_JPEG_ZIGZAG[i]] for i in range(64))
+    sof = bytearray([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof.append(ncomp)
+    y_hv = 0x22 if (color and subsample) else 0x11
+    sof += bytes([1, y_hv, 0])
+    if color:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof  # SOF2
+    specs = [(0x00, _JPEG_DC_LUMA), (0x10, _JPEG_AC_PROG)]
+    if color:
+        specs += [(0x01, _JPEG_DC_CHROMA), (0x11, _JPEG_AC_PROG)]
+    for tc_th, (bits, vals) in specs:
+        body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+
+    enc_dc = [_jpeg_huff_encode_codes(_JPEG_DC_LUMA)] + [
+        _jpeg_huff_encode_codes(_JPEG_DC_CHROMA)
+    ] * (ncomp - 1)
+    enc_ac = [_jpeg_huff_encode_codes(_JPEG_AC_PROG)] * ncomp
+
+    def pt_ac(v: int, al: int) -> int:  # point transform: toward zero
+        return v >> al if v >= 0 else -((-v) >> al)
+
+    for comp_idx, ss, se, ah, al in scans:
+        # SOS header
+        sos = bytearray([len(comp_idx)])
+        for ci in comp_idx:
+            sos += bytes([ci + 1, (0 if ci == 0 else 1) << 4 | (0 if ci == 0 else 1)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        bw = _JpegBitWriter()
+
+        if ss == 0 and len(comp_idx) >= 1:
+            # DC scan, interleaved MCU order over the scan's components
+            preds = {ci: 0 for ci in comp_idx}
+            bh0, bw0 = comps_blocks[0].shape[:2]
+            mcuy = bh0 // (2 if (color and subsample) else 1)
+            mcux = bw0 // (2 if (color and subsample) else 1)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in comp_idx:
+                        blocks = comps_blocks[ci]
+                        v_f = 2 if (ci == 0 and color and subsample) else 1
+                        for by in range(v_f):
+                            for bx in range(v_f):
+                                dc = int(blocks[my * v_f + by, mx * v_f + bx, 0])
+                                if ah == 0:
+                                    t = dc >> al  # arithmetic shift per spec
+                                    diff = t - preds[ci]
+                                    preds[ci] = t
+                                    cat = _jpeg_bit_category(diff)
+                                    code, ln = enc_dc[ci][cat]
+                                    bw.write(code, ln)
+                                    if cat:
+                                        bw.write(
+                                            diff if diff >= 0 else diff + (1 << cat) - 1,
+                                            cat,
+                                        )
+                                else:
+                                    bw.write((dc >> al) & 1, 1)
+        else:
+            ci = comp_idx[0]
+            blocks = comps_blocks[ci]
+            ac_codes = enc_ac[ci]
+            eobrun = 0
+            pending: list[int] = []
+
+            def emit_eobrun() -> None:
+                nonlocal eobrun, pending
+                if eobrun > 0:
+                    nbits = eobrun.bit_length() - 1
+                    code, ln = ac_codes[nbits << 4]
+                    bw.write(code, ln)
+                    if nbits:
+                        bw.write(eobrun - (1 << nbits), nbits)
+                    eobrun = 0
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+
+            bh_c, bw_c = blocks.shape[:2]
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    blk = blocks[by, bx]
+                    t = [pt_ac(int(blk[_JPEG_ZIGZAG[k]]), al) for k in range(64)]
+                    if ah == 0:  # AC first
+                        r = 0
+                        emitted = False
+                        for k in range(ss, se + 1):
+                            v = t[k]
+                            if v == 0:
+                                r += 1
+                                continue
+                            if eobrun or pending:
+                                emit_eobrun()
+                            while r > 15:
+                                zc, zl = ac_codes[0xF0]
+                                bw.write(zc, zl)
+                                r -= 16
+                            cat = _jpeg_bit_category(v)
+                            code, ln = ac_codes[(r << 4) | cat]
+                            bw.write(code, ln)
+                            bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+                            r = 0
+                            emitted = True
+                        if r > 0 or not emitted:
+                            eobrun += 1
+                            if eobrun == 0x7FFF:
+                                emit_eobrun()
+                    else:  # AC refinement (libjpeg encode_mcu_AC_refine shape)
+                        eob = ss - 1
+                        for k in range(ss, se + 1):
+                            if abs(t[k]) == 1:
+                                eob = k
+                        r = 0
+                        br_bits: list[int] = []
+                        for k in range(ss, se + 1):
+                            av = abs(t[k])
+                            if av == 0:
+                                r += 1
+                                continue
+                            while r > 15 and k <= eob:
+                                emit_eobrun()
+                                zc, zl = ac_codes[0xF0]
+                                bw.write(zc, zl)
+                                r -= 16
+                                for b in br_bits:
+                                    bw.write(b, 1)
+                                br_bits = []
+                            if av > 1:
+                                br_bits.append(av & 1)
+                                continue
+                            emit_eobrun()
+                            code, ln = ac_codes[(r << 4) | 1]
+                            bw.write(code, ln)
+                            bw.write(1 if t[k] > 0 else 0, 1)
+                            for b in br_bits:
+                                bw.write(b, 1)
+                            br_bits = []
+                            r = 0
+                        if r > 0 or br_bits:
+                            eobrun += 1
+                            pending.extend(br_bits)
+                            if eobrun == 0x7FFF or len(pending) > 900:
+                                emit_eobrun()
+            emit_eobrun()
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_decode_scan(
+    data: bytes,
+    start: int,
+    frame: dict,
+    coefs: list,
+    huffs: dict,
+    ri: int,
+    scomps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+) -> int:
+    """Decode ONE scan's entropy data into the frame's raw coefficient
+    arrays (T.81 F.2 sequential / G.2 progressive: DC first/refine, AC
+    first with EOBRUN, AC refine with correction bits). Returns the
+    position of the marker following the scan. `scomps` is
+    [(comp_index, Td, Ta)] in scan order."""
+    comps = frame["comps"]
+    interleaved = len(scomps) > 1
+    if progressive and ss > 0 and interleaved:
+        raise ValueError("jpeg: progressive AC scans must be single-component")
+
+    if interleaved:
+        n_units = frame["mcux"] * frame["mcuy"]
+    else:
+        ci0 = scomps[0][0]
+        c0 = comps[ci0]
+        cw = -(-frame["w"] * c0["h"] // frame["hmax"])
+        chh = -(-frame["h"] * c0["v"] // frame["vmax"])
+        bw0, bh0 = -(-cw // 8), -(-chh // 8)
+        n_units = bw0 * bh0
+
+    br = _JpegBitReader(data, start)
+    preds = [0] * len(comps)
+    eobrun = 0
+    rst_count = 0
+
+    def decode_dc(blk, ci: int, dc_tab) -> None:
+        nonlocal preds
+        if not progressive or ah == 0:
+            t = br.read_symbol(dc_tab)
+            preds[ci] += br.receive_extend(t)
+            blk[0] = preds[ci] << al if progressive else preds[ci]
+        else:  # DC successive-approximation refinement: one raw bit
+            if br.read_bit():
+                blk[0] = int(blk[0]) | (1 << al)
+
+    def decode_ac_baseline(blk, ac_tab) -> None:
+        i = 1
+        while i < 64:
+            rs = br.read_symbol(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    i += 16
+                    continue
+                break  # EOB
+            i += r
+            if i > 63:
+                raise ValueError("jpeg: AC index overflow")
+            blk[_JPEG_ZIGZAG[i]] = br.receive_extend(s)
+            i += 1
+
+    def decode_ac_first(blk, ac_tab) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.read_symbol(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC index overflow")
+            blk[_JPEG_ZIGZAG[k]] = br.receive_extend(s) << al
+            k += 1
+
+    def refine_nonzero(blk, nat: int) -> None:
+        v = int(blk[nat])
+        if br.read_bit() and not (abs(v) & (1 << al)):
+            blk[nat] = v + (1 << al) if v >= 0 else v - (1 << al)
+
+    def decode_ac_refine(blk, ac_tab) -> None:
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.read_symbol(ac_tab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("jpeg: bad AC-refine magnitude")
+                    val = (1 << al) if br.read_bit() else -(1 << al)
+                while k <= se:
+                    nat = _JPEG_ZIGZAG[k]
+                    if blk[nat] != 0:
+                        refine_nonzero(blk, nat)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val != 0 and k <= se:
+                    blk[_JPEG_ZIGZAG[k]] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                nat = _JPEG_ZIGZAG[k]
+                if blk[nat] != 0:
+                    refine_nonzero(blk, nat)
+                k += 1
+            eobrun -= 1
+
+    def decode_block(blk, ci: int, td: int, ta: int) -> None:
+        dc_tab = huffs.get((0, td))
+        ac_tab = huffs.get((1, ta))
+        if ss == 0:
+            if (not progressive or ah == 0) and dc_tab is None:
+                raise ValueError("jpeg: missing DC table for scan")
+            decode_dc(blk, ci, dc_tab)
+            if not progressive:
+                if ac_tab is None:
+                    raise ValueError("jpeg: missing AC table for scan")
+                decode_ac_baseline(blk, ac_tab)
+        else:
+            if ac_tab is None:
+                raise ValueError("jpeg: missing AC table for scan")
+            if ah == 0:
+                decode_ac_first(blk, ac_tab)
+            else:
+                decode_ac_refine(blk, ac_tab)
+
+    for unit in range(n_units):
+        if ri and unit and unit % ri == 0:
+            br.restart(rst_count)
+            rst_count += 1
+            preds = [0] * len(comps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, frame["mcux"])
+            for ci, td, ta in scomps:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = coefs[ci][my * c["v"] + by, mx * c["h"] + bx]
+                        decode_block(blk, ci, td, ta)
+        else:
+            by, bx = divmod(unit, bw0)
+            _, td, ta = scomps[0]
+            decode_block(coefs[ci0][by, bx], ci0, td, ta)
+    return br.p
+
+
 def _jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
-    """Full baseline decode: (width, height, n_channels, interleaved
-    channel bytes). Tables, sampling factors and restart interval all
-    come from the stream; only baseline sequential Huffman 8-bit is
-    supported (progressive/arithmetic raise ValueError → fake path)."""
+    """Full baseline AND progressive decode: (width, height,
+    n_channels, interleaved channel bytes). Tables, sampling factors,
+    restart interval and the scan script all come from the stream.
+    Every scan accumulates into per-component RAW coefficient arrays
+    (baseline = one full-band scan; progressive SOF2 = spectral
+    selection + successive approximation with EOBRUN and correction
+    bits), then a shared dequantize + IDCT + chroma upsample + JFIF
+    YCbCr→RGB tail renders pixels. Lossless/arithmetic SOFs raise
+    ValueError → fake path."""
     import numpy as np
 
     if not _looks_like_jpeg(data):
@@ -1069,13 +1498,17 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     ri = 0
-    scan = None
+    coefs = None
+    progressive = False
+    any_scan = False
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9 or marker == 0x01 or 0xD0 <= marker <= 0xD8:
+        if marker == 0xD9:
+            break  # EOI
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             continue  # parameterless
         if pos + 2 > len(data):
             raise ValueError("jpeg: truncated segment")
@@ -1107,9 +1540,10 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[i + 17 : i + 17 + n])
                 huffs[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline + ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             if seg[0] != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
+            progressive = marker == 0xC2
             h_img = int.from_bytes(seg[1:3], "big")
             w_img = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
@@ -1117,85 +1551,76 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w_img, "h": h_img, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: progressive/arithmetic not supported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax < 1 or vmax < 1:
+                raise ValueError("jpeg: bad sampling factors")
+            frame = {
+                "w": w_img, "h": h_img, "comps": comps,
+                "hmax": hmax, "vmax": vmax,
+                "mcux": -(-w_img // (8 * hmax)),
+                "mcuy": -(-h_img // (8 * vmax)),
+            }
+            coefs = [
+                np.zeros(
+                    (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                    dtype=np.int32,
+                )
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: lossless/arithmetic SOF not supported")
         elif marker == 0xDD:  # DRI
             ri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
-            if frame is None:
+            if frame is None or coefs is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
-            sel = {}
+            by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
+            scomps = []
             for c in range(ns):
                 cid, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                sel[cid] = (tdta >> 4, tdta & 15)
-            scan = (sel, pos + seg_len)
-            break
+                if cid not in by_id:
+                    raise ValueError("jpeg: scan references unknown component")
+                scomps.append((by_id[cid], tdta >> 4, tdta & 15))
+            ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_, al_ = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if not progressive and (ss_, se_, ah_, al_) != (0, 63, 0, 0):
+                raise ValueError("jpeg: bad sequential scan header")
+            if progressive and ss_ == 0 and se_ != 0:
+                raise ValueError("jpeg: progressive DC scan must have Se=0")
+            if progressive and (se_ > 63 or se_ < ss_):
+                raise ValueError("jpeg: bad spectral selection")
+            pos = _jpeg_decode_scan(
+                data, pos + seg_len, frame, coefs, huffs, ri,
+                scomps, ss_, se_, ah_, al_, progressive,
+            )
+            any_scan = True
+            continue
         pos += seg_len
-    if frame is None or scan is None:
+    if frame is None or coefs is None or not any_scan:
         raise ValueError("jpeg: missing SOF/SOS")
 
-    sel, entropy_pos = scan
     comps = frame["comps"]
     w_img, h_img = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1:
-        raise ValueError("jpeg: bad sampling factors")
-    mcux = -(-w_img // (8 * hmax))
-    mcuy = -(-h_img // (8 * vmax))
+    hmax, vmax = frame["hmax"], frame["vmax"]
     m = _jpeg_cos()
     planes = []
-    for c in comps:
-        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.uint8))
-
-    br = _JpegBitReader(data, entropy_pos)
-    preds = [0] * len(comps)
-    rst_count = 0
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if ri and n_mcu and n_mcu % ri == 0:
-                br.restart(rst_count)
-                rst_count += 1
-                preds = [0] * len(comps)
-            n_mcu += 1
-            for ci, c in enumerate(comps):
-                td, ta = sel[c["id"]]
-                dc_tab = huffs.get((0, td))
-                ac_tab = huffs.get((1, ta))
-                qt = qts.get(c["tq"])
-                if dc_tab is None or ac_tab is None or qt is None:
-                    raise ValueError("jpeg: missing table for scan")
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        t = br.read_symbol(dc_tab)
-                        preds[ci] += br.receive_extend(t)
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[0] = preds[ci] * qt[0]
-                        i = 1
-                        while i < 64:
-                            rs = br.read_symbol(ac_tab)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    i += 16
-                                    continue
-                                break  # EOB
-                            i += r
-                            if i > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            nat = _JPEG_ZIGZAG[i]
-                            coef[nat] = br.receive_extend(s) * qt[nat]
-                            i += 1
-                        spatial = m.T @ coef.reshape(8, 8) @ m
-                        pix = np.clip(
-                            np.floor(spatial + 128.0 + 0.5), 0.0, 255.0
-                        ).astype(np.uint8)
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+    for ci, c in enumerate(comps):
+        qt = qts.get(c["tq"])
+        if qt is None:
+            raise ValueError("jpeg: missing quant table")
+        qarr = np.array(qt, dtype=np.float64)
+        bh, bw = coefs[ci].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                coef = coefs[ci][by, bx].astype(np.float64) * qarr
+                spatial = m.T @ coef.reshape(8, 8) @ m
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.floor(spatial + 128.0 + 0.5), 0.0, 255.0
+                ).astype(np.uint8)
+        planes.append(plane)
 
     full = []
     for ci, c in enumerate(comps):
@@ -1232,9 +1657,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, int]:
     return w, h, ch, int(np.frombuffer(raw, dtype=np.uint8).astype(np.int64).sum())
 
 
-def synthesize_jpeg_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
-    """id → REAL encoded baseline JPEG payload, deterministic closed
-    form, cycling three encodings by id % 3:
+def synthesize_jpeg_payloads(
+    df: DataFrame, *, id_col: str = "doc_id", progressive: bool = False
+) -> DataFrame:
+    """id → REAL encoded JPEG payload, deterministic closed form,
+    cycling three encodings by id % 3:
 
     - 0: grayscale (1 component), w = 8·(1 + id%5), h = 8·(1 + id%4)
     - 1: color 4:4:4, same dims, chroma constant 128 → RGB = (y, y, y)
@@ -1249,10 +1676,15 @@ def synthesize_jpeg_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFr
     lossless for these payloads and a SQL oracle recomputes every
     decoded pixel in closed form — while the bytes on the wire are real
     entropy-coded baseline JPEG (real DCT, real Huffman, real stuffing).
+    `progressive=True` emits the SAME coefficients as an SOF2
+    multi-scan stream (DC first/refine + per-component AC first/refine)
+    — decoded pixels are identical, so the same oracle grades the
+    progressive decode path.
     """
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
 
     def one(rid: int) -> bytes:
         variant = rid % 3
@@ -1261,12 +1693,12 @@ def synthesize_jpeg_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFr
             return (3 * rid + 5 * (x // 8) + 7 * (y // 8)) % 256
 
         if variant == 0:
-            return encode_jpeg(8 * (1 + rid % 5), 8 * (1 + rid % 4), y_of)
+            return enc(8 * (1 + rid % 5), 8 * (1 + rid % 4), y_of)
         if variant == 1:
-            return encode_jpeg(
+            return enc(
                 8 * (1 + rid % 5), 8 * (1 + rid % 4), y_of, color=True
             )
-        return encode_jpeg(
+        return enc(
             16 * (1 + (rid % 5) % 2),
             16 * (1 + (rid % 7) % 2),
             y_of,
@@ -1394,10 +1826,11 @@ def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     + per-pixel channel sum with row padding skipped; PNG: zlib inflate
     + five-filter scanline reconstruction (_png_pixels); GIF:
     variable-width LZW decompression + palette resolution (_gif_pixels);
-    JPEG: Huffman entropy decode + dequant + IDCT + YCbCr→RGB
-    (_jpeg_pixels). Other formats (progressive JPEG, WebP...) would
-    need PIL: fake path derives dims from the content hash with
-    pixel_sum null (or raises without SKYFIT_FAKE_DECODE)."""
+    JPEG (baseline AND progressive SOF2): Huffman entropy decode +
+    dequant + IDCT + YCbCr→RGB (_jpeg_pixels). Other formats
+    (arithmetic-coded JPEG, WebP...) would need PIL: fake path derives
+    dims from the content hash with pixel_sum null (or raises without
+    SKYFIT_FAKE_DECODE)."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),

@@ -2426,3 +2426,33 @@ def multimodal_mp3_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     media = multimodal.synthesize_mp3_payloads(d, id_col="doc_id")
     return multimodal.decode_audio(media)
+
+
+@register(
+    "multimodal_decode_jpeg_progressive",
+    _JPEG_ORACLE_BLOCKS
+    + """
+    SELECT doc_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           CAST(CASE WHEN MAX(variant) = 0 THEN 1 ELSE 3 END AS INT) AS n_channels,
+           CAST(SUM(64 * CASE WHEN variant = 0 THEN yv
+                              WHEN variant = 1 THEN 3 * yv
+                              ELSE r + g + bl END) AS BIGINT) AS pixel_sum
+    FROM b GROUP BY doc_id
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL progressive JPEG decode (llm.multimodal, r4 — extends the "
+    "graded baseline entry): the same closed-form fixtures re-encoded "
+    "as SOF2 multi-scan streams (interleaved DC first at Al=1, raw-bit "
+    "DC refinement, per-component AC first scans with cross-block "
+    "EOBRUN folding, AC refinement scans with buffered correction "
+    "bits); decode_images accumulates every scan into raw coefficient "
+    "arrays per T.81 G.2 before one dequant+IDCT pass. Successive "
+    "approximation reconstructs the exact baseline coefficients, so "
+    "the SAME arithmetic oracle grades the progressive path; the "
+    "equivalence is also pinned pixel-exact across gradient/checker/"
+    "noise/color content in test_multimodal_codecs.",
+)
+def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.synthesize_jpeg_payloads(d, id_col="doc_id", progressive=True)
+    return multimodal.decode_images(media)

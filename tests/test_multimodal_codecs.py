@@ -769,20 +769,113 @@ def test_jpeg_restart_interval_roundtrip():
     assert (w, h, ch, s) == (32, 24, 1, exp)
 
 
-def test_jpeg_progressive_rejected_falls_to_fake_path(spark):
-    """A progressive (SOF2) stream must not silently half-decode: the
-    decoder raises and decode_images serves the documented fake path
-    (null pixel_sum) for that payload."""
+def test_jpeg_invalid_sof_variants_fall_to_fake_path(spark):
+    """Streams the decoder cannot honestly decode must not silently
+    half-decode: a baseline bitstream MISLABELED as SOF2 trips the
+    progressive scan-header validation (Ss=0 requires Se=0), and an
+    arithmetic-coded SOF (0xC9) is rejected outright — both serve the
+    documented fake path (null pixel_sum)."""
     from data_lake_skyfit_spark.llm.multimodal import decode_images, encode_jpeg
 
     good = encode_jpeg(8, 8, lambda x, y: 99)
-    bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    mislabeled = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    arithmetic = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
     df = spark.createDataFrame(
-        [(1, bytearray(good)), (2, bytearray(bad))], "doc_id long, payload binary"
+        [(1, bytearray(good)), (2, bytearray(mislabeled)), (3, bytearray(arithmetic))],
+        "doc_id long, payload binary",
     )
     rows = {r["doc_id"]: r for r in decode_images(df).collect()}
     assert rows[1]["pixel_sum"] == 64 * 99 and rows[1]["n_channels"] == 1
     assert rows[2]["pixel_sum"] is None
+    assert rows[3]["pixel_sum"] is None
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """SOF2 progressive streams (DC first Al=1 → DC refine → per-comp
+    AC first Al=1 → AC refine) must reconstruct the EXACT coefficients
+    of the baseline encoding of the same image: decoded pixels are
+    byte-identical across content that exercises every scan path —
+    nonzero-AC runs, ZRL, cross-block EOBRUN, correction bits, chroma
+    subsampling."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _jpeg_pixels, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    cases = [
+        ("const", 16, 24, lambda x, y: (21 + 5 * (x // 8) + 7 * (y // 8)) % 256, {}),
+        ("grad", 24, 16, lambda x, y: (x * 37 + y * 11) % 256, {}),
+        ("checker", 16, 16, lambda x, y: 60 if (x + y) % 2 else 200, {}),
+        ("noise", 40, 40, lambda x, y: (x * x * 7 + y * y * 13 + x * y * 3) % 256, {}),
+        ("c444", 16, 16, lambda x, y: (x * 5 + y * 3) % 256, {"color": True}),
+        ("c420", 32, 16, lambda x, y: (x * 7 + y * 13) % 256,
+         {"color": True, "subsample": True, "cb": 130, "cr": 121}),
+        ("eobruns", 48, 48, lambda x, y: 128 if x >= 8 else (x * 31 + y * 17) % 256, {}),
+    ]
+    for name, w, h, pix, kw in cases:
+        base = _jpeg_pixels(encode_jpeg(w, h, pix, **kw))
+        pb = encode_jpeg_progressive(w, h, pix, **kw)
+        assert b"\xff\xc2" in pb and pb.count(b"\xff\xda") >= 4
+        assert base == _jpeg_pixels(pb), name
+
+
+def test_jpeg_progressive_custom_scan_script():
+    """Arbitrary spectral-band splits and chained successive
+    approximation (Al 2 → 1 → 0) through the same machinery — the scan
+    script is data, not structure."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _jpeg_pixels, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    pix = lambda x, y: (x * 29 + y * 23 + (x * y) % 7) % 256  # noqa: E731
+    scans = [
+        ((0,), 0, 0, 0, 2), ((0,), 0, 0, 2, 1), ((0,), 0, 0, 1, 0),
+        ((0,), 1, 5, 0, 2), ((0,), 6, 63, 0, 2),
+        ((0,), 1, 5, 2, 1), ((0,), 6, 63, 2, 1),
+        ((0,), 1, 5, 1, 0), ((0,), 6, 63, 1, 0),
+    ]
+    base = _jpeg_pixels(encode_jpeg(24, 24, pix))
+    prog = _jpeg_pixels(encode_jpeg_progressive(24, 24, pix, scans=scans))
+    assert base == prog
+
+
+def test_jpeg_progressive_handbuilt_scans_golden():
+    """Progressive wire convention pinned WITHOUT the encoder: a 2-block
+    grayscale SOF2 stream assembled byte-by-byte — DC first scan at
+    Al=1 (diffs 2, -1 → values 4, 2 after shift... see bits), DC refine
+    adding low bits, AC first scan with an EOB2 run covering both
+    blocks. Tables are 1-2 entry customs so every bit is hand-checkable.
+
+    DC first (Al=1): blk0 diff=3 (cat 2, bits '11'), blk1 diff=-2
+    (cat 2, bits '01') → DC<<1 = 6, 2. DC refine (Al=0): bits 1, 0 →
+    DC = 7, 2. AC first: EOB2 = code for (r=1,s=0) + 0 extra bits
+    (eobrun=2 covers both blocks, all ACs zero).
+    DC table {2: '0'}; AC table {0x10: '0'}."""
+    from data_lake_skyfit_spark.llm.multimodal import _jpeg_pixels
+
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    sof = b"\xff\xc2" + (11).to_bytes(2, "big") + bytes([8, 0, 8, 0, 16, 1, 1, 0x11, 0])
+    dht_dc = b"\xff\xc4" + (20).to_bytes(2, "big") + bytes([0x00, 1] + [0] * 15 + [2])
+    dht_ac = b"\xff\xc4" + (20).to_bytes(2, "big") + bytes([0x10, 1] + [0] * 15 + [0x10])
+    sos_hdr = lambda ss, se, ahal: (  # noqa: E731
+        b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, ss, se, ahal])
+    )
+    # DC first Al=1: code '0' + bits '11' (diff +3) | code '0' + bits
+    # '01' (extend → -2, pred 3-2=1) → 0 11 0 01 + pad 11 = 0x67.
+    # Coefs after shift: blk0 = 3<<1 = 6, blk1 = 1<<1 = 2.
+    scan1 = sos_hdr(0, 0, 0x01) + bytes([0x67])
+    # DC refine Ah=1 Al=0: raw bits 1, 0 → blk0 = 7, blk1 = 2; 10+pad = 0xBF
+    scan2 = sos_hdr(0, 0, 0x10) + bytes([0xBF])
+    # AC first 1..63 Al=0: EOB2 (r=1): code '0' + 1 extension bit '0'
+    # (eobrun = 2^1 - 1 + 0, covers this block + the next) → 00 pad 1s = 0x3F
+    scan3 = sos_hdr(1, 63, 0x00) + bytes([0x3F])
+    data = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + scan1 + scan2 + scan3 + b"\xff\xd9"
+    w, h, ch, raw = _jpeg_pixels(data)
+    assert (w, h, ch) == (16, 8, 1)  # two blocks side by side
+    # blk0 DC=7, qt 1 → constant floor(7/8 + 128 + 0.5) = 129
+    # blk1 DC=2 → floor(0.25 + 128.5) = 128
+    assert raw[:8] == bytes([129] * 8)
+    assert raw[8:16] == bytes([128] * 8)
+    assert set(raw[::2]) <= {129, 128}
 
 
 def test_jpeg_extract_embeddings_real_features(spark):
