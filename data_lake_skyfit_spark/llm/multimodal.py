@@ -68,6 +68,8 @@ __all__ = [
     "encode_png",
     "encode_avi_dib",
     "encode_gif",
+    "encode_gif_animation",
+    "synthesize_gif_animation_payloads",
     "encode_jpeg",
     "encode_jpeg_progressive",
     "encode_mp4_frames",
@@ -413,6 +415,112 @@ def encode_gif(width: int, height: int, pixel, *, palette=None) -> bytes:
         blocks += chunk
     blocks.append(0)  # block terminator
     return hdr + gct + desc + bytes(blocks) + b"\x3B"
+
+
+def encode_gif_animation(
+    width: int, height: int, frames: list[bytes], *, delay_cs: int = 50
+) -> bytes:
+    """Encode a REAL animated GIF89a (r4): 256-entry grayscale global
+    color table, NETSCAPE2.0 infinite-loop application extension, and
+    per frame a Graphic Control Extension carrying the delay (in
+    centiseconds) followed by an image descriptor with genuinely
+    LZW-compressed index data. `frames` are raw width·height palette
+    index planes. Any standards-conforming GIF reader animates it."""
+    if not frames:
+        raise ValueError("gif: need at least one frame")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fb in frames:
+        if len(fb) != width * height:
+            raise ValueError("gif: frame size mismatch")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        lzw = _lzw_encode(bytes(fb))
+        out.append(8)  # LZW minimum code size
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_frames(data: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
+    """Walk EVERY image in a GIF payload: (width, height,
+    [(delay_cs, index_bytes)]) — Graphic Control Extensions are parsed
+    for real (the delay preceding each image attaches to it), other
+    extensions are skipped by sub-block framing, and each image's data
+    sub-blocks are LZW-decoded. Full-frame, non-interlaced animations
+    (the encode_gif_animation contract); anything fancier (partial
+    frames, interlace, local palettes mid-stream) raises → fake path."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    frames: list[tuple[int, bytes]] = []
+    delay_cs = 0
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:
+                delay_cs = struct.unpack_from("<H", data, pos + 2)[0]
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError("gif: unexpected block")
+        left, top, w, h = struct.unpack_from("<HHHH", data, pos + 1)
+        ipacked = data[pos + 9]
+        pos += 10
+        if (left, top, w, h) != (0, 0, sw, sh) or ipacked & 0xC0:
+            raise ValueError("gif: only full-frame non-interlaced animations")
+        min_code = data[pos]
+        pos += 1
+        stream = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            if pos + 1 + ln > len(data):
+                raise ValueError("gif: data sub-block truncated")
+            stream += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(stream), min_code)
+        if len(idx) < w * h:
+            raise ValueError("gif: frame pixel data short")
+        frames.append((delay_cs, idx[: w * h]))
+        delay_cs = 0
+    if not frames:
+        raise ValueError("gif: no frames")
+    return sw, sh, frames
+
+
+def _decode_gif_frames(data: bytes, every_ms: int):
+    """Sample one frame per `every_ms` of stream time from a real
+    animated-GIF walk (_gif_frames): frame timestamps accumulate the
+    GCE delays; md5 is over the frame's stored (LZW-decoded) index
+    plane — the same stored-bytes convention as the AVI/MP4 legs."""
+    _w, _h, frames = _gif_frames(data)
+    out = []
+    t_ms = 0
+    next_emit = 0
+    for i, (delay_cs, idx) in enumerate(frames):
+        if t_ms >= next_emit:
+            out.append((i, t_ms, hashlib.md5(idx).hexdigest()))
+            next_emit += every_ms
+        t_ms += delay_cs * 10
+    return out
 
 
 def _gif_pixels(data: bytes) -> tuple[int, int, list[tuple[int, int, int]], bytes]:
@@ -1716,6 +1824,39 @@ def synthesize_jpeg_payloads(
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def synthesize_gif_animation_payloads(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """id → REAL animated GIF89a payload, deterministic closed form.
+    Per id: w = 4 + id % 5, h = 3 + id % 4, nf = 2 + id % 5 full frames
+    at 50 cs (500 ms) delays; frame i's index plane is the ASCII
+    pattern 'doc<id>f<i>x' repeated/truncated to w·h bytes — so a SQL
+    oracle rebuilds every sampled frame's md5 while the bytes travel
+    through real LZW compression and GCE timing blocks."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def frame_bytes(rid: int, i: int, size: int) -> bytes:
+        pat = f"doc{rid}f{i}x".encode()
+        return (pat * (size // len(pat) + 1))[:size]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in (int(v) for v in pdf[id_col]):
+                w, h = 4 + rid % 5, 3 + rid % 4
+                nf = 2 + rid % 5
+                payloads.append(
+                    encode_gif_animation(
+                        w, h, [frame_bytes(rid, i, w * h) for i in range(nf)]
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def synthesize_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """id → REAL encoded WAV payload column, deterministic closed form.
 
@@ -2763,6 +2904,11 @@ def sample_video_frames(
                     return _decode_mp4_frames(data, every_ms)
                 except (ValueError, struct.error, IndexError):
                     pass  # ftyp-prefixed non-BMFF bytes: fake path below
+            if _looks_like_gif(data):
+                try:
+                    return _decode_gif_frames(data, every_ms)
+                except (ValueError, struct.error, IndexError):
+                    pass  # partial-frame/interlaced animations: fake path
             _require_codec("av")
             # Fake frame hash chains through the ASCII content hash so
             # it stays reproducible as plain-string SQL:

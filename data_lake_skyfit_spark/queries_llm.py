@@ -2456,3 +2456,39 @@ def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> Data
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     media = multimodal.synthesize_jpeg_payloads(d, id_col="doc_id", progressive=True)
     return multimodal.decode_images(media)
+
+
+@register(
+    "multimodal_gif_frame_sample",
+    """
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+             2 + doc_id % 5 AS nf
+      FROM documents WHERE doc_id < 200
+    ), f AS (
+      SELECT doc_id, i.i AS frame_idx, w * h AS sz
+      FROM p, LATERAL (SELECT UNNEST(range(0, nf)) AS i) i
+      WHERE i.i % 2 = 0
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 500 AS BIGINT) AS ts_ms,
+           md5(substr(repeat('doc' || CAST(doc_id AS VARCHAR) || 'f'
+                 || CAST(frame_idx AS VARCHAR) || 'x', sz), 1, sz)) AS frame_md5
+    FROM f
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL animated-GIF frame sampling (llm.multimodal, r4): "
+    "synthesize_gif_animation_payloads writes an actual GIF89a "
+    "animation per doc - NETSCAPE loop extension, per-frame Graphic "
+    "Control Extensions carrying 50 cs delays, every frame's index "
+    "plane really LZW-compressed - and sample_video_frames walks the "
+    "block stream for real: GCE delays accumulate into frame "
+    "timestamps, each sampled frame's data sub-blocks are "
+    "LZW-decompressed and md5'd (the stored-bytes convention shared "
+    "with the AVI/MP4 legs). One frame per second of stream time at "
+    "500 ms delays = every 2nd frame.",
+)
+def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_gif_animation_payloads(d, id_col="doc_id")
+    return multimodal.sample_video_frames(media, every_ms=1000)

@@ -1025,3 +1025,51 @@ def test_extract_embeddings_stereo_deinterleaves(spark):
     assert f[4] == math.sqrt(sum(x * x for x in frames) / 8)
     assert f[5] == 3 / 6  # per-channel crossings / per-channel adjacents
     assert (f[6], f[7]) == (-1.0, 5.0)
+
+
+def test_gif_animation_walk_and_timing():
+    """Animated GIF89a: the walker must parse every GCE delay and
+    LZW-decode every frame; variable delays shift which frames the
+    sampler picks; single-image decode still reads frame 0."""
+    import hashlib
+
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _decode_gif, _decode_gif_frames, _gif_frames, encode_gif_animation,
+    )
+
+    frames = [bytes([10 + i]) * 12 for i in range(5)]
+    data = encode_gif_animation(4, 3, frames, delay_cs=30)  # 300 ms each
+    w, h, got = _gif_frames(data)
+    assert (w, h) == (4, 3)
+    assert [f for _, f in got] == frames and [d for d, _ in got] == [30] * 5
+    # 1000 ms sampling over 300 ms frames: t=0,300,600,900,1200 → 0, 1200
+    rows = _decode_gif_frames(data, 1000)
+    assert [(i, t) for i, t, _ in rows] == [(0, 0), (4, 1200)]
+    assert rows[1][2] == hashlib.md5(frames[4]).hexdigest()
+    assert _decode_gif(data)[:3] == (4, 3, 3)  # first-frame image decode
+
+
+def test_gif_animation_partial_frame_falls_to_fake_path(spark):
+    """A partial-frame (offset image descriptor) animation is beyond
+    the full-frame contract: the walker raises and sample_video_frames
+    serves the fake path instead of mis-timing frames."""
+    import struct as _struct
+
+    from data_lake_skyfit_spark.llm.multimodal import (
+        encode_gif_animation, sample_video_frames,
+    )
+
+    good = encode_gif_animation(4, 3, [bytes(12), bytes(range(12))])
+    # corrupt: image descriptor left offset 1 (partial frame)
+    bad = bytearray(good)
+    at = good.index(b"\x2c")
+    bad[at + 1 : at + 3] = _struct.pack("<H", 1)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bad)], "doc_id long, payload binary"
+    )
+    rows = sample_video_frames(df, every_ms=1000).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["frame_idx"] == 0
+    assert by_doc[2]  # fake path still yields schema-shaped rows
