@@ -22,6 +22,7 @@ from .text import shingles_expr, tokens_expr
 __all__ = [
     "exact_duplicates",
     "exact_dedup",
+    "line_level_dedup",
     "jaccard_pairs_bruteforce",
     "minhash_signature_expr",
     "minhash_lsh_pairs",
@@ -58,6 +59,60 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .drop("__h")
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def line_level_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """CORPUS-WIDE line-level deduplication (the C4/RefinedWeb cleanup
+    tier, r4): every line of `min_line_chars`+ characters may appear
+    ONCE in the whole corpus — the first occurrence (lowest (id, pos))
+    survives, later copies are dropped from their documents, and each
+    document's text is rebuilt from its surviving lines. Shorter lines
+    (headings, blanks, separators) are structural, not content, and are
+    always kept.
+
+    Returns (id, text, n_lines, n_kept, n_dropped).
+
+    Plan: posexplode lines → 8-byte xxhash64 winner aggregation
+    (F.min(struct(id, pos)) — map-side combinable, so a line repeated
+    millions of times never concentrates rows on one task the way a
+    rank-1 window would) → hash join back → one regroup by id with an
+    array_sort rebuild. Only the hash + (id, pos) cross the first
+    shuffle, never line text. Same 64-bit-fingerprint identity
+    convention as exact_dedup (oracles compare by full text).
+    """
+    lines = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    content = F.length("line") >= min_line_chars
+    keyed = lines.withColumn("__h", F.when(content, F.xxhash64("line")))
+    winners = (
+        keyed.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.min(F.struct("id", "pos")).alias("__w"))
+    )
+    kept = keyed.join(winners, "__h", "left").withColumn(
+        "__keep",
+        F.col("__h").isNull()
+        | ((F.col("__w.id") == F.col("id")) & (F.col("__w.pos") == F.col("pos"))),
+    )
+    surviving = F.array_sort(
+        F.collect_list(F.when(F.col("__keep"), F.struct("pos", "line")))
+    )
+    return kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n", F.transform(surviving, lambda s: s["line"])
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("__keep")).cast("long")).alias("n_dropped"),
+    )
 
 
 # ---------------------------------------------------------------------------

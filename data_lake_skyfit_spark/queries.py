@@ -117,12 +117,13 @@ _PRIORITY = [
     "ann_ivf_topk",
     "ann_sharded_probe_topk",
     "embedding_quantize_int8",
-    # text analysis (text_fingerprint demoted past the cutoff in r4 for the
-    # trigram tier; family llm-text keeps 4 graded carriers)
+    # text analysis (text_fingerprint and text_token_counts demoted past the
+    # cutoff in r4 for the trigram tier and line-level dedup; family llm-text
+    # keeps 4 graded carriers)
     "text_quality_scores",
     "text_language_id",
     "text_language_id_trigram",
-    "text_token_counts",
+    "text_line_dedup",
     "text_decontamination",
     # temporal operators
     "continuous_aggregate_hourly",

@@ -2492,3 +2492,49 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = multimodal.synthesize_gif_animation_payloads(d, id_col="doc_id")
     return multimodal.sample_video_frames(media, every_ms=1000)
+
+
+@register(
+    "text_line_dedup",
+    r"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(text, '(.{40})', '\1' || chr(10), 'g') AS t
+      FROM documents
+    ), l AS (
+      SELECT doc_id, u.i - 1 AS pos, u.ln
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+           LATERAL (SELECT UNNEST(ls) AS ln, generate_subscripts(ls, 1) AS i) u
+    ), k AS (
+      SELECT doc_id, pos, ln,
+             CASE WHEN LENGTH(ln) < 10 THEN TRUE
+                  ELSE ROW_NUMBER() OVER (PARTITION BY ln ORDER BY doc_id, pos) = 1
+             END AS keep
+      FROM l
+    )
+    SELECT doc_id,
+           COALESCE(STRING_AGG(CASE WHEN keep THEN ln END, chr(10) ORDER BY pos), '') AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM k GROUP BY doc_id
+    """,
+    tags=("llm-dedup", "llm-text"),
+    doc="CORPUS-WIDE line-level dedup (llm.dedup.line_level_dedup, r4 - "
+    "the C4/RefinedWeb cleanup tier, a distinct dedup granularity from "
+    "the document-level exact/MinHash/SimHash family): the fixture "
+    "inserts a newline every 40 chars (same regexp_replace both "
+    "engines), then every 10+-char line may appear once in the corpus "
+    "- first (doc_id, pos) wins, later copies drop, documents rebuild "
+    "from surviving lines. Winner selection is a map-side-combinable "
+    "min-struct aggregation over an 8-byte line hash (never a "
+    "data-sized rank window, never line text over the shuffle).",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", "(.{40})", "$1\n").alias("text"),
+    )
+    out = dedup.line_level_dedup(d)
+    return out.select(
+        F.col("id").alias("doc_id"), "text", "n_lines", "n_kept", "n_dropped"
+    )

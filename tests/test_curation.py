@@ -631,3 +631,28 @@ def test_trigram_language_id_beats_stopword_tier_on_short_text(spark):
     assert all(tri[i] == truth[i] for i in (5, 6, 7)), tri
     assert acc_tri > acc_stop
     assert acc_tri == 1.0, tri
+
+
+def test_line_level_dedup_semantics(spark):
+    """Corpus-wide first-occurrence-wins at line granularity: cross-doc
+    copies drop, within-doc copies drop, short lines always survive,
+    and documents rebuild in original line order."""
+    from data_lake_skyfit_spark.llm.dedup import line_level_dedup
+
+    dup = "this exact content line repeats everywhere"
+    docs = [
+        (1, f"{dup}\nunique alpha content line\n---\n{dup}"),
+        (2, f"{dup}\nunique beta content line"),
+        (3, "---\n--"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["id"]: r for r in line_level_dedup(df).collect()}
+    # doc 1: keeps first copy of dup, unique line, short '---'; drops its
+    # own second copy (within-doc dedup)
+    assert out[1]["text"] == f"{dup}\nunique alpha content line\n---"
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["n_dropped"]) == (4, 3, 1)
+    # doc 2: loses the cross-doc copy
+    assert out[2]["text"] == "unique beta content line"
+    assert out[2]["n_dropped"] == 1
+    # doc 3: all short/structural lines kept verbatim
+    assert out[3]["text"] == "---\n--" and out[3]["n_dropped"] == 0
