@@ -66,6 +66,7 @@ __all__ = [
     "encode_wav_pcm16",
     "encode_bmp24",
     "encode_png",
+    "synthesize_png_variant_payloads",
     "encode_avi_dib",
     "encode_gif",
     "encode_gif_animation",
@@ -612,9 +613,19 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def encode_png(
-    width: int, height: int, pixel, *, channels: int = 3, row_filter=None
+    width: int,
+    height: int,
+    pixel,
+    *,
+    channels: int = 3,
+    row_filter=None,
+    palette: list[tuple[int, int, int]] | None = None,
 ) -> bytes:
-    """Encode a REAL 8-bit PNG (color type 2 RGB, or 0 grayscale).
+    """Encode a REAL 8-bit PNG: color type 0 grayscale (channels=1),
+    4 gray+alpha (2), 2 RGB (3), 6 RGBA (4), or — with `palette`, a
+    list of ≤256 (r, g, b) triples — color type 3 indexed, where
+    `pixel(x, y, 0)` returns the palette index and a PLTE chunk rides
+    the stream.
 
     `pixel(x, y, c)` returns the byte for channel c at (x, y).
     `row_filter(y)` picks each scanline's filter type (default y % 5,
@@ -623,11 +634,18 @@ def encode_png(
     The filtered stream is zlib-deflated and chunked with real CRCs —
     any standards-conforming PNG reader opens the output.
     """
-    if channels not in (1, 3):
-        raise ValueError("only grayscale (1) and RGB (3) supported")
+    if palette is not None:
+        if not 0 < len(palette) <= 256:
+            raise ValueError("PNG palette must have 1-256 entries")
+        channels = 1
+        color_type = 3
+    else:
+        ct = {1: 0, 2: 4, 3: 2, 4: 6}
+        if channels not in ct:
+            raise ValueError("PNG channels must be 1, 2, 3 or 4")
+        color_type = ct[channels]
     if row_filter is None:
         row_filter = lambda y: y % 5  # noqa: E731
-    color_type = 2 if channels == 3 else 0
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     stride = width * channels
     prior = bytes(stride)
@@ -654,9 +672,15 @@ def encode_png(
                 pred = _paeth(a, b, c)
             out.append((raw[i] - pred) & 0xFF)
         prior = raw
+    plte = (
+        _png_chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+        if palette is not None
+        else b""
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -668,12 +692,15 @@ def _png_pixels(data: bytes) -> tuple[int, int, int, list[bytes]]:
     Walks the chunk stream (CRC-checked), inflates the concatenated
     IDAT data, and reverses whichever of the five filter types each
     scanline used (the Paeth/Average/Sub/Up reconstruction of the PNG
-    spec §9). 8-bit RGB and grayscale, non-interlaced.
+    spec §9). 8-bit grayscale (0), RGB (2), palette (3, resolved
+    through PLTE to RGB rows), gray+alpha (4) and RGBA (6),
+    non-interlaced.
     Returns (width, height, channels, rows) with rows[y] the raw bytes.
     """
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, idat = 8, None, bytearray()
+    plte = b""
     while pos + 8 <= len(data):
         (clen,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
@@ -683,6 +710,8 @@ def _png_pixels(data: bytes) -> tuple[int, int, int, list[bytes]]:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -691,12 +720,15 @@ def _png_pixels(data: bytes) -> tuple[int, int, int, list[bytes]]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or color_type not in (0, 2) or interlace != 0:
+    bpp_by_type = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    if depth != 8 or color_type not in bpp_by_type or interlace != 0:
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color_type}, "
-            f"interlace={interlace}); only 8-bit gray/RGB non-interlaced"
+            f"interlace={interlace}); only 8-bit non-interlaced"
         )
-    channels = 3 if color_type == 2 else 1
+    if color_type == 3 and (not plte or len(plte) % 3):
+        raise ValueError("palette PNG missing a valid PLTE chunk")
+    channels = bpp_by_type[color_type]
     stride = width * channels
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
@@ -725,6 +757,18 @@ def _png_pixels(data: bytes) -> tuple[int, int, int, list[bytes]]:
             raise ValueError(f"bad PNG filter type {ft}")
         prior = bytes(line)
         rows.append(prior)
+    if color_type == 3:
+        # Palette indices resolve to RGB AFTER unfiltering (filters
+        # operate on the stored index bytes per the spec).
+        n_pal = len(plte) // 3
+        resolved = []
+        for row in rows:
+            if any(i >= n_pal for i in row):
+                raise ValueError("PNG palette index out of range")
+            resolved.append(
+                bytes(v for i in row for v in plte[3 * i : 3 * i + 3])
+            )
+        return width, height, 3, resolved
     return width, height, channels, rows
 
 
@@ -1930,6 +1974,46 @@ def synthesize_png_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
                 )
                 for rid in (int(v) for v in pdf[id_col])
             ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def synthesize_png_variant_payloads(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """id → REAL encoded PNG cycling the NON-RGB color types by id % 3
+    (synthesize_png_payloads keeps the RGB leg):
+
+    - 0: palette (color type 3): index(x, y) = (id + 11x + 13y) % 256
+         over PLTE entry i = ((3i)%256, (5i)%256, (7i)%256)
+    - 1: RGBA (color type 6): pixel c ∈ 0..3 = (5id + 11x + 13y + 17c) % 256
+    - 2: gray+alpha (color type 4): same formula, c ∈ 0..1
+
+    Same dims (4 + id%13, 4 + id%11) and default y % 5 filter cycling
+    as the RGB leg, so every color type crosses every filter."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    pal = [((3 * i) % 256, (5 * i) % 256, (7 * i) % 256) for i in range(256)]
+
+    def one(rid: int) -> bytes:
+        w, h = 4 + rid % 13, 4 + rid % 11
+        if rid % 3 == 0:
+            return encode_png(
+                w, h, lambda x, y, c, rid=rid: (rid + 11 * x + 13 * y) % 256,
+                palette=pal,
+            )
+        ch = 4 if rid % 3 == 1 else 2
+        return encode_png(
+            w, h,
+            lambda x, y, c, rid=rid: (5 * rid + 11 * x + 13 * y + 17 * c) % 256,
+            channels=ch,
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [one(int(v)) for v in pdf[id_col]]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(kernel, out_schema)

@@ -2538,3 +2538,43 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "text", "n_lines", "n_kept", "n_dropped"
     )
+
+
+@register(
+    "multimodal_decode_png_variants",
+    """
+    WITH p AS (
+      SELECT doc_id, doc_id % 3 AS variant,
+             4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 2 END AS ch
+      FROM documents WHERE doc_id < 300
+    ), px AS (
+      SELECT p.doc_id, p.w, p.h, p.ch,
+             CASE WHEN p.variant = 0 THEN
+               ((CASE c.i WHEN 0 THEN 3 WHEN 1 THEN 5 ELSE 7 END)
+                  * ((p.doc_id + 11*x.i + 13*y.i) % 256)) % 256
+             ELSE (5*p.doc_id + 11*x.i + 13*y.i + 17*c.i) % 256
+             END AS val
+      FROM p,
+           LATERAL (SELECT UNNEST(range(0, p.w)) AS i) x,
+           LATERAL (SELECT UNNEST(range(0, p.h)) AS i) y,
+           LATERAL (SELECT UNNEST(range(0, p.ch)) AS i) c
+    )
+    SELECT doc_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           CAST(MAX(ch) AS INT) AS n_channels,
+           CAST(SUM(val) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL non-RGB PNG decode (llm.multimodal, r4): "
+    "synthesize_png_variant_payloads cycles palette (color type 3, PLTE "
+    "resolved to RGB after unfiltering - filters operate on the stored "
+    "index bytes per the spec), RGBA (6) and gray+alpha (4), all "
+    "through the full five-filter scanline reconstruction at 2-4 bytes "
+    "per pixel. The oracle recomputes every decoded channel byte "
+    "arithmetically, palette mapping included.",
+)
+def multimodal_decode_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.synthesize_png_variant_payloads(d, id_col="doc_id")
+    return multimodal.decode_images(media)

@@ -1073,3 +1073,38 @@ def test_gif_animation_partial_frame_falls_to_fake_path(spark):
         by_doc.setdefault(r["doc_id"], []).append(r)
     assert len(by_doc[1]) == 1 and by_doc[1][0]["frame_idx"] == 0
     assert by_doc[2]  # fake path still yields schema-shaped rows
+
+
+def test_png_palette_rgba_grayalpha_decode():
+    """Non-RGB PNG color types (r4): palette indices resolve through
+    PLTE to RGB AFTER unfiltering; RGBA/gray+alpha filter at their true
+    bytes-per-pixel; a palette index past the PLTE is rejected."""
+    import pytest as _pytest
+
+    from data_lake_skyfit_spark.llm.multimodal import _png_pixels, encode_png
+
+    pal = [((3 * i) % 256, (5 * i) % 256, (7 * i) % 256) for i in range(256)]
+    data = encode_png(6, 9, lambda x, y, c: (11 * x + 13 * y) % 256, palette=pal)
+    w, h, ch, rows = _png_pixels(data)
+    assert (w, h, ch) == (6, 9, 3)
+    assert b"".join(rows) == b"".join(
+        bytes(v for x in range(6) for v in pal[(11 * x + 13 * y) % 256])
+        for y in range(9)
+    )
+
+    rgba = encode_png(
+        7, 5, lambda x, y, c: (5 + 11 * x + 13 * y + 17 * c) % 256, channels=4
+    )
+    w, h, ch, rows = _png_pixels(rgba)
+    assert (w, h, ch) == (7, 5, 4)
+    assert b"".join(rows) == bytes(
+        (5 + 11 * x + 13 * y + 17 * c) % 256
+        for y in range(5) for x in range(7) for c in range(4)
+    )
+
+    ga = encode_png(4, 6, lambda x, y, c: (x * 9 + y * 5 + c) % 256, channels=2)
+    assert _png_pixels(ga)[:3] == (4, 6, 2)
+
+    short_pal = encode_png(4, 4, lambda x, y, c: 200, palette=pal[:16])
+    with _pytest.raises(ValueError):
+        _png_pixels(short_pal)  # index 200 past the 16-entry PLTE
