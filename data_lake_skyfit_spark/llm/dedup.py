@@ -23,6 +23,7 @@ __all__ = [
     "exact_duplicates",
     "exact_dedup",
     "line_level_dedup",
+    "duplicate_span_removal",
     "jaccard_pairs_bruteforce",
     "minhash_signature_expr",
     "minhash_lsh_pairs",
@@ -112,6 +113,97 @@ def line_level_dedup(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("__keep").cast("long")).alias("n_kept"),
         F.sum((~F.col("__keep")).cast("long")).alias("n_dropped"),
+    )
+
+
+def duplicate_span_removal(
+    df: DataFrame,
+    *,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-SUBSTRING deduplication at k-token granularity (the Lee et
+    al. 2021 'Deduplicating Training Data Makes Language Models Better'
+    tier, r4 — distributed as the positional k-gram form rather than a
+    single-node suffix array): any k-token span occurring more than
+    once corpus-wide keeps only its FIRST occurrence (lowest
+    (id, start)); every other occurrence's k token positions are cut
+    and the document re-joins its surviving tokens with single spaces
+    (span removal necessarily re-tokenizes — mirrored in oracles).
+
+    Returns (id, text, n_tokens, n_kept, n_removed).
+
+    Plan: positional k-grams stay a let-bound JVM expression per doc;
+    only (8-byte gram hash, id, start) cross the shuffle. Winner + count
+    per gram is one map-side-combinable aggregation (min-struct +
+    count), marked spans explode into at most k·marks covered positions
+    (sparse — proportional to DUPLICATED text, not corpus), and
+    survivors are a left-anti join on (id, pos). Completes the dedup
+    granularity family: document (exact/MinHash/SimHash), line
+    (line_level_dedup), span (this).
+    """
+    from .text import let_expr, tokens_expr
+
+    def positional_grams(text: Column) -> Column:
+        def body(w: Column) -> Column:
+            idx = F.sequence(F.lit(1), F.size(w) - (k - 1))
+            parts = lambda i: [F.element_at(w, i + j) for j in range(k)]  # noqa: E731
+            grams = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+            return F.when(F.size(w) >= k, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+
+        return let_expr(tokens_expr(text), body)
+
+    base = df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    toks = base.select(
+        "id", F.posexplode(tokens_expr(text_col)).alias("pos", "tok")
+    )
+    g = base.select(
+        "id", F.posexplode(positional_grams(F.col(text_col))).alias("start", "gram")
+    ).select("id", "start", F.xxhash64("gram").alias("__gh"))
+    g = g.localCheckpoint(eager=False)  # stats build + marks join
+    stats = g.groupBy("__gh").agg(
+        F.min(F.struct("id", "start")).alias("__w"), F.count(F.lit(1)).alias("__n")
+    )
+    marks = (
+        g.join(stats, "__gh")
+        .filter(
+            (F.col("__n") > 1)
+            & ~((F.col("__w.id") == F.col("id")) & (F.col("__w.start") == F.col("start")))
+        )
+        .select("id", "start")
+    )
+    covered = marks.select(
+        "id",
+        F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))).alias(
+            "pos"
+        ),
+    ).distinct()
+    survivors = toks.join(covered, ["id", "pos"], "left_anti")
+    # totals come from `base`, zero-shuffle AND keeping token-less docs
+    # in the output (an exploded frame would drop them entirely)
+    totals = base.select(
+        "id", F.size(tokens_expr(text_col)).cast("long").alias("n_tokens")
+    )
+    rebuilt = survivors.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_kept = F.coalesce("n_kept", F.lit(0))
+    return totals.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        "n_tokens",
+        n_kept.alias("n_kept"),
+        (F.col("n_tokens") - n_kept).alias("n_removed"),
     )
 
 

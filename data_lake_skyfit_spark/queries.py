@@ -105,12 +105,14 @@ _PRIORITY = [
     "stateful_user_sessions",
     "udtf_tokenize_positions",
     # LLM dedup tier
-    # (dedup_simhash demoted past the cutoff in r4 for versioned_time_travel;
-    # its only family tag llm-dedup keeps 5 graded carriers)
+    # (r4 demotions past the cutoff: dedup_simhash for versioned_time_travel,
+    # dedup_embedding_cosine for dedup_span_removal — its block-matmul + JVM
+    # rescore machinery stays graded via ann_knn_join; llm-dedup keeps 5
+    # graded carriers)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
+    "dedup_span_removal",
     "dedup_cluster_resolution",
     # similarity / storage
     "ann_knn_join",

@@ -2578,3 +2578,62 @@ def multimodal_decode_png_variants(spark: SparkSession, sf_dir: str) -> DataFram
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     media = multimodal.synthesize_png_variant_payloads(d, id_col="doc_id")
     return multimodal.decode_images(media)
+
+
+@register(
+    "dedup_span_removal",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, u.i - 1 AS start, u.gram
+      FROM (SELECT doc_id,
+                   CASE WHEN len(w) >= 6 THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] for i in range(1, len(w) - 4)]
+                        ELSE [] END AS gs
+            FROM t),
+           LATERAL (SELECT UNNEST(gs) AS gram, generate_subscripts(gs, 1) AS i) u
+    ), r AS (
+      SELECT doc_id, start,
+             COUNT(*) OVER (PARTITION BY gram) AS n,
+             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
+      FROM g
+    ), cov AS (
+      SELECT DISTINCT doc_id, start + o.i AS pos
+      FROM r, LATERAL (SELECT UNNEST(range(0, 6)) AS i) o
+      WHERE n > 1 AND rn > 1
+    ), tk AS (
+      SELECT t.doc_id, u.i - 1 AS pos, u.tok
+      FROM t, LATERAL (SELECT UNNEST(w) AS tok, generate_subscripts(w, 1) AS i) u
+    ), kept AS (
+      SELECT tk.doc_id, tk.pos, tk.tok
+      FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.pos = tk.pos
+      WHERE cov.pos IS NULL
+    )
+    SELECT t.doc_id,
+           COALESCE(STRING_AGG(kp.tok, ' ' ORDER BY kp.pos), '') AS text,
+           CAST(MAX(len(t.w)) AS BIGINT) AS n_tokens,
+           CAST(COUNT(kp.tok) AS BIGINT) AS n_kept,
+           CAST(MAX(len(t.w)) - COUNT(kp.tok) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN kept kp ON kp.doc_id = t.doc_id
+    GROUP BY t.doc_id
+    """,
+    tags=("llm-dedup", "scale-path"),
+    doc="EXACT-SUBSTRING dedup at 6-token granularity "
+    "(llm.dedup.duplicate_span_removal, r4 - the Lee et al. 2021 tier "
+    "in its distributed positional-k-gram form): every 6-token span "
+    "occurring more than once corpus-wide survives only at its first "
+    "(doc_id, start); later occurrences' token positions are cut and "
+    "documents re-join their surviving tokens. Winner+count per gram "
+    "is one map-side-combinable aggregation over an 8-byte gram hash; "
+    "covered positions are proportional to DUPLICATED text, never the "
+    "corpus. Completes the dedup granularity family: document / line / "
+    "span. k=50 in production; k=6 here so the word-soup fixture "
+    "actually contains repeated spans.",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.duplicate_span_removal(d, k=6)
+    return out.select(
+        F.col("id").alias("doc_id"), "text", "n_tokens", "n_kept", "n_removed"
+    )

@@ -656,3 +656,32 @@ def test_line_level_dedup_semantics(spark):
     assert out[2]["n_dropped"] == 1
     # doc 3: all short/structural lines kept verbatim
     assert out[3]["text"] == "---\n--" and out[3]["n_dropped"] == 0
+
+
+def test_duplicate_span_removal_semantics(spark):
+    """Lee-et-al-style span dedup at k=3: the corpus-wide first
+    occurrence survives, later occurrences cut exactly their k token
+    positions (overlapping duplicated spans union their coverage),
+    sub-k documents pass through untouched, and rebuilt text re-joins
+    surviving tokens."""
+    from data_lake_skyfit_spark.llm.dedup import duplicate_span_removal
+
+    span = "alpha beta gamma"
+    docs = [
+        (1, f"{span} delta epsilon"),          # first occurrence: untouched
+        (2, f"zeta {span} eta"),               # span cut from the middle
+        (3, f"{span} {span}"),                 # both copies lose to doc 1
+        (4, "too short"),                      # < k tokens: no grams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["id"]: r for r in duplicate_span_removal(df, k=3).collect()}
+    assert out[1]["text"] == "alpha beta gamma delta epsilon"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "zeta eta" and out[2]["n_removed"] == 3
+    # doc 3 is "alpha beta gamma alpha beta gamma": the duplicated gram's
+    # GLOBAL winner is doc 1's start 0, so doc 3's occurrences at starts
+    # 0 and 3 are both cut — covering all six positions. A doc made
+    # entirely of seen content vanishes (token-less docs keep a row).
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 6
+    assert out[3]["n_tokens"] == 6 and out[3]["n_kept"] == 0
+    assert out[4]["text"] == "too short" and out[4]["n_removed"] == 0
