@@ -39,6 +39,7 @@ __all__ = [
     "cross_doc_duplication",
     "negative_sample_pairs",
     "gopher_rules",
+    "target_importance_scores",
     "curate_corpus",
 ]
 
@@ -485,6 +486,74 @@ def gopher_rules(
         & (F.col("r_stopwords") == 1)
     )
     return out.withColumn("keep", keep)
+
+
+def target_importance_scores(
+    train: DataFrame,
+    target: DataFrame,
+    *,
+    n: int = 2,
+    num_features: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-shaped data selection scoring (Xie et al. 2023, 'Data
+    Selection for Language Models via Importance Resampling'), r4: rank
+    raw documents by how much of their hashed n-gram mass falls on a
+    small TARGET corpus's feature distribution — the signal used to
+    select/resample pretraining data toward a domain.
+
+    Integer-exact form: features are a 48-bit md5-derived hash of each
+    token n-gram mod `num_features` (ENGINE-REPRODUCIBLE — the repo's
+    shard-function convention — so a SQL oracle reproduces hash
+    collisions bit-for-bit); the target reduces to (feature, count)
+    rows (≤ num_features, broadcast) and each train document scores
+    raw_score = Σ_f c_doc(f)·c_target(f) with ONE final IEEE division
+    by the doc's feature count. The published method's log-ratio
+    weights are libm-dependent; at 100 TB swap the count product for a
+    log-weight column inside the same broadcast join when driver-exact
+    oracles aren't required.
+
+    Returns (id, n_feats, raw_score, score); docs too short for any
+    n-gram keep a row with score 0.
+
+    Plan: the target (small by definition) aggregates once; train
+    explodes to (doc, feature), joins the broadcast count table
+    MAP-SIDE — the corpus never shuffles by feature — and the per-doc
+    score aggregation partial-combines on the doc id."""
+    feat = (
+        lambda c: F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")  # noqa: E731
+        % num_features
+    )
+    t_counts = (
+        target.select(F.explode(ngrams_expr(text_col, n)).alias("__g"))
+        .select(feat(F.col("__g")).alias("__f"))
+        .groupBy("__f")
+        .agg(F.count(F.lit(1)).alias("__tc"))
+    )
+    d = train.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(ngrams_expr(text_col, n)).alias("__g"),
+    ).select("id", feat(F.col("__g")).alias("__f"))
+    agg = (
+        d.join(F.broadcast(t_counts), "__f", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.coalesce("__tc", F.lit(0))).alias("raw_score"),
+        )
+    )
+    base = train.select(F.col(id_col).cast("long").alias("id"))
+    n_feats = F.coalesce("n_feats", F.lit(0))
+    raw = F.coalesce("raw_score", F.lit(0))
+    return base.join(agg, "id", "left").select(
+        "id",
+        n_feats.alias("n_feats"),
+        raw.alias("raw_score"),
+        F.when(n_feats == 0, F.lit(0.0))
+        .otherwise(raw.cast("double") / n_feats)
+        .alias("score"),
+    )
 
 
 def curate_corpus(

@@ -2637,3 +2637,55 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "text", "n_tokens", "n_kept", "n_removed"
     )
+
+
+@register(
+    "curation_importance_scores",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2 THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                  ELSE [] END AS gs
+      FROM t
+    ), tgt AS (
+      SELECT ('0x' || substr(md5(u.g), 1, 12))::BIGINT % 1048576 AS f,
+             COUNT(*) AS tc
+      FROM bg, LATERAL (SELECT UNNEST(gs) AS g) u
+      WHERE doc_id % 17 = 3
+      GROUP BY 1
+    ), d AS (
+      SELECT doc_id, ('0x' || substr(md5(u.g), 1, 12))::BIGINT % 1048576 AS f
+      FROM bg, LATERAL (SELECT UNNEST(gs) AS g) u
+    ), s AS (
+      SELECT d.doc_id, COUNT(*) AS n_feats, SUM(COALESCE(tgt.tc, 0)) AS raw
+      FROM d LEFT JOIN tgt USING (f) GROUP BY d.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(s.raw, 0) AS BIGINT) AS raw_score,
+           CASE WHEN COALESCE(s.n_feats, 0) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(s.raw AS DOUBLE) / s.n_feats END AS score
+    FROM t LEFT JOIN s USING (doc_id)
+    """,
+    tags=("llm-text", "llm-split"),
+    doc="DSIR-shaped data-selection scoring "
+    "(llm.curation.target_importance_scores, r4): rank every document "
+    "by hashed-bigram mass on a target slice (doc_id % 17 = 3 plays "
+    "the domain corpus). 48-bit md5-derived feature hashing is "
+    "engine-reproducible, so the oracle reproduces even hash "
+    "collisions; integer dot-product accumulation with one final IEEE "
+    "division. Target counts broadcast; the corpus never shuffles by "
+    "feature.",
+)
+def curation_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.curation import target_importance_scores
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 17 == 3)
+    out = target_importance_scores(d, target, n=2)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_feats", "raw_score", "score"
+    )

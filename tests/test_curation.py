@@ -685,3 +685,29 @@ def test_duplicate_span_removal_semantics(spark):
     assert out[3]["text"] == "" and out[3]["n_removed"] == 6
     assert out[3]["n_tokens"] == 6 and out[3]["n_kept"] == 0
     assert out[4]["text"] == "too short" and out[4]["n_removed"] == 0
+
+
+def test_target_importance_scores_semantics(spark):
+    """DSIR-shaped selection signal: documents sharing more bigram mass
+    with the target corpus must score strictly higher; bigram-less docs
+    keep a zero-score row; the target's own docs score highest."""
+    from data_lake_skyfit_spark.llm.curation import target_importance_scores
+
+    target = spark.createDataFrame(
+        [(100, "machine learning models train on curated data")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "machine learning models need data"),   # heavy overlap
+            (2, "cooking recipes with fresh basil"),    # zero overlap
+            (3, "models train fast with less target"),  # some overlap
+            (4, "one"),                                 # no bigrams at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in target_importance_scores(train, target).collect()}
+    assert out[1]["score"] > out[3]["score"] > out[2]["score"] == 0.0
+    assert out[1]["raw_score"] == 2  # 'machine learning', 'learning models'
+    assert out[3]["raw_score"] == 1  # 'models train' (1 of 5 bigrams)
+    assert out[4] and out[4]["n_feats"] == 0 and out[4]["score"] == 0.0
