@@ -260,6 +260,9 @@ def medallion_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'diff', event_id, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
            change_type, value_old, value_new
     FROM d WHERE change_type <> 'unchanged'
+    UNION ALL
+    SELECT 'v2_compacted', event_id, user_id, event_type, NULL, NULL, value
+    FROM v1
     """,
     tags=("versioned", "time-travel"),
     doc="Versioned-table manifest machinery under the driver hash check "
@@ -267,12 +270,15 @@ def medallion_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from a pure function of `events` — overwrite v1 (event_id % 7 <> "
     "0), MERGE v2 (event_id % 3 = 0 at doubled value: copy-on-write "
     "inserts + updates), then TIME-TRAVEL read(v1) AFTER the merge "
-    "committed, read(v2), and diff(v1, v2) — per-row output of all "
-    "three legs, so the manifest resolution, COW generation splice and "
-    "CDC feed are each hash-graded, not pytest-asserted. Oracle is "
-    "plain SQL replaying the same overwrite/upsert algebra. Doubling a "
-    "DOUBLE is an exponent bump (exact both engines); NULL values stay "
-    "'unchanged' under null-safe compare on both sides.",
+    "committed, read(v2), diff(v1, v2), and COMPACT (key-clustered "
+    "rewrite into one generation) + re-read — per-row output of all "
+    "four legs, so the manifest resolution, COW generation splice, CDC "
+    "feed AND the OPTIMIZE path are each hash-graded, not "
+    "pytest-asserted (compaction must be a pure layout change: its leg "
+    "hashes identical rows to v1_read under a different label). Oracle "
+    "is plain SQL replaying the same overwrite/upsert algebra. Doubling "
+    "a DOUBLE is an exponent bump (exact both engines); NULL values "
+    "stay 'unchanged' under null-safe compare on both sides.",
 )
 def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.versioned import VersionedParquetTable
@@ -328,4 +334,18 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_value").alias("value_old"),
         F.col("new_value").alias("value_new"),
     )
-    return leg_old.unionByName(leg_new).unionByName(leg_diff)
+    v2 = t.compact(spark, cluster_by=("event_id",), n_files=2)
+    leg_compacted = t.read(spark, v2).select(
+        F.lit("v2_compacted").alias("leg"),
+        "event_id",
+        "user_id",
+        "event_type",
+        null_str.alias("change_type"),
+        null_dbl.alias("value_old"),
+        F.col("value").alias("value_new"),
+    )
+    return (
+        leg_old.unionByName(leg_new)
+        .unionByName(leg_diff)
+        .unionByName(leg_compacted)
+    )
