@@ -67,13 +67,17 @@ def main() -> None:
 
     # Full-precision per-query detail always lands in the repo for
     # cross-round comparison…
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(doc, f, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    # Subset runs (SKYFIT_BENCH_QUERIES) must NOT clobber the committed
+    # full-battery detail — a one-query file labeled battery_total
+    # poisons cross-round comparison (code-review r4).
+    if not subset:
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json")
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(doc, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
 
     print(compact_line(doc, budget=1900))
 

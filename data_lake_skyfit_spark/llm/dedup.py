@@ -143,25 +143,18 @@ def duplicate_span_removal(
     granularity family: document (exact/MinHash/SimHash), line
     (line_level_dedup), span (this).
     """
-    from .text import let_expr, tokens_expr
-
-    def positional_grams(text: Column) -> Column:
-        def body(w: Column) -> Column:
-            idx = F.sequence(F.lit(1), F.size(w) - (k - 1))
-            parts = lambda i: [F.element_at(w, i + j) for j in range(k)]  # noqa: E731
-            grams = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
-            return F.when(F.size(w) >= k, grams).otherwise(
-                F.array().cast("array<string>")
-            )
-
-        return let_expr(tokens_expr(text), body)
+    # ngrams_expr is the positional (non-distinct, order-preserving)
+    # k-gram builder this operator needs — shared with the repetition
+    # metrics, not re-implemented here (code-review r4). Lazy import:
+    # curation imports dedup lazily inside curate_corpus, this mirrors.
+    from .curation import ngrams_expr
 
     base = df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
     toks = base.select(
         "id", F.posexplode(tokens_expr(text_col)).alias("pos", "tok")
     )
     g = base.select(
-        "id", F.posexplode(positional_grams(F.col(text_col))).alias("start", "gram")
+        "id", F.posexplode(ngrams_expr(text_col, k)).alias("start", "gram")
     ).select("id", "start", F.xxhash64("gram").alias("__gh"))
     g = g.localCheckpoint(eager=False)  # stats build + marks join
     stats = g.groupBy("__gh").agg(

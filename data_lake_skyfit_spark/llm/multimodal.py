@@ -519,7 +519,11 @@ def _decode_gif_frames(data: bytes, every_ms: int):
     for i, (delay_cs, idx) in enumerate(frames):
         if t_ms >= next_emit:
             out.append((i, t_ms, hashlib.md5(idx).hexdigest()))
-            next_emit += every_ms
+            # sample-and-hold: the next sample is one period after the
+            # EMITTED frame's time, not a fixed grid — a frame longer
+            # than every_ms must not trigger catch-up oversampling
+            # (code-review r4)
+            next_emit = t_ms + every_ms
         t_ms += delay_cs * 10
     return out
 
@@ -1091,23 +1095,15 @@ def encode_jpeg(
     multiples of the MCU size — the battery fixtures stay pad-free so
     their SQL oracle is exact; general padding lives decoder-side.
     """
-    import numpy as np
-
     mcu = 16 if (color and subsample) else 8
     if width <= 0 or height <= 0 or width % mcu or height % mcu:
         raise ValueError(f"jpeg: dims must be positive multiples of {mcu}")
 
-    m = _jpeg_cos()
-    qt_l = np.array(_JPEG_QT_LUMA, dtype=np.float64).reshape(8, 8)
-    qt_c = np.array(_JPEG_QT_CHROMA, dtype=np.float64).reshape(8, 8)
-
-    def quantized(block_f64, qt):
-        coef = m @ (block_f64 - 128.0) @ m.T
-        return np.floor(coef / qt + 0.5).astype(np.int64)
-
-    y_plane = np.array(
-        [[y_pixel(x, y) for x in range(width)] for y in range(height)],
-        dtype=np.float64,
+    # Shared quantization front half with encode_jpeg_progressive
+    # (code-review r4): identical values, so the byte-level goldens are
+    # unchanged — only the scan layout differs between the encoders.
+    comps_blocks = _jpeg_quantized_components(
+        width, height, y_pixel, color=color, subsample=subsample, cb=cb, cr=cr
     )
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -1178,8 +1174,6 @@ def encode_jpeg(
             bw.write(code, ln)
         return dc
 
-    cb_blk = np.full((8, 8), float(cb))
-    cr_blk = np.full((8, 8), float(cr))
     preds = [0, 0, 0]
     mcux, mcuy = width // mcu, height // mcu
     n_mcu = 0
@@ -1197,23 +1191,20 @@ def encode_jpeg(
             if color and subsample:
                 for by in range(2):
                     for bx in range(2):
-                        y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
-                        blk = y_plane[y0 : y0 + 8, x0 : x0 + 8]
                         preds[0] = write_block(
-                            quantized(blk, qt_l), preds[0], enc["dc_l"], enc["ac_l"]
+                            comps_blocks[0][my * 2 + by, mx * 2 + bx],
+                            preds[0], enc["dc_l"], enc["ac_l"],
                         )
             else:
-                y0, x0 = my * 8, mx * 8
-                blk = y_plane[y0 : y0 + 8, x0 : x0 + 8]
                 preds[0] = write_block(
-                    quantized(blk, qt_l), preds[0], enc["dc_l"], enc["ac_l"]
+                    comps_blocks[0][my, mx], preds[0], enc["dc_l"], enc["ac_l"]
                 )
             if color:
                 preds[1] = write_block(
-                    quantized(cb_blk, qt_c), preds[1], enc["dc_c"], enc["ac_c"]
+                    comps_blocks[1][my, mx], preds[1], enc["dc_c"], enc["ac_c"]
                 )
                 preds[2] = write_block(
-                    quantized(cr_blk, qt_c), preds[2], enc["dc_c"], enc["ac_c"]
+                    comps_blocks[2][my, mx], preds[2], enc["dc_c"], enc["ac_c"]
                 )
     bw.flush()
     out += bw.out
@@ -1341,33 +1332,52 @@ def encode_jpeg_progressive(
         bw = _JpegBitWriter()
 
         if ss == 0 and len(comp_idx) >= 1:
-            # DC scan, interleaved MCU order over the scan's components
+            # DC scan. Block ORDER follows T.81's scan structure — the
+            # exact convention the decoder implements: more than one
+            # component ⇒ interleaved MCU order (each component
+            # contributing its h×v blocks per MCU); a SINGLE component
+            # ⇒ non-interleaved RASTER order over that component's own
+            # block grid (code-review r4: the MCU order was wrong for a
+            # one-component DC scan of a subsampled image — luma blocks
+            # landed permuted).
             preds = {ci: 0 for ci in comp_idx}
-            bh0, bw0 = comps_blocks[0].shape[:2]
-            mcuy = bh0 // (2 if (color and subsample) else 1)
-            mcux = bw0 // (2 if (color and subsample) else 1)
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    for ci in comp_idx:
-                        blocks = comps_blocks[ci]
-                        v_f = 2 if (ci == 0 and color and subsample) else 1
-                        for by in range(v_f):
-                            for bx in range(v_f):
-                                dc = int(blocks[my * v_f + by, mx * v_f + bx, 0])
-                                if ah == 0:
-                                    t = dc >> al  # arithmetic shift per spec
-                                    diff = t - preds[ci]
-                                    preds[ci] = t
-                                    cat = _jpeg_bit_category(diff)
-                                    code, ln = enc_dc[ci][cat]
-                                    bw.write(code, ln)
-                                    if cat:
-                                        bw.write(
-                                            diff if diff >= 0 else diff + (1 << cat) - 1,
-                                            cat,
-                                        )
-                                else:
-                                    bw.write((dc >> al) & 1, 1)
+
+            def emit_dc(ci: int, dc: int) -> None:
+                if ah == 0:
+                    t = dc >> al  # arithmetic shift per spec
+                    diff = t - preds[ci]
+                    preds[ci] = t
+                    cat = _jpeg_bit_category(diff)
+                    code, ln = enc_dc[ci][cat]
+                    bw.write(code, ln)
+                    if cat:
+                        bw.write(
+                            diff if diff >= 0 else diff + (1 << cat) - 1, cat
+                        )
+                else:
+                    bw.write((dc >> al) & 1, 1)
+
+            if len(comp_idx) == 1:
+                ci = comp_idx[0]
+                blocks = comps_blocks[ci]
+                for by in range(blocks.shape[0]):
+                    for bx in range(blocks.shape[1]):
+                        emit_dc(ci, int(blocks[by, bx, 0]))
+            else:
+                bh0, bw0 = comps_blocks[0].shape[:2]
+                mcuy = bh0 // (2 if (color and subsample) else 1)
+                mcux = bw0 // (2 if (color and subsample) else 1)
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in comp_idx:
+                            blocks = comps_blocks[ci]
+                            v_f = 2 if (ci == 0 and color and subsample) else 1
+                            for by in range(v_f):
+                                for bx in range(v_f):
+                                    emit_dc(
+                                        ci,
+                                        int(blocks[my * v_f + by, mx * v_f + bx, 0]),
+                                    )
         else:
             ci = comp_idx[0]
             blocks = comps_blocks[ci]
@@ -2923,7 +2933,9 @@ def _decode_mp4_frames(data: bytes, every_ms: int):
         ts_ms = t * 1000 // timescale
         if ts_ms >= next_emit:
             out.append((i, ts_ms, hashlib.md5(data[off : off + size]).hexdigest()))
-            next_emit += every_ms
+            # sample-and-hold, not a fixed grid (code-review r4): no
+            # catch-up burst after a sample longer than every_ms
+            next_emit = ts_ms + every_ms
         t += delta
     return out
 

@@ -28,6 +28,27 @@ __all__ = [
 ]
 
 
+#: Recent kernel-constant broadcasts, oldest-first. Each call to a
+#: broadcast-shipping operator creates a fresh Broadcast (the constants
+#: differ per call — e.g. every Lloyd iteration's centroids); without a
+#: bound they accumulate in executor block managers for the app's
+#: lifetime (code-review r4). Unpersist (NOT destroy) evicts executor
+#: copies while keeping the value on the driver, so a late
+#: re-evaluation of an old lineage transparently re-fetches.
+_KERNEL_BROADCASTS: list = []
+
+
+def _register_kernel_broadcast(bc, keep: int = 4):
+    _KERNEL_BROADCASTS.append(bc)
+    while len(_KERNEL_BROADCASTS) > keep:
+        old = _KERNEL_BROADCASTS.pop(0)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass  # context shut down mid-session: nothing to evict
+    return bc
+
+
 def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     # Zero vectors get nrm 1 (cosine 0 to everything) — the same
     # convention as the numpy kernels' norms[norms == 0] = 1. Without
@@ -266,7 +287,9 @@ def _assign_to_centroids(df: DataFrame, n_best: int, cids, cmat) -> DataFrame:
     import pandas as pd
 
     k_best = min(n_best, len(cids))
-    bc = df.sparkSession.sparkContext.broadcast((cids, cmat))
+    bc = _register_kernel_broadcast(
+        df.sparkSession.sparkContext.broadcast((cids, cmat))
+    )
 
     def kernel(batches):
         import numpy as np

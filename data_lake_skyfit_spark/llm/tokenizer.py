@@ -134,8 +134,12 @@ def apply_bpe(
     executor."""
     import pandas as pd
 
-    bc_ranks = df.sparkSession.sparkContext.broadcast(
-        {p: i for i, p in enumerate(merges)}
+    from .similarity import _register_kernel_broadcast
+
+    bc_ranks = _register_kernel_broadcast(
+        df.sparkSession.sparkContext.broadcast(
+            {p: i for i, p in enumerate(merges)}
+        )
     )
     schema = T.StructType(
         [

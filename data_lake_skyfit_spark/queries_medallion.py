@@ -26,6 +26,7 @@ Reference semantics exercised:
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -344,8 +345,16 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_dbl.alias("value_old"),
         F.col("value").alias("value_new"),
     )
-    return (
+    out = (
         leg_old.unionByName(leg_new)
         .unionByName(leg_diff)
         .unionByName(leg_compacted)
     )
+    # This query writes THREE generations (v0, COW merge, full compact)
+    # under a fresh mkdtemp per invocation; eagerly checkpointing the
+    # result lets the parquet tree be deleted NOW instead of leaking
+    # tens of MB per verify/bench cycle (code-review r4). The caller
+    # still collects lazily from the checkpointed blocks.
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

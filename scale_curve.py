@@ -68,10 +68,17 @@ def main() -> None:
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     embs = load_table(spark, SF_DIR, "embeddings")
 
+    # Always rebuild: the driver REGENERATES /root/testdata between
+    # rounds (CLAUDE.md), so a cached inflated corpus from a previous
+    # round would silently measure stale data (code-review r4). The
+    # rebuild is seconds; within ONE run the per-factor path is reused.
+    built: set[str] = set()
+
     def materialize(df, name: str, factor: int) -> str:
         path = os.path.join(WORK, f"{name}_x{factor}.parquet")
-        if not os.path.isdir(path):
+        if path not in built:
             df.write.mode("overwrite").parquet(path)
+            built.add(path)
         return path
 
     # num_blocks sized so one block pair (2·n/nb vectors) stays a sane
@@ -108,6 +115,12 @@ def main() -> None:
         rows[factor] = (n_docs, n_vecs)
 
         def timed(op: str, thunk) -> None:
+            # Free localCheckpoint blocks from the PREVIOUS operator
+            # (bench.py's rule — clearCache() does not touch persisted
+            # RDDs): accumulated blocks otherwise surface as a GC spike
+            # inside a later timed run and distort the curve.
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
             t0 = time.time()
             out_n = thunk()
             dt = round(time.time() - t0, 2)

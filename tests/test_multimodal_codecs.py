@@ -1108,3 +1108,77 @@ def test_png_palette_rgba_grayalpha_decode():
     short_pal = encode_png(4, 4, lambda x, y, c: 200, palette=pal[:16])
     with _pytest.raises(ValueError):
         _png_pixels(short_pal)  # index 200 past the 16-entry PLTE
+
+
+def test_variable_delay_sampling_has_no_catchup_burst():
+    """A frame displayed longer than the sampling period must not cause
+    a burst of catch-up emissions (code-review r4): GIF delays
+    [3000, 100, 100, 100] ms at 1-per-second sampling emit t=0 and
+    t=3000 only — never 3100/3200. Same contract for MP4 multi-run
+    stts deltas."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _decode_gif_frames, _decode_mp4_frames, encode_gif_animation,
+        encode_mp4_frames,
+    )
+
+    frames = [bytes([i]) * 12 for i in range(4)]
+    gif = bytearray(encode_gif_animation(4, 3, frames, delay_cs=10))
+    # patch the FIRST GCE delay to 300 cs (3000 ms); others stay 100 ms
+    at = gif.index(b"\x21\xf9\x04\x00")
+    gif[at + 4 : at + 6] = (300).to_bytes(2, "little")
+    rows = _decode_gif_frames(bytes(gif), 1000)
+    assert [(i, t) for i, t, _ in rows] == [(0, 0), (1, 3000)]
+
+    # MP4: splice a second stts run so deltas are [3000, 100, 100] ms —
+    # grow the box by 8 bytes and fix every enclosing box size.
+    import struct as _s
+
+    data = bytes(
+        encode_mp4_frames(
+            [b"aa" * 8, b"bb" * 8, b"cc" * 8], frame_duration_ms=100
+        )
+    )
+    stts_at = data.index(b"stts") - 4
+    (old_size,) = _s.unpack_from(">I", data, stts_at)
+    new_payload = (
+        b"\x00\x00\x00\x00"
+        + _s.pack(">I", 2)
+        + _s.pack(">II", 1, 3000)
+        + _s.pack(">II", 2, 100)
+    )
+    new_box = _s.pack(">I", 8 + len(new_payload)) + b"stts" + new_payload
+    grown = len(new_box) - old_size
+    out = bytearray(data[:stts_at] + new_box + data[stts_at + old_size :])
+    # fix ancestor box sizes (moov > trak > mdia > minf > stbl contain stts)
+    for fourcc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        at = bytes(out).index(fourcc) - 4
+        (sz,) = _s.unpack_from(">I", out, at)
+        _s.pack_into(">I", out, at, sz + grown)
+    rows = _decode_mp4_frames(bytes(out), 1000)
+    assert [(i, t) for i, t, _ in rows] == [(0, 0), (1, 3000)]
+
+
+def test_jpeg_progressive_noninterleaved_dc_scans():
+    """Single-component DC scans of a SUBSAMPLED image must use raster
+    (non-interleaved) block order per T.81 — the code-review-r4 repro:
+    per-component DC scans over 4:2:0 color previously emitted luma
+    blocks in MCU order and decoded permuted."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _jpeg_pixels, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    pix = lambda x, y: (x * 13 + y * 7) % 256  # noqa: E731
+    scans = [
+        ((0,), 0, 0, 0, 1), ((1,), 0, 0, 0, 1), ((2,), 0, 0, 0, 1),
+        ((0,), 0, 0, 1, 0), ((1,), 0, 0, 1, 0), ((2,), 0, 0, 1, 0),
+        ((0,), 1, 63, 0, 0), ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0),
+    ]
+    base = _jpeg_pixels(
+        encode_jpeg(32, 32, pix, color=True, subsample=True, cb=131, cr=119)
+    )
+    prog = _jpeg_pixels(
+        encode_jpeg_progressive(
+            32, 32, pix, color=True, subsample=True, cb=131, cr=119, scans=scans
+        )
+    )
+    assert base == prog
