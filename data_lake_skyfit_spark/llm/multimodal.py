@@ -74,6 +74,7 @@ __all__ = [
     "encode_jpeg",
     "encode_jpeg_progressive",
     "encode_mp4_frames",
+    "encode_flac_streaminfo",
     "synthesize_jpeg_payloads",
     "synthesize_mp4_payloads",
     "synthesize_gif_payloads",
@@ -2347,6 +2348,68 @@ def _decode_mp3(data: bytes) -> tuple[int, int, int, None, None]:
     return sr, n, n * 1000 // sr, None, None
 
 
+def _looks_like_flac(data: bytes) -> bool:
+    return data[:4] == b"fLaC"
+
+
+def encode_flac_streaminfo(
+    sample_rate: int, n_samples: int, *, n_channels: int = 1, bps: int = 16
+) -> bytes:
+    """REAL FLAC container head: 'fLaC' + a STREAMINFO metadata block
+    with the spec's packed bit layout (20-bit sample rate, 3-bit
+    channels-1, 5-bit bps-1, 36-bit total samples) + a PADDING block
+    marked last. Audio FRAMES are not written — this is the metadata
+    layer ffprobe reads for timing; producing/decoding FLAC frames
+    needs a real codec and stays behind the fake-path gate."""
+    if not (1 <= n_channels <= 8) or not (4 <= bps <= 32):
+        raise ValueError("flac: bad channels/bps")
+    if sample_rate >= 1 << 20 or n_samples >= 1 << 36:
+        raise ValueError("flac: rate/sample count out of field range")
+    body = bytearray()
+    body += struct.pack(">HH", 4096, 4096)  # min/max block size
+    body += (0).to_bytes(3, "big") + (0).to_bytes(3, "big")  # frame sizes
+    packed = (sample_rate << 44) | ((n_channels - 1) << 41) | ((bps - 1) << 36) | n_samples
+    body += packed.to_bytes(8, "big")
+    body += bytes(16)  # md5 of unencoded audio: zero (no frames written)
+    out = bytearray(b"fLaC")
+    out += bytes([0x00]) + len(body).to_bytes(3, "big") + body  # STREAMINFO
+    out += bytes([0x80 | 0x01]) + (4).to_bytes(3, "big") + bytes(4)  # last: PADDING
+    return bytes(out)
+
+
+def _decode_flac(data: bytes) -> tuple[int, int, int, None, None]:
+    """decode_audio's FLAC leg: exact (sample_rate, n_samples,
+    duration_ms) from a real STREAMINFO walk (metadata blocks chained
+    until the is-last flag); sample stats are null (frames need a FLAC
+    decoder)."""
+    if not _looks_like_flac(data):
+        raise ValueError("flac: bad signature")
+    pos = 4
+    info = None
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("flac: truncated metadata block")
+        if hdr & 0x7F == 0:  # STREAMINFO
+            if blen != 34:
+                raise ValueError("flac: bad STREAMINFO length")
+            packed = int.from_bytes(body[10:18], "big")
+            sr = packed >> 44
+            n = packed & ((1 << 36) - 1)
+            if sr == 0:
+                raise ValueError("flac: zero sample rate")
+            info = (sr, n)
+        pos += 4 + blen
+        if hdr & 0x80:  # is-last flag
+            break
+    if info is None:
+        raise ValueError("flac: missing STREAMINFO")
+    sr, n = info
+    return sr, n, n * 1000 // sr, None, None
+
+
 def synthesize_mp3_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """id → REAL MPEG-1 Layer III frame sequence, deterministic closed
     form. Per id: samplerate index id % 3, nf = 4 + id % 9 frames,
@@ -2404,6 +2467,11 @@ def decode_audio(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                     return _decode_mp3(data)
                 except (ValueError, struct.error, IndexError):
                     pass  # sync-prefixed non-MP3 bytes: fake path below
+            if _looks_like_flac(data):
+                try:
+                    return _decode_flac(data)
+                except (ValueError, struct.error, IndexError):
+                    pass  # fLaC-prefixed non-FLAC bytes: fake path below
             _require_codec("soundfile")
             d = hashlib.md5(data).digest()
             sr = WAV_RATES[d[3] % len(WAV_RATES)]

@@ -2689,3 +2689,52 @@ def curation_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "n_feats", "raw_score", "score"
     )
+
+
+@register(
+    "multimodal_flac_streaminfo",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 96000 END AS sr,
+             1000 + doc_id * 37 AS n
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, CAST(sr AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS sample_sum,
+           CAST(NULL AS DOUBLE) AS rms
+    FROM p
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL FLAC metadata walk (llm.multimodal, r4): "
+    "synthesize per-doc fLaC containers with a spec-packed STREAMINFO "
+    "block (20-bit rate / 3-bit channels / 5-bit bps / 36-bit total "
+    "samples) + a last-flagged PADDING block; decode_audio chains the "
+    "metadata blocks and unpacks the bit layout for exact sample "
+    "counts and duration - the ffprobe metadata layer. Sample stats "
+    "NULL by design (FLAC frames need a real codec).",
+)
+def multimodal_flac_streaminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = [
+                multimodal.encode_flac_streaminfo(
+                    (44100, 48000, 96000)[rid % 3], 1000 + rid * 37,
+                    n_channels=1 + rid % 2,
+                )
+                for rid in (int(v) for v in pdf["doc_id"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = d.select("doc_id").mapInPandas(kernel, out_schema)
+    return multimodal.decode_audio(media)

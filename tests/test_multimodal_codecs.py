@@ -1182,3 +1182,26 @@ def test_jpeg_progressive_noninterleaved_dc_scans():
         )
     )
     assert base == prog
+
+
+def test_flac_streaminfo_bit_packing():
+    """FLAC STREAMINFO packed fields round-trip at the edges (20-bit
+    rate, 36-bit sample count, channels/bps subfields); truncation
+    INSIDE STREAMINFO is rejected, while a truncated trailing PADDING
+    block is tolerated (STREAMINFO already parsed — ffprobe leniency)."""
+    import pytest as _pytest
+
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _decode_flac, encode_flac_streaminfo,
+    )
+
+    for sr, n, ch in [(44100, 123456, 2), (8000, (1 << 36) - 1, 8), (96000, 7, 1)]:
+        data = encode_flac_streaminfo(sr, n, n_channels=ch)
+        assert data[:4] == b"fLaC"
+        assert _decode_flac(data) == (sr, n, n * 1000 // sr, None, None)
+    full = encode_flac_streaminfo(44100, 10)
+    with _pytest.raises(ValueError):
+        _decode_flac(full[:20])  # cut inside STREAMINFO
+    assert _decode_flac(full[:-6])[0] == 44100  # cut inside trailing PADDING
+    with _pytest.raises(ValueError):
+        encode_flac_streaminfo(1 << 20, 10)  # rate field overflow
