@@ -711,3 +711,68 @@ def test_target_importance_scores_semantics(spark):
     assert out[1]["raw_score"] == 2  # 'machine learning', 'learning models'
     assert out[3]["raw_score"] == 1  # 'models train' (1 of 5 bigrams)
     assert out[4] and out[4]["n_feats"] == 0 and out[4]["score"] == 0.0
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=5,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_line_dedup_conservation_and_idempotence_property(spark, docs):
+    """For arbitrary small corpora (lines = 3-token groups):
+    1. n_kept + n_dropped == n_lines per doc;
+    2. line_level_dedup is IDEMPOTENT — after one pass no content line
+       appears twice corpus-wide, so a second pass drops nothing."""
+    from data_lake_skyfit_spark.llm.dedup import line_level_dedup
+
+    rows = [
+        (i, "\n".join(" ".join(d[j : j + 3]) for j in range(0, len(d), 3)))
+        for i, d in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = line_level_dedup(df)
+    got = once.collect()
+    for r in got:
+        assert r["n_kept"] + r["n_dropped"] == r["n_lines"]
+    twice = line_level_dedup(
+        once.select(F.col("id").alias("doc_id"), "text")
+    ).collect()
+    assert all(r["n_dropped"] == 0 for r in twice)
+    assert {r["id"]: r["text"] for r in twice} == {r["id"]: r["text"] for r in got}
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=10),
+        min_size=1, max_size=4,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_span_removal_conservation_property(spark, docs):
+    """duplicate_span_removal invariants for arbitrary tiny corpora:
+    n_kept + n_removed == n_tokens; survivors' rebuilt text has exactly
+    n_kept tokens; the GLOBAL first occurrence of every duplicated
+    k-gram value survives somewhere (first-doc text always intact when
+    it contains the winner)."""
+    from data_lake_skyfit_spark.llm.dedup import duplicate_span_removal
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_span_removal(df, k=3).collect()
+    for r in out:
+        assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
+        n_text_tokens = len(r["text"].split()) if r["text"] else 0
+        assert n_text_tokens == r["n_kept"]
