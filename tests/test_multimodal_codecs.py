@@ -1205,3 +1205,38 @@ def test_flac_streaminfo_bit_packing():
     assert _decode_flac(full[:-6])[0] == 44100  # cut inside trailing PADDING
     with _pytest.raises(ValueError):
         encode_flac_streaminfo(1 << 20, 10)  # rate field overflow
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    bw=st.integers(min_value=1, max_value=3),
+    bh=st.integers(min_value=1, max_value=3),
+    color=st.booleans(),
+)
+@settings(max_examples=10, deadline=None)
+def test_jpeg_progressive_equals_baseline_property(seed, bw, bh, color):
+    """Progressive (SOF2 successive approximation) must reconstruct the
+    EXACT baseline coefficients for ARBITRARY image content, not just
+    the curated cases: random per-pixel content drives random AC
+    magnitudes, runs, EOB positions and correction bits through the
+    encoder/decoder pair."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _jpeg_pixels, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    w, h = 8 * bw, 8 * bh
+
+    def pix(x, y):
+        # xorshift-ish deterministic pseudo-noise from (seed, x, y)
+        v = (seed ^ (x * 2654435761) ^ (y * 40503)) & 0xFFFFFFFF
+        v ^= v >> 13
+        return (v * 69069 >> 16) % 256
+
+    kw = {"color": color, "cb": 120 + seed % 16, "cr": 118 + seed % 20} if color else {}
+    base = _jpeg_pixels(encode_jpeg(w, h, pix, **kw))
+    prog = _jpeg_pixels(encode_jpeg_progressive(w, h, pix, **kw))
+    assert base == prog
