@@ -99,8 +99,12 @@ _PRIORITY = [
     "snapshot_diff_orders",
     "point_in_time_user_state",
     "versioned_time_travel",
-    # streaming + custom-stateful + UDTF
-    "streaming_hourly_counts",
+    # streaming + custom-stateful + UDTF + incremental ingestion
+    # (streaming_hourly_counts demoted past the cutoff in r4 for the
+    # watermark entry; its tags all keep in-window carriers —
+    # 2.9-streaming via session_window_stats/stateful_user_sessions,
+    # I2 via snapshot_diff_orders, A4/2.10-datetime via the relational core)
+    "watermark_incremental_runs",
     "session_window_stats",
     "stateful_user_sessions",
     "udtf_tokenize_positions",
