@@ -193,13 +193,18 @@ def _wav_samples(data: bytes) -> tuple[int, int, int, tuple]:
     non-PCM16 or a declared sample rate of 0 (wave's reader does not
     validate it, and downstream duration/fps math divides by it —
     code-review r3)."""
-    with wave.open(io.BytesIO(data), "rb") as w:
-        sr = w.getframerate()
-        n_frames = w.getnframes()
-        n_ch = w.getnchannels()
-        if w.getsampwidth() != 2:
-            raise ValueError(f"only 16-bit PCM supported, got width {w.getsampwidth()}")
-        raw = w.readframes(n_frames)
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            sr = w.getframerate()
+            n_frames = w.getnframes()
+            n_ch = w.getnchannels()
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"only 16-bit PCM supported, got width {w.getsampwidth()}"
+                )
+            raw = w.readframes(n_frames)
+    except RuntimeError as e:  # wave.open raises BARE RuntimeError on
+        raise ValueError(f"malformed WAV: {e}") from e  # junk (r4 fuzz)
     if sr <= 0:
         raise ValueError("WAV declares a non-positive sample rate")
     return sr, n_frames, n_ch, struct.unpack(f"<{n_frames * n_ch}h", raw)
@@ -263,6 +268,19 @@ def _bmp_channel_bytes(data: bytes) -> tuple[int, int, int, bytes]:
     n_ch = bpp // 8
     h = abs(height)
     row_size = (width * n_ch + 3) & ~3
+    # Header sanity BEFORE building rows (r4 fuzz finding: a junk
+    # header's |height| can be 2^31 — two billion row slices hung the
+    # kernel at ~12 GB). The declared pixel array must actually fit the
+    # payload; Python's forgiving slicing must never paper over it.
+    if (
+        width <= 0
+        or h <= 0
+        or n_ch not in (1, 2, 3, 4)
+        or width * n_ch * h > _MAX_MEDIA_BYTES
+        or data_offset < 0
+        or data_offset + row_size * h > len(data)
+    ):
+        raise ValueError("BMP header dimensions inconsistent with payload")
     rows = [
         data[data_offset + r * row_size : data_offset + r * row_size + width * n_ch]
         for r in range(h)
@@ -735,8 +753,14 @@ def _png_pixels(data: bytes) -> tuple[int, int, int, list[bytes]]:
         raise ValueError("palette PNG missing a valid PLTE chunk")
     channels = bpp_by_type[color_type]
     stride = width * channels
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    if expected > _MAX_MEDIA_BYTES:
+        raise ValueError("PNG dimensions exceed the decode sanity cap")
+    # Bounded inflate (code-review r4 fuzz pass): a deflate bomb in IDAT
+    # would otherwise materialize gigabytes before the length check.
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or d.decompress(b"", 1):
         raise ValueError("PNG pixel data length mismatch")
     rows: list[bytes] = []
     prior = bytes(stride)
@@ -811,6 +835,13 @@ def _resize_png(data: bytes, dw: int, dh: int) -> bytes:
 # the codec itself is beyond-reference capability (PAPERS/SNIPPETS: the
 # JPEG wire format is ITU T.81 public spec).
 # ---------------------------------------------------------------------------
+
+
+#: Decode sanity cap for header-declared sizes (raw bytes / pixels /
+#: sample counts). Corrupt or adversarial headers can claim absurd
+#: dimensions; kernels must refuse with ValueError (→ fake path) before
+#: allocating, never die on MemoryError a task can't recover from.
+_MAX_MEDIA_BYTES = 1 << 28  # 256 MB of decoded payload per file
 
 
 def _looks_like_jpeg(data: bytes) -> bool:
@@ -1718,6 +1749,8 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
             vmax = max(c["v"] for c in comps)
             if hmax < 1 or vmax < 1:
                 raise ValueError("jpeg: bad sampling factors")
+            if w_img * h_img * max(nc, 1) > _MAX_MEDIA_BYTES:
+                raise ValueError("jpeg: dimensions exceed the decode sanity cap")
             frame = {
                 "w": w_img, "h": h_img, "comps": comps,
                 "hmax": hmax, "vmax": vmax,
@@ -2941,15 +2974,23 @@ def _mp4_samples(data: bytes) -> tuple[int, list[int], list[tuple[int, int]]]:
         if b"stco" not in tables and b"co64" not in tables:
             raise ValueError("mp4: missing stco/co64")
 
+        p = tables[b"stsz"][0] + 4
+        fixed, n = struct.unpack_from(">II", data, p)
+        if n * 4 > _MAX_MEDIA_BYTES or n > len(data):
+            raise ValueError("mp4: sample count exceeds the decode sanity cap")
+
         p = tables[b"stts"][0] + 4
         (n_runs,) = struct.unpack_from(">I", data, p)
         deltas: list[int] = []
         for i in range(n_runs):
             cnt, dl = struct.unpack_from(">II", data, p + 4 + 8 * i)
+            if cnt > n:  # a run bomb cannot exceed the sample count
+                raise ValueError("mp4: stts run count exceeds sample count")
             deltas.extend([dl] * cnt)
+            if len(deltas) > n:
+                break
 
         p = tables[b"stsz"][0] + 4
-        fixed, n = struct.unpack_from(">II", data, p)
         sizes = (
             [fixed] * n
             if fixed

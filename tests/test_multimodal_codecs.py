@@ -1240,3 +1240,60 @@ def test_jpeg_progressive_equals_baseline_property(seed, bw, bh, color):
     base = _jpeg_pixels(encode_jpeg(w, h, pix, **kw))
     prog = _jpeg_pixels(encode_jpeg_progressive(w, h, pix, **kw))
     assert base == prog
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=20, deadline=None)
+def test_codec_fuzz_only_caught_exception_types(seed):
+    """100 TB robustness: corrupt files WILL occur, and a decoder that
+    escapes its dispatch ladder's caught exception types (ValueError /
+    struct.error / IndexError / zlib.error / EOFError / wave.Error)
+    kills the whole Spark task instead of taking the fake path. Fuzz
+    every decoder with magic-prefixed pseudo-random bytes and
+    valid-payload corruptions; decode-or-caught-type is the contract
+    (MemoryError-class allocation bombs are guarded by the sanity cap)."""
+    import random
+    import wave
+    import zlib as _zlib
+
+    from data_lake_skyfit_spark.llm import multimodal as M
+
+    rng = random.Random(seed)
+    junk = bytes(rng.randrange(256) for _ in range(rng.randrange(20, 400)))
+    caught = (ValueError, struct.error, IndexError, _zlib.error, EOFError, wave.Error)
+
+    valid = [
+        M.encode_jpeg(8, 8, lambda x, y: 7),
+        M.encode_jpeg_progressive(8, 8, lambda x, y: 7),
+        M.encode_png(5, 4, lambda x, y, c: 9),
+        M.encode_gif(4, 4, lambda x, y: 1),
+        M.encode_gif_animation(4, 3, [bytes(12)] * 2),
+        M.encode_bmp24(4, 3, lambda x, y, c: 2),
+        M.encode_wav_pcm16(8000, [1, -1, 2]),
+        M.encode_mp3_frames([(5, 1, 0)]),
+        M.encode_flac_streaminfo(44100, 99),
+        M.encode_avi_dib(4, 3, 250_000, [bytes(36)]),
+        M.encode_mp4_frames([bytes(10), bytes(12)]),
+    ]
+    payloads = [m + junk for m in (
+        b"\xff\xd8\xff", M._PNG_SIG, b"GIF89a", b"BM", b"RIFF" + junk[:4] + b"WAVE",
+        b"RIFF" + junk[:4] + b"AVI ", b"\x00\x00\x00\x14ftyp", b"fLaC", b"\xff\xfb", b"ID3",
+    )]
+    # corrupted valid payloads: flip a byte / truncate at a random point
+    for v in valid:
+        b = bytearray(v)
+        b[rng.randrange(len(b))] ^= 1 + rng.randrange(255)
+        payloads.append(bytes(b))
+        payloads.append(v[: rng.randrange(1, len(v))])
+
+    decoders = [
+        M._jpeg_pixels, M._png_pixels, M._gif_pixels, M._decode_bmp,
+        M._decode_wav, M._decode_mp3, M._decode_flac, M._avi_frames,
+        M._mp4_samples, lambda d: M._gif_frames(d),
+    ]
+    for p in payloads:
+        for dec in decoders:
+            try:
+                dec(p)
+            except caught:
+                pass  # the dispatch ladders absorb these → fake path
