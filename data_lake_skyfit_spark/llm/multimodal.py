@@ -75,6 +75,8 @@ __all__ = [
     "encode_jpeg_progressive",
     "encode_mp4_frames",
     "encode_flac_streaminfo",
+    "encode_tiff",
+    "synthesize_tiff_payloads",
     "synthesize_jpeg_payloads",
     "synthesize_mp4_payloads",
     "synthesize_gif_payloads",
@@ -298,6 +300,166 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, int]:
 # ---------------------------------------------------------------------------
 # Real PNG codec: zlib inflate/deflate + full filter reconstruction
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Real baseline TIFF: IFD writer + walker (r4) — uncompressed strips,
+# both byte orders. Compressed TIFF variants (LZW/JPEG-in-TIFF) raise →
+# fake path; the IFD/strip machinery is the real archival-format layer.
+# ---------------------------------------------------------------------------
+
+
+def _looks_like_tiff(data: bytes) -> bool:
+    return data[:4] in (b"II*\x00", b"MM\x00*")
+
+
+def encode_tiff(
+    width: int, height: int, pixel, *, channels: int = 3, big_endian: bool = False,
+    rows_per_strip: int = 4,
+) -> bytes:
+    """Encode a REAL baseline TIFF: proper header + IFD with the
+    required tags (dims, 8-bit samples, compression=1, photometric,
+    strip offsets/byte-counts, samples-per-pixel, rows-per-strip),
+    pixel data split into uncompressed strips. `pixel(x, y, c)` gives
+    the byte per channel; gray (1) or RGB (3). Both byte orders."""
+    if channels not in (1, 3):
+        raise ValueError("tiff: only gray (1) or RGB (3)")
+    bo = ">" if big_endian else "<"
+    magic = b"MM\x00*" if big_endian else b"II*\x00"
+    row = width * channels
+    strips = []
+    for y0 in range(0, height, rows_per_strip):
+        strips.append(
+            bytes(
+                pixel(x, y, c) & 0xFF
+                for y in range(y0, min(y0 + rows_per_strip, height))
+                for x in range(width)
+                for c in range(channels)
+            )
+        )
+    # layout: header(8) | strip data | bits-per-sample array (RGB) |
+    # strip offset/count arrays | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    bits_off = pos
+    if channels == 3:
+        pos += 6  # 3 × SHORT
+    n_strips = len(strips)
+    offs_off, cnts_off = pos, pos
+    if n_strips > 1:
+        offs_off = pos
+        cnts_off = offs_off + 4 * n_strips
+        pos += 8 * n_strips
+    ifd_off = pos
+
+    def entry(tag, typ, count, value):
+        # Inline values are LEFT-justified in the 4-byte field per the
+        # spec — a lone SHORT must occupy the FIRST two bytes, so on
+        # big-endian it cannot ride in a LONG's low half.
+        if typ == 3 and count == 1:
+            val = struct.pack(f"{bo}H", value) + b"\x00\x00"
+        else:
+            val = struct.pack(f"{bo}I", value)
+        return struct.pack(f"{bo}HHI", tag, typ, count) + val
+
+    entries = [
+        entry(256, 4, 1, width),           # ImageWidth LONG
+        entry(257, 4, 1, height),          # ImageLength LONG
+        entry(
+            258, 3, channels,
+            8 if channels == 1 else bits_off,  # BitsPerSample
+        ),
+        entry(259, 3, 1, 1),               # Compression: none
+        entry(262, 3, 1, 1 if channels == 1 else 2),  # Photometric
+        entry(
+            273, 4, n_strips,
+            strip_offsets[0] if n_strips == 1 else offs_off,  # StripOffsets
+        ),
+        entry(277, 3, 1, channels),        # SamplesPerPixel
+        entry(278, 4, 1, rows_per_strip),  # RowsPerStrip
+        entry(
+            279, 4, n_strips,
+            len(strips[0]) if n_strips == 1 else cnts_off,  # StripByteCounts
+        ),
+    ]
+    out = bytearray(magic) + struct.pack(f"{bo}I", ifd_off)
+    for s in strips:
+        out += s
+    if channels == 3:
+        out += struct.pack(f"{bo}HHH", 8, 8, 8)
+    if n_strips > 1:
+        out += b"".join(struct.pack(f"{bo}I", o) for o in strip_offsets)
+        out += b"".join(struct.pack(f"{bo}I", len(s)) for s in strips)
+    out += struct.pack(f"{bo}H", len(entries)) + b"".join(entries)
+    out += struct.pack(f"{bo}I", 0)  # no next IFD
+    return bytes(out)
+
+
+def _tiff_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """REAL TIFF walk: byte-order header, first IFD's entries (inline
+    SHORT/LONG values vs offset-stored arrays resolved per the spec),
+    uncompressed strips concatenated into channel bytes. Compressed or
+    non-8-bit variants raise ValueError → fake path."""
+    if not _looks_like_tiff(data):
+        raise ValueError("tiff: bad magic")
+    bo = ">" if data[:2] == b"MM" else "<"
+    (ifd_off,) = struct.unpack_from(f"{bo}I", data, 4)
+    (n_entries,) = struct.unpack_from(f"{bo}H", data, ifd_off)
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(f"{bo}HHI", data, base)
+        tags[tag] = (typ, count, data[base + 8 : base + 12])
+
+    def values(tag, default=None):
+        if tag not in tags:
+            if default is not None:
+                return default
+            raise ValueError(f"tiff: missing tag {tag}")
+        typ, count, raw = tags[tag]
+        size = {3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise ValueError(f"tiff: unsupported type {typ} for tag {tag}")
+        fmt = "H" if typ == 3 else "I"
+        if size * count <= 4:
+            return list(struct.unpack_from(f"{bo}{count}{fmt}", raw, 0))
+        (off,) = struct.unpack_from(f"{bo}I", raw, 0)
+        return list(struct.unpack_from(f"{bo}{count}{fmt}", data, off))
+
+    (width,) = values(256)
+    (height,) = values(257)
+    (compression,) = values(259, [1])
+    if compression != 1:
+        raise ValueError("tiff: only uncompressed strips supported")
+    (spp,) = values(277, [1])
+    bits = values(258, [8])
+    if any(b != 8 for b in bits) or len(bits) not in (1, spp):
+        raise ValueError("tiff: only 8-bit samples supported")
+    offsets = values(273)
+    counts = values(279)
+    if len(offsets) != len(counts):
+        raise ValueError("tiff: strip offset/count mismatch")
+    expected = width * height * spp
+    if width <= 0 or height <= 0 or spp not in (1, 3) or expected > _MAX_MEDIA_BYTES:
+        raise ValueError("tiff: dimensions out of range")
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        chunk = data[off : off + cnt]
+        if len(chunk) != cnt:
+            raise ValueError("tiff: strip data truncated")
+        raw += chunk
+    if len(raw) < expected:
+        raise ValueError("tiff: pixel data short")
+    return width, height, spp, bytes(raw[:expected])
+
+
+def _decode_tiff(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, n_channels, pixel_sum) — decode_images' TIFF leg."""
+    w, h, ch, raw = _tiff_pixels(data)
+    return w, h, ch, sum(raw)
+
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -2023,6 +2185,32 @@ def synthesize_png_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def synthesize_tiff_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL baseline TIFF payload, deterministic closed form:
+    w = 4 + id%13, h = 4 + id%11, channels 3 (1 when id%4 == 0), BIG
+    endian when id%2 == 1, 4-row strips; pixel(x, y, c) =
+    (7·id + 5x + 3y + 17c) mod 256 — so strip slicing, both byte
+    orders, gray and RGB all cross the walker."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def one(rid: int) -> bytes:
+        return encode_tiff(
+            4 + rid % 13, 4 + rid % 11,
+            lambda x, y, c, rid=rid: (7 * rid + 5 * x + 3 * y + 17 * c) % 256,
+            channels=1 if rid % 4 == 0 else 3,
+            big_endian=bool(rid % 2),
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [one(int(v)) for v in pdf[id_col]]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def synthesize_png_variant_payloads(
     df: DataFrame, *, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -2133,6 +2321,11 @@ def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                     return _decode_jpeg(data)
                 except (ValueError, struct.error, IndexError):
                     pass  # non-baseline/corrupt JPEG: fake path below
+            if _looks_like_tiff(data):
+                try:
+                    return _decode_tiff(data)
+                except (ValueError, struct.error, IndexError):
+                    pass  # compressed/corrupt TIFF: fake path below
             _require_codec("PIL")
             d = hashlib.md5(data).digest()
             return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 3, None
@@ -2176,6 +2369,11 @@ def _image_channel_bytes(data: bytes) -> tuple[int, int, int, bytes] | None:
     if _looks_like_jpeg(data):
         try:
             return _jpeg_pixels(data)
+        except (ValueError, struct.error, IndexError):
+            return None
+    if _looks_like_tiff(data):
+        try:
+            return _tiff_pixels(data)
         except (ValueError, struct.error, IndexError):
             return None
     return None

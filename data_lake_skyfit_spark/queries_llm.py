@@ -2738,3 +2738,39 @@ def multimodal_flac_streaminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = d.select("doc_id").mapInPandas(kernel, out_schema)
     return multimodal.decode_audio(media)
+
+
+@register(
+    "multimodal_decode_tiff",
+    """
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents WHERE doc_id < 300
+    ), s AS (
+      SELECT p.doc_id, p.w, p.h, p.ch,
+             SUM((7*p.doc_id + 5*x.i + 3*y.i + 17*c.i) % 256) AS psum
+      FROM p,
+           LATERAL (SELECT UNNEST(range(0, p.w)) AS i) x,
+           LATERAL (SELECT UNNEST(range(0, p.h)) AS i) y,
+           LATERAL (SELECT UNNEST(range(0, p.ch)) AS i) c
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ch AS INT) AS n_channels, CAST(psum AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL baseline TIFF decode (llm.multimodal, r4): "
+    "synthesize_tiff_payloads writes an actual IFD per doc - required "
+    "tags, inline-SHORT left-justification (the big-endian trap), "
+    "offset-stored strip-offset/count arrays, 4-row uncompressed "
+    "strips, BOTH byte orders alternating by doc - and decode_images "
+    "walks the IFD and reassembles the strips. Compressed TIFF "
+    "variants fall to the fake path. Oracle recomputes every channel "
+    "byte arithmetically.",
+)
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.synthesize_tiff_payloads(d, id_col="doc_id")
+    return multimodal.decode_images(media)

@@ -1274,10 +1274,12 @@ def test_codec_fuzz_only_caught_exception_types(seed):
         M.encode_flac_streaminfo(44100, 99),
         M.encode_avi_dib(4, 3, 250_000, [bytes(36)]),
         M.encode_mp4_frames([bytes(10), bytes(12)]),
+        M.encode_tiff(4, 3, lambda x, y, c: 5),
     ]
     payloads = [m + junk for m in (
         b"\xff\xd8\xff", M._PNG_SIG, b"GIF89a", b"BM", b"RIFF" + junk[:4] + b"WAVE",
         b"RIFF" + junk[:4] + b"AVI ", b"\x00\x00\x00\x14ftyp", b"fLaC", b"\xff\xfb", b"ID3",
+        b"II*\x00", b"MM\x00*",
     )]
     # corrupted valid payloads: flip a byte / truncate at a random point
     for v in valid:
@@ -1289,7 +1291,7 @@ def test_codec_fuzz_only_caught_exception_types(seed):
     decoders = [
         M._jpeg_pixels, M._png_pixels, M._gif_pixels, M._decode_bmp,
         M._decode_wav, M._decode_mp3, M._decode_flac, M._avi_frames,
-        M._mp4_samples, lambda d: M._gif_frames(d),
+        M._mp4_samples, lambda d: M._gif_frames(d), M._tiff_pixels,
     ]
     for p in payloads:
         for dec in decoders:
@@ -1297,3 +1299,41 @@ def test_codec_fuzz_only_caught_exception_types(seed):
                 dec(p)
             except caught:
                 pass  # the dispatch ladders absorb these → fake path
+
+
+def test_tiff_roundtrip_and_rejections():
+    """Baseline TIFF walker: both byte orders, gray+RGB, multi-strip
+    reassembly, inline-SHORT left-justification (big-endian trap);
+    compressed variants and truncated strips are rejected → fake path."""
+    import pytest as _pytest
+    import struct as _s
+
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _decode_tiff, _tiff_pixels, encode_tiff,
+    )
+
+    pix = lambda x, y, c: (7 * x + 11 * y + 13 * c) % 256  # noqa: E731
+    for be in (False, True):
+        for ch in (1, 3):
+            data = encode_tiff(6, 9, pix, channels=ch, big_endian=be)
+            w, h, C, raw = _tiff_pixels(data)
+            assert (w, h, C) == (6, 9, ch)
+            assert raw == bytes(
+                pix(x, y, c) for y in range(9) for x in range(6) for c in range(ch)
+            )
+    # compressed variant: patch Compression tag (259) to 5 (LZW)
+    data = bytearray(encode_tiff(4, 4, pix))
+    (ifd,) = _s.unpack_from("<I", data, 4)
+    (n,) = _s.unpack_from("<H", data, ifd)
+    for i in range(n):
+        base = ifd + 2 + 12 * i
+        if _s.unpack_from("<H", data, base)[0] == 259:
+            _s.pack_into("<H", data, base + 8, 5)
+    with _pytest.raises(ValueError, match="uncompressed"):
+        _tiff_pixels(bytes(data))
+    # truncation: the IFD trails the strips, so a cut payload dies in
+    # the IFD parse (struct.error) or the strip check (ValueError) —
+    # both are dispatch-ladder types → fake path either way
+    good = encode_tiff(4, 4, pix)
+    with _pytest.raises((ValueError, _s.error)):
+        _decode_tiff(good[:30])
