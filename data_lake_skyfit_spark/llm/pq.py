@@ -1,0 +1,361 @@
+"""Product quantization (IVF-PQ style) for embedding columns.
+
+The memory-compression leg of the ANN tier (SURVEY.md §7.5 similarity
+search; reference analog: raw vector handling is out of the reference's
+scope — this is a north-star extension like `similarity.IVFIndex`).
+PQ is how billion-scale ANN actually ships (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+D-dim vector into `n_sub` subvectors, vector-quantize each against a
+per-subspace codebook of `n_centroids` entries, and keep only the code
+ids — at (8 sub × 16 centroids) a 64-dim float64 vector shrinks from
+512 bytes to 8 nibbles, a 128× compression, and query scoring becomes
+table lookups (ADC: asymmetric distance computation) instead of
+full-width dot products.
+
+Scale shape (100 TB): encoding is a zero-shuffle codegen map (the
+codebook is a plan literal — kilobytes); the codes table is the only
+thing that persists or shuffles afterwards. ADC probing broadcasts the
+query-side lookup tables (n_queries × n_sub × n_centroids doubles) and
+scans codes with an O(n_sub) sum per pair — no full-width vector math
+ever touches the corpus side again.
+
+Exactness discipline (the graded entry's contract): every distance is
+built as an explicit left-associated (+, -, ×) chain over doubles —
+correctly-rounded IEEE ops that Catalyst never reassociates (its
+ReorderAssociativeOperator is integral-only) — so DuckDB replaying the
+generated oracle SQL computes bit-identical doubles, and argmin /
+ranking decisions (ties broken on centroid id / neighbor id) agree
+across engines with no epsilon anywhere. The graded battery entry uses
+`deterministic_codebook` (a pure integer-arithmetic codebook both
+sides can state literally); production trains the codebook with
+`pq_train` and the recall-vs-exact trade-off is pinned in
+tests/test_similarity_quality.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add as _add
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _as_double
+
+__all__ = [
+    "deterministic_codebook",
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_search_rerank",
+    "pack_codes_expr",
+    "unpack_codes_expr",
+]
+
+
+def deterministic_codebook(
+    n_sub: int = 8, n_centroids: int = 16, sub_dim: int = 8
+) -> list[list[list[float]]]:
+    """Fixed codebook from pure integer arithmetic: value(s, c, j) =
+    ((7s + 11c + 13j + 5cj + 3sj) mod 17 − 8) / 16 ∈ [−0.5, 0.5] —
+    every entry an exact multiple of 1/16 (lossless through any decimal
+    round-trip), distinct per-centroid slopes within a subspace (5·Δc
+    mod 17 ≠ 0 for Δc < 17), and the same closed form is restated
+    literally in the graded oracle SQL, so the Spark plan and the
+    oracle can never drift."""
+    return [
+        [
+            [
+                ((7 * s + 11 * c + 13 * j + 5 * c * j + 3 * s * j) % 17 - 8)
+                / 16.0
+                for j in range(sub_dim)
+            ]
+            for c in range(n_centroids)
+        ]
+        for s in range(n_sub)
+    ]
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    n_sub: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 3,
+) -> list[list[list[float]]]:
+    """Train a PQ codebook: an independent deterministic SQUARED-L2
+    k-means per subspace (PQ quantizes Euclidean cells — the IVF tier's
+    spherical/cosine Lloyd is the wrong objective for ADC). Seeding is
+    lowest-xxhash64 ids (the IVF convention); each Lloyd step is one
+    JVM argmin map (the same `_argmin_code` expression `pq_encode`
+    uses — no numpy anywhere in training either) plus a narrow
+    posexplode mean; only centroid rows are ever collected. An emptied
+    cluster keeps its previous centroid so the codebook shape is
+    stable."""
+    e = _as_double(vec_col)
+    dims_row = corpus.select(F.size(e).alias("d")).first()
+    if dims_row is None:
+        raise ValueError("pq_train: empty corpus")
+    dims = dims_row["d"]
+    if dims % n_sub:
+        raise ValueError(f"pq_train: dims {dims} not divisible by n_sub {n_sub}")
+    m = dims // n_sub
+    book: list[list[list[float]]] = []
+    for s in range(n_sub):
+        sub = corpus.select(
+            F.col(id_col).alias("id"),
+            F.slice(e, s * m + 1, m).alias("e"),
+        ).localCheckpoint(eager=False)
+        seed_rows = (
+            sub.withColumn("__h", F.xxhash64("id"))
+            .orderBy("__h")
+            .limit(n_centroids)
+            .select("e")
+            .collect()
+        )
+        cents = [list(map(float, r["e"])) for r in seed_rows]
+        while len(cents) < n_centroids:
+            cents.append(list(cents[len(cents) % max(len(cents), 1)]))
+        for _ in range(kmeans_iters):
+            assigned = sub.select(
+                _argmin_code(F.col("e"), 0, cents, m).alias("code"),
+                F.posexplode("e").alias("pos", "val"),
+            )
+            rows = (
+                assigned.groupBy("code", "pos")
+                .agg(F.avg("val").alias("mn"))
+                .collect()
+            )
+            means: dict[int, dict[int, float]] = {}
+            for r in rows:
+                means.setdefault(r["code"], {})[r["pos"]] = r["mn"]
+            cents = [
+                [means[c][j] for j in range(m)] if c in means else cents[c]
+                for c in range(n_centroids)
+            ]
+        book.append(cents)
+    return book
+
+
+def _cb_lit(cents: list[list[float]]) -> Column:
+    """One subspace's codebook as a literal array<array<double>>."""
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in cent]) for cent in cents]
+    )
+
+
+def _sub_dist(e: Column, s: int, cent: Column, m: int) -> Column:
+    """Squared L2 distance of subvector s of `e` to one centroid (a
+    Column of array<double>), as an ordered fold: acc starts at +0.0
+    and adds each (a−b)² left-to-right — bit-identical to the oracle's
+    explicit `t0 + t1 + …` chain (+0.0 + t0 == t0 for every IEEE t0,
+    squares are never −0.0), with a TINY expression tree. The first
+    build unrolled all 128 distance chains into whole-stage codegen and
+    Janino compile time (not data!) dominated: 10.6 s cold / 0.26 s
+    warm at sf0.1, an 8 MiB task binary. Interpreted higher-order
+    folds trade ~µs/element for a kilobyte plan — the right side of
+    the trade at every scale, since compile cost was per-stage and the
+    per-element work is 3 flops."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(e, s * m + 1, m), cent, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _argmin_code(e: Column, s: int, cents: list[list[float]], m: int) -> Column:
+    """Nearest-centroid id for subvector s: array_min over (distance,
+    id) structs — lexicographic struct ordering breaks exact-distance
+    ties on the lowest centroid id, in the JVM. The candidate structs
+    come from one transform over the literal codebook array."""
+    # named_struct, not struct(...).alias: aliases on expressions built
+    # inside a lambda don't survive lambda binding in every context
+    # (pq_train's bare-select hit FIELD_NOT_FOUND where pq_encode's
+    # projection resolved fine), and the struct ORDER (d first) is what
+    # makes array_min's lexicographic compare mean min-distance.
+    cands = F.transform(
+        _cb_lit(cents),
+        lambda cent, i: F.named_struct(
+            F.lit("d"), _sub_dist(e, s, cent, m), F.lit("c"), i.cast("int")
+        ),
+    )
+    return F.array_min(cands)["c"]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<int>), one int per
+    subspace. Zero-shuffle codegen map; argmin per subspace is
+    `array_min` over (distance, centroid-id) structs, so ties break on
+    the lowest centroid id deterministically in the JVM (numpy never
+    decides anything here)."""
+    e = _as_double(vec_col)
+    m = len(codebook[0][0])
+    codes = [
+        _argmin_code(e, s, cents, m) for s, cents in enumerate(codebook)
+    ]
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(k) for k in keep_cols],
+        F.array(*codes).alias("codes"),
+    )
+
+
+def pack_codes_expr(codes: Column, *, bits: int = 4) -> Column:
+    """Pack a codes array into one BIGINT (storage form: 8×4-bit codes
+    = one 32-bit word per vector). Fold is ordered (F.aggregate), so
+    packing is deterministic; `unpack_codes_expr` inverts it."""
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.shiftleft(acc, bits) + c.cast("long"),
+    )
+
+
+def unpack_codes_expr(packed: Column, *, n_sub: int = 8, bits: int = 4) -> Column:
+    mask = (1 << bits) - 1
+    return F.array(
+        *[
+            F.shiftright(packed, (n_sub - 1 - s) * bits).bitwiseAND(F.lit(mask)).cast("int")
+            for s in range(n_sub)
+        ]
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: list[list[list[float]]],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query, rank corpus codes by
+    Σ_s lut[s][code_s] where lut is the query's exact squared-L2 table
+    to every centroid (computed ONCE per query row, broadcast with the
+    query side), then row_number ties on neighbor_id.
+
+    Output (query_id, neighbor_id, rank, adc) — adc is the raw PQ
+    approximation of squared L2 distance, rounded to 4 places for
+    display; the ROUND is safe to hash-compare because both engines
+    compute bit-identical doubles (see module docstring).
+
+    Scale: the join is broadcast(q-with-LUT) × codes — a map-side
+    pass over the codes table; per pair cost is n_sub array lookups
+    and a fixed-length add chain. No full-width vectors on the corpus
+    side."""
+    n_sub = len(codebook)
+    n_cent = len(codebook[0])
+    m = len(codebook[0][0])
+    e = _as_double(vec_col)
+    # NB: the per-subspace lambda must be built by a factory — a
+    # `lambda cent, s=s:` default-arg closure has TWO parameters, which
+    # PySpark's arity sniffing reads as an (element, index) lambda and
+    # silently binds s to the centroid index (NULL lut entries from
+    # out-of-range slices).
+    def _lut_for(s: int):
+        return F.transform(
+            _cb_lit(codebook[s]), lambda cent: _sub_dist(e, s, cent, m)
+        )
+
+    lut = F.flatten(F.array(*[_lut_for(s) for s in range(n_sub)]))
+    q = queries.select(F.col(id_col).alias("id"), lut.alias("lut"))
+    adc = reduce(
+        _add,
+        [
+            F.element_at(
+                F.col("q.lut"),
+                F.lit(s * n_cent + 1) + F.element_at(F.col("c.codes"), s + 1),
+            )
+            for s in range(n_sub)
+        ],
+    )
+    scored = (
+        F.broadcast(q.alias("q"))
+        .join(codes.alias("c"), F.col("q.id") != F.col("c.id"))
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            adc.alias("adc_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_raw").asc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("adc_raw", 4).alias("adc"),
+        )
+    )
+
+
+def pq_search_rerank(
+    queries: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    *,
+    k: int = 5,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production search shape (FAISS-style two stage): PQ-ADC
+    proposes a `shortlist`-deep candidate set per query from CODES ONLY
+    (no full-width vectors on the scan side), then the shortlist — and
+    nothing else — is joined back to the raw vectors for an exact
+    squared-L2 rerank. Full-vector work is O(queries × shortlist), not
+    O(queries × corpus); on the battery corpus the trained codebook's
+    shortlist at depth 100 recovers ~87% of the true top-5 (pinned in
+    tests/test_similarity_quality.py).
+
+    Output (query_id, neighbor_id, rank, d2) — d2 the exact squared L2
+    distance of the reranked pair."""
+    cand = pq_adc_topk(
+        queries, codes, codebook, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    vq = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qe")
+    )
+    vc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("ce")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = (
+        cand.join(F.broadcast(vq), "query_id")
+        .join(vc, "neighbor_id")
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("d2", 4).alias("d2"),
+        )
+    )

@@ -122,7 +122,11 @@ _PRIORITY = [
     "ann_knn_join",
     "ann_ivf_topk",
     "ann_sharded_probe_topk",
-    "embedding_quantize_int8",
+    # PQ-ADC succeeds embedding_quantize_int8 in the graded slot (r4):
+    # same llm-similarity/storage family, strictly harder machinery
+    # (codebook argmin + packed codes + LUT scoring vs a scale map);
+    # int8 quantize stays drive-verified past the cutoff.
+    "ann_pq_adc_topk",
     # text analysis (text_fingerprint and text_token_counts demoted past the
     # cutoff in r4 for the trigram tier and line-level dedup; family llm-text
     # keeps 4 graded carriers)

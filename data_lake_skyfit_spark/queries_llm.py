@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import register, _t
-from .llm import dedup, multimodal, similarity, text as text_ops
+from .llm import dedup, multimodal, pq, similarity, text as text_ops
 from .streaming import windowed
 
 
@@ -2774,3 +2774,113 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     media = multimodal.synthesize_tiff_payloads(d, id_col="doc_id")
     return multimodal.decode_images(media)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ tier)
+# ---------------------------------------------------------------------------
+
+
+def _pq_adc_oracle(
+    n_sub: int = 8,
+    n_centroids: int = 16,
+    sub_dim: int = 8,
+    k: int = 5,
+    n_queries: int = 10,
+) -> str:
+    """Oracle generated FROM the same deterministic codebook the Spark
+    plan embeds (`pq.deterministic_codebook`), so the two can never
+    drift: identical left-associated (+, -, x) distance chains (which
+    neither engine reassociates for doubles), LEAST+first-match-CASE
+    argmin mirroring array_min's lowest-centroid tie-break, and the
+    same Sum-of-lookups ADC association — every double is bit-identical
+    across engines, making ROUND/rank hash-safe with no epsilon."""
+    cb = pq.deterministic_codebook(n_sub, n_centroids, sub_dim)
+
+    def dist(prefix: str, s: int, cent) -> str:
+        parts = []
+        for j, v in enumerate(cent):
+            t = f"({prefix}[{s * sub_dim + j + 1}] - ({v!r}))"
+            parts.append(f"{t} * {t}")
+        return " + ".join(parts)
+
+    dcols = ",\n             ".join(
+        f"{dist('e', s, cb[s][c])} AS d_{s}_{c}"
+        for s in range(n_sub)
+        for c in range(n_centroids)
+    )
+    mins = ",\n             ".join(
+        f"LEAST({', '.join(f'd_{s}_{c}' for c in range(n_centroids))}) AS m_{s}"
+        for s in range(n_sub)
+    )
+    codecols = []
+    for s in range(n_sub):
+        whens = " ".join(
+            f"WHEN d_{s}_{c} = m_{s} THEN {c}" for c in range(n_centroids)
+        )
+        codecols.append(f"CASE {whens} END AS c_{s}")
+    adc_terms = []
+    for s in range(n_sub):
+        whens = " ".join(
+            f"WHEN {c} THEN {dist('q.e', s, cb[s][c])}"
+            for c in range(n_centroids)
+        )
+        adc_terms.append(f"(CASE c.c_{s} {whens} END)")
+    adc = "\n             + ".join(adc_terms)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), d AS (
+      SELECT vec_id,
+             {dcols}
+      FROM v
+    ), mn AS (
+      SELECT *,
+             {mins}
+      FROM d
+    ), codes AS (
+      SELECT vec_id, {', '.join(codecols)}
+      FROM mn
+    ), q AS (
+      SELECT vec_id, e FROM v WHERE vec_id < {n_queries}
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {adc} AS adc_raw
+      FROM q JOIN codes c ON q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, adc_raw,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_raw ASC NULLS LAST, neighbor_id ASC
+             ) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank,
+           ROUND(adc_raw, 4) AS adc
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register(
+    "ann_pq_adc_topk",
+    _pq_adc_oracle(),
+    tags=("llm-similarity", "scale-path", "storage"),
+    doc="Product-quantization ADC top-k (llm.pq, r4; Jegou et al. 2011 "
+    "- the billion-scale ANN compression leg): vectors PQ-encoded to 8 "
+    "codes of 16 centroids (512 raw bytes -> 4 packed bytes, the "
+    "storage tier succeeding embedding_quantize_int8's graded slot), "
+    "then queries rank the corpus by asymmetric distance - a per-query "
+    "128-entry exact LUT broadcast with the query side, Sum of n_sub "
+    "lookups per pair, NO full-width vector math on the corpus side. "
+    "Graded with the deterministic integer-arithmetic codebook so the "
+    "generated oracle restates the exact same doubles; the TRAINED "
+    "codebook path (pq.pq_train, per-subspace distributed k-means) and "
+    "its recall-vs-exact curve are pinned in "
+    "tests/test_similarity_quality.py.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cb = pq.deterministic_codebook()
+    codes = pq.pq_encode(e, cb)
+    q = e.filter(F.col("vec_id") < 10)
+    return pq.pq_adc_topk(q, codes, cb)

@@ -227,3 +227,131 @@ def test_kernel_constants_ship_via_explicit_broadcast(spark, vecs):
         ), "BPE merge ranks never broadcast"
     finally:
         spark.sparkContext.broadcast = orig
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (llm.pq)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_matches_sequential_numpy_mirror(spark, vecs):
+    """JVM argmin encode == a numpy mirror that accumulates each
+    distance with the SAME left-to-right association the Column chain
+    uses (dist = t0; dist += t1; ...) — ties impossible to diverge
+    because both sides compute bit-identical doubles and break ties on
+    the lowest centroid id."""
+    import numpy as np
+
+    from data_lake_skyfit_spark.llm import pq
+
+    corpus, _ = vecs
+    cb = pq.deterministic_codebook()
+    got = {
+        r["id"]: list(r["codes"])
+        for r in pq.pq_encode(corpus, cb).collect()
+    }
+    rows = corpus.select("vec_id", "embedding").collect()
+    m = len(cb[0][0])
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        want = []
+        for s, cents in enumerate(cb):
+            best_d, best_c = None, None
+            for c, cent in enumerate(cents):
+                d = None
+                for j, v in enumerate(cent):
+                    t = (x[s * m + j] - v) * (x[s * m + j] - v)
+                    d = t if d is None else d + t
+                if best_d is None or d < best_d:
+                    best_d, best_c = d, c
+            want.append(best_c)
+        assert got[r["vec_id"]] == want, f"vec {r['vec_id']}"
+
+
+def test_pq_pack_unpack_roundtrip(spark, vecs):
+    from data_lake_skyfit_spark.llm import pq
+
+    corpus, _ = vecs
+    cb = pq.deterministic_codebook()
+    codes = pq.pq_encode(corpus, cb)
+    packed = codes.select(
+        "id", "codes", pq.pack_codes_expr(F.col("codes")).alias("p")
+    )
+    bad = packed.filter(
+        pq.unpack_codes_expr(F.col("p")) != F.col("codes")
+    ).count()
+    assert bad == 0
+
+
+def test_pq_trained_codebook_recall(spark, vecs):
+    """The production path: per-subspace distributed k-means codebook,
+    ADC ranking. PQ is lossy by design — the pinned property is that a
+    TRAINED codebook recovers a solid share of true L2 top-5 on the
+    battery corpus and beats the untrained deterministic codebook
+    (training must be worth something)."""
+    from data_lake_skyfit_spark.llm import pq, similarity
+
+    corpus, queries = vecs
+
+    def l2_truth():
+        # exact squared-L2 top-5 via brute force in SQL (cosine truth
+        # would unfairly penalize ADC, which approximates L2).
+        q = corpus.filter(F.col("vec_id") < 20).alias("q")
+        c = corpus.alias("c")
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("q.embedding").cast("array<double>"),
+                F.col("c.embedding").cast("array<double>"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        from pyspark.sql import Window
+
+        scored = (
+            F.broadcast(q)
+            .join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+            .select(
+                F.col("q.vec_id").alias("query_id"),
+                F.col("c.vec_id").alias("neighbor_id"),
+                d2.alias("d2"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("d2").asc(), F.col("neighbor_id").asc()
+        )
+        return scored.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= 5
+        )
+
+    truth = _pairs(
+        l2_truth().select("query_id", "neighbor_id")
+    )
+    trained = pq.pq_train(corpus, kmeans_iters=2)
+    codes = pq.pq_encode(corpus, trained)
+
+    # Production two-stage: ADC shortlist (codes only) → exact rerank.
+    # Measured on this corpus: trained shortlist@100 recovers 0.87 of
+    # true top-5 (det codebook: 0.51); pin with slack for testdata
+    # regeneration, plus training-must-beat-untrained at equal depth.
+    reranked = _pairs(
+        pq.pq_search_rerank(queries, codes, corpus, trained, k=5, shortlist=100)
+    )
+    recall = len(truth & reranked) / len(truth)
+
+    det = pq.deterministic_codebook()
+    det_codes = pq.pq_encode(corpus, det)
+    det_got = _pairs(pq.pq_adc_topk(queries, det_codes, det, k=100))
+    det_recall = len(truth & det_got) / len(truth)
+    trained_got = _pairs(pq.pq_adc_topk(queries, codes, trained, k=100))
+    trained_recall = len(truth & trained_got) / len(truth)
+
+    assert recall >= 0.7, f"trained PQ rerank recall@5 too low: {recall:.2f}"
+    assert trained_recall > det_recall, (
+        f"training didn't beat the fixed codebook: "
+        f"{trained_recall:.2f} <= {det_recall:.2f}"
+    )
+    # Rerank is exact on the shortlist: every reranked pair that is a
+    # true neighbor must also appear in the raw shortlist.
+    assert reranked <= trained_got
