@@ -1,0 +1,321 @@
+"""Hashed n-gram linear quality classifier (fasttext-style).
+
+The model-based quality-filter leg of the curation tier (SURVEY.md
+§7.5 north star; the heuristic siblings live in `llm/text.py` and
+`llm/curation.py`): real LLM data pipelines (CCNet, LLaMA) gate
+documents with a linear classifier over hashed token n-grams rather
+than hand rules alone. This module provides that shape Spark-first:
+
+- features: unigram + bigram tokens hashed to `N_BUCKETS` via the
+  ADR-004 md5-prefix idiom (cross-engine reproducible, JVM-native);
+- serving: the decision is an INTEGER margin — Σ over token
+  occurrences of an integer weight — so the graded battery entry is
+  exact under ANY aggregation order (no float-boundary traps at all),
+  and scoring is a zero-shuffle interpreted fold per row;
+- training: two tiers — `train_nb_logodds` (one-pass Naive-Bayes
+  log-odds, no optimizer) and `train_logistic` (MLlib LBFGS over
+  sparse hashed tf vectors; features never leave the cluster, only
+  the ≤ N_BUCKETS coefficient vector does). `quantize_weights` then
+  fixes the trained float weights to integers for exact serving:
+  scaling a margin by the positive per-doc gram total never flips its
+  sign, so count-serving reproduces the tf-scaled training decision
+  (with the intercept riding on n_grams).
+
+The graded entry uses `fixed_weight_expr` (a closed-form integer
+weight both engines restate literally); trained-path accuracy is
+pinned in tests/test_curation.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import let_expr, tokens_expr
+
+__all__ = [
+    "N_BUCKETS",
+    "bucket_expr",
+    "fixed_weight_expr",
+    "ngram_tokens_expr",
+    "fixed_margin_expr",
+    "score_quality_fixed",
+    "hashed_features",
+    "train_nb_logodds",
+    "train_logistic",
+    "quantize_weights",
+    "apply_quantized",
+]
+
+N_BUCKETS = 4096
+
+
+def bucket_expr(token: Column) -> Column:
+    """Feature bucket: first 4 md5 hex chars → int, mod N_BUCKETS
+    (the ADR-004 surrogate-hash idiom — DuckDB side:
+    ('0x'||substr(md5(tok),1,4))::BIGINT % 4096)."""
+    return F.conv(F.substring(F.md5(token), 1, 4), 16, 10).cast("long") % N_BUCKETS
+
+
+def fixed_weight_expr(bucket: Column) -> Column:
+    """Deterministic serving weights for the graded battery: a Knuth
+    multiplicative scramble folded to a signed range, pure BIGINT
+    arithmetic on both engines. Mean ≈ 0 so margins are a real mix of
+    signs; max |margin| per token 4095, so overflow needs 2^51 tokens."""
+    return ((bucket * F.lit(2654435761)) % F.lit(8191)) - F.lit(4095)
+
+
+def ngram_tokens_expr(text: Column | str) -> Column:
+    """Unigrams + space-joined bigrams as one array. Two traps live
+    here: Spark's sequence(1, 0) counts DOWN, so a 1-token doc would
+    fabricate a bigram without the size >= 2 gate; and the tokens
+    subtree MUST be let-bound — referencing the split+filter expression
+    inside the bigram transform lambda re-evaluates it per bigram
+    index (interpreted HOFs do no CSE), which made gram construction
+    O(tokens²) and dominated the sf0.1 serve at 70 µs/gram."""
+
+    def build(toks: Column) -> Column:
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i),
+                    F.lit(" "),
+                    F.element_at(toks, i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(toks, bigrams)
+
+    return let_expr(tokens_expr(text), build)
+
+
+def fixed_margin_expr(grams: Column) -> Column:
+    """Σ fixed_weight(bucket(g)) over every gram occurrence, as one
+    ordered BIGINT fold. Correct and shuffle-free, but the lambda is
+    INTERPRETED — md5-per-gram costs ~3 µs outside codegen, and a
+    single-split input runs it on one core (11 s for 5000 docs at
+    sf0.1). Kept for array-context callers; `score_quality_fixed`
+    serves via the codegen explode/partial-agg plan instead."""
+    return F.aggregate(
+        grams,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc + fixed_weight_expr(bucket_expr(g)),
+    )
+
+
+def score_quality_fixed(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The graded serving query: (id, n_grams, margin, label) with the
+    fixed weight table. label = margin > 0.
+
+    Plan shape: explode → whole-stage-codegen md5/weight → hash
+    aggregate. The explode never reaches a shuffle — partial (map-side)
+    aggregation collapses to one row per doc inside the scan task, so
+    exchange rows = docs, not tokens, and the per-gram md5 runs
+    codegen'd (vs the interpreted fold's 11 s single-core run at
+    sf0.1). Integer sums are aggregation-order-exact, so no float trap
+    exists in this entry by construction."""
+    # Fan the doc rows across cores BEFORE the gram explosion: a
+    # single-split local file otherwise runs the entire explode+md5 of
+    # every gram on one core (the 3.2M-gram sf0.1 run took 11-16 s
+    # single-threaded). The shuffle moves raw doc rows (megabytes) —
+    # cheap insurance locally, harmless on a many-split cluster scan.
+    spark = df.sparkSession
+    fan = max(spark.sparkContext.defaultParallelism, 1)
+    grams = ngram_tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
+    staged = df.repartition(fan).select(
+        F.col(id_col).alias("doc_id"), grams.alias("g")
+    )
+    exploded = staged.select(
+        "doc_id",
+        F.size("g").cast("int").alias("n_grams"),
+        F.explode_outer("g").alias("tok"),
+    )
+    w = fixed_weight_expr(bucket_expr(F.col("tok")))
+    return (
+        exploded.groupBy("doc_id", "n_grams")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("tok").isNotNull(), w)), F.lit(0)
+            )
+            .cast("long")
+            .alias("margin")
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "margin",
+            (F.col("margin") > 0).cast("int").alias("label"),
+        )
+    )
+
+
+def hashed_features(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Long-form training features: (id, bucket, cnt, tf) where tf is
+    the count normalized by the doc's gram total (the per-doc scale
+    that keeps gradient magnitudes independent of doc length)."""
+    grams = ngram_tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
+    staged = df.select(F.col(id_col).alias("id"), grams.alias("g"))
+    exploded = staged.select(
+        "id", F.size("g").alias("n"), F.explode("g").alias("tok")
+    )
+    return (
+        exploded.select("id", "n", bucket_expr(F.col("tok")).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count("*").alias("cnt"), F.first("n").alias("n"))
+        .select(
+            "id", "bucket", "cnt", "n",
+            (F.col("cnt") / F.col("n")).alias("tf"),
+        )
+    )
+
+
+def train_nb_logodds(
+    df: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "y",
+    alpha: float = 0.5,
+    min_df: int = 1,
+) -> dict[int, float]:
+    """One-pass Naive-Bayes log-odds weights (the fasttext-supervised
+    baseline): w_b = log P(b|pos) − log P(b|neg) with add-α smoothing,
+    from a single per-bucket count aggregation (≤ N_BUCKETS collected
+    rows). No iterations, no optimizer state — the cheap, robust tier;
+    `train_logistic` (MLlib LBFGS) is the stronger one (holdout 0.79
+    vs 0.92 on the pinned task). `min_df` drops buckets seen in fewer
+    docs — memorized doc-specific noise at small corpus sizes."""
+    feats = hashed_features(df, id_col=id_col, text_col=text_col).join(
+        labels.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).cast("int").alias("y"),
+        ),
+        "id",
+    )
+    rows = (
+        feats.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, F.col("cnt")).otherwise(0)).alias("pos"),
+            F.sum(F.when(F.col("y") == 0, F.col("cnt")).otherwise(0)).alias("neg"),
+            F.countDistinct("id").alias("df"),
+        )
+        .collect()
+    )
+    tp = sum(r["pos"] for r in rows)
+    tn = sum(r["neg"] for r in rows)
+    denom_p = math.log(tp + alpha * N_BUCKETS)
+    denom_n = math.log(tn + alpha * N_BUCKETS)
+    return {
+        int(r["bucket"]): (math.log(r["pos"] + alpha) - denom_p)
+        - (math.log(r["neg"] + alpha) - denom_n)
+        for r in rows
+        if r["df"] >= min_df
+    }
+
+
+def train_logistic(
+    df: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "y",
+    max_iter: int = 60,
+    reg_param: float = 1e-5,
+) -> tuple[dict[int, float], float]:
+    """Logistic regression over sparse hashed tf vectors via MLlib
+    LBFGS — the Spark-first trainer (hand-rolled full-batch GD needs
+    hundreds of steps and careful scaling to converge on this loss;
+    LBFGS converges in tens). Returns (weights, intercept) in
+    tf-margin scale; pass both through `quantize_weights` /
+    `apply_quantized(bias_int=...)` — serving on raw counts multiplies
+    the margin by the positive gram total, so Σ cnt·w + n_grams·bias
+    has the sign of the trained tf-margin. The vector-assembly UDF is
+    training-path-only (one pass over the corpus, never in serving)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    n_buckets = N_BUCKETS
+
+    @F.udf(VectorUDT())
+    def to_vec(fm):
+        items = sorted((int(k), float(v)) for k, v in fm.items())
+        return Vectors.sparse(
+            n_buckets, [i for i, _ in items], [v for _, v in items]
+        )
+
+    feats = hashed_features(df, id_col=id_col, text_col=text_col)
+    grouped = feats.groupBy("id").agg(
+        F.map_from_arrays(
+            F.collect_list("bucket"), F.collect_list("tf")
+        ).alias("fm")
+    )
+    tr = grouped.select("id", to_vec("fm").alias("features")).join(
+        labels.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).cast("double").alias("label"),
+        ),
+        "id",
+    )
+    model = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, standardization=False
+    ).fit(tr)
+    co = model.coefficients
+    w = {int(i): float(co[i]) for i in range(N_BUCKETS) if co[i] != 0.0}
+    return w, float(model.intercept)
+
+
+def quantize_weights(w: dict[int, float], *, scale: int = 1 << 16) -> dict[int, int]:
+    """Fix trained float weights to integers for exact serving. Signs
+    of margins within scale/2 of zero may flip vs the float model —
+    the documented quantization trade, irrelevant to rank-stability
+    tests that compare quantized-vs-quantized."""
+    return {b: round(v * scale) for b, v in w.items() if round(v * scale)}
+
+
+def apply_quantized(
+    df: DataFrame,
+    int_weights: dict[int, int],
+    *,
+    bias_int: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Serve a trained (quantized) model: broadcast-join the integer
+    weight table against long-form counts, Σ cnt·w + n_grams·bias as
+    BIGINT — exact in any aggregation order, shuffle is (id, bucket)
+    counts only. `bias_int` is the quantized intercept; it rides on
+    n_grams because tf-scale margins were multiplied through by the
+    gram total (sign-preserving, the count-serving contract)."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(b), int(v)) for b, v in int_weights.items()] or [(0, 0)],
+        "bucket long, w long",
+    )
+    feats = hashed_features(df, id_col=id_col, text_col=text_col)
+    return (
+        feats.join(F.broadcast(wdf), "bucket", "left")
+        .withColumn("t", F.coalesce(F.col("w"), F.lit(0)) * F.col("cnt"))
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            (F.sum("t") + F.first("n") * F.lit(int(bias_int)))
+            .cast("long")
+            .alias("margin")
+        )
+        .select(
+            "doc_id", "margin", (F.col("margin") > 0).cast("int").alias("label")
+        )
+    )
+
+
+def sigmoid(x: float) -> float:
+    return 1.0 / (1.0 + math.exp(-x))

@@ -131,7 +131,11 @@ _PRIORITY = [
     # cutoff in r4 for the trigram tier and line-level dedup; family llm-text
     # keeps 4 graded carriers)
     "text_quality_scores",
-    "text_language_id",
+    # The stopword-tier language ID yields its graded slot to the
+    # model-based classifier (r4): llm-text keeps four in-window
+    # carriers and the trigram tier grades the harder half of the
+    # lang-ID operator; text_language_id stays drive-verified.
+    "text_quality_classifier",
     "text_language_id_trigram",
     "text_line_dedup",
     "text_decontamination",

@@ -2884,3 +2884,61 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq.pq_encode(e, cb)
     q = e.filter(F.col("vec_id") < 10)
     return pq.pq_adc_topk(q, codes, cb)
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_classifier",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_concat(
+               w,
+               CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)),
+                                        i -> w[i] || ' ' || w[i + 1])
+                    ELSE [] END
+             ) AS grams
+      FROM t
+    ), e AS (
+      SELECT doc_id,
+             ((((('0x' || substr(md5(tok.t), 1, 4))::BIGINT % 4096)
+                * 2654435761) % 8191) - 4095) AS wt
+      FROM g, LATERAL (SELECT UNNEST(grams) AS t) tok
+    ), s AS (
+      SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS margin
+      FROM e GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(g.grams) AS INT) AS n_grams,
+           COALESCE(s.margin, 0) AS margin,
+           CAST(COALESCE(s.margin, 0) > 0 AS INT) AS label
+    FROM g LEFT JOIN s ON g.doc_id = s.doc_id
+    """,
+    tags=("llm-text", "llm-classifier"),
+    doc="Model-based quality gate (llm.classifier, r4 — the fasttext-"
+    "style hashed-ngram linear classifier real pipelines put beside "
+    "the heuristic filters): unigram+bigram tokens hashed to 4096 "
+    "buckets via the ADR-004 md5-prefix idiom, INTEGER weighted margin "
+    "as one zero-shuffle ordered fold per row (no explode/groupBy in "
+    "the Spark plan; BIGINT sums are aggregation-order-exact, so no "
+    "float trap exists in this entry by construction), decision = "
+    "margin > 0. Graded with the closed-form integer weight table "
+    "both engines restate; the TRAINED path (distributed batch-GD "
+    "logistic regression, kilobyte gradient collects, integer-"
+    "quantized serving) is pinned in tests/test_curation.py.",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import classifier
+
+    d = _t(spark, sf_dir, "documents")
+    return classifier.score_quality_fixed(d)

@@ -776,3 +776,105 @@ def test_span_removal_conservation_property(spark, docs):
         assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
         n_text_tokens = len(r["text"].split()) if r["text"] else 0
         assert n_text_tokens == r["n_kept"]
+
+
+# ---------------------------------------------------------------------------
+# Hashed n-gram quality classifier (llm.classifier)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clf_task(spark):
+    """A genuinely learnable held-out rule: docs with more 'table' than
+    'spark' token occurrences. (The documents table's lang/source
+    columns are metadata UNCORRELATED with the text — no text model can
+    beat majority on them, which is itself pinned nowhere because it's
+    a property of the synthetic data, not the code.)"""
+    from data_lake_skyfit_spark.llm import text as text_ops
+    from data_lake_skyfit_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    toks = text_ops.tokens_expr(F.col("text"))
+
+    def cnt(t):
+        return F.size(F.filter(toks, lambda x: x == t))
+
+    labels = d.select(
+        "doc_id", (cnt("table") > cnt("spark")).cast("int").alias("y")
+    )
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    return train, test, labels
+
+
+def _holdout_accuracy(test, labels, pred):
+    j = pred.join(labels, "doc_id")
+    return j.filter(F.col("label") == F.col("y")).count() / j.count()
+
+
+def test_classifier_logistic_beats_majority_and_nb(spark, clf_task):
+    from data_lake_skyfit_spark.llm import classifier
+
+    train, test, labels = clf_task
+    maj = labels.join(test.select("doc_id"), "doc_id").agg(F.avg("y")).first()[0]
+    majority = max(maj, 1 - maj)
+
+    w_nb = classifier.train_nb_logodds(train, labels)
+    acc_nb = _holdout_accuracy(
+        test, labels, classifier.apply_quantized(test, classifier.quantize_weights(w_nb))
+    )
+
+    w_lr, bias = classifier.train_logistic(train, labels)
+    acc_lr = _holdout_accuracy(
+        test,
+        labels,
+        classifier.apply_quantized(
+            test,
+            classifier.quantize_weights(w_lr),
+            bias_int=round(bias * (1 << 16)),
+        ),
+    )
+    # measured r4: NB 0.79, LBFGS 0.92, majority 0.59 — slack for
+    # testdata regeneration
+    assert acc_nb >= majority + 0.05, f"NB {acc_nb:.2f} vs majority {majority:.2f}"
+    assert acc_lr >= 0.8, f"LBFGS holdout too low: {acc_lr:.2f}"
+    assert acc_lr >= acc_nb - 0.02, (
+        f"LBFGS {acc_lr:.2f} should not lose to NB {acc_nb:.2f}"
+    )
+
+
+def test_classifier_fixed_margin_matches_explode_groupby(spark, clf_task):
+    """The graded zero-shuffle fold == the long-form explode/groupBy
+    sum with the same fixed weights (two independent Spark plans)."""
+    from data_lake_skyfit_spark.llm import classifier
+
+    _, test, _ = clf_task
+    fold = classifier.score_quality_fixed(test).select("doc_id", "margin")
+    feats = classifier.hashed_features(test)
+    long_form = (
+        feats.withColumn(
+            "t", classifier.fixed_weight_expr(F.col("bucket")) * F.col("cnt")
+        )
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.sum("t").cast("long").alias("m2"))
+    )
+    bad = (
+        fold.join(long_form, "doc_id", "left")
+        .filter(F.coalesce(F.col("m2"), F.lit(0)) != F.col("margin"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_classifier_single_token_doc_has_no_bigrams(spark):
+    from data_lake_skyfit_spark.llm import classifier
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["n_grams"]
+        for r in classifier.score_quality_fixed(df).collect()
+    }
+    assert rows == {1: 1, 2: 3, 3: 0, 4: 0}
