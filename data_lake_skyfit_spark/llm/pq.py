@@ -48,6 +48,8 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "pq_search_rerank",
+    "ivfpq_build",
+    "ivfpq_topk",
     "pack_codes_expr",
     "unpack_codes_expr",
 ]
@@ -84,58 +86,90 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 3,
+    dims: int | None = None,
 ) -> list[list[list[float]]]:
-    """Train a PQ codebook: an independent deterministic SQUARED-L2
+    """Train a PQ codebook: independent deterministic SQUARED-L2
     k-means per subspace (PQ quantizes Euclidean cells — the IVF tier's
-    spherical/cosine Lloyd is the wrong objective for ADC). Seeding is
-    lowest-xxhash64 ids (the IVF convention); each Lloyd step is one
-    JVM argmin map (the same `_argmin_code` expression `pq_encode`
-    uses — no numpy anywhere in training either) plus a narrow
-    posexplode mean; only centroid rows are ever collected. An emptied
-    cluster keeps its previous centroid so the codebook shape is
-    stable."""
+    spherical/cosine Lloyd is the wrong objective for ADC), with ALL
+    subspaces trained in the SAME Spark jobs: seeding collects the
+    n_centroids lowest-xxhash64 rows once and slices them per subspace
+    (each subspace's Lloyd depends only on its own columns, so fusing
+    changes nothing semantically), and each Lloyd step is ONE corpus
+    pass — the n_sub JVM argmin codes per row (pq_encode's expression)
+    plus a posexplode keyed by (subspace, code, dim) whose mean table
+    (n_sub·n_centroids·m rows — kilobytes) is the only collect. The
+    first build looped subspaces serially: 9 trainings × 3 jobs ≈ 27
+    job launches of pure fixed overhead dominated ivfpq_build at 33 s;
+    fused it is 1 + kmeans_iters jobs total. An emptied cluster keeps
+    its previous centroid so the codebook shape is stable."""
     e = _as_double(vec_col)
-    dims_row = corpus.select(F.size(e).alias("d")).first()
-    if dims_row is None:
-        raise ValueError("pq_train: empty corpus")
-    dims = dims_row["d"]
+    if dims is None:
+        dims_row = corpus.select(F.size(e).alias("d")).first()
+        if dims_row is None:
+            raise ValueError("pq_train: empty corpus")
+        dims = dims_row["d"]
     if dims % n_sub:
         raise ValueError(f"pq_train: dims {dims} not divisible by n_sub {n_sub}")
     m = dims // n_sub
-    book: list[list[list[float]]] = []
-    for s in range(n_sub):
-        sub = corpus.select(
-            F.col(id_col).alias("id"),
-            F.slice(e, s * m + 1, m).alias("e"),
-        ).localCheckpoint(eager=False)
-        seed_rows = (
-            sub.withColumn("__h", F.xxhash64("id"))
-            .orderBy("__h")
-            .limit(n_centroids)
-            .select("e")
+    staged = corpus.select(
+        F.col(id_col).alias("id"), e.alias("e")
+    ).localCheckpoint(eager=False)
+    seed_rows = (
+        staged.withColumn("__h", F.xxhash64("id"))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .select("e")
+        .collect()
+    )
+    full = [list(map(float, r["e"])) for r in seed_rows]
+    if not full:
+        raise ValueError("pq_train: empty corpus")
+    while len(full) < n_centroids:
+        full.append(list(full[len(full) % len(full)]))
+    book: list[list[list[float]]] = [
+        [row[s * m : (s + 1) * m] for row in full] for s in range(n_sub)
+    ]
+    for _ in range(kmeans_iters):
+        # codes live in their OWN frame joined back by id: putting the
+        # argmin expression in the same select as the posexplode lets
+        # CollapseProject inline it into the Generate, where it
+        # re-evaluates per EXPLODED row — dims× the intended work (the
+        # 4.2 s Lloyd step at 500 rows was 64× re-evaluated argmins,
+        # not data). The id join shuffles (id, codes) rows — tiny.
+        codes_df = staged.select(
+            "id",
+            F.array(
+                *[_argmin_code(F.col("e"), s, book[s], m) for s in range(n_sub)]
+            ).alias("codes"),
+        )
+        vals = staged.select("id", F.posexplode("e").alias("pos", "val"))
+        rows = (
+            vals.join(codes_df, "id")
+            .select(
+                F.floor(F.col("pos") / m).cast("int").alias("s"),
+                F.element_at(
+                    F.col("codes"),
+                    (F.floor(F.col("pos") / m) + 1).cast("int"),
+                ).alias("code"),
+                (F.col("pos") % m).cast("int").alias("j"),
+                "val",
+            )
+            .groupBy("s", "code", "j")
+            .agg(F.avg("val").alias("mn"))
             .collect()
         )
-        cents = [list(map(float, r["e"])) for r in seed_rows]
-        while len(cents) < n_centroids:
-            cents.append(list(cents[len(cents) % max(len(cents), 1)]))
-        for _ in range(kmeans_iters):
-            assigned = sub.select(
-                _argmin_code(F.col("e"), 0, cents, m).alias("code"),
-                F.posexplode("e").alias("pos", "val"),
-            )
-            rows = (
-                assigned.groupBy("code", "pos")
-                .agg(F.avg("val").alias("mn"))
-                .collect()
-            )
-            means: dict[int, dict[int, float]] = {}
-            for r in rows:
-                means.setdefault(r["code"], {})[r["pos"]] = r["mn"]
-            cents = [
-                [means[c][j] for j in range(m)] if c in means else cents[c]
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            means.setdefault((r["s"], r["code"]), {})[r["j"]] = r["mn"]
+        book = [
+            [
+                [means[(s, c)][j] for j in range(m)]
+                if (s, c) in means
+                else book[s][c]
                 for c in range(n_centroids)
             ]
-        book.append(cents)
+            for s in range(n_sub)
+        ]
     return book
 
 
@@ -345,6 +379,220 @@ def pq_search_rerank(
         cand.join(F.broadcast(vq), "query_id")
         .join(vc, "neighbor_id")
         .select("query_id", "neighbor_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("d2", 4).alias("d2"),
+        )
+    )
+
+
+def _lut_expr(e: Column, codebook: list[list[list[float]]]) -> Column:
+    """Flattened per-row ADC lookup table: squared-L2 of each subvector
+    of `e` to every centroid, n_sub × n_centroids entries in subspace-
+    major order (see pq_adc_topk for the factory-not-default-arg
+    rationale)."""
+    m = len(codebook[0][0])
+
+    def lut_for(s: int):
+        return F.transform(
+            _cb_lit(codebook[s]), lambda cent: _sub_dist(e, s, cent, m)
+        )
+
+    return F.flatten(F.array(*[lut_for(s) for s in range(len(codebook))]))
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    *,
+    n_lists: int = 16,
+    n_sub: int = 8,
+    n_centroids: int = 16,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build the full FAISS-style IVF-PQ structure: an L2 coarse
+    quantizer (n_lists full-width centroids — pq_train with one
+    subspace), per-vector RESIDUALS against the assigned centroid
+    (residual PQ is what makes small codebooks sharp: residual norms
+    are a fraction of vector norms, so the same 4-bit codes quantize a
+    much smaller cell), and a residual PQ codebook + codes table.
+
+    Returns (coarse, book, codes) where codes is (id, cid, codes) —
+    the only corpus-sized artifact, 8×4-bit codes + one list id per
+    vector. Scale: two Lloyd trainings (centroid-only collects), one
+    assignment map, one encode map; nothing wider than the raw scan."""
+    e = _as_double(vec_col)
+    dims_row = corpus.select(F.size(e).alias("d")).first()
+    if dims_row is None:
+        raise ValueError("ivfpq_build: empty corpus")
+    dims = dims_row["d"]
+    coarse = pq_train(
+        corpus,
+        n_sub=1,
+        n_centroids=n_lists,
+        id_col=id_col,
+        vec_col=vec_col,
+        kmeans_iters=kmeans_iters,
+        dims=dims,
+    )[0]
+    coarse_lit = _cb_lit(coarse)
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        e.alias("e"),
+        _argmin_code(e, 0, coarse, dims).alias("cid"),
+    )
+    resid = assigned.select(
+        "id",
+        "cid",
+        F.zip_with(
+            F.col("e"),
+            F.element_at(coarse_lit, (F.col("cid") + 1).cast("int")),
+            lambda a, b: a - b,
+        ).alias("r"),
+    ).localCheckpoint(eager=False)
+    book = pq_train(
+        resid,
+        n_sub=n_sub,
+        n_centroids=n_centroids,
+        id_col="id",
+        vec_col="r",
+        kmeans_iters=kmeans_iters,
+        dims=dims,
+    )
+    codes = pq_encode(resid, book, id_col="id", vec_col="r", keep_cols=("cid",))
+    return coarse, book, codes
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 16,
+    n_sub: int = 8,
+    n_centroids: int = 16,
+    shortlist: int = 1_000_000,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search, the composed production shape: probe the n_probe
+    nearest coarse lists per query, ADC-score ONLY the probed lists'
+    codes with a per-(query, list) residual lookup table, shortlist,
+    then exact-rerank the shortlist against raw vectors. Per-query work
+    is ∝ corpus·n_probe/n_lists code rows + shortlist full-width
+    vectors — never the whole corpus in full width.
+
+    Battery contract (same as ivf_topk): at n_probe = n_lists and a
+    corpus-deep shortlist the candidate set is total, so the output
+    must EQUAL exact squared-L2 top-k and the brute-force SQL is the
+    oracle — recall itself is the checked property (rerank distances
+    are ordered zip_with folds, bit-identical to DuckDB's
+    list_inner_product of the difference list; validated over every
+    sf0.01 pair). Sub-exhaustive recall is pinned in
+    tests/test_similarity_quality.py.
+
+    Output (query_id, neighbor_id, rank, d2)."""
+    coarse, book, codes = ivfpq_build(
+        corpus,
+        n_lists=n_lists,
+        n_sub=n_sub,
+        n_centroids=n_centroids,
+        kmeans_iters=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    e = _as_double(vec_col)
+    dims = len(coarse[0])
+    coarse_lit = _cb_lit(coarse)
+    cand_lists = F.slice(
+        F.array_sort(
+            F.transform(
+                coarse_lit,
+                lambda cent, i: F.named_struct(
+                    F.lit("d"),
+                    _sub_dist(e, 0, cent, dims),
+                    F.lit("c"),
+                    i.cast("int"),
+                ),
+            )
+        ),
+        1,
+        min(n_probe, n_lists),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("id"), e.alias("e"), F.explode(cand_lists).alias("p")
+    ).select("id", "e", F.col("p.c").alias("cid"))
+    with_rq = probed.withColumn(
+        "rq",
+        F.zip_with(
+            F.col("e"),
+            F.element_at(coarse_lit, (F.col("cid") + 1).cast("int")),
+            lambda a, b: a - b,
+        ),
+    )
+    q_lut = with_rq.select(
+        "id", "e", "cid", _lut_expr(F.col("rq"), book).alias("lut")
+    )
+    n_cent = len(book[0])
+    adc = reduce(
+        _add,
+        [
+            F.element_at(
+                F.col("q.lut"),
+                F.lit(s * n_cent + 1) + F.element_at(F.col("c.codes"), s + 1),
+            )
+            for s in range(len(book))
+        ],
+    )
+    # cand rows are (ids, adc) ONLY — carrying the full-width query
+    # vector per candidate would push corpus·n_probe/n_lists × dims
+    # doubles through the shortlist window exchange, exactly the
+    # full-width traffic ADC exists to avoid; qe re-joins (broadcast)
+    # onto the shortlist-sized survivors instead.
+    cand = (
+        F.broadcast(q_lut.alias("q"))
+        .join(
+            codes.alias("c"),
+            (F.col("q.cid") == F.col("c.cid")) & (F.col("q.id") != F.col("c.id")),
+        )
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            adc.alias("adc_raw"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_raw").asc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), e.alias("qe"))
+    short = (
+        cand.withColumn("srk", F.row_number().over(w_short))
+        .filter(F.col("srk") <= shortlist)
+        .select("query_id", "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+    )
+    vc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), e.alias("ce")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = short.join(vc, "neighbor_id").select(
+        "query_id", "neighbor_id", d2.alias("d2")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("d2").asc_nulls_last(), F.col("neighbor_id").asc()

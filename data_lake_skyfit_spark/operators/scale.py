@@ -86,15 +86,28 @@ def inflate_embeddings(
     """×`factor` embedding-corpus inflation: copy i shifts ids by
     i·2^40 and offsets every component by 0.0017·i — distinct vectors
     with the original corpus's neighborhood structure repeated, not
-    128k exact duplicates collapsing into degenerate top-k ties."""
+    128k exact duplicates collapsing into degenerate top-k ties.
+
+    The offset goes through a closure FACTORY: a `lambda x, i=i:`
+    default-arg closure has two parameters, which PySpark's arity
+    sniffing reads as an (element, index) lambda — the element index
+    silently overrides the default, every copy gets the identical
+    per-component offset, and the inflated corpus is exact duplicates
+    (the r4 curve ran that way; wall-times measured the same quadratic
+    compute, but neighborhood structure was degenerate ties).
+    `test_inflate_embeddings_copies_are_distinct` pins the fix."""
+
+    def offset_copy(i: int):
+        return F.transform(
+            F.col(vec_col), lambda x: x + F.lit(0.0017 * i)
+        )
+
     copies = []
     for i in range(factor):
         copies.append(
             df.select(
                 (F.col(id_col) + F.lit(i * _ID_STRIDE)).alias(id_col),
-                F.transform(
-                    F.col(vec_col), lambda x, i=i: x + F.lit(0.0017 * i)
-                ).alias(vec_col),
+                offset_copy(i).alias(vec_col),
             )
         )
     return reduce(lambda a, b: a.unionByName(b), copies)

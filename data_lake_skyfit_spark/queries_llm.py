@@ -2942,3 +2942,51 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return classifier.score_quality_fixed(d)
+
+
+@register(
+    "ann_ivfpq_rerank",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_inner_product(
+               list_transform(range(1, len(q.e) + 1), i -> q.e[i] - c.e[i]),
+               list_transform(range(1, len(q.e) + 1), i -> q.e[i] - c.e[i])
+             ) AS d2
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ), ranked AS (
+      SELECT query_id, neighbor_id, d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY d2 ASC NULLS LAST, neighbor_id ASC
+             ) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, ROUND(d2, 4) AS d2
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("llm-similarity", "scale-path", "no-bench"),
+    doc="Composed FAISS-style IVF-PQ search (llm.pq.ivfpq_topk, r4b): "
+    "L2 coarse quantizer (fused-Lloyd pq_train, one subspace) -> "
+    "RESIDUAL PQ codebook + 8x4-bit codes per vector -> per-query "
+    "probed-list ADC with residual lookup tables -> codes-only "
+    "shortlist -> exact rerank of shortlist pairs. Battery contract "
+    "mirrors ann_ivf_topk: probing every list with a corpus-deep "
+    "shortlist makes the candidate set total, so the output must EQUAL "
+    "exact squared-L2 top-k and the brute-force SQL is the oracle - "
+    "recall is the checked property (rerank folds are bit-identical to "
+    "DuckDB's list_inner_product over the difference list; validated "
+    "over every sf0.01 pair). Sub-exhaustive recall at n_probe < "
+    "n_lists pinned in tests/test_similarity_quality.py. no-bench: "
+    "the entry trains two codebooks per run - index-build/maintenance "
+    "cost, not query latency (ann_ivf_index_probe precedent).",
+)
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return pq.ivfpq_topk(
+        q, e, k=5, n_probe=16, shortlist=1_000_000, kmeans_iters=1
+    )

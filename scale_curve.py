@@ -15,6 +15,9 @@ op timing excludes inflation and scans real files), then wall-time:
 - curation_pipeline      curate_corpus(train, eval).count()
 - ann_knn_join           knn_join(...).count()  (num_blocks sized so a
                          block pair fits a task — the documented knob)
+- ann_pq_adc             pq_encode + pq_adc_topk for 10 queries (r4b:
+                         the compressed-domain scan — should stay
+                         near-linear where exact knn is quadratic)
 
 Usage: python scale_curve.py [--factors 1,8,64] [--ops lsh,cc,cur,knn]
 Writes one JSON line per (op, factor) and a final markdown table for
@@ -40,7 +43,7 @@ WORK = os.environ.get("SKYFIT_SCALE_DIR", "/tmp/skyfit_scale_curve")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,8,64")
-    ap.add_argument("--ops", default="lsh,cc,cur,knn")
+    ap.add_argument("--ops", default="lsh,cc,cur,knn,pq")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
     ops = args.ops.split(",")
@@ -52,6 +55,7 @@ def main() -> None:
         connected_components, minhash_lsh_pairs,
     )
     from data_lake_skyfit_spark.llm.similarity import knn_join
+    from data_lake_skyfit_spark.llm import pq as pq_mod
     from data_lake_skyfit_spark.operators.scale import (
         inflate_documents, inflate_embeddings,
     )
@@ -105,6 +109,11 @@ def main() -> None:
         ).count()
     if "knn" in ops:
         knn_join(we, k=3, num_blocks=knn_blocks(we.count())).count()
+    if "pq" in ops:
+        _cb = pq_mod.deterministic_codebook()
+        pq_mod.pq_adc_topk(
+            we.filter("vec_id < 10"), pq_mod.pq_encode(we, _cb), _cb, k=5
+        ).count()
 
     for factor in factors:
         dpath = materialize(inflate_documents(docs, factor), "documents", factor)
@@ -149,6 +158,16 @@ def main() -> None:
             timed(
                 "ann_knn_join",
                 lambda: knn_join(e, k=3, num_blocks=knn_blocks(n_vecs)).count(),
+            )
+        if "pq" in ops:
+            cb = pq_mod.deterministic_codebook()
+            # inflate_embeddings keeps vec_id unique across copies; the
+            # 10 base queries scan the whole inflated codes table.
+            timed(
+                "ann_pq_adc_topk",
+                lambda: pq_mod.pq_adc_topk(
+                    e.filter("vec_id < 10"), pq_mod.pq_encode(e, cb), cb, k=5
+                ).count(),
             )
         spark.catalog.clearCache()
 

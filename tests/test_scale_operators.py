@@ -194,3 +194,31 @@ def test_lsh_scale_curve_x8_is_subquadratic(spark):
     t8 = time.time() - t0
     assert n8 == 8 * n1
     assert t8 < 12 * max(t1, 0.5), f"x8 {t8:.2f}s vs x1 {t1:.2f}s"
+
+
+def test_inflate_embeddings_copies_are_distinct(spark):
+    """r4b regression pin: the per-copy offset must actually vary by
+    copy — a two-parameter default-arg lambda in the transform made
+    PySpark bind the 'copy index' to the ELEMENT index, producing
+    exact duplicate vectors across copies (degenerate top-k ties in
+    the scale curve). Copy i's component j must equal base_j + 0.0017·i
+    exactly (float64 add of an exact constant both ways)."""
+    from data_lake_skyfit_spark.operators.scale import (
+        _ID_STRIDE,
+        inflate_embeddings,
+    )
+
+    base = spark.createDataFrame(
+        [(7, [0.25, -0.5, 1.0])], "vec_id long, embedding array<double>"
+    )
+    rows = {
+        r["vec_id"]: list(r["embedding"])
+        for r in inflate_embeddings(base, 3).collect()
+    }
+    assert rows[7] == [0.25, -0.5, 1.0]
+    assert rows[7 + _ID_STRIDE] == [0.25 + 0.0017, -0.5 + 0.0017, 1.0 + 0.0017]
+    assert rows[7 + 2 * _ID_STRIDE] == [
+        0.25 + 2 * 0.0017,
+        -0.5 + 2 * 0.0017,
+        1.0 + 2 * 0.0017,
+    ]
