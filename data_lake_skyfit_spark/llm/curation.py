@@ -565,12 +565,19 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     decontam_ngram: int = 5,
     decontam_min_shared: int = 2,
+    classifier_weights: dict[int, int] | None = None,
+    classifier_bias: int = 0,
     **quality_kwargs,
 ) -> DataFrame:
     """The end-to-end pre-training curation pipeline in one call — the
     standard stage order of a web-scale text corpus build:
 
       1. quality gate   (gopher_rules conjunction)
+      1b. model gate    (optional: integer-quantized hashed-ngram
+                         classifier margin ≤ 0 drops — the CCNet-style
+                         learned filter beside the hand rules; pass
+                         classifier_weights from llm.classifier's
+                         train_logistic/train_nb_logodds + quantize)
       2. exact dedup    (content-hash groupBy, min-id canonical survives)
       3. near dedup     (MinHash-LSH pairs → connected components,
                          cluster-canonical min id survives)
@@ -578,7 +585,8 @@ def curate_corpus(
 
     Returns one DISPOSITION row per input document: (id, drop_reason,
     kept) where drop_reason is the FIRST stage that dropped it
-    ('quality' | 'exact_dup' | 'near_dup' | 'contaminated' | 'kept') —
+    ('quality' | 'classifier' | 'exact_dup' | 'near_dup' |
+    'contaminated' | 'kept') —
     the audit artifact a data release ships alongside the corpus.
     Survivors are `train.join(out.filter("kept=1"), id) ` or an anti-join
     on the drop rows.
@@ -604,6 +612,23 @@ def curate_corpus(
     p1 = train.join(
         q.filter(F.col("__q_keep") == 1).drop("__q_keep"), id_col
     ).localCheckpoint(eager=False)  # feeds the hash frame AND p2
+    if classifier_weights is not None:
+        from .classifier import apply_quantized
+
+        clf_drop = (
+            apply_quantized(
+                p1, classifier_weights, bias_int=classifier_bias,
+                id_col=id_col, text_col=text_col,
+            )
+            .filter(F.col("label") == 0)
+            .select(F.col("doc_id").alias(id_col))
+            .localCheckpoint(eager=False)
+        )
+        p1 = p1.join(clf_drop, id_col, "left_anti").localCheckpoint(
+            eager=False
+        )
+    else:
+        clf_drop = train.select(id_col).limit(0)
     h = p1.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
     canon = h.groupBy("__h").agg(F.min(id_col).alias("__canon"))
     exact_drop = (
@@ -640,12 +665,14 @@ def curate_corpus(
     return (
         train.select(F.col(id_col))
         .join(q, id_col, "left")
+        .join(mark(clf_drop, "__m"), id_col, "left")
         .join(mark(exact_drop, "__x"), id_col, "left")
         .join(mark(near_drop, "__n"), id_col, "left")
         .join(mark(contam, "__c"), id_col, "left")
         .select(
             F.col(id_col),
             F.when(F.col("__q_keep") == 0, F.lit("quality"))
+            .when(F.col("__m") == 1, F.lit("classifier"))
             .when(F.col("__x") == 1, F.lit("exact_dup"))
             .when(F.col("__n") == 1, F.lit("near_dup"))
             .when(F.col("__c") == 1, F.lit("contaminated"))

@@ -878,3 +878,44 @@ def test_classifier_single_token_doc_has_no_bigrams(spark):
         for r in classifier.score_quality_fixed(df).collect()
     }
     assert rows == {1: 1, 2: 3, 3: 0, 4: 0}
+
+
+def test_curate_corpus_classifier_stage(spark):
+    """Optional model gate (stage 1b): integer weights that condemn a
+    marker token must drop exactly the docs carrying it, with the
+    disposition precedence quality > classifier > exact_dup intact and
+    the no-weights path byte-identical to before (the graded
+    curation_pipeline passes no weights)."""
+    import hashlib
+
+    from data_lake_skyfit_spark.llm.classifier import N_BUCKETS
+    from data_lake_skyfit_spark.llm.curation import curate_corpus
+
+    bad_bucket = int(hashlib.md5(b"badword").hexdigest()[:4], 16) % N_BUCKETS
+    # margin = n_grams·1 − 10^6·cnt(badword-bucket): positive unless the
+    # marker (or a same-bucket collision) appears.
+    weights = {bad_bucket: -(10**6)}
+    good = "solid useful prose with enough words to pass the gate " * 6
+    rows = [
+        (1, good),
+        (2, good.replace("useful", "badword", 1)),
+        (3, "x"),  # fails gopher quality first → 'quality', not 'classifier'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    disp = {
+        r["doc_id"]: r["drop_reason"]
+        for r in curate_corpus(
+            df, classifier_weights=weights, classifier_bias=1
+        ).collect()
+    }
+    assert disp[1] == "kept"
+    assert disp[2] == "classifier"
+    assert disp[3] == "quality"
+
+    plain = {
+        r["doc_id"]: r["drop_reason"] for r in curate_corpus(df).collect()
+    }
+    # No model gate → the marker doc survives to the LSH stage, where
+    # it is caught as a near-dup of doc 1 instead (one token changed in
+    # repeated text) — the stage ORDER is visible in the disposition.
+    assert plain[2] == "near_dup"
