@@ -1,0 +1,233 @@
+"""BM25 full-text retrieval over the documents corpus.
+
+The missing retrieval leg of the LLM-data tier: given a set of term
+queries, score documents with BM25 (Robertson-Spärck Jones TF-IDF with
+document-length normalization) and return the top-k per query. This is
+the lexical half of a RAG / training-data-selection stack (the dense
+half is `llm/similarity.py`).
+
+Spark-first shape (reference analog: none — the reference has no
+retrieval surface; this extends SURVEY.md §7.5):
+
+- The corpus is reduced ONCE to a postings frame
+  ``(term, doc_id, tf)`` via explode + map-side-combining groupBy —
+  one shuffle whose row count is the number of DISTINCT (doc, term)
+  pairs, never token occurrences.
+- The query side is tiny by definition and is broadcast; postings are
+  immediately semi-joined to query terms, so document-frequency and
+  scoring aggregations run over matched postings only — the corpus
+  never re-shuffles per query.
+- Corpus scalars (N, total token length) ride a broadcast single-row
+  cross join (the only cross join, same idiom as llm/curation.py).
+- Top-k per query is a window over the scored candidates (rows ∝
+  postings hit by query terms), partitioned by query — never a global
+  sort.
+
+Determinism: with ``idf="rational"`` every score is a BIGINT computed
+with integer products and one integral division — exact on any engine,
+so ranking and tie-breaks (score desc, doc_id asc) are hash-stable
+cross-engine (the graded battery contract; CLAUDE.md forbids
+libm-dependent log in a hash-compared column). ``idf="log"`` is the
+textbook BM25 idf ``ln(1 + (N-df+0.5)/(df+0.5))`` for production use —
+same plan, float scores — pinned against an independent numpy mirror
+in tests/test_retrieval.py instead of the DuckDB hash gate.
+
+BM25 parameters are the standard k1=1.2, b=0.75, held as exact
+rationals (6/5, 3/4). With avgdl = totlen/N the per-term score is::
+
+    idf(df) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Multiplying numerator and denominator by 10*totlen clears every
+fraction::
+
+    tf_norm = 22*totlen*tf / (10*totlen*tf + 3*totlen + 9*dl*N)
+
+and the rational idf surrogate (N-df+0.5)/(df+0.5) becomes
+(2N-2df+1)/(2df+1). The graded score is
+``(scale * tf_norm_num * idf_num) div (tf_norm_den * idf_den)``
+summed per (query, doc) — an order-independent BIGINT sum. Products
+run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): both are exact and
+`div` / `//` agree on positive integral quotients (validated in
+tests).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .text import tokens_expr
+
+__all__ = ["postings", "bm25_score", "bm25_topk"]
+
+
+def postings(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Inverted-index postings ``(term, doc_id, tf, dl)``.
+
+    One explode + one map-side-combining groupBy; ``dl`` (document
+    token length) is carried on every posting row so scoring never
+    joins back to the corpus.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_expr(text_col).alias("__w"),
+    )
+    return (
+        toks.select("doc_id", F.size("__w").alias("dl"), F.explode("__w").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def _corpus_scalars(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Single row (n_docs, totlen) — broadcast onto candidates."""
+    return docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens_expr(text_col))).cast("bigint").alias("totlen"),
+    )
+
+
+def bm25_score(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf: str = "rational",
+    scale: int = 100_000,
+) -> DataFrame:
+    """Score every document containing at least one query term.
+
+    ``queries`` is ``(query_id, terms array<string>)``; duplicate terms
+    within a query collapse (query tf is 1, the common BM25 choice).
+    Returns ``(query_id, doc_id, score)`` — BIGINT scaled score for
+    ``idf="rational"``, DOUBLE for ``idf="log"``.
+    """
+    if idf not in ("rational", "log"):
+        raise ValueError(f"idf must be 'rational' or 'log', got {idf!r}")
+
+    post = postings(docs, text_col, id_col)
+    qterms = queries.select(
+        "query_id", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    # Query side is tiny: broadcast so postings never shuffle by term
+    # for the candidate join, and df counts run on matched rows only.
+    matched = post.join(F.broadcast(qterms.select("term").distinct()), "term")
+    # matched feeds BOTH the df aggregation and the scoring join.
+    matched = matched.localCheckpoint(eager=False)
+    dfreq = matched.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+
+    cand = (
+        matched.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(_corpus_scalars(docs, text_col, id_col)))
+    )
+
+    if idf == "rational":
+        d38 = "decimal(38,0)"
+        num = (
+            F.lit(22).cast(d38)
+            * F.col("totlen").cast(d38)
+            * F.col("tf").cast(d38)
+            * (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + F.lit(1)).cast(d38)
+            * F.lit(int(scale)).cast(d38)
+        )
+        den = (
+            (
+                F.lit(10).cast(d38) * F.col("totlen").cast(d38) * F.col("tf").cast(d38)
+                + F.lit(3).cast(d38) * F.col("totlen").cast(d38)
+                + F.lit(9).cast(d38) * F.col("dl").cast(d38) * F.col("n_docs").cast(d38)
+            )
+            * (F.lit(2) * F.col("df") + F.lit(1)).cast(d38)
+        )
+        # Spark's `div` (integral quotient) has no functions.* wrapper —
+        # stage the named operands, then expr() the division.
+        cand2 = cand.select(
+            "query_id", "doc_id", num.alias("__num"), den.alias("__den")
+        )
+        scored = cand2.select(
+            "query_id",
+            "doc_id",
+            F.expr("CAST(__num div __den AS BIGINT)").alias("contrib"),
+        )
+        return scored.groupBy("query_id", "doc_id").agg(
+            F.sum("contrib").cast("bigint").alias("score")
+        )
+
+    # Textbook log idf (production path, float): ln(1 + (N-df+.5)/(df+.5)).
+    idf_e = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    k1, b = 1.2, 0.75
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") * F.col("n_docs") / F.col("totlen"))
+    )
+    scored = cand.select(
+        "query_id", "doc_id", (idf_e * tf_norm).alias("contrib")
+    )
+    return scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf: str = "rational",
+    scale: int = 100_000,
+) -> DataFrame:
+    """Top-k documents per query by BM25, totally ordered
+    (score desc, doc_id asc). Window partitions by query over the
+    sparse candidate set — never a global sort."""
+    scored = bm25_score(
+        docs, queries, text_col=text_col, id_col=id_col, idf=idf, scale=scale
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc_nulls_last()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def bm25_numpy_mirror(
+    corpus: list[tuple[int, str]], queries: list[tuple[int, list[str]]], k: int = 5
+) -> list[tuple[int, int, float]]:
+    """Independent sequential mirror of the log-idf path (tests only)."""
+    import collections
+
+    toks = {d: [t for t in text.split() if t] for d, text in corpus}
+    n = len(corpus)
+    totlen = sum(len(w) for w in toks.values())
+    avgdl = totlen / n
+    dfreq: collections.Counter = collections.Counter()
+    for w in toks.values():
+        dfreq.update(set(w))
+    out: list[tuple[int, int, float]] = []
+    k1, b = 1.2, 0.75
+    for qid, terms in queries:
+        scores: dict[int, float] = {}
+        for d, w in toks.items():
+            tfs = collections.Counter(w)
+            s = 0.0
+            for t in set(terms):
+                tf = tfs.get(t, 0)
+                if not tf:
+                    continue
+                idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+            if s > 0:
+                scores[d] = s
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out.extend((qid, d, s) for d, s in top)
+    return out

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import register, _t
-from .llm import dedup, multimodal, pq, similarity, text as text_ops
+from .llm import dedup, multimodal, pq, retrieval, similarity, text as text_ops
 from .streaming import windowed
 
 
@@ -2990,3 +2990,93 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivfpq_topk(
         q, e, k=5, n_probe=16, shortlist=1_000_000, kmeans_iters=1
     )
+
+
+_BM25_QUERIES = [
+    (0, ["spark", "join", "fast"]),
+    (1, ["table", "scan"]),
+    (2, ["stream", "window", "batch"]),
+    (3, ["vector", "hash"]),
+]
+
+_BM25_VALUES = ", ".join(
+    "({}, [{}])".format(qid, ", ".join(f"'{t}'" for t in terms))
+    for qid, terms in _BM25_QUERIES
+)
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH q(query_id, terms) AS (VALUES {_BM25_VALUES}),
+    qt AS (
+      SELECT CAST(query_id AS INT) AS query_id, unnest(list_distinct(terms)) AS term
+      FROM q
+    ),
+    tok AS (
+      SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS w FROM documents
+    ),
+    post AS (
+      SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM tok)
+      GROUP BY 1, 2, 3
+    ),
+    matched AS (
+      SELECT p.* FROM post p WHERE term IN (SELECT DISTINCT term FROM qt)
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM matched GROUP BY 1
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(w)) AS BIGINT) AS totlen
+      FROM tok
+    ),
+    cand AS (
+      SELECT qt.query_id, m.doc_id,
+             CAST(22 AS HUGEINT) * totlen * tf
+               * (2*n_docs - 2*df + 1) * 100000 AS num,
+             (CAST(10 AS HUGEINT)*totlen*tf + CAST(3 AS HUGEINT)*totlen
+               + CAST(9 AS HUGEINT)*dl*n_docs) * (2*df + 1) AS den
+      FROM matched m
+      JOIN qt ON m.term = qt.term
+      JOIN dfreq ON dfreq.term = m.term
+      CROSS JOIN c
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(num // den AS BIGINT)) AS BIGINT) AS score
+      FROM cand GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC NULLS LAST) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+    tags=("llm-text", "llm-retrieval", "scale-path"),
+    doc="BM25 top-k full-text retrieval (llm.retrieval.bm25_topk, r4c) "
+    "— the lexical-retrieval leg of the LLM-data tier. Corpus reduced "
+    "once to (term, doc_id, tf, dl) postings (explode + map-side-"
+    "combining groupBy); broadcast query terms semi-join the postings "
+    "so df/scoring aggregations touch matched rows only; corpus "
+    "scalars ride a broadcast single-row cross join; top-k is a "
+    "query-partitioned window over the sparse candidates. Graded "
+    "scores are BIGINT: k1=6/5, b=3/4 and the rational idf surrogate "
+    "(2N-2df+1)/(2df+1) clear every fraction, so each contribution is "
+    "one integral division of exact integer products (DECIMAL(38,0) "
+    "div == HUGEINT //) and the sum is order-independent — no libm "
+    "call in any hash-compared column. The textbook log-idf path "
+    "(idf='log') shares the plan and is pinned against an independent "
+    "numpy mirror in tests/test_retrieval.py.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id INT, terms ARRAY<STRING>"
+    )
+    return retrieval.bm25_topk(docs, queries, k=5, idf="rational")
