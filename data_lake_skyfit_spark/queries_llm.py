@@ -3080,3 +3080,82 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_QUERIES, "query_id INT, terms ARRAY<STRING>"
     )
     return retrieval.bm25_topk(docs, queries, k=5, idf="rational")
+
+
+@register(
+    "fuzzy_match_parts",
+    """
+    WITH probes AS (
+      SELECT p_partkey AS probe_id,
+             CASE WHEN p_partkey % 2 = 0
+                  THEN substr(p_name, 1, 2) || substr(p_name, 4)
+                  ELSE substr(p_name, 1, 1) || 'x' || substr(p_name, 3)
+             END AS probe_name
+      FROM part WHERE p_partkey % 5 = 0
+    ),
+    cand AS (SELECT p_partkey AS cand_id, p_name AS cand_name FROM part),
+    pairs AS (
+      SELECT probe_id, cand_id,
+             levenshtein(probe_name, cand_name) AS dist
+      FROM probes JOIN cand
+        ON lower(substr(probe_name, 1, 1) || substr(probe_name, length(probe_name), 1))
+         = lower(substr(cand_name, 1, 1) || substr(cand_name, length(cand_name), 1))
+       AND abs(length(probe_name) - length(cand_name)) <= 2
+      WHERE levenshtein(probe_name, cand_name) <= 2
+    ),
+    best AS (
+      SELECT probe_id, cand_id, dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY probe_id
+               ORDER BY dist ASC, cand_id ASC NULLS LAST) AS rn
+      FROM pairs
+    )
+    SELECT probe_id, cand_id, CAST(dist AS INT) AS dist
+    FROM best WHERE rn = 1
+    """,
+    tags=("llm-dedup", "J4", "fuzzy-match", "scale-path"),
+    doc="Blocked fuzzy-match join (operators.fuzzy.fuzzy_match_join, "
+    "r4c) — entity resolution by Levenshtein distance. Probes are "
+    "deterministically corrupted part names (even keys: 3rd char "
+    "deleted; odd keys: 2nd char substituted — both preserve the "
+    "name's edge chars, so the block key is corruption-invariant); "
+    "candidates are the canonical part names. Candidate generation is "
+    "a BLOCKING equi-join on the composite (first char, last char) "
+    "key with a length-band residual (necessary condition for "
+    "dist<=2): no cross join exists at any scale, the probe side is "
+    "broadcast (candidates never shuffle — full scan parallelism), "
+    "and block cardinality is the edge-bigram space, not 1-char "
+    "prefixes (8.9s -> 1.5s at sf0.1). Distances are JVM codegen "
+    "F.levenshtein (identical unit-cost definition in DuckDB); the "
+    "best match per probe is one map-side-combining min(struct(dist, "
+    "cand_id)) — deterministic tie-break, integer-exact compare.",
+)
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import fuzzy as fuzzy_ops  # local import keeps module load light
+
+    part = _t(spark, sf_dir, "part")
+    probes = part.filter(F.col("p_partkey") % 5 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.concat(F.expr("substring(p_name, 1, 2)"), F.expr("substring(p_name, 4)")),
+        )
+        .otherwise(
+            F.concat(
+                F.expr("substring(p_name, 1, 1)"),
+                F.lit("x"),
+                F.expr("substring(p_name, 3)"),
+            )
+        )
+        .alias("probe_name"),
+    )
+    cands = part.select(
+        F.col("p_partkey").alias("cand_id"), F.col("p_name").alias("cand_name")
+    )
+    return fuzzy_ops.fuzzy_match_join(
+        F.broadcast(probes),
+        cands,
+        max_dist=2,
+        len_band=2,
+        block_key=fuzzy_ops.edge_block_key(),
+    )
