@@ -420,3 +420,51 @@ def watermark_incremental_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert store.list_runs("battery") == ["r1", "r2", "r3"]  # K6 manifests
     out = legs[0].unionByName(legs[1]).unionByName(legs[2])
     return out
+
+
+@register(
+    "format_roundtrip_csv_orc",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+    tags=("S1", "K1", "sources-formats"),
+    doc="CSV + ORC interchange round-trip (sources/formats.py, r4c): "
+    "events -> CSV sink (explicit micros timestampFormat, header) -> "
+    "schema-enforced FAILFAST CSV read -> ORC sink -> ORC read -> "
+    "aggregate. The oracle aggregates the original parquet directly, "
+    "so a green row proves BOTH text and ORC round-trips are lossless "
+    "for bigint/double/string/timestamp: doubles survive textually "
+    "(Java shortest round-trip repr), timestamps microsecond-exact "
+    "under the pinned pattern, and value sums route through "
+    "DECIMAL(15,2) per the battery determinism rules. PERMISSIVE "
+    "corrupt-row quarantine is pinned in tests/test_formats.py.",
+)
+def format_roundtrip_csv_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import formats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="skyfit_fmt_rt_")
+    formats.write_csv(ev, f"{root}/csv")
+    back = formats.read_csv(
+        spark,
+        f"{root}/csv",
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    formats.write_orc(back, f"{root}/orc")
+    rt = formats.read_orc(spark, f"{root}/orc")
+    return rt.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.sum(F.col("value").cast("decimal(15,2)")).cast("double").alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
