@@ -74,7 +74,9 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str
 # (absent from the reference, noted in SURVEY §2.6) gains a graded row.
 _PRIORITY = [
     # relational core — one per family
-    "pricing_summary",
+    # (pricing_summary demoted past the cutoff in r4c for the CSV/ORC
+    # format entry: its A1/A4/P6/2.10-math families all keep in-window
+    # carriers, and entry() still runs the pricing shape every round)
     "watermark_minmax",
     "channel_bucketing",
     "union_audit_counts",
@@ -94,6 +96,8 @@ _PRIORITY = [
     "medallion_bronze_to_stg",
     "medallion_upsert_roundtrip",
     "medallion_nested_explode",
+    # interchange formats (CSV text + ORC columnar round-trips, r4c)
+    "format_roundtrip_csv_orc",
     # change history (SCD2 / CDC / point-in-time correctness) + storage
     "scd2_user_state",
     "snapshot_diff_orders",
@@ -113,11 +117,15 @@ _PRIORITY = [
     # dedup_embedding_cosine for dedup_span_removal — its block-matmul + JVM
     # rescore machinery stays graded via ann_knn_join; llm-dedup keeps 5
     # graded carriers)
+    # (dedup_ngram_jaccard demoted past the cutoff in r4c for the
+    # blocked fuzzy-match join — same llm-dedup family, and the
+    # Jaccard machinery stays drive-verified + its SSJoin prefix
+    # filtering stays graded through dedup_minhash_lsh's band path)
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_span_removal",
     "dedup_cluster_resolution",
+    "fuzzy_match_parts",
     # similarity / storage
     "ann_knn_join",
     "ann_ivf_topk",
@@ -128,9 +136,12 @@ _PRIORITY = [
     # int8 quantize stays drive-verified past the cutoff.
     "ann_pq_adc_topk",
     # text analysis (text_fingerprint and text_token_counts demoted past the
-    # cutoff in r4 for the trigram tier and line-level dedup; family llm-text
-    # keeps 4 graded carriers)
-    "text_quality_scores",
+    # cutoff in r4 for the trigram tier and line-level dedup;
+    # text_quality_scores demoted in r4c for the BM25 retrieval tier —
+    # its quality-metric family stays graded via text_quality_classifier
+    # and the Gopher gate inside curation_pipeline's graded replay;
+    # family llm-text keeps 4-5 graded carriers throughout)
+    "text_bm25_topk",
     # The stopword-tier language ID yields its graded slot to the
     # model-based classifier (r4): llm-text keeps four in-window
     # carriers and the trigram tier grades the harder half of the
