@@ -13,7 +13,7 @@ PNG via `zlib` inflate + full five-filter scanline reconstruction
 a full marker parse + Huffman entropy decode + dequant + float64
 matrix IDCT + chroma upsample + JFIF YCbCr→RGB (r4), and RIFF/AVI
 video (uncompressed DIB frames) via chunk walking — with the kernels
-sniffing each payload's magic bytes (RIFF/WAVE, 'BM', \\x89PNG,
+sniffing each payload's magic bytes (RIFF/WAVE, FORM/AIFF, 'BM', \\x89PNG,
 GIF8xa, \\xff\\xd8\\xff, RIFF/'AVI ', ftyp, MP3 sync/ID3) and running
 actual byte-level header + sample/pixel/frame decoding. JPEG covers
 BOTH baseline and progressive (SOF2 spectral selection + successive
@@ -64,6 +64,7 @@ __all__ = [
     "extract_embeddings",
     "sample_video_frames",
     "encode_wav_pcm16",
+    "encode_aiff_pcm16",
     "encode_bmp24",
     "encode_png",
     "synthesize_png_variant_payloads",
@@ -81,6 +82,7 @@ __all__ = [
     "synthesize_mp4_payloads",
     "synthesize_gif_payloads",
     "synthesize_wav_payloads",
+    "synthesize_aiff_payloads",
     "synthesize_bmp_payloads",
     "synthesize_png_payloads",
     "synthesize_avi_payloads",
@@ -230,6 +232,121 @@ def _decode_wav(data: bytes) -> tuple[int, int, int, int, float]:
     rms = math.sqrt(ssq / n) if n else 0.0
     # duration comes from FRAMES: a stereo second is 1000 ms even though
     # it holds 2·sr samples (n_samples deliberately counts all channels).
+    return sr, n, n_frames * 1000 // sr, ssum, rms
+
+
+def _looks_like_aiff(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"FORM" and data[8:12] == b"AIFF"
+
+
+def _f80_encode(rate: int) -> bytes:
+    """IEEE 754 80-bit extended-precision encode of a positive integer
+    (the AIFF COMM sampleRate field). Byte-level golden pinned in
+    test_multimodal_codecs: 44100 → 40 0E AC 44 00 00 00 00 00 00 —
+    the constant real-world AIFF files carry (the GIF-LZW lesson: a
+    self-consistent round-trip proves nothing about the wire format)."""
+    if rate <= 0:
+        raise ValueError("aiff: sample rate must be positive")
+    e = rate.bit_length() - 1
+    return struct.pack(">HQ", 16383 + e, rate << (63 - e))
+
+
+def _f80_decode_int(b: bytes) -> int:
+    """Decode an 80-bit extended float holding an exact non-negative
+    integer (the only values a PCM sampleRate legitimately carries);
+    raises on sign/NaN/fractional rather than silently truncating."""
+    se, mant = struct.unpack(">HQ", b)
+    if se & 0x8000:
+        raise ValueError("aiff: negative sample rate")
+    e = (se & 0x7FFF) - 16383
+    if not 0 <= e <= 62:
+        raise ValueError(f"aiff: unsupported sampleRate exponent {e}")
+    shift = 63 - e
+    if mant & ((1 << shift) - 1):
+        raise ValueError("aiff: non-integer sample rate")
+    return mant >> shift
+
+
+def encode_aiff_pcm16(
+    sample_rate: int, samples: list[int], *, n_channels: int = 1
+) -> bytes:
+    """Encode signed 16-bit PCM into a real FORM/AIFF container
+    (COMM with 80-bit extended sampleRate + SSND big-endian PCM);
+    frame-major interleaved like encode_wav_pcm16. AIFF is the
+    big-endian sibling of WAV — same PCM payload, opposite byte order,
+    IEEE-extended rate field — so it extends decode_audio's REAL path
+    with zero new sample math."""
+    if n_channels < 1 or len(samples) % n_channels:
+        raise ValueError("aiff: samples must be a whole number of frames")
+    n_frames = len(samples) // n_channels
+    comm = struct.pack(">hLh", n_channels, n_frames, 16) + _f80_encode(sample_rate)
+    ssnd = struct.pack(">LL", 0, 0) + struct.pack(f">{len(samples)}h", *samples)
+    body = b"AIFF"
+    for cid, payload in ((b"COMM", comm), (b"SSND", ssnd)):
+        body += cid + struct.pack(">L", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
+def _aiff_samples(data: bytes) -> tuple[int, int, int, tuple]:
+    """Walk the FORM chunk list and unpack COMM + SSND: (sample_rate,
+    n_frames, n_channels, interleaved big-endian 16-bit samples).
+    Every header-declared size is validated against the actual payload
+    BEFORE any slice/unpack (r4 fuzz rule — a junk frame count must
+    raise, never allocate)."""
+    if not _looks_like_aiff(data):
+        raise ValueError("not an AIFF payload")
+    (form_size,) = struct.unpack_from(">L", data, 4)
+    end = min(len(data), 8 + form_size)
+    pos = 12
+    sr = n_frames = n_ch = None
+    pcm = None
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from(">L", data, pos + 4)
+        body_at = pos + 8
+        if size > end - body_at:
+            raise ValueError("aiff: chunk size overruns container")
+        if cid == b"COMM":
+            if size < 18:
+                raise ValueError("aiff: short COMM chunk")
+            n_ch, n_frames, bits = struct.unpack_from(">hLh", data, body_at)
+            if bits != 16:
+                raise ValueError(f"only 16-bit PCM supported, got width {bits}")
+            if n_ch < 1:
+                raise ValueError("aiff: non-positive channel count")
+            sr = _f80_decode_int(data[body_at + 8 : body_at + 18])
+        elif cid == b"SSND":
+            if size < 8:
+                raise ValueError("aiff: short SSND chunk")
+            off, _blk = struct.unpack_from(">LL", data, body_at)
+            if off > size - 8:
+                raise ValueError("aiff: SSND offset overruns chunk")
+            pcm = data[body_at + 8 + off : body_at + size]
+        pos = body_at + size + (size & 1)
+    if sr is None or n_frames is None or pcm is None:
+        raise ValueError("aiff: missing COMM or SSND chunk")
+    if sr <= 0:
+        raise ValueError("AIFF declares a non-positive sample rate")
+    n = n_frames * n_ch
+    if len(pcm) < 2 * n:
+        raise ValueError("aiff: SSND shorter than the declared frame count")
+    return sr, n_frames, n_ch, struct.unpack(f">{n}h", pcm[: 2 * n])
+
+
+def _decode_aiff(data: bytes) -> tuple[int, int, int, int, float]:
+    """AIFF leg of decode_audio — identical stat contract to
+    _decode_wav (exact integer sum/sum-of-squares, rms = sqrt(ssq/n),
+    duration from FRAMES not samples)."""
+    sr, n_frames, _n_ch, samples = _aiff_samples(data)
+    ssum = 0
+    ssq = 0
+    for s in samples:
+        ssum += s
+        ssq += s * s
+    n = len(samples)
+    rms = math.sqrt(ssq / n) if n else 0.0
     return sr, n, n_frames * 1000 // sr, ssum, rms
 
 
@@ -2135,6 +2252,39 @@ def synthesize_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def synthesize_aiff_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL encoded AIFF payload column, deterministic closed form.
+
+    Per id: sample_rate = WAV_RATES[(id + 2) % 5], n_channels = 1 + id % 2
+    (every other payload is stereo), n_frames = 50 + id % 89,
+    sample[i] = ((id·6007 + i·31337) mod 65536) − 32768 over the
+    interleaved stream. A SQL oracle reproduces the decoded stats from
+    the same formulas (no bytes)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in (int(v) for v in pdf[id_col]):
+                n_ch = 1 + rid % 2
+                total = (50 + rid % 89) * n_ch
+                payloads.append(
+                    encode_aiff_pcm16(
+                        WAV_RATES[(rid + 2) % 5],
+                        [
+                            ((rid * 6007 + i * 31337) % 65536) - 32768
+                            for i in range(total)
+                        ],
+                        n_channels=n_ch,
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def synthesize_bmp_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """id → REAL encoded 24-bpp BMP payload, deterministic closed form.
 
@@ -2671,7 +2821,9 @@ def decode_audio(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """payload → (id, sample_rate, n_samples, duration_ms, sample_sum,
     rms) via Arrow-batched mapInPandas. RIFF/WAVE payloads are decoded
     FOR REAL — `wave` header parse + struct-unpacked PCM samples, exact
-    integer sum/sum-of-squares, rms = sqrt(ssq/n). Other formats would
+    integer sum/sum-of-squares, rms = sqrt(ssq/n) — and so are FORM/AIFF
+    payloads (big-endian PCM + 80-bit-extended sampleRate, own chunk
+    walker). Other formats would
     need librosa/soundfile: fake path derives stats from the content
     hash with sample_sum null (or raises without SKYFIT_FAKE_DECODE)."""
     schema = T.StructType(
@@ -2693,6 +2845,11 @@ def decode_audio(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                     return _decode_wav(data)
                 except (ValueError, struct.error, wave.Error, EOFError):
                     pass  # RIFF-prefixed non-WAV bytes: fake path below
+            if _looks_like_aiff(data):
+                try:
+                    return _decode_aiff(data)
+                except (ValueError, struct.error):
+                    pass  # FORM/AIFF-prefixed junk: fake path below
             if _looks_like_mp3(data):
                 try:
                     return _decode_mp3(data)

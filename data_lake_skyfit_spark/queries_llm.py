@@ -1559,6 +1559,46 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_aiff",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             list_value(8000,16000,22050,44100,48000)[1 + (doc_id + 2) % 5] AS sr,
+             50 + doc_id % 89 AS nf,
+             1 + doc_id % 2 AS ch
+      FROM documents WHERE doc_id < 300
+    ), s AS (
+      SELECT p.doc_id, p.sr, p.nf, p.ch,
+             SUM(((p.doc_id * 6007 + i.i * 31337) % 65536) - 32768) AS ssum,
+             SUM((((p.doc_id * 6007 + i.i * 31337) % 65536) - 32768)
+               * (((p.doc_id * 6007 + i.i * 31337) % 65536) - 32768)) AS ssq
+      FROM p, LATERAL (SELECT UNNEST(range(0, p.nf * p.ch)) AS i) i
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, CAST(sr AS INT) AS sample_rate,
+           CAST(nf * ch AS BIGINT) AS n_samples,
+           CAST(nf * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(ssum AS BIGINT) AS sample_sum,
+           sqrt(CAST(ssq AS DOUBLE) / (nf * ch)) AS rms
+    FROM s
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL AIFF decode (llm.multimodal): synthesize_aiff_payloads encodes "
+    "an actual FORM/AIFF file per doc — COMM with the 80-bit-extended "
+    "sampleRate (byte golden: 44100 = 400E AC44…), SSND big-endian PCM, "
+    "every other payload stereo — then decode_audio's AIFF leg walks the "
+    "chunk list and unpacks every sample. Same stat contract as the WAV "
+    "entry: exact integer sample_sum, rms = sqrt(ssq/n) (correctly-rounded "
+    "IEEE ops, hash-safe), duration from FRAMES not samples — the oracle "
+    "recomputes everything arithmetically from the closed-form generator.",
+)
+def multimodal_decode_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.synthesize_aiff_payloads(d, id_col="doc_id")
+    return multimodal.decode_audio(media)
+
+
+@register(
     "multimodal_resize_images",
     """
     SELECT doc_id, CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,

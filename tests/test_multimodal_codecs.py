@@ -18,8 +18,13 @@ from pyspark.sql import functions as F
 from data_lake_skyfit_spark.llm import multimodal
 from data_lake_skyfit_spark.llm.multimodal import (
     WAV_RATES,
+    _aiff_samples,
+    _decode_aiff,
     _decode_bmp,
     _decode_wav,
+    _f80_decode_int,
+    _f80_encode,
+    encode_aiff_pcm16,
     encode_bmp24,
     encode_wav_pcm16,
 )
@@ -34,6 +39,85 @@ def test_wav_roundtrip_exact():
     assert dur == len(samples) * 1000 // 22050
     assert ssum == sum(samples)
     assert rms == math.sqrt(sum(s * s for s in samples) / len(samples))
+
+
+def test_aiff_f80_wire_convention_golden():
+    """The 80-bit-extended sampleRate bytes must match what real-world
+    AIFF files carry (44100 → 40 0E AC 44 00…), not merely round-trip
+    through our own codec — the GIF-LZW lesson applied to AIFF."""
+    assert _f80_encode(44100).hex() == "400eac44000000000000"
+    assert _f80_encode(48000).hex() == "400ebb80000000000000"
+    assert _f80_encode(8000).hex() == "400bfa00000000000000"
+    for r in (*WAV_RATES, 1, 11025, 96000, 192000):
+        assert _f80_decode_int(_f80_encode(r)) == r
+    # fractional / negative / NaN-exponent rates must raise, not truncate
+    for bad in (
+        struct.pack(">HQ", 16383, (3 << 62)),  # 1.5
+        struct.pack(">HQ", 0x8000 | 16398, 0xAC44 << 48),  # -44100
+        struct.pack(">HQ", 0x7FFF, 1 << 63),  # inf/NaN exponent
+    ):
+        try:
+            _f80_decode_int(bad)
+            raise AssertionError("non-integer f80 accepted")
+        except ValueError:
+            pass
+
+
+def test_aiff_roundtrip_exact():
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    data = encode_aiff_pcm16(22050, samples)
+    assert data[:4] == b"FORM" and data[8:12] == b"AIFF"
+    sr, n, dur, ssum, rms = _decode_aiff(data)
+    assert (sr, n) == (22050, len(samples))
+    assert dur == len(samples) * 1000 // 22050
+    assert ssum == sum(samples)
+    assert rms == math.sqrt(sum(s * s for s in samples) / len(samples))
+    # stereo: n_samples counts all channels, duration counts FRAMES
+    st = encode_aiff_pcm16(8000, samples[:6], n_channels=2)
+    assert _decode_aiff(st)[:3] == (8000, 6, 3 * 1000 // 8000)
+
+
+def test_aiff_corrupt_payloads_rejected_before_allocation():
+    """Header-declared sizes validated against the actual payload (r4
+    fuzz rule): a junk frame count or chunk size must raise ValueError,
+    never allocate or unpack past the buffer."""
+    good = encode_aiff_pcm16(8000, [7] * 40)
+    # COMM declares 2^31 frames over a 40-sample SSND
+    bad = bytearray(good)
+    struct.pack_into(">L", bad, bad.find(b"COMM") + 8 + 2, 2**31)
+    for payload in (
+        bytes(bad),
+        good[:40],  # truncated mid-chunk
+        b"FORM" + struct.pack(">L", 4) + b"AIFF",  # no chunks at all
+        good[:30] + b"\xff\xff\xff\xff" + good[34:],  # absurd chunk size
+    ):
+        try:
+            _aiff_samples(payload)
+            raise AssertionError("corrupt AIFF accepted")
+        except ValueError:
+            pass
+
+
+def test_decode_audio_aiff_real_path_on_spark(spark):
+    """decode_audio dispatches FORM/AIFF payloads to the real big-endian
+    decoder — mixed WAV+AIFF batches both land on the real path."""
+    df = spark.range(12).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_aiff_payloads(df, id_col="doc_id")
+    out = {r["doc_id"]: r for r in multimodal.decode_audio(media).collect()}
+    assert len(out) == 12
+    for rid in (0, 5, 11):
+        sr = WAV_RATES[(rid + 2) % 5]
+        ch = 1 + rid % 2
+        nf = 50 + rid % 89
+        samples = [
+            ((rid * 6007 + i * 31337) % 65536) - 32768 for i in range(nf * ch)
+        ]
+        r = out[rid]
+        assert r["sample_rate"] == sr
+        assert r["n_samples"] == nf * ch
+        assert r["duration_ms"] == nf * 1000 // sr
+        assert r["sample_sum"] == sum(samples)  # real decode → non-null
+        assert r["rms"] == math.sqrt(sum(s * s for s in samples) / (nf * ch))
 
 
 def test_bmp_roundtrip_skips_padding():
@@ -300,6 +384,7 @@ def test_magic_prefixed_garbage_takes_fake_path(spark):
         (1, "BMI readings for the cohort were stable this quarter...."),
         (2, "RIFFxxxxWAVEgarbage-that-is-not-a-real-wave-file-at-all!"),
         (3, "RIFFxxxxAVI garbage-that-is-not-a-real-avi-container...!!"),
+        (4, "FORMxxxxAIFFgarbage-that-is-not-a-real-aiff-payload-4u!!"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     media = multimodal.attach_binary_payload(df, "text")
@@ -307,6 +392,7 @@ def test_magic_prefixed_garbage_takes_fake_path(spark):
     assert imgs[1]["pixel_sum"] is None  # fake path marker
     auds = {r["doc_id"]: r for r in multimodal.decode_audio(media).collect()}
     assert auds[2]["sample_sum"] is None
+    assert auds[4]["sample_sum"] is None
     frames = multimodal.sample_video_frames(media).collect()
     assert len(frames) > 0
     resized = multimodal.resize_images(media, width=8, height=8).collect()
