@@ -6,6 +6,8 @@ the Gopher/C4-style filters that sit between raw ingestion and dedup in
 a web-scale text pipeline. Everything is JVM-native (regexp, explode,
 hash aggregation) — no Python in the hot path — and every construction
 is expressible identically in DuckDB so the battery gets exact oracles.
+(One deliberate exception: `normalize_unicode` needs CPython's
+unicodedata, Arrow-batched; its docstring carries the scale argument.)
 
 Scale notes:
 - `top_ngram_stats`: explode → partial-combining count → per-doc top-1
@@ -20,14 +22,19 @@ Scale notes:
 
 from __future__ import annotations
 
+import unicodedata
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import let_expr, shingles_expr, tokens_expr
 
 __all__ = [
     "EMAIL_RE",
     "PHONE_RE",
+    "normalize_unicode",
     "ngrams_expr",
     "top_ngram_stats",
     "pii_scan",
@@ -51,6 +58,51 @@ PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    form: str = "NFC",
+    strip_control: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC / NFD / NFKC / NFKD) — the
+    canonicalization step ahead of hashing, exact dedup and shingling,
+    so composed 'café' and its decomposed twin hash identically instead
+    of surviving as spurious "distinct" documents.
+
+    This is the one curation op that cannot be a JVM expression (Spark
+    has no normalization builtin and `reflect()` cannot pass the
+    java.text.Normalizer.Form enum), so it runs as an Arrow-batched
+    pandas UDF over `unicodedata.normalize`: vectorized transfer,
+    map-only, zero shuffle — at 100 TB the cost is the Arrow copy of
+    the text column, nothing else. Cross-engine contract: CPython's
+    unicodedata and DuckDB's utf8proc agree on all four forms (both
+    implement UAX #15; parity asserted in test_curation across
+    composed/decomposed/singleton/reordering cases), which is what
+    makes the battery entry hash-gradable.
+
+    `strip_control` additionally removes Cc/Cf characters except
+    tab/newline/CR first, via a JVM regexp (Java-regex class
+    intersection — the production cleanup path; the graded entry keeps
+    it off because RE2/DuckDB has no `&&` syntax).
+
+    With `out_col` the result is added beside `text_col` (keeping the
+    raw column for changed-flag audits); otherwise it replaces it.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unsupported normalization form {form!r}")
+    col = _c(text_col)
+    if strip_control:
+        col = F.regexp_replace(col, r"[\p{Cc}\p{Cf}&&[^\t\n\r]]", "")
+
+    @F.pandas_udf(T.StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: unicodedata.normalize(form, t), na_action="ignore")
+
+    return df.withColumn(out_col or text_col, _norm(col))
 
 
 def ngrams_expr(text: Column | str, n: int) -> Column:

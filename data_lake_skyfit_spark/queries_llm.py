@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import register, _t
-from .llm import dedup, multimodal, pq, retrieval, similarity, text as text_ops
+from .llm import curation, dedup, multimodal, pq, retrieval, similarity, text as text_ops
 from .streaming import windowed
 
 
@@ -641,6 +641,72 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", text_ops.doc_fingerprint("text").alias("fingerprint"))
+
+
+# Fixture suffixes for text_unicode_normalize, one per doc_id % 5: the
+# ASCII no-op, combining acute (composes to é), ring+diaeresis
+# (Ångström decomposed), the ANGSTROM SIGN / OHM SIGN singletons, and
+# an acute+cedilla pair whose canonical classes (230 > 202) force the
+# NFC reordering step without composing. documents.text itself is
+# ASCII-only (checked at fixture design), so the suffix carries ALL the
+# normalization activity and both engines see identical raw bytes.
+_UNICODE_SUFFIXES = (
+    "",
+    " cafe\u0301",  # e + COMBINING ACUTE -> composes to e-acute
+    " A\u030Angstro\u0308m",  # ring + diaeresis, decomposed Angstrom
+    " \u212B+\u2126",  # ANGSTROM SIGN / OHM SIGN singleton mappings
+    " A\u0301\u0327",  # acute(230)+cedilla(202): NFC reorders cedilla first, acute still
+    # composes with A (ccc 202 < 230 does not block) -> A-acute + cedilla
+)
+
+
+@register(
+    "text_unicode_normalize",
+    """
+    WITH r AS (
+      SELECT doc_id, text ||
+        CASE doc_id % 5
+          WHEN 0 THEN ''
+          WHEN 1 THEN ' cafe' || chr(769)
+          WHEN 2 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+          WHEN 3 THEN ' ' || chr(8491) || '+' || chr(8486)
+          ELSE ' A' || chr(769) || chr(807)
+        END AS raw
+      FROM documents WHERE doc_id < 400
+    ), n AS (
+      SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM r
+    )
+    SELECT doc_id, CAST(length(raw) AS INT) AS n_raw,
+           CAST(length(norm) AS INT) AS n_norm,
+           (norm <> raw) AS changed,
+           md5(norm) AS norm_md5
+    FROM n
+    """,
+    tags=("llm-text",),
+    doc="Unicode NFC canonicalization (llm.curation.normalize_unicode, "
+    "Arrow-batched unicodedata kernel — the pre-hash cleanup step that "
+    "stops composed/decomposed twins surviving exact dedup): fixture "
+    "appends deterministic combining/singleton/reordering suffixes per "
+    "doc, output hash-checks codepoint lengths, a changed flag and the "
+    "md5 of every normalized string against DuckDB's utf8proc "
+    "nfc_normalize — two independent UAX #15 implementations agreeing "
+    "byte-for-byte IS the checked property.",
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _UNICODE_SUFFIXES]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    raw = d.select("doc_id", F.concat(F.col("text"), suffix).alias("raw"))
+    n = curation.normalize_unicode(raw, "raw", form="NFC", out_col="norm")
+    return n.select(
+        "doc_id",
+        F.length("raw").alias("n_raw"),
+        F.length("norm").alias("n_norm"),
+        (F.col("norm") != F.col("raw")).alias("changed"),
+        F.md5(F.encode("norm", "UTF-8")).alias("norm_md5"),
+    )
 
 
 @register(

@@ -8,12 +8,70 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from data_lake_skyfit_spark.llm.curation import oov_stats, pii_scan, top_ngram_stats
+from data_lake_skyfit_spark.llm.curation import (
+    normalize_unicode,
+    oov_stats,
+    pii_scan,
+    top_ngram_stats,
+)
 from data_lake_skyfit_spark.llm.dedup import connected_components
 
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_normalize_unicode_cross_engine_parity(spark):
+    """CPython unicodedata (the kernel) and DuckDB utf8proc (the
+    oracle) must agree byte-for-byte across composed / decomposed /
+    singleton / reordering inputs — the property the graded
+    text_unicode_normalize entry rests on. All literals are explicit
+    escapes: composed vs decomposed is invisible in source text."""
+    import duckdb
+    import unicodedata
+
+    cases = [
+        " cafe\u0301",  # decomposed, composes to e-acute
+        " caf\u00e9",  # already NFC
+        " A\u030Angstro\u0308m",  # decomposed Angstrom
+        " \u212B+\u2126",  # ANGSTROM SIGN / OHM SIGN singletons
+        " A\u0301\u0327",  # reorder + compose through a lower ccc
+        "plain ascii",
+        "",
+    ]
+    con = duckdb.connect()
+    for s in cases:
+        duck = con.execute("select nfc_normalize(?)", [s]).fetchone()[0]
+        assert unicodedata.normalize("NFC", s) == duck, s
+
+    df = _docs(spark, [(i, s) for i, s in enumerate(cases)])
+    out = {r["doc_id"]: r["text"] for r in normalize_unicode(df).collect()}
+    for i, s in enumerate(cases):
+        assert out[i] == unicodedata.normalize("NFC", s)
+
+
+def test_normalize_unicode_semantics(spark):
+    # \ufb01 = fi ligature, \u00bd = 1/2 fraction: NFC-invariant, NFKC-folded
+    df = _docs(spark, [(1, "caf\u00e9 \ufb01ne \u00bd"), (2, None), (3, "x")])
+    nfc = {r["doc_id"]: r["text"] for r in normalize_unicode(df).collect()}
+    assert nfc[1] == "caf\u00e9 \ufb01ne \u00bd" and nfc[2] is None and nfc[3] == "x"
+    nfkc = {r["doc_id"]: r["text"] for r in normalize_unicode(df, form="NFKC").collect()}
+    assert nfkc[1] == "caf\u00e9 fine 1\u20442"
+    # out_col keeps the raw column beside the normalized one
+    both = normalize_unicode(df, form="NFC", out_col="norm")
+    assert both.columns == ["doc_id", "text", "norm"]
+    # idempotence: NFC(NFC(x)) == NFC(x)
+    twice = {
+        r["doc_id"]: r["text"]
+        for r in normalize_unicode(normalize_unicode(df)).collect()
+    }
+    assert twice == nfc
+    # strip_control removes Cc (NUL) and Cf (ZWJ) but keeps tab/newline/CR
+    ctl = _docs(spark, [(1, "a\x00b\u200dc\td\ne\rf")])
+    got = normalize_unicode(ctl, strip_control=True).collect()[0]["text"]
+    assert got == "abc\td\ne\rf"
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode(df, form="NFX")
 
 
 def test_top_ngram_stats_basic_and_tiebreak(spark):
