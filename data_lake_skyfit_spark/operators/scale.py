@@ -266,6 +266,7 @@ def with_zorder(
     *,
     bits: int = 12,
     out_col: str = "__z",
+    keep_buckets: bool = False,
 ) -> DataFrame:
     """Add a Z-order (Morton) key interleaving the given numeric
     columns — the real multi-dimensional version of OPTIMIZE ZORDER,
@@ -280,7 +281,14 @@ def with_zorder(
     simultaneously, so parquet min/max footer stats skip files for
     predicates on any of them — a lexicographic sort only skips on the
     leading column. Pure codegen'd integer expressions; NULLs map to
-    bucket 0 (they sort with the lowest values, same as a sort key).
+    bucket 0 (they sort with the lowest values, same as a sort key —
+    guarded explicitly because F.least SKIPS nulls, which would
+    otherwise quietly send null rows to the TOP bucket).
+
+    `keep_buckets` also emits the per-column bucket ordinates as
+    `__zb_<col>` — the coordinates file-skipping statistics range over
+    (used by the zorder_layout battery entry to grade the interleave
+    against a SQL mirror).
     """
     cols = list(cols)
     k = len(cols)
@@ -303,15 +311,24 @@ def with_zorder(
         b = F.least(
             F.lit(n - 1),
             F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(width)),
-        ).cast("long")
-        buckets.append(F.coalesce(b, F.lit(0)))
+        )
+        # NULL must be pinned BEFORE least(): least skips nulls, so
+        # least(n-1, NULL) = n-1 and null rows would land in the top
+        # bucket instead of the bottom one the docstring promises.
+        buckets.append(
+            F.when(F.col(c).isNull(), F.lit(0)).otherwise(b).cast("long")
+        )
     z = F.lit(0).cast("long")
     for j in range(bits):
         for ci, b in enumerate(buckets):
             z = z + F.shiftleft(
                 F.shiftright(b, j).bitwiseAND(F.lit(1)), j * k + ci
             )
-    return df.withColumn(out_col, z)
+    out = df.withColumn(out_col, z)
+    if keep_buckets:
+        for c, b in zip(cols, buckets):
+            out = out.withColumn(f"__zb_{c}", b)
+    return out
 
 
 def dense_index(

@@ -1393,4 +1393,93 @@ def point_in_time_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Morton interleave mirror for the zorder_layout oracle: bit j of bx
+# lands at position 2j, of by at 2j+1 — exactly with_zorder's
+# j*k + ci placement for cols=[x, y].
+_Z_INTERLEAVE_SQL = " + ".join(
+    f"((((bx >> {j}) & 1) << {2 * j}) + (((by >> {j}) & 1) << {2 * j + 1}))"
+    for j in range(8)
+)
+
+
+@register(
+    "zorder_layout",
+    f"""
+    WITH src AS (
+      SELECT o_orderkey,
+             CAST(o_custkey AS DOUBLE) AS x,
+             CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE) AS y
+      FROM orders
+    ), b AS (
+      SELECT MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi FROM src
+    ), q AS (
+      SELECT o_orderkey,
+             CAST(CASE WHEN xhi = xlo THEN 0
+                  ELSE LEAST(255, FLOOR((x - xlo) / ((xhi - xlo) / 256))) END AS BIGINT) AS bx,
+             CAST(CASE WHEN yhi = ylo THEN 0
+                  ELSE LEAST(255, FLOOR((y - ylo) / ((yhi - ylo) / 256))) END AS BIGINT) AS by
+      FROM src, b
+    ), z AS (
+      SELECT o_orderkey, bx, by, {_Z_INTERLEAVE_SQL} AS zval FROM q
+    ), f AS (
+      SELECT zval >> 12 AS file_id, COUNT(*) AS n_rows,
+             MIN(bx) AS bx_min, MAX(bx) AS bx_max,
+             MIN(by) AS by_min, MAX(by) AS by_max
+      FROM z GROUP BY 1
+    )
+    SELECT CAST(file_id AS INT) AS file_id,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(bx_min AS BIGINT) AS bx_min, CAST(bx_max AS BIGINT) AS bx_max,
+           CAST(by_min AS BIGINT) AS by_min, CAST(by_max AS BIGINT) AS by_max,
+           (bx_min <= 127 AND bx_max >= 64 AND by_min <= 191 AND by_max >= 128)
+             AS may_contain_box
+    FROM f
+    """,
+    tags=("storage", "scale-path"),
+    doc="Z-order (Morton) clustering layout (operators/scale.with_zorder — "
+    "the key OPTIMIZE ZORDER sorts by, versioned.compact(zorder_by=...)): "
+    "orders interleave 8-bit bucket ordinates of (custkey, orderdate-days); "
+    "a 'file' is a z-quadrant (top 4 interleaved bits — a pure map, no "
+    "global sort in the plan), and the output is exactly what a manifest "
+    "would store per file: row count, per-dimension bucket min/max, and "
+    "whether footer stats could skip the file for a 2-D box predicate. "
+    "The oracle mirrors the interleave bit-by-bit in SQL; the equi-width "
+    "bucket boundary is floor over two correctly-rounded IEEE divides, "
+    "engine-identical by the repo's float-boundary rules. Pruning-power "
+    "comparison vs lexicographic sort is pinned in test_maintenance.",
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scale import with_zorder
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("y"),
+    )
+    z = with_zorder(o, ["x", "y"], bits=8, keep_buckets=True)
+    files = z.groupBy(
+        F.shiftright(F.col("__z"), 12).cast("int").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("__zb_x").alias("bx_min"),
+        F.max("__zb_x").alias("bx_max"),
+        F.min("__zb_y").alias("by_min"),
+        F.max("__zb_y").alias("by_max"),
+    )
+    return files.select(
+        "file_id",
+        "n_rows",
+        "bx_min",
+        "bx_max",
+        "by_min",
+        "by_max",
+        (
+            (F.col("bx_min") <= 127)
+            & (F.col("bx_max") >= 64)
+            & (F.col("by_min") <= 191)
+            & (F.col("by_max") >= 128)
+        ).alias("may_contain_box"),
+    )
+
+
 QUERIES = registry

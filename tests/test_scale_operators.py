@@ -222,3 +222,47 @@ def test_inflate_embeddings_copies_are_distinct(spark):
         -0.5 + 2 * 0.0017,
         1.0 + 2 * 0.0017,
     ]
+
+
+def test_with_zorder_morton_golden(spark):
+    """bits=2 over x,y in 0..3 makes the bucket map the identity
+    (width 0.75: floor(v/0.75) = v for 0..2, least pins 3), so the key
+    must equal the classic textbook Morton interleave."""
+    pts = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = {
+        (r["x"], r["y"]): r["__z"]
+        for r in scale.with_zorder(df, ["x", "y"], bits=2).collect()
+    }
+
+    def morton(x, y):
+        return sum(
+            (((x >> j) & 1) << (2 * j)) + (((y >> j) & 1) << (2 * j + 1))
+            for j in range(2)
+        )
+
+    assert out == {(x, y): morton(x, y) for x, y in pts}
+    assert out[(3, 0)] == 0b0101 and out[(0, 3)] == 0b1010 and out[(3, 3)] == 15
+
+
+def test_with_zorder_null_lands_in_bucket_zero(spark):
+    """F.least SKIPS nulls, so without the explicit guard a NULL value
+    would land in the TOP bucket (n-1) instead of bucket 0 — the exact
+    opposite of the sort-low contract the docstring promises."""
+    df = spark.createDataFrame(
+        [(0, 0), (3, 3), (None, 3)], "x long, y long"
+    )
+    out = scale.with_zorder(df, ["x", "y"], bits=2, keep_buckets=True)
+    rows = {(r["x"], r["y"]): r for r in out.collect()}
+    assert rows[(None, 3)]["__zb_x"] == 0
+    # x contributes nothing; z = y-only interleave of bucket 3
+    assert rows[(None, 3)]["__z"] == 0b1010
+    assert rows[(3, 3)]["__zb_x"] == 3
+
+
+def test_with_zorder_keep_buckets_columns(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "a long, b long")
+    out = scale.with_zorder(df, ["a", "b"], bits=4, keep_buckets=True)
+    assert set(out.columns) == {"a", "b", "__z", "__zb_a", "__zb_b"}
+    plain = scale.with_zorder(df, ["a", "b"], bits=4)
+    assert set(plain.columns) == {"a", "b", "__z"}
