@@ -1414,9 +1414,9 @@ _Z_INTERLEAVE_SQL = " + ".join(
       SELECT MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi FROM src
     ), q AS (
       SELECT o_orderkey,
-             CAST(CASE WHEN xhi = xlo THEN 0
+             CAST(CASE WHEN x IS NULL OR xhi = xlo THEN 0
                   ELSE LEAST(255, FLOOR((x - xlo) / ((xhi - xlo) / 256))) END AS BIGINT) AS bx,
-             CAST(CASE WHEN yhi = ylo THEN 0
+             CAST(CASE WHEN y IS NULL OR yhi = ylo THEN 0
                   ELSE LEAST(255, FLOOR((y - ylo) / ((yhi - ylo) / 256))) END AS BIGINT) AS by
       FROM src, b
     ), z AS (
@@ -1480,6 +1480,72 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("by_max") >= 128)
         ).alias("may_contain_box"),
     )
+
+
+# Unrolled integer-PageRank iterations for the graph_pagerank oracle
+# (DuckDB recursive CTEs forbid aggregation in the recursive term, and
+# the iteration count is a fixed constant anyway — same reasoning as
+# the curation_pipeline oracle's staged replay).
+_PAGERANK_ITERS_SQL = "".join(
+    f""",
+    s{i} AS (
+      SELECT e.dst AS node, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS inc
+      FROM edges e
+      JOIN r{i - 1} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN s{i} s ON s.node = n.node
+    )"""
+    for i in (1, 2, 3)
+)
+
+
+@register(
+    "graph_pagerank_centrality",
+    f"""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS src, 1000000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes){_PAGERANK_ITERS_SQL}
+    SELECT node AS node_id, rank AS rank_scaled FROM r3
+    """,
+    tags=("iterative", "J4"),
+    doc="Integer-exact PageRank (operators/graph.pagerank) over the "
+    "bipartite customer-supplier trade graph (orders x lineitem, both "
+    "edge directions — the key domains are disjoint so reversal cannot "
+    "collide): the host-graph-centrality quality signal Common-Crawl-"
+    "scale curation pipelines use as a document prior. Fixed 3 "
+    "iterations; every step is BIGINT (ranks scaled 1e6, damping 85/100 "
+    "as integer num/den, floor division) so the recurrence is "
+    "bit-identical across engines — the oracle unrolls the same three "
+    "rounds in plain SQL. Per-round plan: one equi-join rank-to-edges + "
+    "one map-side-combinable groupBy(dst); lineage cut by "
+    "localCheckpoint each round (the connected_components rule).",
+)
+def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1_000_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=3)
 
 
 QUERIES = registry

@@ -18,6 +18,12 @@ op timing excludes inflation and scans real files), then wall-time:
 - ann_pq_adc             pq_encode + pq_adc_topk for 10 queries (r4b:
                          the compressed-domain scan — should stay
                          near-linear where exact knn is quadratic)
+- text_bm25_topk         bm25_topk for 20 fixed queries over the
+                         inflated corpus (r4c: postings build is the
+                         linear term; the candidate join is sparse)
+- fuzzy_match_parts      fuzzy_match_join, fixed probe set vs inflated
+                         candidates (r4c: blocking keeps the verify
+                         join ∝ same-block pairs, not |P|·|C|)
 
 Usage: python scale_curve.py [--factors 1,8,64] [--ops lsh,cc,cur,knn]
 Writes one JSON line per (op, factor) and a final markdown table for
@@ -43,7 +49,7 @@ WORK = os.environ.get("SKYFIT_SCALE_DIR", "/tmp/skyfit_scale_curve")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,8,64")
-    ap.add_argument("--ops", default="lsh,cc,cur,knn,pq")
+    ap.add_argument("--ops", default="lsh,cc,cur,knn,pq,bm25,fuzzy")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
     ops = args.ops.split(",")
@@ -54,8 +60,12 @@ def main() -> None:
     from data_lake_skyfit_spark.llm.dedup import (
         connected_components, minhash_lsh_pairs,
     )
+    from data_lake_skyfit_spark.llm.retrieval import bm25_topk
     from data_lake_skyfit_spark.llm.similarity import knn_join
     from data_lake_skyfit_spark.llm import pq as pq_mod
+    from data_lake_skyfit_spark.operators.fuzzy import (
+        edge_block_key, fuzzy_match_join,
+    )
     from data_lake_skyfit_spark.operators.scale import (
         inflate_documents, inflate_embeddings,
     )
@@ -115,6 +125,34 @@ def main() -> None:
             we.filter("vec_id < 10"), pq_mod.pq_encode(we, _cb), _cb, k=5
         ).count()
 
+    # Fixed probe/query sides built from the BASE corpus so only the
+    # searched side grows with the factor (the production shape: a
+    # bounded query workload against an ever-larger corpus). Plain
+    # deterministic filters, NOT limit() (row choice would be
+    # plan-dependent) and NOT localCheckpoint (timed() unpersists every
+    # persistent RDD between ops, which would kill the blocks).
+    bm25_q = docs.filter("doc_id % 61 = 7 AND doc_id < 1220").selectExpr(
+        "doc_id AS query_id", r"slice(split(text, '\\s+'), 1, 4) AS terms"
+    )
+    # Probe = candidate with its SECOND char substituted: edit distance
+    # ≤ 1 but both edge chars intact, so the probe stays in its
+    # candidate's (first,last)-char block. The first cut of this
+    # fixture shifted the whole string by one char — every probe left
+    # its block and the curve timed an all-empty join (the r4 lesson:
+    # assert output CARDINALITY in scale harnesses, enforced in timed()).
+    fuzzy_p = docs.filter("doc_id % 37 = 3 AND doc_id < 18500").selectExpr(
+        "doc_id AS probe_id",
+        "concat(substr(text, 1, 1), 'x', substr(text, 3, 10)) AS probe_name",
+    )
+    if "bm25" in ops:
+        bm25_topk(wd, bm25_q, k=5, idf="log").count()
+    if "fuzzy" in ops:
+        fuzzy_match_join(
+            fuzzy_p,
+            wd.selectExpr("doc_id AS cand_id", "substr(text, 1, 12) AS cand_name"),
+            block_key=edge_block_key(),
+        ).count()
+
     for factor in factors:
         dpath = materialize(inflate_documents(docs, factor), "documents", factor)
         epath = materialize(inflate_embeddings(embs, factor), "embeddings", factor)
@@ -133,6 +171,12 @@ def main() -> None:
             t0 = time.time()
             out_n = thunk()
             dt = round(time.time() - t0, 2)
+            if not out_n:
+                raise SystemExit(
+                    f"{op} x{factor} produced 0 rows - the fixture is "
+                    "broken and the timing meaningless (r4 lesson: "
+                    "scale harnesses assert output cardinality)"
+                )
             rec = {
                 "op": op, "factor": factor, "rows_in": n_docs,
                 "vecs_in": n_vecs, "out_rows": out_n, "sec": dt,
@@ -167,6 +211,22 @@ def main() -> None:
                 "ann_pq_adc_topk",
                 lambda: pq_mod.pq_adc_topk(
                     e.filter("vec_id < 10"), pq_mod.pq_encode(e, cb), cb, k=5
+                ).count(),
+            )
+        if "bm25" in ops:
+            timed(
+                "text_bm25_topk",
+                lambda: bm25_topk(d, bm25_q, k=5, idf="log").count(),
+            )
+        if "fuzzy" in ops:
+            timed(
+                "fuzzy_match_parts",
+                lambda: fuzzy_match_join(
+                    fuzzy_p,
+                    d.selectExpr(
+                        "doc_id AS cand_id", "substr(text, 1, 12) AS cand_name"
+                    ),
+                    block_key=edge_block_key(),
                 ).count(),
             )
         spark.catalog.clearCache()

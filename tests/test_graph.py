@@ -1,0 +1,69 @@
+"""Integer-exact PageRank (operators/graph.py): hand-computed
+recurrence values, the nodes-are-sources contract, and mass sanity.
+Greenfield relative to the reference (SURVEY §7.5 scope) — the
+centrality-as-quality-prior signal of web-corpus curation pipelines.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_lake_skyfit_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _undirected(pairs):
+    return pairs + [(b, a) for a, b in pairs]
+
+
+def test_pagerank_hand_computed_path_graph(spark):
+    """Path a-b-c (undirected): deg a=1 b=2 c=1, scale 1e6, d=85/100.
+
+    iter1: inc(a)=1e6//2=500000, inc(b)=1e6+1e6, inc(c)=500000
+           r1 = 150000 + 85*inc//100 -> a,c=575000  b=1850000
+    iter2: inc(a)=1850000//2=925000, inc(b)=575000*2, inc(c)=925000
+           r2 -> a,c=936250  b=1127500
+    """
+    e = _edges(spark, _undirected([(1, 2), (2, 3)]))
+    r1 = {r["node_id"]: r["rank_scaled"] for r in pagerank(e, iterations=1).collect()}
+    assert r1 == {1: 575000, 2: 1850000, 3: 575000}
+    r2 = {r["node_id"]: r["rank_scaled"] for r in pagerank(e, iterations=2).collect()}
+    assert r2 == {1: 936250, 2: 1127500, 3: 936250}
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    """A star graph's hub must dominate after any number of rounds."""
+    e = _edges(spark, _undirected([(0, i) for i in range(1, 6)]))
+    out = {r["node_id"]: r["rank_scaled"] for r in pagerank(e, iterations=3).collect()}
+    hub = out.pop(0)
+    assert all(hub > v for v in out.values())
+    assert len(set(out.values())) == 1  # leaves are symmetric
+
+
+def test_pagerank_node_set_is_distinct_sources(spark):
+    """Directed a->b only: b never appears as src, so it is NOT a node
+    (the documented contract); a keeps only its teleport mass."""
+    out = {r["node_id"]: r["rank_scaled"] for r in pagerank(_edges(spark, [(1, 2)])).collect()}
+    assert out == {1: 150000}
+
+
+def test_pagerank_mass_conserved_up_to_floor_loss(spark):
+    """On an undirected graph total rank stays within floor-division
+    loss of n*scale: each round redistributes, never creates, mass."""
+    pairs = _undirected([(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)])
+    e = _edges(spark, pairs)
+    out = [r["rank_scaled"] for r in pagerank(e, iterations=3).collect()]
+    n = 4
+    assert sum(out) <= n * 1_000_000
+    assert sum(out) > n * 1_000_000 - n * 3 * 100  # ≤ ~1 ulp/div/round
+
+
+def test_pagerank_validation(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="iteration"):
+        pagerank(e, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping_num=100, damping_den=100)
