@@ -468,3 +468,47 @@ def format_roundtrip_csv_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+@register(
+    "warc_ingest",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300)
+    SELECT doc_id, CAST(0 AS INT) AS rec_idx,
+           'warcinfo' AS warc_type,
+           CAST(NULL AS VARCHAR) AS target_uri,
+           CAST(18 AS BIGINT) AS content_length,
+           CAST(NULL AS INT) AS http_status,
+           md5('software: skyfit' || chr(13) || chr(10)) AS body_md5
+    FROM d
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT), 'response',
+           'http://corpus.test/' || CAST(doc_id AS VARCHAR),
+           CAST(45 + strlen(text) AS BIGINT), CAST(200 AS INT), md5(text)
+    FROM d
+    UNION ALL
+    SELECT doc_id, CAST(2 AS INT), 'metadata',
+           'http://corpus.test/' || CAST(doc_id AS VARCHAR),
+           CAST(strlen('length: ' || CAST(strlen(text) AS VARCHAR)) AS BIGINT),
+           CAST(NULL AS INT),
+           md5('length: ' || CAST(strlen(text) AS VARCHAR))
+    FROM d
+    """,
+    tags=("S1", "sources-formats", "llm-multimodal"),
+    doc="WARC ingestion (sources/warc.py, r4c): the Common-Crawl entry "
+    "point of web-scale LLM pipelines. synthesize_warc_payloads encodes "
+    "a REAL 3-record WARC/1.0 archive per doc (warcinfo + HTTP response "
+    "carrying the text + metadata; every odd doc member-gzipped per the "
+    "*.warc.gz splittability convention), read_warc_records walks the "
+    "records for real — CRLF header blocks, Content-Length-delimited "
+    "payloads validated BEFORE slicing, bounded member-by-member zlib "
+    "inflation, HTTP status/body split. The oracle recomputes every "
+    "field arithmetically (byte lengths via strlen, not codepoint "
+    "length(); md5 over the literal body strings). Corrupt archives "
+    "quarantine to NULL-type rows — pinned with fuzz cases in "
+    "tests/test_formats.py.",
+)
+def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import warc
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return warc.read_warc_records(warc.synthesize_warc_payloads(d))

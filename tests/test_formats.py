@@ -95,3 +95,84 @@ def test_csv_custom_separator_and_headerless(spark, tmp_root):
     formats.write_csv(df, f"{tmp_root}/csv", header=False, sep="\t")
     back = formats.read_csv(spark, f"{tmp_root}/csv", SCHEMA, header=False, sep="\t")
     assert back.count() == len(ROWS)
+
+
+# ---------------------------------------------------------------- WARC
+
+
+def test_warc_roundtrip_plain_and_gzip():
+    """encode → parse across both framings; the gzip leg exercises the
+    member-per-record *.warc.gz convention (real CC archives split at
+    member boundaries)."""
+    import hashlib
+
+    from data_lake_skyfit_spark.sources.warc import (
+        _HTTP_HEADERS,
+        encode_warc,
+        parse_warc,
+    )
+
+    body = b"the quick brown corpus"
+    recs = [
+        ("warcinfo", None, b"software: skyfit\r\n"),
+        ("response", "http://x.test/1", _HTTP_HEADERS + body),
+        ("metadata", "http://x.test/1", b"length: 22"),
+    ]
+    for gz in (False, True):
+        out = parse_warc(encode_warc(recs, gzip_members=gz))
+        assert [r["warc_type"] for r in out] == ["warcinfo", "response", "metadata"]
+        assert out[0]["target_uri"] is None and out[0]["http_status"] is None
+        assert out[1]["http_status"] == 200
+        assert out[1]["content_length"] == len(_HTTP_HEADERS) + len(body)
+        assert out[1]["body_md5"] == hashlib.md5(body).hexdigest()
+
+
+def test_warc_corrupt_payloads_rejected_before_allocation():
+    """r4 fuzz rules: declared lengths validated before slicing, gzip
+    inflation bounded (a 70 MiB zero-bomb must raise, not allocate)."""
+    import zlib
+
+    from data_lake_skyfit_spark.sources.warc import encode_warc, parse_warc
+
+    good = encode_warc([("metadata", "http://x/1", b"ok")])
+    bomb = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    bomb_bytes = bomb.compress(b"\x00" * (70 << 20)) + bomb.flush()
+    for bad in (
+        good[:-3],  # truncated trailer
+        good[:20],  # truncated header block
+        b"WARC/1.0\r\nContent-Length: 99999\r\n\r\nhi\r\n\r\n",  # overrun
+        b"WARC/1.0\r\nWARC-Type: x\r\n\r\nno length\r\n\r\n",  # missing length
+        b"not a warc at all",
+        bomb_bytes,  # inflate bound
+    ):
+        with pytest.raises(ValueError):
+            parse_warc(bad)
+
+
+def test_warc_spark_ingest_and_quarantine(spark):
+    """read_warc_records parses real archives per row and quarantines a
+    corrupt payload as one NULL-type row instead of failing the task."""
+    from data_lake_skyfit_spark.sources import warc
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    media = warc.synthesize_warc_payloads(docs)
+    # splice a corrupt payload in
+    corrupt = spark.createDataFrame(
+        [(99, bytearray(b"WARC/1.0\r\nContent-Length: 5000\r\n\r\nx\r\n\r\n"))],
+        "doc_id long, payload binary",
+    )
+    out = warc.read_warc_records(media.unionByName(corrupt)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, text in ((1, "alpha beta"), (2, "gamma"), (3, "delta epsilon zeta")):
+        rows = sorted(by_doc[did], key=lambda r: r["rec_idx"])
+        assert [r["warc_type"] for r in rows] == ["warcinfo", "response", "metadata"]
+        assert rows[1]["target_uri"] == f"http://corpus.test/{did}"
+        assert rows[1]["content_length"] == 45 + len(text)
+        assert rows[1]["http_status"] == 200
+    q = by_doc[99]
+    assert len(q) == 1 and q[0]["rec_idx"] == -1 and q[0]["warc_type"] is None
