@@ -25,6 +25,7 @@ __all__ = [
     "language_scores",
     "language_scores_trigram",
     "doc_fingerprint",
+    "html_to_text",
     "STOPWORDS",
     "TRIGRAM_PROFILES",
 ]
@@ -245,3 +246,39 @@ def doc_fingerprint(text: Column | str, prefix_tokens: int = 8) -> Column:
     w = tokens_expr(F.lower(F.trim(_c(text))))
     head = F.slice(w, 1, prefix_tokens)
     return F.md5(F.concat_ws(" ", head))
+
+
+# Entity decode order matters twice: entities decode AFTER tag
+# stripping (so '&lt;script&gt;' never becomes a live tag) and '&amp;'
+# decodes LAST (so the double-escape '&amp;lt;' correctly yields the
+# literal '&lt;', not '<').
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(html: Column | str) -> Column:
+    """HTML → visible text extraction: the step between WARC ingestion
+    and curation in a web-corpus pipeline. Drops <script>/<style>
+    blocks and comments, strips remaining tags, decodes the core named
+    entities, collapses whitespace. A pure JVM regexp/replace chain
+    (zero-shuffle codegen map, like every op in this module) that is
+    expressible verbatim in RE2/DuckDB — deliberately NO backreferences
+    (RE2 has none, so script and style get separate patterns) and no
+    replacement-string metacharacters. Attribute values containing a
+    raw '>' are out of scope (documented limit of regex-tier
+    extraction; a DOM tier would be a Pandas-UDF kernel)."""
+    c = _c(html)
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

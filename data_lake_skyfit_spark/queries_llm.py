@@ -3265,3 +3265,71 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         len_band=2,
         block_key=fuzzy_ops.edge_block_key(),
     )
+
+# Deterministic HTML wrapper for text_html_extract, built IDENTICALLY
+# on both engines around each doc's text: a title/h1 carrying the id,
+# style + script blocks that must vanish entirely, a comment, and an
+# entity gauntlet incl. the double-escape '&amp;lt;' (must yield the
+# literal '&lt;', not '<').
+_HTML_PREFIX = (
+    '<html><head><title>Doc </title>'
+    "<style>p{color:red}</style>"
+    '<script type="text/javascript">var s = "SECRET" + 1;</script>'
+    "<!-- hidden comment --></head><body><h1>Heading</h1><p>"
+)
+_HTML_SUFFIX = (
+    "</p><p>Tom &amp; Jerry &lt;3 &quot;quotes&quot;&nbsp;"
+    "it&#39;s &amp;lt;done</p></body></html>"
+)
+
+
+@register(
+    "text_html_extract",
+    f"""
+    WITH h AS (
+      SELECT doc_id, '{_HTML_PREFIX}' || text || '{_HTML_SUFFIX}' AS html
+      FROM documents WHERE doc_id < 400
+    ), s AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]*>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+          '\s+', ' ', 'g')) AS x
+      FROM h
+    )
+    SELECT doc_id, CAST(length(x) AS INT) AS n_chars, md5(x) AS extract_md5,
+           (x LIKE '%SECRET%' OR x LIKE '%color:red%') AS has_boilerplate_leak
+    FROM s
+    """,
+    tags=("llm-text", "2.10-string"),
+    doc="HTML -> visible-text extraction (llm.text.html_to_text): the "
+    "boilerplate-removal step between WARC ingestion and curation. "
+    "Script/style/comment blocks dropped, tags stripped, core entities "
+    "decoded in the order that keeps double-escapes literal, whitespace "
+    "collapsed - a zero-shuffle JVM regexp/replace chain written without "
+    "backreferences so the DuckDB/RE2 oracle replays it verbatim. The "
+    "graded property is cross-engine parity of the full chain (md5 of "
+    "every extracted string); pytest pins the absolute semantics "
+    "(SECRET/style payloads truly gone, entity gauntlet).",
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    html = F.concat(F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX))
+    x = text_ops.html_to_text(html)
+    return d.select(
+        "doc_id",
+        F.length(x).cast("int").alias("n_chars"),
+        F.md5(F.encode(x, "UTF-8")).alias("extract_md5"),
+        (x.contains("SECRET") | x.contains("color:red")).alias(
+            "has_boilerplate_leak"
+        ),
+    )
+
