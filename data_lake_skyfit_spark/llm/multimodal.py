@@ -335,6 +335,18 @@ def _aiff_samples(data: bytes) -> tuple[int, int, int, tuple]:
     return sr, n_frames, n_ch, struct.unpack(f">{n}h", pcm[: 2 * n])
 
 
+def _pcm_samples(data: bytes) -> tuple[int, int, int, tuple]:
+    """Container-agnostic PCM fetch — RIFF/WAVE (little-endian) or
+    FORM/AIFF (big-endian): (sample_rate, n_frames, n_channels,
+    interleaved samples). The feature/resample legs dispatch through
+    this so both containers share one real path."""
+    if _looks_like_wav(data):
+        return _wav_samples(data)
+    if _looks_like_aiff(data):
+        return _aiff_samples(data)
+    raise ValueError("not a PCM container this codec knows")
+
+
 def _decode_aiff(data: bytes) -> tuple[int, int, int, int, float]:
     """AIFF leg of decode_audio — identical stat contract to
     _decode_wav (exact integer sum/sum-of-squares, rms = sqrt(ssq/n),
@@ -2561,11 +2573,11 @@ def extract_embeddings(df: DataFrame, *, id_col: str = "doc_id", dims: int = 8) 
 
     def features_of(b) -> list[float]:
         data = bytes(b)
-        if dims == 8 and _looks_like_wav(data):
+        if dims == 8 and (_looks_like_wav(data) or _looks_like_aiff(data)):
             try:
                 import numpy as np
 
-                sr, nf, nch, samples = _wav_samples(data)
+                sr, nf, nch, samples = _pcm_samples(data)
                 # Interleaved multichannel PCM is DE-INTERLEAVED first
                 # (closes the code-review-r3 gap that sent stereo to the
                 # fake path): sum/rms/min/max are channel-order-free, and
@@ -2999,6 +3011,16 @@ def _decimate_wav(data: bytes, factor: int) -> bytes:
     return encode_wav_pcm16(sr // factor, list(samples[::factor]))
 
 
+def _decimate_aiff(data: bytes, factor: int) -> bytes:
+    """REAL AIFF decimation — keep every `factor`-th sample (no
+    interpolation, same contract as _decimate_wav) and re-encode the
+    FORM/AIFF container for real."""
+    sr, _n_frames, n_ch, samples = _aiff_samples(data)
+    if n_ch != 1:
+        raise ValueError("only 16-bit mono PCM decimation supported")
+    return encode_aiff_pcm16(sr // factor, list(samples[::factor]))
+
+
 def resample_audio(
     df: DataFrame, *, id_col: str = "doc_id", factor: int = 4
 ) -> DataFrame:
@@ -3026,6 +3048,13 @@ def resample_audio(
                     return out, sr, n
                 except (ValueError, struct.error, wave.Error, EOFError):
                     pass  # RIFF-prefixed non-WAV bytes: fake path below
+            if _looks_like_aiff(data):
+                try:
+                    out = _decimate_aiff(data, factor)
+                    sr, n, _dur, _ssum, _rms = _decode_aiff(out)
+                    return out, sr, n
+                except (ValueError, struct.error):
+                    pass  # FORM/AIFF-prefixed junk: fake path below
             _require_codec("soundfile")
             d = hashlib.md5(data).digest()
             sr = WAV_RATES[d[3] % len(WAV_RATES)] // factor

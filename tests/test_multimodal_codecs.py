@@ -13,6 +13,8 @@ from __future__ import annotations
 import math
 import struct
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_lake_skyfit_spark.llm import multimodal
@@ -1423,3 +1425,55 @@ def test_tiff_roundtrip_and_rejections():
     good = encode_tiff(4, 4, pix)
     with _pytest.raises((ValueError, _s.error)):
         _decode_tiff(good[:30])
+
+
+def test_aiff_decimation_real():
+    from data_lake_skyfit_spark.llm.multimodal import _decimate_aiff
+
+    samples = [((11 * i * i + 5 * i) % 65536) - 32768 for i in range(80)]
+    out = _decimate_aiff(encode_aiff_pcm16(44100, samples), 4)
+    sr, n, _dur, ssum, _rms = _decode_aiff(out)
+    assert (sr, n) == (44100 // 4, 20)
+    assert ssum == sum(samples[::4])
+    with pytest.raises(ValueError, match="mono"):
+        _decimate_aiff(encode_aiff_pcm16(8000, samples, n_channels=2), 4)
+
+
+def test_resample_audio_aiff_real_path_on_spark(spark):
+    df = spark.range(6).select(F.col("id").alias("doc_id"))
+    # synthesize_aiff_payloads makes every other payload stereo; the
+    # mono rows decimate for real, stereo falls to the documented fake
+    media = multimodal.synthesize_aiff_payloads(df, id_col="doc_id")
+    out = {r["doc_id"]: r for r in multimodal.resample_audio(media, factor=4).collect()}
+    for rid in (0, 2, 4):  # mono payloads
+        sr = WAV_RATES[(rid + 2) % 5]
+        nf = 50 + rid % 89
+        r = out[rid]
+        assert r["sample_rate"] == sr // 4
+        assert r["n_samples"] == -(-nf // 4)  # ceil: keep-every-4th
+
+
+def test_extract_embeddings_real_audio_features_from_aiff(spark):
+    """The audio feature leg shares one real path for WAV and AIFF via
+    _pcm_samples — stats must match the closed-form generator, stereo
+    included (de-interleaved zero crossings)."""
+    import math as m
+
+    df = spark.range(4).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_aiff_payloads(df, id_col="doc_id")
+    out = {
+        r["doc_id"]: list(r["features"])
+        for r in multimodal.extract_embeddings(media, dims=8).collect()
+    }
+    for rid in range(4):
+        sr = WAV_RATES[(rid + 2) % 5]
+        ch = 1 + rid % 2
+        nf = 50 + rid % 89
+        samples = [((rid * 6007 + i * 31337) % 65536) - 32768 for i in range(nf * ch)]
+        f = out[rid]
+        assert f[0] == float(sr)
+        assert f[1] == float(len(samples))
+        assert f[2] == float(nf * 1000 // sr)
+        assert f[3] == sum(samples) / len(samples)
+        assert f[4] == m.sqrt(sum(s * s for s in samples) / len(samples))
+        assert f[6] == float(min(samples)) and f[7] == float(max(samples))
