@@ -26,6 +26,9 @@ __all__ = [
     "language_scores_trigram",
     "doc_fingerprint",
     "html_to_text",
+    "normalize_url",
+    "url_host",
+    "URL_RE",
     "STOPWORDS",
     "TRIGRAM_PROFILES",
 ]
@@ -261,6 +264,42 @@ _HTML_ENTITIES = (
     ("&nbsp;", " "),
     ("&amp;", "&"),
 )
+
+
+#: One authority-splitting regex shared verbatim by Java and RE2 (and
+#: the battery oracles): scheme :// authority rest. Both engines return
+#: '' from group extraction on no match, which is the passthrough test.
+URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL form — the crawl-frontier / URL-level-dedup key of
+    a web pipeline (two spellings of one page must collide BEFORE
+    fetch, or the corpus pays for the duplicate download and the dedup
+    tier pays again later): lowercase scheme+authority, strip the
+    fragment, drop default ports (http:80 / https:443), collapse a
+    bare '/' path to ''. Non-URL strings pass through trimmed. Pure
+    zero-shuffle JVM chain; every regex is Java/RE2-shared so the
+    oracle replays it verbatim."""
+    u = F.trim(_c(url))
+    scheme = F.lower(F.regexp_extract(u, URL_RE, 1))
+    host0 = F.lower(F.regexp_extract(u, URL_RE, 2))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host0, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host0, ":443$", ""))
+        .otherwise(host0)
+    )
+    rest0 = F.regexp_replace(F.regexp_extract(u, URL_RE, 3), "#.*$", "")
+    rest = F.when(rest0 == "/", F.lit("")).otherwise(rest0)
+    return F.when(scheme == "", u).otherwise(
+        F.concat(scheme, F.lit("://"), host, rest)
+    )
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased authority of a normalized URL ('' for non-URLs) —
+    the per-domain grouping key for crawl caps and blocklist joins."""
+    return F.lower(F.regexp_extract(normalize_url(url), URL_RE, 2))
 
 
 def html_to_text(html: Column | str) -> Column:

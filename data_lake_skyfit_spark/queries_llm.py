@@ -3333,3 +3333,68 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+@register(
+    "web_url_normalize",
+    """
+    WITH r AS (
+      SELECT doc_id,
+        CASE doc_id % 6
+          WHEN 0 THEN 'HTTP://Example.COM:80/p/' || CAST(doc_id AS VARCHAR) || '?q=1#frag'
+          WHEN 1 THEN 'https://HOST.net:443/'
+          WHEN 2 THEN 'https://a.b.c/x/' || CAST(doc_id AS VARCHAR) || '/'
+          WHEN 3 THEN 'http://plain.org'
+          WHEN 4 THEN 'ftp://Weird.Host:21/' || CAST(doc_id AS VARCHAR)
+          ELSE '  not a url ' || CAST(doc_id AS VARCHAR) || '  '
+        END AS url
+      FROM documents WHERE doc_id < 600
+    ), g AS (
+      SELECT doc_id, url, trim(url) AS u,
+        lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 1)) AS scheme,
+        lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 2)) AS host0,
+        regexp_replace(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 3), '#.*$', '') AS rest0
+      FROM r
+    ), n AS (
+      SELECT doc_id, url, u, scheme,
+        CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+             ELSE host0 END AS host,
+        CASE WHEN rest0 = '/' THEN '' ELSE rest0 END AS rest
+      FROM g
+    )
+    SELECT doc_id,
+           CASE WHEN scheme = '' THEN u ELSE scheme || '://' || host || rest END AS norm_url,
+           CASE WHEN scheme = '' THEN '' ELSE host END AS host,
+           (CASE WHEN scheme = '' THEN u ELSE scheme || '://' || host || rest END <> url) AS changed
+    FROM n
+    """,
+    tags=("llm-text", "2.10-string"),
+    doc="URL canonicalization (llm.text.normalize_url / url_host): the "
+    "crawl-frontier dedup key — two spellings of one page collide "
+    "BEFORE fetch. Lowercase scheme+authority, fragment stripped, "
+    "default ports dropped (http:80/https:443 only; ftp keeps :21), "
+    "bare '/' path collapsed, non-URLs pass through trimmed. "
+    "Zero-shuffle JVM chain over one shared Java/RE2 authority regex; "
+    "the oracle replays the chain verbatim on six fixture spellings "
+    "per doc incl. the passthrough leg.",
+)
+def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 6
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTP://Example.COM:80/p/"), sid, F.lit("?q=1#frag")))
+        .when(m == 1, F.lit("https://HOST.net:443/"))
+        .when(m == 2, F.concat(F.lit("https://a.b.c/x/"), sid, F.lit("/")))
+        .when(m == 3, F.lit("http://plain.org"))
+        .when(m == 4, F.concat(F.lit("ftp://Weird.Host:21/"), sid))
+        .otherwise(F.concat(F.lit("  not a url "), sid, F.lit("  ")))
+    )
+    staged = d.select("doc_id", url.alias("url"))
+    norm = text_ops.normalize_url(F.col("url"))
+    return staged.select(
+        "doc_id",
+        norm.alias("norm_url"),
+        text_ops.url_host(F.col("url")).alias("host"),
+        (norm != F.col("url")).alias("changed"),
+    )
+

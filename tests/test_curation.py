@@ -1002,3 +1002,29 @@ def test_html_to_text_absolute_semantics(spark):
     e = spark.createDataFrame([(1, ""), (2, "plain, no markup")], "doc_id long, text string")
     got = {r["doc_id"]: r["x"] for r in e.select("doc_id", html_to_text(F.col("text")).alias("x")).collect()}
     assert got == {1: "", 2: "plain, no markup"}
+
+
+def test_normalize_url_absolute_semantics(spark):
+    from data_lake_skyfit_spark.llm.text import normalize_url, url_host
+
+    cases = [
+        (1, "HTTP://Example.COM:80/p/1?q=1#frag", "http://example.com/p/1?q=1", "example.com"),
+        (2, "https://HOST.net:443/", "https://host.net", "host.net"),
+        (3, "https://a.b.c/x/", "https://a.b.c/x/", "a.b.c"),  # non-bare trailing slash kept
+        (4, "http://plain.org", "http://plain.org", "plain.org"),
+        (5, "ftp://Weird.Host:21/x", "ftp://weird.host:21/x", "weird.host:21"),  # non-http ports kept
+        (6, "  not a url  ", "not a url", ""),  # passthrough, trimmed
+        (7, "http://h:8080/a#b#c", "http://h:8080/a", "h:8080"),  # only default ports drop
+        (8, "https://U.io:443", "https://u.io", "u.io"),  # port on empty path
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _, _ in cases], "doc_id long, url string")
+    out = {
+        r["doc_id"]: (r["n"], r["h"])
+        for r in df.select(
+            "doc_id",
+            normalize_url(F.col("url")).alias("n"),
+            url_host(F.col("url")).alias("h"),
+        ).collect()
+    }
+    for i, _, want_norm, want_host in cases:
+        assert out[i] == (want_norm, want_host), (i, out[i])
