@@ -29,6 +29,8 @@ __all__ = [
     "normalize_url",
     "url_host",
     "URL_RE",
+    "script_fractions",
+    "SCRIPT_CLASSES",
     "STOPWORDS",
     "TRIGRAM_PROFILES",
 ]
@@ -264,6 +266,62 @@ _HTML_ENTITIES = (
     ("&nbsp;", " "),
     ("&amp;", "&"),
 )
+
+
+#: Literal-character ranges (written as \uXXXX escapes in source per
+#: the r4c fixture rule) — literal chars inside a class mean the same
+#: thing to Java regex and RE2, so Spark and the DuckDB oracles share
+#: these strings VERBATIM (unlike \p{script} classes, whose spelling
+#: differs between the engines). Latin splits around U+00D7/U+00F7
+#: (multiplication/division signs are not letters).
+SCRIPT_CLASSES: dict[str, str] = {
+    "arabic": "[؀-ۿ]",
+    "cjk": "[一-鿿぀-ヿ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "digit": "[0-9]",
+    "greek": "[Ͱ-Ͽ]",
+    "latin": "[A-Za-zÀ-ÖØ-öø-ɏ]",
+}
+
+
+def script_fractions(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode-script composition — the multilingual
+    curation signal that catches mixed-script spam, mojibake and
+    wrong-language contamination before the language-ID tier commits
+    to one label. Counts per script class via length-difference after
+    class removal (zero-shuffle codegen map, one regexp per class),
+    fractions rounded to 4, dominant script = argmax over the letter
+    scripts (digits excluded) with name-asc tie-break, 'other' when no
+    letter script hits."""
+    staged = df.select(F.col(id_col), _c(text_col).alias("__t"))
+    t = F.col("__t")
+    names = sorted(SCRIPT_CLASSES)
+    counts = staged.select(
+        F.col(id_col),
+        F.length(t).cast("int").alias("n_chars"),
+        *[
+            (F.length(t) - F.length(F.regexp_replace(t, SCRIPT_CLASSES[n], "")))
+            .cast("int")
+            .alias(f"n_{n}")
+            for n in names
+        ],
+    )
+    letter_scripts = [n for n in names if n != "digit"]
+    best = F.greatest(*[F.col(f"n_{n}") for n in letter_scripts])
+    dom = F.lit("other")
+    for n in reversed(letter_scripts):
+        dom = F.when(F.col(f"n_{n}") == best, F.lit(n)).otherwise(dom)
+    dom = F.when(best > 0, dom).otherwise(F.lit("other"))
+    denom = F.greatest(F.col("n_chars"), F.lit(1))
+    return counts.select(
+        F.col(id_col),
+        F.col("n_chars"),
+        *[F.col(f"n_{n}") for n in names],
+        *[F.round(F.col(f"n_{n}") / denom, 4).alias(f"frac_{n}") for n in names],
+        dom.alias("dominant_script"),
+    )
 
 
 #: One authority-splitting regex shared verbatim by Java and RE2 (and

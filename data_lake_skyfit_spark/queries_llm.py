@@ -3398,3 +3398,80 @@ def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (norm != F.col("url")).alias("changed"),
     )
 
+# Multilingual fixture suffixes for text_script_fractions (escapes per
+# the r4c rule): Cyrillic, CJK, Greek (incl. a tonos letter), Arabic
+# with digits, and the ASCII no-op.
+_SCRIPT_SUFFIXES = (
+    "",
+    " \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440",
+    " \u4f60\u597d\u4e16\u754c",
+    " \u03b3\u03b5\u03b9\u03ac \u03c3\u03bf\u03c5",
+    " \u0645\u0631\u062d\u0628\u0627 123",
+)
+
+
+def _script_fractions_oracle() -> str:
+    """Replays script_fractions in SQL, generated from the SAME
+    SCRIPT_CLASSES dict so the literal class text is shared verbatim
+    (literal chars in a class mean the same in Java regex and RE2)."""
+    classes = text_ops.SCRIPT_CLASSES
+    names = sorted(classes)
+    letters = [n for n in names if n != "digit"]
+    cnts = ",\n            ".join(
+        f"CAST(length(raw) - length(regexp_replace(raw, '{classes[n]}', '', 'g')) AS INT) AS n_{n}"
+        for n in names
+    )
+    best = "GREATEST(" + ", ".join(f"n_{n}" for n in letters) + ")"
+    dom = (
+        f"CASE WHEN {best} = 0 THEN 'other' "
+        + " ".join(f"WHEN n_{n} = {best} THEN '{n}'" for n in letters)
+        + " END"
+    )
+    fracs = ",\n           ".join(
+        f"ROUND(n_{n} / GREATEST(n_chars, 1), 4) AS frac_{n}" for n in names
+    )
+    sfx = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_SCRIPT_SUFFIXES) if i
+    )
+    return f"""
+    WITH r AS (
+      SELECT doc_id,
+             text || CASE doc_id % 5 {sfx} ELSE '' END AS raw
+      FROM documents WHERE doc_id < 500
+    ), c AS (
+      SELECT doc_id, CAST(length(raw) AS INT) AS n_chars,
+            {cnts}
+      FROM r
+    )
+    SELECT doc_id, n_chars, {", ".join(f"n_{n}" for n in names)},
+           {fracs},
+           {dom} AS dominant_script
+    FROM c
+    """
+
+
+@register(
+    "text_script_fractions",
+    _script_fractions_oracle(),
+    tags=("llm-text", "2.10-string"),
+    doc="Unicode-script composition (llm.text.script_fractions): the "
+    "multilingual curation signal that catches mixed-script spam and "
+    "mojibake before language-ID commits to one label. Per-script "
+    "counts via length-difference after class removal (zero-shuffle, "
+    "one regexp per class), ROUND(,4) fractions, argmax dominant "
+    "script with name-asc tie-break. The oracle is GENERATED from the "
+    "same SCRIPT_CLASSES dict, so both engines run byte-identical "
+    "literal-character classes — the portable alternative to "
+    "\\p{script} classes, whose spelling differs between Java and RE2.",
+)
+def text_script_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _SCRIPT_SUFFIXES]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    staged = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("raw")
+    )
+    return text_ops.script_fractions(staged, text_col="raw")
+

