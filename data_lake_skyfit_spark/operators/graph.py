@@ -75,7 +75,7 @@ def pagerank(
     for _ in range(iterations):
         inc = (
             ed.join(ranks, ed["src"] == ranks["node"])
-            .select("dst", F.expr("rank div outdeg").alias("contrib"))
+            .select("dst", F.expr("`rank` div `outdeg`").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inc"))
         )
@@ -86,7 +86,7 @@ def pagerank(
                 (
                     F.lit(teleport)
                     + F.expr(
-                        f"({damping_num} * coalesce(inc, 0L)) div {damping_den}"
+                        f"({damping_num} * coalesce(`inc`, 0L)) div {damping_den}"
                     )
                 )
                 .cast("long")
