@@ -96,7 +96,7 @@ def _split_gzip_members(data: bytes) -> list[bytes]:
     return out
 
 
-def parse_warc(data: bytes) -> list[dict]:
+def parse_warc(data: bytes, *, include_body: bool = False) -> list[dict]:
     """Parse a WARC byte stream (plain or member-gzipped) into record
     dicts: warc_type, target_uri, content_length, http_status,
     body_md5. The HTTP split applies to response records: the block is
@@ -146,15 +146,16 @@ def parse_warc(data: bytes) -> list[dict]:
                     raise ValueError("warc: malformed HTTP status line")
                 status = int(status_line[1])
                 body = block[http_end + 4 :]
-            recs.append(
-                {
-                    "warc_type": wtype,
-                    "target_uri": headers.get("warc-target-uri"),
-                    "content_length": clen,
-                    "http_status": status,
-                    "body_md5": hashlib.md5(body).hexdigest(),
-                }
-            )
+            rec = {
+                "warc_type": wtype,
+                "target_uri": headers.get("warc-target-uri"),
+                "content_length": clen,
+                "http_status": status,
+                "body_md5": hashlib.md5(body).hexdigest(),
+            }
+            if include_body:
+                rec["body"] = body.decode("utf-8", "replace")
+            recs.append(rec)
             pos = block_at + clen + 4
     return recs
 
@@ -193,23 +194,31 @@ def synthesize_warc_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFr
     return df.select(id_col, "text").mapInPandas(kernel, out_schema)
 
 
-def read_warc_records(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+def read_warc_records(
+    df: DataFrame, *, id_col: str = "doc_id", include_body: bool = False
+) -> DataFrame:
     """payload → one row per WARC record: (id, rec_idx, warc_type,
-    target_uri, content_length, http_status, body_md5) via Arrow-batched
-    mapInPandas. A malformed archive yields ONE quarantine row with
-    NULL warc_type and rec_idx -1 (same corrupt-row discipline as the
-    CSV PERMISSIVE reader) rather than failing the task."""
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("rec_idx", T.IntegerType()),
-            T.StructField("warc_type", T.StringType()),
-            T.StructField("target_uri", T.StringType()),
-            T.StructField("content_length", T.LongType()),
-            T.StructField("http_status", T.IntegerType()),
-            T.StructField("body_md5", T.StringType()),
-        ]
-    )
+    target_uri, content_length, http_status, body_md5[, body]) via
+    Arrow-batched mapInPandas. A malformed archive yields ONE
+    quarantine row with NULL warc_type and rec_idx -1 (same corrupt-row
+    discipline as the CSV PERMISSIVE reader) rather than failing the
+    task. `include_body` adds the decoded body text (utf-8, replace) —
+    the column downstream extraction stages consume; leave it off for
+    manifest-style scans so record metadata, not page bytes, crosses
+    the exchange."""
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("rec_idx", T.IntegerType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("body_md5", T.StringType()),
+    ]
+    if include_body:
+        fields.append(T.StructField("body", T.StringType()))
+    schema = T.StructType(fields)
+    cols = [f.name for f in fields]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -217,34 +226,24 @@ def read_warc_records(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
             for rid, payload in zip(pdf[id_col], pdf["payload"]):
                 rid = int(rid)
                 try:
-                    recs = parse_warc(bytes(payload))
+                    recs = parse_warc(bytes(payload), include_body=include_body)
                 except ValueError:
-                    rows.append((rid, -1, None, None, None, None, None))
+                    rows.append((rid, -1) + (None,) * (len(cols) - 2))
                     continue
                 for i, r in enumerate(recs):
-                    rows.append(
-                        (
-                            rid,
-                            i,
-                            r["warc_type"],
-                            r["target_uri"],
-                            r["content_length"],
-                            r["http_status"],
-                            r["body_md5"],
-                        )
+                    row = (
+                        rid,
+                        i,
+                        r["warc_type"],
+                        r["target_uri"],
+                        r["content_length"],
+                        r["http_status"],
+                        r["body_md5"],
                     )
-            out = pd.DataFrame(
-                rows,
-                columns=[
-                    id_col,
-                    "rec_idx",
-                    "warc_type",
-                    "target_uri",
-                    "content_length",
-                    "http_status",
-                    "body_md5",
-                ],
-            )
+                    if include_body:
+                        row += (r["body"],)
+                    rows.append(row)
+            out = pd.DataFrame(rows, columns=cols)
             out["content_length"] = out["content_length"].astype("Int64")
             out["http_status"] = out["http_status"].astype("Int32")
             out["rec_idx"] = out["rec_idx"].astype("int32")

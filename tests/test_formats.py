@@ -176,3 +176,24 @@ def test_warc_spark_ingest_and_quarantine(spark):
         assert rows[1]["http_status"] == 200
     q = by_doc[99]
     assert len(q) == 1 and q[0]["rec_idx"] == -1 and q[0]["warc_type"] is None
+
+
+def test_warc_include_body_roundtrips_text(spark):
+    """include_body=True hands downstream stages the decoded response
+    body — the column the composed web pipeline consumes."""
+    from data_lake_skyfit_spark.sources import warc
+
+    docs = spark.createDataFrame(
+        [(1, "body one"), (2, "body two here")], "doc_id long, text string"
+    )
+    out = warc.read_warc_records(
+        warc.synthesize_warc_payloads(docs), include_body=True
+    ).collect()
+    resp = {r["doc_id"]: r for r in out if r["warc_type"] == "response"}
+    assert resp[1]["body"] == "body one"
+    assert resp[2]["body"] == "body two here"
+    info = {r["doc_id"]: r for r in out if r["warc_type"] == "warcinfo"}
+    assert info[1]["body"] == "software: skyfit\r\n"
+    # metadata-only scan keeps the narrow schema
+    narrow = warc.read_warc_records(warc.synthesize_warc_payloads(docs))
+    assert "body" not in narrow.columns
