@@ -3546,3 +3546,100 @@ def web_pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (text_ops.token_count(x) >= 5).alias("passes_min_words"),
     )
 
+@register(
+    "web_robots_filter",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 7 AS k, doc_id % 5 AS m
+      FROM documents WHERE doc_id < 490
+    ), u AS (
+      SELECT doc_id,
+             'site' || CAST(k AS VARCHAR) || '.test' AS host,
+             CASE m
+               WHEN 0 THEN '/public/p' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/private/open' || CAST(k AS VARCHAR) || '/y'
+               WHEN 3 THEN '/tmp' || CAST(k AS VARCHAR)
+               ELSE '/'
+             END AS path
+      FROM d
+    ), hosts AS (
+      SELECT DISTINCT doc_id % 7 AS k FROM documents WHERE doc_id < 490
+    ), r AS (
+      SELECT 'site' || CAST(k AS VARCHAR) || '.test' AS host,
+             '/private' AS prefix, FALSE AS allow, 8 AS rule_len FROM hosts
+      UNION ALL
+      SELECT 'site' || CAST(k AS VARCHAR) || '.test',
+             '/private/open' || CAST(k AS VARCHAR), TRUE,
+             CAST(length('/private/open' || CAST(k AS VARCHAR)) AS INT) FROM hosts
+      UNION ALL
+      SELECT 'site' || CAST(k AS VARCHAR) || '.test',
+             '/tmp' || CAST(k AS VARCHAR), FALSE,
+             CAST(length('/tmp' || CAST(k AS VARCHAR)) AS INT) FROM hosts
+    ), cand AS (
+      SELECT u.doc_id, u.host, u.path, r.prefix, r.allow, r.rule_len,
+             (r.prefix IS NOT NULL AND starts_with(u.path, r.prefix)) AS hit
+      FROM u LEFT JOIN r ON r.host = u.host
+    ), best AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id
+        ORDER BY hit DESC, rule_len DESC NULLS LAST,
+                 allow DESC NULLS LAST, prefix ASC NULLS LAST) AS rn
+      FROM cand
+    )
+    SELECT doc_id, 'http://' || host || path AS url, host, path,
+           CASE WHEN hit THEN allow ELSE TRUE END AS allowed,
+           CASE WHEN hit THEN prefix ELSE '' END AS matched_prefix,
+           CAST(CASE WHEN hit THEN rule_len ELSE 0 END AS INT) AS matched_len
+    FROM best WHERE rn = 1
+    """,
+    tags=("llm-text", "J4", "sources-formats"),
+    doc="robots.txt politeness filter (sources/robots.py): per-host "
+    "rule files PARSED for real by the Python kernel (group semantics: "
+    "a badbot group that must be ignored for agent '*', an empty "
+    "Disallow no-op), then every URL decided JVM-side — equi-join on "
+    "host, startswith residual, one argmax window: longest prefix "
+    "wins, Allow beats Disallow on ties, no match means allowed. The "
+    "oracle reconstructs the RULES arithmetically from the same closed "
+    "form (independent of the parser) and replays the match in SQL, so "
+    "a green row grades parse AND match end-to-end.",
+)
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import robots as robots_mod
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 490)
+    k = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 5
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("site"), k, F.lit(".test"))
+    path = (
+        F.when(m == 0, F.concat(F.lit("/public/p"), sid))
+        .when(m == 1, F.concat(F.lit("/private/x"), sid))
+        .when(m == 2, F.concat(F.lit("/private/open"), k, F.lit("/y")))
+        .when(m == 3, F.concat(F.lit("/tmp"), k))
+        .otherwise(F.lit("/"))
+    )
+    urls = d.select(
+        "doc_id", F.concat(F.lit("http://"), host, path).alias("url")
+    )
+    hosts = (
+        d.select((F.col("doc_id") % 7).cast("string").alias("kk"))
+        .distinct()
+        .select(
+            F.concat(F.lit("site"), F.col("kk"), F.lit(".test")).alias("host"),
+            F.concat(
+                F.lit(
+                    "# politeness rules\n"
+                    "User-agent: badbot\nDisallow: /\n\n"
+                    "User-agent: *\nDisallow: /private\nAllow: /private/open"
+                ),
+                F.col("kk"),
+                F.lit("\nDisallow: /tmp"),
+                F.col("kk"),
+                F.lit("\nDisallow:\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    rules = robots_mod.robots_rules(hosts)
+    return robots_mod.robots_filter(urls, rules)
+
