@@ -1912,7 +1912,7 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_pipeline",
     """
 WITH RECURSIVE
-tall AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+tall AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
          FROM documents),
 t AS (SELECT * FROM tall WHERE doc_id < 450),
 m AS (
@@ -1920,7 +1920,7 @@ m AS (
          list_sum(list_transform(w, x -> LENGTH(x))) AS sum_len,
          len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
          len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS stop_hits,
-         LENGTH(text) - LENGTH(REPLACE(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols
+         LENGTH(text) - LENGTH(REPLACE(text, '#', '')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols
   FROM t
 ),
 q AS (
@@ -3283,6 +3283,24 @@ _HTML_SUFFIX = (
 )
 
 
+def _html_chain_sql(inner: str) -> str:
+    """The html_to_text chain as SQL over `inner` — shared by the
+    text_html_extract oracle shape and the composed web pipeline."""
+    return (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace(replace("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        + inner
+        + ", '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+        ", '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+        ", '(?s)<!--.*?-->', ' ', 'g')"
+        ", '<[^>]*>', ' ', 'g')"
+        ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"')"
+        ", '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&')"
+        ", '\\s+', ' ', 'g'))"
+    )
+
+
 @register(
     "text_html_extract",
     f"""
@@ -3290,20 +3308,7 @@ _HTML_SUFFIX = (
       SELECT doc_id, '{_HTML_PREFIX}' || text || '{_HTML_SUFFIX}' AS html
       FROM documents WHERE doc_id < 400
     ), s AS (
-      SELECT doc_id,
-        trim(regexp_replace(
-          replace(replace(replace(replace(replace(replace(replace(
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                '(?s)<!--.*?-->', ' ', 'g'),
-              '<[^>]*>', ' ', 'g'),
-            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-            '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
-          '\s+', ' ', 'g')) AS x
-      FROM h
+      SELECT doc_id, {_html_chain_sql("html")} AS x FROM h
     )
     SELECT doc_id, CAST(length(x) AS INT) AS n_chars, md5(x) AS extract_md5,
            (x LIKE '%SECRET%' OR x LIKE '%color:red%') AS has_boilerplate_leak
@@ -3474,24 +3479,6 @@ def text_script_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("text"), suffix).alias("raw")
     )
     return text_ops.script_fractions(staged, text_col="raw")
-
-def _html_chain_sql(inner: str) -> str:
-    """The html_to_text chain as SQL over `inner` — shared by the
-    text_html_extract oracle shape and the composed web pipeline."""
-    return (
-        "trim(regexp_replace("
-        "replace(replace(replace(replace(replace(replace(replace("
-        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-        + inner
-        + ", '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
-        ", '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
-        ", '(?s)<!--.*?-->', ' ', 'g')"
-        ", '<[^>]*>', ' ', 'g')"
-        ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"')"
-        ", '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&')"
-        ", '\\s+', ' ', 'g'))"
-    )
-
 
 @register(
     "web_pipeline_ingest",

@@ -68,9 +68,14 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
                 rules.append((val, key == "allow"))
     flush()
     a = agent.lower()
-    exact = [r for ags, rs in groups if a in ags for r in rs]
-    if exact:
-        return exact
+    # Shadowing keys on group EXISTENCE, not on a non-empty rule list
+    # (code-review r4c): an exact-agent group whose only content is
+    # Crawl-delay or an empty Disallow still means "these are your
+    # rules: none" — falling through to '*' would wrongly apply the
+    # generic Disallows to the named agent.
+    exact_groups = [rs for ags, rs in groups if a in ags]
+    if exact_groups:
+        return [r for rs in exact_groups for r in rs]
     return [r for ags, rs in groups if "*" in ags for r in rs]
 
 
@@ -130,10 +135,15 @@ def robots_filter(
     AQE decides), a startswith residual, one row_number window
     partitioned by the URL key. The corpus side crosses the exchange
     once; nothing URL-sized touches Python."""
-    from ..llm.text import URL_RE, normalize_url, url_host
+    from ..llm.text import URL_RE, normalize_url
 
     u = urls.withColumn("__norm", normalize_url(F.col(url_col)))
-    u = u.withColumn("__host", url_host(F.col(url_col))).withColumn(
+    # host comes from the ALREADY-normalized column (its authority is
+    # lowercased and port-stripped) — url_host(raw) would re-run the
+    # whole normalize chain per row (code-review r4c).
+    u = u.withColumn(
+        "__host", F.regexp_extract(F.col("__norm"), URL_RE, 2)
+    ).withColumn(
         "__path",
         F.when(
             F.regexp_extract(F.col("__norm"), URL_RE, 3) == "", F.lit("/")

@@ -80,10 +80,14 @@ def _split_gzip_members(data: bytes) -> list[bytes]:
     not balloon memory — the BMP-height lesson applied to compression)."""
     out = []
     pos = 0
+    # memoryview: re-slicing `data[pos:]` per member would copy the
+    # whole remaining buffer each iteration — O(members x size) memcpy
+    # on a Common-Crawl-shaped archive (code-review r4c).
+    mv = memoryview(data)
     while pos < len(data):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            blob = d.decompress(data[pos:], _MAX_INFLATE)
+            blob = d.decompress(mv[pos:], _MAX_INFLATE)
         except zlib.error as e:
             raise ValueError(f"warc.gz: bad gzip member: {e}") from e
         if not d.eof:
@@ -226,8 +230,17 @@ def read_warc_records(
             for rid, payload in zip(pdf[id_col], pdf["payload"]):
                 rid = int(rid)
                 try:
+                    # NULL and zero-record payloads take the quarantine
+                    # row too (code-review r4c): bytes(None) raises
+                    # TypeError, and parse_warc(b'') returns [] — both
+                    # previously either failed the task or silently
+                    # dropped the doc from the output.
+                    if payload is None:
+                        raise ValueError("null payload")
                     recs = parse_warc(bytes(payload), include_body=include_body)
-                except ValueError:
+                    if not recs:
+                        raise ValueError("no WARC records in payload")
+                except (ValueError, TypeError):
                     rows.append((rid, -1) + (None,) * (len(cols) - 2))
                     continue
                 for i, r in enumerate(recs):

@@ -197,3 +197,19 @@ def test_warc_include_body_roundtrips_text(spark):
     # metadata-only scan keeps the narrow schema
     narrow = warc.read_warc_records(warc.synthesize_warc_payloads(docs))
     assert "body" not in narrow.columns
+
+
+def test_warc_null_and_empty_payloads_quarantine(spark):
+    """code-review r4c: a NULL payload must not fail the task
+    (bytes(None) is TypeError) and a zero-record payload must leave a
+    quarantine marker, not silently vanish from the output."""
+    from data_lake_skyfit_spark.sources import warc
+
+    rows = spark.createDataFrame(
+        [(1, None), (2, bytearray(b"")), (3, bytearray(b"\x1f\x8b\x00bad"))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in warc.read_warc_records(rows).collect()}
+    assert len(out) == 3
+    for i in (1, 2, 3):
+        assert out[i]["rec_idx"] == -1 and out[i]["warc_type"] is None

@@ -79,3 +79,14 @@ def test_robots_rules_kernel_on_spark(spark):
     # '*' group only (default agent); goodbot group rules not emitted
     assert ("h.test", "/secret") not in rows
     assert not [k for k in rows if k[0] != "h.test"]
+
+
+def test_parse_robots_empty_exact_group_shadows_star():
+    """code-review r4c: an exact-agent group with NO path rules (only
+    Crawl-delay / empty Disallow) still shadows '*' — 'these are your
+    rules: none' means allowed everything, not the generic Disallows."""
+    txt = "User-agent: mybot\nCrawl-delay: 5\n\nUser-agent: *\nDisallow: /\n"
+    assert parse_robots(txt, "mybot") == []
+    assert parse_robots(txt, "elsebot") == [("/", False)]
+    txt2 = "User-agent: mybot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    assert parse_robots(txt2, "mybot") == []
