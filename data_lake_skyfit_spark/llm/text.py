@@ -30,6 +30,8 @@ __all__ = [
     "url_host",
     "URL_RE",
     "script_fractions",
+    "sentences_expr",
+    "SENTENCE_RE",
     "SCRIPT_CLASSES",
     "STOPWORDS",
     "TRIGRAM_PROFILES",
@@ -266,6 +268,27 @@ _HTML_ENTITIES = (
     ("&nbsp;", " "),
     ("&amp;", "&"),
 )
+
+
+#: Sentence-shaped runs: text up to and including a terminator group,
+#: plus a trailing unterminated fragment. Deliberately NO lookarounds —
+#: RE2 has none, so the oracle replays the pattern verbatim. Known
+#: naivety (documented): abbreviations ("Dr.") and decimal points
+#: split; the rule-based tier trades that for engine portability.
+SENTENCE_RE = r"[^.!?]+[.!?]+|[^.!?]+$"
+
+
+def sentences_expr(text: Column | str) -> Column:
+    """Rule-based sentence segmentation → trimmed non-empty sentence
+    array: the unit for sentence-level dedup and sentence-aware
+    chunking (a training sequence should not split mid-sentence when
+    it can help it). Zero-shuffle codegen map."""
+    runs = F.regexp_extract_all(_c(text), F.lit(SENTENCE_RE), 0)
+    # explicit single-arg lambda: F.trim itself has an optional second
+    # parameter in Spark 4, so passing it bare trips the HOF
+    # arity-sniffing trap (binds as an (element, index) lambda and the
+    # trim silently no-ops — caught by test_sentences_expr_semantics).
+    return F.filter(F.transform(runs, lambda s: F.trim(s)), lambda s: s != "")
 
 
 #: Literal-character ranges (written as \uXXXX escapes in source per

@@ -3630,3 +3630,51 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = robots_mod.robots_rules(hosts)
     return robots_mod.robots_filter(urls, rules)
 
+@register(
+    "text_sentence_split",
+    """
+    WITH r AS (
+      SELECT doc_id, text || '. Tail one! Tail two?' AS raw
+      FROM documents WHERE doc_id < 400
+    ), t AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(raw, '[^.!?]+[.!?]+|[^.!?]+$'),
+               x -> trim(x)), x -> x <> '') AS s
+      FROM r
+    )
+    SELECT doc_id, CAST(i.i - 1 AS INT) AS sent_idx, s[i.i] AS sentence,
+           CAST(len(s) AS INT) AS n_sents
+    FROM t, LATERAL (SELECT UNNEST(range(1, len(s) + 1)) AS i) i
+    """,
+    tags=("llm-text", "J1"),
+    doc="Rule-based sentence segmentation (llm.text.sentences_expr): "
+    "the unit for sentence-level dedup and sentence-aware chunking. "
+    "Terminator-run pattern with NO lookarounds (RE2 has none) so the "
+    "oracle replays it verbatim; trimmed, empties dropped, posexploded "
+    "with a per-doc count. The sentence array is localCheckpointed "
+    "before its two consumers (explode + count) - both the "
+    "multi-consumer lineage rule and the CollapseProject-into-Generate "
+    "trap (the regexp would otherwise re-run per EXPLODED row).",
+)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    # the synthetic corpus carries no terminators, so the fixture
+    # appends real sentence boundaries - otherwise the single-run
+    # degenerate case would mask trim/split bugs (it DID mask the
+    # F.trim arity no-op until the pytest caught it)
+    raw = F.concat(F.col("text"), F.lit(". Tail one! Tail two?"))
+    sents = d.select(
+        "doc_id", text_ops.sentences_expr(raw).alias("__s")
+    ).localCheckpoint(eager=False)
+    exploded = sents.select(
+        "doc_id", F.posexplode("__s").alias("sent_idx", "sentence")
+    )
+    counts = sents.select("doc_id", F.size("__s").alias("n_sents"))
+    return exploded.join(counts, "doc_id").select(
+        "doc_id",
+        F.col("sent_idx").cast("int"),
+        "sentence",
+        F.col("n_sents").cast("int"),
+    )
+

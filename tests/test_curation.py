@@ -1052,3 +1052,25 @@ def test_script_fractions_absolute_semantics(spark):
     assert out[4]["dominant_script"] == "other" and out[4]["n_digit"] == 10
     assert out[5]["dominant_script"] == "other" and out[5]["n_chars"] == 0
     assert out[6]["dominant_script"] == "greek"  # 2 == 2, name-asc wins
+
+
+def test_sentences_expr_semantics(spark):
+    from data_lake_skyfit_spark.llm.text import sentences_expr
+
+    rows = [
+        (1, "One. Two! Three?"),
+        (2, "No terminator at all"),
+        (3, "Wait... what?! Done."),  # grouped terminator runs
+        (4, ""),
+        (5, "  Leading. trailing frag"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: list(r["s"])
+        for r in df.select("doc_id", sentences_expr("text").alias("s")).collect()
+    }
+    assert out[1] == ["One.", "Two!", "Three?"]
+    assert out[2] == ["No terminator at all"]
+    assert out[3] == ["Wait...", "what?!", "Done."]
+    assert out[4] == []
+    assert out[5] == ["Leading.", "trailing frag"]
