@@ -65,6 +65,7 @@ __all__ = [
     "sample_video_frames",
     "encode_wav_pcm16",
     "encode_aiff_pcm16",
+    "encode_ppm",
     "encode_bmp24",
     "encode_png",
     "synthesize_png_variant_payloads",
@@ -83,6 +84,7 @@ __all__ = [
     "synthesize_gif_payloads",
     "synthesize_wav_payloads",
     "synthesize_aiff_payloads",
+    "synthesize_ppm_payloads",
     "synthesize_bmp_payloads",
     "synthesize_png_payloads",
     "synthesize_avi_payloads",
@@ -591,6 +593,65 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, int]:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _looks_like_ppm(data: bytes) -> bool:
+    return len(data) >= 3 and data[:2] in (b"P6", b"P5") and data[2:3].isspace()
+
+
+def encode_ppm(width: int, height: int, pixel, *, gray: bool = False) -> bytes:
+    """Encode a real binary Netpbm image — P6 (RGB) or, with `gray`,
+    P5 (PGM grayscale). `pixel(x, y, c)` returns the channel byte
+    (c always 0 for P5). The simplest real raster container there is:
+    ASCII header, raw big-row-order samples."""
+    ch = 1 if gray else 3
+    magic = b"P5" if gray else b"P6"
+    head = magic + f"\n{width} {height}\n255\n".encode()
+    body = bytes(
+        pixel(x, y, c)
+        for y in range(height)
+        for x in range(width)
+        for c in range(ch)
+    )
+    return head + body
+
+
+def _decode_ppm(data: bytes) -> tuple[int, int, int, int]:
+    """Binary Netpbm decode (P6 RGB / P5 gray): whitespace-and-comment
+    tolerant header scan, then raw samples. Declared dimensions are
+    validated against the actual payload BEFORE any slice (r4 fuzz
+    rule), and absurd w*h raises rather than allocating."""
+    magic = data[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary netpbm payload")
+    pos, n, vals = 2, len(data), []
+    while len(vals) < 3:
+        while pos < n and (data[pos : pos + 1].isspace() or data[pos : pos + 1] == b"#"):
+            if data[pos : pos + 1] == b"#":
+                nl = data.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("ppm: unterminated header comment")
+                pos = nl + 1
+            else:
+                pos += 1
+        start = pos
+        while pos < n and data[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("ppm: malformed header token")
+        vals.append(int(data[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError(f"ppm: unsupported header {w}x{h} maxval {maxval}")
+    if w * h > (64 << 20):
+        raise ValueError("ppm: declared dimensions unreasonably large")
+    pos += 1  # exactly one whitespace byte after maxval per spec
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    body = data[pos : pos + need]
+    if len(body) < need:
+        raise ValueError("ppm: pixel data shorter than declared size")
+    return w, h, ch, sum(body)
 
 
 def _looks_like_png(data: bytes) -> bool:
@@ -2264,6 +2325,32 @@ def synthesize_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def synthesize_ppm_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL binary Netpbm payload, deterministic closed form.
+
+    Per id: width = 4 + id % 13, height = 4 + id % 11; even ids are P6
+    RGB with pixel(x,y,c) = (5·id + 2x + 11y + 3c) mod 256, odd ids are
+    P5 grayscale with pixel(x,y) = (5·id + 2x + 11y) mod 256."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_ppm(
+                    4 + rid % 13,
+                    4 + rid % 11,
+                    lambda x, y, c, rid=rid: (5 * rid + 2 * x + 11 * y + 3 * c) % 256,
+                    gray=bool(rid % 2),
+                )
+                for rid in (int(v) for v in pdf[id_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def synthesize_aiff_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """id → REAL encoded AIFF payload column, deterministic closed form.
 
@@ -2478,6 +2565,11 @@ def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                     return _decode_gif(data)
                 except (ValueError, struct.error, IndexError):
                     pass  # signature-prefixed non-GIF bytes: fake path
+            if _looks_like_ppm(data):
+                try:
+                    return _decode_ppm(data)
+                except (ValueError, struct.error):
+                    pass  # P6/P5-prefixed non-netpbm bytes: fake path
             if _looks_like_jpeg(data):
                 try:
                     return _decode_jpeg(data)

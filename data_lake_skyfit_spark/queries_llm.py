@@ -3678,3 +3678,37 @@ def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sents").cast("int"),
     )
 
+@register(
+    "multimodal_decode_ppm",
+    """
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+      FROM documents WHERE doc_id < 300
+    ), s AS (
+      SELECT p.doc_id, p.w, p.h, p.ch,
+             SUM((5 * p.doc_id + 2 * x.i + 11 * y.i + 3 * c.i) % 256) AS psum
+      FROM p,
+           LATERAL (SELECT UNNEST(range(0, p.w)) AS i) x,
+           LATERAL (SELECT UNNEST(range(0, p.h)) AS i) y,
+           LATERAL (SELECT UNNEST(range(0, p.ch)) AS i) c
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ch AS INT) AS n_channels, CAST(psum AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL binary Netpbm decode (llm.multimodal): "
+    "synthesize_ppm_payloads encodes an actual P6 RGB (even ids) or P5 "
+    "grayscale (odd ids) file per doc; decode_images' netpbm leg scans "
+    "the whitespace-and-comment-tolerant header, validates declared "
+    "dims against the actual payload before slicing, and sums every "
+    "sample byte. The oracle recomputes all stats arithmetically from "
+    "the closed-form pixel function.",
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.synthesize_ppm_payloads(d, id_col="doc_id")
+    return multimodal.decode_images(media)
+

@@ -1477,3 +1477,43 @@ def test_extract_embeddings_real_audio_features_from_aiff(spark):
         assert f[3] == sum(samples) / len(samples)
         assert f[4] == m.sqrt(sum(s * s for s in samples) / len(samples))
         assert f[6] == float(min(samples)) and f[7] == float(max(samples))
+
+
+def test_ppm_roundtrip_and_fuzz():
+    from data_lake_skyfit_spark.llm.multimodal import _decode_ppm, encode_ppm
+
+    p = encode_ppm(5, 3, lambda x, y, c: (7 * x + 3 * y + c) % 256)
+    w, h, ch, s = _decode_ppm(p)
+    assert (w, h, ch) == (5, 3, 3)
+    assert s == sum((7 * x + 3 * y + c) % 256 for y in range(3) for x in range(5) for c in range(3))
+    g = encode_ppm(4, 4, lambda x, y, c: (x * y) % 256, gray=True)
+    assert _decode_ppm(g)[:3] == (4, 4, 1)
+    # comment/whitespace-tolerant header
+    tail = p[p.index(b"255") + 4 :]
+    assert _decode_ppm(b"P6 # c\n# c2\n 5\t3\n255\n" + tail)[:3] == (5, 3, 3)
+    # fuzz: truncated body, absurd dims, junk header, 16-bit maxval
+    for bad in (
+        p[:-2],
+        b"P6\n999999 999999\n255\n\x00",
+        b"P6\nabc",
+        b"P6\n5 3\n65535\n" + b"\x00" * 45,
+    ):
+        with pytest.raises(ValueError):
+            _decode_ppm(bad)
+
+
+def test_decode_images_ppm_real_path_on_spark(spark):
+    df = spark.range(8).select(F.col("id").alias("doc_id"))
+    media = multimodal.synthesize_ppm_payloads(df, id_col="doc_id")
+    out = {r["doc_id"]: r for r in multimodal.decode_images(media).collect()}
+    for rid in (0, 1, 7):  # mixes P6 (even) and P5 (odd)
+        w, h = 4 + rid % 13, 4 + rid % 11
+        ch = 3 if rid % 2 == 0 else 1
+        r = out[rid]
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, ch)
+        assert r["pixel_sum"] == sum(
+            (5 * rid + 2 * x + 11 * y + 3 * c) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(ch)
+        )
