@@ -3712,3 +3712,76 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthesize_ppm_payloads(d, id_col="doc_id")
     return multimodal.decode_images(media)
 
+@register(
+    "web_sitemap_extract",
+    """
+    WITH x AS (
+      SELECT doc_id,
+        '<?xml version="1.0"?><urlset>' ||
+        '<url><loc>http://site' || CAST(doc_id % 7 AS VARCHAR) || '.test/p' || CAST(doc_id AS VARCHAR) || '</loc>' ||
+        '<lastmod>2024-01-01</lastmod></url>' ||
+        '<url><loc>  HTTP://Site' || CAST(doc_id % 7 AS VARCHAR) || '.test:80/q' || CAST(doc_id AS VARCHAR) || '#f  </loc></url>' ||
+        '<url><loc></loc></url>' ||
+        '<url><loc>http://other.test/r' || CAST(doc_id AS VARCHAR) || '</loc></url>' ||
+        '</urlset>' AS xml
+      FROM documents WHERE doc_id < 400
+    ), e AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(xml, '<loc>\\s*([^<]*?)\\s*</loc>', 1),
+               s -> trim(s)), s -> s <> '') AS locs
+      FROM x
+    ), u AS (
+      SELECT doc_id, CAST(i.i - 1 AS INT) AS url_idx, locs[i.i] AS url
+      FROM e, LATERAL (SELECT UNNEST(range(1, len(locs) + 1)) AS i) i
+    ), g AS (
+      SELECT doc_id, url_idx, url, trim(url) AS t,
+        lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 1)) AS scheme,
+        lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 2)) AS host0,
+        regexp_replace(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 3), '#.*$', '') AS rest0
+      FROM u
+    )
+    SELECT doc_id, url_idx,
+           CASE WHEN scheme = '' THEN t ELSE scheme || '://' ||
+             (CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                   WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                   ELSE host0 END) ||
+             (CASE WHEN regexp_replace(rest0, '#.*$', '') = '/' THEN '' ELSE rest0 END)
+           END AS norm_url
+    FROM g
+    """,
+    tags=("llm-text", "J1", "sources-formats"),
+    doc="Sitemap URL extraction -> normalized frontier "
+    "(sources/sitemap.sitemap_locs + llm.text.normalize_url): the "
+    "crawl-seeding step ahead of the robots filter. One shared "
+    "Java/RE2 lazy pattern pulls every <loc>; empties dropped, "
+    "posexploded in document order, then canonicalized so the frontier "
+    "key is ready for exact dedup. Fixture sitemaps carry whitespace "
+    "padding, an EMPTY loc, a mixed-case default-port URL and a "
+    "fragment - the oracle replays extraction AND normalization.",
+)
+def web_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.sitemap import sitemap_locs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    k = (F.col("doc_id") % 7).cast("string")
+    sid = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>http://site'),
+        k, F.lit(".test/p"), sid,
+        F.lit("</loc><lastmod>2024-01-01</lastmod></url><url><loc>  HTTP://Site"),
+        k, F.lit(".test:80/q"), sid,
+        F.lit("#f  </loc></url><url><loc></loc></url><url><loc>http://other.test/r"),
+        sid, F.lit("</loc></url></urlset>"),
+    )
+    staged = d.select("doc_id", sitemap_locs(xml).alias("__locs")).localCheckpoint(
+        eager=False
+    )
+    return staged.select(
+        "doc_id", F.posexplode("__locs").alias("url_idx", "url")
+    ).select(
+        "doc_id",
+        F.col("url_idx").cast("int"),
+        text_ops.normalize_url(F.col("url")).alias("norm_url"),
+    )
+

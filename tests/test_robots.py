@@ -90,3 +90,24 @@ def test_parse_robots_empty_exact_group_shadows_star():
     assert parse_robots(txt, "elsebot") == [("/", False)]
     txt2 = "User-agent: mybot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
     assert parse_robots(txt2, "mybot") == []
+
+
+def test_sitemap_locs_extraction(spark):
+    from data_lake_skyfit_spark.sources.sitemap import sitemap_locs
+    from pyspark.sql import functions as F
+
+    xml = (
+        '<?xml version="1.0"?><sitemapindex>'
+        "<sitemap><loc>\n  http://a.test/sitemap1.xml\n</loc></sitemap>"
+        "<sitemap><loc>http://a.test/sitemap2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    plain = "<urlset><url><loc>http://b.test/x</loc></url><url><loc></loc></url></urlset>"
+    df = spark.createDataFrame([(1, xml), (2, plain), (3, "not xml"), (4, None)],
+                               "doc_id long, xml string")
+    out = {r["doc_id"]: r["locs"] and list(r["locs"])
+           for r in df.select("doc_id", sitemap_locs("xml").alias("locs")).collect()}
+    assert out[1] == ["http://a.test/sitemap1.xml", "http://a.test/sitemap2.xml"]
+    assert out[2] == ["http://b.test/x"]  # empty loc dropped
+    assert out[3] == []
+    assert out[4] is None
