@@ -23,6 +23,7 @@ __all__ = [
     "exact_duplicates",
     "exact_dedup",
     "line_level_dedup",
+    "sentence_level_dedup",
     "duplicate_span_removal",
     "jaccard_pairs_bruteforce",
     "minhash_signature_expr",
@@ -87,11 +88,74 @@ def line_level_dedup(
     shuffle, never line text. Same 64-bit-fingerprint identity
     convention as exact_dedup (oracles compare by full text).
     """
+    return _unit_level_dedup(
+        df,
+        F.split(F.col(text_col), "\n"),
+        "\n",
+        text_col=text_col,
+        id_col=id_col,
+        min_unit_chars=min_line_chars,
+        count_alias="n_lines",
+    )
+
+
+def sentence_level_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_sentence_chars: int = 10,
+) -> DataFrame:
+    """CORPUS-WIDE sentence-level deduplication (r4c — completes the
+    granularity family: document / line / SENTENCE / span): every
+    sentence of `min_sentence_chars`+ characters may appear once in
+    the corpus; first (id, pos) wins, later copies drop, documents
+    rebuild from surviving sentences joined by single spaces. The
+    boilerplate-sentence cleanup ("All rights reserved.") that line
+    dedup misses when boilerplate shares a line with content.
+
+    Same plan as line_level_dedup (min-struct winner over an 8-byte
+    hash — map-side combinable, no rank window, no text over the first
+    shuffle). Note: a document segmenting to ZERO sentences (empty
+    text) drops from the output — posexplode of an empty array — where
+    line dedup keeps one empty line; callers keeping empty docs should
+    left-join this result back.
+
+    Returns (id, text, n_sentences, n_kept, n_dropped).
+    """
+    from .text import sentences_expr
+
+    return _unit_level_dedup(
+        df,
+        sentences_expr(text_col),
+        " ",
+        text_col=text_col,
+        id_col=id_col,
+        min_unit_chars=min_sentence_chars,
+        count_alias="n_sentences",
+    )
+
+
+def _unit_level_dedup(
+    df: DataFrame,
+    units,
+    joiner: str,
+    *,
+    text_col: str,
+    id_col: str,
+    min_unit_chars: int,
+    count_alias: str,
+) -> DataFrame:
+    """Shared corpus-wide keep-first unit dedup behind
+    line_level_dedup / sentence_level_dedup: posexplode `units` →
+    8-byte xxhash64 winner min-struct → hash join back → one regroup
+    with an array_sort rebuild. Units shorter than `min_unit_chars`
+    are structural and always kept."""
     lines = df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(units).alias("pos", "line"),
     )
-    content = F.length("line") >= min_line_chars
+    content = F.length("line") >= min_unit_chars
     keyed = lines.withColumn("__h", F.when(content, F.xxhash64("line")))
     winners = (
         keyed.filter(F.col("__h").isNotNull())
@@ -108,9 +172,9 @@ def line_level_dedup(
     )
     return kept.groupBy("id").agg(
         F.concat_ws(
-            "\n", F.transform(surviving, lambda s: s["line"])
+            joiner, F.transform(surviving, lambda s: s["line"])
         ).alias(text_col),
-        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.lit(1)).alias(count_alias),
         F.sum(F.col("__keep").cast("long")).alias("n_kept"),
         F.sum((~F.col("__keep")).cast("long")).alias("n_dropped"),
     )

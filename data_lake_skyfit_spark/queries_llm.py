@@ -3785,3 +3785,61 @@ def web_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_ops.normalize_url(F.col("url")).alias("norm_url"),
     )
 
+@register(
+    "text_sentence_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             text || '. Shared boilerplate sentence! Unique tail '
+                  || CAST(doc_id AS VARCHAR) || '?' AS raw
+      FROM documents WHERE doc_id < 450
+    ), e AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(raw, '[^.!?]+[.!?]+|[^.!?]+$'),
+               x -> trim(x)), x -> x <> '') AS s
+      FROM d
+    ), l AS (
+      SELECT doc_id, i.i - 1 AS pos, s[i.i] AS sent
+      FROM e, LATERAL (SELECT UNNEST(range(1, len(s) + 1)) AS i) i
+    ), k AS (
+      SELECT doc_id, pos, sent,
+             CASE WHEN LENGTH(sent) < 10 THEN TRUE
+                  ELSE ROW_NUMBER() OVER (PARTITION BY sent ORDER BY doc_id, pos) = 1
+             END AS keep
+      FROM l
+    )
+    SELECT doc_id,
+           COALESCE(STRING_AGG(CASE WHEN keep THEN sent END, ' ' ORDER BY pos), '') AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM k GROUP BY doc_id
+    """,
+    tags=("llm-dedup", "llm-text"),
+    doc="CORPUS-WIDE sentence-level dedup (llm.dedup."
+    "sentence_level_dedup, r4c - completes the granularity family: "
+    "document / line / SENTENCE / span): the boilerplate-sentence "
+    "cleanup line dedup misses when boilerplate shares a line with "
+    "content. The fixture appends one corpus-wide shared sentence "
+    "(only the first (doc_id, pos) keeps it) and one unique tail per "
+    "doc; winner selection is the same map-side-combinable min-struct "
+    "over an 8-byte sentence hash as the line tier (shared "
+    "_unit_level_dedup core), documents rebuild from surviving "
+    "sentences in position order.",
+)
+def text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". Shared boilerplate sentence! Unique tail "),
+            F.col("doc_id").cast("string"),
+            F.lit("?"),
+        ).alias("text"),
+    )
+    out = dedup.sentence_level_dedup(d)
+    return out.select(
+        F.col("id").alias("doc_id"), "text", "n_sentences", "n_kept", "n_dropped"
+    )
+

@@ -1074,3 +1074,23 @@ def test_sentences_expr_semantics(spark):
     assert out[3] == ["Wait...", "what?!", "Done."]
     assert out[4] == []
     assert out[5] == ["Leading.", "trailing frag"]
+
+
+def test_sentence_level_dedup_semantics(spark):
+    """First (id, pos) keeps the shared sentence; short sentences are
+    structural and always kept; docs rebuild in position order."""
+    from data_lake_skyfit_spark.llm.dedup import sentence_level_dedup
+
+    rows = [
+        (1, "Unique opening sentence one. This exact sentence repeats everywhere!"),
+        (2, "This exact sentence repeats everywhere! Unique closing sentence two."),
+        (3, "Ok. This exact sentence repeats everywhere! Ok."),  # short 'Ok.' kept twice
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in sentence_level_dedup(df).collect()}
+    assert out[1]["text"] == rows[0][1]
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "Unique closing sentence two."
+    assert out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "Ok. Ok."
+    assert (out[3]["n_sentences"], out[3]["n_kept"]) == (3, 2)
