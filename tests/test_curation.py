@@ -1094,3 +1094,23 @@ def test_sentence_level_dedup_semantics(spark):
     assert out[2]["n_dropped"] == 1
     assert out[3]["text"] == "Ok. Ok."
     assert (out[3]["n_sentences"], out[3]["n_kept"]) == (3, 2)
+
+
+def test_compression_ratio_separates_repetitive_from_varied(spark):
+    from data_lake_skyfit_spark.llm.curation import compression_ratio
+
+    varied = " ".join(f"w{i * 7919 % 9973}" for i in range(200))
+    rows = [
+        (1, "spam spam spam " * 100),  # highly compressible
+        (2, varied),  # much less so
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert out[1]["ratio"] < 0.1 < out[2]["ratio"]
+    assert out[1]["n_bytes"] == 1500
+    assert out[3]["ratio"] == 0.0 and out[3]["n_bytes"] == 0
+    assert out[4]["ratio"] is None
+    # schema: original columns preserved, three stats appended
+    assert compression_ratio(df).columns == ["doc_id", "text", "n_bytes", "n_compressed", "ratio"]
