@@ -101,7 +101,12 @@ _PRIORITY = [
     # change history (SCD2 / CDC / point-in-time correctness) + storage
     "scd2_user_state",
     "snapshot_diff_orders",
-    "point_in_time_user_state",
+    # (point_in_time_user_state demoted past the cutoff in r4c for the
+    # composed web-ingest pipeline: the history family keeps scd2 +
+    # snapshot_diff graded and the PIT machinery stays drive-verified;
+    # web_pipeline_ingest puts the ENTIRE new crawl-to-corpus tier —
+    # WARC walk, HTML chain, quality gate — under the official hash gate)
+    "web_pipeline_ingest",
     "versioned_time_travel",
     # streaming + custom-stateful + UDTF + incremental ingestion
     # (streaming_hourly_counts demoted past the cutoff in r4 for the
@@ -125,6 +130,12 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_span_removal",
     "dedup_cluster_resolution",
+    # (multimodal_frame_sample demoted past the cutoff in r4c for the
+    # integer-exact PageRank: llm-multimodal keeps three graded carriers
+    # (jpeg/gif/audio) and frame sampling stays drive-verified;
+    # pagerank grades a new algorithm class — fixed-round iterative
+    # graph centrality — beside connected components)
+    "graph_pagerank_centrality",
     "fuzzy_match_parts",
     # similarity / storage
     "ann_knn_join",
@@ -158,11 +169,11 @@ _PRIORITY = [
     "dataset_split_assignment",
     "sequence_packing",
     # multimodal plumbing (resize_decode demoted past the cutoff in r4 for
-    # the jpeg entry; family llm-multimodal keeps 4 graded carriers)
+    # the jpeg entry; family llm-multimodal keeps 3 graded carriers as
+    # of r4c — frame_sample's slot went to graph_pagerank_centrality)
     "multimodal_decode_jpeg",
     "multimodal_decode_gif",
     "multimodal_decode_audio",
-    "multimodal_frame_sample",
 ]
 
 
