@@ -3843,3 +3843,71 @@ def text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "text", "n_sentences", "n_kept", "n_dropped"
     )
 
+@register(
+    "multimodal_webdataset_manifest",
+    """
+    WITH d AS (
+      SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key, text
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, CAST(0 AS INT) AS rec_idx, key || '.txt' AS name,
+           CAST(strlen(text) AS BIGINT) AS size, md5(text) AS member_md5,
+           key AS sample_key, 'txt' AS ext
+    FROM d
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT), key || '.cls',
+           CAST(1 AS BIGINT), md5(CAST(doc_id % 10 AS VARCHAR)), key, 'cls'
+    FROM d
+    UNION ALL
+    SELECT doc_id, CAST(2 AS INT), key || '.seg.png',
+           CAST(strlen('px' || CAST(doc_id AS VARCHAR)) AS BIGINT),
+           md5('px' || CAST(doc_id AS VARCHAR)), key, 'seg.png'
+    FROM d
+    """,
+    tags=("llm-multimodal", "S1", "sources-formats"),
+    doc="WebDataset tar-shard manifest (sources/webdataset.py): the "
+    "de-facto multimodal training-shard format - samples are groups of "
+    "adjacent tar members sharing a basename. The fixture encodes a "
+    "REAL ustar archive per doc (text + label + compound-extension "
+    "'segmentation' member, correct space-substituted checksums, "
+    "end-of-archive marker); read_tar_members walks the 512-byte "
+    "headers for real (checksum verified, declared sizes validated "
+    "before slicing, truncated shards quarantine) and the WebDataset "
+    "grouping rule derives (sample_key, ext) JVM-side - first-dot "
+    "split so 'seg.png' stays whole. Oracle recomputes every field "
+    "arithmetically.",
+)
+def multimodal_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .sources import webdataset
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = []
+            for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                rid = int(rid)
+                key = f"{rid:06d}"
+                payloads.append(
+                    webdataset.encode_tar(
+                        [
+                            (f"{key}.txt", ("" if text is None else str(text)).encode()),
+                            (f"{key}.cls", str(rid % 10).encode()),
+                            (f"{key}.seg.png", f"px{rid}".encode()),
+                        ]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema)
+    return webdataset.read_tar_members(shards)
+

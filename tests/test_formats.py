@@ -213,3 +213,75 @@ def test_warc_null_and_empty_payloads_quarantine(spark):
     assert len(out) == 3
     for i in (1, 2, 3):
         assert out[i]["rec_idx"] == -1 and out[i]["warc_type"] is None
+
+
+# ---------------------------------------------------------- WebDataset
+
+
+def test_tar_roundtrip_stdlib_crosscheck():
+    """Our encoder's archives must parse with the stdlib tarfile READER
+    (independent implementation — the byte-golden discipline), and our
+    walker must agree with it."""
+    import hashlib
+    import io
+    import tarfile
+
+    from data_lake_skyfit_spark.sources.webdataset import encode_tar, parse_tar
+
+    members = [("000017.txt", b"hello world"), ("000017.cls", b"3"),
+               ("000017.seg.png", b"px17")]
+    t = encode_tar(members)
+    with tarfile.open(fileobj=io.BytesIO(t)) as tf:
+        assert [(m.name, m.size) for m in tf.getmembers()] == [
+            (n, len(p)) for n, p in members
+        ]
+        assert tf.extractfile("000017.txt").read() == b"hello world"
+    out = parse_tar(t)
+    assert [(r["name"], r["size"]) for r in out] == [(n, len(p)) for n, p in members]
+    assert out[2]["member_md5"] == hashlib.md5(b"px17").hexdigest()
+
+
+def test_tar_corrupt_shards_rejected():
+    """Checksum mismatch, truncation (missing end-of-archive marker),
+    size overrun and junk all raise — a truncated shard must never
+    silently yield partial samples."""
+    import struct
+
+    from data_lake_skyfit_spark.sources.webdataset import encode_tar, parse_tar
+
+    t = encode_tar([("a.txt", b"x" * 600)])
+    flipped = bytearray(t)
+    flipped[20] ^= 0xFF
+    overrun = bytearray(t)
+    overrun[124:136] = b"77777777777\x00"
+    hdr = overrun[0:512]
+    calc = sum(hdr) - sum(hdr[148:156]) + 8 * 32
+    overrun[148:156] = (b"%06o" % calc) + b"\x00 "
+    for bad in (bytes(flipped), t[:700], t[: len(t) - 1024], b"junk" * 200,
+                bytes(overrun), b""):
+        with pytest.raises(ValueError):
+            parse_tar(bad)
+
+
+def test_read_tar_members_grouping_on_spark(spark):
+    from data_lake_skyfit_spark.sources import webdataset
+
+    shards = spark.createDataFrame(
+        [
+            (1, bytearray(webdataset.encode_tar(
+                [("000001.txt", b"t1"), ("000001.seg.png", b"s1"), ("noext", b"z")]))),
+            (2, bytearray(b"not a tar shard at all, sorry!!!")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = webdataset.read_tar_members(shards).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    ok = sorted(by[1], key=lambda r: r["rec_idx"])
+    assert [(r["name"], r["sample_key"], r["ext"]) for r in ok] == [
+        ("000001.txt", "000001", "txt"),
+        ("000001.seg.png", "000001", "seg.png"),  # compound ext stays whole
+        ("noext", "noext", ""),
+    ]
+    assert by[2][0]["rec_idx"] == -1 and by[2][0]["name"] is None  # quarantine
