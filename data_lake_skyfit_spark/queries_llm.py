@@ -3911,3 +3911,66 @@ def multimodal_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFram
     shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema)
     return webdataset.read_tar_members(shards)
 
+@register(
+    "multimodal_tfrecord_manifest",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, CAST(0 AS INT) AS rec_idx,
+           CAST(strlen(text) AS BIGINT) AS length, md5(text) AS payload_md5
+    FROM d
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT),
+           CAST(strlen('label=' || CAST(doc_id % 10 AS VARCHAR)) AS BIGINT),
+           md5('label=' || CAST(doc_id % 10 AS VARCHAR))
+    FROM d
+    UNION ALL
+    SELECT doc_id, CAST(2 AS INT), CAST(0 AS BIGINT), md5('')
+    FROM d
+    """,
+    tags=("llm-multimodal", "S1", "sources-formats"),
+    doc="TFRecord shard manifest (sources/tfrecord.py): the "
+    "TensorFlow-lineage training-shard format - length-framed records "
+    "each guarded by TWO masked CRC32C checksums. The CRC32C "
+    "implementation is pinned to the PUBLISHED check vector "
+    "(crc32c('123456789') = 0xE3069283), not a self-round-trip; the "
+    "walker verifies both checksums per record, validates declared "
+    "lengths before slicing, and raises on truncated tails (corrupt "
+    "shards quarantine). Fixture shards carry the doc text, a label "
+    "record and an EMPTY record per doc; the oracle recomputes "
+    "lengths/md5s arithmetically.",
+)
+def multimodal_tfrecord_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .sources import tfrecord
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = []
+            for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                rid = int(rid)
+                payloads.append(
+                    tfrecord.encode_tfrecord(
+                        [
+                            ("" if text is None else str(text)).encode(),
+                            f"label={rid % 10}".encode(),
+                            b"",
+                        ]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema)
+    return tfrecord.read_tfrecord_records(shards)
+

@@ -285,3 +285,66 @@ def test_read_tar_members_grouping_on_spark(spark):
         ("noext", "noext", ""),
     ]
     assert by[2][0]["rec_idx"] == -1 and by[2][0]["name"] is None  # quarantine
+
+
+# ------------------------------------------------------------ TFRecord
+
+
+def test_tfrecord_crc32c_standard_vector_and_roundtrip():
+    import hashlib
+
+    from data_lake_skyfit_spark.sources.tfrecord import (
+        crc32c,
+        encode_tfrecord,
+        parse_tfrecord,
+    )
+
+    assert crc32c(b"123456789") == 0xE3069283  # the published check value
+    assert crc32c(b"") == 0
+    recs = [b"first record", b"", b"third \x00 binary \xff record"]
+    out = parse_tfrecord(encode_tfrecord(recs))
+    assert [(r["length"], r["payload_md5"]) for r in out] == [
+        (len(r), hashlib.md5(r).hexdigest()) for r in recs
+    ]
+
+
+def test_tfrecord_corrupt_shards_rejected():
+    import struct
+
+    from data_lake_skyfit_spark.sources.tfrecord import encode_tfrecord, parse_tfrecord
+
+    t = encode_tfrecord([b"first record", b"second"])
+    payload_flip = bytearray(t)
+    payload_flip[14] ^= 1
+    lencrc_flip = bytearray(t)
+    lencrc_flip[9] ^= 1
+    overrun = bytearray(t)
+    struct.pack_into("<Q", overrun, 0, 2**40)
+    for bad in (bytes(payload_flip), bytes(lencrc_flip), bytes(overrun),
+                t[:-3], t[:5]):
+        with pytest.raises(ValueError):
+            parse_tfrecord(bad)
+
+
+def test_read_tfrecord_records_on_spark(spark):
+    import hashlib
+
+    from data_lake_skyfit_spark.sources import tfrecord
+
+    shards = spark.createDataFrame(
+        [
+            (1, bytearray(tfrecord.encode_tfrecord([b"alpha", b"beta gamma"]))),
+            (2, bytearray(b"definitely not a tfrecord")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = tfrecord.read_tfrecord_records(shards).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    ok = sorted(by[1], key=lambda r: r["rec_idx"])
+    assert [(r["length"], r["payload_md5"]) for r in ok] == [
+        (5, hashlib.md5(b"alpha").hexdigest()),
+        (10, hashlib.md5(b"beta gamma").hexdigest()),
+    ]
+    assert by[2][0]["rec_idx"] == -1 and by[2][0]["payload_md5"] is None
