@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, text
+from . import dedup, encoder, multimodal, similarity, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "encoder", "multimodal", "similarity", "text"]

@@ -170,9 +170,14 @@ _PRIORITY = [
     "sequence_packing",
     # multimodal plumbing (resize_decode demoted past the cutoff in r4 for
     # the jpeg entry; family llm-multimodal keeps 3 graded carriers as
-    # of r4c — frame_sample's slot went to graph_pagerank_centrality)
+    # of r4c — frame_sample's slot went to graph_pagerank_centrality;
+    # decode_gif yielded its slot in r4d to the learned dual-encoder
+    # serving entry: the GIF LZW codec was graded green in r03 AND r4
+    # rounds and stays drive-verified, while multimodal_clip_encode
+    # puts a NEW capability class — the CLIP-style learned embedding's
+    # exact serving arithmetic — under the official hash gate)
     "multimodal_decode_jpeg",
-    "multimodal_decode_gif",
+    "multimodal_clip_encode",
     "multimodal_decode_audio",
 ]
 

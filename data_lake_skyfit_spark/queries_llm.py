@@ -3974,3 +3974,113 @@ def multimodal_tfrecord_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema)
     return tfrecord.read_tfrecord_records(shards)
 
+
+
+def _clip_fixed_sql() -> str:
+    """Oracle for multimodal_clip_encode: replay the fixed-weight
+    serving arithmetic in SQL. Integer features × integer weights sum
+    EXACTLY in any order (magnitudes ≪ 2^53), so the numpy matmul and
+    the SQL sum agree bit-for-bit; sqrt and / are correctly-rounded
+    IEEE ops (CLAUDE.md), and the cross-modal cosine restates
+    dot_expr's 0.0-seeded sequential fold as a left-associative chain."""
+    xs = [f"((doc_id*{k + 3} + {k * k}) % 7 - 3)" for k in range(6)]
+    ts = [f"((doc_id*{2 * k + 1} + {3 * k}) % 5 - 2)" for k in range(5)]
+    wi = [[((3 * k + 5 * j + 1) % 7) - 3 for j in range(4)] for k in range(6)]
+    wt = [[((2 * k + 3 * j + 2) % 7) - 3 for j in range(4)] for k in range(5)]
+    ys = [
+        " + ".join(f"{xs[k]}*({wi[k][j]})" for k in range(6)) for j in range(4)
+    ]
+    us = [
+        " + ".join(f"{ts[k]}*({wt[k][j]})" for k in range(5)) for j in range(4)
+    ]
+    y_cols = ", ".join(f"{ys[j]} AS y{j}" for j in range(4))
+    u_cols = ", ".join(f"{us[j]} AS u{j}" for j in range(4))
+    z_cols = ", ".join(
+        f"CAST(y{j} AS DOUBLE)/(CASE WHEN ni=0 THEN 1 ELSE ni END) AS i{j}"
+        for j in range(4)
+    )
+    t_cols = ", ".join(
+        f"CAST(u{j} AS DOUBLE)/(CASE WHEN nt=0 THEN 1 ELSE nt END) AS t{j}"
+        for j in range(4)
+    )
+    return f"""
+    WITH y AS (
+      SELECT doc_id, {y_cols}, {u_cols}
+      FROM documents WHERE doc_id < 300
+    ), n AS (
+      SELECT *,
+             SQRT(CAST(y0*y0 + y1*y1 + y2*y2 + y3*y3 AS DOUBLE)) AS ni,
+             SQRT(CAST(u0*u0 + u1*u1 + u2*u2 + u3*u3 AS DOUBLE)) AS nt
+      FROM y
+    ), z AS (
+      SELECT doc_id, {z_cols}, {t_cols} FROM n
+    )
+    SELECT doc_id, i0, i1, i2, i3, t0, t1, t2, t3,
+           0.0 + i0*t0 + i1*t1 + i2*t2 + i3*t3 AS cross_cos
+    FROM z
+    """
+
+
+@register(
+    "multimodal_clip_encode",
+    _clip_fixed_sql(),
+    tags=("llm-multimodal", "llm-similarity"),
+    doc="Learned dual-encoder SERVING path (llm.encoder.encode_features "
+    "— the real Arrow-batched broadcast-weights matmul kernel) under a "
+    "FIXED integer weight pair, the text_quality_classifier two-tier "
+    "pattern: the trained path (numpy full-batch Adam on InfoNCE, "
+    "tests/test_encoder.py) is iterative and not SQL-expressible, so "
+    "the battery grades the exact serving arithmetic instead. Integer "
+    "features (closed form of doc_id) x integer weights -> projections "
+    "are EXACT in any summation order; row L2-normalization (sqrt + "
+    "divide, correctly-rounded IEEE) and the cross-modal cosine "
+    "(dot_expr sequential fold == left-assoc SQL chain, round-4b rule) "
+    "are engine-identical, so every output double hash-matches with no "
+    "rounding at all. Zero-norm guard (nrm==0 -> 1) mirrored via CASE.",
+)
+def multimodal_clip_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .llm import encoder
+
+    w_img = np.array(
+        [[((3 * k + 5 * j + 1) % 7) - 3 for j in range(4)] for k in range(6)],
+        dtype=np.float64,
+    )
+    w_txt = np.array(
+        [[((2 * k + 3 * j + 2) % 7) - 3 for j in range(4)] for k in range(5)],
+        dtype=np.float64,
+    )
+    model = encoder.DualEncoder(
+        w_img=w_img, w_txt=w_txt, grid=0, buckets=5, dim=4, temperature=20.0
+    )
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    img_feats = d.select(
+        "doc_id",
+        F.array(
+            *[
+                ((F.col("doc_id") * (k + 3) + k * k) % 7 - 3).cast("double")
+                for k in range(6)
+            ]
+        ).alias("features"),
+    )
+    txt_feats = d.select(
+        "doc_id",
+        F.array(
+            *[
+                ((F.col("doc_id") * (2 * k + 1) + 3 * k) % 5 - 2).cast("double")
+                for k in range(5)
+            ]
+        ).alias("features"),
+    )
+    img_e = encoder.encode_features(img_feats, model, modality="image")
+    txt_e = encoder.encode_features(
+        txt_feats, model, modality="text"
+    ).withColumnRenamed("embedding", "u")
+    j = img_e.join(txt_e, "doc_id")
+    return j.select(
+        "doc_id",
+        *[F.element_at("embedding", k + 1).alias(f"i{k}") for k in range(4)],
+        *[F.element_at("u", k + 1).alias(f"t{k}") for k in range(4)],
+        dedup.dot_expr(F.col("embedding"), F.col("u")).alias("cross_cos"),
+    )
