@@ -24,6 +24,10 @@ op timing excludes inflation and scans real files), then wall-time:
 - fuzzy_match_parts      fuzzy_match_join, fixed probe set vs inflated
                          candidates (r4c: blocking keeps the verify
                          join ∝ same-block pairs, not |P|·|C|)
+- clip_text_encode       text_hash_features + encode_features over the
+                         inflated corpus with a fixed dual-encoder
+                         (r4d: the serving path is a zero-shuffle Arrow
+                         map — the curve should be flat-linear)
 
 Usage: python scale_curve.py [--factors 1,8,64] [--ops lsh,cc,cur,knn]
 Writes one JSON line per (op, factor) and a final markdown table for
@@ -49,7 +53,7 @@ WORK = os.environ.get("SKYFIT_SCALE_DIR", "/tmp/skyfit_scale_curve")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,8,64")
-    ap.add_argument("--ops", default="lsh,cc,cur,knn,pq,bm25,fuzzy")
+    ap.add_argument("--ops", default="lsh,cc,cur,knn,pq,bm25,fuzzy,clip")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
     ops = args.ops.split(",")
@@ -144,8 +148,31 @@ def main() -> None:
         "doc_id AS probe_id",
         "concat(substr(text, 1, 1), 'x', substr(text, 3, 10)) AS probe_name",
     )
+    # Fixed (seeded, untrained) dual encoder: the curve measures the
+    # SERVING path — training is a bounded driver computation whose
+    # cost is corpus-size independent by construction (max_pairs cap).
+    if "clip" in ops:
+        import numpy as np
+
+        from data_lake_skyfit_spark.llm import encoder as enc_mod
+
+        _rng = np.random.default_rng(42)
+        clip_model = enc_mod.DualEncoder(
+            w_img=_rng.standard_normal((64, 32)),
+            w_txt=_rng.standard_normal((256, 32)),
+            grid=8, buckets=256, dim=32, temperature=20.0,
+        )
+
+        def clip_count(frame):
+            feats = enc_mod.text_hash_features(frame, buckets=256)
+            return enc_mod.encode_features(
+                feats, clip_model, modality="text"
+            ).count()
+
     if "bm25" in ops:
         bm25_topk(wd, bm25_q, k=5, idf="log").count()
+    if "clip" in ops:
+        clip_count(wd)
     if "fuzzy" in ops:
         fuzzy_match_join(
             fuzzy_p,
@@ -218,6 +245,8 @@ def main() -> None:
                 "text_bm25_topk",
                 lambda: bm25_topk(d, bm25_q, k=5, idf="log").count(),
             )
+        if "clip" in ops:
+            timed("clip_text_encode", lambda: clip_count(d))
         if "fuzzy" in ops:
             timed(
                 "fuzzy_match_parts",
