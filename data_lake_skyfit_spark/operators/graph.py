@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_counts"]
 
 
 def pagerank(
@@ -98,3 +98,105 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("node").alias("node_id"), F.col("rank").alias("rank_scaled"))
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    *,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Exact per-node triangle counts via DEGREE ORIENTATION — the
+    standard scalable algorithm (Cohen's MapReduce formulation /
+    node-iterator++): orient every undirected edge from the endpoint
+    with smaller (degree, id) to the larger, enumerate wedges between
+    out-edges of a common source, and close them against the oriented
+    edge list. Every triangle {x,y,z} is counted EXACTLY once — as the
+    wedge at its lowest-ranked vertex.
+
+    Why orientation matters at 100 TB: the wedge join's output is
+    Σ_v outdeg(v)², and with degree orientation outdeg is bounded by
+    O(√m) on ANY graph (arboricity bound) — so wedge volume is ≤ m^1.5
+    even on graphs with billion-degree hubs, where the naive
+    neighbor-join explodes to Σ deg² (a single celebrity node is a
+    quadratic task). All three legs are equi-joins on node keys (plain
+    shuffle joins, AQE-salvageable on residual skew); nothing is ever
+    collected.
+
+    Input: one row per (possibly duplicated, possibly both-direction)
+    edge; self-loops dropped, multi-edges deduped. Output:
+    ``(node_id, degree, triangles, clustering)`` for every node with
+    degree ≥ 1, where clustering = 2·triangles / (degree·(degree−1))
+    (0.0 for degree-1 nodes) — one IEEE divide of exact integers, so
+    the column hash-compares across engines.
+    """
+    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).filter(
+        F.col("x") != F.col("y")
+    )
+    und = (
+        e.select(
+            F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi")
+        )
+        .distinct()
+        # three consumers (degree, orientation, closing join): break the
+        # shared lineage once
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    dl = deg.select(
+        F.col("node").alias("lo"), F.col("degree").alias("dlo")
+    )
+    dh = deg.select(
+        F.col("node").alias("hi"), F.col("degree").alias("dhi")
+    )
+    ranked = und.join(dl, "lo").join(dh, "hi")
+    lo_first = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    # oriented edge (u → v) with v's rank carried for the wedge ordering
+    oriented = ranked.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.when(lo_first, F.col("dhi")).otherwise(F.col("dlo")).alias("dv"),
+    ).localCheckpoint(eager=False)
+    w1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("d1")
+    )
+    w2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("d2")
+    )
+    wedges = w1.join(w2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    d = F.col("degree")
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            F.col("node").alias("node_id"),
+            "degree",
+            F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles"),
+            F.when(
+                d >= 2,
+                (F.lit(2.0) * F.coalesce("triangles", F.lit(0).cast("long")))
+                / (d * (d - F.lit(1))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

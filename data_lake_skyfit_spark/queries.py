@@ -1564,4 +1564,63 @@ def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3)
 
 
+@register(
+    "graph_triangle_counts",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 19 = 7
+    ), und AS (
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT lo AS node FROM und UNION ALL SELECT hi AS node FROM und
+      ) GROUP BY node
+    ), tri AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM und e1
+      JOIN und e2 ON e2.lo = e1.hi
+      JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ), per_node AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node AS node_id, d.degree,
+           COALESCE(t.triangles, 0) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN (2.0 * COALESCE(t.triangles, 0)) / (d.degree * (d.degree - 1))
+                ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN per_node t ON t.node = d.node
+    """,
+    tags=("J4",),
+    doc="Exact per-node triangle counts + local clustering coefficient "
+    "(operators/graph.triangle_counts) over the part co-purchase graph "
+    "(parts linked when one order contains both; every k-part order is "
+    "a k-clique, so the graph is triangle-rich). Spark runs the "
+    "DEGREE-ORIENTED algorithm — wedges only between out-edges of the "
+    "oriented graph, outdeg bounded O(sqrt m) on any graph, so wedge "
+    "volume <= m^1.5 even under celebrity hubs; the oracle counts the "
+    "same triangles by canonical a<b<c three-way join (counts are "
+    "orientation-independent, which is itself the cross-check). "
+    "Integer counts exactly; clustering = one IEEE divide of exact "
+    "integers, engine-identical (the pinned sqrt/divide rule).",
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import triangle_counts
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 19 == 7)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    pairs = a.join(b, "k").filter(F.col("a") < F.col("b")).select("a", "b")
+    return triangle_counts(pairs)
+
+
 QUERIES = registry

@@ -67,3 +67,79 @@ def test_pagerank_validation(spark):
         pagerank(e, iterations=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(e, damping_num=100, damping_den=100)
+
+
+# ------------------------------------------------------------ triangles
+
+
+def _tri(spark, pairs):
+    from data_lake_skyfit_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    return {
+        r["node_id"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_counts(df).collect()
+    }
+
+
+def test_triangles_k4(spark):
+    """K4: every node degree 3, sits in C(3,2)=3 triangles, clustering 1."""
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    out = _tri(spark, pairs)
+    assert out == {n: (3, 3, 1.0) for n in (1, 2, 3, 4)}
+
+
+def test_triangles_path_and_degree_one(spark):
+    """Path 1-2-3-4: no triangles anywhere; degree-1 endpoints get
+    clustering 0.0 (no 0/0)."""
+    out = _tri(spark, [(1, 2), (2, 3), (3, 4)])
+    assert out == {1: (1, 0, 0.0), 2: (2, 0, 0.0), 3: (2, 0, 0.0), 4: (1, 0, 0.0)}
+
+
+def test_triangles_dedupe_selfloops_and_directions(spark):
+    """Multi-edges, both directions, and self-loops must not inflate
+    counts: triangle 1-2-3 counted once per node regardless."""
+    pairs = [(1, 2), (2, 1), (2, 3), (2, 3), (1, 3), (3, 3), (1, 1)]
+    out = _tri(spark, pairs)
+    assert out == {1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (2, 1, 1.0)}
+
+
+def test_triangles_match_brute_force_on_seeded_graph(spark):
+    """Erdős–Rényi-ish seeded graph vs an itertools brute force —
+    per-node counts, not just the global total."""
+    import itertools
+    import random
+
+    rng = random.Random(20260815)
+    n = 24
+    edges = [
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if rng.random() < 0.25
+    ]
+    adj = {i: set() for i in range(n)}
+    for i, j in edges:
+        adj[i].add(j)
+        adj[j].add(i)
+    expect = {}
+    for v in range(n):
+        if not adj[v]:
+            continue
+        t = sum(
+            1 for x, y in itertools.combinations(sorted(adj[v]), 2) if y in adj[x]
+        )
+        d = len(adj[v])
+        expect[v] = (d, t, (2.0 * t) / (d * (d - 1)) if d >= 2 else 0.0)
+    assert _tri(spark, edges) == expect
+
+
+def test_triangles_hub_graph_orientation_bound(spark):
+    """Star + one rim edge: the hub (degree 100) must NOT be wedge
+    source for its whole neighborhood — with degree orientation every
+    wedge source is a low-rank node, and the count is exactly 1 triangle."""
+    pairs = [(0, i) for i in range(1, 101)] + [(1, 2)]
+    out = _tri(spark, pairs)
+    assert out[0] == (100, 1, 2.0 * 1 / (100 * 99))
+    assert out[1][1] == 1 and out[2][1] == 1
+    assert out[50] == (1, 0, 0.0)
