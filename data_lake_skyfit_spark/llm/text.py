@@ -402,3 +402,81 @@ def html_to_text(html: Column | str) -> Column:
     for ent, ch in _HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def word_surprisal_scores(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1024,
+) -> DataFrame:
+    """CCNet-style LM quality prior, INTEGER-EXACT tier: per-document
+    word surprisal in whole bits against the corpus's own unigram
+    frequency table.
+
+    CCNet/LLaMA pipelines rank documents by language-model perplexity
+    and keep the fluent tail. The trained-float version of that signal
+    lives in `unigram.apply_unigram` (Viterbi pieces_logp over the
+    SentencePiece-style model — libm log, so pytest-pinned); this tier
+    is its hash-comparable integer sibling: surprisal(word) =
+    bitlen(total_tokens) − bitlen(count(word)) — i.e. ⌊log2⌋ self-
+    information — computed via BINARY-STRING LENGTH (Spark conv(n,10,2)
+    / DuckDB bin(n)), never libm log2, so every value is engine-exact.
+    Out-of-vocabulary words (past the top-`vocab_size`) pay
+    bitlen(total)+1 bits, one more than the rarest possible in-vocab
+    word.
+
+    Scale: one token-count shuffle builds the frequency table; the
+    top-`vocab_size` cut (count desc, word asc — a total order, so the
+    cut is deterministic) bounds the table regardless of corpus size,
+    and it joins back BROADCAST, so scoring re-shuffles only the
+    (doc_id, token) explosion for its per-doc sum. The two corpus-wide
+    scalars (total tokens) ride the established broadcast-single-row
+    cross join (curation.py's pattern). Output: (id, n_words, n_oov,
+    surprisal_bits) — all BIGINT, zero-filled for wordless documents.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("w")
+    ).localCheckpoint(eager=False)
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+    total = toks.agg(
+        bitlen(F.count(F.lit(1))).cast("long").alias("_bl_total")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .select("w", bitlen(F.col("_n")).cast("long").alias("_bl_w"))
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.when(F.col("_bl_w").isNull(), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("_oov"),
+            F.coalesce(
+                F.col("_bl_total") - F.col("_bl_w"), F.col("_bl_total") + 1
+            ).alias("_bits"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_oov").alias("n_oov"),
+            F.sum("_bits").alias("surprisal_bits"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", zero).alias("n_words"),
+            F.coalesce("n_oov", zero).alias("n_oov"),
+            F.coalesce("surprisal_bits", zero).alias("surprisal_bits"),
+        )
+    )

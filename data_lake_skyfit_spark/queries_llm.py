@@ -4084,3 +4084,53 @@ def multimodal_clip_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.element_at("u", k + 1).alias(f"t{k}") for k in range(4)],
         dedup.dot_expr(F.col("embedding"), F.col("u")).alias("cross_cos"),
     )
+
+
+@register(
+    "text_lm_surprisal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), tot AS (
+      SELECT CAST(LENGTH(bin(COUNT(*))) AS BIGINT) AS bl_total FROM toks
+    ), vocab AS (
+      SELECT w, CAST(LENGTH(bin(COUNT(*))) AS BIGINT) AS bl_w
+      FROM toks GROUP BY w ORDER BY COUNT(*) DESC, w ASC LIMIT 1024
+    ), scored AS (
+      SELECT t.doc_id,
+             CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov,
+             CASE WHEN v.w IS NULL THEN tot.bl_total + 1
+                  ELSE tot.bl_total - v.bl_w END AS bits
+      FROM toks t LEFT JOIN vocab v ON v.w = t.w CROSS JOIN tot
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(oov) AS BIGINT) AS n_oov,
+             CAST(SUM(bits) AS BIGINT) AS surprisal_bits
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_oov, 0) AS n_oov,
+           COALESCE(a.surprisal_bits, 0) AS surprisal_bits
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+    tags=("llm-text",),
+    doc="CCNet-style LM quality prior, integer-exact tier "
+    "(llm.text.word_surprisal_scores): per-doc word surprisal in whole "
+    "bits against the corpus's own top-1024 unigram table — "
+    "bitlen(total) - bitlen(count) per word (floor-log2 self-"
+    "information via BINARY STRING LENGTH: Spark conv(n,10,2) / DuckDB "
+    "bin(n) — never libm log2, so every value is engine-exact), OOV "
+    "pays bitlen(total)+1. The trained-float sibling (unigram-LM "
+    "Viterbi pieces_logp, libm log) stays pytest-pinned — the "
+    "two-tier pattern of classifier/BM25. One token shuffle builds "
+    "the bounded frequency table (deterministic count-desc/word-asc "
+    "cut), which joins back BROADCAST; corpus scalars ride the "
+    "broadcast single-row cross join.",
+)
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.word_surprisal_scores(d, vocab_size=1024)

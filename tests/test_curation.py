@@ -1114,3 +1114,67 @@ def test_compression_ratio_separates_repetitive_from_varied(spark):
     assert out[4]["ratio"] is None
     # schema: original columns preserved, three stats appended
     assert compression_ratio(df).columns == ["doc_id", "text", "n_bytes", "n_compressed", "ratio"]
+
+
+# ----------------------------------------------------- LM surprisal tier
+
+
+def test_word_surprisal_hand_computed(spark):
+    """4 docs, vocab_size large enough for all words; total = 8 tokens
+    → bitlen(8) = 4 ('1000'). 'the'×4 → bits 4-3=1; 'cat'/'sat'×2 →
+    4-2=2 each; wordless doc zero-filled."""
+    from data_lake_skyfit_spark.llm.text import word_surprisal_scores
+
+    d = spark.createDataFrame(
+        [
+            (1, "the cat sat"),       # 1 + 2 + 2 = 5 bits
+            (2, "the the cat"),       # 1 + 1 + 2 = 4
+            (3, "the sat"),           # 1 + 2 = 3
+            (4, "   "),               # no tokens
+            (5, None),                # null text
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_oov"], r["surprisal_bits"])
+        for r in word_surprisal_scores(d, vocab_size=16).collect()
+    }
+    assert out == {
+        1: (3, 0, 5),
+        2: (3, 0, 4),
+        3: (2, 0, 3),
+        4: (0, 0, 0),
+        5: (0, 0, 0),
+    }
+
+
+def test_word_surprisal_oov_penalty_and_vocab_cut(spark):
+    """vocab_size=1 keeps only the most frequent word ('a', 3×); every
+    other token is OOV and pays bitlen(total)+1 = bitlen(6)+1 = 4."""
+    from data_lake_skyfit_spark.llm.text import word_surprisal_scores
+
+    d = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_oov"], r["surprisal_bits"])
+        for r in word_surprisal_scores(d, vocab_size=1).collect()
+    }
+    # total=6 tokens → bitlen=3; 'a' count 3 → bitlen 2 → 1 bit each
+    assert out == {1: (4, 1, 3 * 1 + 4), 2: (2, 2, 8)}
+
+
+def test_word_surprisal_ranks_fluent_below_gibberish(spark):
+    """The quality-prior property: a document of common words scores
+    fewer bits/word than one of hapax gibberish on the same corpus."""
+    from data_lake_skyfit_spark.llm.text import word_surprisal_scores
+
+    common = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(i, common) for i in range(8)] + [
+        (100, "zxqv wvut kjhg plmo qwer tyui") ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["surprisal_bits"] / r["n_words"]
+        for r in word_surprisal_scores(d, vocab_size=64).collect()
+    }
+    assert out[100] > out[0] * 1.5
