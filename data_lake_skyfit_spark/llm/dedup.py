@@ -34,6 +34,7 @@ __all__ = [
     "simhash_bits",
     "embedding_cosine_pairs",
     "semantic_dedup",
+    "hamming_neardup_pairs",
 ]
 
 
@@ -1029,3 +1030,88 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hamming-banded near-dup join over 64-bit fingerprints (dHash, SimHash)
+# ---------------------------------------------------------------------------
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hi_col: str = "hash_hi",
+    lo_col: str = "hash_lo",
+    max_dist: int = 3,
+) -> DataFrame:
+    """All id pairs whose 64-bit fingerprints (hi/lo 32-bit halves,
+    both non-negative) differ in at most `max_dist` bits.
+
+    Multi-index pigeonhole: the 64 bits split into max_dist+1 bands
+    (boundaries i*64//(max_dist+1)); a pair within Hamming distance
+    max_dist agrees on at least one WHOLE band, so an equi-join on
+    (band_idx, band_value) generates a candidate superset — shuffle
+    ∝ n·(max_dist+1) rows, never n². Candidates are verified with the
+    EXACT distance bit_count(hi⊕hi') + bit_count(lo⊕lo'), all JVM
+    integer ops, so the result is engine-exact and identical to the
+    brute-force all-pairs scan (completeness is a theorem, not a
+    recall target). NULL fingerprints (undecodable media) drop out.
+    At 100 TB: a hot band value (e.g. an all-zero band from flat
+    images) skews the equi-join — AQE skew-join splitting handles it
+    at runtime, and raising max_dist narrows each band, spreading
+    values. Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if not 0 <= max_dist <= 63:
+        raise ValueError(f"max_dist must be in [0, 63], got {max_dist}")
+    bands = max_dist + 1
+    bounds = [i * 64 // bands for i in range(bands + 1)]
+    h64 = F.shiftleft(F.col(hi_col), 32).bitwiseOR(F.col(lo_col))
+    # A full-width band (max_dist=0) needs no mask — and its mask
+    # literal 2^64−1 would not fit a JVM long anyway.
+    band_vals = [
+        F.shiftrightunsigned(h64, bounds[i])
+        if bounds[i + 1] - bounds[i] == 64
+        else F.shiftrightunsigned(h64, bounds[i]).bitwiseAND(
+            F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+        )
+        for i in range(bands)
+    ]
+    # One small row per doc; checkpointed because the self-join consumes
+    # the frame twice (the multi-consumer lineage rule) and the upstream
+    # is typically a decode-heavy Arrow kernel.
+    hashed = (
+        df.select(id_col, hi_col, lo_col)
+        .filter(F.col(hi_col).isNotNull() & F.col(lo_col).isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    banded = hashed.select(
+        F.col(id_col).alias("pid"),
+        F.col(hi_col).alias("phi"),
+        F.col(lo_col).alias("plo"),
+        F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.pid") < F.col("b.pid")),
+        )
+        .select(
+            F.col("a.pid").alias("id_a"),
+            F.col("b.pid").alias("id_b"),
+            F.col("a.phi").alias("hi_a"),
+            F.col("a.plo").alias("lo_a"),
+            F.col("b.phi").alias("hi_b"),
+            F.col("b.plo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return cand.select(
+        "id_a", "id_b", dist.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_dist)

@@ -88,6 +88,11 @@ __all__ = [
     "synthesize_bmp_payloads",
     "synthesize_png_payloads",
     "synthesize_avi_payloads",
+    "image_dhash",
+    "synthesize_neardup_png_payloads",
+    "audio_vad_frames",
+    "vad_segments",
+    "synthesize_vad_wav_payloads",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -3611,3 +3616,300 @@ def sample_video_frames(
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) — the image analog of the text tier's
+# SimHash: a 64-bit gradient fingerprint over REAL decoded pixels, feeding
+# the generic Hamming-banded near-dup join (llm.dedup.hamming_neardup_pairs).
+# Reference analog: raw blob handling (src/common/lake.py:59-71) is the
+# north-star surface; the hash/join design is Spark-first, not a port.
+# ---------------------------------------------------------------------------
+
+
+def _dhash_bits(width: int, height: int, channels: int, raw: bytes) -> tuple[int, int] | None:
+    """64-bit difference hash over decoded channel bytes, ALL-INTEGER so
+    the value is engine-reproducible (no float resize/interpolation).
+
+    Grayscale via integer BT.601 luma (299r+587g+114b)//1000, then a
+    9x8 area downscale with floor block boundaries (xs_i = i*W//9,
+    ys_j = j*H//8) and floor-division block means — every step exact
+    integer arithmetic, so a SQL oracle can recompute the hash from a
+    closed-form pixel function. bit(r,c) = 1 iff cell[r][c] <
+    cell[r][c+1]; rows 0-3 pack into hash_hi (position r*8+c), rows
+    4-7 into hash_lo — two non-negative 32-bit values, sidestepping
+    BIGINT sign traps in both engines. Images narrower than 9 or
+    shorter than 8 return None (no downscale cell would own a pixel).
+    """
+    if width < 9 or height < 8:
+        return None
+    stride = width * channels
+    if channels == 3:
+        luma = [
+            (299 * raw[o] + 587 * raw[o + 1] + 114 * raw[o + 2]) // 1000
+            for o in range(0, height * stride, 3)
+        ]
+    elif channels == 1:
+        luma = list(raw[: height * width])
+    else:  # gray+alpha / RGBA: luma over the color channels only
+        cc = channels - 1
+        if cc == 3:
+            luma = [
+                (299 * raw[o] + 587 * raw[o + 1] + 114 * raw[o + 2]) // 1000
+                for o in range(0, height * stride, channels)
+            ]
+        else:
+            luma = [raw[o] for o in range(0, height * stride, channels)]
+    xs = [i * width // 9 for i in range(10)]
+    ys = [j * height // 8 for j in range(9)]
+    cells = []
+    for r in range(8):
+        row = []
+        for c in range(9):
+            s = 0
+            cnt = 0
+            for y in range(ys[r], ys[r + 1]):
+                base = y * width
+                for x in range(xs[c], xs[c + 1]):
+                    s += luma[base + x]
+                    cnt += 1
+            row.append(s // cnt)
+        cells.append(row)
+    hi = 0
+    lo = 0
+    for r in range(8):
+        for c in range(8):
+            if cells[r][c] < cells[r][c + 1]:
+                if r < 4:
+                    hi |= 1 << (r * 8 + c)
+                else:
+                    lo |= 1 << ((r - 4) * 8 + c)
+    return hi, lo
+
+
+def image_dhash(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """payload → (id, width, height, hash_hi, hash_lo): 64-bit dHash
+    perceptual fingerprint over REAL decoded pixels (BMP/PNG/GIF/
+    baseline+progressive JPEG/TIFF via _image_channel_bytes).
+
+    All-integer pipeline (see _dhash_bits) so hashes are engine-exact
+    and safe under the driver's hash compare. Undecodable payloads and
+    images smaller than the 9x8 grid yield NULL hash columns (real
+    schema, honest nulls — no fake hash, a wrong near-dup verdict is
+    worse than a missing one). Arrow-batched mapInPandas; one row per
+    image crosses the shuffle downstream, so at 100 TB the decode is
+    embarrassingly parallel and the join cost is owned by
+    hamming_neardup_pairs' banded equi-join."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("hash_hi", T.LongType()),
+            T.StructField("hash_lo", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b) -> tuple[int | None, int | None, int | None, int | None]:
+            dec = _image_channel_bytes(bytes(b))
+            if dec is None:
+                return None, None, None, None
+            w, h, ch, raw = dec
+            bits = _dhash_bits(w, h, ch, raw)
+            if bits is None:
+                return w, h, None, None
+            return w, h, bits[0], bits[1]
+
+        for pdf in batches:
+            decoded = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": pd.array([d[0] for d in decoded], dtype="Int32"),
+                    "height": pd.array([d[1] for d in decoded], dtype="Int32"),
+                    "hash_hi": pd.array([d[2] for d in decoded], dtype="Int64"),
+                    "hash_lo": pd.array([d[3] for d in decoded], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema)
+
+
+def synthesize_neardup_png_payloads(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """id → REAL 18x16 RGB PNG whose dHash is closed-form, with planted
+    near-duplicate pairs for the Hamming near-dup battery.
+
+    Docs pair up by k = id//2. The image is a 9x8 grid of 2x2 constant
+    blocks (18x16 pixels) with equal RGB channels, so BT.601 luma and
+    the 9x8 area downscale both return the block value v EXACTLY:
+    v(k, bx, by) = (k*53 + bx²*17 + by²*29 + bx*by*7 + bx*k) % 251 —
+    quadratic in bx/by and k-coupled so adjacent-column differences
+    vary per row AND per doc (a purely linear pattern makes every
+    doc's gradient field near-identical and floods the near-dup join
+    with accidental pairs). The odd doc
+    of each pair perturbs one cell (bx = k%9, by = k%8) to
+    (v+97) % 251, flipping at most the two dHash comparisons that touch
+    it — every planted pair lands within Hamming distance 2 and MUST
+    appear in a max_dist>=2 near-dup join (the scale-harness
+    cardinality lesson: fixtures must guarantee non-empty output).
+    Scanline filters cycle y%5, so decode still exercises the full
+    five-filter PNG reconstruction."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def _val(rid: int, bx: int, by: int) -> int:
+        k = rid // 2
+        v = (k * 53 + bx * bx * 17 + by * by * 29 + bx * by * 7 + bx * k) % 251
+        if rid % 2 == 1 and bx == k % 9 and by == k % 8:
+            v = (v + 97) % 251
+        return v
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    18,
+                    16,
+                    lambda x, y, c, rid=rid: _val(rid, x // 2, y // 2),
+                )
+                for rid in (int(v) for v in pdf[id_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Energy-based voice-activity detection over REAL decoded PCM — the audio
+# curation primitive (silence trimming / speech segmentation) a training
+# pipeline runs before transcription. Frame energies are exact integer
+# sums of squares, so the whole segmentation is engine-reproducible.
+# ---------------------------------------------------------------------------
+
+
+def audio_vad_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    frame_size: int = 160,
+    energy_threshold: int = 0,
+) -> DataFrame:
+    """payload → one row per FULL analysis frame (id, frame_idx,
+    energy, active): RIFF/WAVE PCM16 payloads decode for real
+    (_wav_samples), energy = Σ s² over the frame's frame_size wave
+    frames across all channels — exact int64 (160 samples × 32767²
+    ≈ 1.7e11 ≪ 2^63) — and active = energy > energy_threshold, an
+    integer compare. The trailing partial frame is dropped (a VAD
+    decision over a fraction of a window is noise). Non-WAV payloads
+    would need librosa: fake path derives a deterministic frame count
+    and energies from the content hash (or raises without
+    SKYFIT_FAKE_DECODE). Arrow-batched 1→N mapInPandas."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("active", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def rows(data: bytes):
+            if _looks_like_wav(data):
+                try:
+                    _sr, n_frames, n_ch, samples = _wav_samples(data)
+                    per = frame_size * n_ch
+                    out = []
+                    for t in range(n_frames // frame_size):
+                        e = 0
+                        for s in samples[t * per : (t + 1) * per]:
+                            e += s * s
+                        out.append((t, e, 1 if e > energy_threshold else 0))
+                    return out
+                except (ValueError, struct.error):
+                    pass  # RIFF-prefixed non-WAV bytes: fake path below
+            _require_codec("librosa")
+            d = hashlib.md5(data).digest()
+            return [
+                (t, 1000 + d[t % 16], 1 if d[t % 16] > 127 else 0)
+                for t in range(2 + d[0] % 4)
+            ]
+
+        for pdf in batches:
+            out: dict[str, list] = {id_col: [], "frame_idx": [], "energy": [], "active": []}
+            for rid, b in zip(pdf[id_col], pdf["payload"]):
+                for t, e, a in rows(bytes(b)):
+                    out[id_col].append(rid)
+                    out["frame_idx"].append(t)
+                    out["energy"].append(e)
+                    out["active"].append(a)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema)
+
+
+def vad_segments(frames: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """VAD frames → contiguous active segments via gaps-and-islands,
+    all JVM-side: island = frame_idx − row_number() is constant within
+    a run of consecutive active frames; one groupBy per island yields
+    (seg_idx, start_frame, end_frame, n_frames, seg_energy). One
+    window + one aggregation exchange, both partitioned by id — at
+    100 TB this shuffles one row per ACTIVE frame, never per sample
+    (samples were reduced to energies inside the Arrow kernel)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("frame_idx").asc_nulls_last())
+    act = frames.filter(F.col("active") == 1).withColumn(
+        "island", F.col("frame_idx") - F.row_number().over(w)
+    )
+    seg = act.groupBy(id_col, "island").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("energy").alias("seg_energy"),
+    )
+    ws = Window.partitionBy(id_col).orderBy(F.col("start_frame").asc_nulls_last())
+    return seg.select(
+        id_col,
+        F.row_number().over(ws).cast("long").alias("seg_idx"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "seg_energy",
+    )
+
+
+def synthesize_vad_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL mono PCM16 WAV with a closed-form silence/tone frame
+    schedule for the VAD battery: 160-sample frames, n_frames =
+    8 + id % 9 of them, frame f silent (all samples 0) iff
+    (f² + f + id) % 5 < 2 — an irregular quadratic-residue pattern so
+    islands of varying lengths exist — else sample
+    i = ((id*7919 + i*104729) % 65536) − 32768. A SQL oracle
+    recomputes every frame energy from the same formulas (no bytes)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in (int(v) for v in pdf[id_col]):
+                nblk = 8 + rid % 9
+                samples = []
+                for f in range(nblk):
+                    if (f * f + f + rid) % 5 < 2:
+                        samples.extend([0] * 160)
+                    else:
+                        samples.extend(
+                            ((rid * 7919 + i * 104729) % 65536) - 32768
+                            for i in range(f * 160, (f + 1) * 160)
+                        )
+                payloads.append(encode_wav_pcm16(WAV_RATES[rid % 5], samples))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)

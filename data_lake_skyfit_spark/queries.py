@@ -140,7 +140,15 @@ _PRIORITY = [
     # similarity / storage
     "ann_knn_join",
     "ann_ivf_topk",
-    "ann_sharded_probe_topk",
+    # (ann_sharded_probe_topk demoted past the cutoff in r4e for the
+    # perceptual image near-dup join: llm-similarity keeps THREE graded
+    # scale-path carriers (knn_join exact, ivf_topk clustered,
+    # pq_adc_topk sub-exhaustive quantized — the round-2 "driver grades
+    # the approximate path itself" requirement rides PQ-ADC now), and
+    # the sharded-probe entry stays drive-verified. image_neardup_hamming
+    # grades a NEW capability class: image perceptual dedup — real PNG
+    # decode → all-integer dHash → Hamming-banded complete join.)
+    "image_neardup_hamming",
     # PQ-ADC succeeds embedding_quantize_int8 in the graded slot (r4):
     # same llm-similarity/storage family, strictly harder machinery
     # (codebook argmin + packed codes + LUT scoring vs a scale map);
@@ -178,7 +186,12 @@ _PRIORITY = [
     # exact serving arithmetic — under the official hash gate)
     "multimodal_decode_jpeg",
     "multimodal_clip_encode",
-    "multimodal_decode_audio",
+    # (multimodal_decode_audio yielded its slot in r4e to the VAD tier:
+    # same llm-multimodal family and the SAME real WAV decode path runs
+    # inside audio_vad_frames, but VAD adds the frame-energy reduction
+    # + gaps-and-islands segmentation on top; decode_audio's stat
+    # battery stays drive-verified past the cutoff.)
+    "multimodal_audio_vad",
 ]
 
 

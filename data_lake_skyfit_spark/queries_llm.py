@@ -4134,3 +4134,114 @@ def multimodal_clip_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return text_ops.word_surprisal_scores(d, vocab_size=1024)
+
+
+@register(
+    "image_neardup_hamming",
+    """
+    WITH p AS (
+      SELECT doc_id, doc_id // 2 AS k, doc_id % 2 AS odd
+      FROM documents WHERE doc_id < 200
+    ), cells AS (
+      SELECT p.doc_id, g.rr, g.cc,
+             CASE WHEN p.odd = 1 AND g.cc = p.k % 9 AND g.rr = p.k % 8
+                  THEN ((p.k*53 + g.cc*g.cc*17 + g.rr*g.rr*29 + g.cc*g.rr*7 + g.cc*p.k) % 251 + 97) % 251
+                  ELSE (p.k*53 + g.cc*g.cc*17 + g.rr*g.rr*29 + g.cc*g.rr*7 + g.cc*p.k) % 251 END AS v
+      FROM p, LATERAL (
+        SELECT x.cc, y.rr
+        FROM (SELECT UNNEST(range(0, 9)) AS cc) x,
+             (SELECT UNNEST(range(0, 8)) AS rr) y
+      ) g
+    ), bits AS (
+      SELECT a.doc_id, a.rr, a.cc,
+             CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+      FROM cells a
+      JOIN cells b ON b.doc_id = a.doc_id AND b.rr = a.rr AND b.cc = a.cc + 1
+      WHERE a.cc < 8
+    )
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+    FROM bits x
+    JOIN bits y ON y.rr = x.rr AND y.cc = x.cc AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+    HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 3
+    """,
+    tags=("llm-dedup", "llm-multimodal"),
+    doc="PERCEPTUAL image near-dup: REAL PNG decode (zlib + five-filter "
+    "reconstruction) → all-integer 64-bit dHash (BT.601 integer luma, "
+    "floor-boundary 9x8 area downscale, gradient bits — "
+    "multimodal.image_dhash) → Hamming-banded self-join "
+    "(dedup.hamming_neardup_pairs): 64 bits split into max_dist+1=4 "
+    "bands, candidates from a (band_idx, band_val) equi-join — shuffle "
+    "∝ 4n, never n² — then EXACT bit_count(xor) verification, complete "
+    "by pigeonhole. Fixtures plant near-dup pairs (one perturbed cell "
+    "per odd doc ≤ 2 flipped bits), so output is guaranteed non-empty; "
+    "the oracle recomputes every hash bit closed-form and brute-forces "
+    "all pairs (the 200-doc scale where brute force IS the oracle of "
+    "record). The image analog of SimHash completing the dedup "
+    "modality matrix: text exact/near/semantic + IMAGE perceptual.",
+)
+def image_neardup_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_neardup_png_payloads(d, id_col="doc_id")
+    hashed = multimodal.image_dhash(media, id_col="doc_id")
+    pairs = dedup.hamming_neardup_pairs(hashed, id_col="doc_id", max_dist=3)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
+@register(
+    "multimodal_audio_vad",
+    """
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 9 AS nblk
+      FROM documents WHERE doc_id < 200
+    ), fr AS (
+      SELECT p.doc_id, f.f AS frame_idx,
+             SUM(CASE WHEN (f.f*f.f + f.f + p.doc_id) % 5 < 2 THEN 0
+                      ELSE v.v * v.v END) AS energy
+      FROM p,
+           LATERAL (SELECT UNNEST(range(0, p.nblk)) AS f) f,
+           LATERAL (
+             SELECT ((p.doc_id*7919 + (f.f*160 + s.s)*104729) % 65536) - 32768 AS v
+             FROM (SELECT UNNEST(range(0, 160)) AS s) s
+           ) v
+      GROUP BY 1, 2
+    ), act AS (
+      SELECT doc_id, frame_idx, energy,
+             frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS island
+      FROM fr WHERE energy > 0
+    ), seg AS (
+      SELECT doc_id, MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+             COUNT(*) AS n_frames, SUM(energy) AS seg_energy
+      FROM act GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) AS BIGINT) AS seg_idx,
+           CAST(start_frame AS BIGINT) AS start_frame,
+           CAST(end_frame AS BIGINT) AS end_frame,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(seg_energy AS BIGINT) AS seg_energy
+    FROM seg
+    """,
+    tags=("llm-multimodal",),
+    doc="Energy-based voice-activity detection over REAL decoded PCM "
+    "(multimodal.audio_vad_frames + vad_segments): WAV payloads decode "
+    "for real, 160-sample frame energies are EXACT int64 Σs² inside the "
+    "Arrow kernel (samples never cross a shuffle), active frames "
+    "segment via gaps-and-islands (frame_idx − row_number, one window "
+    "+ one agg exchange, both partitioned by doc). Fixtures carry an "
+    "irregular quadratic-residue silence schedule so variable-length "
+    "islands exist by construction; the oracle recomputes every frame "
+    "energy from the closed-form sample formula and replays the same "
+    "integer segmentation. The audio-curation primitive (silence "
+    "trimming / speech segmentation) of the training pipeline.",
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_vad_wav_payloads(d, id_col="doc_id")
+    frames = multimodal.audio_vad_frames(
+        media, id_col="doc_id", frame_size=160, energy_threshold=0
+    )
+    return multimodal.vad_segments(frames, id_col="doc_id")
