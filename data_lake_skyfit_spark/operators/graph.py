@@ -48,6 +48,7 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 1_000_000,
+    broadcast_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Integer-exact PageRank: returns ``(node_id, rank_scaled)``.
 
@@ -58,29 +59,51 @@ def pagerank(
     at ``scale`` and follow the integer recurrence in the module
     docstring — floor division keeps every intermediate a BIGINT, so
     the output hash-compares across engines.
+
+    Join strategy: the rank frame is one 16-byte row per node while the
+    edge frame is one row per EDGE — when the node count is at most
+    ``broadcast_nodes`` (≈32 MB at the default, the classic
+    host-graph case: millions of hosts, billions of links) the rank
+    side ships as a BROADCAST hash join and the edge frame is never
+    re-shuffled, leaving one map-side-combinable groupBy(dst) as the
+    only exchange per round. localCheckpoint (which the iteration
+    needs to cut lineage) reports UnknownPartitioning, so without the
+    hint every round would sort-merge-exchange the full edge list
+    against a kilobyte-scale rank table. Above the threshold the
+    shuffle join stands (rank tables that genuinely don't fit a task).
+    The node count comes from one scalar .count() job — bounded, never
+    data-sized rows on the driver.
     """
     if iterations < 1:
         raise ValueError("pagerank needs at least one iteration")
     if not 0 < damping_num < damping_den:
         raise ValueError("damping must be a proper fraction num/den")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Three consumers read the edge frame (node set, out-degrees, the
+    # degree-annotated edge list) — checkpoint it or its upstream
+    # lineage (often a join+distinct) re-executes per consumer.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
     # out-degree rides with the edge list so the per-iteration join is
     # a single equi-join (rank ⋈ edges+deg on src), not two.
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = e.join(deg, "src").localCheckpoint(eager=False)
     teleport = (damping_den - damping_num) * scale // damping_den
+    small = nodes.count() <= broadcast_nodes
 
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for _ in range(iterations):
+        rank_side = F.broadcast(ranks) if small else ranks
         inc = (
-            ed.join(ranks, ed["src"] == ranks["node"])
+            ed.join(rank_side, ed["src"] == rank_side["node"])
             .select("dst", F.expr("`rank` div `outdeg`").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inc"))
         )
+        inc_side = F.broadcast(inc) if small else inc
         ranks = (
-            nodes.join(inc, nodes["node"] == inc["dst"], "left")
+            nodes.join(inc_side, nodes["node"] == inc_side["dst"], "left")
             .select(
                 "node",
                 (

@@ -1570,6 +1570,9 @@ def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1_000_000_000) + F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
+        # the union below reads e0 twice — without the checkpoint the
+        # orders⋈lineitem join + distinct execute once per branch
+        .localCheckpoint(eager=False)
     )
     edges = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

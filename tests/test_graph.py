@@ -143,3 +143,22 @@ def test_triangles_hub_graph_orientation_bound(spark):
     assert out[0] == (100, 1, 2.0 * 1 / (100 * 99))
     assert out[1][1] == 1 and out[2][1] == 1
     assert out[50] == (1, 0, 0.0)
+
+
+def test_pagerank_broadcast_vs_shuffle_paths_identical(spark):
+    """The broadcast-rank fast path (node count ≤ broadcast_nodes) and
+    the big-graph shuffle path must produce bit-identical ranks.
+    (The per-round BroadcastHashJoin itself is not observable from the
+    returned frame — the round-boundary localCheckpoint truncates the
+    plan to an RDD scan — so the pin here is value parity between the
+    two join strategies, which is what the hint must not change.)"""
+    from data_lake_skyfit_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 23) for i in range(23) for _ in range(2)]
+        + [((i * 5) % 23, i) for i in range(23)],
+        "src long, dst long",
+    )
+    fast = pagerank(edges, iterations=3)
+    slow = pagerank(edges, iterations=3, broadcast_nodes=0)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
