@@ -36,6 +36,7 @@ __all__ = [
     "with_zorder",
     "inflate_documents",
     "inflate_embeddings",
+    "heavy_hitters",
 ]
 
 _ID_STRIDE = 1 << 40  # copy i shifts ids by i·stride: disjoint, order-safe
@@ -345,3 +346,71 @@ def dense_index(
     tagged = df.withColumn("__one", F.lit(1))
     out = ordered_running_sum(tagged, order_cols, "__one", out_col=out_col)
     return out.withColumn(out_col, (F.col(out_col) - 1).cast("long")).drop("__one")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """EXACT heavy hitters: every value of `col` occurring in strictly
+    more than n/k of the n input rows, with its exact count — equal to
+    ``GROUP BY col HAVING COUNT(*)*k > n`` but WITHOUT a full-vocabulary
+    shuffle (the boilerplate-token / hot-URL detection primitive; at
+    100 TB the naive groupBy shuffles one row per DISTINCT value, this
+    shuffles one row per CANDIDATE occurrence).
+
+    Two passes, both provably lossless:
+
+    1. CANDIDATES — a per-partition Misra–Gries summary of k−1
+       counters via Arrow-batched mapInPandas (exact pandas
+       value_counts per batch, then the standard mergeable-summaries
+       reduction: pointwise sum, subtract the k-th largest count, drop
+       non-positives; per-summary undercount ≤ n_p/k). If a value has
+       global count > n/k then in ≥1 partition its local count exceeds
+       n_p/k (averaging argument), where MG must retain it — so the
+       union of partition summaries is a candidate SUPERSET of the
+       true heavy hitters. At most (k−1)·partitions candidate rows.
+    2. RECOUNT — exact count of candidate values only: broadcast
+       semi-join (the scan stays map-side) + map-side-combinable
+       groupBy, then the integer filter cnt·k > n (never a float
+       division). n comes from one scalar .count() job.
+
+    The input column is read twice by design (a two-pass algorithm) —
+    each pass is a column-pruned scan; caching the exploded frame
+    would cost more memory than the rescan at corpus scale.
+
+    Returns (item, cnt) with `item` keeping the input column's type.
+    """
+    if k < 2:
+        raise ValueError("heavy_hitters needs k >= 2")
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    item_type = df.schema[col].dataType
+    items = df.select(F.col(col).alias("item"))
+    out_schema = T.StructType([T.StructField("item", item_type)])
+
+    def mg_kernel(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf["item"].dropna().value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) >= k:
+                # mergeable-summaries reduction to k-1 entries:
+                # subtract the k-th largest count from everything
+                kth = sorted(counters.values(), reverse=True)[k - 1]
+                counters = {v: c - kth for v, c in counters.items() if c > kth}
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    candidates = items.mapInPandas(mg_kernel, out_schema).distinct()
+    n = items.count()
+    return (
+        items.join(F.broadcast(candidates), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > n)
+    )

@@ -4245,3 +4245,40 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         media, id_col="doc_id", frame_size=160, energy_threshold=0
     )
     return multimodal.vad_segments(frames, id_col="doc_id")
+
+
+@register(
+    "text_heavy_hitters",
+    f"""
+    WITH t AS (
+      SELECT UNNEST({_DUCK_TOKENS.format(col="lower(text)")}) AS token
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM t)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM t CROSS JOIN tot
+    GROUP BY token, tot.n
+    HAVING COUNT(*) * 64 > tot.n
+    """,
+    tags=("llm-text", "sketch", "scale-path"),
+    doc="EXACT heavy hitters (operators/scale.heavy_hitters): every "
+    "token in > n/64 of the corpus's n token occurrences, with exact "
+    "counts — the boilerplate-token detection primitive. Two lossless "
+    "passes: per-partition Misra-Gries summaries (Arrow kernel, "
+    "mergeable-summaries reduction; any global heavy hitter must "
+    "locally exceed n_p/k in some partition, so the candidate union is "
+    "a provable superset) then a broadcast-semi-join exact recount with "
+    "the integer filter cnt*k > n — never a full-vocabulary shuffle, "
+    "so the plain GROUP BY ... HAVING oracle is EQUAL by theorem, not "
+    "by recall. The sketch tier's exact sibling (HLL/KLL are "
+    "error-bounded, this one is lossless by construction).",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import scale as scale_ops
+
+    d = _t(spark, sf_dir, "documents")
+    items = d.select(
+        F.explode(text_ops.tokens_expr(F.lower(F.col("text")))).alias("token")
+    )
+    return scale_ops.heavy_hitters(items, "token", k=64).select(
+        F.col("item").alias("token"), "cnt"
+    )

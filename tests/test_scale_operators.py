@@ -266,3 +266,42 @@ def test_with_zorder_keep_buckets_columns(spark):
     assert set(out.columns) == {"a", "b", "__z", "__zb_a", "__zb_b"}
     plain = scale.with_zorder(df, ["a", "b"], bits=4)
     assert set(plain.columns) == {"a", "b", "__z"}
+
+
+def test_heavy_hitters_equals_groupby_on_skewed_data(spark):
+    """MG candidates + exact recount must EQUAL the naive
+    GROUP BY ... HAVING on a skewed corpus spread over many partitions
+    (the per-partition summary guarantee is the thing under test), and
+    boundary counts (cnt*k == n) must be excluded — strict >."""
+    from data_lake_skyfit_spark.operators.scale import heavy_hitters
+
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 80
+        + [(f"cold{i}",) for i in range(520)]  # n=1000, k=16 → cnt > 62.5
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(13)
+    got = {(r["item"], r["cnt"]) for r in heavy_hitters(df, "item", k=16).collect()}
+    assert got == {("hot", 400), ("warm", 80)}
+    # exact boundary: value at exactly n/k must NOT appear
+    rows2 = [("edge",)] * 50 + [(f"x{i}",) for i in range(750)]  # n=800, k=16: 50*16 == 800
+    df2 = spark.createDataFrame(rows2, "item string").repartition(7)
+    assert heavy_hitters(df2, "item", k=16).collect() == []
+
+
+def test_heavy_hitters_int_items_nulls_and_bad_k(spark):
+    import pytest as _pytest
+
+    from data_lake_skyfit_spark.operators.scale import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(7,)] * 30 + [(None,)] * 40 + [(100 + i,) for i in range(30)],
+        "item int",
+    ).repartition(5)
+    # nulls are ignored (they never equi-join; SQL callers wanting the
+    # NULL group must count it separately) — n here counts ALL rows,
+    # so 7 needs 30*4 > 100: true
+    got = heavy_hitters(df, "item", k=4).collect()
+    assert [(r["item"], r["cnt"]) for r in got] == [(7, 30)]
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "item", k=1)
