@@ -35,6 +35,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "semantic_dedup",
     "hamming_neardup_pairs",
+    "containment_pairs",
 ]
 
 
@@ -1115,3 +1116,91 @@ def hamming_neardup_pairs(
     return cand.select(
         "id_a", "id_b", dist.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_dist)
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment join (doc-inside-doc detection)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """All ORDERED pairs (a, b), a ≠ b, where doc a's n-gram shingle
+    set is at least num/den CONTAINED in doc b's:
+    |sh(a) ∩ sh(b)| · den ≥ num · |sh(a)|.
+
+    The asymmetric near-dup Jaccard misses: a tweet quoted inside an
+    article, a README pasted into a mono-repo dump — |A∩B|/|A∪B| is
+    tiny when |B| ≫ |A| but A is still a duplicate worth dropping.
+    The threshold is a RATIONAL num/den and every decision is an
+    integer compare, so the result is engine-exact end to end (the
+    reported containment ratio is one IEEE divide of exact integers).
+
+    Plan (the SSJoin prefix filter, asymmetric form): under a global
+    (df asc, shingle asc) frequency order, if containment ≥ num/den
+    then b shares at least one of a's rarest
+    L = ⌊(den−num)·|a|/den⌋ + 1 shingles — missing all L would mean
+    missing > (1−t)·|a| of them (pigeonhole). So the PROBE side
+    indexes only each a's length-L prefix (pure integer length — no
+    float-boundary epsilon needed) while the build side indexes ALL
+    shingles; candidates come from the (shingle) equi-join and are
+    verified exactly on full sets. Lossless by construction. Hot
+    boilerplate shingles appear in many b rows but sort LAST in the
+    frequency order, so they rarely enter any a-prefix — the hot
+    bucket's fan-in is (full df) × (rare prefix df), not df².
+
+    Returns (a_id, b_id, inter, size_a, containment).
+    """
+    if not 0 < threshold_num <= threshold_den:
+        raise ValueError("containment threshold must be a fraction in (0, 1]")
+    s = (
+        _with_shingles(df, text_col, id_col, n)
+        .withColumn("sz", F.size("sh"))
+        .filter(F.col("sz") > 0)
+        .localCheckpoint(eager=False)  # feeds index, probe AND verification
+    )
+    ex = s.select("id", F.explode("sh").alias("g"))
+    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
+    prefix = (
+        s.select("id", "sz", F.explode("sh").alias("g"))
+        .join(freq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.expr(f"div(({threshold_den}-{threshold_num})*sz, {threshold_den}) + 1")
+        )
+        .select("id", "g")
+    )
+    candidates = (
+        prefix.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sh_a = s.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("sz").alias("size_a"))
+    sh_b = s.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .withColumn("inter", inter.cast("long"))
+        .filter(F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("size_a"))
+        .select(
+            "a_id",
+            "b_id",
+            "inter",
+            F.col("size_a").cast("long").alias("size_a"),
+            (F.col("inter") / F.col("size_a")).alias("containment"),
+        )
+    )

@@ -4282,3 +4282,40 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scale_ops.heavy_hitters(items, "token", k=64).select(
         F.col("item").alias("token"), "cnt"
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES.format(w='w')} AS s FROM t
+    ), nz AS (
+      SELECT doc_id, s, len(s) AS sz FROM sh WHERE len(s) > 0
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           CAST(a.sz AS BIGINT) AS size_a,
+           len(list_intersect(a.s, b.s))::DOUBLE / a.sz AS containment
+    FROM nz a JOIN nz b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 5 >= 4 * a.sz
+    """,
+    tags=("llm-dedup",),
+    doc="ASYMMETRIC containment join (llm.dedup.containment_pairs): all "
+    "ordered pairs where >= 4/5 of doc a's 3-gram shingles appear in "
+    "doc b — the doc-inside-doc case (quoted tweet in an article, "
+    "README pasted into a dump) that symmetric Jaccard misses when "
+    "|b| >> |a|. Engine-exact: the threshold is the rational 4/5 and "
+    "every decision is an integer compare (inter*5 >= 4*size_a); the "
+    "reported ratio is one IEEE divide of exact integers. Spark runs "
+    "the asymmetric SSJoin prefix filter (probe side indexes only each "
+    "a's floor((1-t)|a|)+1 rarest shingles — a PURE-INTEGER prefix "
+    "length, no float-boundary epsilon — build side indexes all; "
+    "candidates verified on full sets, lossless by pigeonhole); the "
+    "oracle brute-forces every ordered pair, which at battery scale is "
+    "the oracle of record.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, threshold_num=4, threshold_den=5)

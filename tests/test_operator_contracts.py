@@ -383,3 +383,92 @@ def test_minhash_index_replayed_batch_no_duplicate_pairs(spark, tmp_path):
     rows = [(r["a_id"], r["b_id"]) for r in replay.collect()]
     assert sorted(rows) == first  # same pairs...
     assert len(rows) == len(set(rows))  # ...and no duplicated rows
+
+
+def test_containment_pairs_equals_bruteforce_and_is_asymmetric(spark):
+    """The prefix-filtered containment join must equal the ordered-pair
+    brute force, and must catch the doc-inside-doc case Jaccard misses:
+    a short doc fully quoted inside a much longer one."""
+    from data_lake_skyfit_spark.llm.dedup import (
+        containment_pairs,
+        jaccard_pairs_bruteforce,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        "intro words here now " + short + " and a very long tail "
+        + " ".join(f"tok{i} filler{i} pad{i}" for i in range(40))
+    )
+    docs = [
+        (1, short),
+        (2, long_doc),
+        (3, "completely different content with many unique words in it"),
+        (4, short),  # exact twin of 1
+        (5, "xx"),  # < 3 tokens → empty shingle set, must drop silently
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a_id"], r["b_id"]): (r["inter"], r["size_a"])
+        for r in containment_pairs(df).collect()
+    }
+    # brute force in python
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    expect = {}
+    for a, ta in docs:
+        for b, tb in docs:
+            sa, sb = sh(ta), sh(tb)
+            if a == b or not sa:
+                continue
+            inter = len(sa & sb)
+            if inter * 5 >= 4 * len(sa):
+                expect[(a, b)] = (inter, len(sa))
+    assert got == expect
+    # the asymmetric catch: 1 ⊂ 2 found, but Jaccard(1,2) is far below 0.8
+    assert (1, 2) in got and (2, 1) not in got
+    jac = {
+        (r["a_id"], r["b_id"])
+        for r in jaccard_pairs_bruteforce(df, threshold=0.8).collect()
+    }
+    assert (1, 2) not in jac and (2, 1) not in jac
+
+
+def test_containment_prefix_filter_is_lossless_on_random_corpus(spark):
+    """Randomized sweep: prefix-filtered result == unfiltered ordered
+    brute force (array_intersect over the full cross set) on a corpus
+    with shared boilerplate (hot shingles) and varied lengths."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_lake_skyfit_spark.llm.dedup import containment_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = "terms of service apply here always"
+    docs = []
+    for i in range(40):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))
+        docs.append((i, (boiler + " " + body) if i % 3 == 0 else body))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"]) for r in containment_pairs(df).collect()}
+
+    from data_lake_skyfit_spark.llm.text import shingles_expr
+
+    s = df.select("doc_id", shingles_expr("text").alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    a, b = s.alias("a"), s.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.size(F.array_intersect("a.sh", "b.sh")).alias("inter"),
+            F.size("a.sh").alias("sz"),
+        )
+        .filter(F.col("inter") * 5 >= 4 * F.col("sz"))
+    )
+    assert got == {(r["a_id"], r["b_id"]) for r in brute.collect()}
