@@ -64,6 +64,7 @@ __all__ = [
     "extract_embeddings",
     "sample_video_frames",
     "encode_wav_pcm16",
+    "encode_wav_ima_adpcm",
     "encode_aiff_pcm16",
     "encode_ppm",
     "encode_bmp24",
@@ -200,10 +201,15 @@ def encode_wav_pcm16(
 
 def _wav_samples(data: bytes) -> tuple[int, int, int, tuple]:
     """Parse a RIFF/WAVE payload once: (sample_rate, n_frames,
-    n_channels, interleaved 16-bit samples). Raises ValueError on
-    non-PCM16 or a declared sample rate of 0 (wave's reader does not
-    validate it, and downstream duration/fps math divides by it —
-    code-review r3)."""
+    n_channels, interleaved 16-bit samples). PCM16 decodes via `wave`;
+    format tag 0x0011 dispatches to the REAL IMA ADPCM decoder
+    (_ima_wav_samples), so every WAV consumer — decode_audio, VAD,
+    feature extraction — handles compressed payloads transparently.
+    Raises ValueError on other compressed tags, non-16-bit PCM, or a
+    declared sample rate of 0 (wave's reader does not validate it, and
+    downstream duration/fps math divides by it — code-review r3)."""
+    if _wav_format_tag(data) == 0x11:
+        return _ima_wav_samples(data)
     try:
         with wave.open(io.BytesIO(data), "rb") as w:
             sr = w.getframerate()
@@ -3910,6 +3916,222 @@ def synthesize_vad_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
                             for i in range(f * 160, (f + 1) * 160)
                         )
                 payloads.append(encode_wav_pcm16(WAV_RATES[rid % 5], samples))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAVE format tag 0x0011) — REAL compressed-audio codec.
+# 4 bits/sample vs 16: the classic speech-corpus compression; decoding it
+# for real extends every WAV consumer (decode_audio, audio_vad_frames,
+# extract_embeddings) beyond plain PCM. The state machine is the IMA
+# reference algorithm; the per-nibble step function is validated against
+# stdlib audioop.adpcm2lin (an independent implementation) in tests, and
+# a hand-built block golden pins the WAV wire convention (4-byte
+# per-block header, LOW nibble first).
+# ---------------------------------------------------------------------------
+
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_decode_nibble(nibble: int, predictor: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (new_predictor, new_index)."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble & 7]))
+    return predictor, index
+
+
+def _ima_encode_sample(s: int, predictor: int, index: int) -> tuple[int, int, int]:
+    """One IMA ADPCM encode step: (nibble, new_predictor, new_index).
+    The encoder reconstructs through the DECODER's arithmetic so both
+    sides track the identical state (the codec's core invariant)."""
+    step = _IMA_STEP_TABLE[index]
+    diff = s - predictor
+    nibble = 8 if diff < 0 else 0
+    if diff < 0:
+        diff = -diff
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+    predictor, index = _ima_decode_nibble(nibble, predictor, index)
+    return nibble, predictor, index
+
+
+def encode_wav_ima_adpcm(
+    sample_rate: int, samples: list[int], *, block_align: int = 256
+) -> bytes:
+    """Encode mono 16-bit samples as a REAL RIFF/WAVE IMA ADPCM file
+    (wFormatTag 0x0011): per-block 4-byte header (predictor int16 LE =
+    the block's first sample, step index uint8, reserved 0) followed by
+    (block_align−4)·2 nibbles, LOW nibble first — so each block carries
+    1 + (block_align−4)·2 samples. A fact chunk records the true sample
+    count (the final block zero-pads its nibbles; decoders truncate).
+    """
+    if block_align < 8 or block_align % 4:
+        raise ValueError("block_align must be a multiple of 4, >= 8")
+    if not samples:
+        raise ValueError("ima adpcm: need at least one sample")
+    spb = (block_align - 4) * 2 + 1
+    index = 0
+    blocks = []
+    for b0 in range(0, len(samples), spb):
+        chunk = samples[b0 : b0 + spb]
+        predictor = chunk[0]
+        blocks.append(struct.pack("<hBB", predictor, index, 0))
+        nibbles = []
+        for s in chunk[1:]:
+            nib, predictor, index = _ima_encode_sample(s, predictor, index)
+            nibbles.append(nib)
+        while len(nibbles) < (block_align - 4) * 2:  # zero-pad final block
+            nib, predictor, index = _ima_encode_sample(predictor, predictor, index)
+            nibbles.append(nib)
+        blocks.append(
+            bytes(
+                nibbles[i] | (nibbles[i + 1] << 4)  # LOW nibble first
+                for i in range(0, len(nibbles), 2)
+            )
+        )
+    data = b"".join(blocks)
+    byte_rate = sample_rate * block_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    fact = struct.pack("<I", len(samples))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_wav_chunks(data: bytes) -> dict[bytes, bytes]:
+    """First occurrence of each top-level RIFF/WAVE chunk, with every
+    declared size validated against the actual payload BEFORE slicing
+    (the r4 decoder-fuzz rule)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    out: dict[bytes, bytes] = {}
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > len(data):
+            raise ValueError("WAV chunk declares more bytes than the payload holds")
+        out.setdefault(cid, data[pos + 8 : pos + 8 + size])
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def _wav_format_tag(data: bytes) -> int | None:
+    """wFormatTag of a RIFF/WAVE payload, None when unparseable."""
+    try:
+        fmt = _riff_wav_chunks(data).get(b"fmt ")
+    except (ValueError, struct.error):
+        return None
+    if fmt is None or len(fmt) < 16:
+        return None
+    return struct.unpack_from("<H", fmt, 0)[0]
+
+
+def _ima_wav_samples(data: bytes) -> tuple[int, int, int, tuple]:
+    """Decode a mono IMA ADPCM WAV: (sample_rate, n_frames, n_channels,
+    samples) — the _wav_samples contract, so every WAV consumer works
+    on compressed payloads unchanged."""
+    chunks = _riff_wav_chunks(data)
+    fmt = chunks.get(b"fmt ")
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt chunk")
+    tag, n_ch, sr, _br, block_align = struct.unpack_from("<HHIIH", fmt, 0)
+    if tag != 0x11:
+        raise ValueError(f"not IMA ADPCM (fmt tag {tag})")
+    if n_ch != 1:
+        raise ValueError("only mono IMA ADPCM supported")
+    if sr <= 0:
+        raise ValueError("WAV declares a non-positive sample rate")
+    if block_align < 8:
+        raise ValueError("IMA ADPCM block align too small")
+    body = chunks.get(b"data")
+    if body is None:
+        raise ValueError("WAV missing data chunk")
+    fact = chunks.get(b"fact")
+    spb = (block_align - 4) * 2 + 1
+    n_blocks = len(body) // block_align
+    limit = n_blocks * spb
+    total = struct.unpack_from("<I", fact, 0)[0] if fact and len(fact) >= 4 else limit
+    if total > limit:
+        raise ValueError("WAV fact chunk declares more samples than data holds")
+    out: list[int] = []
+    for b in range(n_blocks):
+        if len(out) >= total:
+            break
+        block = body[b * block_align : (b + 1) * block_align]
+        predictor, index, _res = struct.unpack_from("<hBB", block, 0)
+        index = max(0, min(88, index))
+        out.append(predictor)
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):  # LOW nibble first
+                predictor, index = _ima_decode_nibble(nib, predictor, index)
+                out.append(predictor)
+    return sr, total, 1, tuple(out[:total])
+
+
+def synthesize_adpcm_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL IMA ADPCM WAV whose decode is EXACTLY lossless, so a
+    SQL oracle can recompute the decoded stats closed-form: the signal
+    is CONSTANT within each block — the 4-byte block header carries the
+    first sample verbatim, and encoding a zero difference always emits
+    nibble 0, whose reconstruction delta is step>>3 = 0 at the pinned
+    index 0 (nibble 0 also steps the index by −1, clamping at 0 — so
+    the state never drifts). Per id: rate = WAV_RATES[id % 5],
+    block_align 12 (17 samples/block), nblocks = 4 + id % 5, block b's
+    value = ((id·37 + b·101) mod 4001) − 2000. The state machine under
+    NONZERO nibbles is pinned against stdlib audioop in pytest — this
+    fixture grades the container/framing layer the driver can check."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    spb = (12 - 4) * 2 + 1  # 17
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in (int(v) for v in pdf[id_col]):
+                samples = [
+                    ((rid * 37 + b * 101) % 4001) - 2000
+                    for b in range(4 + rid % 5)
+                    for _ in range(spb)
+                ]
+                payloads.append(
+                    encode_wav_ima_adpcm(
+                        WAV_RATES[rid % 5], samples, block_align=12
+                    )
+                )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(kernel, out_schema)

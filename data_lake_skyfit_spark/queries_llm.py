@@ -4319,3 +4319,48 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dedup.containment_pairs(d, threshold_num=4, threshold_den=5)
+
+
+@register(
+    "multimodal_decode_adpcm",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS sr,
+             4 + doc_id % 5 AS nblk
+      FROM documents WHERE doc_id < 250
+    ), s AS (
+      SELECT p.doc_id, p.sr, p.nblk * 17 AS n,
+             CAST(SUM(v.v) * 17 AS BIGINT) AS vsum,
+             SUM(v.v * v.v) * 17 AS vsq
+      FROM p, LATERAL (
+        SELECT ((p.doc_id*37 + b.b*101) % 4001) - 2000 AS v
+        FROM (SELECT UNNEST(range(0, p.nblk)) AS b) b
+      ) v
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(sr AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((n*1000)//sr AS BIGINT) AS duration_ms,
+           vsum AS sample_sum,
+           SQRT(CAST(vsq AS DOUBLE) / n) AS rms
+    FROM s
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL IMA ADPCM decode (multimodal._ima_wav_samples behind the "
+    "shared _wav_samples dispatch on wFormatTag 0x0011): 4-bit "
+    "compressed audio through the SAME decode_audio consumer as PCM. "
+    "Fixtures are per-block-constant, which the codec preserves "
+    "EXACTLY (block header carries the first sample verbatim; a zero "
+    "difference emits nibble 0 whose delta is step>>3 = 0 at the "
+    "pinned index), so the oracle recomputes sum/rms closed-form. The "
+    "state machine under nonzero nibbles is pinned against stdlib "
+    "audioop (an independent implementation) and a hand-built block "
+    "golden pins the low-nibble-first wire convention — "
+    "test_multimodal_codecs.",
+)
+def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    media = multimodal.synthesize_adpcm_wav_payloads(d, id_col="doc_id")
+    return multimodal.decode_audio(media, id_col="doc_id")

@@ -1517,3 +1517,127 @@ def test_decode_images_ppm_real_path_on_spark(spark):
             for x in range(w)
             for c in range(ch)
         )
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAVE format tag 0x0011)
+# ---------------------------------------------------------------------------
+
+
+def test_ima_adpcm_state_machine_matches_audioop():
+    """The per-nibble decode step must match stdlib audioop.adpcm2lin —
+    an INDEPENDENT implementation of the same IMA algorithm — over a
+    long pseudo-random nibble stream from state (0, 0). (audioop packs
+    HIGH nibble first; the WAV container packs low-first — the packing
+    is pinned separately by the block golden below.)"""
+    import random
+
+    audioop = pytest.importorskip("audioop")
+    from data_lake_skyfit_spark.llm.multimodal import _ima_decode_nibble
+
+    rng = random.Random(3)
+    nibbles = [rng.randrange(16) for _ in range(2000)]
+    pred = idx = 0
+    mine = []
+    for nb in nibbles:
+        pred, idx = _ima_decode_nibble(nb, pred, idx)
+        mine.append(pred)
+    packed = bytes(
+        (nibbles[i] << 4) | nibbles[i + 1] for i in range(0, len(nibbles), 2)
+    )
+    ref = audioop.adpcm2lin(packed, 2, None)[0]
+    theirs = list(struct.unpack(f"<{len(nibbles)}h", ref))
+    assert mine == theirs
+
+
+def test_ima_adpcm_block_golden_wire_convention():
+    """Hand-built single block pins the WAV wire convention: 4-byte
+    header (predictor int16 LE = first sample verbatim, step index,
+    reserved), then LOW nibble first. With predictor=100, index=0 the
+    nibble byte 0x81 decodes low nibble 1 (step 7: diff = 0+1 = +1 →
+    101) then high nibble 8 (index moved -1 → clamped 0, step 7,
+    magnitude 0: diff = 7>>3 = 0, sign → 101-0 = 101)."""
+    from data_lake_skyfit_spark.llm.multimodal import _ima_wav_samples
+
+    block_align = 8  # header + 4 nibble bytes = 9 samples/block
+    data = struct.pack("<hBB", 100, 0, 0) + bytes([0x81, 0x00, 0x00, 0x00])
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000 * 8 // 9, block_align, 4, 2, 9)
+    fact = struct.pack("<I", 3)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", 4) + fact
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    sr, n, ch, samples = _ima_wav_samples(wav)
+    assert (sr, n, ch) == (8000, 3, 1)
+    assert list(samples) == [100, 101, 101]
+
+
+def test_ima_adpcm_roundtrip_tracks_smooth_signals():
+    """Encode→decode over a smooth signal: first sample exact per
+    block, every reconstructed sample within a loose codec bound, and
+    multi-block streams carry the step index ACROSS blocks."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _wav_samples,
+        encode_wav_ima_adpcm,
+    )
+
+    samples = [int(3000 * math.sin(i / 25)) for i in range(1500)]
+    wav = encode_wav_ima_adpcm(22050, samples, block_align=64)
+    sr, n, ch, dec = _wav_samples(wav)
+    assert (sr, n, ch) == (22050, 1500, 1)
+    spb = (64 - 4) * 2 + 1
+    for b0 in range(0, 1500, spb):
+        assert dec[b0] == samples[b0]  # header carries it verbatim
+    assert max(abs(a - b) for a, b in zip(samples, dec)) < 256
+
+
+def test_ima_adpcm_flows_through_wav_consumers(spark):
+    """decode_audio and audio_vad_frames must decode ADPCM payloads FOR
+    REAL — sample_sum equals the decoded-sample sum, VAD energies the
+    decoded Σs² (not the pre-encode originals: the codec is lossy)."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _wav_samples,
+        encode_wav_ima_adpcm,
+    )
+
+    samples = [int(2000 * math.sin(i / 10)) for i in range(480)]
+    wav = encode_wav_ima_adpcm(16000, samples, block_align=64)
+    _sr, _n, _ch, dec = _wav_samples(wav)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    row = multimodal.decode_audio(df).collect()[0]
+    assert row["sample_rate"] == 16000 and row["n_samples"] == 480
+    assert row["sample_sum"] == sum(dec)
+    fr = {r["frame_idx"]: r["energy"] for r in
+          multimodal.audio_vad_frames(df, frame_size=160).collect()}
+    assert fr == {
+        t: sum(s * s for s in dec[t * 160 : (t + 1) * 160]) for t in range(3)
+    }
+
+
+def test_ima_adpcm_rejects_corrupt_payloads():
+    """Fuzz rule: declared sizes validated before any allocation; junk
+    raises ValueError/struct.error, never hangs or over-allocates."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _ima_wav_samples,
+        encode_wav_ima_adpcm,
+    )
+
+    wav = bytearray(encode_wav_ima_adpcm(8000, [0] * 100))
+    # chunk declaring more bytes than the payload holds
+    bad = bytes(wav[:16]) + struct.pack("<I", 1 << 30) + bytes(wav[20:])
+    with pytest.raises((ValueError, struct.error)):
+        _ima_wav_samples(bad)
+    # stereo tag rejected (documented mono-only)
+    fmt_off = bytes(wav).find(b"fmt ") + 8
+    stereo = bytes(wav[:fmt_off + 2]) + struct.pack("<H", 2) + bytes(wav[fmt_off + 4:])
+    with pytest.raises(ValueError):
+        _ima_wav_samples(stereo)
+    # fact declaring more samples than the data blocks hold
+    fact_off = bytes(wav).find(b"fact") + 8
+    lying = bytes(wav[:fact_off]) + struct.pack("<I", 10**6) + bytes(wav[fact_off + 4:])
+    with pytest.raises(ValueError):
+        _ima_wav_samples(lying)
+    with pytest.raises(ValueError):
+        encode_wav_ima_adpcm(8000, [])
+    with pytest.raises(ValueError):
+        encode_wav_ima_adpcm(8000, [1], block_align=6)
