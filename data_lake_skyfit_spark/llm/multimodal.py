@@ -65,6 +65,7 @@ __all__ = [
     "sample_video_frames",
     "encode_wav_pcm16",
     "encode_wav_ima_adpcm",
+    "encode_wav_g711",
     "encode_aiff_pcm16",
     "encode_ppm",
     "encode_bmp24",
@@ -203,13 +204,18 @@ def _wav_samples(data: bytes) -> tuple[int, int, int, tuple]:
     """Parse a RIFF/WAVE payload once: (sample_rate, n_frames,
     n_channels, interleaved 16-bit samples). PCM16 decodes via `wave`;
     format tag 0x0011 dispatches to the REAL IMA ADPCM decoder
-    (_ima_wav_samples), so every WAV consumer — decode_audio, VAD,
-    feature extraction — handles compressed payloads transparently.
+    (_ima_wav_samples) and tags 0x0006/0x0007 to the REAL G.711
+    A-law/μ-law decoder (_g711_wav_samples), so every WAV consumer —
+    decode_audio, VAD, feature extraction — handles compressed
+    payloads transparently.
     Raises ValueError on other compressed tags, non-16-bit PCM, or a
     declared sample rate of 0 (wave's reader does not validate it, and
     downstream duration/fps math divides by it — code-review r3)."""
-    if _wav_format_tag(data) == 0x11:
+    tag = _wav_format_tag(data)
+    if tag == 0x11:
         return _ima_wav_samples(data)
+    if tag in (0x6, 0x7):
+        return _g711_wav_samples(data)
     try:
         with wave.open(io.BytesIO(data), "rb") as w:
             sr = w.getframerate()
@@ -4132,6 +4138,104 @@ def synthesize_adpcm_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> D
                         WAV_RATES[rid % 5], samples, block_align=12
                     )
                 )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# G.711 μ-law / A-law (WAVE format tags 0x0007 / 0x0006) — REAL telephony
+# codecs. STATE-FREE: each 8-bit byte maps to one PCM16 value through a
+# fixed sign/exponent/mantissa formula, so unlike ADPCM the ENTIRE decode
+# is SQL-expressible and the driver grades the codec itself, not just the
+# framing. Both formulas are validated byte-for-byte against stdlib
+# audioop (ulaw2lin/alaw2lin) in tests.
+# ---------------------------------------------------------------------------
+
+
+def _g711_mulaw_decode(b: int) -> int:
+    c = ~b & 0xFF
+    exp = (c >> 4) & 7
+    val = ((((c & 0xF) << 3) + 0x84) << exp) - 0x84
+    return -val if c & 0x80 else val
+
+
+def _g711_alaw_decode(b: int) -> int:
+    c = b ^ 0x55
+    exp = (c >> 4) & 7
+    mant = c & 0xF
+    val = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+    return val if c & 0x80 else -val
+
+
+_MULAW_LUT = tuple(_g711_mulaw_decode(i) for i in range(256))
+_ALAW_LUT = tuple(_g711_alaw_decode(i) for i in range(256))
+
+
+def encode_wav_g711(
+    sample_rate: int, companded: bytes | list[int], *, law: str = "mulaw"
+) -> bytes:
+    """Wrap already-companded G.711 bytes in a REAL RIFF/WAVE container
+    (format tag 0x0007 μ-law / 0x0006 A-law, 8 bits/sample, mono, with
+    the fact chunk non-PCM WAVs are required to carry)."""
+    tag = {"mulaw": 0x7, "alaw": 0x6}.get(law)
+    if tag is None:
+        raise ValueError(f"law must be 'mulaw' or 'alaw', got {law!r}")
+    if sample_rate <= 0:
+        raise ValueError("g711: sample rate must be positive")
+    data = bytes(companded)
+    fmt = struct.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+    fact = struct.pack("<I", len(data))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _g711_wav_samples(data: bytes) -> tuple[int, int, int, tuple]:
+    """Decode a mono G.711 WAV to PCM16: the _wav_samples contract."""
+    chunks = _riff_wav_chunks(data)
+    fmt = chunks.get(b"fmt ")
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt chunk")
+    tag, n_ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag not in (0x6, 0x7):
+        raise ValueError(f"not G.711 (fmt tag {tag})")
+    if n_ch != 1 or bits != 8:
+        raise ValueError("only mono 8-bit G.711 supported")
+    if sr <= 0:
+        raise ValueError("WAV declares a non-positive sample rate")
+    body = chunks.get(b"data")
+    if body is None:
+        raise ValueError("WAV missing data chunk")
+    lut = _MULAW_LUT if tag == 0x7 else _ALAW_LUT
+    return sr, len(body), 1, tuple(lut[b] for b in body)
+
+
+def synthesize_g711_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL G.711 WAV with closed-form companded bytes, so a SQL
+    oracle can decode EVERY SAMPLE arithmetically (the codec is
+    state-free): even ids are μ-law, odd ids A-law; rate =
+    WAV_RATES[id % 5]; n = 80 + id % 120 bytes;
+    byte[i] = (id·13 + i·7) mod 256 — all 256 code points appear
+    across the corpus, exercising every branch of the expansion."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav_g711(
+                    WAV_RATES[rid % 5],
+                    bytes((rid * 13 + i * 7) % 256 for i in range(80 + rid % 120)),
+                    law="mulaw" if rid % 2 == 0 else "alaw",
+                )
+                for rid in (int(v) for v in pdf[id_col])
+            ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(kernel, out_schema)

@@ -4364,3 +4364,60 @@ def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     media = multimodal.synthesize_adpcm_wav_payloads(d, id_col="doc_id")
     return multimodal.decode_audio(media, id_col="doc_id")
+
+
+@register(
+    "multimodal_decode_g711",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS sr,
+             80 + doc_id % 120 AS n,
+             doc_id % 2 AS law
+      FROM documents WHERE doc_id < 250
+    ), s AS (
+      SELECT p.doc_id, p.sr, p.n,
+             CAST(SUM(v.v) AS BIGINT) AS vsum, SUM(v.v * v.v) AS vsq
+      FROM p, LATERAL (
+        SELECT CASE WHEN p.law = 0 THEN
+                 CASE WHEN c.c >= 128
+                      THEN -((((c.c % 16) * 8 + 132) << ((c.c // 16) % 8)) - 132)
+                      ELSE  (((c.c % 16) * 8 + 132) << ((c.c // 16) % 8)) - 132 END
+               ELSE
+                 CASE WHEN d.d >= 128
+                      THEN  (CASE WHEN (d.d // 16) % 8 = 0 THEN (d.d % 16) * 16 + 8
+                                  ELSE ((d.d % 16) * 16 + 264) << ((d.d // 16) % 8 - 1) END)
+                      ELSE -(CASE WHEN (d.d // 16) % 8 = 0 THEN (d.d % 16) * 16 + 8
+                                  ELSE ((d.d % 16) * 16 + 264) << ((d.d // 16) % 8 - 1) END) END
+               END AS v
+        FROM (SELECT UNNEST(range(0, p.n)) AS i) i,
+             LATERAL (SELECT (p.doc_id * 13 + i.i * 7) % 256 AS b) b,
+             LATERAL (SELECT 255 - b.b AS c) c,
+             LATERAL (SELECT xor(b.b, 85) AS d) d
+      ) v
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(sr AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((n * 1000) // sr AS BIGINT) AS duration_ms,
+           vsum AS sample_sum,
+           SQRT(CAST(vsq AS DOUBLE) / n) AS rms
+    FROM s
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL G.711 μ-law/A-law decode (multimodal._g711_wav_samples "
+    "behind the shared _wav_samples dispatch on fmt tags 0x0007/0x0006): "
+    "the telephony codecs are STATE-FREE — one sign/exponent/mantissa "
+    "expansion per byte — so unlike ADPCM the oracle decodes EVERY "
+    "SAMPLE arithmetically in SQL (integer shifts and CASEs) and the "
+    "driver grades the codec itself, not just the container. Fixture "
+    "bytes sweep all 256 code points of both laws; both expansions are "
+    "additionally validated byte-for-byte against stdlib audioop in "
+    "pytest. Stats flow through the SAME decode_audio consumer as "
+    "PCM/ADPCM.",
+)
+def multimodal_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    media = multimodal.synthesize_g711_wav_payloads(d, id_col="doc_id")
+    return multimodal.decode_audio(media, id_col="doc_id")

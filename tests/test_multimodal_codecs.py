@@ -1641,3 +1641,50 @@ def test_ima_adpcm_rejects_corrupt_payloads():
         encode_wav_ima_adpcm(8000, [])
     with pytest.raises(ValueError):
         encode_wav_ima_adpcm(8000, [1], block_align=6)
+
+
+# ---------------------------------------------------------------------------
+# G.711 μ-law / A-law (WAVE format tags 0x0007 / 0x0006)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_expansion_matches_audioop_all_256_codes():
+    audioop = pytest.importorskip("audioop")
+    from data_lake_skyfit_spark.llm.multimodal import _ALAW_LUT, _MULAW_LUT
+
+    for i in range(256):
+        assert _MULAW_LUT[i] == struct.unpack("<h", audioop.ulaw2lin(bytes([i]), 2))[0]
+        assert _ALAW_LUT[i] == struct.unpack("<h", audioop.alaw2lin(bytes([i]), 2))[0]
+
+
+def test_g711_wav_roundtrip_and_consumers(spark):
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _MULAW_LUT,
+        _wav_samples,
+        encode_wav_g711,
+    )
+
+    raw = bytes(range(256))
+    wav = encode_wav_g711(8000, raw, law="mulaw")
+    sr, n, ch, dec = _wav_samples(wav)
+    assert (sr, n, ch) == (8000, 256, 1)
+    assert list(dec) == [_MULAW_LUT[b] for b in raw]
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    row = multimodal.decode_audio(df).collect()[0]
+    assert row["sample_sum"] == sum(dec) and row["n_samples"] == 256
+
+
+def test_g711_rejects_corrupt_and_bad_args():
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _g711_wav_samples,
+        encode_wav_g711,
+    )
+
+    wav = bytearray(encode_wav_g711(8000, bytes(100), law="alaw"))
+    bad = bytes(wav[:16]) + struct.pack("<I", 1 << 29) + bytes(wav[20:])
+    with pytest.raises((ValueError, struct.error)):
+        _g711_wav_samples(bad)
+    with pytest.raises(ValueError):
+        encode_wav_g711(8000, bytes(4), law="pcm")
+    with pytest.raises(ValueError):
+        encode_wav_g711(0, bytes(4))
