@@ -44,7 +44,7 @@ def main() -> None:
     spark.range(32).mapInPandas(lambda it: it, "id long").collect()
 
     times: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
         t0 = time.perf_counter()
         queries[name].fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 4)
@@ -55,6 +55,15 @@ def main() -> None:
         # query keeps every measurement at steady-state memory.
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
+        # Spark's ContextCleaner frees broadcast blocks and shuffle
+        # files only when a DRIVER GC collects their references — and a
+        # 128 GiB heap may never GC across one battery, so ~139 queries
+        # of broadcasts pile into executor storage memory and the
+        # alphabet-tail queries measured 2-3x their fresh-session times
+        # (r4e finding: window_analytics 10.6s in-battery vs 2.0s
+        # fresh). A periodic explicit GC keeps the cleaner draining.
+        if i % 20 == 19:
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(times.values()), 4)
     doc = {
