@@ -47,6 +47,12 @@ def get_spark(app_name: str = "data_lake_skyfit_spark", *, shuffle_partitions: i
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ContextCleaner frees broadcast blocks / shuffle files only when
+        # a driver GC collects their references; a large heap can run a
+        # whole multi-query session without one, piling broadcasts into
+        # executor storage memory (r4e: 2-3x slowdowns late in long query
+        # loops). Default is 30min — far longer than an interactive run.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         # Partition-overwrite used by the parquet-native MERGE fallback
         # (no Delta jars in this image): only touched partitions rewrite.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
