@@ -4239,3 +4239,323 @@ def synthesize_g711_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata (JPEG APP1 / TIFF IFD) — the image-curation metadata layer:
+# orientation (pipelines must rotate before training), capture time, camera
+# identity, ISO/exposure. The APP1 payload is a real little/big-endian TIFF
+# structure (IFD0 + Exif sub-IFD) written and parsed byte-for-byte.
+# ---------------------------------------------------------------------------
+
+_EXIF_TYPE_SIZES = {2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def encode_exif_app1(
+    *,
+    make: str,
+    model: str,
+    datetime_str: str,
+    orientation: int,
+    iso: int,
+    exposure: tuple[int, int],
+    px_dim: int,
+    py_dim: int,
+    big_endian: bool = False,
+) -> bytes:
+    """A REAL Exif APP1 segment body ("Exif\\0\\0" + TIFF structure):
+    IFD0 carries Make/Model (ASCII), Orientation (SHORT), DateTime
+    (ASCII, the 19-char EXIF form), and the Exif sub-IFD pointer; the
+    sub-IFD carries ExposureTime (RATIONAL), ISOSpeedRatings (SHORT)
+    and PixelX/YDimension (LONG). Values ≤ 4 bytes ride inline
+    (left-justified SHORTs, the TIFF rule); longer ones go to the data
+    area with real offsets. Both byte orders."""
+    bo = ">" if big_endian else "<"
+    data_area = bytearray()
+
+    def ascii_val(s: str) -> tuple[int, int]:
+        b = s.encode("ascii") + b"\x00"
+        return len(b), b
+
+    def entry(tag: int, typ: int, count: int, payload: bytes, data_base: int) -> bytes:
+        size = _EXIF_TYPE_SIZES[typ] * count
+        if size <= 4:
+            val = payload + b"\x00" * (4 - size)
+        else:
+            off = data_base + len(data_area)
+            data_area.extend(payload)
+            val = struct.pack(f"{bo}I", off)
+        return struct.pack(f"{bo}HHI", tag, typ, count) + val
+
+    # layout: header(8) | IFD0 (5 entries) | Exif IFD (4 entries) | data
+    ifd0_off = 8
+    ifd0_size = 2 + 5 * 12 + 4
+    exif_off = ifd0_off + ifd0_size
+    exif_size = 2 + 4 * 12 + 4
+    data_base = exif_off + exif_size
+
+    n_make, b_make = ascii_val(make)
+    n_model, b_model = ascii_val(model)
+    n_dt, b_dt = ascii_val(datetime_str)
+    ifd0 = [
+        entry(0x010F, 2, n_make, b_make, data_base),
+        entry(0x0110, 2, n_model, b_model, data_base),
+        entry(0x0112, 3, 1, struct.pack(f"{bo}H", orientation), data_base),
+        entry(0x0132, 2, n_dt, b_dt, data_base),
+        entry(0x8769, 4, 1, struct.pack(f"{bo}I", exif_off), data_base),
+    ]
+    exif = [
+        entry(0x829A, 5, 1, struct.pack(f"{bo}II", *exposure), data_base),
+        entry(0x8827, 3, 1, struct.pack(f"{bo}H", iso), data_base),
+        entry(0xA002, 4, 1, struct.pack(f"{bo}I", px_dim), data_base),
+        entry(0xA003, 4, 1, struct.pack(f"{bo}I", py_dim), data_base),
+    ]
+    tiff = (
+        (b"MM\x00*" if big_endian else b"II*\x00")
+        + struct.pack(f"{bo}I", ifd0_off)
+        # both lists are built in ascending tag order (the TIFF spec's
+        # IFD requirement) — byte-sorting packed entries would compare
+        # little-endian tag bytes and scramble it
+        + struct.pack(f"{bo}H", len(ifd0)) + b"".join(ifd0)
+        + struct.pack(f"{bo}I", 0)
+        + struct.pack(f"{bo}H", len(exif)) + b"".join(exif)
+        + struct.pack(f"{bo}I", 0)
+        + bytes(data_area)
+    )
+    return b"Exif\x00\x00" + tiff
+
+
+def insert_jpeg_app1(jpeg: bytes, app1_body: bytes) -> bytes:
+    """Insert an APP1 segment right after SOI of a real JPEG."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    if len(app1_body) + 2 > 0xFFFF:
+        raise ValueError("APP1 body too large for one segment")
+    return (
+        jpeg[:2]
+        + b"\xff\xe1"
+        + struct.pack(">H", len(app1_body) + 2)
+        + app1_body
+        + jpeg[2:]
+    )
+
+
+def _exif_ifd_tags(data: bytes, bo: str, ifd_off: int) -> dict[int, object]:
+    """One IFD's tags with spec-resolved values: ASCII (2, NUL
+    stripped), SHORT (3), LONG (4), RATIONAL (5 → (num, den)); inline
+    vs offset storage per the 4-byte rule; every declared offset/size
+    validated against the payload before slicing (decoder-fuzz rule)."""
+    if ifd_off + 2 > len(data):
+        raise ValueError("exif: IFD offset past payload")
+    (n,) = struct.unpack_from(f"{bo}H", data, ifd_off)
+    if ifd_off + 2 + 12 * n + 4 > len(data):
+        raise ValueError("exif: IFD declares more entries than payload holds")
+    out: dict[int, object] = {}
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(f"{bo}HHI", data, base)
+        esize = _EXIF_TYPE_SIZES.get(typ)
+        if esize is None:
+            continue  # unknown type: skip tag, not the whole payload
+        size = esize * count
+        if size <= 4:
+            off = base + 8
+        else:
+            (off,) = struct.unpack_from(f"{bo}I", data, base + 8)
+        if off + size > len(data):
+            raise ValueError("exif: tag value past payload")
+        raw = data[off : off + size]
+        if typ == 2:
+            out[tag] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+        elif typ == 3:
+            vals = struct.unpack(f"{bo}{count}H", raw)
+            out[tag] = vals[0] if count == 1 else list(vals)
+        elif typ == 4:
+            vals = struct.unpack(f"{bo}{count}I", raw)
+            out[tag] = vals[0] if count == 1 else list(vals)
+        else:  # RATIONAL
+            num, den = struct.unpack_from(f"{bo}II", raw, 0)
+            out[tag] = (num, den)
+    return out
+
+
+def _parse_exif_tiff(tiff: bytes) -> dict[str, object]:
+    """TIFF-structured EXIF (the APP1 body after "Exif\\0\\0", or a
+    plain TIFF file) → flat field dict."""
+    if tiff[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("exif: bad TIFF magic")
+    bo = ">" if tiff[:2] == b"MM" else "<"
+    (ifd0,) = struct.unpack_from(f"{bo}I", tiff, 4)
+    tags = _exif_ifd_tags(tiff, bo, ifd0)
+    out: dict[str, object] = {
+        "make": tags.get(0x010F),
+        "model": tags.get(0x0110),
+        "orientation": tags.get(0x0112),
+        "datetime_str": tags.get(0x0132),
+        "iso": None,
+        "exposure_num": None,
+        "exposure_den": None,
+        "px_dim": None,
+        "py_dim": None,
+    }
+    sub = tags.get(0x8769)
+    if isinstance(sub, int):
+        ex = _exif_ifd_tags(tiff, bo, sub)
+        out["iso"] = ex.get(0x8827)
+        exp = ex.get(0x829A)
+        if isinstance(exp, tuple):
+            out["exposure_num"], out["exposure_den"] = exp
+        out["px_dim"] = ex.get(0xA002)
+        out["py_dim"] = ex.get(0xA003)
+    return out
+
+
+def _jpeg_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from the SOF marker — a light scan, no decode."""
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: marker desync")
+        marker = data[pos + 1]
+        if marker in (0xC0, 0xC1, 0xC2):
+            h, w = struct.unpack_from(">HH", data, pos + 5)
+            return w, h
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg,) = struct.unpack_from(">H", data, pos + 2)
+        pos += 2 + seg
+    raise ValueError("jpeg: no SOF marker")
+
+
+def _jpeg_exif(data: bytes) -> dict[str, object]:
+    """Walk a JPEG's markers for the APP1 Exif segment; merge in SOF
+    dims. Raises ValueError when no Exif APP1 exists."""
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: marker desync")
+        marker = data[pos + 1]
+        if marker == 0xDA:
+            break  # entropy stream: no more headers
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg,) = struct.unpack_from(">H", data, pos + 2)
+        if pos + 2 + seg > len(data):
+            raise ValueError("jpeg: segment declares more bytes than payload")
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            out = _parse_exif_tiff(data[pos + 10 : pos + 2 + seg])
+            w, h = _jpeg_dims(data)
+            out["width"], out["height"] = w, h
+            return out
+        pos += 2 + seg
+    raise ValueError("jpeg: no Exif APP1 segment")
+
+
+def extract_image_metadata(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """payload → typed EXIF/image metadata row: (id, width, height,
+    orientation, make, model, datetime_str, iso, exposure_num,
+    exposure_den). JPEG APP1 Exif and plain TIFF payloads parse FOR
+    REAL (byte-order-aware IFD walk, inline-vs-offset values, Exif
+    sub-IFD); TIFF dims come from the baseline IFD tags. Payloads
+    without EXIF yield honest NULL fields (dims still filled where the
+    container declares them); undecodable payloads yield all-NULL.
+    Arrow-batched mapInPandas — pure header scans, pixels never
+    decode."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("orientation", T.IntegerType()),
+            T.StructField("make", T.StringType()),
+            T.StructField("model", T.StringType()),
+            T.StructField("datetime_str", T.StringType()),
+            T.StructField("iso", T.IntegerType()),
+            T.StructField("exposure_num", T.LongType()),
+            T.StructField("exposure_den", T.LongType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields[1:]]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b) -> dict:
+            data = bytes(b)
+            empty = {c: None for c in cols}
+            if _looks_like_jpeg(data):
+                try:
+                    return {**empty, **_jpeg_exif(data)}
+                except (ValueError, struct.error):
+                    try:  # JPEG without EXIF: dims only
+                        w, h = _jpeg_dims(data)
+                        return {**empty, "width": w, "height": h}
+                    except (ValueError, struct.error):
+                        return empty
+            if _looks_like_tiff(data):
+                try:
+                    meta = _parse_exif_tiff(data)
+                    bo = ">" if data[:2] == b"MM" else "<"
+                    (ifd0,) = struct.unpack_from(f"{bo}I", data, 4)
+                    tags = _exif_ifd_tags(data, bo, ifd0)
+                    meta["width"] = tags.get(256)
+                    meta["height"] = tags.get(257)
+                    meta.pop("px_dim", None), meta.pop("py_dim", None)
+                    return {**empty, **meta}
+                except (ValueError, struct.error):
+                    return empty
+            return empty
+
+        for pdf in batches:
+            rows = [one(b) for b in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            dtypes = {
+                "width": "Int32", "height": "Int32", "orientation": "Int32",
+                "iso": "Int32", "exposure_num": "Int64", "exposure_den": "Int64",
+            }
+            for c in cols:
+                vals = [r.get(c) for r in rows]
+                out[c] = pd.array(vals, dtype=dtypes[c]) if c in dtypes else vals
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema)
+
+
+def synthesize_exif_jpeg_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL baseline JPEG with a REAL Exif APP1: dims
+    8·(1+id%3) × 8·(1+id%2) (the encoder's MCU grid), byte order
+    alternates II/MM by parity, and
+    every EXIF field is a closed form of id — make 'cam-'||id%7,
+    model 'mx'||id%5, orientation 1+id%8, iso 100·(1+id%16),
+    exposure (1+id%3)/(30+id%60), datetime
+    '2021:0'||(1+id%9)||':1'||id%10||' 0'||id%10||':30:0'||id%7 —
+    so a SQL oracle rebuilds every value."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in (int(v) for v in pdf[id_col]):
+                w, h = 8 * (1 + rid % 3), 8 * (1 + rid % 2)
+                jpeg = encode_jpeg(
+                    w, h, lambda x, y, rid=rid: (rid + 2 * x + 3 * y) % 256
+                )
+                app1 = encode_exif_app1(
+                    make=f"cam-{rid % 7}",
+                    model=f"mx{rid % 5}",
+                    datetime_str=(
+                        f"2021:0{1 + rid % 9}:1{rid % 10} 0{rid % 10}:30:0{rid % 7}"
+                    ),
+                    orientation=1 + rid % 8,
+                    iso=100 * (1 + rid % 16),
+                    exposure=(1 + rid % 3, 30 + rid % 60),
+                    px_dim=w,
+                    py_dim=h,
+                    big_endian=bool(rid % 2),
+                )
+                payloads.append(insert_jpeg_app1(jpeg, app1))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)

@@ -4421,3 +4421,43 @@ def multimodal_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     media = multimodal.synthesize_g711_wav_payloads(d, id_col="doc_id")
     return multimodal.decode_audio(media, id_col="doc_id")
+
+
+@register(
+    "multimodal_exif_metadata",
+    """
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           'cam-' || CAST(doc_id % 7 AS VARCHAR) AS make,
+           'mx' || CAST(doc_id % 5 AS VARCHAR) AS model,
+           '2021:0' || CAST(1 + doc_id % 9 AS VARCHAR) || ':1' ||
+             CAST(doc_id % 10 AS VARCHAR) || ' 0' ||
+             CAST(doc_id % 10 AS VARCHAR) || ':30:0' ||
+             CAST(doc_id % 7 AS VARCHAR) AS datetime_str,
+           CAST(100 * (1 + doc_id % 16) AS INT) AS iso,
+           CAST(1 + doc_id % 3 AS BIGINT) AS exposure_num,
+           CAST(30 + doc_id % 60 AS BIGINT) AS exposure_den
+    FROM documents WHERE doc_id < 250
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL EXIF metadata extraction "
+    "(multimodal.extract_image_metadata): JPEG APP1 'Exif\\\\0\\\\0' "
+    "segments parse as real TIFF structures — byte-order-aware IFD "
+    "walk (fixtures alternate II/MM per doc), inline-vs-offset value "
+    "resolution per the 4-byte rule, ASCII/SHORT/LONG/RATIONAL types, "
+    "Exif sub-IFD chase for ISO/exposure — plus a light SOF scan for "
+    "dims (pixels never decode: curation metadata is a header-only "
+    "pass). Orientation is the field training pipelines MUST read "
+    "before ingesting user photos. The writer (encode_exif_app1 + "
+    "insert_jpeg_app1) builds the same structure byte-for-byte, and "
+    "every field is a closed form of doc_id the oracle rebuilds in "
+    "SQL. Offset/size bounds validated before slicing (decoder-fuzz "
+    "rule); test_multimodal_codecs pins both byte orders and corrupt "
+    "payloads.",
+)
+def multimodal_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    media = multimodal.synthesize_exif_jpeg_payloads(d, id_col="doc_id")
+    return multimodal.extract_image_metadata(media, id_col="doc_id")

@@ -1688,3 +1688,93 @@ def test_g711_rejects_corrupt_and_bad_args():
         encode_wav_g711(8000, bytes(4), law="pcm")
     with pytest.raises(ValueError):
         encode_wav_g711(0, bytes(4))
+
+
+# ---------------------------------------------------------------------------
+# EXIF (JPEG APP1 / TIFF IFD metadata)
+# ---------------------------------------------------------------------------
+
+
+def test_exif_roundtrip_both_byte_orders():
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _jpeg_exif,
+        encode_exif_app1,
+        encode_jpeg,
+        insert_jpeg_app1,
+    )
+
+    for be in (False, True):
+        jpeg = encode_jpeg(16, 8, lambda x, y: (x + y) % 256)
+        app1 = encode_exif_app1(
+            make="cam-3", model="mx2", datetime_str="2021:03:14 09:26:53",
+            orientation=6, iso=400, exposure=(1, 125), px_dim=16, py_dim=8,
+            big_endian=be,
+        )
+        out = _jpeg_exif(insert_jpeg_app1(jpeg, app1))
+        assert out == {
+            "make": "cam-3", "model": "mx2", "orientation": 6,
+            "datetime_str": "2021:03:14 09:26:53", "iso": 400,
+            "exposure_num": 1, "exposure_den": 125, "px_dim": 16,
+            "py_dim": 8, "width": 16, "height": 8,
+        }
+
+
+def test_exif_app1_golden_bytes_little_endian():
+    """Byte-level golden pins the wire convention (the GIF LZW lesson):
+    header, ascending-tag IFD0, inline SHORT left-justified, offset
+    ASCII values landing in the data area after both IFDs."""
+    from data_lake_skyfit_spark.llm.multimodal import encode_exif_app1
+
+    app1 = encode_exif_app1(
+        make="abcd", model="m", datetime_str="2021:01:01 00:00:00",
+        orientation=3, iso=200, exposure=(1, 50), px_dim=8, py_dim=8,
+    )
+    assert app1[:6] == b"Exif\x00\x00"
+    tiff = app1[6:]
+    assert tiff[:8] == b"II*\x00\x08\x00\x00\x00"
+    assert struct.unpack_from("<H", tiff, 8)[0] == 5  # IFD0 entry count
+    # first entry: Make, ASCII(2), count 5 ("abcd\0"), offset -> data area
+    tag, typ, cnt = struct.unpack_from("<HHI", tiff, 10)
+    assert (tag, typ, cnt) == (0x010F, 2, 5)
+    (make_off,) = struct.unpack_from("<I", tiff, 18)
+    assert tiff[make_off : make_off + 5] == b"abcd\x00"
+    # Orientation entry: inline SHORT, left-justified in the value field
+    tag, typ, cnt = struct.unpack_from("<HHI", tiff, 10 + 24)
+    assert (tag, typ, cnt) == (0x0112, 3, 1)
+    assert tiff[10 + 24 + 8 : 10 + 24 + 12] == b"\x03\x00\x00\x00"
+
+
+def test_exif_extractor_handles_no_exif_and_junk(spark):
+    from data_lake_skyfit_spark.llm.multimodal import (
+        encode_jpeg,
+        extract_image_metadata,
+    )
+
+    plain = encode_jpeg(8, 8, lambda x, y: 7)  # JPEG without EXIF
+    df = spark.createDataFrame(
+        [(1, bytearray(plain)), (2, bytearray(b"\xff\xd8\xff junk")), (3, bytearray(b"pdf?"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_image_metadata(df).collect()}
+    assert rows[1]["width"] == 8 and rows[1]["make"] is None
+    assert rows[2]["make"] is None and rows[3]["width"] is None
+
+
+def test_exif_rejects_lying_offsets():
+    """A tag whose value offset points past the payload must raise, not
+    read garbage (decoder-fuzz rule)."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _parse_exif_tiff,
+        encode_exif_app1,
+    )
+
+    app1 = bytearray(
+        encode_exif_app1(
+            make="abcd", model="m", datetime_str="2021:01:01 00:00:00",
+            orientation=1, iso=100, exposure=(1, 50), px_dim=8, py_dim=8,
+        )
+    )
+    tiff = bytearray(app1[6:])
+    struct.pack_into("<I", tiff, 18, 1 << 28)  # Make value offset → absurd
+    with pytest.raises((ValueError, struct.error)):
+        _parse_exif_tiff(bytes(tiff))
