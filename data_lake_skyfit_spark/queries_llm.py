@@ -4461,3 +4461,70 @@ def multimodal_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     media = multimodal.synthesize_exif_jpeg_payloads(d, id_col="doc_id")
     return multimodal.extract_image_metadata(media, id_col="doc_id")
+
+
+@register(
+    "multimodal_zipshard_manifest",
+    """
+    WITH d AS (
+      SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key,
+             COALESCE(text, '') AS text
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, CAST(0 AS INT) AS rec_idx, key || '.txt' AS name,
+           'deflate' AS method,
+           CAST(104 + strlen(text) AS BIGINT) AS size,
+           md5(repeat('shard:' || key || ':', 8) || text) AS member_md5
+    FROM d
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT), key || '.cls', 'store',
+           CAST(1 AS BIGINT), md5(CAST(doc_id % 10 AS VARCHAR))
+    FROM d
+    """,
+    tags=("llm-multimodal", "S1", "sources-formats"),
+    doc="ZIP-shard manifest (sources/zipshard.py) — the third dataset "
+    "shard container beside WebDataset tar and TFRecord: REAL central-"
+    "directory walk (EOCD backward scan, central entries as the "
+    "authoritative index, local headers consulted only for data "
+    "offsets per the spec), BOUNDED raw-deflate inflate with CRC-32 "
+    "and length verification. member_md5 is over the INFLATED bytes, "
+    "so a wrong inflate reds the hash; the .txt member's 104-byte "
+    "repetitive prefix guarantees deflate shrinks it (method "
+    "closed-form 'deflate') while the 1-byte .cls stays 'store'. Both "
+    "encode and parse are cross-validated against stdlib zipfile in "
+    "pytest (a true external golden); lying EOCD/size/offset/CRC "
+    "payloads quarantine to rec_idx -1.",
+)
+def multimodal_zipshard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .sources import zipshard
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = []
+            for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                rid = int(rid)
+                key = f"{rid:06d}"
+                body = (f"shard:{key}:" * 8) + ("" if text is None else str(text))
+                payloads.append(
+                    zipshard.encode_zip(
+                        [
+                            (f"{key}.txt", body.encode()),
+                            (f"{key}.cls", str(rid % 10).encode()),
+                        ]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema)
+    return zipshard.read_zip_members(shards)

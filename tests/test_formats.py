@@ -348,3 +348,76 @@ def test_read_tfrecord_records_on_spark(spark):
         (10, hashlib.md5(b"beta gamma").hexdigest()),
     ]
     assert by[2][0]["rec_idx"] == -1 and by[2][0]["payload_md5"] is None
+
+
+# ---------------------------------------------------------------------------
+# ZIP shards (sources/zipshard.py)
+# ---------------------------------------------------------------------------
+
+
+def test_zip_cross_validates_against_stdlib_zipfile():
+    """True external golden: stdlib zipfile must open our archives and
+    we must parse archives stdlib zipfile writes (both methods)."""
+    import hashlib
+    import io
+    import zipfile
+
+    from data_lake_skyfit_spark.sources.zipshard import encode_zip, parse_zip
+
+    members = [
+        ("000001.txt", b"hello world " * 50),
+        ("000001.cls", b"7"),
+        ("a/b.seg.png", b"px42"),
+    ]
+    z = encode_zip(members)
+    with zipfile.ZipFile(io.BytesIO(z)) as zf:
+        assert zf.testzip() is None
+        for name, data in members:
+            assert zf.read(name) == data
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members:
+            zf.writestr(name, data)
+    recs = parse_zip(buf.getvalue())
+    assert [(r["name"], r["size"]) for r in recs] == [
+        (n, len(d)) for n, d in members
+    ]
+    assert [r["member_md5"] for r in recs] == [
+        hashlib.md5(d).hexdigest() for _, d in members
+    ]
+
+
+def test_zip_method_selection_and_bounded_inflate():
+    import struct as _struct
+    import zlib
+
+    import pytest as _pytest
+
+    from data_lake_skyfit_spark.sources.zipshard import encode_zip, parse_zip
+
+    z = encode_zip([("a.txt", b"repetitive " * 20), ("b.bin", b"\x01")])
+    recs = parse_zip(z)
+    assert [r["method"] for r in recs] == ["deflate", "store"]
+    # corrupt usize in BOTH directory copies → bounded inflate catches
+    # the mismatch instead of ballooning
+    raw = bytearray(z)
+    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    # flip the central directory's usize field for the first entry
+    cd = bytes(raw).find(b"PK\x01\x02")
+    _struct.pack_into("<I", raw, cd + 24, 5)  # lying uncompressed size
+    with _pytest.raises(ValueError):
+        parse_zip(bytes(raw))
+
+
+def test_zip_quarantine_and_member_rows(spark):
+    from data_lake_skyfit_spark.sources.zipshard import encode_zip, read_zip_members
+
+    good = encode_zip([("k.txt", b"abc"), ("k.cls", b"1")])
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"PK\x05\x06 but junk")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = sorted(
+        ((r["doc_id"], r["rec_idx"], r["name"]) for r in read_zip_members(df).collect())
+    )
+    assert rows == [(1, 0, "k.txt"), (1, 1, "k.cls"), (2, -1, None), (3, -1, None)]
