@@ -4559,3 +4559,170 @@ def synthesize_exif_jpeg_payloads(df: DataFrame, *, id_col: str = "doc_id") -> D
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 tags — the audio-curation metadata layer (the EXIF sibling for
+# MP3): title/artist/album/track parsed from the real byte structure
+# (syncsafe sizes, per-frame text-encoding bytes), prepended to the real
+# MPEG-1 Layer III frame stream the header walker already handles.
+# ---------------------------------------------------------------------------
+
+
+def _syncsafe(n: int) -> bytes:
+    """28-bit syncsafe big-endian (7 bits per byte, high bit clear)."""
+    if not 0 <= n < (1 << 28):
+        raise ValueError("syncsafe range exceeded")
+    return bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+
+
+def _unsyncsafe(b: bytes) -> int:
+    if any(x & 0x80 for x in b):
+        raise ValueError("id3: non-syncsafe size byte")
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def encode_id3v2(fields: dict[str, str]) -> bytes:
+    """A REAL ID3v2.3 tag: header with syncsafe total size, one text
+    frame per field (frame id → ISO-8859-1 text, encoding byte 0).
+    `fields` maps 4-char frame ids (TIT2, TPE1, TALB, TRCK…) to text."""
+    body = bytearray()
+    for fid, text in fields.items():
+        if len(fid) != 4:
+            raise ValueError(f"id3: frame id must be 4 chars, got {fid!r}")
+        payload = b"\x00" + text.encode("latin-1")
+        body += fid.encode("ascii") + struct.pack(">I", len(payload)) + b"\x00\x00"
+        body += payload
+    return b"ID3\x03\x00\x00" + _syncsafe(len(body)) + bytes(body)
+
+
+def _parse_id3v2(data: bytes) -> tuple[dict[str, str], int]:
+    """(text frames, total tag length) of a leading ID3v2.3/2.4 tag.
+    Sizes validated before slicing; v2.4 syncsafe frame sizes handled.
+    Returns ({}, 0) when no tag leads the payload."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return {}, 0
+    ver = data[3]
+    if ver not in (3, 4):
+        raise ValueError(f"id3: unsupported version 2.{ver}")
+    if data[5] & 0x80:
+        raise ValueError("id3: unsynchronised tags not supported")
+    size = _unsyncsafe(data[6:10])
+    end = 10 + size
+    if end > len(data):
+        raise ValueError("id3: tag declares more bytes than payload holds")
+    out: dict[str, str] = {}
+    pos = 10
+    while pos + 10 <= end:
+        fid = data[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw_sz = data[pos + 4 : pos + 8]
+        fsz = _unsyncsafe(raw_sz) if ver == 4 else struct.unpack(">I", raw_sz)[0]
+        if pos + 10 + fsz > end:
+            raise ValueError("id3: frame past tag bounds")
+        body = data[pos + 10 : pos + 10 + fsz]
+        if fid[:1] == b"T" and fsz >= 1:
+            enc = body[0]
+            text = body[1:]
+            if enc == 0:
+                out[fid.decode("ascii")] = text.decode("latin-1")
+            elif enc == 3:
+                out[fid.decode("ascii")] = text.decode("utf-8", "replace")
+            elif enc == 1:
+                out[fid.decode("ascii")] = text.decode("utf-16", "replace")
+        pos += 10 + fsz
+    return out, end
+
+
+def extract_audio_metadata(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """payload → (id, title, artist, album, track, tag_bytes, n_frames,
+    duration_ms): the leading ID3v2 tag parses for real, then the MPEG
+    frame walker (_mp3_frames) runs on the remainder for timing — the
+    header-only audio-curation pass. Payloads without a tag yield NULL
+    text fields (frame timing still fills); non-MP3 yields all-NULL."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("artist", T.StringType()),
+            T.StructField("album", T.StringType()),
+            T.StructField("track", T.StringType()),
+            T.StructField("tag_bytes", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b) -> tuple:
+            data = bytes(b)
+            if not _looks_like_mp3(data):
+                return (None,) * 7
+            try:
+                tags, tag_len = _parse_id3v2(data)
+            except (ValueError, struct.error):
+                return (None,) * 7
+            title = tags.get("TIT2")
+            artist = tags.get("TPE1")
+            album = tags.get("TALB")
+            track = tags.get("TRCK")
+            n_frames: int | None = None
+            duration: int | None = None
+            try:
+                sr, bitrates = _mp3_frames(data)  # walker skips the tag
+                n_frames = len(bitrates)
+                duration = n_frames * MP3_SAMPLES_PER_FRAME * 1000 // sr
+            except (ValueError, struct.error, IndexError):
+                pass  # tag-only payloads: text fields still real
+            return title, artist, album, track, tag_len, n_frames, duration
+
+        for pdf in batches:
+            rows = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "title": [r[0] for r in rows],
+                    "artist": [r[1] for r in rows],
+                    "album": [r[2] for r in rows],
+                    "track": [r[3] for r in rows],
+                    "tag_bytes": pd.array([r[4] for r in rows], dtype="Int64"),
+                    "n_frames": pd.array([r[5] for r in rows], dtype="Int32"),
+                    "duration_ms": pd.array([r[6] for r in rows], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema)
+
+
+def synthesize_id3_mp3_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL ID3v2.3 tag + REAL MPEG-1 Layer III frames, all fields
+    closed forms of id: title 'track-'||id%97, artist 'artist-'||id%13,
+    album 'album-'||id%7, track (1+id%20)||'/20'; frames as
+    synthesize_mp3_payloads (VBR stepping)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in (int(v) for v in pdf[id_col]):
+                tag = encode_id3v2(
+                    {
+                        "TIT2": f"track-{rid % 97}",
+                        "TPE1": f"artist-{rid % 13}",
+                        "TALB": f"album-{rid % 7}",
+                        "TRCK": f"{1 + rid % 20}/20",
+                    }
+                )
+                frames = encode_mp3_frames(
+                    [
+                        (1 + (rid + i) % 14, rid % 3, (rid + i) % 2)
+                        for i in range(4 + rid % 9)
+                    ]
+                )
+                payloads.append(tag + frames)
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)

