@@ -3749,7 +3749,7 @@ def image_dhash(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
 
 
 def synthesize_neardup_png_payloads(
-    df: DataFrame, *, id_col: str = "doc_id"
+    df: DataFrame, *, id_col: str = "doc_id", random_pattern: bool = False
 ) -> DataFrame:
     """id → REAL 18x16 RGB PNG whose dHash is closed-form, with planted
     near-duplicate pairs for the Hamming near-dup battery.
@@ -3757,25 +3757,43 @@ def synthesize_neardup_png_payloads(
     Docs pair up by k = id//2. The image is a 9x8 grid of 2x2 constant
     blocks (18x16 pixels) with equal RGB channels, so BT.601 luma and
     the 9x8 area downscale both return the block value v EXACTLY:
-    v(k, bx, by) = (k*53 + bx²*17 + by²*29 + bx*by*7 + bx*k) % 251 —
-    quadratic in bx/by and k-coupled so adjacent-column differences
-    vary per row AND per doc (a purely linear pattern makes every
-    doc's gradient field near-identical and floods the near-dup join
-    with accidental pairs). The odd doc
+    v(k, bx, by) = (k*53 + bx²*17 + by²*29 + bx*by*7 + bx*k
+    + by*(k//251)*31) % 251 — quadratic in bx/by and k-coupled so
+    adjacent-column differences vary per row AND per doc (a purely
+    linear pattern makes every doc's gradient field near-identical and
+    floods the near-dup join with accidental pairs), and the k//251
+    term breaks the mod-251 PERIODICITY in k: without it every 251st
+    pair shares an identical image and a large id range collapses into
+    quadratic duplicate groups (the ×64 scale curve measured 207M
+    pairs from exactly that — the corpus-inflation injectivity lesson
+    striking a third time). The odd doc
     of each pair perturbs one cell (bx = k%9, by = k%8) to
     (v+97) % 251, flipping at most the two dHash comparisons that touch
     it — every planted pair lands within Hamming distance 2 and MUST
     appear in a max_dist>=2 near-dup join (the scale-harness
     cardinality lesson: fixtures must guarantee non-empty output).
     Scanline filters cycle y%5, so decode still exercises the full
-    five-filter PNG reconstruction."""
+    five-filter PNG reconstruction.
+
+    `random_pattern=True` (the SCALE-CURVE mode — no SQL oracle
+    exists for it) draws base cells from md5(k:bx:by) instead of the
+    closed form: even the fixed closed form keeps residual lattice
+    structure over multi-100k-id ranges that inflates accidental
+    near-pairs, so the curve would measure the fixture, not the
+    join; md5 cells make cross-pair collisions birthday-rare."""
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
 
     def _val(rid: int, bx: int, by: int) -> int:
         k = rid // 2
-        v = (k * 53 + bx * bx * 17 + by * by * 29 + bx * by * 7 + bx * k) % 251
+        if random_pattern:
+            v = hashlib.md5(f"{k}:{bx}:{by}".encode()).digest()[0] % 251
+        else:
+            v = (
+                k * 53 + bx * bx * 17 + by * by * 29 + bx * by * 7
+                + bx * k + by * (k // 251) * 31
+            ) % 251
         if rid % 2 == 1 and bx == k % 9 and by == k % 8:
             v = (v + 97) % 251
         return v

@@ -375,11 +375,14 @@ def heavy_hitters(
     2. RECOUNT — exact count of candidate values only: broadcast
        semi-join (the scan stays map-side) + map-side-combinable
        groupBy, then the integer filter cnt·k > n (never a float
-       division). n comes from one scalar .count() job.
+       division). n rides OUT OF the MG pass itself (each partition's
+       summary carries one marker row with its row count), so the
+       input is scanned exactly twice — once per pass — not a third
+       time for the total.
 
-    The input column is read twice by design (a two-pass algorithm) —
-    each pass is a column-pruned scan; caching the exploded frame
-    would cost more memory than the rescan at corpus scale.
+    Caching the exploded frame would cost more memory than the rescan
+    at corpus scale; only the kilobyte-scale summary is checkpointed
+    (it feeds both the scalar total and the candidate list).
 
     Returns (item, cnt) with `item` keeping the input column's type.
     """
@@ -391,11 +394,18 @@ def heavy_hitters(
 
     item_type = df.schema[col].dataType
     items = df.select(F.col(col).alias("item"))
-    out_schema = T.StructType([T.StructField("item", item_type)])
+    out_schema = T.StructType(
+        [
+            T.StructField("item", item_type),
+            T.StructField("part_rows", T.LongType()),
+        ]
+    )
 
     def mg_kernel(batches):
         counters: dict = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             vc = pdf["item"].dropna().value_counts()
             for v, c in vc.items():
                 counters[v] = counters.get(v, 0) + int(c)
@@ -404,10 +414,16 @@ def heavy_hitters(
                 # subtract the k-th largest count from everything
                 kth = sorted(counters.values(), reverse=True)[k - 1]
                 counters = {v: c - kth for v, c in counters.items() if c > kth}
-        yield pd.DataFrame({"item": list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "part_rows": [0] * len(counters) + [n_part],
+            }
+        )
 
-    candidates = items.mapInPandas(mg_kernel, out_schema).distinct()
-    n = items.count()
+    summary = items.mapInPandas(mg_kernel, out_schema).localCheckpoint(eager=False)
+    n = summary.agg(F.sum("part_rows")).collect()[0][0] or 0
+    candidates = summary.filter(F.col("item").isNotNull()).select("item").distinct()
     return (
         items.join(F.broadcast(candidates), "item")
         .groupBy("item")

@@ -4145,8 +4145,8 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cells AS (
       SELECT p.doc_id, g.rr, g.cc,
              CASE WHEN p.odd = 1 AND g.cc = p.k % 9 AND g.rr = p.k % 8
-                  THEN ((p.k*53 + g.cc*g.cc*17 + g.rr*g.rr*29 + g.cc*g.rr*7 + g.cc*p.k) % 251 + 97) % 251
-                  ELSE (p.k*53 + g.cc*g.cc*17 + g.rr*g.rr*29 + g.cc*g.rr*7 + g.cc*p.k) % 251 END AS v
+                  THEN ((p.k*53 + g.cc*g.cc*17 + g.rr*g.rr*29 + g.cc*g.rr*7 + g.cc*p.k + g.rr*(p.k//251)*31) % 251 + 97) % 251
+                  ELSE (p.k*53 + g.cc*g.cc*17 + g.rr*g.rr*29 + g.cc*g.rr*7 + g.cc*p.k + g.rr*(p.k//251)*31) % 251 END AS v
       FROM p, LATERAL (
         SELECT x.cc, y.rr
         FROM (SELECT UNNEST(range(0, 9)) AS cc) x,

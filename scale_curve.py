@@ -53,7 +53,7 @@ WORK = os.environ.get("SKYFIT_SCALE_DIR", "/tmp/skyfit_scale_curve")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,8,64")
-    ap.add_argument("--ops", default="lsh,cc,cur,knn,pq,bm25,fuzzy,clip")
+    ap.add_argument("--ops", default="lsh,cc,cur,knn,pq,bm25,fuzzy,clip,hamming,hh")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
     ops = args.ops.split(",")
@@ -171,6 +171,27 @@ def main() -> None:
 
     if "bm25" in ops:
         bm25_topk(wd, bm25_q, k=5, idf="log").count()
+    if "hamming" in ops:
+        from data_lake_skyfit_spark.llm.dedup import hamming_neardup_pairs as _hnp
+        from data_lake_skyfit_spark.llm.multimodal import (
+            image_dhash as _idh,
+            synthesize_neardup_png_payloads as _snp,
+        )
+
+        _hnp(
+            _idh(_snp(wd.select("doc_id"), random_pattern=True)), max_dist=3
+        ).count()
+    if "hh" in ops:
+        from pyspark.sql import functions as _F
+
+        from data_lake_skyfit_spark.llm.text import tokens_expr as _te
+        from data_lake_skyfit_spark.operators.scale import heavy_hitters as _hh
+
+        _hh(
+            wd.select(_F.explode(_te(_F.lower(_F.col("text")))).alias("token")),
+            "token",
+            k=64,
+        ).count()
     if "clip" in ops:
         clip_count(wd)
     if "fuzzy" in ops:
@@ -257,6 +278,60 @@ def main() -> None:
                     ),
                     block_key=edge_block_key(),
                 ).count(),
+            )
+        if "hamming" in ops:
+            # r4e: perceptual image dedup end-to-end — PNG encode +
+            # real decode + dHash are the linear legs, the banded
+            # equi-join is the only shuffle. random_pattern md5 cells:
+            # the battery's closed-form pattern keeps lattice structure
+            # over multi-100k-id ranges that inflates accidental
+            # near-pairs (the first ×64 run measured 207M pairs from a
+            # mod-251 periodicity — corpus-inflation injectivity lesson
+            # #3); with md5 cells the output is the planted pairs plus
+            # birthday-rare accidents, cardinality ∝ factor.
+            from data_lake_skyfit_spark.llm.dedup import hamming_neardup_pairs
+            from data_lake_skyfit_spark.llm.multimodal import (
+                image_dhash,
+                synthesize_neardup_png_payloads,
+            )
+
+            timed(
+                "image_neardup_hamming",
+                lambda: hamming_neardup_pairs(
+                    image_dhash(
+                        synthesize_neardup_png_payloads(
+                            d.select("doc_id"), random_pattern=True
+                        )
+                    ),
+                    max_dist=3,
+                ).count(),
+            )
+        if "hh" in ops:
+            # r4e: exact heavy hitters at FIXED k over verbatim-copy
+            # inflation (explode over a sequence — heavy hitters ignore
+            # ids, and rotation would disjoint the alphabets so nothing
+            # stays above n/k). Relative frequencies are
+            # factor-invariant: output is the same ~30 tokens at every
+            # factor while n grows — the pure operator curve.
+            from pyspark.sql import functions as F
+
+            from data_lake_skyfit_spark.llm.text import tokens_expr
+            from data_lake_skyfit_spark.operators.scale import heavy_hitters
+
+            base_docs = spark.read.parquet(
+                materialize(inflate_documents(docs, 1), "documents", 1)
+            )
+            toks = base_docs.select(
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(factor - 1))
+                ).alias("__copy"),
+                F.col("text"),
+            ).select(
+                F.explode(tokens_expr(F.lower(F.col("text")))).alias("token")
+            )
+            timed(
+                "text_heavy_hitters",
+                lambda: heavy_hitters(toks, "token", k=64).count(),
             )
         spark.catalog.clearCache()
 
