@@ -4474,9 +4474,11 @@ def _jpeg_exif(data: bytes) -> dict[str, object]:
 def extract_image_metadata(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """payload → typed EXIF/image metadata row: (id, width, height,
     orientation, make, model, datetime_str, iso, exposure_num,
-    exposure_den). JPEG APP1 Exif and plain TIFF payloads parse FOR
-    REAL (byte-order-aware IFD walk, inline-vs-offset values, Exif
-    sub-IFD); TIFF dims come from the baseline IFD tags. Payloads
+    exposure_den). JPEG APP1 Exif, plain TIFF, and RIFF/WEBP payloads
+    parse FOR REAL (byte-order-aware IFD walk, inline-vs-offset
+    values, Exif sub-IFD); TIFF dims come from the baseline IFD tags,
+    WebP dims from the VP8X/VP8L/VP8 headers with the EXIF chunk
+    re-using the same TIFF parser. Payloads
     without EXIF yield honest NULL fields (dims still filled where the
     container declares them); undecodable payloads yield all-NULL.
     Arrow-batched mapInPandas — pure header scans, pixels never
@@ -4520,6 +4522,11 @@ def extract_image_metadata(df: DataFrame, *, id_col: str = "doc_id") -> DataFram
                     meta["height"] = tags.get(257)
                     meta.pop("px_dim", None), meta.pop("py_dim", None)
                     return {**empty, **meta}
+                except (ValueError, struct.error):
+                    return empty
+            if _looks_like_webp(data):
+                try:
+                    return {**empty, **_webp_metadata(data)}
                 except (ValueError, struct.error):
                     return empty
             return empty
@@ -4741,6 +4748,138 @@ def synthesize_id3_mp3_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
                     ]
                 )
                 payloads.append(tag + frames)
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# WebP container metadata — RIFF/WEBP chunk walk: canvas dims from
+# VP8X/VP8L/VP8 headers (all three real wire formats) and the EXIF chunk
+# re-using the same TIFF-structure parser as JPEG APP1. The VP8/VP8L
+# CODED payloads stay opaque (they need libwebp) — this is the
+# metadata/curation layer, like the MP4 box walk.
+# ---------------------------------------------------------------------------
+
+
+def _looks_like_webp(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+
+
+def encode_webp_container(
+    width: int,
+    height: int,
+    *,
+    lossless: bool = True,
+    exif: bytes | None = None,
+) -> bytes:
+    """A REAL RIFF/WEBP container with true chunk framing: VP8X
+    (extended header with 24-bit canvas dims and the EXIF flag) when
+    `exif` rides along, then a VP8L bitstream HEADER (signature 0x2F +
+    14-bit w−1/h−1 + alpha/version bits — the real wire layout; the
+    entropy-coded image data after it stays out of scope) or a VP8
+    keyframe header (sync code + 16-bit dims)."""
+    if not (0 < width <= 1 << 14 and 0 < height <= 1 << 14):
+        raise ValueError("webp: dims must fit 14 bits")
+    chunks = []
+    if exif is not None:
+        flags = 0x08  # EXIF flag
+        vp8x = struct.pack(
+            "<BBBB", flags, 0, 0, 0
+        )[:4] + struct.pack("<I", width - 1)[:3] + struct.pack("<I", height - 1)[:3]
+        chunks.append((b"VP8X", vp8x))
+    if lossless:
+        bits = (width - 1) | ((height - 1) << 14) | (0 << 28) | (0 << 29)
+        body = b"\x2f" + struct.pack("<I", bits)
+        chunks.append((b"VP8L", body))
+    else:
+        # VP8 keyframe header: 3-byte frame tag (keyframe bit 0), sync
+        # code 9D 01 2A, then 16-bit width/height (low 14 bits used)
+        body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", width, height)
+        chunks.append((b"VP8 ", body))
+    if exif is not None:
+        chunks.append((b"EXIF", exif))
+    payload = bytearray(b"WEBP")
+    for cid, body in chunks:
+        payload += cid + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            payload += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(payload)) + bytes(payload)
+
+
+def _webp_metadata(data: bytes) -> dict[str, object]:
+    """RIFF/WEBP chunk walk → dims (+ EXIF fields when the EXIF chunk
+    exists). Declared chunk sizes validated before slicing."""
+    if not _looks_like_webp(data):
+        raise ValueError("webp: bad magic")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    if 8 + riff_size > len(data):
+        raise ValueError("webp: RIFF declares more bytes than payload holds")
+    out: dict[str, object] = {}
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > len(data):
+            raise ValueError("webp: chunk declares more bytes than payload holds")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"VP8X" and size >= 10:
+            w = 1 + (body[4] | (body[5] << 8) | (body[6] << 16))
+            h = 1 + (body[7] | (body[8] << 8) | (body[9] << 16))
+            out.setdefault("width", w)
+            out.setdefault("height", h)
+        elif cid == b"VP8L" and size >= 5 and body[0] == 0x2F:
+            (bits,) = struct.unpack_from("<I", body, 1)
+            out.setdefault("width", (bits & 0x3FFF) + 1)
+            out.setdefault("height", ((bits >> 14) & 0x3FFF) + 1)
+        elif cid == b"VP8 " and size >= 10 and body[3:6] == b"\x9d\x01\x2a":
+            w, h = struct.unpack_from("<HH", body, 6)
+            out.setdefault("width", w & 0x3FFF)
+            out.setdefault("height", h & 0x3FFF)
+        elif cid == b"EXIF":
+            try:
+                out.update(_parse_exif_tiff(body))
+            except (ValueError, struct.error):
+                pass  # malformed EXIF chunk: dims still real
+        pos += 8 + size + (size & 1)
+    if "width" not in out:
+        raise ValueError("webp: no dimension-bearing chunk")
+    return out
+
+
+def synthesize_webp_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL RIFF/WEBP container with closed-form metadata: dims
+    (10 + id % 500) × (8 + id % 300); even ids carry a VP8L lossless
+    header, odd ids a VP8 keyframe header; every id carries a VP8X +
+    EXIF chunk whose TIFF fields mirror synthesize_exif_jpeg_payloads'
+    closed forms (byte order alternating with id % 2)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in (int(v) for v in pdf[id_col]):
+                w, h = 10 + rid % 500, 8 + rid % 300
+                exif_tiff = encode_exif_app1(
+                    make=f"cam-{rid % 7}",
+                    model=f"mx{rid % 5}",
+                    datetime_str=(
+                        f"2021:0{1 + rid % 9}:1{rid % 10} 0{rid % 10}:30:0{rid % 7}"
+                    ),
+                    orientation=1 + rid % 8,
+                    iso=100 * (1 + rid % 16),
+                    exposure=(1 + rid % 3, 30 + rid % 60),
+                    px_dim=w,
+                    py_dim=h,
+                    big_endian=bool(rid % 2),
+                )[6:]  # WebP EXIF chunks carry the raw TIFF structure
+                payloads.append(
+                    encode_webp_container(
+                        w, h, lossless=(rid % 2 == 0), exif=exif_tiff
+                    )
+                )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(kernel, out_schema)

@@ -4571,3 +4571,38 @@ def multimodal_id3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     media = multimodal.synthesize_id3_mp3_payloads(d, id_col="doc_id")
     return multimodal.extract_audio_metadata(media, id_col="doc_id")
+
+
+@register(
+    "multimodal_webp_metadata",
+    """
+    SELECT doc_id,
+           CAST(10 + doc_id % 500 AS INT) AS width,
+           CAST(8 + doc_id % 300 AS INT) AS height,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           'cam-' || CAST(doc_id % 7 AS VARCHAR) AS make,
+           'mx' || CAST(doc_id % 5 AS VARCHAR) AS model,
+           '2021:0' || CAST(1 + doc_id % 9 AS VARCHAR) || ':1' ||
+             CAST(doc_id % 10 AS VARCHAR) || ' 0' ||
+             CAST(doc_id % 10 AS VARCHAR) || ':30:0' ||
+             CAST(doc_id % 7 AS VARCHAR) AS datetime_str,
+           CAST(100 * (1 + doc_id % 16) AS INT) AS iso,
+           CAST(1 + doc_id % 3 AS BIGINT) AS exposure_num,
+           CAST(30 + doc_id % 60 AS BIGINT) AS exposure_den
+    FROM documents WHERE doc_id < 250
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL WebP container metadata (multimodal._webp_metadata inside "
+    "extract_image_metadata): RIFF chunk walk with VP8X extended-header "
+    "canvas dims, VP8L lossless-bitstream header dims (signature 0x2F + "
+    "14-bit fields — even docs) and VP8 keyframe sync-code dims (odd "
+    "docs), plus the EXIF chunk parsed by the SAME TIFF-structure "
+    "parser as JPEG APP1 (both byte orders). The coded VP8/VP8L "
+    "payload stays opaque (libwebp territory) — this is the "
+    "metadata/curation layer, like the MP4 box walk. All fields "
+    "closed-form; chunk sizes validated before slicing.",
+)
+def multimodal_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    media = multimodal.synthesize_webp_payloads(d, id_col="doc_id")
+    return multimodal.extract_image_metadata(media, id_col="doc_id")

@@ -1834,3 +1834,51 @@ def test_audio_metadata_extractor_paths(spark):
     assert rows[1]["duration_ms"] == 2 * 1152 * 1000 // 44100
     assert rows[2]["title"] is None and rows[2]["n_frames"] == 2  # bare stream
     assert rows[3]["title"] is None and rows[3]["n_frames"] is None
+
+
+# ---------------------------------------------------------------------------
+# WebP container metadata
+# ---------------------------------------------------------------------------
+
+
+def test_webp_dims_all_three_header_kinds_and_exif():
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _webp_metadata,
+        encode_exif_app1,
+        encode_webp_container,
+    )
+
+    # VP8L lossless header (no VP8X)
+    m = _webp_metadata(encode_webp_container(321, 123, lossless=True))
+    assert (m["width"], m["height"]) == (321, 123)
+    # VP8 keyframe header
+    m = _webp_metadata(encode_webp_container(640, 480, lossless=False))
+    assert (m["width"], m["height"]) == (640, 480)
+    # VP8X + EXIF chunk (raw TIFF body, both byte orders)
+    for be in (False, True):
+        exif = encode_exif_app1(
+            make="cam-1", model="mx0", datetime_str="2021:01:11 01:30:01",
+            orientation=5, iso=800, exposure=(1, 60), px_dim=99, py_dim=77,
+            big_endian=be,
+        )[6:]
+        m = _webp_metadata(encode_webp_container(99, 77, exif=exif))
+        assert (m["width"], m["height"], m["orientation"], m["iso"]) == (99, 77, 5, 800)
+
+
+def test_webp_rejects_corrupt_and_bad_dims():
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _webp_metadata,
+        encode_webp_container,
+    )
+
+    wp = bytearray(encode_webp_container(64, 64))
+    pos = bytes(wp).find(b"VP8L")
+    struct.pack_into("<I", wp, pos + 4, 1 << 30)  # lying chunk size
+    with pytest.raises(ValueError):
+        _webp_metadata(bytes(wp))
+    with pytest.raises(ValueError):
+        encode_webp_container(0, 5)
+    with pytest.raises(ValueError):
+        encode_webp_container(1 << 15, 5)  # past 14-bit field
+    with pytest.raises(ValueError):
+        _webp_metadata(b"RIFF\x04\x00\x00\x00WEBP")  # no dims chunk
