@@ -4606,3 +4606,88 @@ def multimodal_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     media = multimodal.synthesize_webp_payloads(d, id_col="doc_id")
     return multimodal.extract_image_metadata(media, id_col="doc_id")
+
+
+@register(
+    "multimodal_shard_pipeline",
+    """
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 17 AS w, 4 + doc_id % 15 AS h,
+             COALESCE(text, '') AS text
+      FROM documents WHERE doc_id < 250
+    ), s AS (
+      SELECT p.doc_id, p.w, p.h, strlen(p.text) AS caption_len,
+             CAST(SUM((5*p.doc_id + 11*x.i + 13*y.i) % 256
+                      + (5*p.doc_id + 11*x.i + 13*y.i + 17) % 256
+                      + (5*p.doc_id + 11*x.i + 13*y.i + 34) % 256) AS BIGINT)
+               AS pixel_sum
+      FROM p,
+           LATERAL (SELECT UNNEST(range(0, p.w)) AS i) x,
+           LATERAL (SELECT UNNEST(range(0, p.h)) AS i) y
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels, pixel_sum,
+           CAST(caption_len AS BIGINT) AS caption_len
+    FROM s
+    """,
+    tags=("llm-multimodal", "S1", "sources-formats"),
+    doc="END-TO-END multimodal shard pipeline (the LAION-style "
+    "ingestion shape, composing three separately-graded layers): REAL "
+    "ZIP shards (one per doc: a real PNG member + a caption member, "
+    "deflate where it shrinks) -> extract_zip_members bridges inflated "
+    ".png bytes to a payload column -> decode_images runs the REAL PNG "
+    "decode (zlib + five-filter reconstruction) for dims + exact "
+    "pixel_sum -> caption lengths join back by doc. PNG content reuses "
+    "synthesize_png_payloads' closed form (pixel = (5*id+11x+13y+17c) "
+    "mod 256), so the oracle recomputes the decoded pixel_sum "
+    "arithmetically THROUGH the zip+inflate+decode chain: a wrong byte "
+    "anywhere in the stack reds the hash. The web_pipeline_ingest "
+    "sibling for the image-shard tier.",
+)
+def multimodal_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .sources import zipshard
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = []
+            for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                rid = int(rid)
+                key = f"{rid:06d}"
+                png = multimodal.encode_png(
+                    4 + rid % 17,
+                    4 + rid % 15,
+                    lambda x, y, c, rid=rid: (5 * rid + 11 * x + 13 * y + 17 * c) % 256,
+                )
+                payloads.append(
+                    zipshard.encode_zip(
+                        [
+                            (f"{key}.png", png),
+                            (f"{key}.txt", ("" if text is None else str(text)).encode()),
+                        ]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema).localCheckpoint(
+        eager=False  # two consumers: the .png leg and the .txt leg
+    )
+    pngs = zipshard.extract_zip_members(shards, suffix=".png")
+    decoded = multimodal.decode_images(pngs.select("doc_id", "payload"))
+    captions = zipshard.extract_zip_members(shards, suffix=".txt").select(
+        "doc_id", F.length(F.col("payload").cast("string")).cast("long").alias("caption_len")
+    )
+    return decoded.join(captions, "doc_id").select(
+        "doc_id", "width", "height", "n_channels", "pixel_sum", "caption_len"
+    )

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["encode_zip", "parse_zip", "read_zip_members"]
+__all__ = ["encode_zip", "parse_zip", "read_zip_members", "extract_zip_members"]
 
 _LOCAL_SIG = b"PK\x03\x04"
 _CENTRAL_SIG = b"PK\x01\x02"
@@ -79,8 +79,9 @@ def encode_zip(
 
 def parse_zip(data: bytes) -> list[dict]:
     """Central-directory walk → one dict per member: name, method
-    ('store'/'deflate'), size (uncompressed), crc32, member_md5 of the
-    INFLATED bytes. Raises ValueError on any lying size/offset/CRC."""
+    ('store'/'deflate'), size (uncompressed), crc32, member_md5 AND
+    `content` (the INFLATED bytes). Raises ValueError on any lying
+    size/offset/CRC."""
     # EOCD: backward scan over the last 64 KiB + 22 (max comment)
     tail_start = max(0, len(data) - (0xFFFF + 22))
     eocd = data.rfind(_EOCD_SIG, tail_start)
@@ -136,9 +137,45 @@ def parse_zip(data: bytes) -> list[dict]:
                 "size": usize,
                 "crc32": crc,
                 "member_md5": hashlib.md5(raw).hexdigest(),
+                "content": raw,
             }
         )
     return out
+
+
+def extract_zip_members(
+    df: DataFrame, *, id_col: str = "doc_id", suffix: str = ""
+) -> DataFrame:
+    """payload → (id, name, payload): the INFLATED bytes of every
+    member whose name ends with `suffix` — the shard→media bridge
+    (downstream decoders consume the payload column directly, e.g.
+    decode_images over the .png members of a LAION-style shard).
+    Malformed archives drop silently here (read_zip_members is the
+    quarantine-reporting surface)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, names, payloads = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    recs = parse_zip(bytes(payload)) if payload is not None else []
+                except (ValueError, TypeError, struct.error):
+                    continue
+                for r in recs:
+                    if r["name"].endswith(suffix):
+                        ids.append(int(rid))
+                        names.append(r["name"])
+                        payloads.append(r["content"])
+            yield pd.DataFrame({id_col: ids, "name": names, "payload": payloads})
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema)
 
 
 def read_zip_members(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
