@@ -4883,3 +4883,81 @@ def synthesize_webp_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFr
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def audio_energy_envelope(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    frame_size: int = 160,
+    quantize: str = "bitlen",
+) -> DataFrame:
+    """payload → (id, envelope): the audio content fingerprint as a
+    TEXT of per-frame energy tokens, space-joined in frame order.
+    quantize='bitlen' (production tier, loudness-robust): token =
+    bitlen(Σ s² + 1) via binary-string length JVM-side — the
+    text_lm_surprisal discipline, never libm log2; the +1 keeps silent
+    frames at bitlen 1. quantize='exact' (the oracle-strict tier):
+    token = the exact integer energy — maximally discriminative, the
+    form the graded battery hashes. Every step is integer, so both
+    tiers are engine-reproducible from a closed-form sample function.
+
+    The envelope feeds the EXISTING text near-dup machinery
+    (jaccard_pairs_bruteforce / minhash_lsh_pairs on shingles of
+    consecutive tokens) — audio near-dup reduces to text near-dup
+    over the fingerprint, completing the dedup modality matrix:
+    text exact/near/semantic, image perceptual, AUDIO envelope."""
+    if quantize not in ("bitlen", "exact"):
+        raise ValueError(f"quantize must be 'bitlen' or 'exact', got {quantize!r}")
+    frames = audio_vad_frames(df, id_col=id_col, frame_size=frame_size)
+    env = F.array_sort(
+        F.collect_list(F.struct("frame_idx", "energy"))
+    )
+    if quantize == "bitlen":
+        tok = lambda s: F.length(F.conv(s["energy"] + 1, 10, 2))  # noqa: E731
+    else:
+        tok = lambda s: s["energy"]  # noqa: E731
+    return frames.groupBy(id_col).agg(
+        F.concat_ws(" ", F.transform(env, lambda s: tok(s).cast("string"))).alias(
+            "envelope"
+        )
+    )
+
+
+def synthesize_neardup_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL mono PCM16 WAV with planted near-duplicate PAIRS for
+    the audio-envelope dedup battery: docs pair by k = id//2, both
+    share the k-derived silence/tone schedule over 44 + k % 9 frames
+    of 160 samples — frame f silent iff (f² + 3f + k) % 7 < 2, else
+    sample i = ((k*7919 + i*104729) % 65536) − 32768 — and the odd doc
+    of each pair SILENCES exactly one frame (f = k % n_frames), so the pair's envelopes
+    differ in one frame (near-dup), while different k draw different
+    schedules AND different samples (far pairs). Closed form end to
+    end for the SQL oracle."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in (int(v) for v in pdf[id_col]):
+                k = rid // 2
+                nblk = 44 + k % 9
+                flip = k % nblk
+                samples = []
+                for f in range(nblk):
+                    silent = (f * f + 3 * f + k) % 7 < 2
+                    if rid % 2 == 1 and f == flip:
+                        silent = True
+                    if silent:
+                        samples.extend([0] * 160)
+                    else:
+                        samples.extend(
+                            ((k * 7919 + i * 104729) % 65536) - 32768
+                            for i in range(f * 160, (f + 1) * 160)
+                        )
+                payloads.append(encode_wav_pcm16(WAV_RATES[k % 5], samples))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)

@@ -4691,3 +4691,65 @@ def multimodal_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.join(captions, "doc_id").select(
         "doc_id", "width", "height", "n_channels", "pixel_sum", "caption_len"
     )
+
+
+@register(
+    "dedup_audio_envelope",
+    """
+    WITH p AS (
+      SELECT doc_id, doc_id // 2 AS k, doc_id % 2 AS odd
+      FROM documents WHERE doc_id < 200
+    ), fr AS (
+      SELECT p.doc_id, f.f AS frame_idx,
+             CAST(SUM(CASE WHEN (f.f*f.f + 3*f.f + p.k) % 7 < 2
+                             OR (p.odd = 1 AND f.f = p.k % (44 + p.k % 9))
+                           THEN 0 ELSE v.v * v.v END) AS BIGINT) AS energy
+      FROM p,
+           LATERAL (SELECT UNNEST(range(0, 44 + p.k % 9)) AS f) f,
+           LATERAL (
+             SELECT ((p.k*7919 + (f.f*160 + s.s)*104729) % 65536) - 32768 AS v
+             FROM (SELECT UNNEST(range(0, 160)) AS s) s
+           ) v
+      GROUP BY 1, 2
+    ), env AS (
+      SELECT doc_id, list(CAST(energy AS VARCHAR) ORDER BY frame_idx) AS w
+      FROM fr GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)])
+             ELSE [] END AS s
+      FROM env
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(a.s || b.s)), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                / len(list_distinct(a.s || b.s)), 4) >= 0.8
+    """,
+    tags=("llm-dedup", "llm-multimodal"),
+    doc="AUDIO near-dup via energy-envelope fingerprinting "
+    "(multimodal.audio_energy_envelope, quantize='exact'): REAL WAV "
+    "decode -> exact int64 frame energies in the Arrow kernel -> the "
+    "envelope text feeds the EXISTING n-gram Jaccard machinery "
+    "(dedup.jaccard_pairs_bruteforce with its SSJoin prefix filter) -- "
+    "audio dedup REDUCES to text dedup over an integer fingerprint, "
+    "completing the modality matrix (text exact/near/semantic, image "
+    "perceptual dHash, audio envelope). Fixtures plant pairs sharing a "
+    "silence/tone schedule with ONE silenced frame of ~44-52 "
+    "(envelope Jaccard >= 0.87 > threshold 0.8, guaranteed non-empty); "
+    "different pairs draw disjoint pseudo-random energies. The oracle "
+    "replays energies, envelopes, shingles and the pair join "
+    "closed-form; jaccard is one IEEE divide of exact ints (the "
+    "pinned ROUND discipline). The loudness-robust bitlen tier is "
+    "pinned in pytest.",
+)
+def dedup_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_neardup_wav_payloads(d, id_col="doc_id")
+    env = multimodal.audio_energy_envelope(media, id_col="doc_id", quantize="exact")
+    return dedup.jaccard_pairs_bruteforce(
+        env, text_col="envelope", id_col="doc_id", n=3, threshold=0.8
+    )

@@ -210,3 +210,47 @@ def test_vad_fixture_schedule_matches_kernel(spark):
         silent = (r["frame_idx"] ** 2 + r["frame_idx"] + r["doc_id"]) % 5 < 2
         assert (r["energy"] == 0) == silent
         assert r["active"] == (0 if silent else 1)
+
+
+# ---------------------------------------------------------------------------
+# Audio envelope near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_audio_envelope_exact_and_bitlen_tiers(spark):
+    from data_lake_skyfit_spark.llm.multimodal import (
+        audio_energy_envelope,
+        encode_wav_pcm16,
+    )
+
+    frames = [[100, 0, 0, 0], [0, 0, 0, 0], [3, 4, 0, 0]]
+    wav = encode_wav_pcm16(8000, [s for f in frames for s in f])
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    exact = audio_energy_envelope(df, frame_size=4, quantize="exact").collect()[0]
+    assert exact["envelope"] == "10000 0 25"
+    # bitlen(e+1): 10001 (< 2^14) -> 14 bits, 1 -> 1 bit, 26 -> 5 bits
+    bl = audio_energy_envelope(df, frame_size=4, quantize="bitlen").collect()[0]
+    assert bl["envelope"] == "14 1 5"
+    with pytest.raises(ValueError):
+        audio_energy_envelope(df, quantize="log")
+
+
+def test_audio_neardup_planted_pairs_found_and_far_pairs_absent(spark):
+    from pyspark.sql import functions as F
+
+    from data_lake_skyfit_spark.llm.dedup import jaccard_pairs_bruteforce
+    from data_lake_skyfit_spark.llm.multimodal import (
+        audio_energy_envelope,
+        synthesize_neardup_wav_payloads,
+    )
+
+    d = spark.range(40).select(F.col("id").alias("doc_id"))
+    media = synthesize_neardup_wav_payloads(d)
+    env = audio_energy_envelope(media, quantize="exact")
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in jaccard_pairs_bruteforce(
+            env, text_col="envelope", n=3, threshold=0.8
+        ).collect()
+    }
+    assert pairs == {(2 * k, 2 * k + 1) for k in range(20)}
