@@ -4961,3 +4961,102 @@ def synthesize_neardup_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") ->
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def synthesize_neardup_avi_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL AVI with planted shared-frame PAIRS for the video
+    near-dup battery: docs pair by k = id//2, both carry
+    n = 8 + k % 5 frames at 1000 us/frame (every frame sampled at
+    every_ms=1), width 8, height 4; frame j's bytes are the ASCII tile
+    of 'k{k}f{j}x' — IDENTICAL across the pair — except the odd doc
+    REPLACES frame j = k % n with the tile of 'k{k}alt'. Pair frame
+    sets overlap in n−1 of n+1 distinct frames (Jaccard ≥ 7/9 at n=8);
+    different k share nothing. All tiles are plain-string SQL, so the
+    oracle rebuilds every frame md5."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(rid: int) -> bytes:
+            k = rid // 2
+            n = 8 + k % 5
+            nbytes = 8 * 4 * 3
+            frames = []
+            for j in range(n):
+                seed = f"k{k}alt" if (rid % 2 == 1 and j == k % n) else f"k{k}f{j}x"
+                frames.append((seed.encode() * nbytes)[:nbytes])
+            return encode_avi_dib(8, 4, 1_000, frames)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [one(int(v)) for v in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    every_ms: int = 1,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """All id pairs whose sampled-frame md5 SETS overlap at Jaccard ≥
+    num/den — shared-scene video dedup (re-uploads, edits that replace
+    a few frames), the video leg of the dedup modality matrix.
+
+    Plan: sample_video_frames walks the containers for real (AVI/MP4/
+    GIF); per-doc DISTINCT frame sets reduce to one row per (doc,
+    frame_md5); candidates come from the inverted-index equi-join on
+    frame_md5 (shuffle ∝ total frames, never doc² — frame hashes are
+    high-entropy so bucket fan-in is the true duplication rate);
+    verification is ALL-INTEGER: inter·den ≥ num·(|A|+|B|−inter), so
+    no float boundary exists anywhere. Returns (a_id, b_id, inter,
+    size_a, size_b, jaccard) — jaccard is one IEEE divide of exact
+    integers, engine-identical."""
+    frames = sample_video_frames(df, id_col=id_col, every_ms=every_ms)
+    fs = (
+        frames.select(F.col(id_col).alias("id"), "frame_md5")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds sizes AND the self-join
+    )
+    sizes = fs.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = fs.alias("a")
+    b = fs.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.frame_md5") == F.col("b.frame_md5"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("sz").alias("size_b"))
+    out = (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(
+            F.col("inter") * threshold_den
+            >= F.lit(threshold_num)
+            * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        )
+    )
+    return out.select(
+        "a_id",
+        "b_id",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        (
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        ).alias("jaccard"),
+    )

@@ -4753,3 +4753,52 @@ def dedup_audio_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_bruteforce(
         env, text_col="envelope", id_col="doc_id", n=3, threshold=0.8
     )
+
+
+@register(
+    "dedup_video_frames",
+    """
+    WITH p AS (
+      SELECT doc_id, doc_id // 2 AS k, doc_id % 2 AS odd
+      FROM documents WHERE doc_id < 200
+    ), fr AS (
+      SELECT p.doc_id,
+             md5(substr(repeat(
+               CASE WHEN p.odd = 1 AND j.j = p.k % (8 + p.k % 5)
+                    THEN 'k' || CAST(p.k AS VARCHAR) || 'alt'
+                    ELSE 'k' || CAST(p.k AS VARCHAR) || 'f'
+                         || CAST(j.j AS VARCHAR) || 'x' END, 96), 1, 96)) AS fmd5
+      FROM p, LATERAL (SELECT UNNEST(range(0, 8 + p.k % 5)) AS j) j
+    ), sets AS (
+      SELECT doc_id, list_distinct(list(fmd5)) AS s FROM fr GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           CAST(len(a.s) AS BIGINT) AS size_a,
+           CAST(len(b.s) AS BIGINT) AS size_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 10
+          >= 7 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+    """,
+    tags=("llm-dedup", "llm-multimodal"),
+    doc="VIDEO near-dup via shared-frame sets "
+    "(multimodal.video_neardup_pairs): REAL AVI chunk walks "
+    "(sample_video_frames) reduce each video to its sampled frame-md5 "
+    "set; candidates come from the inverted-index equi-join on "
+    "frame_md5 (shuffle ∝ total frames, never doc²) and the Jaccard "
+    "decision is ALL-INTEGER (inter·den ≥ num·(|A|+|B|−inter)) — the "
+    "re-upload / few-frames-edited detection of the video tier, "
+    "completing the dedup modality matrix across text, image, audio "
+    "AND video. Fixtures plant pairs sharing all but one replaced "
+    "frame (J = (n−1)/(n+1) ≥ 7/9 > 7/10, non-empty by construction); "
+    "the oracle rebuilds every frame payload as a SQL string, md5s "
+    "it, and replays the same integer set arithmetic.",
+)
+def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_neardup_avi_payloads(d, id_col="doc_id")
+    return multimodal.video_neardup_pairs(
+        media, id_col="doc_id", every_ms=1, threshold_num=7, threshold_den=10
+    )

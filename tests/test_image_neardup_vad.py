@@ -254,3 +254,29 @@ def test_audio_neardup_planted_pairs_found_and_far_pairs_absent(spark):
         ).collect()
     }
     assert pairs == {(2 * k, 2 * k + 1) for k in range(20)}
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup (shared-frame sets)
+# ---------------------------------------------------------------------------
+
+
+def test_video_neardup_planted_pairs_and_thresholds(spark):
+    from data_lake_skyfit_spark.llm.multimodal import (
+        synthesize_neardup_avi_payloads,
+        video_neardup_pairs,
+    )
+
+    d = spark.range(40).select(F.col("id").alias("doc_id"))
+    media = synthesize_neardup_avi_payloads(d)
+    got = {
+        (r["a_id"], r["b_id"]): (r["inter"], r["size_a"], r["size_b"])
+        for r in video_neardup_pairs(media, every_ms=1).collect()
+    }
+    assert set(got) == {(2 * k, 2 * k + 1) for k in range(20)}
+    for k in range(20):
+        n = 8 + k % 5
+        assert got[(2 * k, 2 * k + 1)] == (n - 1, n, n)
+    # raising the threshold past (n-1)/(n+1) empties the output
+    high = video_neardup_pairs(media, every_ms=1, threshold_num=99, threshold_den=100)
+    assert high.count() == 0
