@@ -35,6 +35,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "semantic_dedup",
     "hamming_neardup_pairs",
+    "HammingIndex",
     "containment_pairs",
 ]
 
@@ -1038,6 +1039,28 @@ def semantic_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _hamming_band_exprs(hi_col: str, lo_col: str, max_dist: int) -> list[Column]:
+    """The max_dist+1 pigeonhole band values of a 64-bit fingerprint
+    stored as non-negative 32-bit halves (boundaries i*64//(max_dist+1))."""
+    bands = max_dist + 1
+    bounds = [i * 64 // bands for i in range(bands + 1)]
+    h64 = F.shiftleft(F.col(hi_col), 32).bitwiseOR(F.col(lo_col))
+    # A full-width band (max_dist=0) needs no mask — and its mask
+    # literal 2^64−1 would not fit a JVM long anyway.
+    return [
+        F.shiftrightunsigned(h64, bounds[i])
+        if bounds[i + 1] - bounds[i] == 64
+        else F.shiftrightunsigned(h64, bounds[i]).bitwiseAND(
+            F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+        )
+        for i in range(bands)
+    ]
+
+
+def _hamming_dist(hi_a: Column, lo_a: Column, hi_b: Column, lo_b: Column) -> Column:
+    return F.bit_count(hi_a.bitwiseXOR(hi_b)) + F.bit_count(lo_a.bitwiseXOR(lo_b))
+
+
 def hamming_neardup_pairs(
     df: DataFrame,
     *,
@@ -1064,19 +1087,7 @@ def hamming_neardup_pairs(
     values. Returns (id_a, id_b, hamming) with id_a < id_b."""
     if not 0 <= max_dist <= 63:
         raise ValueError(f"max_dist must be in [0, 63], got {max_dist}")
-    bands = max_dist + 1
-    bounds = [i * 64 // bands for i in range(bands + 1)]
-    h64 = F.shiftleft(F.col(hi_col), 32).bitwiseOR(F.col(lo_col))
-    # A full-width band (max_dist=0) needs no mask — and its mask
-    # literal 2^64−1 would not fit a JVM long anyway.
-    band_vals = [
-        F.shiftrightunsigned(h64, bounds[i])
-        if bounds[i + 1] - bounds[i] == 64
-        else F.shiftrightunsigned(h64, bounds[i]).bitwiseAND(
-            F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
-        )
-        for i in range(bands)
-    ]
+    band_vals = _hamming_band_exprs(hi_col, lo_col, max_dist)
     # One small row per doc; checkpointed because the self-join consumes
     # the frame twice (the multi-consumer lineage rule) and the upstream
     # is typically a decode-heavy Arrow kernel.
@@ -1204,3 +1215,113 @@ def containment_pairs(
             (F.col("inter") / F.col("size_a")).alias("containment"),
         )
     )
+
+
+class HammingIndex:
+    """Persisted, incrementally-maintained Hamming near-dup index over
+    64-bit fingerprints (dHash images, SimHash text) — the 100 TB
+    operating mode beside MinHashIndex and IVFIndex: a production
+    corpus is not re-joined per batch; new fingerprints probe the
+    standing band table (shuffle ∝ batch·bands + matching buckets) and
+    merge in idempotently (keyed MERGE, replays converge).
+
+    Storage: a hashes table (id, hash_hi, hash_lo) and a band-entries
+    table (id, band_idx, band_val) — ParquetTable-backed keyed
+    upserts. `add()` returns the exact-distance pairs involving at
+    least one new id (batch-internal pairs included), so a corpus
+    ingested batch-by-batch yields exactly the one-shot
+    hamming_neardup_pairs set (pinned in tests and the incremental
+    battery entry)."""
+
+    def __init__(self, root: str, *, max_dist: int = 3):
+        from ..operators.merge import ParquetTable
+
+        if not 0 <= max_dist <= 63:
+            raise ValueError(f"max_dist must be in [0, 63], got {max_dist}")
+        self.max_dist = max_dist
+        self.hash_table = ParquetTable(f"{root}/hashes", ["id"])
+        self.band_table = ParquetTable(f"{root}/bands", ["id", "band_idx"])
+
+    def add(
+        self,
+        df: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        hi_col: str = "hash_hi",
+        lo_col: str = "hash_lo",
+    ) -> DataFrame:
+        spark = df.sparkSession
+        hashed = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(hi_col).alias("hash_hi"),
+                F.col(lo_col).alias("hash_lo"),
+            )
+            .filter(F.col("hash_hi").isNotNull() & F.col("hash_lo").isNotNull())
+            .localCheckpoint(eager=False)
+        )
+        new_bands = hashed.select(
+            "id",
+            F.posexplode(
+                F.array(*_hamming_band_exprs("hash_hi", "hash_lo", self.max_dist))
+            ).alias("band_idx", "band_val"),
+        ).localCheckpoint(eager=False)
+
+        if self.band_table.exists():
+            probe = self.band_table.read(spark).unionByName(new_bands)
+            # replayed/updated ids: the new batch's hash wins (anti-join,
+            # the MinHashIndex rule) or verification fans out duplicates
+            all_hashes = (
+                self.hash_table.read(spark)
+                .join(hashed.select("id"), "id", "left_anti")
+                .unionByName(hashed)
+            )
+        else:
+            probe = new_bands
+            all_hashes = hashed
+
+        a = new_bands.alias("a")
+        b = probe.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        ha = all_hashes.select(
+            F.col("id").alias("id_a"),
+            F.col("hash_hi").alias("hi_a"),
+            F.col("hash_lo").alias("lo_a"),
+        )
+        hb = all_hashes.select(
+            F.col("id").alias("id_b"),
+            F.col("hash_hi").alias("hi_b"),
+            F.col("hash_lo").alias("lo_b"),
+        )
+        pairs = (
+            candidates.join(ha, "id_a")
+            .join(hb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                _hamming_dist(
+                    F.col("hi_a"), F.col("lo_a"), F.col("hi_b"), F.col("lo_b")
+                )
+                .cast("long")
+                .alias("hamming"),
+            )
+            .filter(F.col("hamming") <= self.max_dist)
+        )
+        # materialize BEFORE mutating the index: the lineage reads the
+        # pre-add tables (the MinHashIndex rule)
+        pairs = pairs.localCheckpoint(eager=True)
+        self.hash_table.merge(hashed)
+        self.band_table.merge(new_bands)
+        return pairs

@@ -4136,9 +4136,7 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.word_surprisal_scores(d, vocab_size=1024)
 
 
-@register(
-    "image_neardup_hamming",
-    """
+_IMAGE_NEARDUP_ORACLE = """
     WITH p AS (
       SELECT doc_id, doc_id // 2 AS k, doc_id % 2 AS odd
       FROM documents WHERE doc_id < 200
@@ -4165,7 +4163,12 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN bits y ON y.rr = x.rr AND y.cc = x.cc AND x.doc_id < y.doc_id
     GROUP BY 1, 2
     HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 3
-    """,
+"""
+
+
+@register(
+    "image_neardup_hamming",
+    _IMAGE_NEARDUP_ORACLE,
     tags=("llm-dedup", "llm-multimodal"),
     doc="PERCEPTUAL image near-dup: REAL PNG decode (zlib + five-filter "
     "reconstruction) → all-integer 64-bit dHash (BT.601 integer luma, "
@@ -4801,4 +4804,42 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthesize_neardup_avi_payloads(d, id_col="doc_id")
     return multimodal.video_neardup_pairs(
         media, id_col="doc_id", every_ms=1, threshold_num=7, threshold_den=10
+    )
+
+
+@register(
+    "image_neardup_incremental",
+    _IMAGE_NEARDUP_ORACLE,
+    tags=("llm-dedup", "llm-multimodal", "I3", "no-bench"),
+    doc="Incrementally-maintained Hamming near-dup index "
+    "(llm.dedup.HammingIndex — the MinHashIndex/IVFIndex pattern for "
+    "64-bit fingerprints): the image corpus is ingested in TWO batches "
+    "(doc_id < 120, then the rest); each batch dHashes only its own "
+    "images, probes the persisted band table for collisions with the "
+    "standing corpus, verifies with exact bit_count(xor), and MERGEs "
+    "in idempotently — the 100 TB operating mode where a daily image "
+    "batch never re-joins the corpus. The union of per-batch pair "
+    "outputs must equal the one-shot banded join (the same "
+    "closed-form oracle as image_neardup_hamming). no-bench: "
+    "deliberately persists parquet index tables twice over the "
+    "corpus — pipeline-maintenance cost, not query latency.",
+)
+def image_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .llm.dedup import HammingIndex
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_neardup_png_payloads(d, id_col="doc_id")
+    hashed = multimodal.image_dhash(media, id_col="doc_id").localCheckpoint(
+        eager=False  # feeds both batch filters
+    )
+    idx = HammingIndex(tempfile.mkdtemp(prefix="hamming_idx_"), max_dist=3)
+    p1 = idx.add(hashed.filter(F.col("doc_id") < 120))
+    p2 = idx.add(hashed.filter(F.col("doc_id") >= 120))
+    return (
+        p1.unionByName(p2)
+        .select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+        )
     )

@@ -280,3 +280,27 @@ def test_video_neardup_planted_pairs_and_thresholds(spark):
     # raising the threshold past (n-1)/(n+1) empties the output
     high = video_neardup_pairs(media, every_ms=1, threshold_num=99, threshold_den=100)
     assert high.count() == 0
+
+
+def test_hamming_index_incremental_equals_oneshot_and_replay(spark, tmp_path):
+    """Batch-by-batch HammingIndex ingestion must reproduce the
+    one-shot banded join exactly, and replaying a batch (idempotent
+    MERGE) must not mint duplicate pairs on the next add."""
+    d = spark.range(60).select(F.col("id").alias("doc_id"))
+    hashed = multimodal.image_dhash(
+        multimodal.synthesize_neardup_png_payloads(d)
+    ).localCheckpoint(eager=False)
+    oneshot = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.hamming_neardup_pairs(hashed, max_dist=3).collect()
+    }
+    idx = dedup.HammingIndex(str(tmp_path / "idx"), max_dist=3)
+    b1 = hashed.filter("doc_id < 30")
+    p1 = idx.add(b1).collect()
+    p1_replay = idx.add(b1).collect()  # replay: same pairs, no dupes
+    assert {tuple(r) for r in p1} == {tuple(r) for r in p1_replay}
+    p2 = idx.add(hashed.filter("doc_id >= 30")).collect()
+    got = {tuple(r) for r in p1} | {tuple(r) for r in p2}
+    assert got == oneshot
+    with pytest.raises(ValueError):
+        dedup.HammingIndex(str(tmp_path / "bad"), max_dist=99)
