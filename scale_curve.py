@@ -28,6 +28,13 @@ op timing excludes inflation and scans real files), then wall-time:
                          inflated corpus with a fixed dual-encoder
                          (r4d: the serving path is a zero-shuffle Arrow
                          map — the curve should be flat-linear)
+- image_neardup_hamming  PNG encode + real decode + dHash + banded
+                         Hamming join (r4e: md5-cell patterns so the
+                         fixture can't fabricate near-pairs; output
+                         must stay exactly the planted pairs ∝ factor)
+- text_heavy_hitters     two-pass MG + recount at fixed k over
+                         verbatim-copy inflation (r4e: same 30 heavy
+                         tokens at every factor, work ∝ n)
 
 Usage: python scale_curve.py [--factors 1,8,64] [--ops lsh,cc,cur,knn]
 Writes one JSON line per (op, factor) and a final markdown table for
