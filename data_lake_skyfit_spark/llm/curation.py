@@ -843,3 +843,74 @@ def negative_sample_pairs(
         out.filter(F.col("anchor_id") != F.col("negative_id"))
         .select("anchor_id", F.col("slot").cast("int").alias("slot"), "negative_id")
     )
+
+
+def luhn_valid_expr(num: Column) -> Column:
+    """TRUE iff the digit string in `num` passes the Luhn mod-10
+    checksum — pure JVM integer arithmetic (an ordered HOF fold over
+    the digit positions: from the RIGHTMOST digit, every second digit
+    doubles, doubles above 9 subtract 9, total ≡ 0 mod 10). Engine-
+    exact, so validated-card counts are safe battery columns."""
+
+    def body(s: Column) -> Column:
+        n = F.length(s)
+        total = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                (n - i) % 2 == 1,
+                F.when(
+                    F.substring(s, i, 1).cast("int") * 2 > 9,
+                    F.substring(s, i, 1).cast("int") * 2 - 9,
+                ).otherwise(F.substring(s, i, 1).cast("int") * 2),
+            ).otherwise(F.substring(s, i, 1).cast("int")),
+        )
+        return (total % 10 == 0) & (n > 1)
+
+    return let_expr(num, body)
+
+
+def pii_luhn_scan(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    card_token: str = "[CARD]",
+) -> DataFrame:
+    """Luhn-VALIDATED payment-card scrubbing — the tier regex-only PII
+    scanning cannot provide: a 16-digit run is only redacted when its
+    mod-10 checksum passes, so order numbers and timestamps that merely
+    look card-shaped survive (the false-positive killer; ~10% of random
+    16-digit strings pass Luhn, so validation cuts spurious redactions
+    ~10×). Returns (id, n_candidates, n_valid, redacted).
+
+    Plan: one codegen regex extract for boundary-guarded 16-digit runs
+    (Java lookarounds), a let-bound interpreted Luhn fold per CANDIDATE
+    (not per char of the document — candidates are rare), and an
+    ordered fold replacing each validated number literally. Zero
+    shuffles; at 100 TB this is a map over the corpus like pii_scan."""
+    cand = F.expr(
+        f"regexp_extract_all({text_col}, '(?<![0-9])[0-9]{{16}}(?![0-9])', 0)"
+    )
+
+    def build(c: Column) -> Column:
+        valid = F.filter(c, lambda s: luhn_valid_expr(s))
+        red = F.aggregate(
+            valid,
+            F.col(text_col),
+            lambda acc, s: F.replace(acc, s, F.lit(card_token)),
+        )
+        return F.struct(
+            F.size(c).cast("int").alias("n_candidates"),
+            F.size(valid).cast("int").alias("n_valid"),
+            red.alias("redacted"),
+        )
+
+    out = let_expr(cand, build)
+    return df.select(
+        F.col(id_col),
+        out["n_candidates"].alias("n_candidates"),
+        out["n_valid"].alias("n_valid"),
+        out["redacted"].alias("redacted"),
+    )

@@ -4843,3 +4843,66 @@ def image_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
         )
     )
+
+
+@register(
+    "pii_card_luhn",
+    """
+    WITH p AS (SELECT c_custkey AS k FROM customer),
+    d AS (
+      SELECT p.k, j.j AS j, (p.k * (j.j + 3) + j.j * j.j) % 10 AS dig
+      FROM p, LATERAL (SELECT UNNEST(range(1, 16)) AS j) j
+    ), s AS (
+      SELECT k,
+             CAST(SUM(CASE WHEN j % 2 = 1
+                           THEN CASE WHEN 2*dig > 9 THEN 2*dig - 9 ELSE 2*dig END
+                           ELSE dig END) AS BIGINT) AS part,
+             string_agg(CAST(dig AS VARCHAR), '' ORDER BY j) AS body
+      FROM d GROUP BY k
+    ), c AS (
+      SELECT k, body, part,
+             CASE WHEN k % 2 = 0 THEN (10 - part % 10) % 10
+                  ELSE ((10 - part % 10) % 10 + 5) % 10 END AS chk
+      FROM s
+    )
+    SELECT k AS cust_id,
+           CAST(1 AS INT) AS n_candidates,
+           CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS INT) AS n_valid,
+           CASE WHEN k % 2 = 0
+                THEN 'acct [CARD] ref ' || CAST(k AS VARCHAR)
+                ELSE 'acct ' || body || CAST(chk AS VARCHAR)
+                     || ' ref ' || CAST(k AS VARCHAR) END AS redacted
+    FROM c
+    """,
+    tags=("llm-text", "2.10-string"),
+    doc="Luhn-VALIDATED payment-card scrubbing "
+    "(llm.curation.pii_luhn_scan + luhn_valid_expr): 16-digit "
+    "candidates come from one boundary-guarded codegen regex, but a "
+    "number is only redacted when its mod-10 checksum passes — pure "
+    "JVM integer arithmetic via an ordered HOF fold (let-bound per "
+    "candidate, the interpreted-lambda discipline), so order numbers "
+    "that merely look card-shaped survive. Fixtures embed one card per "
+    "customer whose CHECK DIGIT is constructed valid for even keys and "
+    "constructed-invalid (+5 mod 10, never equal) for odd keys; the "
+    "oracle rebuilds digits, Luhn sum, check digit and the redacted "
+    "string closed-form. Zero shuffles — a corpus map like pii_scan.",
+)
+def pii_card_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+    from operator import add
+
+    from .llm import curation
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    digs = [((F.col("k") * (j + 3) + j * j) % 10) for j in range(1, 16)]
+
+    def dbl(d):
+        return F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+
+    part = reduce(add, [dbl(d) if j % 2 == 1 else d for j, d in enumerate(digs, 1)])
+    chk_valid = (10 - part % 10) % 10
+    chk = F.when(F.col("k") % 2 == 0, chk_valid).otherwise((chk_valid + 5) % 10)
+    body = F.concat(*[d.cast("string") for d in digs], chk.cast("string"))
+    text = F.concat(F.lit("acct "), body, F.lit(" ref "), F.col("k").cast("string"))
+    corpus = c.select(F.col("k").alias("cust_id"), text.alias("text"))
+    return curation.pii_luhn_scan(corpus, text_col="text", id_col="cust_id")

@@ -1178,3 +1178,41 @@ def test_word_surprisal_ranks_fluent_below_gibberish(spark):
         for r in word_surprisal_scores(d, vocab_size=64).collect()
     }
     assert out[100] > out[0] * 1.5
+
+
+def test_luhn_validation_known_numbers(spark):
+    """Published Luhn examples: the classic 4539... test PAN is valid,
+    a one-digit corruption is not; short strings reject."""
+    from pyspark.sql import functions as F
+
+    from data_lake_skyfit_spark.llm.curation import luhn_valid_expr
+
+    cases = [
+        ("4539148803436467", True),   # classic valid test PAN
+        ("4539148803436468", False),  # corrupted check digit
+        ("79927398713", True),        # the canonical Luhn example
+        ("79927398710", False),
+        ("0000000000000000", True),   # sum 0 ≡ 0 mod 10
+    ]
+    df = spark.createDataFrame(cases, "num string, expect boolean")
+    got = df.select("num", "expect", luhn_valid_expr(F.col("num")).alias("v")).collect()
+    for r in got:
+        assert r["v"] == r["expect"], r["num"]
+
+
+def test_pii_luhn_scan_redacts_only_validated(spark):
+    from data_lake_skyfit_spark.llm.curation import pii_luhn_scan
+
+    rows = [
+        (1, "pay 4539148803436467 now"),          # valid → redacted
+        (2, "order 4539148803436468 shipped"),    # invalid → kept
+        (3, "ref 12345678901234567 long"),        # 17 digits → no candidate
+        (4, "a 4539148803436467 b 79927398713999999 c"),  # 1 valid of 2? second is 17 digits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_luhn_scan(df).collect()}
+    assert got[1]["n_candidates"] == 1 and got[1]["n_valid"] == 1
+    assert got[1]["redacted"] == "pay [CARD] now"
+    assert got[2]["n_valid"] == 0 and "4539148803436468" in got[2]["redacted"]
+    assert got[3]["n_candidates"] == 0
+    assert got[4]["n_candidates"] == 1 and got[4]["n_valid"] == 1
