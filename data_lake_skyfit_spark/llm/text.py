@@ -480,3 +480,55 @@ def word_surprisal_scores(
             F.coalesce("surprisal_bits", zero).alias("surprisal_bits"),
         )
     )
+
+
+def fix_mojibake(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repair the classic double-encoding mojibake (UTF-8 bytes that
+    were mis-read as Latin-1 — 'caf\\u00c3\\u00a9' for 'caf\\u00e9'):
+    a document is fixed iff EVERY character is a Latin-1 code point
+    AND re-reading those bytes as UTF-8 succeeds AND changes the text
+    — the strict ftfy-style round-trip, so a stray '\\u00c3' followed
+    by an invalid continuation byte never triggers a rewrite (repair
+    must be provably reversible, never heuristic damage). Pure-ASCII
+    documents round-trip to themselves and stay untouched.
+
+    Returns (id, fixed, was_fixed). Arrow-batched mapInPandas — the
+    str.encode/decode pair is exact and deterministic, so the output
+    is engine-reproducible (oracles build both sides from chr()
+    arithmetic, never non-ASCII literals — the r4c escape rule). Zero
+    shuffles; a corpus map like pii_scan at 100 TB."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("fixed", T.StringType()),
+            T.StructField("was_fixed", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches):
+        def one(s: str | None) -> tuple[str | None, int]:
+            if s is None:
+                return None, 0
+            try:
+                d = s.encode("latin-1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return s, 0
+            return (d, 1) if d != s else (s, 0)
+
+        for pdf in batches:
+            fixed = [one(s) for s in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "fixed": [f[0] for f in fixed],
+                    "was_fixed": pd.array([f[1] for f in fixed], dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)

@@ -4906,3 +4906,47 @@ def pii_card_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = F.concat(F.lit("acct "), body, F.lit(" ref "), F.col("k").cast("string"))
     corpus = c.select(F.col("k").alias("cust_id"), text.alias("text"))
     return curation.pii_luhn_scan(corpus, text_col="text", id_col="cust_id")
+
+
+@register(
+    "text_fix_mojibake",
+    """
+    WITH p AS (SELECT doc_id, doc_id % 3 AS kind FROM documents WHERE doc_id < 400)
+    SELECT doc_id,
+           CASE kind
+             WHEN 0 THEN 'caf' || chr(233) || ' n' || chr(176) || ' '
+                         || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'plain ascii ' || CAST(doc_id AS VARCHAR)
+             ELSE 'stray ' || chr(195) || 'x mark ' || CAST(doc_id AS VARCHAR)
+           END AS fixed,
+           CAST(CASE kind WHEN 0 THEN 1 ELSE 0 END AS INT) AS was_fixed
+    FROM p
+    """,
+    tags=("llm-text", "2.10-string"),
+    doc="Mojibake repair (llm.text.fix_mojibake — the ftfy-style "
+    "double-encoding fix): a doc rewrites iff every char is Latin-1 "
+    "AND the byte re-read as UTF-8 succeeds AND changes the text. "
+    "Fixtures (built from chr()/escape arithmetic on BOTH sides, never "
+    "non-ASCII source literals — the r4c rule) plant three kinds: "
+    "true mojibake (chr(195)||chr(169) for e-acute, chr(194)||chr(176) "
+    "for the degree sign — fixed), pure ASCII (untouched), and the "
+    "FALSE-POSITIVE trap chr(195)||'x' whose continuation byte is "
+    "invalid UTF-8 — the strict round-trip must leave it alone rather "
+    "than damage it. The oracle rebuilds the repaired text with chr() "
+    "integer arithmetic.",
+)
+def text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    kind = F.col("doc_id") % 3
+    did = F.col("doc_id").cast("string")
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            kind == 0,
+            F.concat(F.lit("caf\u00c3\u00a9 n\u00c2\u00b0 "), did),
+        )
+        .when(kind == 1, F.concat(F.lit("plain ascii "), did))
+        .otherwise(F.concat(F.lit("stray \u00c3x mark "), did))
+        .alias("text"),
+    )
+    return text_ops.fix_mojibake(corpus, text_col="text", id_col="doc_id")

@@ -1216,3 +1216,25 @@ def test_pii_luhn_scan_redacts_only_validated(spark):
     assert got[2]["n_valid"] == 0 and "4539148803436468" in got[2]["redacted"]
     assert got[3]["n_candidates"] == 0
     assert got[4]["n_candidates"] == 1 and got[4]["n_valid"] == 1
+
+
+def test_fix_mojibake_strict_roundtrip(spark):
+    from data_lake_skyfit_spark.llm.text import fix_mojibake
+
+    rows = [
+        (1, "cafÃ©"),          # mojibake e-acute -> fixed
+        (2, "plain ascii"),               # untouched
+        (3, "stray Ãx"),             # invalid continuation -> untouched
+        (4, "already café"),         # real e-acute: latin-1 bytes E9
+                                          # alone are invalid utf-8 -> kept
+        (5, None),                        # null text -> null, 0
+        (6, "ä½ "),        # mojibake of a CJK char (3 bytes)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["fixed"], r["was_fixed"]) for r in fix_mojibake(df).collect()}
+    assert got[1] == ("café", 1)
+    assert got[2] == ("plain ascii", 0)
+    assert got[3] == ("stray Ãx", 0)
+    assert got[4] == ("already café", 0)
+    assert got[5] == (None, 0)
+    assert got[6] == ("你", 1)
