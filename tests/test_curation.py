@@ -1221,20 +1221,22 @@ def test_pii_luhn_scan_redacts_only_validated(spark):
 def test_fix_mojibake_strict_roundtrip(spark):
     from data_lake_skyfit_spark.llm.text import fix_mojibake
 
+    # all non-ASCII content via escapes (the r4c rule): mojibake of
+    # e-acute = \u00c3\u00a9, of U+4F60 = \u00e4\u00bd\u00a0
     rows = [
-        (1, "cafÃ©"),          # mojibake e-acute -> fixed
-        (2, "plain ascii"),               # untouched
-        (3, "stray Ãx"),             # invalid continuation -> untouched
-        (4, "already café"),         # real e-acute: latin-1 bytes E9
-                                          # alone are invalid utf-8 -> kept
-        (5, None),                        # null text -> null, 0
-        (6, "ä½ "),        # mojibake of a CJK char (3 bytes)
+        (1, "caf\u00c3\u00a9"),        # mojibake e-acute -> fixed
+        (2, "plain ascii"),              # untouched (round-trips to self)
+        (3, "stray \u00c3x"),           # invalid continuation -> untouched
+        (4, "already caf\u00e9"),       # real e-acute: byte E9 alone is
+        #                                  invalid utf-8 -> kept as-is
+        (5, None),                       # null text -> null, 0
+        (6, "\u00e4\u00bd\u00a0"),    # mojibake of a 3-byte CJK char
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: (r["fixed"], r["was_fixed"]) for r in fix_mojibake(df).collect()}
-    assert got[1] == ("café", 1)
+    assert got[1] == ("caf\u00e9", 1)
     assert got[2] == ("plain ascii", 0)
-    assert got[3] == ("stray Ãx", 0)
-    assert got[4] == ("already café", 0)
+    assert got[3] == ("stray \u00c3x", 0)
+    assert got[4] == ("already caf\u00e9", 0)
     assert got[5] == (None, 0)
-    assert got[6] == ("你", 1)
+    assert got[6] == ("\u4f60", 1)
