@@ -888,8 +888,13 @@ def pii_luhn_scan(
     Plan: one codegen regex extract for boundary-guarded 16-digit runs
     (Java lookarounds), a let-bound interpreted Luhn fold per CANDIDATE
     (not per char of the document — candidates are rare), and an
-    ordered fold replacing each validated number literally. Zero
-    shuffles; at 100 TB this is a map over the corpus like pii_scan."""
+    ordered fold replacing each validated number with the SAME boundary
+    guard the extractor used (a literal replace would also mangle the
+    number when it appears embedded inside a longer digit run elsewhere
+    in the document — a span the extractor deliberately excluded).
+    Candidates are pure digits, so no regex-metachar escaping is
+    needed when splicing them into the pattern. Zero shuffles; at
+    100 TB this is a map over the corpus like pii_scan."""
     cand = F.expr(
         f"regexp_extract_all({text_col}, '(?<![0-9])[0-9]{{16}}(?![0-9])', 0)"
     )
@@ -899,7 +904,11 @@ def pii_luhn_scan(
         red = F.aggregate(
             valid,
             F.col(text_col),
-            lambda acc, s: F.replace(acc, s, F.lit(card_token)),
+            lambda acc, s: F.regexp_replace(
+                acc,
+                F.concat(F.lit("(?<![0-9])"), s, F.lit("(?![0-9])")),
+                F.lit(card_token),
+            ),
         )
         return F.struct(
             F.size(c).cast("int").alias("n_candidates"),

@@ -4817,10 +4817,15 @@ def _webp_metadata(data: bytes) -> dict[str, object]:
         raise ValueError("webp: RIFF declares more bytes than payload holds")
     out: dict[str, object] = {}
     pos = 12
-    while pos + 8 <= len(data):
+    # bound the walk at the DECLARED RIFF payload end, not len(data) —
+    # otherwise trailing junk after the container is parsed as chunks
+    # (an EXIF-signature chunk in trailing bytes could overwrite
+    # metadata from inside the container)
+    end = min(len(data), 8 + riff_size)
+    while pos + 8 <= end:
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
-        if pos + 8 + size > len(data):
+        if pos + 8 + size > end:
             raise ValueError("webp: chunk declares more bytes than payload holds")
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"VP8X" and size >= 10:

@@ -4689,7 +4689,10 @@ def multimodal_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pngs = zipshard.extract_zip_members(shards, suffix=".png")
     decoded = multimodal.decode_images(pngs.select("doc_id", "payload"))
     captions = zipshard.extract_zip_members(shards, suffix=".txt").select(
-        "doc_id", F.length(F.col("payload").cast("string")).cast("long").alias("caption_len")
+        # byte length of the raw binary member == DuckDB strlen(text) (bytes);
+        # casting to string first would count UTF-8 CHARACTERS and diverge on
+        # any non-ASCII caption
+        "doc_id", F.length(F.col("payload")).cast("long").alias("caption_len")
     )
     return decoded.join(captions, "doc_id").select(
         "doc_id", "width", "height", "n_channels", "pixel_sum", "caption_len"

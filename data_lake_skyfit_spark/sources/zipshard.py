@@ -34,6 +34,13 @@ __all__ = ["encode_zip", "parse_zip", "read_zip_members", "extract_zip_members"]
 
 _LOCAL_SIG = b"PK\x03\x04"
 _CENTRAL_SIG = b"PK\x01\x02"
+# Sanity ceiling on a single member's DECLARED uncompressed size: the
+# bounded inflate allocates up to usize+1 bytes before the length check
+# runs, so a lying directory entry (usize=0xFFFFFFFF + a small bomb)
+# must be rejected BEFORE decompress, not after.  1032:1 is DEFLATE's
+# theoretical maximum expansion; anything above it is a lie outright.
+_MAX_MEMBER_SIZE = 256 << 20  # 256 MiB
+_MAX_DEFLATE_RATIO = 1032
 _EOCD_SIG = b"PK\x05\x06"
 
 
@@ -116,9 +123,15 @@ def parse_zip(data: bytes) -> list[dict]:
         if dstart + csize > len(data):
             raise ValueError("zip: member data past payload")
         comp = data[dstart : dstart + csize]
+        if usize > _MAX_MEMBER_SIZE:
+            raise ValueError("zip: declared member size exceeds sanity cap")
         if method == 0:
             raw = comp
         elif method == 8:
+            if usize > csize * _MAX_DEFLATE_RATIO + 64:
+                raise ValueError(
+                    "zip: declared size exceeds maximum deflate expansion"
+                )
             d = zlib.decompressobj(-15)
             try:
                 raw = d.decompress(comp, usize + 1)  # BOUNDED inflate

@@ -1240,3 +1240,23 @@ def test_fix_mojibake_strict_roundtrip(spark):
     assert got[4] == ("already caf\u00e9", 0)
     assert got[5] == (None, 0)
     assert got[6] == ("\u4f60", 1)
+
+
+def test_pii_luhn_replace_is_boundary_guarded(spark):
+    """The redaction fold must respect the same digit boundaries the
+    extractor used: a valid card found standalone must NOT also be
+    replaced where it appears embedded inside a longer digit run (e.g.
+    a 20-digit order number) that the extractor excluded."""
+    from data_lake_skyfit_spark.llm.curation import pii_luhn_scan
+
+    valid = "4539148803436467"
+    rows = [
+        (1, f"pay {valid} order 99{valid}33 end"),
+        (2, f"x {valid} y {valid} z"),  # two standalone hits, both redacted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_luhn_scan(df).collect()}
+    assert got[1]["n_candidates"] == 1 and got[1]["n_valid"] == 1
+    assert got[1]["redacted"] == f"pay [CARD] order 99{valid}33 end"
+    assert got[2]["n_valid"] == 2
+    assert got[2]["redacted"] == "x [CARD] y [CARD] z"

@@ -421,3 +421,50 @@ def test_zip_quarantine_and_member_rows(spark):
         ((r["doc_id"], r["rec_idx"], r["name"]) for r in read_zip_members(df).collect())
     )
     assert rows == [(1, 0, "k.txt"), (1, 1, "k.cls"), (2, -1, None), (3, -1, None)]
+
+
+def test_zip_rejects_lying_giant_usize_before_inflate():
+    """A directory entry declaring usize=0xFFFFFFFF over a tiny deflate
+    stream must be rejected BEFORE decompress runs (ratio + absolute
+    caps), not after a multi-GiB allocation fails the length check."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from data_lake_skyfit_spark.sources.zipshard import encode_zip, parse_zip
+
+    z = encode_zip([("a.txt", b"repetitive " * 20)])  # deflate member
+    raw = bytearray(z)
+    cd = bytes(raw).find(b"PK\x01\x02")
+    _struct.pack_into("<I", raw, cd + 24, 0xFFFFFFFF)
+    with _pytest.raises(ValueError, match="sanity cap"):
+        parse_zip(bytes(raw))
+    # below the absolute cap but far past deflate's 1032:1 ceiling
+    _struct.pack_into("<I", raw, cd + 24, 64 << 20)
+    with _pytest.raises(ValueError, match="deflate expansion"):
+        parse_zip(bytes(raw))
+
+
+def test_zip_member_byte_length_counts_bytes_not_chars(spark):
+    """extract_zip_members + F.length(payload) must count BYTES of the
+    inflated member (DuckDB strlen parity), not UTF-8 characters —
+    pinned with a non-ASCII caption (via escapes, per the repo rule)."""
+    from pyspark.sql import functions as F
+
+    from data_lake_skyfit_spark.sources.zipshard import (
+        encode_zip,
+        extract_zip_members,
+    )
+
+    # "caf" + e-acute (2 bytes) + space + CJK U+4F60 (3 bytes) = 9 bytes,
+    # 6 characters — escapes only, per the repo unicode rule
+    text = "caf\u00e9 \u4f60"
+    z = encode_zip([("c.txt", text.encode("utf-8"))])
+    df = spark.createDataFrame([(1, bytearray(z))], "doc_id long, payload binary")
+    got = (
+        extract_zip_members(df, suffix=".txt")
+        .select(F.length("payload").cast("long").alias("blen"))
+        .collect()
+    )
+    assert len(text) == 6
+    assert [r["blen"] for r in got] == [len(text.encode("utf-8"))] == [9]

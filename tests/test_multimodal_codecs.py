@@ -1882,3 +1882,24 @@ def test_webp_rejects_corrupt_and_bad_dims():
         encode_webp_container(1 << 15, 5)  # past 14-bit field
     with pytest.raises(ValueError):
         _webp_metadata(b"RIFF\x04\x00\x00\x00WEBP")  # no dims chunk
+
+
+def test_webp_chunk_walk_bounded_by_declared_riff_size():
+    """Trailing junk after the declared RIFF payload must not be parsed
+    as chunks: an attacker-appended EXIF chunk outside the container
+    cannot inject metadata."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _webp_metadata,
+        encode_exif_app1,
+        encode_webp_container,
+    )
+
+    clean = encode_webp_container(64, 48)
+    base = _webp_metadata(clean)
+    exif = encode_exif_app1(
+        make="evil", model="inj", datetime_str="2020:01:01 00:00:00",
+        orientation=8, iso=12800, exposure=(1, 4), px_dim=1, py_dim=1,
+    )[6:]
+    tail = b"EXIF" + struct.pack("<I", len(exif)) + exif
+    got = _webp_metadata(clean + tail)  # junk AFTER declared RIFF end
+    assert got == base and "orientation" not in got
