@@ -1903,3 +1903,115 @@ def test_webp_chunk_walk_bounded_by_declared_riff_size():
     tail = b"EXIF" + struct.pack("<I", len(exif)) + exif
     got = _webp_metadata(clean + tail)  # junk AFTER declared RIFF end
     assert got == base and "orientation" not in got
+
+
+# ------------------------------------------------------- MJPEG-in-AVI (r5)
+
+
+def test_avi_mjpeg_pixels_match_per_frame_jpeg_decode():
+    """decode path cross-check: every sampled frame's pixel stats must
+    equal running the JPEG decoder directly on that frame's bytes."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _avi_video_pixels,
+        _jpeg_pixels,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    frames = [
+        encode_jpeg(16, 8, lambda x, y, f=f: (37 * f + 5 * (x // 8) + 7 * (y // 8)) % 256)
+        for f in range(5)
+    ]
+    avi = encode_avi_mjpeg(16, 8, 250_000, frames)
+    # every_ms=250 → step 1: all five frames
+    got = _avi_video_pixels(avi, 250)
+    assert [g[0] for g in got] == [0, 1, 2, 3, 4]
+    assert [g[1] for g in got] == [0, 250, 500, 750, 1000]
+    for i, ts, w, h, ch, psum in got:
+        ew, eh, ech, raw = _jpeg_pixels(frames[i])
+        assert (w, h, ch) == (ew, eh, ech) == (16, 8, 1)
+        assert psum == sum(raw)
+    # every_ms=500 → step 2: frames 0, 2, 4
+    assert [g[0] for g in _avi_video_pixels(avi, 500)] == [0, 2, 4]
+
+
+def test_avi_mjpeg_color_lossless_closed_form():
+    """Per-block-constant luma + constant chroma → the DC quant round
+    trip is exactly lossless; assert the closed form the oracle uses."""
+    import math
+
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _avi_video_pixels,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    rid, cb, cr = 7, 129, 126
+    w, h, nf = 16, 16, 3
+    frames = [
+        encode_jpeg(
+            w, h,
+            lambda x, y, f=f: (3 * rid + 11 * f + 5 * (x // 8) + 7 * (y // 8)) % 256,
+            color=True, cb=cb, cr=cr,
+        )
+        for f in range(nf)
+    ]
+    got = _avi_video_pixels(encode_avi_mjpeg(w, h, 250_000, frames), 250)
+
+    def clamp(v: float) -> int:
+        return min(255, max(0, math.floor(v + 0.5)))
+
+    for i, _ts, gw, gh, ch, psum in got:
+        assert (gw, gh, ch) == (w, h, 3)
+        want = 0
+        for bx in range(w // 8):
+            for by in range(h // 8):
+                yv = (3 * rid + 11 * i + 5 * bx + 7 * by) % 256
+                r = clamp(yv + 1.402 * (cr - 128))
+                g = clamp(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+                b = clamp(yv + 1.772 * (cb - 128))
+                want += 64 * (r + g + b)
+        assert psum == want
+
+
+def test_avi_dib_pixels_and_fake_path(spark):
+    """DIB frames sum raw channel bytes (strf dims); non-AVI payloads
+    take the deterministic fake path with pixel_sum null."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        decode_video_pixels,
+        encode_avi_dib,
+    )
+
+    w, h = 4, 3
+    fr = [bytes((i * 17 + j) % 256 for j in range(w * h * 3)) for i in range(2)]
+    avi = encode_avi_dib(w, h, 500_000, fr)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"not a container"))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in decode_video_pixels(df, every_ms=500).collect()
+    }
+    for i in range(2):
+        r = rows[(1, i)]
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
+        assert r["pixel_sum"] == sum(fr[i])
+    fakes = [k for k in rows if k[0] == 2]
+    assert fakes and all(rows[k]["pixel_sum"] is None for k in fakes)
+
+
+def test_avi_mjpeg_corrupt_frame_falls_to_fake_path(spark):
+    """A truncated JPEG frame inside an otherwise-valid AVI must not
+    kill the task: whole payload falls to the fake path (null sums)."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        decode_video_pixels,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(8, 8, lambda x, y: 100)
+    avi = encode_avi_mjpeg(8, 8, 250_000, [good, good[: len(good) // 2]])
+    df = spark.createDataFrame([(1, bytearray(avi))], "doc_id long, payload binary")
+    rows = decode_video_pixels(df, every_ms=250).collect()
+    assert rows and all(r["pixel_sum"] is None for r in rows)
