@@ -183,13 +183,19 @@ def bm25_topk(
     id_col: str = "doc_id",
     idf: str = "rational",
     scale: int = 100_000,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-k documents per query by BM25, totally ordered
     (score desc, doc_id asc). Window partitions by query over the
-    sparse candidate set — never a global sort."""
+    sparse candidate set — never a global sort. ``exclude_self`` drops
+    rows where doc_id == query_id BEFORE ranking — the document-as-
+    query ("more like this") shape, where the source document would
+    otherwise trivially win rank 1."""
     scored = bm25_score(
         docs, queries, text_col=text_col, id_col=id_col, idf=idf, scale=scale
     )
+    if exclude_self:
+        scored = scored.filter(F.col("doc_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc_nulls_last()
     )
@@ -197,6 +203,61 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    *,
+    k_rrf: int = 60,
+    scale: int = 1_000_000_000_000,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion over N independently-ranked systems —
+    how production pipelines combine lexical (BM25) and dense (ANN)
+    retrieval without score calibration.
+
+    Each input frame is ``(query_id, <id_col>, rank)`` with rank 1-based
+    within query. The fused score is the RRF sum Σ 1/(k_rrf + rank)
+    over the systems that returned the document, held EXACT as the
+    scaled integer Σ (scale div (k_rrf + rank)) — pure rank arithmetic,
+    no floats, so the fused top-k is hash-stable on any engine (the
+    BM25 integer-tier discipline). Output keeps each system's rank as
+    a nullable ``<name>_rank`` column plus the fused rank.
+
+    Scale: the inputs are already top-L-per-query (rows ∝ queries·L,
+    never corpus-sized); fusion is one union + one groupBy on
+    (query, doc) + a query-partitioned window — no corpus access at
+    all, so fusion cost is independent of corpus size at 100 TB."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranked system")
+    tagged = None
+    for name, df in rankings.items():
+        t = df.select(
+            "query_id",
+            F.col(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.lit(name).alias("__sys"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    contrib = tagged.withColumn(
+        "__c", F.expr(f"CAST({int(scale)} div ({int(k_rrf)} + rank) AS BIGINT)")
+    )
+    aggs = [F.sum("__c").cast("bigint").alias("rrf_score")]
+    for name in rankings:
+        aggs.append(
+            F.max(F.when(F.col("__sys") == name, F.col("rank")))
+            .cast("int")
+            .alias(f"{name}_rank")
+        )
+    fused = contrib.groupBy("query_id", id_col).agg(*aggs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc_nulls_last()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= k)
     )
 
 

@@ -125,3 +125,50 @@ def test_div_contract_matches_duckdb_floor_division(spark):
         f"SELECT CAST(CAST({num} AS HUGEINT) // {den} AS BIGINT)"
     ).fetchone()[0]
     assert got == want == num // den
+
+
+def test_rrf_fuse_matches_exact_fraction_mirror(spark):
+    """Rank parity vs a single-machine mirror computing TRUE rational
+    RRF with fractions.Fraction — the scaled-integer surrogate must
+    produce the identical fused ordering (scale >> any reachable
+    denominator product keeps the floor exact enough to never swap
+    adjacent sums built from ranks <= 40)."""
+    from fractions import Fraction
+
+    from data_lake_skyfit_spark.llm.retrieval import rrf_fuse
+
+    import random
+
+    rng = random.Random(11)
+    lex_rows, dense_rows, mirror = [], [], {}
+    for q in range(6):
+        docs = rng.sample(range(100), 30)
+        lex_docs, dense_docs = docs[:20], docs[10:30]  # overlap 10
+        for r, d in enumerate(sorted(lex_docs, key=lambda x: rng.random()), 1):
+            lex_rows.append((q, d, r))
+            mirror.setdefault((q, d), Fraction(0))
+            mirror[(q, d)] += Fraction(1, 60 + r)
+        for r, d in enumerate(sorted(dense_docs, key=lambda x: rng.random()), 1):
+            dense_rows.append((q, d, r))
+            mirror.setdefault((q, d), Fraction(0))
+            mirror[(q, d)] += Fraction(1, 60 + r)
+    lex = spark.createDataFrame(lex_rows, "query_id int, doc_id int, rank int")
+    dense = spark.createDataFrame(dense_rows, "query_id int, doc_id int, rank int")
+    got = rrf_fuse({"lex": lex, "dense": dense}, k=10).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in range(6):
+        want = sorted(
+            ((d, f) for (qq, d), f in mirror.items() if qq == q),
+            key=lambda df_: (-df_[1], df_[0]),
+        )[:10]
+        rows = sorted(by_q[q], key=lambda r: r["fused_rank"])
+        assert [r["doc_id"] for r in rows] == [d for d, _ in want]
+        # both-system docs carry both ranks; single-system docs a null
+        for r in rows:
+            in_lex = (q, r["doc_id"], r["lex_rank"]) in lex_rows
+            in_dense = (q, r["doc_id"], r["dense_rank"]) in dense_rows
+            assert (r["lex_rank"] is None) != in_lex or in_lex
+            assert (r["dense_rank"] is None) != in_dense or in_dense
+            assert in_lex or in_dense
