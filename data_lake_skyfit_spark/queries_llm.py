@@ -4916,6 +4916,189 @@ def multimodal_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_curation_sql() -> str:
+    """Oracle for multimodal_curation_pipeline, generated FROM the same
+    weight constants the Spark side uses (the _clip_fixed_sql /
+    _trigram_lang_oracle discipline, so SQL can never drift): replay
+    tar captions, closed-form JPEG pixels, integer features × integer
+    weights (exact in any order), L2-normalize (correctly-rounded
+    sqrt + divide), then the pairs tier's JVM cosine — dot_expr's
+    0.0-seeded fold and norm_expr restated as left-assoc chains — with
+    the same ROUND(,4) ≥ threshold decision."""
+    wi = [[((3 * k + 5 * j + 1) % 7) - 3 for j in range(4)] for k in range(6)]
+    # distinct modulus per component: a collision needs stats agreeing
+    # mod lcm(241..246), so planted duplicates are the only pairs with
+    # identical features (the r4e mod-lattice lesson)
+    fs = [f"(((psum*{k + 3} + w_*{k} + h_) % {241 + k}) - {(241 + k) // 2})" for k in range(6)]
+    ys = [" + ".join(f"{fs[k]}*({wi[k][j]})" for k in range(6)) for j in range(4)]
+    y_cols = ", ".join(f"{ys[j]} AS y{j}" for j in range(4))
+    e_cols = ", ".join(
+        f"CAST(y{j} AS DOUBLE)/(CASE WHEN nrm=0 THEN 1 ELSE nrm END) AS e{j}"
+        for j in range(4)
+    )
+    toks = _DUCK_TOKENS.format(col="text")
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN doc_id - 3 ELSE doc_id END AS img_key,
+             {toks} AS w
+      FROM documents WHERE doc_id < 250
+    ), dims AS (
+      SELECT doc_id, img_key,
+             8*(1 + img_key % 4) AS w_, 8*(1 + img_key % 3) AS h_,
+             array_to_string(w[1:(1 + CAST(doc_id % 12 AS INT))], ' ') AS caption
+      FROM p
+    ), px AS (
+      SELECT d.doc_id, d.w_, d.h_, strlen(d.caption) AS clen,
+             SUM(64 * ((3*d.img_key + 5*bx.i + 7*by.i) % 256)) AS psum
+      FROM dims d,
+           LATERAL (SELECT UNNEST(range(0, d.w_ // 8)) AS i) bx,
+           LATERAL (SELECT UNNEST(range(0, d.h_ // 8)) AS i) by
+      GROUP BY 1, 2, 3, 4
+    ), f AS (
+      SELECT doc_id, w_, h_, clen, psum, {y_cols} FROM px
+    ), n AS (
+      SELECT *, SQRT(CAST(y0*y0 + y1*y1 + y2*y2 + y3*y3 AS DOUBLE)) AS nrm
+      FROM f
+    ), e AS (
+      SELECT doc_id, w_, h_, clen, psum, {e_cols} FROM n
+    ), e2 AS (
+      SELECT *, SQRT(0.0 + e0*e0 + e1*e1 + e2*e2 + e3*e3) AS enrm FROM e
+    ), pr AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM e2 a JOIN e2 b ON a.doc_id < b.doc_id
+      WHERE ROUND((0.0 + a.e0*b.e0 + a.e1*b.e1 + a.e2*b.e2 + a.e3*b.e3)
+                  /((CASE WHEN a.enrm = 0 THEN 1 ELSE a.enrm END)
+                   *(CASE WHEN b.enrm = 0 THEN 1 ELSE b.enrm END)), 4) >= 0.9999
+    ), dup AS (
+      SELECT b_id AS doc_id, MIN(a_id) AS dup_of FROM pr GROUP BY 1
+    )
+    SELECT e2.doc_id, CAST(e2.w_ AS INT) AS width, CAST(e2.h_ AS INT) AS height,
+           CAST(e2.psum AS BIGINT) AS pixel_sum,
+           CAST(e2.clen AS BIGINT) AS caption_len,
+           CAST(dup.dup_of AS BIGINT) AS dup_of,
+           CASE WHEN dup.dup_of IS NOT NULL THEN 'dup'
+                WHEN e2.clen < 16 THEN 'short_caption'
+                ELSE 'kept' END AS disposition
+    FROM e2 LEFT JOIN dup ON dup.doc_id = e2.doc_id
+    """
+
+
+@register(
+    "multimodal_curation_pipeline",
+    _image_curation_sql(),
+    tags=("llm-multimodal", "llm-dedup", "llm-similarity", "pipeline"),
+    doc="The flagship composed image-curation flow (VERDICT r4 next "
+    "#4) — every stage individually graded, chained end-to-end: "
+    "WebDataset tar shard (encode_tar fixtures: one REAL baseline JPEG "
+    "+ one caption member per doc, ids ≡ 3 mod 7 duplicating the image "
+    "of id−3) → extract_tar_members → REAL JPEG decode "
+    "(decode_images: Huffman + dequant + IDCT) → integer features from "
+    "the DECODED pixel stats → CLIP-style dual-encoder serving "
+    "(encode_features, the graded fixed integer weights) → exact "
+    "embedding-cosine near-dup (embedding_cosine_pairs: block matmul "
+    "proposes with the 1e-4 margin, JVM dot_expr/ROUND(,4) decides) → "
+    "per-image disposition audit (dup → canonical min-id partner; "
+    "short captions gated on landed BYTE length; else kept). Oracle "
+    "generated from the same weight constants, replaying the whole "
+    "chain closed-form. Scale: two mapInPandas over shards, one "
+    "block-pair shuffle ∝ n·blocks for the pairs tier, one broadcast-"
+    "size dup join — no corpus-sized shuffle anywhere.",
+)
+def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .llm import encoder
+    from .sources import webdataset
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                rid = int(rid)
+                img_key = rid - 3 if rid % 7 == 3 else rid
+                w, h = 8 * (1 + img_key % 4), 8 * (1 + img_key % 3)
+                jpg = multimodal.encode_jpeg(
+                    w, h,
+                    lambda x, y, s=img_key: (3 * s + 5 * (x // 8) + 7 * (y // 8)) % 256,
+                )
+                toks = ("" if text is None else str(text)).split()
+                caption = " ".join(toks[: 1 + rid % 12])
+                key = f"{rid:06d}"
+                payloads.append(
+                    webdataset.encode_tar(
+                        [(f"{key}.jpg", jpg), (f"{key}.txt", caption.encode())]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema).localCheckpoint(
+        eager=False  # two consumers: the .jpg leg and the .txt leg
+    )
+    jpgs = webdataset.extract_tar_members(shards, suffix=".jpg")
+    decoded = multimodal.decode_images(
+        jpgs.select("doc_id", "payload")
+    ).localCheckpoint(eager=False)  # feeds the feature leg AND the audit join
+    caps = webdataset.extract_tar_members(shards, suffix=".txt").select(
+        "doc_id", F.length(F.col("payload")).cast("long").alias("caption_len")
+    )
+    w_img = np.array(
+        [[((3 * k + 5 * j + 1) % 7) - 3 for j in range(4)] for k in range(6)],
+        dtype=np.float64,
+    )
+    w_txt = np.array(
+        [[((2 * k + 3 * j + 2) % 7) - 3 for j in range(4)] for k in range(5)],
+        dtype=np.float64,
+    )
+    model = encoder.DualEncoder(
+        w_img=w_img, w_txt=w_txt, grid=0, buckets=5, dim=4, temperature=20.0
+    )
+    feats = decoded.select(
+        "doc_id",
+        F.array(
+            *[
+                (
+                    (F.col("pixel_sum") * (k + 3) + F.col("width") * k + F.col("height"))
+                    % (241 + k)
+                    - (241 + k) // 2
+                ).cast("double")
+                for k in range(6)
+            ]
+        ).alias("features"),
+    )
+    emb = encoder.encode_features(feats, model, modality="image")
+    pairs = dedup.embedding_cosine_pairs(
+        emb, vec_col="embedding", id_col="doc_id", threshold=0.9999, num_blocks=2
+    )
+    dup = pairs.groupBy(F.col("b_id").alias("doc_id")).agg(
+        F.min("a_id").cast("bigint").alias("dup_of")
+    )
+    return (
+        decoded.join(caps, "doc_id")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id", "width", "height", "pixel_sum", "caption_len", "dup_of",
+            F.when(F.col("dup_of").isNotNull(), F.lit("dup"))
+            .when(F.col("caption_len") < 16, F.lit("short_caption"))
+            .otherwise(F.lit("kept"))
+            .alias("disposition"),
+        )
+    )
+
+
 @register(
     "dedup_audio_envelope",
     """

@@ -114,6 +114,7 @@ def parse_tar(data: bytes) -> list[dict]:
                     "name": name.decode("utf-8", "replace"),
                     "size": size,
                     "member_md5": hashlib.md5(payload).hexdigest(),
+                    "content": payload,
                 }
             )
         pos = body_at + size
@@ -124,6 +125,41 @@ def parse_tar(data: bytes) -> list[dict]:
         # require the zero-block end-of-archive marker
         raise ValueError("tar: missing end-of-archive marker (truncated shard?)")
     return recs
+
+
+def extract_tar_members(
+    df: DataFrame, *, id_col: str = "doc_id", suffix: str = ""
+) -> DataFrame:
+    """payload → (id, name, payload): the raw bytes of every member
+    whose name ends with `suffix` — the WebDataset shard→media bridge
+    (feed .jpg members to decode_images, .txt captions to the text
+    tier), mirroring zipshard.extract_zip_members. Malformed archives
+    drop silently here (read_tar_members is the quarantine-reporting
+    surface)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, names, payloads = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    recs = parse_tar(bytes(payload)) if payload is not None else []
+                except (ValueError, TypeError):
+                    continue
+                for r in recs:
+                    if r["name"].endswith(suffix):
+                        ids.append(int(rid))
+                        names.append(r["name"])
+                        payloads.append(r["content"])
+            yield pd.DataFrame({id_col: ids, "name": names, "payload": payloads})
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema)
 
 
 def sample_key_expr(name: Column | str) -> tuple[Column, Column]:

@@ -468,3 +468,29 @@ def test_zip_member_byte_length_counts_bytes_not_chars(spark):
     )
     assert len(text) == 6
     assert [r["blen"] for r in got] == [len(text.encode("utf-8"))] == [9]
+
+
+def test_tar_extract_members_by_suffix(spark):
+    from pyspark.sql import functions as F
+
+    from data_lake_skyfit_spark.sources.webdataset import (
+        encode_tar,
+        extract_tar_members,
+    )
+
+    t = encode_tar([("000001.jpg", b"JPGBYTES"), ("000001.txt", b"cap")])
+    df = spark.createDataFrame(
+        [(1, bytearray(t)), (2, bytearray(b"not a tar"))],
+        "doc_id long, payload binary",
+    )
+    got = extract_tar_members(df, suffix=".txt").collect()
+    assert [(r["doc_id"], r["name"], bytes(r["payload"])) for r in got] == [
+        (1, "000001.txt", b"cap")
+    ]
+    # byte-length contract the pipeline's caption audit relies on
+    ln = (
+        extract_tar_members(df, suffix=".jpg")
+        .select(F.length("payload").alias("n"))
+        .collect()
+    )
+    assert [r["n"] for r in ln] == [8]
