@@ -1260,3 +1260,40 @@ def test_pii_luhn_replace_is_boundary_guarded(spark):
     assert got[1]["redacted"] == f"pay [CARD] order 99{valid}33 end"
     assert got[2]["n_valid"] == 2
     assert got[2]["redacted"] == "x [CARD] y [CARD] z"
+
+
+def test_logistic_vector_assembly_is_arrow_and_bit_exact(spark):
+    """The Arrow-optimized assembly must deliver bit-identical sparse
+    vectors to a driver-side construction (the useArrow transport may
+    not mangle values), and training must be deterministic run-to-run."""
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    from data_lake_skyfit_spark.llm.classifier import N_BUCKETS
+
+    n = N_BUCKETS
+
+    @F.udf(VectorUDT(), useArrow=True)
+    def to_vec(fm):
+        items = sorted((int(k), float(v)) for k, v in fm.items())
+        return Vectors.sparse(n, [i for i, _ in items], [v for _, v in items])
+
+    rows = [
+        (1, {3: 2.0, 7: 1.0, 4090: 5.0}),
+        (2, {0: 0.1 + 0.2}),  # non-representable double must survive exactly
+        (3, {}),
+    ]
+    df = spark.createDataFrame(rows, f"id long, fm map<int,double>")
+    got = {r["id"]: r["v"] for r in df.select("id", to_vec("fm").alias("v")).collect()}
+    for rid, fm in rows:
+        items = sorted((int(k), float(v)) for k, v in fm.items())
+        want = Vectors.sparse(n, [i for i, _ in items], [v for _, v in items])
+        assert got[rid] == want
+
+
+def test_train_logistic_deterministic_across_runs(spark, clf_task):
+    from data_lake_skyfit_spark.llm import classifier
+
+    train, _test, labels = clf_task
+    w1, b1 = classifier.train_logistic(train, labels, max_iter=15)
+    w2, b2 = classifier.train_logistic(train, labels, max_iter=15)
+    assert w1 == w2 and b1 == b2
