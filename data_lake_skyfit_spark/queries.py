@@ -96,8 +96,11 @@ _PRIORITY = [
     "medallion_bronze_to_stg",
     "medallion_upsert_roundtrip",
     "medallion_nested_explode",
-    # interchange formats (CSV text + ORC columnar round-trips, r4c)
-    "format_roundtrip_csv_orc",
+    # (format_roundtrip_csv_orc demoted past the cutoff in r5 for the
+    # REST pagination landing entry: its S1/K1/sources-formats tags all
+    # keep in-window carriers — web_pipeline_ingest grades S1 +
+    # sources-formats, rest_pagination_landing and the medallion tier
+    # grade K1 — and the CSV/ORC round trip stays drive-verified)
     # change history (SCD2 / CDC / point-in-time correctness) + storage
     "scd2_user_state",
     "snapshot_diff_orders",
@@ -114,6 +117,10 @@ _PRIORITY = [
     # 2.9-streaming via session_window_stats/stateful_user_sessions,
     # I2 via snapshot_diff_orders, A4/2.10-datetime via the relational core)
     "watermark_incremental_runs",
+    # r5: the REST pagination family's landing semantics graded via
+    # files (VERDICT r4 #8) — S4-S7/I2/I4 move out of pytest-only; the
+    # skip/take leg runs DISTRIBUTED through the period fan-out
+    "rest_pagination_landing",
     "session_window_stats",
     "stateful_user_sessions",
     "udtf_tokenize_positions",
@@ -160,14 +167,20 @@ _PRIORITY = [
     # its quality-metric family stays graded via text_quality_classifier
     # and the Gopher gate inside curation_pipeline's graded replay;
     # family llm-text keeps 4-5 graded carriers throughout)
-    "text_bm25_topk",
+    # (text_bm25_topk yielded its slot in r5 to the hybrid-retrieval
+    # fusion entry, which contains the FULL BM25 integer tier as its
+    # lexical leg plus the exact dense tier and the RRF integer fusion
+    # — strictly harder, same llm-retrieval/scale-path family; bm25
+    # stays drive-verified. text_line_dedup yielded its slot the same
+    # round: llm-dedup keeps exact/minhash/span/cluster graded and line
+    # granularity stays drive-verified.)
+    "text_hybrid_retrieval",
     # The stopword-tier language ID yields its graded slot to the
     # model-based classifier (r4): llm-text keeps four in-window
     # carriers and the trigram tier grades the harder half of the
     # lang-ID operator; text_language_id stays drive-verified.
     "text_quality_classifier",
     "text_language_id_trigram",
-    "text_line_dedup",
     "text_decontamination",
     # temporal operators
     "continuous_aggregate_hourly",
@@ -184,8 +197,19 @@ _PRIORITY = [
     # rounds and stays drive-verified, while multimodal_clip_encode
     # puts a NEW capability class — the CLIP-style learned embedding's
     # exact serving arithmetic — under the official hash gate)
-    "multimodal_decode_jpeg",
-    "multimodal_clip_encode",
+    # (multimodal_decode_jpeg yielded its slot in r5 to the MJPEG-in-AVI
+    # entry: multimodal_video_pixels runs the SAME full JPEG decode on
+    # every sampled frame PLUS the real RIFF/AVI container walk —
+    # strictly harder, and it makes video the fourth pixel-true
+    # modality; decode_jpeg (graded green r3-r4) stays drive-verified.
+    # multimodal_clip_encode yielded its slot the same round to the
+    # composed image-curation pipeline, which RUNS encode_features with
+    # the same fixed integer weights as one of its five chained graded
+    # stages — the serving arithmetic stays under the hash gate
+    # transitively, and clip_encode stays drive-verified.)
+    "multimodal_video_pixels",
+    "multimodal_decode_flac",
+    "multimodal_curation_pipeline",
     # (multimodal_decode_audio yielded its slot in r4e to the VAD tier:
     # same llm-multimodal family and the SAME real WAV decode path runs
     # inside audio_vad_frames, but VAD adds the frame-energy reduction

@@ -60,7 +60,10 @@ WORK = os.environ.get("SKYFIT_SCALE_DIR", "/tmp/skyfit_scale_curve")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,8,64")
-    ap.add_argument("--ops", default="lsh,cc,cur,knn,pq,bm25,fuzzy,clip,hamming,hh")
+    ap.add_argument(
+        "--ops",
+        default="lsh,cc,cur,knn,pq,bm25,fuzzy,clip,hamming,hh,pagerank,tri,contain,span",
+    )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
     ops = args.ops.split(",")
@@ -199,6 +202,84 @@ def main() -> None:
             "token",
             k=64,
         ).count()
+    # r5 tier: the four newest shuffle-heavy operators. Structural
+    # inputs are HASH-BASED (xxhash64 targets / hash-varying snippet
+    # lengths), never closed forms — a mod-M lattice collapses every
+    # M-th row into identical structure over large id ranges and the
+    # curve measures fabricated quadratic output (injectivity lesson
+    # #3); planted structure (triangles, snippet-in-parent containment)
+    # keeps output cardinality ∝ factor so the harness's zero-row /
+    # cardinality asserts stay meaningful.
+    from pyspark.sql import functions as _Fg
+
+    from data_lake_skyfit_spark.llm.dedup import (
+        containment_pairs as _containment_pairs,
+        duplicate_span_removal as _span_removal,
+    )
+    from data_lake_skyfit_spark.llm.text import tokens_expr as _tokens
+    from data_lake_skyfit_spark.operators.graph import (
+        pagerank as _pagerank,
+        triangle_counts as _triangles,
+    )
+    from data_lake_skyfit_spark.operators.scale import _ID_STRIDE
+
+    n_base = docs.count()
+
+    def rand_edges(d, factor: int, deg: int):
+        """deg out-edges per node, hash-routed to real inflated ids:
+        dst = (xxhash copy) · stride + (xxhash base)."""
+        e = d.select(
+            _Fg.col("doc_id").alias("src"),
+            _Fg.explode(_Fg.sequence(_Fg.lit(0), _Fg.lit(deg - 1))).alias("j"),
+        )
+        dst = _Fg.pmod(_Fg.xxhash64("src", _Fg.col("j")), _Fg.lit(factor)) * _Fg.lit(
+            _ID_STRIDE
+        ) + _Fg.pmod(_Fg.xxhash64(_Fg.col("j"), "src"), _Fg.lit(n_base))
+        return e.select("src", dst.alias("dst")).filter(_Fg.col("src") != _Fg.col("dst"))
+
+    def tri_pairs(d, factor: int):
+        """Undirected pair list: hash bulk edges + one PLANTED triangle
+        per (copy, base ≡ 0 mod 3) so triangle output grows ∝ factor
+        (a hash-only sparse graph's expected triangle count is O(1))."""
+        bulk = rand_edges(d, factor, 4).select(
+            _Fg.least("src", "dst").alias("a"), _Fg.greatest("src", "dst").alias("b")
+        )
+        v = d.select("doc_id").filter(
+            ((_Fg.col("doc_id") % _ID_STRIDE) % 3 == 0)
+            & ((_Fg.col("doc_id") % _ID_STRIDE) + 2 < n_base)
+        )
+        planted = (
+            v.select(_Fg.col("doc_id").alias("a"), (_Fg.col("doc_id") + 1).alias("b"))
+            .unionAll(v.select((_Fg.col("doc_id") + 1).alias("a"), (_Fg.col("doc_id") + 2).alias("b")))
+            .unionAll(v.select(_Fg.col("doc_id").alias("a"), (_Fg.col("doc_id") + 2).alias("b")))
+        )
+        return bulk.unionAll(planted)
+
+    def with_snippets(d):
+        """Corpus + one snippet doc per base doc (the first 6..11
+        tokens, hash-varied length): every snippet is ≥ 4/5 contained
+        in its parent, so containment output ∝ factor."""
+        snip = d.select(
+            (_Fg.col("doc_id") + _Fg.lit(1 << 50)).alias("doc_id"),
+            _Fg.array_join(
+                _Fg.slice(
+                    _tokens("text"),
+                    _Fg.lit(1),
+                    (_Fg.pmod(_Fg.xxhash64("doc_id"), _Fg.lit(6)) + 6).cast("int"),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        return d.select("doc_id", "text").unionByName(snip)
+
+    if "pagerank" in ops:
+        _pagerank(rand_edges(wd, wf, 6), iterations=3).count()
+    if "tri" in ops:
+        _triangles(tri_pairs(wd, wf)).count()
+    if "contain" in ops:
+        _containment_pairs(with_snippets(wd), threshold_num=4, threshold_den=5).count()
+    if "span" in ops:
+        _span_removal(wd, k=6).count()
     if "clip" in ops:
         clip_count(wd)
     if "fuzzy" in ops:
@@ -285,6 +366,28 @@ def main() -> None:
                     ),
                     block_key=edge_block_key(),
                 ).count(),
+            )
+        if "pagerank" in ops:
+            timed(
+                "graph_pagerank_centrality",
+                lambda: _pagerank(rand_edges(d, factor, 6), iterations=3).count(),
+            )
+        if "tri" in ops:
+            timed(
+                "graph_triangle_counts",
+                lambda: _triangles(tri_pairs(d, factor)).count(),
+            )
+        if "contain" in ops:
+            timed(
+                "dedup_containment_pairs",
+                lambda: _containment_pairs(
+                    with_snippets(d), threshold_num=4, threshold_den=5
+                ).count(),
+            )
+        if "span" in ops:
+            timed(
+                "dedup_span_removal",
+                lambda: _span_removal(d, k=6).count(),
             )
         if "hamming" in ops:
             # r4e: perceptual image dedup end-to-end — PNG encode +
