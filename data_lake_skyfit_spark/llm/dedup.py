@@ -1161,11 +1161,20 @@ def containment_pairs(
     missing > (1−t)·|a| of them (pigeonhole). So the PROBE side
     indexes only each a's length-L prefix (pure integer length — no
     float-boundary epsilon needed) while the build side indexes ALL
-    shingles; candidates come from the (shingle) equi-join and are
-    verified exactly on full sets. Lossless by construction. Hot
-    boilerplate shingles appear in many b rows but sort LAST in the
-    frequency order, so they rarely enter any a-prefix — the hot
-    bucket's fan-in is (full df) × (rare prefix df), not df².
+    shingles; candidates come from the (shingle) equi-join.
+
+    Verification is two-pass (r5, after the sf0.1 ×8 scale curve
+    caught the one-pass form spilling): pass 1 intersects SORTED
+    8-BYTE xxhash64 shingle arrays — ~5× narrower shuffle rows than
+    the string arrays, and long equality beats string equality in the
+    per-row intersect — and keeps every pair whose HASH intersection
+    clears the threshold. Equal strings hash equal, so hash
+    intersection ≥ true intersection: pass 1 is a provable SUPERSET
+    (a rare cross-doc collision can only ADD a shared element, never
+    remove one). Pass 2 re-verifies the output-sized survivors on the
+    full STRING sets — so the result is still lossless and
+    collision-free by construction, while the candidate-sized shuffle
+    carries only hashes.
 
     Returns (a_id, b_id, inter, size_a, containment).
     """
@@ -1175,6 +1184,9 @@ def containment_pairs(
         _with_shingles(df, text_col, id_col, n)
         .withColumn("sz", F.size("sh"))
         .filter(F.col("sz") > 0)
+        .withColumn(
+            "shh", F.array_sort(F.transform("sh", lambda g: F.xxhash64(g)))
+        )
         .localCheckpoint(eager=False)  # feeds index, probe AND verification
     )
     ex = s.select("id", F.explode("sh").alias("g"))
@@ -1199,11 +1211,24 @@ def containment_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    # pass 1: hash-array superset filter over the candidate-sized join
+    hh_a = s.select(
+        F.col("id").alias("a_id"), F.col("shh").alias("hh_a"), F.col("sz").alias("size_a")
+    )
+    hh_b = s.select(F.col("id").alias("b_id"), F.col("shh").alias("hh_b"))
+    inter_h = F.size(F.array_intersect("hh_a", "hh_b"))
+    survivors = (
+        candidates.join(hh_a, "a_id")
+        .join(hh_b, "b_id")
+        .filter(inter_h * threshold_den >= F.lit(threshold_num) * F.col("size_a"))
+        .select("a_id", "b_id")
+    )
+    # pass 2: exact string-set verify on the output-sized survivors
     sh_a = s.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("sz").alias("size_a"))
     sh_b = s.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        candidates.join(sh_a, "a_id")
+        survivors.join(sh_a, "a_id")
         .join(sh_b, "b_id")
         .withColumn("inter", inter.cast("long"))
         .filter(F.col("inter") * threshold_den >= F.lit(threshold_num) * F.col("size_a"))

@@ -290,6 +290,16 @@ def main() -> None:
         ).count()
 
     for factor in factors:
+        # Size shuffle partitions with the data (the CLAUDE.md scale
+        # discipline: partitions must fit executor memory at the target
+        # size). A fixed 32 at ×64 puts ~1 GiB of candidate rows per
+        # sort task in the containment verify join and the curve
+        # measures SPILL, not the operator; runtime conf so one session
+        # serves every factor, exactly what AQE-less static planning
+        # needs on a real cluster.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(int(CPUS), 32 * ((factor + 7) // 8)))
+        )
         dpath = materialize(inflate_documents(docs, factor), "documents", factor)
         epath = materialize(inflate_embeddings(embs, factor), "embeddings", factor)
         d = spark.read.parquet(dpath)
