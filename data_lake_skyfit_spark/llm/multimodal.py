@@ -5837,6 +5837,54 @@ def synthesize_neardup_avi_payloads(df: DataFrame, *, id_col: str = "doc_id") ->
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def synthesize_neardup_mjpeg_payloads(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """id → REAL MJPEG AVI with planted RE-ENCODED pairs for the
+    pixel-true video near-dup battery: docs pair by k = id//2, both
+    carry nf = 5 + k % 4 frames at 4 fps, w = 8·(1 + k % 3),
+    h = 8·(1 + k % 2); frame f's PIXELS are per-8×8-block constant,
+    y = (3k + 11f + 5bx + 7by) mod 256 — IDENTICAL across the pair —
+    but the even doc encodes BASELINE JPEG and the odd doc PROGRESSIVE
+    (different wire bytes, pixel-identical decode), with the odd doc
+    additionally REPLACING frame k % nf's content (+17 luma). Byte-md5
+    fingerprints therefore share NOTHING across any pair while pixel
+    fingerprints overlap in nf−1 of nf+1 (Jaccard ≥ 4/6 > 6/10) — the
+    fixture that separates the two tiers."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(rid: int) -> bytes:
+            k = rid // 2
+            nf = 5 + k % 4
+            w, h = 8 * (1 + k % 3), 8 * (1 + k % 2)
+            enc = encode_jpeg_progressive if rid % 2 else encode_jpeg
+            frames = []
+            for f in range(nf):
+                bump = 17 if (rid % 2 == 1 and f == k % nf) else 0
+                frames.append(
+                    enc(
+                        w, h,
+                        lambda x, y, f=f, bump=bump: (
+                            3 * k + 11 * f + bump + 5 * (x // 8) + 7 * (y // 8)
+                        ) % 256,
+                    )
+                )
+            return encode_avi_mjpeg(w, h, 250_000, frames)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [one(int(v)) for v in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def video_neardup_pairs(
     df: DataFrame,
     *,
@@ -5844,23 +5892,44 @@ def video_neardup_pairs(
     every_ms: int = 1,
     threshold_num: int = 7,
     threshold_den: int = 10,
+    fingerprint: str = "bytes",
 ) -> DataFrame:
-    """All id pairs whose sampled-frame md5 SETS overlap at Jaccard ≥
-    num/den — shared-scene video dedup (re-uploads, edits that replace
-    a few frames), the video leg of the dedup modality matrix.
+    """All id pairs whose sampled-frame fingerprint SETS overlap at
+    Jaccard ≥ num/den — shared-scene video dedup (re-uploads, edits
+    that replace a few frames), the video leg of the dedup modality
+    matrix.
 
-    Plan: sample_video_frames walks the containers for real (AVI/MP4/
-    GIF); per-doc DISTINCT frame sets reduce to one row per (doc,
-    frame_md5); candidates come from the inverted-index equi-join on
-    frame_md5 (shuffle ∝ total frames, never doc² — frame hashes are
-    high-entropy so bucket fan-in is the true duplication rate);
-    verification is ALL-INTEGER: inter·den ≥ num·(|A|+|B|−inter), so
-    no float boundary exists anywhere. Returns (a_id, b_id, inter,
-    size_a, size_b, jaccard) — jaccard is one IEEE divide of exact
-    integers, engine-identical."""
-    frames = sample_video_frames(df, id_col=id_col, every_ms=every_ms)
+    ``fingerprint="bytes"`` hashes each frame's WIRE bytes
+    (sample_video_frames md5 — fast, but blind to re-encodes);
+    ``fingerprint="pixels"`` (r5) fingerprints the DECODED pixel
+    content via decode_video_pixels — the same visual frame encoded by
+    two different encoders (baseline vs progressive JPEG in an MJPEG
+    stream) byte-differs but pixel-matches, so only this tier catches
+    re-encoded uploads (pinned by a contrast test).
+
+    Plan: the container walks are real (AVI/MP4/GIF; MJPEG pixel
+    decode for the pixel tier); per-doc DISTINCT fingerprint sets
+    reduce to one row per (doc, fp); candidates come from the
+    inverted-index equi-join on fp (shuffle ∝ total frames, never
+    doc² — fingerprints are high-entropy so bucket fan-in is the true
+    duplication rate); verification is ALL-INTEGER:
+    inter·den ≥ num·(|A|+|B|−inter), so no float boundary exists
+    anywhere. Returns (a_id, b_id, inter, size_a, size_b, jaccard) —
+    jaccard is one IEEE divide of exact integers, engine-identical."""
+    if fingerprint == "bytes":
+        frames = sample_video_frames(df, id_col=id_col, every_ms=every_ms)
+        fp = F.col("frame_md5")
+    elif fingerprint == "pixels":
+        frames = decode_video_pixels(df, id_col=id_col, every_ms=every_ms)
+        fp = F.concat_ws(
+            ":",
+            F.concat_ws("x", "width", "height", "n_channels"),
+            F.col("pixel_sum").cast("string"),
+        )
+    else:
+        raise ValueError(f"fingerprint must be 'bytes' or 'pixels', got {fingerprint!r}")
     fs = (
-        frames.select(F.col(id_col).alias("id"), "frame_md5")
+        frames.select(F.col(id_col).alias("id"), fp.alias("fp"))
         .distinct()
         .localCheckpoint(eager=False)  # feeds sizes AND the self-join
     )
@@ -5870,7 +5939,7 @@ def video_neardup_pairs(
     inter = (
         a.join(
             b,
-            (F.col("a.frame_md5") == F.col("b.frame_md5"))
+            (F.col("a.fp") == F.col("b.fp"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))

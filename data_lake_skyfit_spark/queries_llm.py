@@ -5211,6 +5211,68 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_video_pixel_neardup",
+    """
+    WITH p AS (
+      SELECT doc_id, doc_id // 2 AS k, doc_id % 2 AS odd
+      FROM documents WHERE doc_id < 200
+    ), d AS (
+      SELECT doc_id, k, odd, 8*(1 + k % 3) AS w, 8*(1 + k % 2) AS h,
+             5 + k % 4 AS nf
+      FROM p
+    ), fr AS (
+      SELECT d.doc_id, d.w, d.h, d.k, f.f AS fi,
+             CASE WHEN d.odd = 1 AND f.f = d.k % d.nf THEN 17 ELSE 0 END AS bump
+      FROM d, LATERAL (SELECT UNNEST(range(0, d.nf)) AS f) f
+    ), px AS (
+      SELECT fr.doc_id, fr.w, fr.h, fr.fi,
+             SUM(64 * ((3*fr.k + 11*fr.fi + fr.bump + 5*bx.i + 7*by.i) % 256)) AS psum
+      FROM fr,
+           LATERAL (SELECT UNNEST(range(0, fr.w // 8)) AS i) bx,
+           LATERAL (SELECT UNNEST(range(0, fr.h // 8)) AS i) by
+      GROUP BY 1, 2, 3, 4
+    ), sets AS (
+      SELECT doc_id, list_distinct(list(
+          CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || 'x1:'
+          || CAST(psum AS VARCHAR))) AS s
+      FROM px GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           CAST(len(a.s) AS BIGINT) AS size_a,
+           CAST(len(b.s) AS BIGINT) AS size_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 10
+          >= 6 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+    """,
+    tags=("llm-dedup", "llm-multimodal"),
+    doc="PIXEL-TRUE video near-dup (r5, the VERDICT r4 #1 tail): the "
+    "re-encode detection byte-md5 fingerprints cannot provide. "
+    "Fixtures plant pairs whose frames are PIXEL-identical but encoded "
+    "by two different real encoders — baseline vs progressive JPEG "
+    "inside MJPEG AVI streams — so the byte tier sees disjoint frame "
+    "sets (zero pairs, pinned by a contrast test) while "
+    "decode_video_pixels' full per-frame JPEG decode recovers matching "
+    "pixel fingerprints (WxHxCH:SUM) and the inverted-index Jaccard "
+    "join finds every planted pair (one replaced frame per odd doc, "
+    "J = (nf−1)/(nf+1) ≥ 4/6 > 6/10). Oracle rebuilds each frame's "
+    "decoded pixel sum closed-form (the lossless per-block-constant "
+    "contract) and replays the same integer set arithmetic. Scale: "
+    "decode is corpus-parallel, the join shuffles one row per (doc, "
+    "fingerprint) — never doc².",
+)
+def dedup_video_pixel_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.synthesize_neardup_mjpeg_payloads(d, id_col="doc_id")
+    return multimodal.video_neardup_pairs(
+        media, id_col="doc_id", every_ms=250,
+        threshold_num=6, threshold_den=10, fingerprint="pixels",
+    )
+
+
+@register(
     "image_neardup_incremental",
     _IMAGE_NEARDUP_ORACLE,
     tags=("llm-dedup", "llm-multimodal", "I3", "no-bench"),

@@ -304,3 +304,34 @@ def test_hamming_index_incremental_equals_oneshot_and_replay(spark, tmp_path):
     assert got == oneshot
     with pytest.raises(ValueError):
         dedup.HammingIndex(str(tmp_path / "bad"), max_dist=99)
+
+
+def test_video_pixel_tier_catches_reencodes_byte_tier_misses(spark):
+    """The r5 contrast pin: on the re-encoded MJPEG fixture (baseline
+    vs progressive encodes of pixel-identical frames), the byte-md5
+    tier finds ZERO pairs while the pixel tier finds every planted
+    pair with the exact planted Jaccard."""
+    from data_lake_skyfit_spark.llm import multimodal
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    media = multimodal.synthesize_neardup_mjpeg_payloads(docs).localCheckpoint(
+        eager=False
+    )
+    byte_pairs = multimodal.video_neardup_pairs(
+        media, every_ms=250, threshold_num=1, threshold_den=100,
+        fingerprint="bytes",
+    ).collect()
+    assert byte_pairs == []  # different encoders: no shared wire bytes
+    px = {
+        (r["a_id"], r["b_id"]): r
+        for r in multimodal.video_neardup_pairs(
+            media, every_ms=250, threshold_num=6, threshold_den=10,
+            fingerprint="pixels",
+        ).collect()
+    }
+    assert set(px) == {(2 * k, 2 * k + 1) for k in range(10)}
+    for k in range(10):
+        nf = 5 + k % 4
+        r = px[(2 * k, 2 * k + 1)]
+        assert (r["inter"], r["size_a"], r["size_b"]) == (nf - 1, nf, nf)
+        assert r["jaccard"] == (nf - 1) / (nf + 1)
