@@ -4075,9 +4075,11 @@ def decode_video_pixels(
     video analog of decode_images. RIFF/AVI payloads are walked for
     real and each sampled frame decoded for real: MJPG chunks through
     the full baseline-JPEG path, DIB chunks as raw channel bytes.
-    Other containers (H.264-in-MP4 …) need pyav: fake path derives
-    frames from the content hash with pixel_sum null (or raises
-    without SKYFIT_FAKE_DECODE), mirroring decode_images."""
+    ISO BMFF payloads run the real sample-table walk and decode
+    JPEG-coded samples the same way (MJPEG-in-MP4, r5). Foreign codecs
+    (H.264 …) need pyav: fake path derives frames from the content
+    hash with pixel_sum null (or raises without SKYFIT_FAKE_DECODE),
+    mirroring decode_images."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -4097,6 +4099,11 @@ def decode_video_pixels(
                     return _avi_video_pixels(data, every_ms)
                 except (ValueError, struct.error, IndexError):
                     pass  # RIFF-prefixed non-AVI / foreign codec: fake
+            if _looks_like_mp4(data):
+                try:
+                    return _mp4_video_pixels(data, every_ms)
+                except (ValueError, struct.error, IndexError):
+                    pass  # ftyp-prefixed non-BMFF / foreign codec: fake
             _require_codec("av")
             h = hashlib.md5(data).digest()
             return [
@@ -4159,15 +4166,21 @@ def _mp4_full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
 
 
 def encode_mp4_frames(
-    frames: list[bytes], *, frame_duration_ms: int = 500, timescale: int = 1000
+    frames: list[bytes],
+    *,
+    frame_duration_ms: int = 500,
+    timescale: int = 1000,
+    codec: str = "skyf",
 ) -> bytes:
     """REAL minimal ISO BMFF writer: ftyp + mdat + moov with one video
     trak whose sample tables index the mdat payload — samples grouped
     TWO PER CHUNK so stsc/stco resolution is non-trivial, per-sample
     sizes in stsz (sample_size=0 ⇒ the table is authoritative), one
     stts run. mdat precedes moov (real muxer layout: stco offsets are
-    absolute file offsets into mdat). The sample-entry fourcc is
-    'skyf' — a real container around an opaque codec, documented."""
+    absolute file offsets into mdat). The default sample-entry fourcc
+    'skyf' is a real container around an opaque codec (documented);
+    pass codec='jpeg' with JFIF sample bytes for a Motion-JPEG MP4
+    whose frames decode_video_pixels renders pixel-true (r5)."""
     n = len(frames)
     if n == 0:
         raise ValueError("mp4: need at least one frame")
@@ -4205,7 +4218,9 @@ def encode_mp4_frames(
     vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
     dref = _mp4_full(b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b""))
     dinf = _mp4_box(b"dinf", dref)
-    entry = _mp4_box(b"skyf", b"\x00" * 6 + struct.pack(">H", 1))
+    if len(codec) != 4 or not codec.isascii():
+        raise ValueError("mp4: codec fourcc must be 4 ASCII chars")
+    entry = _mp4_box(codec.encode("ascii"), b"\x00" * 6 + struct.pack(">H", 1))
     stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
     stsc_entries = [(1, 2, 1)]
@@ -4349,6 +4364,32 @@ def _mp4_samples(data: bytes) -> tuple[int, list[int], list[tuple[int, int]]]:
             raise ValueError("mp4: stsc/stsz sample count mismatch")
         return timescale, deltas[:n], samples
     raise ValueError("mp4: no video trak")
+
+
+def _mp4_video_pixels(data: bytes, every_ms: int):
+    """MJPEG-in-MP4 leg of decode_video_pixels (r5): the REAL box walk
+    (_mp4_samples) slices each sampled frame out of mdat and, when it
+    carries a JFIF stream (codec 'jpeg'/'mjpa'), runs the full JPEG
+    decode — the second container family with pixel-true video. Same
+    sample-and-hold timing as _decode_mp4_frames. Non-JPEG sample
+    payloads (H.264 …) raise → fake path."""
+    timescale, deltas, samples = _mp4_samples(data)
+    if not timescale:
+        raise ValueError("mp4: zero timescale")
+    out = []
+    t = 0
+    next_emit = 0
+    for i, ((off, size), delta) in enumerate(zip(samples, deltas)):
+        ts_ms = t * 1000 // timescale
+        if ts_ms >= next_emit:
+            frame = data[off : off + size]
+            if not _looks_like_jpeg(frame):
+                raise ValueError("mp4: sample codec needs an external decoder")
+            w, h, ch, raw = _jpeg_pixels(frame)
+            out.append((i, ts_ms, w, h, ch, sum(raw)))
+            next_emit = ts_ms + every_ms
+        t += delta
+    return out
 
 
 def _decode_mp4_frames(data: bytes, every_ms: int):
@@ -5825,6 +5866,42 @@ def synthesize_neardup_avi_payloads(df: DataFrame, *, id_col: str = "doc_id") ->
                 seed = f"k{k}alt" if (rid % 2 == 1 and j == k % n) else f"k{k}f{j}x"
                 frames.append((seed.encode() * nbytes)[:nbytes])
             return encode_avi_dib(8, 4, 1_000, frames)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [one(int(v)) for v in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def synthesize_mjpeg_mp4_payloads(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """id → REAL MJPEG-in-MP4 payload, deterministic closed form: the
+    MP4 analog of synthesize_mjpeg_avi_payloads. Per id: nf = 2 + id%4
+    grayscale frames at 500 ms deltas (timescale 1000), codec 'jpeg',
+    w = 8·(1 + id % 3), h = 8·(1 + id % 2), frame f's luma per-block
+    constant y = (3·id + 11·f + 5·bx + 7·by) mod 256 — lossless DC
+    round trip, closed-form oracle."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(rid: int) -> bytes:
+            w, h = 8 * (1 + rid % 3), 8 * (1 + rid % 2)
+            frames = [
+                encode_jpeg(
+                    w, h,
+                    lambda x, y, f=f: (3 * rid + 11 * f + 5 * (x // 8) + 7 * (y // 8)) % 256,
+                )
+                for f in range(2 + rid % 4)
+            ]
+            return encode_mp4_frames(frames, frame_duration_ms=500, codec="jpeg")
 
         for pdf in batches:
             yield pd.DataFrame(

@@ -5211,6 +5211,49 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp4_video_pixels",
+    """
+    WITH p AS (
+      SELECT doc_id, 8*(1 + doc_id % 3) AS w, 8*(1 + doc_id % 2) AS h,
+             2 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id < 250
+    ), fr AS (
+      SELECT p.*, f.f AS frame_idx
+      FROM p, LATERAL (SELECT UNNEST(range(0, p.nf, 2)) AS f) f
+    ), b AS (
+      SELECT fr.doc_id, fr.w, fr.h, fr.frame_idx,
+             (3*fr.doc_id + 11*fr.frame_idx + 5*bx.i + 7*by.i) % 256 AS yv
+      FROM fr,
+           LATERAL (SELECT UNNEST(range(0, fr.w // 8)) AS i) bx,
+           LATERAL (SELECT UNNEST(range(0, fr.h // 8)) AS i) by
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 500 AS BIGINT) AS ts_ms,
+           CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(SUM(64 * yv) AS BIGINT) AS pixel_sum
+    FROM b GROUP BY doc_id, frame_idx
+    """,
+    tags=("llm-multimodal",),
+    doc="MJPEG-in-MP4 pixel-true decode (r5): the SECOND container "
+    "family with real video pixels — encode_mp4_frames(codec='jpeg') "
+    "writes a real ISO BMFF stream whose mdat samples are complete "
+    "JFIF frames; decode_video_pixels runs the real stts/stsc/stsz/"
+    "stco sample-table walk, slices each sampled frame from mdat by "
+    "absolute offset (sample-and-hold timing) and runs the full JPEG "
+    "decode on it. Per-block-constant luma keeps the DC round trip "
+    "lossless; the oracle recomputes every sampled frame's pixels "
+    "closed-form. Foreign-codec samples (the 'skyf' fixtures, H.264) "
+    "still fall to the fake path — the container walk is shared, only "
+    "the sample codec differs.",
+)
+def multimodal_mp4_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    media = multimodal.synthesize_mjpeg_mp4_payloads(d, id_col="doc_id")
+    return multimodal.decode_video_pixels(media, every_ms=1000)
+
+
+@register(
     "dedup_video_pixel_neardup",
     """
     WITH p AS (

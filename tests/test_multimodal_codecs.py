@@ -2181,3 +2181,33 @@ def test_flac_shared_pcm_contract_feeds_vad_and_features(spark):
         n = (150 + (rid % 7) * 25) * ch
         sam = [((k * 7919 + rid * 104729) % 65536) - 32768 for k in range(n)]
         assert feats[rid] == sum(sam) / n  # byte_mean analog: sample mean
+
+
+def test_mp4_mjpeg_pixels_match_per_sample_jpeg_decode():
+    """MJPEG-in-MP4: every sampled frame's pixel stats must equal the
+    JPEG decoder run directly on that sample's bytes; foreign-codec
+    samples raise to the fake path."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _jpeg_pixels,
+        _mp4_video_pixels,
+        encode_jpeg,
+        encode_mp4_frames,
+    )
+
+    frames = [
+        encode_jpeg(16, 8, lambda x, y, f=f: (29 * f + 5 * (x // 8) + 7 * (y // 8)) % 256)
+        for f in range(5)
+    ]
+    mp4 = encode_mp4_frames(frames, frame_duration_ms=500, codec="jpeg")
+    got = _mp4_video_pixels(mp4, 1)  # every sample
+    assert [g[0] for g in got] == [0, 1, 2, 3, 4]
+    assert [g[1] for g in got] == [0, 500, 1000, 1500, 2000]
+    for i, _ts, w, h, ch, psum in got:
+        ew, eh, ech, raw = _jpeg_pixels(frames[i])
+        assert (w, h, ch) == (ew, eh, ech) and psum == sum(raw)
+    # sample-and-hold at 1000 ms: frames 0, 2, 4
+    assert [g[0] for g in _mp4_video_pixels(mp4, 1000)] == [0, 2, 4]
+    # opaque-codec samples must not fake pixel stats
+    opaque = encode_mp4_frames([b"not jpeg bytes " * 4], codec="skyf")
+    with pytest.raises(ValueError):
+        _mp4_video_pixels(opaque, 1)
