@@ -3723,7 +3723,10 @@ def resample_audio(
 ) -> DataFrame:
     """payload → decimated payload + updated rate/length (the normalize
     step before an audio encoder — the audio analog of resize_images).
-    RIFF/WAVE payloads are decimated FOR REAL (_decimate_wav); other
+    RIFF/WAVE and FORM/AIFF payloads are decimated FOR REAL, and
+    frame-bearing FLAC streams (r5) decode through _flac_samples,
+    decimate in the integer sample domain and RE-ENCODE as FLAC —
+    a full lossless-codec round trip inside the transform. Other
     formats would need librosa: fake path keeps every 4th byte of the
     md5-tiled fake stream. 1→1 binary transform via mapInPandas."""
     schema = T.StructType(
@@ -3752,6 +3755,15 @@ def resample_audio(
                     return out, sr, n
                 except (ValueError, struct.error):
                     pass  # FORM/AIFF-prefixed junk: fake path below
+            if _looks_like_flac(data):
+                try:
+                    sr, _nf, n_ch, samples = _flac_samples(data)
+                    if n_ch != 1:
+                        raise ValueError("only mono FLAC decimation supported")
+                    out = encode_flac(sr // factor, samples[::factor])
+                    return out, sr // factor, len(samples[::factor])
+                except (ValueError, struct.error, IndexError):
+                    pass  # fLaC-prefixed junk / metadata-only: fake path
             _require_codec("soundfile")
             d = hashlib.md5(data).digest()
             sr = WAV_RATES[d[3] % len(WAV_RATES)] // factor

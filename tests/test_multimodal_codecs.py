@@ -2211,3 +2211,24 @@ def test_mp4_mjpeg_pixels_match_per_sample_jpeg_decode():
     opaque = encode_mp4_frames([b"not jpeg bytes " * 4], codec="skyf")
     with pytest.raises(ValueError):
         _mp4_video_pixels(opaque, 1)
+
+
+def test_flac_decimation_roundtrip(spark):
+    """resample_audio over a frame-bearing FLAC: decode -> integer
+    decimation -> FLAC re-encode; the output stream decodes to exactly
+    every factor-th input sample at the divided rate."""
+    from pyspark.sql import functions as F
+
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _flac_samples,
+        encode_flac,
+        resample_audio,
+    )
+
+    sam = tuple(((k * 7919 + 104729) % 65536) - 32768 for k in range(600))
+    payload = encode_flac(16000, sam)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    [r] = resample_audio(df, factor=4).collect()
+    assert (r["sample_rate"], r["n_samples"]) == (4000, 150)
+    sr, nf, nc, got = _flac_samples(bytes(r["payload"]))
+    assert (sr, nf, nc) == (4000, 150, 1) and got == sam[::4]
