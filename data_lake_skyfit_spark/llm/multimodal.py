@@ -17,12 +17,18 @@ sniffing each payload's magic bytes (RIFF/WAVE, FORM/AIFF, 'BM', \\x89PNG,
 GIF8xa, \\xff\\xd8\\xff, RIFF/'AVI ', ftyp, MP3 sync/ID3) and running
 actual byte-level header + sample/pixel/frame decoding. JPEG covers
 BOTH baseline and progressive (SOF2 spectral selection + successive
-approximation with EOBRUN/correction bits). MP4 (ISO BMFF) and MP3
+approximation with EOBRUN/correction bits). r5 adds REAL FLAC sample
+decode (fixed/LPC predictors, Rice residuals, stereo decorrelation,
+CRC+MD5 validated), WebP-LOSSLESS (full VP8L: canonical prefix codes,
+color cache, LZ77 backrefs with the 2-D distance map, all four inverse
+transforms) and pixel-true MJPEG video in BOTH container families
+(AVI '00dc' chunks and MP4 'jpeg' samples run the full JPEG decode per
+sampled frame). MP4 (ISO BMFF) and MP3
 are handled at the CONTAINER/FRAME layer for real — box-tree +
 stts/stsc/stsz/stco sample resolution, MPEG-1 Layer III header walk
-with exact timing — while the codec payload inside (H.264, Layer III
-audio) stays opaque. Codec layers that would still need
-PIL/librosa/av (arithmetic/lossless JPEG, MP3 PCM, H.264...)
+with exact timing — while foreign codec payloads inside (H.264,
+Layer III audio) stay opaque. Codec layers that would still need
+PIL/librosa/av (arithmetic/lossless JPEG, MP3 PCM, H.264, lossy VP8)
 are NOT decodable in this image: with SKYFIT_FAKE_DECODE=1 (default
 in tests) unrecognized payloads take a deterministic fake path with
 the real schema and batch shape; otherwise they raise
@@ -2552,10 +2558,12 @@ def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     + five-filter scanline reconstruction (_png_pixels); GIF:
     variable-width LZW decompression + palette resolution (_gif_pixels);
     JPEG (baseline AND progressive SOF2): Huffman entropy decode +
-    dequant + IDCT + YCbCr→RGB (_jpeg_pixels). Other formats
-    (arithmetic-coded JPEG, WebP...) would need PIL: fake path derives
-    dims from the content hash with pixel_sum null (or raises without
-    SKYFIT_FAKE_DECODE)."""
+    dequant + IDCT + YCbCr→RGB (_jpeg_pixels); WebP-LOSSLESS payloads
+    (r5) through the full VP8L decode (_vp8l_pixels: prefix codes,
+    color cache, backrefs, all four inverse transforms). Other formats
+    (arithmetic-coded JPEG, lossy VP8...) would need PIL: fake path
+    derives dims from the content hash with pixel_sum null (or raises
+    without SKYFIT_FAKE_DECODE)."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -2599,6 +2607,12 @@ def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                     return _decode_tiff(data)
                 except (ValueError, struct.error, IndexError):
                     pass  # compressed/corrupt TIFF: fake path below
+            if _looks_like_webp(data):
+                try:
+                    w, h, ch, raw = _vp8l_pixels(data)
+                    return w, h, ch, sum(raw)
+                except (ValueError, struct.error, IndexError):
+                    pass  # lossy VP8 / corrupt VP8L: fake path below
             _require_codec("PIL")
             d = hashlib.md5(data).digest()
             return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 3, None
@@ -2647,6 +2661,11 @@ def _image_channel_bytes(data: bytes) -> tuple[int, int, int, bytes] | None:
     if _looks_like_tiff(data):
         try:
             return _tiff_pixels(data)
+        except (ValueError, struct.error, IndexError):
+            return None
+    if _looks_like_webp(data):
+        try:
+            return _vp8l_pixels(data)  # lossless only; VP8 lossy → None
         except (ValueError, struct.error, IndexError):
             return None
     return None
@@ -6056,3 +6075,812 @@ def video_neardup_pairs(
             / (F.col("size_a") + F.col("size_b") - F.col("inter"))
         ).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL WebP-lossless (VP8L) pixel codec (r5) — the lossless half of the
+# one remaining image format that had only a metadata walk. Everything
+# here derives from the PUBLIC "WebP Lossless Bitstream Specification":
+# LSB-first bitstream, DEFLATE-style canonical prefix codes (simple and
+# code-length-coded forms), five-code groups (green+length+cache, red,
+# blue, alpha, distance), LZ77 backward references through the spec's
+# 2-D short-distance map, a color cache keyed by the spec's multiplier
+# hash, an optional entropy image (meta prefix codes), and all four
+# transforms (predictor, color, subtract-green, color-indexing with
+# sub-byte packing) inverted in reverse order. The encoder is real
+# entropy coding too: per-channel canonical Huffman built from actual
+# frequencies (package-merge length-limited), RLE-coded code lengths,
+# optional subtract-green and distance-1 run backrefs. Wire convention
+# pinned by hand-assembled bitstream goldens in tests (the GIF LZW
+# lesson). Reference analog: raw blob handling (src/common/lake.py:
+# 59-71) — north-star surface, not parity.
+# ---------------------------------------------------------------------------
+
+
+class _LsbBitReader:
+    """LSB-first bit reader (the VP8L/DEFLATE convention — the first
+    bit read is the LOWEST bit of the current byte)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        got = 0
+        while got < n:
+            if self.pos >= len(self.data):
+                raise ValueError("vp8l: truncated stream")
+            avail = 8 - self.bit
+            take = min(n - got, avail)
+            v |= ((self.data[self.pos] >> self.bit) & ((1 << take) - 1)) << got
+            self.bit += take
+            got += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+
+class _LsbBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix codes go on the wire MSB-of-code first."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _vp8l_canonical(lengths: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, canonical per DEFLATE (codes assigned
+    in (length asc, symbol asc) order)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    for ln in range(1, max(lengths, default=0) + 1):
+        for sym, l in enumerate(lengths):
+            if l == ln:
+                table[(ln, code)] = sym
+                code += 1
+        code <<= 1
+    return table
+
+
+def _vp8l_canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) — the encoder's view of _vp8l_canonical."""
+    return {s: (c, ln) for (ln, c), s in _vp8l_canonical(lengths).items()}
+
+
+class _Vp8lCode:
+    """A decodable prefix code: either a true table or the degenerate
+    single-symbol code (which consumes ZERO bits per read)."""
+
+    __slots__ = ("table", "single")
+
+    def __init__(self, lengths: list[int]) -> None:
+        used = [s for s, l in enumerate(lengths) if l > 0]
+        if len(used) == 1:
+            self.single: int | None = used[0]
+            self.table: dict[tuple[int, int], int] = {}
+            return
+        if not used:
+            raise ValueError("vp8l: empty prefix code")
+        kraft = sum(1 << (15 - l) for l in lengths if l)
+        if kraft != 1 << 15:
+            raise ValueError("vp8l: prefix code is not complete")
+        self.single = None
+        self.table = _vp8l_canonical(lengths)
+
+    def read(self, br: _LsbBitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, 16):
+            code = (code << 1) | br.read(1)
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("vp8l: invalid prefix code in stream")
+
+
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+#: The spec's 2-D short-distance map: distance codes 1..120 address a
+#: (dx, dy) pixel neighborhood; codes >120 are linear (code − 120).
+#: Structural invariants pinned in tests (120 unique entries, plane
+#: ordering) — entries our encoder/goldens exercise are byte-pinned.
+_VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+def _vp8l_read_prefix_code(br: _LsbBitReader, alphabet_size: int) -> _Vp8lCode:
+    if br.read(1):  # simple code: 1 or 2 symbols
+        num_symbols = br.read(1) + 1
+        if br.read(1):  # first symbol is 8 bits
+            sym0 = br.read(8)
+        else:
+            sym0 = br.read(1)
+        syms = [sym0]
+        if num_symbols == 2:
+            syms.append(br.read(8))
+        lengths = [0] * alphabet_size
+        for s in syms:
+            if s >= alphabet_size:
+                raise ValueError("vp8l: simple-code symbol out of range")
+        if num_symbols == 1:
+            lengths[syms[0]] = 1
+            code = _Vp8lCode.__new__(_Vp8lCode)
+            code.single = syms[0]
+            code.table = {}
+            return code
+        a, b = sorted(syms)
+        if a == b:
+            raise ValueError("vp8l: duplicate simple-code symbols")
+        lengths[a] = lengths[b] = 1
+        return _Vp8lCode(lengths)
+    num_code_lengths = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_code_lengths):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl_code = _Vp8lCode(cl_lengths)
+    if br.read(1):  # explicit max symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+        if max_symbol > alphabet_size:
+            raise ValueError("vp8l: max_symbol exceeds alphabet")
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    symbol = 0
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        s = cl_code.read(br)
+        if s < 16:
+            lengths[symbol] = s
+            symbol += 1
+            if s:
+                prev = s
+        else:
+            if s == 16:
+                n, v = 3 + br.read(2), prev
+            elif s == 17:
+                n, v = 3 + br.read(3), 0
+            else:
+                n, v = 11 + br.read(7), 0
+            if symbol + n > alphabet_size:
+                raise ValueError("vp8l: code-length repeat overruns alphabet")
+            for _ in range(n):
+                lengths[symbol] = v
+                symbol += 1
+    return _Vp8lCode(lengths)
+
+
+def _vp8l_lz77_value(br: _LsbBitReader, v: int) -> int:
+    """Length/distance prefix value: small values literal, larger ones
+    carry extra bits (the spec's (2 + (v&1)) << extra form)."""
+    if v < 4:
+        return v + 1
+    extra = (v - 2) >> 1
+    offset = (2 + (v & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_decode_pixels(
+    br: _LsbBitReader, w: int, h: int, *, allow_meta: bool
+) -> list[int]:
+    """Decode one ARGB plane (spatially-coded image) at (w, h):
+    color-cache flag, optional entropy image (meta prefix codes),
+    prefix-code groups, then the literal/backref/cache pixel loop.
+    Returns row-major packed 0xAARRGGBB ints."""
+    if w <= 0 or h <= 0 or w * h * 4 > _MAX_MEDIA_BYTES:
+        raise ValueError("vp8l: absurd image plane size")
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("vp8l: bad color-cache size")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    meta = None
+    meta_block_bits = 0
+    n_groups = 1
+    if allow_meta and br.read(1):
+        meta_block_bits = br.read(3) + 2
+        mw = -(-w // (1 << meta_block_bits))
+        mh = -(-h // (1 << meta_block_bits))
+        meta = _vp8l_decode_pixels(br, mw, mh, allow_meta=False)
+        # group index = (red << 8) | green of the entropy-image pixel
+        n_groups = max(((p >> 8) & 0xFFFF) for p in meta) + 1
+
+    green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _vp8l_read_prefix_code(br, green_alpha),
+                _vp8l_read_prefix_code(br, 256),  # red
+                _vp8l_read_prefix_code(br, 256),  # blue
+                _vp8l_read_prefix_code(br, 256),  # alpha
+                _vp8l_read_prefix_code(br, 40),  # distance
+            )
+        )
+
+    out: list[int] = []
+    n = w * h
+    while len(out) < n:
+        x = len(out) % w
+        y = len(out) // w
+        if meta is not None:
+            mp = meta[(y >> meta_block_bits) * (-(-w // (1 << meta_block_bits))) + (x >> meta_block_bits)]
+            g_code, r_code, b_code, a_code, d_code = groups[(mp >> 8) & 0xFFFF]
+        else:
+            g_code, r_code, b_code, a_code, d_code = groups[0]
+        s = g_code.read(br)
+        if s < 256:
+            red = r_code.read(br)
+            blue = b_code.read(br)
+            alpha = a_code.read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out.append(px)
+            if cache is not None:
+                cache[((px * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        elif s < 256 + 24:
+            length = _vp8l_lz77_value(br, s - 256)
+            dist_code = _vp8l_lz77_value(br, d_code.read(br))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = max(1, dy * w + dx)
+            if dist > len(out) or length > n - len(out):
+                raise ValueError("vp8l: backward reference out of range")
+            base = len(out) - dist
+            for i in range(length):
+                px = out[base + i]
+                out.append(px)
+                if cache is not None:
+                    cache[((px * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        else:
+            if cache is None:
+                raise ValueError("vp8l: cache symbol without a color cache")
+            idx = s - 280
+            if idx >= len(cache):
+                raise ValueError("vp8l: color-cache index out of range")
+            out.append(cache[idx])
+    return out
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) & 0xFF) + ((b >> 24) & 0xFF)) // 2) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) // 2) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) // 2) << 8
+        | ((((a) & 0xFF) + ((b) & 0xFF)) // 2)
+    )
+
+
+def _vp8l_add_px(a: int, b: int) -> int:
+    """Per-channel modulo-256 add (higher channels cannot leak into a
+    lane's low 8 bits of the per-lane sum)."""
+    return (
+        ((((a >> 24) + (b >> 24)) & 0xFF) << 24)
+        | ((((a >> 16) + (b >> 16)) & 0xFF) << 16)
+        | ((((a >> 8) + (b >> 8)) & 0xFF) << 8)
+        | ((a + b) & 0xFF)
+    )
+
+
+def _vp8l_predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(left, tr), top)
+    if mode == 6:
+        return _vp8l_avg2(left, tl)
+    if mode == 7:
+        return _vp8l_avg2(left, top)
+    if mode == 8:
+        return _vp8l_avg2(tl, top)
+    if mode == 9:
+        return _vp8l_avg2(top, tr)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(left, tl), _vp8l_avg2(top, tr))
+    if mode == 11:  # Select
+        p = (
+            abs(((tl >> 24) & 0xFF) - ((top >> 24) & 0xFF)) - abs(((tl >> 24) & 0xFF) - ((left >> 24) & 0xFF))
+            + abs(((tl >> 16) & 0xFF) - ((top >> 16) & 0xFF)) - abs(((tl >> 16) & 0xFF) - ((left >> 16) & 0xFF))
+            + abs(((tl >> 8) & 0xFF) - ((top >> 8) & 0xFF)) - abs(((tl >> 8) & 0xFF) - ((left >> 8) & 0xFF))
+            + abs((tl & 0xFF) - (top & 0xFF)) - abs((tl & 0xFF) - (left & 0xFF))
+        )
+        return left if p <= 0 else top
+    if mode == 12:  # ClampAddSubtractFull
+        out = 0
+        for sh in (24, 16, 8, 0):
+            v = ((left >> sh) & 0xFF) + ((top >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+            out |= min(255, max(0, v)) << sh
+        return out
+    if mode == 13:  # ClampAddSubtractHalf
+        out = 0
+        for sh in (24, 16, 8, 0):
+            ave = (((left >> sh) & 0xFF) + ((top >> sh) & 0xFF)) // 2
+            v = ave + (ave - ((tl >> sh) & 0xFF)) // 2 if False else 0
+            # spec: clamp(ave + (ave - tl) / 2) with INTEGER (toward
+            # zero) halving of the signed difference
+            d = ave - ((tl >> sh) & 0xFF)
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out |= min(255, max(0, ave + half)) << sh
+        return out
+    raise ValueError(f"vp8l: reserved predictor mode {mode}")
+
+
+def _vp8l_ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: (int8(t) * int8(c)) >> 5 (arithmetic)."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _vp8l_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Full VP8L decode for a RIFF/WEBP payload whose image chunk is
+    lossless: (width, height, 4, interleaved RGBA bytes)."""
+    if not _looks_like_webp(data):
+        raise ValueError("webp: bad magic")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(len(data), 8 + riff_size)
+    pos = 12
+    body = None
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > end:
+            raise ValueError("webp: chunk declares more bytes than payload holds")
+        if cid == b"VP8L":
+            body = data[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    if body is None or not body or body[0] != 0x2F:
+        raise ValueError("webp: no VP8L chunk")
+    br = _LsbBitReader(body, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("vp8l: bad version")
+
+    # transforms, recorded in stream order then inverted in reverse
+    transforms: list[tuple] = []
+    seen: set[int] = set()
+    xsize = w
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("vp8l: duplicate transform")
+        seen.add(ttype)
+        if ttype == 0:  # predictor
+            bits = br.read(3) + 2
+            bw, bh = -(-xsize // (1 << bits)), -(-h // (1 << bits))
+            sub = _vp8l_decode_pixels(br, bw, bh, allow_meta=False)
+            transforms.append(("pred", bits, sub))
+        elif ttype == 1:  # color transform
+            bits = br.read(3) + 2
+            bw, bh = -(-xsize // (1 << bits)), -(-h // (1 << bits))
+            sub = _vp8l_decode_pixels(br, bw, bh, allow_meta=False)
+            transforms.append(("color", bits, sub))
+        elif ttype == 2:  # subtract green
+            transforms.append(("subgreen",))
+        else:  # color indexing
+            n_colors = br.read(8) + 1
+            pal = _vp8l_decode_pixels(br, n_colors, 1, allow_meta=False)
+            # palette entries are delta-coded left-to-right
+            for i in range(1, n_colors):
+                pal[i] = _vp8l_add_px(pal[i], pal[i - 1])
+            if n_colors <= 2:
+                pack_bits = 3  # 8 pixels per byte-lane
+            elif n_colors <= 4:
+                pack_bits = 2
+            elif n_colors <= 16:
+                pack_bits = 1
+            else:
+                pack_bits = 0
+            transforms.append(("palette", pal, pack_bits, xsize))
+            xsize = -(-xsize // (1 << pack_bits))
+
+    px = _vp8l_decode_pixels(br, xsize, h, allow_meta=True)
+
+    for t in reversed(transforms):
+        if t[0] == "palette":
+            _tag, pal, pack_bits, full_w = t
+            if pack_bits:
+                per = 1 << pack_bits
+                width_bits = 8 >> pack_bits
+                mask = (1 << width_bits) - 1
+                unpacked = []
+                for y in range(h):
+                    row = px[y * xsize : (y + 1) * xsize]
+                    line: list[int] = []
+                    for packed in row:
+                        g = (packed >> 8) & 0xFF
+                        for k in range(per):
+                            if len(line) >= full_w:
+                                break
+                            idx = (g >> (k * width_bits)) & mask
+                            if idx >= len(pal):
+                                raise ValueError("vp8l: palette index out of range")
+                            line.append(pal[idx])
+                    if len(line) != full_w:
+                        raise ValueError("vp8l: packed row underruns width")
+                    unpacked += line
+                px = unpacked
+            else:
+                out2 = []
+                for packed in px:
+                    idx = (packed >> 8) & 0xFF
+                    if idx >= len(pal):
+                        raise ValueError("vp8l: palette index out of range")
+                    out2.append(pal[idx])
+                px = out2
+            xsize = full_w
+        elif t[0] == "subgreen":
+            for i, p in enumerate(px):
+                g = (p >> 8) & 0xFF
+                r = ((p >> 16) + g) & 0xFF
+                b = (p + g) & 0xFF
+                px[i] = (p & 0xFF00FF00) | (r << 16) | b
+        elif t[0] == "color":
+            _tag, bits, sub = t
+            bw = -(-xsize // (1 << bits))
+            for i, p in enumerate(px):
+                x, y = i % xsize, i // xsize
+                cte = sub[(y >> bits) * bw + (x >> bits)]
+                # ColorTransformElement channel layout (spec):
+                # green_to_red in BLUE, green_to_blue in GREEN,
+                # red_to_blue in RED
+                g2r = cte & 0xFF
+                g2b = (cte >> 8) & 0xFF
+                r2b = (cte >> 16) & 0xFF
+                g = (p >> 8) & 0xFF
+                r = ((p >> 16) + _vp8l_ct_delta(g2r, g)) & 0xFF
+                b = ((p & 0xFF) + _vp8l_ct_delta(g2b, g)) & 0xFF
+                b = (b + _vp8l_ct_delta(r2b, r)) & 0xFF
+                px[i] = (p & 0xFF00FF00) | (r << 16) | b
+        elif t[0] == "pred":
+            _tag, bits, sub = t
+            bw = -(-xsize // (1 << bits))
+            for i in range(len(px)):
+                x, y = i % xsize, i // xsize
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = px[i - 1]  # mode L on the top row
+                elif x == 0:
+                    pred = px[i - xsize]  # mode T on the left column
+                else:
+                    mode = (sub[(y >> bits) * bw + (x >> bits)] >> 8) & 0xFF
+                    left = px[i - 1]
+                    top = px[i - xsize]
+                    tl = px[i - xsize - 1]
+                    # pixels are one contiguous scan-order buffer, so
+                    # top-right at the last column is the CURRENT row's
+                    # first pixel (i - xsize + 1 == y*xsize), already
+                    # decoded — the libwebp contiguous-buffer behavior
+                    tr = px[i - xsize + 1]
+                    pred = _vp8l_predict(mode, left, top, tl, tr)
+                px[i] = _vp8l_add_px(px[i], pred)
+        else:
+            raise ValueError("vp8l: unknown transform record")
+
+    raw = bytearray()
+    for p in px:
+        raw += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, (p >> 24) & 0xFF))
+    return w, h, 4, bytes(raw)
+
+
+def synthesize_webp_lossless_payloads(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """id → REAL VP8L WebP payload, deterministic closed form. Per id:
+    w = 8 + id % 9, h = 6 + id % 7, blocky RGB content
+    (r, g, b)(x, y) = ((3·id + 5·⌊x/4⌋ + 7·⌊y/2⌋) mod 256,
+    (11·id + 3·⌊x/4⌋ + 13·⌊y/2⌋) mod 256,
+    (7·id + 9·⌊x/4⌋ + ⌊y/2⌋) mod 256); the ENCODING cycles by id % 3 —
+    plain literals, SUBTRACT_GREEN transform, distance-1 run backrefs —
+    while the decoded pixels are identical (lossless), so one SQL
+    oracle grades all three wire variants."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(rid: int) -> bytes:
+            w, h = 8 + rid % 9, 6 + rid % 7
+
+            def pix(x: int, y: int):
+                bx, by = x // 4, y // 2
+                return (
+                    (3 * rid + 5 * bx + 7 * by) % 256,
+                    (11 * rid + 3 * bx + 13 * by) % 256,
+                    (7 * rid + 9 * bx + by) % 256,
+                )
+
+            variant = rid % 3
+            return encode_webp_lossless(
+                w, h, pix,
+                subtract_green=(variant == 1),
+                use_runs=(variant == 2),
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [one(int(v)) for v in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def _vp8l_package_merge(freqs: dict[int, int], limit: int) -> dict[int, int]:
+    """Length-limited canonical Huffman lengths via package-merge —
+    optimal under the limit, deterministic (ties break on symbol)."""
+    items = sorted((f, (s,)) for s, f in freqs.items() if f > 0)
+    if len(items) <= 2:
+        return {s: 1 for _f, (s,) in items}
+    if (1 << limit) < len(items):
+        raise ValueError("vp8l: alphabet too large for the length limit")
+    merged = list(items)
+    for _ in range(limit - 1):
+        packages = [
+            (merged[i][0] + merged[i + 1][0], merged[i][1] + merged[i + 1][1])
+            for i in range(0, len(merged) - 1, 2)
+        ]
+        merged = sorted(items + packages)
+    lengths: dict[int, int] = {}
+    for _f, syms in merged[: 2 * (len(items) - 1)]:
+        for s in syms:
+            lengths[s] = lengths.get(s, 0) + 1
+    return lengths
+
+
+def _vp8l_write_prefix_code(
+    bw: _LsbBitWriter, lengths: list[int]
+) -> dict[int, tuple[int, int]]:
+    """Emit a prefix code (simple form when ≤2 sub-256 symbols, else
+    the code-length-coded form with 17/18 zero-run RLE) and return the
+    symbol → (code, length) map for the payload writer."""
+    used = [s for s, l in enumerate(lengths) if l > 0]
+    if 1 <= len(used) <= 2 and used[-1] < 256:
+        bw.write(1, 1)  # simple
+        bw.write(len(used) - 1, 1)
+        if used[0] <= 1 and len(used) == 1:
+            bw.write(0, 1)  # 1-bit first symbol
+            bw.write(used[0], 1)
+        else:
+            bw.write(1, 1)  # 8-bit first symbol
+            bw.write(used[0], 8)
+        if len(used) == 2:
+            bw.write(used[1], 8)
+        if len(used) == 1:
+            return {used[0]: (0, 0)}
+        return _vp8l_canonical_codes(
+            [1 if s in used else 0 for s in range(len(lengths))]
+        )
+    bw.write(0, 1)  # code-length-coded form
+    # RLE the lengths into code-length symbols (0-15 literal, 17/18
+    # zero runs; 16 unused by this writer)
+    rle: list[tuple[int, int, int]] = []  # (symbol, extra_val, extra_bits)
+    i = 0
+    n = len(lengths)
+    while i < n:
+        if lengths[i] == 0:
+            j = i
+            while j < n and lengths[j] == 0:
+                j += 1
+            run = j - i
+            while run >= 11:
+                take = min(run, 138)
+                rle.append((18, take - 11, 7))
+                run -= take
+            while run >= 3:
+                take = min(run, 10)
+                rle.append((17, take - 3, 3))
+                run -= take
+            for _ in range(run):
+                rle.append((0, 0, 0))
+            i = j
+        else:
+            rle.append((lengths[i], 0, 0))
+            i += 1
+    cl_freq: dict[int, int] = {}
+    for s, _v, _b in rle:
+        cl_freq[s] = cl_freq.get(s, 0) + 1
+    cl_lengths_map = _vp8l_package_merge(cl_freq, 7)
+    cl_lengths = [cl_lengths_map.get(s, 0) for s in range(19)]
+    num_code_lengths = 19
+    while num_code_lengths > 4 and cl_lengths[_VP8L_CL_ORDER[num_code_lengths - 1]] == 0:
+        num_code_lengths -= 1
+    bw.write(num_code_lengths - 4, 4)
+    for k in range(num_code_lengths):
+        bw.write(cl_lengths[_VP8L_CL_ORDER[k]], 3)
+    bw.write(0, 1)  # no explicit max symbol
+    cl_codes = _vp8l_canonical_codes(cl_lengths)
+    single_cl = len([l for l in cl_lengths if l]) == 1
+    for s, v, b in rle:
+        if not single_cl:
+            code, ln = cl_codes[s]
+            bw.write_code(code, ln)
+        if b:
+            bw.write(v, b)
+    return _vp8l_canonical_codes(lengths)
+
+
+def _vp8l_lz77_code(value: int) -> tuple[int, int, int]:
+    """Inverse of _vp8l_lz77_value: (prefix_symbol, extra_val, extra_bits)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    for v in range(4, 24):
+        extra = (v - 2) >> 1
+        offset = (2 + (v & 1)) << extra
+        if offset + 1 <= value <= offset + (1 << extra):
+            return v, value - offset - 1, extra
+    raise ValueError(f"vp8l: value {value} out of LZ77 prefix range")
+
+
+def encode_webp_lossless(
+    width: int,
+    height: int,
+    pixel,
+    *,
+    subtract_green: bool = False,
+    use_runs: bool = False,
+) -> bytes:
+    """REAL VP8L encoder: literal ARGB pixels entropy-coded with
+    per-channel canonical Huffman built from actual frequencies
+    (package-merge length-limited, code lengths RLE-coded on the wire),
+    optional SUBTRACT_GREEN forward transform, optional distance-1 run
+    backward references (linear distance code 121). `pixel(x, y)`
+    returns (r, g, b) or (r, g, b, a). Returns the full RIFF/WEBP
+    container — decodable by any VP8L decoder."""
+    if not (0 < width <= (1 << 14) and 0 < height <= (1 << 14)):
+        raise ValueError("vp8l: dims out of the 14-bit field range")
+    px: list[int] = []
+    for y in range(height):
+        for x in range(width):
+            p = pixel(x, y)
+            r, g, b = p[0], p[1], p[2]
+            a = p[3] if len(p) > 3 else 255
+            if not all(0 <= c <= 255 for c in (r, g, b, a)):
+                raise ValueError("vp8l: channel out of range")
+            if subtract_green:
+                r = (r - g) & 0xFF
+                b = (b - g) & 0xFF
+            px.append((a << 24) | (r << 16) | (g << 8) | b)
+
+    # tokenize: literals + optional distance-1 runs (length ≤ 4096)
+    tokens: list[tuple] = []
+    i = 0
+    n = len(px)
+    while i < n:
+        if use_runs and i > 0 and px[i] == px[i - 1]:
+            j = i
+            while j < n and px[j] == px[i - 1] and j - i < 4096:
+                j += 1
+            tokens.append(("copy", j - i, 1))
+            i = j
+        else:
+            p = px[i]
+            tokens.append(("lit", (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF))
+            i += 1
+
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    df: dict[int, int] = {}
+    for t in tokens:
+        if t[0] == "lit":
+            _tag, a, r, g, b = t
+            gf[g] = gf.get(g, 0) + 1
+            rf[r] = rf.get(r, 0) + 1
+            bf[b] = bf.get(b, 0) + 1
+            af[a] = af.get(a, 0) + 1
+        else:
+            lsym, _lv, _lb = _vp8l_lz77_code(t[1])
+            gf[256 + lsym] = gf.get(256 + lsym, 0) + 1
+            dsym, _dv, _db = _vp8l_lz77_code(t[2] + 120)
+            df[dsym] = df.get(dsym, 0) + 1
+    if not df:
+        df[0] = 1  # a group always carries a distance code
+    for f in (rf, bf, af):
+        if not f:
+            f[0] = 1
+
+    def lengths_of(freqs: dict[int, int], alphabet: int) -> list[int]:
+        lm = _vp8l_package_merge(freqs, 15)
+        return [lm.get(s, 0) for s in range(alphabet)]
+
+    bw = _LsbBitWriter()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
+    g_codes = _vp8l_write_prefix_code(bw, lengths_of(gf, 256 + 24))
+    r_codes = _vp8l_write_prefix_code(bw, lengths_of(rf, 256))
+    b_codes = _vp8l_write_prefix_code(bw, lengths_of(bf, 256))
+    a_codes = _vp8l_write_prefix_code(bw, lengths_of(af, 256))
+    d_codes = _vp8l_write_prefix_code(bw, lengths_of(df, 40))
+    for t in tokens:
+        if t[0] == "lit":
+            _tag, a, r, g, b = t
+            for codes, sym in ((g_codes, g), (r_codes, r), (b_codes, b), (a_codes, a)):
+                code, ln = codes[sym]
+                bw.write_code(code, ln)
+        else:
+            lsym, lv, lb = _vp8l_lz77_code(t[1])
+            code, ln = g_codes[256 + lsym]
+            bw.write_code(code, ln)
+            if lb:
+                bw.write(lv, lb)
+            dsym, dv, db = _vp8l_lz77_code(t[2] + 120)
+            code, ln = d_codes[dsym]
+            bw.write_code(code, ln)
+            if db:
+                bw.write(dv, db)
+    body = b"\x2f" + bw.done()
+    payload = bytearray(b"WEBP")
+    payload += b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        payload += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(payload)) + bytes(payload)

@@ -2944,6 +2944,49 @@ def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_webp",
+    """
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 250
+    ), s AS (
+      SELECT p.doc_id, p.w, p.h,
+             SUM(((3*p.doc_id + 5*(x.i // 4) + 7*(y.i // 2)) % 256)
+               + ((11*p.doc_id + 3*(x.i // 4) + 13*(y.i // 2)) % 256)
+               + ((7*p.doc_id + 9*(x.i // 4) + (y.i // 2)) % 256)) AS rgb
+      FROM p,
+           LATERAL (SELECT UNNEST(range(0, p.w)) AS i) x,
+           LATERAL (SELECT UNNEST(range(0, p.h)) AS i) y
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(4 AS INT) AS n_channels,
+           CAST(rgb + 255 * w * h AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL WebP-lossless (VP8L) pixel decode (r5 — the lossless "
+    "half of the last image format that had only a metadata walk): "
+    "synthesize_webp_lossless_payloads entropy-codes actual VP8L "
+    "streams — per-channel canonical Huffman from real frequencies "
+    "(package-merge length-limited), code lengths RLE-coded on the "
+    "wire, cycling plain-literal / SUBTRACT_GREEN-transform / "
+    "distance-1-run-backref encodings by id — and decode_images runs "
+    "the full decoder: LSB bitstream, simple AND code-length-coded "
+    "prefix forms, LZ77 copies through the spec's distance mapping, "
+    "inverse transforms. Lossless: decoded pixels equal the closed "
+    "form for every wire variant, alpha constant 255. Wire convention "
+    "pinned by hand-assembled bitstream goldens (incl. color cache, "
+    "palette, predictor and color-transform streams the encoder never "
+    "emits).",
+)
+def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    media = multimodal.synthesize_webp_lossless_payloads(d, id_col="doc_id")
+    return multimodal.decode_images(media)
+
+
+@register(
     "multimodal_decode_tiff",
     """
     WITH p AS (

@@ -2232,3 +2232,451 @@ def test_flac_decimation_roundtrip(spark):
     assert (r["sample_rate"], r["n_samples"]) == (4000, 150)
     sr, nf, nc, got = _flac_samples(bytes(r["payload"]))
     assert (sr, nf, nc) == (4000, 150, 1) and got == sam[::4]
+
+
+# ------------------------------------------------------- WebP VP8L (r5)
+
+
+def _vp8l_riff(body: bytes) -> bytes:
+    payload = b"WEBP" + b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        payload += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def _vp8l_header(bw, w, h):
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+
+def _simple_code(bw, syms):
+    """Write a 1-2 symbol simple prefix code; returns symbol->(code,len)
+    (smaller symbol takes bit 0 — canonical)."""
+    bw.write(1, 1)
+    bw.write(len(syms) - 1, 1)
+    if len(syms) == 1 and syms[0] <= 1:
+        bw.write(0, 1)
+        bw.write(syms[0], 1)
+    else:
+        bw.write(1, 1)
+        bw.write(syms[0], 8)
+    if len(syms) == 2:
+        bw.write(syms[1], 8)
+        a, b = sorted(syms)
+        return {a: (0, 1), b: (1, 1)}
+    return {syms[0]: (0, 0)}
+
+
+def test_vp8l_encoder_byte_golden_single_pixel():
+    """Pin the WIRE CONVENTION byte-for-byte: hand-assemble the
+    expected stream for a 1×1 image with an INDEPENDENT LSB bit
+    packer (plain ints, no module code)."""
+    from data_lake_skyfit_spark.llm.multimodal import encode_webp_lossless
+
+    got = encode_webp_lossless(1, 1, lambda x, y: (3, 7, 9))
+
+    bits = []  # (value, nbits), LSB-first
+    bits += [(0, 14), (0, 14), (0, 1), (0, 3)]  # w-1, h-1, alpha, version
+    bits += [(0, 1), (0, 1), (0, 1)]  # no transform, no cache, no meta
+    for sym in (7, 3, 9, 255):  # green, red, blue, alpha simple codes
+        bits += [(1, 1), (0, 1), (1, 1), (sym, 8)]
+    bits += [(1, 1), (0, 1), (0, 1), (0, 1)]  # distance: 1-bit symbol 0
+    # payload: every code is single-symbol -> zero bits
+    acc = n = 0
+    out = bytearray()
+    for v, b in bits:
+        acc |= (v & ((1 << b) - 1)) << n
+        n += b
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    assert got == _vp8l_riff(b"\x2f" + bytes(out))
+
+
+def test_vp8l_dist_map_invariants():
+    """Structural pin on the spec's 2-D short-distance table: 120
+    unique upper-half-plane offsets in non-decreasing squared-distance
+    order."""
+    from data_lake_skyfit_spark.llm.multimodal import _VP8L_DIST_MAP
+
+    assert len(_VP8L_DIST_MAP) == 120
+    assert len(set(_VP8L_DIST_MAP)) == 120
+    prev = 0
+    for dx, dy in _VP8L_DIST_MAP:
+        assert 0 <= dy <= 7 and -8 <= dx <= 8
+        assert dy > 0 or dx > 0
+        d2 = dx * dx + dy * dy
+        assert d2 >= prev
+        prev = d2
+
+
+def test_vp8l_hand_stream_color_cache():
+    """Decoder-only golden: a 3×1 stream with a 2-entry color cache —
+    literal p2, then two cache hits. Cache symbols live above 255 so
+    the green tree is hand-built in the CODE-LENGTH-CODED form."""
+    from data_lake_skyfit_spark.llm.multimodal import _LsbBitWriter, _vp8l_pixels
+
+    # find a pixel with green=5 whose 1-bit cache hash index is 1
+    p2 = None
+    for r in range(256):
+        cand = (255 << 24) | (r << 16) | (5 << 8) | 6
+        if ((cand * 0x1E35A7BD) & 0xFFFFFFFF) >> 31 == 1:
+            p2 = cand
+            break
+    assert p2 is not None
+    r2 = (p2 >> 16) & 0xFF
+    cache_sym = 280 + 1  # alphabet 256 + 24 + 2 = 282; index 1
+    bw = _LsbBitWriter()
+    _vp8l_header(bw, 3, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # color cache present
+    bw.write(1, 4)  # cache_bits = 1
+    bw.write(0, 1)  # no meta
+    # green tree: lengths[5] = 1, lengths[281] = 1 over alphabet 282,
+    # code-length-coded: RLE = 17(run 5), 1, 18(run 138), 18(run 137), 1
+    bw.write(0, 1)  # not simple
+    bw.write(0, 4)  # num_code_lengths = 4 (order: 17, 18, 0, 1)
+    for ln in (2, 2, 0, 1):
+        bw.write(ln, 3)
+    bw.write(0, 1)  # no explicit max_symbol
+    cl = {1: (0, 1), 17: (0b10, 2), 18: (0b11, 2)}
+
+    def put(sym, code_map=cl):
+        c, ln = code_map[sym]
+        bw.write_code(c, ln)
+
+    put(17)
+    bw.write(5 - 3, 3)
+    put(1)
+    put(18)
+    bw.write(138 - 11, 7)
+    put(18)
+    bw.write(137 - 11, 7)
+    put(1)
+    _simple_code(bw, [r2])  # red
+    _simple_code(bw, [6])  # blue
+    _simple_code(bw, [255])  # alpha
+    _simple_code(bw, [0])  # distance
+    # greens canonical over {5, 281}: 5 -> code 0, 281 -> code 1
+    bw.write_code(0, 1)  # literal p2 (r/b/a codes consume 0 bits)
+    bw.write_code(1, 1)  # cache hit
+    bw.write_code(1, 1)  # cache hit
+    w, h, ch, raw = _vp8l_pixels(_vp8l_riff(b"\x2f" + bw.done()))
+    assert (w, h, ch) == (3, 1, 4)
+    assert raw == bytes((r2, 5, 6, 255)) * 3
+
+
+def _cl_prefix(bw, lengths):
+    """Write a prefix code in the CODE-LENGTH-CODED form for a lengths
+    list whose values are all in {0, 1, 2} (every symbol emitted
+    literally under a fixed 3-symbol code-length code); returns the
+    symbol -> (code, length) map."""
+    from data_lake_skyfit_spark.llm.multimodal import _vp8l_canonical_codes
+
+    assert all(l in (0, 1, 2) for l in lengths)
+    bw.write(0, 1)  # not simple
+    bw.write(5 - 4, 4)  # order prefix: 17, 18, 0, 1, 2
+    for ln in (0, 0, 1, 2, 2):
+        bw.write(ln, 3)
+    bw.write(0, 1)  # no explicit max_symbol
+    cmap = {0: (0, 1), 1: (0b10, 2), 2: (0b11, 2)}
+    for l in lengths:
+        c, n = cmap[l]
+        bw.write_code(c, n)
+    return _vp8l_canonical_codes(lengths)
+
+
+def test_vp8l_hand_stream_palette_packed():
+    """Decoder-only golden: COLOR_INDEXING with a delta-coded 2-color
+    palette and 8-pixels-per-byte sub-byte packing."""
+    from data_lake_skyfit_spark.llm.multimodal import _LsbBitWriter, _vp8l_pixels
+
+    c0 = (10, 200, 30)
+    c1 = (90, 40, 160)
+    d = tuple((b - a) & 0xFF for a, b in zip(c0, c1))
+    bw = _LsbBitWriter()
+    _vp8l_header(bw, 8, 1)
+    bw.write(1, 1)
+    bw.write(3, 2)  # COLOR_INDEXING
+    bw.write(1, 8)  # n_colors - 1
+    # palette image (2x1) follows its transform header immediately:
+    # entry0 literal, entry1 delta-coded
+    bw.write(0, 1)  # no cache
+    g_codes = _simple_code(bw, [c0[1], d[1]])
+    r_codes = _simple_code(bw, [c0[0], d[0]])
+    b_codes = _simple_code(bw, [c0[2], d[2]])
+    a_codes = _simple_code(bw, [255, 0])  # alpha 255 then delta 0
+    _simple_code(bw, [0])  # distance
+    for rr, gg, bb, aa in ((c0[0], c0[1], c0[2], 255), (d[0], d[1], d[2], 0)):
+        for codes, sym in ((g_codes, gg), (r_codes, rr), (b_codes, bb), (a_codes, aa)):
+            c, n = codes[sym]
+            bw.write_code(c, n)
+    bw.write(0, 1)  # end of transforms
+    # packed main image 1x1: index pattern 0,1,1,0,1,0,0,1 -> green
+    # byte 0b10010110 (first pixel in the LOW bits)
+    idx = [0, 1, 1, 0, 1, 0, 0, 1]
+    packed = sum(v << k for k, v in enumerate(idx))
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    _simple_code(bw, [packed])  # green
+    _simple_code(bw, [0])  # red
+    _simple_code(bw, [0])  # blue
+    _simple_code(bw, [0])  # alpha
+    _simple_code(bw, [0])  # distance
+    w, h, ch, raw = _vp8l_pixels(_vp8l_riff(b"\x2f" + bw.done()))
+    assert (w, h, ch) == (8, 1, 4)
+    want = b"".join(
+        bytes((*(c1 if v else c0), 255)) for v in idx
+    )
+    assert raw == want
+
+
+def test_vp8l_hand_stream_predictor_transform():
+    """Decoder-only golden: PREDICTOR transform, block size 4, mode 2
+    (top) in the block image; border rules (black at origin, L on the
+    top row, T on the left column) hand-verified."""
+    from data_lake_skyfit_spark.llm.multimodal import _LsbBitWriter, _vp8l_pixels
+
+    actual = [
+        [(10, 20, 30), (11, 21, 31), (12, 22, 32), (13, 23, 33)],
+        [(5, 6, 7), (6, 7, 8), (7, 8, 9), (8, 9, 10)],
+    ]
+    # residuals per the decoder's border + mode-2 rules
+    resid = []
+    for y in range(2):
+        for x in range(4):
+            r, g, b = actual[y][x]
+            if x == 0 and y == 0:
+                pr, pg, pb, pa = 0, 0, 0, 255
+            elif y == 0:
+                pr, pg, pb = actual[0][x - 1]
+                pa = 255
+            else:
+                pr, pg, pb = actual[y - 1][x]  # left col T; mode 2 = T
+                pa = 255
+            resid.append(
+                ((r - pr) & 0xFF, (g - pg) & 0xFF, (b - pb) & 0xFF, (255 - pa) & 0xFF)
+            )
+    bw = _LsbBitWriter()
+    _vp8l_header(bw, 4, 2)
+    bw.write(1, 1)
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(0, 3)  # size_bits = 2 -> 4x4 blocks -> 1x1 block image
+    # block image (1x1): mode 2 in the green channel
+    bw.write(0, 1)  # no cache
+    _simple_code(bw, [2])  # green = mode
+    _simple_code(bw, [0])
+    _simple_code(bw, [0])
+    _simple_code(bw, [0])
+    _simple_code(bw, [0])
+    bw.write(0, 1)  # end of transforms
+    # main image: residual literals; greens/reds/blues have 3+ distinct
+    # values -> code-length-coded trees with lengths in {1,2}
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    def tree(vals, alphabet):
+        uniq = sorted(set(vals))
+        lengths = [0] * alphabet
+        if len(uniq) == 1:
+            return _simple_code(bw, [uniq[0]])
+        if len(uniq) == 2:
+            return _simple_code(bw, uniq)
+        assert len(uniq) <= 4
+        # give the first symbol length 1 and the next two length 2
+        # (kraft-complete only for exactly 3 symbols)
+        assert len(uniq) == 3
+        lengths[uniq[0]] = 1
+        lengths[uniq[1]] = lengths[uniq[2]] = 2
+        return _cl_prefix(bw, lengths)
+
+    g_codes = tree([q[1] for q in resid], 256 + 24)
+    r_codes = tree([q[0] for q in resid], 256)
+    b_codes = tree([q[2] for q in resid], 256)
+    a_codes = tree([q[3] for q in resid], 256)
+    _simple_code(bw, [0])  # distance
+    for rr, gg, bb, aa in resid:
+        for codes, sym in ((g_codes, gg), (r_codes, rr), (b_codes, bb), (a_codes, aa)):
+            c, n = codes[sym]
+            bw.write_code(c, n)
+    w, h, ch, raw = _vp8l_pixels(_vp8l_riff(b"\x2f" + bw.done()))
+    assert (w, h, ch) == (4, 2, 4)
+    want = b"".join(
+        bytes((*actual[y][x], 255)) for y in range(2) for x in range(4)
+    )
+    assert raw == want
+
+
+def test_vp8l_hand_stream_color_transform():
+    """Decoder-only golden: COLOR transform inverse with hand-computed
+    signed deltas — g2r=16, g2b=-16 (0xF0), r2b=8 on stored
+    (r=100, g=200, b=50): delta(16, -56) = -28 -> r=72;
+    delta(-16, -56) = 28 -> b=78; delta(8, 72) = 18 -> b=96."""
+    from data_lake_skyfit_spark.llm.multimodal import _LsbBitWriter, _vp8l_pixels
+
+    bw = _LsbBitWriter()
+    _vp8l_header(bw, 2, 1)
+    bw.write(1, 1)
+    bw.write(1, 2)  # COLOR transform
+    bw.write(0, 3)  # size_bits = 2
+    # transform image (1x1): blue=g2r=16, green=g2b=0xF0, red=r2b=8
+    bw.write(0, 1)
+    _simple_code(bw, [0xF0])  # green
+    _simple_code(bw, [8])  # red
+    _simple_code(bw, [16])  # blue
+    _simple_code(bw, [0])  # alpha
+    _simple_code(bw, [0])  # distance
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    _simple_code(bw, [200])  # green
+    _simple_code(bw, [100])  # red
+    _simple_code(bw, [50])  # blue
+    _simple_code(bw, [255])  # alpha
+    _simple_code(bw, [0])  # distance
+    w, h, ch, raw = _vp8l_pixels(_vp8l_riff(b"\x2f" + bw.done()))
+    assert (w, h, ch) == (2, 1, 4)
+    assert raw == bytes((72, 200, 96, 255)) * 2
+
+
+def test_vp8l_hand_stream_2d_distance_code():
+    """Decoder-only golden: a backward reference through 2-D distance
+    code 1 = (0, 1) -> dist = row width (copy the row above)."""
+    from data_lake_skyfit_spark.llm.multimodal import _LsbBitWriter, _vp8l_pixels
+
+    bw = _LsbBitWriter()
+    _vp8l_header(bw, 2, 2)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    # greens: literal 7 and length symbol 256 + 1 (length prefix value
+    # 1 -> length 2): two symbols, one above 255 -> code-length form
+    lengths = [0] * (256 + 24)
+    lengths[7] = 1
+    lengths[257] = 1
+    g_codes = _cl_prefix(bw, lengths)
+    _simple_code(bw, [3])  # red
+    _simple_code(bw, [9])  # blue
+    _simple_code(bw, [255])  # alpha
+    _simple_code(bw, [0])  # distance: prefix value 0 -> dist_code 1
+    c, n = g_codes[7]
+    bw.write_code(c, n)  # literal (3,7,9)
+    bw.write_code(c, n)  # literal again (fills row 0)
+    c, n = g_codes[257]
+    bw.write_code(c, n)  # copy length 2, dist_code 1 = (0,1) -> dist 2
+    w, h, ch, raw = _vp8l_pixels(_vp8l_riff(b"\x2f" + bw.done()))
+    assert (w, h, ch) == (2, 2, 4)
+    assert raw == bytes((3, 7, 9, 255)) * 4
+
+
+def test_vp8l_hand_stream_meta_prefix_groups():
+    """Decoder-only golden: an entropy image selecting DIFFERENT prefix
+    groups for the two halves of an 8-wide row (meta block size 4)."""
+    from data_lake_skyfit_spark.llm.multimodal import _LsbBitWriter, _vp8l_pixels
+
+    bw = _LsbBitWriter()
+    _vp8l_header(bw, 8, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta prefix codes present
+    bw.write(0, 3)  # block bits = 2 -> 4-wide blocks -> 2x1 meta image
+    # meta image: group ids 0 and 1 in (red<<8 | green)
+    bw.write(0, 1)  # no cache (subimage)
+    g = _simple_code(bw, [0, 1])  # greens 0 and 1
+    _simple_code(bw, [0])  # red
+    _simple_code(bw, [0])  # blue
+    _simple_code(bw, [0])  # alpha
+    _simple_code(bw, [0])  # distance
+    for sym in (0, 1):
+        c, n = g[sym]
+        bw.write_code(c, n)
+    # group 0 codes then group 1 codes (all single-symbol)
+    for gg, rr, bb in ((11, 12, 13), (21, 22, 23)):
+        _simple_code(bw, [gg])
+        _simple_code(bw, [rr])
+        _simple_code(bw, [bb])
+        _simple_code(bw, [255])
+        _simple_code(bw, [0])
+    # payload: 8 literals, all zero-bit codes
+    w, h, ch, raw = _vp8l_pixels(_vp8l_riff(b"\x2f" + bw.done()))
+    assert (w, h, ch) == (8, 1, 4)
+    assert raw == bytes((12, 11, 13, 255)) * 4 + bytes((22, 21, 23, 255)) * 4
+
+
+def test_vp8l_rejects_corruption_and_lies():
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _LsbBitWriter,
+        _vp8l_pixels,
+        encode_webp_lossless,
+    )
+
+    good = encode_webp_lossless(6, 5, lambda x, y: (x * 40 % 256, y * 50 % 256, 7))
+    with pytest.raises(ValueError):
+        _vp8l_pixels(good[:-4])  # truncated chunk
+    with pytest.raises(ValueError):
+        _vp8l_pixels(b"RIFF\x04\x00\x00\x00WEBP")  # no VP8L chunk
+    bad = bytearray(good)
+    vp8l_at = bytes(bad).find(b"VP8L") + 8
+    bad[vp8l_at] = 0x2E  # wrong signature byte
+    with pytest.raises(ValueError):
+        _vp8l_pixels(bytes(bad))
+    # absurd declared dims must be rejected before allocation
+    bw = _LsbBitWriter()
+    bw.write((1 << 14) - 1, 14)
+    bw.write((1 << 14) - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    with pytest.raises(ValueError, match="absurd"):
+        _vp8l_pixels(_vp8l_riff(b"\x2f" + bw.done() + b"\x00" * 16))
+    # backward reference before any pixel exists
+    bw = _LsbBitWriter()
+    _vp8l_header(bw, 2, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    lengths = [0] * (256 + 24)
+    lengths[256] = 1  # only a length symbol: first token is a copy
+    _cl_prefix(bw, lengths)
+    for syms in ([0], [0], [0], [0]):
+        _simple_code(bw, syms)
+    with pytest.raises(ValueError, match="out of range|truncated"):
+        _vp8l_pixels(_vp8l_riff(b"\x2f" + bw.done() + b"\x00" * 4))
+
+
+def test_vp8l_feeds_image_feature_and_dhash_paths(spark):
+    """decode_images and the shared channel-bytes contract gain WebP:
+    real pixel sums on Spark, and _image_channel_bytes serves the
+    feature tier."""
+    from pyspark.sql import functions as F
+
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _image_channel_bytes,
+        decode_images,
+        synthesize_webp_lossless_payloads,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    rows = {
+        r["doc_id"]: r
+        for r in decode_images(synthesize_webp_lossless_payloads(docs)).collect()
+    }
+    for rid in range(6):
+        w, h = 8 + rid % 9, 6 + rid % 7
+        want = 255 * w * h
+        for y in range(h):
+            for x in range(w):
+                bx, by = x // 4, y // 2
+                want += (3 * rid + 5 * bx + 7 * by) % 256
+                want += (11 * rid + 3 * bx + 13 * by) % 256
+                want += (7 * rid + 9 * bx + by) % 256
+        r = rows[rid]
+        assert (r["width"], r["height"], r["n_channels"]) == (w, h, 4)
+        assert r["pixel_sum"] == want
+    from data_lake_skyfit_spark.llm.multimodal import encode_webp_lossless
+
+    got = _image_channel_bytes(encode_webp_lossless(3, 2, lambda x, y: (x, y, 5)))
+    assert got is not None and got[:3] == (3, 2, 4)
