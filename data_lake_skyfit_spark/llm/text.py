@@ -482,6 +482,125 @@ def word_surprisal_scores(
     )
 
 
+def bigram_surprisal_scores(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigram_vocab: int = 2048,
+    context_vocab: int = 1024,
+    unigram_vocab: int = 1024,
+) -> DataFrame:
+    """STUPID-BACKOFF bigram LM quality prior (Brants et al. 2007, the
+    web-scale LM that skips normalization), integer-exact tier — one
+    model order up from `word_surprisal_scores`: a document's fluency
+    is judged by its word-to-word TRANSITIONS, which catches shuffled
+    or templated text that unigram frequency cannot (every word common,
+    every transition absurd).
+
+    Per bigram (w1, w2): when the bigram is inside the top-`bigram_vocab`
+    table AND its context w1 inside the top-`context_vocab` table,
+    bits = bitlen(count(w1 ·)) − bitlen(count(w1 w2)) — the ⌊log2⌋
+    conditional self-information, non-negative since the context count
+    dominates its bigrams. Otherwise back off to the unigram tier at a
+    ONE-BIT penalty (stupid backoff's α as an exact power of two:
+    α = 1/2 ⇒ +1 bit — no float anywhere): 1 + (bitlen(total) −
+    bitlen(count(w2))), OOV paying bitlen(total) + 1 as in the unigram
+    tier. All bit-lengths via BINARY-STRING LENGTH (Spark conv(n,10,2)
+    / DuckDB bin(n)) — never libm log2, so every value hash-compares.
+
+    Scale: bigrams come from the token ARRAY (a zip_with over two
+    staged slices, exploded — no positional self-join, and no array
+    column carried through the Generate, so the exploded rows are one
+    short string each); all three model tables are
+    deterministic bounded cuts (count desc, key asc) that join back
+    BROADCAST; the only corpus-sized exchanges are the two counting
+    aggregations and the per-doc sum. Output: (id, n_bigrams,
+    n_backoff, bigram_bits), zero-filled for docs with < 2 tokens."""
+    arr = df.select(
+        F.col(id_col), tokens_expr(text_col).alias("_arr")
+    ).localCheckpoint(eager=False)  # feeds unigram counts AND bigrams
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+
+    toks = arr.select(id_col, F.explode("_arr").alias("w"))
+    total = toks.agg(bitlen(F.count(F.lit(1))).cast("long").alias("_bl_total"))
+    uni = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("w").asc())
+        .limit(unigram_vocab)
+        .select(F.col("w").alias("_w2"), bitlen(F.col("_n")).cast("long").alias("_bl_w"))
+    )
+    size = F.size("_arr")
+    bg = (
+        arr.filter(size >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.slice("_arr", 1, size - 1),
+                    F.slice("_arr", 2, size - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("_bg"),
+        )
+        # tokens are \\s+-split, so the single space splits back exactly
+        .withColumn("_w1", F.substring_index("_bg", " ", 1))
+        .withColumn("_w2", F.substring_index("_bg", " ", -1))
+        .localCheckpoint(eager=False)  # feeds both tables AND scoring
+    )
+    bgt = (
+        bg.groupBy("_bg")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("_bg").asc())
+        .limit(bigram_vocab)
+        .select("_bg", bitlen(F.col("_n")).cast("long").alias("_bl_big"))
+    )
+    ctx = (
+        bg.groupBy("_w1")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("_w1").asc())
+        .limit(context_vocab)
+        .select("_w1", bitlen(F.col("_n")).cast("long").alias("_bl_ctx"))
+    )
+    direct = F.col("_bl_big").isNotNull() & F.col("_bl_ctx").isNotNull()
+    scored = (
+        bg.join(F.broadcast(bgt), "_bg", "left")
+        .join(F.broadcast(ctx), "_w1", "left")
+        .join(F.broadcast(uni), "_w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.when(direct, F.lit(0).cast("long")).otherwise(F.lit(1)).alias("_backoff"),
+            F.when(direct, F.col("_bl_ctx") - F.col("_bl_big"))
+            .otherwise(
+                F.lit(1)
+                + F.coalesce(
+                    F.col("_bl_total") - F.col("_bl_w"), F.col("_bl_total") + 1
+                )
+            )
+            .alias("_bits"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_backoff").alias("n_backoff"),
+            F.sum("_bits").alias("bigram_bits"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", zero).alias("n_bigrams"),
+            F.coalesce("n_backoff", zero).alias("n_backoff"),
+            F.coalesce("bigram_bits", zero).alias("bigram_bits"),
+        )
+    )
+
+
 def fix_mojibake(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

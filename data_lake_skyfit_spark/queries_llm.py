@@ -4396,6 +4396,75 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.word_surprisal_scores(d, vocab_size=1024)
 
 
+@register(
+    "text_bigram_surprisal",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), toku AS (
+      SELECT doc_id, UNNEST(w) AS tok FROM t
+    ), tot AS (
+      SELECT CAST(LENGTH(bin(COUNT(*))) AS BIGINT) AS bl_total FROM toku
+    ), uni AS (
+      SELECT tok, CAST(LENGTH(bin(COUNT(*))) AS BIGINT) AS bl_w
+      FROM toku GROUP BY tok ORDER BY COUNT(*) DESC, tok ASC LIMIT 1024
+    ), bg AS (
+      SELECT t.doc_id, w[i.i] AS w1, w[i.i + 1] AS w2,
+             w[i.i] || ' ' || w[i.i + 1] AS b
+      FROM t, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) i
+    ), bgt AS (
+      SELECT b, CAST(LENGTH(bin(COUNT(*))) AS BIGINT) AS bl_big
+      FROM bg GROUP BY b ORDER BY COUNT(*) DESC, b ASC LIMIT 2048
+    ), ctx AS (
+      SELECT w1, CAST(LENGTH(bin(COUNT(*))) AS BIGINT) AS bl_ctx
+      FROM bg GROUP BY w1 ORDER BY COUNT(*) DESC, w1 ASC LIMIT 1024
+    ), sc AS (
+      SELECT bg.doc_id,
+             CASE WHEN bgt.b IS NOT NULL AND ctx.w1 IS NOT NULL
+                  THEN 0 ELSE 1 END AS backoff,
+             CASE WHEN bgt.b IS NOT NULL AND ctx.w1 IS NOT NULL
+                  THEN ctx.bl_ctx - bgt.bl_big
+                  ELSE 1 + COALESCE(tot.bl_total - uni.bl_w, tot.bl_total + 1)
+             END AS bits
+      FROM bg
+      LEFT JOIN bgt ON bgt.b = bg.b
+      LEFT JOIN ctx ON ctx.w1 = bg.w1
+      LEFT JOIN uni ON uni.tok = bg.w2
+      CROSS JOIN tot
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+             CAST(SUM(bits) AS BIGINT) AS bigram_bits
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           COALESCE(a.n_backoff, 0) AS n_backoff,
+           COALESCE(a.bigram_bits, 0) AS bigram_bits
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+    tags=("llm-text",),
+    doc="STUPID-BACKOFF bigram LM quality prior (r5, "
+    "llm.text.bigram_surprisal_scores) — the transition-fluency signal "
+    "one model order above text_lm_surprisal (Brants et al. 2007's "
+    "web-scale unnormalized LM): in-table bigrams pay "
+    "bitlen(ctx_count) − bitlen(bigram_count) conditional bits, "
+    "everything else backs off to the unigram tier at exactly one bit "
+    "(α = 1/2 as a power of two — no float anywhere; all bit-lengths "
+    "via binary-string length, never libm). Three deterministic "
+    "bounded model tables (top-2048 bigrams, top-1024 contexts, "
+    "top-1024 unigrams; count-desc/key-asc cuts) broadcast back onto "
+    "the bigram stream; bigrams come from zip_with over staged token-"
+    "array slices, never a positional self-join. Catches shuffled/"
+    "templated text whose every WORD is common but every TRANSITION "
+    "rare — the fluency gap unigram surprisal cannot see.",
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.bigram_surprisal_scores(d)
+
+
 _IMAGE_NEARDUP_ORACLE = """
     WITH p AS (
       SELECT doc_id, doc_id // 2 AS k, doc_id % 2 AS odd
@@ -5136,6 +5205,172 @@ def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "width", "height", "pixel_sum", "caption_len", "dup_of",
             F.when(F.col("dup_of").isNotNull(), F.lit("dup"))
             .when(F.col("caption_len") < 16, F.lit("short_caption"))
+            .otherwise(F.lit("kept"))
+            .alias("disposition"),
+        )
+    )
+
+
+def _audio_pipeline_sql() -> str:
+    toks = _DUCK_TOKENS.format(col="text")
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN doc_id - 3 ELSE doc_id END AS key,
+             {toks} AS w
+      FROM documents WHERE doc_id < 250
+    ), d AS (
+      SELECT doc_id, key,
+             8000 + 8000 * (key % 2) AS sr, 3 + key % 3 AS nf,
+             array_to_string(w[1:(1 + CAST(doc_id % 12 AS INT))], ' ') AS cap
+      FROM p
+    ), fr AS (
+      SELECT d.doc_id, d.key, d.sr, d.nf, strlen(d.cap) AS clen, f.f AS fi,
+             CASE WHEN d.key % 5 = 0 AND f.f % 3 <> 0 THEN 0 ELSE 1 END AS live
+      FROM d, LATERAL (SELECT UNNEST(range(0, d.nf)) AS f) f
+    ), en AS (
+      SELECT fr.doc_id, fr.key, fr.sr, fr.nf, fr.clen, fr.fi,
+             CAST(SUM(CASE WHEN fr.live = 0 THEN 0 ELSE v.v * v.v END) AS BIGINT) AS energy,
+             CAST(SUM(CASE WHEN fr.live = 0 THEN 0 ELSE v.v END) AS BIGINT) AS fsum
+      FROM fr, LATERAL (
+        SELECT (((fr.fi*160 + s.s)*7919 + fr.key*104729) % 65536) - 32768 AS v
+        FROM (SELECT UNNEST(range(0, 160)) AS s) s
+      ) v
+      GROUP BY 1, 2, 3, 4, 5, 6
+    ), doc AS (
+      SELECT doc_id, key, sr, nf, clen,
+             CAST(160 * nf AS BIGINT) AS n_samples,
+             CAST(SUM(fsum) AS BIGINT) AS ssum,
+             CAST(SUM(CASE WHEN energy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+             CAST(SUM(energy) AS BIGINT) AS ssq
+      FROM en GROUP BY 1, 2, 3, 4, 5
+    ), dup AS (
+      SELECT a.doc_id, MIN(b.doc_id) AS dup_of
+      FROM doc a JOIN doc b
+        ON b.doc_id < a.doc_id AND b.sr = a.sr
+       AND b.n_samples = a.n_samples AND b.ssum = a.ssum AND b.ssq = a.ssq
+      GROUP BY a.doc_id
+    )
+    SELECT doc.doc_id, CAST(doc.sr AS INT) AS sample_rate, doc.n_samples,
+           doc.n_active, CAST(doc.clen AS BIGINT) AS transcript_len,
+           CAST(dup.dup_of AS BIGINT) AS dup_of,
+           CASE WHEN dup.dup_of IS NOT NULL THEN 'dup'
+                WHEN doc.n_active * 3 <= doc.nf * 2 THEN 'mostly_silent'
+                WHEN doc.clen < 16 THEN 'short_transcript'
+                ELSE 'kept' END AS disposition
+    FROM doc LEFT JOIN dup ON dup.doc_id = doc.doc_id
+    """
+
+
+@register(
+    "multimodal_audio_pipeline",
+    _audio_pipeline_sql(),
+    tags=("llm-multimodal", "llm-dedup", "pipeline"),
+    doc="The composed AUDIO-curation flow (r5) — the audio analog of "
+    "multimodal_curation_pipeline, every stage individually graded: "
+    "WebDataset tar shard (one REAL multi-frame FLAC + one transcript "
+    "member per doc; ids ≡ 3 mod 7 duplicate the waveform of id−3, "
+    "keys ≡ 0 mod 5 silence two of every three VAD frames) → "
+    "extract_tar_members → REAL FLAC frame decode (decode_audio: "
+    "exact sample_sum through the Rice/LPC pipeline) → VAD frame "
+    "energies (audio_vad_frames over the shared _pcm_samples "
+    "contract) → exact-duplicate detection by integer stat "
+    "fingerprint (sr, n, Σs, Σs² — an equi-join on the fingerprint, "
+    "never a cross join) → per-clip disposition audit (dup → "
+    "canonical min-id; mostly_silent when ≤ ⅓ of frames are active; "
+    "short transcript on landed BYTE length; else kept). Oracle "
+    "replays the closed-form waveform, frame energies, silence "
+    "schedule and set arithmetic end-to-end.",
+)
+def multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .sources import webdataset
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                rid = int(rid)
+                key = rid - 3 if rid % 7 == 3 else rid
+                sr = 8000 + 8000 * (key % 2)
+                nf = 3 + key % 3
+                sam = []
+                for f in range(nf):
+                    if key % 5 == 0 and f % 3 != 0:
+                        sam += [0] * 160
+                    else:
+                        sam += [
+                            (((f * 160 + s) * 7919 + key * 104729) % 65536) - 32768
+                            for s in range(160)
+                        ]
+                flac = multimodal.encode_flac(sr, sam)
+                toks = ("" if text is None else str(text)).split()
+                cap = " ".join(toks[: 1 + rid % 12])
+                k = f"{rid:06d}"
+                payloads.append(
+                    webdataset.encode_tar(
+                        [(f"{k}.flac", flac), (f"{k}.txt", cap.encode())]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema).localCheckpoint(
+        eager=False  # two consumers: the .flac leg and the .txt leg
+    )
+    flacs = webdataset.extract_tar_members(shards, suffix=".flac").select(
+        "doc_id", "payload"
+    ).localCheckpoint(eager=False)  # feeds stats AND the VAD leg
+    stats = multimodal.decode_audio(flacs)
+    vad = multimodal.audio_vad_frames(flacs, frame_size=160, energy_threshold=0)
+    act = vad.groupBy("doc_id").agg(
+        F.sum("active").cast("long").alias("n_active"),
+        F.sum("energy").cast("long").alias("ssq"),
+        F.count(F.lit(1)).cast("long").alias("nf"),
+    )
+    caps = webdataset.extract_tar_members(shards, suffix=".txt").select(
+        "doc_id", F.length(F.col("payload")).cast("long").alias("transcript_len")
+    )
+    docstats = (
+        stats.select("doc_id", "sample_rate", "n_samples", "sample_sum")
+        .join(act, "doc_id")
+        .join(caps, "doc_id")
+        .localCheckpoint(eager=False)  # feeds the dup self-join twice
+    )
+    x = docstats.select("doc_id", "sample_rate", "n_samples", "sample_sum", "ssq")
+    dup = (
+        x.alias("a")
+        .join(
+            x.alias("b"),
+            (F.col("b.doc_id") < F.col("a.doc_id"))
+            & (F.col("b.sample_rate") == F.col("a.sample_rate"))
+            & (F.col("b.n_samples") == F.col("a.n_samples"))
+            & (F.col("b.sample_sum") == F.col("a.sample_sum"))
+            & (F.col("b.ssq") == F.col("a.ssq")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.min("b.doc_id").cast("bigint").alias("dup_of"))
+    )
+    return (
+        docstats.join(dup, "doc_id", "left")
+        .select(
+            "doc_id", "sample_rate", "n_samples", "n_active", "transcript_len",
+            "dup_of",
+            F.when(F.col("dup_of").isNotNull(), F.lit("dup"))
+            .when(F.col("n_active") * 3 <= F.col("nf") * 2, F.lit("mostly_silent"))
+            .when(F.col("transcript_len") < 16, F.lit("short_transcript"))
             .otherwise(F.lit("kept"))
             .alias("disposition"),
         )

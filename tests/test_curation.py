@@ -1297,3 +1297,32 @@ def test_train_logistic_deterministic_across_runs(spark, clf_task):
     w1, b1 = classifier.train_logistic(train, labels, max_iter=15)
     w2, b2 = classifier.train_logistic(train, labels, max_iter=15)
     assert w1 == w2 and b1 == b2
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """Stupid-backoff bigram bits on a corpus small enough to verify
+    every table cut and every branch by hand."""
+    from data_lake_skyfit_spark.llm.text import bigram_surprisal_scores
+
+    rows = [(1, "a b a b c"), (2, "a b x"), (3, "z"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # defaults: everything in-table
+    # unigrams a:3 b:3 c:1 x:1 z:1, total 9 -> bl_total 4
+    # bigrams 'a b':3 'b a':1 'b c':1 'b x':1; ctx a:3 b:3
+    got = {r["doc_id"]: r for r in bigram_surprisal_scores(df).collect()}
+    assert (got[1]["n_bigrams"], got[1]["n_backoff"], got[1]["bigram_bits"]) == (4, 0, 2)
+    assert (got[2]["n_bigrams"], got[2]["n_backoff"], got[2]["bigram_bits"]) == (2, 0, 1)
+    assert (got[3]["n_bigrams"], got[3]["bigram_bits"]) == (0, 0)
+    assert (got[4]["n_bigrams"], got[4]["bigram_bits"]) == (0, 0)
+    # tight cuts exercise every backoff branch:
+    # bigram table {a b, b a} (count desc, key asc), ctx {a},
+    # unigrams {a, b, c} -> 'b a' backs off (ctx miss) = 1+(4-2)=3,
+    # 'b c' (bigram miss, c in-vocab) = 1+(4-1)=4, 'b x' (OOV) = 1+5=6
+    got = {
+        r["doc_id"]: r
+        for r in bigram_surprisal_scores(
+            df, bigram_vocab=2, context_vocab=1, unigram_vocab=3
+        ).collect()
+    }
+    assert (got[1]["n_bigrams"], got[1]["n_backoff"], got[1]["bigram_bits"]) == (4, 2, 7)
+    assert (got[2]["n_bigrams"], got[2]["n_backoff"], got[2]["bigram_bits"]) == (2, 1, 6)
