@@ -213,9 +213,14 @@ _PRIORITY = [
     # (multimodal_decode_audio yielded its slot in r4e to the VAD tier:
     # same llm-multimodal family and the SAME real WAV decode path runs
     # inside audio_vad_frames, but VAD adds the frame-energy reduction
-    # + gaps-and-islands segmentation on top; decode_audio's stat
-    # battery stays drive-verified past the cutoff.)
-    "multimodal_audio_vad",
+    # + gaps-and-islands segmentation on top. multimodal_audio_vad in
+    # turn yielded its slot in r5 to the composed audio-curation
+    # pipeline, which RUNS audio_vad_frames as one of its chained
+    # stages (plus real FLAC decode, duplicate fingerprinting and the
+    # disposition audit) — the VAD arithmetic stays under the hash
+    # gate transitively, and both decode_audio and audio_vad stay
+    # drive-verified past the cutoff.)
+    "multimodal_audio_pipeline",
 ]
 
 
