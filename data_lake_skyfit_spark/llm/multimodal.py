@@ -101,6 +101,17 @@ __all__ = [
     "audio_vad_frames",
     "vad_segments",
     "synthesize_vad_wav_payloads",
+    # r5 surface
+    "encode_avi_mjpeg",
+    "decode_video_pixels",
+    "synthesize_mjpeg_avi_payloads",
+    "synthesize_mjpeg_mp4_payloads",
+    "synthesize_neardup_mjpeg_payloads",
+    "video_neardup_pairs",
+    "encode_flac",
+    "synthesize_flac_payloads",
+    "encode_webp_lossless",
+    "synthesize_webp_lossless_payloads",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
