@@ -445,8 +445,11 @@ def watermark_incremental_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'cursor_export', 'run2', CAST(id AS BIGINT), CAST(-1 AS INT),
            CAST(-1 AS INT) FROM k, q WHERE id >= q.qd * 2 - 10
     """,
-    tags=("S4", "S5", "S6", "S7", "I2", "I4", "K1", "S2"),
-    doc="The REST pagination family's LANDING semantics under the "
+    tags=("S4", "S5", "S6", "S7", "I2", "I4", "K1", "S2", "no-bench"),
+    doc="(no-bench: like image_neardup_incremental, this entry "
+    "deliberately WRITES five partitioned gzipped-JSONL bronze datasets "
+    "and lists them back — pipeline-maintenance cost, not query "
+    "latency.) The REST pagination family's LANDING semantics under the "
     "driver hash gate (VERDICT r4 next #8 — the HTTP half stays "
     "structurally pytest-only, but page arithmetic, stop conditions, "
     "cursor resume and the landed bytes are all file-backed and "
