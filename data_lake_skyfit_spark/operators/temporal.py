@@ -24,7 +24,68 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "bucketed_range_join"]
+__all__ = ["asof_join", "bucketed_range_join", "gapfill_locf"]
+
+
+def gapfill_locf(
+    df: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Time-bucket gap filling with last-observation-carried-forward —
+    the TimescaleDB `time_bucket_gapfill(..., locf(...))` analog the
+    reference's Postgres warehouse would reach for on sensor/metric
+    tables, composed from built-in ops (no UDF, no driver loop):
+
+    1. downsample: per (key, bucket) keep MAX(value) — an exact,
+       order-free aggregate (a 'last by ts' variant would need a
+       deterministic tie-break across engines; max is total);
+    2. spine: per key, explode sequence(min_bucket, max_bucket, 1
+       bucket) — each key's own observed range, so no global window
+       and no cross join against a calendar dimension;
+    3. fill: left-join the spine to the observations and carry the
+       last non-null value forward with last(ignorenulls) over an
+       UNBOUNDED-PRECEDING row frame per key. The first spine bucket
+       is observed by construction, so the filled value is never null.
+
+    Returns key_cols + (bucket_ts, value, is_gap). Scale: one groupBy
+    shuffle for the downsample, one per-key window for the fill —
+    state linear in buckets, spine rows ∝ key time-spans (never
+    keys × global calendar)."""
+    keys = list(key_cols)
+    b = F.date_trunc(bucket, F.col(ts_col))
+    obs = (
+        df.select(*keys, b.alias("bucket_ts"), F.col(value_col).alias("_v"))
+        .groupBy(*keys, "bucket_ts")
+        .agg(F.max("_v").alias("_v"))
+        .localCheckpoint(eager=False)  # feeds the span agg AND the join
+    )
+    span = obs.groupBy(*keys).agg(
+        F.min("bucket_ts").alias("_b0"), F.max("bucket_ts").alias("_b1")
+    )
+    spine = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_b0"), F.col("_b1"), F.expr(f"INTERVAL 1 {bucket}"))
+        ).alias("bucket_ts"),
+    )
+    joined = spine.join(obs, keys + ["bucket_ts"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("bucket_ts").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *keys,
+        "bucket_ts",
+        F.last("_v", ignorenulls=True).over(w).alias(value_col),
+        F.when(F.col("_v").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_gap"),
+    )
 
 
 def asof_join(

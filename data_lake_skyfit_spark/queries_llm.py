@@ -1348,6 +1348,55 @@ def continuous_aggregate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gapfill_locf_hourly",
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts, MAX(value) AS v
+      FROM events WHERE user_id < 40
+      GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(bucket_ts) AS b0, MAX(bucket_ts) AS b1
+      FROM obs GROUP BY 1
+    ), spine AS (
+      SELECT user_id, UNNEST(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM span
+    ), joined AS (
+      SELECT s.user_id, s.bucket_ts, o.v
+      FROM spine s LEFT JOIN obs o
+        ON o.user_id = s.user_id AND o.bucket_ts = s.bucket_ts
+    )
+    SELECT user_id, bucket_ts,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_ts ASC NULLS LAST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM joined
+    """,
+    tags=("2.10-datetime", "A3"),
+    doc="Time-bucket gap filling with last-observation-carried-forward "
+    "(r5, operators/temporal.gapfill_locf — the TimescaleDB "
+    "time_bucket_gapfill + locf analog): hourly MAX downsample per "
+    "user (an exact order-free aggregate — no cross-engine tie-break "
+    "problem), a per-key bucket spine exploded from each key's own "
+    "observed range (never keys × a global calendar), and an "
+    "ignorenulls last() forward fill over an unbounded-preceding row "
+    "frame. The first spine bucket is observed by construction, so "
+    "the filled value is never null. Oracle: generate_series + "
+    "LAST_VALUE IGNORE NULLS — both windows pinned ASC NULLS LAST "
+    "(the r4 ordering rule).",
+)
+def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import gapfill_locf
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", "ts", "value")
+    )
+    return gapfill_locf(e, key_cols=["user_id"], ts_col="ts", value_col="value")
+
+
+@register(
     "asof_join_last_purchase",
     """
     WITH clicks AS (

@@ -103,3 +103,34 @@ def test_asof_join_with_no_value_columns(spark):
     ).withColumn("rts", F.to_timestamp("rts"))
     out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").collect()
     assert len(out) == 1 and out[0]["k"] == 1
+
+
+def test_gapfill_locf_hand_computed(spark):
+    """Gap filling + LOCF on a corpus small enough to verify every
+    spine bucket and fill by hand, including multi-bucket gaps and
+    per-key span isolation."""
+    import datetime as dt
+
+    from data_lake_skyfit_spark.operators.temporal import gapfill_locf
+
+    T0 = dt.datetime(2024, 1, 1, 10, 15)
+    rows = [
+        (1, T0, 5.0),                                 # 10:00 -> 5.0
+        (1, T0.replace(minute=45), 7.0),              # same bucket: max 7.0
+        (1, T0 + dt.timedelta(hours=3), 2.0),         # 13:00; 11:00/12:00 gaps
+        (2, T0 + dt.timedelta(hours=1), 9.0),         # key 2 spans one bucket
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = sorted(
+        (
+            (r["user_id"], r["bucket_ts"].hour, r["value"], r["is_gap"])
+            for r in gapfill_locf(df, key_cols=["user_id"]).collect()
+        )
+    )
+    assert got == [
+        (1, 10, 7.0, 0),
+        (1, 11, 7.0, 1),
+        (1, 12, 7.0, 1),
+        (1, 13, 2.0, 0),
+        (2, 11, 9.0, 0),
+    ]
