@@ -1169,12 +1169,16 @@ def containment_pairs(
     the string arrays, and long equality beats string equality in the
     per-row intersect — and keeps every pair whose HASH intersection
     clears the threshold. Equal strings hash equal, so hash
-    intersection ≥ true intersection: pass 1 is a provable SUPERSET
-    (a rare cross-doc collision can only ADD a shared element, never
-    remove one). Pass 2 re-verifies the output-sized survivors on the
-    full STRING sets — so the result is still lossless and
-    collision-free by construction, while the candidate-sized shuffle
-    carries only hashes.
+    intersection ≥ true intersection for distinct-element sets: a
+    cross-doc collision can only ADD a shared element. (The one
+    theoretical gap is a WITHIN-doc collision — two distinct shingles
+    of one doc hashing equal merge in its hash array and could
+    undercount by one at an exact threshold boundary; at ~2⁻⁶⁴ per
+    shingle pair this is a documented soundness footnote, not a
+    practical event — code-review r5.) Pass 2 re-verifies the
+    output-sized survivors on the full STRING sets, so every EMITTED
+    pair is exact, while the candidate-sized shuffle carries only
+    hashes.
 
     Returns (a_id, b_id, inter, size_a, containment).
     """

@@ -3391,8 +3391,18 @@ def _flac_samples(data: bytes) -> tuple[int, int, int, tuple]:
     if pos >= len(data):
         raise ValueError("flac: no audio frames")
 
+    # Mid-decode growth bound (code-review r5: every other decoder here
+    # validates before allocating; CRCs are attacker-computable, so the
+    # post-loop STREAMINFO count check alone cannot stop a crafted
+    # stream of max-blocksize CONSTANT subframes from ballooning ~5000×
+    # before it runs — and it never runs when STREAMINFO total=0).
+    max_frames = _MAX_MEDIA_BYTES // (2 * n_ch)
+    if n_total and n_total > max_frames:
+        raise ValueError("flac: declared sample count exceeds the media cap")
     chans: list[list[int]] = [[] for _ in range(n_ch)]
     while pos < len(data):
+        if len(chans[0]) > max_frames or (n_total and len(chans[0]) > n_total):
+            raise ValueError("flac: decoded samples exceed the declared count")
         start = pos
         if pos + 4 > len(data):
             raise ValueError("flac: truncated frame header")
@@ -3788,10 +3798,18 @@ def resample_audio(
             if _looks_like_flac(data):
                 try:
                     sr, _nf, n_ch, samples = _flac_samples(data)
-                    if n_ch != 1:
-                        raise ValueError("only mono FLAC decimation supported")
-                    out = encode_flac(sr // factor, samples[::factor])
-                    return out, sr // factor, len(samples[::factor])
+                    if n_ch <= 2:  # the FLAC encoder's channel range
+                        # decimate whole FRAMES (a bare samples[::factor]
+                        # would interleave channels — code-review r5)
+                        kept: list[int] = []
+                        for f in range(0, len(samples) // n_ch, factor):
+                            kept += samples[f * n_ch : (f + 1) * n_ch]
+                        out = encode_flac(
+                            sr // factor, kept, n_channels=n_ch
+                        )
+                        return out, sr // factor, len(kept)
+                    # >2 channels: no lossless re-encode available here
+                    raise ValueError("flac: decimation supports <= 2 channels")
                 except (ValueError, struct.error, IndexError):
                     pass  # fLaC-prefixed junk / metadata-only: fake path
             _require_codec("soundfile")
@@ -4039,20 +4057,21 @@ def _avi_video_pixels(data: bytes, every_ms: int):
         ts = i * us_per_frame // 1000
         if strf_comp == mjpg or _looks_like_jpeg(f):
             w, h, ch, raw = _jpeg_pixels(f)
-            out.append((i, ts, w, h, ch, sum(raw)))
+            out.append((i, ts, w, h, ch, sum(raw), sum(v * v for v in raw)))
         elif strf_comp == 0 and strf_w and strf_h and strf_bits:
             w, h = int(strf_w), abs(int(strf_h))
             ch = max(1, int(strf_bits) // 8)
             row, stride = w * ch, (w * ch + 3) // 4 * 4
             if len(f) == stride * h:
-                total = sum(
-                    sum(f[r * stride : r * stride + row]) for r in range(h)
-                )
+                rows_ = [f[r * stride : r * stride + row] for r in range(h)]
+                total = sum(sum(r_) for r_ in rows_)
+                sq = sum(v * v for r_ in rows_ for v in r_)
             elif len(f) == row * h:  # pad-free writer (encode_avi_dib)
                 total = sum(f)
+                sq = sum(v * v for v in f)
             else:
                 raise ValueError("AVI DIB frame size does not match format")
-            out.append((i, ts, w, h, ch, total))
+            out.append((i, ts, w, h, ch, total, sq))
         else:
             raise ValueError("AVI frame compression needs external codec")
     return out
@@ -4110,7 +4129,11 @@ def synthesize_mjpeg_avi_payloads(
 
 
 def decode_video_pixels(
-    df: DataFrame, *, id_col: str = "doc_id", every_ms: int = 1000
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+    include_sq: bool = False,
 ) -> DataFrame:
     """payload → one row per SAMPLED frame with PIXEL-TRUE stats
     (id, frame_idx, ts_ms, width, height, n_channels, pixel_sum) — the
@@ -4121,18 +4144,21 @@ def decode_video_pixels(
     JPEG-coded samples the same way (MJPEG-in-MP4, r5). Foreign codecs
     (H.264 …) need pyav: fake path derives frames from the content
     hash with pixel_sum null (or raises without SKYFIT_FAKE_DECODE),
-    mirroring decode_images."""
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("ts_ms", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("n_channels", T.IntegerType()),
-            T.StructField("pixel_sum", T.LongType()),
-        ]
-    )
+    mirroring decode_images. ``include_sq`` appends the exact Σv²
+    pixel_sq column (the second moment the pixel-fingerprint near-dup
+    tier keys on)."""
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+    if include_sq:
+        fields.append(T.StructField("pixel_sq", T.LongType()))
+    schema = T.StructType(fields)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def rows(data: bytes):
@@ -4149,24 +4175,23 @@ def decode_video_pixels(
             _require_codec("av")
             h = hashlib.md5(data).digest()
             return [
-                (i, i * every_ms, 64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 3, None)
+                (
+                    i, i * every_ms, 64 + h[0] % 192, 64 + h[1] % 192,
+                    1 + h[2] % 3, None, None,
+                )
                 for i in range(1 + len(data) % 5)
             ]
 
+        cols = ["frame_idx", "ts_ms", "width", "height", "n_channels", "pixel_sum"]
+        if include_sq:
+            cols.append("pixel_sq")
         for pdf in batches:
-            out: dict[str, list] = {
-                id_col: [], "frame_idx": [], "ts_ms": [], "width": [],
-                "height": [], "n_channels": [], "pixel_sum": [],
-            }
+            out: dict[str, list] = {c: [] for c in [id_col] + cols}
             for rid, b in zip(pdf[id_col], pdf["payload"]):
-                for i, ts, w, hh, ch, psum in rows(bytes(b)):
+                for rec in rows(bytes(b)):
                     out[id_col].append(rid)
-                    out["frame_idx"].append(i)
-                    out["ts_ms"].append(ts)
-                    out["width"].append(w)
-                    out["height"].append(hh)
-                    out["n_channels"].append(ch)
-                    out["pixel_sum"].append(psum)
+                    for c, v in zip(cols, rec if include_sq else rec[:6]):
+                        out[c].append(v)
             yield pd.DataFrame(
                 {
                     id_col: out[id_col],
@@ -4176,6 +4201,11 @@ def decode_video_pixels(
                     "height": pd.array(out["height"], dtype="int32"),
                     "n_channels": pd.array(out["n_channels"], dtype="int32"),
                     "pixel_sum": pd.array(out["pixel_sum"], dtype="Int64"),
+                    **(
+                        {"pixel_sq": pd.array(out["pixel_sq"], dtype="Int64")}
+                        if include_sq
+                        else {}
+                    ),
                 }
             )
 
@@ -4428,7 +4458,7 @@ def _mp4_video_pixels(data: bytes, every_ms: int):
             if not _looks_like_jpeg(frame):
                 raise ValueError("mp4: sample codec needs an external decoder")
             w, h, ch, raw = _jpeg_pixels(frame)
-            out.append((i, ts_ms, w, h, ch, sum(raw)))
+            out.append((i, ts_ms, w, h, ch, sum(raw), sum(v * v for v in raw)))
             next_emit = ts_ms + every_ms
         t += delta
     return out
@@ -6039,11 +6069,18 @@ def video_neardup_pairs(
         frames = sample_video_frames(df, id_col=id_col, every_ms=every_ms)
         fp = F.col("frame_md5")
     elif fingerprint == "pixels":
-        frames = decode_video_pixels(df, id_col=id_col, every_ms=every_ms)
+        frames = decode_video_pixels(
+            df, id_col=id_col, every_ms=every_ms, include_sq=True
+        )
+        # dims + first AND second pixel moments (code-review r5: sum
+        # alone is collision-prone across frames of a common
+        # resolution; sum+sq leaves only permutation-invariance, the
+        # documented tolerance of this tier)
         fp = F.concat_ws(
             ":",
             F.concat_ws("x", "width", "height", "n_channels"),
             F.col("pixel_sum").cast("string"),
+            F.col("pixel_sq").cast("string"),
         )
     else:
         raise ValueError(f"fingerprint must be 'bytes' or 'pixels', got {fingerprint!r}")

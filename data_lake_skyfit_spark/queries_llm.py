@@ -11,6 +11,8 @@ rows-only mode; see VERDICT round 1).
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -5196,7 +5198,15 @@ def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     w, h,
                     lambda x, y, s=img_key: (3 * s + 5 * (x // 8) + 7 * (y // 8)) % 256,
                 )
-                toks = ("" if text is None else str(text)).split()
+                # split on EXACTLY the Java/RE2 \s class [ \t\n\v\f\r]
+                # (str.split() also splits on \x1c-\x1f/\xa0/Unicode
+                # spaces, which would diverge from the oracle tokens on
+                # a regenerated non-ASCII corpus — code-review r5)
+                toks = [
+                    t for t in _re.split("[ \t\n\x0b\f\r]+",
+                                         "" if text is None else str(text))
+                    if t
+                ]
                 caption = " ".join(toks[: 1 + rid % 12])
                 key = f"{rid:06d}"
                 payloads.append(
@@ -5366,7 +5376,15 @@ def multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                             for s in range(160)
                         ]
                 flac = multimodal.encode_flac(sr, sam)
-                toks = ("" if text is None else str(text)).split()
+                # split on EXACTLY the Java/RE2 \s class [ \t\n\v\f\r]
+                # (str.split() also splits on \x1c-\x1f/\xa0/Unicode
+                # spaces, which would diverge from the oracle tokens on
+                # a regenerated non-ASCII corpus — code-review r5)
+                toks = [
+                    t for t in _re.split("[ \t\n\x0b\f\r]+",
+                                         "" if text is None else str(text))
+                    if t
+                ]
                 cap = " ".join(toks[: 1 + rid % 12])
                 k = f"{rid:06d}"
                 payloads.append(
@@ -5596,7 +5614,9 @@ def multimodal_mp4_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d, LATERAL (SELECT UNNEST(range(0, d.nf)) AS f) f
     ), px AS (
       SELECT fr.doc_id, fr.w, fr.h, fr.fi,
-             SUM(64 * ((3*fr.k + 11*fr.fi + fr.bump + 5*bx.i + 7*by.i) % 256)) AS psum
+             SUM(64 * ((3*fr.k + 11*fr.fi + fr.bump + 5*bx.i + 7*by.i) % 256)) AS psum,
+             SUM(64 * ((3*fr.k + 11*fr.fi + fr.bump + 5*bx.i + 7*by.i) % 256)
+                    * ((3*fr.k + 11*fr.fi + fr.bump + 5*bx.i + 7*by.i) % 256)) AS psq
       FROM fr,
            LATERAL (SELECT UNNEST(range(0, fr.w // 8)) AS i) bx,
            LATERAL (SELECT UNNEST(range(0, fr.h // 8)) AS i) by
@@ -5604,7 +5624,7 @@ def multimodal_mp4_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sets AS (
       SELECT doc_id, list_distinct(list(
           CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || 'x1:'
-          || CAST(psum AS VARCHAR))) AS s
+          || CAST(psum AS VARCHAR) || ':' || CAST(psq AS VARCHAR))) AS s
       FROM px GROUP BY doc_id
     )
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -5625,7 +5645,7 @@ def multimodal_mp4_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inside MJPEG AVI streams — so the byte tier sees disjoint frame "
     "sets (zero pairs, pinned by a contrast test) while "
     "decode_video_pixels' full per-frame JPEG decode recovers matching "
-    "pixel fingerprints (WxHxCH:SUM) and the inverted-index Jaccard "
+    "pixel fingerprints (WxHxCH:SUM:SQ — dims plus the first two exact pixel moments) and the inverted-index Jaccard "
     "join finds every planted pair (one replaced frame per odd doc, "
     "J = (nf−1)/(nf+1) ≥ 4/6 > 6/10). Oracle rebuilds each frame's "
     "decoded pixel sum closed-form (the lossless per-block-constant "

@@ -73,11 +73,14 @@ def encode_tar(members: list[tuple[str, bytes]]) -> bytes:
     return bytes(out)
 
 
-def parse_tar(data: bytes) -> list[dict]:
-    """Walk a ustar archive: [(name, size, member_md5)]. Every
-    header-declared size is validated against the buffer before any
-    slice; the header checksum is verified (a corrupted header must
-    raise, not yield garbage members)."""
+def parse_tar(data: bytes, *, include_content: bool = False) -> list[dict]:
+    """Walk a ustar archive: [(name, size, member_md5[, content])].
+    Every header-declared size is validated against the buffer before
+    any slice; the header checksum is verified (a corrupted header must
+    raise, not yield garbage members). ``include_content`` pins the
+    member bytes into each record — only the extraction bridge asks
+    for it; the metadata/listing path stays metadata-sized
+    (code-review r5)."""
     recs: list[dict] = []
     pos = 0
     n = len(data)
@@ -109,14 +112,14 @@ def parse_tar(data: bytes) -> list[dict]:
         typeflag = hdr[156:157]
         payload = data[body_at : body_at + size]
         if typeflag in (b"0", b"\x00"):  # regular file (old tars use NUL)
-            recs.append(
-                {
-                    "name": name.decode("utf-8", "replace"),
-                    "size": size,
-                    "member_md5": hashlib.md5(payload).hexdigest(),
-                    "content": payload,
-                }
-            )
+            rec = {
+                "name": name.decode("utf-8", "replace"),
+                "size": size,
+                "member_md5": hashlib.md5(payload).hexdigest(),
+            }
+            if include_content:
+                rec["content"] = payload
+            recs.append(rec)
         pos = body_at + size
         if size % _BLOCK:
             pos += _BLOCK - size % _BLOCK
@@ -149,7 +152,11 @@ def extract_tar_members(
             ids, names, payloads = [], [], []
             for rid, payload in zip(pdf[id_col], pdf["payload"]):
                 try:
-                    recs = parse_tar(bytes(payload)) if payload is not None else []
+                    recs = (
+                        parse_tar(bytes(payload), include_content=True)
+                        if payload is not None
+                        else []
+                    )
                 except (ValueError, TypeError):
                     continue
                 for r in recs:

@@ -1927,10 +1927,10 @@ def test_avi_mjpeg_pixels_match_per_frame_jpeg_decode():
     got = _avi_video_pixels(avi, 250)
     assert [g[0] for g in got] == [0, 1, 2, 3, 4]
     assert [g[1] for g in got] == [0, 250, 500, 750, 1000]
-    for i, ts, w, h, ch, psum in got:
+    for i, ts, w, h, ch, psum, psq in got:
         ew, eh, ech, raw = _jpeg_pixels(frames[i])
         assert (w, h, ch) == (ew, eh, ech) == (16, 8, 1)
-        assert psum == sum(raw)
+        assert psum == sum(raw) and psq == sum(v * v for v in raw)
     # every_ms=500 → step 2: frames 0, 2, 4
     assert [g[0] for g in _avi_video_pixels(avi, 500)] == [0, 2, 4]
 
@@ -1961,7 +1961,7 @@ def test_avi_mjpeg_color_lossless_closed_form():
     def clamp(v: float) -> int:
         return min(255, max(0, math.floor(v + 0.5)))
 
-    for i, _ts, gw, gh, ch, psum in got:
+    for i, _ts, gw, gh, ch, psum, _psq in got:
         assert (gw, gh, ch) == (w, h, 3)
         want = 0
         for bx in range(w // 8):
@@ -2202,9 +2202,10 @@ def test_mp4_mjpeg_pixels_match_per_sample_jpeg_decode():
     got = _mp4_video_pixels(mp4, 1)  # every sample
     assert [g[0] for g in got] == [0, 1, 2, 3, 4]
     assert [g[1] for g in got] == [0, 500, 1000, 1500, 2000]
-    for i, _ts, w, h, ch, psum in got:
+    for i, _ts, w, h, ch, psum, psq in got:
         ew, eh, ech, raw = _jpeg_pixels(frames[i])
         assert (w, h, ch) == (ew, eh, ech) and psum == sum(raw)
+        assert psq == sum(v * v for v in raw)
     # sample-and-hold at 1000 ms: frames 0, 2, 4
     assert [g[0] for g in _mp4_video_pixels(mp4, 1000)] == [0, 2, 4]
     # opaque-codec samples must not fake pixel stats
@@ -2680,3 +2681,51 @@ def test_vp8l_feeds_image_feature_and_dhash_paths(spark):
 
     got = _image_channel_bytes(encode_webp_lossless(3, 2, lambda x, y: (x, y, 5)))
     assert got is not None and got[:3] == (3, 2, 4)
+
+
+def test_flac_rejects_ballooning_streams_before_allocation():
+    """Code-review r5: a crafted stream must not expand unbounded
+    before the count check — lying STREAMINFO totals are capped, and a
+    frame stream overrunning the declared total raises mid-decode."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _MAX_MEDIA_BYTES,
+        _flac_samples,
+        encode_flac,
+    )
+
+    good = bytearray(encode_flac(8000, tuple(range(-150, 150))))
+    # STREAMINFO total-samples: declare more than the media cap
+    packed = int.from_bytes(good[8 + 10 : 8 + 18], "big")
+    lied = (packed & ~((1 << 36) - 1)) | (_MAX_MEDIA_BYTES // 2 + 1)
+    good[8 + 10 : 8 + 18] = lied.to_bytes(8, "big")
+    with pytest.raises(ValueError, match="cap"):
+        _flac_samples(bytes(good))
+    # frames overrunning a small declared total raise during the loop
+    two = bytearray(encode_flac(8000, tuple(range(-150, 150)) * 2, block_size=256))
+    packed = int.from_bytes(two[8 + 10 : 8 + 18], "big")
+    two[8 + 10 : 8 + 18] = ((packed & ~((1 << 36) - 1)) | 10).to_bytes(8, "big")
+    with pytest.raises(ValueError, match="exceed|differs"):
+        _flac_samples(bytes(two))
+
+
+def test_flac_stereo_decimation_keeps_frames(spark):
+    """Code-review r5: stereo FLAC decimates whole FRAMES through the
+    real path (a bare [::factor] would interleave channels; the old
+    mono guard silently sent stereo to the fake path)."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _flac_samples,
+        encode_flac,
+        resample_audio,
+    )
+
+    frames = [(k * 37 % 1000 - 500, k * 91 % 1000 - 500) for k in range(300)]
+    inter = tuple(v for fr in frames for v in fr)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_flac(8000, inter, n_channels=2)))],
+        "doc_id long, payload binary",
+    )
+    [r] = resample_audio(df, factor=4).collect()
+    assert (r["sample_rate"], r["n_samples"]) == (2000, 150)
+    sr, nf, nc, got = _flac_samples(bytes(r["payload"]))
+    want = tuple(v for fr in frames[::4] for v in fr)
+    assert (sr, nf, nc) == (2000, 75, 2) and got == want
