@@ -5444,6 +5444,201 @@ def multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _video_pipeline_sql() -> str:
+    toks = _DUCK_TOKENS.format(col="text")
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN doc_id - 3 ELSE doc_id END AS key,
+             {toks} AS w
+      FROM documents WHERE doc_id < 250
+    ), d AS (
+      SELECT doc_id, key,
+             8*(1 + key % 3) AS wd, 8*(1 + key % 2) AS ht, 2 + key % 4 AS nf,
+             CASE WHEN key % 5 = 0 THEN 1 ELSE 0 END AS static,
+             array_to_string(w[1:(1 + CAST(doc_id % 12 AS INT))], ' ') AS cap
+      FROM p
+    ), px AS (
+      SELECT d.doc_id, d.wd, d.ht, d.nf, d.clen, d.fi,
+             SUM(64 * d.yv) AS psum, SUM(64 * d.yv * d.yv) AS psq
+      FROM (
+        SELECT d.doc_id, d.wd, d.ht, d.nf, strlen(d.cap) AS clen, f.f AS fi,
+               (3*d.key + CASE WHEN d.static = 1 THEN 0 ELSE 11*f.f END
+                + 5*bx.i + 7*by.i) % 256 AS yv
+        FROM d,
+             LATERAL (SELECT UNNEST(range(0, d.nf)) AS f) f,
+             LATERAL (SELECT UNNEST(range(0, d.wd // 8)) AS i) bx,
+             LATERAL (SELECT UNNEST(range(0, d.ht // 8)) AS i) by
+      ) d
+      GROUP BY 1, 2, 3, 4, 5, 6
+    ), vid AS (
+      SELECT doc_id, wd, ht, nf, clen,
+             string_agg(
+               CAST(wd AS VARCHAR) || 'x' || CAST(ht AS VARCHAR) || 'x1:'
+               || CAST(psum AS VARCHAR) || ':' || CAST(psq AS VARCHAR),
+               '|' ORDER BY fi) AS sig,
+             COUNT(DISTINCT CAST(psum AS VARCHAR) || ':' || CAST(psq AS VARCHAR)) AS n_distinct
+      FROM px GROUP BY 1, 2, 3, 4, 5
+    ), dup AS (
+      SELECT a.doc_id, MIN(b.doc_id) AS dup_of
+      FROM vid a JOIN vid b ON b.doc_id < a.doc_id AND b.sig = a.sig
+      GROUP BY a.doc_id
+    )
+    SELECT vid.doc_id, CAST(vid.wd AS INT) AS width, CAST(vid.ht AS INT) AS height,
+           CAST(vid.nf AS BIGINT) AS n_frames,
+           CAST(vid.n_distinct AS BIGINT) AS n_distinct_frames,
+           CAST(vid.clen AS BIGINT) AS caption_len,
+           CAST(dup.dup_of AS BIGINT) AS dup_of,
+           CASE WHEN dup.dup_of IS NOT NULL THEN 'dup'
+                WHEN vid.n_distinct = 1 AND vid.nf > 1 THEN 'static'
+                WHEN vid.clen < 16 THEN 'short_caption'
+                ELSE 'kept' END AS disposition
+    FROM vid LEFT JOIN dup ON dup.doc_id = vid.doc_id
+    """
+
+
+@register(
+    "multimodal_video_pipeline",
+    _video_pipeline_sql(),
+    tags=("llm-multimodal", "llm-dedup", "pipeline"),
+    doc="The composed VIDEO-curation flow (r5) — completing the "
+    "modality trilogy beside multimodal_curation_pipeline (image) and "
+    "multimodal_audio_pipeline: WebDataset tar shard (one REAL MJPEG "
+    "AVI + one caption member per doc; ids ≡ 3 mod 7 duplicate the "
+    "video of id−3; keys ≡ 0 mod 5 are STATIC — every frame pixel-"
+    "identical, the frozen-camera junk a real pipeline drops) → "
+    "extract_tar_members → pixel-true per-frame decode "
+    "(decode_video_pixels with both exact moments) → ordered "
+    "fingerprint signature per video (frame-order-sensitive, so a "
+    "shuffled re-cut is NOT a dup) → exact-duplicate detection by "
+    "signature equi-join → per-video disposition audit (dup → "
+    "canonical min-id; static when every frame fingerprints "
+    "identically; short caption on landed BYTES; else kept). Oracle "
+    "replays frames, moments, signature aggregation and set "
+    "arithmetic closed-form.",
+)
+def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .sources import webdataset
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                rid = int(rid)
+                key = rid - 3 if rid % 7 == 3 else rid
+                w, h = 8 * (1 + key % 3), 8 * (1 + key % 2)
+                static = key % 5 == 0
+                frames = [
+                    multimodal.encode_jpeg(
+                        w, h,
+                        lambda x, y, f=f: (
+                            3 * key + (0 if static else 11 * f)
+                            + 5 * (x // 8) + 7 * (y // 8)
+                        ) % 256,
+                    )
+                    for f in range(2 + key % 4)
+                ]
+                avi = multimodal.encode_avi_mjpeg(w, h, 250_000, frames)
+                toks = [
+                    t for t in _re.split("[ \t\n\x0b\f\r]+",
+                                         "" if text is None else str(text))
+                    if t
+                ]
+                cap = " ".join(toks[: 1 + rid % 12])
+                k = f"{rid:06d}"
+                payloads.append(
+                    webdataset.encode_tar(
+                        [(f"{k}.avi", avi), (f"{k}.txt", cap.encode())]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema).localCheckpoint(
+        eager=False  # two consumers: the .avi leg and the .txt leg
+    )
+    avis = webdataset.extract_tar_members(shards, suffix=".avi").select(
+        "doc_id", "payload"
+    )
+    frames = multimodal.decode_video_pixels(avis, every_ms=250, include_sq=True)
+    fp = F.concat_ws(
+        ":",
+        F.concat_ws("x", "width", "height", "n_channels"),
+        F.col("pixel_sum").cast("string"),
+        F.col("pixel_sq").cast("string"),
+    )
+    mom = F.concat_ws(
+        ":", F.col("pixel_sum").cast("string"), F.col("pixel_sq").cast("string")
+    )
+    vid = (
+        frames.select(
+            "doc_id", "width", "height",
+            F.struct("frame_idx", fp.alias("fp")).alias("_s"),
+            mom.alias("_m"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("width").cast("int").alias("width"),
+            F.max("height").cast("int").alias("height"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.countDistinct("_m").cast("long").alias("n_distinct_frames"),
+            # frame-ORDER-sensitive signature: sort the (idx, fp)
+            # structs, then join the fps (collect_list order is not
+            # deterministic on its own)
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_s")), lambda s: s["fp"]
+                ),
+                "|",
+            ).alias("_sig"),
+        )
+        .localCheckpoint(eager=False)  # feeds the dup self-join twice
+    )
+    caps = webdataset.extract_tar_members(shards, suffix=".txt").select(
+        "doc_id", F.length(F.col("payload")).cast("long").alias("caption_len")
+    )
+    x = vid.select("doc_id", "_sig")
+    dup = (
+        x.alias("a")
+        .join(
+            x.alias("b"),
+            (F.col("b.doc_id") < F.col("a.doc_id"))
+            & (F.col("b._sig") == F.col("a._sig")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.min("b.doc_id").cast("bigint").alias("dup_of"))
+    )
+    return (
+        vid.join(caps, "doc_id")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id", "width", "height", "n_frames", "n_distinct_frames",
+            "caption_len", "dup_of",
+            F.when(F.col("dup_of").isNotNull(), F.lit("dup"))
+            .when(
+                (F.col("n_distinct_frames") == 1) & (F.col("n_frames") > 1),
+                F.lit("static"),
+            )
+            .when(F.col("caption_len") < 16, F.lit("short_caption"))
+            .otherwise(F.lit("kept"))
+            .alias("disposition"),
+        )
+    )
+
+
 @register(
     "dedup_audio_envelope",
     """
