@@ -2729,3 +2729,33 @@ def test_flac_stereo_decimation_keeps_frames(spark):
     sr, nf, nc, got = _flac_samples(bytes(r["payload"]))
     want = tuple(v for fr in frames[::4] for v in fr)
     assert (sr, nf, nc) == (2000, 75, 2) and got == want
+
+
+def test_vp8l_uniform_256_symbol_code_and_alpha_roundtrip():
+    """Edge wires: (a) a 16x16 image hitting all 256 green values once
+    gives a COMPLETE uniform 8-bit code whose code-length stream is a
+    single repeated symbol (the zero-bit single-cl-code path on the
+    wire); (b) 4-tuple pixels round-trip a varying alpha channel."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _vp8l_pixels,
+        encode_webp_lossless,
+    )
+
+    data = encode_webp_lossless(16, 16, lambda x, y: (7, y * 16 + x, 9))
+    w, h, ch, raw = _vp8l_pixels(data)
+    assert (w, h, ch) == (16, 16, 4)
+    for y in range(16):
+        for x in range(16):
+            assert raw[4 * (y * 16 + x) : 4 * (y * 16 + x) + 4] == bytes(
+                (7, y * 16 + x, 9, 255)
+            )
+
+    def pix(x, y):
+        return ((3 * x) % 256, (5 * y) % 256, 11, (40 + 7 * x + y) % 256)
+
+    data = encode_webp_lossless(9, 5, pix)
+    w, h, ch, raw = _vp8l_pixels(data)
+    assert (w, h, ch) == (9, 5, 4)
+    for y in range(5):
+        for x in range(9):
+            assert raw[4 * (y * 9 + x) : 4 * (y * 9 + x) + 4] == bytes(pix(x, y))
