@@ -2950,7 +2950,15 @@ def _decode_flac(data: bytes) -> tuple[int, int, int, int | None, float | None]:
     # metadata block keeps the lenient metadata-only contract.
     terminated = pos <= len(data) and pos > 4 and (hdr & 0x80)
     if terminated and pos < len(data):  # audio frames follow: real decode
-        sr, n_frames, _n_ch, samples = _flac_samples(data)
+        try:
+            sr, n_frames, _n_ch, samples = _flac_samples(data)
+        except _FlacUnsupported:
+            # Valid stream, features we don't decode (e.g. 24-bit):
+            # keep the exact STREAMINFO metadata contract instead of
+            # regressing to the fully-fake path (r5 advice) — hard
+            # ValueErrors (corrupt data) still propagate to the caller.
+            sr, n = info
+            return sr, n, n * 1000 // sr, None, None
         ssum = 0
         ssq = 0
         for s in samples:
@@ -3347,12 +3355,31 @@ _FLAC_SR_TABLE = (
 )
 
 
+class _FlacUnsupported(ValueError):
+    """A VALID FLAC stream using features this decoder does not
+    implement (non-16-bit sample sizes). Distinct from plain
+    ValueError (corrupt data) so _decode_flac can keep the lenient
+    STREAMINFO metadata contract for real-world 24-bit files instead
+    of falling to the fully-fake path (r5 advice)."""
+
+
 def _flac_samples(data: bytes) -> tuple[int, int, int, tuple]:
     """Full FLAC decode: (sample_rate, n_frames, n_channels,
     interleaved 16-bit samples) — the _wav_samples contract, so VAD,
     feature extraction, resampling and near-dup gain FLAC for free.
     Validates frame-header CRC-8, frame CRC-16, the STREAMINFO sample
-    count AND the spec's MD5 of the decoded PCM."""
+    count AND the spec's MD5 of the decoded PCM. Raises ValueError
+    UNIFORMLY on corrupt/truncated input (truncation inside a frame
+    header would otherwise surface as bare IndexError/struct.error and
+    crash callers that only catch ValueError — r5 advice) and
+    _FlacUnsupported on valid-but-unimplemented streams."""
+    try:
+        return _flac_samples_impl(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"flac: truncated stream ({e})") from e
+
+
+def _flac_samples_impl(data: bytes) -> tuple[int, int, int, tuple]:
     if not _looks_like_flac(data):
         raise ValueError("flac: bad signature")
     pos = 4
@@ -3385,7 +3412,7 @@ def _flac_samples(data: bytes) -> tuple[int, int, int, tuple]:
     if sr == 0:
         raise ValueError("flac: zero sample rate")
     if bps != 16:
-        raise ValueError("flac: only 16-bit streams supported")
+        raise _FlacUnsupported("flac: only 16-bit streams supported")
     if not 1 <= n_ch <= 8:
         raise ValueError("flac: bad channel count")
     if pos >= len(data):
@@ -3452,7 +3479,7 @@ def _flac_samples(data: bytes) -> tuple[int, int, int, tuple]:
         elif ss_code == 0:
             fbps = bps
         else:
-            raise ValueError("flac: unsupported frame sample size")
+            raise _FlacUnsupported("flac: unsupported frame sample size")
         if data[pos] != _flac_crc8(data[start:pos]):
             raise ValueError("flac: frame header CRC-8 mismatch")
         pos += 1
@@ -6072,6 +6099,14 @@ def video_neardup_pairs(
         frames = decode_video_pixels(
             df, id_col=id_col, every_ms=every_ms, include_sq=True
         )
+        # Foreign-codec frames carry NULL pixel moments; concat_ws
+        # silently drops NULLs and would collapse them to a dims-only
+        # fingerprint, letting unrelated videos with matching fake dims
+        # pair up (r5 advice). Pixel-tier identity requires real
+        # moments — drop null-moment frames before fingerprinting.
+        frames = frames.filter(
+            F.col("pixel_sum").isNotNull() & F.col("pixel_sq").isNotNull()
+        )
         # dims + first AND second pixel moments (code-review r5: sum
         # alone is collision-prone across frames of a common
         # resolution; sum+sq leaves only permutation-invariance, the
@@ -6484,7 +6519,10 @@ def _vp8l_predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
             + abs(((tl >> 8) & 0xFF) - ((top >> 8) & 0xFF)) - abs(((tl >> 8) & 0xFF) - ((left >> 8) & 0xFF))
             + abs((tl & 0xFF) - (top & 0xFF)) - abs((tl & 0xFF) - (left & 0xFF))
         )
-        return left if p <= 0 else top
+        # Spec/libwebp Select: `if (pL < pT) return L else return T` —
+        # STRICT less-than, so a tie (p == 0) returns TOP (r5 advice:
+        # <= diverged on ties, common in gradient regions).
+        return left if p < 0 else top
     if mode == 12:  # ClampAddSubtractFull
         out = 0
         for sh in (24, 16, 8, 0):
@@ -6805,6 +6843,14 @@ def _vp8l_write_prefix_code(
             bw.write_code(code, ln)
         if b:
             bw.write(v, b)
+    if len(used) == 1:
+        # The decoder (_Vp8lCode) treats ANY single-symbol code as
+        # zero-bit, including in the code-length-coded form a >=256
+        # symbol forces (ineligible for the simple form). Returning
+        # the canonical 1-bit code here would emit one payload bit per
+        # occurrence the decoder never reads (r5 advice — latent
+        # encoder/decoder desync).
+        return {used[0]: (0, 0)}
     return _vp8l_canonical_codes(lengths)
 
 

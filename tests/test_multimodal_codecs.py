@@ -2759,3 +2759,223 @@ def test_vp8l_uniform_256_symbol_code_and_alpha_roundtrip():
     for y in range(5):
         for x in range(9):
             assert raw[4 * (y * 9 + x) : 4 * (y * 9 + x) + 4] == bytes(pix(x, y))
+
+
+# ------------------------------------------------- r6 advice pins
+
+
+def test_vp8l_select_predictor_tie_returns_top():
+    """Spec/libwebp Select is `(pL < pT) ? L : T` — STRICT, so a tie
+    returns TOP. The r5 `<=` returned LEFT on ties (common in gradient
+    regions) and only real libwebp-encoded files would have caught it."""
+    from data_lake_skyfit_spark.llm.multimodal import _vp8l_predict
+
+    def argb(a, r, g, b):
+        return (a << 24) | (r << 16) | (g << 8) | b
+
+    tl = argb(255, 10, 10, 10)
+    top = argb(255, 20, 10, 10)  # pL = sum|TL-T| = 10
+    left = argb(255, 10, 20, 10)  # pT = sum|TL-L| = 10 -> tie
+    assert _vp8l_predict(11, left, top, tl, 0) == top
+    # pL = sum|TL-T| is the prediction's distance from LEFT: a TOP
+    # near TL (vertical edge) means the pixel tracks LEFT, and vice
+    # versa.
+    top_near_tl = argb(255, 15, 10, 10)  # pL = 5 < pT = 10 -> left
+    assert _vp8l_predict(11, left, top_near_tl, tl, 0) == left
+    left_near_tl = argb(255, 10, 15, 10)  # pT = 5 < pL = 10 -> top
+    assert _vp8l_predict(11, left_near_tl, top, tl, 0) == top
+
+
+def test_vp8l_hand_stream_select_predictor_with_tie():
+    """Decoder-only golden: PREDICTOR transform, mode 11 (Select),
+    residuals computed against the SPEC's strict `(pL < pT) ? L : T`
+    rule — pixel (1,1) is an exact tie, so a <= decoder reconstructs
+    the wrong pixel and this golden red-flags."""
+    from data_lake_skyfit_spark.llm.multimodal import _LsbBitWriter, _vp8l_pixels
+
+    actual = [
+        [(10, 10, 10), (20, 10, 10), (30, 10, 10), (40, 10, 10)],
+        [(10, 20, 10), (30, 10, 10), (40, 10, 10), (50, 10, 10)],
+    ]
+
+    def select(left, top, tl):
+        pl = sum(abs(tl[i] - top[i]) for i in range(3))
+        pt = sum(abs(tl[i] - left[i]) for i in range(3))
+        return left if pl < pt else top  # alpha uniform: drops out
+
+    # Verify the fixture really exercises a tie at (1,1)
+    tie_pl = sum(abs(actual[0][0][i] - actual[0][1][i]) for i in range(3))
+    tie_pt = sum(abs(actual[0][0][i] - actual[1][0][i]) for i in range(3))
+    assert tie_pl == tie_pt and actual[0][1] != actual[1][0]
+
+    resid = []
+    for y in range(2):
+        for x in range(4):
+            r, g, b = actual[y][x]
+            if x == 0 and y == 0:
+                pr, pg, pb = 0, 0, 0
+            elif y == 0:
+                pr, pg, pb = actual[0][x - 1]  # top row: L
+            elif x == 0:
+                pr, pg, pb = actual[y - 1][x]  # left col: T
+            else:
+                pr, pg, pb = select(
+                    actual[y][x - 1], actual[y - 1][x], actual[y - 1][x - 1]
+                )
+            resid.append(((r - pr) & 0xFF, (g - pg) & 0xFF, (b - pb) & 0xFF, 0))
+    bw = _LsbBitWriter()
+    _vp8l_header(bw, 4, 2)
+    bw.write(1, 1)
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(0, 3)  # size_bits=2 -> 4x4 blocks -> 1x1 block image
+    bw.write(0, 1)  # no cache (block image)
+    _simple_code(bw, [11])  # green channel carries the mode
+    _simple_code(bw, [0])
+    _simple_code(bw, [0])
+    _simple_code(bw, [0])
+    _simple_code(bw, [0])
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no cache (main image)
+    bw.write(0, 1)  # no meta
+
+    def tree(vals, alphabet):
+        # fixture keeps every residual channel to <= 2 distinct values
+        uniq = sorted(set(vals))
+        assert len(uniq) <= 2
+        if len(uniq) == 1:
+            return _simple_code(bw, [uniq[0]])
+        return _simple_code(bw, uniq)
+
+    g_codes = tree([q[1] for q in resid], 256 + 24)
+    r_codes = tree([q[0] for q in resid], 256)
+    b_codes = tree([q[2] for q in resid], 256)
+    a_codes = tree([q[3] for q in resid], 256)
+    _simple_code(bw, [0])  # distance
+    for rr, gg, bb, aa in resid:
+        for codes, sym in ((g_codes, gg), (r_codes, rr), (b_codes, bb), (a_codes, aa)):
+            c, n = codes[sym]
+            bw.write_code(c, n)
+    w, h, ch, raw = _vp8l_pixels(_vp8l_riff(b"\x2f" + bw.done()))
+    assert (w, h, ch) == (4, 2, 4)
+    want = b"".join(
+        bytes((*actual[y][x], 255)) for y in range(2) for x in range(4)
+    )
+    assert raw == want
+
+
+def test_vp8l_single_symbol_over_256_code_is_zero_bit_both_sides():
+    """A code whose only used symbol is >= 256 can't take the simple
+    form; in the code-length-coded form the writer must return the
+    decoder's zero-bit single-symbol convention (r5 advice: it
+    returned a 1-bit code, a latent payload desync)."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _LsbBitReader,
+        _LsbBitWriter,
+        _vp8l_read_prefix_code,
+        _vp8l_write_prefix_code,
+    )
+
+    lengths = [0] * 280
+    lengths[260] = 1
+    bw = _LsbBitWriter()
+    codes = _vp8l_write_prefix_code(bw, lengths)
+    assert codes == {260: (0, 0)}
+    br = _LsbBitReader(bw.done(), 0)
+    code = _vp8l_read_prefix_code(br, 280)
+    assert code.single == 260
+    pos_before = (br.pos, br.bit)
+    assert code.read(br) == 260
+    assert (br.pos, br.bit) == pos_before  # zero bits consumed per read
+
+
+def test_flac_truncation_fuzz_only_raises_valueerror():
+    """Every truncation point of a valid multi-frame stream must fail
+    with ValueError — bare IndexError out of the frame-header walk
+    crashed audio_vad_frames/extract_embeddings tasks (r5 advice)."""
+    from data_lake_skyfit_spark.llm.multimodal import _flac_samples, encode_flac
+
+    sam = tuple(((k * 7919 + 104729) % 65536) - 32768 for k in range(300))
+    good = encode_flac(8000, sam, block_size=256)
+    assert _flac_samples(good)[3] == sam
+    for cut in range(4, len(good)):
+        try:
+            _flac_samples(good[:cut])
+        except ValueError:
+            pass  # the ONLY acceptable failure type
+
+
+def test_flac_truncated_frame_takes_vad_fake_path(spark):
+    """audio_vad_frames on a mid-frame-truncated FLAC payload must not
+    kill the Spark task — it takes the deterministic fake path."""
+    from data_lake_skyfit_spark.llm.multimodal import audio_vad_frames, encode_flac
+
+    sam = tuple(((k * 31) % 65536) - 32768 for k in range(300))
+    good = encode_flac(8000, sam, block_size=256)
+    # cut inside the first audio frame's header region
+    meta_end = good.index(b"\xff\xf8", 4)
+    bad = good[: meta_end + 6]
+    df = spark.createDataFrame(
+        [(1, bytearray(bad))], "doc_id long, payload binary"
+    )
+    rows = audio_vad_frames(df, frame_size=50).collect()
+    assert rows  # fake-path frames, task alive
+    assert all(r["energy"] >= 1000 for r in rows)  # fake energies are 1000+d
+
+
+def test_flac_24bit_streaminfo_keeps_metadata_contract():
+    """A valid-but-unsupported (24-bit) frame-bearing stream keeps the
+    exact STREAMINFO metadata contract instead of regressing to the
+    fully-fake path (r5 advice)."""
+    import pytest as _pytest
+
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _FlacUnsupported,
+        _decode_flac,
+        _flac_samples,
+        encode_flac,
+    )
+
+    sam = tuple(((k * 31) % 65536) - 32768 for k in range(200))
+    raw = bytearray(encode_flac(8000, sam))
+    # STREAMINFO packed word = bytes 18..26 (4 sig + 4 block hdr + 10)
+    packed = int.from_bytes(raw[18:26], "big")
+    assert (packed >> 36) & 0x1F == 15  # bps-1 for 16-bit
+    packed = (packed & ~(0x1F << 36)) | (23 << 36)  # declare 24-bit
+    raw[18:26] = packed.to_bytes(8, "big")
+    data = bytes(raw)
+    with _pytest.raises(_FlacUnsupported):
+        _flac_samples(data)
+    sr, n, dur, ssum, rms = _decode_flac(data)
+    assert (sr, n, dur) == (8000, 200, 200 * 1000 // 8000)
+    assert ssum is None and rms is None
+
+
+def test_video_pixel_neardup_ignores_null_moment_frames(spark):
+    """Two UNRELATED foreign-codec payloads whose fake paths happen to
+    agree on dims must not pair up: concat_ws silently dropped the
+    NULL moments and collapsed them to a dims-only fingerprint (r5
+    advice). Null-moment frames are excluded from the pixel tier."""
+    import hashlib
+
+    from data_lake_skyfit_spark.llm.multimodal import video_neardup_pairs
+
+    def fake_dims(payload: bytes):
+        h = hashlib.md5(payload).digest()
+        return (64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 3)
+
+    base = b"foreign-codec-payload-"
+    a = base + b"0"
+    b = None
+    for i in range(1, 100000):
+        cand = base + str(i).encode()
+        if fake_dims(cand) == fake_dims(a):
+            b = cand
+            break
+    assert b is not None, "no fake-dims collision found in range"
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b))], "doc_id long, payload binary"
+    )
+    pairs = video_neardup_pairs(
+        df, fingerprint="pixels", threshold_num=1, threshold_den=10
+    ).collect()
+    assert pairs == []
