@@ -5610,16 +5610,36 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps = webdataset.extract_tar_members(shards, suffix=".txt").select(
         "doc_id", F.length(F.col("payload")).cast("long").alias("caption_len")
     )
-    x = vid.select("doc_id", "_sig")
-    dup = (
-        x.alias("a")
+    # Two-pass whole-video identity (the containment discipline, r5
+    # verdict #3): the concatenated frame signature is UNBOUNDED (an
+    # hour at 4 fps is hundreds of KB), so the corpus-wide self-join
+    # ships only its 8-byte xxhash64; the full `_sig` travels once,
+    # value-partitioned by doc_id, to exact-confirm the candidate
+    # pairs. Collisions only ADD candidates — lossless by
+    # construction.
+    hx = vid.select("doc_id", F.xxhash64("_sig").alias("_h"))
+    cand = (
+        hx.alias("a")
         .join(
-            x.alias("b"),
+            hx.alias("b"),
             (F.col("b.doc_id") < F.col("a.doc_id"))
-            & (F.col("b._sig") == F.col("a._sig")),
+            & (F.col("b._h") == F.col("a._h")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_id"))
-        .agg(F.min("b.doc_id").cast("bigint").alias("dup_of"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    )
+    sigs = vid.select("doc_id", "_sig")
+    dup = (
+        cand.join(
+            sigs.select(F.col("doc_id").alias("a_id"), F.col("_sig").alias("_sa")),
+            "a_id",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("b_id"), F.col("_sig").alias("_sb")),
+            "b_id",
+        )
+        .filter(F.col("_sa") == F.col("_sb"))
+        .groupBy(F.col("a_id").alias("doc_id"))
+        .agg(F.min("b_id").cast("bigint").alias("dup_of"))
     )
     return (
         vid.join(caps, "doc_id")

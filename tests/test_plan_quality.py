@@ -218,3 +218,18 @@ def test_versioned_diff_is_single_outer_join(spark, sf_dir, tmp_path):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
     assert "FullOuter" in plan
     assert "Window" not in plan and "Cartesian" not in plan
+
+
+def test_video_pipeline_identity_join_keys_are_hashes(spark, sf_dir, qreg):
+    """The whole-video identity self-join must shuffle the 8-byte
+    xxhash64 of the concatenated frame signature, never the signature
+    string itself (unbounded — hundreds of KB for an hour of video);
+    the full string travels once as a VALUE to exact-confirm candidate
+    pairs (r5 verdict #3, the containment two-pass discipline)."""
+    df = qreg["multimodal_video_pipeline"].fn(spark, sf_dir)
+    plan = _physical(df)
+    assert "xxhash64" in plan
+    keys = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert keys and all("_sig" not in ln for ln in keys)
