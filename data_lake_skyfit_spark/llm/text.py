@@ -601,6 +601,175 @@ def bigram_surprisal_scores(
     )
 
 
+def trigram_surprisal_scores(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigram_vocab: int = 2048,
+    context2_vocab: int = 1024,
+    bigram_vocab: int = 2048,
+    context_vocab: int = 1024,
+    unigram_vocab: int = 1024,
+) -> DataFrame:
+    """STUPID-BACKOFF trigram LM quality prior — one model order above
+    `bigram_surprisal_scores` (same Brants et al. 2007 unnormalized
+    design, same integer-exact bit arithmetic). CCNet-grade fluency:
+    text whose every BIGRAM is natural but whose three-word phrases
+    are scrambled scores worse than natural prose at EQUAL bigram
+    statistics (pinned in tests with a bigram-multiset-preserving
+    shuffle).
+
+    Per trigram (w1 w2 w3), the three-tier backoff chain — each level
+    down pays stupid backoff's alpha = 1/2 as exactly one bit:
+    1. direct:   trigram in the top-`trigram_vocab` table AND its
+       (w1 w2) context in the top-`context2_vocab` bigram table →
+       bits = bitlen(count(w1 w2)) − bitlen(count(w1 w2 w3)).
+       Non-negative: every trigram occurrence contributes a (w1 w2)
+       bigram occurrence, so the context count dominates.
+    2. bigram (+1 bit): (w2 w3) in the top-`bigram_vocab` table AND
+       w2 in the top-`context_vocab` table →
+       bits = 1 + bitlen(count(w2 ·)) − bitlen(count(w2 w3)).
+    3. unigram (+2 bits): 2 + (bitlen(total) − bitlen(count(w3))),
+       OOV paying bitlen(total) + 1 as in the unigram tier.
+    All bit-lengths via binary-string length (conv(n,10,2) / DuckDB
+    bin(n)) — never libm log2, so every value hash-compares.
+
+    Scale: trigrams come from a zip_with compose over three staged
+    token-array slices (no positional self-join; exploded rows are one
+    short string each); all five model tables are deterministic
+    bounded cuts (count desc, key asc) that join back BROADCAST; the
+    only corpus-sized exchanges are the counting aggregations and the
+    per-doc sum. Output: (id, n_trigrams, n_backoff_bigram,
+    n_backoff_unigram, trigram_bits), zero-filled for docs with < 3
+    tokens."""
+    arr = df.select(
+        F.col(id_col), tokens_expr(text_col).alias("_arr")
+    ).localCheckpoint(eager=False)  # feeds unigram, bigram AND trigram streams
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+
+    toks = arr.select(id_col, F.explode("_arr").alias("w"))
+    total = toks.agg(bitlen(F.count(F.lit(1))).cast("long").alias("_bl_total"))
+    uni = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("w").asc())
+        .limit(unigram_vocab)
+        .select(F.col("w").alias("_w3"), bitlen(F.col("_n")).cast("long").alias("_bl_w"))
+    )
+    size = F.size("_arr")
+    bg = (
+        arr.filter(size >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.slice("_arr", 1, size - 1),
+                    F.slice("_arr", 2, size - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("_bg"),
+        )
+        .withColumn("_w1", F.substring_index("_bg", " ", 1))
+        .localCheckpoint(eager=False)  # feeds bigram counts, ctx2 AND ctx
+    )
+    bgc = bg.groupBy("_bg").agg(F.count(F.lit(1)).alias("_n")).localCheckpoint(
+        eager=False  # two cuts below share one counting exchange
+    )
+    bgt = (
+        bgc.orderBy(F.col("_n").desc(), F.col("_bg").asc())
+        .limit(bigram_vocab)
+        .select(F.col("_bg").alias("_w2w3"), bitlen(F.col("_n")).cast("long").alias("_bl_big"))
+    )
+    ctx2 = (
+        bgc.orderBy(F.col("_n").desc(), F.col("_bg").asc())
+        .limit(context2_vocab)
+        .select(F.col("_bg").alias("_w1w2"), bitlen(F.col("_n")).cast("long").alias("_bl_ctx2"))
+    )
+    ctx = (
+        bg.groupBy("_w1")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("_w1").asc())
+        .limit(context_vocab)
+        .select(F.col("_w1").alias("_w2"), bitlen(F.col("_n")).cast("long").alias("_bl_ctx"))
+    )
+    tg = (
+        arr.filter(size >= 3)
+        .select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.slice("_arr", 1, size - 2),
+                    F.zip_with(
+                        F.slice("_arr", 2, size - 2),
+                        F.slice("_arr", 3, size - 2),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    ),
+                    lambda a, bc: F.concat_ws(" ", a, bc),
+                )
+            ).alias("_tg"),
+        )
+        # tokens are \s+-split so single spaces split back exactly
+        .withColumn("_w1w2", F.substring_index("_tg", " ", 2))
+        .withColumn("_w2w3", F.substring_index("_tg", " ", -2))
+        .withColumn("_w2", F.substring_index(F.col("_w2w3"), " ", 1))
+        .withColumn("_w3", F.substring_index("_tg", " ", -1))
+    )
+    tgt = (
+        tg.groupBy("_tg")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("_tg").asc())
+        .limit(trigram_vocab)
+        .select("_tg", bitlen(F.col("_n")).cast("long").alias("_bl_tri"))
+    )
+    direct = F.col("_bl_tri").isNotNull() & F.col("_bl_ctx2").isNotNull()
+    big_tier = F.col("_bl_big").isNotNull() & F.col("_bl_ctx").isNotNull()
+    scored = (
+        tg.join(F.broadcast(tgt), "_tg", "left")
+        .join(F.broadcast(ctx2), "_w1w2", "left")
+        .join(F.broadcast(bgt), "_w2w3", "left")
+        .join(F.broadcast(ctx), "_w2", "left")
+        .join(F.broadcast(uni), "_w3", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.when(direct, F.lit(0))
+            .when(big_tier, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("long")
+            .alias("_tier"),
+            F.when(direct, F.col("_bl_ctx2") - F.col("_bl_tri"))
+            .when(big_tier, F.lit(1) + F.col("_bl_ctx") - F.col("_bl_big"))
+            .otherwise(
+                F.lit(2)
+                + F.coalesce(
+                    F.col("_bl_total") - F.col("_bl_w"), F.col("_bl_total") + 1
+                )
+            )
+            .alias("_bits"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum((F.col("_tier") == 1).cast("long")).alias("n_backoff_bigram"),
+            F.sum((F.col("_tier") == 2).cast("long")).alias("n_backoff_unigram"),
+            F.sum("_bits").alias("trigram_bits"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_trigrams", zero).alias("n_trigrams"),
+            F.coalesce("n_backoff_bigram", zero).alias("n_backoff_bigram"),
+            F.coalesce("n_backoff_unigram", zero).alias("n_backoff_unigram"),
+            F.coalesce("trigram_bits", zero).alias("trigram_bits"),
+        )
+    )
+
+
 def fix_mojibake(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -4516,6 +4516,94 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bigram_surprisal_scores(d)
 
 
+@register(
+    "text_trigram_surprisal",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+      FROM documents
+    ), toku AS (
+      SELECT doc_id, UNNEST(w) AS tok FROM t
+    ), tot AS (
+      SELECT CAST(LENGTH(bin(COUNT(*))) AS BIGINT) AS bl_total FROM toku
+    ), uni AS (
+      SELECT tok, CAST(LENGTH(bin(COUNT(*))) AS BIGINT) AS bl_w
+      FROM toku GROUP BY tok ORDER BY COUNT(*) DESC, tok ASC LIMIT 1024
+    ), bgall AS (
+      SELECT t.doc_id, w[i.i] AS w1, w[i.i] || ' ' || w[i.i + 1] AS b
+      FROM t, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) i
+    ), bgc AS (
+      SELECT b, COUNT(*) AS n FROM bgall GROUP BY b
+    ), bgt AS (
+      SELECT b, CAST(LENGTH(bin(n)) AS BIGINT) AS bl_big
+      FROM bgc ORDER BY n DESC, b ASC LIMIT 2048
+    ), ctx2 AS (
+      SELECT b, CAST(LENGTH(bin(n)) AS BIGINT) AS bl_ctx2
+      FROM bgc ORDER BY n DESC, b ASC LIMIT 1024
+    ), ctx AS (
+      SELECT w1, CAST(LENGTH(bin(COUNT(*))) AS BIGINT) AS bl_ctx
+      FROM bgall GROUP BY w1 ORDER BY COUNT(*) DESC, w1 ASC LIMIT 1024
+    ), tg AS (
+      SELECT t.doc_id,
+             w[i.i] || ' ' || w[i.i + 1] AS w1w2,
+             w[i.i + 1] || ' ' || w[i.i + 2] AS w2w3,
+             w[i.i + 1] AS w2, w[i.i + 2] AS w3,
+             w[i.i] || ' ' || w[i.i + 1] || ' ' || w[i.i + 2] AS tri
+      FROM t, LATERAL (SELECT UNNEST(range(1, len(w) - 1)) AS i) i
+    ), tgt AS (
+      SELECT tri, CAST(LENGTH(bin(COUNT(*))) AS BIGINT) AS bl_tri
+      FROM tg GROUP BY tri ORDER BY COUNT(*) DESC, tri ASC LIMIT 2048
+    ), sc AS (
+      SELECT tg.doc_id,
+             CASE WHEN tgt.tri IS NOT NULL AND c2.b IS NOT NULL THEN 0
+                  WHEN bgt.b IS NOT NULL AND cx.w1 IS NOT NULL THEN 1
+                  ELSE 2 END AS tier,
+             CASE WHEN tgt.tri IS NOT NULL AND c2.b IS NOT NULL
+                  THEN c2.bl_ctx2 - tgt.bl_tri
+                  WHEN bgt.b IS NOT NULL AND cx.w1 IS NOT NULL
+                  THEN 1 + cx.bl_ctx - bgt.bl_big
+                  ELSE 2 + COALESCE(tot.bl_total - uni.bl_w, tot.bl_total + 1)
+             END AS bits
+      FROM tg
+      LEFT JOIN tgt ON tgt.tri = tg.tri
+      LEFT JOIN ctx2 c2 ON c2.b = tg.w1w2
+      LEFT JOIN bgt ON bgt.b = tg.w2w3
+      LEFT JOIN ctx cx ON cx.w1 = tg.w2
+      LEFT JOIN uni ON uni.tok = tg.w3
+      CROSS JOIN tot
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff_bigram,
+             CAST(SUM(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff_unigram,
+             CAST(SUM(bits) AS BIGINT) AS trigram_bits
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_trigrams, 0) AS n_trigrams,
+           COALESCE(a.n_backoff_bigram, 0) AS n_backoff_bigram,
+           COALESCE(a.n_backoff_unigram, 0) AS n_backoff_unigram,
+           COALESCE(a.trigram_bits, 0) AS trigram_bits
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+    tags=("llm-text",),
+    doc="STUPID-BACKOFF trigram LM quality prior (r6, "
+    "llm.text.trigram_surprisal_scores) — three-tier backoff chain "
+    "trigram → bigram (+1 bit) → unigram (+2 bits), each level paying "
+    "alpha = 1/2 as exactly one bit; all bit-lengths via binary-string "
+    "length, never libm, so every value hash-compares. Five "
+    "deterministic bounded model tables (top-2048 trigrams/bigrams, "
+    "top-1024 contexts/unigrams) broadcast back onto the trigram "
+    "stream; trigrams from a zip_with compose over three staged "
+    "token-array slices, never a positional self-join. The CCNet-grade "
+    "fluency signal the bigram tier cannot give: scrambled text with "
+    "IDENTICAL bigram statistics scores strictly more bits (pinned in "
+    "tests with a bigram-multiset-preserving shuffle).",
+)
+def text_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_ops.trigram_surprisal_scores(d)
+
+
 _IMAGE_NEARDUP_ORACLE = """
     WITH p AS (
       SELECT doc_id, doc_id // 2 AS k, doc_id % 2 AS odd

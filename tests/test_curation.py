@@ -1326,3 +1326,68 @@ def test_bigram_surprisal_hand_computed(spark):
     }
     assert (got[1]["n_bigrams"], got[1]["n_backoff"], got[1]["bigram_bits"]) == (4, 2, 7)
     assert (got[2]["n_bigrams"], got[2]["n_backoff"], got[2]["bigram_bits"]) == (2, 1, 6)
+
+
+def test_trigram_surprisal_hand_computed(spark):
+    """Three-tier stupid-backoff trigram bits on a corpus small enough
+    to verify every table cut and every tier by hand."""
+    from data_lake_skyfit_spark.llm.text import trigram_surprisal_scores
+
+    rows = [(1, "a b c a b c a b c"), (2, "a b c"), (3, "a b"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # defaults: everything in-table. unigrams a:5 b:5 c:4, total 14
+    # bigrams 'a b':5 'b c':4 'c a':2; trigrams 'a b c':4 'b c a':2 'c a b':2
+    got = {r["doc_id"]: r for r in trigram_surprisal_scores(df).collect()}
+    # doc1: 'a b c'x3 direct bl(5)-bl(4)=0; 'b c a'x2 bl(4)-bl(2)=1;
+    #       'c a b'x2 bl(2)-bl(2)=0 -> 2 bits, no backoff
+    assert (
+        got[1]["n_trigrams"], got[1]["n_backoff_bigram"],
+        got[1]["n_backoff_unigram"], got[1]["trigram_bits"],
+    ) == (7, 0, 0, 2)
+    assert (
+        got[2]["n_trigrams"], got[2]["trigram_bits"],
+    ) == (1, 0)
+    assert (got[3]["n_trigrams"], got[3]["trigram_bits"]) == (0, 0)
+    assert (got[4]["n_trigrams"], got[4]["trigram_bits"]) == (0, 0)
+    # tight cuts exercise every tier: tgt {'a b c'}, ctx2 {'a b'},
+    # bgt {'a b','b c'}, ctx {a,b}, uni {a,b}
+    got = {
+        r["doc_id"]: r
+        for r in trigram_surprisal_scores(
+            df,
+            trigram_vocab=1, context2_vocab=1, bigram_vocab=2,
+            context_vocab=2, unigram_vocab=2,
+        ).collect()
+    }
+    # doc1: 'a b c'x3 direct bl(5)-bl(4)=0; 'b c a'x2 -> unigram tier
+    # ('c a' not in bgt): 2+(4-3)=3; 'c a b'x2 -> bigram tier
+    # ('a b' in bgt, ctx a): 1+3-3=1 -> bits 0+6+2=8
+    assert (
+        got[1]["n_trigrams"], got[1]["n_backoff_bigram"],
+        got[1]["n_backoff_unigram"], got[1]["trigram_bits"],
+    ) == (7, 2, 2, 8)
+    assert (
+        got[2]["n_trigrams"], got[2]["n_backoff_bigram"],
+        got[2]["n_backoff_unigram"], got[2]["trigram_bits"],
+    ) == (1, 0, 0, 0)
+
+
+def test_trigram_discriminates_at_equal_bigram_stats(spark):
+    """The CCNet-grade pin from the r5 verdict: a doc whose BIGRAM
+    multiset is identical to natural text but whose three-word order
+    is scrambled must score strictly more trigram bits — the fluency
+    gap the bigram tier provably cannot see."""
+    from data_lake_skyfit_spark.llm.text import (
+        bigram_surprisal_scores,
+        trigram_surprisal_scores,
+    )
+
+    natural = "a b a c a b a c"
+    scrambled = "a b a b a c a c"  # same bigram multiset, new trigrams
+    rows = [(i, natural) for i in range(20)] + [(99, scrambled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bg = {r["doc_id"]: r["bigram_bits"] for r in bigram_surprisal_scores(df).collect()}
+    assert bg[99] == bg[0]  # bigram tier is blind to the scramble
+    tg = {r["doc_id"]: r["trigram_bits"] for r in trigram_surprisal_scores(df).collect()}
+    assert tg[99] > tg[0]
+    assert (tg[0], tg[99]) == (1, 10)  # hand-computed: 42/41/21/20 tables
