@@ -146,7 +146,15 @@ _PRIORITY = [
     "fuzzy_match_parts",
     # similarity / storage
     "ann_knn_join",
-    "ann_ivf_topk",
+    # (ann_ivf_topk yielded its slot in r6 to the sharded HNSW entry:
+    # same llm-similarity/scale-path family, and HNSW grades a NEW
+    # capability class — graph ANN, the industry-default index — under
+    # the full-ef-equals-exact contract; the IVF machinery stays
+    # drive-verified AND its clustered probe path stays graded through
+    # ann_pq_adc_topk's IVF-style LUT scoring. llm-similarity keeps
+    # THREE graded scale-path carriers: knn_join exact, hnsw graph,
+    # pq_adc quantized sub-exhaustive.)
+    "ann_hnsw_topk",
     # (ann_sharded_probe_topk demoted past the cutoff in r4e for the
     # perceptual image near-dup join: llm-similarity keeps THREE graded
     # scale-path carriers (knn_join exact, ivf_topk clustered,
@@ -180,12 +188,22 @@ _PRIORITY = [
     # carriers and the trigram tier grades the harder half of the
     # lang-ID operator; text_language_id stays drive-verified.
     "text_quality_classifier",
-    "text_language_id_trigram",
+    # (text_language_id_trigram yielded its slot in r6 to the gapfill+
+    # LOCF temporal entry per VERDICT r5 #7: llm-text keeps
+    # quality_classifier + decontamination graded (plus hybrid
+    # retrieval's lexical tier), and the trigram lang-ID machinery
+    # stays drive-verified — its n-gram profile arithmetic is also the
+    # same shape the newly drive-verified text_trigram_surprisal tier
+    # exercises.)
     "text_decontamination",
     # temporal operators
     "continuous_aggregate_hourly",
     "asof_join_last_purchase",
     "range_join_maintenance_windows",
+    # r6: the r5 gap-filled time buckets with LOCF move into the graded
+    # window (VERDICT r5 #7) — the temporal family gains its fourth
+    # graded carrier (rollup/asof/range/gapfill)
+    "gapfill_locf_hourly",
     # training-data construction
     "dataset_split_assignment",
     "sequence_packing",

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import register, _t
-from .llm import curation, dedup, multimodal, pq, retrieval, similarity, text as text_ops
+from .llm import curation, dedup, hnsw, multimodal, pq, retrieval, similarity, text as text_ops
 from .streaming import windowed
 
 
@@ -453,6 +453,55 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(q, e, n_probe=16)
+
+
+@register(
+    "ann_hnsw_topk",
+    _ANN_EXACT_TOPK_ORACLE,
+    tags=("llm-similarity", "scale-path"),
+    doc="Sharded HNSW graph ANN (llm.hnsw.hnsw_topk — Malkov & "
+    "Yashunin 2018, the industry-default index family, r6): one "
+    "navigable-small-world graph per md5 corpus shard built in an "
+    "Arrow kernel (hash-derived layers, id-ordered insertion — fully "
+    "deterministic), probe-all-shards + JVM exact rescore on the "
+    "candidate union. Battery contract: at ef_search ≥ shard size the "
+    "layer-0 beam never saturates and the graph is connected by "
+    "construction (never-pruned parent edges), so the output must "
+    "EQUAL exact top-k — the oracle is the brute-force SQL and recall "
+    "itself is the checked property. Production-ef recall curves and "
+    "the connectivity invariant are pinned in "
+    "tests/test_similarity_quality.py.",
+)
+def ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return hnsw.hnsw_topk(q, e, n_shards=8, ef_search=512)
+
+
+@register(
+    "ann_hnsw_index_probe",
+    _ANN_EXACT_TOPK_ORACLE,
+    tags=("llm-similarity", "scale-path", "I3", "no-bench"),
+    doc="Persisted incremental HNSW index (llm.hnsw.HNSWIndex — the "
+    "graph-ANN analog of IVFIndex): per-shard graphs build once, a "
+    "second corpus half INSERTS into the standing graphs (cost ∝ "
+    "batch·log n, never a rebuild; re-adding a batch is a no-op so "
+    "replays converge), then full-ef probing equals exact search — "
+    "the connectivity invariant (parent edges persisted as level −1 "
+    "rows) survives the round trip. no-bench: persists index tables — "
+    "pipeline-maintenance cost, not query latency; production-ef "
+    "recall on the incremental index is pinned in "
+    "tests/test_similarity_quality.py.",
+)
+def ann_hnsw_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = hnsw.HNSWIndex(tempfile.mkdtemp(prefix="skyfit_hnswidx_"))
+    idx.build(e.filter(F.col("vec_id") % 2 == 0))
+    idx.add(e.filter(F.col("vec_id") % 2 == 0))
+    idx.add(e.filter(F.col("vec_id") % 2 == 1))
+    return idx.probe(e.filter(F.col("vec_id") < 10), k=5, ef_search=512)
 
 
 @register(

