@@ -59,6 +59,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .vp8 import decode_vp8_keyframe, encode_webp_vp8_flat, vp8_flat_expected
+
 __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_binary_payload",
@@ -2676,7 +2678,12 @@ def _image_channel_bytes(data: bytes) -> tuple[int, int, int, bytes] | None:
             return None
     if _looks_like_webp(data):
         try:
-            return _vp8l_pixels(data)  # lossless only; VP8 lossy → None
+            return _vp8l_pixels(data)
+        except (ValueError, struct.error, IndexError):
+            pass
+        try:
+            # lossy VP8 keyframe (r6): YUV420 planes, chroma replicated
+            return _vp8_lossy_channel_bytes(data)
         except (ValueError, struct.error, IndexError):
             return None
     return None
@@ -6705,6 +6712,47 @@ def _vp8l_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     for p in px:
         raw += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, (p >> 24) & 0xFF))
     return w, h, 4, bytes(raw)
+
+
+def _vp8_lossy_channel_bytes(data: bytes) -> tuple[int, int, int, bytes]:
+    """Full lossy-VP8 keyframe decode for a RIFF/WEBP payload whose
+    image chunk is "VP8 ": (width, height, 3, interleaved Y,U,V bytes
+    with the 4:2:0 chroma planes pixel-replicated to full resolution).
+    YUV is the codec's native colourspace; RGB conversion is
+    non-normative in RFC 6386, so the exact contract stays in YUV
+    (validated bit-exact against WebPDecodeYUV in
+    tests/test_libwebp_parity.py)."""
+    if not _looks_like_webp(data):
+        raise ValueError("webp: bad magic")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(len(data), 8 + riff_size)
+    pos = 12
+    body = None
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > end:
+            raise ValueError("webp: chunk declares more bytes than payload holds")
+        if cid == b"VP8 ":
+            body = data[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    if body is None:
+        raise ValueError("webp: no VP8 chunk")
+    w, h, y, u, v = decode_vp8_keyframe(body)
+    cw = (w + 1) // 2
+    out = bytearray(w * h * 3)
+    for row in range(h):
+        ybase = row * w
+        cbase = (row >> 1) * cw
+        o = ybase * 3
+        for col in range(w):
+            ci = cbase + (col >> 1)
+            out[o] = y[ybase + col]
+            out[o + 1] = u[ci]
+            out[o + 2] = v[ci]
+            o += 3
+    return w, h, 3, bytes(out)
 
 
 def synthesize_webp_lossless_payloads(
