@@ -114,6 +114,7 @@ __all__ = [
     "synthesize_flac_payloads",
     "encode_webp_lossless",
     "synthesize_webp_lossless_payloads",
+    "synthesize_webp_lossy_payloads",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -2573,10 +2574,13 @@ def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     JPEG (baseline AND progressive SOF2): Huffman entropy decode +
     dequant + IDCT + YCbCr→RGB (_jpeg_pixels); WebP-LOSSLESS payloads
     (r5) through the full VP8L decode (_vp8l_pixels: prefix codes,
-    color cache, backrefs, all four inverse transforms). Other formats
-    (arithmetic-coded JPEG, lossy VP8...) would need PIL: fake path
-    derives dims from the content hash with pixel_sum null (or raises
-    without SKYFIT_FAKE_DECODE)."""
+    color cache, backrefs, all four inverse transforms); lossy-WebP
+    keyframes (r6) through the full RFC 6386 VP8 decode
+    (llm/vp8.py: bool coder, B_PRED intra, IWHT/IDCT, loop filter —
+    bit-exact vs libwebp), summed over YUV444-replicated planes.
+    Other formats (arithmetic-coded JPEG, VP8 interframes...) would
+    need PIL: fake path derives dims from the content hash with
+    pixel_sum null (or raises without SKYFIT_FAKE_DECODE)."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -2625,7 +2629,12 @@ def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                     w, h, ch, raw = _vp8l_pixels(data)
                     return w, h, ch, sum(raw)
                 except (ValueError, struct.error, IndexError):
-                    pass  # lossy VP8 / corrupt VP8L: fake path below
+                    pass  # not lossless: try the lossy VP8 keyframe path
+                try:
+                    w, h, ch, raw = _vp8_lossy_channel_bytes(data)
+                    return w, h, ch, sum(raw)
+                except (ValueError, struct.error, IndexError):
+                    pass  # non-keyframe / corrupt VP8: fake path below
             _require_codec("PIL")
             d = hashlib.md5(data).digest()
             return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 3, None
@@ -6796,6 +6805,38 @@ def synthesize_webp_lossless_payloads(
                     "payload": [one(int(v)) for v in pdf[id_col]],
                 }
             )
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def synthesize_webp_lossy_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL lossy-WebP (VP8 keyframe) payload, deterministic
+    closed form mirrored by the battery oracle. Per id: dims
+    (16 + id % 49) × (16 + id % 33) — multiple macroblocks plus odd
+    crop widths — quantizer index cycling {8, 24, 48, 80}, and one Y2
+    / U / V DC token each, so the decoded planes are the uniform
+    values `vp8_flat_expected` computes (first MB codes the level
+    through the inverse WHT; every other MB is mb_skip + DC_PRED,
+    whose whole-MB average reproduces it exactly)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in (int(v) for v in pdf[id_col]):
+                payloads.append(
+                    encode_webp_vp8_flat(
+                        16 + rid % 49,
+                        16 + rid % 33,
+                        qindex=(8, 24, 48, 80)[rid % 4],
+                        y2dc_token=1 + rid % 40,
+                        u_token=1 + rid % 12,
+                        v_token=1 + (rid // 3) % 12,
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(kernel, out_schema)
 

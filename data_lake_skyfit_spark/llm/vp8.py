@@ -40,7 +40,8 @@ __all__ = [
     "encode_webp_vp8_flat",
 ]
 
-_MAX_VP8_PIXELS = 1 << 26  # 64M luma samples ≈ 96 MB of YUV420 planes
+_MAX_VP8_PIXELS = 1 << 24  # 16M luma samples (4K×4K) — bounds both the
+# plane allocation AND the pure-Python MB loop before anything is read
 
 _DISABLE_LOOP_FILTER = False  # test-only switch for isolating filter bugs
 

@@ -226,7 +226,16 @@ _PRIORITY = [
     # stages — the serving arithmetic stays under the hash gate
     # transitively, and clip_encode stays drive-verified.)
     "multimodal_video_pixels",
-    "multimodal_decode_flac",
+    # (multimodal_decode_flac yielded its slot in r6 to the lossy-VP8
+    # keyframe entry: the FLAC frame codec stays under the hash gate
+    # transitively — multimodal_audio_pipeline RUNS the real FLAC
+    # decode as a chained graded stage — and decode_flac stays
+    # drive-verified. multimodal_decode_webp_lossy grades a NEW
+    # capability class: the tier's first arithmetic-coded lossy
+    # transform codec (RFC 6386 bool coder + intra prediction + IWHT/
+    # IDCT + loop filter), wire-pinned bit-exactly against the system
+    # libwebp in both directions.)
+    "multimodal_decode_webp_lossy",
     "multimodal_curation_pipeline",
     # (multimodal_decode_audio yielded its slot in r4e to the VAD tier:
     # same llm-multimodal family and the SAME real WAV decode path runs

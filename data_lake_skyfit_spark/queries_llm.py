@@ -3087,6 +3087,54 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_webp_lossy",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             16 + doc_id % 49 AS w,
+             16 + doc_id % 33 AS h,
+             CASE doc_id % 4 WHEN 0 THEN 22 WHEN 1 THEN 46
+                  WHEN 2 THEN 88 ELSE 150 END AS q2dc,
+             CASE doc_id % 4 WHEN 0 THEN 11 WHEN 1 THEN 23
+                  WHEN 2 THEN 44 ELSE 75 END AS quv,
+             1 + doc_id % 40 AS ty,
+             1 + doc_id % 12 AS tu,
+             1 + (doc_id // 3) % 12 AS tv
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(w * h * ((128 + ((ty * q2dc + 3) // 8 + 4) // 8)
+                       + (128 + (tu * quv + 4) // 8)
+                       + (128 + (tv * quv + 4) // 8)) AS BIGINT) AS pixel_sum
+    FROM p
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL lossy-WebP (VP8 keyframe, RFC 6386) pixel decode (r6 — "
+    "the first arithmetic-coded lossy transform codec in the tier): "
+    "synthesize_webp_lossy_payloads writes actual VP8 keyframes — "
+    "boolean arithmetic coder, kf mode trees, DC coefficient tokens "
+    "under the default probability tables — and decode_images runs "
+    "the full decoder (llm/vp8.py): header + segmentation parse, "
+    "token partitions, dequant, inverse WHT feeding the Y blocks, "
+    "inverse DCT, intra prediction, loop filter. The fixture's "
+    "DC-only frames reconstruct to closed-form uniform planes "
+    "(vp8_flat_expected) the oracle mirrors in integer SQL — the "
+    "quantizer lookup constants are inlined per the cycling qindex. "
+    "Wire convention pinned bit-exactly against the system libwebp "
+    "both directions (tests/test_libwebp_parity.py: 42 reference-"
+    "encoded frames across qualities 0-100 decode to identical YUV "
+    "planes; libwebp decodes this encoder's output identically), "
+    "plus embedded reference-encoded goldens that run without "
+    "libwebp.",
+)
+def multimodal_decode_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = multimodal.synthesize_webp_lossy_payloads(d, id_col="doc_id")
+    return multimodal.decode_images(media)
+
+
+@register(
     "multimodal_decode_tiff",
     """
     WITH p AS (

@@ -92,3 +92,81 @@ def test_vp8l_encoder_accepted_by_libwebp(seed: int) -> None:
     exp = bytes(v for y in range(h) for x in range(w) for v in (*grid[(x, y)], 255))
     assert (ow, oh) == (w, h)
     assert oracle == exp
+
+
+# --------------------------------------------------------------- VP8 (lossy)
+
+import math
+import struct
+
+from data_lake_skyfit_spark.llm.vp8 import (
+    decode_vp8_keyframe,
+    encode_webp_vp8_flat,
+    vp8_flat_expected,
+)
+
+
+def _vp8_chunk(webp: bytes) -> bytes:
+    pos = 12
+    while pos + 8 <= len(webp):
+        cid = webp[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", webp, pos + 4)
+        if cid == b"VP8 ":
+            return webp[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+def _lossy_rgb(seed: int, w: int, h: int) -> bytes:
+    """Content families that drive the reference encoder through
+    B_PRED vs 16x16 modes, segmentation, and loop-filter levels."""
+    rnd = random.Random(1000 + seed)
+    kind = seed % 6
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            if kind == 0:
+                out += bytes((rnd.randrange(256),) * 3)
+            elif kind == 1:
+                out += bytes((x * 7 % 256, y * 11 % 256, (x ^ y) % 256))
+            elif kind == 2:
+                v = int(128 + 120 * math.sin(x / 5.0) * math.cos(y / 7.0))
+                out += bytes((v, 255 - v, (v * 3) % 256))
+            elif kind == 3:
+                out += bytes((250 if (x + y) % 2 else 5,) * 3)
+            elif kind == 4:
+                out += bytes((30, 60, 90) if x < w // 2 else (200, 150, 100))
+            else:
+                out += bytes(
+                    (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+                )
+    return bytes(out)
+
+
+@pytest.mark.parametrize("seed", range(18))
+def test_vp8_decoder_matches_libwebp_reference(seed: int) -> None:
+    rnd = random.Random(seed)
+    w = rnd.choice([16, 17, 24, 31, 48, 63, 80, 120])
+    h = rnd.choice([16, 19, 20, 33, 48, 60, 96])
+    q = [0.0, 15.0, 35.0, 55.0, 80.0, 100.0][seed % 6]
+    data = _LW.encode_lossy_rgb(w, h, _lossy_rgb(seed, w, h), q)
+    ow, oh, oy, ou, ov = _LW.decode_yuv(data)
+    mw, mh, my, mu, mv = decode_vp8_keyframe(_vp8_chunk(data))
+    assert (mw, mh) == (ow, oh) == (w, h)
+    assert my == oy
+    assert mu == ou
+    assert mv == ov
+
+
+@pytest.mark.parametrize("rid", [0, 9, 31, 77, 200, 444])
+def test_vp8_encoder_accepted_by_libwebp(rid: int) -> None:
+    w, h = 16 + rid % 49, 16 + rid % 33
+    qi = (8, 24, 48, 80)[rid % 4]
+    ty, tu, tv = 1 + rid % 40, 1 + rid % 12, 1 + (rid // 3) % 12
+    data = encode_webp_vp8_flat(w, h, qindex=qi, y2dc_token=ty, u_token=tu, v_token=tv)
+    ow, oh, oy, ou, ov = _LW.decode_yuv(data)
+    ey, eu, ev = vp8_flat_expected(qi, ty, tu, tv)
+    assert (ow, oh) == (w, h)
+    assert set(oy) == {ey}
+    assert set(ou) == {eu}
+    assert set(ov) == {ev}

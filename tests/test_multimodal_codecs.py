@@ -2979,3 +2979,162 @@ def test_video_pixel_neardup_ignores_null_moment_frames(spark):
         df, fingerprint="pixels", threshold_num=1, threshold_den=10
     ).collect()
     assert pairs == []
+
+
+# ------------------------------------------------------- WebP VP8 lossy (r6)
+# Reference-encoded goldens: the system libwebp (1.2.4) encoded these
+# payloads and its own decoder produced the pinned plane digests — so
+# this test validates the pure-Python decoder against the REFERENCE
+# implementation's wire form with no libwebp needed at run time.
+
+_VP8_GOLDEN1 = bytes.fromhex(  # 32x24 gradient, q50: segmentation + loop filter
+    "524946468a00000057454250565038207e0000007005009d012a200018003ec9"
+    "54a34ba7a4a321b0180c00f019096c009d328474978b6f4d98d384a064707c67"
+    "2844d57ae173380000fefb79a8b2420b9e7c5db51b54e6a9731880f2a673f40c"
+    "e0ec205e922b514d138cf47514127fa9b55cffbe95457f513f64c9b0df1cea01"
+    "71e56408709341332b1eb5eed222d11a0000"
+)
+
+_VP8_GOLDEN2 = bytes.fromhex(  # 16x16 noise, q75: B_PRED-heavy single MB
+    "52494646040100005745425056503820f80000007004009d012a100010000200"
+    "3425b002747f03d81c94b5e25fe66ff39ee01faa1d0807878cbadaaf143a7000"
+    "00fc8efb96be8c500adc1dcf0bd6f74e907b0be5075e5d4e48a88b2016f73692"
+    "d951819a17d981189e2eaf387d2b8b9258ffcfbd5e13e8f33e784bda2eff82f2"
+    "7fd753fff182d333f1cfd0ff9d98715b4999b2973813bd9fe6cc779ce2699577"
+    "674d7ed51d50057d71ce3b7804fd7ee38ffeb7e33ebb573df6fc852c3cb4a140"
+    "a772a194df01ca57884a03ec19c0087e605c0e9c9a12dfcca317b287e902e119"
+    "3faffc71fe9fb40abf6cb8ef7a2504682d5e46f156ab0b346d7e3a90799e92ac"
+    "1fccd5fc6fcb7031aa5c0000"
+)
+
+
+def _vp8_chunk_of(webp: bytes) -> bytes:
+    pos = 12
+    while pos + 8 <= len(webp):
+        cid = webp[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", webp, pos + 4)
+        if cid == b"VP8 ":
+            return webp[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+def test_vp8_reference_golden_segmented_gradient():
+    import hashlib
+
+    from data_lake_skyfit_spark.llm.vp8 import decode_vp8_keyframe
+
+    w, h, y, u, v = decode_vp8_keyframe(_vp8_chunk_of(_VP8_GOLDEN1))
+    assert (w, h) == (32, 24)
+    assert hashlib.md5(y).hexdigest() == "08c40ea88f2045532254df7c828f752d"
+    assert hashlib.md5(u).hexdigest() == "ca24d2ab36b4bb4f2d10092084982160"
+    assert hashlib.md5(v).hexdigest() == "b71128618830ea01425c0f1d0e7d0bfb"
+    assert (sum(y), sum(u), sum(v)) == (94727, 22650, 24816)
+
+
+def test_vp8_reference_golden_bpred_noise():
+    import hashlib
+
+    from data_lake_skyfit_spark.llm.vp8 import decode_vp8_keyframe
+
+    w, h, y, u, v = decode_vp8_keyframe(_vp8_chunk_of(_VP8_GOLDEN2))
+    assert (w, h) == (16, 16)
+    assert hashlib.md5(y).hexdigest() == "84782a40fd55f592bd9632769c3d5446"
+    assert hashlib.md5(u).hexdigest() == "afb792afffa3860968c402c598356f25"
+    assert hashlib.md5(v).hexdigest() == "4766ddb5c8e88a5976e2cd129c3e4467"
+    assert (sum(y), sum(u), sum(v)) == (32076, 8057, 8239)
+
+
+def test_vp8_bool_decoder_hand_stream():
+    """Hand-derived §7.3 arithmetic: bytes 80 00 under prob 128.
+    Step 1: value=0x8000, range=255 → split=1+((254*128)>>8)=128,
+    big=0x8000; value>=big → bit 1, range=127, value=0; renorm doubles
+    once.  Step 2: split=1+((253*128)>>8)=127, big=0x7F00; value 0 <
+    big → bit 0.  All further reads see zero-fed value → 0 bits."""
+    from data_lake_skyfit_spark.llm.vp8 import _BoolDecoder
+
+    bd = _BoolDecoder(b"\x80\x00")
+    assert bd.read(128) == 1
+    assert bd.read(128) == 0
+    assert [bd.read(128) for _ in range(6)] == [0] * 6
+
+
+def test_vp8_bool_coder_roundtrip_exact():
+    """Encoder interval math must reproduce arbitrary (prob, bit)
+    sequences through the decoder, including carry-heavy runs."""
+    import random
+
+    from data_lake_skyfit_spark.llm.vp8 import _BoolDecoder, _BoolEncoder
+
+    rnd = random.Random(42)
+    for trial in range(25):
+        seq = [
+            (rnd.choice([1, 32, 128, 200, 254]), rnd.randrange(2))
+            for _ in range(rnd.randrange(1, 400))
+        ]
+        be = _BoolEncoder()
+        for p, b in seq:
+            be.write(p, b)
+        bd = _BoolDecoder(be.done())
+        assert [bd.read(p) for p, _ in seq] == [b for _, b in seq], f"trial {trial}"
+
+
+def test_vp8_flat_encoder_decoder_closed_form():
+    from data_lake_skyfit_spark.llm.vp8 import (
+        decode_vp8_keyframe,
+        encode_webp_vp8_flat,
+        vp8_flat_expected,
+    )
+
+    for rid in (0, 7, 23, 101, 555):
+        w, h = 16 + rid % 49, 16 + rid % 33
+        qi = (8, 24, 48, 80)[rid % 4]
+        ty, tu, tv = 1 + rid % 40, 1 + rid % 12, 1 + (rid // 3) % 12
+        data = encode_webp_vp8_flat(w, h, qindex=qi, y2dc_token=ty, u_token=tu, v_token=tv)
+        ey, eu, ev = vp8_flat_expected(qi, ty, tu, tv)
+        mw, mh, y, u, v = decode_vp8_keyframe(_vp8_chunk_of(data))
+        assert (mw, mh) == (w, h)
+        assert set(y) == {ey} and set(u) == {eu} and set(v) == {ev}
+
+
+def test_vp8_decoder_rejects_malformed():
+    import pytest as _pytest
+
+    from data_lake_skyfit_spark.llm.vp8 import decode_vp8_keyframe
+
+    good = _vp8_chunk_of(_VP8_GOLDEN1)
+    # magic-prefixed junk, truncations, giant dims, interframe
+    for bad in (
+        b"",
+        b"\x00" * 5,
+        good[:9],
+        good[:12],                                  # inside first partition
+        bytes([good[0] | 1]) + good[1:],            # interframe bit
+        good[:3] + b"\x9d\x01\x2b" + good[6:],      # bad start code
+        good[:6] + b"\xff\x3f\xff\x3f" + good[10:], # 16383x16383 > pixel cap
+        good[:6] + b"\x00\x00\x10\x00" + good[10:], # zero width
+    ):
+        with _pytest.raises(ValueError):
+            decode_vp8_keyframe(bad)
+    # corrupted interior bytes must decode-or-ValueError, never hang/crash
+    for k in range(20, len(good), 13):
+        mutated = bytearray(good)
+        mutated[k] ^= 0x5A
+        try:
+            decode_vp8_keyframe(bytes(mutated))
+        except ValueError:
+            pass
+
+
+def test_vp8_channel_bytes_contract():
+    from data_lake_skyfit_spark.llm.multimodal import _image_channel_bytes
+    from data_lake_skyfit_spark.llm.vp8 import encode_webp_vp8_flat, vp8_flat_expected
+
+    data = encode_webp_vp8_flat(21, 19, qindex=40, y2dc_token=12, u_token=5, v_token=9)
+    w, h, ch, raw = _image_channel_bytes(data)
+    ey, eu, ev = vp8_flat_expected(40, 12, 5, 9)
+    assert (w, h, ch) == (21, 19, 3)
+    assert len(raw) == 21 * 19 * 3
+    assert set(raw[0::3]) == {ey}
+    assert set(raw[1::3]) == {eu}
+    assert set(raw[2::3]) == {ev}
