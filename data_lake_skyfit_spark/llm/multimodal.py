@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .h264 import decode_h264_iframe, encode_h264_iframe_flat, h264_flat_expected
 from .vp8 import decode_vp8_keyframe, encode_webp_vp8_flat, vp8_flat_expected
 
 __all__ = [
@@ -114,6 +115,7 @@ __all__ = [
     "synthesize_flac_payloads",
     "encode_webp_lossless",
     "synthesize_webp_lossless_payloads",
+    "synthesize_avc_mp4_payloads",
     "synthesize_webp_lossy_payloads",
 ]
 
@@ -4482,12 +4484,15 @@ def _mp4_samples(data: bytes) -> tuple[int, list[int], list[tuple[int, int]]]:
 
 
 def _mp4_video_pixels(data: bytes, every_ms: int):
-    """MJPEG-in-MP4 leg of decode_video_pixels (r5): the REAL box walk
-    (_mp4_samples) slices each sampled frame out of mdat and, when it
-    carries a JFIF stream (codec 'jpeg'/'mjpa'), runs the full JPEG
-    decode — the second container family with pixel-true video. Same
-    sample-and-hold timing as _decode_mp4_frames. Non-JPEG sample
-    payloads (H.264 …) raise → fake path."""
+    """MJPEG- and AVC-in-MP4 leg of decode_video_pixels: the REAL box
+    walk (_mp4_samples) slices each sampled frame out of mdat and runs
+    the matching real decoder — JFIF streams (codec 'jpeg'/'mjpa')
+    through the full JPEG path (r5), Annex-B AVC samples through the
+    baseline H.264 I-frame decoder (r6, llm/h264.py: Exp-Golomb,
+    CAVLC, §8.5 dequant + transforms, §8.3 intra prediction; AVC
+    stats are over the native YUV420 planes, n_channels 3). Same
+    sample-and-hold timing as _decode_mp4_frames. Other codecs
+    raise → fake path."""
     timescale, deltas, samples = _mp4_samples(data)
     if not timescale:
         raise ValueError("mp4: zero timescale")
@@ -4498,10 +4503,20 @@ def _mp4_video_pixels(data: bytes, every_ms: int):
         ts_ms = t * 1000 // timescale
         if ts_ms >= next_emit:
             frame = data[off : off + size]
-            if not _looks_like_jpeg(frame):
+            if _looks_like_jpeg(frame):
+                w, h, ch, raw = _jpeg_pixels(frame)
+                out.append((i, ts_ms, w, h, ch, sum(raw), sum(v * v for v in raw)))
+            elif frame[:4] == b"\x00\x00\x00\x01" or frame[:3] == b"\x00\x00\x01":
+                w, h, yp, up, vp = decode_h264_iframe(frame)
+                psum = sum(yp) + sum(up) + sum(vp)
+                psq = (
+                    sum(v * v for v in yp)
+                    + sum(v * v for v in up)
+                    + sum(v * v for v in vp)
+                )
+                out.append((i, ts_ms, w, h, 3, psum, psq))
+            else:
                 raise ValueError("mp4: sample codec needs an external decoder")
-            w, h, ch, raw = _jpeg_pixels(frame)
-            out.append((i, ts_ms, w, h, ch, sum(raw), sum(v * v for v in raw)))
             next_emit = ts_ms + every_ms
         t += delta
     return out
@@ -6805,6 +6820,59 @@ def synthesize_webp_lossless_payloads(
                     "payload": [one(int(v)) for v in pdf[id_col]],
                 }
             )
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL MP4 whose samples are REAL H.264 baseline IDR frames
+    (Annex-B SPS+PPS+slice per sample), deterministic closed form. Per
+    id: nf = 2 + id % 4 frames at 2 fps, dims (32 + 2·(id % 9)) ×
+    (32 + 2·(id % 7)) with SPS frame-cropping, qp cycling {20, 28, 36,
+    44} (both §8.5 dequant branches); every 5th id codes all-I_PCM
+    frames instead. Per-frame DC coefficients / PCM levels vary with
+    the frame index so sampled frames are distinguishable; decoded
+    plane values follow h264_flat_expected's integer closed form."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def frames_of(rid: int) -> list[bytes]:
+        w, h = 32 + 2 * (rid % 9), 32 + 2 * (rid % 7)
+        out = []
+        for f in range(2 + rid % 4):
+            if rid % 5 == 0:
+                out.append(
+                    encode_h264_iframe_flat(
+                        w,
+                        h,
+                        pcm_levels=(
+                            (rid * 7 + 11 * f) % 256,
+                            (rid * 11 + 5 * f) % 256,
+                            (rid * 13 + 3 * f) % 256,
+                        ),
+                    )
+                )
+            else:
+                out.append(
+                    encode_h264_iframe_flat(
+                        w,
+                        h,
+                        qp=(20, 28, 36, 44)[rid % 4],
+                        y_coeff=1 + (rid + 3 * f) % 90,
+                        u_coeff=1 + (rid + f) % 40,
+                        v_coeff=1 + (rid // 3 + f) % 40,
+                    )
+                )
+        return out
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_mp4_frames(frames_of(int(v)), codec="avc1")
+                for v in pdf[id_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(kernel, out_schema)
 

@@ -225,7 +225,16 @@ _PRIORITY = [
     # the same fixed integer weights as one of its five chained graded
     # stages — the serving arithmetic stays under the hash gate
     # transitively, and clip_encode stays drive-verified.)
-    "multimodal_video_pixels",
+    # (multimodal_video_pixels yielded its slot in r6 to the H.264
+    # entry per VERDICT r5 #1: its full-JPEG-per-frame decode stays
+    # under the hash gate transitively — multimodal_curation_pipeline
+    # runs the same real JPEG decoder as a chained graded stage — and
+    # the RIFF/AVI walk + MJPEG tier stay drive-verified.
+    # multimodal_decode_h264 grades the remaining big real-world video
+    # codec: baseline AVC I-frames (Exp-Golomb, CAVLC, integer
+    # transforms, intra prediction, I_PCM) inside the same MP4 sample
+    # walk.)
+    "multimodal_decode_h264",
     # (multimodal_decode_flac yielded its slot in r6 to the lossy-VP8
     # keyframe entry: the FLAC frame codec stays under the hash gate
     # transitively — multimodal_audio_pipeline RUNS the real FLAC
