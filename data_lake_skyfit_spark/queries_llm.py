@@ -5705,10 +5705,12 @@ def _video_pipeline_sql() -> str:
       SELECT doc_id, key,
              8*(1 + key % 3) AS wd, 8*(1 + key % 2) AS ht, 2 + key % 4 AS nf,
              CASE WHEN key % 5 = 0 THEN 1 ELSE 0 END AS static,
+             CASE WHEN key % 11 = 4 THEN 1 ELSE 0 END AS avc,
              array_to_string(w[1:(1 + CAST(doc_id % 12 AS INT))], ' ') AS cap
       FROM p
     ), px AS (
-      SELECT d.doc_id, d.wd, d.ht, d.nf, d.clen, d.fi,
+      -- MJPEG leg: per-block-constant luma, moments summed per block
+      SELECT d.doc_id, d.wd, d.ht, d.nf, d.clen, d.fi, 1 AS nch,
              SUM(64 * d.yv) AS psum, SUM(64 * d.yv * d.yv) AS psq
       FROM (
         SELECT d.doc_id, d.wd, d.ht, d.nf, strlen(d.cap) AS clen, f.f AS fi,
@@ -5718,12 +5720,32 @@ def _video_pipeline_sql() -> str:
              LATERAL (SELECT UNNEST(range(0, d.nf)) AS f) f,
              LATERAL (SELECT UNNEST(range(0, d.wd // 8)) AS i) bx,
              LATERAL (SELECT UNNEST(range(0, d.ht // 8)) AS i) by
+        WHERE d.avc = 0
       ) d
       GROUP BY 1, 2, 3, 4, 5, 6
+      UNION ALL
+      -- AVC leg (r6): flat planes, h264_flat_expected closed form at
+      -- qp 28 (luma dc = (16c+2)//4, chroma dc = 8c, pixel = 128 +
+      -- (dc + 32)//64), moments over YUV420
+      SELECT a.doc_id, a.wd, a.ht, a.nf, a.clen, a.fi, 3 AS nch,
+             a.wd*a.ht*a.yv + (a.wd//2)*(a.ht//2)*(a.uv + a.vv) AS psum,
+             a.wd*a.ht*a.yv*a.yv
+               + (a.wd//2)*(a.ht//2)*(a.uv*a.uv + a.vv*a.vv) AS psq
+      FROM (
+        SELECT d.doc_id, d.wd, d.ht, d.nf, strlen(d.cap) AS clen, f.f AS fi,
+               128 + ((16*(1 + (3*d.key + CASE WHEN d.static = 1 THEN 0
+                                          ELSE 11*f.f END) % 90) + 2)//4
+                      + 32)//64 AS yv,
+               128 + (8*(1 + d.key % 40) + 32)//64 AS uv,
+               128 + (8*(1 + (d.key//3) % 40) + 32)//64 AS vv
+        FROM d, LATERAL (SELECT UNNEST(range(0, d.nf)) AS f) f
+        WHERE d.avc = 1
+      ) a
     ), vid AS (
       SELECT doc_id, wd, ht, nf, clen,
              string_agg(
-               CAST(wd AS VARCHAR) || 'x' || CAST(ht AS VARCHAR) || 'x1:'
+               CAST(wd AS VARCHAR) || 'x' || CAST(ht AS VARCHAR) || 'x'
+               || CAST(nch AS VARCHAR) || ':'
                || CAST(psum AS VARCHAR) || ':' || CAST(psq AS VARCHAR),
                '|' ORDER BY fi) AS sig,
              COUNT(DISTINCT CAST(psum AS VARCHAR) || ':' || CAST(psq AS VARCHAR)) AS n_distinct
@@ -5750,12 +5772,15 @@ def _video_pipeline_sql() -> str:
     "multimodal_video_pipeline",
     _video_pipeline_sql(),
     tags=("llm-multimodal", "llm-dedup", "pipeline"),
-    doc="The composed VIDEO-curation flow (r5) — completing the "
-    "modality trilogy beside multimodal_curation_pipeline (image) and "
-    "multimodal_audio_pipeline: WebDataset tar shard (one REAL MJPEG "
-    "AVI + one caption member per doc; ids ≡ 3 mod 7 duplicate the "
-    "video of id−3; keys ≡ 0 mod 5 are STATIC — every frame pixel-"
-    "identical, the frozen-camera junk a real pipeline drops) → "
+    doc="The composed VIDEO-curation flow (r5; AVC leg r6) — "
+    "completing the modality trilogy beside "
+    "multimodal_curation_pipeline (image) and "
+    "multimodal_audio_pipeline: WebDataset tar shard (one REAL video "
+    "+ one caption member per doc — keys ≡ 4 mod 11 carry H.264 IDR "
+    "samples in an MP4 decoded by the real AVC path, the rest MJPEG "
+    "AVIs; ids ≡ 3 mod 7 duplicate the video of id−3; keys ≡ 0 mod 5 "
+    "are STATIC — every frame pixel-identical, the frozen-camera junk "
+    "a real pipeline drops) → "
     "extract_tar_members → pixel-true per-frame decode "
     "(decode_video_pixels with both exact moments) → ordered "
     "fingerprint signature per video (frame-order-sensitive, so a "
@@ -5791,17 +5816,40 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 key = rid - 3 if rid % 7 == 3 else rid
                 w, h = 8 * (1 + key % 3), 8 * (1 + key % 2)
                 static = key % 5 == 0
-                frames = [
-                    multimodal.encode_jpeg(
-                        w, h,
-                        lambda x, y, f=f: (
-                            3 * key + (0 if static else 11 * f)
-                            + 5 * (x // 8) + 7 * (y // 8)
-                        ) % 256,
+                nf = 2 + key % 4
+                if key % 11 == 4:
+                    # AVC leg (r6): real H.264 IDR samples in an MP4 —
+                    # flat per-frame planes whose moments have the
+                    # h264_flat_expected closed form (qp 28)
+                    frames = [
+                        multimodal.encode_h264_iframe_flat(
+                            w, h, qp=28,
+                            y_coeff=1 + (3 * key + (0 if static else 11 * f)) % 90,
+                            u_coeff=1 + key % 40,
+                            v_coeff=1 + (key // 3) % 40,
+                        )
+                        for f in range(nf)
+                    ]
+                    vid_member = (
+                        "mp4",
+                        multimodal.encode_mp4_frames(
+                            frames, codec="avc1", frame_duration_ms=250
+                        ),
                     )
-                    for f in range(2 + key % 4)
-                ]
-                avi = multimodal.encode_avi_mjpeg(w, h, 250_000, frames)
+                else:
+                    frames = [
+                        multimodal.encode_jpeg(
+                            w, h,
+                            lambda x, y, f=f: (
+                                3 * key + (0 if static else 11 * f)
+                                + 5 * (x // 8) + 7 * (y // 8)
+                            ) % 256,
+                        )
+                        for f in range(nf)
+                    ]
+                    vid_member = (
+                        "avi", multimodal.encode_avi_mjpeg(w, h, 250_000, frames)
+                    )
                 toks = [
                     t for t in _re.split("[ \t\n\x0b\f\r]+",
                                          "" if text is None else str(text))
@@ -5809,9 +5857,10 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 cap = " ".join(toks[: 1 + rid % 12])
                 k = f"{rid:06d}"
+                ext, vid_bytes = vid_member
                 payloads.append(
                     webdataset.encode_tar(
-                        [(f"{k}.avi", avi), (f"{k}.txt", cap.encode())]
+                        [(f"{k}.{ext}", vid_bytes), (f"{k}.txt", cap.encode())]
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
@@ -5819,8 +5868,14 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema).localCheckpoint(
         eager=False  # two consumers: the .avi leg and the .txt leg
     )
-    avis = webdataset.extract_tar_members(shards, suffix=".avi").select(
-        "doc_id", "payload"
+    avis = (
+        webdataset.extract_tar_members(shards, suffix=".avi")
+        .select("doc_id", "payload")
+        .unionByName(
+            webdataset.extract_tar_members(shards, suffix=".mp4").select(
+                "doc_id", "payload"
+            )
+        )
     )
     frames = multimodal.decode_video_pixels(avis, every_ms=250, include_sq=True)
     fp = F.concat_ws(
