@@ -23,18 +23,22 @@ CRC+MD5 validated), WebP-LOSSLESS (full VP8L: canonical prefix codes,
 color cache, LZ77 backrefs with the 2-D distance map, all four inverse
 transforms) and pixel-true MJPEG video in BOTH container families
 (AVI '00dc' chunks and MP4 'jpeg' samples run the full JPEG decode per
-sampled frame). MP4 (ISO BMFF) and MP3
+sampled frame). r6 adds LOSSY VP8 keyframes (llm/vp8.py: RFC 6386
+boolean arithmetic coder, segmentation, B_PRED intra, normative
+IWHT/IDCT, in-loop deblocking — bit-exact against the system libwebp,
+tests/test_libwebp_parity.py) and H.264/AVC BASELINE I-FRAMES inside
+the MP4 sample walk (llm/h264.py: Exp-Golomb, CAVLC, §8.5 dequant +
+transforms, §8.3 intra prediction, I_PCM). MP4 (ISO BMFF) and MP3
 are handled at the CONTAINER/FRAME layer for real — box-tree +
 stts/stsc/stsz/stco sample resolution, MPEG-1 Layer III header walk
-with exact timing — while foreign codec payloads inside (H.264,
-Layer III audio) stay opaque. Codec layers that would still need
-PIL/librosa/av (arithmetic/lossless JPEG, MP3 PCM, H.264, lossy VP8)
-are NOT decodable in this image: with SKYFIT_FAKE_DECODE=1 (default
-in tests) unrecognized payloads take a deterministic fake path with
-the real schema and batch shape; otherwise they raise
-NotImplementedError naming the missing dependency. The Spark-side
-plumbing — schemas, partitioning, UDF signatures, batch iteration —
-is identical for both paths.
+with exact timing. Codec layers that would still need
+PIL/librosa/av (arithmetic/lossless JPEG, MP3 PCM, CABAC/inter or
+deblocking-enabled H.264) are NOT decodable in this image: with
+SKYFIT_FAKE_DECODE=1 (default in tests) unrecognized payloads take a
+deterministic fake path with the real schema and batch shape;
+otherwise they raise NotImplementedError naming the missing
+dependency. The Spark-side plumbing — schemas, partitioning, UDF
+signatures, batch iteration — is identical for both paths.
 
 `synthesize_wav_payloads` / `synthesize_bmp_payloads` build real
 encoded media from an id column with documented closed-form content,

@@ -42,35 +42,66 @@ __all__ = [
 _ID_STRIDE = 1 << 40  # copy i shifts ids by i·stride: disjoint, order-safe
 
 
+def _copy_alphabets(factor: int) -> list[str]:
+    """Per-copy destination alphabets (lower+upper+digits) for
+    inflate_documents.  Copies 0-77 keep the r3/r4 Caesar tiers (so the
+    historical ×1/×8/×64 curve points stay comparable); copies ≥ 78 use
+    HASH-SEEDED alphabet permutations (random.Random with a string seed
+    is SHA-512-based and version-stable) — the r4e injectivity lesson:
+    closed-form cycles collapse every period-th copy into twins, while
+    distinct permutations over a 26!·10! space cannot coincide (the
+    generator asserts global uniqueness anyway)."""
+    import random as _random
+
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    digits = "0123456789"
+    out = []  # (dst_alphabet, reverse_flag) — the full transform key
+    for i in range(min(factor, 78)):
+        rl = lower[i % 26 :] + lower[: i % 26]
+        ru = upper[i % 26 :] + upper[: i % 26]
+        tier = i // 26
+        dst = ru + rl if tier == 2 else rl + ru  # tier 2: case swap too
+        out.append((dst + digits, tier >= 1))
+    for i in range(78, factor):
+        rnd = _random.Random(f"skyfit-inflate-{i}")
+        pl = list(lower)
+        rnd.shuffle(pl)
+        pd_ = list(digits)
+        rnd.shuffle(pd_)
+        out.append(("".join(pl) + "".join(pl).upper() + "".join(pd_), False))
+    if len(set(out)) != len(out):
+        raise ValueError("inflate_documents: transform collision across copies")
+    return out
+
+
 def inflate_documents(
     df, factor: int, *, id_col: str = "doc_id", text_col: str = "text"
 ):
     """×`factor` corpus inflation for scale-curve measurement (VERDICT
-    r3 #3): copy i shifts ids by i·2^40 and CAESAR-ROTATES the text's
-    letters by i, so copies share (essentially) no shingles — each copy
+    r3 #3): copy i shifts ids by i·2^40 and remaps the text's alphabet
+    injectively, so copies share (essentially) no shingles — each copy
     reproduces the ORIGINAL corpus's internal near-dup structure under a
     disjoint token alphabet instead of multiplying it. Wall-time curves
     over the inflated corpus therefore measure how an operator scales
     with CORPUS SIZE at constant dup density, which is the 100 TB
     question; injecting verbatim copies would instead grow the pair
-    output quadratically in `factor` and measure output size. Rotation
-    alone has period 26 (copies i and i+26 would be verbatim twins —
-    the first ×64 run measured exactly that explosion), so copies 26-51
-    additionally REVERSE the text and copies 52-77 reverse AND swap
-    case: 78 mutually shingle-disjoint transforms. Pure codegen map
-    (translate/reverse), no shuffle."""
-    if factor > 78:
-        raise ValueError("inflate_documents supports factors up to 78")
+    output quadratically in `factor` and measure output size.
+
+    Copies 0-25 Caesar-rotate, 26-51 rotate+reverse, 52-77 also swap
+    case (rotation alone has period 26 — copies i and i+26 would be
+    verbatim twins, the explosion the first ×64 run measured); copies
+    78+ (the r6 ×512 tier) translate through hash-seeded alphabet+digit
+    permutations, which are injective at ANY factor (see
+    _copy_alphabets). Pure codegen map (translate/reverse), no
+    shuffle."""
     lower = "abcdefghijklmnopqrstuvwxyz"
     upper = lower.upper()
+    src = lower + upper + "0123456789"
     copies = []
-    for i in range(factor):
-        rl = lower[i % 26:] + lower[: i % 26]
-        ru = upper[i % 26:] + upper[: i % 26]
-        tier = i // 26
-        dst = ru + rl if tier == 2 else rl + ru  # tier 2: case swap too
-        text = F.translate(F.col(text_col), lower + upper, dst)
-        if tier >= 1:
+    for i, (dst, rev) in enumerate(_copy_alphabets(factor)):
+        text = F.translate(F.col(text_col), src, dst)
+        if rev:
             text = F.reverse(text)
         copies.append(
             df.select(

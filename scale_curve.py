@@ -349,6 +349,83 @@ def main() -> None:
                 "ann_knn_join",
                 lambda: knn_join(e, k=3, num_blocks=knn_blocks(n_vecs)).count(),
             )
+        if "ivf" in ops:
+            # r6: the clustered ANN probe — the path that RUNS at the
+            # factors where the exact tier is the (quadratic) verifier
+            from data_lake_skyfit_spark.llm.similarity import ivf_topk
+
+            timed(
+                "ann_ivf_topk",
+                lambda: ivf_topk(
+                    e.filter("vec_id < 10"), e, k=5, n_lists=64, n_probe=6
+                ).count(),
+            )
+        if "hnsw" in ops:
+            from data_lake_skyfit_spark.llm.hnsw import hnsw_topk
+
+            timed(
+                "ann_hnsw_topk",
+                lambda: hnsw_topk(
+                    e.filter("vec_id < 10"), e, k=5,
+                    n_shards=max(8, int(CPUS)), ef_search=64,
+                ).count(),
+            )
+        if "dress" in ops:
+            # r6 dress rehearsal (VERDICT r5 #6): one end-to-end
+            # curated-corpus run over the inflated corpus — web leg
+            # (WARC walk → HTML extraction → quality gate), text leg
+            # (full curate_corpus incl. decontamination), image leg
+            # (PNG encode → real decode → dHash → banded Hamming join)
+            # — timed as one composite plus per-leg rows.
+            from pyspark.sql import functions as F
+
+            from data_lake_skyfit_spark.llm import text as text_ops
+            from data_lake_skyfit_spark.llm.dedup import hamming_neardup_pairs
+            from data_lake_skyfit_spark.llm.multimodal import (
+                image_dhash,
+                synthesize_neardup_png_payloads,
+            )
+            from data_lake_skyfit_spark.sources import warc as warc_mod
+
+            def web_leg():
+                pages = d.select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("<html><head><title>t</title></head><body><p>"),
+                        F.col("text"),
+                        F.lit("</p></body></html>"),
+                    ).alias("text"),
+                )
+                recs = warc_mod.read_warc_records(
+                    warc_mod.synthesize_warc_payloads(pages), include_body=True
+                )
+                x = text_ops.html_to_text(F.col("body"))
+                return (
+                    recs.filter(F.col("warc_type") == "response")
+                    .select((text_ops.token_count(x) >= 5).alias("ok"))
+                    .filter("ok")
+                    .count()
+                )
+
+            def text_leg():
+                ev = d.filter("doc_id % 101 = 7").selectExpr(
+                    "doc_id + 900000000000000 AS doc_id", "text"
+                )
+                return curate_corpus(d, eval_df=ev).count()
+
+            def image_leg():
+                return hamming_neardup_pairs(
+                    image_dhash(
+                        synthesize_neardup_png_payloads(
+                            d.select("doc_id"), random_pattern=True
+                        )
+                    ),
+                    max_dist=3,
+                ).count()
+
+            timed("dress_web_leg", web_leg)
+            timed("dress_text_leg", text_leg)
+            timed("dress_image_leg", image_leg)
         if "pq" in ops:
             cb = pq_mod.deterministic_codebook()
             # inflate_embeddings keeps vec_id unique across copies; the

@@ -358,3 +358,36 @@ def test_containment_scale_curve_x8_is_subquadratic(spark):
     assert n1 >= n_docs
     assert 8 * n_docs <= n8 <= 8.2 * n1, (n1, n8)
     assert t8 < 12 * max(t1, 0.5), f"x8 {t8:.2f}s vs x1 {t1:.2f}s"
+
+
+def test_inflate_documents_hash_tier_preserves_density(spark):
+    """Copies >= 78 (the r6 ×512 tier) translate through hash-seeded
+    alphabet permutations — still exactly ×factor LSH pairs, no
+    cross-copy twins (the injectivity property the Caesar tiers can
+    only give up to 78)."""
+    from data_lake_skyfit_spark.llm.dedup import minhash_lsh_pairs
+    from data_lake_skyfit_spark.tables import load_table
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.01", "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 300")
+    )
+    base = minhash_lsh_pairs(docs, threshold=0.8).count()
+    x80 = minhash_lsh_pairs(
+        scale.inflate_documents(docs, 80), threshold=0.8
+    ).count()
+    assert base > 0
+    assert x80 == 80 * base
+
+
+def test_copy_alphabets_unique_at_512():
+    transforms = scale._copy_alphabets(512)
+    assert len(transforms) == 512
+    assert len(set(transforms)) == 512
+    # every alphabet is a permutation of the same symbol set
+    import string
+
+    ref = sorted(string.ascii_lowercase + string.ascii_uppercase + string.digits)
+    for a, _rev in transforms:
+        assert sorted(a) == ref
