@@ -37,6 +37,7 @@ import struct
 __all__ = [
     "decode_vp8_keyframe",
     "encode_vp8_flat_frame",
+    "encode_vp8_mb_frame",
     "encode_webp_vp8_flat",
 ]
 
@@ -1376,3 +1377,91 @@ def vp8_flat_expected(
     uv = 128 + ((u_token * quv + 4) >> 3)
     vv = 128 + ((v_token * quv + 4) >> 3)
     return min(yv, 255), min(uv, 255), min(vv, 255)
+
+
+def encode_vp8_mb_frame(
+    width: int,
+    height: int,
+    *,
+    qindex: int,
+    y2_tokens: list[int],
+    u_token: int = 0,
+    v_token: int = 0,
+    filter_level: int = 0,
+    filter_type: int = 0,
+    sharpness: int = 0,
+) -> bytes:
+    """Test-oriented keyframe encoder: one Y2/U/V DC token set PER
+    MACROBLOCK (y2_tokens[mb] in raster order), every MB coded
+    (skip=0) with DC_PRED, and an explicit loop-filter configuration.
+    Per-MB level steps create real discontinuities at every MB edge,
+    so a nonzero filter_level exercises the §15 normal/simple filters
+    on content they actually modify — the libwebp parity tests decode
+    these streams with the reference decoder and require bit-identical
+    planes (the only way to pin the SIMPLE filter, which libwebp's
+    encoder itself never emits)."""
+    mb_cols = (width + 15) // 16
+    mb_rows = (height + 15) // 16
+    if len(y2_tokens) != mb_cols * mb_rows:
+        raise ValueError("vp8: need one y2 token per macroblock")
+    if not (0 <= filter_level <= 63 and filter_type in (0, 1) and 0 <= sharpness <= 7):
+        raise ValueError("vp8: bad filter settings")
+    probs = list(_COEFF_PROBS_FLAT)
+    prob_skip = 64
+
+    be = _BoolEncoder()
+    be.write(128, 0)
+    be.write(128, 0)
+    be.write(128, 0)  # no segmentation
+    be.write(128, filter_type)
+    be.literal(6, filter_level)
+    be.literal(3, sharpness)
+    be.write(128, 0)  # no lf deltas
+    be.literal(2, 0)
+    be.literal(7, qindex)
+    for _ in range(5):
+        be.write(128, 0)
+    be.write(128, 1)
+    for i in range(1056):
+        be.write(_COEFF_UPDATE_PROBS_FLAT[i], 0)
+    be.write(128, 1)
+    be.literal(8, prob_skip)
+    for _mb in range(mb_cols * mb_rows):
+        be.write(prob_skip, 0)
+        be.tree(_KF_YMODE_TREE, _KF_YMODE_PROB, _DC_PRED)
+        be.tree(_UV_MODE_TREE, _KF_UV_MODE_PROB, _DC_PRED)
+    first_part = be.done()
+
+    te = _BoolEncoder()
+    above_y2 = [0] * mb_cols
+    above_uv = [[[0, 0] for _ in range(mb_cols)] for _ in range(2)]
+    for mby in range(mb_rows):
+        left_y2 = 0
+        left_uv = [[0, 0], [0, 0]]
+        for mbx in range(mb_cols):
+            tok = y2_tokens[mby * mb_cols + mbx]
+            nz = _write_coeff_block(
+                te, probs, 1, 0, above_y2[mbx] + left_y2, tok
+            )
+            above_y2[mbx] = left_y2 = nz
+            for _b in range(16):
+                _write_coeff_block(te, probs, 0, 1, 0, 0)
+            for comp, ctok in ((0, u_token), (1, v_token)):
+                for b in range(4):
+                    r, c = b >> 1, b & 1
+                    ctx = above_uv[comp][mbx][c] + left_uv[comp][r]
+                    cnz = _write_coeff_block(te, probs, 2, 0, ctx, ctok)
+                    above_uv[comp][mbx][c] = left_uv[comp][r] = cnz
+    token_part = te.done()
+
+    tag = (len(first_part) << 5) | (1 << 4)
+    chunk = (
+        bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+        + b"\x9d\x01\x2a"
+        + struct.pack("<HH", width, height)
+        + first_part
+        + token_part
+    )
+    body = chunk + (b"\x00" if len(chunk) & 1 else b"")
+    payload = b"WEBP" + b"VP8 " + struct.pack("<I", len(chunk)) + body
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload

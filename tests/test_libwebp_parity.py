@@ -170,3 +170,35 @@ def test_vp8_encoder_accepted_by_libwebp(rid: int) -> None:
     assert set(oy) == {ey}
     assert set(ou) == {eu}
     assert set(ov) == {ev}
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_vp8_loop_filters_match_libwebp(trial: int) -> None:
+    """Per-MB level steps + explicit filter configs: the only way to
+    exercise the SIMPLE loop filter (libwebp's encoder never emits it)
+    and the normal filter's sharpness/hev branches on content they
+    actually modify.  libwebp's decoder is the arbiter."""
+    from data_lake_skyfit_spark.llm.vp8 import decode_vp8_keyframe, encode_vp8_mb_frame
+
+    rnd = random.Random(500 + trial)
+    w = rnd.choice([32, 48, 33, 64])
+    h = rnd.choice([32, 48, 35])
+    mbs = ((w + 15) // 16) * ((h + 15) // 16)
+    data = encode_vp8_mb_frame(
+        w,
+        h,
+        qindex=rnd.choice([8, 24, 48, 80, 120]),
+        y2_tokens=[rnd.randrange(0, 40) for _ in range(mbs)],
+        u_token=rnd.randrange(0, 12),
+        v_token=rnd.randrange(0, 12),
+        filter_level=rnd.choice([1, 10, 32, 63]),
+        filter_type=trial % 2,
+        sharpness=rnd.choice([0, 3, 7]),
+    )
+    ow, oh, oy, ou, ov = _LW.decode_yuv(data)
+    (size,) = struct.unpack_from("<I", data, 16)
+    mw, mh, my, mu, mv = decode_vp8_keyframe(data[20 : 20 + size])
+    assert (mw, mh) == (ow, oh) == (w, h)
+    assert my == oy
+    assert mu == ou
+    assert mv == ov
