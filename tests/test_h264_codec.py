@@ -231,3 +231,15 @@ def test_avc_mp4_video_pixels_contract():
         assert (idx, ts, w, h, ch) == (f, f * 500, 32, 32)[0:4] + (3,)
         assert psum == 32 * 32 * ey + 16 * 16 * (eu + ev)
         assert psq == 32 * 32 * ey * ey + 16 * 16 * (eu * eu + ev * ev)
+
+
+def test_length_prefixed_avcc_samples_decode_identically():
+    """MP4 avc1 samples in the wild are 4-byte-length-prefixed, not
+    Annex-B; _split_nals handles both framings."""
+    import struct as _struct
+
+    annexb = H.encode_h264_iframe_flat(32, 32, qp=36, y_coeff=9, u_coeff=4, v_coeff=6)
+    nals = H._split_nals(annexb)
+    assert len(nals) == 3  # SPS, PPS, IDR slice
+    avcc = b"".join(_struct.pack(">I", len(n)) + n for n in nals)
+    assert H.decode_h264_iframe(avcc) == H.decode_h264_iframe(annexb)
