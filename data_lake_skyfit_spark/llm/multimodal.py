@@ -121,6 +121,9 @@ __all__ = [
     "synthesize_webp_lossless_payloads",
     "synthesize_avc_mp4_payloads",
     "synthesize_webp_lossy_payloads",
+    "encode_webp_animation",
+    "webp_animation_frames",
+    "synthesize_webp_animation_payloads",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -7139,3 +7142,197 @@ def encode_webp_lossless(
     if len(body) & 1:
         payload += b"\x00"
     return b"RIFF" + struct.pack("<I", len(payload)) + bytes(payload)
+
+
+def encode_webp_animation(
+    canvas_w: int,
+    canvas_h: int,
+    frames: list[tuple[int, bytes]],
+    *,
+    loop_count: int = 0,
+) -> bytes:
+    """REAL animated WebP (VP8X + ANIM + one ANMF per frame): `frames`
+    is [(duration_ms, still_webp_bytes)] — each still's VP8/VP8L image
+    chunk is lifted into a full-canvas ANMF (x=y=0, dispose-none,
+    no-blend). Any standards-conforming WebP reader animates it."""
+    if not frames:
+        raise ValueError("webp-anim: need at least one frame")
+    if not (0 < canvas_w <= 1 << 24 and 0 < canvas_h <= 1 << 24):
+        raise ValueError("webp-anim: canvas dims out of range")
+
+    def _image_chunk(still: bytes) -> bytes:
+        (riff_size,) = struct.unpack_from("<I", still, 4)
+        end = min(len(still), 8 + riff_size)
+        pos = 12
+        while pos + 8 <= end:
+            cid = still[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", still, pos + 4)
+            if cid in (b"VP8 ", b"VP8L"):
+                return still[pos : pos + 8 + size + (size & 1)]
+            pos += 8 + size + (size & 1)
+        raise ValueError("webp-anim: still carries no image chunk")
+
+    def u24(v: int) -> bytes:
+        return struct.pack("<I", v)[:3]
+
+    vp8x = bytes([0x02, 0, 0, 0]) + u24(canvas_w - 1) + u24(canvas_h - 1)
+    chunks = [(b"VP8X", vp8x), (b"ANIM", b"\x00\x00\x00\x00" + struct.pack("<H", loop_count))]
+    for dur, still in frames:
+        body = (
+            u24(0)  # frame_x / 2
+            + u24(0)  # frame_y / 2
+            + u24(canvas_w - 1)
+            + u24(canvas_h - 1)
+            + u24(dur)
+            + b"\x00"  # no blend, dispose-none
+            + _image_chunk(still)
+        )
+        chunks.append((b"ANMF", body))
+    payload = bytearray(b"WEBP")
+    for cid, body in chunks:
+        payload += cid + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            payload += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(payload)) + bytes(payload)
+
+
+def _webp_animation_frames(data: bytes):
+    """ANIM/ANMF walk with REAL per-frame decode: each ANMF's VP8 or
+    VP8L subchunk runs through the validated still decoders (lossless
+    → RGBA, lossy → YUV444-replicated). Returns
+    [(frame_idx, ts_ms, duration_ms, w, h, n_channels, pixel_sum)];
+    timestamps accumulate durations (the GIF GCE convention).
+    Declared sizes validated before slicing; a non-animated payload
+    raises (the still path handles it)."""
+    if not _looks_like_webp(data):
+        raise ValueError("webp-anim: bad magic")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    if 8 + riff_size > len(data):
+        raise ValueError("webp-anim: RIFF declares more bytes than payload holds")
+    end = min(len(data), 8 + riff_size)
+    pos = 12
+    saw_anim = False
+    out = []
+    ts = 0
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > end:
+            raise ValueError("webp-anim: chunk declares more bytes than payload holds")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"ANIM":
+            saw_anim = True
+        elif cid == b"ANMF":
+            if size < 16:
+                raise ValueError("webp-anim: short ANMF header")
+            dur = body[12] | (body[13] << 8) | (body[14] << 16)
+            sub = body[16:]
+            if len(sub) < 8:
+                raise ValueError("webp-anim: ANMF carries no image chunk")
+            scid = sub[:4]
+            (ssize,) = struct.unpack_from("<I", sub, 4)
+            if 8 + ssize > len(sub):
+                raise ValueError("webp-anim: subchunk overruns frame")
+            sbody = sub[: 8 + ssize + (ssize & 1)]
+            wrapped = b"RIFF" + struct.pack("<I", 4 + len(sbody)) + b"WEBP" + sbody
+            if scid == b"VP8L":
+                w, h, ch, raw = _vp8l_pixels(wrapped)
+            elif scid == b"VP8 ":
+                w, h, ch, raw = _vp8_lossy_channel_bytes(wrapped)
+            else:
+                raise ValueError("webp-anim: unsupported frame codec")
+            out.append((len(out), ts, dur, w, h, ch, sum(raw)))
+            ts += dur
+        pos += 8 + size + (size & 1)
+    if not saw_anim or not out:
+        raise ValueError("webp-anim: no animation chunks")
+    return out
+
+
+def webp_animation_frames(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """payload → one row per animation frame with REAL decoded pixel
+    stats — the WebP analog of the animated-GIF walk, over the
+    libwebp-validated VP8/VP8L decoders."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("duration_ms", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in schema.fields}
+            for rid, b in zip(pdf[id_col], pdf["payload"]):
+                for rec in _webp_animation_frames(bytes(b)):
+                    rows[id_col].append(rid)
+                    for name, v in zip(
+                        ("frame_idx", "ts_ms", "duration_ms", "width",
+                         "height", "n_channels", "pixel_sum"),
+                        rec,
+                    ):
+                        rows[name].append(v)
+            yield pd.DataFrame(
+                {
+                    id_col: rows[id_col],
+                    "frame_idx": pd.array(rows["frame_idx"], dtype="int32"),
+                    "ts_ms": pd.array(rows["ts_ms"], dtype="int64"),
+                    "duration_ms": pd.array(rows["duration_ms"], dtype="int32"),
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "n_channels": pd.array(rows["n_channels"], dtype="int32"),
+                    "pixel_sum": pd.array(rows["pixel_sum"], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema)
+
+
+def synthesize_webp_animation_payloads(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """id → REAL animated WebP, deterministic closed form. Per id:
+    canvas (10 + id % 30) × (8 + id % 22), nf = 2 + id % 4 frames at
+    100·(1 + f % 3) ms; even frames are SOLID-colour VP8L stills
+    ((7id+11f) % 256, (3id+5f) % 256, (13id+f) % 256), odd frames are
+    flat lossy-VP8 keyframes (qindex cycling {8,24,48,80}, DC tokens
+    per the webp-lossy battery's closed forms)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in (int(v) for v in pdf[id_col]):
+                w, h = 10 + rid % 30, 8 + rid % 22
+                frames = []
+                for f in range(2 + rid % 4):
+                    dur = 100 * (1 + f % 3)
+                    if f % 2 == 0:
+                        rgb = (
+                            (7 * rid + 11 * f) % 256,
+                            (3 * rid + 5 * f) % 256,
+                            (13 * rid + f) % 256,
+                        )
+                        still = encode_webp_lossless(w, h, lambda x, y, c=rgb: c)
+                    else:
+                        still = encode_webp_vp8_flat(
+                            w,
+                            h,
+                            qindex=(8, 24, 48, 80)[rid % 4],
+                            y2dc_token=1 + (rid + 3 * f) % 40,
+                            u_token=1 + (rid + f) % 12,
+                            v_token=1 + (rid // 3 + f) % 12,
+                        )
+                    frames.append((dur, still))
+                payloads.append(encode_webp_animation(w, h, frames))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)

@@ -6324,3 +6324,60 @@ def text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return text_ops.fix_mojibake(corpus, text_col="text", id_col="doc_id")
+
+
+@register(
+    "multimodal_webp_animation",
+    """
+    WITH p AS (
+      SELECT doc_id, 10 + doc_id % 30 AS w, 8 + doc_id % 22 AS h,
+             2 + doc_id % 4 AS nf, doc_id % 4 AS qk
+      FROM documents WHERE doc_id < 240
+    ), f AS (
+      SELECT p.*, CAST(x.i AS BIGINT) AS fi
+      FROM p, LATERAL (SELECT UNNEST(range(0, p.nf)) AS i) x
+    ), c AS (
+      SELECT doc_id, w, h, fi, qk,
+             100 * (1 + fi % 3) AS dur,
+             100 * fi + 100 * (3 * (fi // 3)
+               + CASE fi % 3 WHEN 2 THEN 1 ELSE 0 END) AS ts,
+             (7 * doc_id + 11 * fi) % 256 AS r,
+             (3 * doc_id + 5 * fi) % 256 AS g,
+             (13 * doc_id + fi) % 256 AS b,
+             CASE qk WHEN 0 THEN 22 WHEN 1 THEN 46
+                  WHEN 2 THEN 88 ELSE 150 END AS q2dc,
+             CASE qk WHEN 0 THEN 11 WHEN 1 THEN 23
+                  WHEN 2 THEN 44 ELSE 75 END AS quv,
+             1 + (doc_id + 3 * fi) % 40 AS ty,
+             1 + (doc_id + fi) % 12 AS tu,
+             1 + (doc_id // 3 + fi) % 12 AS tv
+      FROM f
+    )
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(ts AS BIGINT) AS ts_ms,
+           CAST(dur AS INT) AS duration_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(CASE WHEN fi % 2 = 0 THEN 4 ELSE 3 END AS INT) AS n_channels,
+           CAST(CASE WHEN fi % 2 = 0
+             THEN w * h * (r + g + b + 255)
+             ELSE w * h * ((128 + ((ty * q2dc + 3) // 8 + 4) // 8)
+                         + (128 + (tu * quv + 4) // 8)
+                         + (128 + (tv * quv + 4) // 8))
+           END AS BIGINT) AS pixel_sum
+    FROM c
+    """,
+    tags=("llm-multimodal",),
+    doc="REAL animated-WebP frame walk (r6 — the container's last "
+    "surface beside stills + EXIF): synthesize_webp_animation_payloads "
+    "writes actual VP8X+ANIM+ANMF streams whose frames ALTERNATE "
+    "codecs — solid-colour VP8L lossless stills and flat lossy-VP8 "
+    "keyframes — and webp_animation_frames walks the ANMF chain, "
+    "accumulates durations into timestamps (the GIF GCE convention) "
+    "and decodes EVERY frame through the libwebp-validated still "
+    "decoders (VP8L → RGBA, VP8 → YUV444-replicated). The oracle "
+    "rebuilds per-frame sums closed-form, including the cyclic-"
+    "duration prefix sum and the per-codec channel counts.",
+)
+def multimodal_webp_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    media = multimodal.synthesize_webp_animation_payloads(d, id_col="doc_id")
+    return multimodal.webp_animation_frames(media)

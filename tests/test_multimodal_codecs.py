@@ -3138,3 +3138,86 @@ def test_vp8_channel_bytes_contract():
     assert set(raw[0::3]) == {ey}
     assert set(raw[1::3]) == {eu}
     assert set(raw[2::3]) == {ev}
+
+
+# --------------------------------------------------------- animated WebP (r6)
+
+
+def test_webp_animation_container_layout():
+    """Byte-level pin of the VP8X/ANIM/ANMF framing: flags, 24-bit
+    canvas fields, duration, and the lifted image subchunk."""
+    from data_lake_skyfit_spark.llm.multimodal import (
+        encode_webp_animation,
+        encode_webp_lossless,
+    )
+
+    still = encode_webp_lossless(3, 2, lambda x, y: (9, 8, 7))
+    anim = encode_webp_animation(3, 2, [(250, still)], loop_count=5)
+    assert anim[:4] == b"RIFF" and anim[8:12] == b"WEBP"
+    assert anim[12:16] == b"VP8X"
+    body = anim[20:30]
+    assert body[0] == 0x02  # ANIM flag
+    assert body[4:7] == (3 - 1).to_bytes(3, "little")
+    assert body[7:10] == (2 - 1).to_bytes(3, "little")
+    a = anim.find(b"ANIM")
+    assert anim[a + 8 : a + 14] == b"\x00\x00\x00\x00\x05\x00"  # bg + loop 5
+    m = anim.find(b"ANMF")
+    hdr = anim[m + 8 : m + 24]
+    assert hdr[0:6] == b"\x00" * 6  # x/2, y/2
+    assert hdr[6:9] == (3 - 1).to_bytes(3, "little")
+    assert hdr[9:12] == (2 - 1).to_bytes(3, "little")
+    assert hdr[12:15] == (250).to_bytes(3, "little")
+    assert hdr[15] == 0  # no blend, dispose none
+    # the still's VP8L chunk rides verbatim inside the ANMF
+    vl = still.find(b"VP8L")
+    assert anim[m + 24 : m + 28] == b"VP8L"
+    (sz,) = struct.unpack_from("<I", still, vl + 4)
+    assert anim[m + 24 : m + 24 + 8 + sz] == still[vl : vl + 8 + sz]
+
+
+def test_webp_animation_frames_decode_and_timing():
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _webp_animation_frames,
+        encode_webp_animation,
+        encode_webp_lossless,
+        encode_webp_vp8_flat,
+    )
+    from data_lake_skyfit_spark.llm.vp8 import vp8_flat_expected
+
+    w, h = 11, 7
+    s1 = encode_webp_lossless(w, h, lambda x, y: (10, 20, 30))
+    s2 = encode_webp_vp8_flat(w, h, qindex=24, y2dc_token=5, u_token=3, v_token=4)
+    anim = encode_webp_animation(w, h, [(100, s1), (250, s2), (40, s1)])
+    recs = _webp_animation_frames(anim)
+    y, u, v = vp8_flat_expected(24, 5, 3, 4)
+    assert recs == [
+        (0, 0, 100, w, h, 4, w * h * (10 + 20 + 30 + 255)),
+        (1, 100, 250, w, h, 3, w * h * (y + u + v)),
+        (2, 350, 40, w, h, 4, w * h * (10 + 20 + 30 + 255)),
+    ]
+
+
+def test_webp_animation_rejects_malformed():
+    import pytest as _pytest
+
+    from data_lake_skyfit_spark.llm.multimodal import (
+        _webp_animation_frames,
+        encode_webp_animation,
+        encode_webp_lossless,
+    )
+
+    still = encode_webp_lossless(4, 4, lambda x, y: (1, 2, 3))
+    anim = encode_webp_animation(4, 4, [(100, still)])
+    for bad in (
+        still,                 # no ANIM chunks at all
+        anim[:30],             # truncated inside VP8X/ANIM
+        anim[:-6],             # truncated inside the frame subchunk
+    ):
+        with _pytest.raises(ValueError):
+            _webp_animation_frames(bad)
+    # size-field corruption must never over-slice
+    m = anim.find(b"ANMF")
+    mutated = bytearray(anim)
+    mutated[m + 4] = 0xFF  # ANMF declares more than the payload holds
+    with _pytest.raises(ValueError):
+        _webp_animation_frames(bytes(mutated))
