@@ -8,12 +8,24 @@ modes), all 24 Intra_16x16 variants, and I_PCM.  The full normative
 integer path is implemented — Exp-Golomb, CAVLC coefficient decoding
 (coeff_token / total_zeros / run_before VLCs + the algorithmic level
 decoder), dequantisation per §8.5 (both qP branches), the 4x4 core
-transform, the 4x4 luma-DC Hadamard and 2x2 chroma-DC transforms, and
+transform, the 4x4 luma-DC Hadamard and 2x2 chroma-DC transforms,
 §8.3 intra prediction with the spec's availability / replication
-rules.  The in-loop deblocking filter is NOT implemented: streams
-that enable it (disable_deblocking_filter_idc != 1) raise ValueError
-so callers fall to their metadata/fake contract rather than emitting
-near-but-not-bit-exact pixels.
+rules, and (r7) the full §8.7 in-loop deblocking filter — per-MB
+raster order, vertical then horizontal edges, bS derivation for
+intra pictures (4 at macroblock edges, 3 internal), qP averaging
+across edges with the I_PCM qP=0 rule, slice-level alpha/beta
+offsets, both the strong (bS=4) and clipped (bS<4) luma filters and
+the 2-tap chroma filters.
+
+Deblocking table provenance: in an I-only decoder every edge has
+bS ∈ {3, 4}.  The bS=4 strong filter uses no tC0 at all, and the
+bS=3 column of Table 8-17 shipped here was cross-confirmed from two
+independently-recalled renditions of the public table that agree on
+every entry (see tests/test_h264_deblock.py:test_tc0_structure for
+the structural pins: monotone in indexA, bounded by 25, zero below
+indexA 16).  The bS=1/bS=2 columns are UNREACHABLE from this decoder
+(no P/B support) and are carried for completeness only; their
+transition indexes are the least-pinned part of this module.
 
 Wire-convention status (no H.264 reference implementation exists in
 this container — unlike WebP there is no system decoder to
@@ -40,7 +52,9 @@ import struct
 __all__ = [
     "decode_h264_iframe",
     "encode_h264_iframe_flat",
+    "encode_h264_iframe_steps",
     "h264_flat_expected",
+    "h264_steps_expected",
 ]
 
 _MAX_H264_PIXELS = 1 << 24
@@ -522,6 +536,202 @@ def _clip255(v: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# In-loop deblocking filter (§8.7) — Table 8-16 alpha/beta thresholds
+# and the Table 8-17 tC0 clipping values, indexed by
+# Clip3(0, 51, qPav + filter offset).  See the module docstring for
+# the provenance contract (bS=3 column double-confirmed; bS=1/2
+# unreachable from an I-only decoder).
+
+_DB_ALPHA = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28,
+    32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144,
+    162, 182, 203, 226, 255, 255,
+)
+_DB_BETA = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8,
+    9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15,
+    16, 16, 17, 17, 18, 18,
+)
+# tC0 rows by bS (1, 2, 3).  Only the bS=3 row is reachable here.
+_DB_TC0 = (
+    (0,) * 23 + (1,) * 10 + (2,) * 4 + (3,) * 3 + (4,) * 3
+    + (5, 6, 6, 7, 8, 9, 10, 11, 13),
+    (0,) * 21 + (1,) * 10 + (2,) * 4 + (3,) * 3 + (4,) * 2
+    + (5, 5, 6, 7, 8, 8, 10, 11, 12, 13, 15, 17),
+    (0,) * 16 + (1,) * 11 + (2,) * 4 + (3,) * 3 + (4,) * 3
+    + (5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23, 25),
+)
+
+
+def _clip3(lo: int, hi: int, v: int) -> int:
+    return lo if v < lo else (hi if v > hi else v)
+
+
+def _db_filter_luma_line(buf: bytearray, q0p: int, st: int, bs: int,
+                         alpha: int, beta: int, tc0: int) -> None:
+    """Filter one 8-sample line across a luma edge.  q0p indexes q0;
+    p_i at q0p - (i+1)*st, q_i at q0p + i*st.  Outputs computed from
+    the pre-filter inputs simultaneously (§8.7.2.3/.4)."""
+    p0 = buf[q0p - st]
+    q0 = buf[q0p]
+    d0 = p0 - q0
+    if not -alpha < d0 < alpha:
+        return
+    p1 = buf[q0p - 2 * st]
+    q1 = buf[q0p + st]
+    if abs(p1 - p0) >= beta or abs(q1 - q0) >= beta:
+        return
+    p2 = buf[q0p - 3 * st]
+    q2 = buf[q0p + 2 * st]
+    ap = abs(p2 - p0)
+    aq = abs(q2 - q0)
+    if bs == 4:
+        small = abs(d0) < ((alpha >> 2) + 2)
+        if small and ap < beta:
+            p3 = buf[q0p - 4 * st]
+            buf[q0p - st] = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+            buf[q0p - 2 * st] = (p2 + p1 + p0 + q0 + 2) >> 2
+            buf[q0p - 3 * st] = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+        else:
+            buf[q0p - st] = (2 * p1 + p0 + q1 + 2) >> 2
+        if small and aq < beta:
+            q3 = buf[q0p + 3 * st]
+            buf[q0p] = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+            buf[q0p + st] = (q2 + q1 + q0 + p0 + 2) >> 2
+            buf[q0p + 2 * st] = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+        else:
+            buf[q0p] = (2 * q1 + q0 + p1 + 2) >> 2
+        return
+    tc = tc0 + (1 if ap < beta else 0) + (1 if aq < beta else 0)
+    delta = _clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+    buf[q0p - st] = _clip255(p0 + delta)
+    buf[q0p] = _clip255(q0 - delta)
+    if tc0:
+        avg = (p0 + q0 + 1) >> 1
+        if ap < beta:
+            buf[q0p - 2 * st] = p1 + _clip3(-tc0, tc0, (p2 + avg - 2 * p1) >> 1)
+        if aq < beta:
+            buf[q0p + st] = q1 + _clip3(-tc0, tc0, (q2 + avg - 2 * q1) >> 1)
+
+
+def _db_filter_chroma_line(buf: bytearray, q0p: int, st: int, bs: int,
+                           alpha: int, beta: int, tc0: int) -> None:
+    """Chroma edge line: only p0/q0 filtered (chromaEdgeFlag=1)."""
+    p0 = buf[q0p - st]
+    q0 = buf[q0p]
+    d0 = p0 - q0
+    if not -alpha < d0 < alpha:
+        return
+    p1 = buf[q0p - 2 * st]
+    q1 = buf[q0p + st]
+    if abs(p1 - p0) >= beta or abs(q1 - q0) >= beta:
+        return
+    if bs == 4:
+        buf[q0p - st] = (2 * p1 + p0 + q1 + 2) >> 2
+        buf[q0p] = (2 * q1 + q0 + p1 + 2) >> 2
+        return
+    tc = tc0 + 1
+    delta = _clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+    buf[q0p - st] = _clip255(p0 + delta)
+    buf[q0p] = _clip255(q0 - delta)
+
+
+def _deblock_frame(ybuf: bytearray, ubuf: bytearray, vbuf: bytearray,
+                   mbw: int, mbh: int, mb_qp: list[list[int]],
+                   chroma_qp_offset: int, off_a: int, off_b: int) -> None:
+    """§8.7 picture deblocking over full reconstructed planes.
+    Macroblocks in raster order; per MB all vertical edges (left to
+    right) then all horizontal edges (top to bottom); intra picture →
+    bS = 4 on macroblock edges, 3 on internal 4x4 edges.  mb_qp holds
+    each MB's QPy (0 for I_PCM per §8.7.2).  Picture-boundary edges
+    are never filtered."""
+    W = mbw * 16
+    CW = mbw * 8
+    for mb in range(mbw * mbh):
+        mby, mbx = divmod(mb, mbw)
+        qq = mb_qp[mby][mbx]
+        x0, y0 = mbx * 16, mby * 16
+        cx0, cy0 = mbx * 8, mby * 8
+        # ---- luma vertical edges
+        for k in range(4):
+            if k == 0 and mbx == 0:
+                continue
+            bs = 4 if k == 0 else 3
+            qp_p = mb_qp[mby][mbx - 1] if k == 0 else qq
+            qav = (qp_p + qq + 1) >> 1
+            ia = _clip3(0, 51, qav + off_a)
+            alpha = _DB_ALPHA[ia]
+            if alpha == 0:
+                continue
+            beta = _DB_BETA[_clip3(0, 51, qav + off_b)]
+            tc0 = _DB_TC0[2][ia] if bs == 3 else 0
+            base = y0 * W + x0 + 4 * k
+            for r in range(16):
+                _db_filter_luma_line(ybuf, base + r * W, 1, bs, alpha, beta, tc0)
+        # ---- luma horizontal edges
+        for k in range(4):
+            if k == 0 and mby == 0:
+                continue
+            bs = 4 if k == 0 else 3
+            qp_p = mb_qp[mby - 1][mbx] if k == 0 else qq
+            qav = (qp_p + qq + 1) >> 1
+            ia = _clip3(0, 51, qav + off_a)
+            alpha = _DB_ALPHA[ia]
+            if alpha == 0:
+                continue
+            beta = _DB_BETA[_clip3(0, 51, qav + off_b)]
+            tc0 = _DB_TC0[2][ia] if bs == 3 else 0
+            base = (y0 + 4 * k) * W + x0
+            for c in range(16):
+                _db_filter_luma_line(ybuf, base + c, W, bs, alpha, beta, tc0)
+        # ---- chroma edges (4:2:0: luma x/y 0 and 8 → chroma 0 and 4);
+        # bS is the corresponding luma edge's (MB edge → 4, internal → 3)
+        qc_q = _chroma_qp(qq, chroma_qp_offset)
+        for k in range(2):
+            if k == 0 and mbx == 0:
+                continue
+            bs = 4 if k == 0 else 3
+            qc_p = (
+                _chroma_qp(mb_qp[mby][mbx - 1], chroma_qp_offset)
+                if k == 0
+                else qc_q
+            )
+            qav = (qc_p + qc_q + 1) >> 1
+            ia = _clip3(0, 51, qav + off_a)
+            alpha = _DB_ALPHA[ia]
+            if alpha == 0:
+                continue
+            beta = _DB_BETA[_clip3(0, 51, qav + off_b)]
+            tc0 = _DB_TC0[2][ia] if bs == 3 else 0
+            base = cy0 * CW + cx0 + 4 * k
+            for cbuf in (ubuf, vbuf):
+                for r in range(8):
+                    _db_filter_chroma_line(cbuf, base + r * CW, 1, bs, alpha, beta, tc0)
+        for k in range(2):
+            if k == 0 and mby == 0:
+                continue
+            bs = 4 if k == 0 else 3
+            qc_p = (
+                _chroma_qp(mb_qp[mby - 1][mbx], chroma_qp_offset)
+                if k == 0
+                else qc_q
+            )
+            qav = (qc_p + qc_q + 1) >> 1
+            ia = _clip3(0, 51, qav + off_a)
+            alpha = _DB_ALPHA[ia]
+            if alpha == 0:
+                continue
+            beta = _DB_BETA[_clip3(0, 51, qav + off_b)]
+            tc0 = _DB_TC0[2][ia] if bs == 3 else 0
+            base = (cy0 + 4 * k) * CW + cx0
+            for cbuf in (ubuf, vbuf):
+                for c in range(8):
+                    _db_filter_chroma_line(cbuf, base + c, CW, bs, alpha, beta, tc0)
+
+
+# ---------------------------------------------------------------------------
 # Parameter sets and slice header (§7.3)
 
 
@@ -620,10 +830,10 @@ def decode_h264_iframe(sample: bytes) -> tuple[int, int, bytes, bytes, bytes]:
         elif ntype == 8:
             pps = _parse_pps(rbsp)
         elif ntype in (1, 5) and slice_rbsp is None:
-            slice_rbsp = (ntype, rbsp)
+            slice_rbsp = (ntype, (nal[0] >> 5) & 3, rbsp)
     if sps is None or pps is None or slice_rbsp is None:
         raise ValueError("h264: need SPS, PPS and one coded slice")
-    ntype, rbsp = slice_rbsp
+    ntype, nal_ref_idc, rbsp = slice_rbsp
     br = _BitReader(rbsp)
     if br.ue() != 0:
         raise ValueError("h264: slice must start at mb 0")
@@ -639,14 +849,24 @@ def decode_h264_iframe(sample: bytes) -> tuple[int, int, bytes, bytes, bytes]:
     if ntype == 5:
         br.u(1)  # no_output_of_prior_pics_flag
         br.u(1)  # long_term_reference_flag
-    elif ntype == 1:
+    elif ntype == 1 and nal_ref_idc != 0:
+        # dec_ref_pic_marking is present only for reference pictures
+        # (§7.3.3: nal_ref_idc != 0); reading it unconditionally would
+        # desync on non-reference I slices (ADVICE r6)
         br.u(1)  # adaptive_ref_pic_marking_mode_flag (must be 0 for I)
     qp = pps["pic_init_qp"] + br.se()
+    deblock_idc = 0
+    db_off_a = db_off_b = 0
     if pps["deblock_control"]:
-        if br.ue() != 1:  # disable_deblocking_filter_idc
-            raise ValueError("h264: in-loop deblocking not supported")
-    else:
-        raise ValueError("h264: deblocking-by-default streams not supported")
+        deblock_idc = br.ue()
+        if deblock_idc > 2:
+            raise ValueError("h264: bad disable_deblocking_filter_idc")
+        if deblock_idc != 1:
+            db_off_a = 2 * br.se()  # slice_alpha_c0_offset_div2
+            db_off_b = 2 * br.se()  # slice_beta_offset_div2
+    # deblock_idc 2 (no filtering across slice boundaries) equals 0
+    # here: a single slice covers the picture, and picture-boundary
+    # edges are never filtered anyway.
 
     mbw, mbh = sps["w_mbs"], sps["h_mbs"]
     W, H = mbw * 16, mbh * 16
@@ -661,6 +881,7 @@ def decode_h264_iframe(sample: bytes) -> tuple[int, int, bytes, bytes, bytes]:
     ]
     pred4_modes = [[2] * (mbw * 4) for _ in range(mbh * 4)]
     mb_is_i4 = [[False] * mbw for _ in range(mbh)]
+    mb_qp = [[0] * mbw for _ in range(mbh)]  # QPy per MB for deblocking
 
     def nc_luma(bx: int, by: int) -> int:
         na = nz_luma[by][bx - 1] if bx > 0 else None
@@ -766,6 +987,7 @@ def decode_h264_iframe(sample: bytes) -> tuple[int, int, bytes, bytes, bytes]:
         if cbp_luma or cbp_chroma or not is_i4:
             delta = br.se()
             qp = (qp + delta + 52) % 52
+        mb_qp[mby][mbx] = qp  # I_PCM rows keep the init 0 (§8.7.2 qP rule)
         qpc = _chroma_qp(qp, pps["chroma_qp_offset"])
 
         # ---- residuals
@@ -860,6 +1082,16 @@ def decode_h264_iframe(sample: bytes) -> tuple[int, int, bytes, bytes, bytes]:
                         cbuf[base + c] = _clip255(
                             cbuf[base + c] + ((h[4 * r + c] + 32) >> 6)
                         )
+
+    # ---- in-loop deblocking (§8.7), before output cropping.  Intra
+    # prediction above already consumed pre-filter samples (the spec's
+    # "prior to the deblocking filter process" rule) because the
+    # filter runs as a whole-picture pass after reconstruction.
+    if deblock_idc != 1:
+        _deblock_frame(
+            ybuf, ubuf, vbuf, mbw, mbh, mb_qp,
+            pps["chroma_qp_offset"], db_off_a, db_off_b,
+        )
 
     # ---- crop (units: 2 px for 4:2:0 in both directions)
     cl, cr, ct, cb = sps["crop"]
@@ -1251,6 +1483,55 @@ def _nal(nal_ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
     return b"\x00\x00\x00\x01" + bytes([(nal_ref_idc << 5) | nal_type]) + _add_emulation(rbsp)
 
 
+def _sps_writer(mbw: int, mbh: int, crop_r: int, crop_b: int) -> "_BitWriter":
+    sps = _BitWriter()
+    sps.u(8, 66)  # profile_idc: baseline
+    sps.u(8, 0xC0)  # constraint_set0/1
+    sps.u(8, 30)  # level 3.0
+    sps.ue(0)  # sps id
+    sps.ue(0)  # log2_max_frame_num_minus4
+    sps.ue(0)  # pic_order_cnt_type
+    sps.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
+    sps.ue(1)  # max_num_ref_frames
+    sps.u(1, 0)
+    sps.ue(mbw - 1)
+    sps.ue(mbh - 1)
+    sps.u(1, 1)  # frame_mbs_only
+    sps.u(1, 1)  # direct_8x8_inference
+    if crop_r or crop_b:
+        sps.u(1, 1)
+        sps.ue(0)
+        sps.ue(crop_r)
+        sps.ue(0)
+        sps.ue(crop_b)
+    else:
+        sps.u(1, 0)
+    sps.u(1, 0)  # vui
+    sps.rbsp_trailing()
+    return sps
+
+
+def _pps_writer(qp: int) -> "_BitWriter":
+    pps = _BitWriter()
+    pps.ue(0)
+    pps.ue(0)
+    pps.u(1, 0)  # CAVLC
+    pps.u(1, 0)
+    pps.ue(0)  # one slice group
+    pps.ue(0)
+    pps.ue(0)
+    pps.u(1, 0)
+    pps.u(2, 0)
+    pps.se(qp - 26)  # pic_init_qp_minus26
+    pps.se(0)
+    pps.se(0)  # chroma_qp_index_offset
+    pps.u(1, 1)  # deblocking_filter_control_present
+    pps.u(1, 0)
+    pps.u(1, 0)
+    pps.rbsp_trailing()
+    return pps
+
+
 def encode_h264_iframe_flat(
     width: int,
     height: int,
@@ -1271,51 +1552,10 @@ def encode_h264_iframe_flat(
     if not 0 <= qp <= 51:
         raise ValueError("h264: qp out of range")
     mbw, mbh = (width + 15) // 16, (height + 15) // 16
-
-    sps = _BitWriter()
-    sps.u(8, 66)  # profile_idc: baseline
-    sps.u(8, 0xC0)  # constraint_set0/1
-    sps.u(8, 30)  # level 3.0
-    sps.ue(0)  # sps id
-    sps.ue(0)  # log2_max_frame_num_minus4
-    sps.ue(0)  # pic_order_cnt_type
-    sps.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
-    sps.ue(1)  # max_num_ref_frames
-    sps.u(1, 0)
-    sps.ue(mbw - 1)
-    sps.ue(mbh - 1)
-    sps.u(1, 1)  # frame_mbs_only
-    sps.u(1, 1)  # direct_8x8_inference
     crop_r = (mbw * 16 - width) // 2
     crop_b = (mbh * 16 - height) // 2
-    if crop_r or crop_b:
-        sps.u(1, 1)
-        sps.ue(0)
-        sps.ue(crop_r)
-        sps.ue(0)
-        sps.ue(crop_b)
-    else:
-        sps.u(1, 0)
-    sps.u(1, 0)  # vui
-    sps.rbsp_trailing()
-
-    pps = _BitWriter()
-    pps.ue(0)
-    pps.ue(0)
-    pps.u(1, 0)  # CAVLC
-    pps.u(1, 0)
-    pps.ue(0)  # one slice group
-    pps.ue(0)
-    pps.ue(0)
-    pps.u(1, 0)
-    pps.u(2, 0)
-    pps.se(qp - 26)  # pic_init_qp_minus26
-    pps.se(0)
-    pps.se(0)  # chroma_qp_index_offset
-    pps.u(1, 1)  # deblocking_filter_control_present
-    pps.u(1, 0)
-    pps.u(1, 0)
-    pps.rbsp_trailing()
+    sps = _sps_writer(mbw, mbh, crop_r, crop_b)
+    pps = _pps_writer(qp)
 
     sl = _BitWriter()
     sl.ue(0)  # first_mb_in_slice
@@ -1369,3 +1609,132 @@ def h264_flat_expected(qp: int, y_coeff: int, u_coeff: int, v_coeff: int) -> tup
     uv = _clip255(128 + ((_scale_chroma_dc(u_coeff, qpc) + 32) >> 6))
     vv = _clip255(128 + ((_scale_chroma_dc(v_coeff, qpc) + 32) >> 6))
     return yv, uv, vv
+
+
+def encode_h264_iframe_steps(
+    n_mb: int,
+    *,
+    horizontal: bool = False,
+    qp: int = 36,
+    base_coeff: int = 0,
+    step_coeff: int = 60,
+    u_coeff: int = 0,
+    v_coeff: int = 0,
+) -> bytes:
+    """Deblocking-ENABLED Annex-B IDR frame: a 1×n_mb (or n_mb×1 when
+    horizontal) strip of Intra_16x16 DC macroblocks whose luma DC
+    coefficients zigzag +step_coeff / -step_coeff, so each macroblock
+    edge is a step the §8.7 filter really modifies.  One MB in the
+    other axis means no cross-axis MB edges, so the deblocked planes
+    follow h264_steps_expected's integer closed form exactly (the
+    cascade from the MB-boundary strong filter into the first internal
+    bS=3 edge included).  Chroma is uniform (u/v_coeff in MB 0),
+    making every chroma edge a spec-exercised no-op."""
+    if n_mb < 1:
+        raise ValueError("h264: need at least one macroblock")
+    if not 0 <= qp <= 51:
+        raise ValueError("h264: qp out of range")
+    mbw, mbh = (1, n_mb) if horizontal else (n_mb, 1)
+    sps = _sps_writer(mbw, mbh, 0, 0)
+    pps = _pps_writer(qp)
+
+    sl = _BitWriter()
+    sl.ue(0)  # first_mb_in_slice
+    sl.ue(7)  # slice_type: I (all)
+    sl.ue(0)  # pps id
+    sl.u(4, 0)  # frame_num
+    sl.ue(0)  # idr_pic_id
+    sl.u(4, 0)  # pic_order_cnt_lsb
+    sl.u(1, 0)  # no_output_of_prior_pics
+    sl.u(1, 0)  # long_term_reference
+    sl.se(0)  # slice_qp_delta
+    sl.ue(0)  # disable_deblocking_filter_idc = 0 (filter ON)
+    sl.se(0)  # slice_alpha_c0_offset_div2
+    sl.se(0)  # slice_beta_offset_div2
+
+    for mb in range(n_mb):
+        if mb == 0:
+            sl.ue(7)  # I_16x16 DC pred, cbp_chroma 1, cbp_luma 0
+            sl.ue(0)  # chroma DC pred
+            sl.se(0)  # mb_qp_delta
+            dc = [0] * 16
+            dc[0] = base_coeff
+            _write_cavlc_block(sl, dc, 0, 16)
+            for c in (u_coeff, v_coeff):
+                _write_cavlc_block(sl, [c, 0, 0, 0], -1, 4)
+        else:
+            sl.ue(3)  # I_16x16 DC pred, no chroma residual
+            sl.ue(0)
+            sl.se(0)
+            dc = [0] * 16
+            dc[0] = step_coeff if mb % 2 == 1 else -step_coeff
+            _write_cavlc_block(sl, dc, 0, 16)
+    sl.rbsp_trailing()
+    return _nal(3, 7, sps.done()) + _nal(3, 8, pps.done()) + _nal(3, 5, sl.done())
+
+
+def h264_steps_expected(
+    n_mb: int, qp: int, base_coeff: int, step_coeff: int,
+    u_coeff: int, v_coeff: int,
+) -> dict:
+    """Integer closed form for encode_h264_iframe_steps output
+    (orientation-independent by the filter's 1-D symmetry).  Returns
+    the per-MB pre-filter luma values, the per-edge deblocking sum
+    delta (16 lines per edge: MB-boundary bS=4 strong/weak filter plus
+    the cascaded internal bS=3 p1-correction inside the second MB),
+    the flat chroma values, and the whole-frame pixel_sum.  Assumes
+    the fixture envelope keeps every sample away from Clip1 saturation
+    (all encode_h264_iframe_steps parameter sets used by the battery
+    do; asserted in tests against the real decoder)."""
+
+    def dc(f: int) -> int:
+        return (_scale_luma_dc(f, qp) + 32) >> 6
+
+    a = [_clip255(128 + dc(base_coeff))]
+    for c in range(1, n_mb):
+        f = step_coeff if c % 2 == 1 else -step_coeff
+        a.append(_clip255(a[-1] + dc(f)))
+
+    alpha = _DB_ALPHA[qp]
+    beta = _DB_BETA[qp]
+    tc0 = _DB_TC0[2][qp]
+    edge_deltas = []
+    for j in range(n_mb - 1):
+        P, Q = a[j], a[j + 1]
+        d = abs(P - Q)
+        if alpha == 0 or d >= alpha:
+            edge_deltas.append(0)
+            continue
+        if d < (alpha >> 2) + 2:  # strong: 3 samples per side
+            q1p = (3 * Q + P + 2) >> 2
+            q2p = (7 * Q + P + 4) >> 3
+            boundary = (
+                ((5 * P + 3 * Q + 4) >> 3) + ((3 * P + Q + 2) >> 2)
+                + ((7 * P + Q + 4) >> 3) - 3 * P
+                + ((5 * Q + 3 * P + 4) >> 3) + q1p + q2p - 3 * Q
+            )
+            # cascade: the second MB's first internal bS=3 edge now sees
+            # p1=q2', p2=q1', p0=q0=Q.  Its delta term is sum-neutral
+            # (p0+d, q0-d); only the p1 correction shifts the sum, and
+            # only when |q2'-Q| < beta (filterSamplesFlag) and
+            # |q1'-Q| < beta (ap test) and tc0 > 0.
+            internal = 0
+            if tc0 and abs(q2p - Q) < beta and abs(q1p - Q) < beta:
+                internal = _clip3(-tc0, tc0, (q1p + Q - 2 * q2p) >> 1)
+            edge_deltas.append(boundary + internal)
+        else:  # weak bS=4: p0/q0 only; no cascade (flat beyond 1 sample)
+            edge_deltas.append(
+                ((3 * P + Q + 2) >> 2) - P + ((3 * Q + P + 2) >> 2) - Q
+            )
+
+    qpc = _chroma_qp(qp, 0)
+    uv = _clip255(128 + ((_scale_chroma_dc(u_coeff, qpc) + 32) >> 6))
+    vv = _clip255(128 + ((_scale_chroma_dc(v_coeff, qpc) + 32) >> 6))
+    pixel_sum = 256 * sum(a) + 16 * sum(edge_deltas) + 64 * n_mb * (uv + vv)
+    return {
+        "a": a,
+        "edge_deltas": edge_deltas,
+        "u": uv,
+        "v": vv,
+        "pixel_sum": pixel_sum,
+    }

@@ -191,16 +191,26 @@ def test_decoder_rejects_malformed():
     for bad in (b"", b"\x00\x00\x00\x01", good[:15], good[:25]):
         with pytest.raises(ValueError):
             H.decode_h264_iframe(bad)
-    # deblocking-enabled stream must refuse, not approximate
-    flipped = bytearray(good)
-    # find the slice NAL and rebuild with disable_deblocking_filter_idc=0
+    # deblocking-enabled stream (idc=0 + offsets) decodes since r7;
+    # a flat frame is a filter no-op, so planes match the idc=1 form
     sl = H._BitWriter()
     sl.ue(0); sl.ue(7); sl.ue(0); sl.u(4, 0); sl.ue(0); sl.u(4, 0)
-    sl.u(1, 0); sl.u(1, 0); sl.se(0); sl.ue(0)  # idc = 0: filter ON
-    sl.ue(3); sl.ue(0); sl.se(0)
-    H._write_cavlc_block(sl, [0] * 16, 0, 16)
+    sl.u(1, 0); sl.u(1, 0); sl.se(0)
+    sl.ue(0)  # disable_deblocking_filter_idc = 0: filter ON
+    sl.se(0); sl.se(0)  # alpha/beta offsets
+    for mb in range(4):
+        sl.ue(3); sl.ue(0); sl.se(0)
+        H._write_cavlc_block(sl, [0] * 16, 0, 16)
     sl.rbsp_trailing()
     sps_pps = good[: good.rindex(b"\x00\x00\x00\x01")]
+    w2, h2, y2, u2, v2 = H.decode_h264_iframe(sps_pps + H._nal(3, 5, sl.done()))
+    assert (w2, h2) == (32, 32) and set(y2) == {128}
+    # idc out of range must still refuse
+    sl = H._BitWriter()
+    sl.ue(0); sl.ue(7); sl.ue(0); sl.u(4, 0); sl.ue(0); sl.u(4, 0)
+    sl.u(1, 0); sl.u(1, 0); sl.se(0)
+    sl.ue(3)  # bad disable_deblocking_filter_idc
+    sl.rbsp_trailing()
     with pytest.raises(ValueError, match="deblocking"):
         H.decode_h264_iframe(sps_pps + H._nal(3, 5, sl.done()))
     # random corruption: decode-or-ValueError, never hang or IndexError
