@@ -63,7 +63,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .h264 import decode_h264_iframe, encode_h264_iframe_flat, h264_flat_expected
+from .h264 import (
+    _parse_sps as _h264_parse_sps,
+    _split_nals as _h264_split_nals,
+    _strip_emulation as _h264_strip_emulation,
+    decode_h264_iframe,
+    encode_h264_iframe_flat,
+    encode_h264_iframe_steps,
+    h264_flat_expected,
+    h264_steps_expected,
+)
 from .vp8 import decode_vp8_keyframe, encode_webp_vp8_flat, vp8_flat_expected
 
 __all__ = [
@@ -4289,6 +4298,64 @@ def _mp4_full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
     return _mp4_box(fourcc, struct.pack(">B", version) + flags.to_bytes(3, "big") + payload)
 
 
+def _avc1_prepare(frames: list[bytes]) -> tuple[list[bytes], list[bytes], list[bytes]]:
+    """Annex-B AVC access units → (sps_nals, pps_nals, avcc_samples):
+    parameter-set NALs are deduplicated out of the samples (avc1
+    stores them only in avcC) and the remaining NALs re-framed with
+    4-byte length prefixes."""
+    sps_nals: list[bytes] = []
+    pps_nals: list[bytes] = []
+    out = []
+    for f in frames:
+        vcl = []
+        for nal in _h264_split_nals(f):
+            t = nal[0] & 0x1F
+            if t == 7:
+                if nal not in sps_nals:
+                    sps_nals.append(nal)
+            elif t == 8:
+                if nal not in pps_nals:
+                    pps_nals.append(nal)
+            else:
+                vcl.append(nal)
+        if not vcl:
+            raise ValueError("mp4: avc1 sample without VCL NALs")
+        out.append(b"".join(struct.pack(">I", len(n)) + n for n in vcl))
+    if not sps_nals or not pps_nals:
+        raise ValueError("mp4: avc1 needs in-band SPS and PPS to hoist")
+    return sps_nals, pps_nals, out
+
+
+def _avc1_sample_entry(sps_nals: list[bytes], pps_nals: list[bytes]) -> bytes:
+    """avc1 VisualSampleEntry + AVCDecoderConfigurationRecord
+    (lengthSizeMinusOne=3), dims from the SPS crop rectangle."""
+    rbsp = _h264_strip_emulation(sps_nals[0][1:])
+    sps = _h264_parse_sps(rbsp)
+    cl, cr, ct, cb = sps["crop"]
+    width = sps["w_mbs"] * 16 - 2 * (cl + cr)
+    height = sps["h_mbs"] * 16 - 2 * (ct + cb)
+    avcc = (
+        bytes([1, rbsp[0], rbsp[1], rbsp[2], 0xFC | 3, 0xE0 | len(sps_nals)])
+        + b"".join(struct.pack(">H", len(n)) + n for n in sps_nals)
+        + bytes([len(pps_nals)])
+        + b"".join(struct.pack(">H", len(n)) + n for n in pps_nals)
+    )
+    body = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">H", 24)  # depth
+        + struct.pack(">h", -1)  # pre_defined
+        + _mp4_box(b"avcC", avcc)
+    )
+    return _mp4_box(b"avc1", body)
+
+
 def encode_mp4_frames(
     frames: list[bytes],
     *,
@@ -4308,6 +4375,13 @@ def encode_mp4_frames(
     n = len(frames)
     if n == 0:
         raise ValueError("mp4: need at least one frame")
+    avc_entry = None
+    if codec == "avc1":
+        # spec-conformant avc1 per ISO 14496-15 (ADVICE r6): parameter
+        # sets move OUT of the samples into the sample entry's avcC
+        # record, and samples become 4-byte length-prefixed NALs
+        sps_nals, pps_nals, frames = _avc1_prepare(frames)
+        avc_entry = _avc1_sample_entry(sps_nals, pps_nals)
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     mdat = _mp4_box(b"mdat", b"".join(frames))
     first_sample_off = len(ftyp) + 8
@@ -4344,7 +4418,9 @@ def encode_mp4_frames(
     dinf = _mp4_box(b"dinf", dref)
     if len(codec) != 4 or not codec.isascii():
         raise ValueError("mp4: codec fourcc must be 4 ASCII chars")
-    entry = _mp4_box(codec.encode("ascii"), b"\x00" * 6 + struct.pack(">H", 1))
+    entry = avc_entry or _mp4_box(
+        codec.encode("ascii"), b"\x00" * 6 + struct.pack(">H", 1)
+    )
     stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
     stsc_entries = [(1, 2, 1)]
@@ -4490,6 +4566,82 @@ def _mp4_samples(data: bytes) -> tuple[int, list[int], list[tuple[int, int]]]:
     raise ValueError("mp4: no video trak")
 
 
+def _mp4_avc_config(data: bytes):
+    """(sps_nals, pps_nals, nal_length_size) from the first video
+    trak's avc1/avc3 sample entry's avcC record, or None when the
+    track is not AVC-configured."""
+    moov = _mp4_child(data, 0, len(data), b"moov")
+    if moov is None:
+        return None
+    for fc, tb, te in _mp4_walk(data, *moov):
+        if fc != b"trak":
+            continue
+        mdia = _mp4_child(data, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(data, *mdia, b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _mp4_child(data, *mdia, b"minf")
+        stbl = _mp4_child(data, *minf, b"stbl") if minf else None
+        stsd = _mp4_child(data, *stbl, b"stsd") if stbl else None
+        if stsd is None:
+            return None
+        for efc, eb, ee in _mp4_walk(data, stsd[0] + 8, stsd[1]):
+            if efc not in (b"avc1", b"avc3"):
+                continue
+            # VisualSampleEntry fixed part is 78 bytes before children
+            avcc = _mp4_child(data, eb + 78, ee, b"avcC")
+            if avcc is None:
+                return None
+            p, end = avcc
+            if end - p < 7 or data[p] != 1:
+                raise ValueError("mp4: bad avcC record")
+            length_size = (data[p + 4] & 3) + 1
+            n_sps = data[p + 5] & 0x1F
+            p += 6
+            sps_nals = []
+            for _ in range(n_sps):
+                (ln,) = struct.unpack_from(">H", data, p)
+                p += 2
+                if p + ln > end:
+                    raise ValueError("mp4: avcC SPS overruns the box")
+                sps_nals.append(data[p : p + ln])
+                p += ln
+            n_pps = data[p]
+            p += 1
+            pps_nals = []
+            for _ in range(n_pps):
+                (ln,) = struct.unpack_from(">H", data, p)
+                p += 2
+                if p + ln > end:
+                    raise ValueError("mp4: avcC PPS overruns the box")
+                pps_nals.append(data[p : p + ln])
+                p += ln
+            return sps_nals, pps_nals, length_size
+        return None
+    return None
+
+
+def _avcc_to_annexb(frame: bytes, cfg) -> bytes:
+    """length-prefixed AVC sample + avcC parameter sets → one Annex-B
+    access unit decode_h264_iframe accepts."""
+    sps_nals, pps_nals, length_size = cfg
+    parts = [b"\x00\x00\x00\x01" + n for n in sps_nals]
+    parts += [b"\x00\x00\x00\x01" + n for n in pps_nals]
+    i = 0
+    while i + length_size <= len(frame):
+        ln = int.from_bytes(frame[i : i + length_size], "big")
+        i += length_size
+        if ln == 0 or i + ln > len(frame):
+            raise ValueError("mp4: bad AVCC NAL length")
+        parts.append(b"\x00\x00\x00\x01" + frame[i : i + ln])
+        i += ln
+    if i != len(frame) or len(parts) == len(sps_nals) + len(pps_nals):
+        raise ValueError("mp4: AVCC sample framing mismatch")
+    return b"".join(parts)
+
+
 def _mp4_video_pixels(data: bytes, every_ms: int):
     """MJPEG- and AVC-in-MP4 leg of decode_video_pixels: the REAL box
     walk (_mp4_samples) slices each sampled frame out of mdat and runs
@@ -4503,6 +4655,7 @@ def _mp4_video_pixels(data: bytes, every_ms: int):
     timescale, deltas, samples = _mp4_samples(data)
     if not timescale:
         raise ValueError("mp4: zero timescale")
+    avc_cfg = _mp4_avc_config(data)
     out = []
     t = 0
     next_emit = 0
@@ -4513,8 +4666,14 @@ def _mp4_video_pixels(data: bytes, every_ms: int):
             if _looks_like_jpeg(frame):
                 w, h, ch, raw = _jpeg_pixels(frame)
                 out.append((i, ts_ms, w, h, ch, sum(raw), sum(v * v for v in raw)))
-            elif frame[:4] == b"\x00\x00\x00\x01" or frame[:3] == b"\x00\x00\x01":
-                w, h, yp, up, vp = decode_h264_iframe(frame)
+            else:
+                if frame[:4] == b"\x00\x00\x00\x01" or frame[:3] == b"\x00\x00\x01":
+                    au = frame  # in-band Annex-B (avc3-style samples)
+                elif avc_cfg is not None:
+                    au = _avcc_to_annexb(frame, avc_cfg)  # ADVICE r6 #1
+                else:
+                    raise ValueError("mp4: sample codec needs an external decoder")
+                w, h, yp, up, vp = decode_h264_iframe(au)
                 psum = sum(yp) + sum(up) + sum(vp)
                 psq = (
                     sum(v * v for v in yp)
@@ -4522,8 +4681,6 @@ def _mp4_video_pixels(data: bytes, every_ms: int):
                     + sum(v * v for v in vp)
                 )
                 out.append((i, ts_ms, w, h, 3, psum, psq))
-            else:
-                raise ValueError("mp4: sample codec needs an external decoder")
             next_emit = ts_ms + every_ms
         t += delta
     return out
@@ -6831,20 +6988,63 @@ def synthesize_webp_lossless_payloads(
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+# per-qp step coefficients for the deblocked AVC leg: regimes hit the
+# strong (< (alpha>>2)+2), weak (< alpha) and no-filter (>= alpha)
+# branches of the bS=4 MB-edge filter at that qp (alpha 50/80/127/203;
+# the last two qps cannot reach no-filter inside byte range, so their
+# third regime is a second weak point)
+_AVC_DEBLOCK_QPS = (36, 40, 44, 48)
+_AVC_DEBLOCK_STEPS = {36: (60, 150, 330), 40: (60, 150, 330),
+                      44: (60, 150, 200), 48: (60, 150, 160)}
+
+
+def _avc_deblock_params(rid: int) -> dict:
+    """doc_id ≥ 240 → stepped deblocking-enabled fixture parameters
+    (mirrored literally by the battery oracle's generated SQL)."""
+    k = rid - 240
+    qp = _AVC_DEBLOCK_QPS[(k // 2) % 4]
+    return {
+        "horizontal": k % 2 == 1,
+        "qp": qp,
+        "step_coeff": _AVC_DEBLOCK_STEPS[qp][(k // 8) % 3],
+        "n_mb": 2 + (k // 24) % 4,
+        "base_coeff": (k % 5) - 2,
+        "u_coeff": 1 + k % 40,
+        "v_coeff": 1 + (k // 3) % 40,
+    }
+
+
 def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
-    """id → REAL MP4 whose samples are REAL H.264 baseline IDR frames
-    (Annex-B SPS+PPS+slice per sample), deterministic closed form. Per
-    id: nf = 2 + id % 4 frames at 2 fps, dims (32 + 2·(id % 9)) ×
+    """id → REAL MP4 whose samples are REAL H.264 baseline IDR frames,
+    muxed as spec-conformant avc1 (avcC parameter sets + 4-byte
+    length-prefixed samples), deterministic closed form. Per id < 240:
+    nf = 2 + id % 4 frames at 2 fps, dims (32 + 2·(id % 9)) ×
     (32 + 2·(id % 7)) with SPS frame-cropping, qp cycling {20, 28, 36,
     44} (both §8.5 dequant branches); every 5th id codes all-I_PCM
-    frames instead. Per-frame DC coefficients / PCM levels vary with
-    the frame index so sampled frames are distinguishable; decoded
-    plane values follow h264_flat_expected's integer closed form."""
+    frames instead; deblocking disabled (idc=1), planes follow
+    h264_flat_expected. ids ≥ 240 (r7): ONE deblocking-ENABLED
+    stepped-DC strip frame per id (encode_h264_iframe_steps) cycling
+    orientation, qp {36,40,44,48}, strong/weak/no-filter step regimes
+    and 2-5 macroblocks; the §8.7 filter output follows
+    h264_steps_expected's integer closed form."""
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
 
     def frames_of(rid: int) -> list[bytes]:
+        if rid >= 240:
+            p = _avc_deblock_params(rid)
+            return [
+                encode_h264_iframe_steps(
+                    p["n_mb"],
+                    horizontal=p["horizontal"],
+                    qp=p["qp"],
+                    base_coeff=p["base_coeff"],
+                    step_coeff=p["step_coeff"],
+                    u_coeff=p["u_coeff"],
+                    v_coeff=p["v_coeff"],
+                )
+            ]
         w, h = 32 + 2 * (rid % 9), 32 + 2 * (rid % 7)
         out = []
         for f in range(2 + rid % 4):
@@ -7167,6 +7367,10 @@ def encode_webp_animation(
         while pos + 8 <= end:
             cid = still[pos : pos + 4]
             (size,) = struct.unpack_from("<I", still, pos + 4)
+            if pos + 8 + size > end:
+                # a truncated still must raise, not silently embed a
+                # short image chunk inside the ANMF (ADVICE r6)
+                raise ValueError("webp-anim: still image chunk overruns RIFF")
             if cid in (b"VP8 ", b"VP8L"):
                 return still[pos : pos + 8 + size + (size & 1)]
             pos += 8 + size + (size & 1)
@@ -7184,7 +7388,9 @@ def encode_webp_animation(
             + u24(canvas_w - 1)
             + u24(canvas_h - 1)
             + u24(dur)
-            + b"\x00"  # no blend, dispose-none
+            # flags bit1 SET = do-not-blend (these frames are opaque
+            # full-canvas overwrites), bit0 clear = dispose-none
+            + b"\x02"
             + _image_chunk(still)
         )
         chunks.append((b"ANMF", body))

@@ -3134,6 +3134,91 @@ def multimodal_decode_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_images(media)
 
 
+def _avc_deblock_leg_sql() -> str:
+    """Oracle leg for the deblocking-enabled stepped AVC fixtures
+    (doc_id 240-329): mirrors h264_steps_expected's integer closed
+    form — the per-MB DC chain (exact FLOOR arithmetic, negative
+    steps included), the §8.7 bS=4 strong/weak/no-filter MB-edge sum
+    deltas, the cascaded internal bS=3 p1 correction with its beta
+    gates and tC0 clip, and the flat chroma planes — with the
+    Table 8-16/8-17 constants for qp 36/40/44/48 inlined."""
+
+    def edge(P: str, Q: str) -> str:
+        q1p = f"((3*{Q} + {P} + 2) // 4)"
+        q2p = f"((7*{Q} + {P} + 4) // 8)"
+        strong = (
+            f"(5*{P} + 3*{Q} + 4) // 8 + (3*{P} + {Q} + 2) // 4"
+            f" + (7*{P} + {Q} + 4) // 8 - 3*{P}"
+            f" + (5*{Q} + 3*{P} + 4) // 8 + {q1p} + {q2p} - 3*{Q}"
+            f" + (CASE WHEN ABS({q2p} - {Q}) < beta AND ABS({q1p} - {Q}) < beta"
+            f" THEN GREATEST(-tc0, LEAST(tc0,"
+            f" CAST(FLOOR(({q1p} + {Q} - 2*{q2p}) / 2.0) AS BIGINT)))"
+            f" ELSE 0 END)"
+        )
+        weak = (
+            f"(3*{P} + {Q} + 2) // 4 - {P}"
+            f" + (3*{Q} + {P} + 2) // 4 - {Q}"
+        )
+        return (
+            f"CASE WHEN ABS({P} - {Q}) >= alpha THEN 0"
+            f" WHEN ABS({P} - {Q}) < alpha // 4 + 2 THEN ({strong})"
+            f" ELSE ({weak}) END"
+        )
+
+    edges = " + ".join(
+        f"(CASE WHEN nmb > {j + 1} THEN ({edge(f'a{j}', f'a{j + 1}')}) ELSE 0 END)"
+        for j in range(4)
+    )
+    asum = "a0 + " + " + ".join(
+        f"(CASE WHEN nmb > {j} THEN a{j} ELSE 0 END)" for j in range(1, 5)
+    )
+    return f"""
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INT) AS frame_idx, CAST(0 AS BIGINT) AS ts_ms,
+           CAST(CASE WHEN horiz = 1 THEN 16 ELSE 16 * nmb END AS INT) AS width,
+           CAST(CASE WHEN horiz = 1 THEN 16 * nmb ELSE 16 END AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(256 * ({asum}) + 16 * ({edges})
+                + 64 * nmb * (256 + (cu * kc + 32) // 64 + (cv * kc + 32) // 64)
+             AS BIGINT) AS pixel_sum
+    FROM (
+      SELECT doc_id, horiz, nmb, cu, cv, alpha, beta, tc0, kc,
+             a0, a0 + dplus AS a1, a0 + dplus + dminus AS a2,
+             a0 + 2 * dplus + dminus AS a3, a0 + 2 * dplus + 2 * dminus AS a4
+      FROM (
+        SELECT doc_id, horiz, nmb, cu, cv, alpha, beta, tc0, kc,
+               128 + CAST(FLOOR((s * base + 32) / 64.0) AS BIGINT) AS a0,
+               CAST((s * stepf + 32) // 64 AS BIGINT) AS dplus,
+               CAST(FLOOR((32 - s * stepf) / 64.0) AS BIGINT) AS dminus
+        FROM (
+          SELECT doc_id, k % 2 AS horiz,
+                 2 + (k // 24) % 4 AS nmb, (k % 5) - 2 AS base,
+                 1 + k % 40 AS cu, 1 + (k // 3) % 40 AS cv,
+                 CASE (k // 2) % 4 WHEN 0 THEN 10 WHEN 1 THEN 16
+                      WHEN 2 THEN 26 ELSE 40 END AS s,
+                 CASE (k // 2) % 4 WHEN 0 THEN 50 WHEN 1 THEN 80
+                      WHEN 2 THEN 127 ELSE 203 END AS alpha,
+                 CASE (k // 2) % 4 WHEN 0 THEN 11 WHEN 1 THEN 13
+                      WHEN 2 THEN 15 ELSE 17 END AS beta,
+                 CASE (k // 2) % 4 WHEN 0 THEN 4 WHEN 1 THEN 7
+                      WHEN 2 THEN 11 ELSE 18 END AS tc0,
+                 CASE (k // 2) % 4 WHEN 0 THEN 16 WHEN 1 THEN 20
+                      WHEN 2 THEN 22 ELSE 28 END AS kc,
+                 CASE WHEN (k // 2) % 4 <= 1 THEN
+                        (CASE (k // 8) % 3 WHEN 0 THEN 60 WHEN 1 THEN 150 ELSE 330 END)
+                      WHEN (k // 2) % 4 = 2 THEN
+                        (CASE (k // 8) % 3 WHEN 0 THEN 60 WHEN 1 THEN 150 ELSE 200 END)
+                      ELSE
+                        (CASE (k // 8) % 3 WHEN 0 THEN 60 WHEN 1 THEN 150 ELSE 160 END)
+                 END AS stepf
+          FROM (SELECT doc_id, doc_id - 240 AS k FROM documents
+                WHERE doc_id >= 240 AND doc_id < 330)
+        )
+      )
+    )
+    """
+
+
 @register(
     "multimodal_decode_h264",
     """
@@ -3176,24 +3261,32 @@ def multimodal_decode_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ELSE 22 * cv END + 32) // 64)))
            END AS BIGINT) AS pixel_sum
     FROM c
-    """,
+    """
+    + _avc_deblock_leg_sql(),
     tags=("llm-multimodal",),
     doc="REAL H.264/AVC baseline I-frame decode inside the MP4 sample "
     "walk (r6 — VERDICT r5 #1): synthesize_avc_mp4_payloads writes "
-    "actual Annex-B SPS+PPS+IDR streams per sample (Exp-Golomb "
-    "headers, CAVLC coefficient tokens, SPS frame-cropping, qp "
-    "cycling both §8.5 dequant branches, every 5th id all-I_PCM "
-    "macroblocks) and decode_video_pixels runs the full decoder "
-    "(llm/h264.py): NAL split + emulation-prevention strip, SPS/PPS/"
-    "slice parse, CAVLC residuals, luma-DC Hadamard + core transform, "
-    "intra prediction, PCM byte path. The oracle mirrors the exact "
-    "integer closed form per qp (the V-matrix scale constants are "
-    "inlined through the Table 8-15 qPc mapping: qp 36->34, 44->37). Wire pinned by hand-derived bit goldens + a 4000-case "
-    "CAVLC round-trip sweep (no H.264 reference exists in-container; "
-    "see module docstring for the validation contract).",
+    "actual IDR streams muxed as spec-conformant avc1 (r7: avcC "
+    "parameter sets + 4-byte length-prefixed samples, the AVCC "
+    "dispatch path) — Exp-Golomb headers, CAVLC coefficient tokens, "
+    "SPS frame-cropping, qp cycling both §8.5 dequant branches, every "
+    "5th id all-I_PCM macroblocks — and decode_video_pixels runs the "
+    "full decoder (llm/h264.py): avcC extraction, NAL re-framing, "
+    "CAVLC residuals, luma-DC Hadamard + core transform, intra "
+    "prediction, PCM byte path. docs 240-329 (r7, VERDICT r6 #1) are "
+    "deblocking-ENABLED stepped-DC strips exercising the §8.7 filter "
+    "for real: bS=4 strong/weak/no-filter MB edges plus the cascaded "
+    "internal bS=3 correction, both orientations, qp 36-48; the "
+    "oracle leg mirrors h264_steps_expected's integer closed form "
+    "with Table 8-16/8-17 constants inlined. Wire pinned by "
+    "hand-derived bit goldens + a 4000-case CAVLC round-trip sweep + "
+    "an independent in-test transcription of the §8.7 filter "
+    "(tests/test_h264_deblock.py; no H.264 reference exists "
+    "in-container — see module docstring for the validation "
+    "contract).",
 )
 def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 330)
     media = multimodal.synthesize_avc_mp4_payloads(d, id_col="doc_id")
     return multimodal.decode_video_pixels(media, every_ms=400)
 

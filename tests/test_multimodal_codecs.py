@@ -3167,7 +3167,7 @@ def test_webp_animation_container_layout():
     assert hdr[6:9] == (3 - 1).to_bytes(3, "little")
     assert hdr[9:12] == (2 - 1).to_bytes(3, "little")
     assert hdr[12:15] == (250).to_bytes(3, "little")
-    assert hdr[15] == 0  # no blend, dispose none
+    assert hdr[15] == 2  # bit1 = do-not-blend, bit0 clear = dispose-none
     # the still's VP8L chunk rides verbatim inside the ANMF
     vl = still.find(b"VP8L")
     assert anim[m + 24 : m + 28] == b"VP8L"
