@@ -135,7 +135,14 @@ _PRIORITY = [
     # filtering stays graded through dedup_minhash_lsh's band path)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_span_removal",
+    # (dedup_span_removal yielded its slot in r7 to the graded BPE
+    # tokenizer apply path per VERDICT r6 #4: llm-dedup keeps SEVEN
+    # in-window carriers (exact, minhash, cluster, fuzzy, image
+    # near-dup, both composed pipelines) and the positional-k-gram span
+    # machinery stays drive-verified; text_bpe_encode closes the last
+    # un-graded LLM family — sequence-level token counting under the
+    # official hash gate.)
+    "text_bpe_encode",
     "dedup_cluster_resolution",
     # (multimodal_frame_sample demoted past the cutoff in r4c for the
     # integer-exact PageRank: llm-multimodal keeps three graded carriers

@@ -2901,6 +2901,86 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed BPE merge table for the graded apply-path entry (rank order).
+# The class words below exercise every application regime: multi-step
+# merges of merged tokens (abcef), rank-order-beats-greedy-length
+# (abcd -> abc+d, never ab+cd), pair disappearance after a merge
+# (ababcd: the (c,d) rank-2 pair dies when (ab,c) fires), multiple
+# non-overlapping occurrences in one pass (abab), and the no-merge
+# fallthrough (xyz). Token/char counts per class are closed-form
+# constants of this table, so the DuckDB oracle mirrors them exactly.
+_BPE_FIXED_MERGES = [
+    ("a", "b"),
+    ("ab", "c"),
+    ("c", "d"),
+    ("e", "f"),
+    ("abc", "ef"),
+    ("d", "e"),
+]
+_BPE_CLASS_WORDS = ["abcd", "abcef", "cdef", "ade", "xyz", "abab", "ababcd"]
+# per-class (n_bpe_tokens, n_chars) under _BPE_FIXED_MERGES — verified
+# by tests/test_curation.py::test_bpe_fixture_class_counts
+_BPE_CLASS_TOKENS = [2, 1, 2, 2, 3, 2, 3]
+
+
+@register(
+    "text_bpe_encode",
+    """
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 5 AS nw
+      FROM documents WHERE doc_id < 400
+    ), w AS (
+      SELECT p.doc_id, p.nw,
+             (p.doc_id * 3 + k.k * k.k + k.k) % 7 AS cls
+      FROM p, LATERAL (SELECT UNNEST(range(0, p.nw)) AS k) k
+    )
+    SELECT doc_id,
+           CAST(MAX(nw) AS INTEGER) AS n_words,
+           CAST(SUM(CASE cls WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2
+                             WHEN 3 THEN 2 WHEN 4 THEN 3 WHEN 5 THEN 2
+                             ELSE 3 END) AS INTEGER) AS n_bpe_tokens,
+           CAST(SUM(CASE cls WHEN 0 THEN 4 WHEN 1 THEN 5 WHEN 2 THEN 4
+                             WHEN 3 THEN 3 WHEN 4 THEN 3 WHEN 5 THEN 4
+                             ELSE 6 END) AS INTEGER) AS n_chars
+    FROM w GROUP BY doc_id
+    """,
+    tags=("llm-text", "llm-tokenizer"),
+    doc="BPE tokenizer APPLY path graded (r7, VERDICT r6 #4 — "
+    "llm.tokenizer.apply_bpe): GPT-2-style iterative lowest-rank merge "
+    "with a FIXED six-rule merge table over a closed-form fixture "
+    "corpus (seven word classes chosen to hit rank-order-not-greedy, "
+    "merged-token merges, pair disappearance and the no-merge path). "
+    "The ranks broadcast once; tokenization runs in mapInPandas Arrow "
+    "batches with per-batch word memoization, so cost is proportional "
+    "to DISTINCT words per batch — the 100 TB contract. The oracle "
+    "replays the per-class token/char constants from the fixture's "
+    "construction (the counts are pure functions of the fixed table, "
+    "pinned by a dedicated pytest). Closes the last un-graded LLM "
+    "family: sequence-level token counts feed the packing/budget tier.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.tokenizer import apply_bpe
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    class_arr = F.array(*[F.lit(w) for w in _BPE_CLASS_WORDS])
+    fix = d.select(
+        "doc_id", (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("nw")
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.col("nw") - 1),
+                lambda k: F.element_at(
+                    class_arr,
+                    ((F.col("doc_id") * 3 + k * k + k) % 7 + 1).cast("int"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    return apply_bpe(fix, _BPE_FIXED_MERGES)
+
+
 @register(
     "curation_importance_scores",
     """

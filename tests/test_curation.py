@@ -538,6 +538,28 @@ def test_bpe_encode_word_rank_order_not_greedy_length():
     assert bpe_encode_word("abcd", ranks) == ["ab", "cd"]
 
 
+def test_bpe_fixture_class_counts():
+    """The graded text_bpe_encode oracle hard-codes per-class
+    (token, char) constants; they must be exactly what bpe_encode_word
+    produces under the fixed merge table (the closed form IS the
+    fixture's construction)."""
+    from data_lake_skyfit_spark.llm.tokenizer import bpe_encode_word
+    from data_lake_skyfit_spark.queries_llm import (
+        _BPE_CLASS_TOKENS,
+        _BPE_CLASS_WORDS,
+        _BPE_FIXED_MERGES,
+    )
+
+    ranks = {p: i for i, p in enumerate(_BPE_FIXED_MERGES)}
+    got = [len(bpe_encode_word(w, ranks)) for w in _BPE_CLASS_WORDS]
+    assert got == _BPE_CLASS_TOKENS
+    # the class set must really exercise distinct regimes: at least one
+    # word fully collapses, one doesn't merge at all, and the
+    # rank-order pin holds (abcd -> [abc, d], never [ab, cd])
+    assert 1 in got and max(got) == 3
+    assert bpe_encode_word("abcd", ranks) == ["abc", "d"]
+
+
 def test_semantic_dedup_blocked_equals_monolithic(spark):
     """Giant-cluster mode (num_blocks>1: per-shard Gram decomposed into
     block pairs) must produce EXACTLY the monolithic result — same
