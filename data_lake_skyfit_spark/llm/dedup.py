@@ -1142,6 +1142,7 @@ def containment_pairs(
     n: int = 3,
     threshold_num: int = 4,
     threshold_den: int = 5,
+    max_candidates_per_doc: int | None = None,
 ) -> DataFrame:
     """All ORDERED pairs (a, b), a ≠ b, where doc a's n-gram shingle
     set is at least num/den CONTAINED in doc b's:
@@ -1180,6 +1181,23 @@ def containment_pairs(
     pair is exact, while the candidate-sized shuffle carries only
     hashes.
 
+    `max_candidates_per_doc` (VERDICT r6 #2, the degenerate-vocabulary
+    mitigation): on a vocabulary-degenerate shard — every doc built
+    from the same few hundred shingles — the prefix filter stops
+    pruning and the candidate join goes quadratic (the measured ×512
+    disk cliff on the adversarial uniform-vocab fixture). With a cap,
+    each probe doc keeps only its N strongest candidates, ranked by
+    the RARITY of the rarest shared prefix shingle (min document
+    frequency ascending — the sharpest evidence of real containment;
+    ties break on b_id for determinism). Candidates cut by the cap
+    are counted eagerly and logged (the no-silent-caps rule) — set
+    the cap only as a scale guard; `None` (default) is lossless and
+    exact. A true containment pair shares ALL of a's prefix shingles
+    including its rarest, so under zipfian (realistic) vocabularies
+    the planted pairs rank at the top and survive modest caps (pinned
+    in tests); only degenerate shards where every candidate shares
+    equally-common shingles trade recall for the bound.
+
     Returns (a_id, b_id, inter, size_a, containment).
     """
     if not 0 < threshold_num <= threshold_den:
@@ -1204,17 +1222,66 @@ def containment_pairs(
             F.col("rn")
             <= F.expr(f"div(({threshold_den}-{threshold_num})*sz, {threshold_den}) + 1")
         )
-        .select("id", "g")
+        .select("id", "g", "df")
     )
-    candidates = (
-        prefix.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") != F.col("b.id")),
+    matches = prefix.alias("a").join(
+        ex.alias("b"),
+        (F.col("a.g") == F.col("b.g")) & (F.col("a.id") != F.col("b.id")),
+    )
+    if max_candidates_per_doc is None:
+        candidates = matches.select(
+            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id")
+        ).dropDuplicates(["a_id", "b_id"])
+    else:
+        if max_candidates_per_doc < 1:
+            raise ValueError("max_candidates_per_doc must be >= 1")
+        # Same shuffle the dropDuplicates paid, but the aggregate keeps
+        # the strongest (rarest) shared prefix shingle per pair; a
+        # second a_id-partitioned window then bounds the fan-out BEFORE
+        # the hash-array verify join — the stage the ×512 uniform-vocab
+        # fixture drowned in.
+        ranked = (
+            matches.select(
+                F.col("a.id").alias("a_id"),
+                F.col("b.id").alias("b_id"),
+                F.col("a.df").alias("df"),
+            )
+            .groupBy("a_id", "b_id")
+            .agg(F.min("df").alias("min_df"))
+            .withColumn(
+                "crn",
+                F.row_number().over(
+                    Window.partitionBy("a_id").orderBy(
+                        F.col("min_df").asc(), F.col("b_id").asc()
+                    )
+                ),
+            )
+            .localCheckpoint(eager=False)  # feeds the cut AND its audit
         )
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-    )
+        candidates = ranked.filter(
+            F.col("crn") <= max_candidates_per_doc
+        ).select("a_id", "b_id")
+        # no-silent-caps: count what the cap cut, eagerly, and say so.
+        cut = (
+            ranked.filter(F.col("crn") > max_candidates_per_doc)
+            .agg(
+                F.count(F.lit(1)).alias("pairs"),
+                F.countDistinct("a_id").alias("docs"),
+            )
+            .collect()[0]
+        )
+        if cut["pairs"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "containment_pairs: candidate cap %d dropped %d candidate "
+                "pairs across %d probe docs (kept the rarest-shared-"
+                "shingle top-N per doc); capped mode bounds the verify "
+                "join but is not lossless on degenerate vocabularies",
+                max_candidates_per_doc,
+                cut["pairs"],
+                cut["docs"],
+            )
     # pass 1: hash-array superset filter over the candidate-sized join
     hh_a = s.select(
         F.col("id").alias("a_id"), F.col("shh").alias("hh_a"), F.col("sz").alias("size_a")

@@ -472,3 +472,62 @@ def test_containment_prefix_filter_is_lossless_on_random_corpus(spark):
         .filter(F.col("inter") * 5 >= 4 * F.col("sz"))
     )
     assert got == {(r["a_id"], r["b_id"]) for r in brute.collect()}
+
+
+def test_containment_candidate_cap_recall_and_audit(spark, caplog):
+    """VERDICT r6 #2: the per-doc candidate cap. On a zipfian
+    (realistic) corpus with planted snippet-in-parent pairs, a modest
+    cap must keep recall 1.0 — the true pair shares the probe's RAREST
+    prefix shingle, so rarest-first ranking protects it. On a
+    vocabulary-degenerate corpus the cap must (a) only ever drop pairs
+    (capped ⊆ uncapped), and (b) say what it cut (no-silent-caps)."""
+    import logging
+    import random
+
+    import pytest
+
+    from data_lake_skyfit_spark.llm.dedup import containment_pairs
+
+    rng = random.Random(11)
+    # zipfian-ish: rank-weighted vocab + one planted snippet per parent
+    vocab = [f"w{i}" for i in range(200)]
+    weights = [1.0 / (r + 1) for r in range(len(vocab))]
+    docs = []
+    for i in range(30):
+        body = " ".join(rng.choices(vocab, weights)[0] for _ in range(20))
+        docs.append((i, body))
+        snip = " ".join(body.split()[: 6 + i % 4])
+        docs.append((1000 + i, snip))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = {
+        (r["a_id"], r["b_id"], r["inter"])
+        for r in containment_pairs(df).collect()
+    }
+    planted = {(1000 + i, i) for i in range(30)}
+    assert planted <= {(a, b) for a, b, _ in uncapped}
+    capped = {
+        (r["a_id"], r["b_id"], r["inter"])
+        for r in containment_pairs(df, max_candidates_per_doc=8).collect()
+    }
+    assert capped == uncapped  # recall 1.0 at a modest cap
+
+    # degenerate vocabulary: every doc drawn from the same 6 words —
+    # the prefix filter stops pruning and only the cap bounds fan-out
+    deg = spark.createDataFrame(
+        [
+            (i, " ".join(f"t{(i + j) % 6}" for j in range(12)))
+            for i in range(25)
+        ],
+        "doc_id long, text string",
+    )
+    full = {(r["a_id"], r["b_id"]) for r in containment_pairs(deg).collect()}
+    with caplog.at_level(logging.WARNING, logger="data_lake_skyfit_spark.llm.dedup"):
+        tight = {
+            (r["a_id"], r["b_id"])
+            for r in containment_pairs(deg, max_candidates_per_doc=2).collect()
+        }
+    assert tight <= full and tight
+    assert any("candidate cap" in rec.message for rec in caplog.records)
+
+    with pytest.raises(ValueError):
+        containment_pairs(deg, max_candidates_per_doc=0)
