@@ -6998,10 +6998,11 @@ _AVC_DEBLOCK_STEPS = {36: (60, 150, 330), 40: (60, 150, 330),
                       44: (60, 150, 200), 48: (60, 150, 160)}
 
 
-def _avc_deblock_params(rid: int) -> dict:
-    """doc_id ≥ 240 → stepped deblocking-enabled fixture parameters
-    (mirrored literally by the battery oracle's generated SQL)."""
-    k = rid - 240
+def _avc_deblock_params(rid: int, base: int = 240) -> dict:
+    """doc_id ≥ `base` → stepped deblocking-enabled fixture parameters
+    (mirrored literally by the battery oracle's generated SQL; base
+    240 = the CAVLC leg, base 375 = the r7 CABAC leg)."""
+    k = rid - base
     qp = _AVC_DEBLOCK_QPS[(k // 2) % 4]
     return {
         "horizontal": k % 2 == 1,
@@ -7026,12 +7027,48 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
     stepped-DC strip frame per id (encode_h264_iframe_steps) cycling
     orientation, qp {36,40,44,48}, strong/weak/no-filter step regimes
     and 2-5 macroblocks; the §8.7 filter output follows
-    h264_steps_expected's integer closed form."""
+    h264_steps_expected's integer closed form. ids 330-419 (r7,
+    VERDICT r6 #3) are CABAC-coded: 330-374 flat Intra_16x16 frames
+    (h264_flat_expected), 375-419 the deblocked stepped strips again
+    through the arithmetic tier (h264_steps_expected — the entropy
+    layer cannot change a reconstructed sample)."""
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
 
     def frames_of(rid: int) -> list[bytes]:
+        if rid >= 375:
+            # r7 CABAC leg B: the SAME deblocking-enabled stepped-DC
+            # strip shape through the arithmetic entropy tier
+            from .h264_cabac import encode_h264_iframe_steps_cabac
+
+            p = _avc_deblock_params(rid, base=375)
+            return [
+                encode_h264_iframe_steps_cabac(
+                    p["n_mb"],
+                    horizontal=p["horizontal"],
+                    qp=p["qp"],
+                    base_coeff=p["base_coeff"],
+                    step_coeff=p["step_coeff"],
+                    u_coeff=p["u_coeff"],
+                    v_coeff=p["v_coeff"],
+                )
+            ]
+        if rid >= 330:
+            # r7 CABAC leg A: flat Intra_16x16 frames, CABAC-coded
+            from .h264_cabac import encode_h264_iframe_flat_cabac
+
+            k = rid - 330
+            return [
+                encode_h264_iframe_flat_cabac(
+                    32 + 2 * (k % 9),
+                    32 + 2 * (k % 7),
+                    qp=(20, 28, 36, 44)[k % 4],
+                    y_coeff=1 + k % 90,
+                    u_coeff=1 + k % 40,
+                    v_coeff=1 + (k // 3) % 40,
+                )
+            ]
         if rid >= 240:
             p = _avc_deblock_params(rid)
             return [

@@ -3214,9 +3214,11 @@ def multimodal_decode_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_images(media)
 
 
-def _avc_deblock_leg_sql() -> str:
+def _avc_deblock_leg_sql(lo: int = 240, hi: int = 330) -> str:
     """Oracle leg for the deblocking-enabled stepped AVC fixtures
-    (doc_id 240-329): mirrors h264_steps_expected's integer closed
+    (doc_id lo..hi-1; 240-329 = CAVLC, 375-419 = the r7 CABAC twin —
+    identical closed form, the entropy tier is invisible to the
+    reconstruction): mirrors h264_steps_expected's integer closed
     form — the per-MB DC chain (exact FLOOR arithmetic, negative
     steps included), the §8.7 bS=4 strong/weak/no-filter MB-edge sum
     deltas, the cascaded internal bS=3 p1 correction with its beta
@@ -3291,8 +3293,8 @@ def _avc_deblock_leg_sql() -> str:
                       ELSE
                         (CASE (k // 8) % 3 WHEN 0 THEN 60 WHEN 1 THEN 150 ELSE 160 END)
                  END AS stepf
-          FROM (SELECT doc_id, doc_id - 240 AS k FROM documents
-                WHERE doc_id >= 240 AND doc_id < 330)
+          FROM (SELECT doc_id, doc_id - {lo} AS k FROM documents
+                WHERE doc_id >= {lo} AND doc_id < {hi})
         )
       )
     )
@@ -3342,7 +3344,43 @@ def _avc_deblock_leg_sql() -> str:
            END AS BIGINT) AS pixel_sum
     FROM c
     """
-    + _avc_deblock_leg_sql(),
+    + _avc_deblock_leg_sql()
+    # r7 CABAC leg A (ids 330-374): flat Intra_16x16 frames through the
+    # arithmetic entropy tier — the SAME h264_flat_expected closed form
+    # as the CAVLC ids < 240 (single frame, no PCM: I_PCM is the
+    # documented CABAC exclusion)
+    + """
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INT) AS frame_idx, CAST(0 AS BIGINT) AS ts_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(w * h * (128 + ((CASE qk WHEN 0 THEN (13 * cy + 4) // 8
+                                         WHEN 1 THEN (16 * cy + 2) // 4
+                                         WHEN 2 THEN 10 * cy
+                                         ELSE 26 * cy END + 32) // 64))
+              + (w // 2) * (h // 2) *
+                ((128 + ((CASE qk WHEN 0 THEN (13 * cu) // 4
+                                  WHEN 1 THEN 8 * cu
+                                  WHEN 2 THEN 16 * cu
+                                  ELSE 22 * cu END + 32) // 64))
+               + (128 + ((CASE qk WHEN 0 THEN (13 * cv) // 4
+                                  WHEN 1 THEN 8 * cv
+                                  WHEN 2 THEN 16 * cv
+                                  ELSE 22 * cv END + 32) // 64)))
+           AS BIGINT) AS pixel_sum
+    FROM (
+      SELECT doc_id, 32 + 2 * ((doc_id - 330) % 9) AS w,
+             32 + 2 * ((doc_id - 330) % 7) AS h,
+             (doc_id - 330) % 4 AS qk,
+             1 + (doc_id - 330) % 90 AS cy,
+             1 + (doc_id - 330) % 40 AS cu,
+             1 + ((doc_id - 330) // 3) % 40 AS cv
+      FROM documents WHERE doc_id >= 330 AND doc_id < 375
+    )
+    """
+    # r7 CABAC leg B (ids 375-419): the deblocked stepped strips again,
+    # arithmetic-coded — same generated closed form, shifted id range
+    + _avc_deblock_leg_sql(lo=375, hi=420),
     tags=("llm-multimodal",),
     doc="REAL H.264/AVC baseline I-frame decode inside the MP4 sample "
     "walk (r6 — VERDICT r5 #1): synthesize_avc_mp4_payloads writes "
@@ -3358,15 +3396,21 @@ def _avc_deblock_leg_sql() -> str:
     "for real: bS=4 strong/weak/no-filter MB edges plus the cascaded "
     "internal bS=3 correction, both orientations, qp 36-48; the "
     "oracle leg mirrors h264_steps_expected's integer closed form "
-    "with Table 8-16/8-17 constants inlined. Wire pinned by "
-    "hand-derived bit goldens + a 4000-case CAVLC round-trip sweep + "
-    "an independent in-test transcription of the §8.7 filter "
-    "(tests/test_h264_deblock.py; no H.264 reference exists "
-    "in-container — see module docstring for the validation "
-    "contract).",
+    "with Table 8-16/8-17 constants inlined. docs 330-419 (r7, "
+    "VERDICT r6 #3) are CABAC-coded — flat frames then deblocked "
+    "strips through the full §9.3 arithmetic tier (llm/h264_cabac.py: "
+    "context-modelled mb_type/CBP/qp-delta, significance maps, UEG0 "
+    "levels); same entropy-independent closed forms, so the oracle "
+    "legs replay the flat and stepped formulas over the shifted id "
+    "ranges. Wire pinned by hand-derived bit goldens + a 4000-case "
+    "CAVLC round-trip sweep + an independent in-test transcription "
+    "of the §8.7 filter + engine tables binary-extracted from "
+    "libde265/libx265 + a cross-entropy equivalence sweep "
+    "(tests/test_h264_cabac.py; no AVC reference exists in-container "
+    "— see both module docstrings for the validation contract).",
 )
 def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 330)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 420)
     media = multimodal.synthesize_avc_mp4_payloads(d, id_col="doc_id")
     return multimodal.decode_video_pixels(media, every_ms=400)
 
