@@ -2901,6 +2901,81 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "format_shard_zst",
+    """
+    WITH p AS (
+      SELECT doc_id, 4 + doc_id % 7 AS nl
+      FROM documents WHERE doc_id < 300
+    ), l AS (
+      SELECT p.doc_id, j.j AS line_idx,
+             65 + (p.doc_id + j.j) % 26 AS ch,
+             10 + (p.doc_id * 7 + j.j) % 23 AS len
+      FROM p, LATERAL (SELECT UNNEST(range(0, p.nl)) AS j) j
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(len) AS BIGINT) AS n_bytes,
+           CAST(SUM(ch * len) AS BIGINT) AS byte_sum,
+           CAST(SUM(ch * ch * len) AS BIGINT) AS byte_sq_sum
+    FROM l GROUP BY doc_id
+    """,
+    tags=("sources-formats",),
+    doc="REAL Zstandard shard ingestion (r7 — sources/zstd_codec, the "
+    "pure-Python RFC 8878 decoder for payload-COLUMN .zst where "
+    "Spark's file-level JVM codec can't reach): fixtures are actual "
+    "zstd frames — even ids through the sequence-coded encoder "
+    "(greedy LZ77 + predefined-FSE interleaved-state bitstream, so "
+    "the decoder's FSE machine, offset codes and backward streams run "
+    "for real), odd ids through store mode (raw/RLE blocks) — and "
+    "read_zst_jsonl_lines decompresses them in Arrow kernels, one "
+    "task per shard, nothing shuffling but the aggregate. Content is "
+    "closed-form repeated-byte lines, so the oracle checks the first "
+    "TWO exact byte moments (sum + sum of squares — the r5 "
+    "fingerprint rule) in pure integer SQL. Wire convention pinned "
+    "BOTH directions against the system libzstd 1.5.4 (90-case "
+    "level/shape sweep decodes bit-exactly; libzstd decodes both "
+    "fixture encoders) and the predefined FSE distributions are "
+    "binary-extracted from libzstd.so.1 — tests/test_zstd_codec.py.",
+)
+def format_shard_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.zstd_shards import (
+        read_zst_jsonl_lines,
+        synthesize_zst_jsonl_payloads,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    lines = read_zst_jsonl_lines(synthesize_zst_jsonl_payloads(d))
+    # lines are single-char repeats by construction, but the moments
+    # are computed from EVERY decoded byte, not the first one — a
+    # mid-line corruption must break the hash
+    staged = lines.select(
+        "doc_id",
+        "line_idx",
+        F.length("line").alias("len"),
+        F.transform(
+            F.split(F.col("line"), ""),
+            lambda c: F.ascii(c).cast("long"),
+        ).alias("bytes_arr"),
+    ).withColumn(
+        "bytes_arr", F.filter("bytes_arr", lambda b: b > 0)
+    )
+    agg = staged.select(
+        "doc_id",
+        "len",
+        F.aggregate("bytes_arr", F.lit(0).cast("long"), lambda a, x: a + x).alias("bsum"),
+        F.aggregate(
+            "bytes_arr", F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("bsq"),
+    )
+    return agg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("len").cast("long").alias("n_bytes"),
+        F.sum("bsum").cast("long").alias("byte_sum"),
+        F.sum("bsq").cast("long").alias("byte_sq_sum"),
+    )
+
+
 # Fixed BPE merge table for the graded apply-path entry (rank order).
 # The class words below exercise every application regime: multi-step
 # merges of merged tokens (abcef), rank-order-beats-greedy-length

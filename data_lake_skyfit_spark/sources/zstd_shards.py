@@ -1,0 +1,147 @@
+"""Spark surface for zst-compressed shard payloads (sources tier).
+
+`.zst` shards are how the big public LLM corpora ship (Dolma /
+RedPajama jsonl.zst, tar.zst WebDataset variants). Whole FILES Spark
+already handles (spark.read.json over .jsonl.zst — pinned in
+tests/test_zstd_codec.py); these operators cover the payload-COLUMN
+cases where decompression must happen inside the Arrow kernel:
+a corpus row carrying a compressed shard, a composite container
+holding zst members. Decode is the pure-Python sources/zstd_codec
+(wire-pinned against libzstd) so executors need no native deps.
+
+Scale: embarrassingly parallel mapInPandas — one task per shard
+payload, nothing shuffles except the rows the caller keeps. Bad
+payloads quarantine per row (line_idx −1, error text) rather than
+failing the task (the WARC/tar discipline).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .zstd_codec import zstd_compress, zstd_compress_store, zstd_decompress
+
+__all__ = [
+    "read_zst_jsonl_lines",
+    "read_tar_zst_members",
+    "synthesize_zst_jsonl_payloads",
+]
+
+_MAX_MEMBER = 1 << 27
+
+
+def read_zst_jsonl_lines(
+    df: DataFrame, *, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, payload=jsonl.zst bytes) → one row per decompressed line:
+    (id, line_idx, line, n_bytes). Malformed payloads yield a single
+    quarantine row (line_idx −1, error in `line`)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("line_idx", T.IntegerType()),
+            T.StructField("line", T.StringType()),
+            T.StructField("n_bytes", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lines, sizes = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                rid = int(rid)
+                try:
+                    raw = zstd_decompress(bytes(payload), max_out=_MAX_MEMBER)
+                    text = raw.decode("utf-8")
+                except (ValueError, UnicodeDecodeError) as e:
+                    ids.append(rid)
+                    idxs.append(-1)
+                    lines.append(f"error: {e}")
+                    sizes.append(0)
+                    continue
+                for i, ln in enumerate(text.splitlines()):
+                    ids.append(rid)
+                    idxs.append(i)
+                    lines.append(ln)
+                    sizes.append(len(ln.encode("utf-8")))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "line_idx": pd.array(idxs, dtype="int32"),
+                    "line": lines,
+                    "n_bytes": pd.array(sizes, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def read_tar_zst_members(
+    df: DataFrame, *, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, payload=tar.zst bytes) → the WebDataset member rows of
+    sources/webdataset.read_tar_members, after in-kernel zstd. The
+    compressed-shard composition real multimodal corpora use."""
+    from .webdataset import read_tar_members
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(payload_col, T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                try:
+                    out.append(zstd_decompress(bytes(payload), max_out=_MAX_MEMBER))
+                except ValueError:
+                    out.append(b"")  # read_tar_members quarantines it
+            yield pd.DataFrame({id_col: pdf[id_col], payload_col: out})
+
+    plain = df.select(id_col, payload_col).mapInPandas(kernel, schema)
+    if payload_col != "payload":
+        plain = plain.withColumnRenamed(payload_col, "payload")
+    return read_tar_members(plain, id_col=id_col)
+
+
+def synthesize_zst_jsonl_payloads(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Battery fixture: id → REAL jsonl.zst payload with a closed-form
+    construction the oracle mirrors in pure arithmetic. Per id:
+    nl = 4 + id % 7 lines; line j is the single byte
+    (65 + (id + j) % 26) repeated (10 + (id*7 + j) % 23) times — byte
+    sums/squares are integer closed forms, while the repeated content
+    gives the LZ77 matcher real matches. Even ids compress through the
+    sequence-coded encoder (predefined-FSE machine on the decode
+    side), odd ids through store mode (raw/RLE blocks), so both block
+    families sit under the battery gate."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rid in (int(v) for v in pdf[id_col]):
+                lines = [
+                    bytes([65 + (rid + j) % 26]) * (10 + (rid * 7 + j) % 23)
+                    for j in range(4 + rid % 7)
+                ]
+                raw = b"\n".join(lines) + b"\n"
+                enc = zstd_compress if rid % 2 == 0 else zstd_compress_store
+                payloads.append(enc(raw))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
