@@ -2902,7 +2902,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "format_shard_zst",
+    "format_shard_compressed",
     """
     WITH p AS (
       SELECT doc_id, 4 + doc_id % 7 AS nl
@@ -2921,31 +2921,33 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM l GROUP BY doc_id
     """,
     tags=("sources-formats",),
-    doc="REAL Zstandard shard ingestion (r7 — sources/zstd_codec, the "
-    "pure-Python RFC 8878 decoder for payload-COLUMN .zst where "
-    "Spark's file-level JVM codec can't reach): fixtures are actual "
-    "zstd frames — even ids through the sequence-coded encoder "
-    "(greedy LZ77 + predefined-FSE interleaved-state bitstream, so "
-    "the decoder's FSE machine, offset codes and backward streams run "
-    "for real), odd ids through store mode (raw/RLE blocks) — and "
-    "read_zst_jsonl_lines decompresses them in Arrow kernels, one "
-    "task per shard, nothing shuffling but the aggregate. Content is "
-    "closed-form repeated-byte lines, so the oracle checks the first "
-    "TWO exact byte moments (sum + sum of squares — the r5 "
-    "fingerprint rule) in pure integer SQL. Wire convention pinned "
-    "BOTH directions against the system libzstd 1.5.4 (90-case "
-    "level/shape sweep decodes bit-exactly; libzstd decodes both "
-    "fixture encoders) and the predefined FSE distributions are "
-    "binary-extracted from libzstd.so.1 — tests/test_zstd_codec.py.",
+    doc="REAL compressed-shard ingestion (r7 — the wire formats public "
+    "LLM corpora actually ship): payload-COLUMN decompression in Arrow "
+    "kernels where Spark's file-level JVM codecs can't reach, through "
+    "ONE magic-sniffed contract (sources/zstd_shards.decompress_shard) "
+    "cycling all four codecs across the fixture ids — sequence-coded "
+    "zstd (pure-Python RFC 8878: greedy LZ77 + predefined-FSE "
+    "interleaved-state bitstream, so the FSE machine, offset codes and "
+    "backward streams run for real), store-mode zstd (raw/RLE blocks), "
+    "LZ4 frames (sources/lz4_codec), and multi-member-capable gzip. "
+    "One task per shard, nothing shuffling but the aggregate. Content "
+    "is closed-form repeated-byte lines, so the oracle checks the "
+    "first TWO exact byte moments (sum + sum of squares — the r5 "
+    "fingerprint rule) in pure integer SQL. Wire conventions pinned "
+    "BOTH directions against the system references (libzstd 1.5.4: "
+    "90-case level/shape sweep decodes bit-exactly and the predefined "
+    "FSE distributions are binary-extracted from libzstd.so.1; "
+    "liblz4.so.1 round-trips both ways) — tests/test_zstd_codec.py, "
+    "tests/test_lz4_codec.py.",
 )
-def format_shard_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
+def format_shard_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.zstd_shards import (
-        read_zst_jsonl_lines,
+        read_compressed_jsonl_lines,
         synthesize_zst_jsonl_payloads,
     )
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    lines = read_zst_jsonl_lines(synthesize_zst_jsonl_payloads(d))
+    lines = read_compressed_jsonl_lines(synthesize_zst_jsonl_payloads(d))
     # lines are single-char repeats by construction, but the moments
     # are computed from EVERY decoded byte, not the first one — a
     # mid-line corruption must break the hash

@@ -24,9 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .lz4_codec import lz4_decompress
 from .zstd_codec import zstd_compress, zstd_compress_store, zstd_decompress
 
 __all__ = [
+    "decompress_shard",
+    "read_compressed_jsonl_lines",
     "read_zst_jsonl_lines",
     "read_tar_zst_members",
     "synthesize_zst_jsonl_payloads",
@@ -35,12 +38,49 @@ __all__ = [
 _MAX_MEMBER = 1 << 27
 
 
-def read_zst_jsonl_lines(
+def decompress_shard(payload: bytes, *, max_out: int = _MAX_MEMBER) -> bytes:
+    """Magic-sniffed shard decompression — ONE contract serving every
+    wire the public corpora use (the r4e WAV fmt-tag discipline):
+    zstd (0xFD2FB528), LZ4 frame (0x184D2204), gzip (0x1F 0x8B, via
+    stdlib zlib with growth bounded chunk-by-chunk), or already-plain
+    bytes (returned as-is only when they are not a known magic)."""
+    if len(payload) >= 4:
+        import struct
+
+        magic = struct.unpack_from("<I", payload, 0)[0]
+        if magic == 0xFD2FB528 or (magic & 0xFFFFFFF0) == 0x184D2A50:
+            return zstd_decompress(payload, max_out=max_out)
+        if magic == 0x184D2204:
+            return lz4_decompress(payload, max_out=max_out)
+    if payload[:2] == b"\x1f\x8b":
+        import zlib
+
+        out = bytearray()
+        data = payload
+        while data:
+            d = zlib.decompressobj(wbits=31)
+            while True:
+                chunk = d.decompress(data, 1 << 20)
+                out += chunk
+                if len(out) > max_out:
+                    raise ValueError("gzip: output exceeds bound")
+                data = d.unconsumed_tail
+                if d.eof or not chunk:
+                    break
+            if not d.eof:
+                raise ValueError("gzip: truncated stream")
+            data = d.unused_data  # multi-member concatenation
+        return bytes(out)
+    return payload
+
+
+def read_compressed_jsonl_lines(
     df: DataFrame, *, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, payload=jsonl.zst bytes) → one row per decompressed line:
-    (id, line_idx, line, n_bytes). Malformed payloads yield a single
-    quarantine row (line_idx −1, error in `line`)."""
+    """(id, payload = compressed JSONL bytes, codec magic-sniffed) →
+    one row per decompressed line: (id, line_idx, line, n_bytes).
+    Malformed payloads yield a single quarantine row (line_idx −1,
+    error in `line`)."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -56,7 +96,7 @@ def read_zst_jsonl_lines(
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 rid = int(rid)
                 try:
-                    raw = zstd_decompress(bytes(payload), max_out=_MAX_MEMBER)
+                    raw = decompress_shard(bytes(payload), max_out=_MAX_MEMBER)
                     text = raw.decode("utf-8")
                 except (ValueError, UnicodeDecodeError) as e:
                     ids.append(rid)
@@ -79,6 +119,11 @@ def read_zst_jsonl_lines(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+# the zst-specific name the first callers used; the reader has been
+# magic-sniffing since lz4/gzip joined the contract
+read_zst_jsonl_lines = read_compressed_jsonl_lines
 
 
 def read_tar_zst_members(
@@ -120,10 +165,11 @@ def synthesize_zst_jsonl_payloads(
     nl = 4 + id % 7 lines; line j is the single byte
     (65 + (id + j) % 26) repeated (10 + (id*7 + j) % 23) times — byte
     sums/squares are integer closed forms, while the repeated content
-    gives the LZ77 matcher real matches. Even ids compress through the
-    sequence-coded encoder (predefined-FSE machine on the decode
-    side), odd ids through store mode (raw/RLE blocks), so both block
-    families sit under the battery gate."""
+    gives the LZ77 matchers real matches. The codec cycles with
+    id % 4 — sequence-coded zstd (the predefined-FSE machine on the
+    decode side), store-mode zstd (raw/RLE blocks), LZ4 frame, and
+    gzip — so all four magic-sniffed decode paths sit under the
+    battery gate."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -132,6 +178,16 @@ def synthesize_zst_jsonl_payloads(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
+        from .lz4_codec import lz4_compress
+
+        encoders = (
+            zstd_compress,
+            zstd_compress_store,
+            lz4_compress,
+            lambda raw: gzip.compress(raw, mtime=0),  # deterministic
+        )
         for pdf in batches:
             payloads = []
             for rid in (int(v) for v in pdf[id_col]):
@@ -140,8 +196,7 @@ def synthesize_zst_jsonl_payloads(
                     for j in range(4 + rid % 7)
                 ]
                 raw = b"\n".join(lines) + b"\n"
-                enc = zstd_compress if rid % 2 == 0 else zstd_compress_store
-                payloads.append(enc(raw))
+                payloads.append(encoders[rid % 4](raw))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(kernel, out_schema)

@@ -196,8 +196,13 @@ def test_read_zst_jsonl_lines_and_quarantine(spark):
     from data_lake_skyfit_spark.sources.zstd_shards import read_zst_jsonl_lines
 
     good = zstd_compress(b"alpha\nbeta\ngamma\n")
+    corrupt = good[:4] + b"\xff" * 10  # zstd magic, garbage frame
     rows = spark.createDataFrame(
-        [(1, bytearray(good)), (2, bytearray(b"not zstd at all"))],
+        [
+            (1, bytearray(good)),
+            (2, bytearray(corrupt)),
+            (3, bytearray(b"plain\njsonl")),  # no magic -> passthrough
+        ],
         "doc_id long, payload binary",
     )
     got = {
@@ -206,6 +211,7 @@ def test_read_zst_jsonl_lines_and_quarantine(spark):
     }
     assert got[(1, 0)] == "alpha" and got[(1, 2)] == "gamma"
     assert got[(2, -1)].startswith("error:")
+    assert got[(3, 0)] == "plain" and got[(3, 1)] == "jsonl"
 
 
 def test_read_tar_zst_members(spark):
