@@ -149,3 +149,85 @@ def test_jpeg_reference_encode_repo_decode():
     _, _, _, mine = M._jpeg_pixels(jf)
     got = _GD.decode_rgb("jpeg", jf, 16, 16)
     assert all(got[i] == tuple(mine[3 * i : 3 * i + 3]) for i in range(256))
+
+
+# ---------------------------------------------------------------------------
+# TIFF — reference = libtiff.so.6 (file-based API; the callback/varargs
+# ABI is avoided except TIFFSetField's int-promoted scalars)
+
+
+def _load_libtiff():
+    try:
+        lib = ctypes.CDLL(ctypes.util.find_library("tiff") or "libtiff.so.6")
+    except OSError:
+        return None
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFSetField.restype = ctypes.c_int
+    lib.TIFFWriteScanline.restype = ctypes.c_int
+    lib.TIFFWriteScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint16,
+    ]
+    lib.TIFFReadRGBAImageOriented.restype = ctypes.c_int
+    lib.TIFFReadRGBAImageOriented.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int,
+    ]
+    lib.TIFFClose.restype = None
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+import ctypes
+import ctypes.util
+
+_TIFF = _load_libtiff()
+
+
+@pytest.mark.skipif(_TIFF is None, reason="libtiff not present")
+def test_tiff_repo_encode_reference_decode_exact(tmp_path):
+    w, h = 13, 9
+    fn = lambda x, y, c: (x * 7 + y * 11 + c * 29) % 256
+    for be in (False, True):
+        data = M.encode_tiff(w, h, fn, channels=3, big_endian=be)
+        p = tmp_path / f"t{be}.tif"
+        p.write_bytes(data)
+        tif = ctypes.c_void_p(_TIFF.TIFFOpen(str(p).encode(), b"r"))
+        assert tif.value, "reference rejected the repo-encoded TIFF"
+        buf = (ctypes.c_uint32 * (w * h))()
+        ok = _TIFF.TIFFReadRGBAImageOriented(tif, w, h, buf, 1, 0)
+        _TIFF.TIFFClose(tif)
+        assert ok
+        for y in range(h):
+            for x in range(w):
+                v = buf[y * w + x]
+                assert (v & 255, (v >> 8) & 255, (v >> 16) & 255) == (
+                    fn(x, y, 0), fn(x, y, 1), fn(x, y, 2)
+                ), (be, x, y)
+
+
+@pytest.mark.skipif(_TIFF is None, reason="libtiff not present")
+def test_tiff_reference_encode_repo_decode_exact(tmp_path):
+    w, h = 13, 9
+    fn = lambda x, y, c: (x * 7 + y * 11 + c * 29) % 256
+    p = tmp_path / "ref.tif"
+    tif = ctypes.c_void_p(_TIFF.TIFFOpen(str(p).encode(), b"w"))
+    assert tif.value
+
+    def setf(tag, val):
+        # C varargs promote shorts to int — EVERY scalar tag value must
+        # go through c_int or the call reads garbage off the register
+        assert _TIFF.TIFFSetField(tif, ctypes.c_uint32(tag), ctypes.c_int(val)) == 1
+
+    setf(256, w); setf(257, h); setf(258, 8); setf(259, 1)  # dims/8bit/none
+    setf(262, 2); setf(277, 3); setf(278, 1); setf(284, 1)  # RGB contig
+    for y in range(h):
+        row = bytes(fn(x, y, c) for x in range(w) for c in range(3))
+        assert _TIFF.TIFFWriteScanline(tif, row, y, 0) == 1
+    _TIFF.TIFFClose(tif)
+    mw, mh, mch, mbytes = M._tiff_pixels(p.read_bytes())
+    assert (mw, mh, mch) == (w, h, 3)
+    assert all(
+        mbytes[(y * w + x) * 3 + c] == fn(x, y, c)
+        for y in range(h) for x in range(w) for c in range(3)
+    )
