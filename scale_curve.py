@@ -521,6 +521,48 @@ def main() -> None:
                 "dedup_span_removal",
                 lambda: _span_removal(d, k=6).count(),
             )
+        if "shards" in ops:
+            # r7: pure-Python compressed-shard decode at scale — one
+            # ~30 KB zstd/lz4/gzip payload per doc (docs' text tripled
+            # so the matchers have real work), decoded in Arrow
+            # kernels; zero shuffle, output rows = Σ lines ∝ factor.
+            from pyspark.sql import functions as _Fs
+
+            from data_lake_skyfit_spark.sources.zstd_shards import (
+                read_compressed_jsonl_lines,
+            )
+            from data_lake_skyfit_spark.sources.zstd_codec import (
+                zstd_compress as _zc, zstd_compress_store as _zs,
+            )
+            from data_lake_skyfit_spark.sources.lz4_codec import lz4_compress as _l4
+            import gzip as _gz
+
+            def shard_count():
+                import pandas as _pd
+                from pyspark.sql import types as _T
+
+                schema = _T.StructType([
+                    _T.StructField("doc_id", _T.LongType()),
+                    _T.StructField("payload", _T.BinaryType()),
+                ])
+                encs = (_zc, _zs, _l4, lambda b: _gz.compress(b, mtime=0))
+
+                def kern(batches):
+                    for pdf in batches:
+                        payloads = [
+                            encs[int(rid) % 4](
+                                (str(txt) * 12).encode("utf-8", "ignore")
+                            )
+                            for rid, txt in zip(pdf["doc_id"], pdf["text"])
+                        ]
+                        yield _pd.DataFrame(
+                            {"doc_id": pdf["doc_id"], "payload": payloads}
+                        )
+
+                payloads = d.select("doc_id", "text").mapInPandas(kern, schema)
+                return read_compressed_jsonl_lines(payloads).count()
+
+            timed("format_shard_compressed", shard_count)
         if "hamming" in ops:
             # r4e: perceptual image dedup end-to-end — PNG encode +
             # real decode + dHash are the linear legs, the banded
