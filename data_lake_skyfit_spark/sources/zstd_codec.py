@@ -787,17 +787,19 @@ def _ml_code(ml: int) -> int:
     return c
 
 
-def _encode_block_sequences(chunk: bytes, abs_start: int, data: bytes) -> bytes:
+def _encode_block_sequences(
+    chunk: bytes, abs_start: int, data: bytes, table: dict
+) -> bytes:
     """One compressed block body for chunk = data[abs_start:...]:
-    raw literals + greedy hash-chain matches, predefined-FSE coded."""
+    raw literals + greedy hash-chain matches, predefined-FSE coded.
+    `table` is the per-frame hash table (threaded explicitly so
+    concurrent encodes never share state)."""
     # --- greedy matcher (4-byte hash, most-recent position)
     seqs: list[tuple[int, int, int]] = []  # (ll, offset, ml)
     lits = bytearray()
     n = len(chunk)
     i = 0
     run_start = 0
-    global _HASH  # per-frame table, threaded by the caller
-    table = _HASH
     while i + 4 <= n:
         apos = abs_start + i
         key = data[apos : apos + 4]
@@ -905,21 +907,17 @@ def zstd_compress(data: bytes) -> bytes:
     if not data:
         out += b"\x01\x00\x00"
         return bytes(out)
-    global _HASH
-    _HASH = {}
-    try:
-        pos = 0
-        while pos < len(data):
-            chunk = data[pos : pos + _BLOCK_MAX]
-            last = 1 if pos + len(chunk) >= len(data) else 0
-            body = _encode_block_sequences(chunk, pos, data)
-            if len(body) >= len(chunk):
-                bh = last | (0 << 1) | (len(chunk) << 3)
-                out += struct.pack("<I", bh)[:3] + chunk
-            else:
-                bh = last | (2 << 1) | (len(body) << 3)
-                out += struct.pack("<I", bh)[:3] + body
-            pos += len(chunk)
-    finally:
-        _HASH = {}
+    table: dict = {}
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + _BLOCK_MAX]
+        last = 1 if pos + len(chunk) >= len(data) else 0
+        body = _encode_block_sequences(chunk, pos, data, table)
+        if len(body) >= len(chunk):
+            bh = last | (0 << 1) | (len(chunk) << 3)
+            out += struct.pack("<I", bh)[:3] + chunk
+        else:
+            bh = last | (2 << 1) | (len(body) << 3)
+            out += struct.pack("<I", bh)[:3] + body
+        pos += len(chunk)
     return bytes(out)
