@@ -2925,11 +2925,15 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LLM corpora actually ship): payload-COLUMN decompression in Arrow "
     "kernels where Spark's file-level JVM codecs can't reach, through "
     "ONE magic-sniffed contract (sources/zstd_shards.decompress_shard) "
-    "cycling all four codecs across the fixture ids — sequence-coded "
+    "cycling SEVEN codecs across the fixture ids — sequence-coded "
     "zstd (pure-Python RFC 8878: greedy LZ77 + predefined-FSE "
     "interleaved-state bitstream, so the FSE machine, offset codes and "
     "backward streams run for real), store-mode zstd (raw/RLE blocks), "
-    "LZ4 frames (sources/lz4_codec), and multi-member-capable gzip. "
+    "LZ4 frames (sources/lz4_codec), multi-member-capable gzip, and "
+    "(r7b) bzip2 + xz (stdlib-backed, multistream-looped, growth "
+    "bounded chunk-by-chunk) + brotli (pure-Python RFC 7932 decoder, "
+    "sources/brotli_codec — headerless, so the fixture carries the "
+    "'br' codec-hint column a real ingest gets from the extension). "
     "One task per shard, nothing shuffling but the aggregate. Content "
     "is closed-form repeated-byte lines, so the oracle checks the "
     "first TWO exact byte moments (sum + sum of squares — the r5 "
@@ -2937,8 +2941,11 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "BOTH directions against the system references (libzstd 1.5.4: "
     "90-case level/shape sweep decodes bit-exactly and the predefined "
     "FSE distributions are binary-extracted from libzstd.so.1; "
-    "liblz4.so.1 round-trips both ways) — tests/test_zstd_codec.py, "
-    "tests/test_lz4_codec.py.",
+    "liblz4.so.1 round-trips both ways; libbrotli 1.0.9: full "
+    "quality/window sweep decodes bit-exactly, dictionary + context "
+    "tables + transforms binary-extracted, all 121 transforms "
+    "arbitrated on hand streams) — tests/test_zstd_codec.py, "
+    "tests/test_lz4_codec.py, tests/test_brotli_codec.py.",
 )
 def format_shard_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.zstd_shards import (
@@ -2947,7 +2954,9 @@ def format_shard_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    lines = read_compressed_jsonl_lines(synthesize_zst_jsonl_payloads(d))
+    lines = read_compressed_jsonl_lines(
+        synthesize_zst_jsonl_payloads(d), codec_col="codec"
+    )
     # lines are single-char repeats by construction, but the moments
     # are computed from EVERY decoded byte, not the first one — a
     # mid-line corruption must break the hash

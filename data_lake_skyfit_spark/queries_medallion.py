@@ -628,25 +628,45 @@ def format_roundtrip_csv_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "warc_ingest",
     """
-    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300)
+    WITH d AS (SELECT doc_id, text, strlen(text) AS L
+               FROM documents WHERE doc_id < 300)
     SELECT doc_id, CAST(0 AS INT) AS rec_idx,
            'warcinfo' AS warc_type,
            CAST(NULL AS VARCHAR) AS target_uri,
            CAST(18 AS BIGINT) AS content_length,
            CAST(NULL AS INT) AS http_status,
+           CAST(NULL AS VARCHAR) AS content_encoding,
            md5('software: skyfit' || chr(13) || chr(10)) AS body_md5
     FROM d
     UNION ALL
     SELECT doc_id, CAST(1 AS INT), 'response',
            'http://corpus.test/' || CAST(doc_id AS VARCHAR),
-           CAST(45 + strlen(text) AS BIGINT), CAST(200 AS INT), md5(text)
+           CAST(CASE doc_id % 3
+                -- identity: headers(45) + body
+                WHEN 0 THEN 45 + L
+                -- gzip stored blocks: +24 header line, wire = L + 18
+                -- + 5 per 65535-byte block (sources/warc.py:_gzip_store)
+                WHEN 1 THEN 45 + 24 + L + 18
+                            + 5 * ((GREATEST(L, 1) + 65534) // 65535)
+                -- brotli store: +22 header line, wire per
+                -- brotli_compress_store's closed form
+                ELSE 45 + 22 + CASE WHEN L = 0 THEN 1
+                                    WHEN L <= 65536 THEN L + 4
+                                    WHEN L <= 1048576 THEN L + 5
+                                    ELSE L + 6 END
+                END AS BIGINT),
+           CAST(200 AS INT),
+           CASE doc_id % 3 WHEN 1 THEN 'gzip' WHEN 2 THEN 'br'
+                ELSE CAST(NULL AS VARCHAR) END,
+           md5(text)
     FROM d
     UNION ALL
     SELECT doc_id, CAST(2 AS INT), 'metadata',
            'http://corpus.test/' || CAST(doc_id AS VARCHAR),
-           CAST(strlen('length: ' || CAST(strlen(text) AS VARCHAR)) AS BIGINT),
+           CAST(strlen('length: ' || CAST(L AS VARCHAR)) AS BIGINT),
            CAST(NULL AS INT),
-           md5('length: ' || CAST(strlen(text) AS VARCHAR))
+           CAST(NULL AS VARCHAR),
+           md5('length: ' || CAST(L AS VARCHAR))
     FROM d
     """,
     tags=("S1", "sources-formats", "llm-multimodal"),
@@ -657,11 +677,16 @@ def format_roundtrip_csv_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "*.warc.gz splittability convention), read_warc_records walks the "
     "records for real — CRLF header blocks, Content-Length-delimited "
     "payloads validated BEFORE slicing, bounded member-by-member zlib "
-    "inflation, HTTP status/body split. The oracle recomputes every "
-    "field arithmetically (byte lengths via strlen, not codepoint "
-    "length(); md5 over the literal body strings). Corrupt archives "
-    "quarantine to NULL-type rows — pinned with fuzz cases in "
-    "tests/test_formats.py.",
+    "inflation, HTTP status/body split. r7b: responses rotate HTTP "
+    "Content-Encoding identity/gzip/brotli by doc_id%3 — gzip as "
+    "stored-DEFLATE and brotli via brotli_compress_store, both chosen "
+    "for closed-form wire lengths the oracle mirrors, with the REAL "
+    "pure-Python brotli decoder (sources/brotli_codec.py, "
+    "libbrotli-cross-pinned) decoding the bodies in-battery; body_md5 "
+    "is over the DECODED body so all three encodings hash to md5(text). "
+    "The oracle recomputes every field arithmetically (byte lengths "
+    "via strlen, not codepoint length()). Corrupt archives quarantine "
+    "to NULL-type rows — pinned with fuzz cases in tests/test_formats.py.",
 )
 def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import warc

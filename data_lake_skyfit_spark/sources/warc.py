@@ -48,6 +48,52 @@ _HTTP_HEADERS = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
 _MAX_INFLATE = 64 << 20  # bound per gzip member (r4 fuzz rule)
 
 
+def _gzip_store(data: bytes) -> bytes:
+    """Gzip wrapping DEFLATE stored blocks — a valid wire any inflater
+    accepts, with a CLOSED-FORM length the warc_ingest oracle mirrors:
+    len = 10 (header) + 5 * ceil(max(L,1)/65535) (block headers) + L
+    + 8 (crc32 + isize)."""
+    out = bytearray(b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff")
+    chunks = [data[i: i + 65535] for i in range(0, len(data), 65535)] or [b""]
+    for i, chunk in enumerate(chunks):
+        out.append(1 if i == len(chunks) - 1 else 0)  # BFINAL, BTYPE=00
+        out += len(chunk).to_bytes(2, "little")
+        out += (len(chunk) ^ 0xFFFF).to_bytes(2, "little")
+        out += chunk
+    out += (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    out += (len(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
+def _decode_http_body(body: bytes, encoding: str | None) -> bytes:
+    """Apply HTTP Content-Encoding (the Common Crawl response reality:
+    identity, gzip, or brotli). Unknown encodings pass through raw —
+    the content_encoding column says what the bytes are; decode
+    failures raise ValueError (record malformed)."""
+    if encoding in (None, "", "identity"):
+        return body
+    if encoding in ("gzip", "x-gzip"):
+        d = zlib.decompressobj(wbits=31)
+        out = bytearray()
+        data = body
+        while True:
+            chunk = d.decompress(data, 1 << 20)
+            out += chunk
+            if len(out) > _MAX_INFLATE:
+                raise ValueError("warc: encoded body exceeds inflate bound")
+            data = d.unconsumed_tail
+            if d.eof or not chunk:
+                break
+        if not d.eof:
+            raise ValueError("warc: truncated gzip body")
+        return bytes(out)
+    if encoding == "br":
+        from .brotli_codec import brotli_decompress
+
+        return brotli_decompress(body, max_out=_MAX_INFLATE)
+    return body
+
+
 def encode_warc(
     records: list[tuple[str, str | None, bytes]],
     *,
@@ -141,20 +187,27 @@ def parse_warc(data: bytes, *, include_body: bool = False) -> list[dict]:
             wtype = headers.get("warc-type", "")
             status = None
             body = block
+            encoding = None
             if wtype == "response" and block[:5] == b"HTTP/":
                 http_end = block.find(_CRLF + _CRLF)
                 if http_end < 0:
                     raise ValueError("warc: response record without HTTP header end")
-                status_line = block[: block.find(_CRLF)].split(b" ")
+                http_lines = block[:http_end].split(_CRLF)
+                status_line = http_lines[0].split(b" ")
                 if len(status_line) < 2 or not status_line[1].isdigit():
                     raise ValueError("warc: malformed HTTP status line")
                 status = int(status_line[1])
-                body = block[http_end + 4 :]
+                for hline in http_lines[1:]:
+                    hk, hsep, hv = hline.partition(b":")
+                    if hsep and hk.strip().lower() == b"content-encoding":
+                        encoding = hv.decode("ascii", "replace").strip().lower()
+                body = _decode_http_body(block[http_end + 4:], encoding)
             rec = {
                 "warc_type": wtype,
                 "target_uri": headers.get("warc-target-uri"),
                 "content_length": clen,
                 "http_status": status,
+                "content_encoding": encoding,
                 "body_md5": hashlib.md5(body).hexdigest(),
             }
             if include_body:
@@ -177,17 +230,31 @@ def synthesize_warc_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFr
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .brotli_codec import brotli_compress_store
+
         for pdf in batches:
             payloads = []
             for rid, text in zip(pdf[id_col], pdf["text"]):
                 rid = int(rid)
                 body = ("" if text is None else str(text)).encode("utf-8")
                 uri = f"http://corpus.test/{rid}"
+                # HTTP Content-Encoding rotates by id — identity /
+                # gzip(stored) / brotli(store), both encoders chosen
+                # for CLOSED-FORM lengths the oracle can mirror
+                mode = rid % 3
+                if mode == 1:
+                    http = (_HTTP_HEADERS[:-2] + b"Content-Encoding: gzip\r\n"
+                            + _CRLF + _gzip_store(body))
+                elif mode == 2:
+                    http = (_HTTP_HEADERS[:-2] + b"Content-Encoding: br\r\n"
+                            + _CRLF + brotli_compress_store(body))
+                else:
+                    http = _HTTP_HEADERS + body
                 payloads.append(
                     encode_warc(
                         [
                             ("warcinfo", None, b"software: skyfit\r\n"),
-                            ("response", uri, _HTTP_HEADERS + body),
+                            ("response", uri, http),
                             ("metadata", uri, f"length: {len(body)}".encode()),
                         ],
                         gzip_members=bool(rid % 2),
@@ -217,6 +284,7 @@ def read_warc_records(
         T.StructField("target_uri", T.StringType()),
         T.StructField("content_length", T.LongType()),
         T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_encoding", T.StringType()),
         T.StructField("body_md5", T.StringType()),
     ]
     if include_body:
@@ -251,6 +319,7 @@ def read_warc_records(
                         r["target_uri"],
                         r["content_length"],
                         r["http_status"],
+                        r["content_encoding"],
                         r["body_md5"],
                     )
                     if include_body:

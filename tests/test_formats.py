@@ -168,11 +168,25 @@ def test_warc_spark_ingest_and_quarantine(spark):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append(r)
+    # responses rotate Content-Encoding by doc_id % 3 (r7b): 1 -> gzip
+    # stored-DEFLATE (L+18+5 wire), 2 -> brotli store (L+4 wire for
+    # 0 < L <= 65536), 0 -> identity; all with closed-form lengths
+    import hashlib
+
+    expected = {
+        1: ("gzip", lambda L: 45 + 24 + L + 18 + 5),
+        2: ("br", lambda L: 45 + 22 + L + 4),
+        3: (None, lambda L: 45 + L),
+    }
     for did, text in ((1, "alpha beta"), (2, "gamma"), (3, "delta epsilon zeta")):
         rows = sorted(by_doc[did], key=lambda r: r["rec_idx"])
         assert [r["warc_type"] for r in rows] == ["warcinfo", "response", "metadata"]
         assert rows[1]["target_uri"] == f"http://corpus.test/{did}"
-        assert rows[1]["content_length"] == 45 + len(text)
+        enc, clen_form = expected[did]
+        assert rows[1]["content_encoding"] == enc
+        assert rows[1]["content_length"] == clen_form(len(text))
+        # body_md5 hashes the DECODED body regardless of encoding
+        assert rows[1]["body_md5"] == hashlib.md5(text.encode()).hexdigest()
         assert rows[1]["http_status"] == 200
     q = by_doc[99]
     assert len(q) == 1 and q[0]["rec_idx"] == -1 and q[0]["warc_type"] is None
