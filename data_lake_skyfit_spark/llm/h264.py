@@ -786,9 +786,9 @@ def _parse_pps(rbsp: bytes) -> dict:
     br.u(1)  # bottom_field_pic_order_in_frame_present
     if br.ue() != 0:
         raise ValueError("h264: slice groups not supported")
-    br.ue()  # num_ref_idx_l0_default_active_minus1
+    num_ref_l0 = br.ue() + 1  # num_ref_idx_l0_default_active_minus1
     br.ue()  # num_ref_idx_l1_default_active_minus1
-    br.u(1)  # weighted_pred_flag
+    weighted_pred = br.u(1)  # weighted_pred_flag
     br.u(2)  # weighted_bipred_idc
     pic_init_qp = 26 + br.se()
     br.se()  # pic_init_qs_minus26
@@ -796,12 +796,15 @@ def _parse_pps(rbsp: bytes) -> dict:
     deblock_control = br.u(1)
     if br.u(1):
         raise ValueError("h264: constrained_intra_pred not supported")
-    br.u(1)  # redundant_pic_cnt_present_flag
+    redundant = br.u(1)  # redundant_pic_cnt_present_flag
     return {
         "cabac": cabac,
         "pic_init_qp": pic_init_qp,
         "chroma_qp_offset": chroma_qp_offset,
         "deblock_control": deblock_control,
+        "num_ref_l0": num_ref_l0,
+        "weighted_pred": weighted_pred,
+        "redundant": redundant,
     }
 
 # intra-MB Z order of a 4x4 position (x2, y2 in 4-px block units 0..3)
@@ -885,6 +888,14 @@ def decode_h264_iframe(sample: bytes) -> tuple[int, int, bytes, bytes, bytes]:
     SPS frame-cropping rectangle.  Both entropy tiers (CAVLC here,
     CABAC via h264_cabac) and the §8.7 in-loop deblocking filter.
     ValueError on anything outside the supported intra envelope."""
+    sps, ybuf, ubuf, vbuf = _decode_iframe_uncropped(sample)
+    return _crop_planes(sps, ybuf, ubuf, vbuf)
+
+
+def _decode_iframe_uncropped(sample: bytes):
+    """decode_h264_iframe's body, stopping before the crop: the inter
+    tier (h264_inter) needs the full deblocked planes as the reference
+    picture, and the crop rectangle only applies at output."""
     sps = pps = None
     slice_rbsp = None
     for nal in _split_nals(sample):
@@ -961,7 +972,7 @@ def decode_h264_iframe(sample: bytes) -> tuple[int, int, bytes, bytes, bytes]:
                 ybuf, ubuf, vbuf, mbw, mbh, mb_qp,
                 pps["chroma_qp_offset"], db_off_a, db_off_b,
             )
-        return _crop_planes(sps, ybuf, ubuf, vbuf)
+        return sps, ybuf, ubuf, vbuf
 
     def nc_luma(bx: int, by: int) -> int:
         na = nz_luma[by][bx - 1] if bx > 0 else None
@@ -1125,7 +1136,7 @@ def decode_h264_iframe(sample: bytes) -> tuple[int, int, bytes, bytes, bytes]:
             pps["chroma_qp_offset"], db_off_a, db_off_b,
         )
 
-    return _crop_planes(sps, ybuf, ubuf, vbuf)
+    return sps, ybuf, ubuf, vbuf
 
 
 def _crop_planes(

@@ -1,0 +1,1009 @@
+"""H.264/AVC inter (P-frame) tier — ITU-T H.264 §8.4 motion
+compensation + P-slice syntax, pure Python, layered on llm/h264.py's
+intra machinery.  Turns the I-frame decoder into a GOP decoder:
+`decode_h264_gop` walks an IDR + P access-unit sequence and returns
+every reconstructed frame.
+
+Supported envelope (reject-never-approximate, the module family's
+contract): baseline-profile P slices, CAVLC entropy, 4:2:0,
+frame_mbs_only, one slice per picture, a SINGLE reference picture
+(num_ref_idx_l0_active == 1 — the previous decoded frame, which is
+the deblocked picture per the in-loop filter definition), no weighted
+prediction, no reference-list modification, no adaptive marking.
+All P macroblock types decode: P_Skip (with the §8.4.1.1 zero-mv
+rule), P_L0_16x16, 16x8/8x16 with their directional MV predictors,
+P_8x8 / P_8x8ref0 with every sub-partition shape, and intra MBs
+inside P slices (Intra_4x4 / Intra_16x16 / I_PCM, reconstructing
+from inter neighbors' samples since constrained_intra_pred is
+rejected upstream).  Quarter-pel luma interpolation is the §8.4.2.2.1
+6-tap (1,-5,20,20,-5,1) with edge clamping; chroma is eighth-pel
+bilinear.  All arithmetic is integer-exact.
+
+Deblocking generalizes h264.py's intra-picture pass with the full
+§8.7.2.1 bS derivation per 4-sample edge segment (intra → 4/3,
+coded residual → 2, mv delta >= one integer sample or ref mismatch →
+1, else unfiltered).
+
+Wire-convention provenance: the inter coded_block_pattern mapping
+(`_CBP_INTER`, Table 9-4 inter column) is transcribed from the
+published spec table.  Like h264_cabac's context-init table, NO
+in-container AVC reference exists to arbitrate the transcription
+(verified again this round: a byte-pattern sweep of every system
+library found no H.264 CBP tables).  The graded fixtures are
+entropy-checked against closed forms that do not depend on the
+mapping being the spec's (encoder and decoder share it), and
+tests assert the structural invariants (a permutation of 0..47).
+This is the tier's weakest-pinned table and is flagged as such.
+
+Reference-repo analog: opaque media blobs only
+(/root/reference/src/common/lake.py:59-71); this tier derives from
+the public H.264 spec alone.
+"""
+
+from __future__ import annotations
+
+from .h264 import (
+    _BitReader,
+    _BitWriter,
+    _CBP_INTRA,
+    _DB_ALPHA,
+    _DB_BETA,
+    _DB_TC0,
+    _ZIGZAG_4x4,
+    _blk_xy,
+    _chroma_qp,
+    _clip3,
+    _clip255,
+    _core_idct4x4,
+    _crop_planes,
+    _db_filter_chroma_line,
+    _db_filter_luma_line,
+    _decode_cavlc_block,
+    _decode_iframe_uncropped,
+    _dequant_ac,
+    _hadamard4x4,
+    _nal,
+    _parse_pps,
+    _parse_sps,
+    _pps_writer,
+    _pred_chroma8,
+    _pred_luma4,
+    _pred_luma16,
+    _scale_chroma_dc,
+    _scale_luma_dc,
+    _split_nals,
+    _sps_writer,
+    _strip_emulation,
+    _write_cavlc_block,
+)
+
+__all__ = [
+    "decode_h264_gop",
+    "encode_h264_gop_steps",
+    "h264_gop_expected",
+]
+
+# Table 9-4, coded_block_pattern mapping for Inter macroblocks
+# (codeNum -> CBP).  Spec transcription — see module docstring for the
+# provenance caveat; tests assert it is a permutation of 0..47.
+_CBP_INTER = (
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15,
+    47, 7, 11, 13, 14, 6, 9, 31, 35, 37, 42, 44,
+    33, 34, 36, 40, 39, 43, 45, 46, 17, 18, 20, 24,
+    19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+)
+
+
+def _median(a: int, b: int, c: int) -> int:
+    return max(min(a, b), min(max(a, b), c))
+
+
+# ------------------------------------------------------------------ MC
+
+
+def _mc_luma(ref: bytes, W: int, H: int, dst: list[int],
+             px: int, py: int, bw: int, bh: int,
+             mvx: int, mvy: int) -> None:
+    """§8.4.2.2.1 quarter-pel luma interpolation of a bw x bh block at
+    (px, py); writes prediction samples into dst (row-major bw*bh).
+    Out-of-picture reads clamp to the frame edge."""
+    fx, fy = mvx & 3, mvy & 3
+    ox, oy = px + (mvx >> 2), py + (mvy >> 2)
+
+    def E(x: int, y: int) -> int:
+        if x < 0:
+            x = 0
+        elif x >= W:
+            x = W - 1
+        if y < 0:
+            y = 0
+        elif y >= H:
+            y = H - 1
+        return ref[y * W + x]
+
+    if fx == 0 and fy == 0:
+        for r in range(bh):
+            for c in range(bw):
+                dst[r * bw + c] = E(ox + c, oy + r)
+        return
+
+    def half_h_raw(x: int, y: int) -> int:
+        return (E(x - 2, y) - 5 * E(x - 1, y) + 20 * E(x, y)
+                + 20 * E(x + 1, y) - 5 * E(x + 2, y) + E(x + 3, y))
+
+    def half_v_raw(x: int, y: int) -> int:
+        return (E(x, y - 2) - 5 * E(x, y - 1) + 20 * E(x, y)
+                + 20 * E(x, y + 1) - 5 * E(x, y + 2) + E(x, y + 3))
+
+    def B(x: int, y: int) -> int:  # horizontal half-pel, clipped
+        return _clip255((half_h_raw(x, y) + 16) >> 5)
+
+    def Hv(x: int, y: int) -> int:  # vertical half-pel, clipped
+        return _clip255((half_v_raw(x, y) + 16) >> 5)
+
+    def J(x: int, y: int) -> int:  # centre half-pel, clipped
+        j1 = (half_h_raw(x, y - 2) - 5 * half_h_raw(x, y - 1)
+              + 20 * half_h_raw(x, y) + 20 * half_h_raw(x, y + 1)
+              - 5 * half_h_raw(x, y + 2) + half_h_raw(x, y + 3))
+        return _clip255((j1 + 512) >> 10)
+
+    def avg(u: int, v: int) -> int:
+        return (u + v + 1) >> 1
+
+    for r in range(bh):
+        y = oy + r
+        for c in range(bw):
+            x = ox + c
+            if fy == 0:  # a / b / c row
+                b = B(x, y)
+                if fx == 1:
+                    v = avg(E(x, y), b)
+                elif fx == 2:
+                    v = b
+                else:
+                    v = avg(b, E(x + 1, y))
+            elif fx == 0:  # d / h / n column
+                h = Hv(x, y)
+                if fy == 1:
+                    v = avg(E(x, y), h)
+                elif fy == 2:
+                    v = h
+                else:
+                    v = avg(h, E(x, y + 1))
+            elif fx == 2 and fy == 2:
+                v = J(x, y)
+            elif fx == 2:  # f / q
+                j = J(x, y)
+                v = avg(B(x, y) if fy == 1 else B(x, y + 1), j)
+            elif fy == 2:  # i / k
+                j = J(x, y)
+                v = avg(Hv(x, y) if fx == 1 else Hv(x + 1, y), j)
+            else:  # e / g / p / r quarter diagonals
+                b = B(x, y) if fy == 1 else B(x, y + 1)
+                h = Hv(x, y) if fx == 1 else Hv(x + 1, y)
+                v = avg(b, h)
+            dst[r * bw + c] = v
+
+
+def _mc_chroma(ref: bytes, CW: int, CH: int, dst: list[int],
+               px: int, py: int, bw: int, bh: int,
+               mvx: int, mvy: int) -> None:
+    """§8.4.2.2.2 eighth-pel bilinear chroma interpolation (4:2:0:
+    the luma quarter-pel vector IS the chroma eighth-pel vector)."""
+    fx, fy = mvx & 7, mvy & 7
+    ox, oy = px + (mvx >> 3), py + (mvy >> 3)
+
+    def E(x: int, y: int) -> int:
+        if x < 0:
+            x = 0
+        elif x >= CW:
+            x = CW - 1
+        if y < 0:
+            y = 0
+        elif y >= CH:
+            y = CH - 1
+        return ref[y * CW + x]
+
+    for r in range(bh):
+        y = oy + r
+        for c in range(bw):
+            x = ox + c
+            a = E(x, y)
+            b = E(x + 1, y)
+            cc = E(x, y + 1)
+            d = E(x + 1, y + 1)
+            dst[r * bw + c] = (
+                (8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+                + (8 - fx) * fy * cc + fx * fy * d + 32
+            ) >> 6
+
+
+# ------------------------------------------------------- MV prediction
+
+
+class _MvGrid:
+    """Per-4x4 motion state of the CURRENT picture: None = not yet
+    decoded / outside, 'I' = intra cell (available neighbor, but
+    refIdx -1 for prediction), tuple = inter mv in quarter-pel."""
+
+    def __init__(self, mbw: int, mbh: int) -> None:
+        self.w = mbw * 4
+        self.h = mbh * 4
+        self.g: list[list] = [[None] * self.w for _ in range(self.h)]
+
+    def cell(self, x: int, y: int):
+        if x < 0 or y < 0 or x >= self.w or y >= self.h:
+            return None
+        return self.g[y][x]
+
+    def neighbor(self, x: int, y: int) -> tuple[bool, int, tuple[int, int]]:
+        """(available, refIdx, mv) of the cell per §8.4.1.3.2 — intra
+        or unavailable neighbors predict with refIdx -1 and mv 0."""
+        v = self.cell(x, y)
+        if v is None:
+            return False, -1, (0, 0)
+        if v == "I":
+            return True, -1, (0, 0)
+        return True, 0, v
+
+    def fill(self, bx: int, by: int, wb: int, hb: int, value) -> None:
+        for yy in range(by, by + hb):
+            row = self.g[yy]
+            for xx in range(bx, bx + wb):
+                row[xx] = value
+
+
+def _mvp(grid: _MvGrid, bx: int, by: int, wb: int, hb: int,
+         kind: str = "") -> tuple[int, int]:
+    """§8.4.1.3 luma MV prediction for the partition whose top-left
+    4x4 cell is (bx, by), wb x hb cells; `kind` marks the directional
+    two-partition cases ('t'/'b' for 16x8, 'l'/'r' for 8x16)."""
+    avail_a, ref_a, mv_a = grid.neighbor(bx - 1, by)
+    avail_b, ref_b, mv_b = grid.neighbor(bx, by - 1)
+    avail_c, ref_c, mv_c = grid.neighbor(bx + wb, by - 1)
+    if not avail_c:  # substitute D (above-left) for C
+        avail_c, ref_c, mv_c = grid.neighbor(bx - 1, by - 1)
+
+    if kind == "t" and ref_b == 0:
+        return mv_b
+    if kind in ("b", "l") and ref_a == 0:
+        return mv_a
+    if kind == "r" and ref_c == 0:
+        return mv_c
+
+    # when B and C are unavailable and A is available, they inherit A
+    if not avail_b and not avail_c and avail_a:
+        ref_b = ref_c = ref_a
+        mv_b = mv_c = mv_a
+    matches = [(r, m) for r, m in ((ref_a, mv_a), (ref_b, mv_b),
+                                   (ref_c, mv_c)) if r == 0]
+    if len(matches) == 1:
+        return matches[0][1]
+    return (_median(mv_a[0], mv_b[0], mv_c[0]),
+            _median(mv_a[1], mv_b[1], mv_c[1]))
+
+
+def _skip_mv(grid: _MvGrid, bx: int, by: int) -> tuple[int, int]:
+    """§8.4.1.1 P_Skip motion vector."""
+    avail_a, ref_a, mv_a = grid.neighbor(bx - 1, by)
+    avail_b, ref_b, mv_b = grid.neighbor(bx, by - 1)
+    if (not avail_a or not avail_b
+            or (ref_a == 0 and mv_a == (0, 0))
+            or (ref_b == 0 and mv_b == (0, 0))):
+        return (0, 0)
+    return _mvp(grid, bx, by, 4, 4)
+
+
+# ---------------------------------------------------- deblocking (§8.7)
+
+
+def _bs(mb_edge: bool, intra_p: bool, intra_q: bool,
+        nz_p: int, nz_q: int, mv_p, mv_q) -> int:
+    if intra_p or intra_q:
+        return 4 if mb_edge else 3
+    if nz_p or nz_q:
+        return 2
+    if mv_p == "I" or mv_q == "I" or mv_p is None or mv_q is None:
+        return 1  # unreachable for decoded P pictures; be conservative
+    if abs(mv_p[0] - mv_q[0]) >= 4 or abs(mv_p[1] - mv_q[1]) >= 4:
+        return 1
+    return 0
+
+
+def _deblock_frame_general(ybuf: bytearray, ubuf: bytearray,
+                           vbuf: bytearray, mbw: int, mbh: int,
+                           mb_qp: list[list[int]],
+                           mb_intra: list[list[bool]],
+                           nz_luma: list[list[int]], grid: _MvGrid,
+                           chroma_qp_offset: int, off_a: int,
+                           off_b: int) -> None:
+    """§8.7 picture deblocking with the full bS derivation — the
+    P-picture generalization of h264.py's intra-only pass (which it
+    reproduces exactly when every MB is intra)."""
+    W = mbw * 16
+    CW = mbw * 8
+
+    def seg_bs(pbx: int, pby: int, qbx: int, qby: int,
+               mb_edge: bool) -> int:
+        return _bs(
+            mb_edge,
+            mb_intra[pby >> 2][pbx >> 2], mb_intra[qby >> 2][qbx >> 2],
+            nz_luma[pby][pbx], nz_luma[qby][qbx],
+            grid.g[pby][pbx], grid.g[qby][qbx],
+        )
+
+    for mb in range(mbw * mbh):
+        mby, mbx = divmod(mb, mbw)
+        qq = mb_qp[mby][mbx]
+        x0, y0 = mbx * 16, mby * 16
+        cx0, cy0 = mbx * 8, mby * 8
+        qc_q = _chroma_qp(qq, chroma_qp_offset)
+        # ---- luma vertical edges
+        for k in range(4):
+            if k == 0 and mbx == 0:
+                continue
+            qp_p = mb_qp[mby][mbx - 1] if k == 0 else qq
+            qav = (qp_p + qq + 1) >> 1
+            ia = _clip3(0, 51, qav + off_a)
+            alpha = _DB_ALPHA[ia]
+            if alpha == 0:
+                continue
+            beta = _DB_BETA[_clip3(0, 51, qav + off_b)]
+            qbx = mbx * 4 + k
+            for s in range(4):
+                qby = mby * 4 + s
+                bs = seg_bs(qbx - 1, qby, qbx, qby, k == 0)
+                if bs == 0:
+                    continue
+                tc0 = _DB_TC0[bs - 1][ia] if bs < 4 else 0
+                base = (y0 + 4 * s) * W + x0 + 4 * k
+                for r in range(4):
+                    _db_filter_luma_line(ybuf, base + r * W, 1, bs,
+                                         alpha, beta, tc0)
+        # ---- luma horizontal edges
+        for k in range(4):
+            if k == 0 and mby == 0:
+                continue
+            qp_p = mb_qp[mby - 1][mbx] if k == 0 else qq
+            qav = (qp_p + qq + 1) >> 1
+            ia = _clip3(0, 51, qav + off_a)
+            alpha = _DB_ALPHA[ia]
+            if alpha == 0:
+                continue
+            beta = _DB_BETA[_clip3(0, 51, qav + off_b)]
+            qby = mby * 4 + k
+            for s in range(4):
+                qbx = mbx * 4 + s
+                bs = seg_bs(qbx, qby - 1, qbx, qby, k == 0)
+                if bs == 0:
+                    continue
+                tc0 = _DB_TC0[bs - 1][ia] if bs < 4 else 0
+                base = (y0 + 4 * k) * W + x0 + 4 * s
+                for c in range(4):
+                    _db_filter_luma_line(ybuf, base + c, W, bs,
+                                         alpha, beta, tc0)
+        # ---- chroma edges (luma blocks 0 / 2 per MB axis; each chroma
+        # line r maps to the luma segment at 2r)
+        for k in range(2):
+            if k == 0 and mbx == 0:
+                continue
+            qc_p = (_chroma_qp(mb_qp[mby][mbx - 1], chroma_qp_offset)
+                    if k == 0 else qc_q)
+            qav = (qc_p + qc_q + 1) >> 1
+            ia = _clip3(0, 51, qav + off_a)
+            alpha = _DB_ALPHA[ia]
+            if alpha == 0:
+                continue
+            beta = _DB_BETA[_clip3(0, 51, qav + off_b)]
+            qbx = mbx * 4 + 2 * k
+            base = cy0 * CW + cx0 + 4 * k
+            for r in range(8):
+                qby = mby * 4 + (r >> 1)
+                bs = seg_bs(qbx - 1, qby, qbx, qby, k == 0)
+                if bs == 0:
+                    continue
+                tc0 = _DB_TC0[bs - 1][ia] if bs < 4 else 0
+                for cbuf in (ubuf, vbuf):
+                    _db_filter_chroma_line(cbuf, base + r * CW, 1, bs,
+                                           alpha, beta, tc0)
+        for k in range(2):
+            if k == 0 and mby == 0:
+                continue
+            qc_p = (_chroma_qp(mb_qp[mby - 1][mbx], chroma_qp_offset)
+                    if k == 0 else qc_q)
+            qav = (qc_p + qc_q + 1) >> 1
+            ia = _clip3(0, 51, qav + off_a)
+            alpha = _DB_ALPHA[ia]
+            if alpha == 0:
+                continue
+            beta = _DB_BETA[_clip3(0, 51, qav + off_b)]
+            qby = mby * 4 + 2 * k
+            base = (cy0 + 4 * k) * CW + cx0
+            for c in range(8):
+                qbx = mbx * 4 + (c >> 1)
+                bs = seg_bs(qbx, qby - 1, qbx, qby, k == 0)
+                if bs == 0:
+                    continue
+                tc0 = _DB_TC0[bs - 1][ia] if bs < 4 else 0
+                for cbuf in (ubuf, vbuf):
+                    _db_filter_chroma_line(cbuf, base + c, CW, bs,
+                                           alpha, beta, tc0)
+
+
+# ------------------------------------------------------ P-slice decode
+
+# (block-x offset, block-y offset, width, height, mvp kind) per mb_type
+_PART_LAYOUT = {
+    0: ((0, 0, 4, 4, ""),),
+    1: ((0, 0, 4, 2, "t"), (0, 2, 4, 2, "b")),
+    2: ((0, 0, 2, 4, "l"), (2, 0, 2, 4, "r")),
+}
+_SUB_LAYOUT = {
+    0: ((0, 0, 2, 2),),
+    1: ((0, 0, 2, 1), (0, 1, 2, 1)),
+    2: ((0, 0, 1, 2), (1, 0, 1, 2)),
+    3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),
+}
+
+
+def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
+                   sps: dict, pps: dict,
+                   ref: tuple[bytes, bytes, bytes]) -> tuple:
+    """Decode one P slice covering the whole picture against the
+    single reference picture; returns the deblocked, uncropped
+    (ybuf, ubuf, vbuf)."""
+    if pps["cabac"]:
+        raise ValueError("h264: CABAC P slices not supported")
+    if pps["weighted_pred"]:
+        raise ValueError("h264: weighted prediction not supported")
+    br = _BitReader(rbsp)
+    if br.ue() != 0:
+        raise ValueError("h264: slice must start at mb 0")
+    if br.ue() % 5 != 0:
+        raise ValueError("h264: not a P slice")
+    br.ue()  # pic_parameter_set_id
+    br.u(sps["log2_max_frame_num"])  # frame_num
+    if ntype == 5:
+        raise ValueError("h264: IDR picture with a P slice")
+    if sps["poc_type"] == 0:
+        br.u(sps["poc_lsb_bits"])
+    if pps["redundant"]:
+        if br.ue() != 0:
+            raise ValueError("h264: redundant slices not supported")
+    if br.u(1):  # num_ref_idx_active_override_flag
+        if br.ue() != 0:
+            raise ValueError("h264: more than one reference picture")
+    elif pps["num_ref_l0"] != 1:
+        raise ValueError("h264: more than one reference picture")
+    if br.u(1):  # ref_pic_list_modification_flag_l0
+        raise ValueError("h264: reference list modification not supported")
+    if nal_ref_idc != 0:
+        if br.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise ValueError("h264: adaptive ref marking not supported")
+    qp = pps["pic_init_qp"] + br.se()
+    deblock_idc = 0
+    db_off_a = db_off_b = 0
+    if pps["deblock_control"]:
+        deblock_idc = br.ue()
+        if deblock_idc > 2:
+            raise ValueError("h264: bad disable_deblocking_filter_idc")
+        if deblock_idc != 1:
+            db_off_a = 2 * br.se()
+            db_off_b = 2 * br.se()
+
+    mbw, mbh = sps["w_mbs"], sps["h_mbs"]
+    W, H = mbw * 16, mbh * 16
+    CW, CH = mbw * 8, mbh * 8
+    ref_y, ref_u, ref_v = ref
+    if len(ref_y) != W * H:
+        raise ValueError("h264: reference/current picture size mismatch")
+    ybuf = bytearray(W * H)
+    ubuf = bytearray(CW * CH)
+    vbuf = bytearray(CW * CH)
+    nz_luma = [[0] * (mbw * 4) for _ in range(mbh * 4)]
+    nz_chroma = [[[0] * (mbw * 2) for _ in range(mbh * 2)] for _ in range(2)]
+    pred4_modes = [[2] * (mbw * 4) for _ in range(mbh * 4)]
+    mb_is_i4 = [[False] * mbw for _ in range(mbh)]
+    mb_intra = [[False] * mbw for _ in range(mbh)]
+    mb_qp = [[0] * mbw for _ in range(mbh)]
+    grid = _MvGrid(mbw, mbh)
+
+    def nc_luma(bx: int, by: int) -> int:
+        na = nz_luma[by][bx - 1] if bx > 0 else None
+        nb = nz_luma[by - 1][bx] if by > 0 else None
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    def nc_chroma(comp: int, cx: int, cy: int) -> int:
+        g = nz_chroma[comp]
+        na = g[cy][cx - 1] if cx > 0 else None
+        nb = g[cy - 1][cx] if cy > 0 else None
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    def mc_partition(mbx: int, mby: int, pbx: int, pby: int,
+                     wb: int, hb: int, mv: tuple[int, int]) -> None:
+        """Motion-compensate one partition into the current planes."""
+        px, py = mbx * 16 + pbx * 4, mby * 16 + pby * 4
+        bw, bh = wb * 4, hb * 4
+        dst = [0] * (bw * bh)
+        _mc_luma(ref_y, W, H, dst, px, py, bw, bh, mv[0], mv[1])
+        for r in range(bh):
+            ybuf[(py + r) * W + px: (py + r) * W + px + bw] = bytes(
+                dst[r * bw: (r + 1) * bw])
+        cpx, cpy = px >> 1, py >> 1
+        cbw, cbh = bw >> 1, bh >> 1
+        cdst = [0] * (cbw * cbh)
+        for comp, (rbuf, obuf) in enumerate(((ref_u, ubuf), (ref_v, vbuf))):
+            _mc_chroma(rbuf, CW, CH, cdst, cpx, cpy, cbw, cbh, mv[0], mv[1])
+            for r in range(cbh):
+                obuf[(cpy + r) * CW + cpx: (cpy + r) * CW + cpx + cbw] = \
+                    bytes(cdst[r * cbw: (r + 1) * cbw])
+
+    def add_luma_residual(mbx: int, mby: int, n: int,
+                          coeffs: list[int], qp: int) -> None:
+        dx, dy = _blk_xy(n)
+        d = _dequant_ac(coeffs, qp, 0)
+        h = _core_idct4x4(d)
+        x0, y0 = mbx * 16, mby * 16
+        for r in range(4):
+            base = (y0 + dy + r) * W + x0 + dx
+            for c in range(4):
+                ybuf[base + c] = _clip255(
+                    ybuf[base + c] + ((h[4 * r + c] + 32) >> 6))
+
+    def add_chroma_residual(mbx: int, mby: int, qpc: int,
+                            chroma_dc, chroma_ac) -> None:
+        for comp, cbuf in ((0, ubuf), (1, vbuf)):
+            cx0, cy0 = mbx * 8, mby * 8
+            dcs = chroma_dc[comp]
+            fdc = (dcs[0] + dcs[1] + dcs[2] + dcs[3],
+                   dcs[0] - dcs[1] + dcs[2] - dcs[3],
+                   dcs[0] + dcs[1] - dcs[2] - dcs[3],
+                   dcs[0] - dcs[1] - dcs[2] + dcs[3])
+            for n in range(4):
+                dx, dy = (n & 1) * 4, (n >> 1) * 4
+                d = _dequant_ac(chroma_ac[comp][n], qpc, 1)
+                d[0] = _scale_chroma_dc(fdc[n], qpc)
+                h = _core_idct4x4(d)
+                for r in range(4):
+                    base = (cy0 + dy + r) * CW + cx0 + dx
+                    for c in range(4):
+                        cbuf[base + c] = _clip255(
+                            cbuf[base + c] + ((h[4 * r + c] + 32) >> 6))
+
+    def decode_intra_mb(mbx: int, mby: int, mb_type: int) -> None:
+        """Intra MB inside a P slice — mirrors h264.py's I-slice MB
+        decode (same tables, same recon), with inter neighbors feeding
+        nC and prediction samples."""
+        nonlocal qp
+        x0, y0 = mbx * 16, mby * 16
+        mb_intra[mby][mbx] = True
+        grid.fill(mbx * 4, mby * 4, 4, 4, "I")
+        if mb_type == 25:  # I_PCM
+            while br.pos & 7:
+                if br.u(1):
+                    raise ValueError("h264: pcm_alignment bit not zero")
+            for r in range(16):
+                for c in range(16):
+                    ybuf[(y0 + r) * W + x0 + c] = br.u(8)
+            for cbuf in (ubuf, vbuf):
+                for r in range(8):
+                    for c in range(8):
+                        cbuf[(mby * 8 + r) * CW + mbx * 8 + c] = br.u(8)
+            for k in range(4):
+                for j in range(4):
+                    nz_luma[mby * 4 + k][mbx * 4 + j] = 16
+            for comp in range(2):
+                for k in range(2):
+                    for j in range(2):
+                        nz_chroma[comp][mby * 2 + k][mbx * 2 + j] = 16
+            return
+        is_i4 = mb_type == 0
+        mb_is_i4[mby][mbx] = is_i4
+        if is_i4:
+            modes4 = [0] * 16
+            for n in range(16):
+                dx, dy = _blk_xy(n)
+                bx, by = mbx * 4 + (dx >> 2), mby * 4 + (dy >> 2)
+                ma = None
+                if bx > 0:
+                    in_left_mb = ((bx - 1) >> 2) != mbx
+                    if in_left_mb and not mb_is_i4[mby][mbx - 1]:
+                        ma = 2
+                    else:
+                        ma = pred4_modes[by][bx - 1]
+                mbv = None
+                if by > 0:
+                    in_above_mb = ((by - 1) >> 2) != mby
+                    if in_above_mb and not mb_is_i4[mby - 1][mbx]:
+                        mbv = 2
+                    else:
+                        mbv = pred4_modes[by - 1][bx]
+                pred_mode = 2 if (ma is None or mbv is None) else min(ma, mbv)
+                if br.u(1):
+                    mode = pred_mode
+                else:
+                    rem = br.u(3)
+                    mode = rem if rem < pred_mode else rem + 1
+                modes4[n] = mode
+                pred4_modes[by][bx] = mode
+            chroma_mode = br.ue()
+            cbp_code = br.ue()
+            if cbp_code > 47:
+                raise ValueError("h264: coded_block_pattern out of range")
+            cbp = _CBP_INTRA[cbp_code]
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            i16_pred = None
+        else:
+            t = mb_type - 1
+            i16_pred = t % 4
+            cbp_chroma = (t >> 2) % 3
+            cbp_luma = 15 if t >= 12 else 0
+            chroma_mode = br.ue()
+            modes4 = None
+        if chroma_mode > 3:
+            raise ValueError("h264: bad chroma pred mode")
+        if cbp_luma or cbp_chroma or not is_i4:
+            qp = (qp + br.se() + 52) % 52
+        mb_qp[mby][mbx] = qp
+        qpc = _chroma_qp(qp, pps["chroma_qp_offset"])
+
+        luma_dc = [0] * 16
+        if not is_i4:
+            luma_dc, _ = _decode_cavlc_block(br, nc_luma(mbx * 4, mby * 4), 16)
+        luma_blocks = [[0] * 16 for _ in range(16)]
+        for n in range(16):
+            dx, dy = _blk_xy(n)
+            bx, by = mbx * 4 + (dx >> 2), mby * 4 + (dy >> 2)
+            if cbp_luma & (1 << (n >> 2)):
+                nc = nc_luma(bx, by)
+                if is_i4:
+                    coeffs, tot = _decode_cavlc_block(br, nc, 16)
+                else:
+                    tail, tot = _decode_cavlc_block(br, nc, 15)
+                    coeffs = [0] + tail
+                luma_blocks[n] = coeffs
+                nz_luma[by][bx] = tot
+            else:
+                nz_luma[by][bx] = 0
+        chroma_dc = [[0] * 4, [0] * 4]
+        if cbp_chroma:
+            for comp in range(2):
+                chroma_dc[comp], _ = _decode_cavlc_block(br, -1, 4)
+        chroma_ac = [[[0] * 16 for _ in range(4)] for _ in range(2)]
+        for comp in range(2):
+            for n in range(4):
+                cx, cy = mbx * 2 + (n & 1), mby * 2 + (n >> 1)
+                if cbp_chroma & 2:
+                    nc = nc_chroma(comp, cx, cy)
+                    tail, tot = _decode_cavlc_block(br, nc, 15)
+                    chroma_ac[comp][n] = [0] + tail
+                    nz_chroma[comp][cy][cx] = tot
+                else:
+                    nz_chroma[comp][cy][cx] = 0
+        from .h264 import _recon_mb
+
+        _recon_mb(
+            ybuf, ubuf, vbuf, W, CW, mbx, mby, mbw, mbh,
+            is_i4, modes4, i16_pred, chroma_mode, qp, qpc,
+            luma_dc, luma_blocks, chroma_dc, chroma_ac,
+        )
+
+    def decode_skip_mb(mbx: int, mby: int) -> None:
+        bx, by = mbx * 4, mby * 4
+        mv = _skip_mv(grid, bx, by)
+        grid.fill(bx, by, 4, 4, mv)
+        mc_partition(mbx, mby, 0, 0, 4, 4, mv)
+        mb_qp[mby][mbx] = qp
+
+    total = mbw * mbh
+    mb = 0
+    while mb < total:
+        run = br.ue()
+        if mb + run > total:
+            raise ValueError("h264: mb_skip_run past end of picture")
+        for _ in range(run):
+            mby, mbx = divmod(mb, mbw)
+            decode_skip_mb(mbx, mby)
+            mb += 1
+        if mb >= total:
+            break
+        mby, mbx = divmod(mb, mbw)
+        mb_type = br.ue()
+        if mb_type >= 5:
+            if mb_type > 30:
+                raise ValueError("h264: bad P-slice mb_type")
+            decode_intra_mb(mbx, mby, mb_type - 5)
+            mb += 1
+            continue
+
+        # ---- inter MB: motion vectors per partition, decode order
+        bx0, by0 = mbx * 4, mby * 4
+        if mb_type in (0, 1, 2):
+            for pbx, pby, wb, hb, kind in _PART_LAYOUT[mb_type]:
+                mvp = _mvp(grid, bx0 + pbx, by0 + pby, wb, hb, kind)
+                mv = (mvp[0] + br.se(), mvp[1] + br.se())
+                grid.fill(bx0 + pbx, by0 + pby, wb, hb, mv)
+                mc_partition(mbx, mby, pbx, pby, wb, hb, mv)
+        else:  # P_8x8 / P_8x8ref0
+            sub_types = [br.ue() for _ in range(4)]
+            if any(s > 3 for s in sub_types):
+                raise ValueError("h264: bad sub_mb_type")
+            for i8 in range(4):
+                obx, oby = (i8 & 1) * 2, (i8 >> 1) * 2
+                for spx, spy, wb, hb in _SUB_LAYOUT[sub_types[i8]]:
+                    pbx, pby = obx + spx * wb, oby + spy * hb
+                    mvp = _mvp(grid, bx0 + pbx, by0 + pby, wb, hb)
+                    mv = (mvp[0] + br.se(), mvp[1] + br.se())
+                    grid.fill(bx0 + pbx, by0 + pby, wb, hb, mv)
+                    mc_partition(mbx, mby, pbx, pby, wb, hb, mv)
+
+        cbp_code = br.ue()
+        if cbp_code > 47:
+            raise ValueError("h264: coded_block_pattern out of range")
+        cbp = _CBP_INTER[cbp_code]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (qp + br.se() + 52) % 52
+        mb_qp[mby][mbx] = qp
+        qpc = _chroma_qp(qp, pps["chroma_qp_offset"])
+
+        for n in range(16):
+            dx, dy = _blk_xy(n)
+            bx, by = bx0 + (dx >> 2), by0 + (dy >> 2)
+            if cbp_luma & (1 << (n >> 2)):
+                coeffs, tot = _decode_cavlc_block(br, nc_luma(bx, by), 16)
+                nz_luma[by][bx] = tot
+                if tot:
+                    add_luma_residual(mbx, mby, n, coeffs, qp)
+            else:
+                nz_luma[by][bx] = 0
+        chroma_dc = [[0] * 4, [0] * 4]
+        if cbp_chroma:
+            for comp in range(2):
+                chroma_dc[comp], _ = _decode_cavlc_block(br, -1, 4)
+        chroma_ac = [[[0] * 16 for _ in range(4)] for _ in range(2)]
+        any_c = False
+        for comp in range(2):
+            for n in range(4):
+                cx, cy = mbx * 2 + (n & 1), mby * 2 + (n >> 1)
+                if cbp_chroma & 2:
+                    tail, tot = _decode_cavlc_block(
+                        br, nc_chroma(comp, cx, cy), 15)
+                    chroma_ac[comp][n] = [0] + tail
+                    nz_chroma[comp][cy][cx] = tot
+                else:
+                    nz_chroma[comp][cy][cx] = 0
+        if cbp_chroma:
+            add_chroma_residual(mbx, mby, qpc, chroma_dc, chroma_ac)
+        mb += 1
+
+    if deblock_idc != 1:
+        _deblock_frame_general(
+            ybuf, ubuf, vbuf, mbw, mbh, mb_qp, mb_intra, nz_luma, grid,
+            pps["chroma_qp_offset"], db_off_a, db_off_b,
+        )
+    return ybuf, ubuf, vbuf
+
+
+def decode_h264_gop(data: bytes, *, max_frames: int = 1024):
+    """Decode an Annex-B H.264 elementary stream of IDR/I + P access
+    units → (width, height, [(y, u, v) planes per frame], cropped).
+    Each P picture references the previous decoded picture (the
+    single-reference envelope)."""
+    sps = pps = None
+    sps_nal = pps_nal = None
+    frames: list[tuple[bytes, bytes, bytes]] = []
+    ref = None
+    out_w = out_h = None
+    for nal in _split_nals(data):
+        if not nal:
+            continue
+        ntype = nal[0] & 0x1F
+        nri = (nal[0] >> 5) & 3
+        rbsp = _strip_emulation(nal[1:])
+        if ntype == 7:
+            sps = _parse_sps(rbsp)
+            sps_nal = nal
+        elif ntype == 8:
+            pps = _parse_pps(rbsp)
+            pps_nal = nal
+        elif ntype in (1, 5):
+            if sps is None or pps is None:
+                raise ValueError("h264: slice before SPS/PPS")
+            if len(frames) >= max_frames:
+                raise ValueError("h264: too many frames in GOP")
+            peek = _BitReader(rbsp)
+            if peek.ue() != 0:
+                raise ValueError("h264: slice must start at mb 0")
+            st = peek.ue() % 5
+            if st == 2:  # I / IDR — decode through the intra tier
+                sample = (b"\x00\x00\x00\x01" + sps_nal
+                          + b"\x00\x00\x00\x01" + pps_nal
+                          + b"\x00\x00\x00\x01" + nal)
+                _, ybuf, ubuf, vbuf = _decode_iframe_uncropped(sample)
+            elif st == 0:  # P
+                if ref is None:
+                    raise ValueError("h264: P slice before any reference")
+                ybuf, ubuf, vbuf = _decode_pslice(
+                    rbsp, ntype, nri, sps, pps, ref)
+            else:
+                raise ValueError("h264: only I and P slices supported")
+            ref = (bytes(ybuf), bytes(ubuf), bytes(vbuf))
+            w, h, y, u, v = _crop_planes(sps, ybuf, ubuf, vbuf)
+            if out_w is None:
+                out_w, out_h = w, h
+            elif (w, h) != (out_w, out_h):
+                raise ValueError("h264: frame size changed mid-stream")
+            frames.append((y, u, v))
+    if not frames:
+        raise ValueError("h264: no coded pictures in stream")
+    return out_w, out_h, frames
+
+
+def decode_h264_au(au: bytes, ref=None):
+    """Decode ONE access unit (Annex-B, parameter sets in-band) given
+    the previous picture's uncropped planes as the reference; returns
+    (sps, ybuf, ubuf, vbuf) uncropped.  The MP4 sample walk threads
+    this across samples so P frames in real files decode."""
+    sps = pps = None
+    slice_nal = None
+    for nal in _split_nals(au):
+        if not nal:
+            continue
+        ntype = nal[0] & 0x1F
+        if ntype == 7:
+            sps = _parse_sps(_strip_emulation(nal[1:]))
+        elif ntype == 8:
+            pps = _parse_pps(_strip_emulation(nal[1:]))
+        elif ntype in (1, 5) and slice_nal is None:
+            slice_nal = nal
+    if sps is None or pps is None or slice_nal is None:
+        raise ValueError("h264: need SPS, PPS and one coded slice")
+    rbsp = _strip_emulation(slice_nal[1:])
+    peek = _BitReader(rbsp)
+    if peek.ue() != 0:
+        raise ValueError("h264: slice must start at mb 0")
+    st = peek.ue() % 5
+    if st == 2:
+        s, y, u, v = _decode_iframe_uncropped(au)
+        return s, y, u, v
+    if st != 0:
+        raise ValueError("h264: only I and P slices supported")
+    if ref is None:
+        raise ValueError("h264: P slice without a reference picture")
+    ntype = slice_nal[0] & 0x1F
+    nri = (slice_nal[0] >> 5) & 3
+    y, u, v = _decode_pslice(rbsp, ntype, nri, sps, pps, ref)
+    return sps, y, u, v
+
+
+# ------------------------------------------------------ fixture encoder
+
+
+def _encode_pslice_nal(mbw: int, mbh: int, qp: int, frame_num: int,
+                       mode: str, mv: tuple[int, int] = (0, 0),
+                       y_coeff: int = 0, c_coeff: int = 0) -> bytes:
+    """One whole-picture P slice NAL (CAVLC).  Modes: 'skip' (one
+    mb_skip_run covering the picture), 'mv' (every MB P_L0_16x16 with
+    the same motion vector, no residual), 'residual' (mv plus a DC
+    coefficient in every luma 4x4 and a chroma DC per component).
+    Deblocking is disabled in the slice header; mvd values come from
+    the same grid/_mvp machinery the decoder runs."""
+    sl = _BitWriter()
+    sl.ue(0)   # first_mb_in_slice
+    sl.ue(5)   # slice_type: P (all slices in picture)
+    sl.ue(0)   # pic_parameter_set_id
+    sl.u(4, frame_num & 15)
+    sl.u(4, (2 * frame_num) & 15)  # pic_order_cnt_lsb
+    sl.u(1, 0)  # num_ref_idx_active_override_flag
+    sl.u(1, 0)  # ref_pic_list_modification_flag_l0
+    sl.u(1, 0)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc != 0)
+    sl.se(0)   # slice_qp_delta
+    sl.ue(1)   # disable_deblocking_filter_idc = 1
+
+    total = mbw * mbh
+    if mode == "skip":
+        sl.ue(total)
+        sl.rbsp_trailing()
+        return _nal(2, 1, sl.done())
+
+    grid = _MvGrid(mbw, mbh)
+    nz = [[0] * (mbw * 4) for _ in range(mbh * 4)]
+
+    def nc_luma(bx: int, by: int) -> int:
+        na = nz[by][bx - 1] if bx > 0 else None
+        nb = nz[by - 1][bx] if by > 0 else None
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    for mb in range(total):
+        mby, mbx = divmod(mb, mbw)
+        sl.ue(0)  # mb_skip_run
+        sl.ue(0)  # mb_type P_L0_16x16
+        mvp = _mvp(grid, mbx * 4, mby * 4, 4, 4, "")
+        sl.se(mv[0] - mvp[0])
+        sl.se(mv[1] - mvp[1])
+        grid.fill(mbx * 4, mby * 4, 4, 4, mv)
+        if mode == "mv":
+            sl.ue(_CBP_INTER.index(0))  # cbp 0, no residual
+            for j in range(4):
+                for i in range(4):
+                    nz[mby * 4 + j][mbx * 4 + i] = 0
+            continue
+        # 'residual': all luma 8x8s coded + chroma DC only (cbp 31)
+        sl.ue(_CBP_INTER.index(31))
+        sl.se(0)  # mb_qp_delta
+        for n in range(16):
+            dx, dy = _blk_xy(n)
+            bx, by = mbx * 4 + (dx >> 2), mby * 4 + (dy >> 2)
+            _write_cavlc_block(sl, [y_coeff] + [0] * 15,
+                               nc_luma(bx, by), 16)
+            nz[by][bx] = 1 if y_coeff else 0
+        for _comp in range(2):
+            _write_cavlc_block(sl, [c_coeff, 0, 0, 0], -1, 4)
+    sl.rbsp_trailing()
+    return _nal(2, 1, sl.done())
+
+
+def encode_h264_gop_steps(width: int, height: int, *, qp: int,
+                          y_coeff: int, u_coeff: int, v_coeff: int,
+                          mv: tuple[int, int],
+                          p_y_coeff: int, p_c_coeff: int) -> list[bytes]:
+    """Four-frame GOP fixture with closed-form planes
+    (h264_gop_expected): IDR flat Intra_16x16, P all-skip, P with a
+    uniform quarter-pel motion vector over the flat field (every frac
+    phase is an identity on a constant plane — the MC paths run for
+    real), and P with a uniform DC residual on every block.  Returns
+    per-frame Annex-B chunks ready for the avc1 muxer."""
+    from .h264 import encode_h264_iframe_flat
+
+    mbw, mbh = (width + 15) // 16, (height + 15) // 16
+    idr = encode_h264_iframe_flat(
+        width, height, qp=qp,
+        y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    return [
+        idr,
+        _encode_pslice_nal(mbw, mbh, qp, 1, "skip"),
+        _encode_pslice_nal(mbw, mbh, qp, 2, "mv", mv=mv),
+        _encode_pslice_nal(mbw, mbh, qp, 3, "residual",
+                           y_coeff=p_y_coeff, c_coeff=p_c_coeff),
+    ]
+
+
+def h264_gop_expected(qp: int, y_coeff: int, u_coeff: int, v_coeff: int,
+                      p_y_coeff: int, p_c_coeff: int):
+    """Closed-form per-frame uniform plane values for
+    encode_h264_gop_steps — the same quantizer arithmetic the flat
+    I-frame closed form uses (h264_flat_expected), extended by the
+    inter-residual add: frames 0..2 keep the IDR values (P_Skip and
+    constant-field MC are identities), frame 3 adds the dequantized
+    DC of every block: luma d = AC-dequant(coeff, qp)[0], pixel +=
+    (d + 32) >> 6; chroma through the 2x2 DC transform and
+    _scale_chroma_dc."""
+    from .h264 import h264_flat_expected
+
+    yv, uv, vv = h264_flat_expected(qp, y_coeff, u_coeff, v_coeff)
+    qpc = _chroma_qp(qp, 0)
+    dy = (_dequant_ac([p_y_coeff] + [0] * 15, qp, 0)[0] + 32) >> 6
+    # chroma: per-MB DC vector (c,0,0,0) -> 2x2 hadamard -> all four
+    # blocks get f = c -> scale -> uniform add
+    dc = (_scale_chroma_dc(p_c_coeff, qpc) + 32) >> 6
+    f3 = (_clip255(yv + dy), _clip255(uv + dc), _clip255(vv + dc))
+    return [(yv, uv, vv), (yv, uv, vv), (yv, uv, vv), f3]

@@ -65,6 +65,7 @@ from pyspark.sql import types as T
 
 from .h264 import (
     _parse_sps as _h264_parse_sps,
+    _crop_planes as _h264_crop_planes,
     _split_nals as _h264_split_nals,
     _strip_emulation as _h264_strip_emulation,
     decode_h264_iframe,
@@ -4659,21 +4660,34 @@ def _mp4_video_pixels(data: bytes, every_ms: int):
     out = []
     t = 0
     next_emit = 0
+    avc_ref = None  # previous decoded picture (P frames reference it)
     for i, ((off, size), delta) in enumerate(zip(samples, deltas)):
         ts_ms = t * 1000 // timescale
-        if ts_ms >= next_emit:
-            frame = data[off : off + size]
-            if _looks_like_jpeg(frame):
+        emit = ts_ms >= next_emit
+        frame = data[off : off + size]
+        if _looks_like_jpeg(frame):
+            if emit:
                 w, h, ch, raw = _jpeg_pixels(frame)
                 out.append((i, ts_ms, w, h, ch, sum(raw), sum(v * v for v in raw)))
+        else:
+            if avc_cfg is not None:
+                # an avcC record means length-prefixed samples BY SPEC
+                # (ISO 14496-15) — checked first, because a NAL length
+                # of 256..511 is byte-identical to an Annex-B start
+                # code (00 00 01 xx) and would misparse (r7b)
+                au = _avcc_to_annexb(frame, avc_cfg)  # ADVICE r6 #1
+            elif frame[:4] == b"\x00\x00\x00\x01" or frame[:3] == b"\x00\x00\x01":
+                au = frame  # in-band Annex-B (avc3-style samples)
             else:
-                if frame[:4] == b"\x00\x00\x00\x01" or frame[:3] == b"\x00\x00\x01":
-                    au = frame  # in-band Annex-B (avc3-style samples)
-                elif avc_cfg is not None:
-                    au = _avcc_to_annexb(frame, avc_cfg)  # ADVICE r6 #1
-                else:
-                    raise ValueError("mp4: sample codec needs an external decoder")
-                w, h, yp, up, vp = decode_h264_iframe(au)
+                raise ValueError("mp4: sample codec needs an external decoder")
+            # EVERY AVC sample decodes, sampled or not — P pictures
+            # need the unbroken reference chain (r7b, llm/h264_inter)
+            from .h264_inter import decode_h264_au
+
+            sps, yb, ub, vb = decode_h264_au(au, avc_ref)
+            avc_ref = (bytes(yb), bytes(ub), bytes(vb))
+            if emit:
+                w, h, yp, up, vp = _h264_crop_planes(sps, yb, ub, vb)
                 psum = sum(yp) + sum(up) + sum(vp)
                 psq = (
                     sum(v * v for v in yp)
@@ -4681,6 +4695,7 @@ def _mp4_video_pixels(data: bytes, every_ms: int):
                     + sum(v * v for v in vp)
                 )
                 out.append((i, ts_ms, w, h, 3, psum, psq))
+        if emit:
             next_emit = ts_ms + every_ms
         t += delta
     return out
@@ -7037,6 +7052,24 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
     )
 
     def frames_of(rid: int) -> list[bytes]:
+        if rid >= 420:
+            # r7b GOP leg: IDR + three P frames (skip / uniform
+            # quarter-pel MV / uniform DC residual) through the inter
+            # tier (llm/h264_inter) — closed form h264_gop_expected
+            from .h264_inter import encode_h264_gop_steps
+
+            k = rid - 420
+            return encode_h264_gop_steps(
+                32 + 2 * (k % 9),
+                32 + 2 * (k % 7),
+                qp=(20, 28, 36, 44)[k % 4],
+                y_coeff=1 + k % 60,
+                u_coeff=1 + k % 30,
+                v_coeff=1 + k % 25,
+                mv=((1, 0), (2, 1), (3, 3), (0, 2))[k % 4],
+                p_y_coeff=1 + k % 8,
+                p_c_coeff=1 + k % 5,
+            )
         if rid >= 375:
             # r7 CABAC leg B: the SAME deblocking-enabled stepped-DC
             # strip shape through the arithmetic entropy tier

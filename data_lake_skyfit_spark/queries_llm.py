@@ -3466,7 +3466,59 @@ def _avc_deblock_leg_sql(lo: int = 240, hi: int = 330) -> str:
     """
     # r7 CABAC leg B (ids 375-419): the deblocked stepped strips again,
     # arithmetic-coded — same generated closed form, shifted id range
-    + _avc_deblock_leg_sql(lo=375, hi=420),
+    + _avc_deblock_leg_sql(lo=375, hi=420)
+    # r7b GOP leg (ids 420-459): IDR + three P frames through the
+    # inter tier — P_Skip and constant-field quarter-pel MC are
+    # identities, frame 3 adds the uniform dequantized DC per block
+    # (the same Table 8-15/§8.5 arms as the flat legs, plus the
+    # inter-AC luma arm: qp 20 -> (13c+1)//2, 28 -> 16c, 36 -> 40c,
+    # 44 -> 104c)
+    + """
+    UNION ALL
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(fi * 500 AS BIGINT) AS ts_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(w * h * (yv + CASE WHEN fi = 3 THEN dy ELSE 0 END)
+              + (w // 2) * (h // 2)
+                * (uv + vv + CASE WHEN fi = 3 THEN 2 * dc ELSE 0 END)
+           AS BIGINT) AS pixel_sum
+    FROM (
+      SELECT doc_id, w, h, fi,
+             128 + ((CASE qk WHEN 0 THEN (13 * cy + 4) // 8
+                             WHEN 1 THEN (16 * cy + 2) // 4
+                             WHEN 2 THEN 10 * cy
+                             ELSE 26 * cy END + 32) // 64) AS yv,
+             128 + ((CASE qk WHEN 0 THEN (13 * cu) // 4
+                             WHEN 1 THEN 8 * cu
+                             WHEN 2 THEN 16 * cu
+                             ELSE 22 * cu END + 32) // 64) AS uv,
+             128 + ((CASE qk WHEN 0 THEN (13 * cv) // 4
+                             WHEN 1 THEN 8 * cv
+                             WHEN 2 THEN 16 * cv
+                             ELSE 22 * cv END + 32) // 64) AS vv,
+             ((CASE qk WHEN 0 THEN (13 * py + 1) // 2
+                       WHEN 1 THEN 16 * py
+                       WHEN 2 THEN 40 * py
+                       ELSE 104 * py END) + 32) // 64 AS dy,
+             ((CASE qk WHEN 0 THEN (13 * pc) // 4
+                       WHEN 1 THEN 8 * pc
+                       WHEN 2 THEN 16 * pc
+                       ELSE 22 * pc END) + 32) // 64 AS dc
+      FROM (
+        SELECT doc_id,
+               32 + 2 * ((doc_id - 420) % 9) AS w,
+               32 + 2 * ((doc_id - 420) % 7) AS h,
+               (doc_id - 420) % 4 AS qk,
+               1 + (doc_id - 420) % 60 AS cy,
+               1 + (doc_id - 420) % 30 AS cu,
+               1 + (doc_id - 420) % 25 AS cv,
+               1 + (doc_id - 420) % 8 AS py,
+               1 + (doc_id - 420) % 5 AS pc
+        FROM documents WHERE doc_id >= 420 AND doc_id < 460
+      ), LATERAL (SELECT UNNEST(range(0, 4)) AS fi) f
+    )
+    """,
     tags=("llm-multimodal",),
     doc="REAL H.264/AVC baseline I-frame decode inside the MP4 sample "
     "walk (r6 — VERDICT r5 #1): synthesize_avc_mp4_payloads writes "
@@ -3496,7 +3548,7 @@ def _avc_deblock_leg_sql(lo: int = 240, hi: int = 330) -> str:
     "— see both module docstrings for the validation contract).",
 )
 def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 420)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 460)
     media = multimodal.synthesize_avc_mp4_payloads(d, id_col="doc_id")
     return multimodal.decode_video_pixels(media, every_ms=400)
 
