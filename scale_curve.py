@@ -432,10 +432,12 @@ def main() -> None:
                 # r7 (VERDICT r6 #7): the AVC video leg — every doc
                 # carries a REAL MP4 whose samples decode through the
                 # full H.264 path (CAVLC flat/PCM, deblocked strips,
-                # CABAC legs — ids folded into the fixture space, so
-                # all entropy tiers run ∝ factor). Pure per-row Arrow
-                # decode, no shuffle; output rows = Σ frames per doc,
-                # deterministic and ∝ factor (timed() asserts > 0).
+                # CABAC legs, and r7b the 4-frame P-GOPs with motion
+                # compensation — ids folded into the fixture space, so
+                # all entropy + prediction tiers run ∝ factor). Pure
+                # per-row Arrow decode, no shuffle; output rows =
+                # Σ frames per doc, deterministic and ∝ factor
+                # (timed() asserts > 0).
                 from data_lake_skyfit_spark.llm.multimodal import (
                     decode_video_pixels,
                     synthesize_avc_mp4_payloads,
@@ -443,7 +445,7 @@ def main() -> None:
 
                 return decode_video_pixels(
                     synthesize_avc_mp4_payloads(
-                        d.selectExpr("doc_id % 420 AS doc_id")
+                        d.selectExpr("doc_id % 460 AS doc_id")
                     ),
                     every_ms=400,
                 ).count()
@@ -523,9 +525,12 @@ def main() -> None:
             )
         if "shards" in ops:
             # r7: pure-Python compressed-shard decode at scale — one
-            # ~30 KB zstd/lz4/gzip payload per doc (docs' text tripled
-            # so the matchers have real work), decoded in Arrow
-            # kernels; zero shuffle, output rows = Σ lines ∝ factor.
+            # ~30 KB payload per doc (docs' text tripled so the
+            # matchers have real work), decoded in Arrow kernels; zero
+            # shuffle, output rows = Σ lines ∝ factor. r7b: the codec
+            # cycle grew to all seven wires (zstd seq/store, LZ4,
+            # gzip, bzip2, xz, brotli — brotli via the codec-hint
+            # column, the headerless-wire contract).
             from pyspark.sql import functions as _Fs
 
             from data_lake_skyfit_spark.sources.zstd_shards import (
@@ -535,7 +540,12 @@ def main() -> None:
                 zstd_compress as _zc, zstd_compress_store as _zs,
             )
             from data_lake_skyfit_spark.sources.lz4_codec import lz4_compress as _l4
+            from data_lake_skyfit_spark.sources.brotli_codec import (
+                brotli_compress as _brc,
+            )
+            import bz2 as _bz2
             import gzip as _gz
+            import lzma as _lzma
 
             def shard_count():
                 import pandas as _pd
@@ -544,23 +554,32 @@ def main() -> None:
                 schema = _T.StructType([
                     _T.StructField("doc_id", _T.LongType()),
                     _T.StructField("payload", _T.BinaryType()),
+                    _T.StructField("codec", _T.StringType()),
                 ])
-                encs = (_zc, _zs, _l4, lambda b: _gz.compress(b, mtime=0))
+                encs = (
+                    _zc, _zs, _l4, lambda b: _gz.compress(b, mtime=0),
+                    _bz2.compress,
+                    lambda b: _lzma.compress(b, format=_lzma.FORMAT_XZ),
+                    _brc,
+                )
 
                 def kern(batches):
                     for pdf in batches:
-                        payloads = [
-                            encs[int(rid) % 4](
+                        payloads, codecs = [], []
+                        for rid, txt in zip(pdf["doc_id"], pdf["text"]):
+                            k = int(rid) % 7
+                            payloads.append(encs[k](
                                 (str(txt) * 12).encode("utf-8", "ignore")
-                            )
-                            for rid, txt in zip(pdf["doc_id"], pdf["text"])
-                        ]
+                            ))
+                            codecs.append("br" if k == 6 else "auto")
                         yield _pd.DataFrame(
-                            {"doc_id": pdf["doc_id"], "payload": payloads}
+                            {"doc_id": pdf["doc_id"], "payload": payloads,
+                             "codec": codecs}
                         )
 
                 payloads = d.select("doc_id", "text").mapInPandas(kern, schema)
-                return read_compressed_jsonl_lines(payloads).count()
+                return read_compressed_jsonl_lines(
+                    payloads, codec_col="codec").count()
 
             timed("format_shard_compressed", shard_count)
         if "hamming" in ops:
