@@ -49,7 +49,6 @@ from .h264 import (
     _DB_ALPHA,
     _DB_BETA,
     _DB_TC0,
-    _ZIGZAG_4x4,
     _blk_xy,
     _chroma_qp,
     _clip3,
@@ -61,18 +60,11 @@ from .h264 import (
     _decode_cavlc_block,
     _decode_iframe_uncropped,
     _dequant_ac,
-    _hadamard4x4,
     _nal,
     _parse_pps,
     _parse_sps,
-    _pps_writer,
-    _pred_chroma8,
-    _pred_luma4,
-    _pred_luma16,
     _scale_chroma_dc,
-    _scale_luma_dc,
     _split_nals,
-    _sps_writer,
     _strip_emulation,
     _write_cavlc_block,
 )
@@ -106,116 +98,89 @@ def _mc_luma(ref: bytes, W: int, H: int, dst: list[int],
              mvx: int, mvy: int) -> None:
     """§8.4.2.2.1 quarter-pel luma interpolation of a bw x bh block at
     (px, py); writes prediction samples into dst (row-major bw*bh).
-    Out-of-picture reads clamp to the frame edge."""
+    Out-of-picture reads clamp to the frame edge.  Vectorized: the
+    half-pel surfaces (b, h, j) are numpy 6-tap convolutions over a
+    clamp-padded window — integer-exact (int32 intermediates, max
+    |j1| < 2^20; numpy >> is an arithmetic shift, matching Python
+    floor semantics).  A scalar transcription of the same clause is
+    the arbiter in tests/test_h264_inter.py."""
+    import numpy as np
+
     fx, fy = mvx & 3, mvy & 3
     ox, oy = px + (mvx >> 2), py + (mvy >> 2)
-
-    def E(x: int, y: int) -> int:
-        if x < 0:
-            x = 0
-        elif x >= W:
-            x = W - 1
-        if y < 0:
-            y = 0
-        elif y >= H:
-            y = H - 1
-        return ref[y * W + x]
+    xs = np.clip(np.arange(ox - 2, ox + bw + 4), 0, W - 1)
+    ys = np.clip(np.arange(oy - 2, oy + bh + 4), 0, H - 1)
+    plane = np.frombuffer(bytes(ref), dtype=np.uint8).reshape(H, W)
+    E = plane[np.ix_(ys, xs)].astype(np.int32)
+    # E[r, c] = sample(ox + c - 2, oy + r - 2), clamp-padded
 
     if fx == 0 and fy == 0:
-        for r in range(bh):
-            for c in range(bw):
-                dst[r * bw + c] = E(ox + c, oy + r)
-        return
+        out = E[2: 2 + bh, 2: 2 + bw]
+    else:
+        def conv_h(a):
+            return (a[:, :-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3]
+                    + 20 * a[:, 3:-2] - 5 * a[:, 4:-1] + a[:, 5:])
 
-    def half_h_raw(x: int, y: int) -> int:
-        return (E(x - 2, y) - 5 * E(x - 1, y) + 20 * E(x, y)
-                + 20 * E(x + 1, y) - 5 * E(x + 2, y) + E(x + 3, y))
+        def conv_v(a):
+            return (a[:-5] - 5 * a[1:-4] + 20 * a[2:-3]
+                    + 20 * a[3:-2] - 5 * a[4:-1] + a[5:])
 
-    def half_v_raw(x: int, y: int) -> int:
-        return (E(x, y - 2) - 5 * E(x, y - 1) + 20 * E(x, y)
-                + 20 * E(x, y + 1) - 5 * E(x, y + 2) + E(x, y + 3))
+        hh_raw = conv_h(E)                    # [y = oy-2.., x = ox..]
+        B = np.clip((hh_raw + 16) >> 5, 0, 255)
+        Hv = np.clip((conv_v(E) + 16) >> 5, 0, 255)  # [y = oy.., x = ox-2..]
+        J = np.clip((conv_v(hh_raw) + 512) >> 10, 0, 255)  # [oy.., ox..]
 
-    def B(x: int, y: int) -> int:  # horizontal half-pel, clipped
-        return _clip255((half_h_raw(x, y) + 16) >> 5)
+        def avg(u, v):
+            return (u + v + 1) >> 1
 
-    def Hv(x: int, y: int) -> int:  # vertical half-pel, clipped
-        return _clip255((half_v_raw(x, y) + 16) >> 5)
-
-    def J(x: int, y: int) -> int:  # centre half-pel, clipped
-        j1 = (half_h_raw(x, y - 2) - 5 * half_h_raw(x, y - 1)
-              + 20 * half_h_raw(x, y) + 20 * half_h_raw(x, y + 1)
-              - 5 * half_h_raw(x, y + 2) + half_h_raw(x, y + 3))
-        return _clip255((j1 + 512) >> 10)
-
-    def avg(u: int, v: int) -> int:
-        return (u + v + 1) >> 1
-
-    for r in range(bh):
-        y = oy + r
-        for c in range(bw):
-            x = ox + c
-            if fy == 0:  # a / b / c row
-                b = B(x, y)
-                if fx == 1:
-                    v = avg(E(x, y), b)
-                elif fx == 2:
-                    v = b
-                else:
-                    v = avg(b, E(x + 1, y))
-            elif fx == 0:  # d / h / n column
-                h = Hv(x, y)
-                if fy == 1:
-                    v = avg(E(x, y), h)
-                elif fy == 2:
-                    v = h
-                else:
-                    v = avg(h, E(x, y + 1))
-            elif fx == 2 and fy == 2:
-                v = J(x, y)
-            elif fx == 2:  # f / q
-                j = J(x, y)
-                v = avg(B(x, y) if fy == 1 else B(x, y + 1), j)
-            elif fy == 2:  # i / k
-                j = J(x, y)
-                v = avg(Hv(x, y) if fx == 1 else Hv(x + 1, y), j)
-            else:  # e / g / p / r quarter diagonals
-                b = B(x, y) if fy == 1 else B(x, y + 1)
-                h = Hv(x, y) if fx == 1 else Hv(x + 1, y)
-                v = avg(b, h)
-            dst[r * bw + c] = v
+        Ei = E[2:, 2:]                       # Ei[r, c] = sample(ox+c, oy+r)
+        E00 = Ei[:bh, :bw]
+        E10 = Ei[:bh, 1: bw + 1]
+        E01 = Ei[1: bh + 1, :bw]
+        B00 = B[2: 2 + bh, :bw]              # b at (x, y)
+        B01 = B[3: 3 + bh, :bw]              # b at (x, y+1)
+        H00 = Hv[:bh, 2: 2 + bw]             # h at (x, y)
+        H10 = Hv[:bh, 3: 3 + bw]             # h at (x+1, y)
+        J00 = J[:bh, :bw]
+        out = {
+            (1, 0): lambda: avg(E00, B00),
+            (2, 0): lambda: B00,
+            (3, 0): lambda: avg(B00, E10),
+            (0, 1): lambda: avg(E00, H00),
+            (0, 2): lambda: H00,
+            (0, 3): lambda: avg(H00, E01),
+            (1, 1): lambda: avg(B00, H00),
+            (3, 1): lambda: avg(B00, H10),
+            (1, 3): lambda: avg(B01, H00),
+            (3, 3): lambda: avg(B01, H10),
+            (2, 1): lambda: avg(B00, J00),
+            (2, 3): lambda: avg(B01, J00),
+            (1, 2): lambda: avg(H00, J00),
+            (3, 2): lambda: avg(H10, J00),
+            (2, 2): lambda: J00,
+        }[(fx, fy)]()
+    dst[:] = out.reshape(-1).tolist()
 
 
 def _mc_chroma(ref: bytes, CW: int, CH: int, dst: list[int],
                px: int, py: int, bw: int, bh: int,
                mvx: int, mvy: int) -> None:
     """§8.4.2.2.2 eighth-pel bilinear chroma interpolation (4:2:0:
-    the luma quarter-pel vector IS the chroma eighth-pel vector)."""
+    the luma quarter-pel vector IS the chroma eighth-pel vector),
+    numpy-vectorized with clamp padding."""
+    import numpy as np
+
     fx, fy = mvx & 7, mvy & 7
     ox, oy = px + (mvx >> 3), py + (mvy >> 3)
-
-    def E(x: int, y: int) -> int:
-        if x < 0:
-            x = 0
-        elif x >= CW:
-            x = CW - 1
-        if y < 0:
-            y = 0
-        elif y >= CH:
-            y = CH - 1
-        return ref[y * CW + x]
-
-    for r in range(bh):
-        y = oy + r
-        for c in range(bw):
-            x = ox + c
-            a = E(x, y)
-            b = E(x + 1, y)
-            cc = E(x, y + 1)
-            d = E(x + 1, y + 1)
-            dst[r * bw + c] = (
-                (8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
-                + (8 - fx) * fy * cc + fx * fy * d + 32
-            ) >> 6
+    xs = np.clip(np.arange(ox, ox + bw + 1), 0, CW - 1)
+    ys = np.clip(np.arange(oy, oy + bh + 1), 0, CH - 1)
+    plane = np.frombuffer(bytes(ref), dtype=np.uint8).reshape(CH, CW)
+    E = plane[np.ix_(ys, xs)].astype(np.int32)
+    out = ((8 - fx) * (8 - fy) * E[:bh, :bw]
+           + fx * (8 - fy) * E[:bh, 1:]
+           + (8 - fx) * fy * E[1:, :bw]
+           + fx * fy * E[1:, 1:] + 32) >> 6
+    dst[:] = out.reshape(-1).tolist()
 
 
 # ------------------------------------------------------- MV prediction

@@ -398,8 +398,6 @@ class _Huff:
         if not used:
             raise ValueError(f"brotli: empty {what}")
         self.const = None
-        if len(used) == 1 and used[0][0] == 0:
-            raise ValueError(f"brotli: bad {what}")
         max_len = max(ln for ln, _ in used)
         if max_len > 15:
             raise ValueError(f"brotli: {what} length over 15")
@@ -997,7 +995,6 @@ def _write_prefix_code(bw: _BitWriter, lengths: dict[int, int],
     # complex code: emit symbol lengths 0..last_used via the cl code
     last = max(used)
     seq: list[tuple[int, int]] = []  # (cl symbol, extra payload bits)
-    run16: list[int] = []  # chained-16 extras for same-length runs
 
     sym = 0
     while sym <= last:

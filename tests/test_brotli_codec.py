@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import hashlib
 import random
-import zlib
 
 import pytest
 

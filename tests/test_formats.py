@@ -508,3 +508,48 @@ def test_tar_extract_members_by_suffix(spark):
         .collect()
     )
     assert [r["n"] for r in ln] == [8]
+
+
+def test_warc_content_encoding_bodies():
+    """r7b: HTTP response bodies decode per Content-Encoding (gzip
+    stored-DEFLATE, brotli store, identity); unknown encodings pass
+    through raw with the column reporting them; a truncated encoded
+    body makes the record malformed (ValueError)."""
+    import hashlib
+
+    from data_lake_skyfit_spark.sources import warc
+    from data_lake_skyfit_spark.sources.brotli_codec import brotli_compress_store
+
+    body = b"decoded payload text, long enough to matter " * 20
+
+    def response_payload(enc_line: bytes, enc_body: bytes) -> bytes:
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                + enc_line + b"\r\n" + enc_body)
+        return warc.encode_warc([("response", "http://x.test/1", http)])
+
+    recs = warc.parse_warc(response_payload(
+        b"Content-Encoding: gzip\r\n", warc._gzip_store(body)))
+    assert recs[0]["content_encoding"] == "gzip"
+    assert recs[0]["body_md5"] == hashlib.md5(body).hexdigest()
+
+    recs = warc.parse_warc(response_payload(
+        b"Content-Encoding: br\r\n", brotli_compress_store(body)))
+    assert recs[0]["content_encoding"] == "br"
+    assert recs[0]["body_md5"] == hashlib.md5(body).hexdigest()
+
+    # unknown encoding: bytes stay raw, the column says what they are
+    recs = warc.parse_warc(response_payload(
+        b"Content-Encoding: snappy\r\n", body))
+    assert recs[0]["content_encoding"] == "snappy"
+    assert recs[0]["body_md5"] == hashlib.md5(body).hexdigest()
+
+    # truncated gzip body -> the record is malformed
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        warc.parse_warc(response_payload(
+            b"Content-Encoding: gzip\r\n", warc._gzip_store(body)[:-8]))
+
+    # the gzip-store closed form the oracle mirrors
+    assert len(warc._gzip_store(body)) == len(body) + 18 + 5
+    assert len(warc._gzip_store(b"")) == 23
+    assert len(warc._gzip_store(b"x" * 70000)) == 70000 + 18 + 10

@@ -226,3 +226,42 @@ def test_read_tar_zst_members(spark):
         (r["name"], r["size"]) for r in read_tar_zst_members(rows).collect()
     )
     assert got == [("0001.json", 2), ("0001.txt", 5)]
+
+
+def test_decompress_shard_seven_codec_contract():
+    """r7b: the one-contract decode covers all seven wires — zstd/LZ4/
+    gzip/bzip2/xz by magic, brotli by the explicit codec hint (its
+    stream is headerless), plain bytes passed through; every path
+    bounded by max_out and multistream concatenations looped."""
+    import bz2
+    import gzip
+    import lzma
+
+    from data_lake_skyfit_spark.sources.brotli_codec import brotli_compress
+    from data_lake_skyfit_spark.sources.zstd_shards import decompress_shard
+
+    data = b'{"doc": "shard line content"}\n' * 400
+    assert decompress_shard(zstd_compress(data)) == data
+    assert decompress_shard(gzip.compress(data)) == data
+    assert decompress_shard(bz2.compress(data)) == data
+    assert decompress_shard(lzma.compress(data, format=lzma.FORMAT_XZ)) == data
+    assert decompress_shard(brotli_compress(data), codec="br") == data
+    assert decompress_shard(data) == data  # plain passthrough
+    # multistream concatenation (the Wikipedia-dump bz2 convention)
+    assert decompress_shard(
+        bz2.compress(data[:5000]) + bz2.compress(data[5000:])) == data
+    assert decompress_shard(
+        lzma.compress(data[:5000], format=lzma.FORMAT_XZ)
+        + lzma.compress(data[5000:], format=lzma.FORMAT_XZ)) == data
+    # bounds enforced inside the loops
+    for blob, kw in ((bz2.compress(data), {}),
+                     (lzma.compress(data, format=lzma.FORMAT_XZ), {}),
+                     (brotli_compress(data), {"codec": "br"})):
+        with pytest.raises(ValueError):
+            decompress_shard(blob, max_out=100, **kw)
+    # junk with valid magics raises, never hangs
+    for junk in (b"BZh9" + b"\x00" * 50, b"\xfd7zXZ\x00" + b"\xff" * 50):
+        with pytest.raises(ValueError):
+            decompress_shard(junk)
+    with pytest.raises(ValueError):
+        decompress_shard(data, codec="nope")
