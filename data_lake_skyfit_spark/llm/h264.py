@@ -756,13 +756,13 @@ def _parse_sps(rbsp: bytes) -> dict:
         br.se()
         for _ in range(br.ue()):
             br.se()
-    br.ue()  # max_num_ref_frames
+    num_ref_frames = br.ue()  # max_num_ref_frames
     br.u(1)  # gaps_in_frame_num_value_allowed_flag
     w_mbs = br.ue() + 1
     h_mbs = br.ue() + 1
     if br.u(1) != 1:
         raise ValueError("h264: interlaced (frame_mbs_only_flag=0) not supported")
-    br.u(1)  # direct_8x8_inference_flag
+    direct_8x8 = br.u(1)  # direct_8x8_inference_flag
     crop = (0, 0, 0, 0)
     if br.u(1):  # frame_cropping_flag
         crop = (br.ue(), br.ue(), br.ue(), br.ue())
@@ -772,6 +772,8 @@ def _parse_sps(rbsp: bytes) -> dict:
         "log2_max_frame_num": log2_max_frame_num,
         "poc_type": poc_type,
         "poc_lsb_bits": poc_lsb_bits,
+        "num_ref_frames": num_ref_frames,
+        "direct_8x8": direct_8x8,
         "w_mbs": w_mbs,
         "h_mbs": h_mbs,
         "crop": crop,  # left, right, top, bottom in 2-sample units (4:2:0)
@@ -783,13 +785,13 @@ def _parse_pps(rbsp: bytes) -> dict:
     br.ue()  # pic_parameter_set_id
     br.ue()  # seq_parameter_set_id
     cabac = br.u(1) == 1  # entropy_coding_mode_flag
-    br.u(1)  # bottom_field_pic_order_in_frame_present
+    bottom_poc = br.u(1)  # bottom_field_pic_order_in_frame_present
     if br.ue() != 0:
         raise ValueError("h264: slice groups not supported")
     num_ref_l0 = br.ue() + 1  # num_ref_idx_l0_default_active_minus1
-    br.ue()  # num_ref_idx_l1_default_active_minus1
+    num_ref_l1 = br.ue() + 1  # num_ref_idx_l1_default_active_minus1
     weighted_pred = br.u(1)  # weighted_pred_flag
-    br.u(2)  # weighted_bipred_idc
+    weighted_bipred = br.u(2)  # weighted_bipred_idc
     pic_init_qp = 26 + br.se()
     br.se()  # pic_init_qs_minus26
     chroma_qp_offset = br.se()
@@ -803,7 +805,10 @@ def _parse_pps(rbsp: bytes) -> dict:
         "chroma_qp_offset": chroma_qp_offset,
         "deblock_control": deblock_control,
         "num_ref_l0": num_ref_l0,
+        "num_ref_l1": num_ref_l1,
         "weighted_pred": weighted_pred,
+        "weighted_bipred": weighted_bipred,
+        "bottom_poc": bottom_poc,
         "redundant": redundant,
     }
 
@@ -1535,16 +1540,18 @@ def _nal(nal_ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
     return b"\x00\x00\x00\x01" + bytes([(nal_ref_idc << 5) | nal_type]) + _add_emulation(rbsp)
 
 
-def _sps_writer(mbw: int, mbh: int, crop_r: int, crop_b: int) -> "_BitWriter":
+def _sps_writer(mbw: int, mbh: int, crop_r: int, crop_b: int, *,
+                num_ref_frames: int = 1,
+                profile_idc: int = 66) -> "_BitWriter":
     sps = _BitWriter()
-    sps.u(8, 66)  # profile_idc: baseline
-    sps.u(8, 0xC0)  # constraint_set0/1
+    sps.u(8, profile_idc)  # 66 baseline / 77 main (B-slice fixtures)
+    sps.u(8, 0xC0 if profile_idc == 66 else 0x00)  # constraint flags
     sps.u(8, 30)  # level 3.0
     sps.ue(0)  # sps id
     sps.ue(0)  # log2_max_frame_num_minus4
     sps.ue(0)  # pic_order_cnt_type
     sps.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
-    sps.ue(1)  # max_num_ref_frames
+    sps.ue(num_ref_frames)  # max_num_ref_frames
     sps.u(1, 0)
     sps.ue(mbw - 1)
     sps.ue(mbh - 1)

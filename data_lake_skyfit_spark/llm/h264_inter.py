@@ -282,11 +282,9 @@ def _deblock_frame_general(ybuf: bytearray, ubuf: bytearray,
                            nz_luma: list[list[int]], grid: _MvGrid,
                            chroma_qp_offset: int, off_a: int,
                            off_b: int) -> None:
-    """§8.7 picture deblocking with the full bS derivation — the
-    P-picture generalization of h264.py's intra-only pass (which it
+    """§8.7 picture deblocking with the full P-picture bS derivation —
+    the generalization of h264.py's intra-only pass (which it
     reproduces exactly when every MB is intra)."""
-    W = mbw * 16
-    CW = mbw * 8
 
     def seg_bs(pbx: int, pby: int, qbx: int, qby: int,
                mb_edge: bool) -> int:
@@ -296,6 +294,20 @@ def _deblock_frame_general(ybuf: bytearray, ubuf: bytearray,
             nz_luma[pby][pbx], nz_luma[qby][qbx],
             grid.g[pby][pbx], grid.g[qby][qbx],
         )
+
+    _deblock_edges(ybuf, ubuf, vbuf, mbw, mbh, mb_qp,
+                   chroma_qp_offset, off_a, off_b, seg_bs)
+
+
+def _deblock_edges(ybuf: bytearray, ubuf: bytearray, vbuf: bytearray,
+                   mbw: int, mbh: int, mb_qp: list[list[int]],
+                   chroma_qp_offset: int, off_a: int, off_b: int,
+                   seg_bs) -> None:
+    """§8.7 edge walk shared by the P and B deblocking passes —
+    `seg_bs(pbx, pby, qbx, qby, mb_edge)` supplies the slice-type-
+    specific boundary-strength derivation per 4-sample segment."""
+    W = mbw * 16
+    CW = mbw * 8
 
     for mb in range(mbw * mbh):
         mby, mbx = divmod(mb, mbw)
@@ -395,87 +407,36 @@ def _deblock_frame_general(ybuf: bytearray, ubuf: bytearray,
                                            alpha, beta, tc0)
 
 
-# ------------------------------------------------------ P-slice decode
-
-# (block-x offset, block-y offset, width, height, mvp kind) per mb_type
-_PART_LAYOUT = {
-    0: ((0, 0, 4, 4, ""),),
-    1: ((0, 0, 4, 2, "t"), (0, 2, 4, 2, "b")),
-    2: ((0, 0, 2, 4, "l"), (2, 0, 2, 4, "r")),
-}
-_SUB_LAYOUT = {
-    0: ((0, 0, 2, 2),),
-    1: ((0, 0, 2, 1), (0, 1, 2, 1)),
-    2: ((0, 0, 1, 2), (1, 0, 1, 2)),
-    3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),
-}
+# ---------------------------------------------- shared per-picture state
 
 
-def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
-                   sps: dict, pps: dict,
-                   ref: tuple[bytes, bytes, bytes]) -> tuple:
-    """Decode one P slice covering the whole picture against the
-    single reference picture; returns the deblocked, uncropped
-    (ybuf, ubuf, vbuf)."""
-    if pps["cabac"]:
-        raise ValueError("h264: CABAC P slices not supported")
-    if pps["weighted_pred"]:
-        raise ValueError("h264: weighted prediction not supported")
-    br = _BitReader(rbsp)
-    if br.ue() != 0:
-        raise ValueError("h264: slice must start at mb 0")
-    if br.ue() % 5 != 0:
-        raise ValueError("h264: not a P slice")
-    br.ue()  # pic_parameter_set_id
-    br.u(sps["log2_max_frame_num"])  # frame_num
-    if ntype == 5:
-        raise ValueError("h264: IDR picture with a P slice")
-    if sps["poc_type"] == 0:
-        br.u(sps["poc_lsb_bits"])
-    if pps["redundant"]:
-        if br.ue() != 0:
-            raise ValueError("h264: redundant slices not supported")
-    if br.u(1):  # num_ref_idx_active_override_flag
-        if br.ue() != 0:
-            raise ValueError("h264: more than one reference picture")
-    elif pps["num_ref_l0"] != 1:
-        raise ValueError("h264: more than one reference picture")
-    if br.u(1):  # ref_pic_list_modification_flag_l0
-        raise ValueError("h264: reference list modification not supported")
-    if nal_ref_idc != 0:
-        if br.u(1):  # adaptive_ref_pic_marking_mode_flag
-            raise ValueError("h264: adaptive ref marking not supported")
-    qp = pps["pic_init_qp"] + br.se()
-    deblock_idc = 0
-    db_off_a = db_off_b = 0
-    if pps["deblock_control"]:
-        deblock_idc = br.ue()
-        if deblock_idc > 2:
-            raise ValueError("h264: bad disable_deblocking_filter_idc")
-        if deblock_idc != 1:
-            db_off_a = 2 * br.se()
-            db_off_b = 2 * br.se()
+class _InterPicState:
+    """Per-picture decode state shared by the P and B slice decoders
+    (llm/h264_bslice.py): plane buffers, nz bookkeeping for CAVLC nC
+    and deblocking, the intra-prediction mode grids, and the per-MB
+    qp map."""
 
-    mbw, mbh = sps["w_mbs"], sps["h_mbs"]
-    W, H = mbw * 16, mbh * 16
-    CW, CH = mbw * 8, mbh * 8
-    ref_y, ref_u, ref_v = ref
-    if len(ref_y) != W * H:
-        raise ValueError("h264: reference/current picture size mismatch")
-    ybuf = bytearray(W * H)
-    ubuf = bytearray(CW * CH)
-    vbuf = bytearray(CW * CH)
-    nz_luma = [[0] * (mbw * 4) for _ in range(mbh * 4)]
-    nz_chroma = [[[0] * (mbw * 2) for _ in range(mbh * 2)] for _ in range(2)]
-    pred4_modes = [[2] * (mbw * 4) for _ in range(mbh * 4)]
-    mb_is_i4 = [[False] * mbw for _ in range(mbh)]
-    mb_intra = [[False] * mbw for _ in range(mbh)]
-    mb_qp = [[0] * mbw for _ in range(mbh)]
-    grid = _MvGrid(mbw, mbh)
+    def __init__(self, sps: dict, pps: dict) -> None:
+        mbw, mbh = sps["w_mbs"], sps["h_mbs"]
+        self.mbw, self.mbh = mbw, mbh
+        self.W, self.CW = mbw * 16, mbw * 8
+        self.H, self.CH = mbh * 16, mbh * 8
+        self.pps = pps
+        self.ybuf = bytearray(self.W * self.H)
+        self.ubuf = bytearray(self.CW * self.CH)
+        self.vbuf = bytearray(self.CW * self.CH)
+        self.nz_luma = [[0] * (mbw * 4) for _ in range(mbh * 4)]
+        self.nz_chroma = [[[0] * (mbw * 2) for _ in range(mbh * 2)]
+                          for _ in range(2)]
+        self.pred4_modes = [[2] * (mbw * 4) for _ in range(mbh * 4)]
+        self.mb_is_i4 = [[False] * mbw for _ in range(mbh)]
+        self.mb_intra = [[False] * mbw for _ in range(mbh)]
+        self.mb_qp = [[0] * mbw for _ in range(mbh)]
 
-    def nc_luma(bx: int, by: int) -> int:
-        na = nz_luma[by][bx - 1] if bx > 0 else None
-        nb = nz_luma[by - 1][bx] if by > 0 else None
+    # ---- CAVLC nC from decoded-neighbor totals (§9.2.1)
+    def nc_luma(self, bx: int, by: int) -> int:
+        na = self.nz_luma[by][bx - 1] if bx > 0 else None
+        nb = self.nz_luma[by - 1][bx] if by > 0 else None
         if na is not None and nb is not None:
             return (na + nb + 1) >> 1
         if na is not None:
@@ -484,8 +445,8 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
             return nb
         return 0
 
-    def nc_chroma(comp: int, cx: int, cy: int) -> int:
-        g = nz_chroma[comp]
+    def nc_chroma(self, comp: int, cx: int, cy: int) -> int:
+        g = self.nz_chroma[comp]
         na = g[cy][cx - 1] if cx > 0 else None
         nb = g[cy - 1][cx] if cy > 0 else None
         if na is not None and nb is not None:
@@ -496,40 +457,24 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
             return nb
         return 0
 
-    def mc_partition(mbx: int, mby: int, pbx: int, pby: int,
-                     wb: int, hb: int, mv: tuple[int, int]) -> None:
-        """Motion-compensate one partition into the current planes."""
-        px, py = mbx * 16 + pbx * 4, mby * 16 + pby * 4
-        bw, bh = wb * 4, hb * 4
-        dst = [0] * (bw * bh)
-        _mc_luma(ref_y, W, H, dst, px, py, bw, bh, mv[0], mv[1])
-        for r in range(bh):
-            ybuf[(py + r) * W + px: (py + r) * W + px + bw] = bytes(
-                dst[r * bw: (r + 1) * bw])
-        cpx, cpy = px >> 1, py >> 1
-        cbw, cbh = bw >> 1, bh >> 1
-        cdst = [0] * (cbw * cbh)
-        for comp, (rbuf, obuf) in enumerate(((ref_u, ubuf), (ref_v, vbuf))):
-            _mc_chroma(rbuf, CW, CH, cdst, cpx, cpy, cbw, cbh, mv[0], mv[1])
-            for r in range(cbh):
-                obuf[(cpy + r) * CW + cpx: (cpy + r) * CW + cpx + cbw] = \
-                    bytes(cdst[r * cbw: (r + 1) * cbw])
-
-    def add_luma_residual(mbx: int, mby: int, n: int,
+    # ---- inter residual adds (prediction already in the planes)
+    def add_luma_residual(self, mbx: int, mby: int, n: int,
                           coeffs: list[int], qp: int) -> None:
         dx, dy = _blk_xy(n)
         d = _dequant_ac(coeffs, qp, 0)
         h = _core_idct4x4(d)
         x0, y0 = mbx * 16, mby * 16
+        W, ybuf = self.W, self.ybuf
         for r in range(4):
             base = (y0 + dy + r) * W + x0 + dx
             for c in range(4):
                 ybuf[base + c] = _clip255(
                     ybuf[base + c] + ((h[4 * r + c] + 32) >> 6))
 
-    def add_chroma_residual(mbx: int, mby: int, qpc: int,
+    def add_chroma_residual(self, mbx: int, mby: int, qpc: int,
                             chroma_dc, chroma_ac) -> None:
-        for comp, cbuf in ((0, ubuf), (1, vbuf)):
+        CW = self.CW
+        for comp, cbuf in ((0, self.ubuf), (1, self.vbuf)):
             cx0, cy0 = mbx * 8, mby * 8
             dcs = chroma_dc[comp]
             fdc = (dcs[0] + dcs[1] + dcs[2] + dcs[3],
@@ -547,14 +492,19 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
                         cbuf[base + c] = _clip255(
                             cbuf[base + c] + ((h[4 * r + c] + 32) >> 6))
 
-    def decode_intra_mb(mbx: int, mby: int, mb_type: int) -> None:
-        """Intra MB inside a P slice — mirrors h264.py's I-slice MB
-        decode (same tables, same recon), with inter neighbors feeding
-        nC and prediction samples."""
-        nonlocal qp
+    # ---- intra MB inside an inter slice (mirrors h264.py's I-slice
+    # MB decode, with inter neighbors feeding nC and prediction
+    # samples); the CALLER marks its own motion grid(s) intra.
+    def decode_intra_mb(self, br, mbx: int, mby: int, mb_type: int,
+                        qp: int) -> int:
+        pps = self.pps
+        W, CW = self.W, self.CW
+        ybuf, ubuf, vbuf = self.ybuf, self.ubuf, self.vbuf
+        nz_luma, nz_chroma = self.nz_luma, self.nz_chroma
+        pred4_modes = self.pred4_modes
+        mb_is_i4, mb_intra = self.mb_is_i4, self.mb_intra
         x0, y0 = mbx * 16, mby * 16
         mb_intra[mby][mbx] = True
-        grid.fill(mbx * 4, mby * 4, 4, 4, "I")
         if mb_type == 25:  # I_PCM
             while br.pos & 7:
                 if br.u(1):
@@ -573,7 +523,8 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
                 for k in range(2):
                     for j in range(2):
                         nz_chroma[comp][mby * 2 + k][mbx * 2 + j] = 16
-            return
+            self.mb_qp[mby][mbx] = qp
+            return qp
         is_i4 = mb_type == 0
         mb_is_i4[mby][mbx] = is_i4
         if is_i4:
@@ -621,18 +572,19 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
             raise ValueError("h264: bad chroma pred mode")
         if cbp_luma or cbp_chroma or not is_i4:
             qp = (qp + br.se() + 52) % 52
-        mb_qp[mby][mbx] = qp
+        self.mb_qp[mby][mbx] = qp
         qpc = _chroma_qp(qp, pps["chroma_qp_offset"])
 
         luma_dc = [0] * 16
         if not is_i4:
-            luma_dc, _ = _decode_cavlc_block(br, nc_luma(mbx * 4, mby * 4), 16)
+            luma_dc, _ = _decode_cavlc_block(
+                br, self.nc_luma(mbx * 4, mby * 4), 16)
         luma_blocks = [[0] * 16 for _ in range(16)]
         for n in range(16):
             dx, dy = _blk_xy(n)
             bx, by = mbx * 4 + (dx >> 2), mby * 4 + (dy >> 2)
             if cbp_luma & (1 << (n >> 2)):
-                nc = nc_luma(bx, by)
+                nc = self.nc_luma(bx, by)
                 if is_i4:
                     coeffs, tot = _decode_cavlc_block(br, nc, 16)
                 else:
@@ -651,7 +603,7 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
             for n in range(4):
                 cx, cy = mbx * 2 + (n & 1), mby * 2 + (n >> 1)
                 if cbp_chroma & 2:
-                    nc = nc_chroma(comp, cx, cy)
+                    nc = self.nc_chroma(comp, cx, cy)
                     tail, tot = _decode_cavlc_block(br, nc, 15)
                     chroma_ac[comp][n] = [0] + tail
                     nz_chroma[comp][cy][cx] = tot
@@ -660,18 +612,112 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
         from .h264 import _recon_mb
 
         _recon_mb(
-            ybuf, ubuf, vbuf, W, CW, mbx, mby, mbw, mbh,
+            ybuf, ubuf, vbuf, W, CW, mbx, mby, self.mbw, self.mbh,
             is_i4, modes4, i16_pred, chroma_mode, qp, qpc,
             luma_dc, luma_blocks, chroma_dc, chroma_ac,
         )
+        return qp
+
+
+# ------------------------------------------------------ P-slice decode
+
+# (block-x offset, block-y offset, width, height, mvp kind) per mb_type
+_PART_LAYOUT = {
+    0: ((0, 0, 4, 4, ""),),
+    1: ((0, 0, 4, 2, "t"), (0, 2, 4, 2, "b")),
+    2: ((0, 0, 2, 4, "l"), (2, 0, 2, 4, "r")),
+}
+_SUB_LAYOUT = {
+    0: ((0, 0, 2, 2),),
+    1: ((0, 0, 2, 1), (0, 1, 2, 1)),
+    2: ((0, 0, 1, 2), (1, 0, 1, 2)),
+    3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),
+}
+
+
+def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
+                   sps: dict, pps: dict,
+                   ref: tuple[bytes, bytes, bytes]) -> tuple:
+    """Decode one P slice covering the whole picture against the
+    single reference picture; returns the deblocked, uncropped
+    (ybuf, ubuf, vbuf, motion_grid) — the grid doubles as the
+    colocated motion field when this picture anchors a B slice
+    (llm/h264_bslice.py)."""
+    if pps["cabac"]:
+        raise ValueError("h264: CABAC P slices not supported")
+    if pps["weighted_pred"]:
+        raise ValueError("h264: weighted prediction not supported")
+    br = _BitReader(rbsp)
+    if br.ue() != 0:
+        raise ValueError("h264: slice must start at mb 0")
+    if br.ue() % 5 != 0:
+        raise ValueError("h264: not a P slice")
+    br.ue()  # pic_parameter_set_id
+    br.u(sps["log2_max_frame_num"])  # frame_num
+    if ntype == 5:
+        raise ValueError("h264: IDR picture with a P slice")
+    if sps["poc_type"] == 0:
+        br.u(sps["poc_lsb_bits"])
+    if pps["redundant"]:
+        if br.ue() != 0:
+            raise ValueError("h264: redundant slices not supported")
+    if br.u(1):  # num_ref_idx_active_override_flag
+        if br.ue() != 0:
+            raise ValueError("h264: more than one reference picture")
+    elif pps["num_ref_l0"] != 1:
+        raise ValueError("h264: more than one reference picture")
+    if br.u(1):  # ref_pic_list_modification_flag_l0
+        raise ValueError("h264: reference list modification not supported")
+    if nal_ref_idc != 0:
+        if br.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise ValueError("h264: adaptive ref marking not supported")
+    qp = pps["pic_init_qp"] + br.se()
+    deblock_idc = 0
+    db_off_a = db_off_b = 0
+    if pps["deblock_control"]:
+        deblock_idc = br.ue()
+        if deblock_idc > 2:
+            raise ValueError("h264: bad disable_deblocking_filter_idc")
+        if deblock_idc != 1:
+            db_off_a = 2 * br.se()
+            db_off_b = 2 * br.se()
+
+    st = _InterPicState(sps, pps)
+    mbw, mbh = st.mbw, st.mbh
+    W, H, CW, CH = st.W, st.H, st.CW, st.CH
+    ybuf, ubuf, vbuf = st.ybuf, st.ubuf, st.vbuf
+    ref_y, ref_u, ref_v = ref
+    if len(ref_y) != W * H:
+        raise ValueError("h264: reference/current picture size mismatch")
+    grid = _MvGrid(mbw, mbh)
+
+    def mc_partition(mbx: int, mby: int, pbx: int, pby: int,
+                     wb: int, hb: int, mv: tuple[int, int]) -> None:
+        """Motion-compensate one partition into the current planes."""
+        px, py = mbx * 16 + pbx * 4, mby * 16 + pby * 4
+        bw, bh = wb * 4, hb * 4
+        dst = [0] * (bw * bh)
+        _mc_luma(ref_y, W, H, dst, px, py, bw, bh, mv[0], mv[1])
+        for r in range(bh):
+            ybuf[(py + r) * W + px: (py + r) * W + px + bw] = bytes(
+                dst[r * bw: (r + 1) * bw])
+        cpx, cpy = px >> 1, py >> 1
+        cbw, cbh = bw >> 1, bh >> 1
+        cdst = [0] * (cbw * cbh)
+        for comp, (rbuf, obuf) in enumerate(((ref_u, ubuf), (ref_v, vbuf))):
+            _mc_chroma(rbuf, CW, CH, cdst, cpx, cpy, cbw, cbh, mv[0], mv[1])
+            for r in range(cbh):
+                obuf[(cpy + r) * CW + cpx: (cpy + r) * CW + cpx + cbw] = \
+                    bytes(cdst[r * cbw: (r + 1) * cbw])
 
     def decode_skip_mb(mbx: int, mby: int) -> None:
         bx, by = mbx * 4, mby * 4
         mv = _skip_mv(grid, bx, by)
         grid.fill(bx, by, 4, 4, mv)
         mc_partition(mbx, mby, 0, 0, 4, 4, mv)
-        mb_qp[mby][mbx] = qp
+        st.mb_qp[mby][mbx] = qp
 
+    nz_luma, nz_chroma = st.nz_luma, st.nz_chroma
     total = mbw * mbh
     mb = 0
     while mb < total:
@@ -689,7 +735,8 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
         if mb_type >= 5:
             if mb_type > 30:
                 raise ValueError("h264: bad P-slice mb_type")
-            decode_intra_mb(mbx, mby, mb_type - 5)
+            grid.fill(mbx * 4, mby * 4, 4, 4, "I")
+            qp = st.decode_intra_mb(br, mbx, mby, mb_type - 5, qp)
             mb += 1
             continue
 
@@ -721,17 +768,17 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp:
             qp = (qp + br.se() + 52) % 52
-        mb_qp[mby][mbx] = qp
+        st.mb_qp[mby][mbx] = qp
         qpc = _chroma_qp(qp, pps["chroma_qp_offset"])
 
         for n in range(16):
             dx, dy = _blk_xy(n)
             bx, by = bx0 + (dx >> 2), by0 + (dy >> 2)
             if cbp_luma & (1 << (n >> 2)):
-                coeffs, tot = _decode_cavlc_block(br, nc_luma(bx, by), 16)
+                coeffs, tot = _decode_cavlc_block(br, st.nc_luma(bx, by), 16)
                 nz_luma[by][bx] = tot
                 if tot:
-                    add_luma_residual(mbx, mby, n, coeffs, qp)
+                    st.add_luma_residual(mbx, mby, n, coeffs, qp)
             else:
                 nz_luma[by][bx] = 0
         chroma_dc = [[0] * 4, [0] * 4]
@@ -739,27 +786,26 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
             for comp in range(2):
                 chroma_dc[comp], _ = _decode_cavlc_block(br, -1, 4)
         chroma_ac = [[[0] * 16 for _ in range(4)] for _ in range(2)]
-        any_c = False
         for comp in range(2):
             for n in range(4):
                 cx, cy = mbx * 2 + (n & 1), mby * 2 + (n >> 1)
                 if cbp_chroma & 2:
                     tail, tot = _decode_cavlc_block(
-                        br, nc_chroma(comp, cx, cy), 15)
+                        br, st.nc_chroma(comp, cx, cy), 15)
                     chroma_ac[comp][n] = [0] + tail
                     nz_chroma[comp][cy][cx] = tot
                 else:
                     nz_chroma[comp][cy][cx] = 0
         if cbp_chroma:
-            add_chroma_residual(mbx, mby, qpc, chroma_dc, chroma_ac)
+            st.add_chroma_residual(mbx, mby, qpc, chroma_dc, chroma_ac)
         mb += 1
 
     if deblock_idc != 1:
         _deblock_frame_general(
-            ybuf, ubuf, vbuf, mbw, mbh, mb_qp, mb_intra, nz_luma, grid,
-            pps["chroma_qp_offset"], db_off_a, db_off_b,
+            ybuf, ubuf, vbuf, mbw, mbh, st.mb_qp, st.mb_intra, nz_luma,
+            grid, pps["chroma_qp_offset"], db_off_a, db_off_b,
         )
-    return ybuf, ubuf, vbuf
+    return ybuf, ubuf, vbuf, grid
 
 
 def decode_h264_gop(data: bytes, *, max_frames: int = 1024):
@@ -801,7 +847,7 @@ def decode_h264_gop(data: bytes, *, max_frames: int = 1024):
             elif st == 0:  # P
                 if ref is None:
                     raise ValueError("h264: P slice before any reference")
-                ybuf, ubuf, vbuf = _decode_pslice(
+                ybuf, ubuf, vbuf, _grid = _decode_pslice(
                     rbsp, ntype, nri, sps, pps, ref)
             else:
                 raise ValueError("h264: only I and P slices supported")
@@ -850,7 +896,7 @@ def decode_h264_au(au: bytes, ref=None):
         raise ValueError("h264: P slice without a reference picture")
     ntype = slice_nal[0] & 0x1F
     nri = (slice_nal[0] >> 5) & 3
-    y, u, v = _decode_pslice(rbsp, ntype, nri, sps, pps, ref)
+    y, u, v, _grid = _decode_pslice(rbsp, ntype, nri, sps, pps, ref)
     return sps, y, u, v
 
 
