@@ -863,41 +863,9 @@ def decode_h264_gop(data: bytes, *, max_frames: int = 1024):
     return out_w, out_h, frames
 
 
-def decode_h264_au(au: bytes, ref=None):
-    """Decode ONE access unit (Annex-B, parameter sets in-band) given
-    the previous picture's uncropped planes as the reference; returns
-    (sps, ybuf, ubuf, vbuf) uncropped.  The MP4 sample walk threads
-    this across samples so P frames in real files decode."""
-    sps = pps = None
-    slice_nal = None
-    for nal in _split_nals(au):
-        if not nal:
-            continue
-        ntype = nal[0] & 0x1F
-        if ntype == 7:
-            sps = _parse_sps(_strip_emulation(nal[1:]))
-        elif ntype == 8:
-            pps = _parse_pps(_strip_emulation(nal[1:]))
-        elif ntype in (1, 5) and slice_nal is None:
-            slice_nal = nal
-    if sps is None or pps is None or slice_nal is None:
-        raise ValueError("h264: need SPS, PPS and one coded slice")
-    rbsp = _strip_emulation(slice_nal[1:])
-    peek = _BitReader(rbsp)
-    if peek.ue() != 0:
-        raise ValueError("h264: slice must start at mb 0")
-    st = peek.ue() % 5
-    if st == 2:
-        s, y, u, v = _decode_iframe_uncropped(au)
-        return s, y, u, v
-    if st != 0:
-        raise ValueError("h264: only I and P slices supported")
-    if ref is None:
-        raise ValueError("h264: P slice without a reference picture")
-    ntype = slice_nal[0] & 0x1F
-    nri = (slice_nal[0] >> 5) & 3
-    y, u, v, _grid = _decode_pslice(rbsp, ntype, nri, sps, pps, ref)
-    return sps, y, u, v
+# (single-AU decode with explicit reference threading moved to the
+# DPB-stateful H264AuDecoder in llm/h264_bslice.py, which the MP4
+# sample walk uses so P AND B pictures resolve their references)
 
 
 # ------------------------------------------------------ fixture encoder

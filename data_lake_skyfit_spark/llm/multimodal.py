@@ -4363,6 +4363,7 @@ def encode_mp4_frames(
     frame_duration_ms: int = 500,
     timescale: int = 1000,
     codec: str = "skyf",
+    composition_offsets: list[int] | None = None,
 ) -> bytes:
     """REAL minimal ISO BMFF writer: ftyp + mdat + moov with one video
     trak whose sample tables index the mdat payload — samples grouped
@@ -4372,10 +4373,15 @@ def encode_mp4_frames(
     absolute file offsets into mdat). The default sample-entry fourcc
     'skyf' is a real container around an opaque codec (documented);
     pass codec='jpeg' with JFIF sample bytes for a Motion-JPEG MP4
-    whose frames decode_video_pixels renders pixel-true (r5)."""
+    whose frames decode_video_pixels renders pixel-true (r5).
+    `composition_offsets` (timescale units per sample, signed) writes
+    a version-1 ctts box — required when decode order differs from
+    display order (B frames, r7c)."""
     n = len(frames)
     if n == 0:
         raise ValueError("mp4: need at least one frame")
+    if composition_offsets is not None and len(composition_offsets) != n:
+        raise ValueError("mp4: composition offset per sample required")
     avc_entry = None
     if codec == "avc1":
         # spec-conformant avc1 per ISO 14496-15 (ADVICE r6): parameter
@@ -4424,6 +4430,13 @@ def encode_mp4_frames(
     )
     stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    ctts = b""
+    if composition_offsets is not None:
+        ctts = _mp4_full(
+            b"ctts", 1, 0,
+            struct.pack(">I", n)
+            + b"".join(struct.pack(">Ii", 1, o) for o in composition_offsets),
+        )
     stsc_entries = [(1, 2, 1)]
     if n % 2 == 1:
         stsc_entries.append((len(chunk_offsets), 1, 1))
@@ -4441,7 +4454,7 @@ def encode_mp4_frames(
         struct.pack(">I", len(chunk_offsets))
         + b"".join(struct.pack(">I", o) for o in chunk_offsets),
     )
-    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    stbl = _mp4_box(b"stbl", stsd + stts + ctts + stsc + stsz + stco)
     minf = _mp4_box(b"minf", vmhd + dinf + stbl)
     mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
     trak = _mp4_box(b"trak", tkhd + mdia)
@@ -4660,7 +4673,7 @@ def _mp4_video_pixels(data: bytes, every_ms: int):
     out = []
     t = 0
     next_emit = 0
-    avc_ref = None  # previous decoded picture (P frames reference it)
+    avc_dec = None  # lazily-built DPB decoder (P and B references)
     for i, ((off, size), delta) in enumerate(zip(samples, deltas)):
         ts_ms = t * 1000 // timescale
         emit = ts_ms >= next_emit
@@ -4680,12 +4693,15 @@ def _mp4_video_pixels(data: bytes, every_ms: int):
                 au = frame  # in-band Annex-B (avc3-style samples)
             else:
                 raise ValueError("mp4: sample codec needs an external decoder")
-            # EVERY AVC sample decodes, sampled or not — P pictures
-            # need the unbroken reference chain (r7b, llm/h264_inter)
-            from .h264_inter import decode_h264_au
+            # EVERY AVC sample decodes, sampled or not — P and B
+            # pictures need the unbroken reference chain (r7b/r7c;
+            # H264AuDecoder keeps the POC-ordered DPB so IBP GOPs
+            # decode, llm/h264_bslice)
+            if avc_dec is None:
+                from .h264_bslice import H264AuDecoder
 
-            sps, yb, ub, vb = decode_h264_au(au, avc_ref)
-            avc_ref = (bytes(yb), bytes(ub), bytes(vb))
+                avc_dec = H264AuDecoder()
+            sps, yb, ub, vb, _poc = avc_dec.decode(au)
             if emit:
                 w, h, yp, up, vp = _h264_crop_planes(sps, yb, ub, vb)
                 psum = sum(yp) + sum(up) + sum(vp)
@@ -7046,12 +7062,41 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
     VERDICT r6 #3) are CABAC-coded: 330-374 flat Intra_16x16 frames
     (h264_flat_expected), 375-419 the deblocked stepped strips again
     through the arithmetic tier (h264_steps_expected — the entropy
-    layer cannot change a reconstructed sample)."""
+    layer cannot change a reconstructed sample). ids 420-459 (r7b)
+    are four-frame IDR+P GOPs (h264_gop_expected). ids 460-499 (r7c)
+    are seven-frame IBP GOPs through the B tier: the samples sit in
+    DECODE order with a signed ctts recording the POC reorder, and
+    every B mode family (direct/skip, Bi+residual, mixed B_8x8, L1,
+    L0-L1 two-partition) decodes for real (h264_gop_b_expected)."""
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
 
     def frames_of(rid: int) -> list[bytes]:
+        if rid >= 460:
+            # r7c B leg: seven-frame IBP GOP through the B tier
+            # (llm/h264_bslice) — IDR, P residual anchor, then five
+            # non-reference B pictures (skip-direct / Bi+residual /
+            # mixed-8x8 / L1 / L0-L1 16x8); closed form
+            # h264_gop_b_expected, MB-aligned dims (no crop) so the
+            # mixed frame's per-8x8 accounting stays exact
+            from .h264_bslice import encode_h264_gop_b
+
+            k = rid - 460
+            return encode_h264_gop_b(
+                32 + 16 * (k % 3),
+                32 + 16 * (k % 2),
+                qp=(20, 28, 36, 44)[k % 4],
+                y_coeff=1 + k % 60,
+                u_coeff=1 + k % 30,
+                v_coeff=1 + k % 25,
+                p_y_coeff=1 + k % 8,
+                p_c_coeff=1 + k % 5,
+                b_y_coeff=1 + k % 7,
+                b_c_coeff=1 + k % 4,
+                mv0=((1, 0), (2, 1), (3, 3), (0, 2))[k % 4],
+                mv1=((0, 1), (1, 3), (2, 2), (3, 0))[(k // 2) % 4],
+            )
         if rid >= 420:
             # r7b GOP leg: IDR + three P frames (skip / uniform
             # quarter-pel MV / uniform DC residual) through the inter
@@ -7143,11 +7188,19 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
                 )
         return out
 
+    # B GOPs reorder: decode-order POCs [0, 6, 1, 2, 3, 4, 5] become
+    # signed version-1 ctts composition offsets (CT = DT + offset)
+    _B_CTTS = [(p - i) * 500 for i, p in enumerate((0, 6, 1, 2, 3, 4, 5))]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                encode_mp4_frames(frames_of(int(v)), codec="avc1")
-                for v in pdf[id_col]
+                encode_mp4_frames(
+                    frames_of(rid),
+                    codec="avc1",
+                    composition_offsets=_B_CTTS if rid >= 460 else None,
+                )
+                for rid in (int(v) for v in pdf[id_col])
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 

@@ -3518,6 +3518,85 @@ def _avc_deblock_leg_sql(lo: int = 240, hi: int = 330) -> str:
         FROM documents WHERE doc_id >= 420 AND doc_id < 460
       ), LATERAL (SELECT UNNEST(range(0, 4)) AS fi) f
     )
+    """
+    # r7c B leg (ids 460-499): seven-frame IBP GOPs through the B-slice
+    # tier — decode order [IDR, P+res, B_skip, B_bi+res, B_mixed8x8,
+    # B_L1, B_L0L1_16x8]; bi-prediction is (a0 + a1 + 1) >> 1 on the
+    # two flat anchors, the mixed frame patterns each MB's 8x8s as
+    # [avg, avg, avg, a0], the two-partition frame splits halves
+    # between the anchors (all values stay far below 255, so the
+    # clip in the decoder's closed form never binds)
+    + """
+    UNION ALL
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(fi * 500 AS BIGINT) AS ts_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(CASE fi
+             WHEN 0 THEN w * h * yv + (w // 2) * (h // 2) * (uv + vv)
+             WHEN 1 THEN w * h * (yv + dy1)
+                  + (w // 2) * (h // 2) * (uv + dc1 + vv + dc1)
+             WHEN 2 THEN w * h * ay + (w // 2) * (h // 2) * (au + av)
+             WHEN 3 THEN w * h * (ay + dyb)
+                  + (w // 2) * (h // 2) * (au + dcb + av + dcb)
+             WHEN 4 THEN w * h * (3 * ay + yv) // 4
+                  + (w // 2) * (h // 2) * ((3 * au + uv) + (3 * av + vv)) // 4
+             WHEN 5 THEN w * h * (yv + dy1)
+                  + (w // 2) * (h // 2) * (uv + dc1 + vv + dc1)
+             ELSE w * (h // 2) * (yv + yv + dy1)
+                  + (w // 2) * (h // 4) * (uv + uv + dc1 + vv + vv + dc1)
+           END AS BIGINT) AS pixel_sum
+    FROM (
+      SELECT doc_id, w, h, fi, yv, uv, vv, dy1, dc1, dyb, dcb,
+             (yv + yv + dy1 + 1) // 2 AS ay,
+             (uv + uv + dc1 + 1) // 2 AS au,
+             (vv + vv + dc1 + 1) // 2 AS av
+      FROM (
+        SELECT doc_id, w, h,
+               128 + ((CASE qk WHEN 0 THEN (13 * cy + 4) // 8
+                               WHEN 1 THEN (16 * cy + 2) // 4
+                               WHEN 2 THEN 10 * cy
+                               ELSE 26 * cy END + 32) // 64) AS yv,
+               128 + ((CASE qk WHEN 0 THEN (13 * cu) // 4
+                               WHEN 1 THEN 8 * cu
+                               WHEN 2 THEN 16 * cu
+                               ELSE 22 * cu END + 32) // 64) AS uv,
+               128 + ((CASE qk WHEN 0 THEN (13 * cv) // 4
+                               WHEN 1 THEN 8 * cv
+                               WHEN 2 THEN 16 * cv
+                               ELSE 22 * cv END + 32) // 64) AS vv,
+               ((CASE qk WHEN 0 THEN (13 * py + 1) // 2
+                         WHEN 1 THEN 16 * py
+                         WHEN 2 THEN 40 * py
+                         ELSE 104 * py END) + 32) // 64 AS dy1,
+               ((CASE qk WHEN 0 THEN (13 * pc) // 4
+                         WHEN 1 THEN 8 * pc
+                         WHEN 2 THEN 16 * pc
+                         ELSE 22 * pc END) + 32) // 64 AS dc1,
+               ((CASE qk WHEN 0 THEN (13 * byy + 1) // 2
+                         WHEN 1 THEN 16 * byy
+                         WHEN 2 THEN 40 * byy
+                         ELSE 104 * byy END) + 32) // 64 AS dyb,
+               ((CASE qk WHEN 0 THEN (13 * bc) // 4
+                         WHEN 1 THEN 8 * bc
+                         WHEN 2 THEN 16 * bc
+                         ELSE 22 * bc END) + 32) // 64 AS dcb
+        FROM (
+          SELECT doc_id,
+                 32 + 16 * ((doc_id - 460) % 3) AS w,
+                 32 + 16 * ((doc_id - 460) % 2) AS h,
+                 (doc_id - 460) % 4 AS qk,
+                 1 + (doc_id - 460) % 60 AS cy,
+                 1 + (doc_id - 460) % 30 AS cu,
+                 1 + (doc_id - 460) % 25 AS cv,
+                 1 + (doc_id - 460) % 8 AS py,
+                 1 + (doc_id - 460) % 5 AS pc,
+                 1 + (doc_id - 460) % 7 AS byy,
+                 1 + (doc_id - 460) % 4 AS bc
+          FROM documents WHERE doc_id >= 460 AND doc_id < 500
+        )
+      ), LATERAL (SELECT UNNEST(range(0, 7)) AS fi) f
+    )
     """,
     tags=("llm-multimodal",),
     doc="REAL H.264/AVC baseline I-frame decode inside the MP4 sample "
@@ -3529,7 +3608,13 @@ def _avc_deblock_leg_sql(lo: int = 240, hi: int = 330) -> str:
     "5th id all-I_PCM macroblocks — and decode_video_pixels runs the "
     "full decoder (llm/h264.py): avcC extraction, NAL re-framing, "
     "CAVLC residuals, luma-DC Hadamard + core transform, intra "
-    "prediction, PCM byte path. docs 240-329 (r7, VERDICT r6 #1) are "
+    "prediction, PCM byte path; docs 420-459 (r7b) add IDR+P GOPs "
+    "through the inter tier and docs 460-499 (r7c) seven-frame IBP "
+    "GOPs through the B-slice tier (llm/h264_bslice.py: spatial-"
+    "direct B_Skip, B_Bi_16x16 with motion + residual, mixed B_8x8 "
+    "sub-types, B_L1_16x16, B_L0_L1_16x8) decoded via the "
+    "POC-ordered DPB, with a signed ctts recording the display "
+    "reorder. docs 240-329 (r7, VERDICT r6 #1) are "
     "deblocking-ENABLED stepped-DC strips exercising the §8.7 filter "
     "for real: bS=4 strong/weak/no-filter MB edges plus the cascaded "
     "internal bS=3 correction, both orientations, qp 36-48; the "
@@ -3548,7 +3633,7 @@ def _avc_deblock_leg_sql(lo: int = 240, hi: int = 330) -> str:
     "— see both module docstrings for the validation contract).",
 )
 def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 460)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     media = multimodal.synthesize_avc_mp4_payloads(d, id_col="doc_id")
     return multimodal.decode_video_pixels(media, every_ms=400)
 
