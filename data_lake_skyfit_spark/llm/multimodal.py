@@ -4580,6 +4580,51 @@ def _mp4_samples(data: bytes) -> tuple[int, list[int], list[tuple[int, int]]]:
     raise ValueError("mp4: no video trak")
 
 
+def _mp4_composition_offsets(data: bytes, n: int) -> list[int]:
+    """Per-sample composition offsets (CT - DT, timescale units) from
+    the first video trak's ctts box: signed for version 1, unsigned
+    for version 0; all zeros when no ctts is present (decode order ==
+    display order).  Run-length entries are expanded and validated
+    against the sample count."""
+    moov = _mp4_child(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("mp4: missing moov")
+    for fc, tb, te in _mp4_walk(data, *moov):
+        if fc != b"trak":
+            continue
+        mdia = _mp4_child(data, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(data, *mdia, b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _mp4_child(data, *mdia, b"minf")
+        stbl = _mp4_child(data, *minf, b"stbl") if minf else None
+        if stbl is None:
+            raise ValueError("mp4: missing stbl")
+        ctts = _mp4_child(data, *stbl, b"ctts")
+        if ctts is None:
+            return [0] * n
+        b, e = ctts
+        version = data[b]
+        (count,) = struct.unpack_from(">I", data, b + 4)
+        if b + 8 + 8 * count > e:
+            raise ValueError("mp4: ctts overruns its box")
+        out: list[int] = []
+        for i in range(count):
+            cnt, off = struct.unpack_from(
+                ">Ii" if version == 1 else ">II", data, b + 8 + 8 * i)
+            if cnt > n:
+                raise ValueError("mp4: ctts run exceeds sample count")
+            out.extend([off] * cnt)
+            if len(out) > n:
+                raise ValueError("mp4: ctts entries exceed sample count")
+        if len(out) != n:
+            raise ValueError("mp4: ctts entries do not cover all samples")
+        return out
+    raise ValueError("mp4: no video trak")
+
+
 def _mp4_avc_config(data: bytes):
     """(sps_nals, pps_nals, nal_length_size) from the first video
     trak's avc1/avc3 sample entry's avcC record, or None when the

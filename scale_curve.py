@@ -432,12 +432,13 @@ def main() -> None:
                 # r7 (VERDICT r6 #7): the AVC video leg — every doc
                 # carries a REAL MP4 whose samples decode through the
                 # full H.264 path (CAVLC flat/PCM, deblocked strips,
-                # CABAC legs, and r7b the 4-frame P-GOPs with motion
-                # compensation — ids folded into the fixture space, so
-                # all entropy + prediction tiers run ∝ factor). Pure
-                # per-row Arrow decode, no shuffle; output rows =
-                # Σ frames per doc, deterministic and ∝ factor
-                # (timed() asserts > 0).
+                # CABAC legs, r7b 4-frame P-GOPs with motion
+                # compensation, r7c 7-frame IBP GOPs with bi-predicted
+                # B slices over the POC-ordered DPB — ids folded into
+                # the fixture space, so all entropy + prediction tiers
+                # run ∝ factor). Pure per-row Arrow decode, no
+                # shuffle; output rows = Σ frames per doc,
+                # deterministic and ∝ factor (timed() asserts > 0).
                 from data_lake_skyfit_spark.llm.multimodal import (
                     decode_video_pixels,
                     synthesize_avc_mp4_payloads,
@@ -445,7 +446,7 @@ def main() -> None:
 
                 return decode_video_pixels(
                     synthesize_avc_mp4_payloads(
-                        d.selectExpr("doc_id % 460 AS doc_id")
+                        d.selectExpr("doc_id % 500 AS doc_id")
                     ),
                     every_ms=400,
                 ).count()

@@ -613,6 +613,36 @@ def test_gop_b_bitflip_fuzz():
             pass
 
 
+def test_mp4_ctts_matches_poc_order():
+    """The avc1 B-GOP fixture's signed ctts must reproduce exactly the
+    display reorder the decoder derives from POC: composition times
+    sorted == POC-sorted decode indices.  A truncated ctts raises."""
+    from data_lake_skyfit_spark.llm import multimodal as mm
+
+    frames = hb.encode_h264_gop_b(32, 32, qp=28, y_coeff=9, u_coeff=5,
+                                  v_coeff=7, p_y_coeff=3, p_c_coeff=2,
+                                  b_y_coeff=4, b_c_coeff=1)
+    pocs = hb.decode_h264_gop_ipb(b"".join(frames))[3]
+    offs = [(p - i) * 500 for i, p in enumerate(pocs)]
+    payload = mm.encode_mp4_frames(frames, codec="avc1",
+                                   composition_offsets=offs)
+    parsed = mm._mp4_composition_offsets(payload, len(frames))
+    assert parsed == offs
+    # composition order == POC order
+    ct = [i * 500 + o for i, o in enumerate(parsed)]
+    assert sorted(range(len(ct)), key=lambda i: ct[i]) == \
+        sorted(range(len(pocs)), key=lambda i: pocs[i])
+    # an MP4 without ctts reports zero offsets
+    plain = mm.encode_mp4_frames([b"x" * 40, b"y" * 40])
+    assert mm._mp4_composition_offsets(plain, 2) == [0, 0]
+    # corrupt the ctts entry count upward: must raise, not overread
+    idx = payload.index(b"ctts")
+    bad = bytearray(payload)
+    bad[idx + 8: idx + 12] = (1 << 20).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        mm._mp4_composition_offsets(bytes(bad), len(frames))
+
+
 def test_intra_mb_inside_b_slice():
     """A B slice mixing direct MBs with an Intra_16x16 MB: the intra
     MB reconstructs through the shared machinery with the bi-predicted
