@@ -1570,7 +1570,9 @@ def _sps_writer(mbw: int, mbh: int, crop_r: int, crop_b: int, *,
     return sps
 
 
-def _pps_writer(qp: int, *, cabac: bool = False) -> "_BitWriter":
+def _pps_writer(qp: int, *, cabac: bool = False,
+                weighted_pred: bool = False,
+                weighted_bipred: int = 0) -> "_BitWriter":
     pps = _BitWriter()
     pps.ue(0)
     pps.ue(0)
@@ -1579,8 +1581,8 @@ def _pps_writer(qp: int, *, cabac: bool = False) -> "_BitWriter":
     pps.ue(0)  # one slice group
     pps.ue(0)
     pps.ue(0)
-    pps.u(1, 0)
-    pps.u(2, 0)
+    pps.u(1, 1 if weighted_pred else 0)  # weighted_pred_flag
+    pps.u(2, weighted_bipred)  # weighted_bipred_idc
     pps.se(qp - 26)  # pic_init_qp_minus26
     pps.se(0)
     pps.se(0)  # chroma_qp_index_offset

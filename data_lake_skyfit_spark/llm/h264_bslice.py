@@ -9,10 +9,13 @@ contract): CAVLC B slices, 4:2:0, frame_mbs_only, one slice per
 picture, num_ref_idx_l0_active == num_ref_idx_l1_active == 1 (the
 nearest reference below / above the current POC), SPATIAL direct
 mode only (direct_spatial_mv_pred_flag == 1) with
-direct_8x8_inference_flag == 1, no weighted prediction
-(weighted_bipred_idc == 0), no reference-list modification,
+direct_8x8_inference_flag == 1, no reference-list modification,
 NON-REFERENCE B pictures (nal_ref_idc == 0 — the classic IBP/IBBP
 pattern; B-pyramid streams are rejected, never approximated).
+ALL THREE weighted_bipred_idc modes decode (r7c): 0 = the default
+(a + b + 1) >> 1 average, 1 = explicit per-list pred_weight_table
+weighting (§8.4.2.3.2), 2 = implicit POC-distance weights
+(§8.4.2.3.1; uni-directional predictions stay unweighted per spec).
 All B macroblock types decode: B_Skip / B_Direct_16x16 (§8.4.1.2.2
 spatial derivation including the colocated-motion colZeroFlag from
 the list-1 anchor's motion field), every Table 7-14 explicit
@@ -61,15 +64,18 @@ from .h264 import (
     _strip_emulation,
     _write_cavlc_block,
 )
+from .h264 import _clip255, _clip3
 from .h264_inter import (
     _CBP_INTER,
     _InterPicState,
     _MvGrid,
+    _apply_weight,
     _deblock_edges,
     _decode_pslice,
     _mc_chroma,
     _mc_luma,
     _mvp,
+    _parse_pred_weight_table,
 )
 
 __all__ = [
@@ -178,20 +184,56 @@ def _spatial_direct(gridL0: _MvGrid, gridL1: _MvGrid, col_grid,
 
 
 # --------------------------------------------------------------------------
+# weighted bi-prediction (§8.4.2.3.1 / .2)
+
+
+def _implicit_weights(poc_cur: int, poc0: int, poc1: int) -> tuple[int, int]:
+    """§8.4.2.3.1 implicit weighted-bipred weights (logWD 5, zero
+    offsets), derived from POC distances; falls back to the 32/32
+    average when the anchors share a POC or the clipped scale factor
+    leaves [-64, 128].  The spec's '/' truncates toward zero — td is
+    always positive under this DPB construction (list 1 is the future
+    anchor), but the truncating form is kept for clarity."""
+    if poc1 == poc0:
+        return 32, 32
+    tb = _clip3(-128, 127, poc_cur - poc0)
+    td = _clip3(-128, 127, poc1 - poc0)
+    num = 16384 + (abs(td) >> 1)
+    tx = num // td if td > 0 else -(num // -td)
+    dsf = _clip3(-1024, 1023, (tb * tx + 32) >> 6)
+    w1 = dsf >> 2
+    if w1 < -64 or w1 > 128:
+        return 32, 32
+    return 64 - w1, w1
+
+
+def _bi_combine(p0: list[int], p1: list[int], w0: int, o0: int,
+                w1: int, o1: int, logwd: int) -> list[int]:
+    """§8.4.2.3.2 weighted bi-prediction: the default weights
+    reproduce the plain (a + b + 1) >> 1 average exactly."""
+    r = 1 << logwd
+    oo = (o0 + o1 + 1) >> 1
+    return [_clip255(((a * w0 + b * w1 + r) >> (logwd + 1)) + oo)
+            for a, b in zip(p0, p1)]
+
+
+# --------------------------------------------------------------------------
 # B-slice decoder
 
 
 def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
-                   pps: dict, ref0, ref1, col_grid):
+                   pps: dict, ref0, ref1, col_grid, pocs=None):
     """Decode one B slice covering the whole picture.  ref0/ref1 are
     the uncropped (y, u, v) planes of RefPicList0[0] / RefPicList1[0]
     (nearest reference below / above the current POC); col_grid is
     ref1's motion grid for the spatial-direct colZeroFlag (None for
-    an intra anchor).  Returns the deblocked, uncropped planes."""
+    an intra anchor); pocs = (poc_cur, poc0, poc1) feeds the implicit
+    weighted-bipred derivation when weighted_bipred_idc == 2.
+    Returns the deblocked, uncropped planes."""
     if pps["cabac"]:
         raise ValueError("h264: CABAC B slices not supported")
-    if pps["weighted_bipred"]:
-        raise ValueError("h264: weighted biprediction not supported")
+    if pps["weighted_bipred"] == 2 and pocs is None:
+        raise ValueError("h264: implicit weighting needs anchor POCs")
     if pps["bottom_poc"]:
         raise ValueError("h264: bottom-field POC syntax not supported")
     if not sps["direct_8x8"]:
@@ -225,6 +267,16 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
         raise ValueError("h264: reference list modification not supported")
     if br.u(1):  # ref_pic_list_modification_flag_l1
         raise ValueError("h264: reference list modification not supported")
+    # weighting mode: None (default average), explicit table (idc 1),
+    # or POC-derived implicit weights (idc 2; uni preds stay plain)
+    wp = None
+    iw = None
+    if pps["weighted_bipred"] == 1:
+        wp = _parse_pred_weight_table(br, 2)
+    elif pps["weighted_bipred"] == 2:
+        iw = _implicit_weights(pocs[0], pocs[1], pocs[2])
+    elif pps["weighted_bipred"]:
+        raise ValueError("h264: bad weighted_bipred_idc")
     # dec_ref_pic_marking absent: nal_ref_idc == 0 enforced above
     qp = pps["pic_init_qp"] + br.se()
     deblock_idc = 0
@@ -249,24 +301,47 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
     # deblock motion state per 4x4: 'I' or (list mask, mv0, mv1)
     db_cell = [[None] * (mbw * 4) for _ in range(mbh * 4)]
 
+    def combine(preds, plane_idx: int):
+        """Merge the per-list interpolations for one partition under
+        the slice's weighting mode: explicit (§8.4.2.3.2 weights from
+        the pred_weight_table), implicit (POC-derived bi weights,
+        plain uni), or the default (a + b + 1) >> 1 / pass-through."""
+        if len(preds) == 2:
+            (_l0, p0), (_l1, p1) = preds
+            if wp is not None:
+                ld, cd, entries = wp
+                if plane_idx == 0:
+                    (w0, o0), (w1, o1) = entries[0][0], entries[1][0]
+                    return _bi_combine(p0, p1, w0, o0, w1, o1, ld)
+                (w0, o0) = entries[0][1][plane_idx - 1]
+                (w1, o1) = entries[1][1][plane_idx - 1]
+                return _bi_combine(p0, p1, w0, o0, w1, o1, cd)
+            if iw is not None:
+                return _bi_combine(p0, p1, iw[0], 0, iw[1], 0, 5)
+            return [(a + b + 1) >> 1 for a, b in zip(p0, p1)]
+        lx, p = preds[0]
+        if wp is not None:
+            ld, cd, entries = wp
+            if plane_idx == 0:
+                return _apply_weight(p, *entries[lx][0], ld)
+            return _apply_weight(p, *entries[lx][1][plane_idx - 1], cd)
+        return p  # implicit mode leaves uni predictions unweighted
+
     def mc_partition(mbx: int, mby: int, pbx: int, pby: int,
                      wb: int, hb: int, mv0, mv1) -> None:
         """Motion-compensate one partition: uni (one mv None) copies
-        the single interpolation, bi averages (§8.4.2.3, default
-        weights): (predL0 + predL1 + 1) >> 1."""
+        the single interpolation, bi combines per the weighting mode
+        (default: (predL0 + predL1 + 1) >> 1)."""
         px, py = mbx * 16 + pbx * 4, mby * 16 + pby * 4
         bw, bh = wb * 4, hb * 4
         preds = []
-        for mv, planes in ((mv0, ref0), (mv1, ref1)):
+        for lx, (mv, planes) in enumerate(((mv0, ref0), (mv1, ref1))):
             if mv is None:
                 continue
             dst = [0] * (bw * bh)
             _mc_luma(planes[0], W, H, dst, px, py, bw, bh, mv[0], mv[1])
-            preds.append(dst)
-        if len(preds) == 2:
-            out = [(a + b + 1) >> 1 for a, b in zip(preds[0], preds[1])]
-        else:
-            out = preds[0]
+            preds.append((lx, dst))
+        out = combine(preds, 0)
         for r in range(bh):
             ybuf[(py + r) * W + px: (py + r) * W + px + bw] = bytes(
                 out[r * bw: (r + 1) * bw])
@@ -274,18 +349,14 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
         cbw, cbh = bw >> 1, bh >> 1
         for comp, obuf in ((1, ubuf), (2, vbuf)):
             cpreds = []
-            for mv, planes in ((mv0, ref0), (mv1, ref1)):
+            for lx, (mv, planes) in enumerate(((mv0, ref0), (mv1, ref1))):
                 if mv is None:
                     continue
                 cdst = [0] * (cbw * cbh)
                 _mc_chroma(planes[comp], CW, CH, cdst, cpx, cpy,
                            cbw, cbh, mv[0], mv[1])
-                cpreds.append(cdst)
-            if len(cpreds) == 2:
-                cout = [(a + b + 1) >> 1
-                        for a, b in zip(cpreds[0], cpreds[1])]
-            else:
-                cout = cpreds[0]
+                cpreds.append((lx, cdst))
+            cout = combine(cpreds, comp)
             for r in range(cbh):
                 obuf[(cpy + r) * CW + cpx: (cpy + r) * CW + cpx + cbw] = \
                     bytes(cout[r * cbw: (r + 1) * cbw])
@@ -619,7 +690,8 @@ class H264AuDecoder:
             r1 = min(future, key=lambda e: e["poc"])
             yb, ub, vb = _decode_bslice(
                 rbsp, ntype, nri, sps, pps,
-                r0["planes"], r1["planes"], r1["grid"])
+                r0["planes"], r1["planes"], r1["grid"],
+                pocs=(poc, r0["poc"], r1["poc"]))
             grid = None
         else:
             raise ValueError("h264: only I, P and B slices supported")
@@ -909,3 +981,70 @@ def h264_gop_b_expected(qp: int, y_coeff: int, u_coeff: int, v_coeff: int,
         ("flat", y1, u1, v1),
         ("halves", (yv, y1), (uv, u1), (vv, v1)),
     ]
+
+
+def encode_h264_gop_wp(width: int, height: int, *, qp: int,
+                       y_coeff: int, u_coeff: int, v_coeff: int,
+                       wy: int, oy: int, wu: int, ou: int,
+                       wv: int, ov: int) -> list[bytes]:
+    """Weighted-prediction GOP fixture (h264_gop_wp_expected): the PPS
+    sets weighted_pred_flag (explicit P weighting) AND
+    weighted_bipred_idc == 2 (implicit B weighting).  Frames in
+    decode order / POC: IDR flat (0); an all-skip P at POC 6 whose
+    P_Skip predictions run through the slice's explicit weight/offset
+    pairs (logWD 5 both planes); two all-skip B pictures at POC 2 and
+    4 whose zero-motion bi-predictions use the POC-derived implicit
+    weights — (43, 21) and (22, 42), pinned by
+    test_implicit_weight_constants."""
+    if width % 2 or height % 2 or width <= 0 or height <= 0:
+        raise ValueError("h264: dims must be positive and even")
+    if not 0 <= qp <= 51:
+        raise ValueError("h264: qp out of range")
+    from .h264 import encode_h264_iframe_flat
+
+    mbw = (width + 15) // 16
+    mbh = (height + 15) // 16
+    crop_r = (mbw * 16 - width) // 2
+    crop_b = (mbh * 16 - height) // 2
+    sps = _sps_writer(mbw, mbh, crop_r, crop_b,
+                      num_ref_frames=2, profile_idc=77)
+    pps = _pps_writer(qp, weighted_pred=True, weighted_bipred=2)
+    idr_body = encode_h264_iframe_flat(
+        width, height, qp=qp,
+        y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    idr_slice = next(n for n in _split_nals(idr_body)
+                     if (n[0] & 0x1F) == 5)
+    idr = (_nal(3, 7, sps.done()) + _nal(3, 8, pps.done())
+           + b"\x00\x00\x00\x01" + idr_slice)
+    from .h264_inter import _encode_pslice_nal
+
+    return [
+        idr,
+        _encode_pslice_nal(mbw, mbh, qp, 1, "skip", poc_lsb=6,
+                           weights=(5, 5, (wy, oy), [(wu, ou), (wv, ov)])),
+        _encode_bslice_nal(mbw, mbh, 2, 2, "skip"),
+        _encode_bslice_nal(mbw, mbh, 2, 4, "skip"),
+    ]
+
+
+def h264_gop_wp_expected(qp: int, y_coeff: int, u_coeff: int,
+                         v_coeff: int, wy: int, oy: int, wu: int,
+                         ou: int, wv: int, ov: int):
+    """Closed-form per-frame uniform plane values for
+    encode_h264_gop_wp: frame 1 applies the §8.4.2.3.2 explicit
+    weighting to the flat IDR values (logWD 5:
+    clip(((v*w + 16) >> 5) + o)); frames 2-3 are the implicit
+    bi-predictions clip((w0*a0 + w1*a1 + 32) >> 6) at the POC-derived
+    weights for POC 2 and 4 between anchors at 0 and 6."""
+    from .h264 import h264_flat_expected
+
+    a0 = h264_flat_expected(qp, y_coeff, u_coeff, v_coeff)
+    a1 = tuple(_clip255(((v * w + 16) >> 5) + o)
+               for v, w, o in zip(a0, (wy, wu, wv), (oy, ou, ov)))
+    out = [("flat",) + a0, ("flat",) + a1]
+    for poc in (2, 4):
+        w0, w1 = _implicit_weights(poc, 0, 6)
+        out.append(("flat",) + tuple(
+            _clip255((w0 * v0 + w1 * v1 + 32) >> 6)
+            for v0, v1 in zip(a0, a1)))
+    return out

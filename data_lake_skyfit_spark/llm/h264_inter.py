@@ -8,8 +8,11 @@ Supported envelope (reject-never-approximate, the module family's
 contract): baseline-profile P slices, CAVLC entropy, 4:2:0,
 frame_mbs_only, one slice per picture, a SINGLE reference picture
 (num_ref_idx_l0_active == 1 — the previous decoded frame, which is
-the deblocked picture per the in-loop filter definition), no weighted
-prediction, no reference-list modification, no adaptive marking.
+the deblocked picture per the in-loop filter definition), no
+reference-list modification, no adaptive marking.  EXPLICIT weighted
+prediction (weighted_pred_flag == 1, r7c) parses the
+pred_weight_table and applies §8.4.2.3.2 weighting — including to
+P_Skip predictions — with the default (w, o) an exact identity.
 All P macroblock types decode: P_Skip (with the §8.4.1.1 zero-mv
 rule), P_L0_16x16, 16x8/8x16 with their directional MV predictors,
 P_8x8 / P_8x8ref0 with every sub-partition shape, and intra MBs
@@ -635,6 +638,47 @@ _SUB_LAYOUT = {
 }
 
 
+def _parse_pred_weight_table(br, lists: int):
+    """§7.3.3.2 pred_weight_table under the single-active-reference
+    envelope: (luma_log2_denom, chroma_log2_denom, [per list:
+    ((luma_w, luma_o), [(cb_w, cb_o), (cr_w, cr_o)])]).  Absent
+    per-entry flags yield the spec defaults (w = 1 << denom, o = 0),
+    which _apply_weight treats as the identity."""
+    ld = br.ue()  # luma_log2_weight_denom
+    cd = br.ue()  # chroma_log2_weight_denom
+    if ld > 7 or cd > 7:
+        raise ValueError("h264: weight denominator out of range")
+    out = []
+    for _ in range(lists):
+        wy = (1 << ld, 0)
+        wc = [(1 << cd, 0), (1 << cd, 0)]
+        if br.u(1):  # luma_weight_lX_flag
+            w, o = br.se(), br.se()
+            if not (-128 <= w <= 127 and -128 <= o <= 127):
+                raise ValueError("h264: luma weight out of range")
+            wy = (w, o)
+        if br.u(1):  # chroma_weight_lX_flag
+            wc = []
+            for _j in range(2):
+                w, o = br.se(), br.se()
+                if not (-128 <= w <= 127 and -128 <= o <= 127):
+                    raise ValueError("h264: chroma weight out of range")
+                wc.append((w, o))
+        out.append((wy, wc))
+    return ld, cd, out
+
+
+def _apply_weight(vals: list[int], w: int, o: int, logwd: int) -> list[int]:
+    """§8.4.2.3.2 explicit uni-directional sample weighting (Clip1 at
+    8 bpp); the default (w, o) is an exact identity and is skipped."""
+    if (w, o) == (1 << logwd, 0):
+        return vals
+    if logwd:
+        r = 1 << (logwd - 1)
+        return [_clip255(((v * w + r) >> logwd) + o) for v in vals]
+    return [_clip255(v * w + o) for v in vals]
+
+
 def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
                    sps: dict, pps: dict,
                    ref: tuple[bytes, bytes, bytes]) -> tuple:
@@ -642,11 +686,11 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
     single reference picture; returns the deblocked, uncropped
     (ybuf, ubuf, vbuf, motion_grid) — the grid doubles as the
     colocated motion field when this picture anchors a B slice
-    (llm/h264_bslice.py)."""
+    (llm/h264_bslice.py).  weighted_pred_flag == 1 parses the
+    pred_weight_table and applies §8.4.2.3.2 explicit weighting to
+    every inter prediction (r7c)."""
     if pps["cabac"]:
         raise ValueError("h264: CABAC P slices not supported")
-    if pps["weighted_pred"]:
-        raise ValueError("h264: weighted prediction not supported")
     br = _BitReader(rbsp)
     if br.ue() != 0:
         raise ValueError("h264: slice must start at mb 0")
@@ -668,6 +712,10 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
         raise ValueError("h264: more than one reference picture")
     if br.u(1):  # ref_pic_list_modification_flag_l0
         raise ValueError("h264: reference list modification not supported")
+    wp = None
+    if pps["weighted_pred"]:
+        ld, cd, entries = _parse_pred_weight_table(br, 1)
+        wp = (ld, cd, entries[0])
     if nal_ref_idc != 0:
         if br.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise ValueError("h264: adaptive ref marking not supported")
@@ -693,11 +741,14 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
 
     def mc_partition(mbx: int, mby: int, pbx: int, pby: int,
                      wb: int, hb: int, mv: tuple[int, int]) -> None:
-        """Motion-compensate one partition into the current planes."""
+        """Motion-compensate one partition into the current planes
+        (explicit weighting applied when the slice carries weights)."""
         px, py = mbx * 16 + pbx * 4, mby * 16 + pby * 4
         bw, bh = wb * 4, hb * 4
         dst = [0] * (bw * bh)
         _mc_luma(ref_y, W, H, dst, px, py, bw, bh, mv[0], mv[1])
+        if wp is not None:
+            dst = _apply_weight(dst, *wp[2][0], wp[0])
         for r in range(bh):
             ybuf[(py + r) * W + px: (py + r) * W + px + bw] = bytes(
                 dst[r * bw: (r + 1) * bw])
@@ -706,9 +757,12 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
         cdst = [0] * (cbw * cbh)
         for comp, (rbuf, obuf) in enumerate(((ref_u, ubuf), (ref_v, vbuf))):
             _mc_chroma(rbuf, CW, CH, cdst, cpx, cpy, cbw, cbh, mv[0], mv[1])
+            out = cdst
+            if wp is not None:
+                out = _apply_weight(cdst, *wp[2][1][comp], wp[1])
             for r in range(cbh):
                 obuf[(cpy + r) * CW + cpx: (cpy + r) * CW + cpx + cbw] = \
-                    bytes(cdst[r * cbw: (r + 1) * cbw])
+                    bytes(out[r * cbw: (r + 1) * cbw])
 
     def decode_skip_mb(mbx: int, mby: int) -> None:
         bx, by = mbx * 4, mby * 4
@@ -874,13 +928,17 @@ def decode_h264_gop(data: bytes, *, max_frames: int = 1024):
 def _encode_pslice_nal(mbw: int, mbh: int, qp: int, frame_num: int,
                        mode: str, mv: tuple[int, int] = (0, 0),
                        y_coeff: int = 0, c_coeff: int = 0,
-                       poc_lsb: int | None = None) -> bytes:
+                       poc_lsb: int | None = None,
+                       weights=None) -> bytes:
     """One whole-picture P slice NAL (CAVLC).  Modes: 'skip' (one
     mb_skip_run covering the picture), 'mv' (every MB P_L0_16x16 with
     the same motion vector, no residual), 'residual' (mv plus a DC
     coefficient in every luma 4x4 and a chroma DC per component).
     Deblocking is disabled in the slice header; mvd values come from
-    the same grid/_mvp machinery the decoder runs."""
+    the same grid/_mvp machinery the decoder runs.  `weights` =
+    (luma_log2_denom, chroma_log2_denom, (wy, oy), [(wu, ou),
+    (wv, ov)]) writes a pred_weight_table — the PPS must then set
+    weighted_pred_flag."""
     sl = _BitWriter()
     sl.ue(0)   # first_mb_in_slice
     sl.ue(5)   # slice_type: P (all slices in picture)
@@ -891,6 +949,17 @@ def _encode_pslice_nal(mbw: int, mbh: int, qp: int, frame_num: int,
     sl.u(4, (2 * frame_num if poc_lsb is None else poc_lsb) & 15)
     sl.u(1, 0)  # num_ref_idx_active_override_flag
     sl.u(1, 0)  # ref_pic_list_modification_flag_l0
+    if weights is not None:
+        ld, cd, (wy, oy), wc = weights
+        sl.ue(ld)
+        sl.ue(cd)
+        sl.u(1, 1)  # luma_weight_l0_flag
+        sl.se(wy)
+        sl.se(oy)
+        sl.u(1, 1)  # chroma_weight_l0_flag
+        for w, o in wc:
+            sl.se(w)
+            sl.se(o)
     sl.u(1, 0)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc != 0)
     sl.se(0)   # slice_qp_delta
     sl.ue(1)   # disable_deblocking_filter_idc = 1

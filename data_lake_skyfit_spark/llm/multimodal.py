@@ -7108,16 +7108,41 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
     (h264_flat_expected), 375-419 the deblocked stepped strips again
     through the arithmetic tier (h264_steps_expected — the entropy
     layer cannot change a reconstructed sample). ids 420-459 (r7b)
-    are four-frame IDR+P GOPs (h264_gop_expected). ids 460-499 (r7c)
+    are four-frame IDR+P GOPs (h264_gop_expected). ids 460-489 (r7c)
     are seven-frame IBP GOPs through the B tier: the samples sit in
     DECODE order with a signed ctts recording the POC reorder, and
     every B mode family (direct/skip, Bi+residual, mixed B_8x8, L1,
-    L0-L1 two-partition) decodes for real (h264_gop_b_expected)."""
+    L0-L1 two-partition) decodes for real (h264_gop_b_expected);
+    ids 460-489 in the graded window. ids 490-499 (r7c) are
+    weighted-prediction GOPs: an explicit-WP all-skip P anchor and
+    two implicit-weighted B pictures (h264_gop_wp_expected)."""
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
 
     def frames_of(rid: int) -> list[bytes]:
+        if rid >= 490:
+            # r7c weighted-prediction leg: IDR + explicit-WP all-skip
+            # P (POC 6) + two implicit-weighted all-skip B pictures
+            # (POC 2/4, weights (43,21)/(22,42)); closed form
+            # h264_gop_wp_expected
+            from .h264_bslice import encode_h264_gop_wp
+
+            k = rid - 490
+            return encode_h264_gop_wp(
+                32 + 2 * (k % 9),
+                32 + 2 * (k % 7),
+                qp=(20, 28, 36, 44)[k % 4],
+                y_coeff=1 + k % 60,
+                u_coeff=1 + k % 30,
+                v_coeff=1 + k % 25,
+                wy=20 + k % 25,
+                oy=(k % 9) - 4,
+                wu=24 + k % 17,
+                ou=(k % 7) - 3,
+                wv=40 - k % 13,
+                ov=(k % 5) - 2,
+            )
         if rid >= 460:
             # r7c B leg: seven-frame IBP GOP through the B tier
             # (llm/h264_bslice) — IDR, P residual anchor, then five
@@ -7233,9 +7258,17 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
                 )
         return out
 
-    # B GOPs reorder: decode-order POCs [0, 6, 1, 2, 3, 4, 5] become
-    # signed version-1 ctts composition offsets (CT = DT + offset)
+    # B GOPs reorder: decode-order POCs become signed version-1 ctts
+    # composition offsets (CT = DT + offset); display rank == POC rank
     _B_CTTS = [(p - i) * 500 for i, p in enumerate((0, 6, 1, 2, 3, 4, 5))]
+    _WP_CTTS = [0, 1000, -500, -500]  # decode-order POCs (0, 6, 2, 4)
+
+    def ctts_of(rid: int):
+        if rid >= 490:
+            return _WP_CTTS
+        if rid >= 460:
+            return _B_CTTS
+        return None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -7243,7 +7276,7 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
                 encode_mp4_frames(
                     frames_of(rid),
                     codec="avc1",
-                    composition_offsets=_B_CTTS if rid >= 460 else None,
+                    composition_offsets=ctts_of(rid),
                 )
                 for rid in (int(v) for v in pdf[id_col])
             ]

@@ -3519,7 +3519,7 @@ def _avc_deblock_leg_sql(lo: int = 240, hi: int = 330) -> str:
       ), LATERAL (SELECT UNNEST(range(0, 4)) AS fi) f
     )
     """
-    # r7c B leg (ids 460-499): seven-frame IBP GOPs through the B-slice
+    # r7c B leg (ids 460-489): seven-frame IBP GOPs through the B-slice
     # tier — decode order [IDR, P+res, B_skip, B_bi+res, B_mixed8x8,
     # B_L1, B_L0L1_16x8]; bi-prediction is (a0 + a1 + 1) >> 1 on the
     # two flat anchors, the mixed frame patterns each MB's 8x8s as
@@ -3593,9 +3593,71 @@ def _avc_deblock_leg_sql(lo: int = 240, hi: int = 330) -> str:
                  1 + (doc_id - 460) % 5 AS pc,
                  1 + (doc_id - 460) % 7 AS byy,
                  1 + (doc_id - 460) % 4 AS bc
-          FROM documents WHERE doc_id >= 460 AND doc_id < 500
+          FROM documents WHERE doc_id >= 460 AND doc_id < 490
         )
       ), LATERAL (SELECT UNNEST(range(0, 7)) AS fi) f
+    )
+    """
+    # r7c weighted-prediction leg (ids 490-499): IDR, explicit-WP
+    # all-skip P (logWD 5: ((a0*w + 16) >> 5) + o per plane — values
+    # stay far from the 0/255 clips by construction), then two
+    # implicit-weighted all-skip B pictures at POC 2/4 between anchors
+    # at 0/6 — weights (43, 21) and (22, 42), pinned by
+    # test_implicit_weight_constants
+    + """
+    UNION ALL
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(fi * 500 AS BIGINT) AS ts_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(CASE fi
+             WHEN 0 THEN w * h * yv + (w // 2) * (h // 2) * (uv + vv)
+             WHEN 1 THEN w * h * y1 + (w // 2) * (h // 2) * (u1 + v1)
+             WHEN 2 THEN w * h * ((43 * yv + 21 * y1 + 32) // 64)
+                  + (w // 2) * (h // 2)
+                    * ((43 * uv + 21 * u1 + 32) // 64
+                       + (43 * vv + 21 * v1 + 32) // 64)
+             ELSE w * h * ((22 * yv + 42 * y1 + 32) // 64)
+                  + (w // 2) * (h // 2)
+                    * ((22 * uv + 42 * u1 + 32) // 64
+                       + (22 * vv + 42 * v1 + 32) // 64)
+           END AS BIGINT) AS pixel_sum
+    FROM (
+      SELECT doc_id, w, h, fi, yv, uv, vv,
+             (yv * wy + 16) // 32 + oy AS y1,
+             (uv * wu + 16) // 32 + ou AS u1,
+             (vv * wv + 16) // 32 + ov AS v1
+      FROM (
+        SELECT doc_id, w, h, wy, oy, wu, ou, wv, ov,
+               128 + ((CASE qk WHEN 0 THEN (13 * cy + 4) // 8
+                               WHEN 1 THEN (16 * cy + 2) // 4
+                               WHEN 2 THEN 10 * cy
+                               ELSE 26 * cy END + 32) // 64) AS yv,
+               128 + ((CASE qk WHEN 0 THEN (13 * cu) // 4
+                               WHEN 1 THEN 8 * cu
+                               WHEN 2 THEN 16 * cu
+                               ELSE 22 * cu END + 32) // 64) AS uv,
+               128 + ((CASE qk WHEN 0 THEN (13 * cv) // 4
+                               WHEN 1 THEN 8 * cv
+                               WHEN 2 THEN 16 * cv
+                               ELSE 22 * cv END + 32) // 64) AS vv
+        FROM (
+          SELECT doc_id,
+                 32 + 2 * ((doc_id - 490) % 9) AS w,
+                 32 + 2 * ((doc_id - 490) % 7) AS h,
+                 (doc_id - 490) % 4 AS qk,
+                 1 + (doc_id - 490) % 60 AS cy,
+                 1 + (doc_id - 490) % 30 AS cu,
+                 1 + (doc_id - 490) % 25 AS cv,
+                 20 + (doc_id - 490) % 25 AS wy,
+                 (doc_id - 490) % 9 - 4 AS oy,
+                 24 + (doc_id - 490) % 17 AS wu,
+                 (doc_id - 490) % 7 - 3 AS ou,
+                 40 - (doc_id - 490) % 13 AS wv,
+                 (doc_id - 490) % 5 - 2 AS ov
+          FROM documents WHERE doc_id >= 490 AND doc_id < 500
+        )
+      ), LATERAL (SELECT UNNEST(range(0, 4)) AS fi) f
     )
     """,
     tags=("llm-multimodal",),
@@ -3609,12 +3671,12 @@ def _avc_deblock_leg_sql(lo: int = 240, hi: int = 330) -> str:
     "full decoder (llm/h264.py): avcC extraction, NAL re-framing, "
     "CAVLC residuals, luma-DC Hadamard + core transform, intra "
     "prediction, PCM byte path; docs 420-459 (r7b) add IDR+P GOPs "
-    "through the inter tier and docs 460-499 (r7c) seven-frame IBP "
+    "through the inter tier and docs 460-489 (r7c) seven-frame IBP "
     "GOPs through the B-slice tier (llm/h264_bslice.py: spatial-"
     "direct B_Skip, B_Bi_16x16 with motion + residual, mixed B_8x8 "
     "sub-types, B_L1_16x16, B_L0_L1_16x8) decoded via the "
     "POC-ordered DPB, with a signed ctts recording the display "
-    "reorder. docs 240-329 (r7, VERDICT r6 #1) are "
+    "reorder; docs 490-499 add weighted prediction — an explicit-WP P anchor (pred_weight_table, 8.4.2.3.2 weighting incl. P_Skip) and two implicit POC-weighted B pictures. docs 240-329 (r7, VERDICT r6 #1) are "
     "deblocking-ENABLED stepped-DC strips exercising the §8.7 filter "
     "for real: bS=4 strong/weak/no-filter MB edges plus the cascaded "
     "internal bS=3 correction, both orientations, qp 36-48; the "

@@ -613,6 +613,135 @@ def test_gop_b_bitflip_fuzz():
             pass
 
 
+def test_implicit_weight_constants():
+    """§8.4.2.3.1 implicit weights, hand-derived: tx = (16384 +
+    |td|/2)/td, DSF = (tb*tx + 32) >> 6, w1 = DSF >> 2, w0 = 64 - w1;
+    equidistant anchors reduce to the plain 32/32 average and the
+    graded fixture's POC 2/4-between-0-and-6 constants are pinned."""
+    assert hb._implicit_weights(3, 0, 6) == (32, 32)
+    assert hb._implicit_weights(2, 0, 6) == (43, 21)
+    assert hb._implicit_weights(4, 0, 6) == (22, 42)
+    assert hb._implicit_weights(2, 0, 8) == (48, 16)
+    assert hb._implicit_weights(1, 1, 1) == (32, 32)  # same-POC fallback
+
+
+def test_wp_gop_closed_forms():
+    for qp in (20, 28, 36, 44):
+        for wy, oy, wu, ou, wv, ov in ((24, 3, 30, -2, 40, 1),
+                                       (32, 0, 32, 0, 32, 0),
+                                       (20, -4, 44, 2, 28, -1)):
+            chunks = hb.encode_h264_gop_wp(
+                36, 20, qp=qp, y_coeff=9, u_coeff=5, v_coeff=7,
+                wy=wy, oy=oy, wu=wu, ou=ou, wv=wv, ov=ov)
+            w, h, frames, pocs = hb.decode_h264_gop_ipb(b"".join(chunks))
+            assert (w, h) == (36, 20) and pocs == [0, 6, 2, 4]
+            exp = hb.h264_gop_wp_expected(qp, 9, 5, 7, wy, oy, wu, ou,
+                                          wv, ov)
+            for fi, (e, (y, u, v)) in enumerate(zip(exp, frames)):
+                _, ye, ue, ve = e
+                assert set(y) == {ye} and set(u) == {ue} and \
+                    set(v) == {ve}, (qp, fi)
+
+
+def test_explicit_wp_p_slice_formula():
+    """Explicit P weighting against the §8.4.2.3.2 formula computed
+    independently per pixel over a PCM gradient — including a
+    negative weight, a saturating offset and the logWD=0 branch."""
+    W, H = 32, 16
+    y = bytes((x * 7 + yy * 5) % 256 for yy in range(H) for x in range(W))
+    u = bytes((x * 3 + yy * 9) % 256
+              for yy in range(H // 2) for x in range(W // 2))
+    v = bytes((x * 13 + yy * 2) % 256
+              for yy in range(H // 2) for x in range(W // 2))
+    idr = _pcm_idr2(W, H, y, u, v, qp=28)
+    # the PCM helper's PPS has weighted_pred off — rebuild with it on
+    from data_lake_skyfit_spark.llm.h264 import _pps_writer as ppsw
+    sps_end = idr.index(b"\x00\x00\x00\x01", 8)
+    pps_end = idr.index(b"\x00\x00\x00\x01", sps_end + 8)
+    pps_on = _nal(3, 8, ppsw(28, weighted_pred=True).done())
+    idr_wp = idr[:sps_end] + pps_on + idr[pps_end:]
+    for ld, wyy, oyy in ((5, -20, 100), (0, 2, -30), (6, 77, 4)):
+        p = hi._encode_pslice_nal(
+            2, 1, 28, 1, "skip",
+            weights=(ld, 5, (wyy, oyy), [(30, 2), (34, -3)]))
+        w, h, frames, _ = hb.decode_h264_gop_ipb(idr_wp + p)
+        fy = frames[1][0]
+        for i, s in enumerate(y):
+            if ld:
+                want = ((s * wyy + (1 << (ld - 1))) >> ld) + oyy
+            else:
+                want = s * wyy + oyy
+            want = min(255, max(0, want))
+            assert fy[i] == want, (ld, wyy, oyy, i)
+        fu = frames[1][1]
+        for i, s in enumerate(u):
+            want = min(255, max(0, ((s * 30 + 16) >> 5) + 2))
+            assert fu[i] == want
+
+
+def test_explicit_weighted_bipred_b_slice():
+    """weighted_bipred_idc == 1: a skip-direct B picture combines the
+    anchors with the slice's explicit per-list weights; a hand-built
+    header carries the two-list pred_weight_table."""
+    W, H = 32, 16
+    qp = 28
+    from data_lake_skyfit_spark.llm.h264 import (_pps_writer as ppsw,
+                                                 _sps_writer as spsw)
+
+    chunks = hb.encode_h264_gop_b(W, H, qp=qp, y_coeff=9, u_coeff=5,
+                                  v_coeff=7, p_y_coeff=3, p_c_coeff=2,
+                                  b_y_coeff=0, b_c_coeff=0)
+    exp = hb.h264_gop_b_expected(qp, 9, 5, 7, 3, 2, 0, 0)
+    a0, a1 = exp[0][1:], exp[1][1:]
+    # re-head with weighted_bipred_idc = 1
+    idr_slice = next(n for n in hb._split_nals(chunks[0])
+                     if (n[0] & 0x1F) == 5)
+    sps = spsw(2, 1, 0, 0, num_ref_frames=2, profile_idc=77)
+    pps = ppsw(qp, weighted_bipred=1)
+    prefix = (_nal(3, 7, sps.done()) + _nal(3, 8, pps.done())
+              + b"\x00\x00\x00\x01" + idr_slice + chunks[1])
+
+    ld, cd = 5, 5
+    wts = ((40, 2, 28, -1, 36, 0), (24, -3, 36, 2, 30, 1))  # per list
+    sl = _BitWriter()
+    sl.ue(0)
+    sl.ue(6)
+    sl.ue(0)
+    sl.u(4, 2)
+    sl.u(4, 3)
+    sl.u(1, 1)  # direct_spatial
+    sl.u(1, 0)  # no override
+    sl.u(1, 0)  # no mod l0
+    sl.u(1, 0)  # no mod l1
+    sl.ue(ld)
+    sl.ue(cd)
+    for wy_, oy_, wu_, ou_, wv_, ov_ in wts:
+        sl.u(1, 1)
+        sl.se(wy_)
+        sl.se(oy_)
+        sl.u(1, 1)
+        sl.se(wu_)
+        sl.se(ou_)
+        sl.se(wv_)
+        sl.se(ov_)
+    sl.se(0)
+    sl.ue(1)  # deblock off
+    sl.ue(2)  # mb_skip_run = whole picture
+    sl.rbsp_trailing()
+    b = _nal(0, 1, sl.done())
+    w, h, frames, _ = hb.decode_h264_gop_ipb(prefix + b)
+    y2, u2, v2 = frames[2]
+    (wy0, oy0, wu0, ou0, wv0, ov0), (wy1, oy1, wu1, ou1, wv1, ov1) = wts
+
+    def bi(p0, p1, w0, o0, w1, o1):
+        return min(255, max(0, ((p0 * w0 + p1 * w1 + 32) >> 6)
+                            + ((o0 + o1 + 1) >> 1)))
+
+    assert set(y2) == {bi(a0[0], a1[0], wy0, oy0, wy1, oy1)}
+    assert set(u2) == {bi(a0[1], a1[1], wu0, ou0, wu1, ou1)}
+    assert set(v2) == {bi(a0[2], a1[2], wv0, ov0, wv1, ov1)}
+
+
 def test_mp4_ctts_matches_poc_order():
     """The avc1 B-GOP fixture's signed ctts must reproduce exactly the
     display reorder the decoder derives from POC: composition times
