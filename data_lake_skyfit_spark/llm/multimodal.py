@@ -4196,6 +4196,7 @@ def decode_video_pixels(
     id_col: str = "doc_id",
     every_ms: int = 1000,
     include_sq: bool = False,
+    keyframes_only: bool = False,
 ) -> DataFrame:
     """payload → one row per SAMPLED frame with PIXEL-TRUE stats
     (id, frame_idx, ts_ms, width, height, n_channels, pixel_sum) — the
@@ -4208,7 +4209,11 @@ def decode_video_pixels(
     hash with pixel_sum null (or raises without SKYFIT_FAKE_DECODE),
     mirroring decode_images. ``include_sq`` appends the exact Σv²
     pixel_sq column (the second moment the pixel-fingerprint near-dup
-    tier keys on)."""
+    tier keys on).  ``keyframes_only`` (MP4 only) walks the stss sync
+    table and decodes nothing but self-contained IDR samples — the
+    production sampling mode that skips every P/B reference chain;
+    AVI/MJPEG streams are all-sync by construction, so the flag is a
+    no-op there."""
     fields = [
         T.StructField(id_col, T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -4231,7 +4236,8 @@ def decode_video_pixels(
                     pass  # RIFF-prefixed non-AVI / foreign codec: fake
             if _looks_like_mp4(data):
                 try:
-                    return _mp4_video_pixels(data, every_ms)
+                    return _mp4_video_pixels(data, every_ms,
+                                             keyframes_only=keyframes_only)
                 except (ValueError, struct.error, IndexError):
                     pass  # ftyp-prefixed non-BMFF / foreign codec: fake
             _require_codec("av")
@@ -4299,16 +4305,19 @@ def _mp4_full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
     return _mp4_box(fourcc, struct.pack(">B", version) + flags.to_bytes(3, "big") + payload)
 
 
-def _avc1_prepare(frames: list[bytes]) -> tuple[list[bytes], list[bytes], list[bytes]]:
-    """Annex-B AVC access units → (sps_nals, pps_nals, avcc_samples):
-    parameter-set NALs are deduplicated out of the samples (avc1
-    stores them only in avcC) and the remaining NALs re-framed with
-    4-byte length prefixes."""
+def _avc1_prepare(frames: list[bytes]):
+    """Annex-B AVC access units → (sps_nals, pps_nals, avcc_samples,
+    sync_flags): parameter-set NALs are deduplicated out of the
+    samples (avc1 stores them only in avcC), the remaining NALs
+    re-framed with 4-byte length prefixes, and each sample marked
+    sync when it carries an IDR NAL (type 5) — the stss source."""
     sps_nals: list[bytes] = []
     pps_nals: list[bytes] = []
     out = []
+    sync = []
     for f in frames:
         vcl = []
+        is_sync = False
         for nal in _h264_split_nals(f):
             t = nal[0] & 0x1F
             if t == 7:
@@ -4318,13 +4327,16 @@ def _avc1_prepare(frames: list[bytes]) -> tuple[list[bytes], list[bytes], list[b
                 if nal not in pps_nals:
                     pps_nals.append(nal)
             else:
+                if t == 5:
+                    is_sync = True
                 vcl.append(nal)
         if not vcl:
             raise ValueError("mp4: avc1 sample without VCL NALs")
         out.append(b"".join(struct.pack(">I", len(n)) + n for n in vcl))
+        sync.append(is_sync)
     if not sps_nals or not pps_nals:
         raise ValueError("mp4: avc1 needs in-band SPS and PPS to hoist")
-    return sps_nals, pps_nals, out
+    return sps_nals, pps_nals, out, sync
 
 
 def _avc1_sample_entry(sps_nals: list[bytes], pps_nals: list[bytes]) -> bytes:
@@ -4383,11 +4395,13 @@ def encode_mp4_frames(
     if composition_offsets is not None and len(composition_offsets) != n:
         raise ValueError("mp4: composition offset per sample required")
     avc_entry = None
+    sync_flags = None
     if codec == "avc1":
         # spec-conformant avc1 per ISO 14496-15 (ADVICE r6): parameter
         # sets move OUT of the samples into the sample entry's avcC
-        # record, and samples become 4-byte length-prefixed NALs
-        sps_nals, pps_nals, frames = _avc1_prepare(frames)
+        # record, and samples become 4-byte length-prefixed NALs;
+        # IDR samples feed the stss sync table (r7c)
+        sps_nals, pps_nals, frames, sync_flags = _avc1_prepare(frames)
         avc_entry = _avc1_sample_entry(sps_nals, pps_nals)
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     mdat = _mp4_box(b"mdat", b"".join(frames))
@@ -4437,6 +4451,18 @@ def encode_mp4_frames(
             struct.pack(">I", n)
             + b"".join(struct.pack(">Ii", 1, o) for o in composition_offsets),
         )
+    stss = b""
+    if sync_flags is not None and not all(sync_flags):
+        # absent stss means every sample is sync (ISO 14496-12); only
+        # written when the stream really has non-sync (P/B) samples
+        keys = [i + 1 for i, s in enumerate(sync_flags) if s]
+        if not keys:
+            raise ValueError("mp4: avc1 stream without any IDR sample")
+        stss = _mp4_full(
+            b"stss", 0, 0,
+            struct.pack(">I", len(keys))
+            + b"".join(struct.pack(">I", k) for k in keys),
+        )
     stsc_entries = [(1, 2, 1)]
     if n % 2 == 1:
         stsc_entries.append((len(chunk_offsets), 1, 1))
@@ -4454,7 +4480,7 @@ def encode_mp4_frames(
         struct.pack(">I", len(chunk_offsets))
         + b"".join(struct.pack(">I", o) for o in chunk_offsets),
     )
-    stbl = _mp4_box(b"stbl", stsd + stts + ctts + stsc + stsz + stco)
+    stbl = _mp4_box(b"stbl", stsd + stts + ctts + stsc + stsz + stco + stss)
     minf = _mp4_box(b"minf", vmhd + dinf + stbl)
     mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
     trak = _mp4_box(b"trak", tkhd + mdia)
@@ -4580,6 +4606,43 @@ def _mp4_samples(data: bytes) -> tuple[int, list[int], list[tuple[int, int]]]:
     raise ValueError("mp4: no video trak")
 
 
+def _mp4_sync_samples(data: bytes, n: int) -> list[bool]:
+    """Per-sample sync flags from the first video trak's stss box;
+    an absent stss means every sample is a sync sample (ISO
+    14496-12 §8.6.2).  Entries are 1-based sample numbers."""
+    moov = _mp4_child(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("mp4: missing moov")
+    for fc, tb, te in _mp4_walk(data, *moov):
+        if fc != b"trak":
+            continue
+        mdia = _mp4_child(data, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(data, *mdia, b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _mp4_child(data, *mdia, b"minf")
+        stbl = _mp4_child(data, *minf, b"stbl") if minf else None
+        if stbl is None:
+            raise ValueError("mp4: missing stbl")
+        stss = _mp4_child(data, *stbl, b"stss")
+        if stss is None:
+            return [True] * n
+        b, e = stss
+        (count,) = struct.unpack_from(">I", data, b + 4)
+        if b + 8 + 4 * count > e:
+            raise ValueError("mp4: stss overruns its box")
+        flags = [False] * n
+        for i in range(count):
+            (num,) = struct.unpack_from(">I", data, b + 8 + 4 * i)
+            if not 1 <= num <= n:
+                raise ValueError("mp4: stss sample number out of range")
+            flags[num - 1] = True
+        return flags
+    raise ValueError("mp4: no video trak")
+
+
 def _mp4_composition_offsets(data: bytes, n: int) -> list[int]:
     """Per-sample composition offsets (CT - DT, timescale units) from
     the first video trak's ctts box: signed for version 1, unsigned
@@ -4701,7 +4764,8 @@ def _avcc_to_annexb(frame: bytes, cfg) -> bytes:
     return b"".join(parts)
 
 
-def _mp4_video_pixels(data: bytes, every_ms: int):
+def _mp4_video_pixels(data: bytes, every_ms: int,
+                      keyframes_only: bool = False):
     """MJPEG- and AVC-in-MP4 leg of decode_video_pixels: the REAL box
     walk (_mp4_samples) slices each sampled frame out of mdat and runs
     the matching real decoder — JFIF streams (codec 'jpeg'/'mjpa')
@@ -4710,17 +4774,24 @@ def _mp4_video_pixels(data: bytes, every_ms: int):
     CAVLC, §8.5 dequant + transforms, §8.3 intra prediction; AVC
     stats are over the native YUV420 planes, n_channels 3). Same
     sample-and-hold timing as _decode_mp4_frames. Other codecs
-    raise → fake path."""
+    raise → fake path.  ``keyframes_only`` restricts the walk to the
+    stss sync samples (self-contained IDR pictures): non-sync samples
+    are skipped WITHOUT decoding — the 100-TB sampling knob, since an
+    I-frame-only pass pays none of the P/B reference-chain cost."""
     timescale, deltas, samples = _mp4_samples(data)
     if not timescale:
         raise ValueError("mp4: zero timescale")
     avc_cfg = _mp4_avc_config(data)
+    sync = _mp4_sync_samples(data, len(samples)) if keyframes_only else None
     out = []
     t = 0
     next_emit = 0
     avc_dec = None  # lazily-built DPB decoder (P and B references)
     for i, ((off, size), delta) in enumerate(zip(samples, deltas)):
         ts_ms = t * 1000 // timescale
+        if sync is not None and not sync[i]:
+            t += delta
+            continue
         emit = ts_ms >= next_emit
         frame = data[off : off + size]
         if _looks_like_jpeg(frame):

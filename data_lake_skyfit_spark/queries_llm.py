@@ -3701,6 +3701,71 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_h264_keyframe_sampling",
+    """
+    SELECT doc_id, CAST(0 AS INT) AS frame_idx, CAST(0 AS BIGINT) AS ts_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(w * h * (128 + ((CASE qk WHEN 0 THEN (13 * cy + 4) // 8
+                                         WHEN 1 THEN (16 * cy + 2) // 4
+                                         WHEN 2 THEN 10 * cy
+                                         ELSE 26 * cy END + 32) // 64))
+              + (w // 2) * (h // 2) *
+                ((128 + ((CASE qk WHEN 0 THEN (13 * cu) // 4
+                                  WHEN 1 THEN 8 * cu
+                                  WHEN 2 THEN 16 * cu
+                                  ELSE 22 * cu END + 32) // 64))
+               + (128 + ((CASE qk WHEN 0 THEN (13 * cv) // 4
+                                  WHEN 1 THEN 8 * cv
+                                  WHEN 2 THEN 16 * cv
+                                  ELSE 22 * cv END + 32) // 64)))
+           AS BIGINT) AS pixel_sum
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id < 460 THEN 32 + 2 * ((doc_id - 420) % 9)
+                  WHEN doc_id < 490 THEN 32 + 16 * ((doc_id - 460) % 3)
+                  ELSE 32 + 2 * ((doc_id - 490) % 9) END AS w,
+             CASE WHEN doc_id < 460 THEN 32 + 2 * ((doc_id - 420) % 7)
+                  WHEN doc_id < 490 THEN 32 + 16 * ((doc_id - 460) % 2)
+                  ELSE 32 + 2 * ((doc_id - 490) % 7) END AS h,
+             CASE WHEN doc_id < 460 THEN (doc_id - 420) % 4
+                  WHEN doc_id < 490 THEN (doc_id - 460) % 4
+                  ELSE (doc_id - 490) % 4 END AS qk,
+             CASE WHEN doc_id < 460 THEN 1 + (doc_id - 420) % 60
+                  WHEN doc_id < 490 THEN 1 + (doc_id - 460) % 60
+                  ELSE 1 + (doc_id - 490) % 60 END AS cy,
+             CASE WHEN doc_id < 460 THEN 1 + (doc_id - 420) % 30
+                  WHEN doc_id < 490 THEN 1 + (doc_id - 460) % 30
+                  ELSE 1 + (doc_id - 490) % 30 END AS cu,
+             CASE WHEN doc_id < 460 THEN 1 + (doc_id - 420) % 25
+                  WHEN doc_id < 490 THEN 1 + (doc_id - 460) % 25
+                  ELSE 1 + (doc_id - 490) % 25 END AS cv
+      FROM documents WHERE doc_id >= 420 AND doc_id < 500
+    )
+    """,
+    tags=("llm-multimodal",),
+    doc="Keyframe-only video sampling (r7c): decode_video_pixels"
+    "(keyframes_only=True) walks the REAL stss sync-sample table the "
+    "avc1 muxer writes (IDR samples only; absent stss = all-sync per "
+    "ISO 14496-12) and decodes NOTHING but self-contained IDR "
+    "pictures — the production 100-TB sampling knob that pays none "
+    "of the P/B reference-chain cost. Over the GOP fixture ids "
+    "(420-499: P-GOPs, IBP GOPs, weighted-prediction GOPs) exactly "
+    "one row per id survives — the flat IDR anchor, whose closed "
+    "form the oracle mirrors; a full-decode pass would emit 4-7 rows "
+    "per id with MC/bi-pred/weighted values, so a sync-table error "
+    "in either direction breaks the hash.",
+)
+def multimodal_h264_keyframe_sampling(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 420) & (F.col("doc_id") < 500))
+    media = multimodal.synthesize_avc_mp4_payloads(d, id_col="doc_id")
+    return multimodal.decode_video_pixels(media, every_ms=400,
+                                          keyframes_only=True)
+
+
+@register(
     "multimodal_decode_tiff",
     """
     WITH p AS (

@@ -451,10 +451,47 @@ def main() -> None:
                     every_ms=400,
                 ).count()
 
+            def video_keyframe_leg():
+                # r7c: the stss keyframe-only sampler over a GOP-only
+                # corpus (ids folded into 420-499 — every doc carries
+                # P/B reference chains, the real-world shape): only
+                # self-contained IDR samples decode, every P/B chain
+                # is skipped at the sample-table walk.  The production
+                # 100-TB knob — savings scale with the non-IDR share.
+                from data_lake_skyfit_spark.llm.multimodal import (
+                    decode_video_pixels,
+                    synthesize_avc_mp4_payloads,
+                )
+
+                return decode_video_pixels(
+                    synthesize_avc_mp4_payloads(
+                        d.selectExpr("420 + doc_id % 80 AS doc_id")
+                    ),
+                    every_ms=400,
+                    keyframes_only=True,
+                ).count()
+
+            def video_gop_full_leg():
+                # the same GOP-only corpus fully decoded — the
+                # denominator for the keyframe-sampling saving
+                from data_lake_skyfit_spark.llm.multimodal import (
+                    decode_video_pixels,
+                    synthesize_avc_mp4_payloads,
+                )
+
+                return decode_video_pixels(
+                    synthesize_avc_mp4_payloads(
+                        d.selectExpr("420 + doc_id % 80 AS doc_id")
+                    ),
+                    every_ms=400,
+                ).count()
+
             timed("dress_web_leg", web_leg)
             timed("dress_text_leg", text_leg)
             timed("dress_image_leg", image_leg)
             timed("dress_video_leg", video_leg)
+            timed("dress_video_gop_full_leg", video_gop_full_leg)
+            timed("dress_video_keyframe_leg", video_keyframe_leg)
         if "pq" in ops:
             cb = pq_mod.deterministic_codebook()
             # inflate_embeddings keeps vec_id unique across copies; the

@@ -772,6 +772,42 @@ def test_mp4_ctts_matches_poc_order():
         mm._mp4_composition_offsets(bytes(bad), len(frames))
 
 
+def test_mp4_stss_keyframe_sampling():
+    """The avc1 muxer's stss marks exactly the IDR samples; the
+    keyframe-only walk decodes them alone (same stats as the full
+    walk's IDR rows) and skips every P/B chain.  All-IDR streams
+    write no stss (absent = all-sync per ISO 14496-12), and a
+    corrupt stss sample number raises."""
+    from data_lake_skyfit_spark.llm import multimodal as mm
+    from data_lake_skyfit_spark.llm.h264 import encode_h264_iframe_flat
+
+    frames = hb.encode_h264_gop_b(32, 32, qp=28, y_coeff=9, u_coeff=5,
+                                  v_coeff=7, p_y_coeff=3, p_c_coeff=2,
+                                  b_y_coeff=4, b_c_coeff=1)
+    offs = [(p - i) * 500 for i, p in enumerate((0, 6, 1, 2, 3, 4, 5))]
+    pay = mm.encode_mp4_frames(frames, codec="avc1",
+                               composition_offsets=offs)
+    assert mm._mp4_sync_samples(pay, 7) == [True] + [False] * 6
+    full = mm._mp4_video_pixels(pay, 400)
+    keys = mm._mp4_video_pixels(pay, 400, keyframes_only=True)
+    assert len(full) == 7 and len(keys) == 1
+    assert keys[0] == full[0]  # the IDR row, bit-identical stats
+
+    allidr = mm.encode_mp4_frames(
+        [encode_h264_iframe_flat(32, 32, qp=28, y_coeff=5, u_coeff=3,
+                                 v_coeff=2) for _ in range(3)],
+        codec="avc1")
+    assert b"stss" not in allidr
+    assert mm._mp4_sync_samples(allidr, 3) == [True] * 3
+    assert len(mm._mp4_video_pixels(allidr, 400, keyframes_only=True)) == 3
+
+    idx = pay.index(b"stss")
+    bad = bytearray(pay)
+    bad[idx + 8: idx + 12] = (9).to_bytes(4, "big")  # count overruns box
+    with pytest.raises(ValueError):
+        mm._mp4_sync_samples(bytes(bad), 7)
+
+
 def test_intra_mb_inside_b_slice():
     """A B slice mixing direct MBs with an Intra_16x16 MB: the intra
     MB reconstructs through the shared machinery with the bi-predicted
