@@ -168,8 +168,10 @@ def _spatial_direct(gridL0: _MvGrid, gridL1: _MvGrid, col_grid,
         col = col_grid.cell(bx0 + cx, by0 + cy) if col_grid is not None \
             else None
         # colZeroFlag: colocated refIdx 0 with both mv components in
-        # [-1, 1] quarter-pel (intra / missing colocated -> refIdx -1)
-        colzero = (isinstance(col, tuple)
+        # [-1, 1] quarter-pel (intra / missing colocated -> refIdx -1;
+        # a 3-element cell marks a non-zero refIdx in a multi-ref
+        # P anchor -> flag off)
+        colzero = (isinstance(col, tuple) and len(col) == 2
                    and -1 <= col[0] <= 1 and -1 <= col[1] <= 1)
         mvs = []
         for ref, med in ((ref0, meds[0]), (ref1, meds[1])):
@@ -675,12 +677,14 @@ class H264AuDecoder:
         if stype == 2:  # I / IDR
             _s, yb, ub, vb = _decode_iframe_uncropped(au)
             grid = None
-        elif stype == 0:  # P — references the most recent ref picture
+        elif stype == 0:  # P — RefPicList0 = refs by decode order,
+            # most recent first (PicNum descending; no frame_num gaps
+            # in the envelope, so decode order IS PicNum order)
             if not self._dpb:
                 raise ValueError("h264: P slice without a reference picture")
-            anchor = self._dpb[-1]
+            list0 = [e["planes"] for e in reversed(self._dpb)]
             yb, ub, vb, grid = _decode_pslice(
-                rbsp, ntype, nri, sps, pps, anchor["planes"])
+                rbsp, ntype, nri, sps, pps, list0)
         elif stype == 1:  # B — nearest refs below/above in POC
             past = [e for e in self._dpb if e["poc"] < poc]
             future = [e for e in self._dpb if e["poc"] > poc]

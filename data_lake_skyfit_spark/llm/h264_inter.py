@@ -6,13 +6,16 @@ every reconstructed frame.
 
 Supported envelope (reject-never-approximate, the module family's
 contract): baseline-profile P slices, CAVLC entropy, 4:2:0,
-frame_mbs_only, one slice per picture, a SINGLE reference picture
-(num_ref_idx_l0_active == 1 — the previous decoded frame, which is
-the deblocked picture per the in-loop filter definition), no
-reference-list modification, no adaptive marking.  EXPLICIT weighted
-prediction (weighted_pred_flag == 1, r7c) parses the
-pred_weight_table and applies §8.4.2.3.2 weighting — including to
-P_Skip predictions — with the default (w, o) an exact identity.
+frame_mbs_only, one slice per picture, MULTI-REFERENCE list 0 (r7c:
+num_ref_idx_l0_active up to 16 against the DPB walker's default
+list — references by decode order, most recent first; per-partition
+te(v) ref_idx, refIdx-aware §8.4.1.3 MV prediction and §8.7.2.1
+reference-picture deblock comparison), no reference-list
+modification, no adaptive marking, no frame_num gaps.  EXPLICIT
+weighted prediction (weighted_pred_flag == 1, r7c) parses the
+pred_weight_table (one entry per active reference) and applies
+§8.4.2.3.2 weighting — including to P_Skip predictions — with the
+default (w, o) an exact identity.
 All P macroblock types decode: P_Skip (with the §8.4.1.1 zero-mv
 rule), P_L0_16x16, 16x8/8x16 with their directional MV predictors,
 P_8x8 / P_8x8ref0 with every sub-partition shape, and intra MBs
@@ -192,7 +195,9 @@ def _mc_chroma(ref: bytes, CW: int, CH: int, dst: list[int],
 class _MvGrid:
     """Per-4x4 motion state of the CURRENT picture: None = not yet
     decoded / outside, 'I' = intra cell (available neighbor, but
-    refIdx -1 for prediction), tuple = inter mv in quarter-pel."""
+    refIdx -1 for prediction), (mvx, mvy) = inter mv in quarter-pel
+    referencing list entry 0, (mvx, mvy, refidx) = inter mv against a
+    later list-0 entry (multi-reference P slices, r7c)."""
 
     def __init__(self, mbw: int, mbh: int) -> None:
         self.w = mbw * 4
@@ -212,6 +217,8 @@ class _MvGrid:
             return False, -1, (0, 0)
         if v == "I":
             return True, -1, (0, 0)
+        if len(v) == 3:
+            return True, v[2], (v[0], v[1])
         return True, 0, v
 
     def fill(self, bx: int, by: int, wb: int, hb: int, value) -> None:
@@ -222,21 +229,23 @@ class _MvGrid:
 
 
 def _mvp(grid: _MvGrid, bx: int, by: int, wb: int, hb: int,
-         kind: str = "") -> tuple[int, int]:
+         kind: str = "", target_ref: int = 0) -> tuple[int, int]:
     """§8.4.1.3 luma MV prediction for the partition whose top-left
     4x4 cell is (bx, by), wb x hb cells; `kind` marks the directional
-    two-partition cases ('t'/'b' for 16x8, 'l'/'r' for 8x16)."""
+    two-partition cases ('t'/'b' for 16x8, 'l'/'r' for 8x16);
+    `target_ref` is the partition's own refIdx (the single-match and
+    directional rules compare neighbor refIdx against it)."""
     avail_a, ref_a, mv_a = grid.neighbor(bx - 1, by)
     avail_b, ref_b, mv_b = grid.neighbor(bx, by - 1)
     avail_c, ref_c, mv_c = grid.neighbor(bx + wb, by - 1)
     if not avail_c:  # substitute D (above-left) for C
         avail_c, ref_c, mv_c = grid.neighbor(bx - 1, by - 1)
 
-    if kind == "t" and ref_b == 0:
+    if kind == "t" and ref_b == target_ref:
         return mv_b
-    if kind in ("b", "l") and ref_a == 0:
+    if kind in ("b", "l") and ref_a == target_ref:
         return mv_a
-    if kind == "r" and ref_c == 0:
+    if kind == "r" and ref_c == target_ref:
         return mv_c
 
     # when B and C are unavailable and A is available, they inherit A
@@ -244,7 +253,7 @@ def _mvp(grid: _MvGrid, bx: int, by: int, wb: int, hb: int,
         ref_b = ref_c = ref_a
         mv_b = mv_c = mv_a
     matches = [(r, m) for r, m in ((ref_a, mv_a), (ref_b, mv_b),
-                                   (ref_c, mv_c)) if r == 0]
+                                   (ref_c, mv_c)) if r == target_ref]
     if len(matches) == 1:
         return matches[0][1]
     return (_median(mv_a[0], mv_b[0], mv_c[0]),
@@ -273,6 +282,10 @@ def _bs(mb_edge: bool, intra_p: bool, intra_q: bool,
         return 2
     if mv_p == "I" or mv_q == "I" or mv_p is None or mv_q is None:
         return 1  # unreachable for decoded P pictures; be conservative
+    rp = mv_p[2] if len(mv_p) == 3 else 0
+    rq = mv_q[2] if len(mv_q) == 3 else 0
+    if rp != rq:
+        return 1  # different reference pictures (§8.7.2.1)
     if abs(mv_p[0] - mv_q[0]) >= 4 or abs(mv_p[1] - mv_q[1]) >= 4:
         return 1
     return 0
@@ -638,18 +651,20 @@ _SUB_LAYOUT = {
 }
 
 
-def _parse_pred_weight_table(br, lists: int):
-    """§7.3.3.2 pred_weight_table under the single-active-reference
-    envelope: (luma_log2_denom, chroma_log2_denom, [per list:
-    ((luma_w, luma_o), [(cb_w, cb_o), (cr_w, cr_o)])]).  Absent
-    per-entry flags yield the spec defaults (w = 1 << denom, o = 0),
-    which _apply_weight treats as the identity."""
+def _parse_pred_weight_table(br, n_entries: int):
+    """§7.3.3.2 pred_weight_table: (luma_log2_denom,
+    chroma_log2_denom, [per entry: ((luma_w, luma_o), [(cb_w, cb_o),
+    (cr_w, cr_o)])]).  One entry per active reference — a P slice
+    passes num_ref_idx_l0_active, a B slice 1 + 1 (its per-list
+    single references).  Absent per-entry flags yield the spec
+    defaults (w = 1 << denom, o = 0), which _apply_weight treats as
+    the identity."""
     ld = br.ue()  # luma_log2_weight_denom
     cd = br.ue()  # chroma_log2_weight_denom
     if ld > 7 or cd > 7:
         raise ValueError("h264: weight denominator out of range")
     out = []
-    for _ in range(lists):
+    for _ in range(n_entries):
         wy = (1 << ld, 0)
         wc = [(1 << cd, 0), (1 << cd, 0)]
         if br.u(1):  # luma_weight_lX_flag
@@ -679,18 +694,33 @@ def _apply_weight(vals: list[int], w: int, o: int, logwd: int) -> list[int]:
     return [_clip255(v * w + o) for v in vals]
 
 
+def _te(br, max_val: int) -> int:
+    """§9.1.1 te(v): one inverted bit when the range is [0, 1], plain
+    ue(v) otherwise."""
+    if max_val == 1:
+        return 1 - br.u(1)
+    return br.ue()
+
+
 def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
-                   sps: dict, pps: dict,
-                   ref: tuple[bytes, bytes, bytes]) -> tuple:
-    """Decode one P slice covering the whole picture against the
-    single reference picture; returns the deblocked, uncropped
+                   sps: dict, pps: dict, ref) -> tuple:
+    """Decode one P slice covering the whole picture.  `ref` is
+    either one uncropped (y, u, v) planes tuple (the single-reference
+    legacy form) or the full RefPicList0 as a list of planes tuples,
+    most recent reference first — multi-reference P slices (r7c)
+    read a te(v) ref_idx_l0 per partition when
+    num_ref_idx_l0_active > 1.  Returns the deblocked, uncropped
     (ybuf, ubuf, vbuf, motion_grid) — the grid doubles as the
     colocated motion field when this picture anchors a B slice
-    (llm/h264_bslice.py).  weighted_pred_flag == 1 parses the
+    (llm/h264_bslice.py); cells referencing a non-zero index carry it
+    as a third element.  weighted_pred_flag == 1 parses the
     pred_weight_table and applies §8.4.2.3.2 explicit weighting to
-    every inter prediction (r7c)."""
+    every inter prediction (per-refIdx weight entries)."""
     if pps["cabac"]:
         raise ValueError("h264: CABAC P slices not supported")
+    refs = [ref] if isinstance(ref, tuple) else list(ref)
+    if not refs:
+        raise ValueError("h264: P slice without a reference picture")
     br = _BitReader(rbsp)
     if br.ue() != 0:
         raise ValueError("h264: slice must start at mb 0")
@@ -706,16 +736,18 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
         if br.ue() != 0:
             raise ValueError("h264: redundant slices not supported")
     if br.u(1):  # num_ref_idx_active_override_flag
-        if br.ue() != 0:
-            raise ValueError("h264: more than one reference picture")
-    elif pps["num_ref_l0"] != 1:
-        raise ValueError("h264: more than one reference picture")
+        na = br.ue() + 1
+    else:
+        na = pps["num_ref_l0"]
+    if na > len(refs) or na > 16:
+        raise ValueError("h264: more active references than decoded")
     if br.u(1):  # ref_pic_list_modification_flag_l0
         raise ValueError("h264: reference list modification not supported")
     wp = None
     if pps["weighted_pred"]:
-        ld, cd, entries = _parse_pred_weight_table(br, 1)
-        wp = (ld, cd, entries[0])
+        # one weight entry per active reference (§7.3.3.2)
+        ld, cd, entries = _parse_pred_weight_table(br, na)
+        wp = (ld, cd, entries)
     if nal_ref_idc != 0:
         if br.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise ValueError("h264: adaptive ref marking not supported")
@@ -734,21 +766,24 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
     mbw, mbh = st.mbw, st.mbh
     W, H, CW, CH = st.W, st.H, st.CW, st.CH
     ybuf, ubuf, vbuf = st.ybuf, st.ubuf, st.vbuf
-    ref_y, ref_u, ref_v = ref
-    if len(ref_y) != W * H:
-        raise ValueError("h264: reference/current picture size mismatch")
+    for planes in refs[:na]:
+        if len(planes[0]) != W * H:
+            raise ValueError("h264: reference/current picture size mismatch")
     grid = _MvGrid(mbw, mbh)
 
     def mc_partition(mbx: int, mby: int, pbx: int, pby: int,
-                     wb: int, hb: int, mv: tuple[int, int]) -> None:
+                     wb: int, hb: int, mv: tuple[int, int],
+                     ridx: int = 0) -> None:
         """Motion-compensate one partition into the current planes
-        (explicit weighting applied when the slice carries weights)."""
+        from RefPicList0[ridx] (explicit weighting applied when the
+        slice carries weights — per-reference entries)."""
+        ref_y, ref_u, ref_v = refs[ridx]
         px, py = mbx * 16 + pbx * 4, mby * 16 + pby * 4
         bw, bh = wb * 4, hb * 4
         dst = [0] * (bw * bh)
         _mc_luma(ref_y, W, H, dst, px, py, bw, bh, mv[0], mv[1])
         if wp is not None:
-            dst = _apply_weight(dst, *wp[2][0], wp[0])
+            dst = _apply_weight(dst, *wp[2][ridx][0], wp[0])
         for r in range(bh):
             ybuf[(py + r) * W + px: (py + r) * W + px + bw] = bytes(
                 dst[r * bw: (r + 1) * bw])
@@ -759,7 +794,7 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
             _mc_chroma(rbuf, CW, CH, cdst, cpx, cpy, cbw, cbh, mv[0], mv[1])
             out = cdst
             if wp is not None:
-                out = _apply_weight(cdst, *wp[2][1][comp], wp[1])
+                out = _apply_weight(cdst, *wp[2][ridx][1][comp], wp[1])
             for r in range(cbh):
                 obuf[(cpy + r) * CW + cpx: (cpy + r) * CW + cpx + cbw] = \
                     bytes(out[r * cbw: (r + 1) * cbw])
@@ -794,26 +829,50 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
             mb += 1
             continue
 
-        # ---- inter MB: motion vectors per partition, decode order
+        # ---- inter MB: §7.3.5.1 order — all ref_idx_l0 (te(v), only
+        # coded when more than one reference is active), then all
+        # mvd_l0; reconstruction walks partitions in order so MVP
+        # chains see finished neighbors
         bx0, by0 = mbx * 4, mby * 4
         if mb_type in (0, 1, 2):
-            for pbx, pby, wb, hb, kind in _PART_LAYOUT[mb_type]:
-                mvp = _mvp(grid, bx0 + pbx, by0 + pby, wb, hb, kind)
-                mv = (mvp[0] + br.se(), mvp[1] + br.se())
-                grid.fill(bx0 + pbx, by0 + pby, wb, hb, mv)
-                mc_partition(mbx, mby, pbx, pby, wb, hb, mv)
-        else:  # P_8x8 / P_8x8ref0
+            parts = _PART_LAYOUT[mb_type]
+            ridxs = [_te(br, na - 1) if na > 1 else 0 for _ in parts]
+            if any(r >= na for r in ridxs):
+                raise ValueError("h264: ref_idx out of range")
+            mvds = [(br.se(), br.se()) for _ in parts]
+            for (pbx, pby, wb, hb, kind), ridx, d in zip(parts, ridxs,
+                                                         mvds):
+                mvp = _mvp(grid, bx0 + pbx, by0 + pby, wb, hb, kind,
+                           target_ref=ridx)
+                mv = (mvp[0] + d[0], mvp[1] + d[1])
+                grid.fill(bx0 + pbx, by0 + pby, wb, hb,
+                          mv if ridx == 0 else (mv[0], mv[1], ridx))
+                mc_partition(mbx, mby, pbx, pby, wb, hb, mv, ridx)
+        else:  # P_8x8 (ref_idx coded) / P_8x8ref0 (all refIdx 0)
             sub_types = [br.ue() for _ in range(4)]
             if any(s > 3 for s in sub_types):
                 raise ValueError("h264: bad sub_mb_type")
+            if mb_type == 3 and na > 1:
+                ridx8 = [_te(br, na - 1) for _ in range(4)]
+                if any(r >= na for r in ridx8):
+                    raise ValueError("h264: ref_idx out of range")
+            else:
+                ridx8 = [0, 0, 0, 0]
+            mvds8 = [[(br.se(), br.se())
+                      for _ in _SUB_LAYOUT[sub_types[i8]]]
+                     for i8 in range(4)]
             for i8 in range(4):
                 obx, oby = (i8 & 1) * 2, (i8 >> 1) * 2
-                for spx, spy, wb, hb in _SUB_LAYOUT[sub_types[i8]]:
+                ridx = ridx8[i8]
+                for (spx, spy, wb, hb), d in zip(
+                        _SUB_LAYOUT[sub_types[i8]], mvds8[i8]):
                     pbx, pby = obx + spx * wb, oby + spy * hb
-                    mvp = _mvp(grid, bx0 + pbx, by0 + pby, wb, hb)
-                    mv = (mvp[0] + br.se(), mvp[1] + br.se())
-                    grid.fill(bx0 + pbx, by0 + pby, wb, hb, mv)
-                    mc_partition(mbx, mby, pbx, pby, wb, hb, mv)
+                    mvp = _mvp(grid, bx0 + pbx, by0 + pby, wb, hb,
+                               target_ref=ridx)
+                    mv = (mvp[0] + d[0], mvp[1] + d[1])
+                    grid.fill(bx0 + pbx, by0 + pby, wb, hb,
+                              mv if ridx == 0 else (mv[0], mv[1], ridx))
+                    mc_partition(mbx, mby, pbx, pby, wb, hb, mv, ridx)
 
         cbp_code = br.ue()
         if cbp_code > 47:
@@ -1011,6 +1070,105 @@ def _encode_pslice_nal(mbw: int, mbh: int, qp: int, frame_num: int,
             _write_cavlc_block(sl, [c_coeff, 0, 0, 0], -1, 4)
     sl.rbsp_trailing()
     return _nal(2, 1, sl.done())
+
+
+def _encode_pslice_multiref_nal(mbw: int, mbh: int, frame_num: int,
+                                poc_lsb: int, na: int, ref_of) -> bytes:
+    """Whole-picture P slice where every MB is P_L0_16x16 with zero
+    motion against RefPicList0[ref_of(mb)] — the multi-reference
+    fixture: the header overrides num_ref_idx_l0_active to `na` and
+    each MB carries a te(v) ref_idx (one inverted bit when na == 2,
+    ue(v) beyond)."""
+    sl = _BitWriter()
+    sl.ue(0)   # first_mb_in_slice
+    sl.ue(5)   # slice_type: P (all)
+    sl.ue(0)   # pic_parameter_set_id
+    sl.u(4, frame_num & 15)
+    sl.u(4, poc_lsb & 15)
+    sl.u(1, 1)  # num_ref_idx_active_override_flag
+    sl.ue(na - 1)
+    sl.u(1, 0)  # ref_pic_list_modification_flag_l0
+    sl.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
+    sl.se(0)
+    sl.ue(1)   # deblocking off
+    grid = _MvGrid(mbw, mbh)
+    for mb in range(mbw * mbh):
+        mby, mbx = divmod(mb, mbw)
+        ridx = ref_of(mb)
+        if not 0 <= ridx < na:
+            raise ValueError("h264: fixture ref index out of range")
+        sl.ue(0)  # mb_skip_run
+        sl.ue(0)  # P_L0_16x16
+        if na == 2:
+            sl.u(1, 1 - ridx)  # te(v) with range [0, 1]
+        else:
+            sl.ue(ridx)
+        mvp = _mvp(grid, mbx * 4, mby * 4, 4, 4, "", target_ref=ridx)
+        sl.se(0 - mvp[0])
+        sl.se(0 - mvp[1])
+        grid.fill(mbx * 4, mby * 4, 4, 4,
+                  (0, 0) if ridx == 0 else (0, 0, ridx))
+        sl.ue(_CBP_INTER.index(0))
+    sl.rbsp_trailing()
+    return _nal(2, 1, sl.done())
+
+
+def encode_h264_gop_multiref(width: int, height: int, *, qp: int,
+                             y_coeff: int, u_coeff: int, v_coeff: int,
+                             p_y_coeff: int, p_c_coeff: int) -> list[bytes]:
+    """Three-frame multi-reference GOP fixture with closed-form planes
+    (h264_gop_multiref_expected): IDR flat, P1 with a uniform DC
+    residual (both references), then P2 with num_ref_idx_l0_active=2
+    whose MBs alternate ref_idx by raster parity — even MBs read
+    RefPicList0[0] (P1), odd MBs RefPicList0[1] (the IDR).  Dims must
+    be MB-aligned so the per-MB accounting stays exact."""
+    from .h264 import encode_h264_iframe_flat, _pps_writer, _sps_writer
+
+    if width % 16 or height % 16 or width <= 0 or height <= 0:
+        raise ValueError("h264: multiref fixture dims must be MB-aligned")
+    if not 0 <= qp <= 51:
+        raise ValueError("h264: qp out of range")
+    mbw, mbh = width // 16, height // 16
+    sps = _sps_writer(mbw, mbh, 0, 0, num_ref_frames=2, profile_idc=77)
+    pps = _pps_writer(qp)
+    idr_body = encode_h264_iframe_flat(
+        width, height, qp=qp,
+        y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    idr_slice = next(n for n in _split_nals(idr_body)
+                     if (n[0] & 0x1F) == 5)
+    idr = (_nal(3, 7, sps.done()) + _nal(3, 8, pps.done())
+           + b"\x00\x00\x00\x01" + idr_slice)
+    return [
+        idr,
+        _encode_pslice_nal(mbw, mbh, qp, 1, "residual",
+                           y_coeff=p_y_coeff, c_coeff=p_c_coeff,
+                           poc_lsb=2),
+        _encode_pslice_multiref_nal(mbw, mbh, 2, 4, 2,
+                                    lambda mb: mb % 2),
+    ]
+
+
+def h264_gop_multiref_expected(qp: int, y_coeff: int, u_coeff: int,
+                               v_coeff: int, p_y_coeff: int,
+                               p_c_coeff: int):
+    """Closed forms for encode_h264_gop_multiref: frames 0-1 are the
+    flat + residual arms; frame 2 alternates per MB — even raster MBs
+    carry frame 1's values (refIdx 0), odd MBs frame 0's (refIdx 1).
+    Returns [('flat', y, u, v), ('flat', y, u, v),
+    ('alt', (y1, y0), (u1, u0), (v1, v0))]."""
+    from .h264 import (_clip255, _dequant_ac, _scale_chroma_dc,
+                       h264_flat_expected)
+
+    yv, uv, vv = h264_flat_expected(qp, y_coeff, u_coeff, v_coeff)
+    qpc = _chroma_qp(qp, 0)
+    dy = (_dequant_ac([p_y_coeff] + [0] * 15, qp, 0)[0] + 32) >> 6
+    dc = (_scale_chroma_dc(p_c_coeff, qpc) + 32) >> 6
+    y1, u1, v1 = _clip255(yv + dy), _clip255(uv + dc), _clip255(vv + dc)
+    return [
+        ("flat", yv, uv, vv),
+        ("flat", y1, u1, v1),
+        ("alt", (y1, yv), (u1, uv), (v1, vv)),
+    ]
 
 
 def encode_h264_gop_steps(width: int, height: int, *, qp: int,

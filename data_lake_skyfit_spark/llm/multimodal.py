@@ -7356,6 +7356,47 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def synthesize_avc_multiref_payloads(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """id → REAL MP4 whose samples form a MULTI-REFERENCE P GOP
+    (r7c): IDR flat, P with a uniform DC residual, then a P with
+    num_ref_idx_l0_active = 2 whose macroblocks alternate te(v)
+    ref_idx by raster parity — even MBs read the nearer reference
+    (the residual P), odd MBs reach PAST it to the IDR.  Closed form
+    h264_gop_multiref_expected; MB-aligned dims so the per-MB
+    accounting stays exact."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .h264_inter import encode_h264_gop_multiref
+
+        for pdf in batches:
+            payloads = []
+            for v in pdf[id_col]:
+                k = int(v)
+                payloads.append(
+                    encode_mp4_frames(
+                        encode_h264_gop_multiref(
+                            32 + 16 * (k % 3),
+                            32 + 16 * (k % 2),
+                            qp=(20, 28, 36, 44)[k % 4],
+                            y_coeff=1 + k % 60,
+                            u_coeff=1 + k % 30,
+                            v_coeff=1 + k % 25,
+                            p_y_coeff=1 + k % 8,
+                            p_c_coeff=1 + k % 5,
+                        ),
+                        codec="avc1",
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def synthesize_webp_lossy_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """id → REAL lossy-WebP (VP8 keyframe) payload, deterministic
     closed form mirrored by the battery oracle. Per id: dims

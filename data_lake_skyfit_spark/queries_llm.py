@@ -3701,6 +3701,81 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_h264_multiref",
+    """
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(fi * 500 AS BIGINT) AS ts_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(CASE fi
+             WHEN 0 THEN w * h * yv + (w // 2) * (h // 2) * (uv + vv)
+             WHEN 1 THEN w * h * (yv + dy)
+                  + (w // 2) * (h // 2) * (uv + dc + vv + dc)
+             ELSE 256 * (ne * (yv + dy) + no * yv)
+                  + 64 * (ne * (uv + dc + vv + dc) + no * (uv + vv))
+           END AS BIGINT) AS pixel_sum
+    FROM (
+      SELECT doc_id, w, h, fi, yv, uv, vv, dy, dc,
+             ((w // 16) * (h // 16) + 1) // 2 AS ne,
+             (w // 16) * (h // 16) // 2 AS no
+      FROM (
+        SELECT doc_id, w, h,
+               128 + ((CASE qk WHEN 0 THEN (13 * cy + 4) // 8
+                               WHEN 1 THEN (16 * cy + 2) // 4
+                               WHEN 2 THEN 10 * cy
+                               ELSE 26 * cy END + 32) // 64) AS yv,
+               128 + ((CASE qk WHEN 0 THEN (13 * cu) // 4
+                               WHEN 1 THEN 8 * cu
+                               WHEN 2 THEN 16 * cu
+                               ELSE 22 * cu END + 32) // 64) AS uv,
+               128 + ((CASE qk WHEN 0 THEN (13 * cv) // 4
+                               WHEN 1 THEN 8 * cv
+                               WHEN 2 THEN 16 * cv
+                               ELSE 22 * cv END + 32) // 64) AS vv,
+               ((CASE qk WHEN 0 THEN (13 * py + 1) // 2
+                         WHEN 1 THEN 16 * py
+                         WHEN 2 THEN 40 * py
+                         ELSE 104 * py END) + 32) // 64 AS dy,
+               ((CASE qk WHEN 0 THEN (13 * pc) // 4
+                         WHEN 1 THEN 8 * pc
+                         WHEN 2 THEN 16 * pc
+                         ELSE 22 * pc END) + 32) // 64 AS dc
+        FROM (
+          SELECT doc_id,
+                 32 + 16 * (doc_id % 3) AS w,
+                 32 + 16 * (doc_id % 2) AS h,
+                 doc_id % 4 AS qk,
+                 1 + doc_id % 60 AS cy,
+                 1 + doc_id % 30 AS cu,
+                 1 + doc_id % 25 AS cv,
+                 1 + doc_id % 8 AS py,
+                 1 + doc_id % 5 AS pc
+          FROM documents WHERE doc_id < 60
+        )
+      ), LATERAL (SELECT UNNEST(range(0, 3)) AS fi) f
+    )
+    """,
+    tags=("llm-multimodal",),
+    doc="Multi-reference P decode (r7c): synthesize_avc_multiref_"
+    "payloads writes GOPs whose third picture declares "
+    "num_ref_idx_l0_active=2 and alternates a te(v) ref_idx per "
+    "macroblock — even MBs read RefPicList0[0] (the residual P), odd "
+    "MBs reach PAST it to RefPicList0[1] (the IDR), so a list-"
+    "construction or te-coding error flips every other macroblock's "
+    "value and breaks the hash. The oracle mirrors the per-parity MB "
+    "counts times the two flat closed forms. Decoded through "
+    "H264AuDecoder's sliding-window DPB (llm/h264_inter.py "
+    "_decode_pslice with refs list + refIdx-aware MV prediction and "
+    "deblock bS).",
+)
+def multimodal_decode_h264_multiref(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    media = multimodal.synthesize_avc_multiref_payloads(d, id_col="doc_id")
+    return multimodal.decode_video_pixels(media, every_ms=400)
+
+
+@register(
     "multimodal_h264_keyframe_sampling",
     """
     SELECT doc_id, CAST(0 AS INT) AS frame_idx, CAST(0 AS BIGINT) AS ts_ms,

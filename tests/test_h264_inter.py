@@ -356,6 +356,194 @@ def test_p_slice_rejections():
             pass
 
 
+def test_multiref_gop_closed_forms():
+    """num_ref_idx_l0_active = 2: MBs alternating ref_idx read the
+    right DPB entries (closed-form sweep, decoded through the DPB
+    walker)."""
+    from data_lake_skyfit_spark.llm.h264_bslice import decode_h264_gop_ipb
+
+    for qp in (20, 36):
+        chunks = hi.encode_h264_gop_multiref(
+            48, 32, qp=qp, y_coeff=9, u_coeff=5, v_coeff=7,
+            p_y_coeff=3, p_c_coeff=2)
+        w, h, frames, pocs = decode_h264_gop_ipb(b"".join(chunks))
+        assert pocs == [0, 2, 4]
+        exp = hi.h264_gop_multiref_expected(qp, 9, 5, 7, 3, 2)
+        _, (ya, yb), (ua, ub), (va, vb) = exp[2]
+        y = frames[2][0]
+        for mb in range(6):
+            mby, mbx = divmod(mb, 3)
+            want = ya if mb % 2 == 0 else yb
+            assert y[(mby * 16 + 7) * w + mbx * 16 + 7] == want, (qp, mb)
+
+
+def test_multiref_partition_provenance():
+    """Per-partition ref_idx with distinct motion over two structured
+    anchors: a 16x8 MB splits its halves between RefPicList0[0] (a
+    shifted P picture) and RefPicList0[1] (the PCM IDR), each with
+    its own MV — pixel-level provenance against Python shifts; a
+    three-reference P_8x8 exercises the ue(v) te branch."""
+    from data_lake_skyfit_spark.llm.h264 import (_nal as nal,
+                                                 _pps_writer as ppsw,
+                                                 _sps_writer as spsw)
+    from data_lake_skyfit_spark.llm.h264_bslice import decode_h264_gop_ipb
+
+    W, H = 32, 32
+    y = bytes((x * 8 + yy * 3) % 256 for yy in range(H) for x in range(W))
+    u = bytes((x * 5 + yy * 7) % 256
+              for yy in range(H // 2) for x in range(W // 2))
+    v = bytes((x * 11 + yy) % 256
+              for yy in range(H // 2) for x in range(W // 2))
+    # head a PCM IDR with a 3-reference main SPS
+    sps = spsw(2, 2, 0, 0, num_ref_frames=3, profile_idc=77)
+    pps = ppsw(28)
+    sl = _BitWriter()
+    sl.ue(0)
+    sl.ue(7)
+    sl.ue(0)
+    sl.u(4, 0)
+    sl.ue(0)
+    sl.u(4, 0)
+    sl.u(1, 0)
+    sl.u(1, 0)
+    sl.se(0)
+    sl.ue(1)
+    cw = W // 2
+    for mb in range(4):
+        mby, mbx = divmod(mb, 2)
+        sl.ue(25)
+        sl.align_zero()
+        for r in range(16):
+            for c in range(16):
+                sl.u(8, y[(mby * 16 + r) * W + mbx * 16 + c])
+        for plane in (u, v):
+            for r in range(8):
+                for c in range(8):
+                    sl.u(8, plane[(mby * 8 + r) * cw + mbx * 8 + c])
+    sl.rbsp_trailing()
+    idr = nal(3, 7, sps.done()) + nal(3, 8, pps.done()) + nal(3, 5, sl.done())
+    # P1: uniform full-pel shift of the IDR -> a distinct anchor
+    p1 = hi._encode_pslice_nal(2, 2, 28, 1, "mv", mv=(16, 8), poc_lsb=2)
+
+    def shift(px, py_, dx, dy):
+        sx = min(max(px + dx, 0), W - 1)
+        sy = min(max(py_ + dy, 0), H - 1)
+        return y[sy * W + sx]
+
+    # P2: MB0 = P_16x8, top half ref 0 (P1) mv (8,0), bottom half
+    # ref 1 (IDR) mv (0,8); remaining MBs P_L0_16x16 ref 1 zero-mv
+    sl = _BitWriter()
+    sl.ue(0)
+    sl.ue(5)
+    sl.ue(0)
+    sl.u(4, 2)
+    sl.u(4, 4)
+    sl.u(1, 1)  # override
+    sl.ue(1)    # num_ref_idx_l0_active = 2
+    sl.u(1, 0)
+    sl.u(1, 0)
+    sl.se(0)
+    sl.ue(1)
+    grid = hi._MvGrid(2, 2)
+    sl.ue(0)  # skip run
+    sl.ue(1)  # P_16x8
+    sl.u(1, 1 - 0)  # ref_idx part0 = 0 (te inverted bit)
+    sl.u(1, 1 - 1)  # ref_idx part1 = 1
+    for (pbx, pby, wb, hb, kind), ridx, mv in zip(
+            hi._PART_LAYOUT[1], (0, 1), ((8, 0), (0, 8))):
+        p = hi._mvp(grid, pbx, pby, wb, hb, kind, target_ref=ridx)
+        sl.se(mv[0] - p[0])
+        sl.se(mv[1] - p[1])
+        grid.fill(pbx, pby, wb, hb,
+                  mv if ridx == 0 else (mv[0], mv[1], ridx))
+    sl.ue(hi._CBP_INTER.index(0))
+    for mb in range(1, 4):
+        mby, mbx = divmod(mb, 2)
+        sl.ue(0)
+        sl.ue(0)  # P_L0_16x16
+        sl.u(1, 0)  # ref_idx 1
+        p = hi._mvp(grid, mbx * 4, mby * 4, 4, 4, "", target_ref=1)
+        sl.se(0 - p[0])
+        sl.se(0 - p[1])
+        grid.fill(mbx * 4, mby * 4, 4, 4, (0, 0, 1))
+        sl.ue(hi._CBP_INTER.index(0))
+    sl.rbsp_trailing()
+    p2 = nal(2, 1, sl.done())
+
+    w, h, frames, pocs = decode_h264_gop_ipb(idr + p1 + p2)
+    assert pocs == [0, 2, 4]
+    fy = frames[2][0]
+    # top half of MB0: P1 (shift 4,2) then mv (8,0) -> +2 more in x
+    for r in range(0, 8, 3):
+        for c in range(0, 16, 5):
+            assert fy[r * W + c] == shift(c, r, 4 + 2, 2), (c, r)
+    # bottom half: IDR with mv (0,8) -> shift (0,2)
+    for r in range(8, 16, 3):
+        for c in range(0, 16, 5):
+            assert fy[r * W + c] == shift(c, r, 0, 2), (c, r)
+    # other MBs: IDR zero-mv copy
+    assert fy[0 * W + 20] == y[20]
+    assert fy[20 * W + 4] == y[20 * W + 4]
+
+    # three-reference ue(v) branch: P3 reads each 8x8 of a P_8x8 from
+    # a different list entry (list0 = [P2, P1, IDR])
+    sl = _BitWriter()
+    sl.ue(0)
+    sl.ue(5)
+    sl.ue(0)
+    sl.u(4, 3)
+    sl.u(4, 6)
+    sl.u(1, 1)
+    sl.ue(2)  # na = 3
+    sl.u(1, 0)
+    sl.u(1, 0)
+    sl.se(0)
+    sl.ue(1)
+    grid = hi._MvGrid(2, 2)
+    sl.ue(0)
+    sl.ue(3)  # P_8x8
+    for st in (0, 0, 0, 0):
+        sl.ue(st)
+    for ridx in (0, 1, 2, 2):
+        sl.ue(ridx)  # te == ue when na > 2
+    for i8, ridx in enumerate((0, 1, 2, 2)):
+        obx, oby = (i8 & 1) * 2, (i8 >> 1) * 2
+        p = hi._mvp(grid, obx, oby, 2, 2, target_ref=ridx)
+        sl.se(0 - p[0])
+        sl.se(0 - p[1])
+        grid.fill(obx, oby, 2, 2,
+                  (0, 0) if ridx == 0 else (0, 0, ridx))
+    sl.ue(hi._CBP_INTER.index(0))
+    sl.ue(3)  # trailing skips
+    sl.rbsp_trailing()
+    p3 = nal(2, 1, sl.done())
+    w, h, frames, pocs = decode_h264_gop_ipb(idr + p1 + p2 + p3)
+    fy3 = frames[3][0]
+    fy2 = frames[2][0]
+    fy1 = frames[1][0]
+    # 8x8 0 -> P2, 8x8 1 -> P1, 8x8 2/3 -> IDR
+    assert fy3[4 * W + 4] == fy2[4 * W + 4]
+    assert fy3[4 * W + 12] == fy1[4 * W + 12]
+    assert fy3[12 * W + 4] == y[12 * W + 4]
+    assert fy3[12 * W + 12] == y[12 * W + 12]
+
+
+def test_multiref_rejections():
+    """ref_idx beyond the active count and an active count beyond the
+    DPB raise; a P slice declaring more references than decoded is
+    refused rather than misread."""
+    import pytest as _pytest
+    from data_lake_skyfit_spark.llm.h264_bslice import decode_h264_gop_ipb
+
+    chunks = hi.encode_h264_gop_multiref(32, 32, qp=28, y_coeff=9,
+                                         u_coeff=5, v_coeff=7,
+                                         p_y_coeff=3, p_c_coeff=2)
+    # na=2 P as the SECOND frame (only one reference decoded yet)
+    bad = chunks[0] + chunks[2]
+    with _pytest.raises(ValueError):
+        decode_h264_gop_ipb(bad)
+
+
 def test_gop_bitflip_fuzz():
     rnd = random.Random(99)
     frames = hi.encode_h264_gop_steps(32, 32, qp=28, y_coeff=20,
