@@ -7,8 +7,10 @@ threads the same state across MP4 samples.
 Supported envelope (reject-never-approximate, the module family's
 contract): CAVLC B slices, 4:2:0, frame_mbs_only, one slice per
 picture, num_ref_idx_l0_active == num_ref_idx_l1_active == 1 (the
-nearest reference below / above the current POC), SPATIAL direct
-mode only (direct_spatial_mv_pred_flag == 1) with
+nearest reference below / above the current POC), BOTH direct modes
+(spatial §8.4.1.2.2 with the colocated colZeroFlag, and r7c temporal
+§8.4.1.2.3 with POC-distance motion scaling — against a
+single-reference colocated picture) under
 direct_8x8_inference_flag == 1, no reference-list modification,
 NON-REFERENCE B pictures (nal_ref_idc == 0 — the classic IBP/IBBP
 pattern; B-pyramid streams are rejected, never approximated).
@@ -139,6 +141,48 @@ def _min_positive(a: int, b: int) -> int:
     return max(a, b)
 
 
+def _temporal_direct(col_grid, pocs, bx0: int, by0: int):
+    """§8.4.1.2.3 temporal direct derivation for the MB at cell
+    (bx0, by0): the colocated block's motion (in RefPicList1[0]) is
+    scaled by POC distances — mvL0 = (DistScaleFactor * mvCol + 128)
+    >> 8, mvL1 = mvL0 - mvCol; intra colocated blocks contribute
+    zero motion with refIdxL0 = 0.  Envelope: the colocated picture's
+    references must be this slice's RefPicList0[0] (single-reference
+    colocated; a multi-reference colocated cell is rejected, never
+    approximated).  Returns [per-8x8 (mv0, mv1)] — both lists always
+    predict in temporal direct."""
+    poc_cur, poc0, poc1 = pocs
+    tb = _clip3(-128, 127, poc_cur - poc0)
+    td = _clip3(-128, 127, poc1 - poc0)
+    if td:
+        num = 16384 + (abs(td) >> 1)
+        tx = num // td if td > 0 else -(num // -td)
+        dsf = _clip3(-1024, 1023, (tb * tx + 32) >> 6)
+    else:
+        dsf = None  # same-POC anchors: mvL0 = mvCol, mvL1 = 0
+    out = []
+    for i8 in range(4):
+        cx, cy = _INFER_CORNER[i8]
+        col = col_grid.cell(bx0 + cx, by0 + cy) if col_grid is not None \
+            else None
+        if isinstance(col, tuple):
+            if len(col) == 3:
+                raise ValueError(
+                    "h264: temporal direct against a multi-reference "
+                    "colocated picture not supported")
+            mvcol = (col[0], col[1])
+        else:  # intra / missing colocated: zero motion, refIdx 0
+            mvcol = (0, 0)
+        if dsf is None:
+            mv0, mv1 = mvcol, (0, 0)
+        else:
+            mv0 = ((dsf * mvcol[0] + 128) >> 8,
+                   (dsf * mvcol[1] + 128) >> 8)
+            mv1 = (mv0[0] - mvcol[0], mv0[1] - mvcol[1])
+        out.append((mv0, mv1))
+    return out
+
+
 def _spatial_direct(gridL0: _MvGrid, gridL1: _MvGrid, col_grid,
                     bx0: int, by0: int):
     """§8.4.1.2.2 spatial direct derivation for the MB at cell
@@ -258,8 +302,9 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
     if pps["redundant"]:
         if br.ue() != 0:
             raise ValueError("h264: redundant slices not supported")
-    if br.u(1) != 1:  # direct_spatial_mv_pred_flag
-        raise ValueError("h264: temporal direct mode not supported")
+    direct_spatial = br.u(1) == 1  # direct_spatial_mv_pred_flag
+    if not direct_spatial and pocs is None:
+        raise ValueError("h264: temporal direct needs anchor POCs")
     if br.u(1):  # num_ref_idx_active_override_flag
         if br.ue() != 0 or br.ue() != 0:
             raise ValueError("h264: more than one reference per list")
@@ -375,12 +420,18 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
             for xx in range(bx, bx + wb):
                 row[xx] = cell
 
+    def direct_mvs(bx0: int, by0: int):
+        """Per-8x8 (mv0, mv1) for direct-mode prediction under the
+        slice's direct_spatial_mv_pred_flag."""
+        if direct_spatial:
+            return _spatial_direct(gridL0, gridL1, col_grid, bx0, by0)[2]
+        return _temporal_direct(col_grid, pocs, bx0, by0)
+
     def decode_direct_mb(mbx: int, mby: int) -> None:
         """B_Skip / B_Direct_16x16 motion + MC (residual handled by
         the caller when present)."""
         bx0, by0 = mbx * 4, mby * 4
-        _ref0, _ref1, per8 = _spatial_direct(
-            gridL0, gridL1, col_grid, bx0, by0)
+        per8 = direct_mvs(bx0, by0)
         for i8, (mv0, mv1) in enumerate(per8):
             obx, oby = (i8 & 1) * 2, (i8 >> 1) * 2
             fill_cells(bx0 + obx, by0 + oby, 2, 2, mv0, mv1)
@@ -463,7 +514,7 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
             # direct 8x8s derive once per MB (shared refs + medians)
             direct = None
             if any(s == 0 for s in subs):
-                direct = _spatial_direct(gridL0, gridL1, col_grid, bx0, by0)
+                direct = direct_mvs(bx0, by0)
             # parse order: all mvd_l0 across 8x8s/sub-parts, then mvd_l1
             mvds = [[], []]
             for lst in range(2):
@@ -483,7 +534,7 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
                     mode, shape = _B_SUB[s]
                     obx, oby = (i8 & 1) * 2, (i8 >> 1) * 2
                     if mode is None:  # B_Direct_8x8
-                        dmv = direct[2][i8][lst]
+                        dmv = direct[i8][lst]
                         g.fill(bx0 + obx, by0 + oby, 2, 2,
                                dmv if dmv is not None else "I")
                         mvs[lst][i8] = ("direct", dmv)
@@ -753,14 +804,15 @@ def decode_h264_gop_ipb(data: bytes, *, max_frames: int = 1024):
 # Fixture encoders + closed forms
 
 
-def _b_slice_header(qp_delta: int, frame_num: int, poc_lsb: int) -> _BitWriter:
+def _b_slice_header(qp_delta: int, frame_num: int, poc_lsb: int,
+                    spatial: bool = True) -> _BitWriter:
     sl = _BitWriter()
     sl.ue(0)   # first_mb_in_slice
     sl.ue(6)   # slice_type: B (all slices in picture)
     sl.ue(0)   # pic_parameter_set_id
     sl.u(4, frame_num & 15)
     sl.u(4, poc_lsb & 15)  # pic_order_cnt_lsb
-    sl.u(1, 1)  # direct_spatial_mv_pred_flag
+    sl.u(1, 1 if spatial else 0)  # direct_spatial_mv_pred_flag
     sl.u(1, 0)  # num_ref_idx_active_override_flag
     sl.u(1, 0)  # ref_pic_list_modification_flag_l0
     sl.u(1, 0)  # ref_pic_list_modification_flag_l1
@@ -774,7 +826,8 @@ def _encode_bslice_nal(mbw: int, mbh: int, frame_num: int, poc_lsb: int,
                        mode: str, mv0: tuple[int, int] = (0, 0),
                        mv1: tuple[int, int] = (0, 0),
                        y_coeff: int = 0, c_coeff: int = 0,
-                       col_zero: bool = True) -> bytes:
+                       col_zero: bool = True,
+                       spatial: bool = True) -> bytes:
     """One whole-picture non-reference B slice NAL (CAVLC, deblocking
     off).  Modes: 'skip' (one mb_skip_run covering the picture —
     spatial direct everywhere), 'bi_res' (every MB B_Bi_16x16 with
@@ -790,7 +843,7 @@ def _encode_bslice_nal(mbw: int, mbh: int, frame_num: int, poc_lsb: int,
     colocated anchor's motion is zero (the fixture GOP's P anchor is
     all-P_L0_16x16 with mv 0) so the shared _spatial_direct
     derivation sees the same colZeroFlag the decoder will."""
-    sl = _b_slice_header(0, frame_num, poc_lsb)
+    sl = _b_slice_header(0, frame_num, poc_lsb, spatial=spatial)
     total = mbw * mbh
     if mode == "skip":
         sl.ue(total)
@@ -984,6 +1037,49 @@ def h264_gop_b_expected(qp: int, y_coeff: int, u_coeff: int, v_coeff: int,
         ("mixed", (ay, yv), (au, uv), (av, vv)),
         ("flat", y1, u1, v1),
         ("halves", (yv, y1), (uv, u1), (vv, v1)),
+    ]
+
+
+def encode_h264_gop_tdirect(width: int, height: int, *, qp: int,
+                            y_coeff: int, u_coeff: int, v_coeff: int,
+                            p_y_coeff: int, p_c_coeff: int,
+                            col_mv: tuple[int, int] = (16, 8)
+                            ) -> list[bytes]:
+    """Temporal-direct GOP fixture (decode order / POC): IDR flat
+    (0), P with uniform motion `col_mv` plus a DC residual (4 — the
+    colocated picture, so its motion field feeds the §8.4.1.2.3
+    scaling), and an all-skip TEMPORAL-direct B at POC 2 whose
+    derived motion is the exact POC midpoint (DistScaleFactor 128:
+    mvL0 = col_mv/2, mvL1 = -col_mv/2).  Over the flat anchors MC is
+    an identity, so the closed form is the plain bi-average —
+    tests/test_h264_bslice.py pins the scaling itself on PCM
+    gradients."""
+    from .h264 import encode_h264_iframe_flat
+    from .h264_inter import _encode_pslice_nal
+
+    if width % 2 or height % 2 or width <= 0 or height <= 0:
+        raise ValueError("h264: dims must be positive and even")
+    if not 0 <= qp <= 51:
+        raise ValueError("h264: qp out of range")
+    mbw = (width + 15) // 16
+    mbh = (height + 15) // 16
+    sps = _sps_writer(mbw, mbh, (mbw * 16 - width) // 2,
+                      (mbh * 16 - height) // 2,
+                      num_ref_frames=2, profile_idc=77)
+    pps = _pps_writer(qp)
+    idr_body = encode_h264_iframe_flat(
+        width, height, qp=qp,
+        y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    idr_slice = next(n for n in _split_nals(idr_body)
+                     if (n[0] & 0x1F) == 5)
+    idr = (_nal(3, 7, sps.done()) + _nal(3, 8, pps.done())
+           + b"\x00\x00\x00\x01" + idr_slice)
+    return [
+        idr,
+        _encode_pslice_nal(mbw, mbh, qp, 1, "residual", mv=col_mv,
+                           y_coeff=p_y_coeff, c_coeff=p_c_coeff,
+                           poc_lsb=4),
+        _encode_bslice_nal(mbw, mbh, 2, 2, "skip", spatial=False),
     ]
 
 

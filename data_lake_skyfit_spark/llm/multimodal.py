@@ -7397,6 +7397,50 @@ def synthesize_avc_multiref_payloads(
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def synthesize_avc_tdirect_payloads(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """id → REAL MP4 whose samples form a TEMPORAL-direct GOP (r7c):
+    IDR flat, P with uniform motion + DC residual at POC 4 (the
+    colocated picture), and an all-skip temporal-direct B at POC 2 —
+    the §8.4.1.2.3 POC scaling derives the exact midpoint motion
+    (mvL0 = col_mv/2, mvL1 = -col_mv/2) on the wire; over flat
+    anchors the closed form is the plain bi-average
+    (h264_gop_multiref_expected's flat arms + average)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .h264_bslice import encode_h264_gop_tdirect
+
+        for pdf in batches:
+            payloads = []
+            for v in pdf[id_col]:
+                k = int(v)
+                payloads.append(
+                    encode_mp4_frames(
+                        encode_h264_gop_tdirect(
+                            32 + 2 * (k % 9),
+                            32 + 2 * (k % 7),
+                            qp=(20, 28, 36, 44)[k % 4],
+                            y_coeff=1 + k % 60,
+                            u_coeff=1 + k % 30,
+                            v_coeff=1 + k % 25,
+                            p_y_coeff=1 + k % 8,
+                            p_c_coeff=1 + k % 5,
+                            col_mv=((16, 8), (8, 16), (24, 4),
+                                    (4, 24))[k % 4],
+                        ),
+                        codec="avc1",
+                        composition_offsets=[0, 500, -500],
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def synthesize_webp_lossy_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """id → REAL lossy-WebP (VP8 keyframe) payload, deterministic
     closed form mirrored by the battery oracle. Per id: dims

@@ -3776,6 +3776,79 @@ def multimodal_decode_h264_multiref(spark: SparkSession,
 
 
 @register(
+    "multimodal_decode_h264_tdirect",
+    """
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(fi * 500 AS BIGINT) AS ts_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(CASE fi
+             WHEN 0 THEN w * h * yv + (w // 2) * (h // 2) * (uv + vv)
+             WHEN 1 THEN w * h * (yv + dy)
+                  + (w // 2) * (h // 2) * (uv + dc + vv + dc)
+             ELSE w * h * ((yv + yv + dy + 1) // 2)
+                  + (w // 2) * (h // 2)
+                    * ((uv + uv + dc + 1) // 2 + (vv + vv + dc + 1) // 2)
+           END AS BIGINT) AS pixel_sum
+    FROM (
+      SELECT doc_id, w, h, yv, uv, vv, dy, dc
+      FROM (
+        SELECT doc_id, w, h,
+               128 + ((CASE qk WHEN 0 THEN (13 * cy + 4) // 8
+                               WHEN 1 THEN (16 * cy + 2) // 4
+                               WHEN 2 THEN 10 * cy
+                               ELSE 26 * cy END + 32) // 64) AS yv,
+               128 + ((CASE qk WHEN 0 THEN (13 * cu) // 4
+                               WHEN 1 THEN 8 * cu
+                               WHEN 2 THEN 16 * cu
+                               ELSE 22 * cu END + 32) // 64) AS uv,
+               128 + ((CASE qk WHEN 0 THEN (13 * cv) // 4
+                               WHEN 1 THEN 8 * cv
+                               WHEN 2 THEN 16 * cv
+                               ELSE 22 * cv END + 32) // 64) AS vv,
+               ((CASE qk WHEN 0 THEN (13 * py + 1) // 2
+                         WHEN 1 THEN 16 * py
+                         WHEN 2 THEN 40 * py
+                         ELSE 104 * py END) + 32) // 64 AS dy,
+               ((CASE qk WHEN 0 THEN (13 * pc) // 4
+                         WHEN 1 THEN 8 * pc
+                         WHEN 2 THEN 16 * pc
+                         ELSE 22 * pc END) + 32) // 64 AS dc
+        FROM (
+          SELECT doc_id,
+                 32 + 2 * (doc_id % 9) AS w,
+                 32 + 2 * (doc_id % 7) AS h,
+                 doc_id % 4 AS qk,
+                 1 + doc_id % 60 AS cy,
+                 1 + doc_id % 30 AS cu,
+                 1 + doc_id % 25 AS cv,
+                 1 + doc_id % 8 AS py,
+                 1 + doc_id % 5 AS pc
+          FROM documents WHERE doc_id < 40
+        )
+      )
+    ), LATERAL (SELECT UNNEST(range(0, 3)) AS fi) f
+    """,
+    tags=("llm-multimodal",),
+    doc="Temporal direct mode (r7c, 8.4.1.2.3): "
+    "synthesize_avc_tdirect_payloads writes GOPs whose B picture "
+    "declares direct_spatial_mv_pred_flag=0, so its motion derives "
+    "from the COLOCATED P picture's motion field scaled by POC "
+    "distances (DistScaleFactor 128 at the midpoint: mvL0 = "
+    "col_mv/2, mvL1 = -col_mv/2 — nonzero on the wire, identity over "
+    "the flat anchors; tests pin the scaling itself on PCM gradients "
+    "where the B frame reproduces the motion-interpolated source "
+    "sample-exactly). Oracle = flat / flat+residual / bi-average "
+    "closed forms.",
+)
+def multimodal_decode_h264_tdirect(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    media = multimodal.synthesize_avc_tdirect_payloads(d, id_col="doc_id")
+    return multimodal.decode_video_pixels(media, every_ms=400)
+
+
+@register(
     "multimodal_h264_keyframe_sampling",
     """
     SELECT doc_id, CAST(0 AS INT) AS frame_idx, CAST(0 AS BIGINT) AS ts_ms,

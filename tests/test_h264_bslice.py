@@ -566,27 +566,14 @@ def test_b_slice_rejections():
     with pytest.raises(ValueError):
         hb.decode_h264_gop_ipb(prefix + bytes(ref_b))
 
-    # temporal direct (direct_spatial_mv_pred_flag = 0) rejected:
-    # hand-write a header with the flag clear
-    def writer(sl: _BitWriter) -> None:
-        sl.ue(4)
-
-    sl = _BitWriter()
-    sl.ue(0)
-    sl.ue(6)
-    sl.ue(0)
-    sl.u(4, 2)
-    sl.u(4, 3)
-    sl.u(1, 0)  # direct_spatial_mv_pred_flag = 0
-    sl.u(1, 0)
-    sl.u(1, 0)
-    sl.u(1, 0)
-    sl.se(0)
-    sl.ue(1)
-    sl.ue(2)
-    sl.rbsp_trailing()
-    with pytest.raises(ValueError):
-        hb.decode_h264_gop_ipb(prefix + _nal(0, 1, sl.done()))
+    # temporal direct (direct_spatial_mv_pred_flag = 0) DECODES since
+    # r7c — an all-skip temporal B over the flat anchors equals the
+    # bi-average, same as the spatial twin
+    b_t = hb._encode_bslice_nal(2, 1, 2, 3, "skip", spatial=False)
+    b_s = hb._encode_bslice_nal(2, 1, 2, 3, "skip", spatial=True)
+    ft = hb.decode_h264_gop_ipb(prefix + b_t)[2][2]
+    fs = hb.decode_h264_gop_ipb(prefix + b_s)[2][2]
+    assert ft == fs
 
     # truncation sweep: ValueError, never a hang
     full = prefix + hb._encode_bslice_nal(
@@ -770,6 +757,72 @@ def test_mp4_ctts_matches_poc_order():
     bad[idx + 8: idx + 12] = (1 << 20).to_bytes(4, "big")
     with pytest.raises(ValueError):
         mm._mp4_composition_offsets(bytes(bad), len(frames))
+
+
+def test_temporal_direct_tracks_linear_motion():
+    """§8.4.1.2.3: with anchors related by a uniform shift, the
+    temporal-direct B at the POC midpoint derives half the colocated
+    motion for list 0 and the negative half for list 1 — so it
+    reproduces the motion-interpolated source SAMPLE-EXACTLY in the
+    interior (both predictions read the same source pixel).  Also:
+    same-POC anchors fall back to mvL0 = mvCol, and a multi-reference
+    colocated picture is rejected."""
+    W, H = 32, 32
+    y = bytes((x * 8 + yy * 3) % 256 for yy in range(H) for x in range(W))
+    u = bytes((x * 5 + yy * 7) % 256
+              for yy in range(H // 2) for x in range(W // 2))
+    v = bytes((x * 11 + yy) % 256
+              for yy in range(H // 2) for x in range(W // 2))
+    idr = _pcm_idr2(W, H, y, u, v)
+    p1 = hi._encode_pslice_nal(2, 2, 28, 1, "mv", mv=(16, 8), poc_lsb=2)
+    b = hb._encode_bslice_nal(2, 2, 2, 1, "skip", spatial=False)
+    w, h, frames, pocs = hb.decode_h264_gop_ipb(idr + p1 + b)
+    assert pocs == [0, 2, 1]
+    fy = frames[2][0]
+    for r in range(1, H - 3):
+        for c in range(2, W - 5):
+            assert fy[r * W + c] == y[(r + 1) * W + c + 2], (c, r)
+
+    # derivation unit checks
+    grid = hi._MvGrid(1, 1)
+    grid.fill(0, 0, 4, 4, (16, 8))
+    per8 = hb._temporal_direct(grid, (1, 0, 2), 0, 0)
+    assert per8[0] == ((8, 4), (-8, -4))
+    # same-POC anchors: mvL0 = mvCol, mvL1 = 0
+    per8 = hb._temporal_direct(grid, (1, 2, 2), 0, 0)
+    assert per8[0] == ((16, 8), (0, 0))
+    # intra colocated: zero motion both lists
+    per8 = hb._temporal_direct(None, (1, 0, 2), 0, 0)
+    assert per8[0] == ((0, 0), (0, 0))
+    # multi-reference colocated cell: reject
+    grid3 = hi._MvGrid(1, 1)
+    grid3.fill(0, 0, 4, 4, (4, 4, 1))
+    with pytest.raises(ValueError):
+        hb._temporal_direct(grid3, (1, 0, 2), 0, 0)
+
+
+def test_tdirect_gop_closed_forms():
+    from data_lake_skyfit_spark.llm.h264 import h264_flat_expected
+
+    for qp in (20, 36):
+        chunks = hb.encode_h264_gop_tdirect(
+            36, 20, qp=qp, y_coeff=9, u_coeff=5, v_coeff=7,
+            p_y_coeff=3, p_c_coeff=2, col_mv=(24, 4))
+        w, h, frames, pocs = hb.decode_h264_gop_ipb(b"".join(chunks))
+        assert (w, h) == (36, 20) and pocs == [0, 4, 2]
+        from data_lake_skyfit_spark.llm.h264 import (_dequant_ac,
+                                                     _scale_chroma_dc,
+                                                     _chroma_qp)
+        yv, uv, vv = h264_flat_expected(qp, 9, 5, 7)
+        dy = (_dequant_ac([3] + [0] * 15, qp, 0)[0] + 32) >> 6
+        dc = (_scale_chroma_dc(2, _chroma_qp(qp, 0)) + 32) >> 6
+        y1, u1, v1 = yv + dy, uv + dc, vv + dc
+        exp = [(yv, uv, vv), (y1, u1, v1),
+               ((yv + y1 + 1) >> 1, (uv + u1 + 1) >> 1,
+                (vv + v1 + 1) >> 1)]
+        for fi, ((ye, ue, ve), (yf, uf, vf)) in enumerate(zip(exp, frames)):
+            assert set(yf) == {ye} and set(uf) == {ue} and \
+                set(vf) == {ve}, (qp, fi)
 
 
 def test_mp4_stss_keyframe_sampling():
