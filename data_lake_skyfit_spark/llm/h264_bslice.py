@@ -275,7 +275,12 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
     ref1's motion grid for the spatial-direct colZeroFlag (None for
     an intra anchor); pocs = (poc_cur, poc0, poc1) feeds the implicit
     weighted-bipred derivation when weighted_bipred_idc == 2.
-    Returns the deblocked, uncropped planes."""
+    REFERENCE B pictures (nal_ref_idc != 0 — B-pyramid GOPs, r7c)
+    parse dec_ref_pic_marking (sliding window only).  Returns
+    (ybuf, ubuf, vbuf, col_export) uncropped, where col_export is the
+    picture's own colocated motion field — per 4x4, the L0 motion
+    when list 0 predicts, else the L1 motion (§8.4.1.2.2's colocated
+    selection), for Bs that reference this picture."""
     if pps["cabac"]:
         raise ValueError("h264: CABAC B slices not supported")
     if pps["weighted_bipred"] == 2 and pocs is None:
@@ -284,8 +289,6 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
         raise ValueError("h264: bottom-field POC syntax not supported")
     if not sps["direct_8x8"]:
         raise ValueError("h264: direct_8x8_inference_flag=0 not supported")
-    if nri != 0:
-        raise ValueError("h264: reference B pictures not supported")
     br = _BitReader(rbsp)
     if br.ue() != 0:
         raise ValueError("h264: slice must start at mb 0")
@@ -324,7 +327,9 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
         iw = _implicit_weights(pocs[0], pocs[1], pocs[2])
     elif pps["weighted_bipred"]:
         raise ValueError("h264: bad weighted_bipred_idc")
-    # dec_ref_pic_marking absent: nal_ref_idc == 0 enforced above
+    if nri != 0:  # reference B (B-pyramid): dec_ref_pic_marking
+        if br.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise ValueError("h264: adaptive ref marking not supported")
     qp = pps["pic_init_qp"] + br.se()
     deblock_idc = 0
     db_off_a = db_off_b = 0
@@ -638,7 +643,21 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
 
         _deblock_edges(ybuf, ubuf, vbuf, mbw, mbh, st.mb_qp,
                        pps["chroma_qp_offset"], db_off_a, db_off_b, seg_bs)
-    return ybuf, ubuf, vbuf
+
+    # colocated export (§8.4.1.2.2 selection): L0 motion when list 0
+    # predicts the cell, else L1 motion, else intra
+    col_export = _MvGrid(mbw, mbh)
+    for yy in range(mbh * 4):
+        for xx in range(mbw * 4):
+            c0 = gridL0.g[yy][xx]
+            c1 = gridL1.g[yy][xx]
+            if isinstance(c0, tuple):
+                col_export.g[yy][xx] = c0
+            elif isinstance(c1, tuple):
+                col_export.g[yy][xx] = c1
+            else:
+                col_export.g[yy][xx] = "I"
+    return ybuf, ubuf, vbuf, col_export
 
 
 # --------------------------------------------------------------------------
@@ -743,11 +762,10 @@ class H264AuDecoder:
                 raise ValueError("h264: B slice without both anchors")
             r0 = max(past, key=lambda e: e["poc"])
             r1 = min(future, key=lambda e: e["poc"])
-            yb, ub, vb = _decode_bslice(
+            yb, ub, vb, grid = _decode_bslice(
                 rbsp, ntype, nri, sps, pps,
                 r0["planes"], r1["planes"], r1["grid"],
                 pocs=(poc, r0["poc"], r1["poc"]))
-            grid = None
         else:
             raise ValueError("h264: only I, P and B slices supported")
         if nri != 0:
@@ -805,7 +823,8 @@ def decode_h264_gop_ipb(data: bytes, *, max_frames: int = 1024):
 
 
 def _b_slice_header(qp_delta: int, frame_num: int, poc_lsb: int,
-                    spatial: bool = True) -> _BitWriter:
+                    spatial: bool = True,
+                    ref_b: bool = False) -> _BitWriter:
     sl = _BitWriter()
     sl.ue(0)   # first_mb_in_slice
     sl.ue(6)   # slice_type: B (all slices in picture)
@@ -816,7 +835,8 @@ def _b_slice_header(qp_delta: int, frame_num: int, poc_lsb: int,
     sl.u(1, 0)  # num_ref_idx_active_override_flag
     sl.u(1, 0)  # ref_pic_list_modification_flag_l0
     sl.u(1, 0)  # ref_pic_list_modification_flag_l1
-    # dec_ref_pic_marking absent: B fixtures are non-reference (nri 0)
+    if ref_b:  # reference B (B-pyramid): dec_ref_pic_marking
+        sl.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
     sl.se(qp_delta)  # slice_qp_delta
     sl.ue(1)   # disable_deblocking_filter_idc = 1
     return sl
@@ -827,7 +847,8 @@ def _encode_bslice_nal(mbw: int, mbh: int, frame_num: int, poc_lsb: int,
                        mv1: tuple[int, int] = (0, 0),
                        y_coeff: int = 0, c_coeff: int = 0,
                        col_zero: bool = True,
-                       spatial: bool = True) -> bytes:
+                       spatial: bool = True,
+                       ref_b: bool = False) -> bytes:
     """One whole-picture non-reference B slice NAL (CAVLC, deblocking
     off).  Modes: 'skip' (one mb_skip_run covering the picture —
     spatial direct everywhere), 'bi_res' (every MB B_Bi_16x16 with
@@ -843,12 +864,14 @@ def _encode_bslice_nal(mbw: int, mbh: int, frame_num: int, poc_lsb: int,
     colocated anchor's motion is zero (the fixture GOP's P anchor is
     all-P_L0_16x16 with mv 0) so the shared _spatial_direct
     derivation sees the same colZeroFlag the decoder will."""
-    sl = _b_slice_header(0, frame_num, poc_lsb, spatial=spatial)
+    sl = _b_slice_header(0, frame_num, poc_lsb, spatial=spatial,
+                         ref_b=ref_b)
+    nri = 2 if ref_b else 0
     total = mbw * mbh
     if mode == "skip":
         sl.ue(total)
         sl.rbsp_trailing()
-        return _nal(0, 1, sl.done())
+        return _nal(nri, 1, sl.done())
 
     gridL0 = _MvGrid(mbw, mbh)
     gridL1 = _MvGrid(mbw, mbh)
@@ -1037,6 +1060,49 @@ def h264_gop_b_expected(qp: int, y_coeff: int, u_coeff: int, v_coeff: int,
         ("mixed", (ay, yv), (au, uv), (av, vv)),
         ("flat", y1, u1, v1),
         ("halves", (yv, y1), (uv, u1), (vv, v1)),
+    ]
+
+
+def encode_h264_gop_bpyramid(width: int, height: int, *, qp: int,
+                             y_coeff: int, u_coeff: int, v_coeff: int,
+                             p_y_coeff: int, p_c_coeff: int
+                             ) -> list[bytes]:
+    """Hierarchical-B (B-pyramid) GOP fixture, decode order / POC:
+    IDR flat (0), P with a uniform DC residual (8), a REFERENCE B at
+    the midpoint (4, nal_ref_idc != 0 — it enters the DPB with its
+    exported colocated motion field), then two non-reference Bs at 2
+    and 6 whose nearest anchors are (0, 4) and (4, 8) — i.e. they
+    reference the middle B.  All Bs are all-skip spatial direct, so
+    the closed forms are nested bi-averages: v4 = avg(a0, a1),
+    v2 = avg(a0, v4), v6 = avg(v4, a1)."""
+    from .h264 import encode_h264_iframe_flat
+    from .h264_inter import _encode_pslice_nal
+
+    if width % 2 or height % 2 or width <= 0 or height <= 0:
+        raise ValueError("h264: dims must be positive and even")
+    if not 0 <= qp <= 51:
+        raise ValueError("h264: qp out of range")
+    mbw = (width + 15) // 16
+    mbh = (height + 15) // 16
+    sps = _sps_writer(mbw, mbh, (mbw * 16 - width) // 2,
+                      (mbh * 16 - height) // 2,
+                      num_ref_frames=3, profile_idc=77)
+    pps = _pps_writer(qp)
+    idr_body = encode_h264_iframe_flat(
+        width, height, qp=qp,
+        y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    idr_slice = next(n for n in _split_nals(idr_body)
+                     if (n[0] & 0x1F) == 5)
+    idr = (_nal(3, 7, sps.done()) + _nal(3, 8, pps.done())
+           + b"\x00\x00\x00\x01" + idr_slice)
+    return [
+        idr,
+        _encode_pslice_nal(mbw, mbh, qp, 1, "residual",
+                           y_coeff=p_y_coeff, c_coeff=p_c_coeff,
+                           poc_lsb=8),
+        _encode_bslice_nal(mbw, mbh, 2, 4, "skip", ref_b=True),
+        _encode_bslice_nal(mbw, mbh, 3, 2, "skip"),
+        _encode_bslice_nal(mbw, mbh, 3, 6, "skip"),
     ]
 
 

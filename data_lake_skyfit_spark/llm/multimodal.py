@@ -7441,6 +7441,48 @@ def synthesize_avc_tdirect_payloads(
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def synthesize_avc_bpyramid_payloads(
+    df: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """id → REAL MP4 whose samples form a HIERARCHICAL-B (B-pyramid)
+    GOP (r7c): IDR (POC 0), P + residual (8), a REFERENCE B at the
+    midpoint (4) that enters the DPB, then non-reference Bs at 2 and
+    6 anchored on it — closed forms are nested bi-averages
+    (encode_h264_gop_bpyramid)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    # decode-order POCs (0, 8, 4, 2, 6) -> ctts composition offsets
+    offs = [(r - i) * 500 for i, r in enumerate((0, 4, 2, 1, 3))]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .h264_bslice import encode_h264_gop_bpyramid
+
+        for pdf in batches:
+            payloads = []
+            for v in pdf[id_col]:
+                k = int(v)
+                payloads.append(
+                    encode_mp4_frames(
+                        encode_h264_gop_bpyramid(
+                            32 + 2 * (k % 9),
+                            32 + 2 * (k % 7),
+                            qp=(20, 28, 36, 44)[k % 4],
+                            y_coeff=1 + k % 60,
+                            u_coeff=1 + k % 30,
+                            v_coeff=1 + k % 25,
+                            p_y_coeff=1 + k % 8,
+                            p_c_coeff=1 + k % 5,
+                        ),
+                        codec="avc1",
+                        composition_offsets=offs,
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def synthesize_webp_lossy_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """id → REAL lossy-WebP (VP8 keyframe) payload, deterministic
     closed form mirrored by the battery oracle. Per id: dims

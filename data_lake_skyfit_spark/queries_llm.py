@@ -3849,6 +3849,87 @@ def multimodal_decode_h264_tdirect(spark: SparkSession,
 
 
 @register(
+    "multimodal_decode_h264_bpyramid",
+    """
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(fi * 500 AS BIGINT) AS ts_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(CASE fi
+             WHEN 0 THEN w * h * y0 + (w // 2) * (h // 2) * (u0 + v0)
+             WHEN 1 THEN w * h * y1 + (w // 2) * (h // 2) * (u1 + v1)
+             WHEN 2 THEN w * h * y4 + (w // 2) * (h // 2) * (u4 + v4)
+             WHEN 3 THEN w * h * ((y0 + y4 + 1) // 2)
+                  + (w // 2) * (h // 2)
+                    * ((u0 + u4 + 1) // 2 + (v0 + v4 + 1) // 2)
+             ELSE w * h * ((y4 + y1 + 1) // 2)
+                  + (w // 2) * (h // 2)
+                    * ((u4 + u1 + 1) // 2 + (v4 + v1 + 1) // 2)
+           END AS BIGINT) AS pixel_sum
+    FROM (
+      SELECT doc_id, w, h, y0, u0, v0, y1, u1, v1,
+             (y0 + y1 + 1) // 2 AS y4,
+             (u0 + u1 + 1) // 2 AS u4,
+             (v0 + v1 + 1) // 2 AS v4
+      FROM (
+        SELECT doc_id, w, h, yv AS y0, uv AS u0, vv AS v0,
+               yv + dy AS y1, uv + dc AS u1, vv + dc AS v1
+        FROM (
+          SELECT doc_id, w, h,
+                 128 + ((CASE qk WHEN 0 THEN (13 * cy + 4) // 8
+                                 WHEN 1 THEN (16 * cy + 2) // 4
+                                 WHEN 2 THEN 10 * cy
+                                 ELSE 26 * cy END + 32) // 64) AS yv,
+                 128 + ((CASE qk WHEN 0 THEN (13 * cu) // 4
+                                 WHEN 1 THEN 8 * cu
+                                 WHEN 2 THEN 16 * cu
+                                 ELSE 22 * cu END + 32) // 64) AS uv,
+                 128 + ((CASE qk WHEN 0 THEN (13 * cv) // 4
+                                 WHEN 1 THEN 8 * cv
+                                 WHEN 2 THEN 16 * cv
+                                 ELSE 22 * cv END + 32) // 64) AS vv,
+                 ((CASE qk WHEN 0 THEN (13 * py + 1) // 2
+                           WHEN 1 THEN 16 * py
+                           WHEN 2 THEN 40 * py
+                           ELSE 104 * py END) + 32) // 64 AS dy,
+                 ((CASE qk WHEN 0 THEN (13 * pc) // 4
+                           WHEN 1 THEN 8 * pc
+                           WHEN 2 THEN 16 * pc
+                           ELSE 22 * pc END) + 32) // 64 AS dc
+          FROM (
+            SELECT doc_id,
+                   32 + 2 * (doc_id % 9) AS w,
+                   32 + 2 * (doc_id % 7) AS h,
+                   doc_id % 4 AS qk,
+                   1 + doc_id % 60 AS cy,
+                   1 + doc_id % 30 AS cu,
+                   1 + doc_id % 25 AS cv,
+                   1 + doc_id % 8 AS py,
+                   1 + doc_id % 5 AS pc
+            FROM documents WHERE doc_id < 30
+          )
+        )
+      )
+    ), LATERAL (SELECT UNNEST(range(0, 5)) AS fi) f
+    """,
+    tags=("llm-multimodal",),
+    doc="Hierarchical-B (B-pyramid) decode (r7c): "
+    "synthesize_avc_bpyramid_payloads writes GOPs whose midpoint B is "
+    "a REFERENCE picture (nal_ref_idc != 0, dec_ref_pic_marking "
+    "parsed) that enters the sliding-window DPB with its exported "
+    "colocated motion field; the outer Bs at POC 2/6 anchor on it, so "
+    "the oracle's closed forms are NESTED bi-averages — a DPB-"
+    "membership or anchor-selection error collapses the nesting and "
+    "breaks the hash. x264's default GOP structure.",
+)
+def multimodal_decode_h264_bpyramid(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    media = multimodal.synthesize_avc_bpyramid_payloads(d, id_col="doc_id")
+    return multimodal.decode_video_pixels(media, every_ms=400)
+
+
+@register(
     "multimodal_h264_keyframe_sampling",
     """
     SELECT doc_id, CAST(0 AS INT) AS frame_idx, CAST(0 AS BIGINT) AS ts_ms,

@@ -560,11 +560,12 @@ def test_b_slice_rejections():
     with pytest.raises(ValueError):
         hb.decode_h264_gop_ipb(chunks[0] + b_ok)
 
-    # reference B (nri != 0) rejected
-    ref_b = bytearray(b_ok)
-    ref_b[4] |= 0x60  # set nal_ref_idc on the slice NAL header byte
-    with pytest.raises(ValueError):
-        hb.decode_h264_gop_ipb(prefix + bytes(ref_b))
+    # reference B (nri != 0) DECODES since r7c (B-pyramid) — but a
+    # bare nri flip on a non-reference slice desyncs (the marking bit
+    # is absent from its header), so build a real one
+    ref_b = hb._encode_bslice_nal(2, 1, 2, 3, "skip", ref_b=True)
+    w, h, frames, pocs = hb.decode_h264_gop_ipb(prefix + ref_b)
+    assert pocs == [0, 6, 3]
 
     # temporal direct (direct_spatial_mv_pred_flag = 0) DECODES since
     # r7c — an all-skip temporal B over the flat anchors equals the
@@ -757,6 +758,119 @@ def test_mp4_ctts_matches_poc_order():
     bad[idx + 8: idx + 12] = (1 << 20).to_bytes(4, "big")
     with pytest.raises(ValueError):
         mm._mp4_composition_offsets(bytes(bad), len(frames))
+
+
+def test_bpyramid_nested_averages():
+    """Hierarchical-B GOP: the middle REFERENCE B enters the DPB and
+    anchors the outer Bs — closed-form nested bi-averages."""
+    from data_lake_skyfit_spark.llm.h264 import (_chroma_qp, _dequant_ac,
+                                                 _scale_chroma_dc,
+                                                 h264_flat_expected)
+
+    for qp in (20, 36):
+        chunks = hb.encode_h264_gop_bpyramid(
+            36, 20, qp=qp, y_coeff=9, u_coeff=5, v_coeff=7,
+            p_y_coeff=3, p_c_coeff=2)
+        w, h, frames, pocs = hb.decode_h264_gop_ipb(b"".join(chunks))
+        assert pocs == [0, 8, 4, 2, 6]
+        a0 = h264_flat_expected(qp, 9, 5, 7)
+        dy = (_dequant_ac([3] + [0] * 15, qp, 0)[0] + 32) >> 6
+        dc = (_scale_chroma_dc(2, _chroma_qp(qp, 0)) + 32) >> 6
+        a1 = (a0[0] + dy, a0[1] + dc, a0[2] + dc)
+        v4 = tuple((x + y + 1) >> 1 for x, y in zip(a0, a1))
+        v2 = tuple((x + y + 1) >> 1 for x, y in zip(a0, v4))
+        v6 = tuple((x + y + 1) >> 1 for x, y in zip(v4, a1))
+        for fi, e in enumerate((a0, a1, v4, v2, v6)):
+            y, u, v = frames[fi]
+            assert set(y) == {e[0]} and set(u) == {e[1]} and \
+                set(v) == {e[2]}, (qp, fi)
+
+
+def test_bpyramid_colocated_export():
+    """A moving reference B's exported motion field drives the outer
+    B's colZeroFlag: against a zero-motion middle B the direct MB
+    clamps to zero (plain average), against a moving one the median
+    path follows the seeded neighbor — visible over PCM gradients."""
+    W, H = 32, 32
+    y = bytes((x * 8 + yy * 3) % 256 for yy in range(H) for x in range(W))
+    u = bytes((x * 5 + yy * 7) % 256
+              for yy in range(H // 2) for x in range(W // 2))
+    v = bytes((x * 11 + yy) % 256
+              for yy in range(H // 2) for x in range(W // 2))
+    # num_ref_frames=3 PCM anchor
+    idr = _pcm_idr2(W, H, y, u, v)
+    idr = idr.replace(  # widen the DPB: re-head with 3 ref frames
+        _sps_writer(2, 2, 0, 0, num_ref_frames=2, profile_idc=77).done(),
+        _sps_writer(2, 2, 0, 0, num_ref_frames=3, profile_idc=77).done())
+    p1 = hi._encode_pslice_nal(2, 2, 28, 1, "skip", poc_lsb=8)
+    mv_bi = (8, 4)
+
+    def outer_b(poc_lsb):
+        def writer(sl: _BitWriter) -> None:
+            gridL0 = hi._MvGrid(2, 2)
+            gridL1 = hi._MvGrid(2, 2)
+            sl.ue(0)
+            sl.ue(3)  # B_Bi_16x16 seed with known motion
+            p0 = hi._mvp(gridL0, 0, 0, 4, 4, "")
+            sl.se(mv_bi[0] - p0[0])
+            sl.se(mv_bi[1] - p0[1])
+            p1_ = hi._mvp(gridL1, 0, 0, 4, 4, "")
+            sl.se(mv_bi[0] - p1_[0])
+            sl.se(mv_bi[1] - p1_[1])
+            gridL0.fill(0, 0, 4, 4, mv_bi)
+            gridL1.fill(0, 0, 4, 4, mv_bi)
+            sl.ue(hi._CBP_INTER.index(0))
+            sl.ue(0)
+            sl.ue(0)  # B_Direct_16x16
+            sl.ue(hi._CBP_INTER.index(0))
+            sl.ue(2)  # trailing skips
+        return _hand_bslice(writer, frame_num=3, poc_lsb=poc_lsb)
+
+    # middle reference B, zero motion (all-skip) at POC 4
+    mid_zero = hb._encode_bslice_nal(2, 2, 2, 4, "skip", ref_b=True)
+    # middle reference B with uniform L0 motion at POC 4: every MB
+    # B_L0_16x16 with a large mv -> exported colocated motion nonzero
+    def mid_writer(sl: _BitWriter) -> None:
+        gridL0 = hi._MvGrid(2, 2)
+        for mb in range(4):
+            mby, mbx = divmod(mb, 2)
+            sl.ue(0)
+            sl.ue(1)  # B_L0_16x16
+            p = hi._mvp(gridL0, mbx * 4, mby * 4, 4, 4, "")
+            sl.se(16 - p[0])
+            sl.se(16 - p[1])
+            gridL0.fill(mbx * 4, mby * 4, 4, 4, (16, 16))
+            sl.ue(hi._CBP_INTER.index(0))
+
+    sl = _BitWriter()
+    sl.ue(0)
+    sl.ue(6)
+    sl.ue(0)
+    sl.u(4, 2)
+    sl.u(4, 4)
+    sl.u(1, 1)
+    sl.u(1, 0)
+    sl.u(1, 0)
+    sl.u(1, 0)
+    sl.u(1, 0)  # dec_ref_pic_marking (reference B)
+    sl.se(0)
+    sl.ue(1)
+    mid_writer(sl)
+    sl.rbsp_trailing()
+    mid_moving = _nal(2, 1, sl.done())
+
+    fz = hb.decode_h264_gop_ipb(idr + p1 + mid_zero + outer_b(2))[2][3][0]
+    fm = hb.decode_h264_gop_ipb(idr + p1 + mid_moving + outer_b(2))[2][3][0]
+    # zero-motion colocated: direct MB = plain average of IDR and the
+    # zero-mid picture (both = source) -> equals the source
+    for yy in range(0, 12, 4):
+        for xx in range(16, 28, 4):
+            assert fz[yy * W + xx] == y[yy * W + xx], (xx, yy)
+    # moving colocated: colZero off -> direct follows the (8,4) median
+    # -> integer shift (2,1) into both anchors; the mid picture reads
+    # shifted source so values differ from fz inside the gradient
+    assert any(fm[yy * W + xx] != fz[yy * W + xx]
+               for yy in range(0, 12) for xx in range(16, 28))
 
 
 def test_temporal_direct_tracks_linear_motion():
