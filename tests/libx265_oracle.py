@@ -1,0 +1,193 @@
+"""Test-only ctypes bridge to the system libx265 (a production HEVC
+ENCODER) used to generate REAL externally-encoded HEVC streams for
+cross-validating the repo's pure-Python decoder (`llm/hevc.py`).
+
+Together with tests/libde265_oracle.py this closes both directions of
+the wire-convention pin (the VP8/libwebp discipline): libx265-encoded
+payloads must decode bit-identically in the pure-Python decoder AND in
+libde265, and repo-fixture-encoded payloads must decode bit-identically
+in libde265.
+
+ABI notes (CLAUDE.md rule: never transcribe a binary interface from
+memory — pin it against the binary):
+
+  * Only the x265_picture PREFIX is dereferenced.  Its layout was
+    pinned by disassembling the in-container x265_picture_init
+    (objdump of libx265.so.199): the function memsets 0x41b0 bytes
+    (sizeof(x265_picture)) then stores param->internalBitDepth at
+    picture offset 0x3c and param->internalCsp at offset 0x48 — which
+    uniquely anchors the published prefix layout
+        pts@0 dts@8 userData@16 planes[3]@24 stride[3]@48
+        bitDepth@60 sliceType@64 poc@68 colorSpace@72
+    The planes/stride offsets are additionally CONFIRMED empirically:
+    a lossless intra encode decoded by libde265 reproduces the input
+    planes byte-exactly (wrong offsets cannot do that).
+  * x265_param is never dereferenced — all configuration goes through
+    x265_param_parse(key, value) string calls (stable C API).
+  * x265_nal is { uint32_t type; uint32_t sizeBytes; uint8_t* payload; }
+    (payload at offset 8 on LP64); confirmed by the decodability of
+    the concatenated payloads in libde265.
+
+TEST SUPPORT ONLY — production operators never import this.  Import is
+gated: when libx265 is absent the tests skip.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+_PIC_SIZE = 0x41B0  # memset span in x265_picture_init (disassembly-pinned)
+_OFF_PLANES = 24
+_OFF_STRIDE = 48
+_OFF_BITDEPTH = 60
+_OFF_SLICETYPE = 64
+_OFF_COLORSPACE = 72
+
+
+class LibX265:
+    def __init__(self) -> None:
+        name = ctypes.util.find_library("x265") or "libx265.so.199"
+        self._lib = lib = ctypes.CDLL(name)
+        p = ctypes.c_void_p
+        lib.x265_param_alloc.restype = p
+        lib.x265_param_alloc.argtypes = []
+        lib.x265_param_free.restype = None
+        lib.x265_param_free.argtypes = [p]
+        lib.x265_param_default.restype = None
+        lib.x265_param_default.argtypes = [p]
+        lib.x265_param_default_preset.restype = ctypes.c_int
+        lib.x265_param_default_preset.argtypes = [p, ctypes.c_char_p, ctypes.c_char_p]
+        lib.x265_param_parse.restype = ctypes.c_int
+        lib.x265_param_parse.argtypes = [p, ctypes.c_char_p, ctypes.c_char_p]
+        lib.x265_encoder_open_199.restype = p
+        lib.x265_encoder_open_199.argtypes = [p]
+        lib.x265_encoder_close.restype = None
+        lib.x265_encoder_close.argtypes = [p]
+        lib.x265_encoder_encode.restype = ctypes.c_int
+        lib.x265_encoder_encode.argtypes = [
+            p,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_uint32),
+            p,
+            p,
+        ]
+        lib.x265_picture_init.restype = None
+        lib.x265_picture_init.argtypes = [p, p]
+
+    def version(self) -> str:
+        return ctypes.c_char_p.in_dll(self._lib, "x265_version_str").value.decode()
+
+    def encode(
+        self,
+        width: int,
+        height: int,
+        frames,
+        options: dict | None = None,
+    ) -> bytes:
+        """Encode I420 frames → one Annex-B HEVC elementary stream.
+
+        frames: list of (y_bytes, cb_bytes, cr_bytes), each plane
+        tightly packed (w*h / (w/2)*(h/2)); 8-bit, width/height even.
+        options: extra x265_param_parse key→value pairs layered over
+        the defaults below (value None → boolean flag form).
+        """
+        if width % 2 or height % 2:
+            raise ValueError("libx265 oracle: even dimensions only")
+        lib = self._lib
+        param = lib.x265_param_alloc()
+        if not param:
+            raise ValueError("libx265: param alloc failed")
+        enc = None
+        try:
+            if lib.x265_param_default_preset(param, b"ultrafast", None) != 0:
+                raise ValueError("libx265: preset failed")
+            base = {
+                "input-res": f"{width}x{height}",
+                "fps": "25",
+                "input-csp": "i420",
+                "frame-threads": "1",
+                "pools": "1",
+                "wpp": "0",
+                "repeat-headers": "1",
+                "info": "0",
+                "annexb": "1",
+                "temporal-layers": "0",
+                "log-level": "none",
+            }
+            base.update(options or {})
+            for key, val in base.items():
+                rc = lib.x265_param_parse(
+                    param,
+                    key.encode(),
+                    None if val is None else str(val).encode(),
+                )
+                if rc != 0:
+                    raise ValueError(f"libx265: param {key}={val} rejected ({rc})")
+            enc = lib.x265_encoder_open_199(param)
+            if not enc:
+                raise ValueError("libx265: encoder open failed")
+
+            ysz, csz = width * height, (width // 2) * (height // 2)
+            out = bytearray()
+            nals = ctypes.c_void_p()
+            n_nal = ctypes.c_uint32()
+
+            def drain() -> None:
+                base_ptr = nals.value
+                for i in range(n_nal.value):
+                    rec = base_ptr + 16 * i  # sizeof(x265_nal) on LP64
+                    size = ctypes.c_uint32.from_address(rec + 4).value
+                    payload = ctypes.c_void_p.from_address(rec + 8).value
+                    out.extend(ctypes.string_at(payload, size))
+
+            # keep every input picture's buffers alive until the frame
+            # is consumed; x265 references the planes asynchronously
+            keep = []
+            for y, cb, cr in frames:
+                if len(y) != ysz or len(cb) != csz or len(cr) != csz:
+                    raise ValueError("libx265 oracle: plane size mismatch")
+                pic = ctypes.create_string_buffer(_PIC_SIZE)
+                lib.x265_picture_init(param, pic)
+                addr = ctypes.addressof(pic)
+                bufs = (
+                    ctypes.create_string_buffer(y, ysz),
+                    ctypes.create_string_buffer(cb, csz),
+                    ctypes.create_string_buffer(cr, csz),
+                )
+                keep.append((pic, bufs))
+                for k, buf in enumerate(bufs):
+                    ctypes.c_void_p.from_address(addr + _OFF_PLANES + 8 * k).value = (
+                        ctypes.addressof(buf)
+                    )
+                strides = (width, width // 2, width // 2)
+                for k, s in enumerate(strides):
+                    ctypes.c_int32.from_address(addr + _OFF_STRIDE + 4 * k).value = s
+                rc = lib.x265_encoder_encode(
+                    enc, ctypes.byref(nals), ctypes.byref(n_nal), pic, None
+                )
+                if rc < 0:
+                    raise ValueError("libx265: encode failed")
+                if rc > 0:
+                    drain()
+            while True:
+                rc = lib.x265_encoder_encode(
+                    enc, ctypes.byref(nals), ctypes.byref(n_nal), None, None
+                )
+                if rc < 0:
+                    raise ValueError("libx265: flush failed")
+                if rc == 0:
+                    break
+                drain()
+            return bytes(out)
+        finally:
+            if enc:
+                lib.x265_encoder_close(enc)
+            lib.x265_param_free(param)
+
+
+def load() -> LibX265 | None:
+    try:
+        return LibX265()
+    except OSError:
+        return None
