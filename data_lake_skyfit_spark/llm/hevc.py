@@ -764,23 +764,149 @@ class _PicDecoder:
 
     # ---------------------------------------------------------- slice loop
     def decode_slice(self, br: _BitReader) -> None:
-        if self.sh["sao_luma"] or self.sh["sao_chroma"]:
-            raise ValueError("hevc: SAO-enabled slices unsupported")
         self.cab = _Cabac(br, self.sh["qp"])
         ctb = 1 << self.log2_ctb
         n_w = (self.w + ctb - 1) >> self.log2_ctb
         n_h = (self.h + ctb - 1) >> self.log2_ctb
+        self.n_ctb_w = n_w
+        self.sao_params: dict[tuple[int, int], list] = {}
         total = n_w * n_h
         for addr in range(total):
-            x0 = (addr % n_w) << self.log2_ctb
-            y0 = (addr // n_w) << self.log2_ctb
-            self._cqt(x0, y0, self.log2_ctb, 0)
+            rx = addr % n_w
+            ry = addr // n_w
+            if self.sh["sao_luma"] or self.sh["sao_chroma"]:
+                self._sao_syntax(rx, ry)
+            self._cqt(rx << self.log2_ctb, ry << self.log2_ctb,
+                      self.log2_ctb, 0)
             end = self.cab.terminate()
             if addr == total - 1:
                 if end != 1:
                     raise ValueError("hevc: missing end_of_slice flag")
             elif end:
                 raise ValueError("hevc: premature end_of_slice flag")
+
+    # ---------------------------------------------------------------- SAO
+    def _sao_syntax(self, rx: int, ry: int) -> None:
+        cab = self.cab
+        if rx > 0 and cab.dec(_CTX_OFF["sao_merge"]):
+            self.sao_params[(rx, ry)] = self.sao_params[(rx - 1, ry)]
+            return
+        if ry > 0 and cab.dec(_CTX_OFF["sao_merge"]):
+            self.sao_params[(rx, ry)] = self.sao_params[(rx, ry - 1)]
+            return
+        params = []  # per component: (type, offsets[5], band_pos, eo_class)
+        type_chroma = eo_chroma = 0
+        for c_idx in range(3):
+            if c_idx == 0 and not self.sh["sao_luma"]:
+                params.append((0, None, 0, 0))
+                continue
+            if c_idx > 0 and not self.sh["sao_chroma"]:
+                params.append((0, None, 0, 0))
+                continue
+            if c_idx == 0 or c_idx == 1:
+                # sao_type_idx: TR cMax 2 — one ctx bin, then one bypass
+                if cab.dec(_CTX_OFF["sao_type"]):
+                    t = 2 if cab.bypass() else 1
+                else:
+                    t = 0
+                if c_idx == 1:
+                    type_chroma = t
+            else:
+                t = type_chroma
+            if t == 0:
+                params.append((0, None, 0, 0))
+                continue
+            offs_abs = []
+            for _ in range(4):
+                v = 0
+                while v < 7 and cab.bypass():
+                    v += 1
+                offs_abs.append(v)
+            band_pos = eo_class = 0
+            vals = [0, 0, 0, 0, 0]
+            if t == 1:  # band offset
+                signs = [1] * 4
+                for i in range(4):
+                    if offs_abs[i] and cab.bypass():
+                        signs[i] = -1
+                band_pos = cab.bypass_bits(5)
+                for i in range(4):
+                    vals[i + 1] = offs_abs[i] * signs[i]
+            else:  # edge offset
+                if c_idx == 0:
+                    eo_class = cab.bypass_bits(2)
+                elif c_idx == 1:
+                    eo_class = eo_chroma = cab.bypass_bits(2)
+                else:
+                    eo_class = eo_chroma
+                vals[1] = offs_abs[0]
+                vals[2] = offs_abs[1]
+                vals[3] = -offs_abs[2]
+                vals[4] = -offs_abs[3]
+            params.append((t, vals, band_pos, eo_class))
+        self.sao_params[(rx, ry)] = params
+
+    _EO_NEIGHBOURS = (((-1, 0), (1, 0)), ((0, -1), (0, 1)),
+                      ((-1, -1), (1, 1)), ((1, -1), (-1, 1)))
+
+    def apply_sao(self) -> None:
+        """§8.7.3 on the deblocked picture; lossless (transquant-bypass)
+        samples stay unmodified."""
+        if not self.sao_params:
+            return
+        snaps = (self.y.copy(), self.cb.copy(), self.cr.copy())
+        planes = (self.y, self.cb, self.cr)
+        ctb = 1 << self.log2_ctb
+        for (rx, ry), params in self.sao_params.items():
+            for c_idx in range(3):
+                t, vals, band_pos, eo_class = params[c_idx]
+                if t == 0:
+                    continue
+                shift = 0 if c_idx == 0 else 1
+                src = snaps[c_idx]
+                dst = planes[c_idx]
+                ph, pw = src.shape
+                x0 = (rx * ctb) >> shift
+                y0 = (ry * ctb) >> shift
+                x1 = min(x0 + (ctb >> shift), pw)
+                y1 = min(y0 + (ctb >> shift), ph)
+                region = src[y0:y1, x0:x1].astype(np.int64)
+                if t == 1:
+                    lut = np.zeros(32, np.int64)
+                    for k in range(4):
+                        lut[(band_pos + k) & 31] = vals[k + 1]
+                    out = np.clip(region + lut[region >> 3], 0, 255)
+                else:
+                    (dx0, dy0), (dx1, dy1) = self._EO_NEIGHBOURS[eo_class]
+                    # valid window: both neighbours inside the picture
+                    vx0 = max(x0, -min(dx0, dx1, 0))
+                    vy0 = max(y0, -min(dy0, dy1, 0))
+                    vx1 = min(x1, pw - max(dx0, dx1, 0))
+                    vy1 = min(y1, ph - max(dy0, dy1, 0))
+                    out = region.copy()
+                    if vx1 > vx0 and vy1 > vy0:
+                        cen = src[vy0:vy1, vx0:vx1].astype(np.int64)
+                        n0 = src[vy0 + dy0 : vy1 + dy0,
+                                 vx0 + dx0 : vx1 + dx0].astype(np.int64)
+                        n1 = src[vy0 + dy1 : vy1 + dy1,
+                                 vx0 + dx1 : vx1 + dx1].astype(np.int64)
+                        edge = 2 + np.sign(cen - n0) + np.sign(cen - n1)
+                        edge = np.where(edge == 2, 0,
+                                        np.where(edge < 2, edge + 1, edge))
+                        lut = np.array(vals, np.int64)
+                        out[vy0 - y0 : vy1 - y0, vx0 - x0 : vx1 - x0] = np.clip(
+                            cen + lut[edge], 0, 255)
+                if self.pps["tq_bypass_enabled"]:
+                    byp = self.bypass_grid[
+                        (y0 << shift) >> 2 : ((y1 << shift) + 3) >> 2 : 1,
+                        (x0 << shift) >> 2 : ((x1 << shift) + 3) >> 2 : 1,
+                    ]
+                    # expand bypass grid (4x4 luma cells) to sample mask
+                    rep = 4 >> shift
+                    mask = np.kron(byp, np.ones((rep, rep), bool))
+                    mask = mask[: y1 - y0, : x1 - x0]
+                    out = np.where(mask, region, out)
+                dst[y0:y1, x0:x1] = out.astype(np.uint8)
 
     # ------------------------------------------------------------ quadtree
     def _qp_pred(self, x_qg: int, y_qg: int) -> int:
@@ -1421,6 +1547,7 @@ def _decode_picture(sps: dict, sh: dict, br: _BitReader) -> tuple:
     dec.decode_slice(br)
     if not sh["deblock_disabled"]:
         _Deblocker(dec).run()
+    dec.apply_sao()
     cl, cr_, ct, cb_ = sps["crop"]
     w = sps["w"] - 2 * (cl + cr_)
     h = sps["h"] - 2 * (ct + cb_)

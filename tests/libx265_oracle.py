@@ -99,8 +99,10 @@ class LibX265:
         if not param:
             raise ValueError("libx265: param alloc failed")
         enc = None
+        options = dict(options or {})
+        preset = options.pop("preset", "ultrafast")
         try:
-            if lib.x265_param_default_preset(param, b"ultrafast", None) != 0:
+            if lib.x265_param_default_preset(param, preset.encode(), None) != 0:
                 raise ValueError("libx265: preset failed")
             base = {
                 "input-res": f"{width}x{height}",
