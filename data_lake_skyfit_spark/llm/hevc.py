@@ -1608,3 +1608,337 @@ def _active_sps(sps_map: dict, rbsp: bytes) -> dict:
 def decode_hevc_iframe(data: bytes) -> tuple:
     """First IRAP picture of the stream → (w, h, y, cb, cr)."""
     return decode_hevc_intra_stream(data, max_frames=1)[0]
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoder — lossless (transquant-bypass) IDR frames with one DC-mode
+# 16x16 CU per CTB.  Pure Python so graded fixtures can be generated on any
+# executor; the emitted wire is validated two ways in tests: this repo's
+# decoder reproduces the input exactly, and libde265 decodes the SAME bytes
+# bit-identically (the cross-pin that arbitrates the convention).
+
+from .h264 import _BitWriter, _add_emulation  # noqa: E402
+from .h264_cabac import _CabacEnc  # noqa: E402
+
+_FIXTURE_QP = 26  # drives only the CABAC context init (bypass CUs skip quant)
+
+
+def _hevc_nal(nal_type: int, rbsp: bytes) -> bytes:
+    return (b"\x00\x00\x00\x01"
+            + bytes([nal_type << 1, 1])
+            + _add_emulation(rbsp))
+
+
+def _fixture_sps(w: int, h: int) -> bytes:
+    bw = _BitWriter()
+    bw.u(4, 0); bw.u(3, 0); bw.u(1, 1)
+    # profile_tier_level: Main profile, level 4.0
+    bw.u(2, 0); bw.u(1, 0); bw.u(5, 1)
+    bw.u(32, 0b0110 << 28)          # compat: profiles 1 + 2
+    bw.u(1, 1); bw.u(1, 0); bw.u(1, 0); bw.u(1, 1)
+    bw.u(32, 0); bw.u(12, 0)        # 44 reserved bits
+    bw.u(8, 120)                    # general_level_idc
+    bw.ue(0); bw.ue(1)              # sps_id, chroma_format 4:2:0
+    bw.ue(w); bw.ue(h); bw.u(1, 0)  # no conformance window
+    bw.ue(0); bw.ue(0)              # 8-bit
+    bw.ue(4)                        # log2_max_poc 8
+    bw.u(1, 1); bw.ue(0); bw.ue(0); bw.ue(0)  # ordering info
+    bw.ue(1)                        # log2_min_cb 4 (16)
+    bw.ue(0)                        # CTB == min CB == 16
+    bw.ue(0)                        # log2_min_tb 2
+    bw.ue(2)                        # log2_max_tb 4 (16)
+    bw.ue(0); bw.ue(0)              # transform hierarchy depths
+    bw.u(1, 0); bw.u(1, 0); bw.u(1, 0); bw.u(1, 0)  # scaling/amp/sao/pcm
+    bw.ue(0)                        # num_short_term_ref_pic_sets
+    bw.u(1, 0); bw.u(1, 0); bw.u(1, 0)  # long_term, tmvp, strong_smoothing
+    bw.u(1, 0); bw.u(1, 0)          # vui, sps_extension
+    bw.rbsp_trailing()
+    return bw.done()
+
+
+def _fixture_pps() -> bytes:
+    bw = _BitWriter()
+    bw.ue(0); bw.ue(0)
+    bw.u(1, 0); bw.u(1, 0); bw.u(3, 0)
+    bw.u(1, 0)                      # sign_data_hiding off
+    bw.u(1, 0)                      # cabac_init_present
+    bw.ue(0); bw.ue(0)
+    bw.se(_FIXTURE_QP - 26)         # init_qp
+    bw.u(1, 0)                      # constrained_intra_pred
+    bw.u(1, 0); bw.u(1, 0)          # transform_skip, cu_qp_delta
+    bw.se(0); bw.se(0)              # cb/cr qp offsets
+    bw.u(1, 0)                      # slice chroma qp offsets
+    bw.u(1, 0); bw.u(1, 0)          # weighted pred/bipred
+    bw.u(1, 1)                      # transquant_bypass_enabled
+    bw.u(1, 0); bw.u(1, 0)          # tiles, entropy sync
+    bw.u(1, 1)                      # loop_filter_across_slices
+    bw.u(1, 1)                      # deblocking_filter_control_present
+    bw.u(1, 0)                      # override_enabled
+    bw.u(1, 1)                      # pps_deblocking_filter_DISABLED
+    bw.u(1, 0)                      # pps scaling list
+    bw.u(1, 0); bw.ue(0); bw.u(1, 0); bw.u(1, 0)
+    bw.rbsp_trailing()
+    return bw.done()
+
+
+def _enc_last_component(enc, val: int, base: int, ctx_off: int,
+                        ctx_shift: int, c_max: int) -> list[int]:
+    """ctx-coded prefix now; returns the deferred bypass suffix bits."""
+    if val <= 3:
+        prefix = val
+    else:
+        prefix = 3
+        while True:
+            prefix += 1
+            nb = (prefix >> 1) - 1
+            lo = (2 + (prefix & 1)) << nb
+            if lo <= val < lo + (1 << nb):
+                break
+    for k in range(prefix):
+        enc.enc(base + ctx_off + (k >> ctx_shift), 1)
+    if prefix < c_max:
+        enc.enc(base + ctx_off + (prefix >> ctx_shift), 0)
+    if prefix <= 3:
+        return []
+    nb = (prefix >> 1) - 1
+    lo = (2 + (prefix & 1)) << nb
+    return [(val - lo) >> (nb - 1 - i) & 1 for i in range(nb)]
+
+
+def _enc_remaining(enc, rem: int, rice: int) -> None:
+    if (rem >> rice) < 4:
+        p = rem >> rice
+        for _ in range(p):
+            enc.bypass_enc(1)
+        enc.bypass_enc(0)
+        for i in range(rice - 1, -1, -1):
+            enc.bypass_enc((rem >> i) & 1)
+        return
+    e = 1
+    while True:
+        base = ((1 << e) + 2) << rice
+        if base <= rem < base + (1 << (e + rice)):
+            break
+        e += 1
+        if e > 24:
+            raise ValueError("hevc: residual magnitude out of range")
+    for _ in range(3 + e):
+        enc.bypass_enc(1)
+    enc.bypass_enc(0)
+    suffix = rem - base
+    for i in range(e + rice - 1, -1, -1):
+        enc.bypass_enc((suffix >> i) & 1)
+
+
+def _residual_encode(enc, res: np.ndarray, log2: int, c_idx: int) -> None:
+    """Mirror of _PicDecoder._residual for diagonal-scan blocks."""
+    n = 1 << log2
+    scan4 = _scan_order(2, 0)
+    sb_scan = _scan_order(log2 - 2, 0)
+    n_sb_side = 1 << (log2 - 2)
+    # locate last significant coefficient in scan order
+    last_sb = last_pos = -1
+    for i in range(len(sb_scan) - 1, -1, -1):
+        xs, ys = sb_scan[i]
+        for nn in range(15, -1, -1):
+            xp, yp = scan4[nn]
+            if res[(ys << 2) + yp, (xs << 2) + xp]:
+                last_sb, last_pos = i, nn
+                break
+        if last_sb >= 0:
+            break
+    if last_sb < 0:
+        raise ValueError("hevc: residual block with no coefficients")
+    xs, ys = sb_scan[last_sb]
+    xp, yp = scan4[last_pos]
+    last_x = (xs << 2) + xp
+    last_y = (ys << 2) + yp
+    if c_idx == 0:
+        ctx_off = 3 * (log2 - 2) + ((log2 - 1) >> 2)
+        ctx_shift = (log2 + 1) >> 2
+    else:
+        ctx_off = 15
+        ctx_shift = log2 - 2
+    c_max = (log2 << 1) - 1
+    sx = _enc_last_component(enc, last_x, _CTX_OFF["last_x"], ctx_off,
+                             ctx_shift, c_max)
+    sy = _enc_last_component(enc, last_y, _CTX_OFF["last_y"], ctx_off,
+                             ctx_shift, c_max)
+    for b in sx + sy:
+        enc.bypass_enc(b)
+    csbf = np.zeros((n_sb_side, n_sb_side), np.int8)
+    sb_nz = {}
+    for i in range(last_sb + 1):
+        xs, ys = sb_scan[i]
+        nz = any(res[(ys << 2) + p[1], (xs << 2) + p[0]] for p in scan4)
+        sb_nz[i] = nz
+        csbf[ys, xs] = 1 if nz else 0
+    sig_chroma_off = 27 if c_idx else 0
+    c1 = 1
+    for i in range(last_sb, -1, -1):
+        xs, ys = sb_scan[i]
+        infer_dc = 0
+        if i != last_sb and i != 0:
+            right = int(csbf[ys, xs + 1]) if xs + 1 < n_sb_side else 0
+            below = int(csbf[ys + 1, xs]) if ys + 1 < n_sb_side else 0
+            inc = min(right + below, 1) + (2 if c_idx else 0)
+            enc.enc(_CTX_OFF["csbf"] + inc, int(csbf[ys, xs]))
+            infer_dc = 1
+        if not csbf[ys, xs]:
+            continue
+        right_sb = int(csbf[ys, xs + 1]) if xs + 1 < n_sb_side else 0
+        below_sb = int(csbf[ys + 1, xs]) if ys + 1 < n_sb_side else 0
+        prev_csbf = right_sb + 2 * below_sb
+        start_n = last_pos - 1 if i == last_sb else 15
+        sig = [0] * 16
+        if i == last_sb:
+            sig[last_pos] = 1
+        any_sig = i == last_sb
+        for nn in range(start_n, -1, -1):
+            xp, yp = scan4[nn]
+            bit = 1 if res[(ys << 2) + yp, (xs << 2) + xp] else 0
+            sig[nn] = bit
+            if nn == 0 and infer_dc and not any_sig:
+                if not bit:
+                    raise AssertionError("hevc: csbf set but sub-block empty")
+                break  # DC significance inferred, not coded
+            if log2 == 2:
+                sctx = _SIG_CTX_MAP_4x4[(yp << 2) + xp]
+            elif (xs << 2) + xp == 0 and (ys << 2) + yp == 0:
+                sctx = 0
+            else:
+                if prev_csbf == 0:
+                    s = 2 if xp + yp == 0 else (1 if xp + yp < 3 else 0)
+                elif prev_csbf == 1:
+                    s = 2 if yp == 0 else (1 if yp == 1 else 0)
+                elif prev_csbf == 2:
+                    s = 2 if xp == 0 else (1 if xp == 1 else 0)
+                else:
+                    s = 2
+                if c_idx == 0:
+                    if i > 0:
+                        s += 3
+                    s += (9 if True else 15) if log2 == 3 else 21
+                else:
+                    s += 9 if log2 == 3 else 12
+                sctx = s
+            enc.enc(_CTX_OFF["sig"] + sig_chroma_off + sctx, bit)
+            if bit:
+                any_sig = True
+                infer_dc = 0
+        sig_pos = [nn for nn in range(15, -1, -1) if sig[nn]]
+        levels = {nn: abs(int(res[(ys << 2) + scan4[nn][1],
+                                  (xs << 2) + scan4[nn][0]]))
+                  for nn in sig_pos}
+        signs = {nn: 1 if res[(ys << 2) + scan4[nn][1],
+                              (xs << 2) + scan4[nn][0]] < 0 else 0
+                 for nn in sig_pos}
+        ctx_set = (2 if (i > 0 and c_idx == 0) else 0) + (1 if c1 == 0 else 0)
+        c1 = 1
+        gt1: dict[int, int] = {}
+        for idx, nn in enumerate(sig_pos[:8]):
+            bit = 1 if levels[nn] > 1 else 0
+            enc.enc(_CTX_OFF["gt1"] + (16 if c_idx else 0)
+                    + ctx_set * 4 + c1, bit)
+            gt1[nn] = bit
+            if bit:
+                c1 = 0
+            elif 0 < c1 < 3:
+                c1 += 1
+        gt2_n = next((nn for nn in sig_pos[:8] if gt1.get(nn)), None)
+        gt2 = 0
+        if gt2_n is not None:
+            gt2 = 1 if levels[gt2_n] > 2 else 0
+            enc.enc(_CTX_OFF["gt2"] + (4 if c_idx else 0) + ctx_set, gt2)
+        for nn in sig_pos:
+            enc.bypass_enc(signs[nn])
+        rice = 0
+        for idx, nn in enumerate(sig_pos):
+            base = 1 + (gt1.get(nn, 0) if idx < 8 else 0) + (gt2 if nn == gt2_n else 0)
+            present = (idx >= 8) or (gt1.get(nn, 0) == 1
+                                     and (nn != gt2_n or gt2 == 1))
+            if present:
+                _enc_remaining(enc, levels[nn] - base, rice)
+                if levels[nn] > 3 * (1 << rice):
+                    rice = min(rice + 1, 4)
+            elif levels[nn] != base:
+                raise AssertionError("hevc: level not representable")
+
+
+def encode_hevc_iframe_bypass(width: int, height: int, y: bytes,
+                              cb: bytes, cr: bytes) -> bytes:
+    """Lossless intra Annex-B stream: SPS + PPS + one IDR picture of
+    DC-mode transquant-bypass 16x16 CUs (deblocking disabled, SAO off).
+    Decoding reproduces the input planes EXACTLY — the graded fixture
+    contract."""
+    if width % 16 or height % 16 or not width or not height:
+        raise ValueError("hevc fixture: dimensions must be multiples of 16")
+    if width * height > _MAX_HEVC_PIXELS:
+        raise ValueError("hevc fixture: implausible dimensions")
+    ysz, csz = width * height, (width // 2) * (height // 2)
+    if len(y) != ysz or len(cb) != csz or len(cr) != csz:
+        raise ValueError("hevc fixture: plane size mismatch")
+    sps = _parse_sps(_fixture_sps(width, height))
+    pps = _parse_pps(_fixture_pps())
+    sh = {"pps": pps, "qp": _FIXTURE_QP, "sao_luma": 0, "sao_chroma": 0,
+          "cb_qp_offset": 0, "cr_qp_offset": 0, "deblock_disabled": 1,
+          "beta_offset": 0, "tc_offset": 0}
+    mirror = _PicDecoder(sps, sh)  # supplies bit-exact DC predictions
+    ty = np.frombuffer(y, np.uint8).reshape(height, width)
+    tcb = np.frombuffer(cb, np.uint8).reshape(height // 2, width // 2)
+    tcr = np.frombuffer(cr, np.uint8).reshape(height // 2, width // 2)
+
+    bw = _BitWriter()
+    bw.u(1, 1)                      # first_slice_segment_in_pic
+    bw.u(1, 0)                      # no_output_of_prior_pics
+    bw.ue(0)                        # pps id
+    bw.ue(2)                        # slice_type I
+    bw.se(0)                        # slice_qp_delta
+    bw.u(1, 1)
+    bw.align_zero()                 # byte_alignment
+    enc = _CabacEnc(bw, _FIXTURE_QP)
+    enc.state = _ctx_states(_FIXTURE_QP)
+
+    n_w = width // 16
+    n_h = height // 16
+    for addr in range(n_w * n_h):
+        x0 = (addr % n_w) * 16
+        y0 = (addr // n_w) * 16
+        enc.enc(_CTX_OFF["tq_bypass"], 1)
+        enc.enc(_CTX_OFF["part_mode"], 1)      # PART_2Nx2N
+        enc.enc(_CTX_OFF["prev_intra"], 1)     # DC is always MPM idx 1 here
+        enc.bypass_enc(1)
+        enc.bypass_enc(0)
+        enc.enc(_CTX_OFF["chroma_pred"], 0)    # derived (DC)
+        pred_y = mirror._predict(0, x0, y0, 16, 1)
+        res_y = ty[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64) - pred_y
+        xc, yc = x0 // 2, y0 // 2
+        pred_cb = mirror._predict(1, xc, yc, 8, 1)
+        res_cb = tcb[yc : yc + 8, xc : xc + 8].astype(np.int64) - pred_cb
+        pred_cr = mirror._predict(2, xc, yc, 8, 1)
+        res_cr = tcr[yc : yc + 8, xc : xc + 8].astype(np.int64) - pred_cr
+        cbf_y = 1 if res_y.any() else 0
+        cbf_cb = 1 if res_cb.any() else 0
+        cbf_cr = 1 if res_cr.any() else 0
+        enc.enc(_CTX_OFF["cbf_chroma"], cbf_cb)
+        enc.enc(_CTX_OFF["cbf_chroma"], cbf_cr)
+        enc.enc(_CTX_OFF["cbf_luma"] + 1, cbf_y)
+        if cbf_y:
+            _residual_encode(enc, res_y, 4, 0)
+        if cbf_cb:
+            _residual_encode(enc, res_cb, 3, 1)
+        if cbf_cr:
+            _residual_encode(enc, res_cr, 3, 2)
+        # mirror reconstruction so later DC predictions see real samples
+        mirror.y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+            pred_y + res_y, 0, 255).astype(np.uint8)
+        mirror.cb[yc : yc + 8, xc : xc + 8] = np.clip(
+            pred_cb + res_cb, 0, 255).astype(np.uint8)
+        mirror.cr[yc : yc + 8, xc : xc + 8] = np.clip(
+            pred_cr + res_cr, 0, 255).astype(np.uint8)
+        mirror.avail[y0 >> 2 : (y0 + 16) >> 2, x0 >> 2 : (x0 + 16) >> 2] = True
+        enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
+    bw.align_zero()
+    return (_hevc_nal(33, _fixture_sps(width, height))
+            + _hevc_nal(34, _fixture_pps())
+            + _hevc_nal(19, bw.done()))
