@@ -690,7 +690,11 @@ def _intra_predict(mode: int, size: int, left: np.ndarray, above: np.ndarray,
             inv = _INV_ANGLES[angle]
             last = (n * angle) >> 5
             for xx in range(-1, last - 1, -1):
-                ref[base + xx] = left[((xx * inv + 128) >> 8) - 1] if ((xx * inv + 128) >> 8) >= 1 else corner
+                # the outermost extension element can project one past the
+                # gathered side range; it is never read — clamp (HM keeps
+                # allocation margin for the same reason)
+                k = min((xx * inv + 128) >> 8, 2 * n)
+                ref[base + xx] = left[k - 1] if k >= 1 else corner
         for y in range(n):
             idx = ((y + 1) * angle) >> 5
             fact = ((y + 1) * angle) & 31
@@ -712,7 +716,8 @@ def _intra_predict(mode: int, size: int, left: np.ndarray, above: np.ndarray,
             inv = _INV_ANGLES[angle]
             last = (n * angle) >> 5
             for xx in range(-1, last - 1, -1):
-                ref[base + xx] = above[((xx * inv + 128) >> 8) - 1] if ((xx * inv + 128) >> 8) >= 1 else corner
+                k = min((xx * inv + 128) >> 8, 2 * n)  # see vertical branch
+                ref[base + xx] = above[k - 1] if k >= 1 else corner
         for x in range(n):
             idx = ((x + 1) * angle) >> 5
             fact = ((x + 1) * angle) & 31
