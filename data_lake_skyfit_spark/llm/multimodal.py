@@ -74,6 +74,11 @@ from .h264 import (
     h264_flat_expected,
     h264_steps_expected,
 )
+from .hevc import (
+    _parse_sps as _hevc_parse_sps,
+    decode_hevc_iframe,
+    encode_hevc_iframe_bypass,
+)
 from .vp8 import decode_vp8_keyframe, encode_webp_vp8_flat, vp8_flat_expected
 
 __all__ = [
@@ -4369,6 +4374,89 @@ def _avc1_sample_entry(sps_nals: list[bytes], pps_nals: list[bytes]) -> bytes:
     return _mp4_box(b"avc1", body)
 
 
+def _hvc1_prepare(frames: list[bytes]):
+    """Annex-B HEVC access units → (vps_nals, sps_nals, pps_nals,
+    hvcc_samples): parameter-set NALs are deduplicated out of the
+    samples (hvc1 stores them only in hvcC), the remaining NALs become
+    4-byte length-prefixed samples.  Intra-only envelope: every sample
+    is an IRAP picture, so no stss is needed (absent = all-sync)."""
+    vps: list[bytes] = []
+    sps: list[bytes] = []
+    pps: list[bytes] = []
+    samples = []
+    for au in frames:
+        vcl = []
+        for nal in _h264_split_nals(au):  # same Annex-B framing walk
+            ntype = (nal[0] >> 1) & 63
+            if ntype == 32:
+                if nal not in vps:
+                    vps.append(nal)
+            elif ntype == 33:
+                if nal not in sps:
+                    sps.append(nal)
+            elif ntype == 34:
+                if nal not in pps:
+                    pps.append(nal)
+            else:
+                vcl.append(nal)
+        if not vcl:
+            raise ValueError("mp4: hvc1 sample without VCL NALs")
+        samples.append(b"".join(struct.pack(">I", len(n)) + n for n in vcl))
+    if not sps or not pps:
+        raise ValueError("mp4: hvc1 needs in-band SPS and PPS to hoist")
+    return vps, sps, pps, samples
+
+
+def _hvc1_sample_entry(vps_nals: list[bytes], sps_nals: list[bytes],
+                       pps_nals: list[bytes]) -> bytes:
+    """hvc1 VisualSampleEntry + HEVCDecoderConfigurationRecord
+    (ISO 14496-15 §8.3.3: PTL fields copied from the SPS bytes,
+    lengthSizeMinusOne=3, parameter sets in per-type NAL arrays)."""
+    rbsp = _h264_strip_emulation(sps_nals[0][2:])
+    sps = _hevc_parse_sps(rbsp)
+    cl, cr, ct, cb = sps["crop"]
+    width = sps["w"] - 2 * (cl + cr)
+    height = sps["h"] - 2 * (ct + cb)
+    # profile_tier_level sits byte-aligned at rbsp[1:13] (one byte of
+    # sps_video_parameter_set_id/max_sub_layers/nesting precedes it)
+    ptl = rbsp[1:13]
+    hvcc = (
+        bytes([1])                      # configurationVersion
+        + ptl[0:1]                      # profile_space/tier/profile_idc
+        + ptl[1:5]                      # general_profile_compatibility
+        + ptl[5:11]                     # general_constraint_indicator
+        + ptl[11:12]                    # general_level_idc
+        + struct.pack(">H", 0xF000)     # min_spatial_segmentation_idc
+        + bytes([0xFC])                 # parallelismType
+        + bytes([0xFC | 1])             # chromaFormat 4:2:0
+        + bytes([0xF8])                 # bitDepthLumaMinus8
+        + bytes([0xF8])                 # bitDepthChromaMinus8
+        + struct.pack(">H", 0)          # avgFrameRate
+        + bytes([(0 << 6) | (1 << 3) | (1 << 2) | 3])  # layers/nested/len-1
+    )
+    arrays = [(32, vps_nals), (33, sps_nals), (34, pps_nals)]
+    arrays = [(t, nals) for t, nals in arrays if nals]
+    hvcc += bytes([len(arrays)])
+    for ntype, nals in arrays:
+        hvcc += bytes([0x80 | ntype]) + struct.pack(">H", len(nals))
+        for n in nals:
+            hvcc += struct.pack(">H", len(n)) + n
+    body = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">H", 24)
+        + struct.pack(">h", -1)
+        + _mp4_box(b"hvcC", hvcc)
+    )
+    return _mp4_box(b"hvc1", body)
+
+
 def encode_mp4_frames(
     frames: list[bytes],
     *,
@@ -4403,6 +4491,11 @@ def encode_mp4_frames(
         # IDR samples feed the stss sync table (r7c)
         sps_nals, pps_nals, frames, sync_flags = _avc1_prepare(frames)
         avc_entry = _avc1_sample_entry(sps_nals, pps_nals)
+    elif codec == "hvc1":
+        # spec-conformant hvc1: parameter sets hoist into hvcC, samples
+        # are length-prefixed; intra-only (every sample IRAP ⇒ no stss)
+        vps_nals, sps_nals, pps_nals, frames = _hvc1_prepare(frames)
+        avc_entry = _hvc1_sample_entry(vps_nals, sps_nals, pps_nals)
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     mdat = _mp4_box(b"mdat", b"".join(frames))
     first_sample_off = len(ftyp) + 8
@@ -4745,6 +4838,79 @@ def _mp4_avc_config(data: bytes):
     return None
 
 
+def _mp4_hevc_config(data: bytes):
+    """(param_set_nals, nal_length_size) from the first video trak's
+    hvc1/hev1 sample entry's hvcC record, or None when the track is
+    not HEVC-configured."""
+    moov = _mp4_child(data, 0, len(data), b"moov")
+    if moov is None:
+        return None
+    for fc, tb, te in _mp4_walk(data, *moov):
+        if fc != b"trak":
+            continue
+        mdia = _mp4_child(data, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(data, *mdia, b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _mp4_child(data, *mdia, b"minf")
+        stbl = _mp4_child(data, *minf, b"stbl") if minf else None
+        stsd = _mp4_child(data, *stbl, b"stsd") if stbl else None
+        if stsd is None:
+            return None
+        for efc, eb, ee in _mp4_walk(data, stsd[0] + 8, stsd[1]):
+            if efc not in (b"hvc1", b"hev1"):
+                continue
+            hvcc = _mp4_child(data, eb + 78, ee, b"hvcC")
+            if hvcc is None:
+                return None
+            p, end = hvcc
+            if end - p < 23 or data[p] != 1:
+                raise ValueError("mp4: bad hvcC record")
+            length_size = (data[p + 21] & 3) + 1
+            n_arrays = data[p + 22]
+            p += 23
+            nals = []
+            for _ in range(n_arrays):
+                if p + 3 > end:
+                    raise ValueError("mp4: hvcC array overruns the box")
+                n_nalus = struct.unpack_from(">H", data, p + 1)[0]
+                p += 3
+                for _ in range(n_nalus):
+                    if p + 2 > end:
+                        raise ValueError("mp4: hvcC NAL overruns the box")
+                    (ln,) = struct.unpack_from(">H", data, p)
+                    p += 2
+                    if p + ln > end:
+                        raise ValueError("mp4: hvcC NAL overruns the box")
+                    nals.append(data[p : p + ln])
+                    p += ln
+            return nals, length_size
+        return None
+    return None
+
+
+def _hevc_sample_to_annexb(frame: bytes, cfg) -> bytes:
+    """length-prefixed HEVC sample + hvcC parameter sets → one Annex-B
+    access unit decode_hevc_iframe accepts."""
+    param_nals, length_size = cfg
+    parts = [b"\x00\x00\x00\x01" + n for n in param_nals]
+    i = 0
+    n_vcl = 0
+    while i + length_size <= len(frame):
+        ln = int.from_bytes(frame[i : i + length_size], "big")
+        i += length_size
+        if ln == 0 or i + ln > len(frame):
+            raise ValueError("mp4: bad HEVC NAL length")
+        parts.append(b"\x00\x00\x00\x01" + frame[i : i + ln])
+        n_vcl += 1
+        i += ln
+    if i != len(frame) or n_vcl == 0:
+        raise ValueError("mp4: HEVC sample framing mismatch")
+    return b"".join(parts)
+
+
 def _avcc_to_annexb(frame: bytes, cfg) -> bytes:
     """length-prefixed AVC sample + avcC parameter sets → one Annex-B
     access unit decode_h264_iframe accepts."""
@@ -4782,6 +4948,7 @@ def _mp4_video_pixels(data: bytes, every_ms: int,
     if not timescale:
         raise ValueError("mp4: zero timescale")
     avc_cfg = _mp4_avc_config(data)
+    hevc_cfg = _mp4_hevc_config(data) if avc_cfg is None else None
     sync = _mp4_sync_samples(data, len(samples)) if keyframes_only else None
     out = []
     t = 0
@@ -4798,6 +4965,17 @@ def _mp4_video_pixels(data: bytes, every_ms: int,
             if emit:
                 w, h, ch, raw = _jpeg_pixels(frame)
                 out.append((i, ts_ms, w, h, ch, sum(raw), sum(v * v for v in raw)))
+        elif hevc_cfg is not None:
+            # hvcC-configured track: length-prefixed samples, each a
+            # self-contained IRAP picture (the supported HEVC envelope
+            # is intra-only, so sampled frames decode independently)
+            if emit:
+                au = _hevc_sample_to_annexb(frame, hevc_cfg)
+                w, h, yb, ub, vb = decode_hevc_iframe(au)
+                psum = sum(yb) + sum(ub) + sum(vb)
+                psq = (sum(v * v for v in yb) + sum(v * v for v in ub)
+                       + sum(v * v for v in vb))
+                out.append((i, ts_ms, w, h, 3, psum, psq))
         else:
             if avc_cfg is not None:
                 # an avcC record means length-prefixed samples BY SPEC
@@ -7351,6 +7529,59 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
                 )
                 for rid in (int(v) for v in pdf[id_col])
             ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL MP4 whose video track is spec-conformant hvc1 (hvcC
+    parameter sets + 4-byte length-prefixed samples) carrying HEVC
+    IRAP pictures from the pure-Python fixture encoder
+    (llm/hevc.py:encode_hevc_iframe_bypass — transquant-bypass DC-mode
+    CUs, so decode reproduces the synthesized planes EXACTLY and the
+    oracle mirrors the integer closed form).  Per id: nf = 1 + id % 3
+    frames at 500 ms; dims w = 32 + 16·(id % 3), h = 32 + 16·(id % 2);
+    CU k of frame fi carries luma (7·id + 13·k + 29·fi) % 255 plus a
+    checkerboard +1 (per-CU luma sum 256·v + 128), chroma blocks flat
+    (11·id + 5·k + 17·fi) % 256 and (13·id + 3·k + 23·fi) % 256.
+    The wire convention is arbitrated by libde265 in
+    tests/test_hevc_codec.py; the container walk is the same
+    stts/stsc/stsz/stco resolution every MP4 fixture uses."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def frame_planes(rid: int, fi: int, w: int, h: int):
+        import numpy as np
+
+        y = np.zeros((h, w), np.uint8)
+        cb = np.zeros((h // 2, w // 2), np.uint8)
+        cr = np.zeros((h // 2, w // 2), np.uint8)
+        checker = (np.add.outer(np.arange(16), np.arange(16)) & 1).astype(np.uint8)
+        nw = w // 16
+        for k in range(nw * (h // 16)):
+            cy, cx = divmod(k, nw)
+            vy = (7 * rid + 13 * k + 29 * fi) % 255
+            y[cy * 16 : cy * 16 + 16, cx * 16 : cx * 16 + 16] = vy + checker
+            cb[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = (
+                11 * rid + 5 * k + 17 * fi) % 256
+            cr[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = (
+                13 * rid + 3 * k + 23 * fi) % 256
+        return y.tobytes(), cb.tobytes(), cr.tobytes()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for v in pdf[id_col]:
+                rid = int(v)
+                w = 32 + 16 * (rid % 3)
+                h = 32 + 16 * (rid % 2)
+                frames = [
+                    encode_hevc_iframe_bypass(w, h, *frame_planes(rid, fi, w, h))
+                    for fi in range(1 + rid % 3)
+                ]
+                payloads.append(encode_mp4_frames(frames, codec="hvc1"))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(kernel, out_schema)

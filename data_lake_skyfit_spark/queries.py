@@ -251,7 +251,17 @@ _PRIORITY = [
     # transform codec (RFC 6386 bool coder + intra prediction + IWHT/
     # IDCT + loop filter), wire-pinned bit-exactly against the system
     # libwebp in both directions.)
-    "multimodal_decode_webp_lossy",
+    # (multimodal_decode_webp_lossy yielded its slot in r7d to the HEVC
+    # entry: same llm-multimodal family, and the VP8 tier keeps its
+    # libwebp bit-exact cross-pin in pytest while staying
+    # drive-verified. multimodal_decode_hevc grades a NEW capability
+    # class — the tier's first codec with a COMPLETE in-container
+    # reference pipeline (libx265 encodes real streams, libde265
+    # arbitrates every decode bit-exactly) — covering HEVC CABAC with
+    # binary-extracted init tables, the CTU/TU quadtrees, all intra
+    # modes, DST/DCT, deblocking and SAO, muxed as spec-conformant
+    # hvc1 through the same MP4 sample walk.)
+    "multimodal_decode_hevc",
     "multimodal_curation_pipeline",
     # (multimodal_decode_audio yielded its slot in r4e to the VAD tier:
     # same llm-multimodal family and the SAME real WAV decode path runs

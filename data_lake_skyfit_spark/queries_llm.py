@@ -3701,6 +3701,55 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_hevc",
+    """
+    WITH p AS (
+      SELECT doc_id, 1 + doc_id % 3 AS nf,
+             32 + 16 * (doc_id % 3) AS w, 32 + 16 * (doc_id % 2) AS h
+      FROM documents WHERE doc_id < 500
+    ), f AS (
+      SELECT p.*, CAST(x.i AS BIGINT) AS fi
+      FROM p, LATERAL (SELECT UNNEST(range(0, p.nf)) AS i) x
+    ), cu AS (
+      SELECT f.doc_id, f.fi, f.w, f.h, CAST(k.i AS BIGINT) AS k
+      FROM f, LATERAL (
+        SELECT UNNEST(range(0, (f.w // 16) * (f.h // 16))) AS i) k
+    )
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(fi * 500 AS BIGINT) AS ts_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(SUM(256 * ((7 * doc_id + 13 * k + 29 * fi) % 255) + 128
+                  + 64 * ((11 * doc_id + 5 * k + 17 * fi) % 256)
+                  + 64 * ((13 * doc_id + 3 * k + 23 * fi) % 256))
+                AS BIGINT) AS pixel_sum
+    FROM cu
+    GROUP BY doc_id, fi, w, h
+    """,
+    tags=("llm-multimodal",),
+    doc="HEVC / H.265 decode inside MP4 (r7d): synthesize_hevc_mp4_"
+    "payloads muxes spec-conformant hvc1 tracks (hvcC parameter sets "
+    "+ length-prefixed samples) whose IRAP pictures come from the "
+    "pure-Python fixture encoder (transquant-bypass DC-mode CUs — "
+    "decode is lossless, so the oracle mirrors the synthesized "
+    "per-CU closed form exactly: luma 256·v+128 checkerboard, flat "
+    "chroma blocks). The decoder (llm/hevc.py) is the full "
+    "main-profile intra tier — HEVC CABAC with binary-extracted "
+    "context-init tables, CTU quadtree, all 35 intra modes, DST/DCT "
+    "transforms, deblocking + SAO — validated bit-exactly against "
+    "libde265 on libx265-encoded streams across qp/CTU/feature "
+    "sweeps (tests/test_hevc_codec.py), and the fixture wire is "
+    "arbitrated by libde265 too. The graded leg pins the Spark "
+    "plumbing, the hvc1 mux/demux walk and the bypass decode path; "
+    "the reference cross-pins carry the lossy arithmetic.",
+)
+def multimodal_decode_hevc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = multimodal.synthesize_hevc_mp4_payloads(d, id_col="doc_id")
+    return multimodal.decode_video_pixels(media, every_ms=400)
+
+
+@register(
     "multimodal_decode_h264_multiref",
     """
     SELECT doc_id, CAST(fi AS INT) AS frame_idx,
