@@ -1656,7 +1656,18 @@ def _fixture_sps(w: int, h: int) -> bytes:
     bw.u(1, 0); bw.u(1, 0); bw.u(1, 0); bw.u(1, 0)  # scaling/amp/sao/pcm
     bw.ue(0)                        # num_short_term_ref_pic_sets
     bw.u(1, 0); bw.u(1, 0); bw.u(1, 0)  # long_term, tmvp, strong_smoothing
-    bw.u(1, 0); bw.u(1, 0)          # vui, sps_extension
+    # VUI declaring FULL-RANGE video: without it HEIF readers assume
+    # limited range and post-convert the decoded planes (observed with
+    # libheif 1.15 — a limited→full expansion that broke the lossless
+    # contract); samples here are full-range by construction
+    bw.u(1, 1)                      # vui_parameters_present
+    bw.u(1, 0); bw.u(1, 0)          # aspect_ratio, overscan
+    bw.u(1, 1)                      # video_signal_type_present
+    bw.u(3, 5); bw.u(1, 1); bw.u(1, 0)  # format unspec, FULL range
+    bw.u(1, 0); bw.u(1, 0); bw.u(1, 0)  # chroma_loc, neutral, field_seq
+    bw.u(1, 0); bw.u(1, 0); bw.u(1, 0)  # frame_field, disp window, timing
+    bw.u(1, 0)                      # bitstream_restriction
+    bw.u(1, 0)                      # sps_extension
     bw.rbsp_trailing()
     return bw.done()
 

@@ -2659,6 +2659,16 @@ def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
                     return w, h, ch, sum(raw)
                 except (ValueError, struct.error, IndexError):
                     pass  # non-keyframe / corrupt VP8: fake path below
+            if _looks_like_heif(data):
+                # HEIC still images (r7d): HEIF item walk (hvc1 or
+                # Apple-style grid-of-hvc1) + full HEVC intra decode;
+                # pixel_sum over the NATIVE 4:2:0 planes like the
+                # video tiers
+                try:
+                    w, h, ch, raw = _heic_pixels(data)
+                    return w, h, ch, sum(raw)
+                except (ValueError, struct.error, IndexError):
+                    pass  # AV1-coded (avif) / corrupt: fake path below
             _require_codec("PIL")
             d = hashlib.md5(data).digest()
             return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 3, None
@@ -2717,6 +2727,28 @@ def _image_channel_bytes(data: bytes) -> tuple[int, int, int, bytes] | None:
         try:
             # lossy VP8 keyframe (r6): YUV420 planes, chroma replicated
             return _vp8_lossy_channel_bytes(data)
+        except (ValueError, struct.error, IndexError):
+            return None
+    if _looks_like_heif(data):
+        try:
+            # HEIC (r7d): same serving convention as lossy WebP —
+            # interleaved Y,U,V with 4:2:0 chroma pixel-replicated
+            w, h, ch, raw = _heic_pixels(data)
+            ysz = w * h
+            cw, chh = (w + 1) // 2, (h + 1) // 2
+            y = raw[:ysz]
+            cb = raw[ysz : ysz + cw * chh]
+            cr = raw[ysz + cw * chh :]
+            out = bytearray(ysz * 3)
+            for r in range(h):
+                ro = r * w
+                co = (r >> 1) * cw
+                for c in range(w):
+                    o = (ro + c) * 3
+                    out[o] = y[ro + c]
+                    out[o + 1] = cb[co + (c >> 1)]
+                    out[o + 2] = cr[co + (c >> 1)]
+            return w, h, 3, bytes(out)
         except (ValueError, struct.error, IndexError):
             return None
     return None
@@ -4838,6 +4870,32 @@ def _mp4_avc_config(data: bytes):
     return None
 
 
+def _parse_hvcc_record(data: bytes, p: int, end: int):
+    """HEVCDecoderConfigurationRecord payload → (param_set_nals,
+    nal_length_size); bounds-validated before any slicing."""
+    if end - p < 23 or data[p] != 1:
+        raise ValueError("hvcC: bad record")
+    length_size = (data[p + 21] & 3) + 1
+    n_arrays = data[p + 22]
+    p += 23
+    nals = []
+    for _ in range(n_arrays):
+        if p + 3 > end:
+            raise ValueError("hvcC: array overruns the box")
+        n_nalus = struct.unpack_from(">H", data, p + 1)[0]
+        p += 3
+        for _ in range(n_nalus):
+            if p + 2 > end:
+                raise ValueError("hvcC: NAL overruns the box")
+            (ln,) = struct.unpack_from(">H", data, p)
+            p += 2
+            if p + ln > end:
+                raise ValueError("hvcC: NAL overruns the box")
+            nals.append(data[p : p + ln])
+            p += ln
+    return nals, length_size
+
+
 def _mp4_hevc_config(data: bytes):
     """(param_set_nals, nal_length_size) from the first video trak's
     hvc1/hev1 sample entry's hvcC record, or None when the track is
@@ -4865,30 +4923,443 @@ def _mp4_hevc_config(data: bytes):
             hvcc = _mp4_child(data, eb + 78, ee, b"hvcC")
             if hvcc is None:
                 return None
-            p, end = hvcc
-            if end - p < 23 or data[p] != 1:
-                raise ValueError("mp4: bad hvcC record")
-            length_size = (data[p + 21] & 3) + 1
-            n_arrays = data[p + 22]
-            p += 23
-            nals = []
-            for _ in range(n_arrays):
-                if p + 3 > end:
-                    raise ValueError("mp4: hvcC array overruns the box")
-                n_nalus = struct.unpack_from(">H", data, p + 1)[0]
-                p += 3
-                for _ in range(n_nalus):
-                    if p + 2 > end:
-                        raise ValueError("mp4: hvcC NAL overruns the box")
-                    (ln,) = struct.unpack_from(">H", data, p)
-                    p += 2
-                    if p + ln > end:
-                        raise ValueError("mp4: hvcC NAL overruns the box")
-                    nals.append(data[p : p + ln])
-                    p += ln
-            return nals, length_size
+            return _parse_hvcc_record(data, *hvcc)
         return None
     return None
+
+
+def _looks_like_heif(data: bytes) -> bool:
+    if len(data) < 16 or data[4:8] != b"ftyp":
+        return False
+    (size,) = struct.unpack_from(">I", data, 0)
+    if size < 16 or size > len(data):
+        return False
+    brands = {data[8:12]} | {
+        data[i : i + 4] for i in range(16, size, 4)
+    }
+    return bool(brands & {b"heic", b"heix", b"mif1", b"msf1", b"hevc"})
+
+
+class _HeifMeta:
+    """Parsed HEIF meta box (ISO 23008-12): item types, properties,
+    locations, references — enough to resolve hvc1 primaries and
+    grid-of-hvc1 primaries (the Apple HEIC shape)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        meta = _mp4_child(data, 0, len(data), b"meta")
+        if meta is None:
+            raise ValueError("heif: no meta box")
+        mb, me = meta[0] + 4, meta[1]  # meta is a FULL box
+        pitm = _mp4_child(data, mb, me, b"pitm")
+        if pitm is None:
+            raise ValueError("heif: no pitm box")
+        if data[pitm[0]] == 0:
+            self.primary = struct.unpack_from(">H", data, pitm[0] + 4)[0]
+        else:
+            self.primary = struct.unpack_from(">I", data, pitm[0] + 4)[0]
+        self.item_types = self._parse_iinf(mb, me)
+        self.props, self.assoc = self._parse_iprp(mb, me)
+        self.locations = self._parse_iloc(mb, me)
+        self.idat = _mp4_child(data, mb, me, b"idat")
+        self.refs = self._parse_iref(mb, me)
+
+    def _parse_iinf(self, mb: int, me: int) -> dict[int, bytes]:
+        data = self.data
+        iinf = _mp4_child(data, mb, me, b"iinf")
+        if iinf is None:
+            raise ValueError("heif: no iinf box")
+        p = iinf[0] + 4
+        if data[iinf[0]] == 0:
+            n_items = struct.unpack_from(">H", data, p)[0]
+            p += 2
+        else:
+            n_items = struct.unpack_from(">I", data, p)[0]
+            p += 4
+        if n_items > 10000:
+            raise ValueError("heif: implausible item count")
+        item_types: dict[int, bytes] = {}
+        for fc, ib, ie in _mp4_walk(data, p, iinf[1]):
+            if fc != b"infe":
+                continue
+            ver = data[ib]
+            if ver < 2:
+                raise ValueError("heif: infe version unsupported")
+            iid = (struct.unpack_from(">H", data, ib + 4)[0] if ver == 2
+                   else struct.unpack_from(">I", data, ib + 4)[0])
+            off = ib + (8 if ver == 2 else 10)
+            item_types[iid] = data[off : off + 4]
+        return item_types
+
+    def _parse_iprp(self, mb: int, me: int):
+        data = self.data
+        iprp = _mp4_child(data, mb, me, b"iprp")
+        if iprp is None:
+            raise ValueError("heif: no iprp box")
+        ipco = _mp4_child(data, *iprp, b"ipco")
+        ipma = _mp4_child(data, *iprp, b"ipma")
+        if ipco is None or ipma is None:
+            raise ValueError("heif: no ipco/ipma box")
+        props = [(fc, b, e) for fc, b, e in _mp4_walk(data, *ipco)]
+        ver = data[ipma[0]]
+        flags = data[ipma[0] + 3]
+        p = ipma[0] + 4
+        entry_count = struct.unpack_from(">I", data, p)[0]
+        p += 4
+        if entry_count > 10000:
+            raise ValueError("heif: implausible ipma count")
+        assoc: dict[int, list[int]] = {}
+        for _ in range(entry_count):
+            if ver == 0:
+                iid = struct.unpack_from(">H", data, p)[0]
+                p += 2
+            else:
+                iid = struct.unpack_from(">I", data, p)[0]
+                p += 4
+            n_assoc = data[p]
+            p += 1
+            cur = []
+            for _ in range(n_assoc):
+                if flags & 1:
+                    idx = struct.unpack_from(">H", data, p)[0] & 0x7FFF
+                    p += 2
+                else:
+                    idx = data[p] & 0x7F
+                    p += 1
+                cur.append(idx)
+            assoc[iid] = cur
+        return props, assoc
+
+    def _parse_iloc(self, mb: int, me: int):
+        data = self.data
+        iloc = _mp4_child(data, mb, me, b"iloc")
+        if iloc is None:
+            raise ValueError("heif: no iloc box")
+        ver = data[iloc[0]]
+        p = iloc[0] + 4
+        sizes = struct.unpack_from(">H", data, p)[0]
+        p += 2
+        offset_size = (sizes >> 12) & 15
+        length_size = (sizes >> 8) & 15
+        base_offset_size = (sizes >> 4) & 15
+        index_size = sizes & 15 if ver in (1, 2) else 0
+        for s in (offset_size, length_size, base_offset_size, index_size):
+            if s not in (0, 4, 8):
+                raise ValueError("heif: bad iloc field size")
+        if ver < 2:
+            item_count = struct.unpack_from(">H", data, p)[0]
+            p += 2
+        else:
+            item_count = struct.unpack_from(">I", data, p)[0]
+            p += 4
+        if item_count > 10000:
+            raise ValueError("heif: implausible iloc count")
+
+        def read_sized(pos: int, size: int):
+            if size == 0:
+                return 0, pos
+            if size == 4:
+                return struct.unpack_from(">I", data, pos)[0], pos + 4
+            return struct.unpack_from(">Q", data, pos)[0], pos + 8
+
+        locations = {}
+        for _ in range(item_count):
+            if ver < 2:
+                iid = struct.unpack_from(">H", data, p)[0]
+                p += 2
+            else:
+                iid = struct.unpack_from(">I", data, p)[0]
+                p += 4
+            method = 0
+            if ver in (1, 2):
+                method = struct.unpack_from(">H", data, p)[0] & 15
+                p += 2
+            p += 2  # data_reference_index
+            base, p = read_sized(p, base_offset_size)
+            extent_count = struct.unpack_from(">H", data, p)[0]
+            p += 2
+            extents = []
+            for _ in range(extent_count):
+                _, p = read_sized(p, index_size)
+                eo, p = read_sized(p, offset_size)
+                el, p = read_sized(p, length_size)
+                extents.append((eo, el))
+            locations[iid] = (method, base, extents)
+        return locations
+
+    def _parse_iref(self, mb: int, me: int) -> dict[int, list[int]]:
+        """item_id → ordered 'dimg' (derived image) source item ids."""
+        data = self.data
+        iref = _mp4_child(data, mb, me, b"iref")
+        if iref is None:
+            return {}
+        ver = data[iref[0]]
+        refs: dict[int, list[int]] = {}
+        for fc, b, e in _mp4_walk(data, iref[0] + 4, iref[1]):
+            if fc != b"dimg":
+                continue
+            if ver == 0:
+                frm = struct.unpack_from(">H", data, b)[0]
+                cnt = struct.unpack_from(">H", data, b + 2)[0]
+                ids = [struct.unpack_from(">H", data, b + 4 + 2 * i)[0]
+                       for i in range(cnt)]
+            else:
+                frm = struct.unpack_from(">I", data, b)[0]
+                cnt = struct.unpack_from(">H", data, b + 4)[0]
+                ids = [struct.unpack_from(">I", data, b + 6 + 4 * i)[0]
+                       for i in range(cnt)]
+            refs[frm] = ids
+        return refs
+
+    # ------------------------------------------------------------- access
+    def item_data(self, iid: int) -> bytes:
+        loc = self.locations.get(iid)
+        if loc is None:
+            raise ValueError("heif: item has no location")
+        method, base, extents = loc
+        if method == 0:
+            src = self.data
+            src_base = base
+        elif method == 1:
+            if self.idat is None:
+                raise ValueError("heif: idat construction without idat box")
+            src = self.data[self.idat[0] : self.idat[1]]
+            src_base = base
+        else:
+            raise ValueError("heif: unsupported item construction method")
+        chunks = []
+        total = 0
+        for eo, el in extents:
+            lo = src_base + eo
+            if el == 0 or lo + el > len(src):
+                raise ValueError("heif: item extent out of range")
+            total += el
+            if total > _MAX_MEDIA_BYTES:
+                raise ValueError("heif: item data too large")
+            chunks.append(src[lo : lo + el])
+        return b"".join(chunks)
+
+    def item_props(self, iid: int):
+        hvcc_cfg = None
+        ispe = None
+        for idx in self.assoc.get(iid, ()):
+            if not 1 <= idx <= len(self.props):
+                raise ValueError("heif: property index out of range")
+            fc, b, e = self.props[idx - 1]
+            if fc == b"hvcC":
+                hvcc_cfg = _parse_hvcc_record(self.data, b, e)
+            elif fc == b"ispe":
+                ispe = struct.unpack_from(">II", self.data, b + 4)
+        return hvcc_cfg, ispe
+
+    def decode_hvc1_item(self, iid: int):
+        hvcc_cfg, ispe = self.item_props(iid)
+        if hvcc_cfg is None or ispe is None:
+            raise ValueError("heif: hvc1 item lacks hvcC/ispe properties")
+        if ispe[0] * ispe[1] > (1 << 24):
+            raise ValueError("heif: implausible dimensions")
+        au = _hevc_sample_to_annexb(self.item_data(iid), hvcc_cfg)
+        w, h, y, cb, cr = decode_hevc_iframe(au)
+        if (w, h) != tuple(ispe):
+            raise ValueError("heif: ispe/SPS dimension mismatch")
+        return w, h, y, cb, cr
+
+
+def _heic_pixels(data: bytes):
+    """(w, h, 3, y+cb+cr bytes) — native 4:2:0 planes of the primary
+    item: a directly-coded hvc1 item, or a grid of hvc1 tiles (the
+    Apple/libheif layout) composited row-major and cropped to the grid
+    output size.  Pixel stats are over the NATIVE planes, the same
+    convention as the AVC/HEVC video tiers."""
+    import numpy as np
+
+    meta = _HeifMeta(data)
+    ptype = meta.item_types.get(meta.primary)
+    if ptype == b"hvc1":
+        w, h, y, cb, cr = meta.decode_hvc1_item(meta.primary)
+        return w, h, 3, y + cb + cr
+    if ptype != b"grid":
+        raise ValueError("heif: primary item is neither hvc1 nor grid")
+    cfg = meta.item_data(meta.primary)
+    if len(cfg) < 8:
+        raise ValueError("heif: short grid config")
+    if cfg[0] != 0:
+        raise ValueError("heif: grid version unsupported")
+    rows = cfg[2] + 1
+    cols = cfg[3] + 1
+    if cfg[1] & 1:
+        if len(cfg) < 12:
+            raise ValueError("heif: short grid config")
+        out_w, out_h = struct.unpack_from(">II", cfg, 4)
+    else:
+        out_w, out_h = struct.unpack_from(">HH", cfg, 4)
+    if out_w * out_h > (1 << 24) or not out_w or not out_h:
+        raise ValueError("heif: implausible grid dimensions")
+    tiles = meta.refs.get(meta.primary)
+    if not tiles or len(tiles) != rows * cols:
+        raise ValueError("heif: grid tile references missing")
+    tw = th = None
+    ypl = cbpl = crpl = None
+    for i, tid in enumerate(tiles):
+        if meta.item_types.get(tid) != b"hvc1":
+            raise ValueError("heif: non-HEVC grid tile")
+        w, h, y, cb, cr = meta.decode_hvc1_item(tid)
+        if tw is None:
+            tw, th = w, h
+            ypl = np.zeros((rows * th, cols * tw), np.uint8)
+            cbpl = np.zeros((rows * th // 2, cols * tw // 2), np.uint8)
+            crpl = np.zeros_like(cbpl)
+        elif (w, h) != (tw, th):
+            raise ValueError("heif: ragged grid tiles")
+        r, c = divmod(i, cols)
+        ypl[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = np.frombuffer(
+            y, np.uint8).reshape(th, tw)
+        cbpl[r * th // 2 : (r + 1) * th // 2,
+             c * tw // 2 : (c + 1) * tw // 2] = np.frombuffer(
+            cb, np.uint8).reshape(th // 2, tw // 2)
+        crpl[r * th // 2 : (r + 1) * th // 2,
+             c * tw // 2 : (c + 1) * tw // 2] = np.frombuffer(
+            cr, np.uint8).reshape(th // 2, tw // 2)
+    if out_w > ypl.shape[1] or out_h > ypl.shape[0]:
+        raise ValueError("heif: grid output exceeds tile coverage")
+    y = ypl[:out_h, :out_w].tobytes()
+    cb = cbpl[: (out_h + 1) // 2, : (out_w + 1) // 2].tobytes()
+    cr = crpl[: (out_h + 1) // 2, : (out_w + 1) // 2].tobytes()
+    return out_w, out_h, 3, y + cb + cr
+
+
+def encode_heic_grid_fixture(tile_w: int, tile_h: int, rows: int, cols: int,
+                             tiles: list[tuple[bytes, bytes, bytes]]) -> bytes:
+    """Minimal conformant GRID .heic (the Apple layout): hvc1 tile
+    items 2..N+1 referenced by a 'grid' primary item (id 1) whose
+    ImageGrid config lives in idat (construction_method 1).  Tiles are
+    lossless fixture-encoder pictures, so the composited decode is
+    exact."""
+    if len(tiles) != rows * cols:
+        raise ValueError("heif fixture: tile count mismatch")
+    streams = []
+    for y, cb, cr in tiles:
+        streams.append(encode_hevc_iframe_bypass(tile_w, tile_h, y, cb, cr))
+    samples = []
+    sps_nals = pps_nals = None
+    for stream in streams:
+        vcl = []
+        sps, pps = [], []
+        for nal in _h264_split_nals(stream):
+            t = (nal[0] >> 1) & 63
+            if t == 33:
+                sps.append(nal)
+            elif t == 34:
+                pps.append(nal)
+            elif t != 32:
+                vcl.append(nal)
+        samples.append(b"".join(struct.pack(">I", len(n)) + n for n in vcl))
+        sps_nals, pps_nals = sps, pps  # identical across tiles (same dims)
+    entry = _hvc1_sample_entry([], sps_nals, pps_nals)
+    hb, he = _mp4_child(entry, 8 + 78, len(entry), b"hvcC")
+    hvcc_box = entry[hb - 8 : he]
+
+    n_tiles = rows * cols
+    grid_cfg = bytes([0, 0, rows - 1, cols - 1]) + struct.pack(
+        ">HH", cols * tile_w, rows * tile_h)
+    hdlr = _mp4_full(b"hdlr", 0, 0,
+                     b"\x00" * 4 + b"pict" + b"\x00" * 12 + b"\x00")
+    pitm = _mp4_full(b"pitm", 0, 0, struct.pack(">H", 1))
+    infes = _mp4_full(b"infe", 2, 0,
+                      struct.pack(">HH", 1, 0) + b"grid" + b"\x00")
+    for t in range(n_tiles):
+        infes += _mp4_full(b"infe", 2, 1,
+                           struct.pack(">HH", 2 + t, 0) + b"hvc1" + b"\x00")
+    iinf = _mp4_full(b"iinf", 0, 0, struct.pack(">H", 1 + n_tiles) + infes)
+    ispe_tile = _mp4_full(b"ispe", 0, 0, struct.pack(">II", tile_w, tile_h))
+    ispe_grid = _mp4_full(b"ispe", 0, 0,
+                          struct.pack(">II", cols * tile_w, rows * tile_h))
+    ipco = _mp4_box(b"ipco", hvcc_box + ispe_tile + ispe_grid)
+    ipma_entries = struct.pack(">I", 1 + n_tiles)
+    ipma_entries += struct.pack(">H", 1) + bytes([1, 0x03])  # grid: ispe_grid
+    for t in range(n_tiles):
+        ipma_entries += struct.pack(">H", 2 + t) + bytes([2, 0x81, 0x02])
+    ipma = _mp4_full(b"ipma", 0, 0, ipma_entries)
+    iprp = _mp4_box(b"iprp", ipco + ipma)
+    iref = _mp4_full(
+        b"iref", 0, 0,
+        _mp4_box(b"dimg", struct.pack(">HH", 1, n_tiles)
+                 + b"".join(struct.pack(">H", 2 + t) for t in range(n_tiles))))
+    idat = _mp4_box(b"idat", grid_cfg)
+
+    def iloc_box(base: int) -> bytes:
+        # grid item: construction from idat — iloc v1 carries the method
+        body = struct.pack(">HH", 0x4400, 1 + n_tiles)
+        entries = struct.pack(">HHHH", 1, 1, 0, 1) + struct.pack(
+            ">II", 0, len(grid_cfg))
+        off = base
+        for t in range(n_tiles):
+            entries += struct.pack(">HHHH", 2 + t, 0, 0, 1) + struct.pack(
+                ">II", off, len(samples[t]))
+            off += len(samples[t])
+        return _mp4_full(b"iloc", 1, 0, body + entries)
+
+    ftyp = _mp4_box(b"ftyp", b"heic" + struct.pack(">I", 0) + b"mif1heic")
+    meta = _mp4_full(b"meta", 0, 0,
+                     hdlr + pitm + iinf + iprp + iref + idat + iloc_box(0))
+    mdat_off = len(ftyp) + len(meta) + 8
+    meta = _mp4_full(b"meta", 0, 0,
+                     hdlr + pitm + iinf + iprp + iref + idat
+                     + iloc_box(mdat_off))
+    return ftyp + meta + _mp4_box(b"mdat", b"".join(samples))
+
+
+def encode_heic_fixture(width: int, height: int, y: bytes, cb: bytes,
+                        cr: bytes) -> bytes:
+    """Minimal conformant .heic: ftyp(heic) + meta(hdlr/pitm/iinf/
+    iprp/iloc) + mdat, the primary item an HEVC IRAP picture from the
+    lossless fixture encoder — so decode reproduces the planes
+    exactly and libheif arbitrates the container convention
+    (tests/test_heif_codec.py)."""
+    stream = encode_hevc_iframe_bypass(width, height, y, cb, cr)
+    param_nals = []
+    vcl = []
+    for nal in _h264_split_nals(stream):
+        if ((nal[0] >> 1) & 63) in (32, 33, 34):
+            param_nals.append(nal)
+        else:
+            vcl.append(nal)
+    sample = b"".join(struct.pack(">I", len(n)) + n for n in vcl)
+    sps_nals = [n for n in param_nals if ((n[0] >> 1) & 63) == 33]
+    pps_nals = [n for n in param_nals if ((n[0] >> 1) & 63) == 34]
+    hvc1_entry = _hvc1_sample_entry([], sps_nals, pps_nals)
+    # reuse the sample entry only for its hvcC child
+    hb, he = _mp4_child(hvc1_entry, 8 + 78, len(hvc1_entry), b"hvcC")
+    hvcc_box = hvc1_entry[hb - 8 : he]
+
+    hdlr = _mp4_full(b"hdlr", 0, 0,
+                     b"\x00" * 4 + b"pict" + b"\x00" * 12 + b"\x00")
+    pitm = _mp4_full(b"pitm", 0, 0, struct.pack(">H", 1))
+    infe = _mp4_full(b"infe", 2, 0,
+                     struct.pack(">HH", 1, 0) + b"hvc1" + b"\x00")
+    iinf = _mp4_full(b"iinf", 0, 0, struct.pack(">H", 1) + infe)
+    ispe = _mp4_full(b"ispe", 0, 0, struct.pack(">II", width, height))
+    ipco = _mp4_box(b"ipco", hvcc_box + ispe)
+    ipma = _mp4_full(b"ipma", 0, 0,
+                     struct.pack(">I", 1) + struct.pack(">H", 1)
+                     + bytes([2, 0x81, 0x02]))
+    iprp = _mp4_box(b"iprp", ipco + ipma)
+    # iloc with a 4-byte absolute offset patched once layout is known
+    def iloc_box(offset: int) -> bytes:
+        return _mp4_full(
+            b"iloc", 0, 0,
+            struct.pack(">HH", 0x4400, 1)        # offset/length 4, base 0
+            + struct.pack(">HHH", 1, 0, 1)        # item 1, dref 0, 1 extent
+            + struct.pack(">II", offset, len(sample)),
+        )
+
+    ftyp = _mp4_box(b"ftyp", b"heic" + struct.pack(">I", 0) + b"mif1heic")
+    meta_payload = hdlr + pitm + iinf + iprp + iloc_box(0)
+    meta = _mp4_full(b"meta", 0, 0, meta_payload)
+    mdat_off = len(ftyp) + len(meta) + 8
+    meta = _mp4_full(b"meta", 0, 0,
+                     hdlr + pitm + iinf + iprp + iloc_box(mdat_off))
+    return ftyp + meta + _mp4_box(b"mdat", sample)
 
 
 def _hevc_sample_to_annexb(frame: bytes, cfg) -> bytes:
