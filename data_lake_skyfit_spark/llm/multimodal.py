@@ -8058,6 +8058,55 @@ def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def synthesize_heic_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL .heic still image.  ids % 4 != 3: a single hvc1 item,
+    w = 32 + 16·(id % 3), h = 32 + 16·(id % 2); CU k carries luma
+    (9·id + 13·k) % 255 + checkerboard, chroma (7·id + 5·k) % 256 and
+    (3·id + 11·k) % 256.  ids % 4 == 3: the Apple GRID layout — four
+    32x32 hvc1 tiles under a 'grid' primary (config in idat,
+    construction_method 1), tile t's CU k carrying the same forms
+    shifted by 41·t.  All tiles are lossless fixture-encoder pictures
+    so the oracle mirrors the closed forms exactly; libheif arbitrates
+    the container convention in tests/test_heif_codec.py."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def planes(rid: int, w: int, h: int, t: int):
+        import numpy as np
+
+        checker = (np.add.outer(np.arange(16), np.arange(16)) & 1).astype(np.uint8)
+        y = np.zeros((h, w), np.uint8)
+        cb = np.zeros((h // 2, w // 2), np.uint8)
+        cr = np.zeros((h // 2, w // 2), np.uint8)
+        nw = w // 16
+        for k in range(nw * (h // 16)):
+            cy, cx = divmod(k, nw)
+            y[cy * 16 : cy * 16 + 16, cx * 16 : cx * 16 + 16] = (
+                (9 * rid + 13 * k + 41 * t) % 255) + checker
+            cb[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = (
+                7 * rid + 5 * k + 41 * t) % 256
+            cr[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = (
+                3 * rid + 11 * k + 41 * t) % 256
+        return y.tobytes(), cb.tobytes(), cr.tobytes()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for v in pdf[id_col]:
+                rid = int(v)
+                if rid % 4 == 3:
+                    tiles = [planes(rid, 32, 32, t) for t in range(4)]
+                    payloads.append(encode_heic_grid_fixture(32, 32, 2, 2, tiles))
+                else:
+                    w = 32 + 16 * (rid % 3)
+                    h = 32 + 16 * (rid % 2)
+                    payloads.append(encode_heic_fixture(w, h, *planes(rid, w, h, 0)))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
 def synthesize_avc_multiref_payloads(
     df: DataFrame, *, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -3750,6 +3750,57 @@ def multimodal_decode_hevc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_heic",
+    """
+    WITH single AS (
+      SELECT doc_id, 32 + 16 * (doc_id % 3) AS w, 32 + 16 * (doc_id % 2) AS h
+      FROM documents WHERE doc_id < 500 AND doc_id % 4 != 3
+    ), scu AS (
+      SELECT s.doc_id, s.w, s.h, CAST(k.i AS BIGINT) AS k
+      FROM single s, LATERAL (
+        SELECT UNNEST(range(0, (s.w // 16) * (s.h // 16))) AS i) k
+    ), ssum AS (
+      SELECT doc_id, w, h,
+             SUM(256 * ((9 * doc_id + 13 * k) % 255) + 128
+               + 64 * ((7 * doc_id + 5 * k) % 256)
+               + 64 * ((3 * doc_id + 11 * k) % 256)) AS ps
+      FROM scu GROUP BY doc_id, w, h
+    ), grid AS (
+      SELECT g.doc_id, CAST(tk.i AS BIGINT) // 4 AS t,
+             CAST(tk.i AS BIGINT) % 4 AS k
+      FROM (SELECT doc_id FROM documents
+            WHERE doc_id < 500 AND doc_id % 4 = 3) g,
+           LATERAL (SELECT UNNEST(range(0, 16)) AS i) tk
+    ), gsum AS (
+      SELECT doc_id, 64 AS w, 64 AS h,
+             SUM(256 * ((9 * doc_id + 13 * k + 41 * t) % 255) + 128
+               + 64 * ((7 * doc_id + 5 * k + 41 * t) % 256)
+               + 64 * ((3 * doc_id + 11 * k + 41 * t) % 256)) AS ps
+      FROM grid GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels, CAST(ps AS BIGINT) AS pixel_sum
+    FROM (SELECT * FROM ssum UNION ALL SELECT * FROM gsum)
+    """,
+    tags=("llm-multimodal",),
+    doc="HEIC still-image decode (r7d): synthesize_heic_payloads writes "
+    "REAL .heic files — single hvc1 items for most ids, and for "
+    "ids ≡ 3 (mod 4) the Apple GRID layout (four hvc1 tiles under a "
+    "'grid' primary whose ImageGrid config rides idat with "
+    "construction_method 1, tile references in iref/dimg). "
+    "decode_images walks meta/pitm/iinf/iloc/iprp/iref, decodes every "
+    "tile through the full HEVC intra tier and composites row-major. "
+    "Tiles are lossless (transquant-bypass) so the oracle mirrors the "
+    "per-CU closed forms exactly; libheif arbitrates the container "
+    "convention and libde265 the wire in tests/test_heif_codec.py.",
+)
+def multimodal_decode_heic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = multimodal.synthesize_heic_payloads(d, id_col="doc_id")
+    return multimodal.decode_images(media, id_col="doc_id")
+
+
+@register(
     "multimodal_decode_h264_multiref",
     """
     SELECT doc_id, CAST(fi AS INT) AS frame_idx,
