@@ -323,6 +323,9 @@ def _parse_sps(rbsp: bytes) -> dict:
     sps["log2_max_tb"] = sps["log2_min_tb"] + br.ue()
     if sps["log2_ctb"] > 6 or sps["log2_max_tb"] > 5:
         raise ValueError("hevc: CTB/TB size out of range")
+    if sps["w"] % (1 << min_cb) or sps["h"] % (1 << min_cb):
+        # §7.4.3.2: picture dims must be multiples of MinCbSizeY
+        raise ValueError("hevc: dimensions not multiples of min CB size")
     br.ue()  # max_transform_hierarchy_depth_inter
     sps["max_tr_depth_intra"] = br.ue()
     if br.u(1):
