@@ -8011,12 +8011,13 @@ def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
     IRAP pictures from the pure-Python fixture encoder
     (llm/hevc.py:encode_hevc_iframe_bypass — transquant-bypass DC-mode
     CUs, so decode reproduces the synthesized planes EXACTLY and the
-    oracle mirrors the integer closed form).  Per id: nf = 1 + id % 3
-    frames at 500 ms; dims w = 32 + 16·(id % 3), h = 32 + 16·(id % 2);
-    CU k of frame fi carries luma (7·id + 13·k + 29·fi) % 255 plus a
-    checkerboard +1 (per-CU luma sum 256·v + 128), chroma blocks flat
-    (11·id + 5·k + 17·fi) % 256 and (13·id + 3·k + 23·fi) % 256.
-    The wire convention is arbitrated by libde265 in
+    oracle mirrors the integer closed form).  Per id: nf = 1 + id % 2
+    frames at 500 ms, w = 32 + 16·(id % 3), h = 32; frame fi is flat
+    luma v = 118 + (7·id + 29·fi) % 21 with a distinct checkerboard
+    CU bottom-right (sum v·(w·h−256) + 256·(v+1+(id+fi)%9) + 128),
+    flat chroma 118 + (11·id+17·fi) % 21 / 118 + (13·id+23·fi) % 21;
+    interior CUs DC-predict the flat value exactly (cbf 0) — the
+    battery-budget shape.  The wire convention is arbitrated by libde265 in
     tests/test_hevc_codec.py; the container walk is the same
     stts/stsc/stsz/stco resolution every MP4 fixture uses."""
     out_schema = T.StructType(
@@ -8026,19 +8027,21 @@ def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
     def frame_planes(rid: int, fi: int, w: int, h: int):
         import numpy as np
 
-        y = np.zeros((h, w), np.uint8)
-        cb = np.zeros((h // 2, w // 2), np.uint8)
-        cr = np.zeros((h // 2, w // 2), np.uint8)
+        # battery-budget shape: every CU carries the SAME flat value, so
+        # interior CUs DC-predict exactly (cbf 0, near-zero CABAC cost);
+        # only CU 0 (residual vs the 128 substitution) and the LAST CU
+        # (a distinct value + checkerboard) code residuals — small
+        # magnitudes keep the Golomb suffixes short while still driving
+        # the sig/gt1/gt2/remaining machinery every frame
+        v = 118 + (7 * rid + 29 * fi) % 21
+        v2 = v + 1 + (rid + fi) % 9
+        u = 118 + (11 * rid + 17 * fi) % 21
+        cv = 118 + (13 * rid + 23 * fi) % 21
+        y = np.full((h, w), v, np.uint8)
         checker = (np.add.outer(np.arange(16), np.arange(16)) & 1).astype(np.uint8)
-        nw = w // 16
-        for k in range(nw * (h // 16)):
-            cy, cx = divmod(k, nw)
-            vy = (7 * rid + 13 * k + 29 * fi) % 255
-            y[cy * 16 : cy * 16 + 16, cx * 16 : cx * 16 + 16] = vy + checker
-            cb[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = (
-                11 * rid + 5 * k + 17 * fi) % 256
-            cr[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = (
-                13 * rid + 3 * k + 23 * fi) % 256
+        y[h - 16 : h, w - 16 : w] = v2 + checker
+        cb = np.full((h // 2, w // 2), u, np.uint8)
+        cr = np.full((h // 2, w // 2), cv, np.uint8)
         return y.tobytes(), cb.tobytes(), cr.tobytes()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -8047,10 +8050,10 @@ def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
             for v in pdf[id_col]:
                 rid = int(v)
                 w = 32 + 16 * (rid % 3)
-                h = 32 + 16 * (rid % 2)
+                h = 32
                 frames = [
                     encode_hevc_iframe_bypass(w, h, *frame_planes(rid, fi, w, h))
-                    for fi in range(1 + rid % 3)
+                    for fi in range(1 + rid % 2)
                 ]
                 payloads.append(encode_mp4_frames(frames, codec="hvc1"))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
@@ -8060,34 +8063,36 @@ def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
 
 def synthesize_heic_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """id → REAL .heic still image.  ids % 4 != 3: a single hvc1 item,
-    w = 32 + 16·(id % 3), h = 32 + 16·(id % 2); CU k carries luma
-    (9·id + 13·k) % 255 + checkerboard, chroma (7·id + 5·k) % 256 and
-    (3·id + 11·k) % 256.  ids % 4 == 3: the Apple GRID layout — four
-    32x32 hvc1 tiles under a 'grid' primary (config in idat,
-    construction_method 1), tile t's CU k carrying the same forms
-    shifted by 41·t.  All tiles are lossless fixture-encoder pictures
-    so the oracle mirrors the closed forms exactly; libheif arbitrates
-    the container convention in tests/test_heif_codec.py."""
+    w = 32 + 16·(id % 3), h = 32, flat luma 118 + (9·id) % 21 with a
+    distinct checkerboard CU bottom-right (sum closed form
+    v·(w·h−256) + 256·(v+1+id%9) + 128), flat chroma.  ids % 4 == 3:
+    the Apple GRID layout — four 32x32 hvc1 tiles under a 'grid'
+    primary (config in idat, construction_method 1), tile t flat at
+    the same forms shifted by 41·t.  All tiles are lossless
+    fixture-encoder pictures so the oracle mirrors the closed forms
+    exactly; libheif arbitrates the container convention in
+    tests/test_heif_codec.py.  Interior CUs DC-predict their flat
+    value exactly (cbf 0) — the battery-budget shape."""
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
 
-    def planes(rid: int, w: int, h: int, t: int):
+    def planes(rid: int, w: int, h: int, t: int, rich: bool):
         import numpy as np
 
-        checker = (np.add.outer(np.arange(16), np.arange(16)) & 1).astype(np.uint8)
-        y = np.zeros((h, w), np.uint8)
-        cb = np.zeros((h // 2, w // 2), np.uint8)
-        cr = np.zeros((h // 2, w // 2), np.uint8)
-        nw = w // 16
-        for k in range(nw * (h // 16)):
-            cy, cx = divmod(k, nw)
-            y[cy * 16 : cy * 16 + 16, cx * 16 : cx * 16 + 16] = (
-                (9 * rid + 13 * k + 41 * t) % 255) + checker
-            cb[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = (
-                7 * rid + 5 * k + 41 * t) % 256
-            cr[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = (
-                3 * rid + 11 * k + 41 * t) % 256
+        # flat base value per tile (interior CUs DC-predict it exactly,
+        # cbf 0); the single-item variant adds a distinct checkerboard
+        # CU bottom-right so the sig-map machinery runs per image
+        v = 118 + (9 * rid + 41 * t) % 21
+        u = 118 + (7 * rid + 41 * t) % 21
+        cv = 118 + (3 * rid + 41 * t) % 21
+        y = np.full((h, w), v, np.uint8)
+        if rich:
+            checker = (np.add.outer(np.arange(16), np.arange(16)) & 1
+                       ).astype(np.uint8)
+            y[h - 16 : h, w - 16 : w] = v + 1 + rid % 9 + checker
+        cb = np.full((h // 2, w // 2), u, np.uint8)
+        cr = np.full((h // 2, w // 2), cv, np.uint8)
         return y.tobytes(), cb.tobytes(), cr.tobytes()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -8096,12 +8101,12 @@ def synthesize_heic_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFr
             for v in pdf[id_col]:
                 rid = int(v)
                 if rid % 4 == 3:
-                    tiles = [planes(rid, 32, 32, t) for t in range(4)]
+                    tiles = [planes(rid, 32, 32, t, rich=False) for t in range(4)]
                     payloads.append(encode_heic_grid_fixture(32, 32, 2, 2, tiles))
                 else:
                     w = 32 + 16 * (rid % 3)
-                    h = 32 + 16 * (rid % 2)
-                    payloads.append(encode_heic_fixture(w, h, *planes(rid, w, h, 0)))
+                    payloads.append(
+                        encode_heic_fixture(w, 32, *planes(rid, w, 32, 0, True)))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(kernel, out_schema)

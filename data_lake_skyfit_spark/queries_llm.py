@@ -3704,27 +3704,22 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_hevc",
     """
     WITH p AS (
-      SELECT doc_id, 1 + doc_id % 3 AS nf,
-             32 + 16 * (doc_id % 3) AS w, 32 + 16 * (doc_id % 2) AS h
-      FROM documents WHERE doc_id < 500
+      SELECT doc_id, 1 + doc_id % 2 AS nf, 32 + 16 * (doc_id % 3) AS w
+      FROM documents WHERE doc_id < 120
     ), f AS (
-      SELECT p.*, CAST(x.i AS BIGINT) AS fi
+      SELECT p.doc_id, p.w, CAST(x.i AS BIGINT) AS fi
       FROM p, LATERAL (SELECT UNNEST(range(0, p.nf)) AS i) x
-    ), cu AS (
-      SELECT f.doc_id, f.fi, f.w, f.h, CAST(k.i AS BIGINT) AS k
-      FROM f, LATERAL (
-        SELECT UNNEST(range(0, (f.w // 16) * (f.h // 16))) AS i) k
     )
     SELECT doc_id, CAST(fi AS INT) AS frame_idx,
            CAST(fi * 500 AS BIGINT) AS ts_ms,
-           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w AS INT) AS width, CAST(32 AS INT) AS height,
            CAST(3 AS INT) AS n_channels,
-           CAST(SUM(256 * ((7 * doc_id + 13 * k + 29 * fi) % 255) + 128
-                  + 64 * ((11 * doc_id + 5 * k + 17 * fi) % 256)
-                  + 64 * ((13 * doc_id + 3 * k + 23 * fi) % 256))
-                AS BIGINT) AS pixel_sum
-    FROM cu
-    GROUP BY doc_id, fi, w, h
+           CAST(v * (w * 32 - 256) + 256 * (v + 1 + (doc_id + fi) % 9) + 128
+              + (w // 2) * 16 * (118 + (11 * doc_id + 17 * fi) % 21
+                               + 118 + (13 * doc_id + 23 * fi) % 21)
+            AS BIGINT) AS pixel_sum
+    FROM (SELECT doc_id, w, fi,
+                 118 + (7 * doc_id + 29 * fi) % 21 AS v FROM f)
     """,
     tags=("llm-multimodal",),
     doc="HEVC / H.265 decode inside MP4 (r7d): synthesize_hevc_mp4_"
@@ -3744,7 +3739,10 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the reference cross-pins carry the lossy arithmetic.",
 )
 def multimodal_decode_hevc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    # the per-doc CABAC encode+decode is embarrassingly parallel but the
+    # filtered id range lands in one parquet split — spread it explicitly
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+         .repartition(16, "doc_id"))
     media = multimodal.synthesize_hevc_mp4_payloads(d, id_col="doc_id")
     return multimodal.decode_video_pixels(media, every_ms=400)
 
@@ -3752,30 +3750,26 @@ def multimodal_decode_hevc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_heic",
     """
-    WITH single AS (
-      SELECT doc_id, 32 + 16 * (doc_id % 3) AS w, 32 + 16 * (doc_id % 2) AS h
-      FROM documents WHERE doc_id < 500 AND doc_id % 4 != 3
-    ), scu AS (
-      SELECT s.doc_id, s.w, s.h, CAST(k.i AS BIGINT) AS k
-      FROM single s, LATERAL (
-        SELECT UNNEST(range(0, (s.w // 16) * (s.h // 16))) AS i) k
-    ), ssum AS (
-      SELECT doc_id, w, h,
-             SUM(256 * ((9 * doc_id + 13 * k) % 255) + 128
-               + 64 * ((7 * doc_id + 5 * k) % 256)
-               + 64 * ((3 * doc_id + 11 * k) % 256)) AS ps
-      FROM scu GROUP BY doc_id, w, h
+    WITH ssum AS (
+      SELECT doc_id, w, 32 AS h,
+             v * (w * 32 - 256) + 256 * (v + 1 + doc_id % 9) + 128
+             + (w // 2) * 16 * (118 + (7 * doc_id) % 21
+                              + 118 + (3 * doc_id) % 21) AS ps
+      FROM (
+        SELECT doc_id, 32 + 16 * (doc_id % 3) AS w,
+               118 + (9 * doc_id) % 21 AS v
+        FROM documents WHERE doc_id < 160 AND doc_id % 4 != 3
+      )
     ), grid AS (
-      SELECT g.doc_id, CAST(tk.i AS BIGINT) // 4 AS t,
-             CAST(tk.i AS BIGINT) % 4 AS k
+      SELECT g.doc_id, CAST(tt.i AS BIGINT) AS t
       FROM (SELECT doc_id FROM documents
-            WHERE doc_id < 500 AND doc_id % 4 = 3) g,
-           LATERAL (SELECT UNNEST(range(0, 16)) AS i) tk
+            WHERE doc_id < 160 AND doc_id % 4 = 3) g,
+           LATERAL (SELECT UNNEST(range(0, 4)) AS i) tt
     ), gsum AS (
       SELECT doc_id, 64 AS w, 64 AS h,
-             SUM(256 * ((9 * doc_id + 13 * k + 41 * t) % 255) + 128
-               + 64 * ((7 * doc_id + 5 * k + 41 * t) % 256)
-               + 64 * ((3 * doc_id + 11 * k + 41 * t) % 256)) AS ps
+             SUM(1024 * (118 + (9 * doc_id + 41 * t) % 21)
+               + 256 * (118 + (7 * doc_id + 41 * t) % 21
+                      + 118 + (3 * doc_id + 41 * t) % 21)) AS ps
       FROM grid GROUP BY doc_id
     )
     SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
@@ -3795,7 +3789,8 @@ def multimodal_decode_hevc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "convention and libde265 the wire in tests/test_heif_codec.py.",
 )
 def multimodal_decode_heic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
+         .repartition(16, "doc_id"))
     media = multimodal.synthesize_heic_payloads(d, id_col="doc_id")
     return multimodal.decode_images(media, id_col="doc_id")
 
