@@ -2,10 +2,11 @@
 executor-safe (no native deps), for the multimodal curation tier.
 
 Envelope (reject-never-approximate — unsupported streams raise
-ValueError, they are never approximated): 8-bit 4:2:0, I slices
-(IRAP nal types 16..21), one independent slice segment per picture,
-no tiles / no wavefront entropy sync / no dependent slices, no
-scaling lists, no PCM.  Supported inside that envelope: the full
+ValueError, they are never approximated): Main and Main10 (8- and
+10-bit) 4:2:0, I slices (IRAP nal types 16..21), one independent
+slice segment per picture, no tiles / no wavefront entropy sync / no
+dependent slices, no scaling lists, no PCM.  10-bit pictures return
+little-endian uint16 plane bytes.  Supported inside that envelope: the full
 coding/transform quadtree at every CTU size 16/32/64, all 35 intra
 prediction modes with reference substitution + mode-dependent
 smoothing + strong (bilinear) smoothing, DST-VII 4x4 and DCT-II
@@ -310,8 +311,11 @@ def _parse_sps(rbsp: bytes) -> dict:
         sps["crop"] = (br.ue(), br.ue(), br.ue(), br.ue())
     else:
         sps["crop"] = (0, 0, 0, 0)
-    if br.ue() != 0 or br.ue() != 0:
-        raise ValueError("hevc: only 8-bit supported")
+    bd_l = br.ue()
+    bd_c = br.ue()
+    if bd_l != bd_c or bd_l not in (0, 2):
+        raise ValueError("hevc: only 8- and 10-bit 4:2:0 supported")
+    sps["bd"] = 8 + bd_l
     sps["log2_max_poc"] = br.ue() + 4
     sub_order = br.u(1)
     for _ in range((max_sub + 1) if sub_order else 1):
@@ -429,7 +433,7 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
         sh["sao_luma"] = br.u(1)
         sh["sao_chroma"] = br.u(1)
     sh["qp"] = pps["init_qp"] + br.se()
-    if not 0 <= sh["qp"] <= 51:
+    if not -6 * (sps["bd"] - 8) <= sh["qp"] <= 51:
         raise ValueError("hevc: slice QP out of range")
     sh["cb_qp_offset"] = pps["cb_qp_offset"]
     sh["cr_qp_offset"] = pps["cr_qp_offset"]
@@ -586,37 +590,45 @@ _LEVEL_SCALE = (40, 45, 51, 57, 64, 72)
 _CHROMA_QP_MAP = (29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37)
 
 
-def _chroma_qp(qp_y: int, offset: int) -> int:
-    qpi = _clip3(0, 57, qp_y + offset)
+def _chroma_qp(qp_y: int, offset: int, bd: int = 8) -> int:
+    """Table 8-10 mapping; returns Qp'Cb/Cr INCLUDING QpBdOffsetC."""
+    off_c = 6 * (bd - 8)
+    qpi = _clip3(-off_c, 57, qp_y + offset)
     if qpi < 30:
-        return qpi
-    if qpi > 43:
-        return qpi - 6
-    return _CHROMA_QP_MAP[qpi - 30]
+        qpc = qpi
+    elif qpi > 43:
+        qpc = qpi - 6
+    else:
+        qpc = _CHROMA_QP_MAP[qpi - 30]
+    return qpc + off_c
 
 
-def _dequant(coeffs: np.ndarray, log2_size: int, qp: int) -> np.ndarray:
-    """§8.6.3 with flat (16) scaling matrix."""
-    bd_shift = 3 + log2_size  # BitDepth + Log2(nTbS) - 5, 8-bit
+def _dequant(coeffs: np.ndarray, log2_size: int, qp: int,
+             bd: int = 8) -> np.ndarray:
+    """§8.6.3 with flat (16) scaling matrix; qp is Qp' (incl. BD offset)."""
+    bd_shift = bd + log2_size - 5
     scale = _LEVEL_SCALE[qp % 6] << (qp // 6)
     d = (coeffs.astype(np.int64) * (scale * 16) + (1 << (bd_shift - 1))) >> bd_shift
     return np.clip(d, -32768, 32767)
 
 
-def _inv_transform(d: np.ndarray, log2_size: int, dst: bool) -> np.ndarray:
-    """§8.6.4: two-stage inverse with 16-bit intermediate clip (8-bit)."""
+def _inv_transform(d: np.ndarray, log2_size: int, dst: bool,
+                   bd: int = 8) -> np.ndarray:
+    """§8.6.4: two-stage inverse with 16-bit intermediate clip."""
     mat = _DST4 if dst else _DCT_MATS[log2_size]
     # stage 1 (columns): e = M^T @ d, shift 7
     e = (mat.T @ d + 64) >> 7
     e = np.clip(e, -32768, 32767)
-    # stage 2 (rows): r = e @ M, shift 12
-    r = (e @ mat + 2048) >> 12
+    # stage 2 (rows): shift 20 - BitDepth
+    sh2 = 20 - bd
+    r = (e @ mat + (1 << (sh2 - 1))) >> sh2
     return np.clip(r, -32768, 32767)
 
 
-def _inv_transform_skip(d: np.ndarray) -> np.ndarray:
-    # §8.6.4.2 transform_skip (4x4, 8-bit): tsShift 7, bdShift 12
-    return (d.astype(np.int64) * 128 + 2048) >> 12
+def _inv_transform_skip(d: np.ndarray, bd: int = 8) -> np.ndarray:
+    # §8.6.4.2 transform_skip (4x4): tsShift 7, bdShift 20 - BitDepth
+    sh = 20 - bd
+    return (d.astype(np.int64) * 128 + (1 << (sh - 1))) >> sh
 
 
 # ---------------------------------------------------------------------------
@@ -630,7 +642,8 @@ _INV_ANGLES = {-2: -4096, -5: -1638, -9: -910, -13: -630, -17: -482,
 
 
 def _intra_predict(mode: int, size: int, left: np.ndarray, above: np.ndarray,
-                   corner: int, c_idx: int, strong_smoothing: bool) -> np.ndarray:
+                   corner: int, c_idx: int, strong_smoothing: bool,
+                   bd: int = 8) -> np.ndarray:
     """Predict one size x size block.  left = p[-1][0..2N-1],
     above = p[0..2N-1][-1] (both already substituted), corner = p[-1][-1]."""
     n = size
@@ -640,7 +653,7 @@ def _intra_predict(mode: int, size: int, left: np.ndarray, above: np.ndarray,
         min_dist = min(abs(mode - 26), abs(mode - 10))
         thres = {8: 7, 16: 1, 32: 0}[n]
         if mode == 0 or min_dist > thres:
-            bd_flat = 8  # 1 << (bitDepth - 5)
+            bd_flat = 1 << (bd - 5)
             if (strong_smoothing and n == 32
                     and abs(corner + int(above[2 * n - 1]) - 2 * int(above[n - 1])) < bd_flat
                     and abs(corner + int(left[2 * n - 1]) - 2 * int(left[n - 1])) < bd_flat):
@@ -708,7 +721,8 @@ def _intra_predict(mode: int, size: int, left: np.ndarray, above: np.ndarray,
             else:
                 pred[y, :] = row
         if mode == 26 and c_idx == 0 and n < 32:
-            pred[:, 0] = np.clip(above[0] + ((left[:n] - corner) >> 1), 0, 255)
+            pred[:, 0] = np.clip(above[0] + ((left[:n] - corner) >> 1), 0,
+                                 (1 << bd) - 1)
     else:  # mode 2..17, horizontal-ish: main reference is the left column
         angle = _ANGLES[mode]
         ref = np.zeros(3 * n + 2, np.int64)
@@ -731,7 +745,8 @@ def _intra_predict(mode: int, size: int, left: np.ndarray, above: np.ndarray,
             else:
                 pred[:, x] = col
         if mode == 10 and c_idx == 0 and n < 32:
-            pred[0, :] = np.clip(left[0] + ((above[:n] - corner) >> 1), 0, 255)
+            pred[0, :] = np.clip(left[0] + ((above[:n] - corner) >> 1), 0,
+                                 (1 << bd) - 1)
     return pred
 
 
@@ -748,9 +763,12 @@ class _PicDecoder:
         self.sh = sh
         w, h = sps["w"], sps["h"]
         self.w, self.h = w, h
-        self.y = np.zeros((h, w), np.uint8)
-        self.cb = np.zeros((h // 2, w // 2), np.uint8)
-        self.cr = np.zeros((h // 2, w // 2), np.uint8)
+        self.bd = sps.get("bd", 8)
+        self.maxval = (1 << self.bd) - 1
+        self.dtype = np.uint8 if self.bd == 8 else np.uint16
+        self.y = np.zeros((h, w), self.dtype)
+        self.cb = np.zeros((h // 2, w // 2), self.dtype)
+        self.cr = np.zeros((h // 2, w // 2), self.dtype)
         gw, gh = w // 4, h // 4
         self.ct_depth = np.zeros((gh, gw), np.int8)
         self.mode_grid = np.ones((gh, gw), np.int8)  # DC default
@@ -824,10 +842,11 @@ class _PicDecoder:
             if t == 0:
                 params.append((0, None, 0, 0))
                 continue
+            off_max = (1 << (min(self.bd, 10) - 5)) - 1
             offs_abs = []
             for _ in range(4):
                 v = 0
-                while v < 7 and cab.bypass():
+                while v < off_max and cab.bypass():
                     v += 1
                 offs_abs.append(v)
             band_pos = eo_class = 0
@@ -883,7 +902,8 @@ class _PicDecoder:
                     lut = np.zeros(32, np.int64)
                     for k in range(4):
                         lut[(band_pos + k) & 31] = vals[k + 1]
-                    out = np.clip(region + lut[region >> 3], 0, 255)
+                    out = np.clip(region + lut[region >> (self.bd - 5)],
+                                  0, self.maxval)
                 else:
                     (dx0, dy0), (dx1, dy1) = self._EO_NEIGHBOURS[eo_class]
                     # valid window: both neighbours inside the picture
@@ -903,7 +923,7 @@ class _PicDecoder:
                                         np.where(edge < 2, edge + 1, edge))
                         lut = np.array(vals, np.int64)
                         out[vy0 - y0 : vy1 - y0, vx0 - x0 : vx1 - x0] = np.clip(
-                            cen + lut[edge], 0, 255)
+                            cen + lut[edge], 0, self.maxval)
                 if self.pps["tq_bypass_enabled"]:
                     byp = self.bypass_grid[
                         (y0 << shift) >> 2 : ((y1 << shift) + 3) >> 2 : 1,
@@ -914,7 +934,7 @@ class _PicDecoder:
                     mask = np.kron(byp, np.ones((rep, rep), bool))
                     mask = mask[: y1 - y0, : x1 - x0]
                     out = np.where(mask, region, out)
-                dst[y0:y1, x0:x1] = out.astype(np.uint8)
+                dst[y0:y1, x0:x1] = out.astype(self.dtype)
 
     # ------------------------------------------------------------ quadtree
     def _qp_pred(self, x_qg: int, y_qg: int) -> int:
@@ -1100,10 +1120,11 @@ class _PicDecoder:
         pred = self._predict(0, x0, y0, size, mode_y)
         if cbf_y:
             coeffs, tskip = self._residual(log2, 0, mode_y, cu)
-            res = self._residual_to_spatial(coeffs, log2, 0, qp_y, cu, tskip)
-            block = np.clip(pred + res, 0, 255).astype(np.uint8)
+            res = self._residual_to_spatial(
+                coeffs, log2, 0, qp_y + 6 * (self.bd - 8), cu, tskip)
+            block = np.clip(pred + res, 0, self.maxval).astype(self.dtype)
         else:
-            block = np.clip(pred, 0, 255).astype(np.uint8)
+            block = np.clip(pred, 0, self.maxval).astype(self.dtype)
         self.y[y0 : y0 + size, x0 : x0 + size] = block
         self.avail[y0 >> 2 : (y0 + size) >> 2, x0 >> 2 : (x0 + size) >> 2] = True
         self.tu_list.append((x0, y0, size))
@@ -1124,22 +1145,22 @@ class _PicDecoder:
             pred = self._predict(c_idx, xc, yc, size, mode)
             if cbf:
                 coeffs, tskip = self._residual(log2c, c_idx, mode, cu)
-                qp_c = _chroma_qp(qp_y, off)
+                qp_c = _chroma_qp(qp_y, off, self.bd)
                 res = self._residual_to_spatial(coeffs, log2c, c_idx, qp_c, cu, tskip)
-                block = np.clip(pred + res, 0, 255).astype(np.uint8)
+                block = np.clip(pred + res, 0, self.maxval).astype(self.dtype)
             else:
-                block = np.clip(pred, 0, 255).astype(np.uint8)
+                block = np.clip(pred, 0, self.maxval).astype(self.dtype)
             plane[yc : yc + size, xc : xc + size] = block
 
     def _residual_to_spatial(self, coeffs: np.ndarray, log2: int, c_idx: int,
                              qp: int, cu: dict, tskip: int) -> np.ndarray:
         if cu["bypass"]:
             return coeffs.astype(np.int64)
-        d = _dequant(coeffs, log2, qp)
+        d = _dequant(coeffs, log2, qp, self.bd)
         if tskip:
-            return _inv_transform_skip(d)
+            return _inv_transform_skip(d, self.bd)
         dst = c_idx == 0 and log2 == 2
-        return _inv_transform(d, log2, dst)
+        return _inv_transform(d, log2, dst, self.bd)
 
     # ------------------------------------------------------ intra prediction
     def _predict(self, c_idx: int, x: int, y: int, size: int,
@@ -1170,7 +1191,7 @@ class _PicDecoder:
             else:
                 ok[i] = False
         if not ok.any():
-            vals[:] = 128
+            vals[:] = 1 << (self.bd - 1)
         else:
             if not ok[0]:
                 vals[0] = vals[np.argmax(ok)]
@@ -1182,7 +1203,8 @@ class _PicDecoder:
         corner = int(vals[n2])
         above = vals[n2 + 1 :].copy()  # p[0..2N-1][-1]
         return _intra_predict(mode, size, left, above, corner, c_idx,
-                              bool(self.sps["strong_intra_smoothing"]))
+                              bool(self.sps["strong_intra_smoothing"]),
+                              self.bd)
 
     # ------------------------------------------------------ residual syntax
     def _residual(self, log2: int, c_idx: int, pred_mode: int,
@@ -1422,8 +1444,9 @@ class _Deblocker:
                 qp_p = int(qp[gy, gx - 1]) if vertical else int(qp[gy, gx - 1])
                 qp_q = int(qp[gy, gx])
                 qavg = (qp_p + qp_q + 1) >> 1
-                beta = _BETA_TABLE[_clip3(0, 51, qavg + beta_off)]
-                tc = _TC_TABLE[_clip3(0, 53, qavg + 2 + tc_off)]
+                bd_sh = d.bd - 8
+                beta = _BETA_TABLE[_clip3(0, 51, qavg + beta_off)] << bd_sh
+                tc = _TC_TABLE[_clip3(0, 53, qavg + 2 + tc_off)] << bd_sh
                 if beta == 0:
                     continue
                 p = plane[y : y + 4, x - 4 : x].astype(np.int64)
@@ -1459,6 +1482,8 @@ class _Deblocker:
 
     def _strong(self, plane: np.ndarray, x: int, y: int, tc: int,
                 do_p: bool, do_q: bool) -> None:
+        # outputs are ±2tc-clipped around the originals — in range by
+        # construction, no Clip1 in §8.7.2.5.7's strong branch
         p = plane[y : y + 4, x - 4 : x].astype(np.int64)
         q = plane[y : y + 4, x : x + 4].astype(np.int64)
         p0, p1, p2, p3 = p[:, 3], p[:, 2], p[:, 1], p[:, 0]
@@ -1489,26 +1514,27 @@ class _Deblocker:
         q = plane[y : y + 4, x : x + 4].astype(np.int64)
         p0, p1, p2 = p[:, 3], p[:, 2], p[:, 1]
         q0, q1, q2 = q[:, 0], q[:, 1], q[:, 2]
+        mx = self.d.maxval
         raw = 9 * (q0 - p0) - 3 * (q1 - p1)
         raw = (raw + 8) >> 4
         mask = np.abs(raw) < 10 * tc
         delta = np.clip(raw, -tc, tc)
         if do_p:
-            out = np.clip(p0 + delta, 0, 255)
+            out = np.clip(p0 + delta, 0, mx)
             plane[y : y + 4, x - 1] = np.where(mask, out, p0)
             if dep:
                 dp = np.clip((((p2 + p0 + 1) >> 1) - p1 + delta) >> 1,
                              -(tc >> 1), tc >> 1)
                 plane[y : y + 4, x - 2] = np.where(
-                    mask, np.clip(p1 + dp, 0, 255), p1)
+                    mask, np.clip(p1 + dp, 0, mx), p1)
         if do_q:
-            out = np.clip(q0 - delta, 0, 255)
+            out = np.clip(q0 - delta, 0, mx)
             plane[y : y + 4, x] = np.where(mask, out, q0)
             if deq:
                 dq = np.clip((((q2 + q0 + 1) >> 1) - q1 - delta) >> 1,
                              -(tc >> 1), tc >> 1)
                 plane[y : y + 4, x + 1] = np.where(
-                    mask, np.clip(q1 + dq, 0, 255), q1)
+                    mask, np.clip(q1 + dq, 0, mx), q1)
 
     def _chroma_pass(self, vertical: bool, tc_off: int) -> None:
         d = self.d
@@ -1529,8 +1555,9 @@ class _Deblocker:
                     qp_p = int(qp[gy, gx - 1])
                     qp_q = int(qp[gy, gx])
                     qavg = (qp_p + qp_q + 1) >> 1
-                    qpc = _chroma_qp(qavg, off)
-                    tc = _TC_TABLE[_clip3(0, 53, qpc + 2 + tc_off)]
+                    # deblock uses the RAW Table 8-10 value (no BD offset)
+                    qpc = _chroma_qp(qavg, off, d.bd) - 6 * (d.bd - 8)
+                    tc = _TC_TABLE[_clip3(0, 53, qpc + 2 + tc_off)] << (d.bd - 8)
                     if tc == 0:
                         continue
                     y = gy << 1
@@ -1541,9 +1568,9 @@ class _Deblocker:
                     delta = np.clip(
                         (((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
                     if not bool(byp[gy, gx - 1]):
-                        plane[y : y + 2, x - 1] = np.clip(p0 + delta, 0, 255)
+                        plane[y : y + 2, x - 1] = np.clip(p0 + delta, 0, d.maxval)
                     if not bool(byp[gy, gx]):
-                        plane[y : y + 2, x] = np.clip(q0 - delta, 0, 255)
+                        plane[y : y + 2, x] = np.clip(q0 - delta, 0, d.maxval)
 
 
 # ---------------------------------------------------------------------------

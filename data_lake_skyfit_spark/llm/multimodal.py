@@ -5160,6 +5160,9 @@ class _HeifMeta:
             raise ValueError("heif: implausible dimensions")
         au = _hevc_sample_to_annexb(self.item_data(iid), hvcc_cfg)
         w, h, y, cb, cr = decode_hevc_iframe(au)
+        if len(y) != w * h:
+            # >8-bit planes (uint16): outside the stats envelope
+            raise ValueError("heif: high-bit-depth HEVC item")
         if (w, h) != tuple(ispe):
             raise ValueError("heif: ispe/SPS dimension mismatch")
         return w, h, y, cb, cr
@@ -5443,6 +5446,9 @@ def _mp4_video_pixels(data: bytes, every_ms: int,
             if emit:
                 au = _hevc_sample_to_annexb(frame, hevc_cfg)
                 w, h, yb, ub, vb = decode_hevc_iframe(au)
+                if len(yb) != w * h:
+                    # >8-bit planes (uint16): outside the stats envelope
+                    raise ValueError("mp4: high-bit-depth HEVC sample")
                 psum = sum(yb) + sum(ub) + sum(vb)
                 psq = (sum(v * v for v in yb) + sum(v * v for v in ub)
                        + sum(v * v for v in vb))

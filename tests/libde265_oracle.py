@@ -125,8 +125,10 @@ class LibDe265:
         for ch in (0, 1, 2):
             cw = lib.de265_get_image_width(img, ch)
             ch_h = lib.de265_get_image_height(img, ch)
-            if lib.de265_get_bits_per_pixel(img, ch) != 8:
-                raise ValueError("libde265: non-8-bit plane")
+            bits = lib.de265_get_bits_per_pixel(img, ch)
+            if bits not in (8, 10):
+                raise ValueError("libde265: unsupported plane bit depth")
+            bps = 1 if bits == 8 else 2  # stride is in bytes either way
             stride = ctypes.c_int()
             ptr = lib.de265_get_image_plane(img, ch, ctypes.byref(stride))
             if not ptr:
@@ -134,7 +136,8 @@ class LibDe265:
             raw = ctypes.string_at(ptr, stride.value * ch_h)
             planes.append(
                 b"".join(
-                    raw[r * stride.value : r * stride.value + cw] for r in range(ch_h)
+                    raw[r * stride.value : r * stride.value + cw * bps]
+                    for r in range(ch_h)
                 )
             )
         return (w, h, planes[0], planes[1], planes[2])

@@ -45,10 +45,43 @@ _OFF_SLICETYPE = 64
 _OFF_COLORSPACE = 72
 
 
+# Itanium-mangled entry points of the embedded high-bit-depth builds
+# (the multilib .so namespaces them; the plain C symbols are the 8-bit
+# build).  Only flat functions are bound — no struct ABIs beyond the
+# disassembly-pinned x265_picture prefix shared by all three builds.
+_10BIT = {
+    "x265_param_alloc": "_ZN10x265_10bit16x265_param_allocEv",
+    "x265_param_free": "_ZN10x265_10bit15x265_param_freeEP10x265_param",
+    "x265_param_default": "_ZN10x265_10bit18x265_param_defaultEP10x265_param",
+    "x265_param_default_preset":
+        "_ZN10x265_10bit25x265_param_default_presetEP10x265_paramPKcS3_",
+    "x265_param_parse": "_ZN10x265_10bit16x265_param_parseEP10x265_paramPKcS3_",
+    "x265_encoder_open_199": "_ZN10x265_10bit21x265_encoder_open_199EP10x265_param",
+    "x265_encoder_close": "_ZN10x265_10bit18x265_encoder_closeEP12x265_encoder",
+    "x265_encoder_encode":
+        "_ZN10x265_10bit19x265_encoder_encodeEP12x265_encoderPP8x265_nalPjP12x265_pictureS7_",
+    "x265_picture_init": "_ZN10x265_10bit17x265_picture_initEP10x265_paramP12x265_picture",
+}
+
+
 class LibX265:
-    def __init__(self) -> None:
+    def __init__(self, bit_depth: int = 8) -> None:
+        if bit_depth not in (8, 10):
+            raise ValueError("libx265 oracle: 8- or 10-bit only")
+        self.bit_depth = bit_depth
         name = ctypes.util.find_library("x265") or "libx265.so.199"
-        self._lib = lib = ctypes.CDLL(name)
+        cdll = ctypes.CDLL(name)
+        if bit_depth == 8:
+            lib = cdll
+        else:
+            class _Ns:  # namespaced symbol view
+                pass
+
+            lib = _Ns()
+            for plain, mangled in _10BIT.items():
+                setattr(lib, plain, getattr(cdll, mangled))
+        self._cdll = cdll
+        self._lib = lib
         p = ctypes.c_void_p
         lib.x265_param_alloc.restype = p
         lib.x265_param_alloc.argtypes = []
@@ -76,7 +109,7 @@ class LibX265:
         lib.x265_picture_init.argtypes = [p, p]
 
     def version(self) -> str:
-        return ctypes.c_char_p.in_dll(self._lib, "x265_version_str").value.decode()
+        return ctypes.c_char_p.in_dll(self._cdll, "x265_version_str").value.decode()
 
     def encode(
         self,
@@ -88,12 +121,15 @@ class LibX265:
         """Encode I420 frames → one Annex-B HEVC elementary stream.
 
         frames: list of (y_bytes, cb_bytes, cr_bytes), each plane
-        tightly packed (w*h / (w/2)*(h/2)); 8-bit, width/height even.
-        options: extra x265_param_parse key→value pairs layered over
-        the defaults below (value None → boolean flag form).
+        tightly packed (w*h / (w/2)*(h/2)) — one byte per sample for
+        the 8-bit build, little-endian uint16 per sample for the
+        10-bit build; width/height even.  options: extra
+        x265_param_parse key→value pairs layered over the defaults
+        below (value None → boolean flag form).
         """
         if width % 2 or height % 2:
             raise ValueError("libx265 oracle: even dimensions only")
+        bps = 1 if self.bit_depth == 8 else 2
         lib = self._lib
         param = lib.x265_param_alloc()
         if not param:
@@ -130,7 +166,8 @@ class LibX265:
             if not enc:
                 raise ValueError("libx265: encoder open failed")
 
-            ysz, csz = width * height, (width // 2) * (height // 2)
+            ysz = width * height * bps
+            csz = (width // 2) * (height // 2) * bps
             out = bytearray()
             nals = ctypes.c_void_p()
             n_nal = ctypes.c_uint32()
@@ -162,7 +199,7 @@ class LibX265:
                     ctypes.c_void_p.from_address(addr + _OFF_PLANES + 8 * k).value = (
                         ctypes.addressof(buf)
                     )
-                strides = (width, width // 2, width // 2)
+                strides = (width * bps, (width // 2) * bps, (width // 2) * bps)
                 for k, s in enumerate(strides):
                     ctypes.c_int32.from_address(addr + _OFF_STRIDE + 4 * k).value = s
                 rc = lib.x265_encoder_encode(
@@ -188,8 +225,8 @@ class LibX265:
             lib.x265_param_free(param)
 
 
-def load() -> LibX265 | None:
+def load(bit_depth: int = 8) -> LibX265 | None:
     try:
-        return LibX265()
-    except OSError:
+        return LibX265(bit_depth)
+    except (OSError, AttributeError):
         return None

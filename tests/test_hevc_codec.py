@@ -444,6 +444,59 @@ def test_fixture_encoder_input_validation():
         encode_hevc_iframe_bypass(32, 32, b"\x00" * 10, b"", b"")
 
 
+_X265_10 = libx265_oracle.load(10)
+needs_refs10 = pytest.mark.skipif(
+    _DE265 is None or _X265_10 is None, reason="10-bit references absent")
+
+
+def _planes10(seed: int, w: int, h: int):
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 1024, (h, w)).astype("<u2")
+    cb = rng.integers(0, 1024, (h // 2, w // 2)).astype("<u2")
+    cr = rng.integers(0, 1024, (h // 2, w // 2)).astype("<u2")
+    return y, cb, cr
+
+
+@needs_refs10
+@pytest.mark.parametrize("opts,label", [
+    ({"keyint": "1", "sao": "0", "deblock": "0", "bframes": "0",
+      "aq-mode": "0", "lossless": "1"}, "lossless"),
+    ({"keyint": "1", "sao": "0", "deblock": "0", "bframes": "0",
+      "aq-mode": "0", "qp": "30"}, "qp30"),
+    ({"keyint": "1", "sao": "0", "deblock": "0", "bframes": "0",
+      "aq-mode": "0", "qp": "12"}, "qp12"),
+    ({"keyint": "1", "bframes": "0", "aq-mode": "0", "qp": "32",
+      "sao": "1", "deblock": "1"}, "deblock+sao"),
+    ({"keyint": "1", "bframes": "0", "preset": "medium", "crf": "26"},
+     "medium-defaults"),
+], ids=lambda v: v if isinstance(v, str) else "")
+def test_main10_bit_exact(opts, label):
+    """Main10 (10-bit) — the dominant modern HEVC profile; planes are
+    uint16-LE, arbitrated bit-exactly by libde265 on 10-bit libx265
+    streams (the x265_10bit namespaced build bound by mangled name)."""
+    w, h = (128, 96) if "crf" in opts else (96, 64)
+    y, cb, cr = _planes10(len(label), w, h)
+    stream = _X265_10.encode(w, h, [(y.tobytes(), cb.tobytes(), cr.tobytes())],
+                             opts)
+    ref = _DE265.decode(stream)
+    mine = decode_hevc_intra_stream(stream)
+    assert len(mine) == len(ref)
+    for m, r in zip(mine, ref):
+        assert m == r
+    assert len(mine[0][2]) == 2 * w * h  # uint16 planes
+
+
+@needs_refs10
+def test_main10_lossless_reproduces_input():
+    y, cb, cr = _planes10(9, 64, 64)
+    stream = _X265_10.encode(64, 64, [(y.tobytes(), cb.tobytes(), cr.tobytes())],
+                             {"keyint": "1", "sao": "0", "deblock": "0",
+                              "bframes": "0", "aq-mode": "0", "lossless": "1"})
+    w, h, dy, dcb, dcr = decode_hevc_iframe(stream)
+    assert (w, h) == (64, 64)
+    assert dy == y.tobytes() and dcb == cb.tobytes() and dcr == cr.tobytes()
+
+
 @needs_refs
 def test_sao_streams_with_lossless_cus_skip_sao_on_bypass_samples():
     y, cb, cr = _planes(9, 64, 64)
