@@ -1664,6 +1664,28 @@ def _hevc_nal(nal_type: int, rbsp: bytes) -> bytes:
             + _add_emulation(rbsp))
 
 
+def _fixture_vps() -> bytes:
+    """Minimal VPS completing the SPS activation chain (§7.3.2.1)."""
+    bw = _BitWriter()
+    bw.u(4, 0)                      # vps_video_parameter_set_id
+    bw.u(2, 3); bw.u(6, 0)          # reserved 11, max_layers_minus1
+    bw.u(3, 0); bw.u(1, 1)          # max_sub_layers_minus1, nesting
+    bw.u(16, 0xFFFF)                # reserved
+    # profile_tier_level — same PTL bytes the fixture SPS writes
+    bw.u(2, 0); bw.u(1, 0); bw.u(5, 1)
+    bw.u(32, 0b0110 << 28)
+    bw.u(1, 1); bw.u(1, 0); bw.u(1, 0); bw.u(1, 1)
+    bw.u(32, 0); bw.u(12, 0)
+    bw.u(8, 120)
+    bw.u(1, 1)                      # sub_layer_ordering_info_present
+    bw.ue(0); bw.ue(0); bw.ue(0)    # dec_pic_buffering/reorder/latency
+    bw.u(6, 0); bw.ue(0)            # max_layer_id, num_layer_sets_minus1
+    bw.u(1, 0)                      # vps_timing_info_present
+    bw.u(1, 0)                      # vps_extension
+    bw.rbsp_trailing()
+    return bw.done()
+
+
 def _fixture_sps(w: int, h: int) -> bytes:
     bw = _BitWriter()
     bw.u(4, 0); bw.u(3, 0); bw.u(1, 1)
@@ -1985,6 +2007,7 @@ def encode_hevc_iframe_bypass(width: int, height: int, y: bytes,
         mirror.avail[y0 >> 2 : (y0 + 16) >> 2, x0 >> 2 : (x0 + 16) >> 2] = True
         enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
     bw.align_zero()
-    return (_hevc_nal(33, _fixture_sps(width, height))
+    return (_hevc_nal(32, _fixture_vps())
+            + _hevc_nal(33, _fixture_sps(width, height))
             + _hevc_nal(34, _fixture_pps())
             + _hevc_nal(19, bw.done()))

@@ -5244,21 +5244,23 @@ def encode_heic_grid_fixture(tile_w: int, tile_h: int, rows: int, cols: int,
     for y, cb, cr in tiles:
         streams.append(encode_hevc_iframe_bypass(tile_w, tile_h, y, cb, cr))
     samples = []
-    sps_nals = pps_nals = None
+    vps_nals = sps_nals = pps_nals = None
     for stream in streams:
         vcl = []
-        sps, pps = [], []
+        vps, sps, pps = [], [], []
         for nal in _h264_split_nals(stream):
             t = (nal[0] >> 1) & 63
-            if t == 33:
+            if t == 32:
+                vps.append(nal)
+            elif t == 33:
                 sps.append(nal)
             elif t == 34:
                 pps.append(nal)
-            elif t != 32:
+            else:
                 vcl.append(nal)
         samples.append(b"".join(struct.pack(">I", len(n)) + n for n in vcl))
-        sps_nals, pps_nals = sps, pps  # identical across tiles (same dims)
-    entry = _hvc1_sample_entry([], sps_nals, pps_nals)
+        vps_nals, sps_nals, pps_nals = vps, sps, pps  # identical across tiles
+    entry = _hvc1_sample_entry(vps_nals, sps_nals, pps_nals)
     hb, he = _mp4_child(entry, 8 + 78, len(entry), b"hvcC")
     hvcc_box = entry[hb - 8 : he]
 
@@ -5328,9 +5330,10 @@ def encode_heic_fixture(width: int, height: int, y: bytes, cb: bytes,
         else:
             vcl.append(nal)
     sample = b"".join(struct.pack(">I", len(n)) + n for n in vcl)
+    vps_nals = [n for n in param_nals if ((n[0] >> 1) & 63) == 32]
     sps_nals = [n for n in param_nals if ((n[0] >> 1) & 63) == 33]
     pps_nals = [n for n in param_nals if ((n[0] >> 1) & 63) == 34]
-    hvc1_entry = _hvc1_sample_entry([], sps_nals, pps_nals)
+    hvc1_entry = _hvc1_sample_entry(vps_nals, sps_nals, pps_nals)
     # reuse the sample entry only for its hvcC child
     hb, he = _mp4_child(hvc1_entry, 8 + 78, len(hvc1_entry), b"hvcC")
     hvcc_box = hvc1_entry[hb - 8 : he]
