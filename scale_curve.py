@@ -561,6 +561,42 @@ def main() -> None:
                 "dedup_span_removal",
                 lambda: _span_removal(d, k=6).count(),
             )
+        if "hevc" in ops:
+            # r7d: the HEVC/HEIC tier at scale — per-doc hvc1 MP4s
+            # (ids folded into the battery fixture space, so each doc
+            # pays a full fixture ENCODE + container mux + CABAC
+            # DECODE) and per-doc .heic stills (single items + Apple
+            # grids).  Pure per-row Arrow work, zero shuffle; output
+            # rows deterministic ∝ factor.
+            from data_lake_skyfit_spark.llm.multimodal import (
+                decode_images,
+                decode_video_pixels,
+                synthesize_heic_payloads,
+                synthesize_hevc_mp4_payloads,
+            )
+
+            timed(
+                "hevc_mp4_decode",
+                lambda: decode_video_pixels(
+                    synthesize_hevc_mp4_payloads(
+                        # spread explicitly: the materialized corpus may
+                        # sit in few parquet splits and the per-row
+                        # CABAC work is the whole cost (battery rule)
+                        d.selectExpr("doc_id % 120 AS doc_id")
+                        .repartition(int(CPUS))
+                    ),
+                    every_ms=400,
+                ).count(),
+            )
+            timed(
+                "heic_decode",
+                lambda: decode_images(
+                    synthesize_heic_payloads(
+                        d.selectExpr("doc_id % 160 AS doc_id")
+                        .repartition(int(CPUS))
+                    )
+                ).count(),
+            )
         if "shards" in ops:
             # r7: pure-Python compressed-shard decode at scale — one
             # ~30 KB payload per doc (docs' text tripled so the
