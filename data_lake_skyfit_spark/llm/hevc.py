@@ -4,9 +4,11 @@ executor-safe (no native deps), for the multimodal curation tier.
 Envelope (reject-never-approximate — unsupported streams raise
 ValueError, they are never approximated): Main and Main10 (8- and
 10-bit) 4:2:0, I slices (IRAP nal types 16..21), one independent
-slice segment per picture, no tiles / no wavefront entropy sync / no
-dependent slices, no scaling lists, no PCM.  10-bit pictures return
-little-endian uint16 plane bytes.  Supported inside that envelope: the full
+slice segment per picture, wavefront entropy sync (WPP — x265's
+default mode; per-row substreams via entry point offsets with §9.3.1
+context synchronization), no tiles / no dependent slices, no scaling
+lists, no PCM.  10-bit pictures return little-endian uint16 plane
+bytes.  Supported inside that envelope: the full
 coding/transform quadtree at every CTU size 16/32/64, all 35 intra
 prediction modes with reference substitution + mode-dependent
 smoothing + strong (bilinear) smoothing, DST-VII 4x4 and DCT-II
@@ -379,8 +381,7 @@ def _parse_pps(rbsp: bytes) -> dict:
     pps["tq_bypass_enabled"] = br.u(1)
     if br.u(1):
         raise ValueError("hevc: tiles unsupported")
-    if br.u(1):
-        raise ValueError("hevc: wavefront entropy sync unsupported")
+    pps["wpp"] = br.u(1)  # entropy_coding_sync (wavefronts)
     pps["loop_filter_across_slices"] = br.u(1)
     pps["deblock_override_enabled"] = 0
     pps["deblock_disabled"] = 0
@@ -452,6 +453,16 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
         sh["sao_luma"] or sh["sao_chroma"] or not sh["deblock_disabled"]
     ):
         br.u(1)
+    sh["entry_offsets"] = []
+    if pps["wpp"]:
+        n_entry = br.ue()
+        if n_entry > 1 << 16:
+            raise ValueError("hevc: implausible entry point count")
+        if n_entry:
+            off_len = br.ue() + 1
+            if off_len > 32:
+                raise ValueError("hevc: bad entry point offset length")
+            sh["entry_offsets"] = [br.u(off_len) + 1 for _ in range(n_entry)]
     if pps["slice_header_ext"]:
         for _ in range(br.ue()):
             br.u(8)
@@ -790,26 +801,71 @@ class _PicDecoder:
 
     # ---------------------------------------------------------- slice loop
     def decode_slice(self, br: _BitReader) -> None:
-        self.cab = _Cabac(br, self.sh["qp"])
         ctb = 1 << self.log2_ctb
         n_w = (self.w + ctb - 1) >> self.log2_ctb
         n_h = (self.h + ctb - 1) >> self.log2_ctb
         self.n_ctb_w = n_w
         self.sao_params: dict[tuple[int, int], list] = {}
-        total = n_w * n_h
-        for addr in range(total):
-            rx = addr % n_w
-            ry = addr // n_w
-            if self.sh["sao_luma"] or self.sh["sao_chroma"]:
-                self._sao_syntax(rx, ry)
-            self._cqt(rx << self.log2_ctb, ry << self.log2_ctb,
-                      self.log2_ctb, 0)
-            end = self.cab.terminate()
-            if addr == total - 1:
-                if end != 1:
-                    raise ValueError("hevc: missing end_of_slice flag")
-            elif end:
-                raise ValueError("hevc: premature end_of_slice flag")
+        offsets = self.sh.get("entry_offsets") or []
+        if self.pps["wpp"] and n_h > 1 and not offsets:
+            raise ValueError("hevc: wavefront slice without entry points")
+        if not offsets:
+            self.cab = _Cabac(br, self.sh["qp"])
+            total = n_w * n_h
+            for addr in range(total):
+                rx = addr % n_w
+                ry = addr // n_w
+                self._decode_ctu(rx, ry)
+                end = self.cab.terminate()
+                if addr == total - 1:
+                    if end != 1:
+                        raise ValueError("hevc: missing end_of_slice flag")
+                elif end:
+                    raise ValueError("hevc: premature end_of_slice flag")
+            return
+        # ---- wavefront parallel processing (§9.3.1): one substream per
+        # CTB row; row r>0 initializes its contexts from the state saved
+        # after the SECOND CTU of row r-1 (fresh init when the picture
+        # is one CTB wide); entry point offsets are RBSP-domain bytes
+        if len(offsets) != n_h - 1:
+            raise ValueError("hevc: entry point count does not match CTB rows")
+        start = (br.pos + 7) >> 3
+        starts = [start]
+        for off in offsets:
+            starts.append(starts[-1] + off)
+        if starts[-1] >= len(br.data):
+            raise ValueError("hevc: entry point offsets overrun the slice")
+        sync_state: list[list[int]] | None = None
+        for ry in range(n_h):
+            sub = _BitReader(br.data)
+            sub.pos = starts[ry] * 8
+            cab = _Cabac(sub, self.sh["qp"])
+            if ry > 0 and sync_state is not None:
+                cab.state = [st.copy() for st in sync_state]
+            self.cab = cab
+            # qPY_PREV resets at each CTB row under entropy sync (§8.6.1)
+            self.last_cu_qp = self.sh["qp"]
+            sync_state = None
+            for rx in range(n_w):
+                self._decode_ctu(rx, ry)
+                if rx == 1:
+                    sync_state = [st.copy() for st in cab.state]
+                end = cab.terminate()
+                last_ctu = ry == n_h - 1 and rx == n_w - 1
+                if last_ctu:
+                    if end != 1:
+                        raise ValueError("hevc: missing end_of_slice flag")
+                elif end:
+                    raise ValueError("hevc: premature end_of_slice flag")
+                if rx == n_w - 1 and not last_ctu:
+                    if cab.terminate() != 1:
+                        raise ValueError("hevc: missing end_of_subset bit")
+
+    def _decode_ctu(self, rx: int, ry: int) -> None:
+        if self.sh["sao_luma"] or self.sh["sao_chroma"]:
+            self._sao_syntax(rx, ry)
+        self._cqt(rx << self.log2_ctb, ry << self.log2_ctb,
+                  self.log2_ctb, 0)
 
     # ---------------------------------------------------------------- SAO
     def _sao_syntax(self, rx: int, ry: int) -> None:

@@ -498,6 +498,33 @@ def test_main10_lossless_reproduces_input():
 
 
 @needs_refs
+@pytest.mark.parametrize("opts,label", [
+    (dict(_BASE, qp="30", wpp="1"), "plain"),
+    (dict(_BASE, lossless="1", wpp="1"), "lossless"),
+    ({"keyint": "1", "bframes": "0", "aq-mode": "0", "qp": "30",
+      "sao": "1", "deblock": "1", "wpp": "1"}, "sao+deblock"),
+    ({"keyint": "1", "bframes": "0", "preset": "medium", "crf": "26",
+      "wpp": "1"}, "true-default-medium"),
+    (dict(_BASE, qp="27", wpp="1", ctu="16"), "ctu16-many-rows"),
+], ids=lambda v: v if isinstance(v, str) else "")
+def test_wavefront_streams_bit_exact(opts, label):
+    """WPP (entropy_coding_sync) — x265's DEFAULT entropy mode: one
+    substream per CTB row via entry point offsets, contexts synced
+    from the state after the second CTU of the row above."""
+    w, h = (128, 128) if ("crf" in opts or "sao" in opts) else (96, 96)
+    stream = _encode(w, h, [_planes(len(label), w, h)], opts)
+    _assert_matches_reference(stream)
+
+
+@needs_refs
+def test_wavefront_one_column_fresh_init():
+    # one CTB per row: no sync storage happens, every row re-inits
+    stream = _encode(32, 96, [_planes(7, 32, 96)],
+                     dict(_BASE, qp="27", wpp="1", ctu="32"))
+    _assert_matches_reference(stream)
+
+
+@needs_refs
 def test_sao_streams_with_lossless_cus_skip_sao_on_bypass_samples():
     y, cb, cr = _planes(9, 64, 64)
     stream = _encode(64, 64, [(y, cb, cr)],
