@@ -3,10 +3,12 @@ executor-safe (no native deps), for the multimodal curation tier.
 
 Envelope (reject-never-approximate — unsupported streams raise
 ValueError, they are never approximated): Main and Main10 (8- and
-10-bit) 4:2:0, I slices (IRAP nal types 16..21), one independent
-slice segment per picture, wavefront entropy sync (WPP — x265's
-default mode; per-row substreams via entry point offsets with §9.3.1
-context synchronization), no tiles / no dependent slices, no scaling
+10-bit) 4:2:0, I slices (IRAP nal types 16..21), multiple independent
+slice segments per picture (slice-scoped availability, per-slice QP
+chains and deblock/SAO boundary control), wavefront entropy sync
+(WPP — x265's default mode; per-row substreams via entry point
+offsets or sequential byte-aligned subsets, §9.3.1 context
+synchronization), no tiles / no dependent slice segments, no scaling
 lists, no PCM.  10-bit pictures return little-endian uint16 plane
 bytes.  Supported inside that envelope: the full
 coding/transform quadtree at every CTU size 16/32/64, all 35 intra
@@ -405,14 +407,23 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
                         pps_map: dict) -> dict:
     sh: dict = {}
     first = br.u(1)
-    if not first:
-        raise ValueError("hevc: multiple slice segments unsupported")
+    sh["first"] = first
     if nal_type in _IRAP_TYPES:
         br.u(1)  # no_output_of_prior_pics
     pps = pps_map.get(br.ue())
     if pps is None:
         raise ValueError("hevc: slice references unknown PPS")
     sh["pps"] = pps
+    sh["address"] = 0
+    if not first:
+        if pps["dependent_slices"] and br.u(1):
+            raise ValueError("hevc: dependent slice segments unsupported")
+        ctb = 1 << sps["log2_ctb"]
+        pic_ctbs = (((sps["w"] + ctb - 1) >> sps["log2_ctb"])
+                    * ((sps["h"] + ctb - 1) >> sps["log2_ctb"]))
+        sh["address"] = br.u(max(1, (pic_ctbs - 1).bit_length()))
+        if sh["address"] == 0 or sh["address"] >= pic_ctbs:
+            raise ValueError("hevc: bad slice segment address")
     for _ in range(pps["extra_slice_bits"]):
         br.u(1)
     slice_type = br.ue()
@@ -449,10 +460,11 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
         if not sh["deblock_disabled"]:
             sh["beta_offset"] = br.se() * 2
             sh["tc_offset"] = br.se() * 2
+    sh["lf_across"] = pps["loop_filter_across_slices"]
     if pps["loop_filter_across_slices"] and (
         sh["sao_luma"] or sh["sao_chroma"] or not sh["deblock_disabled"]
     ):
-        br.u(1)
+        sh["lf_across"] = br.u(1)
     sh["entry_offsets"] = []
     if pps["wpp"]:
         n_entry = br.ue()
@@ -786,6 +798,10 @@ class _PicDecoder:
         self.avail = np.zeros((gh, gw), bool)
         self.qp_grid = np.full((gh, gw), sh["qp"], np.int16)
         self.bypass_grid = np.zeros((gh, gw), bool)
+        self.slice_grid = np.full((gh, gw), -1, np.int16)
+        self.slice_params: list[dict] = []
+        self.cur_slice = -1
+        self.next_ctu = 0
         self.tu_list: list[tuple[int, int, int]] = []  # (x0, y0, size) luma
         self.log2_ctb = sps["log2_ctb"]
         self.min_cb = sps["log2_min_cb"]
@@ -800,35 +816,82 @@ class _PicDecoder:
         self.last_cu_qp = sh["qp"]
 
     # ---------------------------------------------------------- slice loop
-    def decode_slice(self, br: _BitReader) -> None:
+    def decode_segment(self, br: _BitReader, sh: dict) -> None:
+        """Decode one independent slice segment (possibly one of several
+        covering the picture; segments must tile the CTU raster in
+        order)."""
+        self.sh = sh
+        self.slice_params.append(sh)
+        self.cur_slice = len(self.slice_params) - 1
         ctb = 1 << self.log2_ctb
         n_w = (self.w + ctb - 1) >> self.log2_ctb
         n_h = (self.h + ctb - 1) >> self.log2_ctb
         self.n_ctb_w = n_w
-        self.sao_params: dict[tuple[int, int], list] = {}
-        offsets = self.sh.get("entry_offsets") or []
-        if self.pps["wpp"] and n_h > 1 and not offsets:
-            raise ValueError("hevc: wavefront slice without entry points")
+        if not hasattr(self, "sao_params"):
+            self.sao_params: dict[tuple[int, int], list] = {}
+            self.ctu_slice = np.full(n_w * n_h, -1, np.int16)
+        if sh["address"] != self.next_ctu:
+            raise ValueError("hevc: slice segments do not tile the picture")
+        # per-slice resets (QP prediction chain restarts)
+        self.qp_delta_coded = True
+        self.cu_qp_delta_val = 0
+        self.qg_pred = sh["qp"]
+        self.last_cu_qp = sh["qp"]
+        offsets = sh.get("entry_offsets") or []
+        if self.pps["wpp"]:
+            # x265 layers slices on the wavefront scheduler: every slice
+            # is CTB-row-aligned and carries entry points for ITS rows;
+            # each slice's first row initializes contexts fresh (the row
+            # above belongs to another slice ⇒ no sync storage), later
+            # rows sync within the slice — so the existing per-row loop
+            # works slice-relative.
+            if sh["address"] % n_w:
+                raise ValueError(
+                    "hevc: wavefront slices must be CTB-row-aligned")
+            n_rows_here = len(offsets) + 1
+            if sh["address"] // n_w + n_rows_here > n_h:
+                raise ValueError("hevc: wavefront slice overruns the picture")
         if not offsets:
-            self.cab = _Cabac(br, self.sh["qp"])
+            self.cab = _Cabac(br, sh["qp"])
             total = n_w * n_h
-            for addr in range(total):
+            sync_state: list[list[int]] | None = None
+            for addr in range(sh["address"], total):
                 rx = addr % n_w
                 ry = addr // n_w
                 self._decode_ctu(rx, ry)
+                if self.pps["wpp"] and rx == 1:
+                    sync_state = [st.copy() for st in self.cab.state]
                 end = self.cab.terminate()
+                if end:
+                    self.next_ctu = addr + 1
+                    return
                 if addr == total - 1:
-                    if end != 1:
-                        raise ValueError("hevc: missing end_of_slice flag")
-                elif end:
-                    raise ValueError("hevc: premature end_of_slice flag")
+                    raise ValueError("hevc: missing end_of_slice flag")
+                if self.pps["wpp"] and rx == n_w - 1:
+                    # sequential wavefront substreams without entry
+                    # points (legal: the offsets are a parallel-seek
+                    # aid): end_of_subset_one_bit, byte alignment, then
+                    # the next row re-initializes the arithmetic engine
+                    # with the §9.3.1 synced contexts
+                    if self.cab.terminate() != 1:
+                        raise ValueError("hevc: missing end_of_subset bit")
+                    rdr = self.cab.br
+                    rdr.pos = ((rdr.pos + 7) >> 3) << 3
+                    self.cab = _Cabac(rdr, sh["qp"])
+                    if sync_state is not None:
+                        self.cab.state = [st.copy() for st in sync_state]
+                    sync_state = None
+                    self.last_cu_qp = sh["qp"]
             return
         # ---- wavefront parallel processing (§9.3.1): one substream per
-        # CTB row; row r>0 initializes its contexts from the state saved
-        # after the SECOND CTU of row r-1 (fresh init when the picture
-        # is one CTB wide); entry point offsets are RBSP-domain bytes
-        if len(offsets) != n_h - 1:
-            raise ValueError("hevc: entry point count does not match CTB rows")
+        # CTB row (slice-relative: x265 layers slices on wavefronts, so
+        # a slice covers whole rows and carries entry points for them);
+        # row r>0 initializes its contexts from the state saved after
+        # the SECOND CTU of row r-1 (fresh init when the picture is one
+        # CTB wide or the row above is another slice); entry point
+        # offsets are RBSP-domain bytes
+        start_row = sh["address"] // n_w
+        end_row = start_row + len(offsets) + 1
         start = (br.pos + 7) >> 3
         starts = [start]
         for off in offsets:
@@ -836,22 +899,22 @@ class _PicDecoder:
         if starts[-1] >= len(br.data):
             raise ValueError("hevc: entry point offsets overrun the slice")
         sync_state: list[list[int]] | None = None
-        for ry in range(n_h):
+        for ry in range(start_row, end_row):
             sub = _BitReader(br.data)
-            sub.pos = starts[ry] * 8
-            cab = _Cabac(sub, self.sh["qp"])
-            if ry > 0 and sync_state is not None:
+            sub.pos = starts[ry - start_row] * 8
+            cab = _Cabac(sub, sh["qp"])
+            if ry > start_row and sync_state is not None:
                 cab.state = [st.copy() for st in sync_state]
             self.cab = cab
             # qPY_PREV resets at each CTB row under entropy sync (§8.6.1)
-            self.last_cu_qp = self.sh["qp"]
+            self.last_cu_qp = sh["qp"]
             sync_state = None
             for rx in range(n_w):
                 self._decode_ctu(rx, ry)
                 if rx == 1:
                     sync_state = [st.copy() for st in cab.state]
                 end = cab.terminate()
-                last_ctu = ry == n_h - 1 and rx == n_w - 1
+                last_ctu = ry == end_row - 1 and rx == n_w - 1
                 if last_ctu:
                     if end != 1:
                         raise ValueError("hevc: missing end_of_slice flag")
@@ -860,8 +923,10 @@ class _PicDecoder:
                 if rx == n_w - 1 and not last_ctu:
                     if cab.terminate() != 1:
                         raise ValueError("hevc: missing end_of_subset bit")
+        self.next_ctu = end_row * n_w
 
     def _decode_ctu(self, rx: int, ry: int) -> None:
+        self.ctu_slice[ry * self.n_ctb_w + rx] = self.cur_slice
         if self.sh["sao_luma"] or self.sh["sao_chroma"]:
             self._sao_syntax(rx, ry)
         self._cqt(rx << self.log2_ctb, ry << self.log2_ctb,
@@ -870,10 +935,15 @@ class _PicDecoder:
     # ---------------------------------------------------------------- SAO
     def _sao_syntax(self, rx: int, ry: int) -> None:
         cab = self.cab
-        if rx > 0 and cab.dec(_CTX_OFF["sao_merge"]):
+        nw = self.n_ctb_w
+        left_ok = (rx > 0
+                   and self.ctu_slice[ry * nw + rx - 1] == self.cur_slice)
+        up_ok = (ry > 0
+                 and self.ctu_slice[(ry - 1) * nw + rx] == self.cur_slice)
+        if left_ok and cab.dec(_CTX_OFF["sao_merge"]):
             self.sao_params[(rx, ry)] = self.sao_params[(rx - 1, ry)]
             return
-        if ry > 0 and cab.dec(_CTX_OFF["sao_merge"]):
+        if up_ok and cab.dec(_CTX_OFF["sao_merge"]):
             self.sao_params[(rx, ry)] = self.sao_params[(rx, ry - 1)]
             return
         params = []  # per component: (type, offsets[5], band_pos, eo_class)
@@ -978,8 +1048,31 @@ class _PicDecoder:
                         edge = np.where(edge == 2, 0,
                                         np.where(edge < 2, edge + 1, edge))
                         lut = np.array(vals, np.int64)
-                        out[vy0 - y0 : vy1 - y0, vx0 - x0 : vx1 - x0] = np.clip(
-                            cen + lut[edge], 0, self.maxval)
+                        new = np.clip(cen + lut[edge], 0, self.maxval)
+                        if len(self.slice_params) > 1 and any(
+                            not p["lf_across"] for p in self.slice_params
+                        ):
+                            # §8.7.3 neighbour availability: a sample
+                            # whose EO neighbour sits in another slice
+                            # with cross-slice filtering disabled stays
+                            # unmodified
+                            ys = np.arange(vy0, vy1)
+                            xs = np.arange(vx0, vx1)
+
+                            def cells(yv, xv):
+                                return self.slice_grid[np.ix_(
+                                    (yv << shift) >> 2, (xv << shift) >> 2)]
+
+                            s_c = cells(ys, xs)
+                            s_a = cells(ys + dy0, xs + dx0)
+                            s_b = cells(ys + dy1, xs + dx1)
+                            lf = np.array(
+                                [1 if p["lf_across"] else 0
+                                 for p in self.slice_params], np.int64)
+                            ok = (((s_a == s_c) | (lf[s_c] == 1))
+                                  & ((s_b == s_c) | (lf[s_c] == 1)))
+                            new = np.where(ok, new, cen)
+                        out[vy0 - y0 : vy1 - y0, vx0 - x0 : vx1 - x0] = new
                 if self.pps["tq_bypass_enabled"]:
                     byp = self.bypass_grid[
                         (y0 << shift) >> 2 : ((y1 << shift) + 3) >> 2 : 1,
@@ -997,11 +1090,13 @@ class _PicDecoder:
         """§8.6.1: neighbour QP only counts when it sits in the SAME CTB,
         else the running qPY_PREV (last decoded CU's QP) substitutes."""
         prev = self.last_cu_qp
-        if x_qg > 0 and ((x_qg - 1) >> self.log2_ctb) == (x_qg >> self.log2_ctb):
+        if (x_qg > 0 and ((x_qg - 1) >> self.log2_ctb) == (x_qg >> self.log2_ctb)
+                and self.slice_grid[y_qg >> 2, (x_qg - 1) >> 2] == self.cur_slice):
             qp_a = int(self.qp_grid[y_qg >> 2, (x_qg - 1) >> 2])
         else:
             qp_a = prev
-        if y_qg > 0 and ((y_qg - 1) >> self.log2_ctb) == (y_qg >> self.log2_ctb):
+        if (y_qg > 0 and ((y_qg - 1) >> self.log2_ctb) == (y_qg >> self.log2_ctb)
+                and self.slice_grid[(y_qg - 1) >> 2, x_qg >> 2] == self.cur_slice):
             qp_b = int(self.qp_grid[(y_qg - 1) >> 2, x_qg >> 2])
         else:
             qp_b = prev
@@ -1016,9 +1111,11 @@ class _PicDecoder:
         in_pic = x0 + size <= self.w and y0 + size <= self.h
         if in_pic and log2_size > self.min_cb:
             inc = 0
-            if x0 > 0 and self.ct_depth[y0 >> 2, (x0 - 1) >> 2] > depth:
+            if (x0 > 0 and self.slice_grid[y0 >> 2, (x0 - 1) >> 2] == self.cur_slice
+                    and self.ct_depth[y0 >> 2, (x0 - 1) >> 2] > depth):
                 inc += 1
-            if y0 > 0 and self.ct_depth[(y0 - 1) >> 2, x0 >> 2] > depth:
+            if (y0 > 0 and self.slice_grid[(y0 - 1) >> 2, x0 >> 2] == self.cur_slice
+                    and self.ct_depth[(y0 - 1) >> 2, x0 >> 2] > depth):
                 inc += 1
             split = self.cab.dec(_CTX_OFF["split_cu"] + inc)
         elif log2_size > self.min_cb:
@@ -1041,6 +1138,7 @@ class _PicDecoder:
         size = 1 << log2_size
         g = slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2)
         self.ct_depth[g] = depth
+        self.slice_grid[g] = self.cur_slice
         bypass = 0
         if self.pps["tq_bypass_enabled"]:
             bypass = cab.dec(_CTX_OFF["tq_bypass"])
@@ -1086,14 +1184,15 @@ class _PicDecoder:
 
     def _derive_luma_mode(self, px: int, py: int, choice: tuple[str, int]) -> int:
         ctb_mask = ~((1 << self.log2_ctb) - 1)
-        if px > 0:
+        if px > 0 and self.slice_grid[py >> 2, (px - 1) >> 2] == self.cur_slice:
             cand_a = int(self.mode_grid[py >> 2, (px - 1) >> 2])
         else:
             cand_a = 1
-        if py > 0 and (py - 1) & ctb_mask == py & ctb_mask:
+        if (py > 0 and (py - 1) & ctb_mask == py & ctb_mask
+                and self.slice_grid[(py - 1) >> 2, px >> 2] == self.cur_slice):
             cand_b = int(self.mode_grid[(py - 1) >> 2, px >> 2])
         else:
-            cand_b = 1  # above row outside this CTB (or picture) → DC
+            cand_b = 1  # above row outside this CTB/slice (or picture) → DC
         if cand_a == cand_b:
             if cand_a < 2:
                 mpm = [0, 1, 26]
@@ -1232,7 +1331,9 @@ class _PicDecoder:
         def sample_ok(px: int, py: int) -> bool:
             if px < 0 or py < 0 or px >= pw or py >= ph:
                 return False
-            return bool(self.avail[(py << shift) >> 2, (px << shift) >> 2])
+            cy, cx = (py << shift) >> 2, (px << shift) >> 2
+            return bool(self.avail[cy, cx]) and (
+                self.slice_grid[cy, cx] == self.cur_slice)
 
         # ordered reference walk: p[-1][2N-1] .. p[-1][-1] .. p[2N-1][-1]
         coords = [(x - 1, y + n2 - 1 - i) for i in range(n2)]
@@ -1473,31 +1574,38 @@ class _Deblocker:
                 self.h_edge[y0 >> 2, x0 >> 2 : (x0 + size) >> 2] = True
 
     def run(self) -> None:
-        sh = self.d.sh
-        beta_off = sh["beta_offset"]
-        tc_off = sh["tc_offset"]
-        self._luma_pass(vertical=True, beta_off=beta_off, tc_off=tc_off)
-        self._chroma_pass(vertical=True, tc_off=tc_off)
-        self._luma_pass(vertical=False, beta_off=beta_off, tc_off=tc_off)
-        self._chroma_pass(vertical=False, tc_off=tc_off)
+        self._luma_pass(vertical=True)
+        self._chroma_pass(vertical=True)
+        self._luma_pass(vertical=False)
+        self._chroma_pass(vertical=False)
 
     # p/q fetch helpers: for a vertical edge the filter runs along columns
     # (q = samples at x0.., p = samples at x0-1..); transposing the plane
     # turns the horizontal pass into the vertical one.
-    def _luma_pass(self, vertical: bool, beta_off: int, tc_off: int) -> None:
+    def _luma_pass(self, vertical: bool) -> None:
         d = self.d
         plane = d.y if vertical else d.y.T
         edges = self.v_edge if vertical else self.h_edge.T
         qp = d.qp_grid if vertical else d.qp_grid.T
         byp = d.bypass_grid if vertical else d.bypass_grid.T
+        slg = d.slice_grid if vertical else d.slice_grid.T
         h4, w4 = edges.shape
         for gx in range(0, w4, 2):  # 8x8 luma grid columns only
             for gy in range(h4):
                 if not edges[gy, gx]:
                     continue
+                # the current (q-side) slice's parameters govern the edge
+                sq = int(slg[gy, gx])
+                params = d.slice_params[sq]
+                if params["deblock_disabled"]:
+                    continue
+                if int(slg[gy, gx - 1]) != sq and not params["lf_across"]:
+                    continue  # slice boundary with filtering disabled
+                beta_off = params["beta_offset"]
+                tc_off = params["tc_offset"]
                 x = gx << 2
                 y = gy << 2
-                qp_p = int(qp[gy, gx - 1]) if vertical else int(qp[gy, gx - 1])
+                qp_p = int(qp[gy, gx - 1])
                 qp_q = int(qp[gy, gx])
                 qavg = (qp_p + qp_q + 1) >> 1
                 bd_sh = d.bd - 8
@@ -1592,11 +1700,12 @@ class _Deblocker:
                 plane[y : y + 4, x + 1] = np.where(
                     mask, np.clip(q1 + dq, 0, mx), q1)
 
-    def _chroma_pass(self, vertical: bool, tc_off: int) -> None:
+    def _chroma_pass(self, vertical: bool) -> None:
         d = self.d
         edges = self.v_edge if vertical else self.h_edge.T
         qp = d.qp_grid if vertical else d.qp_grid.T
         byp = d.bypass_grid if vertical else d.bypass_grid.T
+        slg = d.slice_grid if vertical else d.slice_grid.T
         h4, w4 = edges.shape
         for c_idx, off in ((1, d.pps["cb_qp_offset"]), (2, d.pps["cr_qp_offset"])):
             plane_full = d.cb if c_idx == 1 else d.cr
@@ -1607,6 +1716,13 @@ class _Deblocker:
                 for gy in range(h4):  # one luma cell = 2 chroma rows
                     if not edges[gy, gx]:
                         continue
+                    sq = int(slg[gy, gx])
+                    params = d.slice_params[sq]
+                    if params["deblock_disabled"]:
+                        continue
+                    if int(slg[gy, gx - 1]) != sq and not params["lf_across"]:
+                        continue
+                    tc_off = params["tc_offset"]
                     x = gx << 1  # chroma x
                     qp_p = int(qp[gy, gx - 1])
                     qp_q = int(qp[gy, gx])
@@ -1633,10 +1749,14 @@ class _Deblocker:
 # Stream API
 
 
-def _decode_picture(sps: dict, sh: dict, br: _BitReader) -> tuple:
-    dec = _PicDecoder(sps, sh)
-    dec.decode_slice(br)
-    if not sh["deblock_disabled"]:
+def _finalize_picture(dec: "_PicDecoder") -> tuple:
+    sps = dec.sps
+    ctb = 1 << dec.log2_ctb
+    total = (((sps["w"] + ctb - 1) >> dec.log2_ctb)
+             * ((sps["h"] + ctb - 1) >> dec.log2_ctb))
+    if dec.next_ctu != total:
+        raise ValueError("hevc: slice segments do not cover the picture")
+    if any(not p["deblock_disabled"] for p in dec.slice_params):
         _Deblocker(dec).run()
     dec.apply_sao()
     cl, cr_, ct, cb_ = sps["crop"]
@@ -1657,6 +1777,7 @@ def decode_hevc_intra_stream(data: bytes, max_frames: int = 64) -> list[tuple]:
     sps_map: dict[int, dict] = {}
     pps_map: dict[int, dict] = {}
     out: list[tuple] = []
+    cur = None
     for nal in _split_nals(data):
         if len(nal) < 3:
             raise ValueError("hevc: truncated NAL")
@@ -1673,15 +1794,24 @@ def decode_hevc_intra_stream(data: bytes, max_frames: int = 64) -> list[tuple]:
             pps = _parse_pps(rbsp)
             pps_map[pps["id"]] = pps
         elif ntype in _IRAP_TYPES:
-            if len(out) >= max_frames:
-                break
             br = _BitReader(rbsp)
             sh = _parse_slice_header(br, ntype, _active_sps(sps_map, rbsp), pps_map)
             sps = sps_map[sh["pps"]["sps_id"]]
-            out.append(_decode_picture(sps, sh, br))
+            if sh["first"]:
+                if cur is not None:
+                    out.append(_finalize_picture(cur))
+                    cur = None
+                if len(out) >= max_frames:
+                    break
+                cur = _PicDecoder(sps, sh)
+            elif cur is None:
+                raise ValueError("hevc: continuation slice without a picture")
+            cur.decode_segment(br, sh)
         elif ntype <= 15:
             raise ValueError("hevc: inter-coded slices unsupported")
         # other non-VCL types ignored
+    if cur is not None:
+        out.append(_finalize_picture(cur))
     if not out:
         raise ValueError("hevc: no decodable IRAP picture")
     return out

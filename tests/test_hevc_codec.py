@@ -517,6 +517,39 @@ def test_wavefront_streams_bit_exact(opts, label):
 
 
 @needs_refs
+@pytest.mark.parametrize("opts,label", [
+    (dict(_BASE, qp="30", wpp="1", slices="2"), "slices2"),
+    (dict(_BASE, qp="27", wpp="1", slices="3"), "slices3"),
+    (dict(_BASE, lossless="1", wpp="1", slices="2"), "slices2-lossless"),
+    ({"keyint": "1", "bframes": "0", "aq-mode": "0", "qp": "30",
+      "sao": "1", "deblock": "1", "wpp": "1", "slices": "2"},
+     "slices2-sao-deblock"),
+    (dict(_BASE, qp="27", wpp="1", slices="4", ctu="16"), "slices4-ctu16"),
+], ids=lambda v: v if isinstance(v, str) else "")
+def test_multi_slice_streams_bit_exact(opts, label):
+    """Multiple independent slice segments (x265 layers them on the
+    wavefront scheduler): slice-scoped intra/MPM/ctx availability,
+    per-slice QP chains, per-edge deblock params with the
+    cross-slice-filtering flag, and SAO's slice-boundary sample
+    gating."""
+    w, h = (128, 128) if ("sao" in opts or opts.get("slices") == "3") else (96, 96)
+    stream = _encode(w, h, [_planes(len(label), w, h)], opts)
+    _assert_matches_reference(stream)
+
+
+@needs_refs
+def test_multi_slice_default_preset_bit_exact():
+    # medium preset (ctu 64) needs a geometry giving every slice real
+    # rows — x265 emits a DATALESS second slice on tiny pictures (row 1
+    # never coded; even libde265 just leaves it zero), which this
+    # decoder rejects rather than conceals
+    stream = _encode(256, 256, [_planes(31, 256, 256)],
+                     {"keyint": "1", "bframes": "0", "preset": "medium",
+                      "crf": "26", "wpp": "1", "slices": "2"})
+    _assert_matches_reference(stream)
+
+
+@needs_refs
 def test_wavefront_one_column_fresh_init():
     # one CTB per row: no sync storage happens, every row re-inits
     stream = _encode(32, 96, [_planes(7, 32, 96)],
