@@ -8,8 +8,9 @@ slice segments per picture (slice-scoped availability, per-slice QP
 chains and deblock/SAO boundary control), wavefront entropy sync
 (WPP — x265's default mode; per-row substreams via entry point
 offsets or sequential byte-aligned subsets, §9.3.1 context
-synchronization), no tiles / no dependent slice segments, no scaling
-lists, no PCM.  10-bit pictures return little-endian uint16 plane
+synchronization), quantization scaling lists (default and
+explicitly-coded, SPS or PPS level), no tiles / no dependent slice
+segments, no PCM.  10-bit pictures return little-endian uint16 plane
 bytes.  Supported inside that envelope: the full
 coding/transform quadtree at every CTU size 16/32/64, all 35 intra
 prediction modes with reference substitution + mode-dependent
@@ -336,8 +337,12 @@ def _parse_sps(rbsp: bytes) -> dict:
         raise ValueError("hevc: dimensions not multiples of min CB size")
     br.ue()  # max_transform_hierarchy_depth_inter
     sps["max_tr_depth_intra"] = br.ue()
-    if br.u(1):
-        raise ValueError("hevc: scaling lists unsupported")
+    sps["scaling"] = None
+    if br.u(1):  # scaling_list_enabled
+        if br.u(1):  # sps_scaling_list_data_present
+            sps["scaling"] = _scaling_factors(_parse_scaling_list_data(br))
+        else:
+            sps["scaling"] = _scaling_factors(None)
     br.u(1)  # amp_enabled (inter-only relevance)
     sps["sao"] = br.u(1)
     if br.u(1):
@@ -395,8 +400,9 @@ def _parse_pps(rbsp: bytes) -> dict:
         if not pps["deblock_disabled"]:
             pps["beta_offset"] = br.se() * 2
             pps["tc_offset"] = br.se() * 2
-    if br.u(1):
-        raise ValueError("hevc: pps scaling lists unsupported")
+    pps["scaling"] = None
+    if br.u(1):  # pps_scaling_list_data_present
+        pps["scaling"] = _scaling_factors(_parse_scaling_list_data(br))
     br.u(1)  # lists_modification_present
     br.ue()  # log2_parallel_merge_level_minus2
     pps["slice_header_ext"] = br.u(1)
@@ -609,6 +615,112 @@ _DST4 = np.array([
 
 _LEVEL_SCALE = (40, 45, 51, 57, 64, 72)
 
+# Default scaling lists (Table 7-5/7-6), binary-extracted: libx265 stores
+# them raster as int32 (inter @ 0xfa0960, intra @ 0xfa0a60), libde265 in
+# up-right-diagonal order as uint8 (@ 0x6e020 / 0x6e060) — byte-identical
+# after reordering (tests/test_hevc_codec.py re-extracts both).
+_DEF_8X8_INTRA = (
+    16, 16, 16, 16, 17, 18, 21, 24,
+    16, 16, 16, 16, 17, 19, 22, 25,
+    16, 16, 17, 18, 20, 22, 25, 29,
+    16, 16, 18, 21, 24, 27, 31, 36,
+    17, 17, 20, 24, 30, 35, 41, 47,
+    18, 19, 22, 27, 35, 44, 54, 65,
+    21, 22, 25, 31, 41, 54, 70, 88,
+    24, 25, 29, 36, 47, 65, 88, 115,
+)
+_DEF_8X8_INTER = (
+    16, 16, 16, 16, 17, 18, 20, 24,
+    16, 16, 16, 17, 18, 20, 24, 25,
+    16, 16, 17, 18, 20, 24, 25, 28,
+    16, 17, 18, 20, 24, 25, 28, 33,
+    17, 18, 20, 24, 25, 28, 33, 41,
+    18, 20, 24, 25, 28, 33, 41, 54,
+    20, 24, 25, 28, 33, 41, 54, 71,
+    24, 25, 28, 33, 41, 54, 71, 91,
+)
+
+
+def _default_list(size_id: int, matrix_id: int) -> tuple[list[int], int]:
+    """(coefficients in up-right diagonal order, dc) per Table 7-5/7-6."""
+    if size_id == 0:
+        return [16] * 16, 16
+    raster = _DEF_8X8_INTRA if matrix_id < (3 if size_id < 3 else 1) \
+        else _DEF_8X8_INTER
+    n = 8
+    order = _scan_order(3, 0)
+    diag = [raster[y * n + x] for x, y in order]
+    return diag, 16
+
+
+def _parse_scaling_list_data(br: _BitReader) -> dict:
+    """§7.3.4 → {(sizeId, matrixId): (diag_coefs, dc)}."""
+    lists: dict = {}
+    for size_id in range(4):
+        n_mat = 2 if size_id == 3 else 6
+        step = 3 if size_id == 3 else 1
+        for m in range(n_mat):
+            matrix_id = m * step if size_id == 3 else m
+            if not br.u(1):  # scaling_list_pred_mode_flag == 0: copy
+                delta = br.ue()
+                if delta == 0:
+                    lists[(size_id, matrix_id)] = _default_list(size_id,
+                                                                matrix_id)
+                else:
+                    ref = matrix_id - delta * (3 if size_id == 3 else 1)
+                    if (size_id, ref) not in lists:
+                        raise ValueError("hevc: scaling list copy out of range")
+                    lists[(size_id, matrix_id)] = lists[(size_id, ref)]
+            else:
+                coef_num = min(64, 1 << (4 + (size_id << 1)))
+                next_coef = 8
+                dc = 16
+                if size_id > 1:
+                    dc = br.se() + 8
+                    if not 1 <= dc <= 255:
+                        raise ValueError("hevc: scaling list dc out of range")
+                    next_coef = dc
+                coefs = []
+                for _ in range(coef_num):
+                    delta = br.se()
+                    if not -128 <= delta <= 127:
+                        raise ValueError("hevc: scaling list delta out of range")
+                    next_coef = (next_coef + delta + 256) % 256
+                    if next_coef == 0:
+                        raise ValueError("hevc: zero scaling coefficient")
+                    coefs.append(next_coef)
+                lists[(size_id, matrix_id)] = (coefs, dc)
+    return lists
+
+
+def _scaling_factors(lists: dict | None) -> dict:
+    """ScalingFactor arrays (§8.6.3) keyed by (log2_size, matrix_id):
+    diag-scanned base lists expanded to full matrices, 2x/4x upsampled
+    for 16/32 with the DC override."""
+    factors: dict = {}
+    for size_id in range(4):
+        n_mat = 2 if size_id == 3 else 6
+        step = 3 if size_id == 3 else 1
+        for m in range(n_mat):
+            matrix_id = m * step if size_id == 3 else m
+            if lists is None:
+                coefs, dc = _default_list(size_id, matrix_id)
+            else:
+                coefs, dc = lists[(size_id, matrix_id)]
+            base_log2 = 2 if size_id == 0 else 3
+            n = 1 << base_log2
+            mat = np.zeros((n, n), np.int64)
+            for (x, y), v in zip(_scan_order(base_log2, 0), coefs):
+                mat[y, x] = v
+            if size_id <= 1:
+                factors[(size_id + 2, matrix_id)] = mat
+            else:
+                rep = 2 if size_id == 2 else 4
+                big = np.repeat(np.repeat(mat, rep, axis=0), rep, axis=1)
+                big[0, 0] = dc
+                factors[(size_id + 2, matrix_id)] = big
+    return factors
+
 # Table 8-10: chroma QP mapping for qPi in [30, 43]
 _CHROMA_QP_MAP = (29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37)
 
@@ -627,11 +739,13 @@ def _chroma_qp(qp_y: int, offset: int, bd: int = 8) -> int:
 
 
 def _dequant(coeffs: np.ndarray, log2_size: int, qp: int,
-             bd: int = 8) -> np.ndarray:
-    """§8.6.3 with flat (16) scaling matrix; qp is Qp' (incl. BD offset)."""
+             bd: int = 8, m=None) -> np.ndarray:
+    """§8.6.3; qp is Qp' (incl. BD offset); m is the ScalingFactor
+    matrix (None → flat 16)."""
     bd_shift = bd + log2_size - 5
     scale = _LEVEL_SCALE[qp % 6] << (qp // 6)
-    d = (coeffs.astype(np.int64) * (scale * 16) + (1 << (bd_shift - 1))) >> bd_shift
+    mm = 16 if m is None else m
+    d = (coeffs.astype(np.int64) * mm * scale + (1 << (bd_shift - 1))) >> bd_shift
     return np.clip(d, -32768, 32767)
 
 
@@ -809,6 +923,9 @@ class _PicDecoder:
         self.max_tb = sps["log2_max_tb"]
         self.cab: _Cabac | None = None
         # quantization-group state
+        self.scaling = (self.pps["scaling"]
+                        if self.pps.get("scaling") is not None
+                        else sps.get("scaling"))
         self.min_qg_log2 = self.log2_ctb - self.pps["diff_cu_qp_delta_depth"]
         self.qp_delta_coded = True
         self.cu_qp_delta_val = 0
@@ -1311,7 +1428,10 @@ class _PicDecoder:
                              qp: int, cu: dict, tskip: int) -> np.ndarray:
         if cu["bypass"]:
             return coeffs.astype(np.int64)
-        d = _dequant(coeffs, log2, qp, self.bd)
+        m = None
+        if self.scaling is not None and not tskip:
+            m = self.scaling[(log2, c_idx)]
+        d = _dequant(coeffs, log2, qp, self.bd, m)
         if tskip:
             return _inv_transform_skip(d, self.bd)
         dst = c_idx == 0 and log2 == 2

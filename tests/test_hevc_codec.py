@@ -550,6 +550,54 @@ def test_multi_slice_default_preset_bit_exact():
 
 
 @needs_refs
+@pytest.mark.parametrize("opts,label", [
+    (dict(_BASE, qp="27", **{"scaling-list": "default"}), "qp27"),
+    (dict(_BASE, qp="35", **{"scaling-list": "default"}), "qp35"),
+    ({"keyint": "1", "bframes": "0", "preset": "medium", "crf": "26",
+      "scaling-list": "default", "wpp": "1"}, "medium-full"),
+    ({"keyint": "1", "bframes": "0", "preset": "medium", "qp": "30",
+      "tskip": "1", "sao": "0", "deblock": "0", "aq-mode": "0",
+      "scaling-list": "default"}, "with-transform-skip"),
+], ids=lambda v: v if isinstance(v, str) else "")
+def test_scaling_lists_bit_exact(opts, label):
+    """Quantization scaling lists (x265 --scaling-list default): the
+    Table 7-5/7-6 default matrices drive §8.6.3 dequant (8x8 base
+    lists upsampled 2x/4x with the DC override; transform-skip blocks
+    stay flat)."""
+    w, h = (128, 128) if "crf" in opts else (96, 64)
+    stream = _encode(w, h, [_planes(len(label), w, h)], opts)
+    for nal in hevc._split_nals(stream):
+        if ((nal[0] >> 1) & 63) == 33:
+            assert hevc._parse_sps(
+                hevc._strip_emulation(nal[2:]))["scaling"] is not None
+    _assert_matches_reference(stream)
+
+
+@needs_de265
+def test_default_scaling_lists_match_both_binaries():
+    import numpy as _np
+
+    x265 = _blob(_X265_PATH)
+    de265 = _blob(_DE265_PATH)
+    intra = struct.unpack_from("<64i", x265, 0xFA0A60)
+    inter = struct.unpack_from("<64i", x265, 0xFA0960)
+    assert tuple(intra) == hevc._DEF_8X8_INTRA
+    assert tuple(inter) == hevc._DEF_8X8_INTER
+    # libde265 stores the same lists in up-right-diagonal order as u8
+    order = hevc._scan_order(3, 0)
+    diag_intra = bytes(hevc._DEF_8X8_INTRA[y * 8 + x] for x, y in order)
+    diag_inter = bytes(hevc._DEF_8X8_INTER[y * 8 + x] for x, y in order)
+    assert de265[0x6E060 : 0x6E060 + 64] == diag_intra
+    assert de265[0x6E020 : 0x6E020 + 64] == diag_inter
+    # upsampling sanity: the 16x16 factor matrix replicates 2x2 with DC 16
+    f = hevc._scaling_factors(None)[(4, 0)]
+    assert f.shape == (16, 16) and f[0, 0] == 16
+    assert (_np.repeat(_np.repeat(
+        hevc._scaling_factors(None)[(3, 0)], 2, 0), 2, 1)[1:, 1:]
+        == f[1:, 1:]).all()
+
+
+@needs_refs
 def test_wavefront_one_column_fresh_init():
     # one CTB per row: no sync storage happens, every row re-inits
     stream = _encode(32, 96, [_planes(7, 32, 96)],
