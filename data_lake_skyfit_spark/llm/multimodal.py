@@ -4241,10 +4241,12 @@ def decode_video_pixels(
     real and each sampled frame decoded for real: MJPG chunks through
     the full baseline-JPEG path, DIB chunks as raw channel bytes.
     ISO BMFF payloads run the real sample-table walk and decode
-    JPEG-coded samples the same way (MJPEG-in-MP4, r5). Foreign codecs
-    (H.264 …) need pyav: fake path derives frames from the content
-    hash with pixel_sum null (or raises without SKYFIT_FAKE_DECODE),
-    mirroring decode_images. ``include_sq`` appends the exact Σv²
+    JPEG-coded samples the same way (MJPEG-in-MP4, r5), avcC-configured
+    tracks through the full H.264 decoder (r6-r7c) and hvcC-configured
+    tracks through the HEVC intra decoder (r7d). Remaining foreign
+    codecs (AV1 …) need pyav: fake path derives frames from the
+    content hash with pixel_sum null (or raises without
+    SKYFIT_FAKE_DECODE), mirroring decode_images. ``include_sq`` appends the exact Σv²
     pixel_sq column (the second moment the pixel-fingerprint near-dup
     tier keys on).  ``keyframes_only`` (MP4 only) walks the stss sync
     table and decodes nothing but self-contained IDR samples — the
