@@ -5154,6 +5154,20 @@ class _HeifMeta:
                 ispe = struct.unpack_from(">II", self.data, b + 4)
         return hvcc_cfg, ispe
 
+    def item_transforms(self, iid: int):
+        """('irot', angle) / ('imir', axis) in ipma ASSOCIATION order
+        (ISO 23008-12: transformative properties apply in that order)."""
+        out = []
+        for idx in self.assoc.get(iid, ()):
+            if not 1 <= idx <= len(self.props):
+                raise ValueError("heif: property index out of range")
+            fc, b, e = self.props[idx - 1]
+            if fc == b"irot":
+                out.append(("irot", self.data[b] & 3))
+            elif fc == b"imir":
+                out.append(("imir", self.data[b] & 1))
+        return out
+
     def decode_hvc1_item(self, iid: int):
         hvcc_cfg, ispe = self.item_props(iid)
         if hvcc_cfg is None or ispe is None:
@@ -5182,7 +5196,7 @@ def _heic_pixels(data: bytes):
     ptype = meta.item_types.get(meta.primary)
     if ptype == b"hvc1":
         w, h, y, cb, cr = meta.decode_hvc1_item(meta.primary)
-        return w, h, 3, y + cb + cr
+        return _heif_apply_transforms(meta, w, h, y, cb, cr)
     if ptype != b"grid":
         raise ValueError("heif: primary item is neither hvc1 nor grid")
     cfg = meta.item_data(meta.primary)
@@ -5230,7 +5244,38 @@ def _heic_pixels(data: bytes):
     y = ypl[:out_h, :out_w].tobytes()
     cb = cbpl[: (out_h + 1) // 2, : (out_w + 1) // 2].tobytes()
     cr = crpl[: (out_h + 1) // 2, : (out_w + 1) // 2].tobytes()
-    return out_w, out_h, 3, y + cb + cr
+    return _heif_apply_transforms(meta, out_w, out_h, y, cb, cr)
+
+
+def _heif_apply_transforms(meta: "_HeifMeta", w: int, h: int,
+                           y: bytes, cb: bytes, cr: bytes):
+    """Apply the primary item's irot/imir properties (in association
+    order) to decoded 4:2:0 planes — the iPhone-photo rotation path.
+    irot counts anti-clockwise 90° steps; imir mode 0 mirrors about a
+    HORIZONTAL axis (top↔bottom), 1 about a vertical axis (the
+    convention libheif implements — the published spec revisions
+    renamed/renumbered the field, so the reference arbitrates)."""
+    transforms = meta.item_transforms(meta.primary)
+    if not transforms:
+        return w, h, 3, y + cb + cr
+    import numpy as np
+
+    if w % 2 or h % 2:
+        raise ValueError("heif: transforms on odd-dimension images")
+    planes = [
+        np.frombuffer(y, np.uint8).reshape(h, w),
+        np.frombuffer(cb, np.uint8).reshape(h // 2, w // 2),
+        np.frombuffer(cr, np.uint8).reshape(h // 2, w // 2),
+    ]
+    for kind, val in transforms:
+        if kind == "irot" and val:
+            planes = [np.rot90(pl, val) for pl in planes]
+        elif kind == "imir":
+            planes = [(np.flipud(pl) if val == 0 else np.fliplr(pl))
+                      for pl in planes]
+    out_h, out_w = planes[0].shape
+    return out_w, out_h, 3, (planes[0].tobytes() + planes[1].tobytes()
+                             + planes[2].tobytes())
 
 
 def encode_heic_grid_fixture(tile_w: int, tile_h: int, rows: int, cols: int,
@@ -5317,7 +5362,8 @@ def encode_heic_grid_fixture(tile_w: int, tile_h: int, rows: int, cols: int,
 
 
 def encode_heic_fixture(width: int, height: int, y: bytes, cb: bytes,
-                        cr: bytes) -> bytes:
+                        cr: bytes, rotation: int = 0,
+                        mirror: int | None = None) -> bytes:
     """Minimal conformant .heic: ftyp(heic) + meta(hdlr/pitm/iinf/
     iprp/iloc) + mdat, the primary item an HEVC IRAP picture from the
     lossless fixture encoder — so decode reproduces the planes
@@ -5347,10 +5393,18 @@ def encode_heic_fixture(width: int, height: int, y: bytes, cb: bytes,
                      struct.pack(">HH", 1, 0) + b"hvc1" + b"\x00")
     iinf = _mp4_full(b"iinf", 0, 0, struct.pack(">H", 1) + infe)
     ispe = _mp4_full(b"ispe", 0, 0, struct.pack(">II", width, height))
-    ipco = _mp4_box(b"ipco", hvcc_box + ispe)
+    props = hvcc_box + ispe
+    assocs = [0x81, 0x02]
+    if rotation % 4:
+        props += _mp4_box(b"irot", bytes([rotation % 4]))
+        assocs.append(0x80 | len(assocs) + 1)
+    if mirror is not None:
+        props += _mp4_box(b"imir", bytes([mirror & 1]))
+        assocs.append(0x80 | len(assocs) + 1)
+    ipco = _mp4_box(b"ipco", props)
     ipma = _mp4_full(b"ipma", 0, 0,
                      struct.pack(">I", 1) + struct.pack(">H", 1)
-                     + bytes([2, 0x81, 0x02]))
+                     + bytes([len(assocs)] + assocs))
     iprp = _mp4_box(b"iprp", ipco + ipma)
     # iloc with a 4-byte absolute offset patched once layout is known
     def iloc_box(offset: int) -> bytes:

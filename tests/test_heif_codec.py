@@ -144,6 +144,39 @@ def test_external_libheif_files_tilewise_bit_exact(quality, lossless):
         assert mine[2] == ref[2] and mine[3] == ref[3] and mine[4] == ref[4]
 
 
+@needs_heif
+def test_irot_imir_transforms_match_libheif():
+    """Rotation/mirror properties (the iPhone-photo orientation path):
+    every irot x imir combination applied to gray-content fixtures must
+    reproduce libheif's output exactly (gray chroma keeps its RGB
+    normalization an identity, so the reference arbitrates the
+    transform conventions — which is how the imir axis numbering was
+    pinned, the spec revisions having renamed the field)."""
+    rng = np.random.default_rng(8)
+    y = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    gray = np.full((24, 32), 128, np.uint8)
+    for rot in (0, 1, 2, 3):
+        for mir in (None, 0, 1):
+            heic = encode_heic_fixture(
+                64, 48, y.tobytes(), gray.tobytes(), gray.tobytes(),
+                rotation=rot, mirror=mir)
+            mw, mh, ch, raw = _heic_pixels(heic)
+            lw, lh, ly, lcb, lcr = _HEIF.decode(heic)
+            assert (mw, mh) == (lw, lh), (rot, mir)
+            assert raw[: mw * mh] == ly, (rot, mir)
+
+
+def test_irot_changes_plane_layout():
+    y = np.arange(48 * 64, dtype=np.uint8).reshape(48, 64) % 251
+    c = np.full((24, 32), 100, np.uint8)
+    heic = encode_heic_fixture(64, 48, y.tobytes(), c.tobytes(), c.tobytes(),
+                               rotation=1)
+    w, h, ch, raw = _heic_pixels(heic)
+    assert (w, h) == (48, 64)
+    got = np.frombuffer(raw[: 48 * 64], np.uint8).reshape(64, 48)
+    assert (got == np.rot90(y, 1)).all()
+
+
 # --------------------------------------------------------------- golden
 
 # libheif-encoded .heic (generated via tests/libheif_oracle.py; every

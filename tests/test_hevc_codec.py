@@ -323,6 +323,49 @@ def test_embedded_external_goldens():
         assert hashlib.md5(y + cb + cr).hexdigest() == md5, name
 
 
+_GOLDEN_10BIT = (48, 32, "e19599bc3d3570bbe39f41ba9a971bcf",
+    "AAAAAUABDAH//wQIAAADAJ2oAAADAAAeugJAAAAAAUIBAQQIAAADAJ2oAAADAAAeoGIITZbp"
+    "KTK4BAAAD6AAAYagIAAAAAFEAcBxgYkSAAABKAGvWCz0qWbAdYv//6Xm77wVrO9jx+QS5BbT"
+    "imuiyUNbIhLDvEYdoN9zCV/o/piaT+KQdDExnIkwAw1Wtr6OUpqvGmQ1t30wn1l1vhTqucJ8"
+    "OVUUf9uQgwdI4hgSVHKufzxZpGLkUJqwTZzEaWYeW9bB3ZdwrEkYAs5KRXe5A3rgmeSKYest"
+    "Ki4+WEPE+bgLcCKUwjUMak/JDRzkNM52/+qc3a5iwB6YeSfC6JKvGf3cIdO8d1plcBUJah/B"
+    "dddcb3G1DmHBhAocOacOqJ3tVP44sExP35DsTh99h5mpWkj741mtwVF3PjG3CAWTwrZFsnYr"
+    "9Ad1SJoFjgcj/wS60xfZ4FdhaqHDcOx0ZwHG87HLvdQAjyA5SLxMhQo+pBSEwiobEUyALbBk"
+    "LSQb7TjKdIEzoFI6JQXHbPxADTWcxUWSyNbyj8zs7WaZ/lxIAOpkUtrAodXTh4RngdxGluZ1"
+    "Z8ieCowNfUjIB8TpIHGSvpieo5EghjVTADMQXpAKq4iKAvwZzXs6hOFwLQOXQtOeVv/InIDJ"
+    "7/Aqfn1UKgA5vvU85juChEPMYJQZgGx6hePbcOeP5oA/ek0eMMRbyz11vTYvyDJaH7hzNf7i"
+    "zU6Jgl3NU8qUOjDjSY+3rL/tGzgSxXOySIv6OciQ7S69IeqL+oRTm+dUdUgC/FawSu3Z6kx6"
+    "wCk0HzUNBwsJeRC7UMoTcg5Hn5Np7nqxwHWrVLfUj8y6joBqZLs2GmLGZAqZ3kNApdd8hXvo"
+    "iw8tJXIF5rT72dXml8Taz8yNFnVUFLY/Ajvn3EVGn0zy2ZGfUuUirN+DpNruQHlDZlSim5//"
+    "///aPfc9AztL9X4KL09Jd1tnJTwdQUw4vIfjpMaqo5iwDv9NxUM5CbU82G81zPh48A95KZAa"
+    "HjcSP7Pu/LUTKeh65zTiHZrgHLoYdKCV6eAf3RgVqaWW9tkvLw0EnVFWcBLhhx8JWCLPWdYW"
+    "SslV1lf6wZ+hBs5RU8hsBzSS2X6trBrztFxcWqGVHagSUElzBFAJUk4Z+GnHeaz0RKwQ6+/u"
+    "gslxxaAkdF2wQL06zLaAfnxzpaySNZhW4eXhXNnWy8Muqq85J4UzEM7izXRjH3I17zAF/xC0"
+    "JUgCLnCKdhGhN+1KFxBEzC2sFEbC9rQbqg5G1PyGE7iB/1O1PYuBfI98pkKoNIGIjPeGPGxz"
+    "DTu7JGctGdtxJV7Hr1PbVHPCvsEM+45uLjEy37Ecp9bJUeF8olR6CmZiBpRKdu2MbLVmXHhE"
+    "JORVbI58BUnyxzSjbOTN51oBhuKKx+tB1iOT303hk6B/T+DyG51cCYpdGPnOQMavsrKQ+wCe"
+    "xJ6cRlVhQTThZPqOaCrodfT+dxXrM0k8RnDjeO0CKergRUz6N8ct1M/OPWEMy093+D55CeT/"
+    "gaQeHN68ONHNJR5v86wET+/HLDuaItQPhANQRzy0/jFLl0Og7An7JrNM//QHLZSvZxCq2L04"
+    "CNAmv5htStrGnrhhhK55fppNMV8L2LsILjE2zmSLaZqTmYdO2KhJC5+zl+luhnanrOno+lbz"
+    "Pv2ESGEiVet3rk5jnjQIB1dwZ8flXPTrL1LekQjfJlCROX2kHV+rGOX6Aj2dpusIzbVTyAiI"
+    "owsjFvjLXmzatcKUqGPKMblCvfrhGYFLzzmMcue7HJWszSJ+lKo/2glu82Etjb2fFHegNXG7"
+    "yss4nrvGpx82GhGHmJQZq1XzDQYIPa6uEFb3EUquBqhuqzPbYElRhpJpRjxGpJ4zwR9bk6gH"
+    "IZw9bK/YwdwPj9/v9CGA3PXirtEAOeRwR/SKTdfGmMUOMzrYmBuwhRIQzkmZUQbcPTeNU9MO"
+    "FmNYhmxthXiw3/pLRC4pMZZI0ud2knrBig==")
+
+
+def test_embedded_main10_golden():
+    """x265-10bit-encoded stream (sao+deblock on) committed with the
+    libde265-decoded plane MD5 — the Main10 external pin holds without
+    the native libraries; planes are uint16-LE."""
+    w, h, md5 = _GOLDEN_10BIT[0], _GOLDEN_10BIT[1], _GOLDEN_10BIT[2]
+    stream = base64.b64decode("".join(_GOLDEN_10BIT[3:]))
+    dw, dh, y, cb, cr = decode_hevc_iframe(stream)
+    assert (dw, dh) == (w, h)
+    assert len(y) == 2 * w * h
+    assert hashlib.md5(y + cb + cr).hexdigest() == md5
+
+
 # ---------------------------------------------------------------------------
 # 3. table re-extraction
 
