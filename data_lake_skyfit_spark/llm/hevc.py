@@ -2030,20 +2030,20 @@ def _fixture_sps(w: int, h: int) -> bytes:
     return bw.done()
 
 
-def _fixture_pps() -> bytes:
+def _fixture_pps(qp: int = _FIXTURE_QP, tq_bypass: bool = True) -> bytes:
     bw = _BitWriter()
     bw.ue(0); bw.ue(0)
     bw.u(1, 0); bw.u(1, 0); bw.u(3, 0)
     bw.u(1, 0)                      # sign_data_hiding off
     bw.u(1, 0)                      # cabac_init_present
     bw.ue(0); bw.ue(0)
-    bw.se(_FIXTURE_QP - 26)         # init_qp
+    bw.se(qp - 26)                  # init_qp
     bw.u(1, 0)                      # constrained_intra_pred
     bw.u(1, 0); bw.u(1, 0)          # transform_skip, cu_qp_delta
     bw.se(0); bw.se(0)              # cb/cr qp offsets
     bw.u(1, 0)                      # slice chroma qp offsets
     bw.u(1, 0); bw.u(1, 0)          # weighted pred/bipred
-    bw.u(1, 1)                      # transquant_bypass_enabled
+    bw.u(1, 1 if tq_bypass else 0)  # transquant_bypass_enabled
     bw.u(1, 0); bw.u(1, 0)          # tiles, entropy sync
     bw.u(1, 1)                      # loop_filter_across_slices
     bw.u(1, 1)                      # deblocking_filter_control_present
@@ -2237,6 +2237,66 @@ def _residual_encode(enc, res: np.ndarray, log2: int, c_idx: int) -> None:
                     rice = min(rice + 1, 4)
             elif levels[nn] != base:
                 raise AssertionError("hevc: level not representable")
+
+
+def hevc_dc_expected(c: int, qp: int) -> int:
+    """Closed-form flat luma value of a 16x16 TB carrying a single DC
+    coefficient `c` at `qp` over a 128 prediction (8-bit, flat scaling):
+    §8.6.3 dequant (bdShift 7) then the DC-only two-stage DCT.  Pure
+    integer arithmetic — the graded oracle inlines exactly this."""
+    ls = _LEVEL_SCALE[qp % 6] << (qp // 6)
+    dq = _clip3(-32768, 32767, (c * 16 * ls + 64) >> 7)
+    e = _clip3(-32768, 32767, (dq * 64 + 64) >> 7)
+    r = _clip3(-32768, 32767, (e * 64 + 2048) >> 12)
+    return _clip3(0, 255, 128 + r)
+
+
+def encode_hevc_iframe_dc(width: int, height: int, qp: int,
+                          c_y: int) -> bytes:
+    """LOSSY intra fixture: the first CU codes a single luma DC
+    coefficient `c_y` at `qp` (transquant bypass OFF — the §8.6.3
+    dequant and the 16x16 DCT run for real); every other CU is
+    cbf-0 flat, DC-predicting the first CU's reconstruction, so the
+    whole luma plane equals hevc_dc_expected(c_y, qp) and chroma stays
+    at the 128 substitution value.  Puts the dequant/transform
+    arithmetic under the DRIVER's hash gate (the bypass fixtures pin
+    only the syntax tier there)."""
+    if width % 16 or height % 16 or not width or not height:
+        raise ValueError("hevc fixture: dimensions must be multiples of 16")
+    if not 0 <= qp <= 51 or not 1 <= abs(c_y) <= 1 << 14:
+        raise ValueError("hevc fixture: qp/coefficient out of range")
+    bw = _BitWriter()
+    bw.u(1, 1)
+    bw.u(1, 0)
+    bw.ue(0)
+    bw.ue(2)
+    bw.se(0)
+    bw.u(1, 1)
+    bw.align_zero()
+    enc = _CabacEnc(bw, qp)
+    enc.state = _ctx_states(qp)
+    coeffs = np.zeros((16, 16), np.int64)
+    coeffs[0, 0] = c_y
+    n_w = width // 16
+    n_h = height // 16
+    for addr in range(n_w * n_h):
+        enc.enc(_CTX_OFF["part_mode"], 1)      # PART_2Nx2N
+        enc.enc(_CTX_OFF["prev_intra"], 1)     # DC = MPM idx 1 here
+        enc.bypass_enc(1)
+        enc.bypass_enc(0)
+        enc.enc(_CTX_OFF["chroma_pred"], 0)    # derived (DC)
+        cbf_y = 1 if addr == 0 else 0
+        enc.enc(_CTX_OFF["cbf_chroma"], 0)
+        enc.enc(_CTX_OFF["cbf_chroma"], 0)
+        enc.enc(_CTX_OFF["cbf_luma"] + 1, cbf_y)
+        if cbf_y:
+            _residual_encode(enc, coeffs, 4, 0)
+        enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
+    bw.align_zero()
+    return (_hevc_nal(32, _fixture_vps())
+            + _hevc_nal(33, _fixture_sps(width, height))
+            + _hevc_nal(34, _fixture_pps(qp, tq_bypass=False))
+            + _hevc_nal(19, bw.done()))
 
 
 def encode_hevc_iframe_bypass(width: int, height: int, y: bytes,

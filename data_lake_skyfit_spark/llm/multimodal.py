@@ -8110,16 +8110,27 @@ def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
         return y.tobytes(), cb.tobytes(), cr.tobytes()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .hevc import encode_hevc_iframe_dc
+
         for pdf in batches:
             payloads = []
             for v in pdf[id_col]:
                 rid = int(v)
                 w = 32 + 16 * (rid % 3)
                 h = 32
-                frames = [
-                    encode_hevc_iframe_bypass(w, h, *frame_planes(rid, fi, w, h))
-                    for fi in range(1 + rid % 2)
-                ]
+                if rid >= 120:
+                    # lossy DC leg (ids 120-199): a single positive DC
+                    # coefficient at one of four qps runs the REAL
+                    # §8.6.3 dequant + 16x16 DCT under the hash gate;
+                    # oracle mirrors hevc_dc_expected's integer form
+                    frames = [encode_hevc_iframe_dc(
+                        w, h, (22, 27, 32, 37)[rid % 4], 1 + rid % 25)]
+                else:
+                    frames = [
+                        encode_hevc_iframe_bypass(
+                            w, h, *frame_planes(rid, fi, w, h))
+                        for fi in range(1 + rid % 2)
+                    ]
                 payloads.append(encode_mp4_frames(frames, codec="hvc1"))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 

@@ -3720,6 +3720,21 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS BIGINT) AS pixel_sum
     FROM (SELECT doc_id, w, fi,
                  118 + (7 * doc_id + 29 * fi) % 21 AS v FROM f)
+    UNION ALL
+    -- lossy DC leg: v = 128 + DC-only dequant+DCT closed form
+    -- (hevc_dc_expected); chroma stays at the 128 substitution
+    SELECT doc_id, CAST(0 AS INT) AS frame_idx, CAST(0 AS BIGINT) AS ts_ms,
+           CAST(w AS INT) AS width, CAST(32 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(w * 32 * (128 + (((((c * 16 * s + 64) // 128) * 64 + 64)
+                                  // 128) * 64 + 2048) // 4096)
+              + (w // 2) * 16 * 256 AS BIGINT) AS pixel_sum
+    FROM (
+      SELECT doc_id, 32 + 16 * (doc_id % 3) AS w, 1 + doc_id % 25 AS c,
+             CASE doc_id % 4 WHEN 0 THEN 512 WHEN 1 THEN 912
+                             WHEN 2 THEN 1632 ELSE 2880 END AS s
+      FROM documents WHERE doc_id >= 120 AND doc_id < 200
+    )
     """,
     tags=("llm-multimodal",),
     doc="HEVC / H.265 decode inside MP4 (r7d): synthesize_hevc_mp4_"
@@ -3734,14 +3749,18 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
     "transforms, deblocking + SAO — validated bit-exactly against "
     "libde265 on libx265-encoded streams across qp/CTU/feature "
     "sweeps (tests/test_hevc_codec.py), and the fixture wire is "
-    "arbitrated by libde265 too. The graded leg pins the Spark "
-    "plumbing, the hvc1 mux/demux walk and the bypass decode path; "
-    "the reference cross-pins carry the lossy arithmetic.",
+    "arbitrated by libde265 too. The graded legs pin the Spark "
+    "plumbing, the hvc1 mux/demux walk, the bypass decode path AND "
+    "(ids 120-199) the lossy tier: single-DC-coefficient pictures at "
+    "four qps run the real §8.6.3 dequant + 16x16 DCT, the oracle "
+    "inlining hevc_dc_expected's integer closed form. The full lossy "
+    "spectrum (all modes/sizes/filters) rides the reference "
+    "cross-pins in pytest.",
 )
 def multimodal_decode_hevc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-doc CABAC encode+decode is embarrassingly parallel but the
     # filtered id range lands in one parquet split — spread it explicitly
-    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
          .repartition(16, "doc_id"))
     media = multimodal.synthesize_hevc_mp4_payloads(d, id_col="doc_id")
     return multimodal.decode_video_pixels(media, every_ms=400)
