@@ -582,7 +582,7 @@ def main() -> None:
                         # spread explicitly: the materialized corpus may
                         # sit in few parquet splits and the per-row
                         # CABAC work is the whole cost (battery rule)
-                        d.selectExpr("doc_id % 120 AS doc_id")
+                        d.selectExpr("doc_id % 200 AS doc_id")
                         .repartition(int(CPUS))
                     ),
                     every_ms=400,
