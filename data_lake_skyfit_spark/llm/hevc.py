@@ -57,6 +57,9 @@ from .h264_cabac import _RANGE_LPS, _TRANS_LPS
 __all__ = [
     "decode_hevc_intra_stream",
     "decode_hevc_iframe",
+    "encode_hevc_iframe_bypass",
+    "encode_hevc_iframe_dc",
+    "hevc_dc_expected",
 ]
 
 _MAX_HEVC_PIXELS = 1 << 24

@@ -135,6 +135,10 @@ __all__ = [
     "encode_webp_lossless",
     "synthesize_webp_lossless_payloads",
     "synthesize_avc_mp4_payloads",
+    "synthesize_hevc_mp4_payloads",
+    "synthesize_heic_payloads",
+    "encode_heic_fixture",
+    "encode_heic_grid_fixture",
     "synthesize_webp_lossy_payloads",
     "encode_webp_animation",
     "webp_animation_frames",

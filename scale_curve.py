@@ -62,7 +62,7 @@ def main() -> None:
     ap.add_argument("--factors", default="1,8,64")
     ap.add_argument(
         "--ops",
-        default="lsh,cc,cur,knn,pq,bm25,fuzzy,clip,hamming,hh,pagerank,tri,contain,span",
+        default="lsh,cc,cur,knn,pq,bm25,fuzzy,clip,hamming,hh,pagerank,tri,contain,span,hevc",
     )
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]

@@ -210,6 +210,26 @@ def test_fixture_encoder_exact_roundtrip_no_refs():
             48, 32, y.tobytes(), cb.tobytes(), cr.tobytes())
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.sampled_from([(32, 32), (48, 32)]))
+    def test_fixture_roundtrip_property(seed, dims):
+        w, h = dims
+        rng = np.random.default_rng(seed)
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        cb = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        cr = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        stream = encode_hevc_iframe_bypass(
+            w, h, y.tobytes(), cb.tobytes(), cr.tobytes())
+        assert decode_hevc_iframe(stream) == (
+            w, h, y.tobytes(), cb.tobytes(), cr.tobytes())
+except ImportError:  # pragma: no cover
+    pass
+
+
 # ---------------------------------------------------------------------------
 # 2. embedded external goldens (generated by libx265, verified by libde265
 #    at embed time; decode must reproduce the committed plane MD5s)
