@@ -327,6 +327,18 @@ def test_bit_flip_fuzz_never_hangs():
             heic[pos] ^= bit
 
 
+def test_high_bit_depth_media_rejects_into_fake_path():
+    # Main10 samples decode fine at the codec layer (uint16 planes) but
+    # the byte-summing stats surfaces guard them out explicitly rather
+    # than mis-summing uint16 bytes
+    from .test_hevc_codec import _GOLDEN_10BIT
+
+    stream = base64.b64decode("".join(_GOLDEN_10BIT[3:]))
+    mp4 = M.encode_mp4_frames([stream], codec="hvc1")
+    with pytest.raises(ValueError, match="high-bit-depth"):
+        M._mp4_video_pixels(mp4, 400)
+
+
 def test_decode_images_sniff_order_keeps_other_formats():
     # the heif sniff must not swallow plain MP4s or other ftyp files
     assert not M._looks_like_heif(
