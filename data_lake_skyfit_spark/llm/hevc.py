@@ -3,7 +3,9 @@ executor-safe (no native deps), for the multimodal curation tier.
 
 Envelope (reject-never-approximate — unsupported streams raise
 ValueError, they are never approximated): Main and Main10 (8- and
-10-bit) 4:2:0, I slices (IRAP nal types 16..21), multiple independent
+10-bit) 4:2:0 plus monochrome 4:0:0 (gray pictures and the format of
+HEIC alpha auxiliaries; chroma planes return empty), I slices (IRAP
+nal types 16..21), multiple independent
 slice segments per picture (slice-scoped availability, per-slice QP
 chains and deblock/SAO boundary control), wavefront entropy sync
 (WPP — x265's default mode; per-row substreams via entry point
@@ -309,8 +311,9 @@ def _parse_sps(rbsp: bytes) -> dict:
     _parse_ptl(br, max_sub)
     sps["id"] = br.ue()
     chroma = br.ue()
-    if chroma != 1:
-        raise ValueError("hevc: only 4:2:0 supported")
+    if chroma not in (0, 1):
+        raise ValueError("hevc: only 4:0:0 and 4:2:0 supported")
+    sps["chroma"] = chroma
     sps["w"] = br.ue()
     sps["h"] = br.ue()
     if sps["w"] * sps["h"] > _MAX_HEVC_PIXELS or not sps["w"] or not sps["h"]:
@@ -452,7 +455,8 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
     sh["sao_luma"] = sh["sao_chroma"] = 0
     if sps["sao"]:
         sh["sao_luma"] = br.u(1)
-        sh["sao_chroma"] = br.u(1)
+        if sps["chroma"]:
+            sh["sao_chroma"] = br.u(1)
     sh["qp"] = pps["init_qp"] + br.se()
     if not -6 * (sps["bd"] - 8) <= sh["qp"] <= 51:
         raise ValueError("hevc: slice QP out of range")
@@ -906,9 +910,11 @@ class _PicDecoder:
         self.bd = sps.get("bd", 8)
         self.maxval = (1 << self.bd) - 1
         self.dtype = np.uint8 if self.bd == 8 else np.uint16
+        self.chroma = sps.get("chroma", 1)
         self.y = np.zeros((h, w), self.dtype)
-        self.cb = np.zeros((h // 2, w // 2), self.dtype)
-        self.cr = np.zeros((h // 2, w // 2), self.dtype)
+        cw, chh = (w // 2, h // 2) if self.chroma else (0, 0)
+        self.cb = np.zeros((chh, cw), self.dtype)
+        self.cr = np.zeros((chh, cw), self.dtype)
         gw, gh = w // 4, h // 4
         self.ct_depth = np.zeros((gh, gw), np.int8)
         self.mode_grid = np.ones((gh, gw), np.int8)  # DC default
@@ -1072,7 +1078,7 @@ class _PicDecoder:
             if c_idx == 0 and not self.sh["sao_luma"]:
                 params.append((0, None, 0, 0))
                 continue
-            if c_idx > 0 and not self.sh["sao_chroma"]:
+            if c_idx > 0 and (not self.chroma or not self.sh["sao_chroma"]):
                 params.append((0, None, 0, 0))
                 continue
             if c_idx == 0 or c_idx == 1:
@@ -1130,8 +1136,9 @@ class _PicDecoder:
         snaps = (self.y.copy(), self.cb.copy(), self.cr.copy())
         planes = (self.y, self.cb, self.cr)
         ctb = 1 << self.log2_ctb
+        n_comp = 3 if self.chroma else 1
         for (rx, ry), params in self.sao_params.items():
-            for c_idx in range(3):
+            for c_idx in range(n_comp):
                 t, vals, band_pos, eo_class = params[c_idx]
                 if t == 0:
                     continue
@@ -1285,7 +1292,9 @@ class _PicDecoder:
             mode = self._derive_luma_mode(px, py, sel[i])
             modes.append(mode)
             self.mode_grid[py >> 2 : (py + part) >> 2, px >> 2 : (px + part) >> 2] = mode
-        if cab.dec(_CTX_OFF["chroma_pred"]):
+        if not self.chroma:
+            chroma_mode = 0
+        elif cab.dec(_CTX_OFF["chroma_pred"]):
             idx = cab.bypass_bits(2)
             chroma_mode = _CHROMA_MODE_LIST[idx]
             if chroma_mode == modes[0]:
@@ -1344,7 +1353,9 @@ class _PicDecoder:
             split = 1 if (log2 > self.max_tb
                           or (intra_split and depth == 0 and log2 > self.min_tb)) else 0
         cbf_cb, cbf_cr = pcb, pcr
-        if log2 > 2:
+        if not self.chroma:
+            cbf_cb = cbf_cr = 0
+        elif log2 > 2:
             cbf_cb = cab.dec(_CTX_OFF["cbf_chroma"] + depth) if (depth == 0 or pcb) else 0
             cbf_cr = cab.dec(_CTX_OFF["cbf_chroma"] + depth) if (depth == 0 or pcr) else 0
         if split:
@@ -1403,8 +1414,10 @@ class _PicDecoder:
         self.y[y0 : y0 + size, x0 : x0 + size] = block
         self.avail[y0 >> 2 : (y0 + size) >> 2, x0 >> 2 : (x0 + size) >> 2] = True
         self.tu_list.append((x0, y0, size))
-        # ------------- chroma (4:2:0)
-        if log2 > 2:
+        # ------------- chroma (4:2:0; absent in monochrome)
+        if not self.chroma:
+            pass
+        elif log2 > 2:
             self._chroma_tu(x0 >> 1, y0 >> 1, log2 - 1, cbf_cb, cbf_cr, qp_y, cu)
         elif blk == 3:
             self._chroma_tu(xb >> 1, yb >> 1, 2, cbf_cb, cbf_cr, qp_y, cu)
@@ -1698,9 +1711,11 @@ class _Deblocker:
 
     def run(self) -> None:
         self._luma_pass(vertical=True)
-        self._chroma_pass(vertical=True)
+        if self.d.chroma:
+            self._chroma_pass(vertical=True)
         self._luma_pass(vertical=False)
-        self._chroma_pass(vertical=False)
+        if self.d.chroma:
+            self._chroma_pass(vertical=False)
 
     # p/q fetch helpers: for a vertical edge the filter runs along columns
     # (q = samples at x0.., p = samples at x0-1..); transposing the plane
@@ -1883,11 +1898,15 @@ def _finalize_picture(dec: "_PicDecoder") -> tuple:
         _Deblocker(dec).run()
     dec.apply_sao()
     cl, cr_, ct, cb_ = sps["crop"]
-    w = sps["w"] - 2 * (cl + cr_)
-    h = sps["h"] - 2 * (ct + cb_)
-    y = dec.y[2 * ct : 2 * ct + h, 2 * cl : 2 * cl + w]
-    cb = dec.cb[ct : ct + h // 2, cl : cl + w // 2]
-    cr = dec.cr[ct : ct + h // 2, cl : cl + w // 2]
+    sub = 2 if dec.chroma else 1  # SubWidthC/SubHeightC (§6.2)
+    w = sps["w"] - sub * (cl + cr_)
+    h = sps["h"] - sub * (ct + cb_)
+    y = dec.y[sub * ct : sub * ct + h, sub * cl : sub * cl + w]
+    if dec.chroma:
+        cb = dec.cb[ct : ct + h // 2, cl : cl + w // 2]
+        cr = dec.cr[ct : ct + h // 2, cl : cl + w // 2]
+    else:
+        cb = cr = dec.cb[:0, :0]
     return (w, h, y.tobytes(), cb.tobytes(), cr.tobytes())
 
 

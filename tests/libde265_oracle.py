@@ -117,12 +117,14 @@ class LibDe265:
 
     def _copy_picture(self, img):
         lib = self._lib
-        if lib.de265_get_chroma_format(img) != 1:  # de265_chroma_420
-            raise ValueError("libde265: non-4:2:0 picture")
+        fmt = lib.de265_get_chroma_format(img)
+        if fmt not in (0, 1):  # mono / 4:2:0
+            raise ValueError("libde265: unsupported chroma format")
         planes = []
         w = lib.de265_get_image_width(img, 0)
         h = lib.de265_get_image_height(img, 0)
-        for ch in (0, 1, 2):
+        channels = (0, 1, 2) if fmt == 1 else (0,)
+        for ch in channels:
             cw = lib.de265_get_image_width(img, ch)
             ch_h = lib.de265_get_image_height(img, ch)
             bits = lib.de265_get_bits_per_pixel(img, ch)
@@ -140,6 +142,8 @@ class LibDe265:
                     for r in range(ch_h)
                 )
             )
+        while len(planes) < 3:
+            planes.append(b"")
         return (w, h, planes[0], planes[1], planes[2])
 
 

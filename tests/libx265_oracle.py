@@ -130,6 +130,7 @@ class LibX265:
         if width % 2 or height % 2:
             raise ValueError("libx265 oracle: even dimensions only")
         bps = 1 if self.bit_depth == 8 else 2
+        mono = (options or {}).get("input-csp") == "i400"
         lib = self._lib
         param = lib.x265_param_alloc()
         if not param:
@@ -167,7 +168,7 @@ class LibX265:
                 raise ValueError("libx265: encoder open failed")
 
             ysz = width * height * bps
-            csz = (width // 2) * (height // 2) * bps
+            csz = 0 if mono else (width // 2) * (height // 2) * bps
             out = bytearray()
             nals = ctypes.c_void_p()
             n_nal = ctypes.c_uint32()
@@ -189,19 +190,24 @@ class LibX265:
                 pic = ctypes.create_string_buffer(_PIC_SIZE)
                 lib.x265_picture_init(param, pic)
                 addr = ctypes.addressof(pic)
-                bufs = (
-                    ctypes.create_string_buffer(y, ysz),
-                    ctypes.create_string_buffer(cb, csz),
-                    ctypes.create_string_buffer(cr, csz),
-                )
+                if mono:
+                    bufs = (ctypes.create_string_buffer(y, ysz),)
+                    strides = (width * bps,)
+                else:
+                    bufs = (
+                        ctypes.create_string_buffer(y, ysz),
+                        ctypes.create_string_buffer(cb, csz),
+                        ctypes.create_string_buffer(cr, csz),
+                    )
+                    strides = (width * bps, (width // 2) * bps,
+                               (width // 2) * bps)
                 keep.append((pic, bufs))
                 for k, buf in enumerate(bufs):
                     ctypes.c_void_p.from_address(addr + _OFF_PLANES + 8 * k).value = (
                         ctypes.addressof(buf)
                     )
-                strides = (width * bps, (width // 2) * bps, (width // 2) * bps)
-                for k, s in enumerate(strides):
-                    ctypes.c_int32.from_address(addr + _OFF_STRIDE + 4 * k).value = s
+                for k, st in enumerate(strides):
+                    ctypes.c_int32.from_address(addr + _OFF_STRIDE + 4 * k).value = st
                 rc = lib.x265_encoder_encode(
                     enc, ctypes.byref(nals), ctypes.byref(n_nal), pic, None
                 )

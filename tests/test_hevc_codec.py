@@ -691,6 +691,29 @@ def test_wavefront_one_column_fresh_init():
 
 
 @needs_refs
+@pytest.mark.parametrize("opts,label", [
+    (dict(_BASE, lossless="1", wpp="0"), "lossless"),
+    (dict(_BASE, qp="30", wpp="0"), "qp30"),
+    ({"keyint": "1", "bframes": "0", "aq-mode": "0", "qp": "32",
+      "sao": "1", "deblock": "1", "wpp": "0"}, "sao+deblock"),
+    (dict(_BASE, qp="27", wpp="1"), "wavefront"),
+], ids=lambda v: v if isinstance(v, str) else "")
+def test_monochrome_streams_bit_exact(opts, label):
+    """4:0:0 (gray / alpha-auxiliary format): all chroma syntax absent,
+    SubWidthC/SubHeightC = 1 cropping, empty chroma planes."""
+    rng = np.random.default_rng(len(label))
+    y = rng.integers(0, 256, (64, 96), dtype=np.uint8)
+    stream = _X265.encode(96, 64, [(y.tobytes(), b"", b"")],
+                          dict(opts, **{"input-csp": "i400"}))
+    ref = _DE265.decode(stream)
+    mine = decode_hevc_intra_stream(stream)
+    assert len(mine) == len(ref)
+    for m, r in zip(mine, ref):
+        assert m == r
+    assert mine[0][3] == b"" and mine[0][4] == b""
+
+
+@needs_refs
 def test_sao_streams_with_lossless_cus_skip_sao_on_bypass_samples():
     y, cb, cr = _planes(9, 64, 64)
     stream = _encode(64, 64, [(y, cb, cr)],
