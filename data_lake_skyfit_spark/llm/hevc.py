@@ -2,8 +2,9 @@
 executor-safe (no native deps), for the multimodal curation tier.
 
 Envelope (reject-never-approximate — unsupported streams raise
-ValueError, they are never approximated): Main and Main10 (8- and
-10-bit) 4:2:0 plus monochrome 4:0:0 (gray pictures and the format of
+ValueError, they are never approximated): Main, Main10 and Main12
+(8/10/12-bit; SAO offsets scale by bd−10 per §7.4.9.3) 4:2:0 plus
+monochrome 4:0:0 (gray pictures and the format of
 HEIC alpha auxiliaries; chroma planes return empty), I slices (IRAP
 nal types 16..21), multiple independent
 slice segments per picture (slice-scoped availability, per-slice QP
@@ -324,8 +325,8 @@ def _parse_sps(rbsp: bytes) -> dict:
         sps["crop"] = (0, 0, 0, 0)
     bd_l = br.ue()
     bd_c = br.ue()
-    if bd_l != bd_c or bd_l not in (0, 2):
-        raise ValueError("hevc: only 8- and 10-bit 4:2:0 supported")
+    if bd_l != bd_c or bd_l not in (0, 2, 4):
+        raise ValueError("hevc: only 8/10/12-bit supported")
     sps["bd"] = 8 + bd_l
     sps["log2_max_poc"] = br.ue() + 4
     sub_order = br.u(1)
@@ -1103,6 +1104,7 @@ class _PicDecoder:
                 offs_abs.append(v)
             band_pos = eo_class = 0
             vals = [0, 0, 0, 0, 0]
+            sh_off = self.bd - min(self.bd, 10)  # §7.4.9.3 offset scaling
             if t == 1:  # band offset
                 signs = [1] * 4
                 for i in range(4):
@@ -1110,7 +1112,7 @@ class _PicDecoder:
                         signs[i] = -1
                 band_pos = cab.bypass_bits(5)
                 for i in range(4):
-                    vals[i + 1] = offs_abs[i] * signs[i]
+                    vals[i + 1] = (offs_abs[i] * signs[i]) << sh_off
             else:  # edge offset
                 if c_idx == 0:
                     eo_class = cab.bypass_bits(2)
@@ -1118,10 +1120,10 @@ class _PicDecoder:
                     eo_class = eo_chroma = cab.bypass_bits(2)
                 else:
                     eo_class = eo_chroma
-                vals[1] = offs_abs[0]
-                vals[2] = offs_abs[1]
-                vals[3] = -offs_abs[2]
-                vals[4] = -offs_abs[3]
+                vals[1] = offs_abs[0] << sh_off
+                vals[2] = offs_abs[1] << sh_off
+                vals[3] = -offs_abs[2] << sh_off
+                vals[4] = -offs_abs[3] << sh_off
             params.append((t, vals, band_pos, eo_class))
         self.sao_params[(rx, ry)] = params
 

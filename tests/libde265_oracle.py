@@ -128,7 +128,7 @@ class LibDe265:
             cw = lib.de265_get_image_width(img, ch)
             ch_h = lib.de265_get_image_height(img, ch)
             bits = lib.de265_get_bits_per_pixel(img, ch)
-            if bits not in (8, 10):
+            if bits not in (8, 10, 12):
                 raise ValueError("libde265: unsupported plane bit depth")
             bps = 1 if bits == 8 else 2  # stride is in bytes either way
             stride = ctypes.c_int()

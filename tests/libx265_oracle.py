@@ -49,25 +49,29 @@ _OFF_COLORSPACE = 72
 # (the multilib .so namespaces them; the plain C symbols are the 8-bit
 # build).  Only flat functions are bound — no struct ABIs beyond the
 # disassembly-pinned x265_picture prefix shared by all three builds.
-_10BIT = {
-    "x265_param_alloc": "_ZN10x265_10bit16x265_param_allocEv",
-    "x265_param_free": "_ZN10x265_10bit15x265_param_freeEP10x265_param",
-    "x265_param_default": "_ZN10x265_10bit18x265_param_defaultEP10x265_param",
-    "x265_param_default_preset":
-        "_ZN10x265_10bit25x265_param_default_presetEP10x265_paramPKcS3_",
-    "x265_param_parse": "_ZN10x265_10bit16x265_param_parseEP10x265_paramPKcS3_",
-    "x265_encoder_open_199": "_ZN10x265_10bit21x265_encoder_open_199EP10x265_param",
-    "x265_encoder_close": "_ZN10x265_10bit18x265_encoder_closeEP12x265_encoder",
-    "x265_encoder_encode":
-        "_ZN10x265_10bit19x265_encoder_encodeEP12x265_encoderPP8x265_nalPjP12x265_pictureS7_",
-    "x265_picture_init": "_ZN10x265_10bit17x265_picture_initEP10x265_paramP12x265_picture",
-}
+def _namespaced(ns: str) -> dict:
+    return {
+        "x265_param_alloc": f"_ZN{len(ns)}{ns}16x265_param_allocEv",
+        "x265_param_free": f"_ZN{len(ns)}{ns}15x265_param_freeEP10x265_param",
+        "x265_param_default": f"_ZN{len(ns)}{ns}18x265_param_defaultEP10x265_param",
+        "x265_param_default_preset":
+            f"_ZN{len(ns)}{ns}25x265_param_default_presetEP10x265_paramPKcS3_",
+        "x265_param_parse": f"_ZN{len(ns)}{ns}16x265_param_parseEP10x265_paramPKcS3_",
+        "x265_encoder_open_199": f"_ZN{len(ns)}{ns}21x265_encoder_open_199EP10x265_param",
+        "x265_encoder_close": f"_ZN{len(ns)}{ns}18x265_encoder_closeEP12x265_encoder",
+        "x265_encoder_encode":
+            f"_ZN{len(ns)}{ns}19x265_encoder_encodeEP12x265_encoderPP8x265_nalPjP12x265_pictureS7_",
+        "x265_picture_init": f"_ZN{len(ns)}{ns}17x265_picture_initEP10x265_paramP12x265_picture",
+    }
+
+
+_HBD = {10: _namespaced("x265_10bit"), 12: _namespaced("x265_12bit")}
 
 
 class LibX265:
     def __init__(self, bit_depth: int = 8) -> None:
-        if bit_depth not in (8, 10):
-            raise ValueError("libx265 oracle: 8- or 10-bit only")
+        if bit_depth not in (8, 10, 12):
+            raise ValueError("libx265 oracle: 8/10/12-bit only")
         self.bit_depth = bit_depth
         name = ctypes.util.find_library("x265") or "libx265.so.199"
         cdll = ctypes.CDLL(name)
@@ -78,7 +82,7 @@ class LibX265:
                 pass
 
             lib = _Ns()
-            for plain, mangled in _10BIT.items():
+            for plain, mangled in _HBD[bit_depth].items():
                 setattr(lib, plain, getattr(cdll, mangled))
         self._cdll = cdll
         self._lib = lib

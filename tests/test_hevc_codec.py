@@ -571,6 +571,36 @@ def test_main10_bit_exact(opts, label):
     assert len(mine[0][2]) == 2 * w * h  # uint16 planes
 
 
+_X265_12 = libx265_oracle.load(12)
+needs_refs12 = pytest.mark.skipif(
+    _DE265 is None or _X265_12 is None, reason="12-bit references absent")
+
+
+@needs_refs12
+@pytest.mark.parametrize("opts,label", [
+    ({"keyint": "1", "bframes": "0", "aq-mode": "0", "sao": "0",
+      "deblock": "0", "wpp": "0", "lossless": "1"}, "lossless"),
+    ({"keyint": "1", "bframes": "0", "aq-mode": "0", "sao": "0",
+      "deblock": "0", "wpp": "0", "qp": "30"}, "qp30"),
+    ({"keyint": "1", "bframes": "0", "aq-mode": "0", "qp": "34",
+      "sao": "1", "deblock": "1", "wpp": "0"}, "sao+deblock"),
+], ids=lambda v: v if isinstance(v, str) else "")
+def test_main12_bit_exact(opts, label):
+    """Main12 — exercises the §7.4.9.3 SAO offset scaling (<< bd-10)
+    that is a no-op at 8/10 bits."""
+    rng = np.random.default_rng(len(label))
+    y = rng.integers(0, 4096, (64, 96)).astype("<u2")
+    cb = rng.integers(0, 4096, (32, 48)).astype("<u2")
+    cr = rng.integers(0, 4096, (32, 48)).astype("<u2")
+    stream = _X265_12.encode(96, 64, [(y.tobytes(), cb.tobytes(),
+                                       cr.tobytes())], opts)
+    ref = _DE265.decode(stream)
+    mine = decode_hevc_intra_stream(stream)
+    assert len(mine) == len(ref)
+    for m, r in zip(mine, ref):
+        assert m == r
+
+
 @needs_refs10
 def test_main10_lossless_reproduces_input():
     y, cb, cr = _planes10(9, 64, 64)
