@@ -4453,8 +4453,11 @@ def _hvc1_sample_entry(vps_nals: list[bytes], sps_nals: list[bytes],
     rbsp = _h264_strip_emulation(sps_nals[0][2:])
     sps = _hevc_parse_sps(rbsp)
     cl, cr, ct, cb = sps["crop"]
-    width = sps["w"] - 2 * (cl + cr)
-    height = sps["h"] - 2 * (ct + cb)
+    # §7.4.3.2: crop offsets are in SubWidthC/SubHeightC units — 2 for
+    # 4:2:0, 1 for monochrome (ADVICE r7: was hardcoded to 2)
+    sub_c = 2 if sps.get("chroma", 1) == 1 else 1
+    width = sps["w"] - sub_c * (cl + cr)
+    height = sps["h"] - sub_c * (ct + cb)
     # profile_tier_level sits byte-aligned at rbsp[1:13] (one byte of
     # sps_video_parameter_set_id/max_sub_layers/nesting precedes it)
     ptl = rbsp[1:13]
@@ -4466,9 +4469,9 @@ def _hvc1_sample_entry(vps_nals: list[bytes], sps_nals: list[bytes],
         + ptl[11:12]                    # general_level_idc
         + struct.pack(">H", 0xF000)     # min_spatial_segmentation_idc
         + bytes([0xFC])                 # parallelismType
-        + bytes([0xFC | 1])             # chromaFormat 4:2:0
-        + bytes([0xF8])                 # bitDepthLumaMinus8
-        + bytes([0xF8])                 # bitDepthChromaMinus8
+        + bytes([0xFC | (sps.get("chroma", 1) & 3)])   # chromaFormat from SPS
+        + bytes([0xF8 | ((sps.get("bd", 8) - 8) & 7)])  # bitDepthLumaMinus8
+        + bytes([0xF8 | ((sps.get("bd", 8) - 8) & 7)])  # bitDepthChromaMinus8
         + struct.pack(">H", 0)          # avgFrameRate
         + bytes([(0 << 6) | (1 << 3) | (1 << 2) | 3])  # layers/nested/len-1
     )
@@ -5052,6 +5055,10 @@ class _HeifMeta:
         for s in (offset_size, length_size, base_offset_size, index_size):
             if s not in (0, 4, 8):
                 raise ValueError("heif: bad iloc field size")
+        if length_size == 0:
+            # zero-length extents carry no data but cost a parse iteration
+            # each — a crafted file packs ~2e9 of them into 60 KB (ADVICE r7)
+            raise ValueError("heif: zero iloc length size")
         if ver < 2:
             item_count = struct.unpack_from(">H", data, p)[0]
             p += 2
@@ -5069,7 +5076,11 @@ class _HeifMeta:
             return struct.unpack_from(">Q", data, pos)[0], pos + 8
 
         locations = {}
+        iloc_end = iloc[1]
+        total_extents = 0
         for _ in range(item_count):
+            if p >= iloc_end:
+                raise ValueError("heif: iloc truncated")
             if ver < 2:
                 iid = struct.unpack_from(">H", data, p)[0]
                 p += 2
@@ -5084,6 +5095,12 @@ class _HeifMeta:
             base, p = read_sized(p, base_offset_size)
             extent_count = struct.unpack_from(">H", data, p)[0]
             p += 2
+            total_extents += extent_count
+            if total_extents > 100_000:
+                raise ValueError("heif: implausible iloc extent count")
+            per_extent = index_size + offset_size + length_size
+            if p + extent_count * per_extent > iloc_end:
+                raise ValueError("heif: iloc extents exceed box")
             extents = []
             for _ in range(extent_count):
                 _, p = read_sized(p, index_size)
@@ -5229,6 +5246,18 @@ def _heic_pixels(data: bytes):
         w, h, y, cb, cr = meta.decode_hvc1_item(tid)
         if tw is None:
             tw, th = w, h
+            # validate the DECLARED grid canvas before allocating — a
+            # crafted 256x256 grid of one large valid tile would demand
+            # a ~TiB canvas, and MemoryError escapes the fake path
+            # (ADVICE r7).  ISO 23008-12 §6.6.2.3.1: tiles must cover
+            # the output exactly — (cols-1)*tw < out_w ≤ cols*tw, same
+            # for rows — which bounds the canvas to <4x the output cap;
+            # the pixel cap is a backstop no conformant file can reach.
+            if (cols - 1) * tw >= out_w or (rows - 1) * th >= out_h:
+                raise ValueError("heif: grid declares more tiles than "
+                                 "the output size covers")
+            if rows * cols * tw * th > (1 << 26):
+                raise ValueError("heif: grid canvas too large")
             ypl = np.zeros((rows * th, cols * tw), np.uint8)
             cbpl = np.zeros((rows * th // 2, cols * tw // 2), np.uint8)
             crpl = np.zeros_like(cbpl)
@@ -5261,7 +5290,8 @@ def _heif_apply_transforms(meta: "_HeifMeta", w: int, h: int,
     renamed/renumbered the field, so the reference arbitrates)."""
     transforms = meta.item_transforms(meta.primary)
     if not transforms:
-        return w, h, 3, y + cb + cr
+        # 4:0:0 items have empty chroma — report 1 channel (ADVICE r7)
+        return w, h, (3 if cb else 1), y + cb + cr
     import numpy as np
 
     if w % 2 or h % 2:
@@ -5515,7 +5545,10 @@ def _mp4_video_pixels(data: bytes, every_ms: int,
                 psum = sum(yb) + sum(ub) + sum(vb)
                 psq = (sum(v * v for v in yb) + sum(v * v for v in ub)
                        + sum(v * v for v in vb))
-                out.append((i, ts_ms, w, h, 3, psum, psq))
+                # 4:0:0 decodes have empty chroma planes — report the
+                # channel count the pixels actually cover (ADVICE r7)
+                nch = 3 if ub else 1
+                out.append((i, ts_ms, w, h, nch, psum, psq))
         else:
             if avc_cfg is not None:
                 # an avcC record means length-prefixed samples BY SPEC

