@@ -69,6 +69,7 @@ from .h264 import (
 from .h264 import _clip255, _clip3
 from .h264_inter import (
     _CBP_INTER,
+    _CavlcInterReader,
     _InterPicState,
     _MvGrid,
     _apply_weight,
@@ -281,8 +282,6 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
     picture's own colocated motion field — per 4x4, the L0 motion
     when list 0 predicts, else the L1 motion (§8.4.1.2.2's colocated
     selection), for Bs that reference this picture."""
-    if pps["cabac"]:
-        raise ValueError("h264: CABAC B slices not supported")
     if pps["weighted_bipred"] == 2 and pocs is None:
         raise ValueError("h264: implicit weighting needs anchor POCs")
     if pps["bottom_poc"]:
@@ -330,6 +329,11 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
     if nri != 0:  # reference B (B-pyramid): dec_ref_pic_marking
         if br.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise ValueError("h264: adaptive ref marking not supported")
+    if pps["cabac"]:
+        if br.ue() != 0:  # cabac_init_idc
+            raise ValueError(
+                "h264: cabac_init_idc 1/2 not supported (init columns "
+                "unpinned in-container; see h264_cabac_pb)")
     qp = pps["pic_init_qp"] + br.se()
     deblock_idc = 0
     db_off_a = db_off_b = 0
@@ -442,22 +446,24 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
             fill_cells(bx0 + obx, by0 + oby, 2, 2, mv0, mv1)
             mc_partition(mbx, mby, obx, oby, 2, 2, mv0, mv1)
 
+    if pps["cabac"]:
+        from .h264_cabac_pb import _CabacInterReader
+
+        rd = _CabacInterReader(br, st, qp, is_b=True)
+    else:
+        rd = _CavlcInterReader(br, st)
+
     nz_luma, nz_chroma = st.nz_luma, st.nz_chroma
     total = mbw * mbh
-    mb = 0
-    while mb < total:
-        run = br.ue()
-        if mb + run > total:
-            raise ValueError("h264: mb_skip_run past end of picture")
-        for _ in range(run):
-            mby, mbx = divmod(mb, mbw)
+    for mb in range(total):
+        mby, mbx = divmod(mb, mbw)
+        last = mb == total - 1
+        if rd.skip_next(mbx, mby, total - mb):
             decode_direct_mb(mbx, mby)
             st.mb_qp[mby][mbx] = qp
-            mb += 1
-        if mb >= total:
-            break
-        mby, mbx = divmod(mb, mbw)
-        mb_type = br.ue()
+            rd.end_mb(mbx, mby, last)
+            continue
+        mb_type = rd.mb_type_b(mbx, mby)
         if mb_type >= 23:
             if mb_type > 48:
                 raise ValueError("h264: bad B-slice mb_type")
@@ -466,8 +472,8 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
             for yy in range(mby * 4, mby * 4 + 4):
                 for xx in range(mbx * 4, mbx * 4 + 4):
                     db_cell[yy][xx] = "I"
-            qp = st.decode_intra_mb(br, mbx, mby, mb_type - 23, qp)
-            mb += 1
+            qp = st.decode_intra_mb(rd, mbx, mby, mb_type - 23, qp)
+            rd.end_mb(mbx, mby, last)
             continue
 
         bx0, by0 = mbx * 4, mby * 4
@@ -475,8 +481,8 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
             decode_direct_mb(mbx, mby)
         elif mb_type <= 3:  # one 16x16 partition
             mode = _B_16x16[mb_type]
-            mvd0 = (br.se(), br.se()) if mode != 1 else None
-            mvd1 = (br.se(), br.se()) if mode != 0 else None
+            mvd0 = rd.mvd(0, bx0, by0, 4, 4) if mode != 1 else None
+            mvd1 = rd.mvd(1, bx0, by0, 4, 4) if mode != 0 else None
             mv0 = mv1 = None
             if mvd0 is not None:
                 p = _mvp(gridL0, bx0, by0, 4, 4, "")
@@ -495,7 +501,9 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
             for lst in range(2):
                 for pi, mode in enumerate(modes):
                     if (lst == 0 and mode != 1) or (lst == 1 and mode != 0):
-                        mvds[lst][pi] = (br.se(), br.se())
+                        pbx, pby, wb, hb, _k = parts[pi]
+                        mvds[lst][pi] = rd.mvd(lst, bx0 + pbx, by0 + pby,
+                                               wb, hb)
             # reconstruct per list in partition order, then MC
             mvs = [[None, None], [None, None]]
             for lst, g in ((0, gridL0), (1, gridL1)):
@@ -513,7 +521,7 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
                 fill_cells(bx0 + pbx, by0 + pby, wb, hb, mv0, mv1)
                 mc_partition(mbx, mby, pbx, pby, wb, hb, mv0, mv1)
         elif mb_type == 22:  # B_8x8
-            subs = [br.ue() for _ in range(4)]
+            subs = [rd.sub_mb_type_b() for _ in range(4)]
             if any(s > 12 for s in subs):
                 raise ValueError("h264: bad B sub_mb_type")
             # direct 8x8s derive once per MB (shared refs + medians)
@@ -523,15 +531,22 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
             # parse order: all mvd_l0 across 8x8s/sub-parts, then mvd_l1
             mvds = [[], []]
             for lst in range(2):
-                for s in subs:
+                for i8, s in enumerate(subs):
                     mode, shape = _B_SUB[s]
                     if mode is None:
                         mvds[lst].append(None)
                         continue
                     use = (lst == 0 and mode != 1) or (lst == 1 and mode != 0)
-                    mvds[lst].append(
-                        [(br.se(), br.se())
-                         for _ in _SUB_SHAPES[shape]] if use else None)
+                    if not use:
+                        mvds[lst].append(None)
+                        continue
+                    obx, oby = (i8 & 1) * 2, (i8 >> 1) * 2
+                    got = []
+                    for spx, spy, wb, hb in _SUB_SHAPES[shape]:
+                        pbx, pby = obx + spx * wb, oby + spy * hb
+                        got.append(rd.mvd(lst, bx0 + pbx, by0 + pby,
+                                          wb, hb))
+                    mvds[lst].append(got)
             # reconstruct per list, 8x8s and sub-partitions in order
             mvs = [[None] * 4, [None] * 4]
             for lst, g in ((0, gridL0), (1, gridL1)):
@@ -583,43 +598,42 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
             raise ValueError("h264: bad B-slice mb_type")
 
         # ---- residual (shared CBP-inter machinery)
-        cbp_code = br.ue()
-        if cbp_code > 47:
-            raise ValueError("h264: coded_block_pattern out of range")
-        cbp = _CBP_INTER[cbp_code]
-        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-        if cbp:
-            qp = (qp + br.se() + 52) % 52
+        cbp_luma, cbp_chroma = rd.cbp(mbx, mby, intra=False)
+        if cbp_luma or cbp_chroma:
+            qp = (qp + rd.qp_delta() + 52) % 52
+        else:
+            rd.note_no_qp_delta()
         st.mb_qp[mby][mbx] = qp
         qpc = _chroma_qp(qp, pps["chroma_qp_offset"])
         for n in range(16):
             dx, dy = _blk_xy(n)
             bx, by = bx0 + (dx >> 2), by0 + (dy >> 2)
             if cbp_luma & (1 << (n >> 2)):
-                coeffs, tot = _decode_cavlc_block(br, st.nc_luma(bx, by), 16)
-                nz_luma[by][bx] = tot
-                if tot:
+                coeffs = rd.luma4(bx, by, i16=False, intra=False)
+                if nz_luma[by][bx]:
                     st.add_luma_residual(mbx, mby, n, coeffs, qp)
             else:
-                nz_luma[by][bx] = 0
+                rd.luma_absent(bx, by)
         chroma_dc = [[0] * 4, [0] * 4]
         if cbp_chroma:
             for comp in range(2):
-                chroma_dc[comp], _ = _decode_cavlc_block(br, -1, 4)
+                chroma_dc[comp] = rd.chroma_dc(comp, mbx, mby,
+                                               intra=False)
+        else:
+            for comp in range(2):
+                rd.chroma_dc_absent(comp, mbx, mby)
         chroma_ac = [[[0] * 16 for _ in range(4)] for _ in range(2)]
         for comp in range(2):
             for n in range(4):
                 cx, cy = mbx * 2 + (n & 1), mby * 2 + (n >> 1)
                 if cbp_chroma & 2:
-                    tail, tot = _decode_cavlc_block(
-                        br, st.nc_chroma(comp, cx, cy), 15)
-                    chroma_ac[comp][n] = [0] + tail
-                    nz_chroma[comp][cy][cx] = tot
+                    chroma_ac[comp][n] = rd.chroma_ac(comp, cx, cy,
+                                                      intra=False)
                 else:
-                    nz_chroma[comp][cy][cx] = 0
+                    rd.chroma_ac_absent(comp, cx, cy)
         if cbp_chroma:
             st.add_chroma_residual(mbx, mby, qpc, chroma_dc, chroma_ac)
-        mb += 1
+        rd.end_mb(mbx, mby, last)
 
     if deblock_idc != 1:
         def seg_bs(pbx: int, pby: int, qbx: int, qby: int,

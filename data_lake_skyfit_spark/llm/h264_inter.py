@@ -511,7 +511,7 @@ class _InterPicState:
     # ---- intra MB inside an inter slice (mirrors h264.py's I-slice
     # MB decode, with inter neighbors feeding nC and prediction
     # samples); the CALLER marks its own motion grid(s) intra.
-    def decode_intra_mb(self, br, mbx: int, mby: int, mb_type: int,
+    def decode_intra_mb(self, rd, mbx: int, mby: int, mb_type: int,
                         qp: int) -> int:
         pps = self.pps
         W, CW = self.W, self.CW
@@ -522,6 +522,9 @@ class _InterPicState:
         x0, y0 = mbx * 16, mby * 16
         mb_intra[mby][mbx] = True
         if mb_type == 25:  # I_PCM
+            if rd.is_cabac:
+                raise ValueError("h264: I_PCM in CABAC slice not supported")
+            br = rd.br
             while br.pos & 7:
                 if br.u(1):
                     raise ValueError("h264: pcm_alignment bit not zero")
@@ -563,68 +566,57 @@ class _InterPicState:
                     else:
                         mbv = pred4_modes[by - 1][bx]
                 pred_mode = 2 if (ma is None or mbv is None) else min(ma, mbv)
-                if br.u(1):
-                    mode = pred_mode
-                else:
-                    rem = br.u(3)
-                    mode = rem if rem < pred_mode else rem + 1
+                mode = rd.intra4_mode(pred_mode)
                 modes4[n] = mode
                 pred4_modes[by][bx] = mode
-            chroma_mode = br.ue()
-            cbp_code = br.ue()
-            if cbp_code > 47:
-                raise ValueError("h264: coded_block_pattern out of range")
-            cbp = _CBP_INTRA[cbp_code]
-            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            chroma_mode = rd.chroma_pred(mbx, mby)
+            cbp_luma, cbp_chroma = rd.cbp(mbx, mby, intra=True)
             i16_pred = None
         else:
             t = mb_type - 1
             i16_pred = t % 4
             cbp_chroma = (t >> 2) % 3
             cbp_luma = 15 if t >= 12 else 0
-            chroma_mode = br.ue()
+            chroma_mode = rd.chroma_pred(mbx, mby)
+            rd.note_cbp(mbx, mby, cbp_luma, cbp_chroma)
             modes4 = None
         if chroma_mode > 3:
             raise ValueError("h264: bad chroma pred mode")
         if cbp_luma or cbp_chroma or not is_i4:
-            qp = (qp + br.se() + 52) % 52
+            qp = (qp + rd.qp_delta() + 52) % 52
+        else:
+            rd.note_no_qp_delta()
         self.mb_qp[mby][mbx] = qp
         qpc = _chroma_qp(qp, pps["chroma_qp_offset"])
 
         luma_dc = [0] * 16
         if not is_i4:
-            luma_dc, _ = _decode_cavlc_block(
-                br, self.nc_luma(mbx * 4, mby * 4), 16)
+            luma_dc = rd.luma_dc16(mbx, mby)
         luma_blocks = [[0] * 16 for _ in range(16)]
         for n in range(16):
             dx, dy = _blk_xy(n)
             bx, by = mbx * 4 + (dx >> 2), mby * 4 + (dy >> 2)
             if cbp_luma & (1 << (n >> 2)):
-                nc = self.nc_luma(bx, by)
-                if is_i4:
-                    coeffs, tot = _decode_cavlc_block(br, nc, 16)
-                else:
-                    tail, tot = _decode_cavlc_block(br, nc, 15)
-                    coeffs = [0] + tail
-                luma_blocks[n] = coeffs
-                nz_luma[by][bx] = tot
+                luma_blocks[n] = rd.luma4(bx, by, i16=not is_i4,
+                                          intra=True)
             else:
-                nz_luma[by][bx] = 0
+                rd.luma_absent(bx, by)
         chroma_dc = [[0] * 4, [0] * 4]
         if cbp_chroma:
             for comp in range(2):
-                chroma_dc[comp], _ = _decode_cavlc_block(br, -1, 4)
+                chroma_dc[comp] = rd.chroma_dc(comp, mbx, mby, intra=True)
+        else:
+            for comp in range(2):
+                rd.chroma_dc_absent(comp, mbx, mby)
         chroma_ac = [[[0] * 16 for _ in range(4)] for _ in range(2)]
         for comp in range(2):
             for n in range(4):
                 cx, cy = mbx * 2 + (n & 1), mby * 2 + (n >> 1)
                 if cbp_chroma & 2:
-                    nc = self.nc_chroma(comp, cx, cy)
-                    tail, tot = _decode_cavlc_block(br, nc, 15)
-                    chroma_ac[comp][n] = [0] + tail
-                    nz_chroma[comp][cy][cx] = tot
+                    chroma_ac[comp][n] = rd.chroma_ac(comp, cx, cy,
+                                                      intra=True)
                 else:
-                    nz_chroma[comp][cy][cx] = 0
+                    rd.chroma_ac_absent(comp, cx, cy)
         from .h264 import _recon_mb
 
         _recon_mb(
@@ -702,6 +694,121 @@ def _te(br, max_val: int) -> int:
     return br.ue()
 
 
+class _CavlcInterReader:
+    """CAVLC entropy reader for P/B slices.  The slice decoders are
+    written against this method surface; llm/h264_cabac_pb's
+    _CabacInterReader implements the same surface, so ONE slice
+    control flow serves both entropy modes (and the cross-entropy
+    equivalence tests pin that the two tiers reconstruct identical
+    planes from identical descriptors)."""
+
+    is_cabac = False
+
+    def __init__(self, br, st) -> None:
+        self.br = br
+        self.st = st
+        self._run = None  # pending mb_skip_run countdown
+
+    # ---- skip / slice structure
+    def skip_next(self, mbx: int, mby: int, remaining: int) -> bool:
+        if self._run is None:
+            run = self.br.ue()
+            if run > remaining:
+                raise ValueError("h264: mb_skip_run past end of picture")
+            self._run = run
+        if self._run > 0:
+            self._run -= 1
+            return True
+        self._run = None
+        return False
+
+    def end_mb(self, mbx: int, mby: int, last: bool) -> None:
+        pass
+
+    # ---- mb_type
+    def mb_type_p(self, mbx: int, mby: int) -> int:
+        return self.br.ue()
+
+    def mb_type_b(self, mbx: int, mby: int) -> int:
+        return self.br.ue()
+
+    def sub_mb_type_p(self) -> int:
+        return self.br.ue()
+
+    def sub_mb_type_b(self) -> int:
+        return self.br.ue()
+
+    # ---- motion syntax
+    def ref_idx(self, lst: int, bx: int, by: int, wb: int, hb: int,
+                na: int) -> int:
+        return _te(self.br, na - 1)
+
+    def mvd(self, lst: int, bx: int, by: int, wb: int, hb: int):
+        return self.br.se(), self.br.se()
+
+    # ---- cbp / qp
+    def cbp(self, mbx: int, mby: int, intra: bool):
+        code = self.br.ue()
+        if code > 47:
+            raise ValueError("h264: coded_block_pattern out of range")
+        cbp = (_CBP_INTRA if intra else _CBP_INTER)[code]
+        return cbp & 15, cbp >> 4
+
+    def note_cbp(self, mbx: int, mby: int, cl: int, cc: int) -> None:
+        pass
+
+    def qp_delta(self) -> int:
+        return self.br.se()
+
+    def note_no_qp_delta(self) -> None:
+        pass
+
+    # ---- intra prediction syntax
+    def intra4_mode(self, pred: int) -> int:
+        if self.br.u(1):
+            return pred
+        rem = self.br.u(3)
+        return rem if rem < pred else rem + 1
+
+    def chroma_pred(self, mbx: int, mby: int) -> int:
+        return self.br.ue()
+
+    # ---- residual blocks (nC from the shared nz bookkeeping)
+    def luma_dc16(self, mbx: int, mby: int):
+        coeffs, _ = _decode_cavlc_block(
+            self.br, self.st.nc_luma(mbx * 4, mby * 4), 16)
+        return coeffs
+
+    def luma4(self, bx: int, by: int, i16: bool, intra: bool):
+        nc = self.st.nc_luma(bx, by)
+        if i16:
+            tail, tot = _decode_cavlc_block(self.br, nc, 15)
+            coeffs = [0] + tail
+        else:
+            coeffs, tot = _decode_cavlc_block(self.br, nc, 16)
+        self.st.nz_luma[by][bx] = tot
+        return coeffs
+
+    def luma_absent(self, bx: int, by: int) -> None:
+        self.st.nz_luma[by][bx] = 0
+
+    def chroma_dc(self, comp: int, mbx: int, mby: int, intra: bool):
+        coeffs, _ = _decode_cavlc_block(self.br, -1, 4)
+        return coeffs
+
+    def chroma_dc_absent(self, comp: int, mbx: int, mby: int) -> None:
+        pass
+
+    def chroma_ac(self, comp: int, cx: int, cy: int, intra: bool):
+        tail, tot = _decode_cavlc_block(
+            self.br, self.st.nc_chroma(comp, cx, cy), 15)
+        self.st.nz_chroma[comp][cy][cx] = tot
+        return [0] + tail
+
+    def chroma_ac_absent(self, comp: int, cx: int, cy: int) -> None:
+        self.st.nz_chroma[comp][cy][cx] = 0
+
+
 def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
                    sps: dict, pps: dict, ref) -> tuple:
     """Decode one P slice covering the whole picture.  `ref` is
@@ -715,9 +822,10 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
     (llm/h264_bslice.py); cells referencing a non-zero index carry it
     as a third element.  weighted_pred_flag == 1 parses the
     pred_weight_table and applies §8.4.2.3.2 explicit weighting to
-    every inter prediction (per-refIdx weight entries)."""
-    if pps["cabac"]:
-        raise ValueError("h264: CABAC P slices not supported")
+    every inter prediction (per-refIdx weight entries).  CABAC
+    slices (entropy_coding_mode_flag == 1, cabac_init_idc == 0)
+    decode through the same control flow with the
+    llm/h264_cabac_pb reader."""
     refs = [ref] if isinstance(ref, tuple) else list(ref)
     if not refs:
         raise ValueError("h264: P slice without a reference picture")
@@ -751,6 +859,11 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
     if nal_ref_idc != 0:
         if br.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise ValueError("h264: adaptive ref marking not supported")
+    if pps["cabac"]:
+        if br.ue() != 0:  # cabac_init_idc
+            raise ValueError(
+                "h264: cabac_init_idc 1/2 not supported (init columns "
+                "unpinned in-container; see h264_cabac_pb)")
     qp = pps["pic_init_qp"] + br.se()
     deblock_idc = 0
     db_off_a = db_off_b = 0
@@ -806,27 +919,29 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
         mc_partition(mbx, mby, 0, 0, 4, 4, mv)
         st.mb_qp[mby][mbx] = qp
 
+    if pps["cabac"]:
+        from .h264_cabac_pb import _CabacInterReader
+
+        rd = _CabacInterReader(br, st, qp, is_b=False)
+    else:
+        rd = _CavlcInterReader(br, st)
+
     nz_luma, nz_chroma = st.nz_luma, st.nz_chroma
     total = mbw * mbh
-    mb = 0
-    while mb < total:
-        run = br.ue()
-        if mb + run > total:
-            raise ValueError("h264: mb_skip_run past end of picture")
-        for _ in range(run):
-            mby, mbx = divmod(mb, mbw)
-            decode_skip_mb(mbx, mby)
-            mb += 1
-        if mb >= total:
-            break
+    for mb in range(total):
         mby, mbx = divmod(mb, mbw)
-        mb_type = br.ue()
+        last = mb == total - 1
+        if rd.skip_next(mbx, mby, total - mb):
+            decode_skip_mb(mbx, mby)
+            rd.end_mb(mbx, mby, last)
+            continue
+        mb_type = rd.mb_type_p(mbx, mby)
         if mb_type >= 5:
             if mb_type > 30:
                 raise ValueError("h264: bad P-slice mb_type")
             grid.fill(mbx * 4, mby * 4, 4, 4, "I")
-            qp = st.decode_intra_mb(br, mbx, mby, mb_type - 5, qp)
-            mb += 1
+            qp = st.decode_intra_mb(rd, mbx, mby, mb_type - 5, qp)
+            rd.end_mb(mbx, mby, last)
             continue
 
         # ---- inter MB: §7.3.5.1 order — all ref_idx_l0 (te(v), only
@@ -836,10 +951,13 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
         bx0, by0 = mbx * 4, mby * 4
         if mb_type in (0, 1, 2):
             parts = _PART_LAYOUT[mb_type]
-            ridxs = [_te(br, na - 1) if na > 1 else 0 for _ in parts]
+            ridxs = [rd.ref_idx(0, bx0 + p[0], by0 + p[1], p[2], p[3],
+                                na) if na > 1 else 0
+                     for p in parts]
             if any(r >= na for r in ridxs):
                 raise ValueError("h264: ref_idx out of range")
-            mvds = [(br.se(), br.se()) for _ in parts]
+            mvds = [rd.mvd(0, bx0 + p[0], by0 + p[1], p[2], p[3])
+                    for p in parts]
             for (pbx, pby, wb, hb, kind), ridx, d in zip(parts, ridxs,
                                                          mvds):
                 mvp = _mvp(grid, bx0 + pbx, by0 + pby, wb, hb, kind,
@@ -849,18 +967,25 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
                           mv if ridx == 0 else (mv[0], mv[1], ridx))
                 mc_partition(mbx, mby, pbx, pby, wb, hb, mv, ridx)
         else:  # P_8x8 (ref_idx coded) / P_8x8ref0 (all refIdx 0)
-            sub_types = [br.ue() for _ in range(4)]
+            sub_types = [rd.sub_mb_type_p() for _ in range(4)]
             if any(s > 3 for s in sub_types):
                 raise ValueError("h264: bad sub_mb_type")
             if mb_type == 3 and na > 1:
-                ridx8 = [_te(br, na - 1) for _ in range(4)]
+                ridx8 = [rd.ref_idx(0, bx0 + (i8 & 1) * 2,
+                                    by0 + (i8 >> 1) * 2, 2, 2, na)
+                         for i8 in range(4)]
                 if any(r >= na for r in ridx8):
                     raise ValueError("h264: ref_idx out of range")
             else:
                 ridx8 = [0, 0, 0, 0]
-            mvds8 = [[(br.se(), br.se())
-                      for _ in _SUB_LAYOUT[sub_types[i8]]]
-                     for i8 in range(4)]
+            mvds8 = []
+            for i8 in range(4):
+                obx, oby = (i8 & 1) * 2, (i8 >> 1) * 2
+                sub = []
+                for spx, spy, wb, hb in _SUB_LAYOUT[sub_types[i8]]:
+                    pbx, pby = obx + spx * wb, oby + spy * hb
+                    sub.append(rd.mvd(0, bx0 + pbx, by0 + pby, wb, hb))
+                mvds8.append(sub)
             for i8 in range(4):
                 obx, oby = (i8 & 1) * 2, (i8 >> 1) * 2
                 ridx = ridx8[i8]
@@ -874,13 +999,11 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
                               mv if ridx == 0 else (mv[0], mv[1], ridx))
                     mc_partition(mbx, mby, pbx, pby, wb, hb, mv, ridx)
 
-        cbp_code = br.ue()
-        if cbp_code > 47:
-            raise ValueError("h264: coded_block_pattern out of range")
-        cbp = _CBP_INTER[cbp_code]
-        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-        if cbp:
-            qp = (qp + br.se() + 52) % 52
+        cbp_luma, cbp_chroma = rd.cbp(mbx, mby, intra=False)
+        if cbp_luma or cbp_chroma:
+            qp = (qp + rd.qp_delta() + 52) % 52
+        else:
+            rd.note_no_qp_delta()
         st.mb_qp[mby][mbx] = qp
         qpc = _chroma_qp(qp, pps["chroma_qp_offset"])
 
@@ -888,30 +1011,31 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
             dx, dy = _blk_xy(n)
             bx, by = bx0 + (dx >> 2), by0 + (dy >> 2)
             if cbp_luma & (1 << (n >> 2)):
-                coeffs, tot = _decode_cavlc_block(br, st.nc_luma(bx, by), 16)
-                nz_luma[by][bx] = tot
-                if tot:
+                coeffs = rd.luma4(bx, by, i16=False, intra=False)
+                if nz_luma[by][bx]:
                     st.add_luma_residual(mbx, mby, n, coeffs, qp)
             else:
-                nz_luma[by][bx] = 0
+                rd.luma_absent(bx, by)
         chroma_dc = [[0] * 4, [0] * 4]
         if cbp_chroma:
             for comp in range(2):
-                chroma_dc[comp], _ = _decode_cavlc_block(br, -1, 4)
+                chroma_dc[comp] = rd.chroma_dc(comp, mbx, mby,
+                                               intra=False)
+        else:
+            for comp in range(2):
+                rd.chroma_dc_absent(comp, mbx, mby)
         chroma_ac = [[[0] * 16 for _ in range(4)] for _ in range(2)]
         for comp in range(2):
             for n in range(4):
                 cx, cy = mbx * 2 + (n & 1), mby * 2 + (n >> 1)
                 if cbp_chroma & 2:
-                    tail, tot = _decode_cavlc_block(
-                        br, st.nc_chroma(comp, cx, cy), 15)
-                    chroma_ac[comp][n] = [0] + tail
-                    nz_chroma[comp][cy][cx] = tot
+                    chroma_ac[comp][n] = rd.chroma_ac(comp, cx, cy,
+                                                      intra=False)
                 else:
-                    nz_chroma[comp][cy][cx] = 0
+                    rd.chroma_ac_absent(comp, cx, cy)
         if cbp_chroma:
             st.add_chroma_residual(mbx, mby, qpc, chroma_dc, chroma_ac)
-        mb += 1
+        rd.end_mb(mbx, mby, last)
 
     if deblock_idc != 1:
         _deblock_frame_general(
