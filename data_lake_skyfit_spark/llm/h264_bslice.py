@@ -838,7 +838,8 @@ def decode_h264_gop_ipb(data: bytes, *, max_frames: int = 1024):
 
 def _b_slice_header(qp_delta: int, frame_num: int, poc_lsb: int,
                     spatial: bool = True,
-                    ref_b: bool = False) -> _BitWriter:
+                    ref_b: bool = False,
+                    cabac: bool = False) -> _BitWriter:
     sl = _BitWriter()
     sl.ue(0)   # first_mb_in_slice
     sl.ue(6)   # slice_type: B (all slices in picture)
@@ -851,6 +852,8 @@ def _b_slice_header(qp_delta: int, frame_num: int, poc_lsb: int,
     sl.u(1, 0)  # ref_pic_list_modification_flag_l1
     if ref_b:  # reference B (B-pyramid): dec_ref_pic_marking
         sl.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
+    if cabac:
+        sl.ue(0)  # cabac_init_idc
     sl.se(qp_delta)  # slice_qp_delta
     sl.ue(1)   # disable_deblocking_filter_idc = 1
     return sl
@@ -862,7 +865,8 @@ def _encode_bslice_nal(mbw: int, mbh: int, frame_num: int, poc_lsb: int,
                        y_coeff: int = 0, c_coeff: int = 0,
                        col_zero: bool = True,
                        spatial: bool = True,
-                       ref_b: bool = False) -> bytes:
+                       ref_b: bool = False,
+                       cabac: bool = False, qp: int = 28) -> bytes:
     """One whole-picture non-reference B slice NAL (CAVLC, deblocking
     off).  Modes: 'skip' (one mb_skip_run covering the picture —
     spatial direct everywhere), 'bi_res' (every MB B_Bi_16x16 with
@@ -879,12 +883,23 @@ def _encode_bslice_nal(mbw: int, mbh: int, frame_num: int, poc_lsb: int,
     all-P_L0_16x16 with mv 0) so the shared _spatial_direct
     derivation sees the same colZeroFlag the decoder will."""
     sl = _b_slice_header(0, frame_num, poc_lsb, spatial=spatial,
-                         ref_b=ref_b)
+                         ref_b=ref_b, cabac=cabac)
     nri = 2 if ref_b else 0
     total = mbw * mbh
+    wr = None
+    if cabac:
+        from .h264_cabac_pb import _CabacInterWriter
+
+        wr = _CabacInterWriter(sl, mbw, mbh, qp, is_b=True)
     if mode == "skip":
-        sl.ue(total)
-        sl.rbsp_trailing()
+        if cabac:
+            for mb in range(total):
+                mby, mbx = divmod(mb, mbw)
+                wr.skip_mb(mbx, mby)
+            wr.finish()
+        else:
+            sl.ue(total)
+            sl.rbsp_trailing()
         return _nal(nri, 1, sl.done())
 
     gridL0 = _MvGrid(mbw, mbh)
@@ -910,55 +925,100 @@ def _encode_bslice_nal(mbw: int, mbh: int, frame_num: int, poc_lsb: int,
     for mb in range(total):
         mby, mbx = divmod(mb, mbw)
         bx0, by0 = mbx * 4, mby * 4
-        sl.ue(0)  # mb_skip_run
+        if cabac:
+            wr.coded_mb(mbx, mby)
+        else:
+            sl.ue(0)  # mb_skip_run
         if mode == "bi_res":
-            sl.ue(3)  # B_Bi_16x16
             p0 = _mvp(gridL0, bx0, by0, 4, 4, "")
             p1 = _mvp(gridL1, bx0, by0, 4, 4, "")
-            sl.se(mv0[0] - p0[0])
-            sl.se(mv0[1] - p0[1])
-            sl.se(mv1[0] - p1[0])
-            sl.se(mv1[1] - p1[1])
+            d0 = (mv0[0] - p0[0], mv0[1] - p0[1])
+            d1 = (mv1[0] - p1[0], mv1[1] - p1[1])
+            if cabac:
+                wr.mb_type_b(mbx, mby, 3)  # B_Bi_16x16
+                wr.mvd(0, bx0, by0, 4, 4, d0[0], d0[1])
+                wr.mvd(1, bx0, by0, 4, 4, d1[0], d1[1])
+            else:
+                sl.ue(3)  # B_Bi_16x16
+                sl.se(d0[0])
+                sl.se(d0[1])
+                sl.se(d1[0])
+                sl.se(d1[1])
             gridL0.fill(bx0, by0, 4, 4, mv0)
             gridL1.fill(bx0, by0, 4, 4, mv1)
             # cbp 31: all luma 8x8s + chroma DC-only
-            sl.ue(_CBP_INTER.index(31))
-            sl.se(0)  # mb_qp_delta
+            if cabac:
+                wr.cbp(mbx, mby, False, 15, 1)
+                wr.qp_delta(0)
+            else:
+                sl.ue(_CBP_INTER.index(31))
+                sl.se(0)  # mb_qp_delta
             for n in range(16):
                 dx, dy = _blk_xy(n)
                 bx, by = bx0 + (dx >> 2), by0 + (dy >> 2)
-                _write_cavlc_block(sl, [y_coeff] + [0] * 15,
-                                   nc_luma(bx, by), 16)
+                if cabac:
+                    wr.luma4(bx, by, [y_coeff] + [0] * 15, i16=False,
+                             intra=False)
+                else:
+                    _write_cavlc_block(sl, [y_coeff] + [0] * 15,
+                                       nc_luma(bx, by), 16)
                 nz[by][bx] = 1 if y_coeff else 0
-            for _comp in range(2):
-                _write_cavlc_block(sl, [c_coeff, 0, 0, 0], -1, 4)
+            for comp in range(2):
+                if cabac:
+                    wr.chroma_dc(comp, mbx, mby, [c_coeff, 0, 0, 0],
+                                 intra=False)
+                else:
+                    _write_cavlc_block(sl, [c_coeff, 0, 0, 0], -1, 4)
         elif mode == "l1mv":
-            sl.ue(2)  # B_L1_16x16
             p1 = _mvp(gridL1, bx0, by0, 4, 4, "")
-            sl.se(mv1[0] - p1[0])
-            sl.se(mv1[1] - p1[1])
+            d1 = (mv1[0] - p1[0], mv1[1] - p1[1])
+            if cabac:
+                wr.mb_type_b(mbx, mby, 2)  # B_L1_16x16
+                wr.mvd(1, bx0, by0, 4, 4, d1[0], d1[1])
+                wr.cbp(mbx, mby, False, 0, 0)
+                wr.note_no_qp_delta()
+            else:
+                sl.ue(2)  # B_L1_16x16
+                sl.se(d1[0])
+                sl.se(d1[1])
+                sl.ue(_CBP_INTER.index(0))  # no residual
             gridL0.fill(bx0, by0, 4, 4, "I")
             gridL1.fill(bx0, by0, 4, 4, mv1)
-            sl.ue(_CBP_INTER.index(0))  # no residual
         elif mode == "l0l1_16x8":
-            sl.ue(8)  # B_L0_L1_16x8
             # mvd order: all mvd_l0 (partition 0), then mvd_l1 (part 1)
             p0 = _mvp(gridL0, bx0, by0, 4, 2, "t")
-            sl.se(mv0[0] - p0[0])
-            sl.se(mv0[1] - p0[1])
+            d0 = (mv0[0] - p0[0], mv0[1] - p0[1])
+            if cabac:
+                wr.mb_type_b(mbx, mby, 8)  # B_L0_L1_16x8
+                wr.mvd(0, bx0, by0, 4, 2, d0[0], d0[1])
+            else:
+                sl.ue(8)  # B_L0_L1_16x8
+                sl.se(d0[0])
+                sl.se(d0[1])
             gridL0.fill(bx0, by0, 4, 2, mv0)
             gridL0.fill(bx0, by0 + 2, 4, 2, "I")
             gridL1.fill(bx0, by0, 4, 2, "I")
             p1 = _mvp(gridL1, bx0, by0 + 2, 4, 2, "b")
-            sl.se(mv1[0] - p1[0])
-            sl.se(mv1[1] - p1[1])
+            d1 = (mv1[0] - p1[0], mv1[1] - p1[1])
+            if cabac:
+                wr.mvd(1, bx0, by0 + 2, 4, 2, d1[0], d1[1])
+                wr.cbp(mbx, mby, False, 0, 0)
+                wr.note_no_qp_delta()
+            else:
+                sl.se(d1[0])
+                sl.se(d1[1])
+                sl.ue(_CBP_INTER.index(0))  # no residual
             gridL1.fill(bx0, by0 + 2, 4, 2, mv1)
-            sl.ue(_CBP_INTER.index(0))  # no residual
         elif mode == "mixed8x8":
             subs = (0, 3, 3, 1)  # [Direct, Bi, Bi, L0]
-            sl.ue(22)  # B_8x8
-            for s in subs:
-                sl.ue(s)
+            if cabac:
+                wr.mb_type_b(mbx, mby, 22)  # B_8x8
+                for s in subs:
+                    wr.sub_mb_type_b(s)
+            else:
+                sl.ue(22)  # B_8x8
+                for s in subs:
+                    sl.ue(s)
             # Direct derives; explicit subs carry zero mvs.  mvd order:
             # all mvd_l0 across 8x8s, then all mvd_l1 (§7.3.5.1).
             _r0, _r1, per8 = _spatial_direct(gridL0, gridL1, col,
@@ -979,14 +1039,45 @@ def _encode_bslice_nal(mbw: int, mbh: int, frame_num: int, poc_lsb: int,
                         g.fill(bx0 + obx, by0 + oby, 2, 2, "I")
                         continue
                     p = _mvp(g, bx0 + obx, by0 + oby, 2, 2)
-                    sl.se(0 - p[0])
-                    sl.se(0 - p[1])
+                    if cabac:
+                        wr.mvd(lst, bx0 + obx, by0 + oby, 2, 2,
+                               0 - p[0], 0 - p[1])
+                    else:
+                        sl.se(0 - p[0])
+                        sl.se(0 - p[1])
                     g.fill(bx0 + obx, by0 + oby, 2, 2, (0, 0))
-            sl.ue(_CBP_INTER.index(0))  # no residual
+            if cabac:
+                wr.cbp(mbx, mby, False, 0, 0)
+                wr.note_no_qp_delta()
+            else:
+                sl.ue(_CBP_INTER.index(0))  # no residual
         else:
             raise ValueError("unknown B fixture mode")
-    sl.rbsp_trailing()
-    return _nal(0, 1, sl.done())
+        if cabac:
+            wr.end_mb()
+    if cabac:
+        wr.finish()
+    else:
+        sl.rbsp_trailing()
+    return _nal(nri, 1, sl.done())
+
+
+def _flat_idr(width: int, height: int, qp: int, y_coeff: int,
+              u_coeff: int, v_coeff: int, cabac: bool) -> bytes:
+    """Flat Intra_16x16 IDR for the GOP fixtures, in the requested
+    entropy tier (the GOP's PPS covers every slice, so a CABAC GOP
+    needs a CABAC IDR too)."""
+    if cabac:
+        from .h264_cabac import encode_h264_iframe_flat_cabac
+
+        return encode_h264_iframe_flat_cabac(
+            width, height, qp=qp,
+            y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    from .h264 import encode_h264_iframe_flat
+
+    return encode_h264_iframe_flat(
+        width, height, qp=qp,
+        y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
 
 
 def encode_h264_gop_b(width: int, height: int, *, qp: int,
@@ -994,7 +1085,8 @@ def encode_h264_gop_b(width: int, height: int, *, qp: int,
                       p_y_coeff: int, p_c_coeff: int,
                       b_y_coeff: int, b_c_coeff: int,
                       mv0: tuple[int, int] = (1, 0),
-                      mv1: tuple[int, int] = (0, 1)) -> list[bytes]:
+                      mv1: tuple[int, int] = (0, 1),
+                      cabac: bool = False) -> list[bytes]:
     """Seven-frame IBP GOP fixture with closed-form planes
     (h264_gop_b_expected), DECODE order / POC: IDR flat (0), P with a
     uniform DC residual (12), then five non-reference B pictures
@@ -1016,10 +1108,9 @@ def encode_h264_gop_b(width: int, height: int, *, qp: int,
         raise ValueError("h264: qp out of range")
     mbw, mbh = width // 16, height // 16
     sps = _sps_writer(mbw, mbh, 0, 0, num_ref_frames=2, profile_idc=77)
-    pps = _pps_writer(qp)
-    idr_body = encode_h264_iframe_flat(
-        width, height, qp=qp,
-        y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    pps = _pps_writer(qp, cabac=cabac)
+    idr_body = _flat_idr(width, height, qp, y_coeff, u_coeff, v_coeff,
+                         cabac)
     # the flat I encoder writes its own baseline SPS (1 ref frame);
     # re-head the GOP with the 2-reference main-profile SPS/PPS
     idr_nals = _split_nals(idr_body)
@@ -1030,14 +1121,17 @@ def encode_h264_gop_b(width: int, height: int, *, qp: int,
         idr,
         _encode_pslice_nal(mbw, mbh, qp, 1, "residual",
                            y_coeff=p_y_coeff, c_coeff=p_c_coeff,
-                           poc_lsb=6),
-        _encode_bslice_nal(mbw, mbh, 2, 1, "skip"),
+                           poc_lsb=6, cabac=cabac),
+        _encode_bslice_nal(mbw, mbh, 2, 1, "skip", cabac=cabac, qp=qp),
         _encode_bslice_nal(mbw, mbh, 2, 2, "bi_res", mv0=mv0, mv1=mv1,
-                           y_coeff=b_y_coeff, c_coeff=b_c_coeff),
-        _encode_bslice_nal(mbw, mbh, 2, 3, "mixed8x8"),
-        _encode_bslice_nal(mbw, mbh, 2, 4, "l1mv", mv1=mv1),
+                           y_coeff=b_y_coeff, c_coeff=b_c_coeff,
+                           cabac=cabac, qp=qp),
+        _encode_bslice_nal(mbw, mbh, 2, 3, "mixed8x8", cabac=cabac,
+                           qp=qp),
+        _encode_bslice_nal(mbw, mbh, 2, 4, "l1mv", mv1=mv1,
+                           cabac=cabac, qp=qp),
         _encode_bslice_nal(mbw, mbh, 2, 5, "l0l1_16x8",
-                           mv0=mv0, mv1=mv1),
+                           mv0=mv0, mv1=mv1, cabac=cabac, qp=qp),
     ]
 
 
@@ -1079,8 +1173,8 @@ def h264_gop_b_expected(qp: int, y_coeff: int, u_coeff: int, v_coeff: int,
 
 def encode_h264_gop_bpyramid(width: int, height: int, *, qp: int,
                              y_coeff: int, u_coeff: int, v_coeff: int,
-                             p_y_coeff: int, p_c_coeff: int
-                             ) -> list[bytes]:
+                             p_y_coeff: int, p_c_coeff: int,
+                             cabac: bool = False) -> list[bytes]:
     """Hierarchical-B (B-pyramid) GOP fixture, decode order / POC:
     IDR flat (0), P with a uniform DC residual (8), a REFERENCE B at
     the midpoint (4, nal_ref_idc != 0 — it enters the DPB with its
@@ -1101,10 +1195,9 @@ def encode_h264_gop_bpyramid(width: int, height: int, *, qp: int,
     sps = _sps_writer(mbw, mbh, (mbw * 16 - width) // 2,
                       (mbh * 16 - height) // 2,
                       num_ref_frames=3, profile_idc=77)
-    pps = _pps_writer(qp)
-    idr_body = encode_h264_iframe_flat(
-        width, height, qp=qp,
-        y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    pps = _pps_writer(qp, cabac=cabac)
+    idr_body = _flat_idr(width, height, qp, y_coeff, u_coeff, v_coeff,
+                         cabac)
     idr_slice = next(n for n in _split_nals(idr_body)
                      if (n[0] & 0x1F) == 5)
     idr = (_nal(3, 7, sps.done()) + _nal(3, 8, pps.done())
@@ -1113,18 +1206,19 @@ def encode_h264_gop_bpyramid(width: int, height: int, *, qp: int,
         idr,
         _encode_pslice_nal(mbw, mbh, qp, 1, "residual",
                            y_coeff=p_y_coeff, c_coeff=p_c_coeff,
-                           poc_lsb=8),
-        _encode_bslice_nal(mbw, mbh, 2, 4, "skip", ref_b=True),
-        _encode_bslice_nal(mbw, mbh, 3, 2, "skip"),
-        _encode_bslice_nal(mbw, mbh, 3, 6, "skip"),
+                           poc_lsb=8, cabac=cabac),
+        _encode_bslice_nal(mbw, mbh, 2, 4, "skip", ref_b=True,
+                           cabac=cabac, qp=qp),
+        _encode_bslice_nal(mbw, mbh, 3, 2, "skip", cabac=cabac, qp=qp),
+        _encode_bslice_nal(mbw, mbh, 3, 6, "skip", cabac=cabac, qp=qp),
     ]
 
 
 def encode_h264_gop_tdirect(width: int, height: int, *, qp: int,
                             y_coeff: int, u_coeff: int, v_coeff: int,
                             p_y_coeff: int, p_c_coeff: int,
-                            col_mv: tuple[int, int] = (16, 8)
-                            ) -> list[bytes]:
+                            col_mv: tuple[int, int] = (16, 8),
+                            cabac: bool = False) -> list[bytes]:
     """Temporal-direct GOP fixture (decode order / POC): IDR flat
     (0), P with uniform motion `col_mv` plus a DC residual (4 — the
     colocated picture, so its motion field feeds the §8.4.1.2.3
@@ -1146,10 +1240,9 @@ def encode_h264_gop_tdirect(width: int, height: int, *, qp: int,
     sps = _sps_writer(mbw, mbh, (mbw * 16 - width) // 2,
                       (mbh * 16 - height) // 2,
                       num_ref_frames=2, profile_idc=77)
-    pps = _pps_writer(qp)
-    idr_body = encode_h264_iframe_flat(
-        width, height, qp=qp,
-        y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    pps = _pps_writer(qp, cabac=cabac)
+    idr_body = _flat_idr(width, height, qp, y_coeff, u_coeff, v_coeff,
+                         cabac)
     idr_slice = next(n for n in _split_nals(idr_body)
                      if (n[0] & 0x1F) == 5)
     idr = (_nal(3, 7, sps.done()) + _nal(3, 8, pps.done())
@@ -1158,15 +1251,17 @@ def encode_h264_gop_tdirect(width: int, height: int, *, qp: int,
         idr,
         _encode_pslice_nal(mbw, mbh, qp, 1, "residual", mv=col_mv,
                            y_coeff=p_y_coeff, c_coeff=p_c_coeff,
-                           poc_lsb=4),
-        _encode_bslice_nal(mbw, mbh, 2, 2, "skip", spatial=False),
+                           poc_lsb=4, cabac=cabac),
+        _encode_bslice_nal(mbw, mbh, 2, 2, "skip", spatial=False,
+                           cabac=cabac, qp=qp),
     ]
 
 
 def encode_h264_gop_wp(width: int, height: int, *, qp: int,
                        y_coeff: int, u_coeff: int, v_coeff: int,
                        wy: int, oy: int, wu: int, ou: int,
-                       wv: int, ov: int) -> list[bytes]:
+                       wv: int, ov: int,
+                       cabac: bool = False) -> list[bytes]:
     """Weighted-prediction GOP fixture (h264_gop_wp_expected): the PPS
     sets weighted_pred_flag (explicit P weighting) AND
     weighted_bipred_idc == 2 (implicit B weighting).  Frames in
@@ -1188,10 +1283,10 @@ def encode_h264_gop_wp(width: int, height: int, *, qp: int,
     crop_b = (mbh * 16 - height) // 2
     sps = _sps_writer(mbw, mbh, crop_r, crop_b,
                       num_ref_frames=2, profile_idc=77)
-    pps = _pps_writer(qp, weighted_pred=True, weighted_bipred=2)
-    idr_body = encode_h264_iframe_flat(
-        width, height, qp=qp,
-        y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    pps = _pps_writer(qp, weighted_pred=True, weighted_bipred=2,
+                      cabac=cabac)
+    idr_body = _flat_idr(width, height, qp, y_coeff, u_coeff, v_coeff,
+                         cabac)
     idr_slice = next(n for n in _split_nals(idr_body)
                      if (n[0] & 0x1F) == 5)
     idr = (_nal(3, 7, sps.done()) + _nal(3, 8, pps.done())
@@ -1201,9 +1296,10 @@ def encode_h264_gop_wp(width: int, height: int, *, qp: int,
     return [
         idr,
         _encode_pslice_nal(mbw, mbh, qp, 1, "skip", poc_lsb=6,
-                           weights=(5, 5, (wy, oy), [(wu, ou), (wv, ov)])),
-        _encode_bslice_nal(mbw, mbh, 2, 2, "skip"),
-        _encode_bslice_nal(mbw, mbh, 2, 4, "skip"),
+                           weights=(5, 5, (wy, oy), [(wu, ou), (wv, ov)]),
+                           cabac=cabac),
+        _encode_bslice_nal(mbw, mbh, 2, 2, "skip", cabac=cabac, qp=qp),
+        _encode_bslice_nal(mbw, mbh, 2, 4, "skip", cabac=cabac, qp=qp),
     ]
 
 

@@ -1112,16 +1112,18 @@ def _encode_pslice_nal(mbw: int, mbh: int, qp: int, frame_num: int,
                        mode: str, mv: tuple[int, int] = (0, 0),
                        y_coeff: int = 0, c_coeff: int = 0,
                        poc_lsb: int | None = None,
-                       weights=None) -> bytes:
-    """One whole-picture P slice NAL (CAVLC).  Modes: 'skip' (one
-    mb_skip_run covering the picture), 'mv' (every MB P_L0_16x16 with
-    the same motion vector, no residual), 'residual' (mv plus a DC
-    coefficient in every luma 4x4 and a chroma DC per component).
-    Deblocking is disabled in the slice header; mvd values come from
-    the same grid/_mvp machinery the decoder runs.  `weights` =
+                       weights=None, cabac: bool = False) -> bytes:
+    """One whole-picture P slice NAL.  Modes: 'skip' (the whole
+    picture skipped), 'mv' (every MB P_L0_16x16 with the same motion
+    vector, no residual), 'residual' (mv plus a DC coefficient in
+    every luma 4x4 and a chroma DC per component).  Deblocking is
+    disabled in the slice header; mvd values come from the same
+    grid/_mvp machinery the decoder runs.  `weights` =
     (luma_log2_denom, chroma_log2_denom, (wy, oy), [(wu, ou),
     (wv, ov)]) writes a pred_weight_table — the PPS must then set
-    weighted_pred_flag."""
+    weighted_pred_flag.  `cabac` emits the same macroblocks through
+    the llm/h264_cabac_pb writer (cabac_init_idc 0; the PPS must set
+    entropy_coding_mode_flag)."""
     sl = _BitWriter()
     sl.ue(0)   # first_mb_in_slice
     sl.ue(5)   # slice_type: P (all slices in picture)
@@ -1144,13 +1146,26 @@ def _encode_pslice_nal(mbw: int, mbh: int, qp: int, frame_num: int,
             sl.se(w)
             sl.se(o)
     sl.u(1, 0)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc != 0)
+    if cabac:
+        sl.ue(0)  # cabac_init_idc
     sl.se(0)   # slice_qp_delta
     sl.ue(1)   # disable_deblocking_filter_idc = 1
 
     total = mbw * mbh
+    wr = None
+    if cabac:
+        from .h264_cabac_pb import _CabacInterWriter
+
+        wr = _CabacInterWriter(sl, mbw, mbh, qp, is_b=False)
     if mode == "skip":
-        sl.ue(total)
-        sl.rbsp_trailing()
+        if cabac:
+            for mb in range(total):
+                mby, mbx = divmod(mb, mbw)
+                wr.skip_mb(mbx, mby)
+            wr.finish()
+        else:
+            sl.ue(total)
+            sl.rbsp_trailing()
         return _nal(2, 1, sl.done())
 
     grid = _MvGrid(mbw, mbh)
@@ -1169,40 +1184,76 @@ def _encode_pslice_nal(mbw: int, mbh: int, qp: int, frame_num: int,
 
     for mb in range(total):
         mby, mbx = divmod(mb, mbw)
-        sl.ue(0)  # mb_skip_run
-        sl.ue(0)  # mb_type P_L0_16x16
-        mvp = _mvp(grid, mbx * 4, mby * 4, 4, 4, "")
-        sl.se(mv[0] - mvp[0])
-        sl.se(mv[1] - mvp[1])
-        grid.fill(mbx * 4, mby * 4, 4, 4, mv)
+        bx0, by0 = mbx * 4, mby * 4
+        mvp = _mvp(grid, bx0, by0, 4, 4, "")
+        d = (mv[0] - mvp[0], mv[1] - mvp[1])
+        if cabac:
+            wr.coded_mb(mbx, mby)
+            wr.mb_type_p(mbx, mby, 0)
+            wr.mvd(0, bx0, by0, 4, 4, d[0], d[1])
+        else:
+            sl.ue(0)  # mb_skip_run
+            sl.ue(0)  # mb_type P_L0_16x16
+            sl.se(d[0])
+            sl.se(d[1])
+        grid.fill(bx0, by0, 4, 4, mv)
         if mode == "mv":
-            sl.ue(_CBP_INTER.index(0))  # cbp 0, no residual
+            if cabac:
+                wr.cbp(mbx, mby, False, 0, 0)
+                wr.note_no_qp_delta()
+                wr.end_mb()
+            else:
+                sl.ue(_CBP_INTER.index(0))  # cbp 0, no residual
             for j in range(4):
                 for i in range(4):
                     nz[mby * 4 + j][mbx * 4 + i] = 0
             continue
         # 'residual': all luma 8x8s coded + chroma DC only (cbp 31)
-        sl.ue(_CBP_INTER.index(31))
-        sl.se(0)  # mb_qp_delta
+        if cabac:
+            wr.cbp(mbx, mby, False, 15, 1)
+            wr.qp_delta(0)
+        else:
+            sl.ue(_CBP_INTER.index(31))
+            sl.se(0)  # mb_qp_delta
         for n in range(16):
             dx, dy = _blk_xy(n)
-            bx, by = mbx * 4 + (dx >> 2), mby * 4 + (dy >> 2)
-            _write_cavlc_block(sl, [y_coeff] + [0] * 15,
-                               nc_luma(bx, by), 16)
+            bx, by = bx0 + (dx >> 2), by0 + (dy >> 2)
+            if cabac:
+                wr.luma4(bx, by, [y_coeff] + [0] * 15, i16=False,
+                         intra=False)
+            else:
+                _write_cavlc_block(sl, [y_coeff] + [0] * 15,
+                                   nc_luma(bx, by), 16)
             nz[by][bx] = 1 if y_coeff else 0
-        for _comp in range(2):
-            _write_cavlc_block(sl, [c_coeff, 0, 0, 0], -1, 4)
-    sl.rbsp_trailing()
+        for comp in range(2):
+            if cabac:
+                wr.chroma_dc(comp, mbx, mby, [c_coeff, 0, 0, 0],
+                             intra=False)
+            else:
+                _write_cavlc_block(sl, [c_coeff, 0, 0, 0], -1, 4)
+        if cabac:
+            for comp in range(2):
+                for n in range(4):
+                    wr.chroma_ac_absent(comp, mbx * 2 + (n & 1),
+                                        mby * 2 + (n >> 1))
+            wr.end_mb()
+    if cabac:
+        wr.finish()
+    else:
+        sl.rbsp_trailing()
     return _nal(2, 1, sl.done())
 
 
 def _encode_pslice_multiref_nal(mbw: int, mbh: int, frame_num: int,
-                                poc_lsb: int, na: int, ref_of) -> bytes:
+                                poc_lsb: int, na: int, ref_of,
+                                cabac: bool = False,
+                                qp: int = 28) -> bytes:
     """Whole-picture P slice where every MB is P_L0_16x16 with zero
     motion against RefPicList0[ref_of(mb)] — the multi-reference
     fixture: the header overrides num_ref_idx_l0_active to `na` and
-    each MB carries a te(v) ref_idx (one inverted bit when na == 2,
-    ue(v) beyond)."""
+    each MB carries a ref_idx (te(v) in CAVLC — one inverted bit
+    when na == 2, ue(v) beyond — and the §9.3.3.1.1.6 unary context
+    tree in CABAC)."""
     sl = _BitWriter()
     sl.ue(0)   # first_mb_in_slice
     sl.ue(5)   # slice_type: P (all)
@@ -1213,40 +1264,63 @@ def _encode_pslice_multiref_nal(mbw: int, mbh: int, frame_num: int,
     sl.ue(na - 1)
     sl.u(1, 0)  # ref_pic_list_modification_flag_l0
     sl.u(1, 0)  # adaptive_ref_pic_marking_mode_flag
+    if cabac:
+        sl.ue(0)  # cabac_init_idc
     sl.se(0)
     sl.ue(1)   # deblocking off
+    wr = None
+    if cabac:
+        from .h264_cabac_pb import _CabacInterWriter
+
+        wr = _CabacInterWriter(sl, mbw, mbh, qp, is_b=False)
     grid = _MvGrid(mbw, mbh)
     for mb in range(mbw * mbh):
         mby, mbx = divmod(mb, mbw)
         ridx = ref_of(mb)
         if not 0 <= ridx < na:
             raise ValueError("h264: fixture ref index out of range")
-        sl.ue(0)  # mb_skip_run
-        sl.ue(0)  # P_L0_16x16
-        if na == 2:
-            sl.u(1, 1 - ridx)  # te(v) with range [0, 1]
+        bx0, by0 = mbx * 4, mby * 4
+        mvp = _mvp(grid, bx0, by0, 4, 4, "", target_ref=ridx)
+        if cabac:
+            wr.coded_mb(mbx, mby)
+            wr.mb_type_p(mbx, mby, 0)
+            wr.ref_idx(0, bx0, by0, 4, 4, na, ridx)
+            wr.mvd(0, bx0, by0, 4, 4, 0 - mvp[0], 0 - mvp[1])
         else:
-            sl.ue(ridx)
-        mvp = _mvp(grid, mbx * 4, mby * 4, 4, 4, "", target_ref=ridx)
-        sl.se(0 - mvp[0])
-        sl.se(0 - mvp[1])
-        grid.fill(mbx * 4, mby * 4, 4, 4,
+            sl.ue(0)  # mb_skip_run
+            sl.ue(0)  # P_L0_16x16
+            if na == 2:
+                sl.u(1, 1 - ridx)  # te(v) with range [0, 1]
+            else:
+                sl.ue(ridx)
+            sl.se(0 - mvp[0])
+            sl.se(0 - mvp[1])
+        grid.fill(bx0, by0, 4, 4,
                   (0, 0) if ridx == 0 else (0, 0, ridx))
-        sl.ue(_CBP_INTER.index(0))
-    sl.rbsp_trailing()
+        if cabac:
+            wr.cbp(mbx, mby, False, 0, 0)
+            wr.note_no_qp_delta()
+            wr.end_mb()
+        else:
+            sl.ue(_CBP_INTER.index(0))
+    if cabac:
+        wr.finish()
+    else:
+        sl.rbsp_trailing()
     return _nal(2, 1, sl.done())
 
 
 def encode_h264_gop_multiref(width: int, height: int, *, qp: int,
                              y_coeff: int, u_coeff: int, v_coeff: int,
-                             p_y_coeff: int, p_c_coeff: int) -> list[bytes]:
+                             p_y_coeff: int, p_c_coeff: int,
+                             cabac: bool = False) -> list[bytes]:
     """Three-frame multi-reference GOP fixture with closed-form planes
     (h264_gop_multiref_expected): IDR flat, P1 with a uniform DC
     residual (both references), then P2 with num_ref_idx_l0_active=2
     whose MBs alternate ref_idx by raster parity — even MBs read
     RefPicList0[0] (P1), odd MBs RefPicList0[1] (the IDR).  Dims must
     be MB-aligned so the per-MB accounting stays exact."""
-    from .h264 import encode_h264_iframe_flat, _pps_writer, _sps_writer
+    from .h264 import _pps_writer, _sps_writer
 
     if width % 16 or height % 16 or width <= 0 or height <= 0:
         raise ValueError("h264: multiref fixture dims must be MB-aligned")
@@ -1254,10 +1328,19 @@ def encode_h264_gop_multiref(width: int, height: int, *, qp: int,
         raise ValueError("h264: qp out of range")
     mbw, mbh = width // 16, height // 16
     sps = _sps_writer(mbw, mbh, 0, 0, num_ref_frames=2, profile_idc=77)
-    pps = _pps_writer(qp)
-    idr_body = encode_h264_iframe_flat(
-        width, height, qp=qp,
-        y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    pps = _pps_writer(qp, cabac=cabac)
+    if cabac:
+        from .h264_cabac import encode_h264_iframe_flat_cabac
+
+        idr_body = encode_h264_iframe_flat_cabac(
+            width, height, qp=qp,
+            y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    else:
+        from .h264 import encode_h264_iframe_flat
+
+        idr_body = encode_h264_iframe_flat(
+            width, height, qp=qp,
+            y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
     idr_slice = next(n for n in _split_nals(idr_body)
                      if (n[0] & 0x1F) == 5)
     idr = (_nal(3, 7, sps.done()) + _nal(3, 8, pps.done())
@@ -1266,9 +1349,10 @@ def encode_h264_gop_multiref(width: int, height: int, *, qp: int,
         idr,
         _encode_pslice_nal(mbw, mbh, qp, 1, "residual",
                            y_coeff=p_y_coeff, c_coeff=p_c_coeff,
-                           poc_lsb=2),
+                           poc_lsb=2, cabac=cabac),
         _encode_pslice_multiref_nal(mbw, mbh, 2, 4, 2,
-                                    lambda mb: mb % 2),
+                                    lambda mb: mb % 2, cabac=cabac,
+                                    qp=qp),
     ]
 
 
@@ -1298,25 +1382,36 @@ def h264_gop_multiref_expected(qp: int, y_coeff: int, u_coeff: int,
 def encode_h264_gop_steps(width: int, height: int, *, qp: int,
                           y_coeff: int, u_coeff: int, v_coeff: int,
                           mv: tuple[int, int],
-                          p_y_coeff: int, p_c_coeff: int) -> list[bytes]:
+                          p_y_coeff: int, p_c_coeff: int,
+                          cabac: bool = False) -> list[bytes]:
     """Four-frame GOP fixture with closed-form planes
     (h264_gop_expected): IDR flat Intra_16x16, P all-skip, P with a
     uniform quarter-pel motion vector over the flat field (every frac
     phase is an identity on a constant plane — the MC paths run for
     real), and P with a uniform DC residual on every block.  Returns
-    per-frame Annex-B chunks ready for the avc1 muxer."""
-    from .h264 import encode_h264_iframe_flat
-
+    per-frame Annex-B chunks ready for the avc1 muxer.  `cabac`
+    emits the SAME GOP through the CABAC tier — the closed form
+    holds unchanged (the entropy layer cannot move a sample)."""
     mbw, mbh = (width + 15) // 16, (height + 15) // 16
-    idr = encode_h264_iframe_flat(
-        width, height, qp=qp,
-        y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    if cabac:
+        from .h264_cabac import encode_h264_iframe_flat_cabac
+
+        idr = encode_h264_iframe_flat_cabac(
+            width, height, qp=qp,
+            y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
+    else:
+        from .h264 import encode_h264_iframe_flat
+
+        idr = encode_h264_iframe_flat(
+            width, height, qp=qp,
+            y_coeff=y_coeff, u_coeff=u_coeff, v_coeff=v_coeff)
     return [
         idr,
-        _encode_pslice_nal(mbw, mbh, qp, 1, "skip"),
-        _encode_pslice_nal(mbw, mbh, qp, 2, "mv", mv=mv),
+        _encode_pslice_nal(mbw, mbh, qp, 1, "skip", cabac=cabac),
+        _encode_pslice_nal(mbw, mbh, qp, 2, "mv", mv=mv, cabac=cabac),
         _encode_pslice_nal(mbw, mbh, qp, 3, "residual",
-                           y_coeff=p_y_coeff, c_coeff=p_c_coeff),
+                           y_coeff=p_y_coeff, c_coeff=p_c_coeff,
+                           cabac=cabac),
     ]
 
 
