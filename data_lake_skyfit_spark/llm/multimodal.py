@@ -7930,14 +7930,18 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
     (h264_flat_expected), 375-419 the deblocked stepped strips again
     through the arithmetic tier (h264_steps_expected — the entropy
     layer cannot change a reconstructed sample). ids 420-459 (r7b)
-    are four-frame IDR+P GOPs (h264_gop_expected). ids 460-489 (r7c)
+    are four-frame IDR+P GOPs (h264_gop_expected); ids 450-459 (r8)
+    code the same GOPs through the CABAC P tier. ids 460-489 (r7c)
     are seven-frame IBP GOPs through the B tier: the samples sit in
     DECODE order with a signed ctts recording the POC reorder, and
     every B mode family (direct/skip, Bi+residual, mixed B_8x8, L1,
     L0-L1 two-partition) decodes for real (h264_gop_b_expected);
-    ids 460-489 in the graded window. ids 490-499 (r7c) are
-    weighted-prediction GOPs: an explicit-WP all-skip P anchor and
-    two implicit-weighted B pictures (h264_gop_wp_expected)."""
+    ids 480-489 (r8) code the same GOPs through the CABAC B tier
+    (llm/h264_cabac_pb — the closed forms are entropy-independent,
+    so the CAVLC and CABAC sub-ranges share one oracle leg).
+    ids 490-499 (r7c) are weighted-prediction GOPs: an explicit-WP
+    all-skip P anchor and two implicit-weighted B pictures
+    (h264_gop_wp_expected)."""
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
@@ -7964,6 +7968,8 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
                 ou=(k % 7) - 3,
                 wv=40 - k % 13,
                 ov=(k % 5) - 2,
+                # r8: ids 495-499 weighted GOPs through the CABAC tier
+                cabac=rid >= 495,
             )
         if rid >= 460:
             # r7c B leg: seven-frame IBP GOP through the B tier
@@ -7988,6 +7994,10 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
                 b_c_coeff=1 + k % 4,
                 mv0=((1, 0), (2, 1), (3, 3), (0, 2))[k % 4],
                 mv1=((0, 1), (1, 3), (2, 2), (3, 0))[(k // 2) % 4],
+                # r8: ids 480-489 run the SAME IBP GOPs through the
+                # CABAC P/B tier (llm/h264_cabac_pb) — the closed form
+                # is entropy-independent, so the oracle leg is shared
+                cabac=rid >= 480,
             )
         if rid >= 420:
             # r7b GOP leg: IDR + three P frames (skip / uniform
@@ -8006,6 +8016,9 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
                 mv=((1, 0), (2, 1), (3, 3), (0, 2))[k % 4],
                 p_y_coeff=1 + k % 8,
                 p_c_coeff=1 + k % 5,
+                # r8: ids 450-459 run the SAME IDR+P GOPs through the
+                # CABAC inter tier — shared entropy-independent oracle
+                cabac=rid >= 450,
             )
         if rid >= 375:
             # r7 CABAC leg B: the SAME deblocking-enabled stepped-DC
@@ -8257,6 +8270,9 @@ def synthesize_avc_multiref_payloads(
                             v_coeff=1 + k % 25,
                             p_y_coeff=1 + k % 8,
                             p_c_coeff=1 + k % 5,
+                            # r8: odd ids code through the CABAC tier
+                            # (entropy-independent oracle, 50/50 split)
+                            cabac=k % 2 == 1,
                         ),
                         codec="avc1",
                     )
@@ -8300,6 +8316,7 @@ def synthesize_avc_tdirect_payloads(
                             p_c_coeff=1 + k % 5,
                             col_mv=((16, 8), (8, 16), (24, 4),
                                     (4, 24))[k % 4],
+                            cabac=k % 2 == 1,  # r8: 50/50 CABAC split
                         ),
                         codec="avc1",
                         composition_offsets=[0, 500, -500],
@@ -8342,6 +8359,7 @@ def synthesize_avc_bpyramid_payloads(
                             v_coeff=1 + k % 25,
                             p_y_coeff=1 + k % 8,
                             p_c_coeff=1 + k % 5,
+                            cabac=k % 2 == 1,  # r8: 50/50 CABAC split
                         ),
                         codec="avc1",
                         composition_offsets=offs,

@@ -3671,8 +3671,13 @@ def _avc_deblock_leg_sql(lo: int = 240, hi: int = 330) -> str:
     "full decoder (llm/h264.py): avcC extraction, NAL re-framing, "
     "CAVLC residuals, luma-DC Hadamard + core transform, intra "
     "prediction, PCM byte path; docs 420-459 (r7b) add IDR+P GOPs "
-    "through the inter tier and docs 460-489 (r7c) seven-frame IBP "
-    "GOPs through the B-slice tier (llm/h264_bslice.py: spatial-"
+    "through the inter tier (450-459 CABAC-coded, r8 — the VERDICT "
+    "r7 #1 directive: llm/h264_cabac_pb decodes P/B slices through "
+    "the shared slice control flow, and the entropy-independent "
+    "closed forms grade both tiers from one oracle leg) and docs "
+    "460-489 (r7c) seven-frame IBP "
+    "GOPs through the B-slice tier (480-489 CABAC-coded, r8) "
+    "(llm/h264_bslice.py: spatial-"
     "direct B_Skip, B_Bi_16x16 with motion + residual, mixed B_8x8 "
     "sub-types, B_L1_16x16, B_L0_L1_16x8) decoded via the "
     "POC-ordered DPB, with a signed ctts recording the display "
