@@ -8,12 +8,19 @@ monochrome 4:0:0 (gray pictures and the format of
 HEIC alpha auxiliaries; chroma planes return empty), I slices (IRAP
 nal types 16..21), multiple independent
 slice segments per picture (slice-scoped availability, per-slice QP
-chains and deblock/SAO boundary control), wavefront entropy sync
+chains and deblock/SAO boundary control), DEPENDENT slice segments
+(r8 — §9.3.1/§8.6.1 context + qPY_PREV continuation, same-slice
+prediction/filter boundaries; not combined with tiles/WPP),
+wavefront entropy sync
 (WPP — x265's default mode; per-row substreams via entry point
 offsets or sequential byte-aligned subsets, §9.3.1 context
-synchronization), quantization scaling lists (default and
-explicitly-coded, SPS or PPS level), no tiles / no dependent slice
-segments, no PCM.  10-bit pictures return little-endian uint16 plane
+synchronization), TILES (r8 — §6.5.1 uniform or explicit grids,
+tile-scan CTU order, per-tile CABAC substreams with entry points,
+tile-scoped prediction/ctx availability,
+loop_filter_across_tiles on the deblock/SAO boundary rules; one
+slice segment covering the picture, the shape x265 emits),
+quantization scaling lists (default and
+explicitly-coded, SPS or PPS level), no PCM.  10-bit pictures return little-endian uint16 plane
 bytes.  Supported inside that envelope: the full
 coding/transform quadtree at every CTU size 16/32/64, all 35 intra
 prediction modes with reference substitution + mode-dependent
@@ -393,9 +400,28 @@ def _parse_pps(rbsp: bytes) -> dict:
     pps["slice_chroma_qp_offsets"] = br.u(1)
     br.u(1); br.u(1)  # weighted_pred, weighted_bipred
     pps["tq_bypass_enabled"] = br.u(1)
-    if br.u(1):
-        raise ValueError("hevc: tiles unsupported")
+    pps["tiles"] = None
+    pps["lf_across_tiles"] = 1
+    tiles_enabled = br.u(1)  # tiles_enabled_flag
     pps["wpp"] = br.u(1)  # entropy_coding_sync (wavefronts)
+    if tiles_enabled:
+        # §7.3.2.3: the tile geometry follows BOTH flags — getting
+        # this order wrong was invisible to the self round-trip and
+        # caught only by the libde265 cross-pin (r8)
+        ncols = br.ue() + 1
+        nrows = br.ue() + 1
+        if ncols > 64 or nrows > 64:
+            raise ValueError("hevc: implausible tile grid")
+        uniform = br.u(1)
+        cw = rh = None
+        if not uniform:
+            cw = [br.ue() + 1 for _ in range(ncols - 1)]
+            rh = [br.ue() + 1 for _ in range(nrows - 1)]
+        pps["lf_across_tiles"] = br.u(1)
+        pps["tiles"] = {"ncols": ncols, "nrows": nrows,
+                        "uniform": uniform, "cw": cw, "rh": rh}
+    if pps["tiles"] and pps["wpp"]:
+        raise ValueError("hevc: tiles + wavefronts unsupported")
     pps["loop_filter_across_slices"] = br.u(1)
     pps["deblock_override_enabled"] = 0
     pps["deblock_disabled"] = 0
@@ -417,7 +443,7 @@ def _parse_pps(rbsp: bytes) -> dict:
 
 
 def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
-                        pps_map: dict) -> dict:
+                        pps_map: dict, prev_sh: dict | None = None) -> dict:
     sh: dict = {}
     first = br.u(1)
     sh["first"] = first
@@ -428,15 +454,49 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
         raise ValueError("hevc: slice references unknown PPS")
     sh["pps"] = pps
     sh["address"] = 0
+    sh["dependent"] = 0
     if not first:
-        if pps["dependent_slices"] and br.u(1):
-            raise ValueError("hevc: dependent slice segments unsupported")
+        if pps["dependent_slices"]:
+            sh["dependent"] = br.u(1)
         ctb = 1 << sps["log2_ctb"]
         pic_ctbs = (((sps["w"] + ctb - 1) >> sps["log2_ctb"])
                     * ((sps["h"] + ctb - 1) >> sps["log2_ctb"]))
         sh["address"] = br.u(max(1, (pic_ctbs - 1).bit_length()))
         if sh["address"] == 0 or sh["address"] >= pic_ctbs:
             raise ValueError("hevc: bad slice segment address")
+    if sh["dependent"]:
+        # §7.3.6.1: a dependent segment inherits everything between
+        # slice_type and the deblock params from the previous segment;
+        # only entry points / extension / alignment remain in ITS header
+        if prev_sh is None:
+            raise ValueError("hevc: dependent segment without a slice")
+        if prev_sh["pps"] is not pps:
+            raise ValueError("hevc: dependent segment changes PPS")
+        for k in ("sao_luma", "sao_chroma", "qp", "cb_qp_offset",
+                  "cr_qp_offset", "deblock_disabled", "beta_offset",
+                  "tc_offset", "lf_across"):
+            sh[k] = prev_sh[k]
+        sh["entry_offsets"] = []
+        if pps["wpp"] or pps["tiles"]:
+            n_entry = br.ue()
+            if n_entry > 1 << 16:
+                raise ValueError("hevc: implausible entry point count")
+            if n_entry:
+                off_len = br.ue() + 1
+                if off_len > 32:
+                    raise ValueError("hevc: bad entry point offset length")
+                sh["entry_offsets"] = [br.u(off_len) + 1
+                                       for _ in range(n_entry)]
+        if pps["slice_header_ext"]:
+            for _ in range(br.ue()):
+                br.u(8)
+        if br.u(1) != 1:
+            raise ValueError("hevc: slice header alignment bit not one")
+        while br.pos & 7:
+            if br.u(1) != 0:
+                raise ValueError(
+                    "hevc: slice header alignment padding not zero")
+        return sh
     for _ in range(pps["extra_slice_bits"]):
         br.u(1)
     slice_type = br.ue()
@@ -480,7 +540,7 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
     ):
         sh["lf_across"] = br.u(1)
     sh["entry_offsets"] = []
-    if pps["wpp"]:
+    if pps["wpp"] or pps["tiles"]:
         n_entry = br.ue()
         if n_entry > 1 << 16:
             raise ValueError("hevc: implausible entry point count")
@@ -941,15 +1001,66 @@ class _PicDecoder:
         self.cu_qp_delta_val = 0
         self.qg_pred = sh["qp"]
         self.last_cu_qp = sh["qp"]
+        # tiles: per-4x4-cell tile ids (None ⇒ single tile) + the
+        # tile-scan CTU order; dependent-segment context carry-over
+        self.tile_grid: np.ndarray | None = None
+        self.ts_order: list[int] | None = None
+        self._dep_state: list[list[int]] | None = None
+        if self.pps["tiles"] is not None:
+            self._setup_tiles()
+
+    def _setup_tiles(self) -> None:
+        """§6.5.1: tile column/row boundaries (uniform or explicit) →
+        per-CTU tile ids, a per-4x4-cell tile grid for availability,
+        and the tile-scan CTU order."""
+        t = self.pps["tiles"]
+        ctb = 1 << self.log2_ctb
+        n_w = (self.w + ctb - 1) >> self.log2_ctb
+        n_h = (self.h + ctb - 1) >> self.log2_ctb
+        nc, nr = t["ncols"], t["nrows"]
+        if nc > n_w or nr > n_h:
+            raise ValueError("hevc: more tiles than CTUs")
+        if t["uniform"]:
+            col_bd = [(i * n_w) // nc for i in range(nc + 1)]
+            row_bd = [(i * n_h) // nr for i in range(nr + 1)]
+        else:
+            cw = list(t["cw"]) + [n_w - sum(t["cw"])]
+            rh = list(t["rh"]) + [n_h - sum(t["rh"])]
+            if min(cw) < 1 or min(rh) < 1:
+                raise ValueError("hevc: tile sizes exceed the picture")
+            col_bd = [sum(cw[:i]) for i in range(nc + 1)]
+            row_bd = [sum(rh[:i]) for i in range(nr + 1)]
+        tile_of_ctu = np.empty(n_w * n_h, np.int16)
+        order: list[int] = []
+        for tr in range(nr):
+            for tc in range(nc):
+                tid = tr * nc + tc
+                for ry in range(row_bd[tr], row_bd[tr + 1]):
+                    for rx in range(col_bd[tc], col_bd[tc + 1]):
+                        tile_of_ctu[ry * n_w + rx] = tid
+                        order.append(ry * n_w + rx)
+        self.ts_order = order
+        # expand to the 4x4 cell grid (cells outside the picture crop
+        # share their CTU's id; grid dims follow the sample planes)
+        gh, gw = self.ct_depth.shape
+        s = self.log2_ctb - 2
+        cy = np.minimum(np.arange(gh) >> s, n_h - 1)
+        cx = np.minimum(np.arange(gw) >> s, n_w - 1)
+        self.tile_grid = tile_of_ctu.reshape(n_h, n_w)[np.ix_(cy, cx)]
+
+    def _same_tile(self, cy: int, cx: int, cy2: int, cx2: int) -> bool:
+        """4x4-cell coords: True when both cells sit in the same tile
+        (always true without tiles)."""
+        g = self.tile_grid
+        return g is None or g[cy, cx] == g[cy2, cx2]
 
     # ---------------------------------------------------------- slice loop
     def decode_segment(self, br: _BitReader, sh: dict) -> None:
-        """Decode one independent slice segment (possibly one of several
-        covering the picture; segments must tile the CTU raster in
-        order)."""
+        """Decode one slice segment (independent or dependent;
+        possibly one of several covering the picture; segments must
+        tile the CTU raster in order)."""
+        dependent = bool(sh.get("dependent"))
         self.sh = sh
-        self.slice_params.append(sh)
-        self.cur_slice = len(self.slice_params) - 1
         ctb = 1 << self.log2_ctb
         n_w = (self.w + ctb - 1) >> self.log2_ctb
         n_h = (self.h + ctb - 1) >> self.log2_ctb
@@ -957,6 +1068,38 @@ class _PicDecoder:
         if not hasattr(self, "sao_params"):
             self.sao_params: dict[tuple[int, int], list] = {}
             self.ctu_slice = np.full(n_w * n_h, -1, np.int16)
+        if dependent:
+            # §9.3.1/§8.6.1: a dependent segment CONTINUES the previous
+            # segment's slice — same cur_slice (prediction/filter
+            # boundaries unchanged), CABAC contexts restored from the
+            # state stored at the previous segment's end (the engine
+            # itself re-initializes), and qPY_PREV carries over
+            if self.pps["wpp"] or self.pps["tiles"]:
+                raise ValueError(
+                    "hevc: dependent segments with tiles/wavefronts "
+                    "unsupported")
+            if self.cur_slice < 0 or self._dep_state is None:
+                raise ValueError("hevc: dependent segment without a slice")
+            if sh["address"] != self.next_ctu:
+                raise ValueError(
+                    "hevc: slice segments do not tile the picture")
+            self.cab = _Cabac(br, sh["qp"])
+            self.cab.state = [st.copy() for st in self._dep_state]
+            total = n_w * n_h
+            for addr in range(sh["address"], total):
+                self._decode_ctu(addr % n_w, addr // n_w)
+                if self.cab.terminate():
+                    self.next_ctu = addr + 1
+                    self._dep_state = [st.copy() for st in self.cab.state]
+                    return
+                if addr == total - 1:
+                    raise ValueError("hevc: missing end_of_slice flag")
+            return
+        self.slice_params.append(sh)
+        self.cur_slice = len(self.slice_params) - 1
+        if self.pps["tiles"] is not None:
+            self._decode_tiled_slice(br, sh, n_w, n_h)
+            return
         if sh["address"] != self.next_ctu:
             raise ValueError("hevc: slice segments do not tile the picture")
         # per-slice resets (QP prediction chain restarts)
@@ -991,6 +1134,7 @@ class _PicDecoder:
                 end = self.cab.terminate()
                 if end:
                     self.next_ctu = addr + 1
+                    self._dep_state = [st.copy() for st in self.cab.state]
                     return
                 if addr == total - 1:
                     raise ValueError("hevc: missing end_of_slice flag")
@@ -1052,6 +1196,70 @@ class _PicDecoder:
                         raise ValueError("hevc: missing end_of_subset bit")
         self.next_ctu = end_row * n_w
 
+    def _decode_tiled_slice(self, br: _BitReader, sh: dict, n_w: int,
+                            n_h: int) -> None:
+        """§6.5.1 tile-scan decode: CTUs walk raster-within-tile, tiles
+        in raster order; each tile is its own CABAC substream (fresh
+        context init, qPY_PREV reset), separated by end_of_subset bits
+        + byte alignment, with slice-header entry points as the
+        parallel-seek aid (x265 always writes them).  Envelope: ONE
+        slice segment covering the picture — the shape x265 emits."""
+        if sh["address"] != 0 or self.next_ctu != 0:
+            raise ValueError(
+                "hevc: tiles with multiple slice segments unsupported")
+        order = self.ts_order
+        tile_of = self.tile_grid  # per-cell; CTU lookup via order walk
+        offsets = sh.get("entry_offsets") or []
+        starts = None
+        if offsets:
+            start = (br.pos + 7) >> 3
+            starts = [start]
+            for off in offsets:
+                starts.append(starts[-1] + off)
+            if starts[-1] >= len(br.data):
+                raise ValueError("hevc: entry point offsets overrun "
+                                 "the slice")
+        total = n_w * n_h
+        s = self.log2_ctb - 2
+        cab = None
+        cur_tile = -1
+        sub_idx = 0
+        rdr = br
+        for k, addr in enumerate(order):
+            rx, ry = addr % n_w, addr // n_w
+            tid = int(tile_of[(ry << s), (rx << s)])
+            if tid != cur_tile:
+                if cur_tile >= 0:
+                    # end_of_subset_one_bit + byte alignment closes the
+                    # previous tile's substream
+                    if cab.terminate() != 1:
+                        raise ValueError("hevc: missing end_of_subset bit")
+                    if starts is None:
+                        rdr.pos = ((rdr.pos + 7) >> 3) << 3
+                if starts is not None:
+                    if sub_idx >= len(starts):
+                        raise ValueError("hevc: tile count exceeds entry "
+                                         "points")
+                    rdr = _BitReader(br.data)
+                    rdr.pos = starts[sub_idx] * 8
+                cab = _Cabac(rdr, sh["qp"])
+                self.cab = cab
+                self.last_cu_qp = sh["qp"]
+                self.qp_delta_coded = True
+                self.cu_qp_delta_val = 0
+                self.qg_pred = sh["qp"]
+                cur_tile = tid
+                sub_idx += 1
+            self._decode_ctu(rx, ry)
+            end = cab.terminate()
+            if k == total - 1:
+                if end != 1:
+                    raise ValueError("hevc: missing end_of_slice flag")
+            elif end:
+                # only whole-picture slices are in the envelope
+                raise ValueError("hevc: premature end_of_slice flag")
+        self.next_ctu = total
+
     def _decode_ctu(self, rx: int, ry: int) -> None:
         self.ctu_slice[ry * self.n_ctb_w + rx] = self.cur_slice
         if self.sh["sao_luma"] or self.sh["sao_chroma"]:
@@ -1063,10 +1271,15 @@ class _PicDecoder:
     def _sao_syntax(self, rx: int, ry: int) -> None:
         cab = self.cab
         nw = self.n_ctb_w
+        s = self.log2_ctb - 2
         left_ok = (rx > 0
-                   and self.ctu_slice[ry * nw + rx - 1] == self.cur_slice)
+                   and self.ctu_slice[ry * nw + rx - 1] == self.cur_slice
+                   and self._same_tile(ry << s, (rx - 1) << s,
+                                       ry << s, rx << s))
         up_ok = (ry > 0
-                 and self.ctu_slice[(ry - 1) * nw + rx] == self.cur_slice)
+                 and self.ctu_slice[(ry - 1) * nw + rx] == self.cur_slice
+                 and self._same_tile((ry - 1) << s, rx << s,
+                                     ry << s, rx << s))
         if left_ok and cab.dec(_CTX_OFF["sao_merge"]):
             self.sao_params[(rx, ry)] = self.sao_params[(rx - 1, ry)]
             return
@@ -1201,6 +1414,22 @@ class _PicDecoder:
                             ok = (((s_a == s_c) | (lf[s_c] == 1))
                                   & ((s_b == s_c) | (lf[s_c] == 1)))
                             new = np.where(ok, new, cen)
+                        if (self.tile_grid is not None
+                                and not self.pps["lf_across_tiles"]):
+                            # same §8.7.3 availability rule across TILE
+                            # boundaries when cross-tile filtering is off
+                            ys = np.arange(vy0, vy1)
+                            xs = np.arange(vx0, vx1)
+
+                            def tcells(yv, xv):
+                                return self.tile_grid[np.ix_(
+                                    (yv << shift) >> 2, (xv << shift) >> 2)]
+
+                            t_c = tcells(ys, xs)
+                            t_a = tcells(ys + dy0, xs + dx0)
+                            t_b = tcells(ys + dy1, xs + dx1)
+                            tok = (t_a == t_c) & (t_b == t_c)
+                            new = np.where(tok, new, cen)
                         out[vy0 - y0 : vy1 - y0, vx0 - x0 : vx1 - x0] = new
                 if self.pps["tq_bypass_enabled"]:
                     byp = self.bypass_grid[
@@ -1240,11 +1469,14 @@ class _PicDecoder:
         in_pic = x0 + size <= self.w and y0 + size <= self.h
         if in_pic and log2_size > self.min_cb:
             inc = 0
-            if (x0 > 0 and self.slice_grid[y0 >> 2, (x0 - 1) >> 2] == self.cur_slice
-                    and self.ct_depth[y0 >> 2, (x0 - 1) >> 2] > depth):
+            cy, cx = y0 >> 2, x0 >> 2
+            if (x0 > 0 and self.slice_grid[cy, cx - 1] == self.cur_slice
+                    and self._same_tile(cy, cx - 1, cy, cx)
+                    and self.ct_depth[cy, cx - 1] > depth):
                 inc += 1
-            if (y0 > 0 and self.slice_grid[(y0 - 1) >> 2, x0 >> 2] == self.cur_slice
-                    and self.ct_depth[(y0 - 1) >> 2, x0 >> 2] > depth):
+            if (y0 > 0 and self.slice_grid[cy - 1, cx] == self.cur_slice
+                    and self._same_tile(cy - 1, cx, cy, cx)
+                    and self.ct_depth[cy - 1, cx] > depth):
                 inc += 1
             split = self.cab.dec(_CTX_OFF["split_cu"] + inc)
         elif log2_size > self.min_cb:
@@ -1315,13 +1547,16 @@ class _PicDecoder:
 
     def _derive_luma_mode(self, px: int, py: int, choice: tuple[str, int]) -> int:
         ctb_mask = ~((1 << self.log2_ctb) - 1)
-        if px > 0 and self.slice_grid[py >> 2, (px - 1) >> 2] == self.cur_slice:
-            cand_a = int(self.mode_grid[py >> 2, (px - 1) >> 2])
+        cy, cx = py >> 2, px >> 2
+        if (px > 0 and self.slice_grid[cy, cx - 1] == self.cur_slice
+                and self._same_tile(cy, cx - 1, cy, cx)):
+            cand_a = int(self.mode_grid[cy, cx - 1])
         else:
             cand_a = 1
         if (py > 0 and (py - 1) & ctb_mask == py & ctb_mask
-                and self.slice_grid[(py - 1) >> 2, px >> 2] == self.cur_slice):
-            cand_b = int(self.mode_grid[(py - 1) >> 2, px >> 2])
+                and self.slice_grid[cy - 1, cx] == self.cur_slice
+                and self._same_tile(cy - 1, cx, cy, cx)):
+            cand_b = int(self.mode_grid[cy - 1, cx])
         else:
             cand_b = 1  # above row outside this CTB/slice (or picture) → DC
         if cand_a == cand_b:
@@ -1466,12 +1701,15 @@ class _PicDecoder:
         ph = self.h >> shift
         n2 = 2 * size
 
+        x4, y4 = (x << shift) >> 2, (y << shift) >> 2
+
         def sample_ok(px: int, py: int) -> bool:
             if px < 0 or py < 0 or px >= pw or py >= ph:
                 return False
             cy, cx = (py << shift) >> 2, (px << shift) >> 2
-            return bool(self.avail[cy, cx]) and (
-                self.slice_grid[cy, cx] == self.cur_slice)
+            return (bool(self.avail[cy, cx])
+                    and self.slice_grid[cy, cx] == self.cur_slice
+                    and self._same_tile(cy, cx, y4, x4))
 
         # ordered reference walk: p[-1][2N-1] .. p[-1][-1] .. p[2N-1][-1]
         coords = [(x - 1, y + n2 - 1 - i) for i in range(n2)]
@@ -1729,6 +1967,9 @@ class _Deblocker:
         qp = d.qp_grid if vertical else d.qp_grid.T
         byp = d.bypass_grid if vertical else d.bypass_grid.T
         slg = d.slice_grid if vertical else d.slice_grid.T
+        tg = None
+        if d.tile_grid is not None and not d.pps["lf_across_tiles"]:
+            tg = d.tile_grid if vertical else d.tile_grid.T
         h4, w4 = edges.shape
         for gx in range(0, w4, 2):  # 8x8 luma grid columns only
             for gy in range(h4):
@@ -1741,6 +1982,8 @@ class _Deblocker:
                     continue
                 if int(slg[gy, gx - 1]) != sq and not params["lf_across"]:
                     continue  # slice boundary with filtering disabled
+                if tg is not None and tg[gy, gx - 1] != tg[gy, gx]:
+                    continue  # tile boundary with filtering disabled
                 beta_off = params["beta_offset"]
                 tc_off = params["tc_offset"]
                 x = gx << 2
@@ -1846,6 +2089,9 @@ class _Deblocker:
         qp = d.qp_grid if vertical else d.qp_grid.T
         byp = d.bypass_grid if vertical else d.bypass_grid.T
         slg = d.slice_grid if vertical else d.slice_grid.T
+        tg = None
+        if d.tile_grid is not None and not d.pps["lf_across_tiles"]:
+            tg = d.tile_grid if vertical else d.tile_grid.T
         h4, w4 = edges.shape
         for c_idx, off in ((1, d.pps["cb_qp_offset"]), (2, d.pps["cr_qp_offset"])):
             plane_full = d.cb if c_idx == 1 else d.cr
@@ -1861,6 +2107,8 @@ class _Deblocker:
                     if params["deblock_disabled"]:
                         continue
                     if int(slg[gy, gx - 1]) != sq and not params["lf_across"]:
+                        continue
+                    if tg is not None and tg[gy, gx - 1] != tg[gy, gx]:
                         continue
                     tc_off = params["tc_offset"]
                     x = gx << 1  # chroma x
@@ -1939,7 +2187,9 @@ def decode_hevc_intra_stream(data: bytes, max_frames: int = 64) -> list[tuple]:
             pps_map[pps["id"]] = pps
         elif ntype in _IRAP_TYPES:
             br = _BitReader(rbsp)
-            sh = _parse_slice_header(br, ntype, _active_sps(sps_map, rbsp), pps_map)
+            sh = _parse_slice_header(br, ntype, _active_sps(sps_map, rbsp),
+                                     pps_map,
+                                     prev_sh=cur.sh if cur else None)
             sps = sps_map[sh["pps"]["sps_id"]]
             if sh["first"]:
                 if cur is not None:
@@ -2362,42 +2612,262 @@ def encode_hevc_iframe_bypass(width: int, height: int, y: bytes,
     for addr in range(n_w * n_h):
         x0 = (addr % n_w) * 16
         y0 = (addr // n_w) * 16
-        enc.enc(_CTX_OFF["tq_bypass"], 1)
-        enc.enc(_CTX_OFF["part_mode"], 1)      # PART_2Nx2N
-        enc.enc(_CTX_OFF["prev_intra"], 1)     # DC is always MPM idx 1 here
-        enc.bypass_enc(1)
-        enc.bypass_enc(0)
-        enc.enc(_CTX_OFF["chroma_pred"], 0)    # derived (DC)
-        pred_y = mirror._predict(0, x0, y0, 16, 1)
-        res_y = ty[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64) - pred_y
-        xc, yc = x0 // 2, y0 // 2
-        pred_cb = mirror._predict(1, xc, yc, 8, 1)
-        res_cb = tcb[yc : yc + 8, xc : xc + 8].astype(np.int64) - pred_cb
-        pred_cr = mirror._predict(2, xc, yc, 8, 1)
-        res_cr = tcr[yc : yc + 8, xc : xc + 8].astype(np.int64) - pred_cr
-        cbf_y = 1 if res_y.any() else 0
-        cbf_cb = 1 if res_cb.any() else 0
-        cbf_cr = 1 if res_cr.any() else 0
-        enc.enc(_CTX_OFF["cbf_chroma"], cbf_cb)
-        enc.enc(_CTX_OFF["cbf_chroma"], cbf_cr)
-        enc.enc(_CTX_OFF["cbf_luma"] + 1, cbf_y)
-        if cbf_y:
-            _residual_encode(enc, res_y, 4, 0)
-        if cbf_cb:
-            _residual_encode(enc, res_cb, 3, 1)
-        if cbf_cr:
-            _residual_encode(enc, res_cr, 3, 2)
-        # mirror reconstruction so later DC predictions see real samples
-        mirror.y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
-            pred_y + res_y, 0, 255).astype(np.uint8)
-        mirror.cb[yc : yc + 8, xc : xc + 8] = np.clip(
-            pred_cb + res_cb, 0, 255).astype(np.uint8)
-        mirror.cr[yc : yc + 8, xc : xc + 8] = np.clip(
-            pred_cr + res_cr, 0, 255).astype(np.uint8)
-        mirror.avail[y0 >> 2 : (y0 + 16) >> 2, x0 >> 2 : (x0 + 16) >> 2] = True
+        _bypass_ctu_encode(enc, mirror, ty, tcb, tcr, x0, y0)
         enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
     bw.align_zero()
     return (_hevc_nal(32, _fixture_vps())
             + _hevc_nal(33, _fixture_sps(width, height))
             + _hevc_nal(34, _fixture_pps())
             + _hevc_nal(19, bw.done()))
+
+
+def _bypass_ctu_encode(enc, mirror: "_PicDecoder", ty, tcb, tcr,
+                       x0: int, y0: int) -> None:
+    """One DC-mode transquant-bypass 16x16 CU: syntax + mirror
+    reconstruction (the mirror's availability rules — slice AND tile
+    scoped — supply bit-exact DC predictions)."""
+    enc.enc(_CTX_OFF["tq_bypass"], 1)
+    enc.enc(_CTX_OFF["part_mode"], 1)      # PART_2Nx2N
+    enc.enc(_CTX_OFF["prev_intra"], 1)     # DC is always MPM idx 1 here
+    enc.bypass_enc(1)
+    enc.bypass_enc(0)
+    enc.enc(_CTX_OFF["chroma_pred"], 0)    # derived (DC)
+    pred_y = mirror._predict(0, x0, y0, 16, 1)
+    res_y = ty[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64) - pred_y
+    xc, yc = x0 // 2, y0 // 2
+    pred_cb = mirror._predict(1, xc, yc, 8, 1)
+    res_cb = tcb[yc : yc + 8, xc : xc + 8].astype(np.int64) - pred_cb
+    pred_cr = mirror._predict(2, xc, yc, 8, 1)
+    res_cr = tcr[yc : yc + 8, xc : xc + 8].astype(np.int64) - pred_cr
+    cbf_y = 1 if res_y.any() else 0
+    cbf_cb = 1 if res_cb.any() else 0
+    cbf_cr = 1 if res_cr.any() else 0
+    enc.enc(_CTX_OFF["cbf_chroma"], cbf_cb)
+    enc.enc(_CTX_OFF["cbf_chroma"], cbf_cr)
+    enc.enc(_CTX_OFF["cbf_luma"] + 1, cbf_y)
+    if cbf_y:
+        _residual_encode(enc, res_y, 4, 0)
+    if cbf_cb:
+        _residual_encode(enc, res_cb, 3, 1)
+    if cbf_cr:
+        _residual_encode(enc, res_cr, 3, 2)
+    # mirror reconstruction so later DC predictions see real samples
+    mirror.y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+        pred_y + res_y, 0, 255).astype(np.uint8)
+    mirror.cb[yc : yc + 8, xc : xc + 8] = np.clip(
+        pred_cb + res_cb, 0, 255).astype(np.uint8)
+    mirror.cr[yc : yc + 8, xc : xc + 8] = np.clip(
+        pred_cr + res_cr, 0, 255).astype(np.uint8)
+    mirror.avail[y0 >> 2 : (y0 + 16) >> 2, x0 >> 2 : (x0 + 16) >> 2] = True
+
+
+def _fixture_pps_tiled(ncols: int, nrows: int,
+                       lf_across_tiles: bool) -> bytes:
+    """_fixture_pps with a uniform-spacing tile grid."""
+    bw = _BitWriter()
+    bw.ue(0); bw.ue(0)
+    bw.u(1, 0); bw.u(1, 0); bw.u(3, 0)
+    bw.u(1, 0)                      # sign_data_hiding off
+    bw.u(1, 0)                      # cabac_init_present
+    bw.ue(0); bw.ue(0)
+    bw.se(_FIXTURE_QP - 26)         # init_qp
+    bw.u(1, 0)                      # constrained_intra_pred
+    bw.u(1, 0); bw.u(1, 0)          # transform_skip, cu_qp_delta
+    bw.se(0); bw.se(0)              # cb/cr qp offsets
+    bw.u(1, 0)                      # slice chroma qp offsets
+    bw.u(1, 0); bw.u(1, 0)          # weighted pred/bipred
+    bw.u(1, 1)                      # transquant_bypass_enabled
+    bw.u(1, 1)                      # tiles_enabled
+    bw.u(1, 0)                      # entropy sync (§7.3.2.3: BEFORE
+    #                                 the tile geometry — libde265 pin)
+    bw.ue(ncols - 1)
+    bw.ue(nrows - 1)
+    bw.u(1, 1)                      # uniform_spacing
+    bw.u(1, 1 if lf_across_tiles else 0)
+    bw.u(1, 1)                      # loop_filter_across_slices
+    bw.u(1, 1)                      # deblocking_filter_control_present
+    bw.u(1, 0)                      # override_enabled
+    bw.u(1, 1)                      # pps_deblocking_filter_DISABLED
+    bw.u(1, 0)                      # pps scaling list
+    bw.u(1, 0); bw.ue(0); bw.u(1, 0); bw.u(1, 0)
+    bw.rbsp_trailing()
+    return bw.done()
+
+
+def encode_hevc_iframe_bypass_tiled(
+    width: int, height: int, y: bytes, cb: bytes, cr: bytes,
+    ncols: int, nrows: int, lf_across_tiles: bool = True,
+) -> bytes:
+    """Lossless intra stream partitioned into a uniform TILE grid
+    (§6.5.1): one slice segment covering the picture, per-tile CABAC
+    substreams with end_of_subset bits + byte alignment, slice-header
+    entry point offsets, tile-scoped DC prediction.  Pinned two ways
+    in tests: this repo's decoder reproduces the input exactly, AND
+    libde265 decodes the SAME bytes bit-identically (x265 cannot emit
+    tiles — probed via x265_param_parse — so the DECODE-side
+    arbitration carries the cross-pin, the r7d extracted-items
+    pattern)."""
+    if width % 16 or height % 16 or not width or not height:
+        raise ValueError("hevc fixture: dimensions must be multiples of 16")
+    ysz, csz = width * height, (width // 2) * (height // 2)
+    if len(y) != ysz or len(cb) != csz or len(cr) != csz:
+        raise ValueError("hevc fixture: plane size mismatch")
+    n_w, n_h = width // 16, height // 16
+    if not (1 <= ncols <= n_w and 1 <= nrows <= n_h):
+        raise ValueError("hevc fixture: tile grid exceeds CTU grid")
+    sps = _parse_sps(_fixture_sps(width, height))
+    pps = _parse_pps(_fixture_pps_tiled(ncols, nrows, lf_across_tiles))
+    sh = {"pps": pps, "qp": _FIXTURE_QP, "sao_luma": 0, "sao_chroma": 0,
+          "cb_qp_offset": 0, "cr_qp_offset": 0, "deblock_disabled": 1,
+          "beta_offset": 0, "tc_offset": 0}
+    mirror = _PicDecoder(sps, sh)  # tile_grid auto-built from the PPS
+    ty = np.frombuffer(y, np.uint8).reshape(height, width)
+    tcb = np.frombuffer(cb, np.uint8).reshape(height // 2, width // 2)
+    tcr = np.frombuffer(cr, np.uint8).reshape(height // 2, width // 2)
+
+    # group the tile-scan CTU order by tile
+    order = mirror.ts_order
+    s = mirror.log2_ctb - 2
+    tiles: list[list[int]] = []
+    prev_tid = -1
+    for addr in order:
+        rx, ry = addr % n_w, addr // n_w
+        tid = int(mirror.tile_grid[ry << s, rx << s])
+        if tid != prev_tid:
+            tiles.append([])
+            prev_tid = tid
+        tiles[-1].append(addr)
+
+    substreams: list[bytes] = []
+    total = n_w * n_h
+    done = 0
+    for ti, addrs in enumerate(tiles):
+        sw = _BitWriter()
+        enc = _CabacEnc(sw, _FIXTURE_QP)
+        enc.state = _ctx_states(_FIXTURE_QP)
+        for addr in addrs:
+            x0 = (addr % n_w) * 16
+            y0 = (addr // n_w) * 16
+            _bypass_ctu_encode(enc, mirror, ty, tcb, tcr, x0, y0)
+            done += 1
+            enc.terminate_enc(1 if done == total else 0)
+        if ti != len(tiles) - 1:
+            enc.terminate_enc(1)  # end_of_subset_one_bit
+        sw.align_zero()
+        substreams.append(sw.done())
+
+    bw = _BitWriter()
+    bw.u(1, 1)                      # first_slice_segment_in_pic
+    bw.u(1, 0)                      # no_output_of_prior_pics
+    bw.ue(0)                        # pps id
+    bw.ue(2)                        # slice_type I
+    bw.se(0)                        # slice_qp_delta
+    offsets = [len(sub) for sub in substreams[:-1]]
+    bw.ue(len(offsets))             # num_entry_point_offsets
+    if offsets:
+        off_len = max(1, max(o - 1 for o in offsets).bit_length())
+        bw.ue(off_len - 1)
+        for o in offsets:
+            bw.u(off_len, o - 1)
+    bw.u(1, 1)
+    bw.align_zero()                 # byte_alignment
+    header = bw.done()
+    return (_hevc_nal(32, _fixture_vps())
+            + _hevc_nal(33, _fixture_sps(width, height))
+            + _hevc_nal(34, _fixture_pps_tiled(ncols, nrows,
+                                               lf_across_tiles))
+            + _hevc_nal(19, header + b"".join(substreams)))
+
+
+def encode_hevc_iframe_bypass_depslices(
+    width: int, height: int, y: bytes, cb: bytes, cr: bytes,
+    seg_rows: list[int],
+) -> bytes:
+    """Lossless intra picture split into one independent + N DEPENDENT
+    slice segments (each covering `seg_rows[i]` CTU rows): the
+    dependent segments continue the slice's CABAC contexts (§9.3.1)
+    and prediction scope across NAL boundaries.  Same two-way pin as
+    the tiled fixture (libde265 decodes dependent segments; x265
+    cannot emit them)."""
+    if width % 16 or height % 16 or not width or not height:
+        raise ValueError("hevc fixture: dimensions must be multiples of 16")
+    ysz, csz = width * height, (width // 2) * (height // 2)
+    if len(y) != ysz or len(cb) != csz or len(cr) != csz:
+        raise ValueError("hevc fixture: plane size mismatch")
+    n_w, n_h = width // 16, height // 16
+    if sum(seg_rows) != n_h or min(seg_rows) < 1:
+        raise ValueError("hevc fixture: segment rows must cover the picture")
+    sps = _parse_sps(_fixture_sps(width, height))
+    pps_rbsp = _fixture_pps_depslices()
+    pps = _parse_pps(pps_rbsp)
+    sh = {"pps": pps, "qp": _FIXTURE_QP, "sao_luma": 0, "sao_chroma": 0,
+          "cb_qp_offset": 0, "cr_qp_offset": 0, "deblock_disabled": 1,
+          "beta_offset": 0, "tc_offset": 0}
+    mirror = _PicDecoder(sps, sh)
+    ty = np.frombuffer(y, np.uint8).reshape(height, width)
+    tcb = np.frombuffer(cb, np.uint8).reshape(height // 2, width // 2)
+    tcr = np.frombuffer(cr, np.uint8).reshape(height // 2, width // 2)
+
+    total = n_w * n_h
+    addr_bits = max(1, (total - 1).bit_length())
+    out = (_hevc_nal(32, _fixture_vps())
+           + _hevc_nal(33, _fixture_sps(width, height))
+           + _hevc_nal(34, pps_rbsp))
+    state = None
+    addr = 0
+    for si, rows in enumerate(seg_rows):
+        bw = _BitWriter()
+        bw.u(1, 1 if si == 0 else 0)   # first_slice_segment_in_pic
+        bw.u(1, 0)                     # no_output_of_prior_pics
+        bw.ue(0)                       # pps id
+        if si:
+            bw.u(1, 1)                 # dependent_slice_segment_flag
+            bw.u(addr_bits, addr)
+        else:
+            bw.ue(2)                   # slice_type I
+            bw.se(0)                   # slice_qp_delta
+        bw.u(1, 1)
+        bw.align_zero()                # byte_alignment
+        enc = _CabacEnc(bw, _FIXTURE_QP)
+        enc.state = (_ctx_states(_FIXTURE_QP) if state is None
+                     else [st.copy() for st in state])
+        seg_total = rows * n_w
+        for j in range(seg_total):
+            x0 = (addr % n_w) * 16
+            y0 = (addr // n_w) * 16
+            _bypass_ctu_encode(enc, mirror, ty, tcb, tcr, x0, y0)
+            addr += 1
+            # end_of_slice_segment_flag closes each SEGMENT (the next
+            # dependent segment restores the stored context state)
+            enc.terminate_enc(1 if j == seg_total - 1 else 0)
+        state = [st.copy() for st in enc.state]
+        bw.align_zero()
+        out += _hevc_nal(19, bw.done())
+    return out
+
+
+def _fixture_pps_depslices() -> bytes:
+    """_fixture_pps with dependent_slice_segments_enabled."""
+    bw = _BitWriter()
+    bw.ue(0); bw.ue(0)
+    bw.u(1, 1)                      # dependent_slice_segments_enabled
+    bw.u(1, 0); bw.u(3, 0)
+    bw.u(1, 0)                      # sign_data_hiding off
+    bw.u(1, 0)                      # cabac_init_present
+    bw.ue(0); bw.ue(0)
+    bw.se(_FIXTURE_QP - 26)         # init_qp
+    bw.u(1, 0)                      # constrained_intra_pred
+    bw.u(1, 0); bw.u(1, 0)          # transform_skip, cu_qp_delta
+    bw.se(0); bw.se(0)              # cb/cr qp offsets
+    bw.u(1, 0)                      # slice chroma qp offsets
+    bw.u(1, 0); bw.u(1, 0)          # weighted pred/bipred
+    bw.u(1, 1)                      # transquant_bypass_enabled
+    bw.u(1, 0); bw.u(1, 0)          # tiles, entropy sync
+    bw.u(1, 1)                      # loop_filter_across_slices
+    bw.u(1, 1)                      # deblocking_filter_control_present
+    bw.u(1, 0)                      # override_enabled
+    bw.u(1, 1)                      # pps_deblocking_filter_DISABLED
+    bw.u(1, 0)                      # pps scaling list
+    bw.u(1, 0); bw.ue(0); bw.u(1, 0); bw.u(1, 0)
+    bw.rbsp_trailing()
+    return bw.done()

@@ -750,3 +750,96 @@ def test_sao_streams_with_lossless_cus_skip_sao_on_bypass_samples():
                      {"keyint": "1", "deblock": "0", "bframes": "0",
                       "sao": "1", "lossless": "1", "aq-mode": "0"})
     _assert_matches_reference(stream)
+
+
+# ---------------------------------------------------------------------------
+# r8: tiles + dependent slice segments (VERDICT r7 #6).  x265 cannot
+# emit either (x265_param_parse rejects "tiles"/"dependent-slices" —
+# probed, r7d rule), so the DECODE-side arbitration carries the
+# cross-pin: the fixture encoder's streams must decode bit-identically
+# through libde265 AND reproduce the lossless input exactly.  The pin
+# already caught one real wire bug (the PPS coded the tile geometry
+# before entropy_coding_sync_enabled_flag; the self round-trip was
+# green both ways).
+
+
+def _tile_fixture(seed, w, h):
+    rng = np.random.default_rng(seed)
+    y = ((rng.integers(0, 256, (h, w))
+          + np.add.outer(np.arange(h), np.arange(w)) * 3) % 256
+         ).astype(np.uint8)
+    cb = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    cr = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    return y, cb, cr
+
+
+@needs_de265
+@pytest.mark.parametrize("w,h,nc,nr", [
+    (96, 64, 2, 2),
+    (128, 48, 4, 3),
+    (80, 64, 3, 2),   # 5 CTU cols / 3 tiles: UNEVEN §6.5.1 widths (1,2,2)
+    (64, 96, 1, 4),
+])
+@pytest.mark.parametrize("lf", [True, False])
+def test_tiled_streams_bit_exact_vs_libde265(w, h, nc, nr, lf):
+    y, cb, cr = _tile_fixture(nc * 7 + nr, w, h)
+    stream = hevc.encode_hevc_iframe_bypass_tiled(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), nc, nr, lf)
+    ref = _DE265.decode(stream)
+    mine = decode_hevc_intra_stream(stream)
+    assert len(mine) == len(ref) == 1
+    assert mine[0] == ref[0]
+    # lossless contract: the decoded planes ARE the input
+    assert mine[0][2] == y.tobytes()
+    assert mine[0][3] == cb.tobytes() and mine[0][4] == cr.tobytes()
+
+
+@needs_de265
+@pytest.mark.parametrize("w,h,rows", [
+    (64, 64, [2, 1, 1]),
+    (96, 48, [1, 2]),
+    (48, 96, [3, 2, 1]),
+])
+def test_dependent_slice_segments_bit_exact_vs_libde265(w, h, rows):
+    y, cb, cr = _tile_fixture(sum(rows), w, h)
+    stream = hevc.encode_hevc_iframe_bypass_depslices(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), rows)
+    ref = _DE265.decode(stream)
+    mine = decode_hevc_intra_stream(stream)
+    assert mine[0] == ref[0]
+    assert mine[0][2] == y.tobytes()
+
+
+def test_tile_prediction_is_tile_scoped():
+    """A 2x1 tile grid must NOT DC-predict across the tile boundary:
+    re-encoding the same planes with and without tiles yields
+    different wires, and both decode losslessly (the right tile's
+    first CTU predicts from the 128 substitution, not its left
+    neighbour)."""
+    y, cb, cr = _tile_fixture(5, 64, 32)
+    tiled = hevc.encode_hevc_iframe_bypass_tiled(
+        64, 32, y.tobytes(), cb.tobytes(), cr.tobytes(), 2, 1, True)
+    plain = encode_hevc_iframe_bypass(
+        64, 32, y.tobytes(), cb.tobytes(), cr.tobytes())
+    assert tiled != plain
+    for s in (tiled, plain):
+        got = decode_hevc_iframe(s)
+        assert got[2] == y.tobytes()
+
+
+def test_x265_still_rejects_tiles_and_dependent_slices():
+    """Pin the environment claim the decode-side arbitration rests on:
+    the in-container x265 has no tiles / dependent-slices params (if a
+    future image gains them, this fails and the ENCODE-side cross-pin
+    should be added)."""
+    if _X265 is None:
+        pytest.skip("libx265 absent")
+    import ctypes
+    lib = _X265._lib
+    param = lib.x265_param_alloc()
+    try:
+        lib.x265_param_default_preset(param, b"ultrafast", None)
+        for key in (b"tiles", b"tile-columns", b"dependent-slices"):
+            assert lib.x265_param_parse(param, key, b"2") != 0
+    finally:
+        lib.x265_param_free(param)
