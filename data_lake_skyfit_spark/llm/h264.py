@@ -6,7 +6,13 @@ entropy_coding_mode_flag values (CAVLC here; CABAC dispatched to
 h264_cabac.decode_islice_cabac over the shared _recon_mb
 reconstruction path), frame_mbs_only, one slice group.
 Supported macroblock types: I_NxN (all nine Intra_4x4 prediction
-modes), all 24 Intra_16x16 variants, and I_PCM.  The full normative
+modes, and — r8, HIGH PROFILE — all nine Intra_8x8 modes with §8.3.2
+reference filtering, transform_size_8x8_flag, interleaved-CAVLC 8x8
+residuals and the §8.5.13.2/§8.5.12.3 dequant + butterfly IDCT;
+profile_idc 100 SPS/PPS extensions parse with the envelope pinned to
+4:2:0 / 8-bit / flat scaling, CAVLC only — CABAC 8x8 rejects, its
+ctx-399+ init columns being unpinnable in-container), all 24
+Intra_16x16 variants, and I_PCM.  The full normative
 integer path is implemented — Exp-Golomb, CAVLC coefficient decoding
 (coeff_token / total_zeros / run_before VLCs + the algorithmic level
 decoder), dequantisation per §8.5 (both qP branches), the 4x4 core
@@ -642,23 +648,29 @@ def _db_filter_chroma_line(buf: bytearray, q0p: int, st: int, bs: int,
 
 def _deblock_frame(ybuf: bytearray, ubuf: bytearray, vbuf: bytearray,
                    mbw: int, mbh: int, mb_qp: list[list[int]],
-                   chroma_qp_offset: int, off_a: int, off_b: int) -> None:
+                   chroma_qp_offset: int, off_a: int, off_b: int,
+                   mb_t8=None) -> None:
     """§8.7 picture deblocking over full reconstructed planes.
     Macroblocks in raster order; per MB all vertical edges (left to
     right) then all horizontal edges (top to bottom); intra picture →
     bS = 4 on macroblock edges, 3 on internal 4x4 edges.  mb_qp holds
     each MB's QPy (0 for I_PCM per §8.7.2).  Picture-boundary edges
-    are never filtered."""
+    are never filtered.  `mb_t8` marks 8x8-transform MBs whose
+    internal luma edges at 4 and 12 are not transform edges and are
+    therefore unfiltered (§8.7.2; chroma edges are unaffected)."""
     W = mbw * 16
     CW = mbw * 8
     for mb in range(mbw * mbh):
         mby, mbx = divmod(mb, mbw)
         qq = mb_qp[mby][mbx]
+        t8 = mb_t8 is not None and mb_t8[mby][mbx]
         x0, y0 = mbx * 16, mby * 16
         cx0, cy0 = mbx * 8, mby * 8
         # ---- luma vertical edges
         for k in range(4):
             if k == 0 and mbx == 0:
+                continue
+            if t8 and k in (1, 3):
                 continue
             bs = 4 if k == 0 else 3
             qp_p = mb_qp[mby][mbx - 1] if k == 0 else qq
@@ -675,6 +687,8 @@ def _deblock_frame(ybuf: bytearray, ubuf: bytearray, vbuf: bytearray,
         # ---- luma horizontal edges
         for k in range(4):
             if k == 0 and mby == 0:
+                continue
+            if t8 and k in (1, 3):
                 continue
             bs = 4 if k == 0 else 3
             qp_p = mb_qp[mby - 1][mbx] if k == 0 else qq
@@ -743,8 +757,18 @@ def _parse_sps(rbsp: bytes) -> dict:
     br.u(8)  # constraint flags + reserved
     br.u(8)  # level_idc
     br.ue()  # seq_parameter_set_id
-    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135):
-        raise ValueError("h264: high-profile SPS not supported")
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139,
+                   134, 135):
+        # High-profile SPS extension (§7.3.2.1.1) — r8: parsed, with
+        # the envelope pinned to High's common shape (4:2:0, 8-bit,
+        # no seq scaling matrices — x264's defaults)
+        if br.ue() != 1:  # chroma_format_idc
+            raise ValueError("h264: only 4:2:0 supported")
+        if br.ue() != 0 or br.ue() != 0:  # bit depths
+            raise ValueError("h264: only 8-bit supported")
+        br.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if br.u(1):  # seq_scaling_matrix_present_flag
+            raise ValueError("h264: seq scaling matrices not supported")
     log2_max_frame_num = br.ue() + 4
     poc_type = br.ue()
     poc_lsb_bits = 0
@@ -799,8 +823,20 @@ def _parse_pps(rbsp: bytes) -> dict:
     if br.u(1):
         raise ValueError("h264: constrained_intra_pred not supported")
     redundant = br.u(1)  # redundant_pic_cnt_present_flag
+    transform_8x8 = False
+    if br.more_rbsp():  # High-profile PPS extension (§7.3.2.2)
+        transform_8x8 = br.u(1) == 1
+        if br.u(1):  # pic_scaling_matrix_present_flag
+            raise ValueError("h264: pic scaling matrices not supported")
+        if br.se() != chroma_qp_offset:
+            # distinct Cb/Cr offsets would need two chroma QP chains
+            # through recon + deblock; x264 keeps them equal (both
+            # --chroma-qp-offset) so the envelope pins them equal
+            raise ValueError(
+                "h264: distinct second_chroma_qp_index_offset unsupported")
     return {
         "cabac": cabac,
+        "transform_8x8": transform_8x8,
         "pic_init_qp": pic_init_qp,
         "chroma_qp_offset": chroma_qp_offset,
         "deblock_control": deblock_control,
@@ -826,14 +862,19 @@ def _recon_mb(
     ybuf: bytearray, ubuf: bytearray, vbuf: bytearray,
     W: int, CW: int, mbx: int, mby: int, mbw: int, mbh: int,
     is_i4: bool, modes4, i16_pred, chroma_mode: int, qp: int, qpc: int,
-    luma_dc, luma_blocks, chroma_dc, chroma_ac,
+    luma_dc, luma_blocks, chroma_dc, chroma_ac, i8=None,
 ) -> None:
     """Reconstruct one intra macroblock from decoded syntax — §8.3
     prediction + §8.5 dequant/transform.  Entropy-layer independent:
     the CAVLC and CABAC slice decoders both feed it the same
-    (prediction modes, scan-order coefficient lists) record."""
+    (prediction modes, scan-order coefficient lists) record.
+    `i8` = (modes8, blocks8) routes luma through the Intra_8x8 tier
+    (r8); chroma below is shared by all three luma shapes."""
     x0, y0 = mbx * 16, mby * 16
-    if not is_i4:
+    if i8 is not None:
+        modes8, blocks8 = i8
+        _recon_mb_i8(ybuf, W, mbx, mby, mbw, mbh, modes8, blocks8, qp)
+    elif not is_i4:
         _pred_luma16(ybuf, W, x0, y0, i16_pred, mbx > 0, mby > 0)
         dc_raster = [0] * 16
         for scan in range(16):
@@ -965,8 +1006,13 @@ def _decode_iframe_uncropped(sample: bytes):
     pred4_modes = [[2] * (mbw * 4) for _ in range(mbh * 4)]
     mb_is_i4 = [[False] * mbw for _ in range(mbh)]
     mb_qp = [[0] * mbw for _ in range(mbh)]  # QPy per MB for deblocking
+    mb_t8 = [[False] * mbw for _ in range(mbh)]  # 8x8-transform MBs
 
     if pps["cabac"]:
+        if pps["transform_8x8"]:
+            raise ValueError(
+                "h264: CABAC 8x8 transform not supported (ctx 399+ "
+                "init columns unpinned in-container)")
         from .h264_cabac import decode_islice_cabac
 
         decode_islice_cabac(
@@ -1031,7 +1077,51 @@ def _decode_iframe_uncropped(sample: bytes):
 
         is_i4 = mb_type == 0
         mb_is_i4[mby][mbx] = is_i4
-        if is_i4:
+        is_i8 = False
+        if is_i4 and pps["transform_8x8"]:
+            is_i8 = br.u(1) == 1  # transform_size_8x8_flag
+            mb_t8[mby][mbx] = is_i8
+        modes8 = None
+        if is_i8:
+            # Intra_8x8 (§8.3.2): 4 prediction modes, prev/rem-coded
+            # like Intra_4x4; the mode grid stores each 8x8's mode in
+            # all four of its 4x4 cells so cross-shape neighbour
+            # derivation (§8.3.2.1) falls out of the same lookups
+            modes4 = None
+            modes8 = [0] * 4
+            for n8 in range(4):
+                dx, dy = (n8 & 1) * 8, (n8 >> 1) * 8
+                bx, by = mbx * 4 + (dx >> 2), mby * 4 + (dy >> 2)
+                ma = None
+                if bx > 0:
+                    if ((bx - 1) >> 2) != mbx and not mb_is_i4[mby][mbx - 1]:
+                        ma = 2
+                    else:
+                        ma = pred4_modes[by][bx - 1]
+                mbv = None
+                if by > 0:
+                    if ((by - 1) >> 2) != mby and not mb_is_i4[mby - 1][mbx]:
+                        mbv = 2
+                    else:
+                        mbv = pred4_modes[by - 1][bx]
+                pred_mode = 2 if (ma is None or mbv is None) else min(ma, mbv)
+                if br.u(1):  # prev_intra8x8_pred_mode_flag
+                    mode = pred_mode
+                else:
+                    rem = br.u(3)
+                    mode = rem if rem < pred_mode else rem + 1
+                modes8[n8] = mode
+                for cy2 in range(by, by + 2):
+                    for cx2 in range(bx, bx + 2):
+                        pred4_modes[cy2][cx2] = mode
+            chroma_mode = br.ue()
+            cbp_code = br.ue()
+            if cbp_code > 47:
+                raise ValueError("h264: coded_block_pattern out of range")
+            cbp = _CBP_INTRA[cbp_code]
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            i16_pred = None
+        elif is_i4:
             modes4 = [0] * 16
             for n in range(16):
                 dx, dy = _blk_xy(n)
@@ -1088,24 +1178,48 @@ def _decode_iframe_uncropped(sample: bytes):
 
         # ---- residuals
         luma_dc = [0] * 16
-        if not is_i4:
-            nc = nc_luma(mbx * 4, mby * 4)
-            luma_dc, _ = _decode_cavlc_block(br, nc, 16)
         luma_blocks: list[list[int]] = [[0] * 16 for _ in range(16)]
-        for n in range(16):
-            dx, dy = _blk_xy(n)
-            bx, by = mbx * 4 + (dx >> 2), mby * 4 + (dy >> 2)
-            if cbp_luma & (1 << (n >> 2)):
-                nc = nc_luma(bx, by)
-                if is_i4:
-                    coeffs, tot = _decode_cavlc_block(br, nc, 16)
+        blocks8 = None
+        if is_i8:
+            # §8.5.6 CAVLC 8x8: each coded 8x8 is FOUR interleaved 4x4
+            # CAVLC blocks — scan position 4*i + k of the 8x8 zigzag
+            # comes from block k's level i; nC and the nz bookkeeping
+            # use the 4x4 sub-positions (§9.2.1)
+            blocks8 = [None] * 4
+            for n8 in range(4):
+                if not (cbp_luma & (1 << n8)):
+                    for k in range(4):
+                        dx, dy = _blk_xy(4 * n8 + k)
+                        nz_luma[mby * 4 + (dy >> 2)][mbx * 4 + (dx >> 2)] = 0
+                    continue
+                scan64 = [0] * 64
+                for k in range(4):
+                    dx, dy = _blk_xy(4 * n8 + k)
+                    bx, by = mbx * 4 + (dx >> 2), mby * 4 + (dy >> 2)
+                    coeffs, tot = _decode_cavlc_block(
+                        br, nc_luma(bx, by), 16)
+                    nz_luma[by][bx] = tot
+                    for i in range(16):
+                        scan64[4 * i + k] = coeffs[i]
+                blocks8[n8] = scan64
+        else:
+            if not is_i4:
+                nc = nc_luma(mbx * 4, mby * 4)
+                luma_dc, _ = _decode_cavlc_block(br, nc, 16)
+            for n in range(16):
+                dx, dy = _blk_xy(n)
+                bx, by = mbx * 4 + (dx >> 2), mby * 4 + (dy >> 2)
+                if cbp_luma & (1 << (n >> 2)):
+                    nc = nc_luma(bx, by)
+                    if is_i4:
+                        coeffs, tot = _decode_cavlc_block(br, nc, 16)
+                    else:
+                        tail, tot = _decode_cavlc_block(br, nc, 15)
+                        coeffs = [0] + tail
+                    luma_blocks[n] = coeffs
+                    nz_luma[by][bx] = tot
                 else:
-                    tail, tot = _decode_cavlc_block(br, nc, 15)
-                    coeffs = [0] + tail
-                luma_blocks[n] = coeffs
-                nz_luma[by][bx] = tot
-            else:
-                nz_luma[by][bx] = 0
+                    nz_luma[by][bx] = 0
         chroma_dc = [[0] * 4, [0] * 4]
         if cbp_chroma:
             for comp in range(2):
@@ -1129,6 +1243,7 @@ def _decode_iframe_uncropped(sample: bytes):
             ybuf, ubuf, vbuf, W, CW, mbx, mby, mbw, mbh,
             is_i4, modes4, i16_pred, chroma_mode, qp, qpc,
             luma_dc, luma_blocks, chroma_dc, chroma_ac,
+            i8=(modes8, blocks8) if is_i8 else None,
         )
 
     # ---- in-loop deblocking (§8.7), before output cropping.  Intra
@@ -1139,6 +1254,7 @@ def _decode_iframe_uncropped(sample: bytes):
         _deblock_frame(
             ybuf, ubuf, vbuf, mbw, mbh, mb_qp,
             pps["chroma_qp_offset"], db_off_a, db_off_b,
+            mb_t8=mb_t8,
         )
 
     return sps, ybuf, ubuf, vbuf
@@ -1388,7 +1504,12 @@ def _pred_luma4(buf: bytearray, stride: int, px: int, py: int, mode: int,
                 elif z == -1:
                     p[4 * y + x] = (l4[0] + 2 * tl + a4[0] + 2) >> 2
                 else:
-                    p[4 * y + x] = (l4[y - 1] + 2 * l4[y - 2] + l4[y - 3] + 2) >> 2
+                    # zVR == -2 ((0,2)): the third tap is p[-1,-1], the
+                    # CORNER (§8.3.1.2.6) — a wrapped l4[-1] read stood
+                    # here until r8 (single-sample, VR-mode-only)
+                    k = y - 2 * x
+                    q0 = l4[k - 3] if k >= 3 else tl
+                    p[4 * y + x] = (l4[k - 1] + 2 * l4[k - 2] + q0 + 2) >> 2
     elif mode == 6:  # horizontal-down
         if a4 is None or l4 is None or tl is None:
             raise ValueError("h264: HD pred needs both borders")
@@ -1407,7 +1528,11 @@ def _pred_luma4(buf: bytearray, stride: int, px: int, py: int, mode: int,
                 elif z == -1:
                     p[4 * y + x] = (l4[0] + 2 * tl + a4[0] + 2) >> 2
                 else:
-                    p[4 * y + x] = (a4[x - 1] + 2 * a4[x - 2] + a4[x - 3] + 2) >> 2
+                    # zHD == -2 ((2,0)): corner third tap (§8.3.1.2.7),
+                    # same r8 fix as VR
+                    k = x - 2 * y
+                    q0 = a4[k - 3] if k >= 3 else tl
+                    p[4 * y + x] = (a4[k - 1] + 2 * a4[k - 2] + q0 + 2) >> 2
     elif mode == 7:  # vertical-left
         if a4 is None:
             raise ValueError("h264: VL pred without above")
@@ -1442,6 +1567,329 @@ def _pred_luma4(buf: bytearray, stride: int, px: int, py: int, mode: int,
         base = (py + r) * stride + px
         for c in range(4):
             buf[base + c] = _clip255(p[4 * r + c])
+
+
+# ---------------------------------------------------------------------------
+# High-profile 8x8 transform tier (r8 — VERDICT r7 #3): §8.3.2 intra
+# 8x8 prediction with reference filtering, §8.5.9/§8.5.13.2 8x8
+# dequant (flat weight 16 — scaling matrices are rejected upstream)
+# and the §8.5.12.3 butterfly inverse transform.  The v8x8 norm table
+# and the transform flow are spec transcriptions in the same pin class
+# as _CBP_INTER (no AVC reference exists in-container); the DC closed
+# form (all-equal output for a DC-only block) and the round-trip
+# fixtures pin the arithmetic structurally.
+
+
+def _zigzag8x8() -> list[int]:
+    """§8.5.5 8x8 zigzag (the classic diagonal walk): scan index →
+    raster index.  Generated, not transcribed."""
+    out = []
+    x = y = 0
+    for _ in range(64):
+        out.append(y * 8 + x)
+        if (x + y) & 1:  # moving down-left
+            if y == 7:
+                x += 1
+            elif x == 0:
+                y += 1
+            else:
+                x -= 1
+                y += 1
+        else:  # moving up-right
+            if x == 7:
+                y += 1
+            elif y == 0:
+                x += 1
+            else:
+                x += 1
+                y -= 1
+    return out
+
+
+_ZIGZAG_8x8 = _zigzag8x8()
+
+# §8.5.9 normAdjust8x8 class values per qp%6
+_V8 = (
+    (20, 18, 32, 19, 25, 24),
+    (22, 19, 35, 21, 28, 26),
+    (26, 23, 42, 24, 31, 30),
+    (28, 25, 45, 26, 35, 33),
+    (32, 28, 51, 30, 40, 38),
+    (36, 32, 58, 34, 43, 41),
+)
+
+
+def _norm_adjust8_idx(i: int, j: int) -> int:
+    if i % 4 == 0 and j % 4 == 0:
+        return 0
+    if i % 2 == 1 and j % 2 == 1:
+        return 1
+    if i % 4 == 2 and j % 4 == 2:
+        return 2
+    if (i % 4 == 0 and j % 2 == 1) or (i % 2 == 1 and j % 4 == 0):
+        return 3
+    if (i % 4 == 0 and j % 4 == 2) or (i % 4 == 2 and j % 4 == 0):
+        return 4
+    return 5
+
+
+_NORM8_IDX = [
+    _norm_adjust8_idx(r, c) for r in range(8) for c in range(8)
+]
+
+
+def _dequant_8x8(scan_coeffs: list[int], qp: int) -> list[int]:
+    """§8.5.13.2: 64 scan-order levels → raster-order dequantized d
+    (flat weightScale 16)."""
+    d = [0] * 64
+    q6, m = qp // 6, qp % 6
+    v = _V8[m]
+    if qp >= 36:
+        sh = q6 - 6
+        for s in range(64):
+            c = scan_coeffs[s]
+            if c:
+                r = _ZIGZAG_8x8[s]
+                d[r] = (c * v[_NORM8_IDX[r]] * 16) << sh
+    else:
+        sh = 6 - q6
+        add = 1 << (5 - q6)
+        for s in range(64):
+            c = scan_coeffs[s]
+            if c:
+                r = _ZIGZAG_8x8[s]
+                d[r] = (c * v[_NORM8_IDX[r]] * 16 + add) >> sh
+    return d
+
+
+def _idct8x8_1d(d: list[int]) -> list[int]:
+    a0 = d[0] + d[4]
+    a4 = d[0] - d[4]
+    a2 = (d[2] >> 1) - d[6]
+    a6 = d[2] + (d[6] >> 1)
+    b0 = a0 + a6
+    b2 = a4 + a2
+    b4 = a4 - a2
+    b6 = a0 - a6
+    a1 = -d[3] + d[5] - d[7] - (d[7] >> 1)
+    a3 = d[1] + d[7] - d[3] - (d[3] >> 1)
+    a5 = -d[1] + d[7] + d[5] + (d[5] >> 1)
+    a7 = d[3] + d[5] + d[1] + (d[1] >> 1)
+    b1 = a1 + (a7 >> 2)
+    b7 = a7 - (a1 >> 2)
+    b3 = a3 + (a5 >> 2)
+    b5 = (a3 >> 2) - a5
+    return [b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+            b6 - b1, b4 - b3, b2 - b5, b0 - b7]
+
+
+def _idct8x8(d: list[int]) -> list[int]:
+    """§8.5.12.3 two-pass butterfly; caller adds ((r + 32) >> 6)."""
+    tmp = [0] * 64
+    for r in range(8):
+        tmp[8 * r : 8 * r + 8] = _idct8x8_1d(d[8 * r : 8 * r + 8])
+    out = [0] * 64
+    for c in range(8):
+        col = _idct8x8_1d([tmp[8 * r + c] for r in range(8)])
+        for r in range(8):
+            out[8 * r + c] = col[r]
+    return out
+
+
+def _pred_luma8(buf: bytearray, stride: int, px: int, py: int, mode: int,
+                wpx: int, hpx: int) -> None:
+    """8x8 luma intra prediction (§8.3.2) with the mandatory reference
+    sample filtering (§8.3.2.2.1).  Above-right availability follows
+    the decode-order z rule (same helper logic as _pred_luma4);
+    unavailable above-right replicates p[7,-1]."""
+    have_a = py > 0
+    have_l = px > 0
+    have_c = have_a and have_l
+    ra = [buf[(py - 1) * stride + px + i] for i in range(8)] if have_a else None
+    rl = [buf[(py + i) * stride + px - 1] for i in range(8)] if have_l else None
+    rc = buf[(py - 1) * stride + px - 1] if have_c else None
+    ar_ok = False
+    if have_a and px + 8 < wpx:
+        bx, by = px >> 2, py >> 2
+        cur = ((by >> 2) * (wpx >> 4) + (bx >> 2)) * 16 + _z_in_mb(bx & 3, by & 3)
+        nbx, nby = (px + 8) >> 2, by - 1
+        nb = ((nby >> 2) * (wpx >> 4) + (nbx >> 2)) * 16 + _z_in_mb(nbx & 3, nby & 3)
+        ar_ok = nb < cur
+    if have_a:
+        rar = ([buf[(py - 1) * stride + px + 8 + i] for i in range(8)]
+               if ar_ok else [ra[7]] * 8)
+        raw_a = ra + rar  # p[0..15,-1]
+    else:
+        raw_a = None
+
+    # ---- §8.3.2.2.1 reference filtering
+    fa = fl = fc = None
+    if raw_a is not None:
+        fa = [0] * 16
+        fa[0] = ((rc + 2 * raw_a[0] + raw_a[1] + 2) >> 2 if have_c
+                 else (3 * raw_a[0] + raw_a[1] + 2) >> 2)
+        for i in range(1, 15):
+            fa[i] = (raw_a[i - 1] + 2 * raw_a[i] + raw_a[i + 1] + 2) >> 2
+        fa[15] = (raw_a[14] + 3 * raw_a[15] + 2) >> 2
+    if have_c:
+        if have_a and have_l:
+            fc = (raw_a[0] + 2 * rc + rl[0] + 2) >> 2
+        elif have_a:
+            fc = (3 * rc + raw_a[0] + 2) >> 2
+        else:
+            fc = (3 * rc + rl[0] + 2) >> 2
+    if rl is not None:
+        fl = [0] * 8
+        fl[0] = ((rc + 2 * rl[0] + rl[1] + 2) >> 2 if have_c
+                 else (3 * rl[0] + rl[1] + 2) >> 2)
+        for i in range(1, 7):
+            fl[i] = (rl[i - 1] + 2 * rl[i] + rl[i + 1] + 2) >> 2
+        fl[7] = (rl[6] + 3 * rl[7] + 2) >> 2
+
+    p = [0] * 64
+    if mode == 2:  # DC
+        if fa and fl:
+            v = (sum(fa[:8]) + sum(fl) + 8) >> 4
+        elif fa:
+            v = (sum(fa[:8]) + 4) >> 3
+        elif fl:
+            v = (sum(fl) + 4) >> 3
+        else:
+            v = 128
+        p = [v] * 64
+    elif mode == 0:  # vertical
+        if fa is None:
+            raise ValueError("h264: 8x8 V pred without above")
+        for y in range(8):
+            p[8 * y : 8 * y + 8] = fa[:8]
+    elif mode == 1:  # horizontal
+        if fl is None:
+            raise ValueError("h264: 8x8 H pred without left")
+        for y in range(8):
+            p[8 * y : 8 * y + 8] = [fl[y]] * 8
+    elif mode == 3:  # diagonal down-left
+        if fa is None:
+            raise ValueError("h264: 8x8 DDL pred without above")
+        for y in range(8):
+            for x in range(8):
+                if x == 7 and y == 7:
+                    p[8 * y + x] = (fa[14] + 3 * fa[15] + 2) >> 2
+                else:
+                    i = x + y
+                    p[8 * y + x] = (fa[i] + 2 * fa[i + 1] + fa[i + 2] + 2) >> 2
+    elif mode == 4:  # diagonal down-right
+        if fa is None or fl is None or fc is None:
+            raise ValueError("h264: 8x8 DDR pred needs both borders")
+        for y in range(8):
+            for x in range(8):
+                if x > y:
+                    k = x - y
+                    q0 = fa[k - 2] if k >= 2 else fc
+                    q1 = fa[k - 1] if k >= 1 else fc
+                    p[8 * y + x] = (q0 + 2 * q1 + fa[k] + 2) >> 2
+                elif x < y:
+                    k = y - x
+                    q0 = fl[k - 2] if k >= 2 else fc
+                    q1 = fl[k - 1] if k >= 1 else fc
+                    p[8 * y + x] = (q0 + 2 * q1 + fl[k] + 2) >> 2
+                else:
+                    p[8 * y + x] = (fa[0] + 2 * fc + fl[0] + 2) >> 2
+    elif mode == 5:  # vertical-right
+        if fa is None or fl is None or fc is None:
+            raise ValueError("h264: 8x8 VR pred needs both borders")
+        for y in range(8):
+            for x in range(8):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    k = x - (y >> 1)
+                    q = fa[k - 1] if k >= 1 else fc
+                    p[8 * y + x] = (q + fa[k] + 1) >> 1
+                elif z >= 0:
+                    k = x - (y >> 1)
+                    q0 = fa[k - 2] if k >= 2 else fc
+                    q1 = fa[k - 1] if k >= 1 else fc
+                    p[8 * y + x] = (q0 + 2 * q1 + fa[k] + 2) >> 2
+                elif z == -1:
+                    p[8 * y + x] = (fl[0] + 2 * fc + fa[0] + 2) >> 2
+                else:
+                    k = y - 2 * x
+                    q0 = fl[k - 3] if k >= 3 else fc
+                    p[8 * y + x] = (fl[k - 1] + 2 * fl[k - 2]
+                                    + q0 + 2) >> 2
+    elif mode == 6:  # horizontal-down
+        if fa is None or fl is None or fc is None:
+            raise ValueError("h264: 8x8 HD pred needs both borders")
+        for y in range(8):
+            for x in range(8):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    k = y - (x >> 1)
+                    q = fl[k - 1] if k >= 1 else fc
+                    p[8 * y + x] = (q + fl[k] + 1) >> 1
+                elif z >= 0:
+                    k = y - (x >> 1)
+                    q0 = fl[k - 2] if k >= 2 else fc
+                    q1 = fl[k - 1] if k >= 1 else fc
+                    p[8 * y + x] = (q0 + 2 * q1 + fl[k] + 2) >> 2
+                elif z == -1:
+                    p[8 * y + x] = (fl[0] + 2 * fc + fa[0] + 2) >> 2
+                else:
+                    k = x - 2 * y
+                    q0 = fa[k - 3] if k >= 3 else fc
+                    p[8 * y + x] = (fa[k - 1] + 2 * fa[k - 2]
+                                    + q0 + 2) >> 2
+    elif mode == 7:  # vertical-left
+        if fa is None:
+            raise ValueError("h264: 8x8 VL pred without above")
+        for y in range(8):
+            for x in range(8):
+                k = x + (y >> 1)
+                if y % 2 == 0:
+                    p[8 * y + x] = (fa[k] + fa[k + 1] + 1) >> 1
+                else:
+                    p[8 * y + x] = (fa[k] + 2 * fa[k + 1] + fa[k + 2] + 2) >> 2
+    elif mode == 8:  # horizontal-up
+        if fl is None:
+            raise ValueError("h264: 8x8 HU pred without left")
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                if z % 2 == 0 and z < 13:
+                    k = y + (x >> 1)
+                    p[8 * y + x] = (fl[k] + fl[k + 1] + 1) >> 1
+                elif z % 2 == 1 and z < 13:
+                    k = y + (x >> 1)
+                    p[8 * y + x] = (fl[k] + 2 * fl[k + 1] + fl[k + 2] + 2) >> 2
+                elif z == 13:
+                    p[8 * y + x] = (fl[6] + 3 * fl[7] + 2) >> 2
+                else:
+                    p[8 * y + x] = fl[7]
+    else:
+        raise ValueError("h264: bad 8x8 pred mode")
+
+    for r in range(8):
+        base = (py + r) * stride + px
+        for c in range(8):
+            buf[base + c] = _clip255(p[8 * r + c])
+
+
+def _recon_mb_i8(ybuf: bytearray, W: int, mbx: int, mby: int,
+                 mbw: int, mbh: int, modes8, blocks8, qp: int) -> None:
+    """Luma reconstruction of an Intra_8x8 macroblock (chroma goes
+    through _recon_mb's shared path via the caller)."""
+    x0, y0 = mbx * 16, mby * 16
+    for n8 in range(4):
+        dx, dy = (n8 & 1) * 8, (n8 >> 1) * 8
+        _pred_luma8(ybuf, W, x0 + dx, y0 + dy, modes8[n8],
+                    mbw * 16, mbh * 16)
+        blk = blocks8[n8]
+        if blk is not None and any(blk):
+            h = _idct8x8(_dequant_8x8(blk, qp))
+            for r in range(8):
+                base = (y0 + dy + r) * W + x0 + dx
+                for c in range(8):
+                    ybuf[base + c] = _clip255(
+                        ybuf[base + c] + ((h[8 * r + c] + 32) >> 6))
 
 
 # ---------------------------------------------------------------------------
@@ -1544,10 +1992,15 @@ def _sps_writer(mbw: int, mbh: int, crop_r: int, crop_b: int, *,
                 num_ref_frames: int = 1,
                 profile_idc: int = 66) -> "_BitWriter":
     sps = _BitWriter()
-    sps.u(8, profile_idc)  # 66 baseline / 77 main (B-slice fixtures)
+    sps.u(8, profile_idc)  # 66 baseline / 77 main / 100 high (r8)
     sps.u(8, 0xC0 if profile_idc == 66 else 0x00)  # constraint flags
     sps.u(8, 30)  # level 3.0
     sps.ue(0)  # sps id
+    if profile_idc == 100:  # §7.3.2.1.1 extension (4:2:0, 8-bit, flat)
+        sps.ue(1)            # chroma_format_idc
+        sps.ue(0); sps.ue(0)  # bit depths
+        sps.u(1, 0)          # qpprime_y_zero_transform_bypass
+        sps.u(1, 0)          # seq_scaling_matrix_present
     sps.ue(0)  # log2_max_frame_num_minus4
     sps.ue(0)  # pic_order_cnt_type
     sps.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
@@ -1572,7 +2025,8 @@ def _sps_writer(mbw: int, mbh: int, crop_r: int, crop_b: int, *,
 
 def _pps_writer(qp: int, *, cabac: bool = False,
                 weighted_pred: bool = False,
-                weighted_bipred: int = 0) -> "_BitWriter":
+                weighted_bipred: int = 0,
+                transform_8x8: bool = False) -> "_BitWriter":
     pps = _BitWriter()
     pps.ue(0)
     pps.ue(0)
@@ -1589,6 +2043,10 @@ def _pps_writer(qp: int, *, cabac: bool = False,
     pps.u(1, 1)  # deblocking_filter_control_present
     pps.u(1, 0)
     pps.u(1, 0)
+    if transform_8x8:  # §7.3.2.2 High-profile extension
+        pps.u(1, 1)    # transform_8x8_mode_flag
+        pps.u(1, 0)    # pic_scaling_matrix_present
+        pps.se(0)      # second_chroma_qp_index_offset (== first)
     pps.rbsp_trailing()
     return pps
 
@@ -1799,3 +2257,86 @@ def h264_steps_expected(
         "v": vv,
         "pixel_sum": pixel_sum,
     }
+
+
+# ---------------------------------------------------------------------------
+# High-profile Intra_8x8 fixtures (r8)
+
+
+def h264_i8_flat_expected(qp: int, y_coeff: int, u_coeff: int,
+                          v_coeff: int) -> tuple[int, int, int]:
+    """Closed-form uniform plane values for encode_h264_iframe_i8:
+    luma = 128 + ((dequant8x8 DC + 32) >> 6) (§8.5.13.2 at flat
+    weight 16, DC norm class v8[qp%6][0]); chroma follows the
+    Intra_16x16 fixture's closed form unchanged."""
+    q6, m = qp // 6, qp % 6
+    base = y_coeff * _V8[m][0] * 16
+    if qp >= 36:
+        dq = base << (q6 - 6)
+    else:
+        dq = (base + (1 << (5 - q6))) >> (6 - q6)
+    yv = _clip255(128 + ((dq + 32) >> 6))
+    _yv16, uv, vv = h264_flat_expected(qp, 0, u_coeff, v_coeff)
+    return yv, uv, vv
+
+
+def encode_h264_iframe_i8(
+    width: int, height: int, *, qp: int = 28,
+    y_coeff: int = 0, u_coeff: int = 0, v_coeff: int = 0,
+    deblock: bool = False,
+) -> bytes:
+    """High-profile Annex-B IDR frame: every MB Intra_8x8 DC-pred
+    (transform_size_8x8_flag = 1); the first MB's 8x8 block 0 carries
+    one DC coefficient through the interleaved-CAVLC + §8.5.13 8x8
+    dequant/IDCT path, plus one DC per chroma component.  DC
+    prediction propagates the reconstructed value picture-wide, so
+    the planes follow h264_i8_flat_expected exactly."""
+    if width % 2 or height % 2 or width <= 0 or height <= 0:
+        raise ValueError("h264: dims must be positive and even")
+    if not 0 <= qp <= 51:
+        raise ValueError("h264: qp out of range")
+    mbw, mbh = (width + 15) // 16, (height + 15) // 16
+    crop_r = (mbw * 16 - width) // 2
+    crop_b = (mbh * 16 - height) // 2
+    sps = _sps_writer(mbw, mbh, crop_r, crop_b, profile_idc=100)
+    pps = _pps_writer(qp, transform_8x8=True)
+
+    sl = _BitWriter()
+    sl.ue(0)   # first_mb_in_slice
+    sl.ue(7)   # slice_type I (all)
+    sl.ue(0)   # pps id
+    sl.u(4, 0)  # frame_num
+    sl.ue(0)   # idr_pic_id
+    sl.u(4, 0)  # poc lsb
+    sl.u(1, 0)
+    sl.u(1, 0)
+    sl.se(0)   # slice_qp_delta
+    if deblock:
+        sl.ue(0)
+        sl.se(0)
+        sl.se(0)
+    else:
+        sl.ue(1)  # deblocking off
+
+    for mb in range(mbw * mbh):
+        sl.ue(0)      # mb_type I_NxN
+        sl.u(1, 1)    # transform_size_8x8_flag
+        for _ in range(4):
+            sl.u(1, 1)  # prev_intra8x8_pred_mode_flag (DC everywhere)
+        sl.ue(0)      # intra_chroma_pred_mode DC
+        if mb == 0:
+            sl.ue(_CBP_INTRA.index(17))  # luma 8x8 #0 + chroma DC
+            sl.se(0)  # mb_qp_delta
+            # interleaved CAVLC: scan64[0] = y_coeff sits in block 0's
+            # level 0; blocks 1-3 are empty
+            _write_cavlc_block(sl, [y_coeff] + [0] * 15, 0, 16)
+            _write_cavlc_block(sl, [0] * 16, 1, 16)
+            _write_cavlc_block(sl, [0] * 16, 1, 16)
+            _write_cavlc_block(sl, [0] * 16, 1, 16)
+            _write_cavlc_block(sl, [u_coeff, 0, 0, 0], -1, 4)
+            _write_cavlc_block(sl, [v_coeff, 0, 0, 0], -1, 4)
+        else:
+            sl.ue(_CBP_INTRA.index(0))  # no residual, no qp_delta
+    sl.rbsp_trailing()
+    return (_nal(3, 7, sps.done()) + _nal(3, 8, pps.done())
+            + _nal(3, 5, sl.done()))

@@ -447,6 +447,10 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
             mc_partition(mbx, mby, obx, oby, 2, 2, mv0, mv1)
 
     if pps["cabac"]:
+        if pps["transform_8x8"]:
+            raise ValueError(
+                "h264: CABAC 8x8 transform not supported (ctx 399+ "
+                "init columns unpinned in-container)")
         from .h264_cabac_pb import _CabacInterReader
 
         rd = _CabacInterReader(br, st, qp, is_b=True)
@@ -477,6 +481,7 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
             continue
 
         bx0, by0 = mbx * 4, mby * 4
+        subs_all8 = True  # non-B_8x8 types have no sub-partitions < 8x8
         if mb_type == 0:  # B_Direct_16x16
             decode_direct_mb(mbx, mby)
         elif mb_type <= 3:  # one 16x16 partition
@@ -524,6 +529,10 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
             subs = [rd.sub_mb_type_b() for _ in range(4)]
             if any(s > 12 for s in subs):
                 raise ValueError("h264: bad B sub_mb_type")
+            # 8x8-transform eligibility: direct subs ride the SPS
+            # direct_8x8_inference gate (enforced above); explicit
+            # subs must be full 8x8 partitions
+            subs_all8 = all(s <= 3 for s in subs)
             # direct 8x8s derive once per MB (shared refs + medians)
             direct = None
             if any(s == 0 for s in subs):
@@ -599,21 +608,36 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
 
         # ---- residual (shared CBP-inter machinery)
         cbp_luma, cbp_chroma = rd.cbp(mbx, mby, intra=False)
+        t8 = False
+        if cbp_luma and pps["transform_8x8"] and subs_all8:
+            t8 = rd.transform_8x8_flag()
+            st.mb_t8[mby][mbx] = t8
         if cbp_luma or cbp_chroma:
             qp = (qp + rd.qp_delta() + 52) % 52
         else:
             rd.note_no_qp_delta()
         st.mb_qp[mby][mbx] = qp
         qpc = _chroma_qp(qp, pps["chroma_qp_offset"])
-        for n in range(16):
-            dx, dy = _blk_xy(n)
-            bx, by = bx0 + (dx >> 2), by0 + (dy >> 2)
-            if cbp_luma & (1 << (n >> 2)):
-                coeffs = rd.luma4(bx, by, i16=False, intra=False)
-                if nz_luma[by][bx]:
-                    st.add_luma_residual(mbx, mby, n, coeffs, qp)
-            else:
-                rd.luma_absent(bx, by)
+        if t8:
+            for n8 in range(4):
+                if cbp_luma & (1 << n8):
+                    scan64 = rd.luma8(mbx, mby, n8)
+                    if any(scan64):
+                        st.add_luma_residual8(mbx, mby, n8, scan64, qp)
+                else:
+                    for k in range(4):
+                        dx, dy = _blk_xy(4 * n8 + k)
+                        rd.luma_absent(bx0 + (dx >> 2), by0 + (dy >> 2))
+        else:
+            for n in range(16):
+                dx, dy = _blk_xy(n)
+                bx, by = bx0 + (dx >> 2), by0 + (dy >> 2)
+                if cbp_luma & (1 << (n >> 2)):
+                    coeffs = rd.luma4(bx, by, i16=False, intra=False)
+                    if nz_luma[by][bx]:
+                        st.add_luma_residual(mbx, mby, n, coeffs, qp)
+                else:
+                    rd.luma_absent(bx, by)
         chroma_dc = [[0] * 4, [0] * 4]
         if cbp_chroma:
             for comp in range(2):
@@ -636,12 +660,20 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
         rd.end_mb(mbx, mby, last)
 
     if deblock_idc != 1:
+        def nz_at(bx: int, by: int) -> int:
+            if st.mb_t8[by >> 2][bx >> 2]:
+                b8x, b8y = bx & ~1, by & ~1
+                return (nz_luma[b8y][b8x] or nz_luma[b8y][b8x + 1]
+                        or nz_luma[b8y + 1][b8x]
+                        or nz_luma[b8y + 1][b8x + 1])
+            return nz_luma[by][bx]
+
         def seg_bs(pbx: int, pby: int, qbx: int, qby: int,
                    mb_edge: bool) -> int:
             if st.mb_intra[pby >> 2][pbx >> 2] or \
                     st.mb_intra[qby >> 2][qbx >> 2]:
                 return 4 if mb_edge else 3
-            if nz_luma[pby][pbx] or nz_luma[qby][qbx]:
+            if nz_at(pbx, pby) or nz_at(qbx, qby):
                 return 2
             p, q = db_cell[pby][pbx], db_cell[qby][qbx]
             if p == "I" or q == "I" or p is None or q is None:
@@ -656,7 +688,8 @@ def _decode_bslice(rbsp: bytes, ntype: int, nri: int, sps: dict,
             return 0
 
         _deblock_edges(ybuf, ubuf, vbuf, mbw, mbh, st.mb_qp,
-                       pps["chroma_qp_offset"], db_off_a, db_off_b, seg_bs)
+                       pps["chroma_qp_offset"], db_off_a, db_off_b,
+                       seg_bs, mb_t8=st.mb_t8)
 
     # colocated export (§8.4.1.2.2 selection): L0 motion when list 0
     # predicts the cell, else L1 motion, else intra

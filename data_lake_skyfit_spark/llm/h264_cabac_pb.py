@@ -511,6 +511,14 @@ class _CabacInterReader:
         self.cs.last_qp_delta = 0
 
     # ---- intra prediction syntax (intra MBs inside P/B slices)
+    def transform_8x8_flag(self) -> bool:
+        # unreachable: the slice decoders reject CABAC + transform_8x8
+        # PPSes upfront (ctx 399+ init columns unpinned in-container)
+        raise ValueError("h264: CABAC 8x8 transform not supported")
+
+    def luma8(self, mbx: int, mby: int, n8: int):
+        raise ValueError("h264: CABAC 8x8 transform not supported")
+
     def intra4_mode(self, pred: int) -> int:
         cd = self.cd
         if cd.dec(68):

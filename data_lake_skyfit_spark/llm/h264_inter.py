@@ -297,43 +297,58 @@ def _deblock_frame_general(ybuf: bytearray, ubuf: bytearray,
                            mb_intra: list[list[bool]],
                            nz_luma: list[list[int]], grid: _MvGrid,
                            chroma_qp_offset: int, off_a: int,
-                           off_b: int) -> None:
+                           off_b: int, mb_t8=None) -> None:
     """§8.7 picture deblocking with the full P-picture bS derivation —
     the generalization of h264.py's intra-only pass (which it
-    reproduces exactly when every MB is intra)."""
+    reproduces exactly when every MB is intra).  For 8x8-transform
+    MBs (mb_t8) the coded-residual condition applies at the covering
+    8x8 block (§8.7.2.1) and the non-transform internal edges are
+    skipped by the edge walk."""
+
+    def nz_at(bx: int, by: int) -> int:
+        if mb_t8 is not None and mb_t8[by >> 2][bx >> 2]:
+            b8x, b8y = bx & ~1, by & ~1
+            return (nz_luma[b8y][b8x] or nz_luma[b8y][b8x + 1]
+                    or nz_luma[b8y + 1][b8x] or nz_luma[b8y + 1][b8x + 1])
+        return nz_luma[by][bx]
 
     def seg_bs(pbx: int, pby: int, qbx: int, qby: int,
                mb_edge: bool) -> int:
         return _bs(
             mb_edge,
             mb_intra[pby >> 2][pbx >> 2], mb_intra[qby >> 2][qbx >> 2],
-            nz_luma[pby][pbx], nz_luma[qby][qbx],
+            nz_at(pbx, pby), nz_at(qbx, qby),
             grid.g[pby][pbx], grid.g[qby][qbx],
         )
 
     _deblock_edges(ybuf, ubuf, vbuf, mbw, mbh, mb_qp,
-                   chroma_qp_offset, off_a, off_b, seg_bs)
+                   chroma_qp_offset, off_a, off_b, seg_bs, mb_t8=mb_t8)
 
 
 def _deblock_edges(ybuf: bytearray, ubuf: bytearray, vbuf: bytearray,
                    mbw: int, mbh: int, mb_qp: list[list[int]],
                    chroma_qp_offset: int, off_a: int, off_b: int,
-                   seg_bs) -> None:
+                   seg_bs, mb_t8=None) -> None:
     """§8.7 edge walk shared by the P and B deblocking passes —
     `seg_bs(pbx, pby, qbx, qby, mb_edge)` supplies the slice-type-
-    specific boundary-strength derivation per 4-sample segment."""
+    specific boundary-strength derivation per 4-sample segment.
+    `mb_t8` marks 8x8-transform MBs whose internal luma edges at 4
+    and 12 are not transform edges (unfiltered, §8.7.2)."""
     W = mbw * 16
     CW = mbw * 8
 
     for mb in range(mbw * mbh):
         mby, mbx = divmod(mb, mbw)
         qq = mb_qp[mby][mbx]
+        t8 = mb_t8 is not None and mb_t8[mby][mbx]
         x0, y0 = mbx * 16, mby * 16
         cx0, cy0 = mbx * 8, mby * 8
         qc_q = _chroma_qp(qq, chroma_qp_offset)
         # ---- luma vertical edges
         for k in range(4):
             if k == 0 and mbx == 0:
+                continue
+            if t8 and k in (1, 3):
                 continue
             qp_p = mb_qp[mby][mbx - 1] if k == 0 else qq
             qav = (qp_p + qq + 1) >> 1
@@ -356,6 +371,8 @@ def _deblock_edges(ybuf: bytearray, ubuf: bytearray, vbuf: bytearray,
         # ---- luma horizontal edges
         for k in range(4):
             if k == 0 and mby == 0:
+                continue
+            if t8 and k in (1, 3):
                 continue
             qp_p = mb_qp[mby - 1][mbx] if k == 0 else qq
             qav = (qp_p + qq + 1) >> 1
@@ -448,6 +465,7 @@ class _InterPicState:
         self.mb_is_i4 = [[False] * mbw for _ in range(mbh)]
         self.mb_intra = [[False] * mbw for _ in range(mbh)]
         self.mb_qp = [[0] * mbw for _ in range(mbh)]
+        self.mb_t8 = [[False] * mbw for _ in range(mbh)]  # 8x8 transform
 
     # ---- CAVLC nC from decoded-neighbor totals (§9.2.1)
     def nc_luma(self, bx: int, by: int) -> int:
@@ -474,6 +492,22 @@ class _InterPicState:
         return 0
 
     # ---- inter residual adds (prediction already in the planes)
+    def add_luma_residual8(self, mbx: int, mby: int, n8: int,
+                           scan64: list[int], qp: int) -> None:
+        """8x8-transform inter residual (§8.5.13.2 dequant + §8.5.12.3
+        IDCT) added onto the motion-compensated prediction."""
+        from .h264 import _dequant_8x8, _idct8x8
+
+        h = _idct8x8(_dequant_8x8(scan64, qp))
+        x0 = mbx * 16 + (n8 & 1) * 8
+        y0 = mby * 16 + (n8 >> 1) * 8
+        W, ybuf = self.W, self.ybuf
+        for r in range(8):
+            base = (y0 + r) * W + x0
+            for c in range(8):
+                ybuf[base + c] = _clip255(
+                    ybuf[base + c] + ((h[8 * r + c] + 32) >> 6))
+
     def add_luma_residual(self, mbx: int, mby: int, n: int,
                           coeffs: list[int], qp: int) -> None:
         dx, dy = _blk_xy(n)
@@ -546,7 +580,41 @@ class _InterPicState:
             return qp
         is_i4 = mb_type == 0
         mb_is_i4[mby][mbx] = is_i4
-        if is_i4:
+        is_i8 = False
+        if is_i4 and pps["transform_8x8"]:
+            is_i8 = rd.transform_8x8_flag()
+            self.mb_t8[mby][mbx] = is_i8
+        modes8 = None
+        if is_i8:
+            # Intra_8x8 inside a P/B slice (r8) — same derivations as
+            # the I-slice tier, over the shared mode-cell grid
+            modes4 = None
+            modes8 = [0] * 4
+            for n8 in range(4):
+                dx, dy = (n8 & 1) * 8, (n8 >> 1) * 8
+                bx, by = mbx * 4 + (dx >> 2), mby * 4 + (dy >> 2)
+                ma = None
+                if bx > 0:
+                    if ((bx - 1) >> 2) != mbx and not mb_is_i4[mby][mbx - 1]:
+                        ma = 2
+                    else:
+                        ma = pred4_modes[by][bx - 1]
+                mbv = None
+                if by > 0:
+                    if ((by - 1) >> 2) != mby and not mb_is_i4[mby - 1][mbx]:
+                        mbv = 2
+                    else:
+                        mbv = pred4_modes[by - 1][bx]
+                pred_mode = 2 if (ma is None or mbv is None) else min(ma, mbv)
+                mode = rd.intra4_mode(pred_mode)  # same prev/rem coding
+                modes8[n8] = mode
+                for cy2 in range(by, by + 2):
+                    for cx2 in range(bx, bx + 2):
+                        pred4_modes[cy2][cx2] = mode
+            chroma_mode = rd.chroma_pred(mbx, mby)
+            cbp_luma, cbp_chroma = rd.cbp(mbx, mby, intra=True)
+            i16_pred = None
+        elif is_i4:
             modes4 = [0] * 16
             for n in range(16):
                 dx, dy = _blk_xy(n)
@@ -590,17 +658,29 @@ class _InterPicState:
         qpc = _chroma_qp(qp, pps["chroma_qp_offset"])
 
         luma_dc = [0] * 16
-        if not is_i4:
-            luma_dc = rd.luma_dc16(mbx, mby)
         luma_blocks = [[0] * 16 for _ in range(16)]
-        for n in range(16):
-            dx, dy = _blk_xy(n)
-            bx, by = mbx * 4 + (dx >> 2), mby * 4 + (dy >> 2)
-            if cbp_luma & (1 << (n >> 2)):
-                luma_blocks[n] = rd.luma4(bx, by, i16=not is_i4,
-                                          intra=True)
-            else:
-                rd.luma_absent(bx, by)
+        blocks8 = None
+        if is_i8:
+            blocks8 = [None] * 4
+            for n8 in range(4):
+                if cbp_luma & (1 << n8):
+                    blocks8[n8] = rd.luma8(mbx, mby, n8)
+                else:
+                    for k in range(4):
+                        dx, dy = _blk_xy(4 * n8 + k)
+                        rd.luma_absent(mbx * 4 + (dx >> 2),
+                                       mby * 4 + (dy >> 2))
+        else:
+            if not is_i4:
+                luma_dc = rd.luma_dc16(mbx, mby)
+            for n in range(16):
+                dx, dy = _blk_xy(n)
+                bx, by = mbx * 4 + (dx >> 2), mby * 4 + (dy >> 2)
+                if cbp_luma & (1 << (n >> 2)):
+                    luma_blocks[n] = rd.luma4(bx, by, i16=not is_i4,
+                                              intra=True)
+                else:
+                    rd.luma_absent(bx, by)
         chroma_dc = [[0] * 4, [0] * 4]
         if cbp_chroma:
             for comp in range(2):
@@ -623,6 +703,7 @@ class _InterPicState:
             ybuf, ubuf, vbuf, W, CW, mbx, mby, self.mbw, self.mbh,
             is_i4, modes4, i16_pred, chroma_mode, qp, qpc,
             luma_dc, luma_blocks, chroma_dc, chroma_ac,
+            i8=(modes8, blocks8) if is_i8 else None,
         )
         return qp
 
@@ -764,6 +845,9 @@ class _CavlcInterReader:
         pass
 
     # ---- intra prediction syntax
+    def transform_8x8_flag(self) -> bool:
+        return self.br.u(1) == 1
+
     def intra4_mode(self, pred: int) -> int:
         if self.br.u(1):
             return pred
@@ -791,6 +875,21 @@ class _CavlcInterReader:
 
     def luma_absent(self, bx: int, by: int) -> None:
         self.st.nz_luma[by][bx] = 0
+
+    def luma8(self, mbx: int, mby: int, n8: int):
+        """One coded 8x8 block: four interleaved 4x4 CAVLC blocks
+        (§8.5.6) → 64 coefficients in 8x8 scan order; nz bookkeeping
+        per 4x4 sub-position (§9.2.1)."""
+        scan64 = [0] * 64
+        for k in range(4):
+            dx, dy = _blk_xy(4 * n8 + k)
+            bx, by = mbx * 4 + (dx >> 2), mby * 4 + (dy >> 2)
+            coeffs, tot = _decode_cavlc_block(
+                self.br, self.st.nc_luma(bx, by), 16)
+            self.st.nz_luma[by][bx] = tot
+            for i in range(16):
+                scan64[4 * i + k] = coeffs[i]
+        return scan64
 
     def chroma_dc(self, comp: int, mbx: int, mby: int, intra: bool):
         coeffs, _ = _decode_cavlc_block(self.br, -1, 4)
@@ -920,6 +1019,10 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
         st.mb_qp[mby][mbx] = qp
 
     if pps["cabac"]:
+        if pps["transform_8x8"]:
+            raise ValueError(
+                "h264: CABAC 8x8 transform not supported (ctx 399+ "
+                "init columns unpinned in-container)")
         from .h264_cabac_pb import _CabacInterReader
 
         rd = _CabacInterReader(br, st, qp, is_b=False)
@@ -949,6 +1052,7 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
         # mvd_l0; reconstruction walks partitions in order so MVP
         # chains see finished neighbors
         bx0, by0 = mbx * 4, mby * 4
+        subs_all8 = True  # 16x16/16x8/8x16: no sub-partitions < 8x8
         if mb_type in (0, 1, 2):
             parts = _PART_LAYOUT[mb_type]
             ridxs = [rd.ref_idx(0, bx0 + p[0], by0 + p[1], p[2], p[3],
@@ -970,6 +1074,7 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
             sub_types = [rd.sub_mb_type_p() for _ in range(4)]
             if any(s > 3 for s in sub_types):
                 raise ValueError("h264: bad sub_mb_type")
+            subs_all8 = all(s == 0 for s in sub_types)
             if mb_type == 3 and na > 1:
                 ridx8 = [rd.ref_idx(0, bx0 + (i8 & 1) * 2,
                                     by0 + (i8 >> 1) * 2, 2, 2, na)
@@ -1000,6 +1105,12 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
                     mc_partition(mbx, mby, pbx, pby, wb, hb, mv, ridx)
 
         cbp_luma, cbp_chroma = rd.cbp(mbx, mby, intra=False)
+        t8 = False
+        if cbp_luma and pps["transform_8x8"] and subs_all8:
+            # §7.3.5: transform_size_8x8_flag for inter MBs, present
+            # when luma residual exists and no sub-partition is < 8x8
+            t8 = rd.transform_8x8_flag()
+            st.mb_t8[mby][mbx] = t8
         if cbp_luma or cbp_chroma:
             qp = (qp + rd.qp_delta() + 52) % 52
         else:
@@ -1007,15 +1118,26 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
         st.mb_qp[mby][mbx] = qp
         qpc = _chroma_qp(qp, pps["chroma_qp_offset"])
 
-        for n in range(16):
-            dx, dy = _blk_xy(n)
-            bx, by = bx0 + (dx >> 2), by0 + (dy >> 2)
-            if cbp_luma & (1 << (n >> 2)):
-                coeffs = rd.luma4(bx, by, i16=False, intra=False)
-                if nz_luma[by][bx]:
-                    st.add_luma_residual(mbx, mby, n, coeffs, qp)
-            else:
-                rd.luma_absent(bx, by)
+        if t8:
+            for n8 in range(4):
+                if cbp_luma & (1 << n8):
+                    scan64 = rd.luma8(mbx, mby, n8)
+                    if any(scan64):
+                        st.add_luma_residual8(mbx, mby, n8, scan64, qp)
+                else:
+                    for k in range(4):
+                        dx, dy = _blk_xy(4 * n8 + k)
+                        rd.luma_absent(bx0 + (dx >> 2), by0 + (dy >> 2))
+        else:
+            for n in range(16):
+                dx, dy = _blk_xy(n)
+                bx, by = bx0 + (dx >> 2), by0 + (dy >> 2)
+                if cbp_luma & (1 << (n >> 2)):
+                    coeffs = rd.luma4(bx, by, i16=False, intra=False)
+                    if nz_luma[by][bx]:
+                        st.add_luma_residual(mbx, mby, n, coeffs, qp)
+                else:
+                    rd.luma_absent(bx, by)
         chroma_dc = [[0] * 4, [0] * 4]
         if cbp_chroma:
             for comp in range(2):
@@ -1041,6 +1163,7 @@ def _decode_pslice(rbsp: bytes, ntype: int, nal_ref_idc: int,
         _deblock_frame_general(
             ybuf, ubuf, vbuf, mbw, mbh, st.mb_qp, st.mb_intra, nz_luma,
             grid, pps["chroma_qp_offset"], db_off_a, db_off_b,
+            mb_t8=st.mb_t8,
         )
     return ybuf, ubuf, vbuf, grid
 
