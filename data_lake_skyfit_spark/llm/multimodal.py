@@ -8037,6 +8037,23 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
                     v_coeff=p["v_coeff"],
                 )
             ]
+        if rid >= 365:
+            # r8 High-profile leg: Intra_8x8 frames through the 8x8
+            # dequant/IDCT + DC-prediction path (h264_i8_flat_expected;
+            # y_coeff bounded so the closed form never clips)
+            from .h264 import encode_h264_iframe_i8
+
+            k = rid - 365
+            return [
+                encode_h264_iframe_i8(
+                    32 + 2 * (k % 9),
+                    32 + 2 * (k % 7),
+                    qp=(20, 28, 36, 44)[k % 4],
+                    y_coeff=1 + k % 9,
+                    u_coeff=1 + k % 40,
+                    v_coeff=1 + (k // 3) % 40,
+                )
+            ]
         if rid >= 330:
             # r7 CABAC leg A: flat Intra_16x16 frames, CABAC-coded
             from .h264_cabac import encode_h264_iframe_flat_cabac

@@ -3461,7 +3461,40 @@ def _avc_deblock_leg_sql(lo: int = 240, hi: int = 330) -> str:
              1 + (doc_id - 330) % 90 AS cy,
              1 + (doc_id - 330) % 40 AS cu,
              1 + ((doc_id - 330) // 3) % 40 AS cv
-      FROM documents WHERE doc_id >= 330 AND doc_id < 375
+      FROM documents WHERE doc_id >= 330 AND doc_id < 365
+    )
+    """
+    # r8 High-profile leg (ids 365-374): Intra_8x8 frames — luma rides
+    # the §8.5.13.2 8x8 dequant closed form (v8 DC norm classes 26/32/
+    # 20/26 at qp 20/28/36/44, flat weight 16, (dq + 32) >> 6 over a
+    # 128 DC prediction); chroma follows the shared 2x2-DC formula
+    + """
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INT) AS frame_idx, CAST(0 AS BIGINT) AS ts_ms,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(w * h * (128 + ((CASE qk WHEN 0 THEN (416 * cy + 4) // 8
+                                         WHEN 1 THEN (512 * cy + 2) // 4
+                                         WHEN 2 THEN 320 * cy
+                                         ELSE 832 * cy END + 32) // 64))
+              + (w // 2) * (h // 2) *
+                ((128 + ((CASE qk WHEN 0 THEN (13 * cu) // 4
+                                  WHEN 1 THEN 8 * cu
+                                  WHEN 2 THEN 16 * cu
+                                  ELSE 22 * cu END + 32) // 64))
+               + (128 + ((CASE qk WHEN 0 THEN (13 * cv) // 4
+                                  WHEN 1 THEN 8 * cv
+                                  WHEN 2 THEN 16 * cv
+                                  ELSE 22 * cv END + 32) // 64)))
+           AS BIGINT) AS pixel_sum
+    FROM (
+      SELECT doc_id, 32 + 2 * ((doc_id - 365) % 9) AS w,
+             32 + 2 * ((doc_id - 365) % 7) AS h,
+             (doc_id - 365) % 4 AS qk,
+             1 + (doc_id - 365) % 9 AS cy,
+             1 + (doc_id - 365) % 40 AS cu,
+             1 + ((doc_id - 365) // 3) % 40 AS cv
+      FROM documents WHERE doc_id >= 365 AND doc_id < 375
     )
     """
     # r7 CABAC leg B (ids 375-419): the deblocked stepped strips again,
@@ -3692,7 +3725,12 @@ def _avc_deblock_leg_sql(lo: int = 240, hi: int = 330) -> str:
     "context-modelled mb_type/CBP/qp-delta, significance maps, UEG0 "
     "levels); same entropy-independent closed forms, so the oracle "
     "legs replay the flat and stepped formulas over the shifted id "
-    "ranges. Wire pinned by hand-derived bit goldens + a 4000-case "
+    "ranges. docs 365-374 (r8, VERDICT r7 #3) are HIGH-PROFILE "
+    "Intra_8x8 frames: profile_idc 100 SPS/PPS extensions, "
+    "transform_size_8x8_flag, interleaved-CAVLC 8x8 residuals, the "
+    "§8.5.13.2 dequant (v8 norm classes inlined in the oracle: "
+    "416c/512c/320c/832c at qp 20/28/36/44) + §8.5.12.3 butterfly "
+    "IDCT and §8.3.2 DC prediction with reference filtering. Wire pinned by hand-derived bit goldens + a 4000-case "
     "CAVLC round-trip sweep + an independent in-test transcription "
     "of the §8.7 filter + engine tables binary-extracted from "
     "libde265/libx265 + a cross-entropy equivalence sweep "
