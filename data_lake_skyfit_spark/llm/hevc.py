@@ -1,5 +1,22 @@
-"""HEVC / H.265 (ISO 23008-2) main-profile INTRA decoder — pure Python,
+"""HEVC / H.265 (ISO 23008-2) main-profile decoder — pure Python,
 executor-safe (no native deps), for the multimodal curation tier.
+INTRA pictures in full, plus (r8 — VERDICT r7 #4) the low-delay
+P-slice INTER tier: cu_skip/merge/AMVP motion derivation (spatial
+candidates, no TMVP — the slice header rejects it), §8.5.4.2.2
+fractional MC (8-tap luma / 4-tap chroma filters binary-extracted
+from libx265 @0xf22a88/0xf22ac0), mvd_coding, inter transform trees
+(rqt_root_cbf / inferred cbf_luma, DCT-only 4x4), and the full
+§8.7.2.4 boundary-strength derivation (intra→2, coded-residual or
+≥1-sample MV delta→1, chroma filters bS 2 only).  Inter envelope:
+single same-POC reference (x265 --ref 1 low-delay), 2Nx2N PUs
+(rect/amp off), 8-bit 4:2:0, no weighted prediction / list
+modification / long-term refs — everything outside REJECTS.  The
+inter context-init rows were extracted from the same libx265
+.rodata region as the intra rows (previously-unnamed gaps, each
+attribution value-matched against the published HM tables) and the
+whole tier is arbitrated BIT-EXACTLY against libde265 across
+qp/CTU/preset/feature sweeps incl. deblock+SAO and cu_qp_delta
+(tests/test_hevc_codec.py P-GOP suite).
 
 Envelope (reject-never-approximate — unsupported streams raise
 ValueError, they are never approximated): Main, Main10 and Main12
@@ -132,26 +149,100 @@ _INIT_VALUES: dict[str, tuple[int, tuple[int, ...]]] = {
                              184, 154, 154, 154)),
     "split_cu": (0xF14F78, (107, 139, 126, 107, 139, 126, 139, 141, 157)),
     "tq_bypass": (0xF14F81, (154, 154, 154)),
+    # ---- inter-syntax rows (r8): extracted from the same contiguous
+    # region's previously-unnamed gaps; every attribution value-matches
+    # the published HM initValue tables AND is arbitrated functionally
+    # by the libde265 bit-exact cross-pins on x265 P streams
+    "mvp_idx": (0xF14D87, (168, 168, 154)),
+    "rqt_root_cbf": (0xF14EF6, (79, 79, 154)),
+    "ref_pic": (0xF14F21, (153, 153, 153, 153, 154, 154)),
+    "mvd": (0xF14F27, (169, 198, 140, 198, 154, 154)),
+    "inter_dir": (0xF14F30, (95, 79, 63, 31, 31,
+                             95, 79, 63, 31, 31,
+                             154, 154, 154, 154, 154)),
+    "pred_mode": (0xF14F48, (134, 149, 154)),
+    "merge_idx": (0xF14F5C, (137, 122, 154)),
+    "merge_flag": (0xF14F5F, (154, 110, 154)),
+    "cu_skip": (0xF14F68, (197, 185, 201, 197, 185, 201, 154, 154, 154)),
 }
+
+# §8.5.4.2.2 fractional interpolation filters — int16 runs extracted
+# from libx265 .rodata (luma @0xf22a88: 4 phases x 8 taps incl. the
+# integer row; chroma @0xf22ac0: 8 phases x 4 taps), matching the
+# published Tables 8-11/8-12; arbitration rides the bit-exact pin.
+_LUMA_FILTER = (
+    (0, 0, 0, 64, 0, 0, 0, 0),
+    (-1, 4, -10, 58, 17, -5, 1, 0),
+    (-1, 4, -11, 40, 40, -11, 4, -1),
+    (0, 1, -5, 17, 58, -10, 4, -1),
+)
+_CHROMA_FILTER = (
+    (0, 64, 0, 0), (-2, 58, 10, -2), (-4, 54, 16, -2), (-6, 46, 28, -4),
+    (-4, 36, 36, -4), (-4, 28, 46, -6), (-2, 16, 54, -4), (-2, 10, 58, -2),
+)
 
 # sig_coeff_flag 4x4 ctxIdxMap (libx265 @ 0xf14d60)
 _SIG_CTX_MAP_4x4 = (0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8)
 
 
-def _i_row(name: str, n_ctx: int) -> tuple[int, ...]:
+def _mc_block(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+              ivx: int, ivy: int, fx: int, fy: int, filters,
+              half: int, maxval: int) -> np.ndarray:
+    """§8.5.4.2.2 fractional-sample interpolation for one block:
+    two-pass separable filter with the 14-bit intermediate precision
+    (shift1 = 0 at 8-bit, shift2 = 6) and the uni-prediction output
+    stage ((x + 32) >> 6, clipped).  Picture-boundary samples clamp
+    (the spec's reference-padding rule).  `half` = taps//2 - 1 (3 for
+    the 8-tap luma filter, 1 for the 4-tap chroma filter)."""
+    H, W = ref.shape
+    ix, iy = x0 + ivx, y0 + ivy
+    if fx == 0 and fy == 0:
+        ys = np.clip(np.arange(iy, iy + h), 0, H - 1)
+        xs = np.clip(np.arange(ix, ix + w), 0, W - 1)
+        return ref[np.ix_(ys, xs)].astype(np.int64)
+    taps = len(filters[1])
+    ys = np.clip(np.arange(iy - half, iy + h + (taps - 1 - half)), 0, H - 1)
+    xs = np.clip(np.arange(ix - half, ix + w + (taps - 1 - half)), 0, W - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)
+    if fx:
+        f = filters[fx]
+        tmp = sum(f[k] * win[:, k : k + w] for k in range(taps) if f[k])
+    else:
+        tmp = win[:, half : half + w] << 6
+    if fy:
+        f = filters[fy]
+        out = sum(f[k] * tmp[k : k + h, :] for k in range(taps) if f[k])
+        out >>= 6
+    else:
+        out = tmp[half : half + h, :]
+    return np.clip((out + 32) >> 6, 0, maxval)
+
+
+def _type_row(name: str, n_ctx: int, init_type: int) -> tuple[int, ...]:
+    """initValue row for one element: the binary stores slice-type
+    rows [B, P, I] which equal spec initTypes [2, 1, 0]."""
     vals = _INIT_VALUES[name][1]
     per = len(vals) // 3
-    row = vals[2 * per : 3 * per]
+    idx = 2 - init_type
+    row = vals[idx * per : (idx + 1) * per]
     return row[:n_ctx]
 
 
-# flat context layout for an I slice
+def _i_row(name: str, n_ctx: int) -> tuple[int, ...]:
+    return _type_row(name, n_ctx, 0)
+
+
+# flat context layout (inter elements appended r8; I slices never
+# read them, so the I-slice wire is unchanged)
 _ELEMS = [
     ("sao_merge", 1), ("sao_type", 1), ("split_cu", 3), ("tq_bypass", 1),
     ("part_mode", 1), ("prev_intra", 1), ("chroma_pred", 1), ("split_tr", 3),
     ("cbf_luma", 2), ("cbf_chroma", 4), ("qp_delta", 2), ("tskip", 2),
     ("last_x", 18), ("last_y", 18), ("csbf", 4), ("sig", 42),
     ("gt1", 24), ("gt2", 6),
+    ("cu_skip", 3), ("pred_mode", 1), ("merge_flag", 1), ("merge_idx", 1),
+    ("inter_dir", 5), ("ref_pic", 2), ("mvd", 2), ("mvp_idx", 1),
+    ("rqt_root_cbf", 1),
 ]
 _CTX_OFF: dict[str, int] = {}
 _off = 0
@@ -160,34 +251,61 @@ for _name, _n in _ELEMS:
     _off += _n
 _N_CTX = _off
 
-_SRC = {
-    "sao_merge": _i_row("sao_merge", 1), "sao_type": _i_row("sao_type", 1),
-    "split_cu": _i_row("split_cu", 3), "tq_bypass": _i_row("tq_bypass", 1),
-    "part_mode": _i_row("part_mode", 1), "prev_intra": _i_row("prev_intra", 1),
-    "chroma_pred": _i_row("chroma_pred", 1), "split_tr": _i_row("split_tr", 3),
-    "cbf_luma": _i_row("cbf", 7)[:2], "cbf_chroma": _i_row("cbf", 7)[2:6],
-    "qp_delta": _i_row("qp_delta", 2), "tskip": _i_row("tskip", 2),
-    "last_x": _i_row("last", 18), "last_y": _i_row("last", 18),
-    "csbf": _i_row("csbf", 4), "sig": _i_row("sig", 42),
-    "gt1": _i_row("gt1", 24), "gt2": _i_row("gt2", 6),
-}
-_INIT_I_FLAT: list[int] = []
-for _name, _n in _ELEMS:
-    row = _SRC[_name]
-    if len(row) != _n:
-        raise AssertionError(f"hevc ctx table {_name}: {len(row)} != {_n}")
-    _INIT_I_FLAT.extend(row)
+
+def _src_for(init_type: int) -> dict:
+    return {
+        "sao_merge": _type_row("sao_merge", 1, init_type),
+        "sao_type": _type_row("sao_type", 1, init_type),
+        "split_cu": _type_row("split_cu", 3, init_type),
+        "tq_bypass": _type_row("tq_bypass", 1, init_type),
+        "part_mode": _type_row("part_mode", 1, init_type),
+        "prev_intra": _type_row("prev_intra", 1, init_type),
+        "chroma_pred": _type_row("chroma_pred", 1, init_type),
+        "split_tr": _type_row("split_tr", 3, init_type),
+        "cbf_luma": _type_row("cbf", 7, init_type)[:2],
+        "cbf_chroma": _type_row("cbf", 7, init_type)[2:6],
+        "qp_delta": _type_row("qp_delta", 2, init_type),
+        "tskip": _type_row("tskip", 2, init_type),
+        "last_x": _type_row("last", 18, init_type),
+        "last_y": _type_row("last", 18, init_type),
+        "csbf": _type_row("csbf", 4, init_type),
+        "sig": _type_row("sig", 42, init_type),
+        "gt1": _type_row("gt1", 24, init_type),
+        "gt2": _type_row("gt2", 6, init_type),
+        "cu_skip": _type_row("cu_skip", 3, init_type),
+        "pred_mode": _type_row("pred_mode", 1, init_type),
+        "merge_flag": _type_row("merge_flag", 1, init_type),
+        "merge_idx": _type_row("merge_idx", 1, init_type),
+        "inter_dir": _type_row("inter_dir", 5, init_type),
+        "ref_pic": _type_row("ref_pic", 2, init_type),
+        "mvd": _type_row("mvd", 2, init_type),
+        "mvp_idx": _type_row("mvp_idx", 1, init_type),
+        "rqt_root_cbf": _type_row("rqt_root_cbf", 1, init_type),
+    }
+
+
+_INIT_FLAT: dict[int, list[int]] = {}
+for _t in (0, 1, 2):
+    _flat: list[int] = []
+    _src = _src_for(_t)
+    for _name, _n in _ELEMS:
+        _row = _src[_name]
+        if len(_row) != _n:
+            raise AssertionError(f"hevc ctx table {_name}: {len(_row)} != {_n}")
+        _flat.extend(_row)
+    _INIT_FLAT[_t] = _flat
+_INIT_I_FLAT = _INIT_FLAT[0]
 
 
 def _clip3(lo: int, hi: int, v: int) -> int:
     return lo if v < lo else (hi if v > hi else v)
 
 
-def _ctx_states(slice_qp: int) -> list[list[int]]:
+def _ctx_states(slice_qp: int, init_type: int = 0) -> list[list[int]]:
     """§9.3.2.2: initValue + SliceQpY → [pStateIdx, valMps] per context."""
     qp = _clip3(0, 51, slice_qp)
     states = []
-    for iv in _INIT_I_FLAT:
+    for iv in _INIT_FLAT[init_type]:
         slope = (iv >> 4) * 5 - 45
         offset = ((iv & 15) << 3) - 16
         pre = _clip3(1, 126, ((slope * qp) >> 4) + offset)
@@ -206,13 +324,14 @@ def _ctx_states(slice_qp: int) -> list[list[int]]:
 class _Cabac:
     __slots__ = ("br", "range", "offset", "state")
 
-    def __init__(self, br: _BitReader, slice_qp: int) -> None:
+    def __init__(self, br: _BitReader, slice_qp: int,
+                 init_type: int = 0) -> None:
         self.br = br
         self.range = 510
         self.offset = br.u(9)
         if self.offset >= 510:
             raise ValueError("hevc: invalid cabac init offset")
-        self.state = _ctx_states(slice_qp)
+        self.state = _ctx_states(slice_qp, init_type)
 
     def dec(self, ctx: int) -> int:
         st = self.state[ctx]
@@ -349,7 +468,7 @@ def _parse_sps(rbsp: bytes) -> dict:
     if sps["w"] % (1 << min_cb) or sps["h"] % (1 << min_cb):
         # §7.4.3.2: picture dims must be multiples of MinCbSizeY
         raise ValueError("hevc: dimensions not multiples of min CB size")
-    br.ue()  # max_transform_hierarchy_depth_inter
+    sps["max_tr_depth_inter"] = br.ue()
     sps["max_tr_depth_intra"] = br.ue()
     sps["scaling"] = None
     if br.u(1):  # scaling_list_enabled
@@ -357,7 +476,7 @@ def _parse_sps(rbsp: bytes) -> dict:
             sps["scaling"] = _scaling_factors(_parse_scaling_list_data(br))
         else:
             sps["scaling"] = _scaling_factors(None)
-    br.u(1)  # amp_enabled (inter-only relevance)
+    sps["amp"] = br.u(1)  # asymmetric motion partitions
     sps["sao"] = br.u(1)
     if br.u(1):
         raise ValueError("hevc: PCM unsupported")
@@ -368,11 +487,12 @@ def _parse_sps(rbsp: bytes) -> dict:
     for i in range(num_rps):
         _parse_st_rps(br, i, num_rps, ndp)
     sps["num_rps"] = num_rps
-    if br.u(1):  # long_term_ref_pics_present
+    sps["long_term"] = br.u(1)  # long_term_ref_pics_present
+    if sps["long_term"]:
         for _ in range(br.ue()):
             br.u(sps["log2_max_poc"])
             br.u(1)
-    br.u(1)  # sps_temporal_mvp_enabled
+    sps["tmvp"] = br.u(1)  # sps_temporal_mvp_enabled
     sps["strong_intra_smoothing"] = br.u(1)
     # VUI and extensions carry nothing this decoder needs
     return sps
@@ -388,7 +508,8 @@ def _parse_pps(rbsp: bytes) -> dict:
     pps["extra_slice_bits"] = br.u(3)
     pps["sdh"] = br.u(1)
     pps["cabac_init_present"] = br.u(1)
-    br.ue(); br.ue()  # num_ref_idx defaults
+    pps["num_ref_l0"] = br.ue() + 1  # num_ref_idx_l0_default_active
+    pps["num_ref_l1"] = br.ue() + 1
     pps["init_qp"] = 26 + br.se()
     if br.u(1):
         raise ValueError("hevc: constrained intra pred unsupported")
@@ -398,7 +519,8 @@ def _parse_pps(rbsp: bytes) -> dict:
     pps["cb_qp_offset"] = br.se()
     pps["cr_qp_offset"] = br.se()
     pps["slice_chroma_qp_offsets"] = br.u(1)
-    br.u(1); br.u(1)  # weighted_pred, weighted_bipred
+    pps["weighted_pred"] = br.u(1)
+    pps["weighted_bipred"] = br.u(1)
     pps["tq_bypass_enabled"] = br.u(1)
     pps["tiles"] = None
     pps["lf_across_tiles"] = 1
@@ -436,8 +558,8 @@ def _parse_pps(rbsp: bytes) -> dict:
     pps["scaling"] = None
     if br.u(1):  # pps_scaling_list_data_present
         pps["scaling"] = _scaling_factors(_parse_scaling_list_data(br))
-    br.u(1)  # lists_modification_present
-    br.ue()  # log2_parallel_merge_level_minus2
+    pps["lists_mod"] = br.u(1)  # lists_modification_present
+    pps["parallel_merge"] = br.ue()  # log2_parallel_merge_level_minus2
     pps["slice_header_ext"] = br.u(1)
     return pps
 
@@ -474,7 +596,8 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
             raise ValueError("hevc: dependent segment changes PPS")
         for k in ("sao_luma", "sao_chroma", "qp", "cb_qp_offset",
                   "cr_qp_offset", "deblock_disabled", "beta_offset",
-                  "tc_offset", "lf_across"):
+                  "tc_offset", "lf_across", "slice_type", "init_type",
+                  "max_merge", "poc_lsb"):
             sh[k] = prev_sh[k]
         sh["entry_offsets"] = []
         if pps["wpp"] or pps["tiles"]:
@@ -500,12 +623,14 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
     for _ in range(pps["extra_slice_bits"]):
         br.u(1)
     slice_type = br.ue()
-    if slice_type != 2:
-        raise ValueError("hevc: only I slices supported")
+    if slice_type not in (1, 2):
+        raise ValueError("hevc: only I and P slices supported")
+    sh["slice_type"] = slice_type
     if pps["output_flag_present"]:
         br.u(1)
+    sh["poc_lsb"] = 0
     if nal_type not in (19, 20):  # not IDR: POC + ref pic sets present
-        br.u(sps["log2_max_poc"])
+        sh["poc_lsb"] = br.u(sps["log2_max_poc"])
         if not br.u(1):  # short_term_ref_pic_set_sps_flag
             ndp: list[int] = []
             # rebuild NumDeltaPocs context for prediction-coded sets
@@ -513,11 +638,42 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
         elif sps["num_rps"] > 1:
             bits = max(1, (sps["num_rps"] - 1).bit_length())
             br.u(bits)
+        if sps.get("long_term"):
+            raise ValueError("hevc: long-term reference pictures "
+                             "unsupported")
+        if sps["tmvp"]:
+            if br.u(1):  # slice_temporal_mvp_enabled_flag
+                raise ValueError("hevc: temporal MVP unsupported")
     sh["sao_luma"] = sh["sao_chroma"] = 0
     if sps["sao"]:
         sh["sao_luma"] = br.u(1)
         if sps["chroma"]:
             sh["sao_chroma"] = br.u(1)
+    sh["init_type"] = 0
+    sh["max_merge"] = 5
+    if slice_type == 1:  # P-slice inter envelope (r8)
+        if pps["weighted_pred"]:
+            raise ValueError("hevc: weighted prediction unsupported")
+        if pps["lists_mod"]:
+            raise ValueError("hevc: reference list modification "
+                             "unsupported")
+        if pps["parallel_merge"]:
+            raise ValueError("hevc: parallel merge estimation regions "
+                             "unsupported")
+        if br.u(1):  # num_ref_idx_active_override_flag
+            na = br.ue() + 1
+        else:
+            na = pps["num_ref_l0"]
+        if na != 1:
+            raise ValueError("hevc: more than one active reference "
+                             "unsupported")
+        sh["init_type"] = 1
+        if pps["cabac_init_present"]:
+            if br.u(1):  # cabac_init_flag
+                sh["init_type"] = 2
+        sh["max_merge"] = 5 - br.ue()  # five_minus_max_num_merge_cand
+        if not 1 <= sh["max_merge"] <= 5:
+            raise ValueError("hevc: bad max merge candidates")
     sh["qp"] = pps["init_qp"] + br.se()
     if not -6 * (sps["bd"] - 8) <= sh["qp"] <= 51:
         raise ValueError("hevc: slice QP out of range")
@@ -1008,6 +1164,14 @@ class _PicDecoder:
         self._dep_state: list[list[int]] | None = None
         if self.pps["tiles"] is not None:
             self._setup_tiles()
+        # inter (P) state — r8: RefPicList0 planes (uncropped, post
+        # in-loop filters), per-4x4 prediction-mode / skip / MV / cbf
+        # grids for merge/AMVP derivation and the deblock bS rules
+        self.refs: list[tuple] = []
+        self.intra_grid = np.zeros((gh, gw), bool)
+        self.skip_grid = np.zeros((gh, gw), bool)
+        self.mv_grid = np.zeros((gh, gw, 2), np.int32)
+        self.cbf_grid = np.zeros((gh, gw), bool)
 
     def _setup_tiles(self) -> None:
         """§6.5.1: tile column/row boundaries (uniform or explicit) →
@@ -1083,7 +1247,7 @@ class _PicDecoder:
             if sh["address"] != self.next_ctu:
                 raise ValueError(
                     "hevc: slice segments do not tile the picture")
-            self.cab = _Cabac(br, sh["qp"])
+            self.cab = _Cabac(br, sh["qp"], sh.get("init_type", 0))
             self.cab.state = [st.copy() for st in self._dep_state]
             total = n_w * n_h
             for addr in range(sh["address"], total):
@@ -1122,7 +1286,7 @@ class _PicDecoder:
             if sh["address"] // n_w + n_rows_here > n_h:
                 raise ValueError("hevc: wavefront slice overruns the picture")
         if not offsets:
-            self.cab = _Cabac(br, sh["qp"])
+            self.cab = _Cabac(br, sh["qp"], sh.get("init_type", 0))
             total = n_w * n_h
             sync_state: list[list[int]] | None = None
             for addr in range(sh["address"], total):
@@ -1148,7 +1312,7 @@ class _PicDecoder:
                         raise ValueError("hevc: missing end_of_subset bit")
                     rdr = self.cab.br
                     rdr.pos = ((rdr.pos + 7) >> 3) << 3
-                    self.cab = _Cabac(rdr, sh["qp"])
+                    self.cab = _Cabac(rdr, sh["qp"], sh.get("init_type", 0))
                     if sync_state is not None:
                         self.cab.state = [st.copy() for st in sync_state]
                     sync_state = None
@@ -1173,7 +1337,7 @@ class _PicDecoder:
         for ry in range(start_row, end_row):
             sub = _BitReader(br.data)
             sub.pos = starts[ry - start_row] * 8
-            cab = _Cabac(sub, sh["qp"])
+            cab = _Cabac(sub, sh["qp"], sh.get("init_type", 0))
             if ry > start_row and sync_state is not None:
                 cab.state = [st.copy() for st in sync_state]
             self.cab = cab
@@ -1242,7 +1406,7 @@ class _PicDecoder:
                                          "points")
                     rdr = _BitReader(br.data)
                     rdr.pos = starts[sub_idx] * 8
-                cab = _Cabac(rdr, sh["qp"])
+                cab = _Cabac(rdr, sh["qp"], sh.get("init_type", 0))
                 self.cab = cab
                 self.last_cu_qp = sh["qp"]
                 self.qp_delta_coded = True
@@ -1504,6 +1668,21 @@ class _PicDecoder:
         if self.pps["tq_bypass_enabled"]:
             bypass = cab.dec(_CTX_OFF["tq_bypass"])
         self.bypass_grid[g] = bool(bypass)
+        if self.sh.get("slice_type", 2) == 1:
+            # ---- P slice (r8): cu_skip_flag, then intra/inter choice
+            if cab.dec(_CTX_OFF["cu_skip"] + self._skip_inc(x0, y0)):
+                mv = self._merge_mv(x0, y0, size)
+                self._mc_cu(x0, y0, size, mv)
+                self._mark_inter(g, x0, y0, size, mv, skip=True)
+                self.tu_list.append((x0, y0, size))  # PU deblock edges
+                qp = (self.qg_pred + self.cu_qp_delta_val + 52) % 52
+                self.qp_grid[g] = qp
+                self.last_cu_qp = qp
+                return
+            if cab.dec(_CTX_OFF["pred_mode"]) == 0:  # MODE_INTER
+                self._inter_cu(x0, y0, log2_size, g, bypass)
+                return
+        self.intra_grid[g] = True
         part_nxn = False
         if log2_size == self.min_cb:
             part_nxn = cab.dec(_CTX_OFF["part_mode"]) == 0
@@ -1577,6 +1756,188 @@ class _PicDecoder:
                 mode += 1
         return mode
 
+    # ------------------------------------------------------ inter (P) tier
+    def _skip_inc(self, x0: int, y0: int) -> int:
+        """§9.3.4.2.2 cu_skip_flag ctxIdxInc from left/above CU flags."""
+        cy, cx = y0 >> 2, x0 >> 2
+        inc = 0
+        if (x0 > 0 and self.avail[cy, cx - 1]
+                and self.slice_grid[cy, cx - 1] == self.cur_slice
+                and self._same_tile(cy, cx - 1, cy, cx)
+                and self.skip_grid[cy, cx - 1]):
+            inc += 1
+        if (y0 > 0 and self.avail[cy - 1, cx]
+                and self.slice_grid[cy - 1, cx] == self.cur_slice
+                and self._same_tile(cy - 1, cx, cy, cx)
+                and self.skip_grid[cy - 1, cx]):
+            inc += 1
+        return inc
+
+    def _nbr_mv(self, px: int, py: int, x0: int, y0: int):
+        """Motion of the 4x4 cell covering luma sample (px, py), or
+        None when unavailable for prediction (§6.4.2: outside the
+        picture, not yet decoded, other slice/tile, or intra)."""
+        if px < 0 or py < 0 or px >= self.w or py >= self.h:
+            return None
+        cy, cx = py >> 2, px >> 2
+        if not self.avail[cy, cx]:
+            return None
+        if self.slice_grid[cy, cx] != self.cur_slice:
+            return None
+        if not self._same_tile(cy, cx, y0 >> 2, x0 >> 2):
+            return None
+        if self.intra_grid[cy, cx]:
+            return None
+        return (int(self.mv_grid[cy, cx, 0]), int(self.mv_grid[cy, cx, 1]))
+
+    def _merge_candidates(self, x0: int, y0: int, size: int) -> list:
+        """§8.5.3.2.3 spatial merge list for a 2Nx2N PU over ONE
+        same-POC reference (no TMVP — rejected at the slice header),
+        zero-mv fill to MaxNumMergeCand."""
+        w = h = size
+        a1 = self._nbr_mv(x0 - 1, y0 + h - 1, x0, y0)
+        b1 = self._nbr_mv(x0 + w - 1, y0 - 1, x0, y0)
+        b0 = self._nbr_mv(x0 + w, y0 - 1, x0, y0)
+        a0 = self._nbr_mv(x0 - 1, y0 + h, x0, y0)
+        out = []
+        if a1 is not None:
+            out.append(a1)
+        if b1 is not None and b1 != a1:
+            out.append(b1)
+        if b0 is not None and b0 != b1:
+            out.append(b0)
+        if a0 is not None and a0 != a1:
+            out.append(a0)
+        if len(out) < 4:
+            b2 = self._nbr_mv(x0 - 1, y0 - 1, x0, y0)
+            if b2 is not None and b2 != a1 and b2 != b1:
+                out.append(b2)
+        while len(out) < self.sh["max_merge"]:
+            out.append((0, 0))
+        return out
+
+    def _merge_mv(self, x0: int, y0: int, size: int):
+        idx = 0
+        cmax = self.sh["max_merge"] - 1
+        if cmax and self.cab.dec(_CTX_OFF["merge_idx"]):
+            idx = 1
+            while idx < cmax and self.cab.bypass():
+                idx += 1
+        return self._merge_candidates(x0, y0, size)[idx]
+
+    def _amvp_candidates(self, x0: int, y0: int, size: int) -> list:
+        """§8.5.3.2.6 over one same-POC reference: candidate A from
+        A0/A1, B from B0/B1/B2 (no scaling — same picture), dedupe,
+        zero fill to two."""
+        w = h = size
+        a = self._nbr_mv(x0 - 1, y0 + h, x0, y0)
+        if a is None:
+            a = self._nbr_mv(x0 - 1, y0 + h - 1, x0, y0)
+        b = self._nbr_mv(x0 + w, y0 - 1, x0, y0)
+        if b is None:
+            b = self._nbr_mv(x0 + w - 1, y0 - 1, x0, y0)
+        if b is None:
+            b = self._nbr_mv(x0 - 1, y0 - 1, x0, y0)
+        cands = []
+        if a is not None:
+            cands.append(a)
+        if b is not None and b != a:
+            cands.append(b)
+        while len(cands) < 2:
+            cands.append((0, 0))
+        return cands
+
+    def _decode_mvd(self):
+        """§7.3.8.9 mvd_coding: greater0/greater1 context pairs, EG1
+        bypass remainder, bypass sign."""
+        cab = self.cab
+        g0x = cab.dec(_CTX_OFF["mvd"])
+        g0y = cab.dec(_CTX_OFF["mvd"])
+        g1x = cab.dec(_CTX_OFF["mvd"] + 1) if g0x else 0
+        g1y = cab.dec(_CTX_OFF["mvd"] + 1) if g0y else 0
+        out = []
+        for g0, g1 in ((g0x, g1x), (g0y, g1y)):
+            v = 0
+            if g0:
+                v = 1
+                if g1:
+                    k = 0
+                    while cab.bypass():
+                        k += 1
+                        if k > 30:
+                            raise ValueError("hevc: mvd EG1 overflow")
+                    v = 2 + (((1 << k) - 1) << 1) + cab.bypass_bits(k + 1)
+                if cab.bypass():
+                    v = -v
+            out.append(v)
+        return out[0], out[1]
+
+    def _mc_cu(self, x0: int, y0: int, size: int, mv) -> None:
+        if not self.refs:
+            raise ValueError("hevc: P slice without a reference picture")
+        ry, rcb, rcr = self.refs[0]
+        self.y[y0 : y0 + size, x0 : x0 + size] = _mc_block(
+            ry, x0, y0, size, size, mv[0] >> 2, mv[1] >> 2,
+            mv[0] & 3, mv[1] & 3, _LUMA_FILTER, 3, self.maxval,
+        ).astype(self.dtype)
+        if self.chroma:
+            cs = size >> 1
+            xc, yc = x0 >> 1, y0 >> 1
+            for plane, ref in ((self.cb, rcb), (self.cr, rcr)):
+                plane[yc : yc + cs, xc : xc + cs] = _mc_block(
+                    ref, xc, yc, cs, cs, mv[0] >> 3, mv[1] >> 3,
+                    mv[0] & 7, mv[1] & 7, _CHROMA_FILTER, 1, self.maxval,
+                ).astype(self.dtype)
+
+    def _mark_inter(self, g, x0: int, y0: int, size: int, mv,
+                    skip: bool) -> None:
+        self.intra_grid[g] = False
+        self.skip_grid[g] = skip
+        self.mv_grid[g[0], g[1], 0] = mv[0]
+        self.mv_grid[g[0], g[1], 1] = mv[1]
+        # inter cells substitute DC in neighbour intra-mode derivation
+        self.mode_grid[g] = 1
+        self.avail[g] = True
+
+    def _inter_cu(self, x0: int, y0: int, log2_size: int, g,
+                  bypass: int) -> None:
+        """Non-skip inter CU: 2Nx2N only (the x265 rect/amp-off
+        envelope — other part modes reject)."""
+        cab = self.cab
+        size = 1 << log2_size
+        if cab.dec(_CTX_OFF["part_mode"]) == 0:
+            raise ValueError(
+                "hevc: inter partition modes other than 2Nx2N unsupported")
+        merged = bool(cab.dec(_CTX_OFF["merge_flag"]))
+        if merged:
+            mv = self._merge_mv(x0, y0, size)
+        else:
+            # P slice: inter_pred_idc implicit PRED_L0; single active
+            # reference so ref_idx_l0 is absent
+            mvd = self._decode_mvd()
+            mvp_flag = cab.dec(_CTX_OFF["mvp_idx"])
+            pred = self._amvp_candidates(x0, y0, size)[mvp_flag]
+            mv = (pred[0] + mvd[0], pred[1] + mvd[1])
+        self._mc_cu(x0, y0, size, mv)
+        self._mark_inter(g, x0, y0, size, mv, skip=False)
+        # rqt_root_cbf inferred 1 for 2Nx2N merge (a residual-free
+        # merge CU would have been coded as skip)
+        root = 1
+        if not merged:
+            root = cab.dec(_CTX_OFF["rqt_root_cbf"])
+        if root:
+            cu = {
+                "x0": x0, "y0": y0, "log2": log2_size, "bypass": bypass,
+                "nxn": False, "chroma_mode": 0, "inter": True,
+                "max_depth": self.sps["max_tr_depth_inter"],
+            }
+            self._tt(x0, y0, x0, y0, log2_size, 0, 0, 1, 1, cu)
+        else:
+            self.tu_list.append((x0, y0, size))
+        qp = (self.qg_pred + self.cu_qp_delta_val + 52) % 52
+        self.qp_grid[g] = qp
+        self.last_cu_qp = qp
+
     # -------------------------------------------------------- transform tree
     def _tt(self, x0: int, y0: int, xb: int, yb: int, log2: int, depth: int,
             blk: int, pcb: int, pcr: int, cu: dict) -> None:
@@ -1603,7 +1964,12 @@ class _PicDecoder:
             self._tt(x0 + half, y0 + half, x0, y0, log2 - 1, depth + 1, 3,
                      cbf_cb, cbf_cr, cu)
             return
-        cbf_luma = cab.dec(_CTX_OFF["cbf_luma"] + (1 if depth == 0 else 0))
+        if cu.get("inter") and depth == 0 and not (cbf_cb or cbf_cr):
+            # §7.3.8.8: inter root TU with no chroma cbf → cbf_luma
+            # inferred 1 (rqt_root_cbf promised residual)
+            cbf_luma = 1
+        else:
+            cbf_luma = cab.dec(_CTX_OFF["cbf_luma"] + (1 if depth == 0 else 0))
         self._transform_unit(x0, y0, xb, yb, log2, depth, blk,
                              cbf_luma, cbf_cb, cbf_cr, cu)
 
@@ -1639,13 +2005,22 @@ class _PicDecoder:
         qp_y = self._tu_qp()
         # ------------- luma
         size = 1 << log2
-        mode_y = int(self.mode_grid[y0 >> 2, x0 >> 2])
-        pred = self._predict(0, x0, y0, size, mode_y)
+        inter = bool(cu.get("inter"))
+        if inter:
+            # prediction already in the plane (motion compensation at
+            # CU level); the TU adds its residual in place
+            pred = self.y[y0 : y0 + size, x0 : x0 + size].astype(np.int64)
+            mode_y = 1  # inter scan is always diagonal (§7.4.9.11)
+        else:
+            mode_y = int(self.mode_grid[y0 >> 2, x0 >> 2])
+            pred = self._predict(0, x0, y0, size, mode_y)
         if cbf_y:
             coeffs, tskip = self._residual(log2, 0, mode_y, cu)
             res = self._residual_to_spatial(
                 coeffs, log2, 0, qp_y + 6 * (self.bd - 8), cu, tskip)
             block = np.clip(pred + res, 0, self.maxval).astype(self.dtype)
+            self.cbf_grid[y0 >> 2 : (y0 + size) >> 2,
+                          x0 >> 2 : (x0 + size) >> 2] = True
         else:
             block = np.clip(pred, 0, self.maxval).astype(self.dtype)
         self.y[y0 : y0 + size, x0 : x0 + size] = block
@@ -1663,13 +2038,20 @@ class _PicDecoder:
                    cbf_cr: int, qp_y: int, cu: dict) -> None:
         size = 1 << log2c
         mode = cu["chroma_mode"]
+        inter = bool(cu.get("inter"))
         for c_idx, plane, cbf, off in (
             (1, self.cb, cbf_cb, self.sh["cb_qp_offset"]),
             (2, self.cr, cbf_cr, self.sh["cr_qp_offset"]),
         ):
-            pred = self._predict(c_idx, xc, yc, size, mode)
+            if inter:
+                if not cbf:
+                    continue  # MC prediction already in the plane
+                pred = plane[yc : yc + size, xc : xc + size].astype(np.int64)
+            else:
+                pred = self._predict(c_idx, xc, yc, size, mode)
             if cbf:
-                coeffs, tskip = self._residual(log2c, c_idx, mode, cu)
+                coeffs, tskip = self._residual(log2c, c_idx,
+                                               1 if inter else mode, cu)
                 qp_c = _chroma_qp(qp_y, off, self.bd)
                 res = self._residual_to_spatial(coeffs, log2c, c_idx, qp_c, cu, tskip)
                 block = np.clip(pred + res, 0, self.maxval).astype(self.dtype)
@@ -1687,7 +2069,8 @@ class _PicDecoder:
         d = _dequant(coeffs, log2, qp, self.bd, m)
         if tskip:
             return _inv_transform_skip(d, self.bd)
-        dst = c_idx == 0 and log2 == 2
+        # DST-VII applies to INTRA 4x4 luma only (§8.6.4)
+        dst = c_idx == 0 and log2 == 2 and not cu.get("inter")
         return _inv_transform(d, log2, dst, self.bd)
 
     # ------------------------------------------------------ intra prediction
@@ -1967,6 +2350,10 @@ class _Deblocker:
         qp = d.qp_grid if vertical else d.qp_grid.T
         byp = d.bypass_grid if vertical else d.bypass_grid.T
         slg = d.slice_grid if vertical else d.slice_grid.T
+        ig = d.intra_grid if vertical else d.intra_grid.T
+        cg = d.cbf_grid if vertical else d.cbf_grid.T
+        mgx = d.mv_grid[:, :, 0] if vertical else d.mv_grid[:, :, 0].T
+        mgy = d.mv_grid[:, :, 1] if vertical else d.mv_grid[:, :, 1].T
         tg = None
         if d.tile_grid is not None and not d.pps["lf_across_tiles"]:
             tg = d.tile_grid if vertical else d.tile_grid.T
@@ -1984,6 +2371,18 @@ class _Deblocker:
                     continue  # slice boundary with filtering disabled
                 if tg is not None and tg[gy, gx - 1] != tg[gy, gx]:
                     continue  # tile boundary with filtering disabled
+                # §8.7.2.4 boundary strength: 2 when either side is
+                # intra, 1 for coded residual or a ≥1-integer-sample
+                # MV delta (single same-POC reference — the P
+                # envelope), 0 otherwise (unfiltered)
+                if ig[gy, gx - 1] or ig[gy, gx]:
+                    bs = 2
+                elif (cg[gy, gx - 1] or cg[gy, gx]
+                      or abs(int(mgx[gy, gx - 1]) - int(mgx[gy, gx])) >= 4
+                      or abs(int(mgy[gy, gx - 1]) - int(mgy[gy, gx])) >= 4):
+                    bs = 1
+                else:
+                    continue
                 beta_off = params["beta_offset"]
                 tc_off = params["tc_offset"]
                 x = gx << 2
@@ -1993,7 +2392,8 @@ class _Deblocker:
                 qavg = (qp_p + qp_q + 1) >> 1
                 bd_sh = d.bd - 8
                 beta = _BETA_TABLE[_clip3(0, 51, qavg + beta_off)] << bd_sh
-                tc = _TC_TABLE[_clip3(0, 53, qavg + 2 + tc_off)] << bd_sh
+                tc = _TC_TABLE[_clip3(0, 53, qavg + 2 * (bs - 1)
+                                      + tc_off)] << bd_sh
                 if beta == 0:
                     continue
                 p = plane[y : y + 4, x - 4 : x].astype(np.int64)
@@ -2089,6 +2489,7 @@ class _Deblocker:
         qp = d.qp_grid if vertical else d.qp_grid.T
         byp = d.bypass_grid if vertical else d.bypass_grid.T
         slg = d.slice_grid if vertical else d.slice_grid.T
+        ig = d.intra_grid if vertical else d.intra_grid.T
         tg = None
         if d.tile_grid is not None and not d.pps["lf_across_tiles"]:
             tg = d.tile_grid if vertical else d.tile_grid.T
@@ -2102,6 +2503,8 @@ class _Deblocker:
                 for gy in range(h4):  # one luma cell = 2 chroma rows
                     if not edges[gy, gx]:
                         continue
+                    if not (ig[gy, gx - 1] or ig[gy, gx]):
+                        continue  # chroma filters bS == 2 (intra) only
                     sq = int(slg[gy, gx])
                     params = d.slice_params[sq]
                     if params["deblock_disabled"]:
@@ -2160,16 +2563,29 @@ def _finalize_picture(dec: "_PicDecoder") -> tuple:
     return (w, h, y.tobytes(), cb.tobytes(), cr.tobytes())
 
 
-def decode_hevc_intra_stream(data: bytes, max_frames: int = 64) -> list[tuple]:
+def decode_hevc_stream(data: bytes, max_frames: int = 64,
+                       allow_inter: bool = True) -> list[tuple]:
     """Decode an Annex-B (or 4-byte length-prefixed) HEVC elementary
-    stream of intra (IRAP) pictures → [(w, h, y, cb, cr), ...] with
-    tightly packed 8-bit planes (4:2:0)."""
+    stream → [(w, h, y, cb, cr), ...] in decode order.  IRAP pictures
+    plus (r8, when `allow_inter`) trailing P pictures in the low-delay
+    single-reference envelope: RefPicList0[0] is the previously
+    decoded picture (x265 --ref 1), no TMVP / weighting / list
+    modification (the slice header rejects them explicitly)."""
     if len(data) < 8:
         raise ValueError("hevc: stream too short")
     sps_map: dict[int, dict] = {}
     pps_map: dict[int, dict] = {}
     out: list[tuple] = []
     cur = None
+    refs: list[tuple] = []
+
+    def finish(dec) -> None:
+        out.append(_finalize_picture(dec))
+        # the finalized (post-loop-filter, uncropped) planes become
+        # the next picture's single reference
+        refs.clear()
+        refs.append((dec.y.copy(), dec.cb.copy(), dec.cr.copy()))
+
     for nal in _split_nals(data):
         if len(nal) < 3:
             raise ValueError("hevc: truncated NAL")
@@ -2185,30 +2601,46 @@ def decode_hevc_intra_stream(data: bytes, max_frames: int = 64) -> list[tuple]:
         elif ntype == 34:
             pps = _parse_pps(rbsp)
             pps_map[pps["id"]] = pps
-        elif ntype in _IRAP_TYPES:
+        elif ntype in _IRAP_TYPES or ntype in (0, 1):
+            if ntype in (0, 1) and not allow_inter:
+                raise ValueError("hevc: inter-coded slices unsupported")
             br = _BitReader(rbsp)
             sh = _parse_slice_header(br, ntype, _active_sps(sps_map, rbsp),
                                      pps_map,
                                      prev_sh=cur.sh if cur else None)
             sps = sps_map[sh["pps"]["sps_id"]]
+            if sh.get("slice_type") == 1:
+                if not allow_inter:
+                    raise ValueError("hevc: inter-coded slices unsupported")
+                if sps.get("bd", 8) != 8 or not sps.get("chroma", 1):
+                    raise ValueError("hevc: inter envelope is 8-bit 4:2:0")
             if sh["first"]:
                 if cur is not None:
-                    out.append(_finalize_picture(cur))
+                    finish(cur)
                     cur = None
                 if len(out) >= max_frames:
                     break
                 cur = _PicDecoder(sps, sh)
+                cur.refs = list(refs)
             elif cur is None:
                 raise ValueError("hevc: continuation slice without a picture")
             cur.decode_segment(br, sh)
         elif ntype <= 15:
-            raise ValueError("hevc: inter-coded slices unsupported")
+            raise ValueError(
+                "hevc: only TRAIL P pictures supported between IRAPs")
         # other non-VCL types ignored
     if cur is not None:
-        out.append(_finalize_picture(cur))
+        finish(cur)
     if not out:
-        raise ValueError("hevc: no decodable IRAP picture")
+        raise ValueError("hevc: no decodable picture")
     return out
+
+
+def decode_hevc_intra_stream(data: bytes, max_frames: int = 64) -> list[tuple]:
+    """Intra-only view of decode_hevc_stream (IRAP pictures only;
+    inter slices reject — the pre-r8 envelope, kept for the stats
+    surfaces whose oracles assume independent samples)."""
+    return decode_hevc_stream(data, max_frames, allow_inter=False)
 
 
 def _active_sps(sps_map: dict, rbsp: bytes) -> dict:
