@@ -3303,3 +3303,140 @@ def _fixture_pps_depslices() -> bytes:
     bw.u(1, 0); bw.ue(0); bw.u(1, 0); bw.u(1, 0)
     bw.rbsp_trailing()
     return bw.done()
+
+
+# ---------------------------------------------------------------------------
+# P-GOP fixture encoder (r8) — IRAP DC picture + all-skip P + uniform
+# DC-residual P, all through the REAL inter syntax (cu_skip, merge,
+# inferred rqt_root_cbf/cbf_luma, P-row context init).  Closed forms:
+# frame1 == frame0 (zero-mv skip over an identical reference is an
+# exact copy), frame2 == clip(frame0 + hevc_dc_delta(c2, qp)).
+# The wire is additionally libde265-arbitrated in tests.
+
+
+def hevc_dc_delta(c: int, qp: int) -> int:
+    """Residual a 16x16 inter TB with one DC coefficient `c` at `qp`
+    adds to every covered sample (flat scaling, 8-bit)."""
+    ls = _LEVEL_SCALE[qp % 6] << (qp // 6)
+    dq = _clip3(-32768, 32767, (c * 16 * ls + 64) >> 7)
+    e = _clip3(-32768, 32767, (dq * 64 + 64) >> 7)
+    return _clip3(-32768, 32767, (e * 64 + 2048) >> 12)
+
+
+def _fixture_pslice(width: int, height: int, qp: int, poc_lsb: int,
+                    c_y: int | None) -> bytes:
+    """One whole-picture P slice: all CTUs skipped when c_y is None,
+    else every CTU a non-skip 2Nx2N zero-mv merge CU carrying one
+    luma DC coefficient."""
+    bw = _BitWriter()
+    bw.u(1, 1)                      # first_slice_segment_in_pic
+    bw.ue(0)                        # pps id
+    bw.ue(1)                        # slice_type P
+    bw.u(8, poc_lsb & 255)          # pic_order_cnt_lsb (log2_max_poc 8)
+    bw.u(1, 0)                      # short_term_ref_pic_set_sps_flag
+    bw.ue(1)                        # num_negative_pics
+    bw.ue(0)                        # num_positive_pics
+    bw.ue(0)                        # delta_poc_s0_minus1 (prev picture)
+    bw.u(1, 1)                      # used_by_curr_pic_s0
+    bw.u(1, 0)                      # num_ref_idx_active_override (pps: 1)
+    bw.ue(4)                        # five_minus_max_num_merge_cand → 1
+    bw.se(0)                        # slice_qp_delta
+    bw.u(1, 1)
+    bw.align_zero()                 # byte_alignment
+    enc = _CabacEnc(bw, qp)
+    enc.state = _ctx_states(qp, 1)  # P init rows
+    coeffs = np.zeros((16, 16), np.int64)
+    if c_y is not None:
+        coeffs[0, 0] = c_y
+    n_w, n_h = width // 16, height // 16
+    for addr in range(n_w * n_h):
+        rx, ry = addr % n_w, addr // n_w
+        if c_y is None:
+            inc = (1 if rx > 0 else 0) + (1 if ry > 0 else 0)
+            enc.enc(_CTX_OFF["cu_skip"] + inc, 1)
+            # max_merge == 1 → no merge_idx bins; candidates are all
+            # zero-mv, so the skip CU copies the reference exactly
+        else:
+            enc.enc(_CTX_OFF["cu_skip"], 0)   # neighbours non-skip
+            enc.enc(_CTX_OFF["pred_mode"], 0)  # MODE_INTER
+            enc.enc(_CTX_OFF["part_mode"], 1)  # PART_2Nx2N
+            enc.enc(_CTX_OFF["merge_flag"], 1)
+            # rqt_root_cbf inferred 1; cbf_cb/cbf_cr explicit zeros;
+            # cbf_luma inferred 1 (inter root, no chroma cbf)
+            enc.enc(_CTX_OFF["cbf_chroma"], 0)
+            enc.enc(_CTX_OFF["cbf_chroma"], 0)
+            _residual_encode(enc, coeffs, 4, 0)
+        enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
+    bw.align_zero()
+    return _hevc_nal(1, bw.done())  # TRAIL_R
+
+
+def encode_hevc_gop_dc(width: int, height: int, qp: int, c0: int,
+                       c2: int) -> bytes:
+    """Three-picture GOP: IRAP DC fixture (flat hevc_dc_expected(c0)),
+    all-skip P (identical planes), DC-residual P
+    (clip(frame0 + hevc_dc_delta(c2, qp))); chroma 128 throughout."""
+    if width % 16 or height % 16 or not width or not height:
+        raise ValueError("hevc fixture: dimensions must be multiples of 16")
+    if not 0 <= qp <= 51 or not 1 <= abs(c0) <= 1 << 14 \
+            or not 1 <= abs(c2) <= 1 << 14:
+        raise ValueError("hevc fixture: qp/coefficient out of range")
+    idr = encode_hevc_iframe_dc(width, height, qp, c0)
+    return (idr
+            + _fixture_pslice(width, height, qp, 1, None)
+            + _fixture_pslice(width, height, qp, 2, c2))
+
+
+class HevcAuDecoder:
+    """Incremental access-unit decoder for MP4 sample walks (r8):
+    each call decodes ONE picture (IRAP or TRAIL P, possibly multiple
+    slice-segment NALs) and updates the single-reference DPB, so GOP
+    tracks decode sample-by-sample like the AVC path
+    (llm/h264_bslice.H264AuDecoder)."""
+
+    def __init__(self) -> None:
+        self.sps_map: dict[int, dict] = {}
+        self.pps_map: dict[int, dict] = {}
+        self.refs: list[tuple] = []
+
+    def decode(self, au: bytes):
+        cur = None
+        for nal in _split_nals(au):
+            if len(nal) < 3:
+                raise ValueError("hevc: truncated NAL")
+            ntype = (nal[0] >> 1) & 63
+            if ntype in (32, 35, 36, 37, 38, 39, 40):
+                continue
+            rbsp = _strip_emulation(nal[2:])
+            if ntype == 33:
+                sps = _parse_sps(rbsp)
+                self.sps_map[sps["id"]] = sps
+            elif ntype == 34:
+                pps = _parse_pps(rbsp)
+                self.pps_map[pps["id"]] = pps
+            elif ntype in _IRAP_TYPES or ntype in (0, 1):
+                br = _BitReader(rbsp)
+                sh = _parse_slice_header(
+                    br, ntype, _active_sps(self.sps_map, rbsp),
+                    self.pps_map, prev_sh=cur.sh if cur else None)
+                sps = self.sps_map[sh["pps"]["sps_id"]]
+                if sh.get("slice_type") == 1 and (
+                        sps.get("bd", 8) != 8 or not sps.get("chroma", 1)):
+                    raise ValueError("hevc: inter envelope is 8-bit 4:2:0")
+                if sh["first"]:
+                    if cur is not None:
+                        raise ValueError("hevc: two pictures in one sample")
+                    cur = _PicDecoder(sps, sh)
+                    cur.refs = list(self.refs)
+                elif cur is None:
+                    raise ValueError(
+                        "hevc: continuation slice without a picture")
+                cur.decode_segment(br, sh)
+            elif ntype <= 15:
+                raise ValueError(
+                    "hevc: only TRAIL P pictures supported between IRAPs")
+        if cur is None:
+            raise ValueError("hevc: sample carries no picture")
+        out = _finalize_picture(cur)
+        self.refs = [(cur.y.copy(), cur.cb.copy(), cur.cr.copy())]
+        return out

@@ -5521,6 +5521,7 @@ def _mp4_video_pixels(data: bytes, every_ms: int,
     t = 0
     next_emit = 0
     avc_dec = None  # lazily-built DPB decoder (P and B references)
+    hevc_dec = None  # r8: incremental HEVC AU decoder (P references)
     for i, ((off, size), delta) in enumerate(zip(samples, deltas)):
         ts_ms = t * 1000 // timescale
         if sync is not None and not sync[i]:
@@ -5533,12 +5534,17 @@ def _mp4_video_pixels(data: bytes, every_ms: int,
                 w, h, ch, raw = _jpeg_pixels(frame)
                 out.append((i, ts_ms, w, h, ch, sum(raw), sum(v * v for v in raw)))
         elif hevc_cfg is not None:
-            # hvcC-configured track: length-prefixed samples, each a
-            # self-contained IRAP picture (the supported HEVC envelope
-            # is intra-only, so sampled frames decode independently)
+            # hvcC-configured track: length-prefixed samples.  EVERY
+            # sample decodes (r8: TRAIL P pictures need the unbroken
+            # reference chain — the incremental AU decoder mirrors the
+            # AVC path's DPB threading); only sampled frames emit rows
+            au = _hevc_sample_to_annexb(frame, hevc_cfg)
+            if hevc_dec is None:
+                from .hevc import HevcAuDecoder
+
+                hevc_dec = HevcAuDecoder()
+            w, h, yb, ub, vb = hevc_dec.decode(au)
             if emit:
-                au = _hevc_sample_to_annexb(frame, hevc_cfg)
-                w, h, yb, ub, vb = decode_hevc_iframe(au)
                 if len(yb) != w * h:
                     # >8-bit planes (uint16): outside the stats envelope
                     raise ValueError("mp4: high-bit-depth HEVC sample")
@@ -8137,6 +8143,21 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
     return df.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def _hevc_split_aus(stream: bytes) -> list[bytes]:
+    """Annex-B HEVC stream → per-picture chunks (each VCL NAL closes
+    an access unit; leading parameter sets ride the first chunk)."""
+    out: list[bytes] = []
+    cur = b""
+    for nal in _h264_split_nals(stream):
+        cur += b"\x00\x00\x00\x01" + nal
+        if ((nal[0] >> 1) & 63) <= 31:  # VCL NAL
+            out.append(cur)
+            cur = b""
+    if cur:
+        raise ValueError("hevc: trailing non-VCL NALs")
+    return out
+
+
 def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """id → REAL MP4 whose video track is spec-conformant hvc1 (hvcC
     parameter sets + 4-byte length-prefixed samples) carrying HEVC
@@ -8177,7 +8198,7 @@ def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
         return y.tobytes(), cb.tobytes(), cr.tobytes()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .hevc import encode_hevc_iframe_dc
+        from .hevc import encode_hevc_gop_dc, encode_hevc_iframe_dc
 
         for pdf in batches:
             payloads = []
@@ -8185,7 +8206,16 @@ def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
                 rid = int(v)
                 w = 32 + 16 * (rid % 3)
                 h = 32
-                if rid >= 120:
+                if rid >= 200:
+                    # r8 P-GOP leg: IRAP DC + all-skip P + DC-residual
+                    # P through the inter tier (encode_hevc_gop_dc)
+                    k = rid - 200
+                    gop = encode_hevc_gop_dc(
+                        w, h, (22, 27, 32, 37)[k % 4],
+                        1 + k % 25, 1 + k % 7)
+                    # split the Annex-B GOP into per-picture samples
+                    frames = _hevc_split_aus(gop)
+                elif rid >= 120:
                     # lossy DC leg (ids 120-199): a single positive DC
                     # coefficient at one of four qps runs the REAL
                     # §8.6.3 dequant + 16x16 DCT under the hash gate;

@@ -3778,6 +3778,32 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
                              WHEN 2 THEN 1632 ELSE 2880 END AS s
       FROM documents WHERE doc_id >= 120 AND doc_id < 200
     )
+    UNION ALL
+    -- r8 P-GOP leg (ids 200-219): IRAP DC picture, all-skip P
+    -- (identical planes — zero-mv merge copies the reference), and a
+    -- DC-residual P (frame0 + the same dequant+DCT delta without the
+    -- 128 base); chroma stays 128 throughout
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(fi * 500 AS BIGINT) AS ts_ms,
+           CAST(w AS INT) AS width, CAST(32 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(w * 32 * (CASE WHEN fi = 2 THEN v0 + d2 ELSE v0 END)
+              + (w // 2) * 16 * 256 AS BIGINT) AS pixel_sum
+    FROM (
+      SELECT doc_id, w, fi,
+             128 + (((((c0 * 16 * s + 64) // 128) * 64 + 64)
+                     // 128) * 64 + 2048) // 4096 AS v0,
+             (((((c2 * 16 * s + 64) // 128) * 64 + 64)
+               // 128) * 64 + 2048) // 4096 AS d2
+      FROM (
+        SELECT doc_id, 32 + 16 * (doc_id % 3) AS w,
+               1 + (doc_id - 200) % 25 AS c0,
+               1 + (doc_id - 200) % 7 AS c2,
+               CASE (doc_id - 200) % 4 WHEN 0 THEN 512 WHEN 1 THEN 912
+                                       WHEN 2 THEN 1632 ELSE 2880 END AS s
+        FROM documents WHERE doc_id >= 200 AND doc_id < 220
+      ), LATERAL (SELECT UNNEST(range(0, 3)) AS fi) f
+    )
     """,
     tags=("llm-multimodal",),
     doc="HEVC / H.265 decode inside MP4 (r7d): synthesize_hevc_mp4_"
@@ -3796,14 +3822,22 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plumbing, the hvc1 mux/demux walk, the bypass decode path AND "
     "(ids 120-199) the lossy tier: single-DC-coefficient pictures at "
     "four qps run the real §8.6.3 dequant + 16x16 DCT, the oracle "
-    "inlining hevc_dc_expected's integer closed form. The full lossy "
+    "inlining hevc_dc_expected's integer closed form. ids 200-219 "
+    "(r8, VERDICT r7 #4) are three-picture P GOPs through the INTER "
+    "tier — cu_skip/merge zero-mv copy, then a merge CU whose "
+    "inferred-cbf luma residual adds the DC delta; decoded via the "
+    "incremental AU decoder threading the single-reference DPB "
+    "through the sample walk. The inter tier is validated bit-exactly "
+    "against libde265 on x265-encoded P GOPs (qp/CTU/preset/feature "
+    "sweeps) and the fixture wire is libde265-arbitrated too. The "
+    "full lossy "
     "spectrum (all modes/sizes/filters) rides the reference "
     "cross-pins in pytest.",
 )
 def multimodal_decode_hevc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-doc CABAC encode+decode is embarrassingly parallel but the
     # filtered id range lands in one parquet split — spread it explicitly
-    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 220)
          .repartition(16, "doc_id"))
     media = multimodal.synthesize_hevc_mp4_payloads(d, id_col="doc_id")
     return multimodal.decode_video_pixels(media, every_ms=400)
