@@ -4422,8 +4422,10 @@ def _hvc1_prepare(frames: list[bytes]):
     sps: list[bytes] = []
     pps: list[bytes] = []
     samples = []
+    sync_flags = []
     for au in frames:
         vcl = []
+        is_sync = False
         for nal in _h264_split_nals(au):  # same Annex-B framing walk
             ntype = (nal[0] >> 1) & 63
             if ntype == 32:
@@ -4436,13 +4438,19 @@ def _hvc1_prepare(frames: list[bytes]):
                 if nal not in pps:
                     pps.append(nal)
             else:
+                if 16 <= ntype <= 21:  # IRAP picture
+                    is_sync = True
                 vcl.append(nal)
         if not vcl:
             raise ValueError("mp4: hvc1 sample without VCL NALs")
         samples.append(b"".join(struct.pack(">I", len(n)) + n for n in vcl))
+        sync_flags.append(is_sync)
     if not sps or not pps:
         raise ValueError("mp4: hvc1 needs in-band SPS and PPS to hoist")
-    return vps, sps, pps, samples
+    # intra-only tracks omit stss (absent = all-sync); GOP tracks (r8)
+    # must carry it so keyframe-only sampling skips the P pictures
+    return vps, sps, pps, samples, (None if all(sync_flags)
+                                    else sync_flags)
 
 
 def _hvc1_sample_entry(vps_nals: list[bytes], sps_nals: list[bytes],
@@ -4534,8 +4542,10 @@ def encode_mp4_frames(
         avc_entry = _avc1_sample_entry(sps_nals, pps_nals)
     elif codec == "hvc1":
         # spec-conformant hvc1: parameter sets hoist into hvcC, samples
-        # are length-prefixed; intra-only (every sample IRAP ⇒ no stss)
-        vps_nals, sps_nals, pps_nals, frames = _hvc1_prepare(frames)
+        # are length-prefixed; GOP tracks (r8) feed IRAP samples into
+        # the stss sync table (intra-only tracks omit it = all-sync)
+        vps_nals, sps_nals, pps_nals, frames, sync_flags = \
+            _hvc1_prepare(frames)
         avc_entry = _hvc1_sample_entry(vps_nals, sps_nals, pps_nals)
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     mdat = _mp4_box(b"mdat", b"".join(frames))
