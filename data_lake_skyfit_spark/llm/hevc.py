@@ -4,7 +4,7 @@ INTRA pictures in full, plus (r8 — VERDICT r7 #4) the low-delay
 P-slice INTER tier: cu_skip/merge/AMVP motion derivation (spatial
 candidates, no TMVP — the slice header rejects it), §8.5.4.2.2
 fractional MC (8-tap luma / 4-tap chroma filters binary-extracted
-from libx265 @0xf22a88/0xf22ac0), mvd_coding, inter transform trees
+from libx265 @0xf22a80/0xf22ac0), mvd_coding, inter transform trees
 (rqt_root_cbf / inferred cbf_luma, DCT-only 4x4), and the full
 §8.7.2.4 boundary-strength derivation (intra→2, coded-residual or
 ≥1-sample MV delta→1, chroma filters bS 2 only).  Inter envelope:
@@ -167,7 +167,7 @@ _INIT_VALUES: dict[str, tuple[int, tuple[int, ...]]] = {
 }
 
 # §8.5.4.2.2 fractional interpolation filters — int16 runs extracted
-# from libx265 .rodata (luma @0xf22a88: 4 phases x 8 taps incl. the
+# from libx265 .rodata (luma @0xf22a80: 4 phases x 8 taps incl. the
 # integer row; chroma @0xf22ac0: 8 phases x 4 taps), matching the
 # published Tables 8-11/8-12; arbitration rides the bit-exact pin.
 _LUMA_FILTER = (

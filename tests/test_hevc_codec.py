@@ -956,3 +956,18 @@ def test_intra_stream_api_still_rejects_inter():
                      dict(_P_BASE, qp="30", sao="0", deblock="0"))
     with pytest.raises(ValueError, match="inter"):
         decode_hevc_intra_stream(stream)
+
+
+@needs_de265
+def test_interpolation_filters_match_libx265_binary():
+    """r8: the §8.5.4.2.2 fractional filters — 4x8 int16 luma rows
+    (incl. the integer phase) @0xf22a80, 8x4 int16 chroma rows
+    @0xf22ac0 — re-extract byte-for-byte; nothing is transcribed."""
+    blob = _blob(_X265_PATH)
+    luma = b"".join(struct.pack("<8h", *row) for row in hevc._LUMA_FILTER)
+    assert blob[0xF22A80 : 0xF22A80 + 64] == luma
+    chroma = b"".join(struct.pack("<4h", *row) for row in hevc._CHROMA_FILTER)
+    assert blob[0xF22AC0 : 0xF22AC0 + 64] == chroma
+    # structural invariants: each phase sums to the 64 gain
+    for row in hevc._LUMA_FILTER + hevc._CHROMA_FILTER:
+        assert sum(row) == 64
