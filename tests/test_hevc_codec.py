@@ -971,3 +971,17 @@ def test_interpolation_filters_match_libx265_binary():
     # structural invariants: each phase sums to the 64 gain
     for row in hevc._LUMA_FILTER + hevc._CHROMA_FILTER:
         assert sum(row) == 64
+
+
+@needs_refs
+def test_x265_p_gop_wpp_and_multislice_bit_exact():
+    """P pictures compose with the r7d partitioning machinery: WPP
+    (per-row context sync over inter syntax) and row-aligned multi-
+    slice pictures (slice-scoped merge/AMVP availability), both
+    arbitrated bit-exactly."""
+    w, h = 96, 128
+    frames = _motion_frames(4, w, h, 4)
+    for opts in (dict(_P_BASE, qp="30", sao="1", deblock="1", wpp="1"),
+                 dict(_P_BASE, qp="30", sao="0", deblock="1",
+                      slices="2", wpp="1")):
+        _p_assert_bit_exact(w, h, frames, opts)
