@@ -985,3 +985,60 @@ def test_x265_p_gop_wpp_and_multislice_bit_exact():
                  dict(_P_BASE, qp="30", sao="0", deblock="1",
                       slices="2", wpp="1")):
         _p_assert_bit_exact(w, h, frames, opts)
+
+
+# ---------------------------------------------------------------------------
+# r8: B-slice tier — bi-prediction with the same bit-exact posture.
+# Envelope: one active reference per list (x265 --ref 1 --bframes 1,
+# the IBPBP low-delay-plus-one shape), spatial+combined merge
+# candidates, AMVP with §8.5.3.2.8 POC scaling, 14-bit bi averaging,
+# mvd_l1_zero, the §8.7.2.4 two-motion bS pairings, POC-order output.
+
+_B_BASE = dict(_P_BASE, **{"weightb": "0", "b-adapt": "0",
+                           "bframes": "1"})
+
+
+@needs_refs
+@pytest.mark.parametrize("opts,label", [
+    (dict(_B_BASE, qp="30", sao="0", deblock="0"), "plain"),
+    (dict(_B_BASE, qp="30", sao="0", deblock="1"), "deblock"),
+    (dict(_B_BASE, qp="33", sao="1", deblock="1"), "sao"),
+    (dict(_B_BASE, qp="12", sao="0", deblock="0"), "qp12"),
+    (dict(_B_BASE, qp="45", sao="1", deblock="1"), "qp45"),
+    (dict(_B_BASE, qp="30", sao="0", deblock="1", ctu="16"), "ctu16"),
+    (dict(_B_BASE, qp="27", sao="0", deblock="1",
+          **{"min-cu-size": "8"}), "mincu8"),
+    (dict(_B_BASE, qp="30", sao="1", deblock="1", wpp="1"), "wpp"),
+    (dict(_B_BASE, sao="0", deblock="1", crf="26",
+          **{"aq-mode": "2"}), "cu-qp-delta"),
+], ids=lambda v: v if isinstance(v, str) else "")
+def test_x265_b_gop_bit_exact(opts, label):
+    w, h = (128, 96) if "crf" in opts else (96, 64)
+    stream = _encode(w, h, _motion_frames(len(label), w, h, 6), opts)
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=10)
+    assert len(mine) == len(ref) == 6
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+
+
+@needs_refs
+def test_x265_b_gop_odd_dims_long_run():
+    stream = _encode(100, 52, _motion_frames(9, 100, 52, 9),
+                     dict(_B_BASE, qp="31", sao="1", deblock="1"))
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=12)
+    assert len(mine) == len(ref) == 9
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+
+
+@needs_refs
+def test_b_envelope_bframes2_rejects():
+    # bframes >= 2 produces >1 active reference in a list → clean
+    # reject, never a mis-decode
+    stream = _encode(96, 64, _motion_frames(3, 96, 64, 6),
+                     dict(_B_BASE, qp="30", sao="0", deblock="0",
+                          bframes="2"))
+    with pytest.raises(ValueError, match="reference"):
+        hevc.decode_hevc_stream(stream, max_frames=12)
