@@ -2968,7 +2968,7 @@ def _hevc_nal(nal_type: int, rbsp: bytes) -> bytes:
             + _add_emulation(rbsp))
 
 
-def _fixture_vps() -> bytes:
+def _fixture_vps(reorder: int = 0) -> bytes:
     """Minimal VPS completing the SPS activation chain (§7.3.2.1)."""
     bw = _BitWriter()
     bw.u(4, 0)                      # vps_video_parameter_set_id
@@ -2982,7 +2982,9 @@ def _fixture_vps() -> bytes:
     bw.u(32, 0); bw.u(12, 0)
     bw.u(8, 120)
     bw.u(1, 1)                      # sub_layer_ordering_info_present
-    bw.ue(0); bw.ue(0); bw.ue(0)    # dec_pic_buffering/reorder/latency
+    bw.ue(4 if reorder else 0)      # vps_max_dec_pic_buffering_minus1
+    bw.ue(reorder)                  # vps_max_num_reorder_pics
+    bw.ue(0)                        # vps_max_latency_increase
     bw.u(6, 0); bw.ue(0)            # max_layer_id, num_layer_sets_minus1
     bw.u(1, 0)                      # vps_timing_info_present
     bw.u(1, 0)                      # vps_extension
@@ -2990,7 +2992,7 @@ def _fixture_vps() -> bytes:
     return bw.done()
 
 
-def _fixture_sps(w: int, h: int) -> bytes:
+def _fixture_sps(w: int, h: int, reorder: int = 0) -> bytes:
     bw = _BitWriter()
     bw.u(4, 0); bw.u(3, 0); bw.u(1, 1)
     # profile_tier_level: Main profile, level 4.0
@@ -3003,7 +3005,10 @@ def _fixture_sps(w: int, h: int) -> bytes:
     bw.ue(w); bw.ue(h); bw.u(1, 0)  # no conformance window
     bw.ue(0); bw.ue(0)              # 8-bit
     bw.ue(4)                        # log2_max_poc 8
-    bw.u(1, 1); bw.ue(0); bw.ue(0); bw.ue(0)  # ordering info
+    # ordering info: buffering >= refs+reorder, reorder > 0 for the
+    # IBP GOP fixture (a POC-reordered B would otherwise be dropped
+    # by conforming decoders — libde265 did exactly that, r8)
+    bw.u(1, 1); bw.ue(4 if reorder else 0); bw.ue(reorder); bw.ue(0)
     bw.ue(1)                        # log2_min_cb 4 (16)
     bw.ue(0)                        # CTB == min CB == 16
     bw.ue(0)                        # log2_min_tb 2
@@ -3616,7 +3621,7 @@ def hevc_dc_delta(c: int, qp: int) -> int:
 
 
 def _fixture_pslice(width: int, height: int, qp: int, poc_lsb: int,
-                    c_y: int | None) -> bytes:
+                    c_y: int | None, ref_delta: int = 1) -> bytes:
     """One whole-picture P slice: all CTUs skipped when c_y is None,
     else every CTU a non-skip 2Nx2N zero-mv merge CU carrying one
     luma DC coefficient."""
@@ -3628,7 +3633,7 @@ def _fixture_pslice(width: int, height: int, qp: int, poc_lsb: int,
     bw.u(1, 0)                      # short_term_ref_pic_set_sps_flag
     bw.ue(1)                        # num_negative_pics
     bw.ue(0)                        # num_positive_pics
-    bw.ue(0)                        # delta_poc_s0_minus1 (prev picture)
+    bw.ue(ref_delta - 1)            # delta_poc_s0_minus1
     bw.u(1, 1)                      # used_by_curr_pic_s0
     bw.u(1, 0)                      # num_ref_idx_active_override (pps: 1)
     bw.ue(4)                        # five_minus_max_num_merge_cand → 1
@@ -3739,3 +3744,64 @@ class HevcAuDecoder:
         while len(self.dpb) > 16:
             del self.dpb[min(self.dpb)]
         return out
+
+
+def _fixture_bslice(width: int, height: int, qp: int,
+                    poc_lsb: int) -> bytes:
+    """One whole-picture all-skip B slice (non-reference TRAIL_N)
+    anchored on POC-1 / POC+1: every CTU a cu_skip merge CU whose
+    zero-mv bi prediction averages the two anchors exactly
+    ((a + b + 1) >> 1 through the 14-bit intermediates)."""
+    bw = _BitWriter()
+    bw.u(1, 1)                      # first_slice_segment_in_pic
+    bw.ue(0)                        # pps id
+    bw.ue(0)                        # slice_type B
+    bw.u(8, poc_lsb & 255)          # pic_order_cnt_lsb
+    bw.u(1, 0)                      # short_term_ref_pic_set_sps_flag
+    bw.ue(1)                        # num_negative_pics
+    bw.ue(1)                        # num_positive_pics
+    bw.ue(0)                        # delta_poc_s0_minus1 (POC-1)
+    bw.u(1, 1)                      # used_by_curr_pic_s0
+    bw.ue(0)                        # delta_poc_s1_minus1 (POC+1)
+    bw.u(1, 1)                      # used_by_curr_pic_s1
+    bw.u(1, 0)                      # num_ref_idx_active_override (1/1)
+    bw.u(1, 0)                      # mvd_l1_zero_flag
+    bw.ue(4)                        # five_minus_max_num_merge_cand → 1
+    bw.se(0)                        # slice_qp_delta
+    bw.u(1, 1)
+    bw.align_zero()                 # byte_alignment
+    enc = _CabacEnc(bw, qp)
+    enc.state = _ctx_states(qp, 2)  # B init rows
+    n_w, n_h = width // 16, height // 16
+    for addr in range(n_w * n_h):
+        rx, ry = addr % n_w, addr // n_w
+        inc = (1 if rx > 0 else 0) + (1 if ry > 0 else 0)
+        enc.enc(_CTX_OFF["cu_skip"] + inc, 1)
+        enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
+    bw.align_zero()
+    return _hevc_nal(0, bw.done())  # TRAIL_N
+
+
+def encode_hevc_gop_ibp_dc(width: int, height: int, qp: int, c0: int,
+                           c2: int) -> bytes:
+    """Four-picture IBP GOP in decode order [IRAP(0), skip-P(2),
+    residual-P(4), B(3)]: the B bi-averages its anchors, so the
+    closed forms are v0, v0, v2 = clip(v0 + delta), (v0 + v2 + 1)>>1;
+    chroma 128 throughout.  Wire libde265-arbitrated in tests."""
+    idr = encode_hevc_iframe_dc(width, height, qp, c0)
+    # re-head with reorder-capable VPS/SPS (the B sits between
+    # anchors; conforming decoders honour BOTH ordering-info sites)
+    nals = _split_nals(idr)
+    out = b""
+    for nal in nals:
+        t = (nal[0] >> 1) & 63
+        if t == 32:
+            out += _hevc_nal(32, _fixture_vps(reorder=1))
+        elif t == 33:
+            out += _hevc_nal(33, _fixture_sps(width, height, reorder=1))
+        else:
+            out += b"\x00\x00\x00\x01" + nal
+    return (out
+            + _fixture_pslice(width, height, qp, 2, None, ref_delta=2)
+            + _fixture_pslice(width, height, qp, 4, c2, ref_delta=2)
+            + _fixture_bslice(width, height, qp, 3))

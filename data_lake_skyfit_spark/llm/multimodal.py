@@ -8216,6 +8216,20 @@ def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
                 rid = int(v)
                 w = 32 + 16 * (rid % 3)
                 h = 32
+                if rid >= 220:
+                    # r8 IBP leg: IRAP DC + skip-P + residual-P + an
+                    # all-skip B between the anchors; samples sit in
+                    # DECODE order with a signed ctts for the reorder
+                    from .hevc import encode_hevc_gop_ibp_dc
+
+                    k = rid - 220
+                    gop = encode_hevc_gop_ibp_dc(
+                        w, h, (22, 27, 32, 37)[k % 4],
+                        1 + k % 25, 1 + k % 7)
+                    payloads.append(encode_mp4_frames(
+                        _hevc_split_aus(gop), codec="hvc1",
+                        composition_offsets=[0, 0, 500, -500]))
+                    continue
                 if rid >= 200:
                     # r8 P-GOP leg: IRAP DC + all-skip P + DC-residual
                     # P through the inter tier (encode_hevc_gop_dc)

@@ -3804,6 +3804,33 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE doc_id >= 200 AND doc_id < 220
       ), LATERAL (SELECT UNNEST(range(0, 3)) AS fi) f
     )
+    UNION ALL
+    -- r8 IBP leg (ids 220-239): decode-order samples [IRAP(v0),
+    -- skip-P(v0), residual-P(v0+d2), B((v0 + v0+d2 + 1)/2)] — the B
+    -- bi-averages its anchors exactly through the 14-bit pipeline
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(fi * 500 AS BIGINT) AS ts_ms,
+           CAST(w AS INT) AS width, CAST(32 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(w * 32 * (CASE fi WHEN 2 THEN v0 + d2
+                                  WHEN 3 THEN (2 * v0 + d2 + 1) // 2
+                                  ELSE v0 END)
+              + (w // 2) * 16 * 256 AS BIGINT) AS pixel_sum
+    FROM (
+      SELECT doc_id, w, fi,
+             128 + (((((c0 * 16 * s + 64) // 128) * 64 + 64)
+                     // 128) * 64 + 2048) // 4096 AS v0,
+             (((((c2 * 16 * s + 64) // 128) * 64 + 64)
+               // 128) * 64 + 2048) // 4096 AS d2
+      FROM (
+        SELECT doc_id, 32 + 16 * (doc_id % 3) AS w,
+               1 + (doc_id - 220) % 25 AS c0,
+               1 + (doc_id - 220) % 7 AS c2,
+               CASE (doc_id - 220) % 4 WHEN 0 THEN 512 WHEN 1 THEN 912
+                                       WHEN 2 THEN 1632 ELSE 2880 END AS s
+        FROM documents WHERE doc_id >= 220 AND doc_id < 240
+      ), LATERAL (SELECT UNNEST(range(0, 4)) AS fi) f
+    )
     """,
     tags=("llm-multimodal",),
     doc="HEVC / H.265 decode inside MP4 (r7d): synthesize_hevc_mp4_"
@@ -3829,7 +3856,12 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental AU decoder threading the single-reference DPB "
     "through the sample walk. The inter tier is validated bit-exactly "
     "against libde265 on x265-encoded P GOPs (qp/CTU/preset/feature "
-    "sweeps) and the fixture wire is libde265-arbitrated too. The "
+    "sweeps) and the fixture wire is libde265-arbitrated too. ids "
+    "220-239 (r8) are four-picture IBP GOPs: an all-skip B between "
+    "the anchors bi-averages them exactly ((a+b+1)>>1 through the "
+    "14-bit §8.5.4.2.3.2 pipeline), decoded through the POC-reorder "
+    "DPB with signed ctts; the B tier itself is bit-exact vs "
+    "libde265 on x265 --bframes 1 streams across 11 configs. The "
     "full lossy "
     "spectrum (all modes/sizes/filters) rides the reference "
     "cross-pins in pytest.",
@@ -3837,7 +3869,7 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_hevc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-doc CABAC encode+decode is embarrassingly parallel but the
     # filtered id range lands in one parquet split — spread it explicitly
-    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 220)
+    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
          .repartition(16, "doc_id"))
     media = multimodal.synthesize_hevc_mp4_payloads(d, id_col="doc_id")
     return multimodal.decode_video_pixels(media, every_ms=400)

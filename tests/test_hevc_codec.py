@@ -1042,3 +1042,23 @@ def test_b_envelope_bframes2_rejects():
                           bframes="2"))
     with pytest.raises(ValueError, match="reference"):
         hevc.decode_hevc_stream(stream, max_frames=12)
+
+
+@needs_de265
+@pytest.mark.parametrize("qp,c0,c2", [(26, 40, 9), (37, 20, 6),
+                                      (12, 5, -3)])
+def test_ibp_gop_fixture_bit_exact_vs_libde265(qp, c0, c2):
+    """The graded IBP fixture (IRAP DC, skip-P, residual-P, all-skip
+    B between the anchors) arbitrated by libde265 — including the
+    POC-reorder output path.  The pin caught two real issues while
+    landing: a reorder-incapable SPS made conforming decoders DROP
+    the late B, and libde265 honours the VPS ordering info too."""
+    stream = hevc.encode_hevc_gop_ibp_dc(48, 32, qp, c0, c2)
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream)
+    assert len(mine) == len(ref) == 4
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+    v0 = hevc.hevc_dc_expected(c0, qp)
+    v2 = max(0, min(255, v0 + hevc.hevc_dc_delta(c2, qp)))
+    assert set(mine[2][2]) == {(v0 + v2 + 1) >> 1}  # the B bi-average
