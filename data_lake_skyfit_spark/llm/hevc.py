@@ -17,7 +17,14 @@ rules; chroma filters bS 2 only).  Inter envelope: ONE active
 reference per list (x265 --ref 1, --bframes ≤ 1 — the IBPBP
 shape), 2Nx2N PUs (rect/amp off), 8-bit 4:2:0, no weighted
 prediction / list modification / long-term refs — everything
-outside REJECTS.  The inter context-init rows were extracted from
+outside REJECTS.  LATE r8: up to FOUR active references per list
+(per-cell refIdx grids; ref_idx decode; merge/AMVP/bS use real
+per-cell reference POCs), covering x265 --ref 2/3 and flat
+--bframes 2/3 GOPs bit-exactly; x265's default B-PYRAMID streams
+decode fully but are pinned PREFIX-exact — libde265 itself
+withholds the final picture of such streams (its output is
+deficient by count, the r7d reference-self-consistency lesson).
+The inter context-init rows were extracted from
 the same libx265 .rodata region as the intra rows
 (previously-unnamed gaps, each attribution value-matched against
 the published HM tables) and both tiers are arbitrated BIT-EXACTLY
@@ -720,9 +727,8 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
         else:
             na0 = pps["num_ref_l0"]
             na1 = pps["num_ref_l1"] if slice_type == 0 else 0
-        if na0 != 1 or (slice_type == 0 and na1 != 1):
-            raise ValueError("hevc: more than one active reference "
-                             "unsupported")
+        if not 1 <= na0 <= 4 or (slice_type == 0 and not 1 <= na1 <= 4):
+            raise ValueError("hevc: implausible active reference count")
         sh["na_l0"] = na0
         sh["na_l1"] = na1
         sh["mvd_l1_zero"] = br.u(1) if slice_type == 0 else 0
@@ -1234,6 +1240,8 @@ class _PicDecoder:
         self.pf_grid = np.zeros((gh, gw), np.uint8)  # bit0 L0, bit1 L1
         self.mv0_grid = np.zeros((gh, gw, 2), np.int32)
         self.mv1_grid = np.zeros((gh, gw, 2), np.int32)
+        self.r0_grid = np.zeros((gh, gw), np.int8)   # per-list refIdx
+        self.r1_grid = np.zeros((gh, gw), np.int8)
         self.cbf_grid = np.zeros((gh, gw), bool)
         self.cur_l0: list = []  # per-slice (planes, poc) reference lists
         self.cur_l1: list = []
@@ -1740,9 +1748,9 @@ class _PicDecoder:
         if self.sh.get("slice_type", 2) != 2:
             # ---- P/B slice (r8): cu_skip_flag, then intra/inter choice
             if cab.dec(_CTX_OFF["cu_skip"] + self._skip_inc(x0, y0)):
-                pf, mv0, mv1 = self._merge_mv(x0, y0, size)
-                self._mc_cu(x0, y0, size, pf, mv0, mv1)
-                self._mark_inter(g, pf, mv0, mv1, skip=True)
+                pf, mv0, mv1, r0, r1 = self._merge_mv(x0, y0, size)
+                self._mc_cu(x0, y0, size, pf, mv0, mv1, r0, r1)
+                self._mark_inter(g, pf, mv0, mv1, skip=True, r0=r0, r1=r1)
                 self.tu_list.append((x0, y0, size))  # PU deblock edges
                 qp = (self.qg_pred + self.cu_qp_delta_val + 52) % 52
                 self.qp_grid[g] = qp
@@ -1890,7 +1898,8 @@ class _PicDecoder:
             return None
         return (int(self.pf_grid[cy, cx]),
                 (int(self.mv0_grid[cy, cx, 0]), int(self.mv0_grid[cy, cx, 1])),
-                (int(self.mv1_grid[cy, cx, 0]), int(self.mv1_grid[cy, cx, 1])))
+                (int(self.mv1_grid[cy, cx, 0]), int(self.mv1_grid[cy, cx, 1])),
+                int(self.r0_grid[cy, cx]), int(self.r1_grid[cy, cx]))
 
     def _merge_candidates(self, x0: int, y0: int, size: int) -> list:
         """§8.5.3.2.3 spatial merge list (no TMVP — rejected at the
@@ -1919,8 +1928,7 @@ class _PicDecoder:
         b_slice = self.sh.get("slice_type") == 0
         if b_slice and 1 < len(out) < maxm:
             # combined bi-predictive candidates (§8.5.3.2.4)
-            l0poc = self.sh["ref_pocs"][0][0]
-            l1poc = self.sh["ref_pocs"][1][0]
+            pocs = self.sh["ref_pocs"]
             prio = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
                     (0, 3), (3, 0), (1, 3), (3, 1), (2, 3), (3, 2))
             n0 = len(out)
@@ -1931,11 +1939,19 @@ class _PicDecoder:
                     continue
                 c0, c1 = out[i0], out[i1]
                 if (c0[0] & 1) and (c1[0] & 2) and (
-                        l0poc != l1poc or c0[1] != c1[2]):
-                    out.append((3, c0[1], c1[2]))
-        zero = (3, (0, 0), (0, 0)) if b_slice else (1, (0, 0), (0, 0))
+                        pocs[0][c0[3]] != pocs[1][c1[4]]
+                        or c0[1] != c1[2]):
+                    out.append((3, c0[1], c1[2], c0[3], c1[4]))
+        # zero candidates (§8.5.3.2.3): refIdx cycles through the
+        # shorter active list, then sticks at 0
+        nref = (min(self.sh["na_l0"], self.sh["na_l1"]) if b_slice
+                else self.sh["na_l0"])
+        zi = 0
         while len(out) < maxm:
-            out.append(zero)
+            r = zi if zi < nref else 0
+            out.append((3, (0, 0), (0, 0), r, r) if b_slice
+                       else (1, (0, 0), (0, 0), r, 0))
+            zi += 1
         return out
 
     def _merge_mv(self, x0: int, y0: int, size: int):
@@ -1960,34 +1976,39 @@ class _PicDecoder:
         return (out[0], out[1])
 
     def _amvp_candidates(self, x0: int, y0: int, size: int,
-                         lx: int) -> list:
-        """§8.5.3.2.6-8 AMVP for list `lx` over single-entry lists:
-        candidate A from A0/A1 (same-list, cross-list, then the two
-        SCALED passes), candidate B from B0/B1/B2 (scaled passes only
-        when no A0/A1 PU exists), dedupe, zero fill to two."""
+                         lx: int, ridx: int) -> list:
+        """§8.5.3.2.6-8 AMVP for (list `lx`, refIdx `ridx`):
+        candidate A from A0/A1 (same-ref passes over both lists, then
+        the two SCALED passes), candidate B from B0/B1/B2 (scaled
+        passes only when no A0/A1 PU exists), dedupe, zero fill."""
         w = h = size
-        refpoc = self.sh["ref_pocs"][lx][0]
+        pocs = self.sh["ref_pocs"]
+        refpoc = pocs[lx][ridx]
         other = 1 - lx
-        otherpoc = (self.sh["ref_pocs"][other][0]
-                    if self.sh["ref_pocs"][other] else None)
 
         def from_nbr(n, scaled: bool):
             if n is None:
                 return None
-            pf, mv0, mv1 = n
+            pf, mv0, mv1, r0, r1 = n
             mvs = (mv0, mv1)
-            # pass 1: the neighbour uses LX (same slice ⇒ same ref)
-            if pf & (1 << lx):
+            rs = (r0, r1)
+            # pass 1: the neighbour's LX reference IS the target
+            if (pf & (1 << lx)) and pocs[lx][rs[lx]] == refpoc:
                 return mvs[lx]
-            # pass 2: uses the other list whose ref IS refpoc
-            if (pf & (1 << other)) and otherpoc == refpoc:
+            # pass 2: its other-list reference IS the target
+            if (pf & (1 << other)) and pocs[other][rs[other]] == refpoc:
                 return mvs[other]
-            if scaled and (pf & (1 << other)) and otherpoc is not None:
-                td = self.poc - otherpoc
+            if scaled:
                 tb = self.poc - refpoc
-                if td != 0 and tb != td:
-                    return self._scale_mv(mvs[other], tb, td)
-                return mvs[other]
+                for ly in (lx, other):
+                    if not (pf & (1 << ly)) or not pocs[ly]:
+                        continue
+                    td = self.poc - pocs[ly][rs[ly]]
+                    if td == 0:
+                        continue
+                    if tb == td:
+                        return mvs[ly]
+                    return self._scale_mv(mvs[ly], tb, td)
             return None
 
         na0 = self._nbr_mv(x0 - 1, y0 + h, x0, y0)
@@ -2051,7 +2072,7 @@ class _PicDecoder:
         return out[0], out[1]
 
     def _mc_cu(self, x0: int, y0: int, size: int, pf: int, mv0,
-               mv1) -> None:
+               mv1, r0: int = 0, r1: int = 0) -> None:
         """Uni or bi motion compensation for one 2Nx2N CU: uni uses
         the final-stage output, bi averages the 14-bit intermediates
         ((p0 + p1 + 64) >> 7, §8.5.4.2.3.2)."""
@@ -2066,14 +2087,14 @@ class _PicDecoder:
             yc = y0 if comp == 0 else y0 >> 1
             fmask = (1 << sh_mv) - 1
             preds = []
-            for lst, mv in ((0, mv0), (1, mv1)):
+            for lst, mv, ridx in ((0, mv0, r0), (1, mv1, r1)):
                 if not (pf & (1 << lst)):
                     continue
                 refs = self.cur_l0 if lst == 0 else self.cur_l1
-                if not refs:
+                if ridx >= len(refs):
                     raise ValueError(
-                        "hevc: inter slice without a reference picture")
-                ref = refs[0][0][comp]
+                        "hevc: reference index out of range")
+                ref = refs[ridx][0][comp]
                 preds.append(_mc_block(
                     ref, xc, yc, cs, cs, mv[0] >> sh_mv, mv[1] >> sh_mv,
                     mv[0] & fmask, mv[1] & fmask, filters, half,
@@ -2085,7 +2106,8 @@ class _PicDecoder:
                 out = preds[0]
             plane[yc : yc + cs, xc : xc + cs] = out.astype(self.dtype)
 
-    def _mark_inter(self, g, pf: int, mv0, mv1, skip: bool) -> None:
+    def _mark_inter(self, g, pf: int, mv0, mv1, skip: bool,
+                    r0: int = 0, r1: int = 0) -> None:
         self.intra_grid[g] = False
         self.skip_grid[g] = skip
         self.pf_grid[g] = pf
@@ -2093,6 +2115,8 @@ class _PicDecoder:
         self.mv0_grid[g[0], g[1], 1] = mv0[1]
         self.mv1_grid[g[0], g[1], 0] = mv1[0]
         self.mv1_grid[g[0], g[1], 1] = mv1[1]
+        self.r0_grid[g] = r0
+        self.r1_grid[g] = r1
         # inter cells substitute DC in neighbour intra-mode derivation
         self.mode_grid[g] = 1
         self.avail[g] = True
@@ -2108,9 +2132,10 @@ class _PicDecoder:
                 "hevc: inter partition modes other than 2Nx2N unsupported")
         merged = bool(cab.dec(_CTX_OFF["merge_flag"]))
         if merged:
-            pf, mv0, mv1 = self._merge_mv(x0, y0, size)
+            pf, mv0, mv1, r0, r1 = self._merge_mv(x0, y0, size)
         else:
             mv0 = mv1 = (0, 0)
+            r0 = r1 = 0
             if self.sh.get("slice_type") == 0:  # B: inter_pred_idc
                 if cab.dec(_CTX_OFF["inter_dir"] + depth):
                     pf = 3
@@ -2118,21 +2143,40 @@ class _PicDecoder:
                     pf = 2 if cab.dec(_CTX_OFF["inter_dir"] + 4) else 1
             else:
                 pf = 1
-            if pf & 1:  # ref_idx_l0 absent (single active reference)
+
+            def ref_idx(na: int) -> int:
+                # §9.3.3.x: TR with cMax na-1; bins 0/1 ctx-coded,
+                # the rest bypass
+                if na <= 1:
+                    return 0
+                if not cab.dec(_CTX_OFF["ref_pic"]):
+                    return 0
+                r = 1
+                while r < na - 1:
+                    b = (cab.dec(_CTX_OFF["ref_pic"] + 1) if r == 1
+                         else cab.bypass())
+                    if not b:
+                        break
+                    r += 1
+                return r
+
+            if pf & 1:
+                r0 = ref_idx(self.sh["na_l0"])
                 mvd = self._decode_mvd()
                 mvp_flag = cab.dec(_CTX_OFF["mvp_idx"])
-                pred = self._amvp_candidates(x0, y0, size, 0)[mvp_flag]
+                pred = self._amvp_candidates(x0, y0, size, 0, r0)[mvp_flag]
                 mv0 = (pred[0] + mvd[0], pred[1] + mvd[1])
             if pf & 2:
+                r1 = ref_idx(self.sh["na_l1"])
                 if self.sh.get("mvd_l1_zero") and pf == 3:
                     mvd = (0, 0)
                 else:
                     mvd = self._decode_mvd()
                 mvp_flag = cab.dec(_CTX_OFF["mvp_idx"])
-                pred = self._amvp_candidates(x0, y0, size, 1)[mvp_flag]
+                pred = self._amvp_candidates(x0, y0, size, 1, r1)[mvp_flag]
                 mv1 = (pred[0] + mvd[0], pred[1] + mvd[1])
-        self._mc_cu(x0, y0, size, pf, mv0, mv1)
-        self._mark_inter(g, pf, mv0, mv1, skip=False)
+        self._mc_cu(x0, y0, size, pf, mv0, mv1, r0, r1)
+        self._mark_inter(g, pf, mv0, mv1, skip=False, r0=r0, r1=r1)
         # rqt_root_cbf inferred 1 for 2Nx2N merge (a residual-free
         # merge CU would have been coded as skip)
         root = 1
@@ -2571,16 +2615,19 @@ class _Deblocker:
         mv1x = d.mv1_grid[:, :, 0] if vertical else d.mv1_grid[:, :, 0].T
         mv1y = d.mv1_grid[:, :, 1] if vertical else d.mv1_grid[:, :, 1].T
 
+        r0g = d.r0_grid if vertical else d.r0_grid.T
+        r1g = d.r1_grid if vertical else d.r1_grid.T
+
         def cell_motion(gy, gx):
             """((poc, mv) pairs) of one cell — the §8.7.2.4 inputs."""
             pf = int(pfg[gy, gx])
             pocs = d.slice_params[int(slg[gy, gx])]["ref_pocs"]
             out = []
             if pf & 1:
-                out.append((pocs[0][0],
+                out.append((pocs[0][int(r0g[gy, gx])],
                             (int(mv0x[gy, gx]), int(mv0y[gy, gx]))))
             if pf & 2:
-                out.append((pocs[1][0],
+                out.append((pocs[1][int(r1g[gy, gx])],
                             (int(mv1x[gy, gx]), int(mv1y[gy, gx]))))
             return out
 

@@ -22,6 +22,7 @@ Import is gated: when libde265 is absent the tests skip.
 from __future__ import annotations
 
 import ctypes
+import time
 import ctypes.util
 
 _DE265_OK = 0
@@ -101,9 +102,14 @@ class LibDe265:
                     # after flush, "waiting for input" means the stream ended
                     text = lib.de265_get_error_text(err).decode()
                     if "waiting for input" in text.lower():
+                        # the single worker thread finishes the last
+                        # picture asynchronously — be patient (r8:
+                        # bframes tails lost their final picture to an
+                        # early break here)
                         stall += 1
-                        if stall > 4:
+                        if stall > 64:
                             break
+                        time.sleep(0.002)
                         continue
                     raise ValueError("libde265: decode: %s" % text)
                 img = lib.de265_get_next_picture(ctx)
@@ -111,6 +117,14 @@ class LibDe265:
                     out.append(self._copy_picture(img))
                     lib.de265_release_next_picture(ctx)
                     img = lib.de265_get_next_picture(ctx)
+            # the final decode call can report more=0 with a reordered
+            # picture still queued (r8: surfaced by bframes=2 tails) —
+            # drain whatever remains
+            img = lib.de265_get_next_picture(ctx)
+            while img and len(out) < max_pictures:
+                out.append(self._copy_picture(img))
+                lib.de265_release_next_picture(ctx)
+                img = lib.de265_get_next_picture(ctx)
             return out
         finally:
             lib.de265_free_decoder(ctx)

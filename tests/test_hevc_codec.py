@@ -935,18 +935,18 @@ def test_x265_p_vertical_and_still_motion():
 
 @needs_refs
 def test_inter_envelope_rejections():
-    """Streams outside the P envelope REJECT (never mis-decode):
-    temporal MVP, weighted prediction, two references."""
+    """Streams outside the inter envelope REJECT (never mis-decode):
+    temporal MVP, weighted prediction, implausible reference counts."""
     w, h = 64, 64
-    frames = _motion_frames(7, w, h, 3)
-    for tweak, pat in ((dict(**{"temporal-mvp": "1"}), "temporal MVP"),
-                       (dict(weightp="1"), "weighted"),
-                       (dict(ref="2"), "reference")):
+    for tweak, pat, n in (
+            (dict(**{"temporal-mvp": "1"}), "temporal MVP", 3),
+            (dict(weightp="1"), "weighted", 3),
+            (dict(ref="5"), "reference", 8)):
         opts = dict(_P_BASE, qp="30", sao="0", deblock="0")
         opts.update(tweak)
-        stream = _encode(w, h, frames, opts)
+        stream = _encode(w, h, _motion_frames(7, w, h, n), opts)
         with pytest.raises(ValueError, match=pat):
-            hevc.decode_hevc_stream(stream)
+            hevc.decode_hevc_stream(stream, max_frames=12)
 
 
 @needs_refs
@@ -1034,14 +1034,49 @@ def test_x265_b_gop_odd_dims_long_run():
 
 
 @needs_refs
-def test_b_envelope_bframes2_rejects():
-    # bframes >= 2 produces >1 active reference in a list → clean
-    # reject, never a mis-decode
-    stream = _encode(96, 64, _motion_frames(3, 96, 64, 6),
-                     dict(_B_BASE, qp="30", sao="0", deblock="0",
-                          bframes="2"))
-    with pytest.raises(ValueError, match="reference"):
-        hevc.decode_hevc_stream(stream, max_frames=12)
+@pytest.mark.parametrize("opts,label", [
+    (dict(_P_BASE, qp="30", bframes="0", ref="2", sao="0",
+          deblock="1"), "P-ref2"),
+    (dict(_P_BASE, qp="30", bframes="0", ref="3", sao="1",
+          deblock="1"), "P-ref3"),
+    (dict(_B_BASE, qp="30", bframes="2", ref="1", sao="0", deblock="0",
+          **{"b-pyramid": "0"}), "B2-flat"),
+    (dict(_B_BASE, qp="33", bframes="2", ref="2", sao="1", deblock="1",
+          **{"b-pyramid": "0"}), "B2-ref2"),
+    (dict(_B_BASE, qp="27", bframes="3", ref="2", sao="0", deblock="1",
+          **{"b-pyramid": "0"}), "B3-ref2"),
+], ids=lambda v: v if isinstance(v, str) else "")
+def test_x265_multiref_gops_bit_exact(opts, label):
+    """r8 late: multiple active references per list — per-cell refIdx
+    grids feed ref_idx decode, merge/AMVP targets, MC ref selection
+    and the bS picture comparison."""
+    n = 8 if "3" in label else 7
+    stream = _encode(96, 64, _motion_frames(len(label), 96, 64, n), opts)
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=16)
+    assert len(mine) == len(ref) == n
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+
+
+@needs_refs
+def test_x265_bpyramid_prefix_exact():
+    """x265's default B-pyramid (reference Bs): libde265 itself
+    withholds the final picture of such streams (it outputs n-1
+    pictures for an n-frame encode — the reference's own output is
+    deficient, the r7d self-consistency lesson), so the pin is
+    PREFIX equality: every picture libde265 does output must match
+    bit-exactly, and this decoder outputs all n."""
+    n = 7
+    stream = _encode(96, 64, _motion_frames(4, 96, 64, n),
+                     dict(_B_BASE, qp="30", bframes="2", ref="1",
+                          sao="0", deblock="0"))
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=16)
+    assert len(mine) == n
+    assert len(ref) == n - 1
+    for i, r in enumerate(ref):
+        assert mine[i] == r, f"frame {i}"
 
 
 @needs_de265
