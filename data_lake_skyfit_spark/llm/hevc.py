@@ -2,8 +2,12 @@
 executor-safe (no native deps), for the multimodal curation tier.
 INTRA pictures in full, plus (r8 — VERDICT r7 #4) the P AND B
 INTER tiers: cu_skip/merge/AMVP motion derivation (spatial
-candidates with §8.5.3.2.4 combined bi-candidates and §8.5.3.2.8
-POC-distance MV scaling; no TMVP — the slice header rejects it),
+candidates with §8.5.3.2.4 combined bi-candidates, §8.5.3.2.8
+POC-distance MV scaling, and — late r8 — §8.5.3.2.9 TEMPORAL
+candidates from per-reference motion snapshots at the 16x16
+compression granularity, bottom-right-then-center with the
+no-backward/crossing list rule: x265's DEFAULT temporal-mvp now
+decodes),
 §8.5.4.2.2 fractional MC (8-tap luma / 4-tap chroma filters
 binary-extracted from libx265 @0xf22a80/0xf22ac0) with 14-bit
 bi-prediction averaging, inter_pred_idc / mvd_coding / mvd_l1_zero,
@@ -653,7 +657,7 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
                   "cr_qp_offset", "deblock_disabled", "beta_offset",
                   "tc_offset", "lf_across", "slice_type", "init_type",
                   "max_merge", "poc_lsb", "rps", "na_l0", "na_l1",
-                  "mvd_l1_zero"):
+                  "mvd_l1_zero", "tmvp", "col_l0", "col_ref"):
             sh[k] = prev_sh[k]
         sh["entry_offsets"] = []
         if pps["wpp"] or pps["tiles"]:
@@ -700,9 +704,9 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
         if sps.get("long_term"):
             raise ValueError("hevc: long-term reference pictures "
                              "unsupported")
+        sh["tmvp"] = 0
         if sps["tmvp"]:
-            if br.u(1):  # slice_temporal_mvp_enabled_flag
-                raise ValueError("hevc: temporal MVP unsupported")
+            sh["tmvp"] = br.u(1)  # slice_temporal_mvp_enabled_flag
     sh["sao_luma"] = sh["sao_chroma"] = 0
     if sps["sao"]:
         sh["sao_luma"] = br.u(1)
@@ -712,6 +716,9 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
     sh["max_merge"] = 5
     sh["na_l0"] = sh["na_l1"] = 0
     sh["mvd_l1_zero"] = 0
+    sh.setdefault("tmvp", 0)  # parsed in the non-IDR block above
+    sh["col_l0"] = 1
+    sh["col_ref"] = 0
     if slice_type != 2:  # P/B inter envelope (r8)
         if pps["weighted_pred" if slice_type == 1 else "weighted_bipred"]:
             raise ValueError("hevc: weighted prediction unsupported")
@@ -736,6 +743,14 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
         if pps["cabac_init_present"]:
             if br.u(1):  # cabac_init_flag swaps the P/B columns
                 sh["init_type"] = 3 - sh["init_type"]
+        sh["col_l0"] = 1
+        sh["col_ref"] = 0
+        if sh["tmvp"]:
+            if slice_type == 0:
+                sh["col_l0"] = br.u(1)  # collocated_from_l0_flag
+            if (sh["col_l0"] and sh["na_l0"] > 1) or (
+                    not sh["col_l0"] and sh["na_l1"] > 1):
+                sh["col_ref"] = br.ue()  # collocated_ref_idx
         sh["max_merge"] = 5 - br.ue()  # five_minus_max_num_merge_cand
         if not 1 <= sh["max_merge"] <= 5:
             raise ValueError("hevc: bad max merge candidates")
@@ -1901,6 +1916,67 @@ class _PicDecoder:
                 (int(self.mv1_grid[cy, cx, 0]), int(self.mv1_grid[cy, cx, 1])),
                 int(self.r0_grid[cy, cx]), int(self.r1_grid[cy, cx]))
 
+    def _no_backward(self) -> bool:
+        rp = self.sh["ref_pocs"]
+        return all(p <= self.poc for lst in rp for p in lst)
+
+    def _temporal_mv(self, x0: int, y0: int, size: int, lx: int,
+                     ridx: int):
+        """§8.5.3.2.9 collocated temporal MV prediction for (list lx,
+        refIdx ridx), or None when unavailable."""
+        if not self.sh.get("tmvp"):
+            return None
+        col_list = self.cur_l0 if self.sh["col_l0"] else self.cur_l1
+        cr = self.sh["col_ref"]
+        if cr >= len(col_list):
+            return None
+        ent, colpoc = col_list[cr]
+        if len(ent) < 4 or ent[3] is None:
+            return None
+        pf_g, mv0_g, mv1_g, p0_g, p1_g, intra_g, _cp = ent[3]
+
+        def cell_at(xs: int, ys: int):
+            # 16x16 motion-compression granularity (§8.5.3.2.9)
+            cy = (((ys >> 4) << 4) >> 2)
+            cx = (((xs >> 4) << 4) >> 2)
+            if intra_g[cy, cx] or pf_g[cy, cx] == 0:
+                return None
+            return cy, cx
+
+        cand = None
+        xbr, ybr = x0 + size, y0 + size
+        if (xbr < self.w and ybr < self.h
+                and (ybr >> self.log2_ctb) == (y0 >> self.log2_ctb)):
+            cand = cell_at(xbr, ybr)
+        if cand is None:
+            cand = cell_at(x0 + (size >> 1), y0 + (size >> 1))
+        if cand is None:
+            return None
+        cy, cx = cand
+        pf = int(pf_g[cy, cx])
+        if pf == 1:
+            use = 0
+        elif pf == 2:
+            use = 1
+        elif self._no_backward():
+            use = lx
+        else:
+            # §8.5.3.2.9: crossing rule — the col picture came from
+            # list collocated_from_l0, take its OTHER-direction motion
+            use = self.sh["col_l0"]
+        if use == 0:
+            mv = (int(mv0_g[cy, cx, 0]), int(mv0_g[cy, cx, 1]))
+            colref = int(p0_g[cy, cx])
+        else:
+            mv = (int(mv1_g[cy, cx, 0]), int(mv1_g[cy, cx, 1]))
+            colref = int(p1_g[cy, cx])
+        refpoc = self.sh["ref_pocs"][lx][ridx]
+        tb = self.poc - refpoc
+        td = colpoc - colref
+        if td == 0 or tb == td:
+            return mv
+        return self._scale_mv(mv, tb, td)
+
     def _merge_candidates(self, x0: int, y0: int, size: int) -> list:
         """§8.5.3.2.3 spatial merge list (no TMVP — rejected at the
         slice header) as (predFlags, mv0, mv1) triples, plus the
@@ -1926,6 +2002,15 @@ class _PicDecoder:
                 out.append(b2)
         maxm = self.sh["max_merge"]
         b_slice = self.sh.get("slice_type") == 0
+        if self.sh.get("tmvp") and len(out) < maxm:
+            # temporal merge candidate (refIdx 0 per list, unpruned)
+            t0 = self._temporal_mv(x0, y0, size, 0, 0)
+            t1 = (self._temporal_mv(x0, y0, size, 1, 0)
+                  if b_slice else None)
+            if t0 is not None or t1 is not None:
+                pf = (1 if t0 is not None else 0) | (
+                    2 if t1 is not None else 0)
+                out.append((pf, t0 or (0, 0), t1 or (0, 0), 0, 0))
         if b_slice and 1 < len(out) < maxm:
             # combined bi-predictive candidates (§8.5.3.2.4)
             pocs = self.sh["ref_pocs"]
@@ -2042,6 +2127,10 @@ class _PicDecoder:
             cands.append(a)
         if b is not None and b != a:
             cands.append(b)
+        if len(cands) < 2 and self.sh.get("tmvp"):
+            t = self._temporal_mv(x0, y0, size, lx, ridx)
+            if t is not None:
+                cands.append(t)
         while len(cands) < 2:
             cands.append((0, 0))
         return cands
@@ -2870,6 +2959,29 @@ def _finalize_picture(dec: "_PicDecoder") -> tuple:
     return (w, h, y.tobytes(), cb.tobytes(), cr.tobytes())
 
 
+def _col_motion_info(dec: "_PicDecoder"):
+    """Per-4x4 motion snapshot of a finished picture for TMVP from
+    later pictures: (predFlags, mv0, mv1, refPoc0, refPoc1, intra,
+    poc) with per-cell refIdx resolved to reference POCs through the
+    owning slice's lists (§8.5.3.2.9 inputs)."""
+    gh, gw = dec.intra_grid.shape
+    poc0 = np.zeros((gh, gw), np.int32)
+    poc1 = np.zeros((gh, gw), np.int32)
+    for si, shp in enumerate(dec.slice_params):
+        rp = shp.get("ref_pocs")
+        if not rp:
+            continue
+        mask = dec.slice_grid == si
+        if rp[0]:
+            l0 = np.array(list(rp[0]) + [0] * (8 - len(rp[0])), np.int32)
+            poc0[mask] = l0[dec.r0_grid[mask]]
+        if rp[1]:
+            l1 = np.array(list(rp[1]) + [0] * (8 - len(rp[1])), np.int32)
+            poc1[mask] = l1[dec.r1_grid[mask]]
+    return (dec.pf_grid.copy(), dec.mv0_grid.copy(), dec.mv1_grid.copy(),
+            poc0, poc1, dec.intra_grid.copy(), dec.poc)
+
+
 def _derive_poc(ntype: int, sh: dict, sps: dict, state: list) -> int:
     """§8.3.1 PicOrderCntVal with msb wrap tracking; `state` holds
     the prevTid0 (msb, lsb) pair and updates on reference pictures
@@ -2915,7 +3027,8 @@ def decode_hevc_stream(data: bytes, max_frames: int = 64,
         out.append((seq, dec.poc, _finalize_picture(dec)))
         # the finalized (post-loop-filter, uncropped) planes enter
         # the DPB keyed by POC; bounded eviction (oldest first)
-        dpb[dec.poc] = (dec.y.copy(), dec.cb.copy(), dec.cr.copy())
+        dpb[dec.poc] = (dec.y.copy(), dec.cb.copy(), dec.cr.copy(),
+                        _col_motion_info(dec))
         while len(dpb) > 16:
             del dpb[min(dpb)]
 
@@ -3787,7 +3900,8 @@ class HevcAuDecoder:
         if cur is None:
             raise ValueError("hevc: sample carries no picture")
         out = _finalize_picture(cur)
-        self.dpb[cur.poc] = (cur.y.copy(), cur.cb.copy(), cur.cr.copy())
+        self.dpb[cur.poc] = (cur.y.copy(), cur.cb.copy(), cur.cr.copy(),
+                             _col_motion_info(cur))
         while len(self.dpb) > 16:
             del self.dpb[min(self.dpb)]
         return out

@@ -939,7 +939,6 @@ def test_inter_envelope_rejections():
     temporal MVP, weighted prediction, implausible reference counts."""
     w, h = 64, 64
     for tweak, pat, n in (
-            (dict(**{"temporal-mvp": "1"}), "temporal MVP", 3),
             (dict(weightp="1"), "weighted", 3),
             (dict(ref="5"), "reference", 8)):
         opts = dict(_P_BASE, qp="30", sao="0", deblock="0")
@@ -1097,3 +1096,55 @@ def test_ibp_gop_fixture_bit_exact_vs_libde265(qp, c0, c2):
     v0 = hevc.hevc_dc_expected(c0, qp)
     v2 = max(0, min(255, v0 + hevc.hevc_dc_delta(c2, qp)))
     assert set(mine[2][2]) == {(v0 + v2 + 1) >> 1}  # the B bi-average
+
+
+# ---------------------------------------------------------------------------
+# r8 late: TMVP — collocated temporal motion candidates (§8.5.3.2.9)
+# from per-reference-picture motion snapshots (16x16 compression
+# granularity, bottom-right-then-center selection, the no-backward /
+# crossing list rule, POC-distance scaling).  x265 enables TMVP by
+# default, so this closes the biggest real-file gap in the envelope.
+
+_T_BASE = dict(_P_BASE, **{"temporal-mvp": "1"})
+
+
+@needs_refs
+@pytest.mark.parametrize("opts,label", [
+    (dict(_T_BASE, qp="30", bframes="0", ref="1", sao="0",
+          deblock="1"), "P-tmvp"),
+    (dict(_T_BASE, qp="30", bframes="0", ref="2", sao="1",
+          deblock="1"), "P-tmvp-ref2"),
+    (dict(_T_BASE, qp="30", bframes="1", ref="1", sao="0", deblock="1",
+          **{"weightb": "0", "b-adapt": "0"}), "B1-tmvp"),
+    (dict(_T_BASE, qp="33", bframes="2", ref="2", sao="1", deblock="1",
+          **{"weightb": "0", "b-adapt": "0", "b-pyramid": "0"}),
+     "B2-tmvp-ref2"),
+    (dict(_T_BASE, qp="12", bframes="2", ref="2", sao="0", deblock="0",
+          **{"weightb": "0", "b-adapt": "0", "b-pyramid": "0"}),
+     "B2-tmvp-qp12"),
+], ids=lambda v: v if isinstance(v, str) else "")
+def test_x265_tmvp_gops_bit_exact(opts, label):
+    n = 8 if "2" in label else 6
+    stream = _encode(96, 64, _motion_frames(len(label), 96, 64, n), opts)
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=16)
+    assert len(mine) == len(ref) == n
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+
+
+@needs_refs
+def test_x265_near_default_config_bit_exact():
+    """A near-default x265 medium/crf configuration (TMVP on,
+    bframes 2, ref 2) — only weightp/weightb and the b-pyramid
+    output quirk are held off the true defaults."""
+    opts = {"keyint": "250", "min-keyint": "250", "scenecut": "0",
+            "crf": "26", "bframes": "2", "ref": "2", "b-adapt": "0",
+            "b-pyramid": "0", "weightp": "0", "weightb": "0",
+            "preset": "medium"}
+    stream = _encode(96, 64, _motion_frames(11, 96, 64, 8), opts)
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=16)
+    assert len(mine) == len(ref) == 8
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
