@@ -623,6 +623,48 @@ def _parse_pps(rbsp: bytes) -> dict:
     return pps
 
 
+def _parse_pred_weight_table(br: _BitReader, sps: dict, na0: int,
+                             na1: int) -> dict:
+    """§7.3.6.3 pred_weight_table → {"logwd_y", "logwd_c",
+    "l0"/"l1": [per ref: ((wy, oy), ((wcb, ocb), (wcr, ocr)))]}.
+    Absent per-entry flags yield the identity (w = 1 << denom,
+    o = 0); chroma offsets follow the §7.4.7.3 derivation."""
+    denom_y = br.ue()
+    if denom_y > 7:
+        raise ValueError("hevc: bad luma weight denominator")
+    denom_c = denom_y
+    chroma = bool(sps.get("chroma", 1))
+    if chroma:
+        denom_c = denom_y + br.se()
+        if not 0 <= denom_c <= 7:
+            raise ValueError("hevc: bad chroma weight denominator")
+    out = {"logwd_y": denom_y, "logwd_c": denom_c}
+    for key, na in (("l0", na0), ("l1", na1)):
+        entries = []
+        if na:
+            yflags = [br.u(1) for _ in range(na)]
+            cflags = [br.u(1) for _ in range(na)] if chroma else [0] * na
+            for i in range(na):
+                wy, oy = 1 << denom_y, 0
+                if yflags[i]:
+                    wy = (1 << denom_y) + br.se()
+                    oy = br.se()
+                    if not -128 <= oy <= 127 or not -128 <= wy - (1 << denom_y) <= 127:
+                        raise ValueError("hevc: luma weight out of range")
+                wc = [(1 << denom_c, 0), (1 << denom_c, 0)]
+                if cflags[i]:
+                    wc = []
+                    for _j in range(2):
+                        w = (1 << denom_c) + br.se()
+                        d_off = br.se()
+                        o = _clip3(-128, 127,
+                                   d_off - (((128 * w) >> denom_c) - 128))
+                        wc.append((w, o))
+                entries.append(((wy, oy), tuple(wc)))
+        out[key] = entries
+    return out
+
+
 def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
                         pps_map: dict, prev_sh: dict | None = None) -> dict:
     sh: dict = {}
@@ -657,7 +699,7 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
                   "cr_qp_offset", "deblock_disabled", "beta_offset",
                   "tc_offset", "lf_across", "slice_type", "init_type",
                   "max_merge", "poc_lsb", "rps", "na_l0", "na_l1",
-                  "mvd_l1_zero", "tmvp", "col_l0", "col_ref"):
+                  "mvd_l1_zero", "tmvp", "col_l0", "col_ref", "wp"):
             sh[k] = prev_sh[k]
         sh["entry_offsets"] = []
         if pps["wpp"] or pps["tiles"]:
@@ -719,9 +761,8 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
     sh.setdefault("tmvp", 0)  # parsed in the non-IDR block above
     sh["col_l0"] = 1
     sh["col_ref"] = 0
+    sh["wp"] = None
     if slice_type != 2:  # P/B inter envelope (r8)
-        if pps["weighted_pred" if slice_type == 1 else "weighted_bipred"]:
-            raise ValueError("hevc: weighted prediction unsupported")
         if pps["lists_mod"]:
             raise ValueError("hevc: reference list modification "
                              "unsupported")
@@ -751,6 +792,10 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
             if (sh["col_l0"] and sh["na_l0"] > 1) or (
                     not sh["col_l0"] and sh["na_l1"] > 1):
                 sh["col_ref"] = br.ue()  # collocated_ref_idx
+        sh["wp"] = None
+        if pps["weighted_pred" if slice_type == 1 else "weighted_bipred"]:
+            sh["wp"] = _parse_pred_weight_table(
+                br, sps, sh["na_l0"], sh["na_l1"] if slice_type == 0 else 0)
         sh["max_merge"] = 5 - br.ue()  # five_minus_max_num_merge_cand
         if not 1 <= sh["max_merge"] <= 5:
             raise ValueError("hevc: bad max merge candidates")
@@ -2165,6 +2210,7 @@ class _PicDecoder:
         """Uni or bi motion compensation for one 2Nx2N CU: uni uses
         the final-stage output, bi averages the 14-bit intermediates
         ((p0 + p1 + 64) >> 7, §8.5.4.2.3.2)."""
+        wp = self.sh.get("wp")
         planes = ((self.y, 0, _LUMA_FILTER, 3, 2),
                   (self.cb, 1, _CHROMA_FILTER, 1, 3),
                   (self.cr, 2, _CHROMA_FILTER, 1, 3))
@@ -2176,6 +2222,7 @@ class _PicDecoder:
             yc = y0 if comp == 0 else y0 >> 1
             fmask = (1 << sh_mv) - 1
             preds = []
+            wos = []
             for lst, mv, ridx in ((0, mv0, r0), (1, mv1, r1)):
                 if not (pf & (1 << lst)):
                     continue
@@ -2187,8 +2234,26 @@ class _PicDecoder:
                 preds.append(_mc_block(
                     ref, xc, yc, cs, cs, mv[0] >> sh_mv, mv[1] >> sh_mv,
                     mv[0] & fmask, mv[1] & fmask, filters, half,
-                    self.maxval, final=pf != 3))
-            if pf == 3:
+                    self.maxval, final=(pf != 3 and wp is None)))
+                if wp is not None:
+                    ent = wp["l0" if lst == 0 else "l1"][ridx]
+                    wos.append(ent[0] if comp == 0 else ent[1][comp - 1])
+            if wp is not None:
+                # §8.5.4.2.3.3 explicit weighted sample prediction on
+                # the 14-bit intermediates (log2Wd = denom + shift1)
+                lwd = (wp["logwd_y"] if comp == 0 else wp["logwd_c"]) + 6
+                if pf == 3:
+                    (w0t, o0), (w1t, o1) = wos
+                    out = np.clip(
+                        (preds[0] * w0t + preds[1] * w1t
+                         + ((o0 + o1 + 1) << lwd)) >> (lwd + 1),
+                        0, self.maxval)
+                else:
+                    wt, o = wos[0]
+                    out = np.clip(
+                        ((preds[0] * wt + (1 << (lwd - 1))) >> lwd) + o,
+                        0, self.maxval)
+            elif pf == 3:
                 out = np.clip((preds[0] + preds[1] + 64) >> 7, 0,
                               self.maxval)
             else:

@@ -936,11 +936,11 @@ def test_x265_p_vertical_and_still_motion():
 @needs_refs
 def test_inter_envelope_rejections():
     """Streams outside the inter envelope REJECT (never mis-decode):
-    temporal MVP, weighted prediction, implausible reference counts."""
+    implausible reference counts (TMVP and weighted prediction moved
+    INTO the envelope late r8)."""
     w, h = 64, 64
     for tweak, pat, n in (
-            (dict(weightp="1"), "weighted", 3),
-            (dict(ref="5"), "reference", 8)):
+            (dict(ref="5"), "reference", 8),):
         opts = dict(_P_BASE, qp="30", sao="0", deblock="0")
         opts.update(tweak)
         stream = _encode(w, h, _motion_frames(7, w, h, n), opts)
@@ -1148,3 +1148,63 @@ def test_x265_near_default_config_bit_exact():
     assert len(mine) == len(ref) == 8
     for i, (m, r) in enumerate(zip(mine, ref)):
         assert m == r, f"frame {i}"
+
+
+# ---------------------------------------------------------------------------
+# r8 late: explicit weighted prediction (§8.5.4.2.3.3) — x265 writes
+# non-identity weight tables on fades, so the fixtures fade.
+
+def _fade_frames(seed, w, h, n):
+    rng = np.random.default_rng(seed)
+    y0 = ((rng.integers(0, 256, (h, w))
+           + np.add.outer(np.arange(h), np.arange(w)) * 3) % 256
+          ).astype(np.uint8)
+    cb0 = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    cr0 = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    out = []
+    for i in range(n):
+        g = 1.0 - 0.07 * i
+        out.append(tuple(
+            np.clip(np.roll(pl, (3 if k == 0 else 1) * i, 1)
+                    .astype(np.float64) * g, 0, 255).astype(np.uint8)
+            for k, pl in enumerate((y0, cb0, cr0))))
+    return out
+
+
+@needs_refs
+@pytest.mark.parametrize("opts,label", [
+    (dict(_T_BASE, qp="30", bframes="0", ref="1", sao="0", deblock="1",
+          weightp="1"), "P-weightp"),
+    (dict(_T_BASE, qp="30", bframes="0", ref="2", sao="1", deblock="1",
+          weightp="1"), "P-weightp-ref2"),
+    (dict(_T_BASE, qp="30", bframes="2", ref="2", sao="1", deblock="1",
+          weightp="1", weightb="1",
+          **{"b-adapt": "0", "b-pyramid": "0"}), "B-weightb"),
+], ids=lambda v: v if isinstance(v, str) else "")
+def test_x265_weighted_prediction_bit_exact(opts, label):
+    n = 8 if "2" in label else 6
+    stream = _encode(96, 64, _fade_frames(len(label), 96, 64, n), opts)
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=16)
+    assert len(mine) == len(ref) == n
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+
+
+@needs_refs
+@pytest.mark.parametrize("preset", ["ultrafast", "medium"])
+def test_x265_pure_defaults_prefix_exact(preset):
+    """x265 with NOTHING but a preset and crf — TMVP, weighted
+    prediction, bframes 4, ref 3, b-pyramid, all defaults.  This
+    decoder outputs every picture; libde265 withholds the final
+    picture of b-pyramid streams (the documented quirk), so the pin
+    is prefix equality over everything it does output."""
+    n = 10
+    stream = _encode(96, 64, _fade_frames(3, 96, 64, n),
+                     {"preset": preset, "crf": "26"})
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=20)
+    assert len(mine) == n
+    assert len(ref) >= n - 1
+    for i, r in enumerate(ref):
+        assert mine[i] == r, f"frame {i}"
