@@ -17,11 +17,19 @@ prediction) driving §8.3.4 reference-list construction over a
 POC-keyed DPB (§8.3.1 msb tracking), POC-order output, and the full
 §8.7.2.4 boundary-strength derivation (intra→2; coded-residual /
 motion-set mismatch / ≥1-sample MV delta→1 with the two-MV pairing
-rules; chroma filters bS 2 only).  Inter envelope: ONE active
-reference per list (x265 --ref 1, --bframes ≤ 1 — the IBPBP
-shape), 2Nx2N PUs (rect/amp off), 8-bit 4:2:0, no weighted
-prediction / list modification / long-term refs — everything
-outside REJECTS.  LATE r8: up to FOUR active references per list
+rules; chroma filters bS 2 only).  Inter envelope: up to four
+active references per list, ALL §9.3.3.7 partition shapes (late
+r8 — 2Nx2N/2NxN/Nx2N, the four asymmetric AMP modes, min-size NxN
+and 8x4/4x8 small PUs with the §8.5.3.2.1 bi→L0 conversion and
+single-bin inter_pred_idc; per-PU §7.3.8.6 motion marked
+immediately so later PUs' spatial candidates see it, §7.4.9.8
+interSplitFlag on the transform tree), TMVP, explicit weighted
+prediction, 8-bit 4:2:0; no list modification / long-term refs —
+everything outside REJECTS.  x265's RD never emits the AMP
+nL/nR shapes, sub-8x8 PUs or inter NxN, so those wires are pinned
+decode-side: the fixture encoders (encode_hevc_gop_parts*) write
+them deliberately and libde265 arbitrates bit-exactness.
+LATE r8: up to FOUR active references per list
 (per-cell refIdx grids; ref_idx decode; merge/AMVP/bS use real
 per-cell reference POCs), covering x265 --ref 2/3 and flat
 --bframes 2/3 GOPs bit-exactly; x265's default B-PYRAMID streams
@@ -259,7 +267,7 @@ def _i_row(name: str, n_ctx: int) -> tuple[int, ...]:
 # read them, so the I-slice wire is unchanged)
 _ELEMS = [
     ("sao_merge", 1), ("sao_type", 1), ("split_cu", 3), ("tq_bypass", 1),
-    ("part_mode", 1), ("prev_intra", 1), ("chroma_pred", 1), ("split_tr", 3),
+    ("part_mode", 4), ("prev_intra", 1), ("chroma_pred", 1), ("split_tr", 3),
     ("cbf_luma", 2), ("cbf_chroma", 4), ("qp_delta", 2), ("tskip", 2),
     ("last_x", 18), ("last_y", 18), ("csbf", 4), ("sig", 42),
     ("gt1", 24), ("gt2", 6),
@@ -281,7 +289,7 @@ def _src_for(init_type: int) -> dict:
         "sao_type": _type_row("sao_type", 1, init_type),
         "split_cu": _type_row("split_cu", 3, init_type),
         "tq_bypass": _type_row("tq_bypass", 1, init_type),
-        "part_mode": _type_row("part_mode", 1, init_type),
+        "part_mode": _type_row("part_mode", 4, init_type),
         "prev_intra": _type_row("prev_intra", 1, init_type),
         "chroma_pred": _type_row("chroma_pred", 1, init_type),
         "split_tr": _type_row("split_tr", 3, init_type),
@@ -1267,7 +1275,7 @@ class _PicDecoder:
         self.slice_params: list[dict] = []
         self.cur_slice = -1
         self.next_ctu = 0
-        self.tu_list: list[tuple[int, int, int]] = []  # (x0, y0, size) luma
+        self.tu_list: list[tuple[int, int, int, int]] = []  # (x0,y0,w,h) luma
         self.log2_ctb = sps["log2_ctb"]
         self.min_cb = sps["log2_min_cb"]
         self.min_tb = sps["log2_min_tb"]
@@ -1808,10 +1816,10 @@ class _PicDecoder:
         if self.sh.get("slice_type", 2) != 2:
             # ---- P/B slice (r8): cu_skip_flag, then intra/inter choice
             if cab.dec(_CTX_OFF["cu_skip"] + self._skip_inc(x0, y0)):
-                pf, mv0, mv1, r0, r1 = self._merge_mv(x0, y0, size)
-                self._mc_cu(x0, y0, size, pf, mv0, mv1, r0, r1)
+                pf, mv0, mv1, r0, r1 = self._merge_mv(x0, y0, size, size)
+                self._mc_cu(x0, y0, size, size, pf, mv0, mv1, r0, r1)
                 self._mark_inter(g, pf, mv0, mv1, skip=True, r0=r0, r1=r1)
-                self.tu_list.append((x0, y0, size))  # PU deblock edges
+                self.tu_list.append((x0, y0, size, size))  # PU deblock edges
                 qp = (self.qg_pred + self.cu_qp_delta_val + 52) % 52
                 self.qp_grid[g] = qp
                 self.last_cu_qp = qp
@@ -1965,10 +1973,12 @@ class _PicDecoder:
         rp = self.sh["ref_pocs"]
         return all(p <= self.poc for lst in rp for p in lst)
 
-    def _temporal_mv(self, x0: int, y0: int, size: int, lx: int,
-                     ridx: int):
+    def _temporal_mv(self, x0: int, y0: int, w: int, h: int, lx: int,
+                     ridx: int, ycb: int):
         """§8.5.3.2.9 collocated temporal MV prediction for (list lx,
-        refIdx ridx), or None when unavailable."""
+        refIdx ridx) of the PU (x0, y0, w, h), or None when
+        unavailable.  `ycb` is the containing coding block's top row
+        (the bottom-right candidate must stay in the CB's CTB row)."""
         if not self.sh.get("tmvp"):
             return None
         col_list = self.cur_l0 if self.sh["col_l0"] else self.cur_l1
@@ -1989,12 +1999,12 @@ class _PicDecoder:
             return cy, cx
 
         cand = None
-        xbr, ybr = x0 + size, y0 + size
+        xbr, ybr = x0 + w, y0 + h
         if (xbr < self.w and ybr < self.h
-                and (ybr >> self.log2_ctb) == (y0 >> self.log2_ctb)):
+                and (ybr >> self.log2_ctb) == (ycb >> self.log2_ctb)):
             cand = cell_at(xbr, ybr)
         if cand is None:
-            cand = cell_at(x0 + (size >> 1), y0 + (size >> 1))
+            cand = cell_at(x0 + (w >> 1), y0 + (h >> 1))
         if cand is None:
             return None
         cy, cx = cand
@@ -2022,14 +2032,22 @@ class _PicDecoder:
             return mv
         return self._scale_mv(mv, tb, td)
 
-    def _merge_candidates(self, x0: int, y0: int, size: int) -> list:
-        """§8.5.3.2.3 spatial merge list (no TMVP — rejected at the
-        slice header) as (predFlags, mv0, mv1) triples, plus the
-        §8.5.3.2.4 combined bi-predictive candidates for B slices and
-        the zero-mv fill to MaxNumMergeCand."""
-        w = h = size
-        a1 = self._nbr_mv(x0 - 1, y0 + h - 1, x0, y0)
-        b1 = self._nbr_mv(x0 + w - 1, y0 - 1, x0, y0)
+    def _merge_candidates(self, x0: int, y0: int, w: int, h: int,
+                          part: str = "2Nx2N", pidx: int = 0,
+                          ycb: int | None = None) -> list:
+        """§8.5.3.2.3 spatial merge list for the PU (x0, y0, w, h) as
+        (predFlags, mv0, mv1, r0, r1) tuples — second-PU positions
+        that would replicate the 2Nx2N motion are excluded per the
+        partition rules — plus the temporal candidate, the §8.5.3.2.4
+        combined bi-predictive candidates for B slices and the
+        zero-mv fill to MaxNumMergeCand."""
+        if ycb is None:
+            ycb = y0
+        a1 = b1 = None
+        if not (pidx == 1 and part in ("Nx2N", "nLx2N", "nRx2N")):
+            a1 = self._nbr_mv(x0 - 1, y0 + h - 1, x0, y0)
+        if not (pidx == 1 and part in ("2NxN", "2NxnU", "2NxnD")):
+            b1 = self._nbr_mv(x0 + w - 1, y0 - 1, x0, y0)
         b0 = self._nbr_mv(x0 + w, y0 - 1, x0, y0)
         a0 = self._nbr_mv(x0 - 1, y0 + h, x0, y0)
         out = []
@@ -2049,8 +2067,8 @@ class _PicDecoder:
         b_slice = self.sh.get("slice_type") == 0
         if self.sh.get("tmvp") and len(out) < maxm:
             # temporal merge candidate (refIdx 0 per list, unpruned)
-            t0 = self._temporal_mv(x0, y0, size, 0, 0)
-            t1 = (self._temporal_mv(x0, y0, size, 1, 0)
+            t0 = self._temporal_mv(x0, y0, w, h, 0, 0, ycb)
+            t1 = (self._temporal_mv(x0, y0, w, h, 1, 0, ycb)
                   if b_slice else None)
             if t0 is not None or t1 is not None:
                 pf = (1 if t0 is not None else 0) | (
@@ -2084,14 +2102,16 @@ class _PicDecoder:
             zi += 1
         return out
 
-    def _merge_mv(self, x0: int, y0: int, size: int):
+    def _merge_mv(self, x0: int, y0: int, w: int, h: int,
+                  part: str = "2Nx2N", pidx: int = 0,
+                  ycb: int | None = None):
         idx = 0
         cmax = self.sh["max_merge"] - 1
         if cmax and self.cab.dec(_CTX_OFF["merge_idx"]):
             idx = 1
             while idx < cmax and self.cab.bypass():
                 idx += 1
-        return self._merge_candidates(x0, y0, size)[idx]
+        return self._merge_candidates(x0, y0, w, h, part, pidx, ycb)[idx]
 
     @staticmethod
     def _scale_mv(mv, tb: int, td: int):
@@ -2105,13 +2125,16 @@ class _PicDecoder:
                               (1 if v >= 0 else -1) * ((abs(v) + 127) >> 8)))
         return (out[0], out[1])
 
-    def _amvp_candidates(self, x0: int, y0: int, size: int,
-                         lx: int, ridx: int) -> list:
-        """§8.5.3.2.6-8 AMVP for (list `lx`, refIdx `ridx`):
-        candidate A from A0/A1 (same-ref passes over both lists, then
-        the two SCALED passes), candidate B from B0/B1/B2 (scaled
-        passes only when no A0/A1 PU exists), dedupe, zero fill."""
-        w = h = size
+    def _amvp_candidates(self, x0: int, y0: int, w: int, h: int,
+                         lx: int, ridx: int,
+                         ycb: int | None = None) -> list:
+        """§8.5.3.2.6-8 AMVP for (list `lx`, refIdx `ridx`) of the PU
+        (x0, y0, w, h): candidate A from A0/A1 (same-ref passes over
+        both lists, then the two SCALED passes), candidate B from
+        B0/B1/B2 (scaled passes only when no A0/A1 PU exists),
+        dedupe, zero fill."""
+        if ycb is None:
+            ycb = y0
         pocs = self.sh["ref_pocs"]
         refpoc = pocs[lx][ridx]
         other = 1 - lx
@@ -2173,7 +2196,7 @@ class _PicDecoder:
         if b is not None and b != a:
             cands.append(b)
         if len(cands) < 2 and self.sh.get("tmvp"):
-            t = self._temporal_mv(x0, y0, size, lx, ridx)
+            t = self._temporal_mv(x0, y0, w, h, lx, ridx, ycb)
             if t is not None:
                 cands.append(t)
         while len(cands) < 2:
@@ -2205,11 +2228,11 @@ class _PicDecoder:
             out.append(v)
         return out[0], out[1]
 
-    def _mc_cu(self, x0: int, y0: int, size: int, pf: int, mv0,
+    def _mc_cu(self, x0: int, y0: int, w: int, h: int, pf: int, mv0,
                mv1, r0: int = 0, r1: int = 0) -> None:
-        """Uni or bi motion compensation for one 2Nx2N CU: uni uses
-        the final-stage output, bi averages the 14-bit intermediates
-        ((p0 + p1 + 64) >> 7, §8.5.4.2.3.2)."""
+        """Uni or bi motion compensation for one prediction block:
+        uni uses the final-stage output, bi averages the 14-bit
+        intermediates ((p0 + p1 + 64) >> 7, §8.5.4.2.3.2)."""
         wp = self.sh.get("wp")
         planes = ((self.y, 0, _LUMA_FILTER, 3, 2),
                   (self.cb, 1, _CHROMA_FILTER, 1, 3),
@@ -2217,7 +2240,8 @@ class _PicDecoder:
         for plane, comp, filters, half, sh_mv in planes:
             if comp and not self.chroma:
                 break
-            cs = size if comp == 0 else size >> 1
+            cw = w if comp == 0 else w >> 1
+            ch = h if comp == 0 else h >> 1
             xc = x0 if comp == 0 else x0 >> 1
             yc = y0 if comp == 0 else y0 >> 1
             fmask = (1 << sh_mv) - 1
@@ -2232,7 +2256,7 @@ class _PicDecoder:
                         "hevc: reference index out of range")
                 ref = refs[ridx][0][comp]
                 preds.append(_mc_block(
-                    ref, xc, yc, cs, cs, mv[0] >> sh_mv, mv[1] >> sh_mv,
+                    ref, xc, yc, cw, ch, mv[0] >> sh_mv, mv[1] >> sh_mv,
                     mv[0] & fmask, mv[1] & fmask, filters, half,
                     self.maxval, final=(pf != 3 and wp is None)))
                 if wp is not None:
@@ -2258,7 +2282,7 @@ class _PicDecoder:
                               self.maxval)
             else:
                 out = preds[0]
-            plane[yc : yc + cs, xc : xc + cs] = out.astype(self.dtype)
+            plane[yc : yc + ch, xc : xc + cw] = out.astype(self.dtype)
 
     def _mark_inter(self, g, pf: int, mv0, mv1, skip: bool,
                     r0: int = 0, r1: int = 0) -> None:
@@ -2275,23 +2299,61 @@ class _PicDecoder:
         self.mode_grid[g] = 1
         self.avail[g] = True
 
-    def _inter_cu(self, x0: int, y0: int, log2_size: int, depth: int,
-                  g, bypass: int) -> None:
-        """Non-skip inter CU: 2Nx2N only (the x265 rect/amp-off
-        envelope — other part modes reject)."""
+    def _part_mode_inter(self, log2_size: int) -> str:
+        """§9.3.3.7 part_mode binarization (MODE_INTER rows of Table
+        9-43): ctx bins 0/1, ctx 2 (min-size Nx2N/NxN) or ctx 3 (AMP
+        family split) for bin 2, bypass for the AMP direction bin."""
         cab = self.cab
-        size = 1 << log2_size
-        if cab.dec(_CTX_OFF["part_mode"]) == 0:
-            raise ValueError(
-                "hevc: inter partition modes other than 2Nx2N unsupported")
+        if cab.dec(_CTX_OFF["part_mode"]):
+            return "2Nx2N"
+        b1 = cab.dec(_CTX_OFF["part_mode"] + 1)
+        if log2_size > self.min_cb:
+            if not self.sps["amp"]:
+                return "2NxN" if b1 else "Nx2N"
+            if cab.dec(_CTX_OFF["part_mode"] + 3):
+                return "2NxN" if b1 else "Nx2N"
+            if b1:
+                return "2NxnD" if cab.bypass() else "2NxnU"
+            return "nRx2N" if cab.bypass() else "nLx2N"
+        if b1:
+            return "2NxN"
+        if log2_size == 3:
+            return "Nx2N"
+        return "Nx2N" if cab.dec(_CTX_OFF["part_mode"] + 2) else "NxN"
+
+    # PU offsets/sizes per part mode, in units of size/4
+    _PART_GEOM = {
+        "2Nx2N": ((0, 0, 4, 4),),
+        "2NxN": ((0, 0, 4, 2), (0, 2, 4, 2)),
+        "Nx2N": ((0, 0, 2, 4), (2, 0, 2, 4)),
+        "NxN": ((0, 0, 2, 2), (2, 0, 2, 2), (0, 2, 2, 2), (2, 2, 2, 2)),
+        "2NxnU": ((0, 0, 4, 1), (0, 1, 4, 3)),
+        "2NxnD": ((0, 0, 4, 3), (0, 3, 4, 1)),
+        "nLx2N": ((0, 0, 1, 4), (1, 0, 3, 4)),
+        "nRx2N": ((0, 0, 3, 4), (3, 0, 1, 4)),
+    }
+
+    def _prediction_unit(self, xp: int, yp: int, w: int, h: int,
+                         part: str, pidx: int, depth: int,
+                         ycb: int) -> bool:
+        """§7.3.8.6 prediction_unit: merge or AMVP motion, MC, and
+        the motion-field marking (immediately — the next PU's spatial
+        candidates read this PU's cells).  Returns merge_flag."""
+        cab = self.cab
+        small = (w + h) == 12  # 8x4/4x8: bi-prediction disallowed
         merged = bool(cab.dec(_CTX_OFF["merge_flag"]))
         if merged:
-            pf, mv0, mv1, r0, r1 = self._merge_mv(x0, y0, size)
+            pf, mv0, mv1, r0, r1 = self._merge_mv(
+                xp, yp, w, h, part, pidx, ycb)
+            if small and pf == 3:
+                pf, r1 = 1, 0  # §8.5.3.2.1 bi→L0 for 8x4/4x8 PUs
         else:
             mv0 = mv1 = (0, 0)
             r0 = r1 = 0
             if self.sh.get("slice_type") == 0:  # B: inter_pred_idc
-                if cab.dec(_CTX_OFF["inter_dir"] + depth):
+                if small:  # §9.3.3: single bin at ctx 4, no BI
+                    pf = 2 if cab.dec(_CTX_OFF["inter_dir"] + 4) else 1
+                elif cab.dec(_CTX_OFF["inter_dir"] + depth):
                     pf = 3
                 else:
                     pf = 2 if cab.dec(_CTX_OFF["inter_dir"] + 4) else 1
@@ -2318,7 +2380,8 @@ class _PicDecoder:
                 r0 = ref_idx(self.sh["na_l0"])
                 mvd = self._decode_mvd()
                 mvp_flag = cab.dec(_CTX_OFF["mvp_idx"])
-                pred = self._amvp_candidates(x0, y0, size, 0, r0)[mvp_flag]
+                pred = self._amvp_candidates(
+                    xp, yp, w, h, 0, r0, ycb)[mvp_flag]
                 mv0 = (pred[0] + mvd[0], pred[1] + mvd[1])
             if pf & 2:
                 r1 = ref_idx(self.sh["na_l1"])
@@ -2327,24 +2390,44 @@ class _PicDecoder:
                 else:
                     mvd = self._decode_mvd()
                 mvp_flag = cab.dec(_CTX_OFF["mvp_idx"])
-                pred = self._amvp_candidates(x0, y0, size, 1, r1)[mvp_flag]
+                pred = self._amvp_candidates(
+                    xp, yp, w, h, 1, r1, ycb)[mvp_flag]
                 mv1 = (pred[0] + mvd[0], pred[1] + mvd[1])
-        self._mc_cu(x0, y0, size, pf, mv0, mv1, r0, r1)
-        self._mark_inter(g, pf, mv0, mv1, skip=False, r0=r0, r1=r1)
-        # rqt_root_cbf inferred 1 for 2Nx2N merge (a residual-free
-        # merge CU would have been coded as skip)
+        self._mc_cu(xp, yp, w, h, pf, mv0, mv1, r0, r1)
+        gp = (slice(yp >> 2, (yp + h) >> 2), slice(xp >> 2, (xp + w) >> 2))
+        self._mark_inter(gp, pf, mv0, mv1, skip=False, r0=r0, r1=r1)
+        self.tu_list.append((xp, yp, w, h))  # PU deblock edges
+        return merged
+
+    def _inter_cu(self, x0: int, y0: int, log2_size: int, depth: int,
+                  g, bypass: int) -> None:
+        """Non-skip inter CU: part mode, per-PU motion/MC, then the
+        transform tree."""
+        cab = self.cab
+        size = 1 << log2_size
+        part = self._part_mode_inter(log2_size)
+        merged_2nx2n = False
+        q = size >> 2
+        for pidx, (ox, oy, pw, ph) in enumerate(self._PART_GEOM[part]):
+            merged = self._prediction_unit(
+                x0 + ox * q, y0 + oy * q, pw * q, ph * q,
+                part, pidx, depth, y0)
+            if pidx == 0 and part == "2Nx2N":
+                merged_2nx2n = merged
+        # §7.3.8.5: rqt_root_cbf read unless (2Nx2N && merge) — a
+        # residual-free 2Nx2N merge CU would have been coded as skip
         root = 1
-        if not merged:
+        if not merged_2nx2n:
             root = cab.dec(_CTX_OFF["rqt_root_cbf"])
         if root:
             cu = {
                 "x0": x0, "y0": y0, "log2": log2_size, "bypass": bypass,
                 "nxn": False, "chroma_mode": 0, "inter": True,
                 "max_depth": self.sps["max_tr_depth_inter"],
+                "inter_split": (part != "2Nx2N"
+                                and self.sps["max_tr_depth_inter"] == 0),
             }
             self._tt(x0, y0, x0, y0, log2_size, 0, 0, 1, 1, cu)
-        else:
-            self.tu_list.append((x0, y0, size))
         qp = (self.qg_pred + self.cu_qp_delta_val + 52) % 52
         self.qp_grid[g] = qp
         self.last_cu_qp = qp
@@ -2354,13 +2437,18 @@ class _PicDecoder:
             blk: int, pcb: int, pcr: int, cu: dict) -> None:
         cab = self.cab
         intra_split = cu["nxn"]
+        # §7.4.9.8 interSplitFlag: non-2Nx2N inter CU with
+        # max_transform_hierarchy_depth_inter == 0 splits once so the
+        # first TU level aligns with (or nests inside) the PUs
+        inter_split = cu.get("inter_split") and depth == 0
         if (log2 <= self.max_tb and log2 > self.min_tb
                 and depth < cu["max_depth"]
                 and not (intra_split and depth == 0)):
             split = cab.dec(_CTX_OFF["split_tr"] + 5 - log2)
         else:
             split = 1 if (log2 > self.max_tb
-                          or (intra_split and depth == 0 and log2 > self.min_tb)) else 0
+                          or (intra_split and depth == 0 and log2 > self.min_tb)
+                          or (inter_split and log2 > self.min_tb)) else 0
         cbf_cb, cbf_cr = pcb, pcr
         if not self.chroma:
             cbf_cb = cbf_cr = 0
@@ -2436,7 +2524,7 @@ class _PicDecoder:
             block = np.clip(pred, 0, self.maxval).astype(self.dtype)
         self.y[y0 : y0 + size, x0 : x0 + size] = block
         self.avail[y0 >> 2 : (y0 + size) >> 2, x0 >> 2 : (x0 + size) >> 2] = True
-        self.tu_list.append((x0, y0, size))
+        self.tu_list.append((x0, y0, size, size))
         # ------------- chroma (4:2:0; absent in monochrome)
         if not self.chroma:
             pass
@@ -2737,11 +2825,11 @@ class _Deblocker:
         w4, h4 = dec.w // 4, dec.h // 4
         self.v_edge = np.zeros((h4, w4), bool)  # vertical edge at 4x4 cell left
         self.h_edge = np.zeros((h4, w4), bool)
-        for x0, y0, size in dec.tu_list:
+        for x0, y0, bw, bh in dec.tu_list:
             if x0 > 0:
-                self.v_edge[y0 >> 2 : (y0 + size) >> 2, x0 >> 2] = True
+                self.v_edge[y0 >> 2 : (y0 + bh) >> 2, x0 >> 2] = True
             if y0 > 0:
-                self.h_edge[y0 >> 2, x0 >> 2 : (x0 + size) >> 2] = True
+                self.h_edge[y0 >> 2, x0 >> 2 : (x0 + bw) >> 2] = True
 
     def run(self) -> None:
         self._luma_pass(vertical=True)
@@ -3074,9 +3162,9 @@ def decode_hevc_stream(data: bytes, max_frames: int = 64,
     """Decode an Annex-B (or 4-byte length-prefixed) HEVC elementary
     stream → [(w, h, y, cb, cr), ...] in OUTPUT (POC) order, the
     reference decoders' convention.  IRAP pictures plus (r8, when
-    `allow_inter`) trailing P and B pictures in the single-reference-
-    per-list envelope (x265 --ref 1 / --bframes 1): no TMVP /
-    weighting / list modification / >1 active reference per list (the
+    `allow_inter`) trailing P and B pictures: multi-reference lists
+    (≤4 per list), TMVP, explicit weighted prediction, all §9.3.3.7
+    partition modes; no list modification / long-term refs (the
     slice header rejects them explicitly)."""
     if len(data) < 8:
         raise ValueError("hevc: stream too short")
@@ -4031,3 +4119,359 @@ def encode_hevc_gop_ibp_dc(width: int, height: int, qp: int, c0: int,
             + _fixture_pslice(width, height, qp, 2, None, ref_delta=2)
             + _fixture_pslice(width, height, qp, 4, c2, ref_delta=2)
             + _fixture_bslice(width, height, qp, 3))
+
+# --------------------------------------------------------------------------
+# r8 late: partition-mode fixture tier.  x265's RD search never emits
+# nLx2N/nRx2N, 8x4/4x8 PUs, or inter NxN, so those part_mode paths are
+# pinned decode-side: this repo's encoder writes them deliberately and
+# libde265 arbitrates bit-exactness (the tiles/dependent-slice
+# discipline, CLAUDE.md r8 lesson 2).
+
+
+def _fixture_sps_parts(w: int, h: int, reorder: int = 0) -> bytes:
+    """Fixture SPS variant for the partition tier: min CB 8 inside
+    CTB 16 (so 16x16 CUs split and 8x8 CUs carry 8x4/4x8 PUs) with
+    asymmetric motion partitions enabled."""
+    bw = _BitWriter()
+    bw.u(4, 0); bw.u(3, 0); bw.u(1, 1)
+    bw.u(2, 0); bw.u(1, 0); bw.u(5, 1)
+    bw.u(32, 0b0110 << 28)
+    bw.u(1, 1); bw.u(1, 0); bw.u(1, 0); bw.u(1, 1)
+    bw.u(32, 0); bw.u(12, 0)
+    bw.u(8, 120)
+    bw.ue(0); bw.ue(1)              # sps_id, chroma 4:2:0
+    bw.ue(w); bw.ue(h); bw.u(1, 0)
+    bw.ue(0); bw.ue(0)              # 8-bit
+    bw.ue(4)                        # log2_max_poc 8
+    bw.u(1, 1); bw.ue(4 if reorder else 0); bw.ue(reorder); bw.ue(0)
+    bw.ue(0)                        # log2_min_cb 3 (8)
+    bw.ue(1)                        # CTB = 16
+    bw.ue(0)                        # log2_min_tb 2
+    bw.ue(2)                        # log2_max_tb 4 (16)
+    bw.ue(0); bw.ue(0)              # transform hierarchy depths
+    bw.u(1, 0); bw.u(1, 1); bw.u(1, 0); bw.u(1, 0)  # scaling/AMP/sao/pcm
+    bw.ue(0)                        # num_short_term_ref_pic_sets
+    bw.u(1, 0); bw.u(1, 0); bw.u(1, 0)  # long_term, tmvp, strong_smooth
+    bw.u(1, 1)                      # vui_parameters_present (full range)
+    bw.u(1, 0); bw.u(1, 0)
+    bw.u(1, 1)
+    bw.u(3, 5); bw.u(1, 1); bw.u(1, 0)
+    bw.u(1, 0); bw.u(1, 0); bw.u(1, 0)
+    bw.u(1, 0); bw.u(1, 0); bw.u(1, 0)
+    bw.u(1, 0)
+    bw.u(1, 0)
+    bw.rbsp_trailing()
+    return bw.done()
+
+
+def _fixture_iframe_parts(width: int, height: int, qp: int,
+                          c_y: int) -> bytes:
+    """IDR slice for the partition-tier SPS: identical to the lossy
+    DC fixture but every 16x16 CTU carries a split_cu=0 bin (min CB 8
+    makes the flag explicit; all CUs unsplit → ctx inc 0)."""
+    bw = _BitWriter()
+    bw.u(1, 1)
+    bw.u(1, 0)
+    bw.ue(0)
+    bw.ue(2)
+    bw.se(0)
+    bw.u(1, 1)
+    bw.align_zero()
+    enc = _CabacEnc(bw, qp)
+    enc.state = _ctx_states(qp)
+    coeffs = np.zeros((16, 16), np.int64)
+    coeffs[0, 0] = c_y
+    n_w, n_h = width // 16, height // 16
+    for addr in range(n_w * n_h):
+        enc.enc(_CTX_OFF["split_cu"], 0)
+        # intra 16x16 CU above min size → no part_mode bin
+        enc.enc(_CTX_OFF["prev_intra"], 1)     # DC = MPM idx 1 here
+        enc.bypass_enc(1)
+        enc.bypass_enc(0)
+        enc.enc(_CTX_OFF["chroma_pred"], 0)
+        cbf_y = 1 if addr == 0 else 0
+        enc.enc(_CTX_OFF["cbf_chroma"], 0)
+        enc.enc(_CTX_OFF["cbf_chroma"], 0)
+        enc.enc(_CTX_OFF["cbf_luma"] + 1, cbf_y)
+        if cbf_y:
+            _residual_encode(enc, coeffs, 4, 0)
+        enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
+    bw.align_zero()
+    return _hevc_nal(19, bw.done())
+
+
+def _encode_mvd(enc, mx: int, my: int) -> None:
+    """Mirror of _decode_mvd (§7.3.8.9): greater0/greater1 context
+    pairs, EG1 bypass remainder, bypass sign."""
+    ax, ay = abs(mx), abs(my)
+    enc.enc(_CTX_OFF["mvd"], 1 if ax else 0)
+    enc.enc(_CTX_OFF["mvd"], 1 if ay else 0)
+    if ax:
+        enc.enc(_CTX_OFF["mvd"] + 1, 1 if ax > 1 else 0)
+    if ay:
+        enc.enc(_CTX_OFF["mvd"] + 1, 1 if ay > 1 else 0)
+    for a, v in ((ax, mx), (ay, my)):
+        if not a:
+            continue
+        if a > 1:
+            k = a.bit_length() - 2      # EG1 of a-2: a ∈ [2^(k+1), 2^(k+2))
+            for _ in range(k):
+                enc.bypass_enc(1)
+            enc.bypass_enc(0)
+            s = a - (1 << (k + 1))
+            for i in range(k, -1, -1):
+                enc.bypass_enc((s >> i) & 1)
+        enc.bypass_enc(1 if v < 0 else 0)
+
+
+def _enc_part_mode_16(enc, mode: str) -> None:
+    """§9.3.3.7 inter part_mode bins at 16x16 (above min CB, AMP on):
+    ctx bins 0/1, ctx 3 for the AMP split, bypass for the direction."""
+    if mode == "2Nx2N":
+        enc.enc(_CTX_OFF["part_mode"], 1)
+        return
+    enc.enc(_CTX_OFF["part_mode"], 0)
+    horiz = mode in ("2NxN", "2NxnU", "2NxnD")
+    enc.enc(_CTX_OFF["part_mode"] + 1, 1 if horiz else 0)
+    if mode in ("2NxN", "Nx2N"):
+        enc.enc(_CTX_OFF["part_mode"] + 3, 1)
+        return
+    enc.enc(_CTX_OFF["part_mode"] + 3, 0)
+    enc.bypass_enc(1 if mode in ("2NxnD", "nRx2N") else 0)
+
+
+def _fixture_mvd(seed: int) -> tuple[int, int]:
+    # deterministic quarter-pel deltas in [-6, 6] with sub-pel phases
+    return ((seed * 5) % 13) - 6, ((seed * 7) % 11) - 5
+
+
+def _enc_pu_amvp_p(enc, seed: int) -> None:
+    """One P-slice AMVP prediction unit (na_l0 == 1)."""
+    enc.enc(_CTX_OFF["merge_flag"], 0)
+    mx, my = _fixture_mvd(seed)
+    _encode_mvd(enc, mx, my)
+    enc.enc(_CTX_OFF["mvp_idx"], seed % 2)
+
+
+_PARTS_SCRIPT = ("2Nx2N", "2NxN", "Nx2N", "2NxnU", "2NxnD", "nLx2N",
+                 "nRx2N", "SPLIT")
+
+
+def _fixture_pslice_parts(width: int, height: int, qp: int,
+                          poc_lsb: int, ref_delta: int = 1) -> bytes:
+    """One whole-picture P slice cycling every §9.3.3.7 partition
+    shape: 16x16 CUs walk 2Nx2N/rect/all-four-AMP, every eighth CTU
+    splits into four 8x8 CUs alternating 2NxN/Nx2N (8x4 and 4x8 PUs).
+    All PUs are AMVP-coded with scripted mvds — the encoder never
+    needs the predicted MV, the libde265 cross-pin arbitrates the
+    §8.5.3.2.6-8 derivation."""
+    bw = _BitWriter()
+    bw.u(1, 1)
+    bw.ue(0)
+    bw.ue(1)                        # slice_type P
+    bw.u(8, poc_lsb & 255)
+    bw.u(1, 0)
+    bw.ue(1); bw.ue(0)              # RPS: one negative pic
+    bw.ue(ref_delta - 1); bw.u(1, 1)
+    bw.u(1, 0)                      # num_ref_idx_active_override
+    bw.ue(4)                        # five_minus_max_num_merge_cand → 1
+    bw.se(0)
+    bw.u(1, 1)
+    bw.align_zero()
+    enc = _CabacEnc(bw, qp)
+    enc.state = _ctx_states(qp, 1)  # P init rows
+    n_w, n_h = width // 16, height // 16
+    split_flags: dict[int, bool] = {}
+    seed = 0
+    for addr in range(n_w * n_h):
+        rx, ry = addr % n_w, addr // n_w
+        mode = _PARTS_SCRIPT[addr % len(_PARTS_SCRIPT)]
+        split = mode == "SPLIT"
+        inc = ((1 if rx > 0 and split_flags.get(addr - 1) else 0)
+               + (1 if ry > 0 and split_flags.get(addr - n_w) else 0))
+        enc.enc(_CTX_OFF["split_cu"] + inc, 1 if split else 0)
+        split_flags[addr] = split
+        if split:
+            for sub in range(4):    # z-order 8x8 CUs
+                enc.enc(_CTX_OFF["cu_skip"], 0)
+                enc.enc(_CTX_OFF["pred_mode"], 0)
+                enc.enc(_CTX_OFF["part_mode"], 0)
+                enc.enc(_CTX_OFF["part_mode"] + 1, 1 if sub % 2 == 0 else 0)
+                for _pidx in range(2):
+                    _enc_pu_amvp_p(enc, seed)
+                    seed += 1
+                enc.enc(_CTX_OFF["rqt_root_cbf"], 0)
+        else:
+            enc.enc(_CTX_OFF["cu_skip"], 0)
+            enc.enc(_CTX_OFF["pred_mode"], 0)
+            _enc_part_mode_16(enc, mode)
+            for _pidx in range(1 if mode == "2Nx2N" else 2):
+                _enc_pu_amvp_p(enc, seed)
+                seed += 1
+            enc.enc(_CTX_OFF["rqt_root_cbf"], 0)
+        enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
+    bw.align_zero()
+    return _hevc_nal(1, bw.done())  # TRAIL_R
+
+
+def _fixture_bslice_small(width: int, height: int, qp: int,
+                          poc_lsb: int) -> bytes:
+    """One whole-picture B slice exercising the small-PU rules: every
+    other CTU splits into 8x8 CUs of 2NxN (8x4 PUs) where PU0 merges
+    (zero-fill candidates are BI → the §8.5.3.2.1 bi→L0 conversion)
+    and PU1 is AMVP with the single-bin small-PU inter_pred_idc;
+    the rest are 16x16 Nx2N AMVP CUs with the two-bin inter_pred_idc
+    (L0/L1/BI cycled)."""
+    bw = _BitWriter()
+    bw.u(1, 1)
+    bw.ue(0)
+    bw.ue(0)                        # slice_type B
+    bw.u(8, poc_lsb & 255)
+    bw.u(1, 0)
+    bw.ue(1); bw.ue(1)              # one negative + one positive pic
+    bw.ue(0); bw.u(1, 1)            # POC-1
+    bw.ue(0); bw.u(1, 1)            # POC+1
+    bw.u(1, 0)                      # num_ref_idx_active_override (1/1)
+    bw.u(1, 0)                      # mvd_l1_zero_flag
+    bw.ue(4)                        # five_minus_max_num_merge_cand → 1
+    bw.se(0)
+    bw.u(1, 1)
+    bw.align_zero()
+    enc = _CabacEnc(bw, qp)
+    enc.state = _ctx_states(qp, 2)  # B init rows
+    n_w, n_h = width // 16, height // 16
+    split_flags: dict[int, bool] = {}
+    seed = 1
+    for addr in range(n_w * n_h):
+        rx, ry = addr % n_w, addr // n_w
+        split = addr % 2 == 0
+        inc = ((1 if rx > 0 and split_flags.get(addr - 1) else 0)
+               + (1 if ry > 0 and split_flags.get(addr - n_w) else 0))
+        enc.enc(_CTX_OFF["split_cu"] + inc, 1 if split else 0)
+        split_flags[addr] = split
+        if split:
+            for _sub in range(4):
+                enc.enc(_CTX_OFF["cu_skip"], 0)
+                enc.enc(_CTX_OFF["pred_mode"], 0)
+                enc.enc(_CTX_OFF["part_mode"], 0)
+                enc.enc(_CTX_OFF["part_mode"] + 1, 1)  # 2NxN → 8x4 PUs
+                # PU0: merge (max_merge 1 → idx 0, no bins); a BI
+                # candidate must convert to L0 on this 8x4 PU
+                enc.enc(_CTX_OFF["merge_flag"], 1)
+                # PU1: AMVP, single-bin inter_pred_idc (no BI)
+                enc.enc(_CTX_OFF["merge_flag"], 0)
+                use_l1 = seed % 2
+                enc.enc(_CTX_OFF["inter_dir"] + 4, use_l1)
+                mx, my = _fixture_mvd(seed)
+                _encode_mvd(enc, mx, my)
+                enc.enc(_CTX_OFF["mvp_idx"], seed % 2)
+                seed += 1
+                enc.enc(_CTX_OFF["rqt_root_cbf"], 0)
+        else:
+            enc.enc(_CTX_OFF["cu_skip"], 0)
+            enc.enc(_CTX_OFF["pred_mode"], 0)
+            _enc_part_mode_16(enc, "Nx2N")
+            for pidx in range(2):
+                enc.enc(_CTX_OFF["merge_flag"], 0)
+                kind = (seed + pidx) % 3  # 0:L0 1:L1 2:BI
+                if kind == 2:
+                    enc.enc(_CTX_OFF["inter_dir"], 1)  # ctx = depth 0
+                else:
+                    enc.enc(_CTX_OFF["inter_dir"], 0)
+                    enc.enc(_CTX_OFF["inter_dir"] + 4, kind)
+                for lst in ((0,) if kind == 0 else (1,) if kind == 1
+                            else (0, 1)):
+                    mx, my = _fixture_mvd(seed + lst)
+                    _encode_mvd(enc, mx, my)
+                    enc.enc(_CTX_OFF["mvp_idx"], (seed + lst) % 2)
+                seed += 1
+            enc.enc(_CTX_OFF["rqt_root_cbf"], 0)
+        enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
+    bw.align_zero()
+    return _hevc_nal(0, bw.done())  # TRAIL_N
+
+
+def encode_hevc_gop_parts(width: int, height: int, qp: int,
+                          c0: int) -> bytes:
+    """Partition-tier GOP [IRAP(0), parts-P(1)]: a flat DC IRAP then
+    a P picture cycling every inter partition shape with scripted
+    AMVP motion.  Wire libde265-arbitrated in tests."""
+    if width % 16 or height % 16 or not width or not height:
+        raise ValueError("hevc fixture: dimensions must be multiples of 16")
+    if not 0 <= qp <= 51 or not 1 <= abs(c0) <= 1 << 14:
+        raise ValueError("hevc fixture: qp/coefficient out of range")
+    return (_hevc_nal(32, _fixture_vps())
+            + _hevc_nal(33, _fixture_sps_parts(width, height))
+            + _hevc_nal(34, _fixture_pps(qp, tq_bypass=False))
+            + _fixture_iframe_parts(width, height, qp, c0)
+            + _fixture_pslice_parts(width, height, qp, 1))
+
+
+def encode_hevc_gop_parts_b(width: int, height: int, qp: int,
+                            c0: int) -> bytes:
+    """Small-PU B tier GOP in decode order [IRAP(0), parts-P(2),
+    small-B(1)]: the B sits between its anchors (reorder-capable
+    VPS/SPS) and exercises 8x4 merge bi→L0 plus the single-bin
+    inter_pred_idc."""
+    if width % 16 or height % 16 or not width or not height:
+        raise ValueError("hevc fixture: dimensions must be multiples of 16")
+    if not 0 <= qp <= 51 or not 1 <= abs(c0) <= 1 << 14:
+        raise ValueError("hevc fixture: qp/coefficient out of range")
+    return (_hevc_nal(32, _fixture_vps(reorder=1))
+            + _hevc_nal(33, _fixture_sps_parts(width, height, reorder=1))
+            + _hevc_nal(34, _fixture_pps(qp, tq_bypass=False))
+            + _fixture_iframe_parts(width, height, qp, c0)
+            + _fixture_pslice_parts(width, height, qp, 2, ref_delta=2)
+            + _fixture_bslice_small(width, height, qp, 1))
+
+
+def encode_hevc_gop_parts_nxn(width: int, height: int, qp: int,
+                              c0: int) -> bytes:
+    """Inter-NxN tier GOP [IRAP(0), P(1)] on the CTB==minCB==16
+    fixture SPS: at the minimum CB size above 8 the §9.3.3.7
+    binarization grows the NxN row (bin 2 at ctx 2) — no production
+    encoder in this container emits inter NxN, so libde265
+    arbitrates the fixture wire."""
+    if width % 16 or height % 16 or not width or not height:
+        raise ValueError("hevc fixture: dimensions must be multiples of 16")
+    if not 0 <= qp <= 51 or not 1 <= abs(c0) <= 1 << 14:
+        raise ValueError("hevc fixture: qp/coefficient out of range")
+    idr = encode_hevc_iframe_dc(width, height, qp, c0)
+    bw = _BitWriter()
+    bw.u(1, 1)
+    bw.ue(0)
+    bw.ue(1)                        # slice_type P
+    bw.u(8, 1)                      # poc_lsb
+    bw.u(1, 0)
+    bw.ue(1); bw.ue(0)
+    bw.ue(0); bw.u(1, 1)            # POC-1
+    bw.u(1, 0)
+    bw.ue(4)                        # max_merge 1
+    bw.se(0)
+    bw.u(1, 1)
+    bw.align_zero()
+    enc = _CabacEnc(bw, qp)
+    enc.state = _ctx_states(qp, 1)
+    n_w, n_h = width // 16, height // 16
+    script = ("2Nx2N", "2NxN", "Nx2N", "NxN")
+    seed = 2
+    for addr in range(n_w * n_h):
+        mode = script[addr % 4]
+        enc.enc(_CTX_OFF["cu_skip"], 0)
+        enc.enc(_CTX_OFF["pred_mode"], 0)
+        # min-CB binarization: 1 / 01 / 001 / 000 (bin 2 at ctx 2)
+        if mode == "2Nx2N":
+            enc.enc(_CTX_OFF["part_mode"], 1)
+        else:
+            enc.enc(_CTX_OFF["part_mode"], 0)
+            enc.enc(_CTX_OFF["part_mode"] + 1, 1 if mode == "2NxN" else 0)
+            if mode != "2NxN":
+                enc.enc(_CTX_OFF["part_mode"] + 2, 1 if mode == "Nx2N" else 0)
+        for _pidx in range(1 if mode == "2Nx2N" else
+                           2 if mode in ("2NxN", "Nx2N") else 4):
+            _enc_pu_amvp_p(enc, seed)
+            seed += 1
+        enc.enc(_CTX_OFF["rqt_root_cbf"], 0)
+        enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
+    bw.align_zero()
+    return idr + _hevc_nal(1, bw.done())

@@ -1208,3 +1208,164 @@ def test_x265_pure_defaults_prefix_exact(preset):
     assert len(ref) >= n - 1
     for i, r in enumerate(ref):
         assert mine[i] == r, f"frame {i}"
+
+
+# ---------------------------------------------------------------------------
+# r8 late: rectangular + asymmetric inter partitions (§9.3.3.7 part_mode,
+# per-PU §7.3.8.6 motion).  The recorder asserts the stream really carried
+# non-2Nx2N partitions — a leg whose fixture collapses to 2Nx2N must fail,
+# not silently pass (round-7c lesson).
+
+
+class _PartRecorder:
+    def __init__(self):
+        self.modes = []
+        self._orig = hevc._PicDecoder._part_mode_inter
+
+    def __enter__(self):
+        rec = self
+
+        def wrapped(dec, log2):
+            m = rec._orig(dec, log2)
+            rec.modes.append((m, log2))
+            return m
+
+        hevc._PicDecoder._part_mode_inter = wrapped
+        return self
+
+    def __exit__(self, *exc):
+        hevc._PicDecoder._part_mode_inter = self._orig
+
+
+def _shear_frames(seed, w, h, n):
+    """Top half pans right, bottom half scrolls down: motion-field
+    discontinuities that reward rectangular partitions."""
+    rng = np.random.default_rng(seed)
+    y0 = ((rng.integers(0, 256, (h, w))
+           + np.add.outer(np.arange(h), np.arange(w)) * 3) % 256
+          ).astype(np.uint8)
+    cb0 = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    cr0 = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    out = []
+    for i in range(n):
+        y = y0.copy()
+        y[: h // 2] = np.roll(y0[: h // 2], 5 * i, axis=1)
+        y[h // 2 :] = np.roll(y0[h // 2 :], -3 * i, axis=0)
+        cb = cb0.copy()
+        cb[: h // 4] = np.roll(cb0[: h // 4], (5 * i) // 2, axis=1)
+        cr = cr0.copy()
+        cr[: h // 4] = np.roll(cr0[: h // 4], (5 * i) // 2, axis=1)
+        out.append((y, cb, cr))
+    return out
+
+
+def _band_frames(seed, w, h, n, band=4):
+    rng = np.random.default_rng(seed)
+    y0 = ((rng.integers(0, 256, (h, w))
+           + np.add.outer(np.arange(h), np.arange(w)) * 7) % 256
+          ).astype(np.uint8)
+    cb0 = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    cr0 = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    out = []
+    for i in range(n):
+        y = y0.copy()
+        for b in range(0, h, band):
+            sh = (3 * i) if (b // band) % 2 == 0 else (-2 * i)
+            y[b : b + band] = np.roll(y0[b : b + band], sh, axis=1)
+        out.append((y, np.roll(cb0, i, 1), np.roll(cr0, i, 1)))
+    return out
+
+
+@needs_refs
+@pytest.mark.parametrize("opts,want", [
+    (dict(_P_BASE, qp="32", sao="0", deblock="1", rect="1", rd="5"),
+     {"2NxN", "Nx2N"}),
+    (dict(_P_BASE, qp="34", sao="1", deblock="1", rect="1", amp="1",
+          rd="6", **{"tu-inter-depth": "3", "temporal-mvp": "1"}),
+     {"2NxN"}),
+    (dict(_P_BASE, qp="32", sao="0", deblock="1", rect="1", rd="5",
+          wpp="1"), {"2NxN", "Nx2N"}),
+    (dict(_T_BASE, qp="32", bframes="2", ref="2", sao="1", deblock="1",
+          rect="1", rd="5", **{"b-adapt": "0", "b-pyramid": "0"}),
+     {"2NxN", "Nx2N"}),
+    (dict(_T_BASE, qp="30", bframes="1", ref="2", sao="0", deblock="1",
+          rect="1", amp="1", rd="6", **{"b-adapt": "0", "b-pyramid": "1"}),
+     {"2NxN", "Nx2N"}),
+], ids=["P-rect", "P-rect-amp-tu3", "P-rect-wpp", "B-rect", "B-rect-amp"])
+def test_x265_rect_amp_partitions_bit_exact(opts, want):
+    stream = _encode(128, 96, _shear_frames(11, 128, 96, 7), opts)
+    ref = _DE265.decode(stream)
+    with _PartRecorder() as rec:
+        mine = hevc.decode_hevc_stream(stream, max_frames=12)
+    got = {m for m, _ in rec.modes}
+    assert want <= got, f"fixture stopped exercising partitions: {got}"
+    assert len(mine) == len(ref) == 7
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+
+
+@needs_refs
+def test_x265_rect_ctu16_bit_exact():
+    """CTU 16 with banded motion: rect partitions at every CU depth
+    x265 will emit them (it stops above 8x8 — small-PU coverage rides
+    the fixture-encoder pin below)."""
+    opts = dict(_P_BASE, qp="22", sao="0", deblock="0", rect="1",
+                rd="6", ctu="16")
+    stream = _encode(96, 64, _band_frames(13, 96, 64, 6), opts)
+    ref = _DE265.decode(stream)
+    with _PartRecorder() as rec:
+        mine = hevc.decode_hevc_stream(stream, max_frames=12)
+    got = {m for m, _ in rec.modes}
+    assert "2NxN" in got and "Nx2N" in got, got
+    assert len(mine) == len(ref) == 6
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+
+
+@needs_de265
+def test_fixture_parts_gop_bit_exact():
+    """Fixture-encoded P GOP cycling EVERY 16x16 partition shape
+    (incl. the four AMP modes x265's RD never picks) plus split 8x8
+    CUs with 8x4/4x8 PUs — libde265 arbitrates the wire."""
+    stream = hevc.encode_hevc_gop_parts(96, 64, 30, 40)
+    ref = _DE265.decode(stream)
+    with _PartRecorder() as rec:
+        mine = hevc.decode_hevc_stream(stream, max_frames=8)
+    got = {(m, l) for m, l in rec.modes}
+    for mode in ("2Nx2N", "2NxN", "Nx2N", "2NxnU", "2NxnD",
+                 "nLx2N", "nRx2N"):
+        assert (mode, 4) in got, f"missing {mode}"
+    assert ("2NxN", 3) in got and ("Nx2N", 3) in got  # 8x4/4x8 PUs
+    assert len(mine) == len(ref) == 2
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+
+
+@needs_de265
+def test_fixture_parts_b_small_pu_bit_exact():
+    """Small-PU B rules: 8x4 merge selecting a BI candidate must
+    convert to L0 (§8.5.3.2.1) and AMVP small PUs code the single-bin
+    inter_pred_idc; 16x16 Nx2N CUs cycle L0/L1/BI two-bin coding."""
+    stream = hevc.encode_hevc_gop_parts_b(96, 64, 30, 40)
+    ref = _DE265.decode(stream)
+    with _PartRecorder() as rec:
+        mine = hevc.decode_hevc_stream(stream, max_frames=8)
+    assert ("2NxN", 3) in {(m, l) for m, l in rec.modes}
+    assert len(mine) == len(ref) == 3
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+
+
+@needs_de265
+@pytest.mark.parametrize("qp,c0", [(28, -55), (34, 90)])
+def test_fixture_parts_nxn_bit_exact(qp, c0):
+    """Inter NxN at the min-CB-16 SPS (part_mode bin 2 at ctx 2) —
+    no in-container encoder emits it; libde265 arbitrates."""
+    stream = hevc.encode_hevc_gop_parts_nxn(96, 64, qp, c0)
+    ref = _DE265.decode(stream)
+    with _PartRecorder() as rec:
+        mine = hevc.decode_hevc_stream(stream, max_frames=8)
+    assert "NxN" in {m for m, _ in rec.modes}
+    assert len(mine) == len(ref) == 2
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
