@@ -24,7 +24,11 @@ and 8x4/4x8 small PUs with the §8.5.3.2.1 bi→L0 conversion and
 single-bin inter_pred_idc; per-PU §7.3.8.6 motion marked
 immediately so later PUs' spatial candidates see it, §7.4.9.8
 interSplitFlag on the transform tree), TMVP, explicit weighted
-prediction, 8-bit 4:2:0; no list modification / long-term refs —
+prediction, 8/10/12-bit (§8.5.4.2.2 shift1/shift3, 15-bd bi
+averaging, WP at log2Wd = denom+14-bd with offsets << bd-8; the
+§7.4.9.3 SAO offset scale comes from the PPS RANGE EXTENSION — 0
+when absent, as x265 writes — not implicitly from bit depth) in
+4:2:0 or 4:0:0; no list modification / long-term refs —
 everything outside REJECTS.  x265's RD never emits the AMP
 nL/nR shapes, sub-8x8 PUs or inter NxN, so those wires are pinned
 decode-side: the fixture encoders (encode_hevc_gop_parts*) write
@@ -213,22 +217,25 @@ _SIG_CTX_MAP_4x4 = (0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8)
 
 def _mc_block(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
               ivx: int, ivy: int, fx: int, fy: int, filters,
-              half: int, maxval: int, final: bool = True) -> np.ndarray:
+              half: int, maxval: int, final: bool = True,
+              bd: int = 8) -> np.ndarray:
     """§8.5.4.2.2 fractional-sample interpolation for one block:
     two-pass separable filter with the 14-bit intermediate precision
-    (shift1 = 0 at 8-bit, shift2 = 6).  `final` applies the
-    uni-prediction output stage ((x + 32) >> 6, clipped); False
-    returns the 14-bit intermediates for bi-prediction averaging.
-    Picture-boundary samples clamp (the spec's reference-padding
-    rule).  `half` = taps//2 - 1 (3 for the 8-tap luma filter, 1 for
-    the 4-tap chroma filter)."""
+    (shift1 = bd - 8, shift2 = 6).  `final` applies the
+    uni-prediction output stage ((x + off) >> shift3, shift3 =
+    14 - bd, clipped); False returns the 14-bit intermediates for
+    bi-prediction averaging.  Picture-boundary samples clamp (the
+    spec's reference-padding rule).  `half` = taps//2 - 1 (3 for the
+    8-tap luma filter, 1 for the 4-tap chroma filter)."""
     H, W = ref.shape
     ix, iy = x0 + ivx, y0 + ivy
+    s1 = bd - 8                     # shift1 (bd <= 12 here)
+    s3 = 14 - bd                    # shift3, the uni output stage
     if fx == 0 and fy == 0:
         ys = np.clip(np.arange(iy, iy + h), 0, H - 1)
         xs = np.clip(np.arange(ix, ix + w), 0, W - 1)
         block = ref[np.ix_(ys, xs)].astype(np.int64)
-        return block if final else block << 6
+        return block if final else block << (6 - s1)
     taps = len(filters[1])
     ys = np.clip(np.arange(iy - half, iy + h + (taps - 1 - half)), 0, H - 1)
     xs = np.clip(np.arange(ix - half, ix + w + (taps - 1 - half)), 0, W - 1)
@@ -236,8 +243,10 @@ def _mc_block(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
     if fx:
         f = filters[fx]
         tmp = sum(f[k] * win[:, k : k + w] for k in range(taps) if f[k])
+        if s1:
+            tmp >>= s1
     else:
-        tmp = win[:, half : half + w] << 6
+        tmp = win[:, half : half + w] << (6 - s1)
     if fy:
         f = filters[fy]
         out = sum(f[k] * tmp[k : k + h, :] for k in range(taps) if f[k])
@@ -246,7 +255,7 @@ def _mc_block(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
         out = tmp[half : half + h, :]
     if not final:
         return out
-    return np.clip((out + 32) >> 6, 0, maxval)
+    return np.clip((out + (1 << (s3 - 1))) >> s3, 0, maxval)
 
 
 def _type_row(name: str, n_ctx: int, init_type: int) -> tuple[int, ...]:
@@ -628,6 +637,30 @@ def _parse_pps(rbsp: bytes) -> dict:
     pps["lists_mod"] = br.u(1)  # lists_modification_present
     pps["parallel_merge"] = br.ue()  # log2_parallel_merge_level_minus2
     pps["slice_header_ext"] = br.u(1)
+    # §7.4.9.3: SAO offsets scale by the PPS RANGE EXTENSION's
+    # log2_sao_offset_scale, NOT implicitly by bit depth — x265's
+    # Main12 output carries no extension at all, so its 12-bit SAO
+    # offsets apply unscaled (caught by the inter cross-pin, r8)
+    pps["sao_scale_y"] = 0
+    pps["sao_scale_c"] = 0
+    if br.u(1):  # pps_extension_present_flag
+        rext = br.u(1)
+        others = (br.u(1), br.u(1), br.u(1), br.u(4))
+        if any(others):
+            raise ValueError("hevc: non-range PPS extensions unsupported")
+        if rext:  # §7.3.2.3.2 pps_range_extension
+            if pps["transform_skip"]:
+                br.ue()  # log2_max_transform_skip_block_size_minus2
+            if br.u(1):
+                raise ValueError(
+                    "hevc: cross-component prediction unsupported")
+            if br.u(1):
+                raise ValueError(
+                    "hevc: chroma QP offset lists unsupported")
+            pps["sao_scale_y"] = br.ue()
+            pps["sao_scale_c"] = br.ue()
+            if pps["sao_scale_y"] > 6 or pps["sao_scale_c"] > 6:
+                raise ValueError("hevc: bad SAO offset scale")
     return pps
 
 
@@ -1626,7 +1659,9 @@ class _PicDecoder:
                 offs_abs.append(v)
             band_pos = eo_class = 0
             vals = [0, 0, 0, 0, 0]
-            sh_off = self.bd - min(self.bd, 10)  # §7.4.9.3 offset scaling
+            # §7.4.9.3: scale from the PPS range extension (0 absent)
+            sh_off = self.pps["sao_scale_y" if c_idx == 0 else
+                              "sao_scale_c"]
             if t == 1:  # band offset
                 signs = [1] * 4
                 for i in range(4):
@@ -2258,28 +2293,34 @@ class _PicDecoder:
                 preds.append(_mc_block(
                     ref, xc, yc, cw, ch, mv[0] >> sh_mv, mv[1] >> sh_mv,
                     mv[0] & fmask, mv[1] & fmask, filters, half,
-                    self.maxval, final=(pf != 3 and wp is None)))
+                    self.maxval, final=(pf != 3 and wp is None),
+                    bd=self.bd))
                 if wp is not None:
                     ent = wp["l0" if lst == 0 else "l1"][ridx]
                     wos.append(ent[0] if comp == 0 else ent[1][comp - 1])
+            obd = self.bd - 8  # §8.5.4.2.3.3 WpOffsetBdShift
             if wp is not None:
                 # §8.5.4.2.3.3 explicit weighted sample prediction on
-                # the 14-bit intermediates (log2Wd = denom + shift1)
-                lwd = (wp["logwd_y"] if comp == 0 else wp["logwd_c"]) + 6
+                # the 14-bit intermediates (log2Wd = denom + 14 - bd)
+                lwd = (wp["logwd_y"] if comp == 0
+                       else wp["logwd_c"]) + 14 - self.bd
                 if pf == 3:
                     (w0t, o0), (w1t, o1) = wos
                     out = np.clip(
                         (preds[0] * w0t + preds[1] * w1t
-                         + ((o0 + o1 + 1) << lwd)) >> (lwd + 1),
+                         + ((((o0 + o1) << obd) + 1) << lwd)) >> (lwd + 1),
                         0, self.maxval)
                 else:
                     wt, o = wos[0]
                     out = np.clip(
-                        ((preds[0] * wt + (1 << (lwd - 1))) >> lwd) + o,
+                        ((preds[0] * wt + (1 << (lwd - 1))) >> lwd)
+                        + (o << obd),
                         0, self.maxval)
             elif pf == 3:
-                out = np.clip((preds[0] + preds[1] + 64) >> 7, 0,
-                              self.maxval)
+                sh2 = 15 - self.bd  # §8.5.4.2.3.2 bi averaging
+                out = np.clip(
+                    (preds[0] + preds[1] + (1 << (sh2 - 1))) >> sh2, 0,
+                    self.maxval)
             else:
                 out = preds[0]
             plane[yc : yc + ch, xc : xc + cw] = out.astype(self.dtype)
@@ -3208,11 +3249,8 @@ def decode_hevc_stream(data: bytes, max_frames: int = 64,
                                      pps_map,
                                      prev_sh=cur.sh if cur else None)
             sps = sps_map[sh["pps"]["sps_id"]]
-            if sh.get("slice_type") == 1:
-                if not allow_inter:
-                    raise ValueError("hevc: inter-coded slices unsupported")
-                if sps.get("bd", 8) != 8 or not sps.get("chroma", 1):
-                    raise ValueError("hevc: inter envelope is 8-bit 4:2:0")
+            if sh.get("slice_type") == 1 and not allow_inter:
+                raise ValueError("hevc: inter-coded slices unsupported")
             if sh["first"]:
                 if cur is not None:
                     finish(cur)
@@ -4031,9 +4069,6 @@ class HevcAuDecoder:
                     br, ntype, _active_sps(self.sps_map, rbsp),
                     self.pps_map, prev_sh=cur.sh if cur else None)
                 sps = self.sps_map[sh["pps"]["sps_id"]]
-                if sh.get("slice_type") == 1 and (
-                        sps.get("bd", 8) != 8 or not sps.get("chroma", 1)):
-                    raise ValueError("hevc: inter envelope is 8-bit 4:2:0")
                 if sh["first"]:
                     if cur is not None:
                         raise ValueError("hevc: two pictures in one sample")

@@ -1369,3 +1369,102 @@ def test_fixture_parts_nxn_bit_exact(qp, c0):
     assert len(mine) == len(ref) == 2
     for i, (m, r) in enumerate(zip(mine, ref)):
         assert m == r, f"frame {i}"
+
+
+# ---------------------------------------------------------------------------
+# r8 late: high-bit-depth INTER (Main10/Main12 P+B) — §8.5.4.2.2 shifts
+# (shift1 = bd-8, shift3 = 14-bd), §8.5.4.2.3.2 bi averaging at 15-bd,
+# §8.5.4.2.3.3 weighted prediction at log2Wd = denom + 14-bd with
+# offsets << (bd-8), and the §7.4.9.3 SAO offset scale taken from the
+# PPS RANGE EXTENSION (x265 writes none → offsets apply UNSCALED; the
+# previous implicit bd-10 scaling mis-decoded 12-bit SAO luma).
+
+
+def _hbd_motion_frames(seed, w, h, n, bd):
+    mx = (1 << bd) - 1
+    rng = np.random.default_rng(seed)
+    y0 = ((rng.integers(0, mx + 1, (h, w))
+           + np.add.outer(np.arange(h), np.arange(w)) * 11) % (mx + 1)
+          ).astype(np.uint16)
+    cb0 = rng.integers(0, mx + 1, (h // 2, w // 2)).astype(np.uint16)
+    cr0 = rng.integers(0, mx + 1, (h // 2, w // 2)).astype(np.uint16)
+    out = []
+    for i in range(n):
+        g = 1.0 - 0.05 * i  # fade → x265 writes real weight tables
+        y = np.clip(np.roll(y0, 3 * i, 1).astype(np.float64) * g,
+                    0, mx).astype(np.uint16)
+        out.append((y, np.roll(cb0, i, 1), np.roll(cr0, i, 1)))
+    return out
+
+
+_HBD_INTER_CASES = [
+    (dict(_P_BASE, qp="30", sao="0", deblock="1"), "P"),
+    (dict(_T_BASE, qp="30", ref="2", sao="1", deblock="1"), "P-tmvp-sao"),
+    (dict(_T_BASE, qp="32", bframes="2", ref="2", rect="1", rd="5",
+          sao="1", deblock="1", weightp="1", weightb="1",
+          **{"b-adapt": "0", "b-pyramid": "0"}), "B-rect-wp-sao"),
+]
+
+
+@pytest.mark.parametrize("bd", [10, 12])
+@pytest.mark.parametrize("opts,label",
+                         _HBD_INTER_CASES,
+                         ids=[c[1] for c in _HBD_INTER_CASES])
+def test_hbd_inter_bit_exact(bd, opts, label):
+    enc = libx265_oracle.load(bd)
+    if enc is None or _DE265 is None:
+        pytest.skip("high-bit-depth references absent")
+    fr = _hbd_motion_frames(bd + len(label), 96, 64, 7, bd)
+    stream = enc.encode(
+        96, 64, [(f[0].tobytes(), f[1].tobytes(), f[2].tobytes())
+                 for f in fr], opts)
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=12)
+    assert len(mine) == len(ref) == 7
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+
+
+@pytest.mark.parametrize("bd", [10, 12])
+def test_hbd_pure_defaults_prefix_exact(bd):
+    """preset-medium crf defaults at 10/12-bit (SAO + TMVP + WP +
+    b-pyramid): the 12-bit case is the one that caught the SAO
+    offset-scale bug — keep it sensitive."""
+    enc = libx265_oracle.load(bd)
+    if enc is None or _DE265 is None:
+        pytest.skip("high-bit-depth references absent")
+    fr = _hbd_motion_frames(bd, 96, 64, 8, bd)
+    stream = enc.encode(
+        96, 64, [(f[0].tobytes(), f[1].tobytes(), f[2].tobytes())
+                 for f in fr], {"preset": "medium", "crf": "26"})
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=16)
+    assert len(mine) == 8
+    assert len(ref) >= 7  # libde265 withholds b-pyramid finals
+    for i, r in enumerate(ref):
+        assert mine[i] == r, f"frame {i}"
+
+
+@needs_refs
+@pytest.mark.parametrize("opts,label", [
+    (dict(_P_BASE, qp="30", sao="1", deblock="1"), "P-mono"),
+    (dict(_T_BASE, qp="30", bframes="2", ref="2", sao="0", deblock="1",
+          **{"b-adapt": "0", "b-pyramid": "0"}), "B-mono"),
+], ids=lambda v: v if isinstance(v, str) else "")
+def test_monochrome_inter_bit_exact(opts, label):
+    """4:0:0 P/B GOPs: chroma MC and chroma weight syntax absent."""
+    rng = np.random.default_rng(3)
+    h, w = 64, 96
+    y0 = ((rng.integers(0, 256, (h, w))
+           + np.add.outer(np.arange(h), np.arange(w)) * 3) % 256
+          ).astype(np.uint8)
+    frames = [(np.roll(y0, 3 * i, 1).tobytes(), b"", b"")
+              for i in range(6)]
+    stream = _X265.encode(w, h, frames,
+                          dict(opts, **{"input-csp": "i400"}))
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=10)
+    assert len(mine) == len(ref) == 6
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+    assert mine[0][3] == b"" and mine[0][4] == b""
