@@ -816,8 +816,10 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
         else:
             na0 = pps["num_ref_l0"]
             na1 = pps["num_ref_l1"] if slice_type == 0 else 0
-        if not 1 <= na0 <= 4 or (slice_type == 0 and not 1 <= na1 <= 4):
-            raise ValueError("hevc: implausible active reference count")
+        if not 1 <= na0 <= 15 or (slice_type == 0
+                                  and not 1 <= na1 <= 15):
+            raise ValueError("hevc: active reference count out of "
+                             "the §7.4.7.1 range")
         sh["na_l0"] = na0
         sh["na_l1"] = na1
         sh["mvd_l1_zero"] = br.u(1) if slice_type == 0 else 0
@@ -3167,10 +3169,10 @@ def _col_motion_info(dec: "_PicDecoder"):
             continue
         mask = dec.slice_grid == si
         if rp[0]:
-            l0 = np.array(list(rp[0]) + [0] * (8 - len(rp[0])), np.int32)
+            l0 = np.array(list(rp[0]) + [0] * (16 - len(rp[0])), np.int32)
             poc0[mask] = l0[dec.r0_grid[mask]]
         if rp[1]:
-            l1 = np.array(list(rp[1]) + [0] * (8 - len(rp[1])), np.int32)
+            l1 = np.array(list(rp[1]) + [0] * (16 - len(rp[1])), np.int32)
             poc1[mask] = l1[dec.r1_grid[mask]]
     return (dec.pf_grid.copy(), dec.mv0_grid.copy(), dec.mv1_grid.copy(),
             poc0, poc1, dec.intra_grid.copy(), dec.poc)

@@ -935,17 +935,37 @@ def test_x265_p_vertical_and_still_motion():
 
 @needs_refs
 def test_inter_envelope_rejections():
-    """Streams outside the inter envelope REJECT (never mis-decode):
-    implausible reference counts (TMVP and weighted prediction moved
-    INTO the envelope late r8)."""
-    w, h = 64, 64
-    for tweak, pat, n in (
-            (dict(ref="5"), "reference", 8),):
-        opts = dict(_P_BASE, qp="30", sao="0", deblock="0")
-        opts.update(tweak)
-        stream = _encode(w, h, _motion_frames(7, w, h, n), opts)
-        with pytest.raises(ValueError, match=pat):
-            hevc.decode_hevc_stream(stream, max_frames=12)
+    """Streams outside the inter envelope REJECT (never mis-decode).
+    TMVP, weighted prediction and every x265-expressible reference
+    count moved INTO the envelope late r8, so the remaining guard is
+    pinned on a hand-crafted header whose active reference count
+    exceeds the §7.4.7.1 maximum of 15."""
+    from data_lake_skyfit_spark.llm.hevc import (
+        _BitWriter, _CabacEnc, _ctx_states, _CTX_OFF, _hevc_nal,
+        encode_hevc_iframe_dc)
+    idr = hevc.encode_hevc_iframe_dc(48, 32, 30, 10)
+    bw = _BitWriter()
+    bw.u(1, 1)                      # first_slice_segment_in_pic
+    bw.ue(0)                        # pps id
+    bw.ue(1)                        # slice_type P
+    bw.u(8, 1)                      # poc_lsb
+    bw.u(1, 0)
+    bw.ue(1); bw.ue(0)
+    bw.ue(0); bw.u(1, 1)
+    bw.u(1, 1)                      # num_ref_idx_active_override
+    bw.ue(15)                       # num_ref_idx_l0_active_minus1 = 15!
+    bw.ue(4)
+    bw.se(0)
+    bw.u(1, 1)
+    bw.align_zero()
+    enc = _CabacEnc(bw, 30)
+    enc.state = _ctx_states(30, 1)
+    enc.enc(_CTX_OFF["cu_skip"], 1)
+    enc.terminate_enc(1)
+    bw.align_zero()
+    stream = idr + _hevc_nal(1, bw.done())
+    with pytest.raises(ValueError, match="reference count"):
+        hevc.decode_hevc_stream(stream, max_frames=4)
 
 
 @needs_refs
@@ -1192,10 +1212,12 @@ def test_x265_weighted_prediction_bit_exact(opts, label):
 
 
 @needs_refs
-@pytest.mark.parametrize("preset", ["ultrafast", "medium"])
+@pytest.mark.parametrize(
+    "preset", ["ultrafast", "medium", "slow", "veryslow"])
 def test_x265_pure_defaults_prefix_exact(preset):
     """x265 with NOTHING but a preset and crf — TMVP, weighted
-    prediction, bframes 4, ref 3, b-pyramid, all defaults.  This
+    prediction, bframes 4+, ref 3-5, b-pyramid, rect (slow+) and
+    AMP (veryslow: real nLx2N/nRx2N emissions), all defaults.  This
     decoder outputs every picture; libde265 withholds the final
     picture of b-pyramid streams (the documented quirk), so the pin
     is prefix equality over everything it does output."""
@@ -1468,3 +1490,15 @@ def test_monochrome_inter_bit_exact(opts, label):
     for i, (m, r) in enumerate(zip(mine, ref)):
         assert m == r, f"frame {i}"
     assert mine[0][3] == b"" and mine[0][4] == b""
+
+
+@needs_refs
+def test_x265_eight_references_bit_exact():
+    opts = dict(_P_BASE, qp="30", ref="8", sao="1", deblock="1",
+                **{"temporal-mvp": "1"})
+    stream = _encode(96, 64, _motion_frames(9, 96, 64, 12), opts)
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=20)
+    assert len(mine) == len(ref) == 12
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
