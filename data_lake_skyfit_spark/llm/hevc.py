@@ -4282,10 +4282,10 @@ def _fixture_mvd(seed: int) -> tuple[int, int]:
     return ((seed * 5) % 13) - 6, ((seed * 7) % 11) - 5
 
 
-def _enc_pu_amvp_p(enc, seed: int) -> None:
+def _enc_pu_amvp_p(enc, seed: int, zero_mv: bool = False) -> None:
     """One P-slice AMVP prediction unit (na_l0 == 1)."""
     enc.enc(_CTX_OFF["merge_flag"], 0)
-    mx, my = _fixture_mvd(seed)
+    mx, my = (0, 0) if zero_mv else _fixture_mvd(seed)
     _encode_mvd(enc, mx, my)
     enc.enc(_CTX_OFF["mvp_idx"], seed % 2)
 
@@ -4295,13 +4295,19 @@ _PARTS_SCRIPT = ("2Nx2N", "2NxN", "Nx2N", "2NxnU", "2NxnD", "nLx2N",
 
 
 def _fixture_pslice_parts(width: int, height: int, qp: int,
-                          poc_lsb: int, ref_delta: int = 1) -> bytes:
+                          poc_lsb: int, ref_delta: int = 1,
+                          script_off: int = 0,
+                          zero_mv: bool = False) -> bytes:
     """One whole-picture P slice cycling every §9.3.3.7 partition
     shape: 16x16 CUs walk 2Nx2N/rect/all-four-AMP, every eighth CTU
     splits into four 8x8 CUs alternating 2NxN/Nx2N (8x4 and 4x8 PUs).
     All PUs are AMVP-coded with scripted mvds — the encoder never
     needs the predicted MV, the libde265 cross-pin arbitrates the
-    §8.5.3.2.6-8 derivation."""
+    §8.5.3.2.6-8 derivation.  `zero_mv` codes every mvd as zero (the
+    motion field stays all-zero, so decode is an exact reference
+    copy — the graded leg's closed form); `script_off` rotates the
+    shape cycle so small pictures still cover every shape across a
+    fixture sweep."""
     bw = _BitWriter()
     bw.u(1, 1)
     bw.ue(0)
@@ -4322,7 +4328,7 @@ def _fixture_pslice_parts(width: int, height: int, qp: int,
     seed = 0
     for addr in range(n_w * n_h):
         rx, ry = addr % n_w, addr // n_w
-        mode = _PARTS_SCRIPT[addr % len(_PARTS_SCRIPT)]
+        mode = _PARTS_SCRIPT[(addr + script_off) % len(_PARTS_SCRIPT)]
         split = mode == "SPLIT"
         inc = ((1 if rx > 0 and split_flags.get(addr - 1) else 0)
                + (1 if ry > 0 and split_flags.get(addr - n_w) else 0))
@@ -4335,7 +4341,7 @@ def _fixture_pslice_parts(width: int, height: int, qp: int,
                 enc.enc(_CTX_OFF["part_mode"], 0)
                 enc.enc(_CTX_OFF["part_mode"] + 1, 1 if sub % 2 == 0 else 0)
                 for _pidx in range(2):
-                    _enc_pu_amvp_p(enc, seed)
+                    _enc_pu_amvp_p(enc, seed, zero_mv)
                     seed += 1
                 enc.enc(_CTX_OFF["rqt_root_cbf"], 0)
         else:
@@ -4343,7 +4349,7 @@ def _fixture_pslice_parts(width: int, height: int, qp: int,
             enc.enc(_CTX_OFF["pred_mode"], 0)
             _enc_part_mode_16(enc, mode)
             for _pidx in range(1 if mode == "2Nx2N" else 2):
-                _enc_pu_amvp_p(enc, seed)
+                _enc_pu_amvp_p(enc, seed, zero_mv)
                 seed += 1
             enc.enc(_CTX_OFF["rqt_root_cbf"], 0)
         enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
@@ -4512,3 +4518,66 @@ def encode_hevc_gop_parts_nxn(width: int, height: int, qp: int,
         enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
     bw.align_zero()
     return idr + _hevc_nal(1, bw.done())
+
+
+def _fixture_pslice_residual_parts(width: int, height: int, qp: int,
+                                   poc_lsb: int, c_y: int,
+                                   ref_delta: int = 1) -> bytes:
+    """DC-residual P slice under the partition-tier SPS (min CB 8):
+    every 16x16 CTU is an unsplit 2Nx2N zero-mv merge CU carrying one
+    luma DC coefficient — the _fixture_pslice wire plus the explicit
+    split_cu=0 bin the smaller min CB makes mandatory."""
+    bw = _BitWriter()
+    bw.u(1, 1)
+    bw.ue(0)
+    bw.ue(1)                        # slice_type P
+    bw.u(8, poc_lsb & 255)
+    bw.u(1, 0)
+    bw.ue(1); bw.ue(0)
+    bw.ue(ref_delta - 1); bw.u(1, 1)
+    bw.u(1, 0)
+    bw.ue(4)                        # max_merge 1
+    bw.se(0)
+    bw.u(1, 1)
+    bw.align_zero()
+    enc = _CabacEnc(bw, qp)
+    enc.state = _ctx_states(qp, 1)
+    coeffs = np.zeros((16, 16), np.int64)
+    coeffs[0, 0] = c_y
+    n_w, n_h = width // 16, height // 16
+    for addr in range(n_w * n_h):
+        enc.enc(_CTX_OFF["split_cu"], 0)
+        enc.enc(_CTX_OFF["cu_skip"], 0)
+        enc.enc(_CTX_OFF["pred_mode"], 0)
+        enc.enc(_CTX_OFF["part_mode"], 1)  # PART_2Nx2N
+        enc.enc(_CTX_OFF["merge_flag"], 1)
+        enc.enc(_CTX_OFF["cbf_chroma"], 0)
+        enc.enc(_CTX_OFF["cbf_chroma"], 0)
+        _residual_encode(enc, coeffs, 4, 0)
+        enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
+    bw.align_zero()
+    return _hevc_nal(1, bw.done())
+
+
+def encode_hevc_gop_dc_parts(width: int, height: int, qp: int, c0: int,
+                             c2: int, script_off: int = 0) -> bytes:
+    """Partition-wire twin of encode_hevc_gop_dc (r8 graded re-carve):
+    the SAME three closed-form pictures — flat IRAP, identical-plane
+    P, DC-residual P — but the middle picture's wire cycles every
+    §9.3.3.7 partition shape with zero-mvd AMVP (an exact reference
+    copy), and the whole GOP rides the min-CB-8/AMP fixture SPS.  An
+    entropy/syntax change that cannot move a reconstructed sample, so
+    the existing oracle grades it unchanged (CLAUDE.md r8 lesson 7);
+    libde265 arbitrates the wire in tests."""
+    if width % 16 or height % 16 or not width or not height:
+        raise ValueError("hevc fixture: dimensions must be multiples of 16")
+    if not 0 <= qp <= 51 or not 1 <= abs(c0) <= 1 << 14 \
+            or not 1 <= abs(c2) <= 1 << 14:
+        raise ValueError("hevc fixture: qp/coefficient out of range")
+    return (_hevc_nal(32, _fixture_vps())
+            + _hevc_nal(33, _fixture_sps_parts(width, height))
+            + _hevc_nal(34, _fixture_pps(qp, tq_bypass=False))
+            + _fixture_iframe_parts(width, height, qp, c0)
+            + _fixture_pslice_parts(width, height, qp, 1,
+                                    script_off=script_off, zero_mv=True)
+            + _fixture_pslice_residual_parts(width, height, qp, 2, c2))

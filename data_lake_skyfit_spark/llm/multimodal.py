@@ -8232,11 +8232,23 @@ def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
                     continue
                 if rid >= 200:
                     # r8 P-GOP leg: IRAP DC + all-skip P + DC-residual
-                    # P through the inter tier (encode_hevc_gop_dc)
+                    # P through the inter tier (encode_hevc_gop_dc).
+                    # ids 210-219 re-carve the middle picture's WIRE
+                    # onto the partition tier (every §9.3.3.7 shape,
+                    # zero-mvd AMVP — an exact copy, so the closed
+                    # forms and the oracle are unchanged; CLAUDE.md r8
+                    # lesson 7) over the min-CB-8/AMP fixture SPS
                     k = rid - 200
-                    gop = encode_hevc_gop_dc(
-                        w, h, (22, 27, 32, 37)[k % 4],
-                        1 + k % 25, 1 + k % 7)
+                    if rid >= 210:
+                        from .hevc import encode_hevc_gop_dc_parts
+
+                        gop = encode_hevc_gop_dc_parts(
+                            w, h, (22, 27, 32, 37)[k % 4],
+                            1 + k % 25, 1 + k % 7, script_off=k)
+                    else:
+                        gop = encode_hevc_gop_dc(
+                            w, h, (22, 27, 32, 37)[k % 4],
+                            1 + k % 25, 1 + k % 7)
                     # split the Annex-B GOP into per-picture samples
                     frames = _hevc_split_aus(gop)
                 elif rid >= 120:

@@ -3854,7 +3854,14 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tier — cu_skip/merge zero-mv copy, then a merge CU whose "
     "inferred-cbf luma residual adds the DC delta; decoded via the "
     "incremental AU decoder threading the single-reference DPB "
-    "through the sample walk. The inter tier is validated bit-exactly "
+    "through the sample walk. ids 210-219 re-carve the middle "
+    "picture's WIRE onto the partition tier (late r8): every "
+    "§9.3.3.7 shape — rect, all four AMP modes, split 8x8 CUs with "
+    "8x4/4x8 PUs — as zero-mvd AMVP units over the min-CB-8/AMP "
+    "fixture SPS; zero motion means an exact reference copy, so the "
+    "closed forms grade unchanged while a partition-derivation bug "
+    "hash-mismatches (libde265 arbitrates the wire and pytest pins "
+    "shape coverage across the graded ids). The inter tier is validated bit-exactly "
     "against libde265 on x265-encoded P GOPs (qp/CTU/preset/feature "
     "sweeps) and the fixture wire is libde265-arbitrated too. ids "
     "220-239 (r8) are four-picture IBP GOPs: an all-skip B between "

@@ -1502,3 +1502,32 @@ def test_x265_eight_references_bit_exact():
     assert len(mine) == len(ref) == 12
     for i, (m, r) in enumerate(zip(mine, ref)):
         assert m == r, f"frame {i}"
+
+
+@needs_de265
+def test_graded_parts_leg_covers_all_shapes_and_closed_forms():
+    """The graded re-carve (multimodal ids 210-219): the parts GOP
+    must (a) decode to EXACTLY the same planes as the plain DC GOP it
+    replaced — the oracle's closed forms, (b) be libde265-bit-exact,
+    and (c) across the ten graded ids exercise every partition shape
+    INCLUDING split 8x8 CUs (rows-match green ≠ leg present, r7c)."""
+    seen = set()
+    for k in range(10, 20):  # ids 210-219 → k = rid - 200
+        w = 32 + 16 * ((200 + k) % 3)
+        qp = (22, 27, 32, 37)[k % 4]
+        c0, c2 = 1 + k % 25, 1 + k % 7
+        plain = hevc.encode_hevc_gop_dc(w, 32, qp, c0, c2)
+        parts = hevc.encode_hevc_gop_dc_parts(w, 32, qp, c0, c2,
+                                              script_off=k)
+        with _PartRecorder() as rec:
+            mine = hevc.decode_hevc_stream(parts, max_frames=8)
+        seen |= {(m, l) for m, l in rec.modes}
+        assert mine == hevc.decode_hevc_stream(plain, max_frames=8)
+        ref = _DE265.decode(parts)
+        assert len(mine) == len(ref) == 3
+        for i, (m, r) in enumerate(zip(mine, ref)):
+            assert m == r, f"id {200+k} frame {i}"
+    for mode in ("2Nx2N", "2NxN", "Nx2N", "2NxnU", "2NxnD",
+                 "nLx2N", "nRx2N"):
+        assert (mode, 4) in seen, f"graded leg missing {mode}"
+    assert ("2NxN", 3) in seen and ("Nx2N", 3) in seen
