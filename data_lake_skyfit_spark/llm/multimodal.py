@@ -5555,15 +5555,25 @@ def _mp4_video_pixels(data: bytes, every_ms: int,
                 hevc_dec = HevcAuDecoder()
             w, h, yb, ub, vb = hevc_dec.decode(au)
             if emit:
-                if len(yb) != w * h:
-                    # >8-bit planes (uint16): outside the stats envelope
-                    raise ValueError("mp4: high-bit-depth HEVC sample")
-                psum = sum(yb) + sum(ub) + sum(vb)
-                psq = (sum(v * v for v in yb) + sum(v * v for v in ub)
-                       + sum(v * v for v in vb))
                 # 4:0:0 decodes have empty chroma planes — report the
                 # channel count the pixels actually cover (ADVICE r7)
                 nch = 3 if ub else 1
+                if len(yb) == w * h:
+                    psum = sum(yb) + sum(ub) + sum(vb)
+                    psq = (sum(v * v for v in yb) + sum(v * v for v in ub)
+                           + sum(v * v for v in vb))
+                elif len(yb) == 2 * w * h:
+                    # Main10/Main12 planes are uint16-LE — stats run
+                    # over SAMPLES, not bytes (late r8: the HBD inter
+                    # tier made these really decodable)
+                    import numpy as np
+
+                    arrs = [np.frombuffer(b, "<u2").astype(np.int64)
+                            for b in (yb, ub, vb)]
+                    psum = int(sum(int(a.sum()) for a in arrs))
+                    psq = int(sum(int((a * a).sum()) for a in arrs))
+                else:
+                    raise ValueError("mp4: implausible HEVC plane size")
                 out.append((i, ts_ms, w, h, nch, psum, psq))
         else:
             if avc_cfg is not None:

@@ -365,16 +365,22 @@ def test_bit_flip_fuzz_never_hangs():
             heic[pos] ^= bit
 
 
-def test_high_bit_depth_media_rejects_into_fake_path():
-    # Main10 samples decode fine at the codec layer (uint16 planes) but
-    # the byte-summing stats surfaces guard them out explicitly rather
-    # than mis-summing uint16 bytes
+def test_high_bit_depth_mp4_video_real_stats():
+    # Main10 tracks are REALLY decodable since the late-r8 HBD inter
+    # tier: the stats surface sums uint16 SAMPLES (never raw bytes —
+    # the pre-r8 guard existed exactly to prevent that mis-sum)
     from .test_hevc_codec import _GOLDEN_10BIT
+    from data_lake_skyfit_spark.llm.hevc import decode_hevc_intra_stream
 
     stream = base64.b64decode("".join(_GOLDEN_10BIT[3:]))
+    (w, h, yb, ub, vb), = decode_hevc_intra_stream(stream)
+    planes = [np.frombuffer(b, "<u2").astype(np.int64)
+              for b in (yb, ub, vb)]
+    want_sum = int(sum(int(a.sum()) for a in planes))
+    want_sq = int(sum(int((a * a).sum()) for a in planes))
     mp4 = M.encode_mp4_frames([stream], codec="hvc1")
-    with pytest.raises(ValueError, match="high-bit-depth"):
-        M._mp4_video_pixels(mp4, 400)
+    rows = M._mp4_video_pixels(mp4, 400)
+    assert rows == [(0, 0, w, h, 3, want_sum, want_sq)]
 
 
 def test_decode_images_sniff_order_keeps_other_formats():
@@ -384,3 +390,38 @@ def test_decode_images_sniff_order_keeps_other_formats():
     y, cb, cr = _planes(14, 32, 32)
     assert M._looks_like_heif(
         encode_heic_fixture(32, 32, y.tobytes(), cb.tobytes(), cr.tobytes()))
+
+
+def test_hbd_inter_mp4_track_real_stats():
+    """A 10-bit x265 P GOP muxed as an hvc1 track: every sampled frame
+    reports sample-wise uint16 stats through the incremental AU
+    decoder (needs the 10-bit encode bridge)."""
+    from . import libx265_oracle
+    from data_lake_skyfit_spark.llm import hevc as H
+
+    enc = libx265_oracle.load(10)
+    if enc is None:
+        pytest.skip("10-bit x265 bridge absent")
+    rng = np.random.default_rng(5)
+    y0 = rng.integers(0, 1024, (32, 48)).astype("<u2")
+    cb0 = rng.integers(0, 1024, (16, 24)).astype("<u2")
+    cr0 = rng.integers(0, 1024, (16, 24)).astype("<u2")
+    frames = [(np.roll(y0, 3 * i, 1).tobytes(), cb0.tobytes(),
+               cr0.tobytes()) for i in range(4)]
+    stream = enc.encode(48, 32, frames,
+                        {"keyint": "250", "min-keyint": "250",
+                         "scenecut": "0", "bframes": "0", "ref": "1",
+                         "aq-mode": "0", "qp": "30"})
+    decoded = H.decode_hevc_stream(stream, max_frames=8)
+    aus = M._hevc_split_aus(stream)
+    assert len(aus) == 4
+    mp4 = M.encode_mp4_frames(aus, codec="hvc1")
+    rows = M._mp4_video_pixels(mp4, 1)  # emit every sample
+    assert len(rows) == 4
+    for i, (idx, _ts, w, h, nch, psum, psq) in enumerate(rows):
+        dw, dh, yb, ub, vb = decoded[i]
+        planes = [np.frombuffer(b, "<u2").astype(np.int64)
+                  for b in (yb, ub, vb)]
+        assert (w, h, nch) == (dw, dh, 3)
+        assert psum == int(sum(int(a.sum()) for a in planes))
+        assert psq == int(sum(int((a * a).sum()) for a in planes))
