@@ -28,8 +28,10 @@ prediction, 8/10/12-bit (§8.5.4.2.2 shift1/shift3, 15-bd bi
 averaging, WP at log2Wd = denom+14-bd with offsets << bd-8; the
 §7.4.9.3 SAO offset scale comes from the PPS RANGE EXTENSION — 0
 when absent, as x265 writes — not implicitly from bit depth) in
-4:2:0 or 4:0:0; no list modification / long-term refs —
-everything outside REJECTS.  x265's RD never emits the AMP
+4:2:0 or 4:0:0, §7.3.6.2 reference list modification (late r8 —
+list_entry reordering of the §8.3.4 temp lists; fixture-encoded,
+libde265-arbitrated); no long-term refs — everything outside
+REJECTS.  x265's RD never emits the AMP
 nL/nR shapes, sub-8x8 PUs or inter NxN, so those wires are pinned
 decode-side: the fixture encoders (encode_hevc_gop_parts*) write
 them deliberately and libde265 arbitrates bit-exactness.
@@ -740,7 +742,8 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
                   "cr_qp_offset", "deblock_disabled", "beta_offset",
                   "tc_offset", "lf_across", "slice_type", "init_type",
                   "max_merge", "poc_lsb", "rps", "na_l0", "na_l1",
-                  "mvd_l1_zero", "tmvp", "col_l0", "col_ref", "wp"):
+                  "mvd_l1_zero", "tmvp", "col_l0", "col_ref", "wp",
+                  "list_entry_l0", "list_entry_l1"):
             sh[k] = prev_sh[k]
         sh["entry_offsets"] = []
         if pps["wpp"] or pps["tiles"]:
@@ -803,10 +806,8 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
     sh["col_l0"] = 1
     sh["col_ref"] = 0
     sh["wp"] = None
+    sh["list_entry_l0"] = sh["list_entry_l1"] = None
     if slice_type != 2:  # P/B inter envelope (r8)
-        if pps["lists_mod"]:
-            raise ValueError("hevc: reference list modification "
-                             "unsupported")
         if pps["parallel_merge"]:
             raise ValueError("hevc: parallel merge estimation regions "
                              "unsupported")
@@ -822,6 +823,24 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
                              "the §7.4.7.1 range")
         sh["na_l0"] = na0
         sh["na_l1"] = na1
+        # §7.3.6.2 ref_pic_lists_modification (late r8): explicit
+        # list_entry indices into the §8.3.4 temp lists; present only
+        # when the PPS enables it AND NumPicTotalCurr > 1 (§7.4.7.2:
+        # the used-by-current pictures of the active RPS)
+        s0, s1 = sh.get("rps", ([], []))
+        npt = sum(1 for _, u in s0 if u) + sum(1 for _, u in s1 if u)
+        if pps["lists_mod"] and npt > 1:
+            nbits = max(1, (npt - 1).bit_length())
+            if br.u(1):  # ref_pic_list_modification_flag_l0
+                ents = [br.u(nbits) for _ in range(na0)]
+                if any(e >= npt for e in ents):
+                    raise ValueError("hevc: list_entry out of range")
+                sh["list_entry_l0"] = ents
+            if slice_type == 0 and br.u(1):
+                ents = [br.u(nbits) for _ in range(na1)]
+                if any(e >= npt for e in ents):
+                    raise ValueError("hevc: list_entry out of range")
+                sh["list_entry_l1"] = ents
         sh["mvd_l1_zero"] = br.u(1) if slice_type == 0 else 0
         sh["init_type"] = 1 if slice_type == 1 else 2
         if pps["cabac_init_present"]:
@@ -1943,28 +1962,31 @@ class _PicDecoder:
         """§8.3.4 reference list construction from the slice's RPS:
         L0 = StCurrBefore (closest first) + StCurrAfter, L1 the
         mirror; the temp list wraps cyclically when shorter than the
-        active count.  Entries are (planes, poc) from the DPB."""
+        active count, then the optional §7.3.6.2 list_entry indices
+        reorder it.  Entries are (planes, poc) from the DPB."""
         s0, s1 = sh.get("rps", ([], []))
         before = [self.poc + d for d, u in s0 if u]
         after = [self.poc + d for d, u in s1 if u]
 
-        def pick(pocs: list, n: int) -> list:
+        def pick(pocs: list, n: int, entries) -> list:
+            if n and not pocs:
+                raise ValueError("hevc: empty reference list")
+            temp = [pocs[i % len(pocs)]
+                    for i in range(max(n, len(pocs)))] if pocs else []
             out = []
-            i = 0
-            while len(out) < n:
-                if not pocs:
-                    raise ValueError("hevc: empty reference list")
-                pc = pocs[i % len(pocs)]
+            for i in range(n):
+                pc = temp[entries[i]] if entries else temp[i]
                 ent = self.dpb.get(pc)
                 if ent is None:
                     raise ValueError(
                         "hevc: reference picture missing from DPB")
                 out.append((ent, pc))
-                i += 1
             return out
 
-        self.cur_l0 = pick(before + after, sh.get("na_l0", 0))
-        self.cur_l1 = pick(after + before, sh.get("na_l1", 0)) \
+        self.cur_l0 = pick(before + after, sh.get("na_l0", 0),
+                           sh.get("list_entry_l0"))
+        self.cur_l1 = pick(after + before, sh.get("na_l1", 0),
+                           sh.get("list_entry_l1")) \
             if sh.get("na_l1") else []
         sh["ref_pocs"] = (tuple(p for _, p in self.cur_l0),
                           tuple(p for _, p in self.cur_l1))
@@ -3386,7 +3408,8 @@ def _fixture_sps(w: int, h: int, reorder: int = 0) -> bytes:
     return bw.done()
 
 
-def _fixture_pps(qp: int = _FIXTURE_QP, tq_bypass: bool = True) -> bytes:
+def _fixture_pps(qp: int = _FIXTURE_QP, tq_bypass: bool = True,
+                 lists_mod: bool = False) -> bytes:
     bw = _BitWriter()
     bw.ue(0); bw.ue(0)
     bw.u(1, 0); bw.u(1, 0); bw.u(3, 0)
@@ -3406,7 +3429,8 @@ def _fixture_pps(qp: int = _FIXTURE_QP, tq_bypass: bool = True) -> bytes:
     bw.u(1, 0)                      # override_enabled
     bw.u(1, 1)                      # pps_deblocking_filter_DISABLED
     bw.u(1, 0)                      # pps scaling list
-    bw.u(1, 0); bw.ue(0); bw.u(1, 0); bw.u(1, 0)
+    bw.u(1, 1 if lists_mod else 0)  # lists_modification_present
+    bw.ue(0); bw.u(1, 0); bw.u(1, 0)
     bw.rbsp_trailing()
     return bw.done()
 
@@ -4581,3 +4605,77 @@ def encode_hevc_gop_dc_parts(width: int, height: int, qp: int, c0: int,
             + _fixture_pslice_parts(width, height, qp, 1,
                                     script_off=script_off, zero_mv=True)
             + _fixture_pslice_residual_parts(width, height, qp, 2, c2))
+
+
+def _fixture_pslice_modlist(width: int, height: int, qp: int,
+                            poc_lsb: int, n_refs: int,
+                            entries: list[int]) -> bytes:
+    """All-skip P slice whose RPS holds `n_refs` used negative pics
+    (POC-1..POC-n) and whose §7.3.6.2 list_entry indices reorder the
+    §8.3.4 temp list — every CTU merge-copies RefPicList0[0], so the
+    output plane IS the picture the modification selected."""
+    bw = _BitWriter()
+    bw.u(1, 1)
+    bw.ue(0)
+    bw.ue(1)                        # slice_type P
+    bw.u(8, poc_lsb & 255)
+    bw.u(1, 0)                      # short_term_ref_pic_set_sps_flag
+    bw.ue(n_refs); bw.ue(0)         # num_negative, num_positive
+    for _ in range(n_refs):
+        bw.ue(0); bw.u(1, 1)        # each 1 below the previous, used
+    bw.u(1, 1)                      # num_ref_idx_active_override
+    bw.ue(len(entries) - 1)         # num_ref_idx_l0_active_minus1
+    nbits = max(1, (n_refs - 1).bit_length())
+    bw.u(1, 1)                      # ref_pic_list_modification_flag_l0
+    for e in entries:
+        bw.u(nbits, e)
+    bw.ue(4)                        # five_minus_max_num_merge_cand → 1
+    bw.se(0)
+    bw.u(1, 1)
+    bw.align_zero()
+    enc = _CabacEnc(bw, qp)
+    enc.state = _ctx_states(qp, 1)
+    n_w, n_h = width // 16, height // 16
+    for addr in range(n_w * n_h):
+        rx, ry = addr % n_w, addr // n_w
+        inc = (1 if rx > 0 else 0) + (1 if ry > 0 else 0)
+        enc.enc(_CTX_OFF["cu_skip"] + inc, 1)
+        enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
+    bw.align_zero()
+    return _hevc_nal(1, bw.done())
+
+
+def encode_hevc_gop_modlist(width: int, height: int, qp: int, c0: int,
+                            c2: int) -> bytes:
+    """Reference-list-modification GOP [IRAP(v0), residual-P(v0+d),
+    modlist-P(=v0), modlist-P(=v0+d)]: picture 2's list_entry points
+    refIdx 0 at the IRAP two POCs back (unmodified order would copy
+    the residual-P), picture 3's 2-bit entries over a 3-pic RPS pick
+    the residual-P again — each skip-copy output plane IS the list
+    the modification built.  libde265 arbitrates in tests."""
+    if width % 16 or height % 16 or not width or not height:
+        raise ValueError("hevc fixture: dimensions must be multiples of 16")
+    if not 0 <= qp <= 51 or not 1 <= abs(c0) <= 1 << 14 \
+            or not 1 <= abs(c2) <= 1 << 14:
+        raise ValueError("hevc fixture: qp/coefficient out of range")
+    idr = encode_hevc_iframe_dc(width, height, qp, c0)
+    nals = _split_nals(idr)
+    out = b""
+    for nal in nals:
+        t = (nal[0] >> 1) & 63
+        if t == 32:
+            # DPB sized for the 3-pic RPS (max_dec_pic_buffering —
+            # with the default 0, conforming decoders DROP the
+            # multi-reference pictures; the r8 ordering-info lesson)
+            out += _hevc_nal(32, _fixture_vps(reorder=1))
+        elif t == 33:
+            out += _hevc_nal(33, _fixture_sps(width, height, reorder=1))
+        elif t == 34:
+            out += _hevc_nal(34, _fixture_pps(qp, tq_bypass=False,
+                                              lists_mod=True))
+        else:
+            out += b"\x00\x00\x00\x01" + nal
+    return (out
+            + _fixture_pslice(width, height, qp, 1, c2)
+            + _fixture_pslice_modlist(width, height, qp, 2, 2, [1, 1])
+            + _fixture_pslice_modlist(width, height, qp, 3, 3, [1]))

@@ -1531,3 +1531,22 @@ def test_graded_parts_leg_covers_all_shapes_and_closed_forms():
                  "nLx2N", "nRx2N"):
         assert (mode, 4) in seen, f"graded leg missing {mode}"
     assert ("2NxN", 3) in seen and ("Nx2N", 3) in seen
+
+
+@needs_de265
+@pytest.mark.parametrize("qp,c0,c2", [(27, 30, 5), (37, 12, 3)])
+def test_fixture_ref_list_modification_bit_exact(qp, c0, c2):
+    """§7.3.6.2 list_entry reordering (no in-container encoder emits
+    it): picture 2 redirects refIdx 0 at the IRAP two POCs back,
+    picture 3 picks from a 3-pic RPS — each skip-copy plane IS the
+    list the modification built, and libde265 arbitrates the wire."""
+    stream = hevc.encode_hevc_gop_modlist(48, 32, qp, c0, c2)
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=8)
+    assert len(mine) == len(ref) == 4
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+    y = [np.frombuffer(m[2], np.uint8) for m in mine]
+    # the modified lists select DIFFERENT pictures than decode order
+    assert (y[2] == y[0]).all() and (y[3] == y[1]).all()
+    assert not (y[1] == y[0]).all()
