@@ -69,7 +69,11 @@ tile-scoped prediction/ctx availability,
 loop_filter_across_tiles on the deblock/SAO boundary rules; one
 slice segment covering the picture, the shape x265 emits),
 quantization scaling lists (default and
-explicitly-coded, SPS or PPS level), no PCM.  10-bit pictures return little-endian uint16 plane
+explicitly-coded, SPS or PPS level), and I_PCM CUs (late r8 —
+terminate-coded pcm_flag, raw-sample islands with §9.3.1 engine
+re-init, contexts preserved; fixture-encoded, libde265-arbitrated,
+loop filters honour pcm_loop_filter_disabled via the lossless-CU
+machinery).  10-bit pictures return little-endian uint16 plane
 bytes.  Supported inside that envelope: the full
 coding/transform quadtree at every CTU size 16/32/64, all 35 intra
 prediction modes with reference substitution + mode-dependent
@@ -418,6 +422,14 @@ class _Cabac:
             self.offset = (self.offset << 1) | self.br.u(1)
         return 0
 
+    def reinit_engine(self) -> None:
+        """§9.3.1 re-initialization after pcm_sample: engine registers
+        only — context variables PERSIST across the PCM island."""
+        self.range = 510
+        self.offset = self.br.u(9)
+        if self.offset >= 510:
+            raise ValueError("hevc: invalid cabac init offset")
+
 
 # ---------------------------------------------------------------------------
 # Parameter set parsing
@@ -555,8 +567,21 @@ def _parse_sps(rbsp: bytes) -> dict:
             sps["scaling"] = _scaling_factors(None)
     sps["amp"] = br.u(1)  # asymmetric motion partitions
     sps["sao"] = br.u(1)
-    if br.u(1):
-        raise ValueError("hevc: PCM unsupported")
+    sps["pcm"] = None
+    if br.u(1):  # pcm_enabled_flag (late r8)
+        pcm_bd_y = br.u(4) + 1
+        pcm_bd_c = br.u(4) + 1
+        log2_min_pcm = br.ue() + 3
+        log2_max_pcm = log2_min_pcm + br.ue()
+        lf_dis = br.u(1)  # pcm_loop_filter_disabled_flag
+        if pcm_bd_y > sps["bd"] or (chroma and pcm_bd_c > sps["bd"]):
+            raise ValueError("hevc: PCM bit depth exceeds sample depth")
+        if not (min_cb <= log2_min_pcm <= log2_max_pcm
+                <= min(sps["log2_ctb"], 5)):
+            raise ValueError("hevc: PCM size range out of bounds")
+        sps["pcm"] = {"bd_y": pcm_bd_y, "bd_c": pcm_bd_c,
+                      "log2_min": log2_min_pcm, "log2_max": log2_max_pcm,
+                      "lf_disabled": lf_dis}
     num_rps = br.ue()
     if num_rps > 64:
         raise ValueError("hevc: bad num_short_term_ref_pic_sets")
@@ -1887,6 +1912,12 @@ class _PicDecoder:
         part_nxn = False
         if log2_size == self.min_cb:
             part_nxn = cab.dec(_CTX_OFF["part_mode"]) == 0
+        pcm = self.sps.get("pcm")
+        if (pcm is not None and not part_nxn
+                and pcm["log2_min"] <= log2_size <= pcm["log2_max"]
+                and cab.terminate()):  # pcm_flag (§9.3.3.x terminate bin)
+            self._pcm_cu(x0, y0, size, g)
+            return
         n_parts = 4 if part_nxn else 1
         prev_flags = [cab.dec(_CTX_OFF["prev_intra"]) for _ in range(n_parts)]
         sel: list[tuple[str, int]] = []
@@ -1921,6 +1952,53 @@ class _PicDecoder:
             "max_depth": self.sps["max_tr_depth_intra"] + (1 if part_nxn else 0),
         }
         self._tt(x0, y0, x0, y0, log2_size, 0, 0, 1, 1, cu)
+        qp = (self.qg_pred + self.cu_qp_delta_val + 52) % 52
+        self.qp_grid[g] = qp
+        self.last_cu_qp = qp
+
+    def _pcm_cu(self, x0: int, y0: int, size: int, g) -> None:
+        """§7.3.8.7 pcm_sample: alignment zeros, raw samples scaled to
+        the picture bit depth (§8.4.4.1), then the §9.3.1 engine
+        re-init (context variables persist).  Neighbour intra-mode
+        derivation sees DC (§8.4.2); the loop filters skip the
+        samples when pcm_loop_filter_disabled (the lossless-CU
+        machinery)."""
+        cab = self.cab
+        br = cab.br
+        while br.pos & 7:
+            if br.u(1):
+                raise ValueError("hevc: PCM alignment bit not zero")
+        pcm = self.sps["pcm"]
+        sh_y = self.bd - pcm["bd_y"]
+        if pcm["bd_y"] == 8:  # byte-aligned fast path
+            byte0 = br.pos >> 3
+            n = size * size
+            if byte0 + n > len(br.data):
+                raise ValueError("hevc: bitstream exhausted")
+            blk = np.frombuffer(br.data, np.uint8, n, byte0).reshape(
+                size, size)
+            self.y[y0 : y0 + size, x0 : x0 + size] = (
+                blk.astype(self.dtype) << sh_y)
+            br.pos += 8 * n
+        else:
+            for row in range(size):
+                for col in range(size):
+                    self.y[y0 + row, x0 + col] = br.u(pcm["bd_y"]) << sh_y
+        if self.chroma:
+            sh_c = self.bd - pcm["bd_c"]
+            cs = size >> 1
+            xc, yc = x0 >> 1, y0 >> 1
+            for plane in (self.cb, self.cr):
+                for row in range(cs):
+                    for col in range(cs):
+                        plane[yc + row, xc + col] = (
+                            br.u(pcm["bd_c"]) << sh_c)
+        cab.reinit_engine()
+        self.mode_grid[g] = 1  # DC substitution for neighbours
+        self.avail[g] = True
+        if pcm["lf_disabled"]:
+            self.bypass_grid[g] = True
+        self.tu_list.append((x0, y0, size, size))
         qp = (self.qg_pred + self.cu_qp_delta_val + 52) % 52
         self.qp_grid[g] = qp
         self.last_cu_qp = qp
@@ -3367,7 +3445,8 @@ def _fixture_vps(reorder: int = 0) -> bytes:
     return bw.done()
 
 
-def _fixture_sps(w: int, h: int, reorder: int = 0) -> bytes:
+def _fixture_sps(w: int, h: int, reorder: int = 0,
+                 pcm: bool = False) -> bytes:
     bw = _BitWriter()
     bw.u(4, 0); bw.u(3, 0); bw.u(1, 1)
     # profile_tier_level: Main profile, level 4.0
@@ -3389,7 +3468,12 @@ def _fixture_sps(w: int, h: int, reorder: int = 0) -> bytes:
     bw.ue(0)                        # log2_min_tb 2
     bw.ue(2)                        # log2_max_tb 4 (16)
     bw.ue(0); bw.ue(0)              # transform hierarchy depths
-    bw.u(1, 0); bw.u(1, 0); bw.u(1, 0); bw.u(1, 0)  # scaling/amp/sao/pcm
+    bw.u(1, 0); bw.u(1, 0); bw.u(1, 0)  # scaling/amp/sao
+    bw.u(1, 1 if pcm else 0)        # pcm_enabled_flag
+    if pcm:
+        bw.u(4, 7); bw.u(4, 7)      # pcm bit depths 8/8
+        bw.ue(1); bw.ue(0)          # I_PCM CBs exactly 16x16
+        bw.u(1, 1)                  # pcm_loop_filter_disabled
     bw.ue(0)                        # num_short_term_ref_pic_sets
     bw.u(1, 0); bw.u(1, 0); bw.u(1, 0)  # long_term, tmvp, strong_smoothing
     # VUI declaring FULL-RANGE video: without it HEIF readers assume
@@ -4679,3 +4763,63 @@ def encode_hevc_gop_modlist(width: int, height: int, qp: int, c0: int,
             + _fixture_pslice(width, height, qp, 1, c2)
             + _fixture_pslice_modlist(width, height, qp, 2, 2, [1, 1])
             + _fixture_pslice_modlist(width, height, qp, 3, 3, [1]))
+
+
+def encode_hevc_iframe_pcm(width: int, height: int, qp: int,
+                           y: bytes, cb: bytes, cr: bytes) -> bytes:
+    """I_PCM fixture stream: CTUs checkerboard between raw I_PCM
+    blocks (§7.3.8.7 — terminate-coded pcm_flag, alignment zeros, raw
+    8-bit samples, engine re-init with contexts preserved) and plain
+    cbf-0 DC-predicted CUs.  PCM regions reproduce the input planes
+    exactly; no in-container encoder emits I_PCM, so libde265
+    arbitrates the wire in tests."""
+    if width % 16 or height % 16 or not width or not height:
+        raise ValueError("hevc fixture: dimensions must be multiples of 16")
+    ysz, csz = width * height, (width // 2) * (height // 2)
+    if len(y) != ysz or len(cb) != csz or len(cr) != csz:
+        raise ValueError("hevc fixture: plane size mismatch")
+    ty = np.frombuffer(y, np.uint8).reshape(height, width)
+    tcb = np.frombuffer(cb, np.uint8).reshape(height // 2, width // 2)
+    tcr = np.frombuffer(cr, np.uint8).reshape(height // 2, width // 2)
+    bw = _BitWriter()
+    bw.u(1, 1)
+    bw.u(1, 0)
+    bw.ue(0)
+    bw.ue(2)                        # slice_type I
+    bw.se(0)
+    bw.u(1, 1)
+    bw.align_zero()
+    enc = _CabacEnc(bw, qp)
+    enc.state = _ctx_states(qp)
+    n_w, n_h = width // 16, height // 16
+    for addr in range(n_w * n_h):
+        rx, ry = addr % n_w, addr // n_w
+        x0, y0 = rx * 16, ry * 16
+        enc.enc(_CTX_OFF["part_mode"], 1)      # 2Nx2N
+        if (rx + ry) % 2 == 0:
+            enc.terminate_enc(1)               # pcm_flag = 1 + flush
+            bw.align_zero()                    # pcm_alignment_zero_bit
+            for row in range(16):
+                for col in range(16):
+                    bw.u(8, int(ty[y0 + row, x0 + col]))
+            for pl in (tcb, tcr):
+                for row in range(8):
+                    for col in range(8):
+                        bw.u(8, int(pl[(y0 >> 1) + row, (x0 >> 1) + col]))
+            states = enc.state
+            enc = _CabacEnc(bw, qp, states=states)  # §9.3.1 re-init
+        else:
+            enc.terminate_enc(0)               # pcm_flag = 0
+            enc.enc(_CTX_OFF["prev_intra"], 1)
+            enc.bypass_enc(1)
+            enc.bypass_enc(0)                  # DC via MPM idx 1
+            enc.enc(_CTX_OFF["chroma_pred"], 0)
+            enc.enc(_CTX_OFF["cbf_chroma"], 0)
+            enc.enc(_CTX_OFF["cbf_chroma"], 0)
+            enc.enc(_CTX_OFF["cbf_luma"] + 1, 0)
+        enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
+    bw.align_zero()
+    return (_hevc_nal(32, _fixture_vps())
+            + _hevc_nal(33, _fixture_sps(width, height, pcm=True))
+            + _hevc_nal(34, _fixture_pps(qp, tq_bypass=False))
+            + _hevc_nal(19, bw.done()))

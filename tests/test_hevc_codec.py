@@ -1550,3 +1550,29 @@ def test_fixture_ref_list_modification_bit_exact(qp, c0, c2):
     # the modified lists select DIFFERENT pictures than decode order
     assert (y[2] == y[0]).all() and (y[3] == y[1]).all()
     assert not (y[1] == y[0]).all()
+
+
+@needs_de265
+@pytest.mark.parametrize("qp,seed,w,h", [(30, 7, 64, 48), (45, 9, 96, 32)])
+def test_fixture_ipcm_bit_exact(qp, seed, w, h):
+    """I_PCM CUs (§7.3.8.7): terminate-coded pcm_flag, alignment
+    zeros, raw samples, §9.3.1 engine re-init with contexts
+    PRESERVED (PCM and CABAC CTUs interleave, so a context reset
+    would desync every following CTU).  libde265 arbitrates; PCM
+    regions must reproduce the input exactly."""
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    cb = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    cr = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    stream = hevc.encode_hevc_iframe_pcm(w, h, qp, y.tobytes(),
+                                         cb.tobytes(), cr.tobytes())
+    mine = hevc.decode_hevc_stream(stream, max_frames=4)
+    ref = _DE265.decode(stream)
+    assert len(mine) == len(ref) == 1
+    assert mine[0] == ref[0]
+    my = np.frombuffer(mine[0][2], np.uint8).reshape(h, w)
+    for ry in range(h // 16):
+        for rx in range(w // 16):
+            if (rx + ry) % 2 == 0:
+                blk = slice(ry * 16, ry * 16 + 16), slice(rx * 16, rx * 16 + 16)
+                assert (my[blk] == y[blk]).all(), (rx, ry)
