@@ -30,8 +30,12 @@ averaging, WP at log2Wd = denom+14-bd with offsets << bd-8; the
 when absent, as x265 writes — not implicitly from bit depth) in
 4:2:0 or 4:0:0, §7.3.6.2 reference list modification (late r8 —
 list_entry reordering of the §8.3.4 temp lists; fixture-encoded,
-libde265-arbitrated); no long-term refs — everything outside
-REJECTS.  x265's RD never emits the AMP
+libde265-arbitrated), and LONG-TERM reference pictures (late r8 —
+SPS-candidate and slice-explicit entries, msb-cycle or unique-lsb
+DPB resolution, LtCurr appended to the temp lists, and the
+§8.5.3.2.7-9 LT-vs-ST candidate matching / no-scaling rules in
+AMVP+TMVP; fixture-encoded with liveness-checked rule firings,
+libde265-arbitrated) — everything outside REJECTS.  x265's RD never emits the AMP
 nL/nR shapes, sub-8x8 PUs or inter NxN, so those wires are pinned
 decode-side: the fixture encoders (encode_hevc_gop_parts*) write
 them deliberately and libde265 arbitrates bit-exactness.
@@ -591,10 +595,15 @@ def _parse_sps(rbsp: bytes) -> dict:
     sps["num_rps"] = num_rps
     sps["rps_list"] = rps_list
     sps["long_term"] = br.u(1)  # long_term_ref_pics_present
-    if sps["long_term"]:
-        for _ in range(br.ue()):
-            br.u(sps["log2_max_poc"])
-            br.u(1)
+    sps["lt_sps"] = []
+    if sps["long_term"]:  # SPS long-term candidates (late r8)
+        n_lt = br.ue()
+        if n_lt > 32:
+            raise ValueError("hevc: bad num_long_term_ref_pics_sps")
+        for _ in range(n_lt):
+            lsb = br.u(sps["log2_max_poc"])
+            used = br.u(1)
+            sps["lt_sps"].append((lsb, used))
     sps["tmvp"] = br.u(1)  # sps_temporal_mvp_enabled
     sps["strong_intra_smoothing"] = br.u(1)
     # VUI and extensions carry nothing this decoder needs
@@ -768,7 +777,7 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
                   "tc_offset", "lf_across", "slice_type", "init_type",
                   "max_merge", "poc_lsb", "rps", "na_l0", "na_l1",
                   "mvd_l1_zero", "tmvp", "col_l0", "col_ref", "wp",
-                  "list_entry_l0", "list_entry_l1"):
+                  "list_entry_l0", "list_entry_l1", "lt"):
             sh[k] = prev_sh[k]
         sh["entry_offsets"] = []
         if pps["wpp"] or pps["tiles"]:
@@ -801,6 +810,7 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
         br.u(1)
     sh["poc_lsb"] = 0
     sh["rps"] = ([], [])
+    sh["lt"] = []
     if nal_type not in (19, 20):  # not IDR: POC + ref pic sets present
         sh["poc_lsb"] = br.u(sps["log2_max_poc"])
         if not br.u(1):  # short_term_ref_pic_set_sps_flag
@@ -812,9 +822,37 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
             sh["rps"] = sps["rps_list"][br.u(bits)]
         elif sps["num_rps"] == 1:
             sh["rps"] = sps["rps_list"][0]
-        if sps.get("long_term"):
-            raise ValueError("hevc: long-term reference pictures "
-                             "unsupported")
+        sh["lt"] = []
+        if sps.get("long_term"):  # §7.3.6.1 long-term refs (late r8)
+            n_sps = 0
+            if sps["lt_sps"]:
+                n_sps = br.ue()
+                if n_sps > len(sps["lt_sps"]):
+                    raise ValueError("hevc: bad num_long_term_sps")
+            n_pics = br.ue()
+            if n_sps + n_pics > 16:
+                raise ValueError("hevc: bad num_long_term_pics")
+            prev_dmsb = 0
+            for i in range(n_sps + n_pics):
+                if i < n_sps:
+                    idx = 0
+                    if len(sps["lt_sps"]) > 1:
+                        nb = (len(sps["lt_sps"]) - 1).bit_length()
+                        idx = br.u(nb)
+                        if idx >= len(sps["lt_sps"]):
+                            raise ValueError("hevc: bad lt_idx_sps")
+                    lsb, used = sps["lt_sps"][idx]
+                else:
+                    lsb = br.u(sps["log2_max_poc"])
+                    used = br.u(1)
+                msb_p = br.u(1)  # delta_poc_msb_present_flag
+                dmsb = 0
+                if msb_p:
+                    cyc = br.ue()
+                    # §7.4.7.1: cumulative except at group starts
+                    dmsb = cyc if i in (0, n_sps) else cyc + prev_dmsb
+                prev_dmsb = dmsb
+                sh["lt"].append((lsb, used, msb_p, dmsb))
         sh["tmvp"] = 0
         if sps["tmvp"]:
             sh["tmvp"] = br.u(1)  # slice_temporal_mvp_enabled_flag
@@ -853,7 +891,8 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
         # when the PPS enables it AND NumPicTotalCurr > 1 (§7.4.7.2:
         # the used-by-current pictures of the active RPS)
         s0, s1 = sh.get("rps", ([], []))
-        npt = sum(1 for _, u in s0 if u) + sum(1 for _, u in s1 if u)
+        npt = (sum(1 for _, u in s0 if u) + sum(1 for _, u in s1 if u)
+               + sum(1 for e in sh.get("lt", []) if e[1]))
         if pps["lists_mod"] and npt > 1:
             nbits = max(1, (npt - 1).bit_length())
             if br.u(1):  # ref_pic_list_modification_flag_l0
@@ -2045,6 +2084,24 @@ class _PicDecoder:
         s0, s1 = sh.get("rps", ([], []))
         before = [self.poc + d for d, u in s0 if u]
         after = [self.poc + d for d, u in s1 if u]
+        # §8.3.2 LtCurr: resolve each used long-term entry to a full
+        # POC — explicit msb cycle, or a unique lsb match in the DPB
+        lts = []
+        max_lsb = 1 << self.sps["log2_max_poc"]
+        for lsb, used, msb_p, dmsb in sh.get("lt", []):
+            if not used:
+                continue
+            if msb_p:
+                pc = (lsb + self.poc - dmsb * max_lsb
+                      - (self.poc & (max_lsb - 1)))
+            else:
+                cands = [p for p in self.dpb if p % max_lsb == lsb]
+                if len(cands) != 1:
+                    raise ValueError(
+                        "hevc: long-term lsb match not unique in DPB")
+                pc = cands[0]
+            lts.append(pc)
+        lt_tail = [(p, True) for p in lts]
 
         def pick(pocs: list, n: int, entries) -> list:
             if n and not pocs:
@@ -2053,21 +2110,25 @@ class _PicDecoder:
                     for i in range(max(n, len(pocs)))] if pocs else []
             out = []
             for i in range(n):
-                pc = temp[entries[i]] if entries else temp[i]
+                pc, is_lt = temp[entries[i]] if entries else temp[i]
                 ent = self.dpb.get(pc)
                 if ent is None:
                     raise ValueError(
                         "hevc: reference picture missing from DPB")
-                out.append((ent, pc))
+                out.append((ent, pc, is_lt))
             return out
 
-        self.cur_l0 = pick(before + after, sh.get("na_l0", 0),
+        st0 = [(p, False) for p in before + after]
+        st1 = [(p, False) for p in after + before]
+        self.cur_l0 = pick(st0 + lt_tail, sh.get("na_l0", 0),
                            sh.get("list_entry_l0"))
-        self.cur_l1 = pick(after + before, sh.get("na_l1", 0),
+        self.cur_l1 = pick(st1 + lt_tail, sh.get("na_l1", 0),
                            sh.get("list_entry_l1")) \
             if sh.get("na_l1") else []
-        sh["ref_pocs"] = (tuple(p for _, p in self.cur_l0),
-                          tuple(p for _, p in self.cur_l1))
+        sh["ref_pocs"] = (tuple(p for _, p, _lt in self.cur_l0),
+                          tuple(p for _, p, _lt in self.cur_l1))
+        sh["ref_lt"] = (tuple(lt for _, _p, lt in self.cur_l0),
+                        tuple(lt for _, _p, lt in self.cur_l1))
 
     def _skip_inc(self, x0: int, y0: int) -> int:
         """§9.3.4.2.2 cu_skip_flag ctxIdxInc from left/above CU flags."""
@@ -2122,10 +2183,11 @@ class _PicDecoder:
         cr = self.sh["col_ref"]
         if cr >= len(col_list):
             return None
-        ent, colpoc = col_list[cr]
+        ent, colpoc, _col_lt = col_list[cr]
         if len(ent) < 4 or ent[3] is None:
             return None
-        pf_g, mv0_g, mv1_g, p0_g, p1_g, intra_g, _cp = ent[3]
+        (pf_g, mv0_g, mv1_g, p0_g, p1_g, intra_g, _cp,
+         lt0_g, lt1_g) = ent[3]
 
         def cell_at(xs: int, ys: int):
             # 16x16 motion-compression granularity (§8.5.3.2.9)
@@ -2159,10 +2221,19 @@ class _PicDecoder:
         if use == 0:
             mv = (int(mv0_g[cy, cx, 0]), int(mv0_g[cy, cx, 1]))
             colref = int(p0_g[cy, cx])
+            col_is_lt = bool(lt0_g[cy, cx])
         else:
             mv = (int(mv1_g[cy, cx, 0]), int(mv1_g[cy, cx, 1]))
             colref = int(p1_g[cy, cx])
+            col_is_lt = bool(lt1_g[cy, cx])
+        # §8.5.3.2.9: LT-ness of the collocated reference must match
+        # the target's; two long-term refs pass the MV unscaled
+        tgt_lt = bool(self.sh["ref_lt"][lx][ridx])
+        if col_is_lt != tgt_lt:
+            return None
         refpoc = self.sh["ref_pocs"][lx][ridx]
+        if tgt_lt:
+            return mv
         tb = self.poc - refpoc
         td = colpoc - colref
         if td == 0 or tb == td:
@@ -2289,10 +2360,20 @@ class _PicDecoder:
             if (pf & (1 << other)) and pocs[other][rs[other]] == refpoc:
                 return mvs[other]
             if scaled:
+                # §8.5.3.2.7: LT-ness must match the target; two
+                # long-term references pass the MV unscaled
+                lt_tab = self.sh.get("ref_lt", ((), ()))
+                tgt_lt = bool(lt_tab[lx][ridx]) if lt_tab[lx] else False
                 tb = self.poc - refpoc
                 for ly in (lx, other):
                     if not (pf & (1 << ly)) or not pocs[ly]:
                         continue
+                    nbr_lt = bool(lt_tab[ly][rs[ly]]) if lt_tab[ly] \
+                        else False
+                    if nbr_lt != tgt_lt:
+                        continue
+                    if tgt_lt:
+                        return mvs[ly]
                     td = self.poc - pocs[ly][rs[ly]]
                     if td == 0:
                         continue
@@ -3258,24 +3339,32 @@ def _finalize_picture(dec: "_PicDecoder") -> tuple:
 def _col_motion_info(dec: "_PicDecoder"):
     """Per-4x4 motion snapshot of a finished picture for TMVP from
     later pictures: (predFlags, mv0, mv1, refPoc0, refPoc1, intra,
-    poc) with per-cell refIdx resolved to reference POCs through the
-    owning slice's lists (§8.5.3.2.9 inputs)."""
+    poc, refIsLt0, refIsLt1) with per-cell refIdx resolved to
+    reference POCs (and their long-term-ness) through the owning
+    slice's lists (§8.5.3.2.9 inputs)."""
     gh, gw = dec.intra_grid.shape
     poc0 = np.zeros((gh, gw), np.int32)
     poc1 = np.zeros((gh, gw), np.int32)
+    lt0 = np.zeros((gh, gw), bool)
+    lt1 = np.zeros((gh, gw), bool)
     for si, shp in enumerate(dec.slice_params):
         rp = shp.get("ref_pocs")
         if not rp:
             continue
+        rl = shp.get("ref_lt", ((), ()))
         mask = dec.slice_grid == si
         if rp[0]:
             l0 = np.array(list(rp[0]) + [0] * (16 - len(rp[0])), np.int32)
             poc0[mask] = l0[dec.r0_grid[mask]]
+            f0 = np.array(list(rl[0]) + [False] * (16 - len(rl[0])), bool)
+            lt0[mask] = f0[dec.r0_grid[mask]]
         if rp[1]:
             l1 = np.array(list(rp[1]) + [0] * (16 - len(rp[1])), np.int32)
             poc1[mask] = l1[dec.r1_grid[mask]]
+            f1 = np.array(list(rl[1]) + [False] * (16 - len(rl[1])), bool)
+            lt1[mask] = f1[dec.r1_grid[mask]]
     return (dec.pf_grid.copy(), dec.mv0_grid.copy(), dec.mv1_grid.copy(),
-            poc0, poc1, dec.intra_grid.copy(), dec.poc)
+            poc0, poc1, dec.intra_grid.copy(), dec.poc, lt0, lt1)
 
 
 def _derive_poc(ntype: int, sh: dict, sps: dict, state: list) -> int:
@@ -3446,7 +3535,11 @@ def _fixture_vps(reorder: int = 0) -> bytes:
 
 
 def _fixture_sps(w: int, h: int, reorder: int = 0,
-                 pcm: bool = False) -> bytes:
+                 pcm: bool = False, lt_sps: int = -1,
+                 tmvp: bool = False) -> bytes:
+    """Fixture SPS; `lt_sps` >= 0 enables long_term_ref_pics with
+    that many SPS candidates (each lsb=0/used=1), `tmvp` enables
+    sps_temporal_mvp."""
     bw = _BitWriter()
     bw.u(4, 0); bw.u(3, 0); bw.u(1, 1)
     # profile_tier_level: Main profile, level 4.0
@@ -3475,7 +3568,13 @@ def _fixture_sps(w: int, h: int, reorder: int = 0,
         bw.ue(1); bw.ue(0)          # I_PCM CBs exactly 16x16
         bw.u(1, 1)                  # pcm_loop_filter_disabled
     bw.ue(0)                        # num_short_term_ref_pic_sets
-    bw.u(1, 0); bw.u(1, 0); bw.u(1, 0)  # long_term, tmvp, strong_smoothing
+    bw.u(1, 1 if lt_sps >= 0 else 0)  # long_term_ref_pics_present
+    if lt_sps >= 0:
+        bw.ue(lt_sps)               # num_long_term_ref_pics_sps
+        for _ in range(lt_sps):
+            bw.u(8, 0); bw.u(1, 1)  # lsb 0 (log2_max_poc 8), used
+    bw.u(1, 1 if tmvp else 0)       # sps_temporal_mvp_enabled
+    bw.u(1, 0)                      # strong_intra_smoothing
     # VUI declaring FULL-RANGE video: without it HEIF readers assume
     # limited range and post-convert the decoded planes (observed with
     # libheif 1.15 — a limited→full expansion that broke the lossless
@@ -4823,3 +4922,111 @@ def encode_hevc_iframe_pcm(width: int, height: int, qp: int,
             + _hevc_nal(33, _fixture_sps(width, height, pcm=True))
             + _hevc_nal(34, _fixture_pps(qp, tq_bypass=False))
             + _hevc_nal(19, bw.done()))
+
+
+def _fixture_pslice_lt(width: int, height: int, qp: int, poc_lsb: int,
+                       st_delta: int, n_lt_sps: int, n_lt_pics: int,
+                       seed0: int, c_y: int | None = None) -> bytes:
+    """P slice whose list L0 is [short-term POC-st_delta, LONG-TERM
+    POC 0] (na 2, slice_temporal_mvp on): CTUs alternate explicit
+    ref_idx 0/1 with scripted mvds, so spatial AMVP candidates mix
+    ST- and LT-referencing neighbours and the §8.5.3.2.7/8/9
+    mismatch/no-scale rules all fire.  The LT entry comes from the
+    SPS candidate list (n_lt_sps=1) or is slice-explicit
+    (n_lt_pics=1), both with delta_poc_msb_cycle 0."""
+    bw = _BitWriter()
+    bw.u(1, 1)
+    bw.ue(0)
+    bw.ue(1)                        # slice_type P
+    bw.u(8, poc_lsb & 255)
+    bw.u(1, 0)
+    bw.ue(1); bw.ue(0)
+    bw.ue(st_delta - 1); bw.u(1, 1)
+    # long-term block (sps long_term on): num_long_term_sps only
+    # coded when the SPS carries candidates
+    bw.ue(n_lt_sps)
+    bw.ue(n_lt_pics)
+    for i in range(n_lt_sps + n_lt_pics):
+        if i >= n_lt_sps:
+            bw.u(8, 0)              # poc_lsb_lt = 0 (the IRAP)
+            bw.u(1, 1)              # used_by_curr_pic_lt
+        # (lt_idx_sps: 1 SPS candidate → zero bits)
+        bw.u(1, 1)                  # delta_poc_msb_present
+        bw.ue(0)                    # cycle 0
+    bw.u(1, 1)                      # slice_temporal_mvp_enabled
+    bw.u(1, 1)                      # num_ref_idx_active_override
+    bw.ue(1)                        # na_l0 = 2
+    bw.ue(0)                        # collocated_ref_idx = 0 (na > 1)
+    bw.ue(4)                        # five_minus_max_num_merge_cand → 1
+    bw.se(0)
+    bw.u(1, 1)
+    bw.align_zero()
+    enc = _CabacEnc(bw, qp)
+    enc.state = _ctx_states(qp, 1)
+    n_w, n_h = width // 16, height // 16
+    seed = seed0
+    for addr in range(n_w * n_h):
+        enc.enc(_CTX_OFF["cu_skip"], 0)
+        enc.enc(_CTX_OFF["pred_mode"], 0)
+        enc.enc(_CTX_OFF["part_mode"], 1)  # 2Nx2N
+        enc.enc(_CTX_OFF["merge_flag"], 0)
+        enc.enc(_CTX_OFF["ref_pic"], addr % 2)  # ST / LONG-TERM
+        mx, my = _fixture_mvd(seed)
+        _encode_mvd(enc, mx, my)
+        enc.enc(_CTX_OFF["mvp_idx"], seed % 2)
+        seed += 1
+        if c_y is None:
+            enc.enc(_CTX_OFF["rqt_root_cbf"], 0)
+        else:
+            # per-CTU varying DC residual keeps the reference
+            # NON-FLAT — motion/candidate errors must be visible
+            # (uniform fixtures hide them, the r7c lesson)
+            enc.enc(_CTX_OFF["rqt_root_cbf"], 1)
+            enc.enc(_CTX_OFF["cbf_chroma"], 0)
+            enc.enc(_CTX_OFF["cbf_chroma"], 0)
+            coeffs = np.zeros((16, 16), np.int64)
+            coeffs[0, 0] = 1 + (addr * 7 + c_y) % 25
+            _residual_encode(enc, coeffs, 4, 0)
+        enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
+    bw.align_zero()
+    return _hevc_nal(1, bw.done())
+
+
+def encode_hevc_gop_lt(width: int, height: int, qp: int, c0: int,
+                       c2: int) -> bytes:
+    """Long-term-reference GOP [IRAP(0), residual-P(1), LT-P(2),
+    LT-P(3)]: pictures 2 and 3 hold the IRAP as a LONG-TERM
+    reference beside a short-term one — picture 2 via a
+    slice-explicit entry, picture 3 via the SPS candidate list —
+    with TMVP on and mixed per-CTU ST/LT ref_idx + nonzero mvds, so
+    the long-term AMVP/TMVP matching and no-scaling rules are all
+    live.  libde265 arbitrates in tests."""
+    if width % 16 or height % 16 or not width or not height:
+        raise ValueError("hevc fixture: dimensions must be multiples of 16")
+    if not 0 <= qp <= 51 or not 1 <= abs(c0) <= 1 << 14 \
+            or not 1 <= abs(c2) <= 1 << 14:
+        raise ValueError("hevc fixture: qp/coefficient out of range")
+    # NON-FLAT anchor: the PCM iframe's random content makes motion
+    # and candidate-derivation errors visible (r7c uniform-fixture
+    # lesson); re-head with a reorder-capable LT+TMVP SPS
+    rng = np.random.default_rng(c0)
+    y = rng.integers(0, 256, (height, width)).astype(np.uint8)
+    cb = rng.integers(0, 256, (height // 2, width // 2)).astype(np.uint8)
+    cr = rng.integers(0, 256, (height // 2, width // 2)).astype(np.uint8)
+    idr = encode_hevc_iframe_pcm(width, height, qp, y.tobytes(),
+                                 cb.tobytes(), cr.tobytes())
+    out = b""
+    for nal in _split_nals(idr):
+        t = (nal[0] >> 1) & 63
+        if t == 32:
+            out += _hevc_nal(32, _fixture_vps(reorder=1))
+        elif t == 33:
+            out += _hevc_nal(33, _fixture_sps(
+                width, height, reorder=1, pcm=True, lt_sps=1, tmvp=True))
+        else:
+            out += b"\x00\x00\x00\x01" + nal
+    return (out
+            + _fixture_pslice_lt(width, height, qp, 1, 1, 0, 0, 100,
+                                 c_y=c2)
+            + _fixture_pslice_lt(width, height, qp, 2, 1, 0, 1, 7)
+            + _fixture_pslice_lt(width, height, qp, 3, 1, 1, 0, 23))

@@ -1576,3 +1576,47 @@ def test_fixture_ipcm_bit_exact(qp, seed, w, h):
             if (rx + ry) % 2 == 0:
                 blk = slice(ry * 16, ry * 16 + 16), slice(rx * 16, rx * 16 + 16)
                 assert (my[blk] == y[blk]).all(), (rx, ry)
+
+
+@needs_de265
+@pytest.mark.parametrize("qp,c0,c2", [(30, 11, 4), (39, 5, 9)])
+def test_fixture_long_term_refs_bit_exact(qp, c0, c2):
+    """Long-term reference pictures (§7.3.6.1/§8.3.2): a PCM-random
+    (non-flat — r7c) IRAP held as LT beside a short-term ref, via
+    both the slice-explicit and the SPS-candidate paths, TMVP on,
+    mixed per-CTU ST/LT ref_idx with nonzero mvds.  libde265
+    arbitrates; the liveness recorder proves the §8.5.3.2.7-9
+    LT matching/no-scale rules actually fired."""
+    fired = {"tmvp_lt_none": 0, "tmvp_lt_some": 0, "amvp_lt": 0}
+    orig = hevc._PicDecoder._temporal_mv
+
+    def tmv(self, x0, y0, w, h, lx, ridx, ycb):
+        r = orig(self, x0, y0, w, h, lx, ridx, ycb)
+        lt = self.sh.get("ref_lt")
+        if lt and lt[lx] and lt[lx][ridx]:
+            fired["tmvp_lt_some" if r is not None else
+                  "tmvp_lt_none"] += 1
+        return r
+
+    orig_a = hevc._PicDecoder._amvp_candidates
+
+    def amvp(self, x0, y0, w, h, lx, ridx, ycb=None):
+        lt = self.sh.get("ref_lt")
+        if lt and lt[lx] and lt[lx][ridx]:
+            fired["amvp_lt"] += 1
+        return orig_a(self, x0, y0, w, h, lx, ridx, ycb)
+
+    hevc._PicDecoder._temporal_mv = tmv
+    hevc._PicDecoder._amvp_candidates = amvp
+    try:
+        stream = hevc.encode_hevc_gop_lt(64, 48, qp, c0, c2)
+        mine = hevc.decode_hevc_stream(stream, max_frames=8)
+    finally:
+        hevc._PicDecoder._temporal_mv = orig
+        hevc._PicDecoder._amvp_candidates = orig_a
+    ref = _DE265.decode(stream)
+    assert len(mine) == len(ref) == 4
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+    assert fired["amvp_lt"] and fired["tmvp_lt_none"], fired
+    assert len({m[2] for m in mine}) == 4  # non-degenerate planes
