@@ -55,10 +55,18 @@ deblock+SAO, cu_qp_delta and WPP (tests/test_hevc_codec.py P/B
 suites).
 
 Envelope (reject-never-approximate — unsupported streams raise
-ValueError, they are never approximated): Main, Main10 and Main12
-(8/10/12-bit; SAO offsets scale by bd−10 per §7.4.9.3) 4:2:0 plus
-monochrome 4:0:0 (gray pictures and the format of
-HEIC alpha auxiliaries; chroma planes return empty), I slices (IRAP
+ValueError, they are never approximated): 8/10/12-bit in EVERY
+chroma format — 4:2:0, monochrome 4:0:0 (gray pictures and the
+format of HEIC alpha auxiliaries; chroma planes return empty), and
+(late r8, the REXT tier — every leg libde265-arbitrated incl.
+lossless chroma round-trips) 4:2:2 with its vertically stacked
+square chroma TBs, doubled per-level cbfs, Table 8-3 intra mode
+remap and Min(qPi,51) chroma QP rule, plus 4:4:4 where chroma TBs
+track luma geometry at every size with the REXT cbf/scan/smoothing
+extensions; per-axis SubWidthC/SubHeightC throughout (MC fraction
+steps, SAO/deblock grids, conformance crop, PCM islands); scaling
+lists combined with 4:2:2/4:4:4 reject (sizeId-3 chroma inference
+not wired), I slices (IRAP
 nal types 16..21), multiple independent
 slice segments per picture (slice-scoped availability, per-slice QP
 chains and deblock/SAO boundary control), DEPENDENT slice segments
@@ -531,8 +539,10 @@ def _parse_sps(rbsp: bytes) -> dict:
     _parse_ptl(br, max_sub)
     sps["id"] = br.ue()
     chroma = br.ue()
-    if chroma not in (0, 1):
-        raise ValueError("hevc: only 4:0:0 and 4:2:0 supported")
+    if chroma not in (0, 1, 2, 3):
+        raise ValueError("hevc: bad chroma_format_idc")
+    if chroma == 3 and br.u(1):
+        raise ValueError("hevc: separate colour planes unsupported")
     sps["chroma"] = chroma
     sps["w"] = br.ue()
     sps["h"] = br.ue()
@@ -1200,11 +1210,16 @@ def _scaling_factors(lists: dict | None) -> dict:
 _CHROMA_QP_MAP = (29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37)
 
 
-def _chroma_qp(qp_y: int, offset: int, bd: int = 8) -> int:
-    """Table 8-10 mapping; returns Qp'Cb/Cr INCLUDING QpBdOffsetC."""
+def _chroma_qp(qp_y: int, offset: int, bd: int = 8,
+               fmt: int = 1) -> int:
+    """Chroma QP derivation (§8.6.1), INCLUDING QpBdOffsetC: the
+    Table 8-10 compression applies only to ChromaArrayType 1
+    (4:2:0); 4:2:2 and 4:4:4 clamp qPi at 51."""
     off_c = 6 * (bd - 8)
     qpi = _clip3(-off_c, 57, qp_y + offset)
-    if qpi < 30:
+    if fmt != 1:
+        qpc = min(qpi, 51)
+    elif qpi < 30:
         qpc = qpi
     elif qpi > 43:
         qpc = qpi - 6
@@ -1255,18 +1270,19 @@ _INV_ANGLES = {-2: -4096, -5: -1638, -9: -910, -13: -630, -17: -482,
 
 def _intra_predict(mode: int, size: int, left: np.ndarray, above: np.ndarray,
                    corner: int, c_idx: int, strong_smoothing: bool,
-                   bd: int = 8) -> np.ndarray:
+                   bd: int = 8, chroma444: bool = False) -> np.ndarray:
     """Predict one size x size block.  left = p[-1][0..2N-1],
     above = p[0..2N-1][-1] (both already substituted), corner = p[-1][-1]."""
     n = size
     log2 = n.bit_length() - 1
-    # reference smoothing (luma only)
-    if c_idx == 0 and mode != 1 and n != 4:
+    # reference smoothing: luma, and chroma when ChromaArrayType is 3
+    # (§8.4.4.2.3); the strong bilinear variant stays luma-only
+    if (c_idx == 0 or chroma444) and mode != 1 and n != 4:
         min_dist = min(abs(mode - 26), abs(mode - 10))
         thres = {8: 7, 16: 1, 32: 0}[n]
         if mode == 0 or min_dist > thres:
             bd_flat = 1 << (bd - 5)
-            if (strong_smoothing and n == 32
+            if (strong_smoothing and n == 32 and c_idx == 0
                     and abs(corner + int(above[2 * n - 1]) - 2 * int(above[n - 1])) < bd_flat
                     and abs(corner + int(left[2 * n - 1]) - 2 * int(left[n - 1])) < bd_flat):
                 a = np.empty(2 * n, np.int64)
@@ -1380,7 +1396,14 @@ class _PicDecoder:
         self.dtype = np.uint8 if self.bd == 8 else np.uint16
         self.chroma = sps.get("chroma", 1)
         self.y = np.zeros((h, w), self.dtype)
-        cw, chh = (w // 2, h // 2) if self.chroma else (0, 0)
+        # log2 SubWidthC / SubHeightC (§6.2): 4:2:0 (1,1),
+        # 4:2:2 (1,0), 4:4:4 (0,0); monochrome allocates no chroma
+        self.cshx = 1 if self.chroma in (1, 2) else 0
+        self.cshy = 1 if self.chroma == 1 else 0
+        if self.chroma:
+            cw, chh = w >> self.cshx, h >> self.cshy
+        else:
+            cw = chh = 0
         self.cb = np.zeros((chh, cw), self.dtype)
         self.cr = np.zeros((chh, cw), self.dtype)
         gw, gh = w // 4, h // 4
@@ -1403,6 +1426,10 @@ class _PicDecoder:
         self.scaling = (self.pps["scaling"]
                         if self.pps.get("scaling") is not None
                         else sps.get("scaling"))
+        if self.scaling is not None and self.chroma in (2, 3):
+            # the REXT sizeId-3 chroma matrix inference is not wired
+            raise ValueError(
+                "hevc: scaling lists with 4:2:2/4:4:4 unsupported")
         self.min_qg_log2 = self.log2_ctb - self.pps["diff_cu_qp_delta_depth"]
         self.qp_delta_coded = True
         self.cu_qp_delta_val = 0
@@ -1786,14 +1813,15 @@ class _PicDecoder:
                 t, vals, band_pos, eo_class = params[c_idx]
                 if t == 0:
                     continue
-                shift = 0 if c_idx == 0 else 1
+                shx = 0 if c_idx == 0 else self.cshx
+                shy = 0 if c_idx == 0 else self.cshy
                 src = snaps[c_idx]
                 dst = planes[c_idx]
                 ph, pw = src.shape
-                x0 = (rx * ctb) >> shift
-                y0 = (ry * ctb) >> shift
-                x1 = min(x0 + (ctb >> shift), pw)
-                y1 = min(y0 + (ctb >> shift), ph)
+                x0 = (rx * ctb) >> shx
+                y0 = (ry * ctb) >> shy
+                x1 = min(x0 + (ctb >> shx), pw)
+                y1 = min(y0 + (ctb >> shy), ph)
                 region = src[y0:y1, x0:x1].astype(np.int64)
                 if t == 1:
                     lut = np.zeros(32, np.int64)
@@ -1832,7 +1860,7 @@ class _PicDecoder:
 
                             def cells(yv, xv):
                                 return self.slice_grid[np.ix_(
-                                    (yv << shift) >> 2, (xv << shift) >> 2)]
+                                    (yv << shy) >> 2, (xv << shx) >> 2)]
 
                             s_c = cells(ys, xs)
                             s_a = cells(ys + dy0, xs + dx0)
@@ -1852,7 +1880,7 @@ class _PicDecoder:
 
                             def tcells(yv, xv):
                                 return self.tile_grid[np.ix_(
-                                    (yv << shift) >> 2, (xv << shift) >> 2)]
+                                    (yv << shy) >> 2, (xv << shx) >> 2)]
 
                             t_c = tcells(ys, xs)
                             t_a = tcells(ys + dy0, xs + dx0)
@@ -2025,11 +2053,12 @@ class _PicDecoder:
                     self.y[y0 + row, x0 + col] = br.u(pcm["bd_y"]) << sh_y
         if self.chroma:
             sh_c = self.bd - pcm["bd_c"]
-            cs = size >> 1
-            xc, yc = x0 >> 1, y0 >> 1
+            cw = size >> self.cshx
+            chh = size >> self.cshy
+            xc, yc = x0 >> self.cshx, y0 >> self.cshy
             for plane in (self.cb, self.cr):
-                for row in range(cs):
-                    for col in range(cs):
+                for row in range(chh):
+                    for col in range(cw):
                         plane[yc + row, xc + col] = (
                             br.u(pcm["bd_c"]) << sh_c)
         cab.reinit_engine()
@@ -2452,17 +2481,25 @@ class _PicDecoder:
         uni uses the final-stage output, bi averages the 14-bit
         intermediates ((p0 + p1 + 64) >> 7, §8.5.4.2.3.2)."""
         wp = self.sh.get("wp")
-        planes = ((self.y, 0, _LUMA_FILTER, 3, 2),
-                  (self.cb, 1, _CHROMA_FILTER, 1, 3),
-                  (self.cr, 2, _CHROMA_FILTER, 1, 3))
-        for plane, comp, filters, half, sh_mv in planes:
+        planes = ((self.y, 0, _LUMA_FILTER, 3),
+                  (self.cb, 1, _CHROMA_FILTER, 1),
+                  (self.cr, 2, _CHROMA_FILTER, 1))
+        for plane, comp, filters, half in planes:
             if comp and not self.chroma:
                 break
-            cw = w if comp == 0 else w >> 1
-            ch = h if comp == 0 else h >> 1
-            xc = x0 if comp == 0 else x0 >> 1
-            yc = y0 if comp == 0 else y0 >> 1
-            fmask = (1 << sh_mv) - 1
+            if comp == 0:
+                shx = shy = 2       # quarter-pel, 4-phase luma filter
+                fsx = fsy = 0
+            else:
+                # §8.5.4.2.2.2: chroma integer step is 2+log2(SubC)
+                # per axis; the 8-phase filter index scales fractions
+                # to eighth-pel (4:4:4 axes use the even phases)
+                shx, shy = 2 + self.cshx, 2 + self.cshy
+                fsx, fsy = 1 - self.cshx, 1 - self.cshy
+            cw = w if comp == 0 else w >> self.cshx
+            ch = h if comp == 0 else h >> self.cshy
+            xc = x0 if comp == 0 else x0 >> self.cshx
+            yc = y0 if comp == 0 else y0 >> self.cshy
             preds = []
             wos = []
             for lst, mv, ridx in ((0, mv0, r0), (1, mv1, r1)):
@@ -2474,8 +2511,9 @@ class _PicDecoder:
                         "hevc: reference index out of range")
                 ref = refs[ridx][0][comp]
                 preds.append(_mc_block(
-                    ref, xc, yc, cw, ch, mv[0] >> sh_mv, mv[1] >> sh_mv,
-                    mv[0] & fmask, mv[1] & fmask, filters, half,
+                    ref, xc, yc, cw, ch, mv[0] >> shx, mv[1] >> shy,
+                    (mv[0] & ((1 << shx) - 1)) << fsx,
+                    (mv[1] & ((1 << shy) - 1)) << fsy, filters, half,
                     self.maxval, final=(pf != 3 and wp is None),
                     bd=self.bd))
                 if wp is not None:
@@ -2676,9 +2714,23 @@ class _PicDecoder:
         cbf_cb, cbf_cr = pcb, pcr
         if not self.chroma:
             cbf_cb = cbf_cr = 0
-        elif log2 > 2:
-            cbf_cb = cab.dec(_CTX_OFF["cbf_chroma"] + depth) if (depth == 0 or pcb) else 0
-            cbf_cr = cab.dec(_CTX_OFF["cbf_chroma"] + depth) if (depth == 0 or pcr) else 0
+        elif log2 > 2 or self.chroma == 3:
+            # §7.3.8.8: 4:4:4 codes chroma cbfs at every TU size;
+            # 4:2:2 codes a SECOND cbf (the lower stacked TB, bit 1)
+            # at leaf levels and at log2 3 where chroma bottoms out
+            two = self.chroma == 2 and (not split or log2 == 3)
+            if depth == 0 or pcb:
+                cbf_cb = cab.dec(_CTX_OFF["cbf_chroma"] + depth)
+                if two:
+                    cbf_cb |= cab.dec(_CTX_OFF["cbf_chroma"] + depth) << 1
+            else:
+                cbf_cb = 0
+            if depth == 0 or pcr:
+                cbf_cr = cab.dec(_CTX_OFF["cbf_chroma"] + depth)
+                if two:
+                    cbf_cr |= cab.dec(_CTX_OFF["cbf_chroma"] + depth) << 1
+            else:
+                cbf_cr = 0
         if split:
             half = 1 << (log2 - 1)
             self._tt(x0, y0, x0, y0, log2 - 1, depth + 1, 0, cbf_cb, cbf_cr, cu)
@@ -2749,9 +2801,21 @@ class _PicDecoder:
         self.y[y0 : y0 + size, x0 : x0 + size] = block
         self.avail[y0 >> 2 : (y0 + size) >> 2, x0 >> 2 : (x0 + size) >> 2] = True
         self.tu_list.append((x0, y0, size, size))
-        # ------------- chroma (4:2:0; absent in monochrome)
+        # ------------- chroma (absent in monochrome)
         if not self.chroma:
             pass
+        elif self.chroma == 3:
+            # 4:4:4: chroma TBs track luma geometry at every size
+            self._chroma_tu(x0, y0, log2, cbf_cb, cbf_cr, qp_y, cu)
+        elif self.chroma == 2:
+            # 4:2:2: two stacked square TBs per plane (§7.3.8.10
+            # wire order: Cb upper, Cb lower, Cr upper, Cr lower)
+            if log2 > 2:
+                self._chroma_tu_422(x0 >> 1, y0, log2 - 1,
+                                    cbf_cb, cbf_cr, qp_y, cu)
+            elif blk == 3:
+                self._chroma_tu_422(xb >> 1, yb, 2,
+                                    cbf_cb, cbf_cr, qp_y, cu)
         elif log2 > 2:
             self._chroma_tu(x0 >> 1, y0 >> 1, log2 - 1, cbf_cb, cbf_cr, qp_y, cu)
         elif blk == 3:
@@ -2775,12 +2839,55 @@ class _PicDecoder:
             if cbf:
                 coeffs, tskip = self._residual(log2c, c_idx,
                                                1 if inter else mode, cu)
-                qp_c = _chroma_qp(qp_y, off, self.bd)
+                qp_c = _chroma_qp(qp_y, off, self.bd, self.chroma)
                 res = self._residual_to_spatial(coeffs, log2c, c_idx, qp_c, cu, tskip)
                 block = np.clip(pred + res, 0, self.maxval).astype(self.dtype)
             else:
                 block = np.clip(pred, 0, self.maxval).astype(self.dtype)
             plane[yc : yc + size, xc : xc + size] = block
+
+    # Table 8-3: 4:2:2 chroma intra mode mapping (IntraPredModeC →
+    # the mode the prediction actually runs; arbitration rides the
+    # libde265 cross-pin, the binary-table lesson)
+    _MODE_MAP_422 = (0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13, 15, 17,
+                     18, 19, 20, 21, 22, 23, 23, 24, 24, 25, 25, 26,
+                     27, 27, 28, 28, 29, 29, 30, 31)
+
+    def _chroma_tu_422(self, xc: int, yc: int, log2c: int, cbf_cb2: int,
+                       cbf_cr2: int, qp_y: int, cu: dict) -> None:
+        """4:2:2 chroma: two vertically stacked square TBs per plane
+        in §7.3.8.10 wire order (Cb upper/lower then Cr upper/lower);
+        intra prediction runs the Table 8-3 remapped mode while the
+        §7.4.9.11 scan consults the unmapped IntraPredModeC."""
+        size = 1 << log2c
+        mode_c = cu["chroma_mode"]
+        mode_pred = self._MODE_MAP_422[mode_c]
+        inter = bool(cu.get("inter"))
+        for c_idx, plane, cbf2, off in (
+            (1, self.cb, cbf_cb2, self.sh["cb_qp_offset"]),
+            (2, self.cr, cbf_cr2, self.sh["cr_qp_offset"]),
+        ):
+            for half in (0, 1):
+                yy = yc + half * size
+                cbf = (cbf2 >> half) & 1
+                if inter:
+                    if not cbf:
+                        continue
+                    pred = plane[yy : yy + size,
+                                 xc : xc + size].astype(np.int64)
+                else:
+                    pred = self._predict(c_idx, xc, yy, size, mode_pred)
+                if cbf:
+                    coeffs, tskip = self._residual(
+                        log2c, c_idx, 1 if inter else mode_c, cu)
+                    qp_c = _chroma_qp(qp_y, off, self.bd, self.chroma)
+                    res = self._residual_to_spatial(
+                        coeffs, log2c, c_idx, qp_c, cu, tskip)
+                    block = np.clip(pred + res, 0,
+                                    self.maxval).astype(self.dtype)
+                else:
+                    block = np.clip(pred, 0, self.maxval).astype(self.dtype)
+                plane[yy : yy + size, xc : xc + size] = block
 
     def _residual_to_spatial(self, coeffs: np.ndarray, log2: int, c_idx: int,
                              qp: int, cu: dict, tskip: int) -> np.ndarray:
@@ -2800,19 +2907,20 @@ class _PicDecoder:
     def _predict(self, c_idx: int, x: int, y: int, size: int,
                  mode: int) -> np.ndarray:
         if c_idx == 0:
-            plane, shift = self.y, 0
+            plane, shx, shy = self.y, 0, 0
         else:
-            plane, shift = (self.cb if c_idx == 1 else self.cr), 1
-        pw = self.w >> shift
-        ph = self.h >> shift
+            plane = self.cb if c_idx == 1 else self.cr
+            shx, shy = self.cshx, self.cshy
+        pw = self.w >> shx
+        ph = self.h >> shy
         n2 = 2 * size
 
-        x4, y4 = (x << shift) >> 2, (y << shift) >> 2
+        x4, y4 = (x << shx) >> 2, (y << shy) >> 2
 
         def sample_ok(px: int, py: int) -> bool:
             if px < 0 or py < 0 or px >= pw or py >= ph:
                 return False
-            cy, cx = (py << shift) >> 2, (px << shift) >> 2
+            cy, cx = (py << shy) >> 2, (px << shx) >> 2
             return (bool(self.avail[cy, cx])
                     and self.slice_grid[cy, cx] == self.cur_slice
                     and self._same_tile(cy, cx, y4, x4))
@@ -2843,7 +2951,7 @@ class _PicDecoder:
         above = vals[n2 + 1 :].copy()  # p[0..2N-1][-1]
         return _intra_predict(mode, size, left, above, corner, c_idx,
                               bool(self.sps["strong_intra_smoothing"]),
-                              self.bd)
+                              self.bd, chroma444=self.chroma == 3)
 
     # ------------------------------------------------------ residual syntax
     def _residual(self, log2: int, c_idx: int, pred_mode: int,
@@ -2852,7 +2960,8 @@ class _PicDecoder:
         tskip = 0
         if (self.pps["transform_skip"] and not cu["bypass"] and log2 == 2):
             tskip = cab.dec(_CTX_OFF["tskip"] + (1 if c_idx else 0))
-        if log2 == 2 or (log2 == 3 and c_idx == 0):
+        if log2 == 2 or (log2 == 3
+                         and (c_idx == 0 or self.chroma == 3)):
             if 6 <= pred_mode <= 14:
                 scan_idx = 2
             elif 22 <= pred_mode <= 30:
@@ -3270,10 +3379,17 @@ class _Deblocker:
         for c_idx, off in ((1, d.pps["cb_qp_offset"]), (2, d.pps["cr_qp_offset"])):
             plane_full = d.cb if c_idx == 1 else d.cr
             plane = plane_full if vertical else plane_full.T
-            for gx in range(0, w4, 4):  # chroma 8-grid = luma 16-grid
+            # chroma edges sit on the chroma 8-sample grid: the
+            # luma-cell spacing along the edge normal is 2<<subX
+            # cells (4:2:0/4:2:2 vertical: 4; 4:4:4 and the 4:2:2
+            # horizontal pass: 2)
+            sub_perp = (d.cshx if vertical else d.cshy)
+            sub_par = (d.cshy if vertical else d.cshx)
+            nrow = 4 >> sub_par       # chroma lines per luma cell
+            for gx in range(0, w4, 2 << sub_perp):
                 if gx == 0:
                     continue
-                for gy in range(h4):  # one luma cell = 2 chroma rows
+                for gy in range(h4):
                     if not edges[gy, gx]:
                         continue
                     if not (ig[gy, gx - 1] or ig[gy, gx]):
@@ -3287,26 +3403,28 @@ class _Deblocker:
                     if tg is not None and tg[gy, gx - 1] != tg[gy, gx]:
                         continue
                     tc_off = params["tc_offset"]
-                    x = gx << 1  # chroma x
+                    x = gx << (2 - sub_perp)  # chroma x
                     qp_p = int(qp[gy, gx - 1])
                     qp_q = int(qp[gy, gx])
                     qavg = (qp_p + qp_q + 1) >> 1
                     # deblock uses the RAW Table 8-10 value (no BD offset)
-                    qpc = _chroma_qp(qavg, off, d.bd) - 6 * (d.bd - 8)
+                    qpc = _chroma_qp(qavg, off, d.bd, d.chroma) - 6 * (d.bd - 8)
                     tc = _TC_TABLE[_clip3(0, 53, qpc + 2 + tc_off)] << (d.bd - 8)
                     if tc == 0:
                         continue
-                    y = gy << 1
-                    p1 = plane[y : y + 2, x - 2].astype(np.int64)
-                    p0 = plane[y : y + 2, x - 1].astype(np.int64)
-                    q0 = plane[y : y + 2, x].astype(np.int64)
-                    q1 = plane[y : y + 2, x + 1].astype(np.int64)
+                    y = gy << (2 - sub_par)
+                    p1 = plane[y : y + nrow, x - 2].astype(np.int64)
+                    p0 = plane[y : y + nrow, x - 1].astype(np.int64)
+                    q0 = plane[y : y + nrow, x].astype(np.int64)
+                    q1 = plane[y : y + nrow, x + 1].astype(np.int64)
                     delta = np.clip(
                         (((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
                     if not bool(byp[gy, gx - 1]):
-                        plane[y : y + 2, x - 1] = np.clip(p0 + delta, 0, d.maxval)
+                        plane[y : y + nrow, x - 1] = np.clip(
+                            p0 + delta, 0, d.maxval)
                     if not bool(byp[gy, gx]):
-                        plane[y : y + 2, x] = np.clip(q0 - delta, 0, d.maxval)
+                        plane[y : y + nrow, x] = np.clip(
+                            q0 - delta, 0, d.maxval)
 
 
 # ---------------------------------------------------------------------------
@@ -3324,13 +3442,16 @@ def _finalize_picture(dec: "_PicDecoder") -> tuple:
         _Deblocker(dec).run()
     dec.apply_sao()
     cl, cr_, ct, cb_ = sps["crop"]
-    sub = 2 if dec.chroma else 1  # SubWidthC/SubHeightC (§6.2)
-    w = sps["w"] - sub * (cl + cr_)
-    h = sps["h"] - sub * (ct + cb_)
-    y = dec.y[sub * ct : sub * ct + h, sub * cl : sub * cl + w]
+    # crop offsets are in units of SubWidthC/SubHeightC (§6.2):
+    # 4:0:0 and 4:4:4 use luma units, 4:2:2 halves x only
+    subx = 2 if dec.chroma in (1, 2) else 1
+    suby = 2 if dec.chroma == 1 else 1
+    w = sps["w"] - subx * (cl + cr_)
+    h = sps["h"] - suby * (ct + cb_)
+    y = dec.y[suby * ct : suby * ct + h, subx * cl : subx * cl + w]
     if dec.chroma:
-        cb = dec.cb[ct : ct + h // 2, cl : cl + w // 2]
-        cr = dec.cr[ct : ct + h // 2, cl : cl + w // 2]
+        cb = dec.cb[ct : ct + (h >> dec.cshy), cl : cl + (w >> dec.cshx)]
+        cr = dec.cr[ct : ct + (h >> dec.cshy), cl : cl + (w >> dec.cshx)]
     else:
         cb = cr = dec.cb[:0, :0]
     return (w, h, y.tobytes(), cb.tobytes(), cr.tobytes())

@@ -132,12 +132,12 @@ class LibDe265:
     def _copy_picture(self, img):
         lib = self._lib
         fmt = lib.de265_get_chroma_format(img)
-        if fmt not in (0, 1):  # mono / 4:2:0
+        if fmt not in (0, 1, 2, 3):  # mono / 4:2:0 / 4:2:2 / 4:4:4
             raise ValueError("libde265: unsupported chroma format")
         planes = []
         w = lib.de265_get_image_width(img, 0)
         h = lib.de265_get_image_height(img, 0)
-        channels = (0, 1, 2) if fmt == 1 else (0,)
+        channels = (0, 1, 2) if fmt else (0,)
         for ch in channels:
             cw = lib.de265_get_image_width(img, ch)
             ch_h = lib.de265_get_image_height(img, ch)

@@ -134,7 +134,12 @@ class LibX265:
         if width % 2 or height % 2:
             raise ValueError("libx265 oracle: even dimensions only")
         bps = 1 if self.bit_depth == 8 else 2
-        mono = (options or {}).get("input-csp") == "i400"
+        csp = (options or {}).get("input-csp", "i420")
+        mono = csp == "i400"
+        # chroma plane samples per csp (SubWidthC x SubHeightC)
+        csamp = {"i400": 0, "i420": (width // 2) * (height // 2),
+                 "i422": (width // 2) * height,
+                 "i444": width * height}[csp]
         lib = self._lib
         param = lib.x265_param_alloc()
         if not param:
@@ -172,7 +177,7 @@ class LibX265:
                 raise ValueError("libx265: encoder open failed")
 
             ysz = width * height * bps
-            csz = 0 if mono else (width // 2) * (height // 2) * bps
+            csz = csamp * bps
             out = bytearray()
             nals = ctypes.c_void_p()
             n_nal = ctypes.c_uint32()
@@ -203,8 +208,9 @@ class LibX265:
                         ctypes.create_string_buffer(cb, csz),
                         ctypes.create_string_buffer(cr, csz),
                     )
-                    strides = (width * bps, (width // 2) * bps,
-                               (width // 2) * bps)
+                    cstride = (width if csp == "i444"
+                               else width // 2) * bps
+                    strides = (width * bps, cstride, cstride)
                 keep.append((pic, bufs))
                 for k, buf in enumerate(bufs):
                     ctypes.c_void_p.from_address(addr + _OFF_PLANES + 8 * k).value = (

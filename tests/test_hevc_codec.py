@@ -1620,3 +1620,105 @@ def test_fixture_long_term_refs_bit_exact(qp, c0, c2):
         assert m == r, f"frame {i}"
     assert fired["amvp_lt"] and fired["tmvp_lt_none"], fired
     assert len({m[2] for m in mine}) == 4  # non-degenerate planes
+
+
+# ---------------------------------------------------------------------------
+# r8 late: REXT chroma formats — 4:2:2 (stacked square chroma TBs with
+# doubled cbfs, Table 8-3 intra mode remap, Min(qPi,51) chroma QP) and
+# 4:4:4 (luma-geometry chroma TBs at every size incl. cbf/scan/smoothing
+# rules), per-axis SubWidthC/SubHeightC everywhere (MC fractions, SAO,
+# deblock grids, crop, PCM).  libde265 decodes both for real (lossless
+# round-trips pinned), so every leg is reference-arbitrated.
+
+
+def _rext_planes(seed, w, h, csp, bd=8):
+    mx = (1 << bd) - 1
+    dt = np.uint8 if bd == 8 else "<u2"
+    rng = np.random.default_rng(seed)
+    y = ((rng.integers(0, mx + 1, (h, w))
+          + np.add.outer(np.arange(h), np.arange(w)) * 3) % (mx + 1)
+         ).astype(dt)
+    cw = w if csp == "i444" else w // 2
+    ch = h if csp != "i420" else h // 2
+    cb = rng.integers(0, mx + 1, (ch, cw)).astype(dt)
+    cr = rng.integers(0, mx + 1, (ch, cw)).astype(dt)
+    return y, cb, cr
+
+
+@needs_refs
+@pytest.mark.parametrize("csp", ["i422", "i444"])
+@pytest.mark.parametrize("opts,label", [
+    (dict(lossless="1", sao="0", deblock="0"), "lossless"),
+    (dict(qp="30", sao="0", deblock="0"), "qp30"),
+    (dict(qp="12", sao="0", deblock="0"), "qp12"),
+    (dict(qp="32", sao="1", deblock="1"), "deblock+sao"),
+    (dict(qp="27", sao="0", deblock="1", ctu="16"), "ctu16"),
+], ids=lambda v: v if isinstance(v, str) else "")
+def test_rext_intra_bit_exact(csp, opts, label):
+    w, h = 64, 48
+    y, cb, cr = _rext_planes(len(label), w, h, csp)
+    full = dict({"keyint": "1", "bframes": "0", "aq-mode": "0",
+                 "input-csp": csp}, **opts)
+    stream = _X265.encode(w, h, [(y.tobytes(), cb.tobytes(), cr.tobytes())],
+                          full)
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=4)
+    assert len(mine) == len(ref) == 1
+    assert mine[0] == ref[0]
+    if "lossless" in label:  # round-trip proves real chroma geometry
+        assert mine[0][3] == cb.tobytes() and mine[0][4] == cr.tobytes()
+
+
+def _rext_motion_frames(seed, w, h, n, csp, bd=8):
+    y0, cb0, cr0 = _rext_planes(seed, w, h, csp, bd)
+    mx = (1 << bd) - 1
+    out = []
+    for i in range(n):
+        g = 1.0 - 0.05 * i
+        yy = np.clip(np.roll(y0, 3 * i, 1).astype(np.float64) * g,
+                     0, mx).astype(y0.dtype)
+        out.append((yy.tobytes(), np.roll(cb0, i, 1).tobytes(),
+                    np.roll(cr0, -i, 0).tobytes()))
+    return out
+
+
+@needs_refs
+@pytest.mark.parametrize("csp", ["i422", "i444"])
+@pytest.mark.parametrize("opts,label,n", [
+    (dict(_P_BASE, qp="30", sao="0", deblock="1"), "P", 6),
+    (dict(_T_BASE, qp="30", ref="2", sao="1", deblock="1"),
+     "P-tmvp-sao", 7),
+    (dict(_T_BASE, qp="32", bframes="2", ref="2", rect="1", rd="5",
+          sao="1", deblock="1", weightp="1", weightb="1",
+          **{"b-adapt": "0", "b-pyramid": "0"}), "B-rect-wp", 7),
+    ({"preset": "medium", "crf": "26"}, "defaults", 8),
+], ids=lambda v: v if isinstance(v, str) else "")
+def test_rext_inter_prefix_exact(csp, opts, label, n):
+    w, h = 96, 64
+    frames = _rext_motion_frames(len(label) + len(csp), w, h, n, csp)
+    stream = _X265.encode(w, h, frames, dict(opts, **{"input-csp": csp}))
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=16)
+    assert len(mine) == n
+    assert len(ref) >= n - 1  # b-pyramid finals withheld by libde265
+    for i, r in enumerate(ref):
+        assert mine[i] == r, f"frame {i}"
+
+
+@pytest.mark.parametrize("bd", [10, 12])
+@pytest.mark.parametrize("csp", ["i422", "i444"])
+def test_rext_high_bit_depth_inter_bit_exact(bd, csp):
+    enc = libx265_oracle.load(bd)
+    if enc is None or _DE265 is None:
+        pytest.skip("high-bit-depth references absent")
+    w, h = 64, 48
+    frames = _rext_motion_frames(bd, w, h, 5, csp, bd)
+    opts = dict(_T_BASE, **{"input-csp": csp}, qp="30", bframes="1",
+                ref="2", sao="1", deblock="1",
+                **{"b-adapt": "0", "b-pyramid": "0"})
+    stream = enc.encode(w, h, frames, opts)
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=10)
+    assert len(mine) == len(ref) == 5
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
