@@ -5210,6 +5210,11 @@ class _HeifMeta:
         if len(y) != w * h:
             # >8-bit planes (uint16): outside the stats envelope
             raise ValueError("heif: high-bit-depth HEVC item")
+        if cb and len(cb) != (w // 2) * (h // 2):
+            # 4:2:2/4:4:4 items decode at the codec layer (late r8)
+            # but the still-image serving convention is 4:2:0 byte
+            # planes — reject rather than mis-slice the interleave
+            raise ValueError("heif: non-4:2:0 HEVC item")
         if (w, h) != tuple(ispe):
             raise ValueError("heif: ispe/SPS dimension mismatch")
         return w, h, y, cb, cr

@@ -425,3 +425,18 @@ def test_hbd_inter_mp4_track_real_stats():
         assert (w, h, nch) == (dw, dh, 3)
         assert psum == int(sum(int(a.sum()) for a in planes))
         assert psq == int(sum(int((a * a).sum()) for a in planes))
+
+
+def test_non_420_hevc_item_rejects_into_fake_path(monkeypatch):
+    """4:2:2/4:4:4 decode at the codec layer (late r8) but the HEIC
+    still-image serving convention is 4:2:0 byte planes — the item
+    walk must REJECT (fake path) rather than mis-slice the
+    interleave."""
+    y, cb, cr = _planes(6, 32, 32)
+    heic = encode_heic_fixture(32, 32, y.tobytes(), cb.tobytes(),
+                               cr.tobytes())
+    full = bytes(32 * 32)  # 4:4:4-shaped chroma
+    monkeypatch.setattr(M, "decode_hevc_iframe",
+                        lambda au: (32, 32, y.tobytes(), full, full))
+    with pytest.raises(ValueError, match="non-4:2:0"):
+        M._HeifMeta(heic).decode_hvc1_item(M._HeifMeta(heic).primary)
