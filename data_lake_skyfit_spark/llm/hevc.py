@@ -1204,6 +1204,9 @@ def _scaling_factors(lists: dict | None) -> dict:
                 big = np.repeat(np.repeat(mat, rep, axis=0), rep, axis=1)
                 big[0, 0] = dc
                 factors[(size_id + 2, matrix_id)] = big
+    # NO chroma-32 factors on purpose: 4:4:4 + scaling lists +
+    # 32x32 TBs is a reference-divergent corner (see the guard in
+    # _PicDecoder.__init__) — reaching this lookup is a loud bug
     return factors
 
 # Table 8-10: chroma QP mapping for qPi in [30, 43]
@@ -1426,10 +1429,18 @@ class _PicDecoder:
         self.scaling = (self.pps["scaling"]
                         if self.pps.get("scaling") is not None
                         else sps.get("scaling"))
-        if self.scaling is not None and self.chroma in (2, 3):
-            # the REXT sizeId-3 chroma matrix inference is not wired
+        if (self.scaling is not None and self.chroma == 3
+                and sps["log2_max_tb"] == 5):
+            # measured reference DIVERGENCE (r8): for 4:4:4 chroma
+            # 32x32 TBs under scaling lists, libde265 dequants Cb
+            # with the second coded (inter-luma) matrix but produces
+            # Cr output inconsistent with the x265 encoder's input
+            # (mean |err| 58.5 vs 16.8 for a matched decode) — the
+            # two references disagree with EACH OTHER, so there is
+            # no convention to pin.  Reject rather than approximate;
+            # smaller max-TB 4:4:4 scaling streams decode fine.
             raise ValueError(
-                "hevc: scaling lists with 4:2:2/4:4:4 unsupported")
+                "hevc: scaling lists with 4:4:4 32x32 TBs unsupported")
         self.min_qg_log2 = self.log2_ctb - self.pps["diff_cu_qp_delta_depth"]
         self.qp_delta_coded = True
         self.cu_qp_delta_val = 0
@@ -2895,7 +2906,9 @@ class _PicDecoder:
             return coeffs.astype(np.int64)
         m = None
         if self.scaling is not None and not tskip:
-            m = self.scaling[(log2, c_idx)]
+            # §8.6.3 matrixId: cIdx plus the inter offset of 3
+            m = self.scaling[(log2,
+                              c_idx + (3 if cu.get("inter") else 0))]
         d = _dequant(coeffs, log2, qp, self.bd, m)
         if tskip:
             return _inv_transform_skip(d, self.bd)

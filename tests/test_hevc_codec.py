@@ -1722,3 +1722,56 @@ def test_rext_high_bit_depth_inter_bit_exact(bd, csp):
     assert len(mine) == len(ref) == 5
     for i, (m, r) in enumerate(zip(mine, ref)):
         assert m == r, f"frame {i}"
+
+
+@needs_refs
+@pytest.mark.parametrize("csp", ["i420", "i422"])
+@pytest.mark.parametrize("kind", ["intra", "inter"])
+def test_scaling_lists_all_formats_bit_exact(csp, kind):
+    """Scaling lists across chroma formats AND prediction modes —
+    the inter legs pin the §8.6.3 matrixId+3 selection (a latent bug
+    until late r8: only intra streams had ever been cross-pinned, so
+    inter blocks silently dequantized with intra matrices)."""
+    w, h = 96, 64
+    y, cb, cr = _rext_planes(3, w, h, csp)
+    if kind == "intra":
+        opts = {"keyint": "1", "bframes": "0", "aq-mode": "0",
+                "qp": "30", "sao": "0", "deblock": "0",
+                "input-csp": csp, "scaling-list": "default"}
+        frames = [(y.tobytes(), cb.tobytes(), cr.tobytes())]
+    else:
+        opts = dict(_T_BASE, qp="27", bframes="1", ref="2", sao="1",
+                    deblock="1", **{"input-csp": csp,
+                                    "scaling-list": "default",
+                                    "b-adapt": "0", "b-pyramid": "0"})
+        frames = [(np.roll(y, 3 * i, 1).tobytes(),
+                   np.roll(cb, i, 1).tobytes(), cr.tobytes())
+                  for i in range(6)]
+    stream = _X265.encode(w, h, frames, opts)
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=10)
+    assert len(mine) == len(ref)
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+
+
+@needs_refs
+def test_scaling_lists_444_small_tb_exact_and_32_rejects():
+    """4:4:4 + scaling lists: bit-exact when max TB < 32 (ctu16);
+    the 32x32-TB corner REJECTS — measured reference divergence
+    (libde265's Cr-32 output contradicts the x265 encoder's input,
+    mean |err| 58.5 vs 16.8 for a matched decode), so there is no
+    convention to pin and reject-never-approximate applies."""
+    w, h = 96, 64
+    y, cb, cr = _rext_planes(4, w, h, "i444")
+    base = {"keyint": "1", "bframes": "0", "aq-mode": "0", "qp": "30",
+            "sao": "0", "deblock": "0", "input-csp": "i444",
+            "scaling-list": "default"}
+    frames = [(y.tobytes(), cb.tobytes(), cr.tobytes())]
+    small = _X265.encode(w, h, frames, dict(base, ctu="16"))
+    ref = _DE265.decode(small)
+    mine = hevc.decode_hevc_stream(small, max_frames=4)
+    assert mine[0] == ref[0]
+    big = _X265.encode(w, h, frames, base)
+    with pytest.raises(ValueError, match="4:4:4 32x32"):
+        hevc.decode_hevc_stream(big, max_frames=4)
