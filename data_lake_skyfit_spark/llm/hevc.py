@@ -3726,7 +3726,8 @@ def _fixture_sps(w: int, h: int, reorder: int = 0,
 
 
 def _fixture_pps(qp: int = _FIXTURE_QP, tq_bypass: bool = True,
-                 lists_mod: bool = False) -> bytes:
+                 lists_mod: bool = False,
+                 weighted_bipred: bool = False) -> bytes:
     bw = _BitWriter()
     bw.ue(0); bw.ue(0)
     bw.u(1, 0); bw.u(1, 0); bw.u(3, 0)
@@ -3738,7 +3739,8 @@ def _fixture_pps(qp: int = _FIXTURE_QP, tq_bypass: bool = True,
     bw.u(1, 0); bw.u(1, 0)          # transform_skip, cu_qp_delta
     bw.se(0); bw.se(0)              # cb/cr qp offsets
     bw.u(1, 0)                      # slice chroma qp offsets
-    bw.u(1, 0); bw.u(1, 0)          # weighted pred/bipred
+    bw.u(1, 0)                      # weighted_pred (P)
+    bw.u(1, 1 if weighted_bipred else 0)  # weighted_bipred (B)
     bw.u(1, 1 if tq_bypass else 0)  # transquant_bypass_enabled
     bw.u(1, 0); bw.u(1, 0)          # tiles, entropy sync
     bw.u(1, 1)                      # loop_filter_across_slices
@@ -4098,7 +4100,8 @@ def _fixture_pps_tiled(ncols: int, nrows: int,
     bw.u(1, 0); bw.u(1, 0)          # transform_skip, cu_qp_delta
     bw.se(0); bw.se(0)              # cb/cr qp offsets
     bw.u(1, 0)                      # slice chroma qp offsets
-    bw.u(1, 0); bw.u(1, 0)          # weighted pred/bipred
+    bw.u(1, 0)                      # weighted_pred (P)
+    bw.u(1, 1 if weighted_bipred else 0)  # weighted_bipred (B)
     bw.u(1, 1)                      # transquant_bypass_enabled
     bw.u(1, 1)                      # tiles_enabled
     bw.u(1, 0)                      # entropy sync (§7.3.2.3: BEFORE
@@ -4283,7 +4286,8 @@ def _fixture_pps_depslices() -> bytes:
     bw.u(1, 0); bw.u(1, 0)          # transform_skip, cu_qp_delta
     bw.se(0); bw.se(0)              # cb/cr qp offsets
     bw.u(1, 0)                      # slice chroma qp offsets
-    bw.u(1, 0); bw.u(1, 0)          # weighted pred/bipred
+    bw.u(1, 0)                      # weighted_pred (P)
+    bw.u(1, 1 if weighted_bipred else 0)  # weighted_bipred (B)
     bw.u(1, 1)                      # transquant_bypass_enabled
     bw.u(1, 0); bw.u(1, 0)          # tiles, entropy sync
     bw.u(1, 1)                      # loop_filter_across_slices
@@ -5164,3 +5168,69 @@ def encode_hevc_gop_lt(width: int, height: int, qp: int, c0: int,
                                  c_y=c2)
             + _fixture_pslice_lt(width, height, qp, 2, 1, 0, 1, 7)
             + _fixture_pslice_lt(width, height, qp, 3, 1, 1, 0, 23))
+
+
+def _fixture_bslice_wp(width: int, height: int, qp: int,
+                       poc_lsb: int) -> bytes:
+    """All-skip B slice under weighted_bipred with an IDENTITY
+    pred_weight_table (denom 0, no per-ref overrides): §8.5.4.2.3.3
+    with w=1/o=0 at log2Wd = 14-bd reduces EXACTLY to the default
+    §8.5.4.2.3.2 bi average, so the closed form is unchanged while
+    the wire exercises the weighted path (the graded re-carve
+    trick)."""
+    bw = _BitWriter()
+    bw.u(1, 1)
+    bw.ue(0)
+    bw.ue(0)                        # slice_type B
+    bw.u(8, poc_lsb & 255)
+    bw.u(1, 0)
+    bw.ue(1); bw.ue(1)
+    bw.ue(0); bw.u(1, 1)            # POC-1
+    bw.ue(0); bw.u(1, 1)            # POC+1
+    bw.u(1, 0)                      # num_ref_idx_active_override (1/1)
+    bw.u(1, 0)                      # mvd_l1_zero_flag
+    # §7.3.6.3 pred_weight_table, identity: luma denom 0, chroma
+    # delta 0, all per-reference weight flags 0
+    bw.ue(0)
+    bw.se(0)
+    bw.u(1, 0); bw.u(1, 0)          # l0: luma flag, chroma flag
+    bw.u(1, 0); bw.u(1, 0)          # l1: luma flag, chroma flag
+    bw.ue(4)                        # five_minus_max_num_merge_cand → 1
+    bw.se(0)
+    bw.u(1, 1)
+    bw.align_zero()
+    enc = _CabacEnc(bw, qp)
+    enc.state = _ctx_states(qp, 2)
+    n_w, n_h = width // 16, height // 16
+    for addr in range(n_w * n_h):
+        rx, ry = addr % n_w, addr // n_w
+        inc = (1 if rx > 0 else 0) + (1 if ry > 0 else 0)
+        enc.enc(_CTX_OFF["cu_skip"] + inc, 1)
+        enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
+    bw.align_zero()
+    return _hevc_nal(0, bw.done())  # TRAIL_N
+
+
+def encode_hevc_gop_ibp_dc_wp(width: int, height: int, qp: int, c0: int,
+                              c2: int) -> bytes:
+    """Weighted-bipred twin of encode_hevc_gop_ibp_dc: the SAME four
+    closed-form pictures, but the B picture's wire carries an
+    identity pred_weight_table through §8.5.4.2.3.3 (libde265
+    arbitrates; the existing IBP oracle grades it unchanged)."""
+    idr = encode_hevc_iframe_dc(width, height, qp, c0)
+    out = b""
+    for nal in _split_nals(idr):
+        t = (nal[0] >> 1) & 63
+        if t == 32:
+            out += _hevc_nal(32, _fixture_vps(reorder=1))
+        elif t == 33:
+            out += _hevc_nal(33, _fixture_sps(width, height, reorder=1))
+        elif t == 34:
+            out += _hevc_nal(34, _fixture_pps(qp, tq_bypass=False,
+                                              weighted_bipred=True))
+        else:
+            out += b"\x00\x00\x00\x01" + nal
+    return (out
+            + _fixture_pslice(width, height, qp, 2, None, ref_delta=2)
+            + _fixture_pslice(width, height, qp, 4, c2, ref_delta=2)
+            + _fixture_bslice_wp(width, height, qp, 3))

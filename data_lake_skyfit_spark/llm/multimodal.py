@@ -8234,11 +8234,18 @@ def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
                 if rid >= 220:
                     # r8 IBP leg: IRAP DC + skip-P + residual-P + an
                     # all-skip B between the anchors; samples sit in
-                    # DECODE order with a signed ctts for the reorder
-                    from .hevc import encode_hevc_gop_ibp_dc
+                    # DECODE order with a signed ctts for the reorder.
+                    # ids 230-239 re-carve the B's WIRE onto explicit
+                    # weighted prediction with an IDENTITY table —
+                    # §8.5.4.2.3.3 reduces exactly to the default bi
+                    # average, so the oracle grades it unchanged
+                    from .hevc import (encode_hevc_gop_ibp_dc,
+                                       encode_hevc_gop_ibp_dc_wp)
 
                     k = rid - 220
-                    gop = encode_hevc_gop_ibp_dc(
+                    builder = (encode_hevc_gop_ibp_dc_wp if rid >= 230
+                               else encode_hevc_gop_ibp_dc)
+                    gop = builder(
                         w, h, (22, 27, 32, 37)[k % 4],
                         1 + k % 25, 1 + k % 7)
                     payloads.append(encode_mp4_frames(

@@ -3868,10 +3868,15 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the anchors bi-averages them exactly ((a+b+1)>>1 through the "
     "14-bit §8.5.4.2.3.2 pipeline), decoded through the POC-reorder "
     "DPB with signed ctts; the B tier itself is bit-exact vs "
-    "libde265 on x265 --bframes 1 streams across 11 configs. The "
+    "libde265 on x265 --bframes 1 streams across 11 configs. ids "
+    "230-239 re-carve the B wire onto EXPLICIT WEIGHTED PREDICTION "
+    "(late r8): an identity pred_weight_table routes §8.5.4.2.3.3, "
+    "which reduces exactly to the default bi average — same oracle, "
+    "new graded syntax surface, libde265-arbitrated (pytest pins "
+    "plane equality with the plain GOPs across all ten ids). The "
     "full lossy "
-    "spectrum (all modes/sizes/filters) rides the reference "
-    "cross-pins in pytest.",
+    "spectrum (all modes/sizes/filters incl. the late-r8 REXT "
+    "4:2:2/4:4:4 tier) rides the reference cross-pins in pytest.",
 )
 def multimodal_decode_hevc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-doc CABAC encode+decode is embarrassingly parallel but the

@@ -1775,3 +1775,22 @@ def test_scaling_lists_444_small_tb_exact_and_32_rejects():
     big = _X265.encode(w, h, frames, base)
     with pytest.raises(ValueError, match="4:4:4 32x32"):
         hevc.decode_hevc_stream(big, max_frames=4)
+
+
+@needs_de265
+def test_graded_wp_leg_closed_forms_and_libde265():
+    """The graded ids 230-239 re-carve: identity-weighted B pictures
+    must decode to EXACTLY the plain IBP closed forms AND be
+    libde265-bit-exact (the §8.5.4.2.3.3 path under the driver's
+    hash gate at zero row growth)."""
+    for k in range(10, 20):
+        qp = (22, 27, 32, 37)[k % 4]
+        c0, c2 = 1 + k % 25, 1 + k % 7
+        plain = hevc.encode_hevc_gop_ibp_dc(48, 32, qp, c0, c2)
+        wp = hevc.encode_hevc_gop_ibp_dc_wp(48, 32, qp, c0, c2)
+        mine = hevc.decode_hevc_stream(wp, max_frames=8)
+        assert mine == hevc.decode_hevc_stream(plain, max_frames=8)
+        ref = _DE265.decode(wp)
+        assert len(mine) == len(ref) == 4
+        for i, (m, r) in enumerate(zip(mine, ref)):
+            assert m == r, f"id {220+k} frame {i}"
