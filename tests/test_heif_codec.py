@@ -440,3 +440,40 @@ def test_non_420_hevc_item_rejects_into_fake_path(monkeypatch):
                         lambda au: (32, 32, y.tobytes(), full, full))
     with pytest.raises(ValueError, match="non-4:2:0"):
         M._HeifMeta(heic).decode_hvc1_item(M._HeifMeta(heic).primary)
+
+
+def test_rext_chroma_mp4_track_real_stats():
+    """4:2:2 and 4:4:4 hvc1 GOP tracks (late r8): the MP4 stats
+    surface sums whatever native planes the decoder returns, so the
+    REXT formats flow end-to-end — pinned frame-by-frame against the
+    codec-layer decode."""
+    from . import libx265_oracle
+    from data_lake_skyfit_spark.llm import hevc as H
+
+    enc = libx265_oracle.load(8)
+    if enc is None:
+        pytest.skip("x265 bridge absent")
+    rng = np.random.default_rng(8)
+    for csp, cdim in (("i422", (32, 24)), ("i444", (32, 48))):
+        y0 = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        cb0 = rng.integers(0, 256, cdim).astype(np.uint8)
+        cr0 = rng.integers(0, 256, cdim).astype(np.uint8)
+        frames = [(np.roll(y0, 3 * i, 1).tobytes(), cb0.tobytes(),
+                   cr0.tobytes()) for i in range(4)]
+        stream = enc.encode(48, 32, frames,
+                            {"keyint": "250", "min-keyint": "250",
+                             "scenecut": "0", "bframes": "0",
+                             "ref": "1", "aq-mode": "0", "qp": "30",
+                             "input-csp": csp})
+        decoded = H.decode_hevc_stream(stream, max_frames=8)
+        aus = M._hevc_split_aus(stream)
+        mp4 = M.encode_mp4_frames(aus, codec="hvc1")
+        rows = M._mp4_video_pixels(mp4, 1)
+        assert len(rows) == 4, csp
+        for i, (_idx, _ts, w, h, nch, psum, psq) in enumerate(rows):
+            dw, dh, yb, ub, vb = decoded[i]
+            assert (w, h, nch) == (dw, dh, 3)
+            allv = np.concatenate([np.frombuffer(b, np.uint8)
+                                   for b in (yb, ub, vb)]).astype(np.int64)
+            assert psum == int(allv.sum()), (csp, i)
+            assert psq == int((allv * allv).sum()), (csp, i)
