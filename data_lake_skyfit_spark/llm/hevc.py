@@ -3529,9 +3529,11 @@ def decode_hevc_stream(data: bytes, max_frames: int = 64,
     stream → [(w, h, y, cb, cr), ...] in OUTPUT (POC) order, the
     reference decoders' convention.  IRAP pictures plus (r8, when
     `allow_inter`) trailing P and B pictures: multi-reference lists
-    (≤4 per list), TMVP, explicit weighted prediction, all §9.3.3.7
-    partition modes; no list modification / long-term refs (the
-    slice header rejects them explicitly)."""
+    (§7.4.7.1-complete, ≤15 active), TMVP, explicit weighted
+    prediction, all §9.3.3.7 partition modes, reference list
+    modification and long-term reference pictures — the full
+    module-header envelope across 8/10/12-bit and every chroma
+    format."""
     if len(data) < 8:
         raise ValueError("hevc: stream too short")
     sps_map: dict[int, dict] = {}
@@ -4101,7 +4103,7 @@ def _fixture_pps_tiled(ncols: int, nrows: int,
     bw.se(0); bw.se(0)              # cb/cr qp offsets
     bw.u(1, 0)                      # slice chroma qp offsets
     bw.u(1, 0)                      # weighted_pred (P)
-    bw.u(1, 1 if weighted_bipred else 0)  # weighted_bipred (B)
+    bw.u(1, 0)                      # weighted_bipred (B)
     bw.u(1, 1)                      # transquant_bypass_enabled
     bw.u(1, 1)                      # tiles_enabled
     bw.u(1, 0)                      # entropy sync (§7.3.2.3: BEFORE
@@ -4287,7 +4289,7 @@ def _fixture_pps_depslices() -> bytes:
     bw.se(0); bw.se(0)              # cb/cr qp offsets
     bw.u(1, 0)                      # slice chroma qp offsets
     bw.u(1, 0)                      # weighted_pred (P)
-    bw.u(1, 1 if weighted_bipred else 0)  # weighted_bipred (B)
+    bw.u(1, 0)                      # weighted_bipred (B)
     bw.u(1, 1)                      # transquant_bypass_enabled
     bw.u(1, 0); bw.u(1, 0)          # tiles, entropy sync
     bw.u(1, 1)                      # loop_filter_across_slices
