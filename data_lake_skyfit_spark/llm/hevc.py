@@ -3729,12 +3729,13 @@ def _fixture_sps(w: int, h: int, reorder: int = 0,
 
 def _fixture_pps(qp: int = _FIXTURE_QP, tq_bypass: bool = True,
                  lists_mod: bool = False,
-                 weighted_bipred: bool = False) -> bytes:
+                 weighted_bipred: bool = False,
+                 cabac_init: bool = False) -> bytes:
     bw = _BitWriter()
     bw.ue(0); bw.ue(0)
     bw.u(1, 0); bw.u(1, 0); bw.u(3, 0)
     bw.u(1, 0)                      # sign_data_hiding off
-    bw.u(1, 0)                      # cabac_init_present
+    bw.u(1, 1 if cabac_init else 0)  # cabac_init_present
     bw.ue(0); bw.ue(0)
     bw.se(qp - 26)                  # init_qp
     bw.u(1, 0)                      # constrained_intra_pred
@@ -5236,3 +5237,56 @@ def encode_hevc_gop_ibp_dc_wp(width: int, height: int, qp: int, c0: int,
             + _fixture_pslice(width, height, qp, 2, None, ref_delta=2)
             + _fixture_pslice(width, height, qp, 4, c2, ref_delta=2)
             + _fixture_bslice_wp(width, height, qp, 3))
+
+
+def encode_hevc_gop_dc_cabac_init(width: int, height: int, qp: int,
+                                  c0: int, c2: int) -> bytes:
+    """cabac_init_flag GOP [IRAP, swapped-init residual-P]: the P
+    slice signals cabac_init_flag=1, so its contexts initialize from
+    the B column (§9.3.1 init-type swap) — same closed forms as
+    encode_hevc_gop_dc's pictures, different wire probabilities;
+    libde265 arbitrates."""
+    if width % 16 or height % 16 or not width or not height:
+        raise ValueError("hevc fixture: dimensions must be multiples of 16")
+    if not 0 <= qp <= 51 or not 1 <= abs(c0) <= 1 << 14 \
+            or not 1 <= abs(c2) <= 1 << 14:
+        raise ValueError("hevc fixture: qp/coefficient out of range")
+    idr = encode_hevc_iframe_dc(width, height, qp, c0)
+    out = b""
+    for nal in _split_nals(idr):
+        t = (nal[0] >> 1) & 63
+        if t == 34:
+            out += _hevc_nal(34, _fixture_pps(qp, tq_bypass=False,
+                                              cabac_init=True))
+        else:
+            out += b"\x00\x00\x00\x01" + nal
+    bw = _BitWriter()
+    bw.u(1, 1)
+    bw.ue(0)
+    bw.ue(1)                        # slice_type P
+    bw.u(8, 1)
+    bw.u(1, 0)
+    bw.ue(1); bw.ue(0)
+    bw.ue(0); bw.u(1, 1)
+    bw.u(1, 0)                      # num_ref_idx_active_override
+    bw.u(1, 1)                      # cabac_init_flag → B column
+    bw.ue(4)
+    bw.se(0)
+    bw.u(1, 1)
+    bw.align_zero()
+    enc = _CabacEnc(bw, qp)
+    enc.state = _ctx_states(qp, 2)  # swapped: B init rows for a P slice
+    coeffs = np.zeros((16, 16), np.int64)
+    coeffs[0, 0] = c2
+    n_w, n_h = width // 16, height // 16
+    for addr in range(n_w * n_h):
+        enc.enc(_CTX_OFF["cu_skip"], 0)
+        enc.enc(_CTX_OFF["pred_mode"], 0)
+        enc.enc(_CTX_OFF["part_mode"], 1)
+        enc.enc(_CTX_OFF["merge_flag"], 1)
+        enc.enc(_CTX_OFF["cbf_chroma"], 0)
+        enc.enc(_CTX_OFF["cbf_chroma"], 0)
+        _residual_encode(enc, coeffs, 4, 0)
+        enc.terminate_enc(1 if addr == n_w * n_h - 1 else 0)
+    bw.align_zero()
+    return out + _hevc_nal(1, bw.done())

@@ -1794,3 +1794,40 @@ def test_graded_wp_leg_closed_forms_and_libde265():
         assert len(mine) == len(ref) == 4
         for i, (m, r) in enumerate(zip(mine, ref)):
             assert m == r, f"id {220+k} frame {i}"
+
+
+@needs_refs
+@pytest.mark.parametrize("opts,label,n", [
+    (dict(_P_BASE, lossless="1", sao="0", deblock="0"), "P-lossless", 5),
+    (dict(_T_BASE, lossless="1", bframes="2", ref="2", sao="0",
+          deblock="0", **{"b-adapt": "0", "b-pyramid": "0"}),
+     "B-lossless", 6),
+], ids=lambda v: v if isinstance(v, str) else "")
+def test_lossless_inter_reproduces_input(opts, label, n):
+    """cu_transquant_bypass through MC residuals: lossless P/B GOPs
+    must be libde265-bit-exact AND reproduce the encoder input
+    exactly (the strongest self-consistency claim)."""
+    fr = _motion_frames(11, 64, 48, n)
+    stream = _encode(64, 48, fr, opts)
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=12)
+    assert len(mine) == len(ref) == n
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+        assert m[2] == fr[i][0].tobytes(), f"frame {i} lossy"
+
+
+@needs_de265
+def test_fixture_cabac_init_flag_swap_bit_exact():
+    """cabac_init_flag (§9.3.1 init-type swap; x265 never sets
+    cabac_init_present): a P slice initializing from the B column
+    decodes to the same closed forms, libde265-arbitrated."""
+    stream = hevc.encode_hevc_gop_dc_cabac_init(48, 32, 30, 20, 6)
+    ref = _DE265.decode(stream)
+    mine = hevc.decode_hevc_stream(stream, max_frames=4)
+    assert len(mine) == len(ref) == 2
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        assert m == r, f"frame {i}"
+    plain = hevc.decode_hevc_stream(
+        hevc.encode_hevc_gop_dc(48, 32, 30, 20, 6), max_frames=4)
+    assert mine[1] == plain[2]
