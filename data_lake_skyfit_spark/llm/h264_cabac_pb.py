@@ -37,7 +37,13 @@ Wire-convention provenance, split by what can be pinned here:
   .so/.bin under /usr, /lib, /opt, /root/miniconda, /root/.pyenv)
   using both the shipped I column and the highest-confidence P rows
   as needles: zero hits, so not even the r7 I column has a binary
-  pin.  Confidence is block-graded in the comments below: the inter
+  pin.  Re-swept in r9 against the five AV1 reference binaries
+  (libaom.so.3, libdav1d.so.6, libgav1.so.1, libSvtAv1Enc.so.1,
+  librav1e.so.0) specifically — whole-run needles in five encodings
+  (int8/int16 pairs, swapped, separated m/n arrays) plus 4,610
+  8-pair sliding subwindows to catch split or reordered layouts:
+  ZERO hits in every binary.  The AV1 libraries carry no AVC
+  tables; the LOW-confidence status of rows 85-275 stands.  Confidence is block-graded in the comments below: the inter
   syntax rows (11-59) and the qp/chroma-pred/CBP rows (60-84) are
   high-to-moderate-confidence recalls of the published column; the
   residual rows (85-275) are best-effort and flagged LOW — where

@@ -856,11 +856,13 @@ def _parse_slice_header(br: _BitReader, nal_type: int, sps: dict,
                     lsb = br.u(sps["log2_max_poc"])
                     used = br.u(1)
                 msb_p = br.u(1)  # delta_poc_msb_present_flag
-                dmsb = 0
-                if msb_p:
-                    cyc = br.ue()
-                    # §7.4.7.1: cumulative except at group starts
-                    dmsb = cyc if i in (0, n_sps) else cyc + prev_dmsb
+                # §7.4.7.1: delta_poc_msb_cycle_lt is inferred to 0
+                # when absent, but DeltaPocMsbCycleLt still accumulates
+                # (cyc + prev) except at the two group starts — an
+                # absent flag must NOT reset the running sum (r9 fix:
+                # interleaved presence flags across 3+ LT entries).
+                cyc = br.ue() if msb_p else 0
+                dmsb = cyc if i in (0, n_sps) else cyc + prev_dmsb
                 prev_dmsb = dmsb
                 sh["lt"].append((lsb, used, msb_p, dmsb))
         sh["tmvp"] = 0
@@ -1420,6 +1422,10 @@ class _PicDecoder:
         self.cur_slice = -1
         self.next_ctu = 0
         self.tu_list: list[tuple[int, int, int, int]] = []  # (x0,y0,w,h) luma
+        # PU-only deblock edges (skip CUs, inter PU partitions): the
+        # §8.7.2.4 nonzero-cbf bS=1 condition applies ONLY at transform
+        # edges, so these are tracked apart from tu_list (r9 fix)
+        self.pu_list: list[tuple[int, int, int, int]] = []
         self.log2_ctb = sps["log2_ctb"]
         self.min_cb = sps["log2_min_cb"]
         self.min_tb = sps["log2_min_tb"]
@@ -1978,7 +1984,7 @@ class _PicDecoder:
                 pf, mv0, mv1, r0, r1 = self._merge_mv(x0, y0, size, size)
                 self._mc_cu(x0, y0, size, size, pf, mv0, mv1, r0, r1)
                 self._mark_inter(g, pf, mv0, mv1, skip=True, r0=r0, r1=r1)
-                self.tu_list.append((x0, y0, size, size))  # PU deblock edges
+                self.pu_list.append((x0, y0, size, size))  # PU deblock edges
                 qp = (self.qg_pred + self.cu_qp_delta_val + 52) % 52
                 self.qp_grid[g] = qp
                 self.last_cu_qp = qp
@@ -2669,7 +2675,7 @@ class _PicDecoder:
         self._mc_cu(xp, yp, w, h, pf, mv0, mv1, r0, r1)
         gp = (slice(yp >> 2, (yp + h) >> 2), slice(xp >> 2, (xp + w) >> 2))
         self._mark_inter(gp, pf, mv0, mv1, skip=False, r0=r0, r1=r1)
-        self.tu_list.append((xp, yp, w, h))  # PU deblock edges
+        self.pu_list.append((xp, yp, w, h))  # PU deblock edges
         return merged
 
     def _inter_cu(self, x0: int, y0: int, log2_size: int, depth: int,
@@ -3171,11 +3177,22 @@ class _Deblocker:
         w4, h4 = dec.w // 4, dec.h // 4
         self.v_edge = np.zeros((h4, w4), bool)  # vertical edge at 4x4 cell left
         self.h_edge = np.zeros((h4, w4), bool)
-        for x0, y0, bw, bh in dec.tu_list:
-            if x0 > 0:
-                self.v_edge[y0 >> 2 : (y0 + bh) >> 2, x0 >> 2] = True
-            if y0 > 0:
-                self.h_edge[y0 >> 2, x0 >> 2 : (x0 + bw) >> 2] = True
+        # transform-edge subset: the §8.7.2.4 nonzero-cbf bS=1
+        # condition is restricted to transform-block edges; PU-only
+        # edges inside an unsplit coded TU take the motion conditions
+        # alone (r9 fix — rect/AMP CUs with hierarchy depth > 0)
+        self.v_tedge = np.zeros((h4, w4), bool)
+        self.h_tedge = np.zeros((h4, w4), bool)
+        for src, tmaps in ((dec.tu_list, True), (dec.pu_list, False)):
+            for x0, y0, bw, bh in src:
+                if x0 > 0:
+                    self.v_edge[y0 >> 2 : (y0 + bh) >> 2, x0 >> 2] = True
+                    if tmaps:
+                        self.v_tedge[y0 >> 2 : (y0 + bh) >> 2, x0 >> 2] = True
+                if y0 > 0:
+                    self.h_edge[y0 >> 2, x0 >> 2 : (x0 + bw) >> 2] = True
+                    if tmaps:
+                        self.h_tedge[y0 >> 2, x0 >> 2 : (x0 + bw) >> 2] = True
 
     def run(self) -> None:
         self._luma_pass(vertical=True)
@@ -3192,6 +3209,7 @@ class _Deblocker:
         d = self.d
         plane = d.y if vertical else d.y.T
         edges = self.v_edge if vertical else self.h_edge.T
+        teg = self.v_tedge if vertical else self.h_tedge.T
         qp = d.qp_grid if vertical else d.qp_grid.T
         byp = d.bypass_grid if vertical else d.bypass_grid.T
         slg = d.slice_grid if vertical else d.slice_grid.T
@@ -3273,7 +3291,7 @@ class _Deblocker:
                 # envelope), 0 otherwise (unfiltered)
                 if ig[gy, gx - 1] or ig[gy, gx]:
                     bs = 2
-                elif (cg[gy, gx - 1] or cg[gy, gx]
+                elif ((teg[gy, gx] and (cg[gy, gx - 1] or cg[gy, gx]))
                       or inter_bs(gy, gx)):
                     bs = 1
                 else:
@@ -3547,11 +3565,29 @@ def decode_hevc_stream(data: bytes, max_frames: int = 64,
     def finish(dec) -> None:
         out.append((seq, dec.poc, _finalize_picture(dec)))
         # the finalized (post-loop-filter, uncropped) planes enter
-        # the DPB keyed by POC; bounded eviction (oldest first)
+        # the DPB keyed by POC; bounded eviction of the oldest picture
+        # NOT held live by the just-decoded picture's RPS/LT set — a
+        # conformant stream's next picture can only reference pictures
+        # the previous picture carried forward (§8.3.2), so blind
+        # min(poc) eviction could drop a live long-term ref (r9 fix)
         dpb[dec.poc] = (dec.y.copy(), dec.cb.copy(), dec.cr.copy(),
                         _col_motion_info(dec))
         while len(dpb) > 16:
-            del dpb[min(dpb)]
+            s0, s1 = dec.sh.get("rps", ([], []))
+            live = ({dec.poc + d for d, _u in s0}
+                    | {dec.poc + d for d, _u in s1} | {dec.poc})
+            max_lsb = 1 << dec.sps["log2_max_poc"]
+            for lsb, _used, msb_p, dmsb in dec.sh.get("lt", []):
+                if msb_p:
+                    live.add(lsb + dec.poc - dmsb * max_lsb
+                             - (dec.poc & (max_lsb - 1)))
+                else:
+                    live.update(p for p in dpb if p % max_lsb == lsb)
+            victims = sorted(p for p in dpb if p not in live)
+            if not victims:
+                raise ValueError(
+                    "hevc: DPB overflow — more than 16 live references")
+            del dpb[victims[0]]
 
     for nal in _split_nals(data):
         if len(nal) < 3:
