@@ -501,9 +501,189 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, int]:
 
 # ---------------------------------------------------------------------------
 # Real baseline TIFF: IFD writer + walker (r4) — uncompressed strips,
-# both byte orders. Compressed TIFF variants (LZW/JPEG-in-TIFF) raise →
-# fake path; the IFD/strip machinery is the real archival-format layer.
+# both byte orders. r9 adds the TIFF 6.0 §13 LZW codec (both
+# directions, early-change width transitions pinned against libtiff —
+# the r3 GIF lesson: a self-consistent round-trip proves nothing about
+# the wire off-by-ones), the §9 PackBits decoder, and the §14
+# horizontal-differencing predictor. JPEG-in-TIFF still raises → fake
+# path. Cross-pins: tests/test_tiff_lzw.py via tests/libtiff_oracle.py.
 # ---------------------------------------------------------------------------
+
+
+def _tiff_lzw_decode(src: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §13 LZW strip decode (MSB-first codes, 9→12 bits with
+    the EARLY width change: the decoder widens when the table reaches
+    2**width - 1 entries, one code before a late-change GIF decoder
+    would). Output growth is bounded by `expected` INSIDE the loop —
+    a crafted stream cannot balloon past the declared strip size."""
+    out = bytearray()
+    width = 9
+    table: list[bytes] = []
+
+    def reset() -> None:
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    prev = None
+    bitpos = 0
+    nbits = len(src) * 8
+    while True:
+        if bitpos + width > nbits:
+            raise ValueError("tiff: lzw stream truncated")
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(src[byte0 : byte0 + 4].ljust(4, b"\x00"),
+                               "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == 256:  # ClearCode
+            reset()
+            prev = None
+            continue
+        if code == 257:  # EndOfInformation
+            break
+        if prev is None:
+            if code > 255:
+                raise ValueError("tiff: lzw first code not a literal")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("tiff: lzw code out of range")
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        out += entry
+        if len(out) > expected:
+            raise ValueError("tiff: lzw output exceeds strip size")
+        prev = entry
+        if len(out) == expected:
+            break
+    if len(out) != expected:
+        raise ValueError("tiff: lzw output short")
+    return bytes(out)
+
+
+def _tiff_lzw_encode(src: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW strip encode, the early-change mirror of
+    `_tiff_lzw_decode` (width bumps when the table size reaches
+    2**width - 1); table resets via ClearCode at 4093 entries, inside
+    the 12-bit cap. Decodes bit-exactly through libtiff
+    (tests/test_tiff_lzw.py pins both directions)."""
+    bits: list[tuple[int, int]] = [(256, 9)]  # leading ClearCode
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    w = b""
+    for b in src:
+        ch = bytes((b,))
+        wc = w + ch
+        if wc in table:
+            w = wc
+            continue
+        bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        # the encoder appends AFTER emitting, so its table runs one
+        # entry ahead of the decoder's: the decoder widens at size
+        # 2**w - 1, which the encoder observes as 2**w (pinned against
+        # libtiff both directions in tests/test_tiff_lzw.py)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4093:
+            bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = ch
+    if w:
+        bits.append((table[w], width))
+    bits.append((257, width))  # EOI
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    for code, cw in bits:
+        acc = (acc << cw) | code
+        nacc += cw
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_packbits_encode(src: bytes, row: int) -> bytes:
+    """TIFF 6.0 §9 PackBits strip encode, restarting at each row
+    boundary (the spec's rule; libtiff's decoder accepts the stream
+    either way but conformant writers restart per row)."""
+    out = bytearray()
+    for r0 in range(0, len(src), row):
+        line = src[r0 : r0 + row]
+        i = 0
+        n = len(line)
+        while i < n:
+            run = 1
+            while i + run < n and run < 128 and line[i + run] == line[i]:
+                run += 1
+            if run >= 2:
+                out.append(257 - run)
+                out.append(line[i])
+                i += run
+                continue
+            lit_start = i
+            i += 1
+            while (i < n and i - lit_start < 128
+                   and not (i + 1 < n and line[i + 1] == line[i])):
+                i += 1
+            out.append(i - lit_start - 1)
+            out += line[lit_start:i]
+    return bytes(out)
+
+
+def _tiff_packbits_decode(src: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §9 PackBits strip decode, output bounded by the
+    declared strip size inside the loop."""
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while len(out) < expected:
+        if i >= n:
+            raise ValueError("tiff: packbits stream truncated")
+        ctl = src[i]
+        i += 1
+        if ctl == 128:  # no-op
+            continue
+        if ctl < 128:  # literal run of ctl+1 bytes
+            if i + ctl + 1 > n:
+                raise ValueError("tiff: packbits literal truncated")
+            out += src[i : i + ctl + 1]
+            i += ctl + 1
+        else:  # replicate next byte 257-ctl times
+            if i >= n:
+                raise ValueError("tiff: packbits replicate truncated")
+            out += bytes((src[i],)) * (257 - ctl)
+            i += 1
+        if len(out) > expected:
+            raise ValueError("tiff: packbits output exceeds strip size")
+    return bytes(out)
+
+
+def _tiff_undo_predictor2(strip: bytes, row: int, spp: int) -> bytes:
+    """TIFF 6.0 §14 horizontal-differencing inverse: per row, each
+    8-bit sample accumulates its left neighbour of the same channel."""
+    if len(strip) % row:
+        raise ValueError("tiff: predictor strip not row-aligned")
+    out = bytearray(strip)
+    for y0 in range(0, len(out), row):
+        for x in range(spp, row):
+            out[y0 + x] = (out[y0 + x] + out[y0 + x - spp]) & 0xFF
+    return bytes(out)
 
 
 def _looks_like_tiff(data: bytes) -> bool:
@@ -512,28 +692,44 @@ def _looks_like_tiff(data: bytes) -> bool:
 
 def encode_tiff(
     width: int, height: int, pixel, *, channels: int = 3, big_endian: bool = False,
-    rows_per_strip: int = 4,
+    rows_per_strip: int = 4, compression: int = 1, predictor: int = 1,
 ) -> bytes:
-    """Encode a REAL baseline TIFF: proper header + IFD with the
-    required tags (dims, 8-bit samples, compression=1, photometric,
-    strip offsets/byte-counts, samples-per-pixel, rows-per-strip),
-    pixel data split into uncompressed strips. `pixel(x, y, c)` gives
-    the byte per channel; gray (1) or RGB (3). Both byte orders."""
+    """Encode a REAL TIFF: proper header + IFD with the required tags
+    (dims, 8-bit samples, compression, photometric, strip
+    offsets/byte-counts, samples-per-pixel, rows-per-strip), pixel
+    data split into strips. `pixel(x, y, c)` gives the byte per
+    channel; gray (1) or RGB (3). Both byte orders. Compression 1
+    (none), 5 (LZW, optionally predictor=2 horizontal differencing)
+    or 32773 (PackBits); the compressed wire is arbitrated against
+    libtiff in tests/test_tiff_lzw.py."""
     if channels not in (1, 3):
         raise ValueError("tiff: only gray (1) or RGB (3)")
+    if compression not in (1, 5, 32773):
+        raise ValueError("tiff: unsupported compression")
+    if predictor not in (1, 2) or (predictor == 2 and compression != 5):
+        raise ValueError("tiff: predictor only with LZW")
     bo = ">" if big_endian else "<"
     magic = b"MM\x00*" if big_endian else b"II*\x00"
     row = width * channels
     strips = []
     for y0 in range(0, height, rows_per_strip):
-        strips.append(
-            bytes(
-                pixel(x, y, c) & 0xFF
-                for y in range(y0, min(y0 + rows_per_strip, height))
-                for x in range(width)
-                for c in range(channels)
-            )
+        strip = bytes(
+            pixel(x, y, c) & 0xFF
+            for y in range(y0, min(y0 + rows_per_strip, height))
+            for x in range(width)
+            for c in range(channels)
         )
+        if predictor == 2:  # forward horizontal differencing per row
+            d = bytearray(strip)
+            for r0 in range(0, len(d), row):
+                for x in range(row - 1, channels - 1, -1):
+                    d[r0 + x] = (d[r0 + x] - d[r0 + x - channels]) & 0xFF
+            strip = bytes(d)
+        if compression == 5:
+            strip = _tiff_lzw_encode(strip)
+        elif compression == 32773:
+            strip = _tiff_packbits_encode(strip, row)
+        strips.append(strip)
     # layout: header(8) | strip data | bits-per-sample array (RGB) |
     # strip offset/count arrays | IFD
     pos = 8
@@ -569,7 +765,7 @@ def encode_tiff(
             258, 3, channels,
             8 if channels == 1 else bits_off,  # BitsPerSample
         ),
-        entry(259, 3, 1, 1),               # Compression: none
+        entry(259, 3, 1, compression),     # Compression
         entry(262, 3, 1, 1 if channels == 1 else 2),  # Photometric
         entry(
             273, 4, n_strips,
@@ -582,6 +778,8 @@ def encode_tiff(
             len(strips[0]) if n_strips == 1 else cnts_off,  # StripByteCounts
         ),
     ]
+    if predictor == 2:
+        entries.append(entry(317, 3, 1, 2))  # Predictor: horizontal diff
     out = bytearray(magic) + struct.pack(f"{bo}I", ifd_off)
     for s in strips:
         out += s
@@ -629,8 +827,11 @@ def _tiff_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     (width,) = values(256)
     (height,) = values(257)
     (compression,) = values(259, [1])
-    if compression != 1:
-        raise ValueError("tiff: only uncompressed strips supported")
+    if compression not in (1, 5, 32773):
+        raise ValueError("tiff: unsupported compression")
+    (predictor,) = values(317, [1])
+    if predictor not in (1, 2) or (predictor == 2 and compression == 1):
+        raise ValueError("tiff: unsupported predictor")
     (spp,) = values(277, [1])
     bits = values(258, [8])
     if any(b != 8 for b in bits) or len(bits) not in (1, spp):
@@ -639,15 +840,29 @@ def _tiff_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     counts = values(279)
     if len(offsets) != len(counts):
         raise ValueError("tiff: strip offset/count mismatch")
+    (rps,) = values(278, [height])
     expected = width * height * spp
     if width <= 0 or height <= 0 or spp not in (1, 3) or expected > _MAX_MEDIA_BYTES:
         raise ValueError("tiff: dimensions out of range")
+    if rps <= 0 or (height + rps - 1) // rps != len(offsets):
+        raise ValueError("tiff: strip count does not match rows-per-strip")
+    row = width * spp
     raw = bytearray()
-    for off, cnt in zip(offsets, counts):
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
         chunk = data[off : off + cnt]
         if len(chunk) != cnt:
             raise ValueError("tiff: strip data truncated")
-        raw += chunk
+        n_rows = min(rps, height - i * rps)
+        strip_size = n_rows * row
+        if compression == 5:
+            chunk = _tiff_lzw_decode(chunk, strip_size)
+        elif compression == 32773:
+            chunk = _tiff_packbits_decode(chunk, strip_size)
+        elif len(chunk) < strip_size:
+            raise ValueError("tiff: strip data short")
+        if predictor == 2:
+            chunk = _tiff_undo_predictor2(chunk[:strip_size], row, spp)
+        raw += chunk[:strip_size]
     if len(raw) < expected:
         raise ValueError("tiff: pixel data short")
     return width, height, spp, bytes(raw[:expected])
@@ -2502,21 +2717,29 @@ def synthesize_png_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
 
 
 def synthesize_tiff_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
-    """id → REAL baseline TIFF payload, deterministic closed form:
+    """id → REAL TIFF payload, deterministic closed form:
     w = 4 + id%13, h = 4 + id%11, channels 3 (1 when id%4 == 0), BIG
     endian when id%2 == 1, 4-row strips; pixel(x, y, c) =
     (7·id + 5x + 3y + 17c) mod 256 — so strip slicing, both byte
-    orders, gray and RGB all cross the walker."""
+    orders, gray and RGB all cross the walker. r9 re-carve (same
+    pixels, new wire — the oracle's closed form is unchanged): the
+    compression cycles by id%3 (0 uncompressed, 1 LZW with the
+    horizontal-differencing predictor on ids ≡ 1 mod 6, 2 PackBits),
+    putting the libtiff-arbitrated §13/§9 codecs under the graded
+    hash."""
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
     )
 
     def one(rid: int) -> bytes:
+        comp = (1, 5, 32773)[rid % 3]
         return encode_tiff(
             4 + rid % 13, 4 + rid % 11,
             lambda x, y, c, rid=rid: (7 * rid + 5 * x + 3 * y + 17 * c) % 256,
             channels=1 if rid % 4 == 0 else 3,
             big_endian=bool(rid % 2),
+            compression=comp,
+            predictor=2 if rid % 6 == 1 else 1,
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

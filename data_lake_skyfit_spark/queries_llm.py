@@ -4250,14 +4250,19 @@ def multimodal_h264_keyframe_sampling(spark: SparkSession,
     FROM s
     """,
     tags=("llm-multimodal",),
-    doc="REAL baseline TIFF decode (llm.multimodal, r4): "
+    doc="REAL TIFF decode (llm.multimodal, r4; LZW/PackBits wire r9): "
     "synthesize_tiff_payloads writes an actual IFD per doc - required "
     "tags, inline-SHORT left-justification (the big-endian trap), "
-    "offset-stored strip-offset/count arrays, 4-row uncompressed "
-    "strips, BOTH byte orders alternating by doc - and decode_images "
-    "walks the IFD and reassembles the strips. Compressed TIFF "
-    "variants fall to the fake path. Oracle recomputes every channel "
-    "byte arithmetically.",
+    "offset-stored strip-offset/count arrays, 4-row strips, BOTH byte "
+    "orders alternating by doc, and the strip compression cycling by "
+    "id%3 (uncompressed / TIFF 6.0 s13 LZW, predictor-2 on ids 1 mod "
+    "6 / s9 PackBits) - and decode_images walks the IFD, inflates "
+    "each strip and reassembles. The LZW width transitions are "
+    "arbitrated bit-exactly against libtiff in BOTH directions "
+    "(tests/test_tiff_lzw.py); the closed-form oracle is unchanged "
+    "by the wire (lossless codecs, identical pixel sums). "
+    "JPEG-in-TIFF falls to the fake path. Oracle recomputes every "
+    "channel byte arithmetically.",
 )
 def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)

@@ -1409,16 +1409,19 @@ def test_tiff_roundtrip_and_rejections():
             assert raw == bytes(
                 pix(x, y, c) for y in range(9) for x in range(6) for c in range(ch)
             )
-    # compressed variant: patch Compression tag (259) to 5 (LZW)
-    data = bytearray(encode_tiff(4, 4, pix))
-    (ifd,) = _s.unpack_from("<I", data, 4)
-    (n,) = _s.unpack_from("<H", data, ifd)
-    for i in range(n):
-        base = ifd + 2 + 12 * i
-        if _s.unpack_from("<H", data, base)[0] == 259:
-            _s.pack_into("<H", data, base + 8, 5)
-    with _pytest.raises(ValueError, match="uncompressed"):
-        _tiff_pixels(bytes(data))
+    # JPEG-in-TIFF (compression 7) stays rejected; and a stream whose
+    # Compression tag claims LZW (5) over raw strip bytes dies in the
+    # r9 LZW wire parse — ValueError → fake path either way
+    for comp, pat in ((7, "unsupported compression"), (5, "lzw")):
+        data = bytearray(encode_tiff(4, 4, pix))
+        (ifd,) = _s.unpack_from("<I", data, 4)
+        (n,) = _s.unpack_from("<H", data, ifd)
+        for i in range(n):
+            base = ifd + 2 + 12 * i
+            if _s.unpack_from("<H", data, base)[0] == 259:
+                _s.pack_into("<H", data, base + 8, comp)
+        with _pytest.raises(ValueError, match=pat):
+            _tiff_pixels(bytes(data))
     # truncation: the IFD trails the strips, so a cut payload dies in
     # the IFD parse (struct.error) or the strip check (ValueError) —
     # both are dispatch-ladder types → fake path either way
