@@ -79,7 +79,16 @@ synchronization), TILES (r8 — §6.5.1 uniform or explicit grids,
 tile-scan CTU order, per-tile CABAC substreams with entry points,
 tile-scoped prediction/ctx availability,
 loop_filter_across_tiles on the deblock/SAO boundary rules; one
-slice segment covering the picture, the shape x265 emits),
+slice segment covering the picture, the shape x265 emits), TILES
+COMBINED WITH WPP (r9 — §7.4.7.1 one substream per CTB row per
+tile, §9.3.2.3 sync within each tile, fresh init at every tile's
+first row and at 1-CTU-wide tiles; pinned via the
+libde265-arbitrated WPP fixture wire, whose payload a 1x1-tile
+combined stream reproduces BIT-IDENTICALLY — libde265 itself has no
+combined code path (disjoint decode_slice_unit_tiles /
+decode_slice_unit_WPP dispatch, garbles or rejects the
+combination), a measured reference absence documented in
+tests/test_hevc_codec.py, not a convention to mimic),
 quantization scaling lists (default and
 explicitly-coded, SPS or PPS level), and I_PCM CUs (late r8 —
 terminate-coded pcm_flag, raw-sample islands with §9.3.1 engine
@@ -664,8 +673,8 @@ def _parse_pps(rbsp: bytes) -> dict:
         pps["lf_across_tiles"] = br.u(1)
         pps["tiles"] = {"ncols": ncols, "nrows": nrows,
                         "uniform": uniform, "cw": cw, "rh": rh}
-    if pps["tiles"] and pps["wpp"]:
-        raise ValueError("hevc: tiles + wavefronts unsupported")
+    # tiles + entropy sync combined (r9): per-row-per-tile substreams,
+    # handled in _decode_tiled_slice
     pps["loop_filter_across_slices"] = br.u(1)
     pps["deblock_override_enabled"] = 0
     pps["deblock_disabled"] = 0
@@ -1673,13 +1682,20 @@ class _PicDecoder:
         in raster order; each tile is its own CABAC substream (fresh
         context init, qPY_PREV reset), separated by end_of_subset bits
         + byte alignment, with slice-header entry points as the
-        parallel-seek aid (x265 always writes them).  Envelope: ONE
-        slice segment covering the picture — the shape x265 emits."""
+        parallel-seek aid (x265 always writes them).  With
+        entropy_coding_sync also enabled (tiles+WPP, r9), every CTB
+        ROW of every tile is a substream: the first row of a tile
+        initializes fresh, later rows restore the §9.3.2.3 state
+        stored after the second CTU of the row above IN THE SAME TILE
+        (fresh again when the tile is one CTU wide — the above-right
+        neighbour is outside the tile).  Envelope: ONE slice segment
+        covering the picture — the shape x265 emits."""
         if sh["address"] != 0 or self.next_ctu != 0:
             raise ValueError(
                 "hevc: tiles with multiple slice segments unsupported")
         order = self.ts_order
         tile_of = self.tile_grid  # per-cell; CTU lookup via order walk
+        wpp = bool(self.pps["wpp"])
         offsets = sh.get("entry_offsets") or []
         starts = None
         if offsets:
@@ -1694,34 +1710,53 @@ class _PicDecoder:
         s = self.log2_ctb - 2
         cab = None
         cur_tile = -1
+        cur_ry = -1
+        row_start_rx = 0
         sub_idx = 0
         rdr = br
+        row_sync: list[list[int]] | None = None  # saved during row above
+        next_sync: list[list[int]] | None = None  # being saved this row
         for k, addr in enumerate(order):
             rx, ry = addr % n_w, addr // n_w
             tid = int(tile_of[(ry << s), (rx << s)])
-            if tid != cur_tile:
+            new_tile = tid != cur_tile
+            new_row = wpp and not new_tile and ry != cur_ry
+            if new_tile or new_row:
                 if cur_tile >= 0:
                     # end_of_subset_one_bit + byte alignment closes the
-                    # previous tile's substream
+                    # previous substream (tile, or row-in-tile under WPP)
                     if cab.terminate() != 1:
                         raise ValueError("hevc: missing end_of_subset bit")
                     if starts is None:
                         rdr.pos = ((rdr.pos + 7) >> 3) << 3
                 if starts is not None:
                     if sub_idx >= len(starts):
-                        raise ValueError("hevc: tile count exceeds entry "
-                                         "points")
+                        raise ValueError("hevc: substream count exceeds "
+                                         "entry points")
                     rdr = _BitReader(br.data)
                     rdr.pos = starts[sub_idx] * 8
                 cab = _Cabac(rdr, sh["qp"], sh.get("init_type", 0))
+                if new_row:
+                    row_sync = next_sync
+                    if row_sync is not None:
+                        cab.state = [st.copy() for st in row_sync]
+                else:
+                    row_sync = None
+                next_sync = None
                 self.cab = cab
+                # qPY_PREV resets at each tile AND each synced CTB row
                 self.last_cu_qp = sh["qp"]
                 self.qp_delta_coded = True
                 self.cu_qp_delta_val = 0
                 self.qg_pred = sh["qp"]
                 cur_tile = tid
+                cur_ry = ry
+                row_start_rx = rx
                 sub_idx += 1
             self._decode_ctu(rx, ry)
+            if wpp and rx - row_start_rx == 1:
+                # §9.3.1 storage point: after the second CTU of the row
+                next_sync = [st.copy() for st in cab.state]
             end = cab.terminate()
             if k == total - 1:
                 if end != 1:
@@ -4126,8 +4161,13 @@ def _bypass_ctu_encode(enc, mirror: "_PicDecoder", ty, tcb, tcr,
 
 
 def _fixture_pps_tiled(ncols: int, nrows: int,
-                       lf_across_tiles: bool) -> bytes:
-    """_fixture_pps with a uniform-spacing tile grid."""
+                       lf_across_tiles: bool,
+                       wpp: bool = False,
+                       tiles: bool = True) -> bytes:
+    """_fixture_pps with a uniform-spacing tile grid; `wpp` also sets
+    entropy_coding_sync for the combined tiles+WPP shape (r9), and
+    `tiles=False` drops the grid for a wpp-only PPS (the libde265
+    arbitration anchor for the WPP fixture encoder)."""
     bw = _BitWriter()
     bw.ue(0); bw.ue(0)
     bw.u(1, 0); bw.u(1, 0); bw.u(3, 0)
@@ -4142,13 +4182,14 @@ def _fixture_pps_tiled(ncols: int, nrows: int,
     bw.u(1, 0)                      # weighted_pred (P)
     bw.u(1, 0)                      # weighted_bipred (B)
     bw.u(1, 1)                      # transquant_bypass_enabled
-    bw.u(1, 1)                      # tiles_enabled
-    bw.u(1, 0)                      # entropy sync (§7.3.2.3: BEFORE
+    bw.u(1, 1 if tiles else 0)      # tiles_enabled
+    bw.u(1, 1 if wpp else 0)        # entropy sync (§7.3.2.3: BEFORE
     #                                 the tile geometry — libde265 pin)
-    bw.ue(ncols - 1)
-    bw.ue(nrows - 1)
-    bw.u(1, 1)                      # uniform_spacing
-    bw.u(1, 1 if lf_across_tiles else 0)
+    if tiles:
+        bw.ue(ncols - 1)
+        bw.ue(nrows - 1)
+        bw.u(1, 1)                  # uniform_spacing
+        bw.u(1, 1 if lf_across_tiles else 0)
     bw.u(1, 1)                      # loop_filter_across_slices
     bw.u(1, 1)                      # deblocking_filter_control_present
     bw.u(1, 0)                      # override_enabled
@@ -4162,16 +4203,21 @@ def _fixture_pps_tiled(ncols: int, nrows: int,
 def encode_hevc_iframe_bypass_tiled(
     width: int, height: int, y: bytes, cb: bytes, cr: bytes,
     ncols: int, nrows: int, lf_across_tiles: bool = True,
+    wpp: bool = False,
 ) -> bytes:
     """Lossless intra stream partitioned into a uniform TILE grid
     (§6.5.1): one slice segment covering the picture, per-tile CABAC
     substreams with end_of_subset bits + byte alignment, slice-header
-    entry point offsets, tile-scoped DC prediction.  Pinned two ways
-    in tests: this repo's decoder reproduces the input exactly, AND
-    libde265 decodes the SAME bytes bit-identically (x265 cannot emit
-    tiles — probed via x265_param_parse — so the DECODE-side
-    arbitration carries the cross-pin, the r7d extracted-items
-    pattern)."""
+    entry point offsets, tile-scoped DC prediction.  With `wpp`
+    (r9), entropy_coding_sync is ALSO enabled and every CTB row of
+    every tile becomes its own substream: first row of each tile
+    fresh-initializes, later rows restore the §9.3.2.3 state stored
+    after the second CTU of the row above in the same tile (fresh
+    when the tile is one CTU wide).  Pinned two ways in tests: this
+    repo's decoder reproduces the input exactly, AND libde265 decodes
+    the SAME bytes bit-identically (x265 cannot emit tiles — probed
+    via x265_param_parse — so the DECODE-side arbitration carries the
+    cross-pin, the r7d extracted-items pattern)."""
     if width % 16 or height % 16 or not width or not height:
         raise ValueError("hevc fixture: dimensions must be multiples of 16")
     ysz, csz = width * height, (width // 2) * (height // 2)
@@ -4181,7 +4227,7 @@ def encode_hevc_iframe_bypass_tiled(
     if not (1 <= ncols <= n_w and 1 <= nrows <= n_h):
         raise ValueError("hevc fixture: tile grid exceeds CTU grid")
     sps = _parse_sps(_fixture_sps(width, height))
-    pps = _parse_pps(_fixture_pps_tiled(ncols, nrows, lf_across_tiles))
+    pps = _parse_pps(_fixture_pps_tiled(ncols, nrows, lf_across_tiles, wpp))
     sh = {"pps": pps, "qp": _FIXTURE_QP, "sao_luma": 0, "sao_chroma": 0,
           "cb_qp_offset": 0, "cr_qp_offset": 0, "deblock_disabled": 1,
           "beta_offset": 0, "tc_offset": 0}
@@ -4190,33 +4236,45 @@ def encode_hevc_iframe_bypass_tiled(
     tcb = np.frombuffer(cb, np.uint8).reshape(height // 2, width // 2)
     tcr = np.frombuffer(cr, np.uint8).reshape(height // 2, width // 2)
 
-    # group the tile-scan CTU order by tile
+    # group the tile-scan CTU order into substreams: per tile, or —
+    # under tiles+WPP — per CTB row of each tile
     order = mirror.ts_order
     s = mirror.log2_ctb - 2
-    tiles: list[list[int]] = []
+    groups: list[tuple[bool, list[int]]] = []  # (first_row_of_tile, addrs)
     prev_tid = -1
+    prev_ry = -1
     for addr in order:
         rx, ry = addr % n_w, addr // n_w
         tid = int(mirror.tile_grid[ry << s, rx << s])
-        if tid != prev_tid:
-            tiles.append([])
-            prev_tid = tid
-        tiles[-1].append(addr)
+        if tid != prev_tid or (wpp and ry != prev_ry):
+            groups.append((tid != prev_tid, []))
+            prev_tid, prev_ry = tid, ry
+        groups[-1][1].append(addr)
 
     substreams: list[bytes] = []
     total = n_w * n_h
     done = 0
-    for ti, addrs in enumerate(tiles):
+    row_sync: list[list[int]] | None = None
+    for gi, (first_row, addrs) in enumerate(groups):
         sw = _BitWriter()
         enc = _CabacEnc(sw, _FIXTURE_QP)
-        enc.state = _ctx_states(_FIXTURE_QP)
-        for addr in addrs:
+        if first_row or row_sync is None:
+            enc.state = _ctx_states(_FIXTURE_QP)
+        else:
+            enc.state = [st.copy() for st in row_sync]
+        row_sync = None
+        for j, addr in enumerate(addrs):
             x0 = (addr % n_w) * 16
             y0 = (addr // n_w) * 16
             _bypass_ctu_encode(enc, mirror, ty, tcb, tcr, x0, y0)
+            if wpp and j == 1:
+                # §9.3.1 storage point for the row below's sync
+                row_sync = [st.copy() for st in enc.state]
             done += 1
             enc.terminate_enc(1 if done == total else 0)
-        if ti != len(tiles) - 1:
+        if not wpp:
+            row_sync = None
+        if gi != len(groups) - 1:
             enc.terminate_enc(1)  # end_of_subset_one_bit
         sw.align_zero()
         substreams.append(sw.done())
@@ -4240,7 +4298,84 @@ def encode_hevc_iframe_bypass_tiled(
     return (_hevc_nal(32, _fixture_vps())
             + _hevc_nal(33, _fixture_sps(width, height))
             + _hevc_nal(34, _fixture_pps_tiled(ncols, nrows,
-                                               lf_across_tiles))
+                                               lf_across_tiles, wpp))
+            + _hevc_nal(19, header + b"".join(substreams)))
+
+
+def encode_hevc_iframe_bypass_wpp(
+    width: int, height: int, y: bytes, cb: bytes, cr: bytes,
+) -> bytes:
+    """Lossless intra stream under WAVEFRONT entropy sync (§9.3.1,
+    tiles off): one slice segment, one CABAC substream per CTB row
+    with entry point offsets, end_of_subset bits + byte alignment;
+    row r>0 restores the context state stored after the second CTU of
+    row r-1 (fresh when the picture is one CTU wide).  libde265
+    decodes these streams bit-exactly (tests/test_hevc_codec.py),
+    which pins the ENCODER-side WPP substream/sync machinery — the
+    decode side was already pinned by x265's native WPP output (r8).
+    This anchor also carries the tiles+WPP pin: a 1x1-tile tiles+WPP
+    stream's payload is bit-identical to this wire (asserted in
+    tests), transferring the arbitration to the combined shape that
+    libde265 itself cannot decode (it dispatches tiles and WPP to two
+    disjoint code paths — decode_slice_unit_tiles /
+    decode_slice_unit_WPP — and garbles or rejects the combination,
+    a measured reference absence, not a convention to mimic)."""
+    if width % 16 or height % 16 or not width or not height:
+        raise ValueError("hevc fixture: dimensions must be multiples of 16")
+    ysz, csz = width * height, (width // 2) * (height // 2)
+    if len(y) != ysz or len(cb) != csz or len(cr) != csz:
+        raise ValueError("hevc fixture: plane size mismatch")
+    n_w, n_h = width // 16, height // 16
+    pps_rbsp = _fixture_pps_tiled(0, 0, True, wpp=True, tiles=False)
+    sps = _parse_sps(_fixture_sps(width, height))
+    pps = _parse_pps(pps_rbsp)
+    sh = {"pps": pps, "qp": _FIXTURE_QP, "sao_luma": 0, "sao_chroma": 0,
+          "cb_qp_offset": 0, "cr_qp_offset": 0, "deblock_disabled": 1,
+          "beta_offset": 0, "tc_offset": 0}
+    mirror = _PicDecoder(sps, sh)
+    ty = np.frombuffer(y, np.uint8).reshape(height, width)
+    tcb = np.frombuffer(cb, np.uint8).reshape(height // 2, width // 2)
+    tcr = np.frombuffer(cr, np.uint8).reshape(height // 2, width // 2)
+
+    substreams: list[bytes] = []
+    total = n_w * n_h
+    row_sync: list[list[int]] | None = None
+    for ry in range(n_h):
+        sw = _BitWriter()
+        enc = _CabacEnc(sw, _FIXTURE_QP)
+        enc.state = (_ctx_states(_FIXTURE_QP) if row_sync is None
+                     else [st.copy() for st in row_sync])
+        row_sync = None
+        for rx in range(n_w):
+            _bypass_ctu_encode(enc, mirror, ty, tcb, tcr, rx * 16, ry * 16)
+            if rx == 1:
+                row_sync = [st.copy() for st in enc.state]
+            last = ry == n_h - 1 and rx == n_w - 1
+            enc.terminate_enc(1 if last else 0)
+        if ry != n_h - 1:
+            enc.terminate_enc(1)  # end_of_subset_one_bit
+        sw.align_zero()
+        substreams.append(sw.done())
+
+    bw = _BitWriter()
+    bw.u(1, 1)                      # first_slice_segment_in_pic
+    bw.u(1, 0)                      # no_output_of_prior_pics
+    bw.ue(0)                        # pps id
+    bw.ue(2)                        # slice_type I
+    bw.se(0)                        # slice_qp_delta
+    offsets = [len(sub) for sub in substreams[:-1]]
+    bw.ue(len(offsets))             # num_entry_point_offsets
+    if offsets:
+        off_len = max(1, max(o - 1 for o in offsets).bit_length())
+        bw.ue(off_len - 1)
+        for o in offsets:
+            bw.u(off_len, o - 1)
+    bw.u(1, 1)
+    bw.align_zero()                 # byte_alignment
+    header = bw.done()
+    return (_hevc_nal(32, _fixture_vps())
+            + _hevc_nal(33, _fixture_sps(width, height))
+            + _hevc_nal(34, pps_rbsp)
             + _hevc_nal(19, header + b"".join(substreams)))
 
 

@@ -1831,3 +1831,115 @@ def test_fixture_cabac_init_flag_swap_bit_exact():
     plain = hevc.decode_hevc_stream(
         hevc.encode_hevc_gop_dc(48, 32, 30, 20, 6), max_frames=4)
     assert mine[1] == plain[2]
+
+
+# ---------------------------------------------------------------------------
+# r9: tiles + WPP combined (VERDICT r8 #4).  libde265 CANNOT arbitrate
+# the combination — it dispatches tiles and WPP to two DISJOINT code
+# paths (decode_slice_unit_tiles / decode_slice_unit_WPP, visible in
+# its exported strings) and garbles or rejects any stream with both
+# PPS flags set, even the degenerate single-substream case whose
+# payload is byte-identical to an accepted tiles-only stream.  The
+# combination is also prohibited in the version-1 profiles, so no
+# conforming Main-profile encoder exists to cross-pin against.  The
+# pin is therefore layered (r8 lesson 9 — measure, document, arbitrate
+# what can be arbitrated):
+#   1. the WPP FIXTURE ENCODER (tiles off) is arbitrated bit-exactly
+#      by libde265 — pinning the encoder-side per-row substream
+#      layout, entry points, subset bits and §9.3.1 sync storage;
+#   2. a 1x1-tile tiles+WPP stream must reproduce that libde265-pinned
+#      payload BIT-IDENTICALLY (only parameter-set flags differ),
+#      transferring the arbitration to the combined decode path;
+#   3. multi-tile combined shapes hold the lossless closed-form
+#      contract (decoded planes == input) across grids including
+#      1-CTU-wide tiles (fresh-init rows), which any substream/sync
+#      misbookkeeping breaks by CABAC desync;
+#   4. libde265's divergence is itself pinned below, so a future
+#      libde265 that gains the combined path will flag here and the
+#      arbitration can be upgraded.
+
+
+@needs_de265
+@pytest.mark.parametrize("w,h", [(32, 16), (32, 64), (64, 64), (16, 64),
+                                 (96, 48)])
+def test_wpp_fixture_encoder_bit_exact_vs_libde265(w, h):
+    y, cb, cr = _tile_fixture(w + h, w, h)
+    stream = hevc.encode_hevc_iframe_bypass_wpp(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes())
+    ref = _DE265.decode(stream)
+    mine = decode_hevc_intra_stream(stream)
+    assert len(mine) == len(ref) == 1
+    assert mine[0] == ref[0]
+    assert mine[0][2] == y.tobytes()
+    assert mine[0][3] == cb.tobytes() and mine[0][4] == cr.tobytes()
+
+
+@pytest.mark.parametrize("w,h", [(32, 32), (64, 64), (16, 64)])
+def test_tiles_wpp_1x1_payload_bit_identical_to_wpp_wire(w, h):
+    """The arbitration transfer: a 1x1-tile combined stream's slice
+    NAL must be byte-identical to the libde265-pinned wpp-only wire
+    (same substreams, same sync, same entry points — only the PPS
+    flags differ)."""
+    from data_lake_skyfit_spark.llm.hevc import _split_nals
+
+    y, cb, cr = _tile_fixture(9, w, h)
+    s_wpp = hevc.encode_hevc_iframe_bypass_wpp(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes())
+    s_comb = hevc.encode_hevc_iframe_bypass_tiled(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), 1, 1, True, wpp=True)
+    slice_wpp = [n for n in _split_nals(s_wpp) if (n[0] >> 1) & 63 == 19][0]
+    slice_comb = [n for n in _split_nals(s_comb) if (n[0] >> 1) & 63 == 19][0]
+    assert slice_wpp == slice_comb
+    got = decode_hevc_intra_stream(s_comb)[0]
+    assert got[2] == y.tobytes()
+
+
+@pytest.mark.parametrize("w,h,nc,nr", [
+    (96, 64, 2, 2),
+    (128, 48, 4, 3),
+    (80, 64, 3, 2),    # uneven §6.5.1 widths (1,2,2)
+    (64, 96, 1, 4),
+    (16, 64, 1, 1),    # 1-CTU-wide: every row fresh-initializes
+    (48, 48, 3, 1),    # all tiles 1 CTU wide
+])
+@pytest.mark.parametrize("lf", [True, False])
+def test_tiles_wpp_lossless_contract(w, h, nc, nr, lf):
+    y, cb, cr = _tile_fixture(nc * 11 + nr, w, h)
+    stream = hevc.encode_hevc_iframe_bypass_tiled(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), nc, nr, lf, wpp=True)
+    got = decode_hevc_intra_stream(stream)
+    assert len(got) == 1
+    assert got[0][2] == y.tobytes()
+    assert got[0][3] == cb.tobytes() and got[0][4] == cr.tobytes()
+
+
+def test_tiles_wpp_wire_differs_from_tiles_only():
+    """The combined wire must actually change the substream layout
+    (more substreams: one per row per tile), not just the PPS flag."""
+    y, cb, cr = _tile_fixture(3, 96, 64)
+    comb = hevc.encode_hevc_iframe_bypass_tiled(
+        96, 64, y.tobytes(), cb.tobytes(), cr.tobytes(), 2, 2, True,
+        wpp=True)
+    tiles = hevc.encode_hevc_iframe_bypass_tiled(
+        96, 64, y.tobytes(), cb.tobytes(), cr.tobytes(), 2, 2, True)
+    assert len(comb) > len(tiles)  # 8 substreams vs 4 → more entry points
+    for s in (comb, tiles):
+        assert decode_hevc_intra_stream(s)[0][2] == y.tobytes()
+
+
+@needs_de265
+def test_libde265_still_lacks_the_combined_path():
+    """Pin the measured reference absence: libde265 either rejects a
+    tiles+WPP stream or decodes it to something OTHER than the
+    lossless input (its tiles and WPP paths are disjoint).  If a
+    future libde265 decodes this bit-exactly, this test flags so the
+    arbitration can be upgraded to a direct cross-pin."""
+    y, cb, cr = _tile_fixture(7, 96, 64)
+    stream = hevc.encode_hevc_iframe_bypass_tiled(
+        96, 64, y.tobytes(), cb.tobytes(), cr.tobytes(), 2, 2, True,
+        wpp=True)
+    try:
+        ref = _DE265.decode(stream)
+        assert not ref or ref[0][2] != y.tobytes()
+    except ValueError:
+        pass  # rejection is the currently observed behaviour
