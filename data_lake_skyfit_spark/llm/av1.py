@@ -568,3 +568,129 @@ def tile_group_ranges(tile_data: bytes, fh: dict) -> list[bytes]:
         out.append(tile_data[i : i + sz])
         i += sz
     return out
+
+
+# ----------------------------------------------------- OBU writers (fixture)
+
+
+class _BitW:
+    """MSB-first bit writer for fixture OBUs."""
+
+    __slots__ = ("bits",)
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def f(self, n: int, v: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.bits.append((v >> k) & 1)
+
+    def done(self) -> bytes:
+        out = bytearray()
+        acc = 0
+        for i, b in enumerate(self.bits):
+            acc = (acc << 1) | b
+            if (i & 7) == 7:
+                out.append(acc)
+                acc = 0
+        rem = len(self.bits) & 7
+        if rem:
+            out.append(acc << (8 - rem))
+        return bytes(out)
+
+    def trailing(self) -> None:
+        self.f(1, 1)
+        while len(self.bits) & 7:
+            self.f(1, 0)
+
+
+def _leb128_enc(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def obu(otype: int, payload: bytes) -> bytes:
+    """Wrap a payload in a low-overhead OBU header with leb128 size."""
+    return bytes(((otype << 3) | 2,)) + _leb128_enc(len(payload)) + payload
+
+
+def write_sequence_header_obu(width: int, height: int) -> bytes:
+    """Minimal legal sequence header: profile 0, reduced still-picture
+    header, 8-bit 4:2:0, no optional tools — round-trips through
+    parse_sequence_header bit-exactly (pinned in tests)."""
+    if not (0 < width <= _MAX_DIM and 0 < height <= _MAX_DIM):
+        raise ValueError("av1: bad fixture dimensions")
+    b = _BitW()
+    b.f(3, 0)   # seq_profile
+    b.f(1, 1)   # still_picture
+    b.f(1, 1)   # reduced_still_picture_header
+    b.f(5, 0)   # seq_level_idx[0]
+    wbits = max(1, (width - 1).bit_length())
+    hbits = max(1, (height - 1).bit_length())
+    b.f(4, wbits - 1)
+    b.f(4, hbits - 1)
+    b.f(wbits, width - 1)
+    b.f(hbits, height - 1)
+    b.f(1, 0)   # use_128x128_superblock
+    b.f(1, 0)   # enable_filter_intra
+    b.f(1, 0)   # enable_intra_edge_filter
+    b.f(1, 0)   # enable_superres
+    b.f(1, 0)   # enable_cdef
+    b.f(1, 0)   # enable_restoration
+    # color_config: 8-bit, not monochrome, no description → 4:2:0
+    b.f(1, 0)   # high_bitdepth
+    b.f(1, 0)   # mono_chrome
+    b.f(1, 0)   # color_description_present
+    b.f(1, 1)   # color_range (full)
+    b.f(2, 0)   # chroma_sample_position
+    b.f(1, 0)   # separate_uv_delta_q
+    b.f(1, 0)   # film_grain_params_present
+    b.trailing()
+    return b.done()
+
+
+def write_keyframe_header_bits(b: "_BitW", width: int,
+                               height: int) -> None:
+    """Uncompressed KEY frame header under a reduced still-picture
+    sequence header (lossless, SINGLE tile; width/height ≤ 4096 so
+    min_log2_tile_cols is 0) — the bits only; callers append the tile
+    payload (OBU_FRAME) after byte alignment."""
+    if width > 4096 or height > 4096:
+        raise ValueError("av1: fixture tile math limited to ≤4096")
+    if _tile_log2(2304, ((width + 63) // 64) * ((height + 63) // 64)) > 0:
+        raise ValueError("av1: picture area forces multiple tiles")
+    b.f(1, 0)   # disable_cdf_update
+    b.f(1, 0)   # allow_screen_content_tools (seq force == SELECT)
+    b.f(1, 0)   # render_and_frame_size_different
+    # §5.9.15 uniform tile info, pinned to ONE tile: a stop bit per
+    # increment loop whenever the max log2 exceeds the min (mirrors
+    # the parser's while-loops exactly)
+    sb_cols = (width + 63) // 64
+    sb_rows = (height + 63) // 64
+    b.f(1, 1)   # uniform_tile_spacing
+    if _tile_log2(1, min(sb_cols, 64)) > 0:
+        b.f(1, 0)  # stop increment_tile_cols_log2 at 0
+    if _tile_log2(1, min(sb_rows, 64)) > 0:
+        b.f(1, 0)  # stop increment_tile_rows_log2 at 0
+    b.f(8, 0)   # base_q_idx → CodedLossless
+    b.f(1, 0)   # y_dc delta coded
+    b.f(1, 0)   # u_dc delta coded
+    b.f(1, 0)   # u_ac delta coded
+    b.f(1, 0)   # using_qmatrix
+    b.f(1, 0)   # segmentation_enabled
+    b.f(1, 0)   # reduced_tx_set
+
+
+def write_frame_header_obu(width: int, height: int) -> bytes:
+    """Standalone OBU_FRAME_HEADER payload (trailing bits included)."""
+    b = _BitW()
+    write_keyframe_header_bits(b, width, height)
+    b.trailing()
+    return b.done()

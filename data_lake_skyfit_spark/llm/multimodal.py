@@ -63,6 +63,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import av1
 from .h264 import (
     _parse_sps as _h264_parse_sps,
     _crop_planes as _h264_crop_planes,
@@ -136,6 +137,10 @@ __all__ = [
     "synthesize_webp_lossless_payloads",
     "synthesize_avc_mp4_payloads",
     "synthesize_hevc_mp4_payloads",
+    "synthesize_avif_payloads",
+    "decode_avif_structure",
+    "parse_avif_info",
+    "encode_avif_fixture",
     "synthesize_heic_payloads",
     "encode_heic_fixture",
     "encode_heic_grid_fixture",
@@ -5408,6 +5413,18 @@ class _HeifMeta:
                 ispe = struct.unpack_from(">II", self.data, b + 4)
         return hvcc_cfg, ispe
 
+    def item_properties(self, iid: int):
+        """Generic accessor: the item's associated properties as
+        (fourcc, body bytes) in ipma association order (r9, the AVIF
+        av1C path)."""
+        out = []
+        for idx in self.assoc.get(iid, ()):
+            if not 1 <= idx <= len(self.props):
+                raise ValueError("heif: property index out of range")
+            fc, b, e = self.props[idx - 1]
+            out.append((fc, self.data[b:e]))
+        return out
+
     def item_transforms(self, iid: int):
         """('irot', angle) / ('imir', axis) in ipma ASSOCIATION order
         (ISO 23008-12: transformative properties apply in that order)."""
@@ -5631,6 +5648,130 @@ def encode_heic_grid_fixture(tile_w: int, tile_h: int, rows: int, cols: int,
                      hdlr + pitm + iinf + iprp + iref + idat
                      + iloc_box(mdat_off))
     return ftyp + meta + _mp4_box(b"mdat", b"".join(samples))
+
+
+# ---------------------------------------------------------------------------
+# AVIF (r9): AV1 image items in the HEIF container — the same meta-box
+# machinery as HEIC with an av01 item + av1C configuration record.
+# The r9 tier is CONTAINER + OBU/HEADER-layer real (llm/av1.py,
+# arbitrated against libheif/dav1d/gav1/aom streams in
+# tests/test_avif_codec.py); the AV1 symbol-decode tier lands in a
+# later round, so fixture item payloads carry real sequence/frame
+# header OBUs with a deterministic structural tile payload, and
+# real-world (libheif/aom-encoded) AVIF files are parsed for their
+# structure, not yet their pixels.
+# ---------------------------------------------------------------------------
+
+
+def _av1c_box(seq_obu_payload: bytes) -> bytes:
+    """AV1CodecConfigurationRecord: marker/version 0x81 + profile/
+    level/bitdepth/chroma bits mirrored from the sequence header, then
+    the config OBUs (the sequence header OBU itself)."""
+    sh = av1.parse_sequence_header(seq_obu_payload)
+    b1 = (sh["profile"] << 5) | 0  # seq_level_idx_0 = 0
+    b2 = ((0 << 7)                               # seq_tier_0
+          | ((1 if sh["bit_depth"] > 8 else 0) << 6)   # high_bitdepth
+          | ((1 if sh["bit_depth"] == 12 else 0) << 5)  # twelve_bit
+          | (sh["monochrome"] << 4)
+          | (sh["subsampling_x"] << 3)
+          | (sh["subsampling_y"] << 2)
+          | sh.get("chroma_sample_position", 0))
+    rec = bytes((0x81, b1, b2, 0)) + av1.obu(av1.OBU_SEQUENCE_HEADER,
+                                             seq_obu_payload)
+    return _mp4_box(b"av1C", rec)
+
+
+def _parse_av1c(box: bytes) -> bytes:
+    """av1C record → the contained config OBU bytes (validated
+    marker/version)."""
+    if len(box) < 4 or box[0] != 0x81:
+        raise ValueError("avif: bad av1C record")
+    return box[4:]
+
+
+def encode_avif_fixture(width: int, height: int,
+                        tile_payload: bytes) -> bytes:
+    """Minimal conformant .avif container: ftyp(avif) + meta(hdlr/
+    pitm/iinf/iprp/iloc) + mdat, the primary item an av01 image whose
+    config (av1C) carries a REAL sequence header OBU and whose item
+    data is a REAL frame-header OBU followed by a tile-group OBU with
+    the given payload bytes.  libheif reads the container structure
+    of these files (dims via ispe) — the container convention is
+    arbitrated even before the symbol tier lands."""
+    seq = av1.write_sequence_header_obu(width, height)
+    item = (av1.obu(av1.OBU_TEMPORAL_DELIMITER, b"")
+            + av1.obu(av1.OBU_FRAME_HEADER,
+                      av1.write_frame_header_obu(width, height))
+            + av1.obu(av1.OBU_TILE_GROUP, tile_payload))
+    hdlr = _mp4_full(b"hdlr", 0, 0,
+                     b"\x00" * 4 + b"pict" + b"\x00" * 12 + b"\x00")
+    pitm = _mp4_full(b"pitm", 0, 0, struct.pack(">H", 1))
+    infe = _mp4_full(b"infe", 2, 0,
+                     struct.pack(">HH", 1, 0) + b"av01" + b"\x00")
+    iinf = _mp4_full(b"iinf", 0, 0, struct.pack(">H", 1) + infe)
+    ispe = _mp4_full(b"ispe", 0, 0, struct.pack(">II", width, height))
+    ipco = _mp4_box(b"ipco", _av1c_box(seq) + ispe)
+    ipma = _mp4_full(b"ipma", 0, 0,
+                     struct.pack(">I", 1) + struct.pack(">H", 1)
+                     + bytes([2, 0x81, 0x02]))
+    iprp = _mp4_box(b"iprp", ipco + ipma)
+
+    def iloc_box(offset: int) -> bytes:
+        return _mp4_full(
+            b"iloc", 0, 0,
+            struct.pack(">HH", 0x4400, 1)
+            + struct.pack(">HHH", 1, 0, 1)
+            + struct.pack(">II", offset, len(item)),
+        )
+
+    ftyp = _mp4_box(b"ftyp", b"avif" + struct.pack(">I", 0) + b"avifmif1")
+    meta = _mp4_full(b"meta", 0, 0, hdlr + pitm + iinf + iprp + iloc_box(0))
+    mdat_off = len(ftyp) + len(meta) + 8
+    meta = _mp4_full(b"meta", 0, 0,
+                     hdlr + pitm + iinf + iprp + iloc_box(mdat_off))
+    return ftyp + meta + _mp4_box(b"mdat", item)
+
+
+def parse_avif_info(data: bytes) -> dict:
+    """Walk an AVIF file's container + AV1 bitstream headers →
+    structural facts: width/height (ispe AND the AV1 headers,
+    cross-validated), profile, bit depth, subsampling, lossless flag,
+    OBU count, total tile-payload bytes.  Raises ValueError for
+    non-AVIF or out-of-envelope streams."""
+    meta = _HeifMeta(data)
+    if meta.item_types.get(meta.primary) != b"av01":
+        raise ValueError("avif: primary item is not av01")
+    props = meta.item_properties(meta.primary)
+    av1c = None
+    ispe_wh = None
+    for name, body in props:
+        if name == b"av1C":
+            av1c = _parse_av1c(body)
+        elif name == b"ispe":
+            if len(body) < 12:
+                raise ValueError("avif: short ispe")
+            ispe_wh = struct.unpack_from(">II", body, 4)
+    if av1c is None or ispe_wh is None:
+        raise ValueError("avif: missing av1C or ispe property")
+    stream = av1c + meta.item_data(meta.primary)
+    info = av1.parse_av1_stream(stream)
+    fh, sq = info["frame"], info["seq"]
+    if (fh["width"], fh["height"]) != tuple(ispe_wh):
+        raise ValueError("avif: ispe disagrees with the AV1 headers")
+    return {
+        "width": fh["width"],
+        "height": fh["height"],
+        "profile": sq["profile"],
+        "bit_depth": sq["bit_depth"],
+        "subsampling_x": sq["subsampling_x"],
+        "subsampling_y": sq["subsampling_y"],
+        "monochrome": sq["monochrome"],
+        "coded_lossless": fh["coded_lossless"],
+        "n_obus": info["n_obus"],
+        "tile_bytes": sum(len(t) for t in info["tile_data"]),
+        "tile_cols": fh["tile_cols"],
+        "tile_rows": fh["tile_rows"],
+    }
 
 
 def encode_heic_fixture(width: int, height: int, y: bytes, cb: bytes,
@@ -8513,6 +8654,77 @@ def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def synthesize_avif_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """id → REAL .avif container (r9): ftyp/meta/iloc/mdat walk with an
+    av01 primary item whose av1C carries a real AV1 sequence-header
+    OBU and whose item data is a real frame-header OBU + tile group.
+    Closed forms: w = 16 + id%29, h = 16 + id%23, tile payload length
+    n = 40 + id%57 with byte i = (31·id + 7·i) mod 256."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def one(rid: int) -> bytes:
+        n = 40 + rid % 57
+        payload = bytes((31 * rid + 7 * i) % 256 for i in range(n))
+        return encode_avif_fixture(16 + rid % 29, 16 + rid % 23, payload)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": [one(int(v)) for v in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, out_schema)
+
+
+def decode_avif_structure(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """AVIF container + AV1 OBU/header walk (r9): per payload, the
+    full HEIF meta-box resolution (pitm/iinf/iprp/iloc), av1C record,
+    sequence + frame header parse with CodedLossless derivation, and
+    the tile-group byte extraction summed as `tile_sum` — proving the
+    byte plumbing end-to-end.  Pixel decode (MSAC symbol tier) lands
+    in a later round; this leg grades the layers that are complete."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("profile", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("lossless", T.IntegerType()),
+        T.StructField("n_obus", T.IntegerType()),
+        T.StructField("tile_bytes", T.IntegerType()),
+        T.StructField("tile_sum", T.LongType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload)
+                meta = _HeifMeta(data)
+                if meta.item_types.get(meta.primary) != b"av01":
+                    raise ValueError("avif: primary item is not av01")
+                info = parse_avif_info(data)
+                stream = None
+                for name, body in meta.item_properties(meta.primary):
+                    if name == b"av1C":
+                        stream = _parse_av1c(body)
+                tiles = av1.parse_av1_stream(
+                    stream + meta.item_data(meta.primary))["tile_data"]
+                tile_sum = sum(sum(t) for t in tiles)
+                rows.append((int(rid), info["width"], info["height"],
+                             info["profile"], info["bit_depth"],
+                             info["coded_lossless"], info["n_obus"],
+                             info["tile_bytes"], tile_sum))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "width", "height", "profile", "bit_depth",
+                "lossless", "n_obus", "tile_bytes", "tile_sum"])
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 def synthesize_heic_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:

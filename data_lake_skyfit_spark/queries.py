@@ -207,10 +207,13 @@ _PRIORITY = [
     "continuous_aggregate_hourly",
     "asof_join_last_purchase",
     "range_join_maintenance_windows",
-    # r6: the r5 gap-filled time buckets with LOCF move into the graded
-    # window (VERDICT r5 #7) — the temporal family gains its fourth
-    # graded carrier (rollup/asof/range/gapfill)
-    "gapfill_locf_hourly",
+    # (gapfill_locf_hourly yielded its slot in r9 to the AVIF entry
+    # per VERDICT r8 #7: the temporal family keeps THREE graded
+    # carriers (rollup/asof/range) and the gapfill+LOCF machinery
+    # stays drive-verified; multimodal_decode_avif grades a NEW
+    # capability class — the AV1/AVIF container + bitstream-header
+    # tier, arbitrated against the five in-container AV1 reference
+    # implementations.)
     # training-data construction
     "dataset_split_assignment",
     "sequence_packing",
@@ -274,6 +277,12 @@ _PRIORITY = [
     # gate transitively, and both decode_audio and audio_vad stay
     # drive-verified past the cutoff.)
     "multimodal_audio_pipeline",
+    # r9: the AVIF/AV1 container + bitstream-header tier (VERDICT r8
+    # #1/#7) — real .avif writers and walkers over real AV1 OBU
+    # sequence/frame headers, five-reference arbitration; the symbol
+    # tier is the r10 frontier and the entry doc states exactly which
+    # layers are graded.
+    "multimodal_decode_avif",
 ]
 
 

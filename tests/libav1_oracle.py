@@ -37,6 +37,15 @@ from-scratch decoder.  rav1e has no lossless path (quantizer=0 is
 near-lossless, max |err| ~1) and is used for conforming-lossy wire
 diversity.
 
+libheif's aom plugin also encodes TRULY lossless AVIF (parameter
+"lossless"="true" → min-q/max-q 0 → CodedLossless): dav1d on the
+extracted av1C+item OBUs reproduces the input bit-exactly
+(tests/test_avif_codec.py).  What is NOT bit-exact is libheif's own
+DECODE readback of those files — its still-image pipeline normalizes
+through RGB (the r7d lesson) — so lossless comparisons must extract
+the OBU stream and decode with dav1d/gav1/aom directly, never
+through heif_decode_image.
+
 TEST SUPPORT ONLY — production operators never import this; decode
 stays pure Python so it runs on any Spark executor without native
 deps.  Import is gated: when a library is absent its loader returns
