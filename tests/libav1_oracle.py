@@ -408,8 +408,12 @@ class Rav1e:
         return self._lib.rav1e_version_full().decode()
 
     def encode(self, width: int, height: int, y: bytes, cb: bytes,
-               cr: bytes, *, quantizer: int = 0, speed: int = 10) -> bytes:
-        """8-bit 4:2:0 still picture → raw AV1 OBU stream."""
+               cr: bytes, *, quantizer: int = 0, speed: int = 10,
+               chroma: int = 0) -> bytes:
+        """8-bit still picture → raw AV1 OBU stream.  `chroma` is the
+        RaChromaSampling enum probed by effect against our header
+        parser: 0=4:2:0 (profile 0), 1=4:2:2 (profile 2), 2=4:4:4
+        (profile 1), 3=monochrome (profile 0, mono)."""
         lib = self._lib
         cfg = lib.rav1e_config_default()
         if not cfg:
@@ -425,16 +429,18 @@ class Rav1e:
                          (b"threads", b"1")):
                 if lib.rav1e_config_parse(cfg, k, v) != 0:
                     raise ValueError(f"rav1e: config {k!r} rejected")
-            # 8-bit, Cs420(0), position unknown(0), FULL range(1)
-            if lib.rav1e_config_set_pixel_format(cfg, 8, 0, 0, 1) != 0:
+            # 8-bit, chroma enum, position unknown(0), FULL range(1)
+            if lib.rav1e_config_set_pixel_format(cfg, 8, chroma, 0, 1) != 0:
                 raise ValueError("rav1e: pixel format rejected")
             ctx = lib.rav1e_context_new(cfg)
             if not ctx:
                 raise ValueError("rav1e: context failed")
             frame = lib.rav1e_frame_new(ctx)
             lib.rav1e_frame_fill_plane(frame, 0, y, len(y), width, 1)
-            lib.rav1e_frame_fill_plane(frame, 1, cb, len(cb), width // 2, 1)
-            lib.rav1e_frame_fill_plane(frame, 2, cr, len(cr), width // 2, 1)
+            if chroma != 3:
+                cw = width if chroma == 2 else width // 2
+                lib.rav1e_frame_fill_plane(frame, 1, cb, len(cb), cw, 1)
+                lib.rav1e_frame_fill_plane(frame, 2, cr, len(cr), cw, 1)
             if lib.rav1e_send_frame(ctx, frame) != 0:
                 raise ValueError("rav1e: send_frame failed")
             if lib.rav1e_send_frame(ctx, None) != 0:  # flush / EOS

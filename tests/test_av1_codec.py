@@ -119,3 +119,31 @@ def test_corrupted_header_raises_not_hangs():
         except ValueError:
             raised += 1
     assert raised > 0
+
+
+@pytest.mark.skipif(_RAV1E is None, reason="rav1e absent")
+@pytest.mark.parametrize("chroma,profile,mono,sub", [
+    (1, 2, 0, (1, 0)),   # 4:2:2 → Professional profile
+    (2, 1, 0, (0, 0)),   # 4:4:4 → High profile
+    (3, 0, 1, (1, 1)),   # monochrome → Main profile, mono_chrome
+])
+def test_chroma_format_headers_parse(chroma, profile, mono, sub):
+    """Every AV1 profile's color_config wire shape through the parser
+    (rav1e's flat pixel-format API emits all four samplings; the
+    enum values were probed BY EFFECT against the parsed headers)."""
+    w, h = 32, 32
+    rng = np.random.default_rng(chroma)
+    y = rng.integers(0, 256, (h, w), dtype=np.uint8).tobytes()
+    cw = w if chroma == 2 else w // 2
+    chh = h if chroma == 1 else (h if chroma == 2 else h // 2)
+    if chroma == 1:
+        chh = h
+    cb = bytes(cw * chh)
+    cr = bytes(cw * chh)
+    s = _RAV1E.encode(w, h, y, cb, cr, quantizer=80, chroma=chroma)
+    info = av1.parse_av1_stream(s)
+    sq = info["seq"]
+    assert sq["profile"] == profile
+    assert sq["monochrome"] == mono
+    assert (sq["subsampling_x"], sq["subsampling_y"]) == sub
+    assert (info["frame"]["width"], info["frame"]["height"]) == (w, h)
