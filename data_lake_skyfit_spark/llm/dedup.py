@@ -330,6 +330,13 @@ def jaccard_pairs_bruteforce(
     # prefix by one — turning the lossless filter into one that drops
     # true J ≥ t pairs. The +1e-9 can only lengthen a prefix (safe),
     # never shorten it.
+    # prefix feeds BOTH sides of the candidate self-join and the static
+    # plan prints the lineage twice — but do NOT checkpoint it: AQE
+    # reuses the identical shuffle stage at runtime (the heavy
+    # explode→freq→window map work runs once), so a checkpoint only
+    # adds a materialization barrier. Measured r9 (same-session
+    # interleaved A/B at sf0.1): no-checkpoint 6.6 s vs checkpoint
+    # 8.3 s min-of-3.
     prefix = (
         ex.join(freq, "g")
         .withColumn("rn", F.row_number().over(w))
@@ -369,6 +376,31 @@ def minhash_signature_expr(shingles: Column, num_perm: int = 128) -> Column:
     )
 
 
+def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Checkpointed (id, sh) non-empty shingle sets. Shingling is the
+    expensive leaf and every downstream consumer (signature agg, band
+    explode, candidate verification) re-reads it — lazily checkpoint so
+    it computes once per run. In a persistent pipeline this frame would
+    be a materialized signatures table."""
+    return (
+        _with_shingles(df, text_col, id_col, n)
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
+    )
+
+
+def _signatures_of(s: DataFrame, num_perm: int) -> DataFrame:
+    """(id, sig) MinHash signatures of a shingle frame via explode + one
+    aggregation with num_perm min() columns — whole-stage codegen end to
+    end, with map-side partial aggregation (one row per doc crosses the
+    shuffle). Bit-identical to minhash_signature_expr."""
+    ex = s.select("id", F.explode("sh").alias("g"))
+    mins = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), "g")).alias(f"m{i}") for i in range(num_perm)]
+    )
+    return mins.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+
+
 def minhash_signatures(
     df: DataFrame,
     *,
@@ -377,25 +409,14 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 128,
 ) -> DataFrame:
-    """(id, sh, sig): MinHash signatures via explode + one aggregation
-    with num_perm min() columns — whole-stage codegen end to end, with
-    map-side partial aggregation (one row per doc crosses the shuffle).
-    Produces bit-identical signatures to minhash_signature_expr."""
-    # Shingling is the expensive leaf and every downstream consumer
-    # (signature agg, band explode, candidate verification) re-reads it —
-    # lazily checkpoint so it computes once per run. In a persistent
-    # pipeline this frame would be a materialized signatures table.
-    s = (
-        _with_shingles(df, text_col, id_col, n)
-        .filter(F.size("sh") > 0)
-        .localCheckpoint(eager=False)
-    )
-    ex = s.select("id", F.explode("sh").alias("g"))
-    mins = ex.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.lit(i), "g")).alias(f"m{i}") for i in range(num_perm)]
-    )
-    sig = mins.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
-    return s.join(sig, "id")
+    """(id, sh, sig): MinHash signatures joined back onto the shingle
+    sets — the persisted-index shape (MinHashIndex materializes this).
+    The one-shot pair path (minhash_lsh_pairs) keeps the two frames
+    separate instead: joining sh back onto sig costs an exchange and
+    doubles the checkpointed shingle bytes for nothing the pair
+    pipeline needs (r9 optimization)."""
+    s = _shingle_frame(df, text_col, id_col, n)
+    return s.join(_signatures_of(s, num_perm), "id")
 
 
 def _band_entries(sig: DataFrame, *, bands: int, rows: int) -> DataFrame:
@@ -451,11 +472,14 @@ def minhash_lsh_pairs(
     fraction at scale — pay the exact-verification cost.
     """
     rows = num_perm // bands
-    # sig feeds three consumers (band entries + both verification joins);
-    # checkpoint so signatures compute once.
-    sig = minhash_signatures(
-        df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm
-    ).localCheckpoint(eager=False)
+    # Two checkpointed frames instead of one joined one (r9
+    # optimization): the shingle frame feeds the signature agg and both
+    # verification joins; the narrow (id, sig) frame feeds the band
+    # self-join twice. Keeping them separate removes the sig⨝shingles
+    # exchange+join the old shape paid and stops the shingle arrays
+    # being checkpointed twice (once in s, once inside the joined sig).
+    s = _shingle_frame(df, text_col, id_col, n)
+    sig = _signatures_of(s, num_perm).localCheckpoint(eager=False)
 
     band_entries = _band_entries(sig, bands=bands, rows=rows)
     a = band_entries.alias("a")
@@ -470,7 +494,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    return _verify_pairs(candidates, sig, threshold)
+    return _verify_pairs(candidates, s, threshold)
 
 
 class MinHashIndex:

@@ -256,12 +256,15 @@ def hnsw_topk(
             out_n.extend(ids[j] for j in found)
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
 
+    # No dropDuplicates: every corpus vector lives in exactly one shard
+    # and a shard's beam search returns each neighbor at most once, so
+    # (query_id, neighbor_id) pairs are unique by construction — the
+    # old dedup paid an Exchange + HashAggregate for nothing (r9).
     cand = (
         c.withColumn("shard", _shard_of(F.col("id"), n_shards))
         .groupBy("shard")
         .applyInPandas(kernel, "query_id long, neighbor_id long")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _rescore(cand, q.select("id", "e", "nrm"), c.select("id", "e", "nrm"), k)
 

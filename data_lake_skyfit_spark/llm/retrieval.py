@@ -81,14 +81,6 @@ def postings(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def _corpus_scalars(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Single row (n_docs, totlen) — broadcast onto candidates."""
-    return docs.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.size(tokens_expr(text_col))).cast("bigint").alias("totlen"),
-    )
-
-
 def bm25_score(
     docs: DataFrame,
     queries: DataFrame,
@@ -108,21 +100,41 @@ def bm25_score(
     if idf not in ("rational", "log"):
         raise ValueError(f"idf must be 'rational' or 'log', got {idf!r}")
 
-    post = postings(docs, text_col, id_col)
     qterms = queries.select(
         "query_id", F.explode(F.array_distinct("terms")).alias("term")
     )
-    # Query side is tiny: broadcast so postings never shuffle by term
-    # for the candidate join, and df counts run on matched rows only.
-    matched = post.join(F.broadcast(qterms.select("term").distinct()), "term")
-    # matched feeds BOTH the df aggregation and the scoring join.
-    matched = matched.localCheckpoint(eager=False)
+    # One tokenization pass over the corpus, shared by the matched-
+    # postings path and the corpus scalars (the old shape tokenized the
+    # whole corpus twice — once in postings(), once in _corpus_scalars).
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w")
+    ).localCheckpoint(eager=False)
+    # Query side is tiny: broadcast it BELOW the postings aggregation —
+    # filtering exploded tokens to query terms before the
+    # (term, doc_id, dl) groupBy means the aggregation (and its
+    # exchange) only sees occurrences of query terms instead of the
+    # whole vocabulary. Grouping commutes with the term equi-filter, so
+    # the result is identical to aggregate-then-join (r9 optimization).
+    ex = toks.select(
+        "doc_id", F.size("__w").alias("dl"), F.explode("__w").alias("term")
+    )
+    matched = (
+        ex.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        # matched feeds BOTH the df aggregation and the scoring join.
+        .localCheckpoint(eager=False)
+    )
     dfreq = matched.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
 
+    scalars = toks.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size("__w")).cast("bigint").alias("totlen"),
+    )
     cand = (
         matched.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(_corpus_scalars(docs, text_col, id_col)))
+        .crossJoin(F.broadcast(scalars))
     )
 
     if idf == "rational":

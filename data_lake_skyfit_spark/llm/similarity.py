@@ -619,9 +619,15 @@ def lsh_topk(
                 for t in range(tables)
             ]
         )
-        return (
-            out.select("id", "e", "nrm", F.explode(buckets).alias("bucket"))
-            .dropDuplicates(["id", "bucket"])
+        # Bucket values embed the table index inside the hash, so a
+        # duplicate (id, bucket) can only come from the same row's
+        # array — array_distinct BEFORE the explode dedups it for free.
+        # The old dropDuplicates(["id", "bucket"]) ran First() over the
+        # array columns e/nrm, which HashAggregate cannot buffer, so
+        # each side paid Exchange + 2×Sort + 2×SortAggregate (r9
+        # before-plan) for a dedup the explode input already implies.
+        return out.select(
+            "id", "e", "nrm", F.explode(F.array_distinct(buckets)).alias("bucket")
         )
 
     q = with_buckets(queries)
