@@ -721,11 +721,14 @@ def simhash_bits(
         .agg(F.count(F.lit(1)).alias("w"))
     )
     h = F.concat(F.md5(F.col("tok")), F.md5(F.concat(F.col("tok"), F.lit("#"))))
-    toks = toks.withColumn("h", h)
-    # One aggregation with nbits sum columns — no nbits× row explosion;
-    # partial (map-side) aggregation keeps the shuffle at one row per doc.
+    # Split the hex string into a char array ONCE per row: substring(h, j, 1)
+    # rescans the string from the start for every j (O(j) per call, O(nbits²)
+    # per row across the nbits sum expressions), while element_at on the
+    # pre-split array is O(1). Measured r9 (same-session noop A/B, sf0.1):
+    # the 64-sum aggregation drops 2.9 s → 1.4 s.
+    toks = toks.withColumn("ha", F.split(h, ""))
     parity = lambda j: (  # noqa: E731
-        F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), j, 1)) - 1
+        F.instr(F.lit("0123456789abcdef"), F.element_at(F.col("ha"), j)) - 1
     ) % 2
     sums = toks.groupBy("id").agg(
         *[
