@@ -174,14 +174,22 @@ def pq_train(
 
 
 def _cb_lit(cents: list[list[float]]) -> Column:
-    """One subspace's codebook as a literal array<array<double>>."""
-    return F.array(
-        *[F.array(*[F.lit(float(v)) for v in cent]) for cent in cents]
-    )
+    """One subspace's codebook as a literal array<array<double>>.
+
+    One F.lit per CENTROID over a float64 ndarray — pyspark's ndarray
+    fast path is a single py4j round trip shipping the doubles bit-
+    exact, while lit(list) recurses into per-ELEMENT lit()+array()
+    calls. The old all-scalar shape cost ~2.7 s of pure Python-side
+    query BUILD time per pq query in py4j socket round trips (measured
+    r9 cProfile: 13.9k send_command calls; JVM plan was 0.06 s and
+    exec 1.3 s). Values are identical doubles."""
+    import numpy as np
+
+    return F.array(*[F.lit(np.asarray(cent, dtype=np.float64)) for cent in cents])
 
 
-def _sub_dist(e: Column, s: int, cent: Column, m: int) -> Column:
-    """Squared L2 distance of subvector s of `e` to one centroid (a
+def _sub_dist_pre(sub: Column, cent: Column) -> Column:
+    """Squared L2 distance of a PRE-SLICED subvector to one centroid (a
     Column of array<double>), as an ordered fold: acc starts at +0.0
     and adds each (a−b)² left-to-right — bit-identical to the oracle's
     explicit `t0 + t1 + …` chain (+0.0 + t0 == t0 for every IEEE t0,
@@ -193,12 +201,20 @@ def _sub_dist(e: Column, s: int, cent: Column, m: int) -> Column:
     the trade at every scale, since compile cost was per-stage and the
     per-element work is 3 flops."""
     return F.aggregate(
-        F.zip_with(
-            F.slice(e, s * m + 1, m), cent, lambda a, b: (a - b) * (a - b)
-        ),
+        F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
+
+
+def _sub_dist(e: Column, s: int, cent: Column, m: int) -> Column:
+    """_sub_dist_pre over subvector s sliced out of `e` inline. NB for
+    callers fanning out over many centroids: the slice (and anything
+    inside `e`, e.g. the _as_double cast-transform) re-evaluates per
+    call — interpreted HOFs have no CSE. Corpus-sized paths must stage
+    the cast+sliced subvectors as materialized columns and call
+    _sub_dist_pre (pq_encode does; r9 optimization)."""
+    return _sub_dist_pre(F.slice(e, s * m + 1, m), cent)
 
 
 def _argmin_code(e: Column, s: int, cents: list[list[float]], m: int) -> Column:
@@ -220,6 +236,20 @@ def _argmin_code(e: Column, s: int, cents: list[list[float]], m: int) -> Column:
     return F.array_min(cands)["c"]
 
 
+def _argmin_code_pre(sub: Column, cents: list[list[float]]) -> Column:
+    """_argmin_code over a pre-sliced (and pre-cast) subvector column —
+    the corpus-encode path: one transform over the literal codebook,
+    each centroid's distance from _sub_dist_pre, so nothing inside the
+    subvector expression re-evaluates per centroid."""
+    cands = F.transform(
+        _cb_lit(cents),
+        lambda cent, i: F.named_struct(
+            F.lit("d"), _sub_dist_pre(sub, cent), F.lit("c"), i.cast("int")
+        ),
+    )
+    return F.array_min(cands)["c"]
+
+
 def pq_encode(
     df: DataFrame,
     codebook: list[list[list[float]]],
@@ -235,11 +265,24 @@ def pq_encode(
     decides anything here)."""
     e = _as_double(vec_col)
     m = len(codebook[0][0])
+    # Stage the cast+sliced subvectors as materialized columns first:
+    # interpreted HOFs re-evaluate their argument subtrees per call, so
+    # feeding `e` (a cast-transform over the full vector) straight into
+    # n_sub × n_cent _sub_dist calls re-ran the cast 128× and the slice
+    # 16× per row (the CLAUDE.md let-bind rule). The staged columns are
+    # non-cheap and multiply-referenced, so CollapseProject keeps the
+    # barrier. Measured r9: ann_pq_adc_topk 3.6 s → (see
+    # OPTIMIZATION_r09.md) with identical codes.
+    subs = [F.slice(e, s * m + 1, m).alias(f"__sub{s}") for s in range(len(codebook))]
+    staged = df.select(
+        F.col(id_col).alias("id"), *[F.col(k) for k in keep_cols], *subs
+    )
     codes = [
-        _argmin_code(e, s, cents, m) for s, cents in enumerate(codebook)
+        _argmin_code_pre(F.col(f"__sub{s}"), cents)
+        for s, cents in enumerate(codebook)
     ]
-    return df.select(
-        F.col(id_col).alias("id"),
+    return staged.select(
+        "id",
         *[F.col(k) for k in keep_cols],
         F.array(*codes).alias("codes"),
     )
