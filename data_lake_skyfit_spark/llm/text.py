@@ -212,15 +212,21 @@ def language_scores_trigram(
     grams = sorted({g for p in TRIGRAM_PROFILES.values() for g in p})
     gcol = {g: f"__g{i}" for i, g in enumerate(grams)}
     staged = df.select(F.col(id_col), norm.alias("__t"))
+    # F.expr strings (one py4j round trip per gram instead of ~6 Column
+    # API calls — the r9 build-time lever); grams are [a-z ] only, so
+    # the single-quoted SQL literal needs no escaping. `/` is double
+    # division and CAST AS BIGINT truncates exactly like .cast("long"),
+    # so values are unchanged. regexp_count was also measured as an
+    # alternative to the replace-based count (same leftmost
+    # non-overlapping convention): 1.10 s vs 1.02 s min-of-3 — replace
+    # stays.
     counts = staged.select(
         F.col(id_col),
         *[
-            (
-                (F.length("__t") - F.length(F.replace(F.col("__t"), F.lit(g))))
-                / F.lit(3)
+            F.expr(
+                f"CAST((length(__t) - length(replace(__t, '{g}'))) / 3 "
+                f"AS BIGINT) AS {gcol[g]}"
             )
-            .cast("long")
-            .alias(gcol[g])
             for g in grams
         ],
     )
