@@ -628,8 +628,15 @@ def connected_components(
     sym = edges.unionByName(
         edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
     ).localCheckpoint(eager=False)
+    # Fused first round (r9): the node set AND round 1's propagation
+    # l(v) = min(v, min over neighbors) come out of ONE aggregate over
+    # the edge list — the old shape paid a distinct for the node set
+    # plus a full join+agg round for the same result. Every node of the
+    # pair graph has ≥1 edge, so groupBy(s) covers the node set.
     labels = (
-        sym.select(F.col("s").alias("id")).distinct().withColumn("label", F.col("id"))
+        sym.groupBy("s")
+        .agg(F.least(F.col("s"), F.min("t")).alias("label"))
+        .select(F.col("s").alias("id"), "label")
     ).localCheckpoint(eager=False)
 
     from pyspark.sql import types as T
@@ -639,7 +646,15 @@ def connected_components(
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
     )
     converged = False
-    prev_sum = None
+    if integral_ids:
+        # Seed the monotone-sum certificate from the fused round so the
+        # loop's first iteration can already detect convergence (star
+        # and pair clusters finish in one loop round).
+        prev_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+    else:
+        prev_sum = None
     for round_no in range(1, max_iter + 1):
         neighbor_min = (
             sym.join(labels, sym["t"] == labels["id"])
@@ -682,7 +697,10 @@ def connected_components(
             label_sum = new_labels.agg(
                 F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
             ).collect()[0]["s"]
-            unchanged = label_sum == prev_sum and round_no > 1
+            # prev_sum is seeded from the fused init round, so equality
+            # is a valid fixpoint certificate from loop round 1 on
+            # (labels only decrease; unchanged sum ⟺ no label moved).
+            unchanged = label_sum == prev_sum
             prev_sum = label_sum
         else:
             unchanged = (
