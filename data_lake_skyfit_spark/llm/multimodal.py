@@ -165,6 +165,21 @@ def _fake_decode_enabled() -> bool:
     return os.environ.get("SKYFIT_FAKE_DECODE", "1") == "1"
 
 
+def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """The id column only, hash-repartitioned to the session's default
+    parallelism before a synthesize kernel. Per-id encode/decode kernels
+    are embarrassingly parallel, but a small filtered id range usually
+    sits in 1-2 parquet splits (the r7d one-split trap, measured again
+    in r9: multimodal_decode_h264 ran its whole 500-GOP encode+decode
+    chain on ONE core — 8.5 s vs ~1.4 s spread). The downstream decode
+    mapInPandas inherits this partitioning, so the pipeline pays exactly
+    one exchange of 8-byte ids. Hash partitioning by id is deterministic
+    (no round-robin retry hazard, guide §2.5) and scale-adaptive: the
+    count follows the cluster's parallelism, not a constant."""
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    return df.select(id_col).repartition(n, id_col)
+
+
 def attach_binary_payload(df: DataFrame, source_col: str, *, mime: str = "application/octet-stream") -> DataFrame:
     """Lift a column into the media model: binary payload + metadata
     struct + content hash. For real pipelines the payload column comes
@@ -2548,7 +2563,7 @@ def synthesize_jpeg_payloads(
             payloads = [one(int(v)) for v in pdf[id_col]]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_gif_animation_payloads(
@@ -2581,7 +2596,7 @@ def synthesize_gif_animation_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -2609,7 +2624,7 @@ def synthesize_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_ppm_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -2635,7 +2650,7 @@ def synthesize_ppm_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_aiff_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -2668,7 +2683,7 @@ def synthesize_aiff_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFr
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_bmp_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -2693,7 +2708,7 @@ def synthesize_bmp_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_png_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -2718,7 +2733,7 @@ def synthesize_png_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_tiff_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -2752,7 +2767,7 @@ def synthesize_tiff_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFr
             payloads = [one(int(v)) for v in pdf[id_col]]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_png_variant_payloads(
@@ -2792,7 +2807,7 @@ def synthesize_png_variant_payloads(
             payloads = [one(int(v)) for v in pdf[id_col]]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_gif_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -2816,7 +2831,7 @@ def synthesize_gif_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def decode_images(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -3868,7 +3883,7 @@ def synthesize_flac_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFr
                 }
             )
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_mp3_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -3894,7 +3909,7 @@ def synthesize_mp3_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def decode_audio(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -4279,7 +4294,7 @@ def synthesize_avi_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
                 }
             )
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -4456,7 +4471,7 @@ def synthesize_mjpeg_avi_payloads(
                 }
             )
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def decode_video_pixels(
@@ -6027,7 +6042,7 @@ def synthesize_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def sample_video_frames(
@@ -6268,7 +6283,7 @@ def synthesize_neardup_png_payloads(
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -6403,7 +6418,7 @@ def synthesize_vad_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
                 payloads.append(encode_wav_pcm16(WAV_RATES[rid % 5], samples))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -6619,7 +6634,7 @@ def synthesize_adpcm_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> D
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -6717,7 +6732,7 @@ def synthesize_g711_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -7044,7 +7059,7 @@ def synthesize_exif_jpeg_payloads(df: DataFrame, *, id_col: str = "doc_id") -> D
                 payloads.append(insert_jpeg_app1(jpeg, app1))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -7211,7 +7226,7 @@ def synthesize_id3_mp3_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
                 payloads.append(tag + frames)
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -7348,7 +7363,7 @@ def synthesize_webp_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFr
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def audio_energy_envelope(
@@ -7426,7 +7441,7 @@ def synthesize_neardup_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") ->
                 payloads.append(encode_wav_pcm16(WAV_RATES[k % 5], samples))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_neardup_avi_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -7462,7 +7477,7 @@ def synthesize_neardup_avi_payloads(df: DataFrame, *, id_col: str = "doc_id") ->
                 }
             )
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_mjpeg_mp4_payloads(
@@ -7498,7 +7513,7 @@ def synthesize_mjpeg_mp4_payloads(
                 }
             )
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_neardup_mjpeg_payloads(
@@ -7546,7 +7561,7 @@ def synthesize_neardup_mjpeg_payloads(
                 }
             )
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def video_neardup_pairs(
@@ -8278,7 +8293,7 @@ def synthesize_webp_lossless_payloads(
                 }
             )
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 # per-qp step coefficients for the deblocked AVC leg: regimes hit the
@@ -8529,7 +8544,7 @@ def synthesize_avc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Dat
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def _hevc_split_aus(stream: bytes) -> list[bytes]:
@@ -8653,7 +8668,7 @@ def synthesize_hevc_mp4_payloads(df: DataFrame, *, id_col: str = "doc_id") -> Da
                 payloads.append(encode_mp4_frames(frames, codec="hvc1"))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_avif_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -8678,7 +8693,7 @@ def synthesize_avif_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFr
                 "payload": [one(int(v)) for v in pdf[id_col]],
             })
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def decode_avif_structure(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -8775,7 +8790,7 @@ def synthesize_heic_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFr
                         encode_heic_fixture(w, 32, *planes(rid, w, 32, 0, True)))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_avc_multiref_payloads(
@@ -8819,7 +8834,7 @@ def synthesize_avc_multiref_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_avc_tdirect_payloads(
@@ -8864,7 +8879,7 @@ def synthesize_avc_tdirect_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_avc_bpyramid_payloads(
@@ -8907,7 +8922,7 @@ def synthesize_avc_bpyramid_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def synthesize_webp_lossy_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -8939,7 +8954,7 @@ def synthesize_webp_lossy_payloads(df: DataFrame, *, id_col: str = "doc_id") -> 
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
 
 
 def _vp8l_package_merge(freqs: dict[int, int], limit: int) -> dict[int, int]:
@@ -9367,4 +9382,4 @@ def synthesize_webp_animation_payloads(
                 payloads.append(encode_webp_animation(w, h, frames))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(kernel, out_schema)
+    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)

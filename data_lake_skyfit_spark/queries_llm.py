@@ -3879,10 +3879,9 @@ def multimodal_decode_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
     "4:2:2/4:4:4 tier) rides the reference cross-pins in pytest.",
 )
 def multimodal_decode_hevc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the per-doc CABAC encode+decode is embarrassingly parallel but the
-    # filtered id range lands in one parquet split — spread it explicitly
-    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
-         .repartition(16, "doc_id"))
+    # every synthesize kernel now spreads its one-split id range itself
+    # (multimodal._spread_ids, r9) — no query-level repartition needed
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
     media = multimodal.synthesize_hevc_mp4_payloads(d, id_col="doc_id")
     return multimodal.decode_video_pixels(media, every_ms=400)
 
@@ -3929,8 +3928,8 @@ def multimodal_decode_hevc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "convention and libde265 the wire in tests/test_heif_codec.py.",
 )
 def multimodal_decode_heic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
-         .repartition(16, "doc_id"))
+    # synthesize kernels spread their own id range (multimodal._spread_ids)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
     media = multimodal.synthesize_heic_payloads(d, id_col="doc_id")
     return multimodal.decode_images(media, id_col="doc_id")
 
