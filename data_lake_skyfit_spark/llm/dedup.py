@@ -622,9 +622,14 @@ def connected_components(
     silently returning partial labels would split one true cluster into
     several, corrupting dedupe decisions.
     """
+    # The fused init below uses null-skipping F.least, which would hand a
+    # NULL endpoint label=min(t) instead of keeping it NULL (the r4c
+    # least-vs-NULL trap). Pair inputs here are non-null by contract;
+    # enforce it so a future nullable caller diverges loudly, not
+    # silently (ADVICE r9).
     edges = pairs.select(
         F.col(a_col).alias("s"), F.col(b_col).alias("t")
-    )
+    ).filter(F.col("s").isNotNull() & F.col("t").isNotNull())
     sym = edges.unionByName(
         edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
     ).localCheckpoint(eager=False)

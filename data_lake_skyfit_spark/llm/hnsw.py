@@ -252,6 +252,11 @@ def hnsw_topk(
             found = search_shard_graph(
                 unit, adj, levels, entry, qu[r], k=k, ef=ef_search
             )
+            # Enforce the invariant the plan relies on (no dropDuplicates
+            # downstream): a shard beam returns each neighbor at most
+            # once. A future graph-build change that duplicated an adj
+            # entry would otherwise silently rank one neighbor twice.
+            assert len(found) == len(set(found)), "beam returned a duplicate neighbor"
             out_q.extend([qi[r]] * len(found))
             out_n.extend(ids[j] for j in found)
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})

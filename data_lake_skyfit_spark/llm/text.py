@@ -220,6 +220,12 @@ def language_scores_trigram(
     # alternative to the replace-based count (same leftmost
     # non-overlapping convention): 1.10 s vs 1.02 s min-of-3 — replace
     # stays.
+    # The raw f-string interpolation below is only safe while profile
+    # grams stay inside [a-z ] — a quote or backslash in a future
+    # profile entry would break (or silently change) the parsed SQL.
+    assert all(c.islower() or c == " " for g in grams for c in g), (
+        "TRIGRAM_PROFILES grams must be [a-z ] — escape before widening"
+    )
     counts = staged.select(
         F.col(id_col),
         *[
