@@ -97,14 +97,21 @@ def fuzzy_match_join(
         F.col(cand_col).alias("__cn"),
         key(F.col(cand_col)).alias("__blk"),
     )
-    dist = F.levenshtein(F.col("__pn"), F.col("__cn"))
+    # Bounded Levenshtein: with a threshold, Spark runs the banded DP
+    # (O(max_dist·len) instead of O(len²) per pair) and returns the
+    # EXACT distance when it is <= max_dist, else -1 — so `>= 0` keeps
+    # exactly the pairs `levenshtein(p, c) <= max_dist` kept, with
+    # identical dist values for every survivor (verified empirically:
+    # exact-within-threshold, -1 beyond). The big side's per-pair work
+    # drops ~len/max_dist-fold; survivors and values are unchanged.
+    dist = F.levenshtein(F.col("__pn"), F.col("__cn"), max_dist)
     pairs = (
         p.join(c, "__blk")
         .filter(
             F.abs(F.length("__pn") - F.length("__cn")) <= F.lit(len_band)
         )
         .select("probe_id", "cand_id", dist.alias("dist"))
-        .filter(F.col("dist") <= F.lit(max_dist))
+        .filter(F.col("dist") >= 0)
     )
     best = (
         pairs.groupBy("probe_id")
