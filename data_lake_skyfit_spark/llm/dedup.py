@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import fingerprint64
-from .text import shingles_expr, tokens_expr
+from .text import shingles_expr, spread_small_input, tokens_expr
 
 __all__ = [
     "exact_duplicates",
@@ -314,7 +314,7 @@ def jaccard_pairs_bruteforce(
     bucket's fan-in is bounded by how many docs share a RARE shingle.
     """
     s = (
-        _with_shingles(df, text_col, id_col, n)
+        _with_shingles(spread_small_input(df, id_col), text_col, id_col, n)
         .withColumn("sz", F.size("sh"))
         .filter(F.col("sz") > 0)
         .localCheckpoint(eager=False)  # feeds index build + verification
@@ -381,9 +381,11 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     expensive leaf and every downstream consumer (signature agg, band
     explode, candidate verification) re-reads it — lazily checkpoint so
     it computes once per run. In a persistent pipeline this frame would
-    be a materialized signatures table."""
+    be a materialized signatures table. The input spread keeps the
+    shingle+signature map side off a single core when the corpus scan
+    is one split (no-op at real scale)."""
     return (
-        _with_shingles(df, text_col, id_col, n)
+        _with_shingles(spread_small_input(df, id_col), text_col, id_col, n)
         .filter(F.size("sh") > 0)
         .localCheckpoint(eager=False)
     )
@@ -746,7 +748,8 @@ def simhash_bits(
     multiplicity. bit_j = 1 iff Σ weight·(2·parity−1) ≥ 0.
     """
     toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("tok"))
+        spread_small_input(df, id_col)
+        .select(F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("tok"))
         .groupBy("id", "tok")
         .agg(F.count(F.lit(1)).alias("w"))
     )

@@ -19,6 +19,7 @@ __all__ = [
     "tokens_expr",
     "let_expr",
     "shingles_expr",
+    "spread_small_input",
     "token_count",
     "bpe_ish_token_count",
     "quality_metrics",
@@ -49,6 +50,10 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 PUNCT_CLASS = "[.,!?;:]"
 
+#: spread_small_input sizing: enough rows per task that per-task fixed
+#: overhead stays small against ~0.1-0.5 ms/row tokenize/shingle work.
+_SPREAD_ROWS_PER_TASK = 128
+
 #: Characteristic char trigrams per language (Cavnar–Trenkle-style
 #: profile, '_' = space shown here as a real space): high-frequency
 #: function-word boundaries and affixes. ASCII-only BY CONSTRUCTION —
@@ -71,6 +76,41 @@ TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def spread_small_input(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition a narrow-scan input to the session's default
+    parallelism before expensive per-row map work (tokenize / shingle /
+    per-seed hashing). The r7d/r9 one-split trap generalized to the
+    TEXT tier: a small corpus sits in 1-2 parquet splits, so the whole
+    tokenize→explode→partial-agg map side of every text operator runs
+    on ONE core (measured r10: the minhash signature stage 2.9 s
+    one-split vs 1.4 s spread at sf0.1 on 32 cores). Conditional so it
+    is a NO-OP at real scale: when the scan already carries >= the
+    cluster's parallelism in splits, no shuffle is added — the 100 TB
+    plan stays scan→agg with zero extra exchanges. Hash partitioning by
+    the id key is deterministic under task retry (guide §2.5), and the
+    shuffled bytes are the raw rows (small corpus by precondition).
+    Callers pass scan-rooted frames, so the partition probe is
+    planning-only (no exchange to materialize).
+
+    The spread WIDTH follows the row count, not the core count: fanning
+    a few-hundred-row frame to full parallelism makes every downstream
+    stage of a long pipeline pay ~32 near-empty tasks (measured r10:
+    curation_pipeline +1.2 s at width 32; the r9 dedup_audio_envelope
+    0.37x regression was the same mechanism). One bounded count job —
+    only ever taken on a sub-parallelism scan, i.e. a small input —
+    prices the width so ~_ROWS_PER_TASK rows land per task."""
+    sc = df.sparkSession.sparkContext
+    n = max(sc.defaultParallelism, 1)
+    existing = df.rdd.getNumPartitions()
+    if existing >= n:
+        return df
+    rows = df.count()
+    width = min(n, max(1, -(-rows // _SPREAD_ROWS_PER_TASK)))
+    if width <= existing:
+        return df
+    return df.repartition(width, key)
 
 
 def tokens_expr(text: Column | str) -> Column:
