@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .text import let_expr, shingles_expr, tokens_expr
+from .text import let_expr, shingles_expr, spread_small_input, tokens_expr
 
 __all__ = [
     "EMAIL_RE",
@@ -464,7 +464,7 @@ def cross_doc_duplication(
     tier, with no pairwise term. The exploded frame feeds two consumers
     (counts + scoring join), so it is checkpointed to evaluate once.
     """
-    sh = df.select(
+    sh = spread_small_input(df, id_col).select(
         F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("__sh")
     ).localCheckpoint(eager=False)
     counts = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__ndocs"))

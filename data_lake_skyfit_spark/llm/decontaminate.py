@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles_expr
+from .text import shingles_expr, spread_small_input
 
 __all__ = ["contamination_report"]
 
@@ -46,7 +46,9 @@ def contamination_report(
       max_shared   = largest shared-shingle count with any single eval doc
       contaminated = max_shared >= min_shared
     """
-    t = train.select(
+    # Spread the big (train) side's shingling off a one-split scan; the
+    # eval side is small and broadcast, so it stays as-is.
+    t = spread_small_input(train, id_col).select(
         F.col(id_col).alias("train_id"), shingles_expr(text_col, n).alias("sh")
     )
     e = evalset.select(

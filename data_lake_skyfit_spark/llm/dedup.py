@@ -216,7 +216,11 @@ def duplicate_span_removal(
     # curation imports dedup lazily inside curate_corpus, this mirrors.
     from .curation import ngrams_expr
 
-    base = df.select(F.col(id_col).cast("long").alias("id"), F.col(text_col))
+    # base feeds three tokenize passes (toks/grams/totals) — spread the
+    # one-split scan so they run in parallel (no-op at real scale).
+    base = spread_small_input(df, id_col).select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col)
+    )
     toks = base.select(
         "id", F.posexplode(tokens_expr(text_col)).alias("pos", "tok")
     )
@@ -1266,7 +1270,7 @@ def containment_pairs(
     if not 0 < threshold_num <= threshold_den:
         raise ValueError("containment threshold must be a fraction in (0, 1]")
     s = (
-        _with_shingles(df, text_col, id_col, n)
+        _with_shingles(spread_small_input(df, id_col), text_col, id_col, n)
         .withColumn("sz", F.size("sh"))
         .filter(F.col("sz") > 0)
         .withColumn(

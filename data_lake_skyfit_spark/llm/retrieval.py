@@ -58,7 +58,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .text import tokens_expr
+from .text import spread_small_input, tokens_expr
 
 __all__ = ["postings", "bm25_score", "bm25_topk"]
 
@@ -106,7 +106,9 @@ def bm25_score(
     # One tokenization pass over the corpus, shared by the matched-
     # postings path and the corpus scalars (the old shape tokenized the
     # whole corpus twice — once in postings(), once in _corpus_scalars).
-    toks = docs.select(
+    # Input spread keeps that pass off a single core on one-split scans
+    # (no-op at real scale).
+    toks = spread_small_input(docs, id_col).select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__w")
     ).localCheckpoint(eager=False)
     # Query side is tiny: broadcast it BELOW the postings aggregation —

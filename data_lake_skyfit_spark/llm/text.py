@@ -251,7 +251,9 @@ def language_scores_trigram(
     )
     grams = sorted({g for p in TRIGRAM_PROFILES.values() for g in p})
     gcol = {g: f"__g{i}" for i, g in enumerate(grams)}
-    staged = df.select(F.col(id_col), norm.alias("__t"))
+    # 64 full-text replace() allocations per row: real map work, spread
+    # off the one-split scan (no-op at real scale).
+    staged = spread_small_input(df, id_col).select(F.col(id_col), norm.alias("__t"))
     # F.expr strings (one py4j round trip per gram instead of ~6 Column
     # API calls — the r9 build-time lever); grams are [a-z ] only, so
     # the single-quoted SQL literal needs no escaping. `/` is double
@@ -488,6 +490,10 @@ def word_surprisal_scores(
     cross join (curation.py's pattern). Output: (id, n_words, n_oov,
     surprisal_bits) — all BIGINT, zero-filled for wordless documents.
     """
+    # No input spread here: the unigram tier's map side is one light
+    # explode — measured r10 (same-session A/B) the spread's count job
+    # + exchange cost MORE than the 1-core map it parallelized
+    # (0.98 -> 1.21 s). The heavier trigram tier keeps it.
     toks = df.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("w")
     ).localCheckpoint(eager=False)
@@ -569,6 +575,8 @@ def bigram_surprisal_scores(
     BROADCAST; the only corpus-sized exchanges are the two counting
     aggregations and the per-doc sum. Output: (id, n_bigrams,
     n_backoff, bigram_bits), zero-filled for docs with < 2 tokens."""
+    # No input spread (r10 same-session A/B: 1.58 -> 1.83 s — the
+    # bigram tier's map side is too light to pay the count+exchange).
     arr = df.select(
         F.col(id_col), tokens_expr(text_col).alias("_arr")
     ).localCheckpoint(eager=False)  # feeds unigram counts AND bigrams
@@ -695,7 +703,7 @@ def trigram_surprisal_scores(
     per-doc sum. Output: (id, n_trigrams, n_backoff_bigram,
     n_backoff_unigram, trigram_bits), zero-filled for docs with < 3
     tokens."""
-    arr = df.select(
+    arr = spread_small_input(df, id_col).select(
         F.col(id_col), tokens_expr(text_col).alias("_arr")
     ).localCheckpoint(eager=False)  # feeds unigram, bigram AND trigram streams
     bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
