@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from .dedup import dot_expr
 from .similarity import _prep, _register_kernel_broadcast
+from .text import spread_small_input
 
 __all__ = ["hnsw_topk", "HNSWIndex", "build_shard_graph", "search_shard_graph"]
 
@@ -228,6 +229,9 @@ def hnsw_topk(
     Output (query_id, neighbor_id, rank, cosine), schema-compatible
     with brute_force_topk; at ef_search ≥ shard size it EQUALS it."""
     spark = corpus.sparkSession
+    # No input spread: groupBy(shard) already spreads the kernel; the
+    # 1-core _prep fold is smaller than the count+exchange (r10 A/B:
+    # 2.42 -> 2.74 s).
     c = _prep(corpus, id_col, vec_col).localCheckpoint(
         eager=False
     )  # feeds the kernel AND both rescore joins

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _as_double
+from .text import spread_small_input
 
 __all__ = [
     "deterministic_codebook",
@@ -274,7 +275,10 @@ def pq_encode(
     # barrier. Measured r9: ann_pq_adc_topk 3.6 s → (see
     # OPTIMIZATION_r09.md) with identical codes.
     subs = [F.slice(e, s * m + 1, m).alias(f"__sub{s}") for s in range(len(codebook))]
-    staged = df.select(
+    # Encode is a pure map over the corpus: spread a one-split scan so
+    # the 128 centroid-distance folds per row run on every core (no-op
+    # at real scale).
+    staged = spread_small_input(df, id_col).select(
         F.col(id_col).alias("id"), *[F.col(k) for k in keep_cols], *subs
     )
     codes = [
@@ -336,6 +340,16 @@ def pq_adc_topk(
     n_cent = len(codebook[0])
     m = len(codebook[0][0])
     e = _as_double(vec_col)
+    # Stage the cast+sliced query subvectors first (the pq_encode
+    # staging applied to the QUERY side, r10): feeding `e` straight
+    # into the per-centroid distance lambdas re-evaluated the
+    # cast-transform once per centroid and the slice once per subspace
+    # (interpreted HOFs have no CSE). LUT values are identical — same
+    # fold, same order.
+    q_staged = queries.select(
+        F.col(id_col).alias("id"),
+        *[F.slice(e, s * m + 1, m).alias(f"__qsub{s}") for s in range(n_sub)],
+    )
     # NB: the per-subspace lambda must be built by a factory — a
     # `lambda cent, s=s:` default-arg closure has TWO parameters, which
     # PySpark's arity sniffing reads as an (element, index) lambda and
@@ -343,11 +357,12 @@ def pq_adc_topk(
     # out-of-range slices).
     def _lut_for(s: int):
         return F.transform(
-            _cb_lit(codebook[s]), lambda cent: _sub_dist(e, s, cent, m)
+            _cb_lit(codebook[s]),
+            lambda cent: _sub_dist_pre(F.col(f"__qsub{s}"), cent),
         )
 
     lut = F.flatten(F.array(*[_lut_for(s) for s in range(n_sub)]))
-    q = queries.select(F.col(id_col).alias("id"), lut.alias("lut"))
+    q = q_staged.select("id", lut.alias("lut"))
     adc = reduce(
         _add,
         [

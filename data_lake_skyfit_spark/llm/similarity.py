@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _as_double, dot_expr, norm_expr
+from .text import spread_small_input
 
 __all__ = [
     "brute_force_topk",
@@ -75,7 +76,10 @@ def brute_force_topk(
     the result is deterministic.
     """
     q = _prep(queries, id_col, vec_col)
-    c = _prep(corpus, id_col, vec_col)
+    # Corpus side streams through the broadcast-probe join, so its map
+    # side (norm + per-candidate cosine folds) must not sit on one
+    # split (no-op at real scale).
+    c = _prep(spread_small_input(corpus, id_col), id_col, vec_col)
     cos = dot_expr(F.col("q.e"), F.col("c.e")) / (F.col("q.nrm") * F.col("c.nrm"))
     scored = (
         F.broadcast(q.alias("q"))
@@ -133,6 +137,9 @@ def knn_join(
 
     from .dedup import block_pair_explode
 
+    # No input spread: block_pair_explode's dedup exchange already
+    # parallelizes the kernel; the 1-core _prep fold is smaller than the
+    # count+exchange (r10 A/B: 1.81 -> 1.92 s).
     v = _prep(df, id_col, vec_col).localCheckpoint(
         eager=False
     )  # feeds candidate gen + 2 rescoring joins
@@ -407,6 +414,8 @@ def ivf_topk(
     shuffles only list ids, never vectors-by-pair.
     Scale: shuffle ∝ n, per-query compute ∝ n·n_probe/n_lists.
     """
+    # No input spread (r10 A/B: 2.19 -> 2.33 s — the centroid-train and
+    # assign paths re-exchange anyway).
     c = _prep(corpus, id_col, vec_col).localCheckpoint(eager=False)
     cids, cmat = _train_centroids(c, n_lists, kmeans_iters)
     c_assigned = _assign_to_centroids(c, 1, cids, cmat)
@@ -448,7 +457,7 @@ def sharded_topk(
             % n_shards
         )
 
-    c = _prep(corpus, id_col, vec_col).withColumn("shard", shard_of(F.col("id")))
+    c = _prep(spread_small_input(corpus, id_col), id_col, vec_col).withColumn("shard", shard_of(F.col("id")))
     probe_shards = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_probe - 1)),
@@ -607,9 +616,14 @@ def lsh_topk(
     per-table collision (1−θ/π)^planes, overall 1−(1−p)^tables. Output
     schema matches brute_force_topk (ranks among candidates).
     """
-    def with_buckets(df: DataFrame) -> DataFrame:
+    def with_buckets(df: DataFrame, *, spread: bool = False) -> DataFrame:
         # One signature of planes*tables bits, sliced into per-table
         # bucket keys — each table sees an independent plane subspace.
+        # `spread` parallelizes the corpus side's signature map (32
+        # hyperplane folds per row) off a one-split scan; the query
+        # side is small, not worth the count+exchange.
+        if spread:
+            df = spread_small_input(df, id_col)
         out = _prep(df, id_col, vec_col).withColumn(
             "sig", hyperplane_signature_expr(F.col("e"), planes=planes * tables, dims=dims)
         )
@@ -631,7 +645,7 @@ def lsh_topk(
         )
 
     q = with_buckets(queries)
-    c = with_buckets(corpus)
+    c = with_buckets(corpus, spread=True)
     cos = dot_expr(F.col("q.e"), F.col("c.e")) / (F.col("q.nrm") * F.col("c.nrm"))
     candidates = (
         q.alias("q")
