@@ -317,8 +317,13 @@ def jaccard_pairs_bruteforce(
     full shingle sets. Lossless by construction, and the hottest
     bucket's fan-in is bounded by how many docs share a RARE shingle.
     """
+    # No input spread here: jaccard's callers hand it DERIVED frames
+    # (dedup_audio_envelope's envelope aggregate) where the partition
+    # probe + count re-execute the whole upstream chain (r10 A/B:
+    # 1.86 -> 3.75 s), and the scan-rooted caller measured flat
+    # (dedup_ngram_jaccard 2.20 vs 2.21 s).
     s = (
-        _with_shingles(spread_small_input(df, id_col), text_col, id_col, n)
+        _with_shingles(df, text_col, id_col, n)
         .withColumn("sz", F.size("sh"))
         .filter(F.col("sz") > 0)
         .localCheckpoint(eager=False)  # feeds index build + verification

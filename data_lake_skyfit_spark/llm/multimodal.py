@@ -165,7 +165,7 @@ def _fake_decode_enabled() -> bool:
     return os.environ.get("SKYFIT_FAKE_DECODE", "1") == "1"
 
 
-def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
+def _spread_ids(df: DataFrame, id_col: str, *, rows_per_task: int | None = None) -> DataFrame:
     """The id column only, hash-repartitioned to the session's default
     parallelism before a synthesize kernel. Per-id encode/decode kernels
     are embarrassingly parallel, but a small filtered id range usually
@@ -175,9 +175,20 @@ def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
     mapInPandas inherits this partitioning, so the pipeline pays exactly
     one exchange of 8-byte ids. Hash partitioning by id is deterministic
     (no round-robin retry hazard, guide §2.5) and scale-adaptive: the
-    count follows the cluster's parallelism, not a constant."""
+    count follows the cluster's parallelism, not a constant.
+
+    ``rows_per_task`` (r10, the VERDICT-r9 dedup_audio_envelope fix):
+    LIGHT fixture kernels feeding shuffle-heavy consumers should NOT fan
+    a 200-row frame to full parallelism — every downstream stage then
+    pays ~32 near-empty tasks. Passing a row budget prices the width
+    with one bounded count of the id column (scan-rooted, cheap); heavy
+    codec kernels (~ms-row) keep the default full spread."""
     n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    return df.select(id_col).repartition(n, id_col)
+    ids = df.select(id_col)
+    if rows_per_task is not None:
+        rows = ids.count()
+        n = min(n, max(1, -(-rows // rows_per_task)))
+    return ids.repartition(n, id_col)
 
 
 def attach_binary_payload(df: DataFrame, source_col: str, *, mime: str = "application/octet-stream") -> DataFrame:
@@ -7441,7 +7452,9 @@ def synthesize_neardup_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") ->
                 payloads.append(encode_wav_pcm16(WAV_RATES[k % 5], samples))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
+    # Light kernel feeding the shuffle-heavy jaccard chain: price the
+    # width by rows (r10; full fan-out was the r9 0.37x regression).
+    return _spread_ids(df, id_col, rows_per_task=64).mapInPandas(kernel, out_schema)
 
 
 def synthesize_neardup_avi_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -7477,7 +7490,9 @@ def synthesize_neardup_avi_payloads(df: DataFrame, *, id_col: str = "doc_id") ->
                 }
             )
 
-    return _spread_ids(df, id_col).mapInPandas(kernel, out_schema)
+    # Light kernel feeding an inverted-index join: price the width by
+    # rows (r10).
+    return _spread_ids(df, id_col, rows_per_task=64).mapInPandas(kernel, out_schema)
 
 
 def synthesize_mjpeg_mp4_payloads(
