@@ -84,13 +84,18 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=False)
-    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
     # out-degree rides with the edge list so the per-iteration join is
-    # a single equi-join (rank ⋈ edges+deg on src), not two.
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # a single equi-join (rank ⋈ edges+deg on src), not two. The node
+    # set IS deg's key set (distinct src either way), so deriving it
+    # from the checkpointed deg frame deletes a second full distinct
+    # over the edge list (r10: one aggregation pass instead of two).
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(
+        eager=False
+    )
+    nodes = deg.select(F.col("src").alias("node"))
     ed = e.join(deg, "src").localCheckpoint(eager=False)
     teleport = (damping_den - damping_num) * scale // damping_den
-    small = nodes.count() <= broadcast_nodes
+    small = deg.count() <= broadcast_nodes
 
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for _ in range(iterations):

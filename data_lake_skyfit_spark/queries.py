@@ -1654,8 +1654,16 @@ _PAGERANK_ITERS_SQL = "".join(
 def graph_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank
 
+    from .llm.text import spread_small_input
+
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # orders broadcasts (2.4 MB), so the join + partial-distinct run on
+    # lineitem's partitioning — spread its one-split scan (no-op at
+    # real scale).
+    li = spread_small_input(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        "l_orderkey",
+    )
     e0 = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
