@@ -78,7 +78,9 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def spread_small_input(df: DataFrame, key: str) -> DataFrame:
+def spread_small_input(
+    df: DataFrame, key: str, *, rows_per_task: int | None = None
+) -> DataFrame:
     """Hash-repartition a narrow-scan input to the session's default
     parallelism before expensive per-row map work (tokenize / shingle /
     per-seed hashing). The r7d/r9 one-split trap generalized to the
@@ -107,7 +109,8 @@ def spread_small_input(df: DataFrame, key: str) -> DataFrame:
     if existing >= n:
         return df
     rows = df.count()
-    width = min(n, max(1, -(-rows // _SPREAD_ROWS_PER_TASK)))
+    per_task = rows_per_task or _SPREAD_ROWS_PER_TASK
+    width = min(n, max(1, -(-rows // per_task)))
     if width <= existing:
         return df
     return df.repartition(width, key)

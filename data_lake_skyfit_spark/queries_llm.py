@@ -6391,6 +6391,8 @@ def multimodal_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
+    # No input spread (r10 interleaved A/B: 0.95 -> 1.27 s — this
+    # kernel is too light to pay the count+exchange).
     shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema).localCheckpoint(
         eager=False  # two consumers: the .png leg and the .txt leg
     )
@@ -6544,7 +6546,9 @@ def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema).localCheckpoint(
+    shards = text_ops.spread_small_input(
+        d.select("doc_id", "text"), "doc_id", rows_per_task=64
+    ).mapInPandas(kernel, out_schema).localCheckpoint(
         eager=False  # two consumers: the .jpg leg and the .txt leg
     )
     jpgs = webdataset.extract_tar_members(shards, suffix=".jpg")
@@ -6722,7 +6726,14 @@ def multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema).localCheckpoint(
+    # The FLAC-encode kernel needs text too, so the id-only _spread_ids
+    # doesn't apply — spread the (id, text) frame itself off the
+    # one-split scan, priced for a ms-per-row kernel (r10 A/B: width 4
+    # beat 1-split 3.19 s and full-32 2.80 s at 2.45 s).
+    spread = text_ops.spread_small_input(
+        d.select("doc_id", "text"), "doc_id", rows_per_task=64
+    )
+    shards = spread.mapInPandas(kernel, out_schema).localCheckpoint(
         eager=False  # two consumers: the .flac leg and the .txt leg
     )
     flacs = webdataset.extract_tar_members(shards, suffix=".flac").select(
@@ -6944,7 +6955,9 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    shards = d.select("doc_id", "text").mapInPandas(kernel, out_schema).localCheckpoint(
+    shards = text_ops.spread_small_input(
+        d.select("doc_id", "text"), "doc_id", rows_per_task=64
+    ).mapInPandas(kernel, out_schema).localCheckpoint(
         eager=False  # two consumers: the .avi leg and the .txt leg
     )
     avis = (
