@@ -80,14 +80,28 @@ class _BitReader:
         self.pos = 0
 
     def u(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            byte = self.pos >> 3
-            if byte >= len(self.data):
+        # Byte-window extraction instead of a per-bit loop: u() is the
+        # decode hot spot (r10 cProfile: 558k calls, ~30% of kernel
+        # time). Bit-exact with the old loop, including the
+        # exhausted-stream ValueError (end > total bits ⟺ the loop
+        # would have hit an out-of-range byte).
+        pos = self.pos
+        data = self.data
+        if n == 1:
+            byte = pos >> 3
+            if byte >= len(data):
                 raise ValueError("h264: bitstream exhausted")
-            v = (v << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return v
+            self.pos = pos + 1
+            return (data[byte] >> (7 - (pos & 7))) & 1
+        if n == 0:
+            return 0
+        end = pos + n
+        if end > len(data) * 8:
+            raise ValueError("h264: bitstream exhausted")
+        last = (end - 1) >> 3
+        chunk = int.from_bytes(data[pos >> 3 : last + 1], "big")
+        self.pos = end
+        return (chunk >> (7 - ((end - 1) & 7))) & ((1 << n) - 1)
 
     def ue(self) -> int:
         zeros = 0
@@ -858,6 +872,11 @@ def _blk_xy(n: int) -> tuple[int, int]:
     return ((n >> 2 & 1) << 3) + ((n & 1) << 2), ((n >> 3) << 3) + ((n >> 1 & 1) << 2)
 
 
+#: all-zero dequant block — reconstruction adds (0+32)>>6 == 0 per
+#: sample, so the IDCT + 16 clip-adds can be skipped entirely.
+_ZERO16 = [0] * 16
+
+
 def _recon_mb(
     ybuf: bytearray, ubuf: bytearray, vbuf: bytearray,
     W: int, CW: int, mbx: int, mby: int, mbw: int, mbh: int,
@@ -884,13 +903,16 @@ def _recon_mb(
             dx, dy = _blk_xy(n)
             d = _dequant_ac(luma_blocks[n], qp, 1)
             d[0] = _scale_luma_dc(f[(dy >> 2) * 4 + (dx >> 2)], qp)
+            if d == _ZERO16:
+                continue  # all-zero residual: (0 + 32) >> 6 adds nothing
             h = _core_idct4x4(d)
+            hi = 0
             for r in range(4):
                 base = (y0 + dy + r) * W + x0 + dx
                 for c in range(4):
-                    ybuf[base + c] = _clip255(
-                        ybuf[base + c] + ((h[4 * r + c] + 32) >> 6)
-                    )
+                    v = ybuf[base + c] + ((h[hi] + 32) >> 6)
+                    hi += 1
+                    ybuf[base + c] = 0 if v < 0 else (255 if v > 255 else v)
     else:
         for n in range(16):
             dx, dy = _blk_xy(n)
@@ -898,13 +920,16 @@ def _recon_mb(
                 ybuf, W, x0 + dx, y0 + dy, modes4[n], mbw * 16, mbh * 16
             )
             d = _dequant_ac(luma_blocks[n], qp, 0)
+            if d == _ZERO16:
+                continue
             h = _core_idct4x4(d)
+            hi = 0
             for r in range(4):
                 base = (y0 + dy + r) * W + x0 + dx
                 for c in range(4):
-                    ybuf[base + c] = _clip255(
-                        ybuf[base + c] + ((h[4 * r + c] + 32) >> 6)
-                    )
+                    v = ybuf[base + c] + ((h[hi] + 32) >> 6)
+                    hi += 1
+                    ybuf[base + c] = 0 if v < 0 else (255 if v > 255 else v)
 
     for comp, cbuf in ((0, ubuf), (1, vbuf)):
         cx0, cy0 = mbx * 8, mby * 8
@@ -919,13 +944,16 @@ def _recon_mb(
             dx, dy = (n & 1) * 4, (n >> 1) * 4
             d = _dequant_ac(chroma_ac[comp][n], qpc, 1)
             d[0] = _scale_chroma_dc(fdc[n], qpc)
+            if d == _ZERO16:
+                continue
             h = _core_idct4x4(d)
+            hi = 0
             for r in range(4):
                 base = (cy0 + dy + r) * CW + cx0 + dx
                 for c in range(4):
-                    cbuf[base + c] = _clip255(
-                        cbuf[base + c] + ((h[4 * r + c] + 32) >> 6)
-                    )
+                    v = cbuf[base + c] + ((h[hi] + 32) >> 6)
+                    hi += 1
+                    cbuf[base + c] = 0 if v < 0 else (255 if v > 255 else v)
 
 
 def decode_h264_iframe(sample: bytes) -> tuple[int, int, bytes, bytes, bytes]:
