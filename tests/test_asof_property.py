@@ -112,11 +112,15 @@ def test_range_join_matches_naive_cross_join(spark, points, intervals):
             pts, ivl, bucket_seconds=7
         ).select("pid", "wid").collect()
     }
+    # Naive reference computed in plain Python over the same integer
+    # seconds (timestamp_seconds is injective/monotone on them, so the
+    # predicate is identical) — the Spark crossJoin reference cost ~19 s
+    # of fixed job overhead PER hypothesis example (155 s total, the
+    # slowest test in the suite) without exercising any operator code.
     want = {
-        (r["pid"], r["wid"])
-        for r in pts.crossJoin(ivl)
-        .filter("start <= ts AND ts < end")
-        .select("pid", "wid")
-        .collect()
+        (pid, wid)
+        for pid, t in enumerate(points)
+        for wid, (s, d) in enumerate(intervals)
+        if s <= t < s + d
     }
     assert got == want

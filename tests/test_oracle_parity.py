@@ -60,6 +60,13 @@ def _normalize_rows(cols, rows):
 
 QUERIES = registry()
 
+# Deselected from the default run (pytest.ini): these 181 comparisons
+# duplicate .claude/skills/verify/drive.py AND the round driver's own
+# oracle gate; the default suite must fit the driver's window. Run
+# explicitly (richer failure display than the hash gate) with
+#   python -m pytest tests/test_oracle_parity.py -m driveparity
+pytestmark = pytest.mark.driveparity
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_parity(name, spark, sf_dir):
