@@ -42,6 +42,10 @@ def main() -> None:
     # that cost on ann_* for two rounds).
     queries["union_audit_counts"].fn(spark, sf_dir).collect()
     spark.range(32).mapInPandas(lambda it: it, "id long").collect()
+    # …and the localCheckpoint machinery (first materialization carries
+    # ~0.26 s of one-time block-manager/codegen setup, measured r10 —
+    # it landed on whichever checkpoint-using query ran first).
+    spark.range(32).localCheckpoint(eager=False).count()
 
     times: dict[str, float] = {}
     for i, name in enumerate(names):
